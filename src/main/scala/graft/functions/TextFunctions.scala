@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale document pipelines: tokenization,
+  * shingling, language-ID heuristics, quality scoring, fingerprinting.
+  *
+  * Everything here is a `Column` expression over built-in functions (no UDF)
+  * unless a genuine per-row imperative loop is required (MinHash/SimHash
+  * signatures — see [[Hashes]]); expressions keep the hot path inside
+  * Catalyst and make the math replicable by an external SQL oracle.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer (eager `\s+` split; drops empty leading token). */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= lit(""))
+
+  /** Token count on a BPE-ish pre-tokenizer: words OR single punctuation. */
+  def tokenCountBpe(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\w+|[^\\w\\s]"), lit(0)))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Word n-gram shingles as re-joined strings, distinct. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val idx = sequence(lit(0), size(toks) - n) // empty when size < n
+    array_distinct(transform(idx, i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
+  /** Character n-gram shingles, distinct. */
+  def charShingles(text: Column, n: Int): Column = {
+    val idx = sequence(lit(1), length(text) - (n - 1))
+    array_distinct(transform(idx, i => substring(text, i, lit(n))))
+  }
+
+  private val stopwordLists: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+      "that", "for", "on", "with", "as", "at", "by", "this", "be", "are"),
+    "es" -> Seq("el", "la", "los", "las", "un", "una", "y", "o", "de", "en",
+      "es", "que", "por", "con", "para", "del", "se", "no", "su", "al"),
+    "fr" -> Seq("le", "la", "les", "un", "une", "et", "ou", "de", "en", "est",
+      "que", "pour", "avec", "par", "ce", "se", "ne", "pas", "au", "du"),
+    "de" -> Seq("der", "die", "das", "ein", "eine", "und", "oder", "von", "in",
+      "ist", "dass", "fur", "mit", "als", "bei", "zu", "sich", "nicht", "auf", "es"),
+  )
+
+  /** Fraction of tokens found in `lang`'s stopword list. */
+  def stopwordRatio(text: Column, lang: String): Column = {
+    val sw = lit(stopwordLists(lang).toArray)
+    val toks = tokens(text)
+    size(filter(toks, t => array_contains(sw, lower(t)))).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Heuristic language-ID: argmax of per-language stopword ratios, with a
+    * CJK-codepoint check first; "und" when nothing scores.
+    * (Capability analogue of an n-gram LID model; deliberately simple.) */
+  def langId(text: Column): Column = {
+    val cjk = length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", "")) > 0
+    val scored = stopwordLists.keys.toSeq.sorted.map(l => struct(stopwordRatio(text, l).as("s"), lit(l).as("l")))
+    val best = greatest(scored: _*)
+    when(cjk, lit("zh")).otherwise(when(best("s") > 0.02, best("l")).otherwise(lit("und")))
+  }
+
+  /** Fraction of characters that are ASCII alphanumeric or space. */
+  def alphaRatio(text: Column): Column =
+    length(regexp_replace(text, "[^A-Za-z0-9 ]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+
+  /** Mean token length. */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** Type-token ratio (lexical diversity). */
+  def typeTokenRatio(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("double") /
+      greatest(size(tokens(text)), lit(1)).cast("double")
+
+  /** Composite document-quality score in [0,1]: length band + alpha ratio +
+    * stopword signal + lexical diversity. The exact formula is arbitrary but
+    * fixed; an oracle can replicate it term by term. */
+  def qualityScore(text: Column, lang: String = "en"): Column = {
+    val lenOk = when(length(text).between(50, 5000), lit(1.0)).otherwise(lit(0.0))
+    val alpha = alphaRatio(text)
+    val sw = least(stopwordRatio(text, lang) * 4.0, lit(1.0))
+    val ttr = typeTokenRatio(text)
+    (lenOk + alpha + sw + ttr) / 4.0
+  }
+}

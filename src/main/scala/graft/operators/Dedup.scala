@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.functions.{Hashes, TextFunctions}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for document corpora, designed around shuffle
+  * economics at large scale:
+  *
+  *  - exact: single hash-aggregate on the dedup key (one shuffle).
+  *  - n-gram Jaccard: inverted shingle index + self-join — exact, with an
+  *    optional frequent-shingle cutoff to bound the quadratic blowup of hot
+  *    shingles (at 100 TB a shingle shared by 10^6 docs must not produce
+  *    10^12 candidate pairs).
+  *  - MinHash + LSH banding: candidate generation is linear in corpus size;
+  *    candidates are exact-verified against true Jaccard so precision is 1
+  *    and only recall depends on the (bands × rowsPerBand) S-curve.
+  *  - SimHash: 64-bit signature bucketing for near-identical text.
+  */
+object Dedup {
+
+  /** Exact duplicate groups over `keyCols`: representative = min(idCol). */
+  def exactGroups(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("dup_count"))
+
+  /** Distinct (id, shingle) pairs for an inverted index. */
+  private def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int,
+                           maxDocFreq: Option[Long]): DataFrame = {
+    val pairs = df
+      .select(col(idCol).as("doc"), explode(TextFunctions.wordShingles(col(textCol), n)).as("sh"))
+    maxDocFreq match {
+      case None => pairs
+      case Some(m) =>
+        // drop shingles that occur in more than m docs: they contribute
+        // O(df^2) candidate pairs and almost no Jaccard signal.
+        val hot = pairs.groupBy("sh").count().filter(col("count") > m).select("sh")
+        pairs.join(hot, Seq("sh"), "left_anti")
+    }
+  }
+
+  /** Exact n-gram Jaccard similarity pairs with similarity >= threshold.
+    * Output: (id1, id2, jaccard) with id1 < id2. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+                   threshold: Double, maxDocFreq: Option[Long] = None): DataFrame = {
+    val idx = shingleIndex(df, idCol, textCol, n, maxDocFreq).cache()
+    val sizes = idx.groupBy("doc").agg(count(lit(1)).as("nsh"))
+    val common = idx.as("a").join(idx.as("b"), col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("id1"), col("b.doc").as("id2"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("doc", "id1").withColumnRenamed("nsh", "n1"), "id1")
+      .join(sizes.withColumnRenamed("doc", "id2").withColumnRenamed("nsh", "n2"), "id2")
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("n1") + col("n2") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** MinHash signatures: (idCol, sig array<long>). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, k: Int): DataFrame =
+    df.select(col(idCol).as("doc"),
+      Hashes.minhash(TextFunctions.wordShingles(col(textCol), n), k).as("sig"))
+
+  /** LSH candidate pairs from banded MinHash signatures (id1 < id2). */
+  def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = sigs.select(col("doc"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(lit("band"), b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .toDF("doc", "band", "bucket")
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id1"), col("b.doc").as("id2"))
+      .distinct()
+  }
+
+  /** MinHash/LSH near-dup pairs, exact-verified: candidates from banding,
+    * then true n-gram Jaccard computed on just the candidate pairs. */
+  def minhashDupPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+                      k: Int, bands: Int, threshold: Double): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val sigs = minhashSignatures(df, idCol, textCol, n, k)
+    val cands = lshCandidates(sigs, bands, k / bands)
+    val sh = df.select(col(idCol).as("doc"),
+      TextFunctions.wordShingles(col(textCol), n).as("shs"))
+    cands
+      .join(sh.select(col("doc").as("id1"), col("shs").as("sh1")), "id1")
+      .join(sh.select(col("doc").as("id2"), col("shs").as("sh2")), "id2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("jaccard", col("inter") /
+        (size(col("sh1")) + size(col("sh2")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
+  /** SimHash values per document: (doc, simhash). */
+  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("doc"),
+      Hashes.simhash(TextFunctions.tokens(col(textCol))).as("simhash"))
+
+  /** Near-identical pairs by SimHash hamming distance <= maxDist, candidate
+    * generation by 4×16-bit block banding (any identical block → candidate). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int): DataFrame = {
+    val sh = simhashes(df, idCol, textCol)
+    val blocks = sh.select(col("doc"), col("simhash"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftrightunsigned", col("simhash"), b * lit(16)).bitwiseAND(lit(0xffffL)))))
+      .toDF("doc", "simhash", "blk", "blkval")
+    blocks.as("a").join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.blkval") === col("b.blkval") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id1"), col("b.doc").as("id2"),
+        col("a.simhash").as("h1"), col("b.simhash").as("h2"))
+      .distinct()
+      .withColumn("hamming", Hashes.hammingUdf(col("h1"), col("h2")))
+      .filter(col("hamming") <= maxDist)
+      .select("id1", "id2", "hamming")
+  }
+}

@@ -1,0 +1,200 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.{Hashes, TextFunctions}
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators over `documents` / `embeddings`:
+  * text statistics, quality scoring, language ID, exact & near dedup
+  * (n-gram Jaccard, MinHash+LSH, SimHash), fingerprinting, ANN search.
+  */
+object ExtensionQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** Oracle fragment: whitespace tokens of `text` as a DuckDB list. */
+  private val OTOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+  def entries: Seq[Entry] = Seq(
+
+    Entry("q80_doc_stats",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        d.select(
+          col("doc_id"),
+          length(col("text")).as("n_chars_calc"),
+          TextFunctions.tokenCount(col("text")).as("n_tokens"),
+          TextFunctions.tokenCountBpe(col("text")).as("n_tokens_bpe"),
+          TextFunctions.meanTokenLen(col("text")).as("mean_tok_len"),
+          TextFunctions.typeTokenRatio(col("text")).as("ttr"),
+          TextFunctions.alphaRatio(col("text")).as("alpha_ratio"),
+          TextFunctions.stopwordRatio(col("text"), "en").as("stopword_ratio"))
+      },
+      Some(s"""SELECT doc_id,
+        length(text) AS n_chars_calc,
+        len($OTOKS) AS n_tokens,
+        len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_tokens_bpe,
+        (CAST(list_aggregate(list_transform($OTOKS, x -> length(x)), 'sum') AS BIGINT)
+          / CAST(greatest(len($OTOKS), 1) AS DOUBLE)) AS mean_tok_len,
+        (CAST(len(list_distinct($OTOKS)) AS DOUBLE)
+          / greatest(len($OTOKS), 1)) AS ttr,
+        (CAST(length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+          / greatest(length(text), 1)) AS alpha_ratio,
+        (CAST(len(list_filter($OTOKS, x -> list_contains(
+            ['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','this','be','are'],
+            lower(x)))) AS DOUBLE) / greatest(len($OTOKS), 1)) AS stopword_ratio
+        FROM documents""")),
+
+    Entry("q81_doc_quality",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        d.select(col("doc_id"),
+          TextFunctions.qualityScore(col("text"), "en").as("quality"))
+      },
+      Some(s"""SELECT doc_id,
+        ((CASE WHEN length(text) BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.0 END
+          + (CAST(length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+             / greatest(length(text), 1))
+          + least((CAST(len(list_filter($OTOKS, x -> list_contains(
+              ['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','this','be','are'],
+              lower(x)))) AS DOUBLE) / greatest(len($OTOKS), 1)) * 4.0, 1.0)
+          + (CAST(len(list_distinct($OTOKS)) AS DOUBLE) / greatest(len($OTOKS), 1))
+        ) / 4.0) AS quality
+        FROM documents""")),
+
+    // language-ID heuristic: no SQL oracle (stopword-argmax is ours);
+    // rows-only check + ScalaTest coverage.
+    Entry("q82_lang_id",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        d.select(TextFunctions.langId(col("text")).as("lang_pred"))
+          .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
+      },
+      None),
+
+    Entry("q83_dedup_exact",
+      (s, dir) =>
+        Dedup.exactGroups(t(s, dir, "documents"), "doc_id", Seq("lang", "source"))
+          .select(col("lang"), col("source"), col("rep_id"), col("dup_count")),
+      Some("""SELECT lang, source, min(doc_id) AS rep_id, count(*) AS dup_count
+        FROM documents GROUP BY lang, source""")),
+
+    Entry("q84_jaccard_pairs",
+      (s, dir) => {
+        val pairs = Dedup.jaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 2, threshold = 0.05)
+        pairs.select(col("id1"), col("id2"), round(col("jaccard"), 9).as("jaccard"))
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, $OTOKS AS w FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, (w[i] || ' ' || w[i+1]) AS sh
+          FROM toks CROSS JOIN UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+        ), sizes AS (
+          SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id
+        ), common AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id1, id2,
+          round(CAST(c AS DOUBLE) / (s1.nsh + s2.nsh - c), 9) AS jaccard
+        FROM common
+        JOIN sizes s1 ON id1 = s1.doc_id
+        JOIN sizes s2 ON id2 = s2.doc_id
+        WHERE CAST(c AS DOUBLE) / (s1.nsh + s2.nsh - c) >= 0.05""")),
+
+    // MinHash+LSH: candidates exact-verified at threshold 0.5, where the
+    // 64-band × 2-row S-curve gives recall ≈ 1-1e-8 → matches the exact oracle.
+    Entry("q85_minhash_dedup",
+      (s, dir) => {
+        val pairs = Dedup.minhashDupPairs(t(s, dir, "documents"), "doc_id", "text",
+          n = 2, k = 128, bands = 64, threshold = 0.5)
+        pairs.select(col("id1"), col("id2"), round(col("jaccard"), 9).as("jaccard"))
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, $OTOKS AS w FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, (w[i] || ' ' || w[i+1]) AS sh
+          FROM toks CROSS JOIN UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+        ), sizes AS (
+          SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id
+        ), common AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id1, id2,
+          round(CAST(c AS DOUBLE) / (s1.nsh + s2.nsh - c), 9) AS jaccard
+        FROM common
+        JOIN sizes s1 ON id1 = s1.doc_id
+        JOIN sizes s2 ON id2 = s2.doc_id
+        WHERE CAST(c AS DOUBLE) / (s1.nsh + s2.nsh - c) >= 0.5""")),
+
+    // SimHash signatures + bucketed near-identical pairs: signature values
+    // are our hash — rows-only check; ScalaTest pins the semantics.
+    Entry("q86_simhash",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        Dedup.simhashes(d, "doc_id", "text")
+          .select(col("doc").as("doc_id"), col("simhash"))
+      },
+      None),
+
+    Entry("q87_fingerprint",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        d.select(col("doc_id"), Hashes.docFingerprint(col("text")).as("fp"))
+          .groupBy(col("fp")).agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n"))
+      },
+      None),
+
+    Entry("q88_knn_brute",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 5)
+        Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", "vec_id", k = 10)
+          .select(col("query_id"), col("rank"), col("nbr_id"),
+            round(col("cos"), 6).as("cos_sim"))
+      },
+      Some("""SELECT query_id, rank, nbr_id, cos_sim FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+            round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC,
+                       c.vec_id) AS rank
+          FROM embeddings c CROSS JOIN embeddings q
+          WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        WHERE rank <= 10""")),
+
+    // LSH ANN: approximate (recall < 1) — rows-only; ScalaTest measures
+    // recall against the brute-force baseline.
+    Entry("q89_knn_lsh",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 5)
+        Similarity.lshTopK(emb, queries, "vec_id", "embedding", "vec_id",
+          k = 10, dim = 64, nBits = 8, nTables = 8)
+          .select(col("query_id"), col("rank"), col("nbr_id"),
+            round(col("cos"), 6).as("cos_sim"))
+      },
+      None),
+
+    Entry("q8a_embed_neardup",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val a = emb.select(col("vec_id").as("id1"), col("embedding").as("v1"))
+        val b = emb.select(col("vec_id").as("id2"), col("embedding").as("v2"))
+        a.join(b, col("id1") < col("id2"))
+          .withColumn("cos", graft.functions.VectorFunctions.cosineSimilarity(col("v1"), col("v2")))
+          .filter(col("cos") >= 0.35)
+          .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos_sim"))
+      },
+      Some("""SELECT a.vec_id AS id1, b.vec_id AS id2,
+          round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35""")),
+  )
+}

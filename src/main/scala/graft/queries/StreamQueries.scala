@@ -1,0 +1,128 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming coverage (SURVEY.md §2.5, §2.10) executed inside the
+  * correctness gate: each query replays the `events` parquet through a file
+  * stream source, runs a real streaming query to completion (memory sink),
+  * and returns the sink table — so watermark/window/output-mode semantics
+  * are exercised for real, then hash-checked against a batch SQL oracle.
+  */
+object StreamQueries {
+
+  private val HourUs = 3600000000L
+
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(Tables.path(dir, "events")).schema
+    // file-stream source needs a directory or glob, not a bare file path
+    val raw = s.readStream.schema(schema).parquet(s"$dir/events*.parquet")
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Run to completion; memory sink table named after the query. */
+  private def run(df: DataFrame, mode: String, name: String)(implicit s: SparkSession): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
+  def entries: Seq[Entry] = Seq(
+
+    // unbounded keyed aggregation (reference: DataStreamGroupAggregate /
+    // GroupAggProcessFunction retract stream) — final state == batch agg
+    Entry("q90_stream_unbounded_agg",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        val agg = eventsStream(s, dir)
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n"),
+            (sum(round(col("value") * 1000).cast("long")) / 1000.0).as("sum_value"))
+        run(agg, "complete", "q90_sink").orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, count(*) AS n,
+        (CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT)/1000.0) AS sum_value
+        FROM events GROUP BY user_id""")),
+
+    // event-time tumbling window aggregation, complete mode
+    Entry("q91_stream_tumble",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        val agg = eventsStream(s, dir)
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(unix_micros(col("window.start")).as("win_start_us"),
+            col("event_type"), col("n"))
+        run(agg, "complete", "q91_sink")
+      },
+      Some(s"""SELECT (epoch_us(ts) // $HourUs) * $HourUs AS win_start_us,
+        event_type, count(*) AS n FROM events GROUP BY 1, 2""")),
+
+    // watermarked append mode: only windows whose end <= final watermark
+    // (max event time - delay) are emitted — the oracle pins that semantics
+    Entry("q92_stream_tumble_append",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        val agg = eventsStream(s, dir)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour"))
+          .agg(count(lit(1)).as("n"),
+            (sum(round(col("value") * 1000).cast("long")) / 1000.0).as("sum_value"))
+          .select(unix_micros(col("window.start")).as("win_start_us"),
+            col("n"), col("sum_value"))
+        run(agg, "append", "q92_sink")
+      },
+      Some(s"""WITH wm AS (
+          SELECT epoch_ms(max(ts)) - 600000 AS watermark_ms FROM events
+        )
+        SELECT (epoch_us(ts) // $HourUs) * $HourUs AS win_start_us,
+          count(*) AS n,
+          (CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT)/1000.0) AS sum_value
+        FROM events, wm
+        GROUP BY 1, wm.watermark_ms
+        HAVING ((win_start_us + $HourUs) / 1000) <= wm.watermark_ms""")),
+
+    // streaming dedup (dropDuplicates) feeding an aggregation
+    Entry("q93_stream_dedup",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        val agg = eventsStream(s, dir)
+          .dropDuplicates("user_id", "event_type")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("distinct_users"))
+        run(agg, "complete", "q93_sink")
+      },
+      Some("""SELECT event_type, count(DISTINCT user_id) AS distinct_users
+        FROM events GROUP BY event_type""")),
+
+    // stream-stream inner join with event-time range condition
+    // (reference: window join JoinedStreams.where/equalTo/window/apply)
+    Entry("q94_stream_join",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        val ev = eventsStream(s, dir)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+            col("ts").as("c_ts")).withWatermark("c_ts", "1 hour")
+        val purchases = eventsStream(s, dir).filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+            col("ts").as("p_ts")).withWatermark("p_ts", "1 hour")
+        val joined = clicks.join(purchases,
+          col("c_user") === col("p_user") &&
+            col("p_ts") >= col("c_ts") &&
+            col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+          .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"))
+        run(joined, "append", "q94_sink")
+      },
+      Some("""SELECT c.user_id AS user_id, c.event_id AS click_id,
+          p.event_id AS purchase_id
+        FROM events c JOIN events p
+          ON c.user_id = p.user_id AND c.event_type = 'click'
+          AND p.event_type = 'purchase'
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""")),
+  )
+}
