@@ -34,45 +34,64 @@ object Similarity {
     val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("qvec"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("nbr_id") =!= col("query_id"))
-      .withColumn("cos", VectorFunctions.cosineSimilarity(col("cvec"), col("qvec")))
+      .withColumn("cos", VectorFunctions.cosineSimilarityFast(col("cvec"), col("qvec")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nbr_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "nbr_id", "cos", "rank")
   }
 
-  /** Sign-bit bucket id for random-hyperplane LSH (deterministic planes). */
-  private def hyperplanes(dim: Int, nBits: Int, table: Int): Array[Array[Double]] = {
-    val rnd = new scala.util.Random(1234L + table)
-    Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
-  }
+  /** Deterministic random hyperplanes for all tables, flattened:
+    * planes(table*nBits + bit)(dim). */
+  private def hyperplanes(dim: Int, nBits: Int, nTables: Int): Array[Array[Double]] =
+    Array.tabulate(nTables) { t =>
+      val rnd = new scala.util.Random(1234L + t)
+      Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+    }.flatten
 
-  private def bucketExpr(vec: org.apache.spark.sql.Column, dim: Int, nBits: Int, table: Int) = {
-    val planes = hyperplanes(dim, nBits, table)
-    (0 until nBits).map { b =>
-      val dotp = planes(b).zipWithIndex.map { case (wgt, i) =>
-        element_at(vec, i + 1).cast("double") * lit(wgt)
-      }.reduce(_ + _)
-      when(dotp >= 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  /** All (table, bucket) pairs for a vector in ONE compiled pass.
+    *
+    * A per-bit Catalyst expression (nTables × nBits × dim `element_at` terms)
+    * exceeds the 64KB codegen method limit and falls back to interpreted
+    * evaluation — ~100× slower. A single UDF over the array keeps the dot
+    * products in tight JIT'd loops; the rest of the plan (explode → bucket
+    * join) stays codegen'd. */
+  private def bucketsUdf(dim: Int, nBits: Int, nTables: Int) = {
+    val planes = hyperplanes(dim, nBits, nTables)
+    udf { (vec: Seq[Float]) =>
+      val v = vec.toArray
+      Array.tabulate(nTables) { t =>
+        var bkt = 0L
+        var b = 0
+        while (b < nBits) {
+          val p = planes(t * nBits + b)
+          var dotp = 0.0
+          var i = 0
+          val n = math.min(dim, v.length)
+          while (i < n) { dotp += p(i) * v(i); i += 1 }
+          if (dotp >= 0) bkt |= (1L << b)
+          b += 1
+        }
+        (t, bkt)
+      }.toSeq
+    }
   }
 
   /** LSH-bucketed approximate top-k: query probes its bucket per table. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               qidCol: String, k: Int, dim: Int, nBits: Int = 12, nTables: Int = 4): DataFrame = {
+    val buckets = bucketsUdf(dim, nBits, nTables)
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cvec"))
     val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("qvec"))
-    val cb = c.select(col("*"), explode(array((0 until nTables).map(t =>
-      struct(lit(t).as("tbl"), bucketExpr(col("cvec"), dim, nBits, t).as("bkt"))): _*)).as("tb"))
-      .select(col("nbr_id"), col("cvec"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
-    val qb = q.select(col("*"), explode(array((0 until nTables).map(t =>
-      struct(lit(t).as("tbl"), bucketExpr(col("qvec"), dim, nBits, t).as("bkt"))): _*)).as("tb"))
-      .select(col("query_id"), col("qvec"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val cb = c.select(col("*"), explode(buckets(col("cvec"))).as("tb"))
+      .select(col("nbr_id"), col("cvec"), col("tb._1").as("tbl"), col("tb._2").as("bkt"))
+    val qb = q.select(col("*"), explode(buckets(col("qvec"))).as("tb"))
+      .select(col("query_id"), col("qvec"), col("tb._1").as("tbl"), col("tb._2").as("bkt"))
     val cands = cb.join(broadcast(qb), Seq("tbl", "bkt"))
       .filter(col("nbr_id") =!= col("query_id"))
       .select(col("query_id"), col("nbr_id"), col("cvec"), col("qvec"))
       .dropDuplicates("query_id", "nbr_id")
-      .withColumn("cos", VectorFunctions.cosineSimilarity(col("cvec"), col("qvec")))
+      .withColumn("cos", VectorFunctions.cosineSimilarityFast(col("cvec"), col("qvec")))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nbr_id"))
     cands.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -103,7 +122,7 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nbr_id"))
     assigned.join(broadcast(probes), Seq("cell_id"))
       .filter(col("nbr_id") =!= col("query_id"))
-      .withColumn("cos", VectorFunctions.cosineSimilarity(col("cvec"), col("qvec")))
+      .withColumn("cos", VectorFunctions.cosineSimilarityFast(col("cvec"), col("qvec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "nbr_id", "cos", "rank")

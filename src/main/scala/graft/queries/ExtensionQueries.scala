@@ -188,7 +188,7 @@ object ExtensionQueries {
         val a = emb.select(col("vec_id").as("id1"), col("embedding").as("v1"))
         val b = emb.select(col("vec_id").as("id2"), col("embedding").as("v2"))
         a.join(b, col("id1") < col("id2"))
-          .withColumn("cos", graft.functions.VectorFunctions.cosineSimilarity(col("v1"), col("v2")))
+          .withColumn("cos", graft.functions.VectorFunctions.cosineSimilarityFast(col("v1"), col("v2")))
           .filter(col("cos") >= 0.35)
           .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos_sim"))
       },
