@@ -8,7 +8,8 @@ final case class Entry(name: String, q: Q, oracle: Option[String])
 object Registry {
   def entries: Seq[Entry] =
     BatchQueries.entries ++ ExprQueries.entries ++ WindowQueries.entries ++
-      ExtensionQueries.entries ++ StreamQueries.entries
+      ExtensionQueries.entries ++ StreamQueries.entries ++
+      StatefulStreamQueries.entries
 
   def queries: Map[String, Q] = entries.map(e => e.name -> e.q).toMap
   def oracles: Map[String, String] =

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.streaming._
+
+/** Watermark-driven, event-time-ordered per-key processing — the engine
+  * behind count windows, streaming OVER aggregates, CEP, and connected
+  * streams. Reproduces the reference's pattern of buffering out-of-order
+  * rows in keyed state and draining them in timestamp order when the
+  * watermark passes (reference: flink-libraries/flink-table/.../table/
+  * runtime/aggregate/RowTimeUnboundedOver.scala — ListState row buffer +
+  * event-time timers; flink-streaming-java/.../api/operators/
+  * InternalTimerService).
+  *
+  * Contract: rows are buffered in a `ListState`, a timer is registered at
+  * each row's timestamp, and when the watermark reaches `t` every buffered
+  * row with `ts <= t` is processed in `(ts, tieId)` order through
+  * [[OrderedProcessor.onOrdered]]. Output order within a key is therefore
+  * deterministic event-time order regardless of arrival order — which is
+  * what makes these operators exactly reproducible by a batch oracle.
+  *
+  * Scale note: state is per-key in the executor-local state store (RocksDB
+  * provider), so the buffer never concentrates on one node; each key holds
+  * only rows inside the watermark delay, bounded by out-of-orderness.
+  */
+object EventTimeOps {
+
+  /** Extracts (timerEpochMs, sortMicros, tieId): `_1` drives timers and the
+    * watermark drain; `(_2, _3)` give total deterministic order within a key. */
+  type OrderKey[I] = I => (Long, Long, Long)
+
+  abstract class OrderedProcessor[K, I, O](orderKey: OrderKey[I], bufEnc: Encoder[I])
+      extends StatefulProcessor[K, I, O] {
+
+    @transient private var buf: ListState[I] = _
+
+    /** Hook for subclasses to open their own state. */
+    protected def openState(handle: StatefulProcessorHandle): Unit = {}
+
+    /** Called once per row, per key, in event-time order. */
+    protected def onOrdered(key: K, row: I): Iterator[O]
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[I]("graft_buf", bufEnc, TTLConfig.NONE)
+      openState(getHandle)
+    }
+
+    override def handleInputRows(key: K, rows: Iterator[I], tv: TimerValues): Iterator[O] = {
+      rows.foreach { r =>
+        buf.appendValue(r)
+        getHandle.registerTimer(orderKey(r)._1)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: K, tv: TimerValues, info: ExpiredTimerInfo): Iterator[O] = {
+      val wm = tv.getCurrentWatermarkInMs()
+      val all = buf.get().toArray(scala.reflect.ClassTag.AnyRef.asInstanceOf[scala.reflect.ClassTag[I]])
+      val (ready, pending) = all.partition(r => orderKey(r)._1 <= wm)
+      if (ready.isEmpty) Iterator.empty
+      else {
+        buf.clear()
+        pending.foreach(buf.appendValue)
+        ready.sortBy(r => { val k = orderKey(r); (k._2, k._3) })
+          .iterator.flatMap(r => onOrdered(key, r))
+      }
+    }
+  }
+
+  /** Run an [[OrderedProcessor]] over a keyed stream (event-time mode;
+    * requires an upstream `withWatermark`). */
+  def ordered[K: Encoder, I: Encoder, O: Encoder](
+      ds: Dataset[I], keyFn: I => K,
+      p: OrderedProcessor[K, I, O]): Dataset[O] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(keyFn)
+      .transformWithState(p, TimeMode.EventTime(), OutputMode.Append())
+  }
+}

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import graft.streaming.EventTimeOps.{OrderKey, OrderedProcessor}
+import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.streaming.{StatefulProcessorHandle, TTLConfig, ValueState}
+
+/** Typed row shapes shared by the stateful streaming operators. */
+object StatefulOps {
+
+  /** Keyed event row (events fixture projected): all timestamps in epoch µs. */
+  case class KeyedEvent(key: Long, eventId: Long, tsUs: Long, eventType: String,
+                        valueMillis: Long)
+
+  object KeyedEvent {
+    val orderKey: OrderKey[KeyedEvent] =
+      e => (e.tsUs / 1000, e.tsUs, e.eventId)
+  }
+
+  /** Output of the streaming OVER (rows unbounded preceding) aggregate. */
+  case class RunningAggOut(key: Long, eventId: Long, tsUs: Long,
+                           runningN: Long, runningSumMillis: Long)
+
+  /** Output of per-key tumbling count windows. */
+  case class CountWindowOut(key: Long, winSeq: Long, n: Long,
+                            sumMillis: Long, firstTsUs: Long, lastTsUs: Long)
+
+  /** A completed CEP match: ids of the matched events, per stage. */
+  case class CepMatchOut(key: Long, ids: Seq[Long], startTsUs: Long, endTsUs: Long)
+
+  /** Streaming OVER `ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW`
+    * per-row running aggregate in event-time order (reference:
+    * flink-libraries/flink-table/.../table/runtime/aggregate/
+    * RowTimeUnboundedRowsOver.scala). One ValueState accumulator per key;
+    * one output row per input row. */
+  final class RunningAgg extends OrderedProcessor[Long, KeyedEvent, RunningAggOut](
+      KeyedEvent.orderKey, Encoders.product[KeyedEvent]) {
+    @transient private var acc: ValueState[(Long, Long)] = _
+    override protected def openState(h: StatefulProcessorHandle): Unit =
+      acc = h.getValueState[(Long, Long)]("acc",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+    override protected def onOrdered(key: Long, e: KeyedEvent): Iterator[RunningAggOut] = {
+      val (n0, s0) = if (acc.exists()) acc.get() else (0L, 0L)
+      val st = (n0 + 1, s0 + e.valueMillis)
+      acc.update(st)
+      Iterator(RunningAggOut(key, e.eventId, e.tsUs, st._1, st._2))
+    }
+  }
+
+  /** Per-key tumbling COUNT windows of `size` rows in event-time order
+    * (reference: KeyedStream.countWindow → WindowOperator with
+    * PurgingTrigger(CountTrigger); flink-streaming-java/.../api/windowing/
+    * triggers/CountTrigger.java). Emits one row per completed window;
+    * a trailing partial window stays in state (fires only on more input),
+    * matching the reference's count-trigger behavior. */
+  final class CountWindow(size: Int) extends OrderedProcessor[Long, KeyedEvent, CountWindowOut](
+      KeyedEvent.orderKey, Encoders.product[KeyedEvent]) {
+    // (windowSeq, n, sumMillis, firstTsUs, lastTsUs)
+    @transient private var acc: ValueState[(Long, Long, Long, Long, Long)] = _
+    override protected def openState(h: StatefulProcessorHandle): Unit =
+      acc = h.getValueState("cw", Encoders.product[(Long, Long, Long, Long, Long)],
+        TTLConfig.NONE)
+    override protected def onOrdered(key: Long, e: KeyedEvent): Iterator[CountWindowOut] = {
+      val (seq, n, s, f, _) = if (acc.exists()) acc.get() else (0L, 0L, 0L, e.tsUs, 0L)
+      val first = if (n == 0) e.tsUs else f
+      val n1 = n + 1
+      val s1 = s + e.valueMillis
+      if (n1 == size) {
+        acc.update((seq + 1, 0L, 0L, 0L, 0L))
+        Iterator(CountWindowOut(key, seq, n1, s1, first, e.tsUs))
+      } else {
+        acc.update((seq, n1, s1, first, e.tsUs))
+        Iterator.empty
+      }
+    }
+  }
+
+  /** CEP strict-contiguity sequence (reference: flink-libraries/flink-cep
+    * .../pattern/Pattern.java — begin(...).next(...)...within(t), the
+    * strict `next` form): matches when `stages` event types occur on
+    * consecutive events of a key (event-time order) and the whole match
+    * spans at most `withinUs`. After a match the state resets past the
+    * matched prefix (no overlapping reuse of matched events — Flink's
+    * default after-match skip for this project). */
+  final class StrictSeq(stages: Seq[String], withinUs: Long)
+      extends OrderedProcessor[Long, KeyedEvent, CepMatchOut](
+        KeyedEvent.orderKey, Encoders.product[KeyedEvent]) {
+    // partial match: ids + tss of matched prefix
+    @transient private var part: ValueState[(Seq[Long], Seq[Long])] = _
+    override protected def openState(h: StatefulProcessorHandle): Unit =
+      part = h.getValueState("cep", Encoders.product[(Seq[Long], Seq[Long])],
+        TTLConfig.NONE)
+    override protected def onOrdered(key: Long, e: KeyedEvent): Iterator[CepMatchOut] = {
+      val (ids, tss) = if (part.exists()) part.get() else (Seq.empty[Long], Seq.empty[Long])
+      val k = ids.length
+      // within check against the tentative match start
+      def fits(startTs: Long) = e.tsUs - startTs <= withinUs
+      if (k < stages.length && e.eventType == stages(k) &&
+          (ids.isEmpty || fits(tss.head))) {
+        val (ids1, tss1) = (ids :+ e.eventId, tss :+ e.tsUs)
+        if (ids1.length == stages.length) {
+          part.clear()
+          Iterator(CepMatchOut(key, ids1, tss1.head, e.tsUs))
+        } else { part.update((ids1, tss1)); Iterator.empty }
+      } else if (stages.nonEmpty && e.eventType == stages.head) {
+        // strict contiguity broken — this event may restart a match
+        part.update((Seq(e.eventId), Seq(e.tsUs)))
+        Iterator.empty
+      } else { part.clear(); Iterator.empty }
+    }
+  }
+
+  /** Apply an ordered processor over a KeyedEvent stream. */
+  def run[O: Encoder](ds: Dataset[KeyedEvent],
+                      p: OrderedProcessor[Long, KeyedEvent, O]): Dataset[O] = {
+    import ds.sparkSession.implicits._
+    EventTimeOps.ordered(ds, (e: KeyedEvent) => e.key, p)
+  }
+}
