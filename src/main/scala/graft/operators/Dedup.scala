@@ -101,12 +101,22 @@ object Dedup {
       Hashes.simhash(TextFunctions.tokens(col(textCol))).as("simhash"))
 
   /** Near-identical pairs by SimHash hamming distance <= maxDist, candidate
-    * generation by 4×16-bit block banding (any identical block → candidate). */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int): DataFrame = {
+    * generation by block banding (any identical block → candidate). By the
+    * pigeonhole principle recall is exact iff `nBlocks > maxDist`: maxDist
+    * differing bits cannot touch all blocks. Fewer blocks = bigger blocks =
+    * fewer/bucket-cheaper candidates but only probabilistic recall; the
+    * classic 4×16-bit split is exact for maxDist <= 3. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int,
+                   nBlocks: Int = 4): DataFrame = {
+    require(nBlocks >= 1 && nBlocks <= 64)
+    val width = 64 / nBlocks // trailing bits join the last block
     val sh = simhashes(df, idCol, textCol)
-    val blocks = sh.select(col("doc"), col("simhash"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        b => call_function("shiftrightunsigned", col("simhash"), b * lit(16)).bitwiseAND(lit(0xffffL)))))
+    val blockExprs = transform(sequence(lit(0), lit(nBlocks - 1)), b => {
+      val shifted = call_function("shiftrightunsigned", col("simhash"), b * lit(width))
+      val mask = when(b === nBlocks - 1, lit(-1L)).otherwise(lit((1L << width) - 1))
+      shifted.bitwiseAND(mask)
+    })
+    val blocks = sh.select(col("doc"), col("simhash"), posexplode(blockExprs))
       .toDF("doc", "simhash", "blk", "blkval")
     blocks.as("a").join(blocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.blkval") === col("b.blkval") &&

@@ -1,0 +1,106 @@
+package graft
+
+import graft.functions.Hashes
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 1
+    (3L, "completely different content about astronomy stars galaxies and planets"),
+    (4L, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 1
+    (5L, "astronomy stars galaxies planets and completely different content here")
+  ).toDF("doc_id", "text")
+
+  test("minhash: identical docs get identical signatures; estimate tracks jaccard") {
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", n = 2, k = 128)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) === sigs(4L))
+    val est12 = sigs(1L).zip(sigs(2L)).count { case (a, b) => a == b } / 128.0
+    val est13 = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b } / 128.0
+    assert(est12 > 0.5, s"near-dup minhash estimate $est12 should be high")
+    assert(est13 < 0.2, s"unrelated minhash estimate $est13 should be low")
+  }
+
+  test("minhashDupPairs finds the exact and near duplicates, and only those") {
+    val pairs = Dedup.minhashDupPairs(docs, "doc_id", "text", n = 2, k = 128,
+      bands = 64, threshold = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((2L, 4L)))
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("jaccardPairs exact: dup pair has jaccard 1.0") {
+    val m = Dedup.jaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(m((1L, 4L)) === 1.0)
+    assert(m((1L, 2L)) > 0.7 && m((1L, 2L)) < 1.0)
+  }
+
+  test("jaccardPairs maxDocFreq drops hot shingles but keeps exact dup pair") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.9,
+      maxDocFreq = Some(10L)).select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+
+  test("simhash: exact dups identical, near-dups close, unrelated far") {
+    val sh = Dedup.simhashes(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) === sh(4L))
+    assert(Hashes.hamming64(sh(1L), sh(2L)) <= 12)
+    assert(Hashes.hamming64(sh(1L), sh(3L)) > 12)
+  }
+
+  test("simhashPairs bands catch near-identical docs") {
+    // default 4 blocks: exact only for hamming <= 3 — catches the exact dup
+    val strict = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(strict.contains((1L, 4L)))
+    // nBlocks > maxDist makes recall exact by pigeonhole: catches the near-dup
+    val wide = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 12, nBlocks = 13)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(wide.contains((1L, 4L)))
+    assert(wide.contains((1L, 2L)))
+  }
+
+  test("fingerprint normalizes case and punctuation") {
+    assert(Hashes.fingerprint("Hello, World!") === Hashes.fingerprint("hello world"))
+    assert(Hashes.fingerprint("a b") !== Hashes.fingerprint("a c"))
+  }
+
+  test("LSH KNN recall vs brute force on clustered vectors") {
+    val rnd = new scala.util.Random(7)
+    // 8 well-separated cluster centers, 25 points each
+    val centers = Array.fill(8)(Array.fill(64)(rnd.nextGaussian() * 5))
+    val vecs = (0 until 200).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.3).toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 8)
+    val brute = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", "vec_id", k = 5)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(df, queries, "vec_id", "embedding", "vec_id",
+      k = 5, dim = 64, nBits = 8, nTables = 8)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    assert(recall >= 0.9, s"LSH recall $recall below 0.9")
+  }
+
+  test("IVF KNN returns k sane neighbors per query") {
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 100).map(i => (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 3)
+    val out = Similarity.ivfTopK(df, queries, "vec_id", "embedding", "vec_id",
+      k = 4, nCells = 8, nProbe = 8)
+    val byQ = out.select("query_id", "rank").as[(Long, Int)].collect().groupBy(_._1)
+    assert(byQ.keySet === Set(0L, 1L, 2L))
+    byQ.values.foreach(rs => assert(rs.map(_._2).sorted.toSeq === Seq(1, 2, 3, 4)))
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.functions.{TextFunctions, VectorFunctions}
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column): T =
+    Seq(1).toDF("x").select(c).collect()(0).get(0).asInstanceOf[T]
+
+  test("vector distances match hand-computed values") {
+    val a = typedLit(Seq(1.0f, 2.0f, 2.0f))
+    val b = typedLit(Seq(2.0f, 0.0f, 1.0f))
+    assert(one[Double](VectorFunctions.dot(a, b)) === 4.0)
+    assert(one[Double](VectorFunctions.normL2(a)) === 3.0)
+    assert(one[Double](VectorFunctions.manhattan(a, b)) === 4.0)
+    assert(one[Double](VectorFunctions.chebyshev(a, b)) === 2.0)
+    assert(math.abs(one[Double](VectorFunctions.euclidean(a, b)) - math.sqrt(6.0)) < 1e-12)
+    val cos = one[Double](VectorFunctions.cosineSimilarity(a, b))
+    assert(math.abs(cos - 4.0 / (3.0 * math.sqrt(5.0))) < 1e-12)
+    // tanimoto = dot / (|a|^2+|b|^2-dot) = 4 / (9+5-4)
+    assert(math.abs(one[Double](VectorFunctions.tanimoto(a, b)) - 0.4) < 1e-12)
+  }
+
+  test("cosineSimilarityFast is bit-identical to the expression form") {
+    val vecs = (0 until 50).map { i =>
+      val r = new scala.util.Random(i)
+      (i.toLong, Seq.fill(64)(r.nextFloat() * 2 - 1))
+    }
+    val df = vecs.toDF("id", "v")
+    val pairs = df.as("a").crossJoin(df.as("b"))
+      .filter($"a.id" < $"b.id")
+    val both = pairs.select(
+      VectorFunctions.cosineSimilarity($"a.v", $"b.v").as("expr"),
+      VectorFunctions.cosineSimilarityFast($"a.v", $"b.v").as("fast"))
+      .collect()
+    both.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("tokens / shingles / token counts") {
+    val df = Seq("the quick  brown fox").toDF("text")
+    assert(df.select(TextFunctions.tokenCount($"text")).collect()(0).getInt(0) === 4)
+    val sh = df.select(TextFunctions.wordShingles($"text", 2)).collect()(0).getSeq[String](0)
+    assert(sh === Seq("the quick", "quick brown", "brown fox"))
+    // punctuation-aware BPE-ish count: "don't stop!" -> don, ', t, stop, !
+    val bpe = Seq("don't stop!").toDF("text")
+      .select(TextFunctions.tokenCountBpe($"text")).collect()(0).getInt(0)
+    assert(bpe === 5)
+  }
+
+  test("langId picks dominant stopword language; CJK short-circuits") {
+    val rows = Seq(
+      "the cat sat on the mat with a hat",          // en
+      "el gato y la casa de la playa es bonita",    // es
+      "le chat et le chien pour la maison",         // fr
+      "der hund und die katze ist nicht hier",      // de
+      "你好世界 hello",                              // zh via CJK
+      "zzz qqq xxx www"                             // und
+    ).toDF("text")
+    val got = rows.select(TextFunctions.langId($"text")).as[String].collect().toSeq
+    assert(got === Seq("en", "es", "fr", "de", "zh", "und"))
+  }
+
+  test("quality score bounded in [0,1]") {
+    val df = Seq("", "the a of to in is", "x" * 6000).toDF("text")
+    val qs = df.select(TextFunctions.qualityScore($"text")).as[Double].collect()
+    qs.foreach(q => assert(q >= 0.0 && q <= 1.0))
+  }
+}

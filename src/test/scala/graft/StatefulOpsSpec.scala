@@ -1,0 +1,110 @@
+package graft
+
+import graft.streaming.StatefulOps
+import graft.streaming.StatefulOps._
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** MemoryStream harness for the transformWithState operators — the
+  * reference's operator-harness pattern (push records + watermarks, assert
+  * emissions): out-of-order arrival, multi-batch state carry-over, CEP
+  * restart semantics. */
+class StatefulOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def runOp[O: Encoder](batches: Seq[Seq[KeyedEvent]])(
+      op: Dataset[KeyedEvent] => Dataset[O]): Seq[O] = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[KeyedEvent]
+    val ds = mem.toDS()
+      .withColumn("ts", timestamp_micros(col("tsUs")))
+      .withWatermark("ts", "0 seconds")
+      .drop("ts").as[KeyedEvent]
+    val name = s"sink_${System.nanoTime()}"
+    val q = op(ds).writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      // one empty nudge so the final watermark fires remaining timers
+      mem.addData(); q.processAllAvailable()
+    } finally q.stop()
+    spark.table(name).as[O].collect().toSeq
+  }
+
+  private def ev(key: Long, id: Long, tsSec: Long, typ: String = "view", vm: Long = 1000) =
+    KeyedEvent(key, id, tsSec * 1000000L, typ, vm)
+
+  test("RunningAgg emits event-time-ordered running sums despite out-of-order arrival") {
+    // arrival order scrambled within one batch
+    val out = runOp(Seq(Seq(ev(1, 3, 30, vm = 300), ev(1, 1, 10, vm = 100), ev(1, 2, 20, vm = 200))))(
+      ds => StatefulOps.run(ds, new RunningAgg))
+    val byId = out.sortBy(_.eventId)
+    assert(byId.map(o => (o.eventId, o.runningN, o.runningSumMillis)) ===
+      Seq((1L, 1L, 100L), (2L, 2L, 300L), (3L, 3L, 600L)))
+  }
+
+  test("RunningAgg carries state across micro-batches") {
+    val out = runOp(Seq(
+      Seq(ev(1, 1, 10, vm = 100), ev(1, 2, 20, vm = 200)),
+      Seq(ev(1, 3, 30, vm = 300))))(ds => StatefulOps.run(ds, new RunningAgg))
+    assert(out.sortBy(_.eventId).map(_.runningSumMillis) === Seq(100L, 300L, 600L))
+  }
+
+  test("RunningAgg keeps keys independent") {
+    val out = runOp(Seq(Seq(ev(1, 1, 10, vm = 5), ev(2, 2, 11, vm = 7), ev(1, 3, 12, vm = 5))))(
+      ds => StatefulOps.run(ds, new RunningAgg))
+    val k1 = out.filter(_.key == 1).sortBy(_.eventId).map(_.runningSumMillis)
+    val k2 = out.filter(_.key == 2).map(_.runningSumMillis)
+    assert(k1 === Seq(5L, 10L))
+    assert(k2 === Seq(7L))
+  }
+
+  test("CountWindow emits only complete windows; partial stays pending") {
+    val out = runOp(Seq(Seq(
+      ev(1, 1, 10, vm = 1), ev(1, 2, 20, vm = 2), ev(1, 3, 30, vm = 3),
+      ev(1, 4, 40, vm = 4), ev(1, 5, 50, vm = 5))))(
+      ds => StatefulOps.run(ds, new CountWindow(2)))
+    assert(out.sortBy(_.winSeq).map(o => (o.winSeq, o.n, o.sumMillis)) ===
+      Seq((0L, 2L, 3L), (1L, 2L, 7L)))   // 5th event pending
+    assert(out.forall(_.n == 2))
+  }
+
+  test("CountWindow completes a window spanning micro-batches") {
+    val out = runOp(Seq(
+      Seq(ev(1, 1, 10, vm = 1)),
+      Seq(ev(1, 2, 20, vm = 2))))(ds => StatefulOps.run(ds, new CountWindow(2)))
+    assert(out.map(o => (o.winSeq, o.sumMillis, o.firstTsUs, o.lastTsUs)) ===
+      Seq((0L, 3L, 10000000L, 20000000L)))
+  }
+
+  test("StrictSeq matches only strictly consecutive stages") {
+    val out = runOp(Seq(Seq(
+      ev(1, 1, 10, "view"), ev(1, 2, 20, "click"), ev(1, 3, 30, "purchase"), // match
+      ev(1, 4, 40, "view"), ev(1, 5, 50, "error"), ev(1, 6, 60, "click"),    // broken
+      ev(1, 7, 70, "view"), ev(1, 8, 80, "click"), ev(1, 9, 90, "purchase")  // match
+    )))(ds => StatefulOps.run(ds, new StrictSeq(Seq("view", "click", "purchase"), 3600000000L)))
+    assert(out.map(_.ids).toSet === Set(Seq(1L, 2L, 3L), Seq(7L, 8L, 9L)))
+  }
+
+  test("StrictSeq respects the within bound from match start") {
+    val out = runOp(Seq(Seq(
+      ev(1, 1, 0, "view"), ev(1, 2, 10, "click"), ev(1, 3, 5000, "purchase"))))(
+      ds => StatefulOps.run(ds, new StrictSeq(Seq("view", "click", "purchase"), 1000000000L)))
+    assert(out.isEmpty) // span 5000s > 1000s
+  }
+
+  test("StrictSeq restarts a match on a fresh head-stage event") {
+    val out = runOp(Seq(Seq(
+      ev(1, 1, 10, "view"), ev(1, 2, 20, "view"), // second view restarts
+      ev(1, 3, 30, "click"), ev(1, 4, 40, "purchase"))))(
+      ds => StatefulOps.run(ds, new StrictSeq(Seq("view", "click", "purchase"), 3600000000L)))
+    assert(out.map(_.ids) === Seq(Seq(2L, 3L, 4L)))
+  }
+
+  test("ordered drain drops nothing when rows arrive in many small batches") {
+    val batches = (1 to 10).map(i => Seq(ev(1, i.toLong, i * 10L, vm = i.toLong)))
+    val out = runOp(batches)(ds => StatefulOps.run(ds, new RunningAgg))
+    assert(out.map(_.eventId).sorted === (1L to 10L))
+    assert(out.maxBy(_.eventId).runningSumMillis === 55L)
+  }
+}
