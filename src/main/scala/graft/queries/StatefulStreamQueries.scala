@@ -106,5 +106,28 @@ object StatefulStreamQueries {
         FROM o
         WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
           AND epoch_us(ts2) - epoch_us(ts) <= 86400000000""")),
+
+    // Connected streams (CoProcessFunction): clicks and purchases share one
+    // keyed operator; each purchase emits how many clicks preceded it.
+    Entry("q98_stream_coprocess",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        import graft.streaming.CoProcess
+        val ev = keyedEvents(s, dir)
+        def side(typ: String, tag: Int) = ev.filter(_.eventType == typ)
+          .map(e => CoProcess.Tagged(e.key, e.eventId, e.tsUs, tag, e.valueMillis))
+        val out = CoProcess.connect(side("click", 0), side("purchase", 1),
+            new CoProcess.LeftCountAtRight)
+          .toDF("key", "purchase_id", "ts_us", "clicks_before")
+        run(out, "q98_sink")
+      },
+      Some("""SELECT p.user_id AS key, p.event_id AS purchase_id,
+          epoch_us(p.ts) AS ts_us,
+          (SELECT count(*) FROM events c
+           WHERE c.user_id = p.user_id AND c.event_type = 'click'
+             AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id)))
+            AS clicks_before
+        FROM events p WHERE p.event_type = 'purchase'""")),
   )
 }

@@ -1,0 +1,52 @@
+package graft
+
+import graft.functions.Aggregators
+import graft.operators.Multimodal
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions._
+
+class MiscOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("WeightedAvgCents: exact integer weighted average, zero-weight safe") {
+    val wavg = udaf(Aggregators.WeightedAvgCents,
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+    val df = Seq((1L, 100L, 1L), (1L, 200L, 3L), (2L, 50L, 0L)).toDF("k", "cents", "w")
+    val got = df.groupBy("k").agg(wavg($"cents", $"w").as("a"))
+      .as[(Long, Long)].collect().toMap
+    assert(got(1L) === (100 * 1 + 200 * 3) / 4)
+    assert(got(2L) === 0L)
+  }
+
+  test("WeightedAvgCents merge is associative across partitions") {
+    val wavg = udaf(Aggregators.WeightedAvgCents,
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+    val rows = (1 to 1000).map(i => (1L, i.toLong, (i % 7 + 1).toLong))
+    val expected = {
+      val num = rows.map(r => r._2 * r._3).sum
+      val den = rows.map(_._3).sum
+      Math.floorDiv(num, den)
+    }
+    val got = rows.toDF("k", "cents", "w").repartition(8)
+      .groupBy("k").agg(wavg($"cents", $"w")).collect()(0).getLong(1)
+    assert(got === expected)
+  }
+
+  test("multimodal: decode metadata is a pure function of payload bytes") {
+    val docs = Seq((0L, "abcdef"), (1L, "xy"), (2L, "hello world")).toDF("doc_id", "text")
+    val meta = Multimodal.decodeMeta(Multimodal.mediaFromDocuments(docs, "doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))).toMap
+    assert(meta(0L) === (("image", 6, 64 + 6 % 192, 64 + 'a' % 192, 1)))
+    assert(meta(1L) === (("audio", 2, 8000 + (2 % 5) * 8000, 0, 1 + 2 % 30)))
+    assert(meta(2L) === (("video", 11, 64 + 11 % 192, 64 + 'h' % 192, 1 + 11 % 24)))
+  }
+
+  test("multimodal: frame sampling strides per video without materializing") {
+    val docs = Seq((2L, "hello world")).toDF("doc_id", "text") // video, 12 frames
+    val frames = Multimodal.sampleFrames(
+      Multimodal.decodeMeta(Multimodal.mediaFromDocuments(docs, "doc_id", "text")), stride = 4)
+      .as[(Long, Int)].collect().toSeq.sorted
+    assert(frames === Seq((2L, 0), (2L, 4), (2L, 8)))
+  }
+}
