@@ -54,8 +54,7 @@ object VectorFunctions {
     * instead of per-element interpreted higher-order functions — the right
     * choice inside O(n²) similarity joins. */
   lazy val cosineSimilarityFast: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (a: Seq[Float], b: Seq[Float]) =>
-      val x = a.toArray; val y = b.toArray
+    udf { (x: Array[Float], y: Array[Float]) =>
       val n = math.min(x.length, y.length)
       var ab = 0.0; var aa = 0.0; var bb = 0.0
       var i = 0

@@ -57,11 +57,11 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
-  /** MinHash signatures: (idCol, sig array<long>). */
+  /** MinHash signatures: (idCol, sig array<long>), single compiled pass. */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
                         n: Int, k: Int): DataFrame =
     df.select(col(idCol).as("doc"),
-      Hashes.minhash(TextFunctions.wordShingles(col(textCol), n), k).as("sig"))
+      Hashes.minhashFromText(col(textCol), n, k).as("sig"))
 
   /** LSH candidate pairs from banded MinHash signatures (id1 < id2). */
   def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
@@ -76,18 +76,45 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash/LSH near-dup pairs, exact-verified: candidates from banding,
-    * then true n-gram Jaccard computed on just the candidate pairs. */
+  /** Fraction of equal signature positions — unbiased estimate of Jaccard. */
+  private val sigAgreement = udf { (a: Array[Long], b: Array[Long]) =>
+    var eq = 0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { if (a(i) == b(i)) eq += 1; i += 1 }
+    eq.toDouble / math.max(n, 1)
+  }
+
+  /** MinHash/LSH near-dup pairs, exact-verified: banding proposes
+    * candidates, a signature-agreement pre-filter discards the noise floor,
+    * and true n-gram Jaccard is computed on the survivors only.
+    *
+    * The pre-filter keeps pairs with estimate >= threshold - 0.25: with
+    * k=128 positions the estimate's σ is ≈0.044, so a true pair at the
+    * threshold sits >5σ above the cutoff (miss ~1e-8) while corpora whose
+    * baseline similarity is ≈0.1 (shared-vocabulary text) drop ~all of
+    * their O(|docs|²)-ish candidate noise before the expensive exact
+    * verification — the step that otherwise dominates at scale. Precision
+    * is always 1 (survivors are exact-verified). */
   def minhashDupPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
                       k: Int, bands: Int, threshold: Double): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
-    val sigs = minhashSignatures(df, idCol, textCol, n, k)
+    // broadcast the per-doc lookup sides: the candidate set is O(pairs) and
+    // must not be shuffled once per lookup — per-doc signatures/shingles are
+    // tiny relative to it (map-side hash joins at any corpus:pair ratio;
+    // at true scale replace broadcast with a bucketed co-partitioned join)
+    val sigs = minhashSignatures(df, idCol, textCol, n, k).cache()
     val cands = lshCandidates(sigs, bands, k / bands)
+      .join(broadcast(sigs.select(col("doc").as("id1"), col("sig").as("sig1"))), "id1")
+      .join(broadcast(sigs.select(col("doc").as("id2"), col("sig").as("sig2"))), "id2")
+      .filter(sigAgreement(col("sig1"), col("sig2")) >= threshold - 0.25)
+      .select("id1", "id2")
+    // verify on hashed shingles: long-array intersection is ~an order of
+    // magnitude cheaper than string arrays, equal up to 64-bit collisions
     val sh = df.select(col(idCol).as("doc"),
-      TextFunctions.wordShingles(col(textCol), n).as("shs"))
+      Hashes.shingleHashesUdf(n)(col(textCol)).as("shs")).cache()
     cands
-      .join(sh.select(col("doc").as("id1"), col("shs").as("sh1")), "id1")
-      .join(sh.select(col("doc").as("id2"), col("shs").as("sh2")), "id2")
+      .join(broadcast(sh.select(col("doc").as("id1"), col("shs").as("sh1"))), "id1")
+      .join(broadcast(sh.select(col("doc").as("id2"), col("shs").as("sh2"))), "id2")
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
       .withColumn("jaccard", col("inter") /
         (size(col("sh1")) + size(col("sh2")) - col("inter")).cast("double"))

@@ -58,8 +58,7 @@ object Similarity {
     * join) stays codegen'd. */
   private def bucketsUdf(dim: Int, nBits: Int, nTables: Int) = {
     val planes = hyperplanes(dim, nBits, nTables)
-    udf { (vec: Seq[Float]) =>
-      val v = vec.toArray
+    udf { (v: Array[Float]) =>
       Array.tabulate(nTables) { t =>
         var bkt = 0L
         var b = 0

@@ -46,10 +46,17 @@ object EventTimeOps {
     }
 
     override def handleInputRows(key: K, rows: Iterator[I], tv: TimerValues): Iterator[O] = {
+      // One timer per key per batch (at the max buffered ts) instead of one
+      // per row: when the watermark reaches it, the drain below releases
+      // every row <= watermark anyway, and per-row timers would each cost a
+      // state-store scan on expiry (~rows× overhead for no extra output).
+      var maxTs = Long.MinValue
       rows.foreach { r =>
         buf.appendValue(r)
-        getHandle.registerTimer(orderKey(r)._1)
+        val t = orderKey(r)._1
+        if (t > maxTs) maxTs = t
       }
+      if (maxTs != Long.MinValue) getHandle.registerTimer(maxTs)
       Iterator.empty
     }
 
