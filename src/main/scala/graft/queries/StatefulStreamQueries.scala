@@ -129,5 +129,85 @@ object StatefulStreamQueries {
              AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id)))
             AS clicks_before
         FROM events p WHERE p.event_type = 'purchase'""")),
+
+    // CEP followedBy (relaxed contiguity, greedy first binding): for each
+    // view, the first click after it, then the first purchase after that
+    // click, whole match within 2 days.
+    Entry("q99_cep_followedby",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        import graft.streaming.{Cep, EventTimeOps}
+        val pat = Cep.Pattern.begin("view").followedBy("click")
+          .followedBy("purchase").within(2L * 86400000000L)
+        val out = EventTimeOps.ordered(keyedEvents(s, dir),
+            (e: StatefulOps.KeyedEvent) => e.key, new Cep.NfaProcessor(pat))
+          .select(col("key"),
+            element_at(col("ids"), 1).as("id_view"),
+            element_at(col("ids"), 2).as("id_click"),
+            element_at(col("ids"), 3).as("id_purchase"),
+            col("startTsUs").as("start_ts_us"), col("endTsUs").as("end_ts_us"))
+        run(out, "q99_sink")
+      },
+      Some("""WITH v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+          fc AS (
+            SELECT v.user_id, v.event_id AS id_view, v.ts AS vts,
+              c.event_id AS id_click, c.ts AS cts
+            FROM v JOIN LATERAL (
+              SELECT event_id, ts FROM events c
+              WHERE c.user_id = v.user_id AND c.event_type = 'click'
+                AND (c.ts > v.ts OR (c.ts = v.ts AND c.event_id > v.event_id))
+              ORDER BY c.ts, c.event_id LIMIT 1) c ON true),
+          fp AS (
+            SELECT fc.*, p.event_id AS id_purchase, p.ts AS pts
+            FROM fc JOIN LATERAL (
+              SELECT event_id, ts FROM events p
+              WHERE p.user_id = fc.user_id AND p.event_type = 'purchase'
+                AND (p.ts > fc.cts OR (p.ts = fc.cts AND p.event_id > fc.id_click))
+              ORDER BY p.ts, p.event_id LIMIT 1) p ON true)
+        SELECT user_id AS key, id_view, id_click, id_purchase,
+          epoch_us(vts) AS start_ts_us, epoch_us(pts) AS end_ts_us
+        FROM fp
+        WHERE epoch_us(cts) - epoch_us(vts) <= 172800000000
+          AND epoch_us(pts) - epoch_us(vts) <= 172800000000""")),
+
+    // CEP quantifier times(2): two errors (relaxed) then a signup, within 1 day.
+    Entry("q9a_cep_times",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        import graft.streaming.{Cep, EventTimeOps}
+        val pat = Cep.Pattern.begin("error", times = 2)
+          .followedBy("signup").within(86400000000L)
+        val out = EventTimeOps.ordered(keyedEvents(s, dir),
+            (e: StatefulOps.KeyedEvent) => e.key, new Cep.NfaProcessor(pat))
+          .select(col("key"),
+            element_at(col("ids"), 1).as("id_err1"),
+            element_at(col("ids"), 2).as("id_err2"),
+            element_at(col("ids"), 3).as("id_signup"),
+            col("startTsUs").as("start_ts_us"), col("endTsUs").as("end_ts_us"))
+        run(out, "q9a_sink")
+      },
+      Some("""WITH e1 AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'),
+          e2 AS (
+            SELECT e1.user_id, e1.event_id AS id_err1, e1.ts AS t1,
+              n.event_id AS id_err2, n.ts AS t2
+            FROM e1 JOIN LATERAL (
+              SELECT event_id, ts FROM events n
+              WHERE n.user_id = e1.user_id AND n.event_type = 'error'
+                AND (n.ts > e1.ts OR (n.ts = e1.ts AND n.event_id > e1.event_id))
+              ORDER BY n.ts, n.event_id LIMIT 1) n ON true),
+          sg AS (
+            SELECT e2.*, s.event_id AS id_signup, s.ts AS t3
+            FROM e2 JOIN LATERAL (
+              SELECT event_id, ts FROM events s
+              WHERE s.user_id = e2.user_id AND s.event_type = 'signup'
+                AND (s.ts > e2.t2 OR (s.ts = e2.t2 AND s.event_id > e2.id_err2))
+              ORDER BY s.ts, s.event_id LIMIT 1) s ON true)
+        SELECT user_id AS key, id_err1, id_err2, id_signup,
+          epoch_us(t1) AS start_ts_us, epoch_us(t3) AS end_ts_us
+        FROM sg
+        WHERE epoch_us(t2) - epoch_us(t1) <= 86400000000
+          AND epoch_us(t3) - epoch_us(t1) <= 86400000000""")),
   )
 }

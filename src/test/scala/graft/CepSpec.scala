@@ -1,0 +1,71 @@
+package graft
+
+import graft.streaming.{Cep, EventTimeOps}
+import graft.streaming.StatefulOps.KeyedEvent
+import org.apache.spark.sql.{Dataset, Encoder}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class CepSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def runPat(pat: Cep.Pattern, events: Seq[KeyedEvent]): Seq[Cep.Match] = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[KeyedEvent]
+    val ds = mem.toDS().withColumn("ts", timestamp_micros(col("tsUs")))
+      .withWatermark("ts", "0 seconds").drop("ts").as[KeyedEvent]
+    val out = EventTimeOps.ordered(ds, (e: KeyedEvent) => e.key, new Cep.NfaProcessor(pat))
+    val name = s"cep_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try { mem.addData(events: _*); q.processAllAvailable(); mem.addData(); q.processAllAvailable() }
+    finally q.stop()
+    spark.table(name).as[Cep.Match].collect().toSeq
+  }
+
+  private def ev(id: Long, tsSec: Long, typ: String) =
+    KeyedEvent(1L, id, tsSec * 1000000L, typ, 0L)
+
+  test("followedBy skips non-matching events (relaxed contiguity)") {
+    val got = runPat(Cep.Pattern.begin("a").followedBy("b"),
+      Seq(ev(1, 10, "a"), ev(2, 20, "x"), ev(3, 30, "x"), ev(4, 40, "b")))
+    assert(got.map(_.ids) === Seq(Seq(1L, 4L)))
+  }
+
+  test("next requires strict contiguity") {
+    val strict = Cep.Pattern.begin("a").next("b")
+    assert(runPat(strict, Seq(ev(1, 10, "a"), ev(2, 20, "x"), ev(3, 30, "b"))).isEmpty)
+    assert(runPat(strict, Seq(ev(1, 10, "a"), ev(2, 20, "b"))).map(_.ids) === Seq(Seq(1L, 2L)))
+  }
+
+  test("greedy first binding: each start binds the earliest qualifying event") {
+    val got = runPat(Cep.Pattern.begin("a").followedBy("b"),
+      Seq(ev(1, 10, "a"), ev(2, 20, "b"), ev(3, 30, "b")))
+    // one match: a binds FIRST b only (no branch to the second b)
+    assert(got.map(_.ids) === Seq(Seq(1L, 2L)))
+  }
+
+  test("overlapping starts each produce a match") {
+    val got = runPat(Cep.Pattern.begin("a").followedBy("b"),
+      Seq(ev(1, 10, "a"), ev(2, 20, "a"), ev(3, 30, "b")))
+    assert(got.map(_.ids).toSet === Set(Seq(1L, 3L), Seq(2L, 3L)))
+  }
+
+  test("times(n) repetition with relaxed gaps") {
+    val got = runPat(Cep.Pattern.begin("a", times = 3),
+      Seq(ev(1, 10, "a"), ev(2, 20, "x"), ev(3, 30, "a"), ev(4, 40, "a")))
+    // starts at 1 (binds 1,3,4), at 3 (pending), at 4 (pending)
+    assert(got.map(_.ids) === Seq(Seq(1L, 3L, 4L)))
+  }
+
+  test("within prunes overdue partials") {
+    val got = runPat(Cep.Pattern.begin("a").followedBy("b").within(15000000L),
+      Seq(ev(1, 10, "a"), ev(2, 40, "b"), ev(3, 45, "a"), ev(4, 50, "b")))
+    assert(got.map(_.ids) === Seq(Seq(3L, 4L)))
+  }
+
+  test("single-stage pattern emits on every match") {
+    val got = runPat(Cep.Pattern.begin("a"),
+      Seq(ev(1, 10, "a"), ev(2, 20, "b"), ev(3, 30, "a")))
+    assert(got.map(_.ids).toSet === Set(Seq(1L), Seq(3L)))
+  }
+}
