@@ -209,5 +209,38 @@ object StatefulStreamQueries {
         FROM sg
         WHERE epoch_us(t2) - epoch_us(t1) <= 86400000000
           AND epoch_us(t3) - epoch_us(t1) <= 86400000000""")),
+
+    // Streaming OVER ROWS BETWEEN 4 PRECEDING AND CURRENT ROW per key.
+    Entry("q9b_over_rows_bounded",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        val out = StatefulOps.run(keyedEvents(s, dir), new StatefulOps.RowsBoundedAgg(5))
+          .toDF("key", "event_id", "ts_us", "win_n", "win_sum_millis")
+        run(out, "q9b_sink")
+      },
+      Some("""SELECT user_id AS key, event_id, epoch_us(ts) AS ts_us,
+          count(*) OVER w AS win_n,
+          sum(CAST(round(value*1000) AS BIGINT)) OVER w AS win_sum_millis
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""")),
+
+    // Streaming OVER RANGE BETWEEN INTERVAL 2 HOURS PRECEDING AND CURRENT ROW.
+    Entry("q9c_over_range_bounded",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        val out = StatefulOps.run(keyedEvents(s, dir),
+            new StatefulOps.RangeBoundedAgg(2L * 3600000000L))
+          .toDF("key", "event_id", "ts_us", "win_n", "win_sum_millis")
+        run(out, "q9c_sink")
+      },
+      Some("""SELECT user_id AS key, event_id, epoch_us(ts) AS ts_us,
+          count(*) OVER w AS win_n,
+          sum(CAST(round(value*1000) AS BIGINT)) OVER w AS win_sum_millis
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+          RANGE BETWEEN INTERVAL 2 HOURS PRECEDING AND CURRENT ROW)""")),
   )
 }

@@ -109,6 +109,46 @@ object StatefulOps {
     }
   }
 
+  /** Streaming OVER `ROWS BETWEEN n-1 PRECEDING AND CURRENT ROW`
+    * (reference: table/runtime/aggregate/RowTimeBoundedRowsOver.scala):
+    * sliding count+sum over the last `n` rows per key, one output per row.
+    * State is a bounded deque of the last n-1 values. */
+  final class RowsBoundedAgg(n: Int) extends OrderedProcessor[Long, KeyedEvent, RunningAggOut](
+      KeyedEvent.orderKey, Encoders.product[KeyedEvent]) {
+    @transient private var win: ValueState[Seq[Long]] = _
+    override protected def openState(h: StatefulProcessorHandle): Unit =
+      win = h.getValueState[Seq[Long]]("win",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]](), TTLConfig.NONE)
+    override protected def onOrdered(key: Long, e: KeyedEvent): Iterator[RunningAggOut] = {
+      val prev = if (win.exists()) win.get() else Seq.empty
+      val cur = (prev :+ e.valueMillis).takeRight(n)
+      win.update(cur)
+      Iterator(RunningAggOut(key, e.eventId, e.tsUs, cur.length.toLong, cur.sum))
+    }
+  }
+
+  /** Streaming OVER `RANGE BETWEEN durUs PRECEDING AND CURRENT ROW`
+    * (reference: RowTimeBoundedRangeOver.scala): time-bounded sum per key.
+    * State holds (ts, value) pairs inside the range; older entries evict as
+    * the (event-time-ordered) stream advances. Assumes no exact-ts peers
+    * arriving later (guaranteed by the (ts, id) total order at emit time
+    * when each distinct key+ts is unique, as in the fixtures). */
+  final class RangeBoundedAgg(durUs: Long) extends OrderedProcessor[Long, KeyedEvent, RunningAggOut](
+      KeyedEvent.orderKey, Encoders.product[KeyedEvent]) {
+    @transient private var win: ValueState[Seq[(Long, Long)]] = _
+    override protected def openState(h: StatefulProcessorHandle): Unit =
+      win = h.getValueState[Seq[(Long, Long)]]("rwin",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]](),
+        TTLConfig.NONE)
+    override protected def onOrdered(key: Long, e: KeyedEvent): Iterator[RunningAggOut] = {
+      val lo = e.tsUs - durUs
+      val kept = (if (win.exists()) win.get() else Seq.empty)
+        .dropWhile(_._1 < lo) :+ (e.tsUs -> e.valueMillis)
+      win.update(kept)
+      Iterator(RunningAggOut(key, e.eventId, e.tsUs, kept.length.toLong, kept.map(_._2).sum))
+    }
+  }
+
   /** Apply an ordered processor over a KeyedEvent stream. */
   def run[O: Encoder](ds: Dataset[KeyedEvent],
                       p: OrderedProcessor[Long, KeyedEvent, O]): Dataset[O] = {
