@@ -242,5 +242,83 @@ object StatefulStreamQueries {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
           RANGE BETWEEN INTERVAL 2 HOURS PRECEDING AND CURRENT ROW)""")),
+
+    // EvictingWindowOperator with CountEvictor(5): 6h tumble per user, at
+    // window end only the last 5 elements aggregate.
+    Entry("q9d_window_count_evictor",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        import graft.streaming.WindowProcessor
+        val out = StatefulOps.run(keyedEvents(s, dir),
+            new WindowProcessor.Tumbling(6L * 3600000000L,
+              WindowProcessor.OnWindowEnd, WindowProcessor.CountEvictor(5)))
+          .toDF("key", "win_start_us", "fire_seq", "n", "sum_millis", "last_ts_us")
+        run(out, "q9d_sink")
+      },
+      Some(s"""WITH r AS (
+          SELECT user_id, epoch_us(ts) AS ts_us,
+            CAST(round(value*1000) AS BIGINT) AS vm,
+            (epoch_us(ts) // ${6L * 3600000000L}) AS win,
+            row_number() OVER (PARTITION BY user_id, (epoch_us(ts) // ${6L * 3600000000L})
+              ORDER BY ts DESC, event_id DESC) AS rdesc
+          FROM events)
+        SELECT user_id AS key, win * ${6L * 3600000000L} AS win_start_us,
+          0 AS fire_seq, count(*) AS n, sum(vm) AS sum_millis,
+          max(ts_us) AS last_ts_us
+        FROM r WHERE rdesc <= 5 GROUP BY user_id, win
+        HAVING (win + 1) * 21600000000 <= (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events)""")),
+
+    // TimeEvictor(30min): at window end, keep only elements within 30min of
+    // the newest element in the window.
+    Entry("q9e_window_time_evictor",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        import graft.streaming.WindowProcessor
+        val out = StatefulOps.run(keyedEvents(s, dir),
+            new WindowProcessor.Tumbling(6L * 3600000000L,
+              WindowProcessor.OnWindowEnd, WindowProcessor.TimeEvictor(1800000000L)))
+          .toDF("key", "win_start_us", "fire_seq", "n", "sum_millis", "last_ts_us")
+        run(out, "q9e_sink")
+      },
+      Some(s"""WITH r AS (
+          SELECT user_id, epoch_us(ts) AS ts_us,
+            CAST(round(value*1000) AS BIGINT) AS vm,
+            (epoch_us(ts) // ${6L * 3600000000L}) AS win,
+            max(epoch_us(ts)) OVER (PARTITION BY user_id,
+              (epoch_us(ts) // ${6L * 3600000000L})) AS hi
+          FROM events)
+        SELECT user_id AS key, win * ${6L * 3600000000L} AS win_start_us,
+          0 AS fire_seq, count(*) AS n, sum(vm) AS sum_millis,
+          max(ts_us) AS last_ts_us
+        FROM r WHERE ts_us >= hi - 1800000000 GROUP BY user_id, win
+        HAVING (win + 1) * 21600000000 <= (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events)""")),
+
+    // CountTrigger(25) purging inside a 1-day tumble: fires every 25
+    // elements; the remainder fires at window end.
+    Entry("q9f_window_count_trigger",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        import graft.streaming.WindowProcessor
+        val out = StatefulOps.run(keyedEvents(s, dir),
+            new WindowProcessor.Tumbling(86400000000L,
+              WindowProcessor.CountTrigger(25), WindowProcessor.NoEvictor))
+          .toDF("key", "win_start_us", "fire_seq", "n", "sum_millis", "last_ts_us")
+        run(out, "q9f_sink")
+      },
+      Some(s"""WITH r AS (
+          SELECT user_id, epoch_us(ts) AS ts_us,
+            CAST(round(value*1000) AS BIGINT) AS vm,
+            (epoch_us(ts) // 86400000000) AS win,
+            row_number() OVER (PARTITION BY user_id, (epoch_us(ts) // 86400000000)
+              ORDER BY ts, event_id) - 1 AS rn
+          FROM events)
+        SELECT user_id AS key, win * 86400000000 AS win_start_us,
+          rn // 25 AS fire_seq, count(*) AS n, sum(vm) AS sum_millis,
+          max(ts_us) AS last_ts_us
+        FROM r GROUP BY user_id, win, rn // 25
+        HAVING count(*) = 25 OR (win + 1) * 86400000000 <= (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events)""")),
   )
 }

@@ -40,6 +40,11 @@ object EventTimeOps {
     /** Called once per row, per key, in event-time order. */
     protected def onOrdered(key: K, row: I): Iterator[O]
 
+    /** Called after a drain, with the watermark that drove it — the hook
+      * for firing event-time windows whose end has passed even when no
+      * later element for the key arrives (WindowOperator's cleanup path). */
+    protected def onWatermark(key: K, watermarkMs: Long): Iterator[O] = Iterator.empty
+
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       buf = getHandle.getListState[I]("graft_buf", bufEnc, TTLConfig.NONE)
       openState(getHandle)
@@ -64,12 +69,12 @@ object EventTimeOps {
       val wm = tv.getCurrentWatermarkInMs()
       val all = buf.get().toArray(scala.reflect.ClassTag.AnyRef.asInstanceOf[scala.reflect.ClassTag[I]])
       val (ready, pending) = all.partition(r => orderKey(r)._1 <= wm)
-      if (ready.isEmpty) Iterator.empty
+      if (ready.isEmpty) onWatermark(key, wm)
       else {
         buf.clear()
         pending.foreach(buf.appendValue)
         ready.sortBy(r => { val k = orderKey(r); (k._2, k._3) })
-          .iterator.flatMap(r => onOrdered(key, r))
+          .iterator.flatMap(r => onOrdered(key, r)) ++ onWatermark(key, wm)
       }
     }
   }

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import graft.streaming.EventTimeOps.OrderedProcessor
+import graft.streaming.StatefulOps.KeyedEvent
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{StatefulProcessorHandle, TTLConfig, ValueState}
+
+/** Generic tumbling-window operator with pluggable Trigger and Evictor —
+  * the part of the reference's WindowOperator that Spark's declarative
+  * `groupBy(window(...))` cannot express (reference: flink-streaming-java/
+  * .../runtime/operators/windowing/{WindowOperator,EvictingWindowOperator}
+  * .java; api/windowing/triggers/{CountTrigger,DeltaTrigger}.java;
+  * api/windowing/evictors/{CountEvictor,TimeEvictor,DeltaEvictor}.java).
+  *
+  * Because elements arrive in event-time order (OrderedProcessor), a key's
+  * windows close in order: contents are buffered per active window and
+  * fired by the trigger and/or at window end once the watermark passes.
+  */
+object WindowProcessor {
+
+  /** (winStartUs, fireSeq within window, rows in pane, sum of values). */
+  final case class Fire(key: Long, winStartUs: Long, fireSeq: Long, n: Long,
+                        sumMillis: Long, lastTsUs: Long)
+
+  sealed trait Trigger extends Serializable
+  /** Fire once when the watermark passes window end (default event-time). */
+  case object OnWindowEnd extends Trigger
+  /** Fire every n elements and purge the pane (countWindow semantics). */
+  final case class CountTrigger(n: Int) extends Trigger
+  /** Fire when |value - valueAtLastFire| > threshold, purging; first
+    * element of a window always sets the reference point. */
+  final case class DeltaTrigger(threshold: Long) extends Trigger
+
+  sealed trait Evictor extends Serializable
+  case object NoEvictor extends Evictor
+  /** Keep only the last `max` elements (by event-time order) at firing. */
+  final case class CountEvictor(max: Int) extends Evictor
+  /** Keep only elements within `durUs` of the newest element at firing. */
+  final case class TimeEvictor(durUs: Long) extends Evictor
+
+  /** Window pane state: window id, fire counter, reference value for
+    * DeltaTrigger, and buffered (tsUs, valueMillis) contents. */
+  final case class Pane(winId: Long, fires: Long, refValue: Long,
+                        rows: Seq[(Long, Long)])
+
+  final class Tumbling(sizeUs: Long, trigger: Trigger, evictor: Evictor)
+      extends OrderedProcessor[Long, KeyedEvent, Fire](
+        KeyedEvent.orderKey, Encoders.product[KeyedEvent]) {
+
+    @transient private var pane: ValueState[Pane] = _
+
+    override protected def openState(h: StatefulProcessorHandle): Unit =
+      pane = h.getValueState[Pane]("pane",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Pane](), TTLConfig.NONE)
+
+    private def evict(rows: Seq[(Long, Long)]): Seq[(Long, Long)] = evictor match {
+      case NoEvictor => rows
+      case CountEvictor(m) => rows.takeRight(m)
+      case TimeEvictor(d) =>
+        if (rows.isEmpty) rows else { val hi = rows.last._1; rows.dropWhile(_._1 < hi - d) }
+    }
+
+    private def fire(key: Long, p: Pane, purge: Boolean): (Fire, Pane) = {
+      val kept = evict(p.rows)
+      val f = Fire(key, p.winId * sizeUs, p.fires, kept.length.toLong,
+        kept.map(_._2).sum, if (kept.isEmpty) 0L else kept.last._1)
+      (f, p.copy(fires = p.fires + 1, rows = if (purge) Seq.empty else p.rows))
+    }
+
+    /** Close out the current pane if its window ended at/before `tsUs`. */
+    private def closeIfEnded(key: Long, boundaryUs: Long): Iterator[Fire] = {
+      if (!pane.exists()) return Iterator.empty
+      val p = pane.get()
+      val winEnd = (p.winId + 1) * sizeUs
+      if (winEnd <= boundaryUs) {
+        pane.clear()
+        trigger match {
+          case OnWindowEnd => Iterator.single(fire(key, p, purge = true)._1)
+          case _ => if (p.rows.nonEmpty) Iterator.single(fire(key, p, purge = true)._1)
+                    else Iterator.empty // purging trigger with empty remainder
+        }
+      } else Iterator.empty
+    }
+
+    override protected def onOrdered(key: Long, e: KeyedEvent): Iterator[Fire] = {
+      // elements arrive in event-time order, so entering e's window closes
+      // any earlier pane (its end <= e's window start)
+      val closed = closeIfEnded(key, (e.tsUs / sizeUs) * sizeUs)
+      val p0 = if (pane.exists()) pane.get()
+               else Pane(e.tsUs / sizeUs, 0L, e.valueMillis, Seq.empty)
+      val p1 = p0.copy(rows = p0.rows :+ (e.tsUs -> e.valueMillis))
+      val fired: Option[Fire] = trigger match {
+        case CountTrigger(n) if p1.rows.length >= n =>
+          val (f, p2) = fire(key, p1, purge = true); pane.update(p2); Some(f)
+        case DeltaTrigger(th) if math.abs(e.valueMillis - p1.refValue) > th =>
+          val (f, p2) = fire(key, p1, purge = true)
+          pane.update(p2.copy(refValue = e.valueMillis)); Some(f)
+        case _ => pane.update(p1); None
+      }
+      closed ++ fired.iterator
+    }
+
+    override protected def onWatermark(key: Long, watermarkMs: Long): Iterator[Fire] =
+      closeIfEnded(key, watermarkMs * 1000)
+  }
+}

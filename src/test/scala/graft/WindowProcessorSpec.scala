@@ -1,0 +1,74 @@
+package graft
+
+import graft.streaming.{StatefulOps, WindowProcessor}
+import graft.streaming.StatefulOps.KeyedEvent
+import graft.streaming.WindowProcessor._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class WindowProcessorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val WinUs = 100000000L // 100s tumbling windows
+
+  private def runWin(trigger: Trigger, evictor: Evictor,
+                     events: Seq[KeyedEvent]): Seq[Fire] = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[KeyedEvent]
+    val ds = mem.toDS().withColumn("ts", timestamp_micros(col("tsUs")))
+      .withWatermark("ts", "0 seconds").drop("ts").as[KeyedEvent]
+    val out = StatefulOps.run(ds, new Tumbling(WinUs, trigger, evictor))
+    val name = s"win_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try { mem.addData(events: _*); q.processAllAvailable(); mem.addData(); q.processAllAvailable() }
+    finally q.stop()
+    spark.table(name).as[Fire].collect().toSeq
+  }
+
+  private def ev(id: Long, tsSec: Long, vm: Long) =
+    KeyedEvent(1L, id, tsSec * 1000000L, "x", vm)
+
+  test("OnWindowEnd fires a closed window once, keeps the open one pending") {
+    // window [0,100s) has 2 rows; window [100s,200s) has 1 row (stays open:
+    // final watermark = 150s < its end)
+    val got = runWin(OnWindowEnd, NoEvictor,
+      Seq(ev(1, 10, 5), ev(2, 20, 7), ev(3, 150, 9)))
+    assert(got.map(f => (f.winStartUs, f.fireSeq, f.n, f.sumMillis)) ===
+      Seq((0L, 0L, 2L, 12L)))
+  }
+
+  test("CountEvictor keeps only the newest elements at firing") {
+    val got = runWin(OnWindowEnd, CountEvictor(2),
+      Seq(ev(1, 10, 1), ev(2, 20, 2), ev(3, 30, 4), ev(4, 150, 0)))
+    assert(got.map(f => (f.n, f.sumMillis, f.lastTsUs)) === Seq((2L, 6L, 30000000L)))
+  }
+
+  test("TimeEvictor keeps elements near the newest one") {
+    val got = runWin(OnWindowEnd, TimeEvictor(15000000L), // 15s
+      Seq(ev(1, 10, 1), ev(2, 50, 2), ev(3, 60, 4), ev(4, 150, 0)))
+    assert(got.map(f => (f.n, f.sumMillis)) === Seq((2L, 6L))) // rows at 50s,60s
+  }
+
+  test("CountTrigger fires every n and the remainder at window end") {
+    val got = runWin(CountTrigger(2), NoEvictor,
+      Seq(ev(1, 10, 1), ev(2, 20, 2), ev(3, 30, 4), ev(4, 40, 8), ev(5, 50, 16),
+        ev(6, 150, 0)))
+    assert(got.map(f => (f.fireSeq, f.n, f.sumMillis)) ===
+      Seq((0L, 2L, 3L), (1L, 2L, 12L), (2L, 1L, 16L)))
+  }
+
+  test("DeltaTrigger fires when the value jumps past the threshold") {
+    // ref=10; 12 (|2|<=5) no; 17 (|7|>5) fire {10,12,17}, new ref=17;
+    // 18 no; window end fires remainder {18}
+    val got = runWin(DeltaTrigger(5), NoEvictor,
+      Seq(ev(1, 10, 10), ev(2, 20, 12), ev(3, 30, 17), ev(4, 40, 18), ev(5, 150, 0)))
+    assert(got.map(f => (f.fireSeq, f.n, f.sumMillis)) ===
+      Seq((0L, 3L, 39L), (1L, 1L, 18L)))
+  }
+
+  test("empty remainder after a purging fire does not fire at window end") {
+    val got = runWin(CountTrigger(2), NoEvictor,
+      Seq(ev(1, 10, 1), ev(2, 20, 2), ev(3, 150, 0)))
+    assert(got.map(f => (f.fireSeq, f.n)) === Seq((0L, 2L)))
+  }
+}
