@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ML preprocessing parity (reference: flink-libraries/flink-ml/.../ml/
+  * preprocessing/{StandardScaler,MinMaxScaler,PolynomialFeatures}.scala):
+  * fit/transform as a single aggregate pass whose tiny result broadcasts
+  * back into a projection.
+  *
+  * All statistics are computed from EXACT integer moments (n, Σx, Σx²) of
+  * integer-valued columns, so the derived doubles follow one fixed
+  * arithmetic sequence and any engine reproduces them bit-for-bit — no
+  * float-summation-order dependence (a requirement of the oracle gate and
+  * good hygiene at 100 TB where partial-agg order is nondeterministic).
+  */
+object Preprocessing {
+
+  /** z-score columns from integer inputs: z = (x - Σx/n) / sqrt(Σx²/n - (Σx/n)²).
+    * Constant columns map to 0. Input columns must be integral (e.g. cents). */
+  def standardScale(df: DataFrame, cols: Seq[String], keep: Seq[String] = Nil): DataFrame = {
+    val stats = df.select(
+      cols.flatMap(c => Seq(
+        count(col(c)).as(s"${c}_n"),
+        sum(col(c)).as(s"${c}_s"),
+        sum(col(c) * col(c)).as(s"${c}_q"))): _*)
+    val joined = df.crossJoin(broadcast(stats))
+    val outCols: Seq[Column] = cols.map { c =>
+      val mean = col(s"${c}_s").cast("double") / col(s"${c}_n")
+      val varP = col(s"${c}_q").cast("double") / col(s"${c}_n") - mean * mean
+      round(when(varP <= 0.0, lit(0.0))
+        .otherwise((col(c) - mean) / sqrt(varP)), 9).as(s"${c}_z")
+    }
+    joined.select(keep.map(col) ++ outCols: _*)
+  }
+
+  /** x' = (x - min) / (max - min) per integral column; constant → 0.5
+    * (the reference's midpoint convention for an empty range). */
+  def minMaxScale(df: DataFrame, cols: Seq[String], keep: Seq[String] = Nil): DataFrame = {
+    val stats = df.select(
+      cols.flatMap(c => Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))): _*)
+    val joined = df.crossJoin(broadcast(stats))
+    val outCols: Seq[Column] = cols.map { c =>
+      round(when(col(s"${c}_max") === col(s"${c}_min"), lit(0.5))
+        .otherwise((col(c) - col(s"${c}_min")).cast("double") /
+          (col(s"${c}_max") - col(s"${c}_min")).cast("double")), 9).as(s"${c}_mm")
+    }
+    joined.select(keep.map(col) ++ outCols: _*)
+  }
+
+  /** Degree-d polynomial expansion of one integral column: x^2 .. x^d as
+    * exact integer products. */
+  def polynomialFeatures(df: DataFrame, c: String, degree: Int): DataFrame =
+    df.select(col("*") +: (2 to degree).map(d =>
+      (2 to d).foldLeft(col(c).cast("long"))((acc, _) => acc * col(c)).as(s"${c}_p$d")): _*)
+}

@@ -93,5 +93,117 @@ object MiscQueries {
         FROM documents
         CROSS JOIN UNNEST(generate_series(0, octet_length(encode(text)) % 24, 4)) AS f(g)
         WHERE doc_id % 3 = 2""")),
+
+    // FlinkML StandardScaler parity: z-scores from exact integer moments.
+    Entry("qa6_standard_scale",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            round(col("l_extendedprice") * 100).cast("long").as("price_c"),
+            col("l_quantity").cast("long").as("qty"))
+        graft.operators.Preprocessing.standardScale(li, Seq("price_c", "qty"),
+          keep = Seq("l_orderkey", "l_linenumber"))
+      },
+      Some("""WITH st AS (
+          SELECT count(*) AS n,
+            sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS ps,
+            sum(CAST(round(l_extendedprice*100) AS BIGINT)
+              * CAST(round(l_extendedprice*100) AS BIGINT)) AS pq,
+            sum(CAST(l_quantity AS BIGINT)) AS qs,
+            sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS qq
+          FROM lineitem)
+        SELECT l_orderkey, l_linenumber,
+          round((CAST(round(l_extendedprice*100) AS BIGINT) - CAST(ps AS DOUBLE)/n)
+            / sqrt(CAST(pq AS DOUBLE)/n - (CAST(ps AS DOUBLE)/n)*(CAST(ps AS DOUBLE)/n)), 9)
+            AS price_c_z,
+          round((CAST(l_quantity AS BIGINT) - CAST(qs AS DOUBLE)/n)
+            / sqrt(CAST(qq AS DOUBLE)/n - (CAST(qs AS DOUBLE)/n)*(CAST(qs AS DOUBLE)/n)), 9)
+            AS qty_z
+        FROM lineitem, st""")),
+
+    // FlinkML MinMaxScaler parity.
+    Entry("qa7_minmax_scale",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+        graft.operators.Preprocessing.minMaxScale(li, Seq("price_c"),
+          keep = Seq("l_orderkey", "l_linenumber"))
+      },
+      Some("""WITH st AS (
+          SELECT min(CAST(round(l_extendedprice*100) AS BIGINT)) AS lo,
+            max(CAST(round(l_extendedprice*100) AS BIGINT)) AS hi
+          FROM lineitem)
+        SELECT l_orderkey, l_linenumber,
+          round(CAST(CAST(round(l_extendedprice*100) AS BIGINT) - lo AS DOUBLE)
+            / CAST(hi - lo AS DOUBLE), 9) AS price_c_mm
+        FROM lineitem, st""")),
+
+    // FlinkML PolynomialFeatures parity: exact integer powers of quantity.
+    Entry("qa8_poly_features",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").cast("long").as("qty"))
+        graft.operators.Preprocessing.polynomialFeatures(li, "qty", 3)
+      },
+      Some("""SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty,
+          CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT) AS qty_p2,
+          CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+            * CAST(l_quantity AS BIGINT) AS qty_p3
+        FROM lineitem""")),
+
+    // Source/sink round trips: parquet -> csv/json/orc -> read back -> agg.
+    // Integer/string/date columns only, so the round trip is exact; the
+    // oracle aggregates the original parquet directly.
+    Entry("q37_csv_roundtrip",
+      (s, dir) => {
+        import graft.sources.Sources
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_returnflag"),
+            col("l_quantity").cast("long").as("qty"), col("l_shipdate"))
+        val tmp = s"/tmp/graft_rt_csv_${dir.replaceAll("[^0-9.]", "")}"
+        Sources.writeCsv(li, tmp)
+        Sources.csv(s, tmp, li.schema)
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"), sum(col("qty")).as("sum_qty"),
+            min(col("l_shipdate")).as("min_ship"), max(col("l_orderkey")).as("max_ok"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+          sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+          min(l_shipdate) AS min_ship, max(l_orderkey) AS max_ok
+        FROM lineitem GROUP BY l_returnflag""")),
+
+    Entry("q38_json_roundtrip",
+      (s, dir) => {
+        import graft.sources.Sources
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            round(col("o_totalprice") * 100).cast("long").as("price_c"))
+        val tmp = s"/tmp/graft_rt_json_${dir.replaceAll("[^0-9.]", "")}"
+        Sources.writeJson(o, tmp)
+        Sources.json(s, tmp, o.schema)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+          sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_price_c
+        FROM orders GROUP BY o_orderstatus""")),
+
+    Entry("q39_orc_roundtrip",
+      (s, dir) => {
+        import graft.sources.Sources
+        val c = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"),
+            round(col("c_acctbal") * 100).cast("long").as("bal_c"))
+        val tmp = s"/tmp/graft_rt_orc_${dir.replaceAll("[^0-9.]", "")}"
+        Sources.writeOrc(c, tmp)
+        Sources.orc(s, tmp)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"), sum(col("bal_c")).as("sum_bal_c"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+          sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS sum_bal_c
+        FROM customer GROUP BY c_mktsegment""")),
   )
 }

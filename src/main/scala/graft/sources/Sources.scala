@@ -1,0 +1,57 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Batch source/sink facade (reference: flink-core/.../api/common/io/
+  * {FileInputFormat,FileOutputFormat}.java; flink-java/.../io/
+  * CsvInputFormat.java, TextInputFormat via ExecutionEnvironment
+  * .readTextFile/readCsvFile; BinaryInputFormat): the reference's
+  * InputFormat split model maps to Spark's DataSource scans — splits,
+  * schema projection, and predicate pushdown are Catalyst-native.
+  *
+  * Kafka/Avro connectors from the reference are out of this environment's
+  * reach (no connector jars); the surface below covers the file formats the
+  * runtime ships: parquet, orc, csv, json, text, binaryFile.
+  */
+object Sources {
+
+  def parquet(s: SparkSession, path: String): DataFrame = s.read.parquet(path)
+
+  def orc(s: SparkSession, path: String): DataFrame = s.read.orc(path)
+
+  /** CSV with explicit schema — the CsvInputFormat equivalent (header
+    * on/off, custom delimiter; parser per primitive type is built-in). */
+  def csv(s: SparkSession, path: String, schema: StructType,
+          header: Boolean = true, delimiter: String = ","): DataFrame =
+    s.read.schema(schema).option("header", header).option("delimiter", delimiter).csv(path)
+
+  /** Line-delimited JSON with explicit schema. */
+  def json(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema).json(path)
+
+  /** readTextFile equivalent: one row per line, column `value`. */
+  def text(s: SparkSession, path: String): DataFrame = s.read.text(path)
+
+  /** BinaryInputFormat analogue: (path, modificationTime, length, content). */
+  def binaryFiles(s: SparkSession, path: String): DataFrame =
+    s.read.format("binaryFile").load(path)
+
+  /** writeAsCsv / writeAsText / output(FileOutputFormat) equivalents. */
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): Unit =
+    df.write.mode("overwrite").option("header", header).csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** Partitioned (bucketed-by-column) file layout — the BucketingSink's
+    * directory-per-bucket shape for batch output. */
+  def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+}
