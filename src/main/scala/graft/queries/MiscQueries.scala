@@ -205,5 +205,33 @@ object MiscQueries {
       Some("""SELECT c_mktsegment, count(*) AS n,
           sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS sum_bal_c
         FROM customer GROUP BY c_mktsegment""")),
+
+    // groupReduce with sorted groups (reference: DataSet.reduceGroup +
+    // SortedGrouping secondary sort): full-group iterator UDF over rows in
+    // (orderkey, linenumber, qty) total order — counts ascending-quantity steps.
+    Entry("q27_group_reduce_sorted",
+      (s, dir) => {
+        import s.implicits._
+        val li = t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity").cast("long").as("qty"))
+          .as[(String, Long, Int, Long)]
+        li.groupByKey(_._1)
+          .flatMapSortedGroups($"l_orderkey", $"l_linenumber", $"qty") { (flag, rows) =>
+            var n = 0L; var up = 0L; var prev = Long.MinValue
+            rows.foreach { r => n += 1; if (prev != Long.MinValue && r._4 > prev) up += 1; prev = r._4 }
+            Iterator((flag, n, up))
+          }
+          .toDF("l_returnflag", "n", "asc_steps")
+      },
+      Some("""WITH o AS (
+          SELECT l_returnflag,
+            CAST(l_quantity AS BIGINT) AS qty,
+            lag(CAST(l_quantity AS BIGINT)) OVER (PARTITION BY l_returnflag
+              ORDER BY l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT)) AS pq
+          FROM lineitem)
+        SELECT l_returnflag, count(*) AS n,
+          count(*) FILTER (pq IS NOT NULL AND qty > pq) AS asc_steps
+        FROM o GROUP BY l_returnflag""")),
   )
 }
