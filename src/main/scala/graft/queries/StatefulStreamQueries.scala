@@ -320,5 +320,41 @@ object StatefulStreamQueries {
           max(ts_us) AS last_ts_us
         FROM r GROUP BY user_id, win, rn // 25
         HAVING count(*) = 25 OR (win + 1) * 86400000000 <= (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events)""")),
+
+    // CEP negative pattern: view notFollowedBy error followedBy purchase —
+    // the match dies if an error occurs before the purchase binds.
+    Entry("q9g_cep_not_followed_by",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        import graft.streaming.{Cep, EventTimeOps}
+        val pat = Cep.Pattern.begin("view").notFollowedBy("error")
+          .followedBy("purchase").within(86400000000L)
+        val out = EventTimeOps.ordered(keyedEvents(s, dir),
+            (e: StatefulOps.KeyedEvent) => e.key, new Cep.NfaProcessor(pat))
+          .select(col("key"),
+            element_at(col("ids"), 1).as("id_view"),
+            element_at(col("ids"), 2).as("id_purchase"),
+            col("startTsUs").as("start_ts_us"), col("endTsUs").as("end_ts_us"))
+        run(out, "q9g_sink")
+      },
+      Some("""WITH v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+          fp AS (
+            SELECT v.user_id, v.event_id AS id_view, v.ts AS vts,
+              p.event_id AS id_purchase, p.ts AS pts
+            FROM v JOIN LATERAL (
+              SELECT event_id, ts FROM events p
+              WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+                AND (p.ts > v.ts OR (p.ts = v.ts AND p.event_id > v.event_id))
+              ORDER BY p.ts, p.event_id LIMIT 1) p ON true)
+        SELECT user_id AS key, id_view, id_purchase,
+          epoch_us(vts) AS start_ts_us, epoch_us(pts) AS end_ts_us
+        FROM fp
+        WHERE epoch_us(pts) - epoch_us(vts) <= 86400000000
+          AND NOT EXISTS (
+            SELECT 1 FROM events e
+            WHERE e.user_id = fp.user_id AND e.event_type = 'error'
+              AND (e.ts > fp.vts OR (e.ts = fp.vts AND e.event_id > fp.id_view))
+              AND (e.ts < fp.pts OR (e.ts = fp.pts AND e.event_id < fp.id_purchase)))""")),
   )
 }

@@ -29,18 +29,32 @@ object Cep {
   case object Strict extends Contiguity   // next
   case object Relaxed extends Contiguity  // followedBy
 
-  /** One pattern stage: predicate on event_type, repetition count, and how
-    * it attaches to the previous stage. */
+  /** One pattern stage: predicate on event_type, repetition count, how it
+    * attaches to the previous stage, and negative guards — event types
+    * that must NOT occur between the previous binding and this one
+    * (notFollowedBy). */
   final case class Stage(eventType: String, times: Int = 1,
-                         contiguity: Contiguity = Relaxed) extends Serializable
+                         contiguity: Contiguity = Relaxed,
+                         guards: Set[String] = Set.empty) extends Serializable
 
-  /** Fluent builder mirroring Pattern.begin(...).followedBy(...)... */
-  final case class Pattern(stages: Vector[Stage], withinUs: Long = Long.MaxValue) {
+  /** Fluent builder mirroring Pattern.begin(...).followedBy(...)
+    * .notFollowedBy(...).within(...). */
+  final case class Pattern(stages: Vector[Stage], withinUs: Long = Long.MaxValue,
+                           pendingGuards: Set[String] = Set.empty) {
     def next(t: String, times: Int = 1): Pattern =
-      copy(stages = stages :+ Stage(t, times, Strict))
+      copy(stages = stages :+ Stage(t, times, Strict, pendingGuards),
+        pendingGuards = Set.empty)
     def followedBy(t: String, times: Int = 1): Pattern =
-      copy(stages = stages :+ Stage(t, times, Relaxed))
-    def within(us: Long): Pattern = copy(withinUs = us)
+      copy(stages = stages :+ Stage(t, times, Relaxed, pendingGuards),
+        pendingGuards = Set.empty)
+    /** The given type must not occur before the NEXT bound stage
+      * (reference: Pattern.notFollowedBy; a trailing notFollowedBy with no
+      * following stage is rejected, as in the reference). */
+    def notFollowedBy(t: String): Pattern = copy(pendingGuards = pendingGuards + t)
+    def within(us: Long): Pattern = {
+      require(pendingGuards.isEmpty, "notFollowedBy must be followed by a bound stage")
+      copy(withinUs = us)
+    }
   }
 
   object Pattern {
@@ -83,6 +97,8 @@ object Cep {
               else p.copy(reps = reps, ids = p.ids :+ e.eventId)
             if (advanced.stage == st.length) out += Match(key, advanced.ids, p.startTsUs, e.tsUs)
             else next += advanced
+          } else if (st(p.stage).guards.contains(e.eventType)) {
+            // negative guard hit between bindings: kill the partial
           } else {
             // the pending binding's contiguity governs whether a gap is
             // allowed: relaxed skips the event, strict drops the partial

@@ -63,6 +63,20 @@ class CepSpec extends SparkSpec {
     assert(got.map(_.ids) === Seq(Seq(3L, 4L)))
   }
 
+  test("notFollowedBy kills a partial when the guard type intervenes") {
+    val pat = Cep.Pattern.begin("a").notFollowedBy("x").followedBy("b")
+    assert(runPat(pat, Seq(ev(1, 10, "a"), ev(2, 20, "x"), ev(3, 30, "b"))).isEmpty)
+    assert(runPat(pat, Seq(ev(1, 10, "a"), ev(2, 20, "y"), ev(3, 30, "b")))
+      .map(_.ids) === Seq(Seq(1L, 3L)))
+  }
+
+  test("notFollowedBy guard clears once the next stage binds") {
+    // x AFTER b is irrelevant
+    val pat = Cep.Pattern.begin("a").notFollowedBy("x").followedBy("b")
+    assert(runPat(pat, Seq(ev(1, 10, "a"), ev(2, 20, "b"), ev(3, 30, "x")))
+      .map(_.ids) === Seq(Seq(1L, 2L)))
+  }
+
   test("single-stage pattern emits on every match") {
     val got = runPat(Cep.Pattern.begin("a"),
       Seq(ev(1, 10, "a"), ev(2, 20, "b"), ev(3, 30, "a")))
