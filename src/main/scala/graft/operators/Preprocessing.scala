@@ -19,11 +19,14 @@ object Preprocessing {
   /** z-score columns from integer inputs: z = (x - Σx/n) / sqrt(Σx²/n - (Σx/n)²).
     * Constant columns map to 0. Input columns must be integral (e.g. cents). */
   def standardScale(df: DataFrame, cols: Seq[String], keep: Seq[String] = Nil): DataFrame = {
+    // moments in decimal(38,0): Σx² of 64-bit inputs overflows long at
+    // ~10^5 rows of 10^7-scale values; decimal stays exact (DuckDB's
+    // int128 sum is the mirror image)
     val stats = df.select(
       cols.flatMap(c => Seq(
         count(col(c)).as(s"${c}_n"),
-        sum(col(c)).as(s"${c}_s"),
-        sum(col(c) * col(c)).as(s"${c}_q"))): _*)
+        sum(col(c).cast("decimal(38,0)")).as(s"${c}_s"),
+        sum(col(c).cast("decimal(19,0)") * col(c).cast("decimal(19,0)")).as(s"${c}_q"))): _*)
     val joined = df.crossJoin(broadcast(stats))
     val outCols: Seq[Column] = cols.map { c =>
       val mean = col(s"${c}_s").cast("double") / col(s"${c}_n")
