@@ -356,5 +356,42 @@ object StatefulStreamQueries {
             WHERE e.user_id = fp.user_id AND e.event_type = 'error'
               AND (e.ts > fp.vts OR (e.ts = fp.vts AND e.event_id > fp.id_view))
               AND (e.ts < fp.pts OR (e.ts = fp.pts AND e.event_id < fp.id_purchase)))""")),
+
+    // Session windows (2h gap) with CountEvictor(5): per closed session,
+    // aggregate only the last 5 elements.
+    Entry("q9h_session_evictor",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        import graft.streaming.WindowProcessor
+        val out = StatefulOps.run(keyedEvents(s, dir),
+            new WindowProcessor.Session(2L * 3600000000L,
+              WindowProcessor.OnWindowEnd, WindowProcessor.CountEvictor(5)))
+          .toDF("key", "sess_start_us", "fire_seq", "n", "sum_millis", "last_ts_us")
+        run(out, "q9h_sink")
+      },
+      Some("""WITH marked AS (
+          SELECT user_id, ts, event_id, CAST(round(value*1000) AS BIGINT) AS vm,
+            CASE WHEN lag(ts) OVER w IS NULL
+                 OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 7200000000 THEN 1 ELSE 0 END AS brk
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), islands AS (
+          SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS sess
+          FROM marked
+        ), ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY user_id, sess
+              ORDER BY ts DESC, event_id DESC) AS rdesc,
+            max(epoch_us(ts)) OVER (PARTITION BY user_id, sess) AS sess_last
+          FROM islands
+        )
+        SELECT user_id AS key, epoch_us(min(ts)) AS sess_start_us, 0 AS fire_seq,
+          count(*) FILTER (rdesc <= 5) AS n,
+          sum(vm) FILTER (rdesc <= 5) AS sum_millis,
+          max(epoch_us(ts)) FILTER (rdesc <= 5) AS last_ts_us
+        FROM ranked
+        GROUP BY user_id, sess
+        HAVING max(sess_last) + 7200000000 <=
+          (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events)""")),
   )
 }

@@ -103,4 +103,71 @@ object WindowProcessor {
     override protected def onWatermark(key: Long, watermarkMs: Long): Iterator[Fire] =
       closeIfEnded(key, watermarkMs * 1000)
   }
+
+  /** Session windows (gap-based) with the same pluggable trigger/evictor.
+    * Event-time-ordered input makes session "merging" append-only: a new
+    * element either extends the open session (gap < gapUs) or closes it —
+    * the general MergingWindowSet machinery degenerates to one open pane
+    * per key (reference: EventTimeSessionWindows + MergingWindowSet).
+    * A session also closes when the watermark passes lastTs + gap.
+    * `winStartUs` in the output is the session's first-element timestamp. */
+  /** Session pane: (sessStartUs, lastTsUs, fires, refValue, rows). */
+  final case class SPane(start: Long, last: Long, fires: Long, refValue: Long,
+                         rows: Seq[(Long, Long)])
+
+  final class Session(gapUs: Long, trigger: Trigger, evictor: Evictor)
+      extends OrderedProcessor[Long, KeyedEvent, Fire](
+        KeyedEvent.orderKey, Encoders.product[KeyedEvent]) {
+
+    @transient private var pane: ValueState[SPane] = _
+
+    override protected def openState(h: StatefulProcessorHandle): Unit =
+      pane = h.getValueState[SPane]("spane",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[SPane](), TTLConfig.NONE)
+
+    private def evict(rows: Seq[(Long, Long)]): Seq[(Long, Long)] = evictor match {
+      case NoEvictor => rows
+      case CountEvictor(m) => rows.takeRight(m)
+      case TimeEvictor(d) =>
+        if (rows.isEmpty) rows else { val hi = rows.last._1; rows.dropWhile(_._1 < hi - d) }
+    }
+
+    private def fire(key: Long, p: SPane, purge: Boolean): (Fire, SPane) = {
+      val kept = evict(p.rows)
+      val f = Fire(key, p.start, p.fires, kept.length.toLong, kept.map(_._2).sum,
+        if (kept.isEmpty) 0L else kept.last._1)
+      (f, p.copy(fires = p.fires + 1, rows = if (purge) Seq.empty else p.rows))
+    }
+
+    /** Close the open session if it expired at `boundaryUs`. */
+    private def closeIfExpired(key: Long, boundaryUs: Long): Iterator[Fire] = {
+      if (!pane.exists()) return Iterator.empty
+      val p = pane.get()
+      if (p.last + gapUs <= boundaryUs) {
+        pane.clear()
+        if (trigger == OnWindowEnd || p.rows.nonEmpty)
+          Iterator.single(fire(key, p, purge = true)._1)
+        else Iterator.empty
+      } else Iterator.empty
+    }
+
+    override protected def onOrdered(key: Long, e: KeyedEvent): Iterator[Fire] = {
+      val closed = closeIfExpired(key, e.tsUs)
+      val p0 = if (pane.exists()) pane.get()
+               else SPane(e.tsUs, e.tsUs, 0L, e.valueMillis, Seq.empty)
+      val p1 = p0.copy(last = e.tsUs, rows = p0.rows :+ (e.tsUs -> e.valueMillis))
+      val fired: Option[Fire] = trigger match {
+        case CountTrigger(n) if p1.rows.length >= n =>
+          val (f, p2) = fire(key, p1, purge = true); pane.update(p2); Some(f)
+        case DeltaTrigger(th) if math.abs(e.valueMillis - p1.refValue) > th =>
+          val (f, p2) = fire(key, p1, purge = true)
+          pane.update(p2.copy(refValue = e.valueMillis)); Some(f)
+        case _ => pane.update(p1); None
+      }
+      closed ++ fired.iterator
+    }
+
+    override protected def onWatermark(key: Long, watermarkMs: Long): Iterator[Fire] =
+      closeIfExpired(key, watermarkMs * 1000)
+  }
 }
