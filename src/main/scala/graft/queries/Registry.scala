@@ -9,7 +9,8 @@ object Registry {
   def entries: Seq[Entry] =
     BatchQueries.entries ++ ExprQueries.entries ++ WindowQueries.entries ++
       ExtensionQueries.entries ++ StreamQueries.entries ++
-      StatefulStreamQueries.entries ++ GraphQueries.entries ++ MiscQueries.entries
+      StatefulStreamQueries.entries ++ GraphQueries.entries ++ MiscQueries.entries ++
+      TpchExtraQueries.entries
 
   def queries: Map[String, Q] = entries.map(e => e.name -> e.q).toMap
   def oracles: Map[String, String] =
