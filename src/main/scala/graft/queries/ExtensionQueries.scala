@@ -182,6 +182,19 @@ object ExtensionQueries {
       },
       None),
 
+    // IVF coarse-quantized ANN (approximate; recall measured in specs) —
+    // rows-only gate check.
+    Entry("qa9_knn_ivf",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 5)
+        Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "vec_id",
+          k = 10, nCells = 16, nProbe = 8)
+          .select(col("query_id"), col("rank"), col("nbr_id"),
+            round(col("cos"), 6).as("cos_sim"))
+      },
+      None),
+
     Entry("q8a_embed_neardup",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")

@@ -37,6 +37,9 @@ object WindowProcessor {
   final case class CountEvictor(max: Int) extends Evictor
   /** Keep only elements within `durUs` of the newest element at firing. */
   final case class TimeEvictor(durUs: Long) extends Evictor
+  /** Evict elements whose |value - newestValue| > threshold at firing
+    * (reference: DeltaEvictor with an absolute-difference DeltaFunction). */
+  final case class DeltaEvictor(threshold: Long) extends Evictor
 
   /** Window pane state: window id, fire counter, reference value for
     * DeltaTrigger, and buffered (tsUs, valueMillis) contents. */
@@ -58,6 +61,9 @@ object WindowProcessor {
       case CountEvictor(m) => rows.takeRight(m)
       case TimeEvictor(d) =>
         if (rows.isEmpty) rows else { val hi = rows.last._1; rows.dropWhile(_._1 < hi - d) }
+      case DeltaEvictor(th) =>
+        if (rows.isEmpty) rows
+        else { val ref = rows.last._2; rows.filter(r => math.abs(r._2 - ref) <= th) }
     }
 
     private def fire(key: Long, p: Pane, purge: Boolean): (Fire, Pane) = {
@@ -130,6 +136,9 @@ object WindowProcessor {
       case CountEvictor(m) => rows.takeRight(m)
       case TimeEvictor(d) =>
         if (rows.isEmpty) rows else { val hi = rows.last._1; rows.dropWhile(_._1 < hi - d) }
+      case DeltaEvictor(th) =>
+        if (rows.isEmpty) rows
+        else { val ref = rows.last._2; rows.filter(r => math.abs(r._2 - ref) <= th) }
     }
 
     private def fire(key: Long, p: SPane, purge: Boolean): (Fire, SPane) = {

@@ -66,6 +66,13 @@ class WindowProcessorSpec extends SparkSpec {
       Seq((0L, 3L, 39L), (1L, 1L, 18L)))
   }
 
+  test("DeltaEvictor keeps only elements near the newest value") {
+    val got = runWin(OnWindowEnd, DeltaEvictor(3),
+      Seq(ev(1, 10, 1), ev(2, 20, 8), ev(3, 30, 10), ev(4, 150, 0)))
+    // ref = last value 10: keep 8 and 10, drop 1
+    assert(got.map(f => (f.n, f.sumMillis)) === Seq((2L, 18L)))
+  }
+
   test("empty remainder after a purging fire does not fire at window end") {
     val got = runWin(CountTrigger(2), NoEvictor,
       Seq(ev(1, 10, 1), ev(2, 20, 2), ev(3, 150, 0)))
