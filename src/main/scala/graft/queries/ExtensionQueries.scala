@@ -195,6 +195,36 @@ object ExtensionQueries {
       },
       None),
 
+    // Same exact-KNN as q88 but scored by the native codegen Catalyst
+    // expression (CosineSimilarityExpr) instead of a UDF — shares q88's
+    // oracle because the accumulation order is bit-identical.
+    Entry("qab_knn_native_expr",
+      (s, dir) => {
+        import graft.functions.CosineSimilarityExpr
+        import org.apache.spark.sql.expressions.Window
+        val emb = t(s, dir, "embeddings")
+        val c = emb.select(col("vec_id").as("nbr_id"), col("embedding").as("cvec"))
+        val q = emb.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+        val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nbr_id"))
+        c.crossJoin(broadcast(q))
+          .filter(col("nbr_id") =!= col("query_id"))
+          .withColumn("cos", CosineSimilarityExpr(col("cvec"), col("qvec")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select(col("query_id"), col("rank"), col("nbr_id"),
+            round(col("cos"), 6).as("cos_sim"))
+      },
+      Some("""SELECT query_id, rank, nbr_id, cos_sim FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+            round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC,
+                       c.vec_id) AS rank
+          FROM embeddings c CROSS JOIN embeddings q
+          WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+        WHERE rank <= 10""")),
+
     Entry("q8a_embed_neardup",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")

@@ -41,6 +41,34 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("native CosineSimilarityExpr: bit-identical to UDF and expression forms, codegen-compiled") {
+    import graft.functions.CosineSimilarityExpr
+    val vecs = (0 until 30).map { i =>
+      val r = new scala.util.Random(100 + i)
+      (i.toLong, Seq.fill(32)(r.nextFloat() * 2 - 1))
+    }
+    val df = vecs.toDF("id", "v")
+    val pairs = df.as("a").crossJoin(df.as("b")).filter($"a.id" < $"b.id")
+    val out = pairs.select(
+      CosineSimilarityExpr($"a.v", $"b.v").as("native"),
+      VectorFunctions.cosineSimilarityFast($"a.v", $"b.v").as("fast"))
+    out.collect().foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    // the expression participates in whole-stage codegen (no UDF boundary):
+    // the `*(n)` prefix marks codegen stages in the compact plan form
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [cosinesimilarityexpr"))
+    // type checking rejects wrong input types with a clear message
+    val err = intercept[Exception] {
+      Seq((Seq(1.0), Seq(2.0))).toDF("a", "b")
+        .select(CosineSimilarityExpr($"a", $"b")).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("cosine_similarity") ||
+      err.getMessage.toLowerCase.contains("array<float>"))
+  }
+
   test("tokens / shingles / token counts") {
     val df = Seq("the quick  brown fox").toDF("text")
     assert(df.select(TextFunctions.tokenCount($"text")).collect()(0).getInt(0) === 4)
