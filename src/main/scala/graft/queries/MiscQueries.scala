@@ -14,7 +14,30 @@ object MiscQueries {
 
   private val twoLongs = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
 
+  /** SQL-text entry point (reference: TableEnvironment.sql — §3.3): the
+    * same ANSI string runs through spark.sql over registered fixture views
+    * AND through the DuckDB oracle verbatim. */
+  private def sqlBoth(name: String, sql: String): Entry =
+    Entry(name,
+      (s, dir) => { graft.Tables.registerAll(s, dir); s.sql(sql) },
+      Some(sql))
+
   def entries: Seq[Entry] = Seq(
+
+    sqlBoth("q57_sql_text_agg",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_c,
+        min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
+        FROM lineitem GROUP BY l_returnflag, l_linestatus"""),
+
+    sqlBoth("q58_sql_text_window",
+      """SELECT * FROM (
+        SELECT o_orderkey, o_orderstatus,
+          CAST(round(o_totalprice * 100) AS BIGINT) AS price_c,
+          row_number() OVER (PARTITION BY o_orderstatus
+            ORDER BY CAST(round(o_totalprice * 100) AS BIGINT) DESC, o_orderkey) AS rn
+        FROM orders) t
+        WHERE rn <= 10"""),
 
     // UDAGG (AggregateFunction parity): weighted average as typed Aggregator,
     // map-side partial agg via udaf registration.
