@@ -24,6 +24,24 @@ object MiscQueries {
 
   def entries: Seq[Entry] = Seq(
 
+    // Skew-salted join in the gate: orders (skewed toward repeat customers)
+    // x customer, salted 8 ways - result must equal the plain join.
+    Entry("q28_salted_join",
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(
+          col("o_custkey").as("k"), col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("price_c"))
+        val c = t(s, dir, "customer").select(
+          col("c_custkey").as("k"), col("c_mktsegment"))
+        graft.operators.SkewJoin.saltedInner(o, c, "k", buckets = 8)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+          sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_price_c
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment""")),
+
     sqlBoth("q57_sql_text_agg",
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_c,
