@@ -48,21 +48,15 @@ object GraphOps {
     * (node, component) where component = min node id in the component. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val ued = undirected(edges).cache()
-    var labels = vertices(edges).withColumn("lbl", col("node")).cache()
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIter) {
-      val nbrMin = ued.join(labels, ued("b") === labels("node"))
+    val initial = vertices(edges).withColumn("lbl", col("node"))
+    val labels = Iterations.iterateDelta(initial, maxIter) { cur =>
+      val nbrMin = ued.join(cur, ued("b") === cur("node"))
         .groupBy(col("a").as("node")).agg(min(col("lbl")).as("nbr_lbl"))
-      val next = labels.join(nbrMin, Seq("node"), "left")
+      cur.join(nbrMin, Seq("node"), "left")
         .select(col("node"), least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
-        .localCheckpoint() // flatten lineage; materializes the round
-      val changed = next.join(labels.withColumnRenamed("lbl", "old"), "node")
-        .filter(col("lbl") =!= col("old")).limit(1).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
-      i += 1
+    } { (prev, next) =>
+      next.join(prev.withColumnRenamed("lbl", "old"), "node")
+        .filter(col("lbl") =!= col("old")).limit(1).count() == 0
     }
     ued.unpersist()
     labels.select(col("node"), col("lbl").as("component"))
@@ -75,16 +69,14 @@ object GraphOps {
     val e = edges.select("src", "dst").distinct().cache()
     val outdeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
     val verts = vertices(e).cache()
-    var ranks = verts.withColumn("rank", lit(1000000L))
-    for (_ <- 1 to iters) {
+    val ranks = Iterations.iterate(verts.withColumn("rank", lit(1000000L)), iters) { cur =>
       // `div` = exact integer division (Spark's `/` would be double division)
-      val contribs = e.join(ranks.join(outdeg, "node"), e("src") === col("node"))
+      val contribs = e.join(cur.join(outdeg, "node"), e("src") === col("node"))
         .select(col("dst").as("node"), expr("rank div d").as("c"))
         .groupBy("node").agg(sum(col("c")).as("contrib"))
-      ranks = verts.join(contribs, Seq("node"), "left")
+      verts.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(150000L) + expr("(85 * coalesce(contrib, 0L)) div 100")).as("rank"))
-        .localCheckpoint()
     }
     e.unpersist(); verts.unpersist()
     ranks

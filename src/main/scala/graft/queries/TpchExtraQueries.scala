@@ -93,6 +93,81 @@ object TpchExtraQueries {
           ON o_orderkey = bq.l_orderkey
         JOIN customer ON o_custkey = c_custkey""")),
 
+    // Q7: volume shipping between two nations — 6-way join, conditional
+    // nation pairing, per-year revenue
+    Entry("q07_volume_shipping",
+      (s, dir) => {
+        val n1 = t(s, dir, "nation").select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+        val n2 = t(s, dir, "nation").select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate").between(lit("1996-01-01").cast("timestamp"),
+            lit("1997-12-31").cast("timestamp")))
+        t(s, dir, "supplier").join(li, col("s_suppkey") === col("l_suppkey"))
+          .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(n1, col("s_nationkey") === col("sk"))
+          .join(n2, col("c_nationkey") === col("ck"))
+          .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0)
+            .as("revenue"))
+      },
+      Some(s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          CAST(year(l_shipdate) AS INT) AS l_year,
+          (CAST(sum(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})) AS BIGINT)/10000.0) AS revenue
+        FROM supplier
+        JOIN lineitem ON s_suppkey = l_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY 1, 2, 3""")),
+
+    // Q8: market share of one supplier nation within a region for a part
+    // type family — conditional share in basis points (exact integers)
+    Entry("q08_market_share",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val vol = cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))
+        t(s, dir, "part").filter(col("p_type").startsWith("ECONOM"))
+          .join(li, col("p_partkey") === col("l_partkey"))
+          .join(t(s, dir, "orders").filter(
+            col("o_orderdate").between(lit("1996-01-01").cast("timestamp"),
+              lit("1997-12-31").cast("timestamp"))),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(t(s, dir, "nation").select(col("n_nationkey").as("ck"),
+            col("n_regionkey")), col("c_nationkey") === col("ck"))
+          .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+          .join(t(s, dir, "nation").select(col("n_nationkey").as("sk"),
+            col("n_name").as("supp_nation")), col("s_nationkey") === col("sk"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(((sum(when(col("supp_nation") === "NATION_3", vol).otherwise(lit(0L))) * 10000L) /
+            sum(vol)).as("share_bp"))
+      },
+      Some(s"""SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+          (sum(CASE WHEN ns.n_name = 'NATION_3'
+              THEN ${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")}) ELSE 0 END) * 10000
+            / sum(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")}))) AS share_bp
+        FROM part
+        JOIN lineitem ON p_partkey = l_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation nc ON c_nationkey = nc.n_nationkey
+        JOIN region ON nc.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ns ON s_nationkey = ns.n_nationkey
+        WHERE p_type LIKE 'ECONOM%' AND r_name = 'ASIA'
+          AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+        GROUP BY 1""")),
+
     // Q19-adapted: discounted revenue over disjunctive brand/size/quantity
     // predicates (no container/shipmode columns in the fixture)
     Entry("q19_disjunctive_pred",
