@@ -25,4 +25,29 @@ object Scalars {
   /** SQL ELEMENT(arr): the single element of a 1-element array, else null. */
   def element(arr: Column): Column =
     when(size(arr) === 1, element_at(arr, 1))
+
+  /** SQL `s SIMILAR TO pattern` (reference: Calcite's SIMILAR TO operator,
+    * validated by flink-table's expression layer): SQL-regex → Java-regex
+    * translation, then `rlike` anchored to the full string. SQL regex
+    * keeps `| * + ? ( ) [ ]` semantics but uses `%`/`_` as wildcards;
+    * literal `%`/`_` escape via the `\` escape char. */
+  def similarTo(s: Column, pattern: String): Column =
+    s.rlike("^" + translateSimilar(pattern) + "$")
+
+  private[graft] def translateSimilar(p: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < p.length) {
+      p.charAt(i) match {
+        case '\\' if i + 1 < p.length =>
+          out.append(java.util.regex.Pattern.quote(p.charAt(i + 1).toString)); i += 1
+        case '%' => out.append(".*")
+        case '_' => out.append('.')
+        case '.' => out.append("\\.")
+        case c => out.append(c)
+      }
+      i += 1
+    }
+    out.toString
+  }
 }

@@ -93,6 +93,18 @@ class FunctionsSpec extends SparkSpec {
     assert(got === Seq("en", "es", "fr", "de", "zh", "und"))
   }
 
+  test("SIMILAR TO translation: wildcards, alternation, escapes") {
+    import graft.functions.Scalars
+    val df = Seq("PROMO BRUSHED STEEL", "STANDARD POLISHED TIN", "50% off", "x").toDF("s")
+    def matches(pat: String) =
+      df.filter(Scalars.similarTo($"s", pat)).as[String].collect().toSet
+    assert(matches("PROMO%") === Set("PROMO BRUSHED STEEL"))
+    assert(matches("%(STEEL|TIN)") ===
+      Set("PROMO BRUSHED STEEL", "STANDARD POLISHED TIN"))
+    assert(matches("_") === Set("x"))
+    assert(matches("50\\% off") === Set("50% off"))
+  }
+
   test("quality score bounded in [0,1]") {
     val df = Seq("", "the a of to in is", "x" * 6000).toDF("text")
     val qs = df.select(TextFunctions.qualityScore($"text")).as[Double].collect()
