@@ -37,6 +37,48 @@ object StatefulStreamQueries {
       .as[KeyedEvent]
   }
 
+  /** events split into 4 event-time-quartile parquet files with strictly
+    * increasing modification times, so `maxFilesPerTrigger=1` replays them
+    * as 4 ordered micro-batches — cross-batch state carry-over and
+    * watermark advancement run inside the correctness gate (single-file
+    * replay exercises only one batch). */
+  private def multiBatchEvents(s: SparkSession, dir: String): Dataset[KeyedEvent] = {
+    import s.implicits._
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val base = graft.Tables.events(s, dir)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val mbDir = new java.io.File(s"/tmp/graft_mb_${dir.replaceAll("[^0-9.]", "")}")
+    if (!mbDir.exists()) {
+      val Array(q1, q2, q3) = base.stat.approxQuantile("event_id",
+        Array(0.25, 0.5, 0.75), 0.0) // event_id is ts-ordered in the fixture
+      val bounds = Seq(
+        col("event_id") <= q1, col("event_id") > q1 && col("event_id") <= q2,
+        col("event_id") > q2 && col("event_id") <= q3, col("event_id") > q3)
+      mbDir.mkdirs()
+      bounds.zipWithIndex.foreach { case (cond, i) =>
+        val tmp = s"${mbDir}/stage_$i"
+        base.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(mbDir, f"batch_$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(1700000000000L + i * 60000L)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
+    }
+    val schema = base.schema
+    s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(s"$mbDir/batch_*.parquet")
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id").as("key"), col("event_id").as("eventId"),
+        unix_micros(col("ts")).as("tsUs"), col("event_type").as("eventType"),
+        round(col("value") * 1000).cast("long").as("valueMillis"))
+      .as[KeyedEvent]
+  }
+
   private def run(df: DataFrame, name: String)(implicit s: SparkSession): DataFrame = {
     val q = df.writeStream.outputMode("append").format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()
@@ -393,5 +435,23 @@ object StatefulStreamQueries {
         GROUP BY user_id, sess
         HAVING max(sess_last) + 7200000000 <=
           (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events)""")),
+
+    // Multi-batch replay: the q95 running aggregate over FOUR ordered
+    // micro-batches — state and watermark must carry across batches to
+    // reproduce the same batch-SQL oracle.
+    Entry("q8d_stream_multibatch",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        val out = StatefulOps.run(multiBatchEvents(s, dir), new StatefulOps.RunningAgg)
+          .toDF("key", "event_id", "ts_us", "running_n", "running_sum_millis")
+        run(out, "q8d_sink")
+      },
+      Some("""SELECT user_id AS key, event_id, epoch_us(ts) AS ts_us,
+          row_number() OVER w AS running_n,
+          sum(CAST(round(value*1000) AS BIGINT)) OVER w AS running_sum_millis
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")),
   )
 }
