@@ -182,6 +182,32 @@ object ExtensionQueries {
       },
       None),
 
+    // Quality-threshold corpus filtering (the canonical training-data
+    // pipeline stage): keep documents at/above the exact corpus median
+    // quality. Median via exact percentile; threshold broadcast back.
+    Entry("q8c_quality_filter",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), TextFunctions.qualityScore(col("text"), "en").as("quality"))
+        val med = d.agg(expr("percentile(quality, 0.5)").as("med"))
+        d.crossJoin(broadcast(med))
+          .filter(col("quality") >= col("med"))
+          .select(col("doc_id"), round(col("quality"), 9).as("quality"))
+      },
+      Some(s"""WITH q AS (SELECT doc_id,
+          ((CASE WHEN length(text) BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.0 END
+            + (CAST(length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1))
+            + least((CAST(len(list_filter($OTOKS, x -> list_contains(
+                ['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','this','be','are'],
+                lower(x)))) AS DOUBLE) / greatest(len($OTOKS), 1)) * 4.0, 1.0)
+            + (CAST(len(list_distinct($OTOKS)) AS DOUBLE) / greatest(len($OTOKS), 1))
+          ) / 4.0) AS quality
+          FROM documents),
+        m AS (SELECT quantile_cont(quality, 0.5) AS med FROM q)
+        SELECT doc_id, round(quality, 9) AS quality
+        FROM q, m WHERE quality >= med""")),
+
     // IVF coarse-quantized ANN (approximate; recall measured in specs) —
     // rows-only gate check.
     Entry("qa9_knn_ivf",
