@@ -98,15 +98,30 @@ object Similarity {
   }
 
   /** IVF-style approximate top-k: corpus assigned to nearest of nCells
-    * centroids (deterministic sample of corpus rows), queries probe the
-    * nProbe nearest cells. */
+    * centroids, queries probe the nProbe nearest cells. Initial centroids
+    * are a deterministic sample (lowest-id rows); `refineIters` rounds of
+    * Lloyd's k-means (assign → per-cell mean) tighten them — each round is
+    * one assignment shuffle plus a tiny centroid aggregate. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              qidCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+              qidCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
+              refineIters: Int = 0): DataFrame = {
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cvec"))
-    // deterministic "centroids": lowest-id corpus rows (cheap coarse quantizer;
-    // a k-means refinement is a driver-side loop on the same plan shape)
-    val cents = c.orderBy(col("nbr_id")).limit(nCells)
+    var cents = c.orderBy(col("nbr_id")).limit(nCells)
       .select(col("nbr_id").as("cell_id"), col("cvec").as("centroid"))
+    for (_ <- 1 to refineIters) {
+      val aw = Window.partitionBy("nbr_id").orderBy(col("cdist").asc, col("cell_id"))
+      val assignedNow = c.crossJoin(broadcast(cents))
+        .withColumn("cdist", VectorFunctions.squaredEuclidean(col("cvec"), col("centroid")))
+        .withColumn("r", row_number().over(aw)).filter(col("r") === 1)
+        .select(col("cell_id"), col("cvec"))
+      cents = assignedNow
+        .select(col("cell_id"), posexplode(col("cvec")))
+        .groupBy("cell_id", "pos").agg(avg(col("col")).as("v"))
+        .groupBy("cell_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+          x => x.getField("v").cast("float")).as("centroid"))
+        .localCheckpoint()
+    }
     val assignW = Window.partitionBy("nbr_id").orderBy(col("cdist").asc, col("cell_id"))
     val assigned = c.crossJoin(broadcast(cents))
       .withColumn("cdist", VectorFunctions.squaredEuclidean(col("cvec"), col("centroid")))

@@ -54,4 +54,15 @@ object Sources {
     * directory-per-bucket shape for batch output. */
   def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
+  /** Hash-bucketed catalog table: rows co-partitioned (and sorted) by
+    * `cols` into `n` buckets. Joins between two tables bucketed the same
+    * way need NO shuffle — the scale path for repeated large-large joins
+    * (e.g. dedup candidate↔signature lookups at corpus scale), replacing
+    * the reference's REPARTITION_HASH strategy with a persisted layout. */
+  def writeBucketed(df: DataFrame, table: String, n: Int, cols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(n, cols.head, cols.tail: _*)
+      .sortBy(cols.head, cols.tail: _*)
+      .format("parquet").saveAsTable(table)
 }

@@ -92,6 +92,24 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"LSH recall $recall below 0.9")
   }
 
+  test("IVF with k-means refinement matches brute-force on clustered data") {
+    val rnd = new scala.util.Random(13)
+    val centers = Array.fill(8)(Array.fill(32)(rnd.nextGaussian() * 5))
+    val vecs = (0 until 160).map { i =>
+      val c = centers(i % 8)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.3).toFloat).toSeq)
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter($"vec_id" < 8)
+    val brute = Similarity.bruteForceTopK(df, queries, "vec_id", "embedding", "vec_id", k = 5)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(df, queries, "vec_id", "embedding", "vec_id",
+      k = 5, nCells = 8, nProbe = 2, refineIters = 3)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.9, s"refined IVF recall $recall below 0.9")
+  }
+
   test("IVF KNN returns k sane neighbors per query") {
     val rnd = new scala.util.Random(11)
     val vecs = (0 until 100).map(i => (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
