@@ -77,6 +77,34 @@ class CepSpec extends SparkSpec {
       .map(_.ids) === Seq(Seq(1L, 2L)))
   }
 
+  test("keys are isolated: a match never spans two keys") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val pat = Cep.Pattern.begin("a").next("b")
+    val events = Seq(
+      KeyedEvent(1L, 1, 10000000L, "a", 0), KeyedEvent(2L, 2, 20000000L, "b", 0),
+      KeyedEvent(2L, 3, 30000000L, "a", 0), KeyedEvent(2L, 4, 40000000L, "b", 0))
+    val mem = MemoryStream[KeyedEvent]
+    val ds = mem.toDS().withColumn("ts", timestamp_micros(col("tsUs")))
+      .withWatermark("ts", "0 seconds").drop("ts").as[KeyedEvent]
+    val out = EventTimeOps.ordered(ds, (e: KeyedEvent) => e.key, new Cep.NfaProcessor(pat))
+    val name = s"cep_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try { mem.addData(events: _*); q.processAllAvailable(); mem.addData(); q.processAllAvailable() }
+    finally q.stop()
+    val got = spark.table(name).as[Cep.Match].collect().toSeq
+    // key 1's lone "a" followed by key 2's "b" must NOT match
+    assert(got.map(m => (m.key, m.ids)) === Seq((2L, Seq(3L, 4L))))
+  }
+
+  test("mixed contiguity: followedBy then next") {
+    val pat = Cep.Pattern.begin("a").followedBy("b").next("c")
+    // gap before b is fine; gap between b and c kills it
+    assert(runPat(pat, Seq(ev(1, 10, "a"), ev(2, 20, "x"), ev(3, 30, "b"),
+      ev(4, 40, "c"))).map(_.ids) === Seq(Seq(1L, 3L, 4L)))
+    assert(runPat(pat, Seq(ev(1, 10, "a"), ev(2, 20, "b"), ev(3, 30, "x"),
+      ev(4, 40, "c"))).isEmpty)
+  }
+
   test("single-stage pattern emits on every match") {
     val got = runPat(Cep.Pattern.begin("a"),
       Seq(ev(1, 10, "a"), ev(2, 20, "b"), ev(3, 30, "a")))
