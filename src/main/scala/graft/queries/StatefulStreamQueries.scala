@@ -436,6 +436,57 @@ object StatefulStreamQueries {
         HAVING max(sess_last) + 7200000000 <=
           (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events)""")),
 
+    // ContinuousEventTimeTrigger: 6h tumble per user firing every 2h of
+    // event time (non-purging) plus the window-end close fire.
+    Entry("q9i_window_continuous_trigger",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        import graft.streaming.WindowProcessor
+        val out = StatefulOps.run(keyedEvents(s, dir),
+            new WindowProcessor.Tumbling(6L * 3600000000L,
+              WindowProcessor.ContinuousTrigger(2L * 3600000000L),
+              WindowProcessor.NoEvictor))
+          .toDF("key", "win_start_us", "fire_seq", "n", "sum_millis", "last_ts_us")
+        run(out, "q9i_sink")
+      },
+      Some(s"""WITH r AS (
+          SELECT user_id, epoch_us(ts) AS ts_us,
+            CAST(round(value*1000) AS BIGINT) AS vm,
+            (epoch_us(ts) // ${6L * 3600000000L}) AS win
+          FROM events),
+        b AS (
+          SELECT DISTINCT user_id, win, win * ${6L * 3600000000L} + k.k * ${2L * 3600000000L} AS bnd
+          FROM r CROSS JOIN UNNEST(generate_series(1, 2)) AS k(k)),
+        bf AS (
+          SELECT b.user_id, b.win, b.bnd,
+            count(*) FILTER (r.ts_us < b.bnd) AS n,
+            sum(r.vm) FILTER (r.ts_us < b.bnd) AS sum_millis,
+            max(r.ts_us) FILTER (r.ts_us < b.bnd) AS last_ts_us,
+            count(*) FILTER (r.ts_us >= b.bnd) AS after_cnt
+          FROM b JOIN r ON r.user_id = b.user_id AND r.win = b.win
+          GROUP BY 1, 2, 3
+          HAVING count(*) FILTER (r.ts_us < b.bnd) > 0
+            AND count(*) FILTER (r.ts_us >= b.bnd) > 0),
+        bseq AS (
+          SELECT user_id, win, n, sum_millis, last_ts_us,
+            row_number() OVER (PARTITION BY user_id, win ORDER BY bnd) - 1 AS fire_seq,
+            count(*) OVER (PARTITION BY user_id, win) AS nb
+          FROM bf),
+        closes AS (
+          SELECT user_id, win, count(*) AS n, sum(vm) AS sum_millis,
+            max(ts_us) AS last_ts_us
+          FROM r GROUP BY 1, 2
+          HAVING (win + 1) * ${6L * 3600000000L} <=
+            (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events))
+        SELECT user_id AS key, win * ${6L * 3600000000L} AS win_start_us,
+          fire_seq, n, sum_millis, last_ts_us FROM bseq
+        UNION ALL
+        SELECT c.user_id AS key, c.win * ${6L * 3600000000L} AS win_start_us,
+          COALESCE(s2.nb, 0) AS fire_seq, c.n, c.sum_millis, c.last_ts_us
+        FROM closes c LEFT JOIN (SELECT DISTINCT user_id, win, nb FROM bseq) s2
+          ON c.user_id = s2.user_id AND c.win = s2.win""")),
+
     // Multi-batch replay: the q95 running aggregate over FOUR ordered
     // micro-batches — state and watermark must carry across batches to
     // reproduce the same batch-SQL oracle.

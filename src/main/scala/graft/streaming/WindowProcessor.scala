@@ -30,6 +30,12 @@ object WindowProcessor {
   /** Fire when |value - valueAtLastFire| > threshold, purging; first
     * element of a window always sets the reference point. */
   final case class DeltaTrigger(threshold: Long) extends Trigger
+  /** Non-purging periodic fire every `intervalUs` of event time while the
+    * window is open (reference: ContinuousEventTimeTrigger); the window-end
+    * close still fires the full contents. Boundary fires happen when the
+    * first element at/after a boundary arrives; boundaries with no prior
+    * contents are skipped. */
+  final case class ContinuousTrigger(intervalUs: Long) extends Trigger
 
   sealed trait Evictor extends Serializable
   case object NoEvictor extends Evictor
@@ -44,7 +50,7 @@ object WindowProcessor {
   /** Window pane state: window id, fire counter, reference value for
     * DeltaTrigger, and buffered (tsUs, valueMillis) contents. */
   final case class Pane(winId: Long, fires: Long, refValue: Long,
-                        rows: Seq[(Long, Long)])
+                        rows: Seq[(Long, Long)], nextBoundaryUs: Long = 0L)
 
   final class Tumbling(sizeUs: Long, trigger: Trigger, evictor: Evictor)
       extends OrderedProcessor[Long, KeyedEvent, Fire](
@@ -81,7 +87,8 @@ object WindowProcessor {
       if (winEnd <= boundaryUs) {
         pane.clear()
         trigger match {
-          case OnWindowEnd => Iterator.single(fire(key, p, purge = true)._1)
+          case OnWindowEnd | ContinuousTrigger(_) =>
+            Iterator.single(fire(key, p, purge = true)._1)
           case _ => if (p.rows.nonEmpty) Iterator.single(fire(key, p, purge = true)._1)
                     else Iterator.empty // purging trigger with empty remainder
         }
@@ -94,7 +101,26 @@ object WindowProcessor {
       val closed = closeIfEnded(key, (e.tsUs / sizeUs) * sizeUs)
       val p0 = if (pane.exists()) pane.get()
                else Pane(e.tsUs / sizeUs, 0L, e.valueMillis, Seq.empty)
-      val p1 = p0.copy(rows = p0.rows :+ (e.tsUs -> e.valueMillis))
+      // continuous boundaries that e's arrival crosses fire BEFORE e joins
+      val preFires = Seq.newBuilder[Fire]
+      var p0b = p0
+      trigger match {
+        case ContinuousTrigger(ivl) =>
+          val winEnd = (p0b.winId + 1) * sizeUs
+          var nb = if (p0b.nextBoundaryUs == 0L) p0b.winId * sizeUs + ivl
+                   else p0b.nextBoundaryUs
+          while (nb <= e.tsUs && nb < winEnd) {
+            if (p0b.rows.nonEmpty) {
+              val (f, p2) = fire(key, p0b, purge = false)
+              preFires += f
+              p0b = p2
+            }
+            nb += ivl
+          }
+          p0b = p0b.copy(nextBoundaryUs = nb)
+        case _ =>
+      }
+      val p1 = p0b.copy(rows = p0b.rows :+ (e.tsUs -> e.valueMillis))
       val fired: Option[Fire] = trigger match {
         case CountTrigger(n) if p1.rows.length >= n =>
           val (f, p2) = fire(key, p1, purge = true); pane.update(p2); Some(f)
@@ -103,7 +129,7 @@ object WindowProcessor {
           pane.update(p2.copy(refValue = e.valueMillis)); Some(f)
         case _ => pane.update(p1); None
       }
-      closed ++ fired.iterator
+      closed ++ preFires.result().iterator ++ fired.iterator
     }
 
     override protected def onWatermark(key: Long, watermarkMs: Long): Iterator[Fire] =

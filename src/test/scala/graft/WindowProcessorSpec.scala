@@ -73,6 +73,24 @@ class WindowProcessorSpec extends SparkSpec {
     assert(got.map(f => (f.n, f.sumMillis)) === Seq((2L, 18L)))
   }
 
+  test("ContinuousTrigger fires at event-time boundaries without purging") {
+    // 100s window, 30s boundaries at 30/60/90; elements at 10,40,70; close at 150
+    val got = runWin(ContinuousTrigger(30000000L), NoEvictor,
+      Seq(ev(1, 10, 1), ev(2, 40, 2), ev(3, 70, 4), ev(4, 150, 0)))
+    // boundary 30 fires {1}; boundary 60 fires {1,2}; close fires all
+    assert(got.map(f => (f.fireSeq, f.n, f.sumMillis)) ===
+      Seq((0L, 1L, 1L), (1L, 2L, 3L), (2L, 3L, 7L)))
+  }
+
+  test("ContinuousTrigger skips empty boundaries") {
+    // first element arrives after two boundaries have passed
+    val got = runWin(ContinuousTrigger(30000000L), NoEvictor,
+      Seq(ev(1, 65, 5), ev(2, 95, 2), ev(3, 150, 0)))
+    // boundary 90 fires {5}; close fires {5,2}; boundaries 30/60 skipped
+    assert(got.map(f => (f.fireSeq, f.n, f.sumMillis)) ===
+      Seq((0L, 1L, 5L), (1L, 2L, 7L)))
+  }
+
   test("empty remainder after a purging fire does not fire at window end") {
     val got = runWin(CountTrigger(2), NoEvictor,
       Seq(ev(1, 10, 1), ev(2, 20, 2), ev(3, 150, 0)))
