@@ -436,6 +436,43 @@ object StatefulStreamQueries {
         HAVING max(sess_last) + 7200000000 <=
           (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events)""")),
 
+    // Sliding windows (6h size / 2h slide) with CountEvictor(5): each
+    // closed slide aggregates only its last 5 elements.
+    Entry("q9j_sliding_evictor",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        import graft.streaming.WindowProcessor
+        val out = StatefulOps.run(keyedEvents(s, dir),
+            new WindowProcessor.Sliding(6L * 3600000000L, 2L * 3600000000L,
+              WindowProcessor.CountEvictor(5)))
+          .toDF("key", "win_start_us", "fire_seq", "n", "sum_millis", "last_ts_us")
+        run(out, "q9j_sink")
+      },
+      Some(s"""WITH r AS (
+          SELECT user_id, epoch_us(ts) AS ts_us,
+            CAST(round(value*1000) AS BIGINT) AS vm
+          FROM events),
+        ex AS (
+          SELECT user_id, ts_us, vm,
+            (ts_us // ${2L * 3600000000L}) * ${2L * 3600000000L} - k.k * ${2L * 3600000000L} AS win_start
+          FROM r CROSS JOIN UNNEST(generate_series(0, 2)) AS k(k)
+          WHERE (ts_us // ${2L * 3600000000L}) * ${2L * 3600000000L} - k.k * ${2L * 3600000000L}
+            > ts_us - ${6L * 3600000000L}
+            AND (ts_us // ${2L * 3600000000L}) * ${2L * 3600000000L} - k.k * ${2L * 3600000000L} >= 0),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY user_id, win_start
+            ORDER BY ts_us DESC) AS rdesc
+          FROM ex)
+        SELECT user_id AS key, win_start AS win_start_us, 0 AS fire_seq,
+          count(*) FILTER (rdesc <= 5) AS n,
+          sum(vm) FILTER (rdesc <= 5) AS sum_millis,
+          max(ts_us) FILTER (rdesc <= 5) AS last_ts_us
+        FROM ranked
+        GROUP BY user_id, win_start
+        HAVING win_start + ${6L * 3600000000L} <=
+          (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events)""")),
+
     // ContinuousEventTimeTrigger: 6h tumble per user firing every 2h of
     // event time (non-purging) plus the window-end close fire.
     Entry("q9i_window_continuous_trigger",

@@ -136,6 +136,69 @@ object WindowProcessor {
       closeIfEnded(key, watermarkMs * 1000)
   }
 
+  /** Sliding windows (size, slide) with evictor support — each element
+    * joins size/slide overlapping panes; event-time-ordered input closes
+    * panes in start order (fire when an element or the watermark passes a
+    * pane's end). Reference: SlidingEventTimeWindows under
+    * EvictingWindowOperator. OnWindowEnd firing only (continuous/count
+    * triggers pair with tumbling/session here). */
+  final class Sliding(sizeUs: Long, slideUs: Long, evictor: Evictor)
+      extends OrderedProcessor[Long, KeyedEvent, Fire](
+        KeyedEvent.orderKey, Encoders.product[KeyedEvent]) {
+    require(sizeUs % slideUs == 0, "size must be a multiple of slide")
+
+    // active panes: (winStartUs, rows)
+    @transient private var panes: ValueState[Seq[(Long, Seq[(Long, Long)])]] = _
+
+    override protected def openState(h: StatefulProcessorHandle): Unit =
+      panes = h.getValueState[Seq[(Long, Seq[(Long, Long)])]]("slpanes",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Seq[(Long, Long)])]](),
+        TTLConfig.NONE)
+
+    private def evict(rows: Seq[(Long, Long)]): Seq[(Long, Long)] = evictor match {
+      case NoEvictor => rows
+      case CountEvictor(m) => rows.takeRight(m)
+      case TimeEvictor(d) =>
+        if (rows.isEmpty) rows else { val hi = rows.last._1; rows.dropWhile(_._1 < hi - d) }
+      case DeltaEvictor(th) =>
+        if (rows.isEmpty) rows
+        else { val ref = rows.last._2; rows.filter(r => math.abs(r._2 - ref) <= th) }
+    }
+
+    private def fireOf(key: Long, start: Long, rows: Seq[(Long, Long)]): Fire = {
+      val kept = evict(rows)
+      Fire(key, start, 0L, kept.length.toLong, kept.map(_._2).sum,
+        if (kept.isEmpty) 0L else kept.last._1)
+    }
+
+    /** Fire and drop panes whose end <= boundaryUs. */
+    private def closeUpTo(key: Long, boundaryUs: Long): Iterator[Fire] = {
+      val cur = if (panes.exists()) panes.get() else Seq.empty
+      val (done, open) = cur.partition { case (start, _) => start + sizeUs <= boundaryUs }
+      if (done.nonEmpty) panes.update(open)
+      done.sortBy(_._1).iterator.map { case (start, rows) => fireOf(key, start, rows) }
+    }
+
+    override protected def onOrdered(key: Long, e: KeyedEvent): Iterator[Fire] = {
+      val closed = closeUpTo(key, e.tsUs)
+      val cur = if (panes.exists()) panes.get() else Seq.empty
+      // window starts containing e: aligned, start > ts - size, start <= ts
+      val lastStart = (e.tsUs / slideUs) * slideUs
+      val starts = Iterator.iterate(lastStart)(_ - slideUs)
+        .takeWhile(st => st > e.tsUs - sizeUs && st >= 0).toSeq
+      val byStart = cur.toMap
+      val updated = (byStart.keySet ++ starts).toSeq.map { st =>
+        val rows = byStart.getOrElse(st, Seq.empty)
+        st -> (if (starts.contains(st)) rows :+ (e.tsUs -> e.valueMillis) else rows)
+      }
+      panes.update(updated)
+      closed
+    }
+
+    override protected def onWatermark(key: Long, watermarkMs: Long): Iterator[Fire] =
+      closeUpTo(key, watermarkMs * 1000)
+  }
+
   /** Session windows (gap-based) with the same pluggable trigger/evictor.
     * Event-time-ordered input makes session "merging" append-only: a new
     * element either extends the open session (gap < gapUs) or closes it —

@@ -91,6 +91,27 @@ class WindowProcessorSpec extends SparkSpec {
       Seq((0L, 1L, 5L), (1L, 2L, 7L)))
   }
 
+  test("Sliding windows: elements join overlapping panes; evictor applies per pane") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // size 100s, slide 50s; events at 60,120,160; final nudge at 300
+    val mem = MemoryStream[KeyedEvent]
+    val ds = mem.toDS().withColumn("ts", timestamp_micros(col("tsUs")))
+      .withWatermark("ts", "0 seconds").drop("ts").as[KeyedEvent]
+    val out = StatefulOps.run(ds,
+      new Sliding(100000000L, 50000000L, NoEvictor))
+    val name = s"slide_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      mem.addData(ev(1, 60, 1), ev(2, 120, 2), ev(3, 160, 4), ev(4, 300, 0))
+      q.processAllAvailable(); mem.addData(); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name).as[Fire].collect().toSeq
+      .filter(_.n > 0).sortBy(_.winStartUs).map(f => (f.winStartUs / 1000000, f.n, f.sumMillis))
+    // windows: [0,100) has {60}; [50,150) has {60,120}; [100,200) has {120,160};
+    // [150,250) has {160}; [250,350) has {300-event} but stays open? 300 closes at wm=300 -> end 350 > 300 stays pending... the nudge advances wm to 300 so [250,350) not closed; [300,400) not closed
+    assert(got === Seq((0L, 1L, 1L), (50L, 2L, 3L), (100L, 2L, 6L), (150L, 1L, 4L)))
+  }
+
   test("empty remainder after a purging fire does not fire at window end") {
     val got = runWin(CountTrigger(2), NoEvictor,
       Seq(ev(1, 10, 1), ev(2, 20, 2), ev(3, 150, 0)))
