@@ -60,14 +60,15 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
       val ab = ctx.freshName("ab")
       val aa = ctx.freshName("aa")
       val bb = ctx.freshName("bb")
+      val v = ctx.freshName("v")
       s"""
         float[] $x = $a.toFloatArray();
         float[] $y = $b.toFloatArray();
         int $n = Math.min($x.length, $y.length);
         double $ab = 0.0; double $aa = 0.0; double $bb = 0.0;
         for (int $i = 0; $i < $n; $i++) { $ab += (double) $x[$i] * (double) $y[$i]; }
-        for (int $i = 0; $i < $x.length; $i++) { double v = (double) $x[$i]; $aa += v * v; }
-        for (int $i = 0; $i < $y.length; $i++) { double v = (double) $y[$i]; $bb += v * v; }
+        for (int $i = 0; $i < $x.length; $i++) { double $v = (double) $x[$i]; $aa += $v * $v; }
+        for (int $i = 0; $i < $y.length; $i++) { double $v = (double) $y[$i]; $bb += $v * $v; }
         ${ev.value} = $ab / (Math.sqrt($aa) * Math.sqrt($bb));
       """
     })

@@ -19,9 +19,19 @@ object VectorFunctions {
 
   private def d(c: Column): Column = c.cast("double")
 
+  /** zip_with null-pads the shorter array, which would turn every pairwise
+    * metric into null on a dimension mismatch; slicing both sides to the
+    * common prefix instead matches cosineSimilarityFast / CosineSimilarityExpr
+    * (truncate-to-min), keeping all three forms bit-identical on mixed-dim
+    * rows. */
+  private def zipMin(a: Column, b: Column, f: (Column, Column) => Column): Column = {
+    val n = least(size(a), size(b))
+    zip_with(slice(a, lit(1), n), slice(b, lit(1), n), f)
+  }
+
   /** Elementwise-product sum; accumulates in double regardless of input width. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => d(x) * d(y)), lit(0.0), (acc, v) => acc + v)
+    aggregate(zipMin(a, b, (x, y) => d(x) * d(y)), lit(0.0), (acc, v) => acc + v)
 
   def normL2(a: Column): Column = sqrt(dot(a, a))
 
@@ -32,18 +42,18 @@ object VectorFunctions {
     sqrt(squaredEuclidean(a, b))
 
   def squaredEuclidean(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (d(x) - d(y)) * (d(x) - d(y))),
+    aggregate(zipMin(a, b, (x, y) => (d(x) - d(y)) * (d(x) - d(y))),
       lit(0.0), (acc, v) => acc + v)
 
   def manhattan(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => abs(d(x) - d(y))), lit(0.0), (acc, v) => acc + v)
+    aggregate(zipMin(a, b, (x, y) => abs(d(x) - d(y))), lit(0.0), (acc, v) => acc + v)
 
   def chebyshev(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => abs(d(x) - d(y))), lit(0.0),
+    aggregate(zipMin(a, b, (x, y) => abs(d(x) - d(y))), lit(0.0),
       (acc, v) => greatest(acc, v))
 
   def minkowski(a: Column, b: Column, p: Double): Column =
-    pow(aggregate(zip_with(a, b, (x, y) => pow(abs(d(x) - d(y)), lit(p))),
+    pow(aggregate(zipMin(a, b, (x, y) => pow(abs(d(x) - d(y)), lit(p))),
       lit(0.0), (acc, v) => acc + v), lit(1.0 / p))
 
   def cosineSimilarity(a: Column, b: Column): Column =

@@ -319,14 +319,17 @@ object BatchQueries {
     Entry("q34_grouping_sets",
       (s, dir) => {
         Tables.registerAll(s, dir)
+        // In Spark SQL the literal 100.0 is DECIMAL, so bigint/100.0 yields a
+        // DECIMAL result the driver's pandas renders as "506627.000000" while
+        // DuckDB's is a double "506627.0" — cast both sides to DOUBLE.
         s.sql(s"""SELECT l_returnflag, l_linestatus,
-          (CAST(sum(${centsSql("l_quantity")}) AS BIGINT)/100.0) AS sum_qty,
+          CAST(CAST(sum(${centsSql("l_quantity")}) AS BIGINT)/100.0 AS DOUBLE) AS sum_qty,
           grouping_id() AS gid
           FROM lineitem
           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
       },
       Some(s"""SELECT l_returnflag, l_linestatus,
-        (CAST(sum(${centsSql("l_quantity")}) AS BIGINT)/100.0) AS sum_qty,
+        CAST(CAST(sum(${centsSql("l_quantity")}) AS BIGINT)/100.0 AS DOUBLE) AS sum_qty,
         GROUPING(l_returnflag, l_linestatus) AS gid
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")),

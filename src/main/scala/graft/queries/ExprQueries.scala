@@ -52,8 +52,8 @@ object ExprQueries {
         round(log10(l_quantity), 9) AS e_log10,
         round(exp(l_discount), 9) AS e_exp,
         round(pow(l_quantity, 2), 9) AS e_power,
-        ceil(l_extendedprice / 1000) AS e_ceil,
-        floor(l_extendedprice / 1000) AS e_floor,
+        CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS e_ceil,
+        CAST(floor(l_extendedprice / 1000) AS BIGINT) AS e_floor,
         round(sin(l_discount), 9) AS e_sin,
         round(cos(l_discount), 9) AS e_cos,
         round(tan(l_discount), 9) AS e_tan,
@@ -183,7 +183,9 @@ object ExprQueries {
           col("n_nationkey").cast("string").as("e_int_to_str"),
           (col("n_nationkey").cast("double") / 2).as("e_int_to_double"),
           substring(col("n_name"), 1, 1).as("e_first_char"),
-          array(col("n_nationkey"), col("n_regionkey")).as("e_array"),
+          // rendered as a string: a raw list column is unsortable in the
+          // driver's pandas row-sort (TypeError: unhashable numpy.ndarray)
+          concat_ws(",", array(col("n_nationkey"), col("n_regionkey"))).as("e_array"),
           element_at(array(col("n_nationkey"), col("n_regionkey")), 1).as("e_element_at"),
           size(array(col("n_nationkey"), col("n_regionkey"))).as("e_cardinality"),
           array_contains(array(lit(0), lit(1), lit(2)), col("n_regionkey")).as("e_contains"),
@@ -193,7 +195,7 @@ object ExprQueries {
         CAST(n_nationkey AS VARCHAR) AS e_int_to_str,
         (CAST(n_nationkey AS DOUBLE) / 2) AS e_int_to_double,
         substring(n_name, 1, 1) AS e_first_char,
-        [n_nationkey, n_regionkey] AS e_array,
+        array_to_string([n_nationkey, n_regionkey], ',') AS e_array,
         [n_nationkey, n_regionkey][1] AS e_element_at,
         len([n_nationkey, n_regionkey]) AS e_cardinality,
         list_contains([0, 1, 2], n_regionkey) AS e_contains,

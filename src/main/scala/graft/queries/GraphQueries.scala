@@ -94,7 +94,7 @@ object GraphQueries {
       },
       Some(s"""WITH edges AS ($ODenseEdges)
         SELECT src AS node,
-          sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS sum_bal_cents,
+          CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_cents,
           count(*) AS n_nbrs
         FROM edges JOIN supplier ON s_suppkey = dst - 100000
         GROUP BY src""")),

@@ -38,13 +38,13 @@ object MiscQueries {
           .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
       },
       Some("""SELECT c_mktsegment, count(*) AS n,
-          sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_price_c
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment""")),
 
     sqlBoth("q57_sql_text_agg",
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
-        sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_c,
+        CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c,
         min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok
         FROM lineitem GROUP BY l_returnflag, l_linestatus"""),
 
@@ -70,8 +70,8 @@ object MiscQueries {
           .agg(wavg(col("cents"), col("qty")).as("wavg_cents"))
       },
       Some("""SELECT l_returnflag,
-          sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT))
-            // sum(CAST(l_quantity AS BIGINT)) AS wavg_cents
+          CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT))
+            // sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wavg_cents
         FROM lineitem GROUP BY l_returnflag""")),
 
     // The same Aggregator as an incremental window aggregate
@@ -88,8 +88,8 @@ object MiscQueries {
           .select(unix_micros(col("window.start")).as("win_start_us"), col("wavg_millis"))
       },
       Some(s"""SELECT (epoch_us(ts) // ${6L * 3600000000L}) * ${6L * 3600000000L} AS win_start_us,
-          sum(CAST(round(value * 1000) AS BIGINT) * (user_id % 5 + 1))
-            // sum(user_id % 5 + 1) AS wavg_millis
+          CAST(sum(CAST(round(value * 1000) AS BIGINT) * (user_id % 5 + 1))
+            // sum(user_id % 5 + 1) AS BIGINT) AS wavg_millis
         FROM events GROUP BY 1""")),
 
     // TableFunction / LATERAL analogue (reference: functions/TableFunction
@@ -211,7 +211,7 @@ object MiscQueries {
             min(col("l_shipdate")).as("min_ship"), max(col("l_orderkey")).as("max_ok"))
       },
       Some("""SELECT l_returnflag, count(*) AS n,
-          sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
           min(l_shipdate) AS min_ship, max(l_orderkey) AS max_ok
         FROM lineitem GROUP BY l_returnflag""")),
 
@@ -228,7 +228,7 @@ object MiscQueries {
           .agg(count(lit(1)).as("n"), sum(col("price_c")).as("sum_price_c"))
       },
       Some("""SELECT o_orderstatus, count(*) AS n,
-          sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS sum_price_c
+          CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_c
         FROM orders GROUP BY o_orderstatus""")),
 
     Entry("q39_orc_roundtrip",
@@ -244,7 +244,7 @@ object MiscQueries {
           .agg(count(lit(1)).as("n"), sum(col("bal_c")).as("sum_bal_c"))
       },
       Some("""SELECT c_mktsegment, count(*) AS n,
-          sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS sum_bal_c
+          CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_c
         FROM customer GROUP BY c_mktsegment""")),
 
     // groupReduce with sorted groups (reference: DataSet.reduceGroup +

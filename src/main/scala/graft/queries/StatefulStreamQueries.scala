@@ -49,7 +49,14 @@ object StatefulStreamQueries {
     val base = graft.Tables.events(s, dir)
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("user_id"), col("event_type"), col("value"))
-    val mbDir = new java.io.File(s"/tmp/graft_mb_${dir.replaceAll("[^0-9.]", "")}")
+    // Cache key = hash of the full source path + the source parquet's mtime:
+    // distinct dirs never collide and a regenerated fixture (newer mtime)
+    // gets a fresh split instead of serving stale batches.
+    val srcMtime = new java.io.File(Tables.path(dir, "events")).lastModified()
+    val key = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL) +
+      s"_$srcMtime"
+    val mbDir = new java.io.File(s"/tmp/graft_mb_$key")
     if (!mbDir.exists()) {
       val Array(q1, q2, q3) = base.stat.approxQuantile("event_id",
         Array(0.25, 0.5, 0.75), 0.0) // event_id is ts-ordered in the fixture
@@ -97,9 +104,13 @@ object StatefulStreamQueries {
           .toDF("key", "event_id", "ts_us", "running_n", "running_sum_millis")
         run(out, "q95_sink")
       },
+      // sum(BIGINT) in DuckDB widens to HUGEINT, which pandas renders as
+      // float64 ("123.0") while Spark's long prints "123" — the driver's
+      // string-level hash then mismatches on equal values. Cast every
+      // integer-sum output back to BIGINT (here and in all q9x oracles).
       Some("""SELECT user_id AS key, event_id, epoch_us(ts) AS ts_us,
           row_number() OVER w AS running_n,
-          sum(CAST(round(value*1000) AS BIGINT)) OVER w AS running_sum_millis
+          CAST(sum(CAST(round(value*1000) AS BIGINT)) OVER w AS BIGINT) AS running_sum_millis
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")),
@@ -118,7 +129,7 @@ object StatefulStreamQueries {
             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
           FROM events)
         SELECT user_id AS key, rn // 10 AS win_seq, count(*) AS n,
-          sum(CAST(round(value*1000) AS BIGINT)) AS sum_millis,
+          CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS sum_millis,
           epoch_us(min(ts)) AS first_ts_us, epoch_us(max(ts)) AS last_ts_us
         FROM o GROUP BY 1, 2 HAVING count(*) = 10""")),
 
@@ -263,7 +274,7 @@ object StatefulStreamQueries {
       },
       Some("""SELECT user_id AS key, event_id, epoch_us(ts) AS ts_us,
           count(*) OVER w AS win_n,
-          sum(CAST(round(value*1000) AS BIGINT)) OVER w AS win_sum_millis
+          CAST(sum(CAST(round(value*1000) AS BIGINT)) OVER w AS BIGINT) AS win_sum_millis
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""")),
@@ -280,7 +291,7 @@ object StatefulStreamQueries {
       },
       Some("""SELECT user_id AS key, event_id, epoch_us(ts) AS ts_us,
           count(*) OVER w AS win_n,
-          sum(CAST(round(value*1000) AS BIGINT)) OVER w AS win_sum_millis
+          CAST(sum(CAST(round(value*1000) AS BIGINT)) OVER w AS BIGINT) AS win_sum_millis
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts
           RANGE BETWEEN INTERVAL 2 HOURS PRECEDING AND CURRENT ROW)""")),
@@ -306,7 +317,7 @@ object StatefulStreamQueries {
               ORDER BY ts DESC, event_id DESC) AS rdesc
           FROM events)
         SELECT user_id AS key, win * ${6L * 3600000000L} AS win_start_us,
-          0 AS fire_seq, count(*) AS n, sum(vm) AS sum_millis,
+          0 AS fire_seq, count(*) AS n, CAST(sum(vm) AS BIGINT) AS sum_millis,
           max(ts_us) AS last_ts_us
         FROM r WHERE rdesc <= 5 GROUP BY user_id, win
         HAVING (win + 1) * 21600000000 <= (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events)""")),
@@ -332,7 +343,7 @@ object StatefulStreamQueries {
               (epoch_us(ts) // ${6L * 3600000000L})) AS hi
           FROM events)
         SELECT user_id AS key, win * ${6L * 3600000000L} AS win_start_us,
-          0 AS fire_seq, count(*) AS n, sum(vm) AS sum_millis,
+          0 AS fire_seq, count(*) AS n, CAST(sum(vm) AS BIGINT) AS sum_millis,
           max(ts_us) AS last_ts_us
         FROM r WHERE ts_us >= hi - 1800000000 GROUP BY user_id, win
         HAVING (win + 1) * 21600000000 <= (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events)""")),
@@ -358,7 +369,7 @@ object StatefulStreamQueries {
               ORDER BY ts, event_id) - 1 AS rn
           FROM events)
         SELECT user_id AS key, win * 86400000000 AS win_start_us,
-          rn // 25 AS fire_seq, count(*) AS n, sum(vm) AS sum_millis,
+          rn // 25 AS fire_seq, count(*) AS n, CAST(sum(vm) AS BIGINT) AS sum_millis,
           max(ts_us) AS last_ts_us
         FROM r GROUP BY user_id, win, rn // 25
         HAVING count(*) = 25 OR (win + 1) * 86400000000 <= (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events)""")),
@@ -429,7 +440,7 @@ object StatefulStreamQueries {
         )
         SELECT user_id AS key, epoch_us(min(ts)) AS sess_start_us, 0 AS fire_seq,
           count(*) FILTER (rdesc <= 5) AS n,
-          sum(vm) FILTER (rdesc <= 5) AS sum_millis,
+          CAST(sum(vm) FILTER (rdesc <= 5) AS BIGINT) AS sum_millis,
           max(epoch_us(ts)) FILTER (rdesc <= 5) AS last_ts_us
         FROM ranked
         GROUP BY user_id, sess
@@ -466,7 +477,7 @@ object StatefulStreamQueries {
           FROM ex)
         SELECT user_id AS key, win_start AS win_start_us, 0 AS fire_seq,
           count(*) FILTER (rdesc <= 5) AS n,
-          sum(vm) FILTER (rdesc <= 5) AS sum_millis,
+          CAST(sum(vm) FILTER (rdesc <= 5) AS BIGINT) AS sum_millis,
           max(ts_us) FILTER (rdesc <= 5) AS last_ts_us
         FROM ranked
         GROUP BY user_id, win_start
@@ -498,7 +509,7 @@ object StatefulStreamQueries {
         bf AS (
           SELECT b.user_id, b.win, b.bnd,
             count(*) FILTER (r.ts_us < b.bnd) AS n,
-            sum(r.vm) FILTER (r.ts_us < b.bnd) AS sum_millis,
+            CAST(sum(r.vm) FILTER (r.ts_us < b.bnd) AS BIGINT) AS sum_millis,
             max(r.ts_us) FILTER (r.ts_us < b.bnd) AS last_ts_us,
             count(*) FILTER (r.ts_us >= b.bnd) AS after_cnt
           FROM b JOIN r ON r.user_id = b.user_id AND r.win = b.win
@@ -511,7 +522,7 @@ object StatefulStreamQueries {
             count(*) OVER (PARTITION BY user_id, win) AS nb
           FROM bf),
         closes AS (
-          SELECT user_id, win, count(*) AS n, sum(vm) AS sum_millis,
+          SELECT user_id, win, count(*) AS n, CAST(sum(vm) AS BIGINT) AS sum_millis,
             max(ts_us) AS last_ts_us
           FROM r GROUP BY 1, 2
           HAVING (win + 1) * ${6L * 3600000000L} <=
@@ -537,7 +548,7 @@ object StatefulStreamQueries {
       },
       Some("""SELECT user_id AS key, event_id, epoch_us(ts) AS ts_us,
           row_number() OVER w AS running_n,
-          sum(CAST(round(value*1000) AS BIGINT)) OVER w AS running_sum_millis
+          CAST(sum(CAST(round(value*1000) AS BIGINT)) OVER w AS BIGINT) AS running_sum_millis
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")),

@@ -130,23 +130,50 @@ object StatefulOps {
   /** Streaming OVER `RANGE BETWEEN durUs PRECEDING AND CURRENT ROW`
     * (reference: RowTimeBoundedRangeOver.scala): time-bounded sum per key.
     * State holds (ts, value) pairs inside the range; older entries evict as
-    * the (event-time-ordered) stream advances. Assumes no exact-ts peers
-    * arriving later (guaranteed by the (ts, id) total order at emit time
-    * when each distinct key+ts is unique, as in the fixtures). */
+    * the (event-time-ordered) stream advances.
+    *
+    * SQL RANGE ... CURRENT ROW frames include every peer with the same
+    * order-by value, including ones that sort after the current row — so
+    * rows are held in a same-ts pending group and emitted together, each
+    * with the aggregate over the full peer group, once the timestamp
+    * advances (or the drain ends via [[onWatermark]], when the watermark
+    * guarantees no more peers for that ts can arrive). */
   final class RangeBoundedAgg(durUs: Long) extends OrderedProcessor[Long, KeyedEvent, RunningAggOut](
       KeyedEvent.orderKey, Encoders.product[KeyedEvent]) {
     @transient private var win: ValueState[Seq[(Long, Long)]] = _
-    override protected def openState(h: StatefulProcessorHandle): Unit =
+    @transient private var pend: ValueState[Seq[(Long, Long, Long)]] = _ // (id, ts, vm)
+    override protected def openState(h: StatefulProcessorHandle): Unit = {
       win = h.getValueState[Seq[(Long, Long)]]("rwin",
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]](),
         TTLConfig.NONE)
-    override protected def onOrdered(key: Long, e: KeyedEvent): Iterator[RunningAggOut] = {
-      val lo = e.tsUs - durUs
-      val kept = (if (win.exists()) win.get() else Seq.empty)
-        .dropWhile(_._1 < lo) :+ (e.tsUs -> e.valueMillis)
-      win.update(kept)
-      Iterator(RunningAggOut(key, e.eventId, e.tsUs, kept.length.toLong, kept.map(_._2).sum))
+      pend = h.getValueState[Seq[(Long, Long, Long)]]("rpend",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long, Long)]](),
+        TTLConfig.NONE)
     }
+    private def flush(key: Long): Iterator[RunningAggOut] = {
+      val p = if (pend.exists()) pend.get() else Seq.empty
+      if (p.isEmpty) Iterator.empty
+      else {
+        val ts = p.head._2
+        val lo = ts - durUs
+        val kept = (if (win.exists()) win.get() else Seq.empty)
+          .dropWhile(_._1 < lo) ++ p.map(r => r._2 -> r._3)
+        win.update(kept)
+        pend.clear()
+        val n = kept.length.toLong
+        val s = kept.map(_._2).sum
+        p.iterator.map(r => RunningAggOut(key, r._1, r._2, n, s))
+      }
+    }
+    override protected def onOrdered(key: Long, e: KeyedEvent): Iterator[RunningAggOut] = {
+      val p = if (pend.exists()) pend.get() else Seq.empty
+      val out = if (p.nonEmpty && e.tsUs > p.head._2) flush(key) else Iterator.empty
+      val p1 = if (p.nonEmpty && e.tsUs > p.head._2) Seq.empty else p
+      pend.update(p1 :+ ((e.eventId, e.tsUs, e.valueMillis)))
+      out
+    }
+    override protected def onWatermark(key: Long, watermarkMs: Long): Iterator[RunningAggOut] =
+      flush(key)
   }
 
   /** Apply an ordered processor over a KeyedEvent stream. */

@@ -59,6 +59,33 @@ class StatefulOpsSpec extends SparkSpec {
     assert(k2 === Seq(7L))
   }
 
+  test("RangeBoundedAgg evicts rows outside the time range") {
+    // 100s range: at t=150 only rows in [50,150] are in frame
+    val out = runOp(Seq(Seq(
+      ev(1, 1, 10, vm = 1), ev(1, 2, 60, vm = 2), ev(1, 3, 150, vm = 4))))(
+      ds => StatefulOps.run(ds, new RangeBoundedAgg(100000000L)))
+    assert(out.sortBy(_.eventId).map(o => (o.runningN, o.runningSumMillis)) ===
+      Seq((1L, 1L), (2L, 3L), (2L, 6L)))
+  }
+
+  test("RangeBoundedAgg gives same-ts peers identical aggregates (SQL RANGE peer semantics)") {
+    // ids 2 and 3 share ts=60: SQL RANGE ... CURRENT ROW includes BOTH in
+    // each other's frame, so both emit the full peer-group aggregate.
+    val out = runOp(Seq(Seq(
+      ev(1, 1, 10, vm = 1), ev(1, 2, 60, vm = 2), ev(1, 3, 60, vm = 4),
+      ev(1, 4, 80, vm = 8))))(
+      ds => StatefulOps.run(ds, new RangeBoundedAgg(100000000L)))
+    assert(out.sortBy(_.eventId).map(o => (o.runningN, o.runningSumMillis)) ===
+      Seq((1L, 1L), (3L, 7L), (3L, 7L), (4L, 15L)))
+  }
+
+  test("RangeBoundedAgg flushes a trailing same-ts peer group at the final watermark") {
+    val out = runOp(Seq(Seq(ev(1, 1, 10, vm = 1), ev(1, 2, 10, vm = 2))))(
+      ds => StatefulOps.run(ds, new RangeBoundedAgg(100000000L)))
+    assert(out.sortBy(_.eventId).map(o => (o.runningN, o.runningSumMillis)) ===
+      Seq((2L, 3L), (2L, 3L)))
+  }
+
   test("CountWindow emits only complete windows; partial stays pending") {
     val out = runOp(Seq(Seq(
       ev(1, 1, 10, vm = 1), ev(1, 2, 20, vm = 2), ev(1, 3, 30, vm = 3),

@@ -2,7 +2,10 @@
 """Local pre-validation of SparkEntry oracle parity (mimics the driver):
 run graft.Verify first, then this script compares each outDir/<name> parquet
 against the DuckDB result of oracle_sql.json, column-name-sorted, row-sorted,
-exact value compare.
+exact value compare — PLUS a pandas to_csv string compare, which is what the
+driver's hash actually sees (round-1 lesson: DuckDB sum(BIGINT) widens to
+HUGEINT -> pandas float64 -> "123.0" vs Spark int64 "123"; values equal,
+strings differ, hash_match false).
 
 Usage: python3 tools/check_oracle.py <sfDir> <outDir>
 """
@@ -44,6 +47,15 @@ def rows_of(table):
     if not data or not table.num_rows:
         return cols, []
     return cols, sorted(zip(*[[norm(v) for v in col] for col in data]), key=sort_key)
+
+
+def csv_render(table):
+    """Driver-equivalent canonical rendering: pandas frame, columns sorted by
+    name, rows sorted by all columns, serialized with to_csv."""
+    df = table.to_pandas()
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df.to_csv(index=False)
 
 
 def main(sf_dir, out_dir):
@@ -88,6 +100,19 @@ def main(sf_dir, out_dir):
             for a, b in diff[:3]:
                 print(f"   spark={a}")
                 print(f"   duck ={b}")
+            continue
+        try:
+            s_csv, d_csv = csv_render(spark_tbl), csv_render(duck)
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL {name}: csv render error (driver would crash too): {e}")
+            continue
+        if s_csv != d_csv:
+            failures.append(name)
+            first = next((a, b) for a, b in
+                         zip(s_csv.splitlines(), d_csv.splitlines()) if a != b)
+            print(f"FAIL {name}: values equal but driver-hash strings differ "
+                  f"(dtype skew): spark={first[0]!r} duck={first[1]!r}")
         else:
             print(f"OK   {name} ({len(sr)} rows)")
     print(f"\n{len(oracle) - len(failures)}/{len(oracle)} queries match")
