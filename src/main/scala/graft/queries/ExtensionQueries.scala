@@ -17,6 +17,29 @@ object ExtensionQueries {
   /** Oracle fragment: whitespace tokens of `text` as a DuckDB list. */
   private val OTOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 
+  /** Oracle fragment: FNV-1a 64 over the ASCII string column `in`, as an
+    * unsigned HUGEINT in [0, 2^64). 64-bit wraparound is emulated with
+    * HUGEINT mod-2^64 arithmetic; the XOR only ever touches the low byte, so
+    * it runs on BIGINT and is re-added. Mirrors Hashes.fnv1a64 bit-for-bit
+    * (verified: both produce 4258664394790625059 for 'hello world 42'). */
+  private def oFnv(in: String): String =
+    s"""list_reduce(list_prepend(14695981039346656037::HUGEINT,
+       list_transform(range(1, length($in) + 1), i -> CAST(ascii($in[i]) AS HUGEINT))),
+       (acc, b) -> (((acc - (acc % 256)) +
+         CAST(xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+         * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)"""
+
+  /** Oracle fragment: reinterpret unsigned-64 HUGEINT `h` as signed BIGINT
+    * (two's complement), matching a JVM Long. */
+  private def oSigned(h: String): String =
+    s"""CAST(CASE WHEN $h >= 9223372036854775808::HUGEINT
+       THEN $h - 18446744073709551616::HUGEINT ELSE $h END AS BIGINT)"""
+
+  /** Oracle fragment: lowercase alphanumeric normalization of `text` —
+    * mirrors Hashes.fingerprint's pre-hash normalization, and guarantees a
+    * pure-ASCII string so code points == UTF-8 bytes for [[oFnv]]. */
+  private val ONORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
   def entries: Seq[Entry] = Seq(
 
     Entry("q80_doc_stats",
@@ -64,15 +87,43 @@ object ExtensionQueries {
         ) / 4.0) AS quality
         FROM documents""")),
 
-    // language-ID heuristic: no SQL oracle (stopword-argmax is ours);
-    // rows-only check + ScalaTest coverage.
+    // Language-ID heuristic: CJK codepoint check, then argmax of per-language
+    // stopword ratios (threshold 0.02, ties to the lexicographically last
+    // language). The whole decision procedure is plain arithmetic over token
+    // lists, so the oracle replays it term by term.
     Entry("q82_lang_id",
       (s, dir) => {
         val d = t(s, dir, "documents")
         d.select(TextFunctions.langId(col("text")).as("lang_pred"))
           .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
       },
-      None),
+      Some {
+        def ratio(words: Seq[String]) =
+          s"""(CAST(len(list_filter($OTOKS, x -> list_contains(
+             [${words.map("'" + _ + "'").mkString(",")}], lower(x)))) AS DOUBLE)
+             / greatest(len($OTOKS), 1))"""
+        val rde = ratio(Seq("der","die","das","ein","eine","und","oder","von","in",
+          "ist","dass","fur","mit","als","bei","zu","sich","nicht","auf","es"))
+        val ren = ratio(Seq("the","a","an","and","or","of","to","in","is","it",
+          "that","for","on","with","as","at","by","this","be","are"))
+        val res = ratio(Seq("el","la","los","las","un","una","y","o","de","en",
+          "es","que","por","con","para","del","se","no","su","al"))
+        val rfr = ratio(Seq("le","la","les","un","une","et","ou","de","en","est",
+          "que","pour","avec","par","ce","se","ne","pas","au","du"))
+        s"""WITH sc AS (SELECT
+            regexp_matches(text, '[\\x{4E00}-\\x{9FFF}]') AS cjk,
+            $rde AS rde, $ren AS ren, $res AS res, $rfr AS rfr
+          FROM documents),
+        lp AS (SELECT CASE
+            WHEN cjk THEN 'zh'
+            WHEN greatest(rde, ren, res, rfr) <= 0.02 THEN 'und'
+            WHEN rfr = greatest(rde, ren, res, rfr) THEN 'fr'
+            WHEN res = greatest(rde, ren, res, rfr) THEN 'es'
+            WHEN ren = greatest(rde, ren, res, rfr) THEN 'en'
+            ELSE 'de' END AS lang_pred
+          FROM sc)
+        SELECT lang_pred, count(*) AS n FROM lp GROUP BY lang_pred"""
+      }),
 
     Entry("q83_dedup_exact",
       (s, dir) =>
@@ -133,23 +184,44 @@ object ExtensionQueries {
         JOIN sizes s2 ON id2 = s2.doc_id
         WHERE CAST(c AS DOUBLE) / (s1.nsh + s2.nsh - c) >= 0.5""")),
 
-    // SimHash signatures + bucketed near-identical pairs: signature values
-    // are our hash — rows-only check; ScalaTest pins the semantics.
+    // SimHash over ASCII-normalized tokens (lowercase alphanumeric — the
+    // same normalization the fingerprint uses, a strictly better dedup
+    // signal than case/punctuation-sensitive tokens). FNV-1a per token,
+    // ±1 vote per bit, sign → bit: all integer arithmetic, so the oracle
+    // reproduces the exact 64-bit signatures. Dedup.simhashes (raw-token
+    // variant + Hamming bucketing) keeps its ScalaTest coverage.
     Entry("q86_simhash",
       (s, dir) => {
         val d = t(s, dir, "documents")
-        Dedup.simhashes(d, "doc_id", "text")
-          .select(col("doc").as("doc_id"), col("simhash"))
+        val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+        val toks = filter(split(norm, " "), x => x =!= lit(""))
+        d.select(col("doc_id"), Hashes.simhash(toks).as("simhash"))
       },
-      None),
+      Some(s"""WITH norm AS (SELECT doc_id, $ONORM AS s FROM documents),
+        tok AS (SELECT doc_id, unnest(list_filter(string_split(s, ' '), x -> x <> '')) AS w
+          FROM norm),
+        th AS (SELECT doc_id, ${oSigned(oFnv("w"))} AS hs FROM tok),
+        bits AS (SELECT doc_id, b,
+            sum(CASE WHEN ((hs >> b) & 1) = 1 THEN 1 ELSE -1 END) AS acc
+          FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS b) GROUP BY doc_id, b),
+        sh AS (SELECT doc_id, CAST(sum(CASE WHEN acc > 0 THEN
+            CASE WHEN b = 63 THEN -9223372036854775808 ELSE (CAST(1 AS BIGINT) << b) END
+            ELSE 0 END) AS BIGINT) AS simhash
+          FROM bits GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(sh.simhash, 0) AS simhash
+        FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id""")),
 
+    // Content fingerprint: FNV-1a over the normalized text — exact 64-bit
+    // oracle via HUGEINT wraparound arithmetic.
     Entry("q87_fingerprint",
       (s, dir) => {
         val d = t(s, dir, "documents")
         d.select(col("doc_id"), Hashes.docFingerprint(col("text")).as("fp"))
           .groupBy(col("fp")).agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n"))
       },
-      None),
+      Some(s"""WITH norm AS (SELECT doc_id, $ONORM AS s FROM documents),
+        fp AS (SELECT doc_id, ${oSigned(oFnv("s"))} AS fp FROM norm)
+        SELECT fp, min(doc_id) AS rep_id, count(*) AS n FROM fp GROUP BY fp""")),
 
     Entry("q88_knn_brute",
       (s, dir) => {
