@@ -17,8 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object StatefulStreamQueries {
 
-  /** events → watermarked Dataset[KeyedEvent] keyed by user_id. */
-  private def keyedEvents(s: SparkSession, dir: String): Dataset[KeyedEvent] = {
+  /** events → watermarked Dataset[KeyedEvent] keyed by user_id.
+    * `tsUsShift` (µs, subtracted from the carried event time) lets a query
+    * derive a skewed event-time column while the stream's watermark stays on
+    * the raw `ts` — the two-tier setup the lateness operator needs. */
+  private def keyedEvents(s: SparkSession, dir: String,
+                          tsUsShift: org.apache.spark.sql.Column = lit(0L)): Dataset[KeyedEvent] = {
     import s.implicits._
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -31,7 +35,7 @@ object StatefulStreamQueries {
       else raw
     withTs.withWatermark("ts", "0 seconds")
       .select(col("user_id").as("key"), col("event_id").as("eventId"),
-        unix_micros(col("ts").cast("timestamp")).as("tsUs"),
+        (unix_micros(col("ts").cast("timestamp")) - tsUsShift).as("tsUs"),
         col("event_type").as("eventType"),
         round(col("value") * 1000).cast("long").as("valueMillis"))
       .as[KeyedEvent]
@@ -534,6 +538,73 @@ object StatefulStreamQueries {
           COALESCE(s2.nb, 0) AS fire_seq, c.n, c.sum_millis, c.last_ts_us
         FROM closes c LEFT JOIN (SELECT DISTINCT user_id, win, nb FROM bseq) s2
           ON c.user_id = s2.user_id AND c.win = s2.win""")),
+
+    // allowedLateness + late-data side output (two-tier lateness): every
+    // 5th event's event-time is shifted 8h back, making it late against the
+    // operator's clean watermark (max ts - 30min). Windows are 6h tumbles
+    // with 4h allowed lateness: late-but-allowed rows re-fire their window
+    // with refined contents; rows past the horizon land in the tagged side
+    // output. The oracle replays the whole decision procedure over the
+    // arrival order (event_id).
+    Entry("q8e_allowed_lateness",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        import graft.streaming.WindowProcessor
+        val shift = when(pmod(col("event_id"), lit(5)) === 0, lit(8L * 3600000000L))
+          .otherwise(lit(0L))
+        val out = StatefulOps.run(keyedEvents(s, dir, shift),
+            new WindowProcessor.TumblingWithLateness(
+              6L * 3600000000L, 1800000000L, 4L * 3600000000L))
+          .toDF("key", "win_start_us", "tag", "fire_seq", "trig_id", "n", "sum_millis")
+        run(out, "q8e_sink")
+      },
+      Some(s"""WITH r AS (
+          SELECT user_id AS key, event_id AS aid,
+            epoch_us(ts) - CASE WHEN event_id % 5 = 0 THEN ${8L * 3600000000L} ELSE 0 END AS ts2,
+            CAST(round(value*1000) AS BIGINT) AS vm
+          FROM events),
+        c AS (
+          SELECT key, aid, ts2, vm,
+            (ts2 // ${6L * 3600000000L}) * ${6L * 3600000000L} AS w,
+            max(ts2) OVER (PARTITION BY key ORDER BY aid) - 1800000000 AS cwm_i,
+            max(ts2) OVER (PARTITION BY key ORDER BY aid
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 1800000000 AS cwm_e
+          FROM r),
+        cls AS (
+          SELECT *, w + ${6L * 3600000000L} AS wend,
+            CASE WHEN w + ${6L * 3600000000L} + ${4L * 3600000000L} <= cwm_e THEN 'side'
+                 WHEN w + ${6L * 3600000000L} <= cwm_e THEN 'late'
+                 ELSE 'norm' END AS cls
+          FROM c),
+        fires0 AS (
+          SELECT win.key, win.w, min(c2.aid) AS fa
+          FROM (SELECT DISTINCT key, w, wend FROM cls WHERE cls <> 'side') win
+          JOIN c c2 ON c2.key = win.key AND c2.cwm_i >= win.wend
+          GROUP BY 1, 2),
+        ontime AS (
+          SELECT f.key, f.w AS win_start_us, 'fire' AS tag, f.fa AS trig_id,
+            count(*) AS n, CAST(sum(x.vm) AS BIGINT) AS sum_millis
+          FROM fires0 f JOIN cls x ON x.key = f.key AND x.w = f.w
+            AND x.cls <> 'side' AND x.aid <= f.fa
+          GROUP BY 1, 2, 3, 4),
+        latef AS (
+          SELECT l.key, l.w AS win_start_us, 'fire' AS tag, l.aid AS trig_id,
+            count(*) AS n, CAST(sum(x.vm) AS BIGINT) AS sum_millis
+          FROM (SELECT * FROM cls WHERE cls = 'late') l
+          JOIN cls x ON x.key = l.key AND x.w = l.w
+            AND x.cls <> 'side' AND x.aid <= l.aid
+          GROUP BY 1, 2, 3, 4),
+        seqd AS (
+          SELECT key, win_start_us, tag,
+            row_number() OVER (PARTITION BY key, win_start_us ORDER BY trig_id) - 1 AS fire_seq,
+            trig_id, n, sum_millis
+          FROM (SELECT * FROM ontime UNION ALL SELECT * FROM latef))
+        SELECT key, win_start_us, tag, fire_seq, trig_id, n, sum_millis FROM seqd
+        UNION ALL
+        SELECT key, w AS win_start_us, 'side' AS tag, CAST(-1 AS BIGINT) AS fire_seq,
+          aid AS trig_id, CAST(1 AS BIGINT) AS n, vm AS sum_millis
+        FROM cls WHERE cls = 'side'""")),
 
     // Multi-batch replay: the q95 running aggregate over FOUR ordered
     // micro-batches — state and watermark must carry across batches to

@@ -14,6 +14,14 @@ object StatefulOps {
   object KeyedEvent {
     val orderKey: OrderKey[KeyedEvent] =
       e => (e.tsUs / 1000, e.tsUs, e.eventId)
+
+    /** Arrival-order processing: rows drain by the real watermark but are
+      * delivered sorted by eventId (the fixture's arrival sequence), NOT by
+      * event time — the order a record-at-a-time engine would see them in.
+      * Required by operators whose semantics depend on observing lateness
+      * (an event-time-sorted drain would never see a late row). */
+    val arrivalKey: OrderKey[KeyedEvent] =
+      e => (e.tsUs / 1000, e.eventId, 0L)
   }
 
   /** Output of the streaming OVER (rows unbounded preceding) aggregate. */

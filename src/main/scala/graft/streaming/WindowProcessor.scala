@@ -136,6 +136,86 @@ object WindowProcessor {
       closeIfEnded(key, watermarkMs * 1000)
   }
 
+  /** Output of [[TumblingWithLateness]]: `tag="fire"` rows are window
+    * emissions (on-time fire_seq 0, late re-fires 1..); `tag="side"` rows
+    * are the late-data side output (beyond allowed lateness) — filter on
+    * `tag` to split the streams, the Spark equivalent of
+    * `getSideOutput(lateTag)` (see operators.SideOutputs). */
+  final case class LateFire(key: Long, winStartUs: Long, tag: String,
+                            fireSeq: Long, trigId: Long, n: Long, sumMillis: Long)
+
+  /** Tumbling event-time windows with `allowedLateness` and a late-data side
+    * output (reference: WindowOperator.allowedLateness + sideOutputLateData,
+    * flink-streaming-java/.../runtime/operators/windowing/WindowOperator
+    * .java). Spark's global watermark cannot re-admit late rows, so this is
+    * the documented two-tier approximation (NEXT.md): the stream's REAL
+    * watermark is wide enough that nothing is dropped upstream, and the
+    * operator maintains its own per-key "clean" watermark
+    * `max(eventTime) - cleanDelayUs` (a BoundedOutOfOrderness generator).
+    * Against that clean watermark, per arriving element:
+    *   - window end + lateness already passed  -> side output (expired);
+    *   - window end passed (within lateness)   -> element joins the window
+    *     and the window RE-FIRES immediately with updated contents
+    *     (fire_seq increments), Flink's late-firing refinement;
+    *   - otherwise -> normal accumulation; the window fires on-time
+    *     (fire_seq 0) once the clean watermark passes its end.
+    * Window state is evicted once end + lateness <= clean watermark.
+    * Per-key watermarking is an approximation of Flink's global watermark —
+    * documented, and strictly finer-grained (a slow key cannot mark a fast
+    * key's rows late). */
+  final class TumblingWithLateness(sizeUs: Long, cleanDelayUs: Long, latenessUs: Long)
+      extends OrderedProcessor[Long, KeyedEvent, LateFire](
+        KeyedEvent.arrivalKey, Encoders.product[KeyedEvent]) {
+
+    @transient private var maxTs: ValueState[Long] = _
+    // open windows: (winStartUs, n, sumMillis, fires)
+    @transient private var wins: ValueState[Seq[(Long, Long, Long, Long)]] = _
+
+    override protected def openState(h: StatefulProcessorHandle): Unit = {
+      maxTs = h.getValueState[Long]("lmax", Encoders.scalaLong, TTLConfig.NONE)
+      wins = h.getValueState[Seq[(Long, Long, Long, Long)]]("lwins",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long, Long, Long)]](),
+        TTLConfig.NONE)
+    }
+
+    override protected def onOrdered(key: Long, e: KeyedEvent): Iterator[LateFire] = {
+      val prevMax = if (maxTs.exists()) maxTs.get() else Long.MinValue
+      val cwmExcl = if (prevMax == Long.MinValue) Long.MinValue else prevMax - cleanDelayUs
+      val w = Math.floorDiv(e.tsUs, sizeUs) * sizeUs
+      val wend = w + sizeUs
+      val out = Seq.newBuilder[LateFire]
+      var ws = if (wins.exists()) wins.get() else Seq.empty
+      if (cwmExcl != Long.MinValue && wend + latenessUs <= cwmExcl) {
+        out += LateFire(key, w, "side", -1L, e.eventId, 1L, e.valueMillis)
+      } else {
+        val idx = ws.indexWhere(_._1 == w)
+        var (n1, s1, f1) =
+          if (idx >= 0) { val t = ws(idx); (t._2 + 1, t._3 + e.valueMillis, t._4) }
+          else (1L, e.valueMillis, 0L)
+        if (cwmExcl != Long.MinValue && wend <= cwmExcl) {
+          // late but allowed: immediate re-fire with refined contents
+          out += LateFire(key, w, "fire", f1, e.eventId, n1, s1)
+          f1 += 1
+        }
+        ws = if (idx >= 0) ws.updated(idx, (w, n1, s1, f1)) else ws :+ ((w, n1, s1, f1))
+      }
+      val newMax = math.max(prevMax, e.tsUs)
+      val cwmIncl = newMax - cleanDelayUs
+      // on-time fires for windows whose end the clean watermark just passed
+      ws = ws.sortBy(_._1).map { case t @ (st, n, s, f) =>
+        if (f == 0 && st + sizeUs <= cwmIncl && n > 0) {
+          out += LateFire(key, st, "fire", 0L, e.eventId, n, s)
+          (st, n, s, 1L)
+        } else t
+      }
+      // evict windows past their lateness horizon
+      ws = ws.filter { case (st, _, _, _) => st + sizeUs + latenessUs > cwmIncl }
+      maxTs.update(newMax)
+      wins.update(ws)
+      out.result().iterator
+    }
+  }
+
   /** Sliding windows (size, slide) with evictor support — each element
     * joins size/slide overlapping panes; event-time-ordered input closes
     * panes in start order (fire when an element or the watermark passes a

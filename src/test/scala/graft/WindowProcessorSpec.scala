@@ -28,6 +28,48 @@ class WindowProcessorSpec extends SparkSpec {
   private def ev(id: Long, tsSec: Long, vm: Long) =
     KeyedEvent(1L, id, tsSec * 1000000L, "x", vm)
 
+  private def runLate(cleanDelayUs: Long, latenessUs: Long,
+                      events: Seq[KeyedEvent]): Seq[LateFire] = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[KeyedEvent]
+    val ds = mem.toDS().withColumn("ts", timestamp_micros(col("tsUs")))
+      .withWatermark("ts", "0 seconds").drop("ts").as[KeyedEvent]
+    val out = StatefulOps.run(ds,
+      new TumblingWithLateness(WinUs, cleanDelayUs, latenessUs))
+    val name = s"late_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try { mem.addData(events: _*); q.processAllAvailable(); mem.addData(); q.processAllAvailable() }
+    finally q.stop()
+    spark.table(name).as[LateFire].collect().toSeq
+  }
+
+  test("TumblingWithLateness: on-time fire, late re-fire, side output past the horizon") {
+    // clean delay 10s, lateness 50s, 100s windows; events in ARRIVAL order:
+    //  id1 ts=50  -> w[0,100) accumulates
+    //  id2 ts=120 -> w[100,200); clean wm 110 >= 100 fires w0 on-time (n=1)
+    //  id3 ts=80  -> w0 already fired, within lateness (150 > 110): re-fire n=2
+    //  id4 ts=300 -> clean wm 290: fires w100 on-time; w0 horizon 150 <= 290 evicts
+    //  id5 ts=90  -> w0 horizon passed -> side output
+    val got = runLate(10000000L, 50000000L, Seq(
+      ev(1, 50, 10), ev(2, 120, 20), ev(3, 80, 30), ev(4, 300, 40), ev(5, 90, 50)))
+    val rows = got.map(f => (f.winStartUs, f.tag, f.fireSeq, f.trigId, f.n, f.sumMillis)).toSet
+    assert(rows === Set(
+      (0L, "fire", 0L, 2L, 1L, 10L),
+      (0L, "fire", 1L, 3L, 2L, 40L),
+      (100000000L, "fire", 0L, 4L, 1L, 20L),
+      (0L, "side", -1L, 5L, 1L, 50L)))
+  }
+
+  test("TumblingWithLateness: window first seen inside the lateness tier fires immediately") {
+    // id2 advances clean wm past w0's end before w0 has any content; id3 then
+    // creates w0 late -> immediate fire_seq 0 with just itself
+    val got = runLate(10000000L, 50000000L, Seq(
+      ev(2, 120, 20), ev(3, 80, 30)))
+    assert(got.filter(_.winStartUs == 0L)
+      .map(f => (f.tag, f.fireSeq, f.trigId, f.n, f.sumMillis)) ===
+      Seq(("fire", 0L, 3L, 1L, 30L)))
+  }
+
   test("OnWindowEnd fires a closed window once, keeps the open one pending") {
     // window [0,100s) has 2 rows; window [100s,200s) has 1 row (stays open:
     // final watermark = 150s < its end)
