@@ -36,9 +36,14 @@ object Bench {
     // charged for JVM + Spark session initialization.
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
-    val names =
-      if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) SparkEntry.queries.keys.toSeq.sorted
-      else headline.filter(SparkEntry.queries.contains)
+    // SPARK_GRAFT_BENCH_ONLY=q1,q2 filters for local iteration; the driver
+    // sets neither env var and always times the headline set.
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(only) => only.split(",").toSeq.filter(SparkEntry.queries.contains)
+      case None if sys.env.contains("SPARK_GRAFT_BENCH_ALL") =>
+        SparkEntry.queries.keys.toSeq.sorted
+      case None => headline.filter(SparkEntry.queries.contains)
+    }
     val results = names.map { name =>
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }

@@ -69,7 +69,7 @@ object GraphOps {
     val e = edges.select("src", "dst").distinct().cache()
     val outdeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
     val verts = vertices(e).cache()
-    val ranks = Iterations.iterate(verts.withColumn("rank", lit(1000000L)), iters) { cur =>
+    val ranks = Iterations.iterate(verts.withColumn("rank", lit(1000000L)), iters, fuse = 2) { cur =>
       // `div` = exact integer division (Spark's `/` would be double division)
       val contribs = e.join(cur.join(outdeg, "node"), e("src") === col("node"))
         .select(col("dst").as("node"), expr("rank div d").as("c"))

@@ -11,10 +11,21 @@ import org.apache.spark.sql.DataFrame
   */
 object Iterations {
 
-  /** Bulk iteration: apply `step` `maxIter` times. */
-  def iterate(initial: DataFrame, maxIter: Int)(step: DataFrame => DataFrame): DataFrame = {
+  /** Bulk iteration: apply `step` `maxIter` times. `fuse` rounds compile
+    * into one plan per localCheckpoint: each checkpoint is a full job with
+    * fixed scheduling cost, so fusing halves (fuse=2) the job count while
+    * keeping lineage bounded — the classic small-graph amortization; at
+    * scale the per-round shuffles dominate and fusing is neutral. */
+  def iterate(initial: DataFrame, maxIter: Int, fuse: Int = 1)(
+      step: DataFrame => DataFrame): DataFrame = {
     var cur = initial
-    for (_ <- 1 to maxIter) cur = step(cur).localCheckpoint()
+    var i = 0
+    while (i < maxIter) {
+      val k = math.min(fuse, maxIter - i)
+      for (_ <- 1 to k) cur = step(cur)
+      cur = cur.localCheckpoint()
+      i += k
+    }
     cur
   }
 
