@@ -606,6 +606,108 @@ object StatefulStreamQueries {
           aid AS trig_id, CAST(1 AS BIGINT) AS n, vm AS sum_millis
         FROM cls WHERE cls = 'side'""")),
 
+    // Punctuated watermarks: only 'purchase' events advance the operator's
+    // clean watermark (to their own event time); everything else rides on
+    // the last barrier. Same two-tier lateness classification as q8e, so
+    // the oracle only swaps the clean-watermark running aggregate.
+    Entry("q8f_punctuated_watermark",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        import graft.streaming.WindowProcessor
+        val shift = when(pmod(col("event_id"), lit(5)) === 0, lit(8L * 3600000000L))
+          .otherwise(lit(0L))
+        val out = StatefulOps.run(keyedEvents(s, dir, shift),
+            new WindowProcessor.TumblingWithLateness(
+              6L * 3600000000L,
+              WindowProcessor.Punctuated(e =>
+                if (e.eventType == "purchase") e.tsUs else Long.MinValue),
+              4L * 3600000000L))
+          .toDF("key", "win_start_us", "tag", "fire_seq", "trig_id", "n", "sum_millis")
+        run(out, "q8f_sink")
+      },
+      Some(s"""WITH r AS (
+          SELECT user_id AS key, event_id AS aid, event_type,
+            epoch_us(ts) - CASE WHEN event_id % 5 = 0 THEN ${8L * 3600000000L} ELSE 0 END AS ts2,
+            CAST(round(value*1000) AS BIGINT) AS vm
+          FROM events),
+        c AS (
+          SELECT key, aid, ts2, vm,
+            (ts2 // ${6L * 3600000000L}) * ${6L * 3600000000L} AS w,
+            max(CASE WHEN event_type = 'purchase' THEN ts2 END)
+              OVER (PARTITION BY key ORDER BY aid) AS cwm_i,
+            max(CASE WHEN event_type = 'purchase' THEN ts2 END)
+              OVER (PARTITION BY key ORDER BY aid
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cwm_e
+          FROM r),
+        cls AS (
+          SELECT *, w + ${6L * 3600000000L} AS wend,
+            CASE WHEN w + ${6L * 3600000000L} + ${4L * 3600000000L} <= cwm_e THEN 'side'
+                 WHEN w + ${6L * 3600000000L} <= cwm_e THEN 'late'
+                 ELSE 'norm' END AS cls
+          FROM c),
+        fires0 AS (
+          SELECT win.key, win.w, min(c2.aid) AS fa
+          FROM (SELECT DISTINCT key, w, wend FROM cls WHERE cls <> 'side') win
+          JOIN c c2 ON c2.key = win.key AND c2.cwm_i >= win.wend
+          GROUP BY 1, 2),
+        ontime AS (
+          SELECT f.key, f.w AS win_start_us, 'fire' AS tag, f.fa AS trig_id,
+            count(*) AS n, CAST(sum(x.vm) AS BIGINT) AS sum_millis
+          FROM fires0 f JOIN cls x ON x.key = f.key AND x.w = f.w
+            AND x.cls <> 'side' AND x.aid <= f.fa
+          GROUP BY 1, 2, 3, 4),
+        latef AS (
+          SELECT l.key, l.w AS win_start_us, 'fire' AS tag, l.aid AS trig_id,
+            count(*) AS n, CAST(sum(x.vm) AS BIGINT) AS sum_millis
+          FROM (SELECT * FROM cls WHERE cls = 'late') l
+          JOIN cls x ON x.key = l.key AND x.w = l.w
+            AND x.cls <> 'side' AND x.aid <= l.aid
+          GROUP BY 1, 2, 3, 4),
+        seqd AS (
+          SELECT key, win_start_us, tag,
+            row_number() OVER (PARTITION BY key, win_start_us ORDER BY trig_id) - 1 AS fire_seq,
+            trig_id, n, sum_millis
+          FROM (SELECT * FROM ontime UNION ALL SELECT * FROM latef))
+        SELECT key, win_start_us, tag, fire_seq, trig_id, n, sum_millis FROM seqd
+        UNION ALL
+        SELECT key, w AS win_start_us, 'side' AS tag, CAST(-1 AS BIGINT) AS fire_seq,
+          aid AS trig_id, CAST(1 AS BIGINT) AS n, vm AS sum_millis
+        FROM cls WHERE cls = 'side'""")),
+
+    // Dynamic session gaps (per-element gap: purchases close fast, the rest
+    // linger): each element extends the session end to max(end, ts + gap).
+    Entry("q8g_dynamic_session",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        import graft.streaming.WindowProcessor
+        val out = StatefulOps.run(keyedEvents(s, dir),
+            new WindowProcessor.DynamicSession(e =>
+              if (e.eventType == "purchase") 3600000000L else 3L * 3600000000L))
+          .toDF("key", "win_start_us", "fire_seq", "n", "sum_millis", "last_ts_us")
+        run(out, "q8g_sink")
+      },
+      Some("""WITH r AS (
+          SELECT user_id AS key, event_id AS aid, epoch_us(ts) AS ts_us,
+            CAST(round(value*1000) AS BIGINT) AS vm,
+            epoch_us(ts) + CASE WHEN event_type = 'purchase'
+              THEN 3600000000 ELSE 10800000000 END AS reach
+          FROM events),
+        m AS (SELECT *, max(reach) OVER (PARTITION BY key ORDER BY ts_us, aid
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+              FROM r),
+        b AS (SELECT *, CASE WHEN prev_end IS NULL OR ts_us >= prev_end
+                THEN 1 ELSE 0 END AS brk FROM m),
+        i AS (SELECT *, sum(brk) OVER (PARTITION BY key ORDER BY ts_us, aid
+                ROWS UNBOUNDED PRECEDING) AS sess FROM b),
+        g AS (SELECT key, sess, min(ts_us) AS win_start_us, count(*) AS n,
+                CAST(sum(vm) AS BIGINT) AS sum_millis,
+                max(ts_us) AS last_ts_us, max(reach) AS sess_end
+              FROM i GROUP BY 1, 2)
+        SELECT key, win_start_us, CAST(0 AS BIGINT) AS fire_seq, n, sum_millis, last_ts_us
+        FROM g WHERE sess_end <= (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM events)""")),
+
     // Multi-batch replay: the q95 running aggregate over FOUR ordered
     // micro-batches — state and watermark must carry across batches to
     // reproduce the same batch-SQL oracle.

@@ -144,6 +144,27 @@ object WindowProcessor {
   final case class LateFire(key: Long, winStartUs: Long, tag: String,
                             fireSeq: Long, trigId: Long, n: Long, sumMillis: Long)
 
+  /** Operator-internal watermark generators (reference: AssignerWith
+    * {Periodic,Punctuated}Watermarks — flink-streaming-java/.../api/
+    * functions/timestamps/BoundedOutOfOrdernessTimestampExtractor.java and
+    * AssignerWithPunctuatedWatermarks.java). Spark exposes only the bounded
+    * global watermark; these drive the per-key clean watermark inside
+    * [[TumblingWithLateness]], so punctuated generation becomes expressible. */
+  sealed trait WatermarkGen extends Serializable {
+    /** New clean watermark after observing `e` (monotone max is applied
+      * by the caller). Long.MinValue = no watermark from this element. */
+    def onElement(e: KeyedEvent): Long
+  }
+  /** Watermark trails the max seen event time by `delayUs`. */
+  final case class BoundedOutOfOrderness(delayUs: Long) extends WatermarkGen {
+    def onElement(e: KeyedEvent): Long = e.tsUs - delayUs
+  }
+  /** Watermark emitted only by marker elements (e.g. a barrier event type);
+    * non-markers never advance it. */
+  final case class Punctuated(mark: KeyedEvent => Long) extends WatermarkGen {
+    def onElement(e: KeyedEvent): Long = mark(e)
+  }
+
   /** Tumbling event-time windows with `allowedLateness` and a late-data side
     * output (reference: WindowOperator.allowedLateness + sideOutputLateData,
     * flink-streaming-java/.../runtime/operators/windowing/WindowOperator
@@ -151,7 +172,8 @@ object WindowProcessor {
     * the documented two-tier approximation (NEXT.md): the stream's REAL
     * watermark is wide enough that nothing is dropped upstream, and the
     * operator maintains its own per-key "clean" watermark
-    * `max(eventTime) - cleanDelayUs` (a BoundedOutOfOrderness generator).
+    * `max(eventTime) - cleanDelayUs` (a BoundedOutOfOrderness generator, or
+    * any [[WatermarkGen]] via the alternate constructor).
     * Against that clean watermark, per arriving element:
     *   - window end + lateness already passed  -> side output (expired);
     *   - window end passed (within lateness)   -> element joins the window
@@ -163,24 +185,27 @@ object WindowProcessor {
     * Per-key watermarking is an approximation of Flink's global watermark —
     * documented, and strictly finer-grained (a slow key cannot mark a fast
     * key's rows late). */
-  final class TumblingWithLateness(sizeUs: Long, cleanDelayUs: Long, latenessUs: Long)
+  final class TumblingWithLateness(sizeUs: Long, gen: WatermarkGen, latenessUs: Long)
       extends OrderedProcessor[Long, KeyedEvent, LateFire](
         KeyedEvent.arrivalKey, Encoders.product[KeyedEvent]) {
 
-    @transient private var maxTs: ValueState[Long] = _
+    def this(sizeUs: Long, cleanDelayUs: Long, latenessUs: Long) =
+      this(sizeUs, BoundedOutOfOrderness(cleanDelayUs), latenessUs)
+
+    // the clean watermark (µs), Long.MinValue until first emission
+    @transient private var cwm: ValueState[Long] = _
     // open windows: (winStartUs, n, sumMillis, fires)
     @transient private var wins: ValueState[Seq[(Long, Long, Long, Long)]] = _
 
     override protected def openState(h: StatefulProcessorHandle): Unit = {
-      maxTs = h.getValueState[Long]("lmax", Encoders.scalaLong, TTLConfig.NONE)
+      cwm = h.getValueState[Long]("lcwm", Encoders.scalaLong, TTLConfig.NONE)
       wins = h.getValueState[Seq[(Long, Long, Long, Long)]]("lwins",
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long, Long, Long)]](),
         TTLConfig.NONE)
     }
 
     override protected def onOrdered(key: Long, e: KeyedEvent): Iterator[LateFire] = {
-      val prevMax = if (maxTs.exists()) maxTs.get() else Long.MinValue
-      val cwmExcl = if (prevMax == Long.MinValue) Long.MinValue else prevMax - cleanDelayUs
+      val cwmExcl = if (cwm.exists()) cwm.get() else Long.MinValue
       val w = Math.floorDiv(e.tsUs, sizeUs) * sizeUs
       val wend = w + sizeUs
       val out = Seq.newBuilder[LateFire]
@@ -199,8 +224,7 @@ object WindowProcessor {
         }
         ws = if (idx >= 0) ws.updated(idx, (w, n1, s1, f1)) else ws :+ ((w, n1, s1, f1))
       }
-      val newMax = math.max(prevMax, e.tsUs)
-      val cwmIncl = newMax - cleanDelayUs
+      val cwmIncl = math.max(cwmExcl, gen.onElement(e))
       // on-time fires for windows whose end the clean watermark just passed
       ws = ws.sortBy(_._1).map { case t @ (st, n, s, f) =>
         if (f == 0 && st + sizeUs <= cwmIncl && n > 0) {
@@ -210,7 +234,7 @@ object WindowProcessor {
       }
       // evict windows past their lateness horizon
       ws = ws.filter { case (st, _, _, _) => st + sizeUs + latenessUs > cwmIncl }
-      maxTs.update(newMax)
+      cwm.update(cwmIncl)
       wins.update(ws)
       out.result().iterator
     }
@@ -343,6 +367,59 @@ object WindowProcessor {
         case _ => pane.update(p1); None
       }
       closed ++ fired.iterator
+    }
+
+    override protected def onWatermark(key: Long, watermarkMs: Long): Iterator[Fire] =
+      closeIfExpired(key, watermarkMs * 1000)
+  }
+
+  /** Session windows with a per-element gap (reference: the dynamic-gap
+    * SessionWindowTimeGapExtractor model — upstream Flink gained it in 1.4;
+    * included as a natural generalization of [[Session]]). Each element
+    * extends the open session's end to `max(end, ts + gapOf(e))`; an element
+    * at/after the current end closes the session first (event-time-ordered
+    * input makes merging append-only, as in [[Session]]). `winStartUs` is
+    * the session's first-element timestamp; one fire per closed session. */
+  final class DynamicSession(gapOf: KeyedEvent => Long, evictor: Evictor = NoEvictor)
+      extends OrderedProcessor[Long, KeyedEvent, Fire](
+        KeyedEvent.orderKey, Encoders.product[KeyedEvent]) {
+
+    // (sessStartUs, sessEndUs, rows)
+    @transient private var pane: ValueState[(Long, Long, Seq[(Long, Long)])] = _
+
+    override protected def openState(h: StatefulProcessorHandle): Unit =
+      pane = h.getValueState[(Long, Long, Seq[(Long, Long)])]("dspane",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Long, Seq[(Long, Long)])](),
+        TTLConfig.NONE)
+
+    private def evict(rows: Seq[(Long, Long)]): Seq[(Long, Long)] = evictor match {
+      case NoEvictor => rows
+      case CountEvictor(m) => rows.takeRight(m)
+      case TimeEvictor(d) =>
+        if (rows.isEmpty) rows else { val hi = rows.last._1; rows.dropWhile(_._1 < hi - d) }
+      case DeltaEvictor(th) =>
+        if (rows.isEmpty) rows
+        else { val ref = rows.last._2; rows.filter(r => math.abs(r._2 - ref) <= th) }
+    }
+
+    private def closeIfExpired(key: Long, boundaryUs: Long): Iterator[Fire] = {
+      if (!pane.exists()) return Iterator.empty
+      val (start, end, rows) = pane.get()
+      if (end <= boundaryUs) {
+        pane.clear()
+        val kept = evict(rows)
+        Iterator.single(Fire(key, start, 0L, kept.length.toLong, kept.map(_._2).sum,
+          if (kept.isEmpty) 0L else kept.last._1))
+      } else Iterator.empty
+    }
+
+    override protected def onOrdered(key: Long, e: KeyedEvent): Iterator[Fire] = {
+      val closed = closeIfExpired(key, e.tsUs)
+      val reach = e.tsUs + gapOf(e)
+      val (start, end, rows) =
+        if (pane.exists()) pane.get() else (e.tsUs, reach, Seq.empty[(Long, Long)])
+      pane.update((start, math.max(end, reach), rows :+ (e.tsUs -> e.valueMillis)))
+      closed
     }
 
     override protected def onWatermark(key: Long, watermarkMs: Long): Iterator[Fire] =

@@ -70,6 +70,58 @@ class WindowProcessorSpec extends SparkSpec {
       Seq(("fire", 0L, 3L, 1L, 30L)))
   }
 
+  test("TumblingWithLateness with Punctuated watermarks: only marker events advance the clock") {
+    // Only type "p" events emit a watermark (their own ts); others never do.
+    val evs = Seq(
+      KeyedEvent(1, 1, 50000000L, "x", 10),   // w0 accumulates
+      KeyedEvent(1, 2, 120000000L, "p", 20),  // wm=120s fires w0 on-time
+      KeyedEvent(1, 3, 80000000L, "x", 30),   // w0 late (within 50s): re-fire
+      KeyedEvent(1, 4, 310000000L, "x", 40),  // NOT a marker: no fires
+      KeyedEvent(1, 5, 320000000L, "p", 50),  // wm=320s fires w100; w0 evicts
+      KeyedEvent(1, 6, 90000000L, "x", 60))   // w0 past horizon -> side
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[KeyedEvent]
+    val ds = mem.toDS().withColumn("ts", timestamp_micros(col("tsUs")))
+      .withWatermark("ts", "0 seconds").drop("ts").as[KeyedEvent]
+    val out = StatefulOps.run(ds, new TumblingWithLateness(WinUs,
+      Punctuated(e => if (e.eventType == "p") e.tsUs else Long.MinValue), 50000000L))
+    val name = s"punct_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try { mem.addData(evs: _*); q.processAllAvailable(); mem.addData(); q.processAllAvailable() }
+    finally q.stop()
+    val got = spark.table(name).as[LateFire].collect().toSeq
+    assert(got.map(f => (f.winStartUs, f.tag, f.fireSeq, f.trigId, f.n, f.sumMillis)).toSet === Set(
+      (0L, "fire", 0L, 2L, 1L, 10L),
+      (0L, "fire", 1L, 3L, 2L, 40L),
+      (100000000L, "fire", 0L, 5L, 1L, 20L),
+      (0L, "side", -1L, 6L, 1L, 60L)))
+    // w300 stays open: the last marker (320s) never passed its end
+  }
+
+  test("DynamicSession: per-element gap extends the session end") {
+    // gap: 20s for "p", 100s otherwise; session end = max over ts+gap
+    val evs = Seq(
+      KeyedEvent(1, 1, 10000000L, "x", 1),   // sess1 [10, 110)
+      KeyedEvent(1, 2, 50000000L, "p", 2),   // reach 70 < 110: end stays
+      KeyedEvent(1, 3, 120000000L, "x", 3),  // closes sess1; sess2 [120, 220)
+      KeyedEvent(1, 4, 200000000L, "p", 4),  // reach 220: end stays 220
+      KeyedEvent(1, 5, 230000000L, "x", 5))  // closes sess2; sess3 open at end
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[KeyedEvent]
+    val ds = mem.toDS().withColumn("ts", timestamp_micros(col("tsUs")))
+      .withWatermark("ts", "0 seconds").drop("ts").as[KeyedEvent]
+    val out = StatefulOps.run(ds, new DynamicSession(
+      e => if (e.eventType == "p") 20000000L else 100000000L))
+    val name = s"dsess_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try { mem.addData(evs: _*); q.processAllAvailable(); mem.addData(); q.processAllAvailable() }
+    finally q.stop()
+    val got = spark.table(name).as[Fire].collect().toSeq
+    assert(got.map(f => (f.winStartUs, f.n, f.sumMillis, f.lastTsUs)).toSet === Set(
+      (10000000L, 2L, 3L, 50000000L),
+      (120000000L, 2L, 7L, 200000000L)))
+  }
+
   test("OnWindowEnd fires a closed window once, keeps the open one pending") {
     // window [0,100s) has 2 rows; window [100s,200s) has 1 row (stays open:
     // final watermark = 150s < its end)
