@@ -186,5 +186,233 @@ object TpchExtraQueries {
           AND ((p_brand = 'Brand#13' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
             OR (p_brand = 'Brand#20' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
             OR (p_brand = 'Brand#7' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15))""")),
+
+    // Q9-adapted: product-type profit by nation and year (no partsupp table
+    // in the fixture, so profit = discounted revenue) — the 5-way
+    // star join + two-level agg shape
+    Entry("q09_product_profit",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val p = t(s, dir, "part").filter(col("p_name").like("%widget%"))
+        val o = t(s, dir, "orders")
+        val sp = t(s, dir, "supplier")
+        val n = t(s, dir, "nation")
+        li.join(p, col("l_partkey") === col("p_partkey"))
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(sp, col("l_suppkey") === col("s_suppkey"))
+          .join(n, col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+          .agg((sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount")))) / 10000.0)
+            .as("profit"))
+      },
+      Some(s"""SELECT n_name AS nation, CAST(extract(year FROM o_orderdate) AS INT) AS o_year,
+          (CAST(sum(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})) AS BIGINT)/10000.0) AS profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY 1, 2""")),
+
+    // Q11-adapted: important stock = supplier balances per nation exceeding
+    // a fraction of the global total (no partsupp: s_acctbal as the value) —
+    // scalar subquery inside HAVING
+    Entry("q11_important_stock",
+      (s, dir) => {
+        val sp = t(s, dir, "supplier")
+        val n = t(s, dir, "nation")
+        val byNation = sp.join(n, col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name").as("nation"))
+          .agg(sum(cents(col("s_acctbal"))).as("value_c"))
+        val total = sp.agg(sum(cents(col("s_acctbal"))).as("total_c"))
+        byNation.crossJoin(broadcast(total))
+          .filter(col("value_c") * 25 > col("total_c"))
+          .select(col("nation"), col("value_c"))
+      },
+      Some(s"""SELECT n_name AS nation,
+          CAST(sum(${centsSql("s_acctbal")}) AS BIGINT) AS value_c
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+        HAVING CAST(sum(${centsSql("s_acctbal")}) AS BIGINT) * 25 >
+          (SELECT CAST(sum(${centsSql("s_acctbal")}) AS BIGINT) FROM supplier)""")),
+
+    // Q12-adapted: priority classification per returnflag ("shipmode") for a
+    // shipdate year — the CASE-sum pivot shape
+    Entry("q12_shipmode_priority",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        val o = t(s, dir, "orders")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            sum(when(col("o_orderpriority") === "1-URGENT" ||
+              col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+              col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L)).as("low_line_count"))
+      },
+      Some("""SELECT l_returnflag,
+          CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_returnflag""")),
+
+    // Q13: customer order-count distribution (left outer join + double agg);
+    // priority filter stands in for the missing o_comment predicate
+    Entry("q13_cust_distribution",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders").filter(col("o_orderpriority") =!= "1-URGENT")
+        c.join(o, col("c_custkey") === col("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+      },
+      Some("""SELECT c_count, count(*) AS custdist FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            AND o_orderpriority <> '1-URGENT'
+          GROUP BY c_custkey)
+        GROUP BY c_count""")),
+
+    // Q15: top supplier(s) by quarterly revenue — aggregate, take the max
+    // via a scalar subquery, join back to supplier
+    Entry("q15_top_supplier",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        val rev = li.groupBy(col("l_suppkey").as("supplier_no"))
+          .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
+            .as("total_revenue_c"))
+        val top = rev.agg(max(col("total_revenue_c")).as("m"))
+        rev.crossJoin(broadcast(top)).filter(col("total_revenue_c") === col("m"))
+          .join(t(s, dir, "supplier"), col("supplier_no") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"), col("total_revenue_c"))
+      },
+      Some(s"""WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+            CAST(sum(${centsSql("l_extendedprice")} * (100 - ${centsSql("l_discount")})) AS BIGINT) AS total_revenue_c
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue_c
+        FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        WHERE total_revenue_c = (SELECT max(total_revenue_c) FROM revenue)""")),
+
+    // Q16-adapted: distinct supplier counts per brand/type/size, excluding
+    // suppliers flagged by a subquery (negative balance stands in for the
+    // missing complaints comment) — NOT IN + COUNT DISTINCT shape
+    Entry("q16_parts_supplier_cnt",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val p = t(s, dir, "part").filter(col("p_brand") =!= "Brand#13" && col("p_size") <= 20)
+        val bad = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+          .select(col("s_suppkey").as("bad_key"))
+        li.join(p, col("l_partkey") === col("p_partkey"))
+          .join(bad, col("l_suppkey") === col("bad_key"), "left_anti")
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      },
+      Some("""SELECT p_brand, p_type, p_size,
+          count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#13' AND p_size <= 20
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size""")),
+
+    // Q17: small-quantity-order revenue — correlated average-quantity
+    // threshold per part (windowed avg instead of the correlated subquery:
+    // one pass, no rescan; p_type filter stands in for brand+container)
+    Entry("q17_small_qty_revenue",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val p = t(s, dir, "part").filter(col("p_type") === "SMALL")
+        val joined = li.join(p, col("l_partkey") === col("p_partkey"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("p_partkey"))
+        joined
+          // all-integer threshold (cents): qty_c * n * 10 < sum_qty_c * 5,
+          // i.e. qty < 0.5 * avg(qty) over the part, order-insensitive
+          .withColumn("sum_q", sum(cents(col("l_quantity"))).over(w))
+          .withColumn("n_q", count(lit(1)).over(w))
+          .filter(cents(col("l_quantity")) * col("n_q") * 10 < col("sum_q") * 5)
+          .agg((sum(cents(col("l_extendedprice"))) / 100.0 / 7.0).as("avg_yearly"))
+      },
+      Some(s"""SELECT ((CAST(sum(${centsSql("l_extendedprice")}) AS BIGINT)/100.0)/7.0) AS avg_yearly
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_type = 'SMALL'
+          AND ${centsSql("l_quantity")} * 10 *
+              (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+            < (SELECT CAST(sum(${centsSql("l2.l_quantity")}) AS BIGINT) FROM lineitem l2
+               WHERE l2.l_partkey = lineitem.l_partkey) * 5""")),
+
+    // Q21-adapted: suppliers whose lineitems appear in multi-supplier orders
+    // where ONLY they returned goods (EXISTS + NOT EXISTS against the same
+    // table with different correlations — no receipt/commit dates in fixture)
+    Entry("q21_waiting_suppliers",
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{max => smax}
+        val li = t(s, dir, "lineitem")
+        val sp = t(s, dir, "supplier")
+        val perOrder = li.groupBy(col("l_orderkey").as("ok"))
+          .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+            countDistinct(when(col("l_returnflag") === "R", col("l_suppkey"))).as("n_r_supp"))
+        val rLines = li.filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk")).distinct()
+        rLines.join(perOrder, "ok")
+          .filter(col("n_supp") >= 2 && col("n_r_supp") === 1)
+          .groupBy(col("sk"))
+          .agg(count(lit(1)).as("numwait"))
+          .join(sp, col("sk") === col("s_suppkey"))
+          .select(col("s_name"), col("numwait"))
+      },
+      Some("""WITH per_order AS (
+          SELECT l_orderkey AS ok, count(DISTINCT l_suppkey) AS n_supp,
+            count(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_r_supp
+          FROM lineitem GROUP BY l_orderkey),
+        r_lines AS (
+          SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+          FROM lineitem WHERE l_returnflag = 'R')
+        SELECT s_name, count(*) AS numwait
+        FROM r_lines JOIN per_order USING (ok)
+        JOIN supplier ON sk = s_suppkey
+        WHERE n_supp >= 2 AND n_r_supp = 1
+        GROUP BY s_name""")),
+
+    // Q22: customers with above-average balance and no orders — scalar
+    // subquery threshold + anti join; custkey mod 7 stands in for the
+    // missing phone country code
+    Entry("q22_sales_opportunity",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+          .withColumn("cntrycode", pmod(col("c_custkey"), lit(7)))
+          .filter(col("cntrycode").isin(1L, 2L, 3L))
+        val avgBal = c.filter(col("c_acctbal") > 0)
+          .agg((sum(cents(col("c_acctbal"))) / count(lit(1))).as("avg_c"))
+        // every fixture customer has orders, so "no orders at all" is empty;
+        // "no URGENT orders" keeps the anti-join shape with live output
+        val o = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_custkey")).distinct()
+        c.crossJoin(broadcast(avgBal))
+          .filter(cents(col("c_acctbal")) > col("avg_c"))
+          .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("cntrycode"))
+          .agg(count(lit(1)).as("numcust"), sum(cents(col("c_acctbal"))).as("totacctbal_c"))
+      },
+      Some(s"""WITH cc AS (
+          SELECT c_custkey, c_acctbal, c_custkey % 7 AS cntrycode FROM customer
+          WHERE c_custkey % 7 IN (1, 2, 3)),
+        t AS (SELECT avg(CAST(${centsSql("c_acctbal")} AS DOUBLE)) AS avg_c
+              FROM cc WHERE c_acctbal > 0)
+        SELECT cntrycode, count(*) AS numcust,
+          CAST(sum(${centsSql("c_acctbal")}) AS BIGINT) AS totacctbal_c
+        FROM cc, t
+        WHERE ${centsSql("c_acctbal")} > avg_c
+          AND NOT EXISTS (SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        GROUP BY cntrycode""")),
   )
 }
