@@ -122,6 +122,42 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** [[minhashDupPairs]] for the >10M-doc regime: the per-doc signature and
+    * shingle-hash lookup tables are persisted BUCKETED on doc id instead of
+    * broadcast, so each lookup join shuffles only the candidate set — the
+    * corpus-sized side is read pre-partitioned with zero Exchange (see
+    * BucketedJoinSpec for the plan proof). Results are identical to the
+    * broadcast path; only the join strategy changes. Use when signatures no
+    * longer fit executor memory (~10M docs × 128 longs ≈ 10 GB). */
+  def minhashDupPairsBucketed(df: DataFrame, idCol: String, textCol: String,
+                              n: Int, k: Int, bands: Int, threshold: Double,
+                              tableTag: String, buckets: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val spark = df.sparkSession
+    val sigTbl = s"graft_mh_sigs_$tableTag"
+    val shTbl = s"graft_mh_sh_$tableTag"
+    graft.sources.Sources.writeBucketed(
+      minhashSignatures(df, idCol, textCol, n, k), sigTbl, buckets, Seq("doc"))
+    graft.sources.Sources.writeBucketed(
+      df.select(col(idCol).as("doc"), Hashes.shingleHashesUdf(n)(col(textCol)).as("shs")),
+      shTbl, buckets, Seq("doc"))
+    val sigs = spark.table(sigTbl)
+    val sh = spark.table(shTbl)
+    val cands = lshCandidates(sigs, bands, k / bands)
+      .join(sigs.select(col("doc").as("id1"), col("sig").as("sig1")), "id1")
+      .join(sigs.select(col("doc").as("id2"), col("sig").as("sig2")), "id2")
+      .filter(sigAgreement(col("sig1"), col("sig2")) >= threshold - 0.25)
+      .select("id1", "id2")
+    cands
+      .join(sh.select(col("doc").as("id1"), col("shs").as("sh1")), "id1")
+      .join(sh.select(col("doc").as("id2"), col("shs").as("sh2")), "id2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("jaccard", col("inter") /
+        (size(col("sh1")) + size(col("sh2")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
   /** SimHash values per document: (doc, simhash). */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc"),

@@ -184,6 +184,37 @@ object ExtensionQueries {
         JOIN sizes s2 ON id2 = s2.doc_id
         WHERE CAST(c AS DOUBLE) / (s1.nsh + s2.nsh - c) >= 0.5""")),
 
+    // The >10M-doc scale path of q85: identical MinHash/LSH pipeline but the
+    // per-doc lookup tables are bucketed co-partitioned joins instead of
+    // broadcasts. Shares q85's exact oracle — the point IS that the scale
+    // path is result-identical.
+    Entry("q8b_minhash_bucketed",
+      (s, dir) => {
+        val tag = dir.replaceAll("[^0-9]", "")
+        val pairs = Dedup.minhashDupPairsBucketed(t(s, dir, "documents"),
+          "doc_id", "text", n = 2, k = 128, bands = 64, threshold = 0.5,
+          tableTag = tag, buckets = 8)
+        pairs.select(col("id1"), col("id2"), round(col("jaccard"), 9).as("jaccard"))
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, $OTOKS AS w FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, (w[i] || ' ' || w[i+1]) AS sh
+          FROM toks CROSS JOIN UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+        ), sizes AS (
+          SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id
+        ), common AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id1, id2,
+          round(CAST(c AS DOUBLE) / (s1.nsh + s2.nsh - c), 9) AS jaccard
+        FROM common
+        JOIN sizes s1 ON id1 = s1.doc_id
+        JOIN sizes s2 ON id2 = s2.doc_id
+        WHERE CAST(c AS DOUBLE) / (s1.nsh + s2.nsh - c) >= 0.5""")),
+
     // SimHash over ASCII-normalized tokens (lowercase alphanumeric — the
     // same normalization the fingerprint uses, a strictly better dedup
     // signal than case/punctuation-sensitive tokens). FNV-1a per token,

@@ -35,6 +35,24 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("bucketed minhash path is result-identical to the broadcast path, shuffle-free lookups") {
+    val bc = Dedup.minhashDupPairs(docs, "doc_id", "text", n = 2, k = 128,
+      bands = 64, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bkDf = Dedup.minhashDupPairsBucketed(docs, "doc_id", "text", n = 2, k = 128,
+        bands = 64, threshold = 0.5, tableTag = "spec", buckets = 4)
+      val bk = bkDf.as[(Long, Long, Double)].collect().toSet
+      assert(bk === bc)
+      // lookup side reads the bucketed table: the scan itself carries the
+      // hash partitioning (Bucketed: true), no Exchange above it
+      val plan = bkDf.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"lookup not bucketed:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("jaccardPairs exact: dup pair has jaccard 1.0") {
     val m = Dedup.jaccardPairs(docs, "doc_id", "text", n = 2, threshold = 0.05)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
