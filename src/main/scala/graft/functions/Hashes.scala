@@ -140,6 +140,14 @@ object Hashes {
   val simhashUdf = udf((toks: Seq[String]) => simHash64(toks))
   def simhash(toks: Column): Column = simhashUdf(toks)
   val hammingUdf = udf((a: Long, b: Long) => hamming64(a, b))
+  /** Native Hamming distance: bit_count(a XOR b), fully codegen'd. */
+  def hamming(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.bit_count(a.bitwiseXOR(b)).cast("int")
   val fingerprintUdf = udf((t: String) => fingerprint(t))
-  def docFingerprint(text: Column): Column = fingerprintUdf(text)
+  /** Normalization + FNV-1a as native expressions (no UDF boundary):
+    * bit-identical to [[fingerprint]] for non-null input. */
+  def docFingerprint(text: Column): Column = {
+    import org.apache.spark.sql.functions.{lower, regexp_replace, trim}
+    Fnv1a64Expr(trim(regexp_replace(lower(text), "[^a-z0-9]+", " ")))
+  }
 }

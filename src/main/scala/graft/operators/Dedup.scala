@@ -187,7 +187,7 @@ object Dedup {
       .select(col("a.doc").as("id1"), col("b.doc").as("id2"),
         col("a.simhash").as("h1"), col("b.simhash").as("h2"))
       .distinct()
-      .withColumn("hamming", Hashes.hammingUdf(col("h1"), col("h2")))
+      .withColumn("hamming", Hashes.hamming(col("h1"), col("h2")))
       .filter(col("hamming") <= maxDist)
       .select("id1", "id2", "hamming")
   }

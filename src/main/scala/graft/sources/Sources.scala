@@ -60,9 +60,17 @@ object Sources {
     * way need NO shuffle — the scale path for repeated large-large joins
     * (e.g. dedup candidate↔signature lookups at corpus scale), replacing
     * the reference's REPARTITION_HASH strategy with a persisted layout. */
-  def writeBucketed(df: DataFrame, table: String, n: Int, cols: Seq[String]): Unit =
+  def writeBucketed(df: DataFrame, table: String, n: Int, cols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    // CTAS refuses a leftover location even in overwrite mode (a dropped
+    // table's directory survives crashes) — clear both catalog entry and dir
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+    org.apache.commons.io.FileUtils.deleteQuietly(loc)
     df.write.mode("overwrite")
       .bucketBy(n, cols.head, cols.tail: _*)
       .sortBy(cols.head, cols.tail: _*)
       .format("parquet").saveAsTable(table)
+  }
 }
