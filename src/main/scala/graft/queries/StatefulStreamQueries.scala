@@ -90,11 +90,9 @@ object StatefulStreamQueries {
       .as[KeyedEvent]
   }
 
-  private def run(df: DataFrame, name: String)(implicit s: SparkSession): DataFrame = {
-    val q = df.writeStream.outputMode("append").format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
-    s.table(name)
-  }
+  // shares StreamQueries.run's scoped stream-partition sizing
+  private def run(df: DataFrame, name: String)(implicit s: SparkSession): DataFrame =
+    StreamQueries.run(df, "append", name)
 
   def entries: Seq[Entry] = Seq(
 

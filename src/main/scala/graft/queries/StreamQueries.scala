@@ -24,10 +24,21 @@ object StreamQueries {
     else raw
   }
 
-  /** Run to completion; memory sink table named after the query. */
-  private def run(df: DataFrame, mode: String, name: String)(implicit s: SparkSession): DataFrame = {
-    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+  /** Run to completion; memory sink table named after the query.
+    * Streaming state partitioning == shuffle partitions at start time, and
+    * each partition carries a state-store instance whose per-batch commit
+    * cost dominates at gate scale — size it to the data for the stream's
+    * lifetime, then restore (a real deployment sizes this to key cardinality
+    * and executor count; it is baked into the checkpoint either way). */
+  private[queries] def run(df: DataFrame, mode: String, name: String)(
+      implicit s: SparkSession): DataFrame = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    try {
+      val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 
