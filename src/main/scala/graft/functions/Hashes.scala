@@ -46,10 +46,17 @@ object Hashes {
     * E[sig_a == sig_b] ≈ J(a,b); downstream pairs are exact-verified, so
     * the hash family affects only candidate recall. */
   def minHashSignature(shingles: Seq[String], k: Int): Array[Long] = {
+    if (shingles == null || shingles.isEmpty) return Array.fill(k)(MaxHash)
+    minHashSignatureFromHashes(shingles.iterator.map(fnv1a64).toArray, k)
+  }
+
+  /** Signature from pre-hashed shingles — min over a set is duplicate- and
+    * order-invariant, so this equals [[minHashSignature]] of the original
+    * strings and lets pipelines hash each shingle exactly once. */
+  def minHashSignatureFromHashes(hs: Array[Long], k: Int): Array[Long] = {
     val ps = permCache.getOrElseUpdate(k, perms(k))
     val out = Array.fill(k)(MaxHash)
-    if (shingles == null || shingles.isEmpty) return out
-    val hs = shingles.iterator.map(fnv1a64).toArray
+    if (hs == null || hs.isEmpty) return out
     var i = 0
     while (i < k) {
       val (a0, b) = ps(i)
@@ -137,6 +144,12 @@ object Hashes {
   }
   def shingleHashesUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((t: String) => shingleHashes(t, n))
+  /** Signature over an already-hashed shingle set (one text pass total). */
+  def minhashFromHashes(hashes: Column, k: Int): Column = {
+    val f = udf((hs: Seq[Long]) => minHashSignatureFromHashes(
+      if (hs == null) Array.empty[Long] else hs.toArray, k))
+    f(hashes)
+  }
   val simhashUdf = udf((toks: Seq[String]) => simHash64(toks))
   def simhash(toks: Column): Column = simhashUdf(toks)
   val hammingUdf = udf((a: Long, b: Long) => hamming64(a, b))

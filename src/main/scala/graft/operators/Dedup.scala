@@ -102,7 +102,13 @@ object Dedup {
     // must not be shuffled once per lookup — per-doc signatures/shingles are
     // tiny relative to it (map-side hash joins at any corpus:pair ratio;
     // at true scale replace broadcast with a bucketed co-partitioned join)
-    val sigs = minhashSignatures(df, idCol, textCol, n, k).cache()
+    //
+    // ONE tokenize+shingle+hash pass per doc: signatures derive from the
+    // hashed shingle set (min is duplicate/order-invariant), which the
+    // verification step reuses.
+    val sh = df.select(col(idCol).as("doc"),
+      Hashes.shingleHashesUdf(n)(col(textCol)).as("shs")).cache()
+    val sigs = sh.select(col("doc"), Hashes.minhashFromHashes(col("shs"), k).as("sig")).cache()
     val cands = lshCandidates(sigs, bands, k / bands)
       .join(broadcast(sigs.select(col("doc").as("id1"), col("sig").as("sig1"))), "id1")
       .join(broadcast(sigs.select(col("doc").as("id2"), col("sig").as("sig2"))), "id2")
@@ -110,8 +116,6 @@ object Dedup {
       .select("id1", "id2")
     // verify on hashed shingles: long-array intersection is ~an order of
     // magnitude cheaper than string arrays, equal up to 64-bit collisions
-    val sh = df.select(col(idCol).as("doc"),
-      Hashes.shingleHashesUdf(n)(col(textCol)).as("shs")).cache()
     cands
       .join(broadcast(sh.select(col("doc").as("id1"), col("shs").as("sh1"))), "id1")
       .join(broadcast(sh.select(col("doc").as("id2"), col("shs").as("sh2"))), "id2")
@@ -136,13 +140,15 @@ object Dedup {
     val spark = df.sparkSession
     val sigTbl = s"graft_mh_sigs_$tableTag"
     val shTbl = s"graft_mh_sh_$tableTag"
-    graft.sources.Sources.writeBucketed(
-      minhashSignatures(df, idCol, textCol, n, k), sigTbl, buckets, Seq("doc"))
-    graft.sources.Sources.writeBucketed(
-      df.select(col(idCol).as("doc"), Hashes.shingleHashesUdf(n)(col(textCol)).as("shs")),
-      shTbl, buckets, Seq("doc"))
-    val sigs = spark.table(sigTbl)
+    val shSrc = df.select(col(idCol).as("doc"),
+      Hashes.shingleHashesUdf(n)(col(textCol)).as("shs"))
+    graft.sources.Sources.writeBucketed(shSrc, shTbl, buckets, Seq("doc"))
     val sh = spark.table(shTbl)
+    // signatures derive from the persisted hashes: one text pass total
+    graft.sources.Sources.writeBucketed(
+      sh.select(col("doc"), Hashes.minhashFromHashes(col("shs"), k).as("sig")),
+      sigTbl, buckets, Seq("doc"))
+    val sigs = spark.table(sigTbl)
     val cands = lshCandidates(sigs, bands, k / bands)
       .join(sigs.select(col("doc").as("id1"), col("sig").as("sig1")), "id1")
       .join(sigs.select(col("doc").as("id2"), col("sig").as("sig2")), "id2")
