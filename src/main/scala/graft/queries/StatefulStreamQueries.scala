@@ -265,6 +265,84 @@ object StatefulStreamQueries {
         WHERE epoch_us(t2) - epoch_us(t1) <= 86400000000
           AND epoch_us(t3) - epoch_us(t1) <= 86400000000""")),
 
+    // CEP oneOrMore (greedy loop): one-or-more views then the first
+    // purchase, within 1 day. Every view starts a partial, so overlapping
+    // suffix runs all report (reference NO_SKIP behavior).
+    Entry("q9k_cep_oneormore",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        import graft.streaming.{Cep, EventTimeOps}
+        val pat = Cep.Pattern.begin("view").oneOrMore
+          .followedBy("purchase").within(86400000000L)
+        val out = EventTimeOps.ordered(keyedEvents(s, dir),
+            (e: StatefulOps.KeyedEvent) => e.key, new Cep.NfaProcessor(pat))
+          .select(col("key"),
+            element_at(col("ids"), 1).as("id_first"),
+            (size(col("ids")) - 1).cast("long").as("n_views"),
+            element_at(col("ids"), -1).as("id_purchase"),
+            col("startTsUs").as("start_ts_us"), col("endTsUs").as("end_ts_us"))
+        run(out.toDF(), "q9k_sink")
+      },
+      Some("""WITH v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+        fp AS (SELECT v.user_id, v.event_id AS id_first, v.ts AS vts,
+            p.event_id AS id_purchase, p.ts AS pts
+          FROM v JOIN LATERAL (
+            SELECT event_id, ts FROM events p
+            WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+              AND (p.ts > v.ts OR (p.ts = v.ts AND p.event_id > v.event_id))
+            ORDER BY p.ts, p.event_id LIMIT 1) p ON true
+          WHERE epoch_us(p.ts) - epoch_us(v.ts) <= 86400000000)
+        SELECT user_id AS key, id_first,
+          (SELECT count(*) FROM events w
+           WHERE w.user_id = fp.user_id AND w.event_type = 'view'
+             AND (w.ts > vts OR (w.ts = vts AND w.event_id >= id_first))
+             AND (w.ts < pts OR (w.ts = pts AND w.event_id < id_purchase))) AS n_views,
+          id_purchase, epoch_us(vts) AS start_ts_us, epoch_us(pts) AS end_ts_us
+        FROM fp""")),
+
+    // CEP optional stage: view, optionally the first click, then the first
+    // purchase — the click binds only when it precedes the first purchase.
+    Entry("q9l_cep_optional",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        import graft.streaming.{Cep, EventTimeOps}
+        val pat = Cep.Pattern.begin("view").followedBy("click").optional
+          .followedBy("purchase").within(86400000000L)
+        val out = EventTimeOps.ordered(keyedEvents(s, dir),
+            (e: StatefulOps.KeyedEvent) => e.key, new Cep.NfaProcessor(pat))
+          .select(col("key"),
+            element_at(col("ids"), 1).as("id_view"),
+            when(size(col("ids")) === 3, element_at(col("ids"), 2))
+              .otherwise(lit(-1L)).as("id_click"),
+            element_at(col("ids"), -1).as("id_purchase"),
+            col("startTsUs").as("start_ts_us"), col("endTsUs").as("end_ts_us"))
+        run(out.toDF(), "q9l_sink")
+      },
+      Some("""WITH v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+        x AS (SELECT v.user_id, v.event_id AS id_view, v.ts AS vts,
+            e.event_id AS xid, e.ts AS xts, e.event_type AS xtype
+          FROM v JOIN LATERAL (
+            SELECT event_id, ts, event_type FROM events e
+            WHERE e.user_id = v.user_id AND e.event_type IN ('click', 'purchase')
+              AND (e.ts > v.ts OR (e.ts = v.ts AND e.event_id > v.event_id))
+            ORDER BY e.ts, e.event_id LIMIT 1) e ON true)
+        SELECT user_id AS key, id_view, CAST(-1 AS BIGINT) AS id_click,
+          xid AS id_purchase, epoch_us(vts) AS start_ts_us, epoch_us(xts) AS end_ts_us
+        FROM x WHERE xtype = 'purchase' AND epoch_us(xts) - epoch_us(vts) <= 86400000000
+        UNION ALL
+        SELECT x.user_id AS key, x.id_view, x.xid AS id_click,
+          p.event_id AS id_purchase, epoch_us(x.vts) AS start_ts_us,
+          epoch_us(p.ts) AS end_ts_us
+        FROM x JOIN LATERAL (
+          SELECT event_id, ts FROM events p
+          WHERE p.user_id = x.user_id AND p.event_type = 'purchase'
+            AND (p.ts > x.xts OR (p.ts = x.xts AND p.event_id > x.xid))
+          ORDER BY p.ts, p.event_id LIMIT 1) p ON true
+        WHERE x.xtype = 'click'
+          AND epoch_us(p.ts) - epoch_us(x.vts) <= 86400000000""")),
+
     // Streaming OVER ROWS BETWEEN 4 PRECEDING AND CURRENT ROW per key.
     Entry("q9b_over_rows_bounded",
       (s, dir) => {

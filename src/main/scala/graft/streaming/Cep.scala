@@ -32,13 +32,17 @@ object Cep {
   /** One pattern stage: predicate on event_type, repetition count, how it
     * attaches to the previous stage, and negative guards — event types
     * that must NOT occur between the previous binding and this one
-    * (notFollowedBy). */
+    * (notFollowedBy). `unbounded` = oneOrMore (greedy loop), `optional` =
+    * the stage may be skipped when the following stage's event arrives
+    * first. */
   final case class Stage(eventType: String, times: Int = 1,
                          contiguity: Contiguity = Relaxed,
-                         guards: Set[String] = Set.empty) extends Serializable
+                         guards: Set[String] = Set.empty,
+                         unbounded: Boolean = false,
+                         optional: Boolean = false) extends Serializable
 
   /** Fluent builder mirroring Pattern.begin(...).followedBy(...)
-    * .notFollowedBy(...).within(...). */
+    * .oneOrMore.optional.notFollowedBy(...).within(...). */
   final case class Pattern(stages: Vector[Stage], withinUs: Long = Long.MaxValue,
                            pendingGuards: Set[String] = Set.empty) {
     def next(t: String, times: Int = 1): Pattern =
@@ -51,6 +55,23 @@ object Cep {
       * (reference: Pattern.notFollowedBy; a trailing notFollowedBy with no
       * following stage is rejected, as in the reference). */
     def notFollowedBy(t: String): Pattern = copy(pendingGuards = pendingGuards + t)
+    /** The last added stage loops greedily: it absorbs every further event
+      * of its type; the next stage's first qualifying event advances the
+      * match out of the loop. A final oneOrMore stage emits a match on
+      * every absorption, the reference's extend-per-repetition behavior
+      * (reference: Pattern.oneOrMore + NFA looping TAKE state). */
+    def oneOrMore: Pattern = {
+      require(stages.nonEmpty, "oneOrMore needs a stage")
+      copy(stages = stages.init :+ stages.last.copy(unbounded = true))
+    }
+    /** The last added stage may be skipped: if the FOLLOWING stage's event
+      * arrives before this stage binds, the match proceeds without it
+      * (reference: Pattern.optional). Not allowed on the head stage (a
+      * match still needs a concrete start event). */
+    def optional: Pattern = {
+      require(stages.length >= 2, "optional is not supported on the head stage")
+      copy(stages = stages.init :+ stages.last.copy(optional = true))
+    }
     def within(us: Long): Pattern = {
       require(pendingGuards.isEmpty, "notFollowedBy must be followed by a bound stage")
       copy(withinUs = us)
@@ -85,34 +106,50 @@ object Cep {
       val out = Seq.newBuilder[Match]
       val next = Seq.newBuilder[Partial]
 
+      /** Bind `e` as a repetition of stage `i`: emits a match and/or leaves
+        * a surviving partial. A looping (oneOrMore) stage stays put and, if
+        * final, emits per absorption; a bounded stage advances on its last
+        * repetition. */
+      def bindAt(i: Int, reps0: Int, start: Long, ids: Seq[Long]): Unit = {
+        val stage = st(i)
+        val ids1 = ids :+ e.eventId
+        if (stage.unbounded) {
+          if (i == st.length - 1) out += Match(key, ids1, start, e.tsUs)
+          next += Partial(i, reps0 + 1, start, ids1)
+        } else {
+          val reps = reps0 + 1
+          if (reps == stage.times) {
+            if (i + 1 == st.length) out += Match(key, ids1, start, e.tsUs)
+            else next += Partial(i + 1, 0, start, ids1)
+          } else next += Partial(i, reps, start, ids1)
+        }
+      }
+
       cur.foreach { p =>
         if (e.tsUs - p.startTsUs > pattern.withinUs) () // overdue: prune
         else {
           val stage = st(p.stage)
-          val matches = e.eventType == stage.eventType
-          if (matches) {
-            val reps = p.reps + 1
-            val advanced =
-              if (reps == stage.times) Partial(p.stage + 1, 0, p.startTsUs, p.ids :+ e.eventId)
-              else p.copy(reps = reps, ids = p.ids :+ e.eventId)
-            if (advanced.stage == st.length) out += Match(key, advanced.ids, p.startTsUs, e.tsUs)
-            else next += advanced
-          } else if (st(p.stage).guards.contains(e.eventType)) {
+          if (e.eventType == stage.eventType) {
+            bindAt(p.stage, p.reps, p.startTsUs, p.ids)
+          } else if (stage.unbounded && p.reps >= 1 && p.stage + 1 < st.length &&
+              e.eventType == st(p.stage + 1).eventType) {
+            // loop exit: the next stage's first qualifying event advances
+            bindAt(p.stage + 1, 0, p.startTsUs, p.ids)
+          } else if (stage.optional && p.reps == 0 && p.stage + 1 < st.length &&
+              e.eventType == st(p.stage + 1).eventType) {
+            // optional skip: following stage's event arrived first
+            bindAt(p.stage + 1, 0, p.startTsUs, p.ids)
+          } else if (stage.guards.contains(e.eventType)) {
             // negative guard hit between bindings: kill the partial
           } else {
             // the pending binding's contiguity governs whether a gap is
             // allowed: relaxed skips the event, strict drops the partial
-            if (st(p.stage).contiguity == Relaxed) next += p
+            if (stage.contiguity == Relaxed) next += p
           }
         }
       }
       // a head-stage event always starts a fresh partial
-      if (e.eventType == st.head.eventType) {
-        if (st.head.times == 1) {
-          if (st.length == 1) out += Match(key, Seq(e.eventId), e.tsUs, e.tsUs)
-          else next += Partial(1, 0, e.tsUs, Seq(e.eventId))
-        } else next += Partial(0, 1, e.tsUs, Seq(e.eventId))
-      }
+      if (e.eventType == st.head.eventType) bindAt(0, 0, e.tsUs, Seq.empty)
       partials.update(next.result())
       out.result().iterator
     }

@@ -25,6 +25,39 @@ class CepSpec extends SparkSpec {
   private def ev(id: Long, tsSec: Long, typ: String) =
     KeyedEvent(1L, id, tsSec * 1000000L, typ, 0L)
 
+  test("oneOrMore absorbs the full run greedily; overlapping starts give suffix matches") {
+    // a a a b: partials start at each a; each absorbs later a's, binds b
+    val got = runPat(Cep.Pattern.begin("a").oneOrMore.followedBy("b"),
+      Seq(ev(1, 10, "a"), ev(2, 20, "a"), ev(3, 30, "a"), ev(4, 40, "b")))
+    assert(got.map(_.ids).toSet ===
+      Set(Seq(1L, 2L, 3L, 4L), Seq(2L, 3L, 4L), Seq(3L, 4L)))
+  }
+
+  test("oneOrMore with relaxed contiguity skips non-matching events inside the loop") {
+    val got = runPat(Cep.Pattern.begin("a").oneOrMore.followedBy("b"),
+      Seq(ev(1, 10, "a"), ev(2, 20, "x"), ev(3, 30, "a"), ev(4, 40, "b")))
+    assert(got.map(_.ids).toSet === Set(Seq(1L, 3L, 4L), Seq(3L, 4L)))
+  }
+
+  test("final-stage oneOrMore emits a match per absorption") {
+    val got = runPat(Cep.Pattern.begin("b").followedBy("a", times = 1).oneOrMore,
+      Seq(ev(1, 10, "b"), ev(2, 20, "a"), ev(3, 30, "a")))
+    assert(got.map(_.ids).toSet === Set(Seq(1L, 2L), Seq(1L, 2L, 3L)))
+  }
+
+  test("optional stage binds when present, is skipped when the next stage arrives first") {
+    val pat = Cep.Pattern.begin("v").followedBy("c").optional.followedBy("p")
+    // click present: bound
+    assert(runPat(pat, Seq(ev(1, 10, "v"), ev(2, 20, "c"), ev(3, 30, "p")))
+      .map(_.ids) === Seq(Seq(1L, 2L, 3L)))
+    // purchase before any click: optional skipped
+    assert(runPat(pat, Seq(ev(1, 10, "v"), ev(2, 20, "p")))
+      .map(_.ids) === Seq(Seq(1L, 2L)))
+    // purchase first, click later: the skip already consumed the match
+    assert(runPat(pat, Seq(ev(1, 10, "v"), ev(2, 20, "p"), ev(3, 30, "c"), ev(4, 40, "p")))
+      .map(_.ids) === Seq(Seq(1L, 2L)))
+  }
+
   test("followedBy skips non-matching events (relaxed contiguity)") {
     val got = runPat(Cep.Pattern.begin("a").followedBy("b"),
       Seq(ev(1, 10, "a"), ev(2, 20, "x"), ev(3, 30, "x"), ev(4, 40, "b")))
