@@ -63,4 +63,47 @@ object Multimodal {
     meta.filter(col("media_type") === "video")
       .select(col("doc_id"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+
+  private val resizedSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("media_type", StringType),
+    StructField("payload", BinaryType)))
+
+  /** STUB resize: payload → fixed-size payload, partition-local (a real
+    * build swaps the byte slice/pad for a codec resample; the
+    * binary-in/binary-out contract and partition locality are the point —
+    * payloads stream through executors, never the driver). */
+  def resize(media: DataFrame, nBytes: Int): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(resizedSchema)
+    media.select("doc_id", "media_type", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val p = r.getAs[Array[Byte]]("payload")
+        val out = new Array[Byte](nBytes)
+        var i = 0
+        while (i < nBytes) { out(i) = if (p.length > 0) p(i % p.length) else 0; i += 1 }
+        Row(r.getAs[Long]("doc_id"), r.getAs[String]("media_type"), out)
+      }
+    }(enc)
+  }
+
+  private val featSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("embedding", ArrayType(FloatType, containsNull = false))))
+
+  /** STUB feature extraction: payload → dense float embedding, partition-
+    * local and deterministic (chunked byte sums, unit-scaled) — the output
+    * shape feeds the real Similarity/ANN stack unchanged, which is the
+    * integration that matters: media → embedding → cosine KNN is the
+    * canonical multimodal-dedup pipeline. */
+  def extractFeatures(media: DataFrame, dim: Int): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(featSchema)
+    media.select("doc_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val p = r.getAs[Array[Byte]]("payload")
+        val acc = new Array[Float](dim)
+        var i = 0
+        while (i < p.length) { acc(i % dim) += (p(i) & 0xff) / 255.0f; i += 1 }
+        Row(r.getAs[Long]("doc_id"), acc.toSeq)
+      }
+    }(enc)
+  }
 }

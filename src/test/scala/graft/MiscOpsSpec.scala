@@ -49,4 +49,29 @@ class MiscOpsSpec extends SparkSpec {
       .as[(Long, Int)].collect().toSeq.sorted
     assert(frames === Seq((2L, 0), (2L, 4), (2L, 8)))
   }
+
+  test("multimodal: resize yields fixed-size payloads, schema preserved") {
+    val docs = Seq((0L, "abcdef"), (1L, "x")).toDF("doc_id", "text")
+    val resized = Multimodal.resize(
+      Multimodal.mediaFromDocuments(docs, "doc_id", "text"), nBytes = 4)
+    assert(resized.schema.fieldNames.toSeq === Seq("doc_id", "media_type", "payload"))
+    val byId = resized.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    assert(byId(0L).toSeq === "abcd".getBytes("UTF-8").toSeq) // truncated
+    assert(byId(1L).toSeq === "xxxx".getBytes("UTF-8").toSeq) // cyclic pad
+  }
+
+  test("multimodal: extracted features feed the ANN stack end to end") {
+    val docs = Seq((0L, "aaaa bbbb"), (1L, "aaaa bbbc"), (2L, "zzzz qqqq rrr"))
+      .toDF("doc_id", "text")
+    val emb = Multimodal.extractFeatures(
+      Multimodal.mediaFromDocuments(docs, "doc_id", "text"), dim = 8)
+    assert(emb.schema("embedding").dataType ===
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, false))
+    // media -> embedding -> cosine KNN: doc 1 must be doc 0's nearest
+    val knn = graft.operators.Similarity.bruteForceTopK(
+      emb, emb.filter($"doc_id" === 0L), "doc_id", "embedding", "doc_id", k = 2)
+      .orderBy($"rank").collect()
+    assert(knn.head.getAs[Long]("nbr_id") === 1L)
+  }
 }
