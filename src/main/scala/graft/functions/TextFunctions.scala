@@ -118,4 +118,43 @@ object TextFunctions {
     val ttr = typeTokenRatio(text)
     (lenOk + alpha + sw + ttr) / 4.0
   }
+
+  /** Gopher/C4-style rule-based document filters (the deterministic subset
+    * of the published heuristics that is meaningful on plain text): each
+    * rule is a boolean Column, `gopherKeep` is their conjunction. All are
+    * built from native functions, so a SQL oracle replays them exactly and
+    * the filter fuses into the scan at corpus scale. */
+  object Rules {
+    /** 50 <= token count <= 100000 (Gopher word-count band). */
+    def tokenCountOk(text: Column): Column = tokenCount(text).between(50, 100000)
+    /** Mean token length in [3, 10] characters. */
+    def meanTokenLenOk(text: Column): Column = meanTokenLen(text).between(3.0, 10.0)
+    /** At least 80% of tokens contain an alphabetic character. */
+    def alphaTokenRatioOk(text: Column): Column = {
+      val toks = tokens(text)
+      (size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("double") /
+        greatest(size(toks), lit(1)).cast("double")) > 0.8
+    }
+    /** Symbol-to-token ratio (# and ellipsis marks) below 0.1. */
+    def symbolRatioOk(text: Column): Column = {
+      val symbols = size(split(text, "#", -1)) - 1 +
+        size(split(text, "\\.\\.\\.", -1)) - 1
+      (symbols.cast("double") /
+        greatest(tokenCount(text), lit(1)).cast("double")) < 0.1
+    }
+    /** At least two distinct English stopwords appear (Gopher's
+      * "stop word" requirement — filters keyword-stuffing lists). */
+    def stopwordCountOk(text: Column): Column = {
+      val sw = lit(stopwordLists("en").toArray)
+      size(array_distinct(filter(tokens(text),
+        t => array_contains(sw, lower(t))))) >= 2
+    }
+    /** Repetition: type-token ratio above 0.2 (degenerate repeated-token
+      * documents fall far below). */
+    def repetitionOk(text: Column): Column = typeTokenRatio(text) > 0.2
+
+    def gopherKeep(text: Column): Column =
+      tokenCountOk(text) && meanTokenLenOk(text) && alphaTokenRatioOk(text) &&
+        symbolRatioOk(text) && stopwordCountOk(text) && repetitionOk(text)
+  }
 }

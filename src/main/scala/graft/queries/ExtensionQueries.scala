@@ -184,6 +184,41 @@ object ExtensionQueries {
         JOIN sizes s2 ON id2 = s2.doc_id
         WHERE CAST(c AS DOUBLE) / (s1.nsh + s2.nsh - c) >= 0.5""")),
 
+    // Gopher/C4-style rule filters: each published heuristic as a boolean
+    // column plus the conjunction keep flag — the rule-based stage of a
+    // training-data pipeline, fused into the scan.
+    Entry("q8h_gopher_rules",
+      (s, dir) => {
+        import graft.functions.TextFunctions.Rules
+        val d = t(s, dir, "documents")
+        val txt = col("text")
+        d.select(col("doc_id"),
+          Rules.tokenCountOk(txt).as("r_len"),
+          Rules.meanTokenLenOk(txt).as("r_meanlen"),
+          Rules.alphaTokenRatioOk(txt).as("r_alpha"),
+          Rules.symbolRatioOk(txt).as("r_symbol"),
+          Rules.stopwordCountOk(txt).as("r_stopword"),
+          Rules.repetitionOk(txt).as("r_repetition"),
+          Rules.gopherKeep(txt).as("keep"))
+      },
+      Some(s"""WITH r AS (SELECT doc_id,
+          (len($OTOKS) BETWEEN 50 AND 100000) AS r_len,
+          ((COALESCE(CAST(list_aggregate(list_transform($OTOKS, x -> length(x)), 'sum') AS BIGINT), 0)
+            / CAST(greatest(len($OTOKS), 1) AS DOUBLE)) BETWEEN 3.0 AND 10.0) AS r_meanlen,
+          ((CAST(len(list_filter($OTOKS, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+            / greatest(len($OTOKS), 1)) > 0.8) AS r_alpha,
+          ((CAST((length(text) - length(replace(text, '#', '')))
+              + (length(text) - length(replace(text, '...', ''))) // 3 AS DOUBLE)
+            / greatest(len($OTOKS), 1)) < 0.1) AS r_symbol,
+          (len(list_distinct(list_filter($OTOKS, x -> list_contains(
+            ['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','this','be','are'],
+            lower(x))))) >= 2) AS r_stopword,
+          ((CAST(len(list_distinct($OTOKS)) AS DOUBLE) / greatest(len($OTOKS), 1)) > 0.2) AS r_repetition
+        FROM documents)
+        SELECT doc_id, r_len, r_meanlen, r_alpha, r_symbol, r_stopword, r_repetition,
+          (r_len AND r_meanlen AND r_alpha AND r_symbol AND r_stopword AND r_repetition) AS keep
+        FROM r""")),
+
     // The >10M-doc scale path of q85: identical MinHash/LSH pipeline but the
     // per-doc lookup tables are bucketed co-partitioned joins instead of
     // broadcasts. Shares q85's exact oracle — the point IS that the scale
