@@ -164,6 +164,22 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Close the near-dup loop: given verified duplicate PAIRS, pick one
+    * representative per duplicate CLUSTER (connected components over the
+    * pair graph, representative = min id — transitively-linked docs dedup
+    * together even when the endpoints' direct similarity is below
+    * threshold, the standard corpus-dedup semantics). Docs in no pair are
+    * their own representative. Output: (id, rep_id, is_kept). */
+  def keepRepresentatives(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+    val comp = GraphOps.connectedComponents(edges)
+    df.select(col(idCol))
+      .join(comp, df(idCol) === comp("node"), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("rep_id"))
+      .withColumn("is_kept", col(idCol) === col("rep_id"))
+  }
+
   /** SimHash values per document: (doc, simhash). */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("doc"),

@@ -250,6 +250,46 @@ object ExtensionQueries {
         JOIN sizes s2 ON id2 = s2.doc_id
         WHERE CAST(c AS DOUBLE) / (s1.nsh + s2.nsh - c) >= 0.5""")),
 
+    // End-to-end dedup: MinHash/LSH pairs -> connected components over the
+    // pair graph -> one representative (min id) per duplicate cluster.
+    // Composes the dedup and graph stacks; the oracle chains the q85 pair
+    // SQL into a recursive-CTE component computation.
+    Entry("q8i_dedup_representatives",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val pairs = Dedup.minhashDupPairs(d, "doc_id", "text",
+          n = 2, k = 128, bands = 64, threshold = 0.5)
+        Dedup.keepRepresentatives(d, "doc_id", pairs)
+      },
+      Some(s"""WITH RECURSIVE toks AS (
+          SELECT doc_id, $OTOKS AS w FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, (w[i] || ' ' || w[i+1]) AS sh
+          FROM toks CROSS JOIN UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+        ), sizes AS (
+          SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id
+        ), common AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), pairs AS (
+          SELECT id1, id2 FROM common
+          JOIN sizes s1 ON id1 = s1.doc_id
+          JOIN sizes s2 ON id2 = s2.doc_id
+          WHERE CAST(c AS DOUBLE) / (s1.nsh + s2.nsh - c) >= 0.5
+        ), uedges AS (
+          SELECT id1 AS a, id2 AS b FROM pairs
+          UNION SELECT id2, id1 FROM pairs
+        ), nodes AS (SELECT DISTINCT a AS node FROM uedges),
+        reach(node, lbl) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT e.b, r.lbl FROM reach r JOIN uedges e ON e.a = r.node
+        ), comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS rep_id,
+          (d.doc_id = COALESCE(c.component, d.doc_id)) AS is_kept
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node""")),
+
     // SimHash over ASCII-normalized tokens (lowercase alphanumeric — the
     // same normalization the fingerprint uses, a strictly better dedup
     // signal than case/punctuation-sensitive tokens). FNV-1a per token,
