@@ -250,6 +250,26 @@ object ExtensionQueries {
         JOIN sizes s2 ON id2 = s2.doc_id
         WHERE CAST(c AS DOUBLE) / (s1.nsh + s2.nsh - c) >= 0.5""")),
 
+    // Corpus token accounting per (lang, source): the budgeting numbers a
+    // training-data pipeline reports — doc counts, total/mean tokens, and
+    // exact interpolated length percentiles.
+    Entry("q8j_corpus_stats",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("lang"), col("source"),
+            TextFunctions.tokenCount(col("text")).cast("long").as("ntok"))
+        d.groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("docs"),
+            sum(col("ntok")).as("total_tokens"),
+            round(expr("percentile(ntok, 0.5)"), 6).as("p50_tokens"),
+            round(expr("percentile(ntok, 0.95)"), 6).as("p95_tokens"))
+      },
+      Some(s"""SELECT lang, source, count(*) AS docs,
+          CAST(sum(len($OTOKS)) AS BIGINT) AS total_tokens,
+          round(quantile_cont(len($OTOKS), 0.5), 6) AS p50_tokens,
+          round(quantile_cont(len($OTOKS), 0.95), 6) AS p95_tokens
+        FROM documents GROUP BY lang, source""")),
+
     // End-to-end dedup: MinHash/LSH pairs -> connected components over the
     // pair graph -> one representative (min id) per duplicate cluster.
     // Composes the dedup and graph stacks; the oracle chains the q85 pair
