@@ -47,6 +47,41 @@ class RuntimeSurfaceSpec extends SparkSpec {
     assert(got(4L) === 1000L)  // 600 carried over + 400
   }
 
+  test("lateness-window state (open windows + clean watermark) survives a restart") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.WindowProcessor
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_lateckpt").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_lateckpt_out").toString
+    val mem = MemoryStream[KeyedEvent]
+    def startQuery() = {
+      val ds = mem.toDS().withColumn("ts", timestamp_micros(col("tsUs")))
+        .withWatermark("ts", "0 seconds").drop("ts").as[KeyedEvent]
+      StatefulOps.run(ds,
+          new WindowProcessor.TumblingWithLateness(100000000L, 10000000L, 50000000L))
+        .toDF("key", "win_start_us", "tag", "fire_seq", "trig_id", "n", "sum_millis")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt).start()
+    }
+    def ev(id: Long, tsSec: Long, vm: Long) = KeyedEvent(9L, id, tsSec * 1000000L, "x", vm)
+
+    val q1 = startQuery()
+    mem.addData(ev(1, 50, 10))               // w0 accumulates, stays open
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = startQuery()                    // restart: w0 must still be open
+    mem.addData(ev(2, 120, 20))              // clean wm 110 fires w0 with restored n=1
+    q2.processAllAvailable()
+    mem.addData(ev(3, 80, 30))               // late against restored clean wm: re-fire n=2
+    q2.processAllAvailable()
+    q2.stop()
+    val got = spark.read.parquet(outDir)
+      .select("win_start_us", "tag", "fire_seq", "trig_id", "n", "sum_millis")
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (0L, "fire", 0L, 2L, 1L, 10L),
+      (0L, "fire", 1L, 3L, 2L, 40L)))
+  }
+
   test("socket source streams lines from a TCP server") {
     val server = new java.net.ServerSocket(0)
     val port = server.getLocalPort
