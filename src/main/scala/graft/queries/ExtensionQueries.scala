@@ -250,6 +250,33 @@ object ExtensionQueries {
         JOIN sizes s2 ON id2 = s2.doc_id
         WHERE CAST(c AS DOUBLE) / (s1.nsh + s2.nsh - c) >= 0.5""")),
 
+    // Collocation mining: top-25 word bigrams by document frequency with a
+    // deterministic tiebreak — the phrase-statistics pass of a corpus
+    // analysis (explode + two-level agg + global top-k).
+    Entry("q8k_top_bigrams",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = t(s, dir, "documents")
+        val grams = d.select(col("doc_id"),
+            explode(TextFunctions.wordShingles(col("text"), 2)).as("bigram"))
+          .groupBy(col("bigram"))
+          .agg(countDistinct(col("doc_id")).as("doc_freq"))
+        // top-k via orderBy+limit (TakeOrderedAndProject — per-partition
+        // heaps, no global sort); rank assigned over the 25 survivors only
+        grams.orderBy(col("doc_freq").desc, col("bigram")).limit(25)
+          .withColumn("rnk",
+            row_number().over(Window.orderBy(col("doc_freq").desc, col("bigram"))))
+          .select(col("rnk"), col("bigram"), col("doc_freq"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, $OTOKS AS w FROM documents),
+        grams AS (
+          SELECT DISTINCT doc_id, (w[i] || ' ' || w[i+1]) AS bigram
+          FROM toks CROSS JOIN UNNEST(generate_series(1, len(w) - 1)) AS t(i)),
+        df AS (SELECT bigram, count(*) AS doc_freq FROM grams GROUP BY bigram)
+        SELECT rnk, bigram, doc_freq FROM (
+          SELECT *, row_number() OVER (ORDER BY doc_freq DESC, bigram) AS rnk
+          FROM df) WHERE rnk <= 25""")),
+
     // Corpus token accounting per (lang, source): the budgeting numbers a
     // training-data pipeline reports — doc counts, total/mean tokens, and
     // exact interpolated length percentiles.
