@@ -250,6 +250,17 @@ object ExtensionQueries {
         JOIN sizes s2 ON id2 = s2.doc_id
         WHERE CAST(c AS DOUBLE) / (s1.nsh + s2.nsh - c) >= 0.5""")),
 
+    // Contiguous global indexing (DataSetUtils.zipWithIndex analogue): on a
+    // sorted input the two-phase counts+offsets assignment equals the global
+    // rank regardless of partition boundaries, which is what the oracle pins.
+    Entry("q8l_zip_with_index",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id")).orderBy(col("doc_id"))
+        graft.operators.Partitioning.zipWithIndex(d, "idx")
+      },
+      Some("""SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS idx
+        FROM documents""")),
+
     // Collocation mining: top-25 word bigrams by document frequency with a
     // deterministic tiebreak — the phrase-statistics pass of a corpus
     // analysis (explode + two-level agg + global top-k).

@@ -74,4 +74,25 @@ class MiscOpsSpec extends SparkSpec {
       .orderBy($"rank").collect()
     assert(knn.head.getAs[Long]("nbr_id") === 1L)
   }
+
+  test("zipWithIndex assigns contiguous global indices across many partitions") {
+    val df = (1L to 1000L).toDF("v").repartition(16)
+    val idx = graft.operators.Partitioning.zipWithIndex(df, "idx")
+      .select("idx").as[Long].collect().sorted
+    assert(idx === (0L until 1000L).toArray)
+  }
+
+  test("zipWithIndex on sorted input equals global rank regardless of partitioning") {
+    val df = (1L to 500L).toDF("v").repartition(8).orderBy("v")
+    val got = graft.operators.Partitioning.zipWithIndex(df, "idx")
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 500L).forall(v => got(v) === v - 1))
+  }
+
+  test("zipWithUniqueId is unique in one pass (no contiguity guarantee)") {
+    val df = (1L to 1000L).toDF("v").repartition(16)
+    val ids = graft.operators.Partitioning.zipWithUniqueId(df, "uid")
+      .select("uid").as[Long].collect()
+    assert(ids.distinct.length === 1000)
+  }
 }
