@@ -59,6 +59,26 @@ object StreamQueries {
         (CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT)/1000.0) AS sum_value
         FROM events GROUP BY user_id""")),
 
+    // Stream-static enrichment (the reference's stream ⋈ static lookup
+    // pattern): the event stream joins a broadcast dimension table each
+    // micro-batch — the dimension never shuffles, the stream stays keyed.
+    Entry("q8m_stream_enrich",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        val dim = graft.Tables(s, dir, "customer")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        val agg = eventsStream(s, dir)
+          .join(broadcast(dim), col("user_id") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 1000).cast("long")).as("sum_millis"))
+        run(agg, "complete", "q8m_sink")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+          CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS sum_millis
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment""")),
+
     // event-time tumbling window aggregation, complete mode
     Entry("q91_stream_tumble",
       (s, dir) => {
