@@ -155,5 +155,47 @@ object StreamQueries {
           ON c.user_id = p.user_id AND c.event_type = 'click'
           AND p.event_type = 'purchase'
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE""")),
+
+    // LEFT OUTER stream-stream join (exceeds the reference: Flink 1.3's
+    // window join was inner-only): unmatched clicks emit with null purchase
+    // once the watermark proves no match can arrive — on a finite replay,
+    // exactly the clicks whose match horizon closed under the final
+    // watermark, which the oracle reproduces.
+    Entry("q8n_stream_join_outer",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        val clicks = eventsStream(s, dir).filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+            col("ts").as("c_ts")).withWatermark("c_ts", "1 hour")
+        val purchases = eventsStream(s, dir).filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+            col("ts").as("p_ts")).withWatermark("p_ts", "1 hour")
+        val joined = clicks.join(purchases,
+          col("c_user") === col("p_user") &&
+            col("p_ts") >= col("c_ts") &&
+            col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+          "left_outer")
+          .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"))
+        run(joined, "append", "q8n_sink")
+      },
+      Some("""WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+        p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+        matched AS (
+          SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+          FROM c JOIN p ON c.user_id = p.user_id
+            AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE),
+        wm AS (
+          -- global watermark = MIN of the two sides' own watermarks (each
+          -- side's max event time, ms-truncated, minus its 1h delay)
+          SELECT least((SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM c),
+                       (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM p))
+                 - 3600000000 AS wm_us),
+        unmatched AS (
+          SELECT c.user_id, c.event_id AS click_id, CAST(NULL AS BIGINT) AS purchase_id
+          FROM c, wm
+          WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+              AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+            AND epoch_us(c.ts) + 1800000000 < wm.wm_us)
+        SELECT * FROM matched UNION ALL SELECT * FROM unmatched""")),
   )
 }
