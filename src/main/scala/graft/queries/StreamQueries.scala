@@ -197,5 +197,53 @@ object StreamQueries {
               AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
             AND epoch_us(c.ts) + 1800000000 < wm.wm_us)
         SELECT * FROM matched UNION ALL SELECT * FROM unmatched""")),
+
+    // FULL OUTER stream-stream join: both sides emit null-padded rows once
+    // their own match horizon closes under the watermark — the left side
+    // when c.ts + 30min passes, the right side when p.ts itself passes
+    // (a purchase stays matchable by clicks up to its own timestamp).
+    Entry("q8o_stream_join_full",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        val clicks = eventsStream(s, dir).filter(col("event_type") === "click")
+          .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+            col("ts").as("c_ts")).withWatermark("c_ts", "1 hour")
+        val purchases = eventsStream(s, dir).filter(col("event_type") === "purchase")
+          .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+            col("ts").as("p_ts")).withWatermark("p_ts", "1 hour")
+        val joined = clicks.join(purchases,
+          col("c_user") === col("p_user") &&
+            col("p_ts") >= col("c_ts") &&
+            col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+          "full_outer")
+          .select(coalesce(col("c_user"), col("p_user")).as("user_id"),
+            col("click_id"), col("purchase_id"))
+        run(joined, "append", "q8o_sink")
+      },
+      Some("""WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+        p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+        wm AS (
+          SELECT least((SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM c),
+                       (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM p))
+                 - 3600000000 AS wm_us),
+        matched AS (
+          SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+          FROM c JOIN p ON c.user_id = p.user_id
+            AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE),
+        un_left AS (
+          SELECT c.user_id, c.event_id AS click_id, CAST(NULL AS BIGINT) AS purchase_id
+          FROM c, wm
+          WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+              AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+            AND epoch_us(c.ts) + 1800000000 < wm.wm_us),
+        un_right AS (
+          SELECT p.user_id, CAST(NULL AS BIGINT) AS click_id, p.event_id AS purchase_id
+          FROM p, wm
+          WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id
+              AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+            AND epoch_us(p.ts) < wm.wm_us)
+        SELECT * FROM matched
+        UNION ALL SELECT * FROM un_left
+        UNION ALL SELECT * FROM un_right""")),
   )
 }
