@@ -39,7 +39,12 @@ object Bench {
     // SPARK_GRAFT_BENCH_ONLY=q1,q2 filters for local iteration; the driver
     // sets neither env var and always times the headline set.
     val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
-      case Some(only) => only.split(",").toSeq.filter(SparkEntry.queries.contains)
+      case Some(only) =>
+        val asked = only.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        val unknown = asked.filterNot(SparkEntry.queries.contains)
+        if (unknown.nonEmpty)
+          System.err.println(s"[bench] unknown query names ignored: ${unknown.mkString(",")}")
+        asked.filter(SparkEntry.queries.contains)
       case None if sys.env.contains("SPARK_GRAFT_BENCH_ALL") =>
         SparkEntry.queries.keys.toSeq.sorted
       case None => headline.filter(SparkEntry.queries.contains)

@@ -24,7 +24,9 @@ object PlanAudit {
           val df = fn(spark, sfDir)
           df.collect()
           val p = df.queryExecution.executedPlan.toString
-          val ex = "Exchange ".r.findAllIn(p).length
+          // shuffle exchanges only — "Exchange " alone would also count
+          // BroadcastExchange and misreport broadcast-only plans
+          val ex = "(?<!Broadcast)Exchange ".r.findAllIn(p).length
           val cart = "CartesianProduct".r.findAllIn(p).length
           val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
           val sorts = "Sort ".r.findAllIn(p).length

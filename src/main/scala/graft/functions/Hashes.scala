@@ -99,10 +99,13 @@ object Hashes {
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
-  /** Content fingerprint: FNV-1a over lowercase alphanumeric normalization. */
+  /** Content fingerprint: FNV-1a over lowercase alphanumeric normalization.
+    * Locale.ROOT so the result matches Spark's locale-independent `lower()`
+    * on any JVM (default-locale toLowerCase maps 'I' -> 'ı' under tr_TR). */
   def fingerprint(text: String): Long = {
     if (text == null) 0L
-    else fnv1a64(text.toLowerCase.replaceAll("[^a-z0-9]+", " ").trim)
+    else fnv1a64(text.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("[^a-z0-9]+", " ").trim)
   }
 
   /** Distinct word n-gram shingles of `text`, one compiled pass.

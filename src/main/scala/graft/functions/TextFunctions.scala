@@ -143,11 +143,13 @@ object TextFunctions {
         greatest(tokenCount(text), lit(1)).cast("double")) < 0.1
     }
     /** At least two distinct English stopwords appear (Gopher's
-      * "stop word" requirement — filters keyword-stuffing lists). */
+      * "stop word" requirement — filters keyword-stuffing lists).
+      * Distinct is taken AFTER lowercasing, so "The the" is one stopword. */
     def stopwordCountOk(text: Column): Column = {
       val sw = lit(stopwordLists("en").toArray)
-      size(array_distinct(filter(tokens(text),
-        t => array_contains(sw, lower(t))))) >= 2
+      size(array_distinct(transform(
+        filter(tokens(text), t => array_contains(sw, lower(t))),
+        t => lower(t)))) >= 2
     }
     /** Repetition: type-token ratio above 0.2 (degenerate repeated-token
       * documents fall far below). */

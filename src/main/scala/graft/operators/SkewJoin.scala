@@ -24,16 +24,13 @@ object SkewJoin {
   def saltedInner(left: DataFrame, right: DataFrame, key: String,
                   buckets: Int): DataFrame = {
     require(buckets >= 1)
-    // Deterministic salt from the whole left row (stable across retries —
-    // a random salt would break task-retry idempotence). Exact-duplicate
-    // rows of a hot key are a common skew pathology and would all hash to
-    // one bucket, so a per-partition row index is mixed in: deterministic
-    // for a given task-attempt input, but spreads duplicates round-robin.
+    // Deterministic salt (stable across retries — a random salt would break
+    // task-retry idempotence): the per-partition row index modulo buckets is
+    // EXACT round-robin, so a hot key's rows — including exact duplicates, a
+    // common skew pathology a content hash would pile into one bucket —
+    // spread evenly by construction, with no per-row hashing cost.
     val salted = left
-      .withColumn("_rid", monotonically_increasing_id())
-      .withColumn("_salt",
-        pmod(xxhash64(struct(left.columns.map(col) :+ col("_rid"): _*)), lit(buckets)))
-      .drop("_rid")
+      .withColumn("_salt", pmod(monotonically_increasing_id(), lit(buckets.toLong)))
     val replicated = right.withColumn("_salt",
       explode(sequence(lit(0L), lit(buckets - 1L))))
     salted.join(replicated, Seq(key, "_salt"), "inner").drop("_salt")

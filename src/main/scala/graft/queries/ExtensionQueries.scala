@@ -210,9 +210,9 @@ object ExtensionQueries {
           ((CAST((length(text) - length(replace(text, '#', '')))
               + (length(text) - length(replace(text, '...', ''))) // 3 AS DOUBLE)
             / greatest(len($OTOKS), 1)) < 0.1) AS r_symbol,
-          (len(list_distinct(list_filter($OTOKS, x -> list_contains(
+          (len(list_distinct(list_transform(list_filter($OTOKS, x -> list_contains(
             ['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','this','be','are'],
-            lower(x))))) >= 2) AS r_stopword,
+            lower(x))), x -> lower(x)))) >= 2) AS r_stopword,
           ((CAST(len(list_distinct($OTOKS)) AS DOUBLE) / greatest(len($OTOKS), 1)) > 0.2) AS r_repetition
         FROM documents)
         SELECT doc_id, r_len, r_meanlen, r_alpha, r_symbol, r_stopword, r_repetition,

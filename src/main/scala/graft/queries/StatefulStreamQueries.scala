@@ -67,17 +67,26 @@ object StatefulStreamQueries {
       val bounds = Seq(
         col("event_id") <= q1, col("event_id") > q1 && col("event_id") <= q2,
         col("event_id") > q2 && col("event_id") <= q3, col("event_id") > q3)
-      mbDir.mkdirs()
+      // build in a staging dir and rename into place atomically: a crash
+      // mid-split must not leave a partial cache that later runs replay as
+      // if complete (mbDir.exists() is the only completeness signal)
+      val staging = new java.io.File(s"${mbDir.getPath}.staging_${System.nanoTime()}")
+      staging.mkdirs()
       bounds.zipWithIndex.foreach { case (cond, i) =>
-        val tmp = s"${mbDir}/stage_$i"
+        val tmp = s"${staging}/stage_$i"
         base.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
         val part = new java.io.File(tmp).listFiles()
           .find(_.getName.endsWith(".parquet")).get
-        val dst = new java.io.File(mbDir, f"batch_$i%02d.parquet")
+        val dst = new java.io.File(staging, f"batch_$i%02d.parquet")
         java.nio.file.Files.move(part.toPath, dst.toPath,
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         dst.setLastModified(1700000000000L + i * 60000L)
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
+      try java.nio.file.Files.move(staging.toPath, mbDir.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        org.apache.commons.io.FileUtils.deleteDirectory(staging) // lost a race: use the winner's
       }
     }
     val schema = base.schema
@@ -93,6 +102,57 @@ object StatefulStreamQueries {
   // shares StreamQueries.run's scoped stream-partition sizing
   private def run(df: DataFrame, name: String)(implicit s: SparkSession): DataFrame =
     StreamQueries.run(df, "append", name)
+
+  /** Shared oracle body for the two-tier lateness operators (q8e/q8f): the
+    * classification / on-time-fire / late-refire / side-output replay is
+    * identical — callers supply only the clean-watermark running aggregates
+    * over `r` (inclusive and exclusive of the current row). */
+  private def latenessOracleSql(cwmI: String, cwmE: String): String =
+    s"""WITH r AS (
+          SELECT user_id AS key, event_id AS aid, event_type,
+            epoch_us(ts) - CASE WHEN event_id % 5 = 0 THEN ${8L * 3600000000L} ELSE 0 END AS ts2,
+            CAST(round(value*1000) AS BIGINT) AS vm
+          FROM events),
+        c AS (
+          SELECT key, aid, ts2, vm,
+            (ts2 // ${6L * 3600000000L}) * ${6L * 3600000000L} AS w,
+            $cwmI AS cwm_i,
+            $cwmE AS cwm_e
+          FROM r),
+        cls AS (
+          SELECT *, w + ${6L * 3600000000L} AS wend,
+            CASE WHEN w + ${6L * 3600000000L} + ${4L * 3600000000L} <= cwm_e THEN 'side'
+                 WHEN w + ${6L * 3600000000L} <= cwm_e THEN 'late'
+                 ELSE 'norm' END AS cls
+          FROM c),
+        fires0 AS (
+          SELECT win.key, win.w, min(c2.aid) AS fa
+          FROM (SELECT DISTINCT key, w, wend FROM cls WHERE cls <> 'side') win
+          JOIN c c2 ON c2.key = win.key AND c2.cwm_i >= win.wend
+          GROUP BY 1, 2),
+        ontime AS (
+          SELECT f.key, f.w AS win_start_us, 'fire' AS tag, f.fa AS trig_id,
+            count(*) AS n, CAST(sum(x.vm) AS BIGINT) AS sum_millis
+          FROM fires0 f JOIN cls x ON x.key = f.key AND x.w = f.w
+            AND x.cls <> 'side' AND x.aid <= f.fa
+          GROUP BY 1, 2, 3, 4),
+        latef AS (
+          SELECT l.key, l.w AS win_start_us, 'fire' AS tag, l.aid AS trig_id,
+            count(*) AS n, CAST(sum(x.vm) AS BIGINT) AS sum_millis
+          FROM (SELECT * FROM cls WHERE cls = 'late') l
+          JOIN cls x ON x.key = l.key AND x.w = l.w
+            AND x.cls <> 'side' AND x.aid <= l.aid
+          GROUP BY 1, 2, 3, 4),
+        seqd AS (
+          SELECT key, win_start_us, tag,
+            row_number() OVER (PARTITION BY key, win_start_us ORDER BY trig_id) - 1 AS fire_seq,
+            trig_id, n, sum_millis
+          FROM (SELECT * FROM ontime UNION ALL SELECT * FROM latef))
+        SELECT key, win_start_us, tag, fire_seq, trig_id, n, sum_millis FROM seqd
+        UNION ALL
+        SELECT key, w AS win_start_us, 'side' AS tag, CAST(-1 AS BIGINT) AS fire_seq,
+          aid AS trig_id, CAST(1 AS BIGINT) AS n, vm AS sum_millis
+        FROM cls WHERE cls = 'side'"""
 
   def entries: Seq[Entry] = Seq(
 
@@ -635,52 +695,10 @@ object StatefulStreamQueries {
           .toDF("key", "win_start_us", "tag", "fire_seq", "trig_id", "n", "sum_millis")
         run(out, "q8e_sink")
       },
-      Some(s"""WITH r AS (
-          SELECT user_id AS key, event_id AS aid,
-            epoch_us(ts) - CASE WHEN event_id % 5 = 0 THEN ${8L * 3600000000L} ELSE 0 END AS ts2,
-            CAST(round(value*1000) AS BIGINT) AS vm
-          FROM events),
-        c AS (
-          SELECT key, aid, ts2, vm,
-            (ts2 // ${6L * 3600000000L}) * ${6L * 3600000000L} AS w,
-            max(ts2) OVER (PARTITION BY key ORDER BY aid) - 1800000000 AS cwm_i,
-            max(ts2) OVER (PARTITION BY key ORDER BY aid
-              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 1800000000 AS cwm_e
-          FROM r),
-        cls AS (
-          SELECT *, w + ${6L * 3600000000L} AS wend,
-            CASE WHEN w + ${6L * 3600000000L} + ${4L * 3600000000L} <= cwm_e THEN 'side'
-                 WHEN w + ${6L * 3600000000L} <= cwm_e THEN 'late'
-                 ELSE 'norm' END AS cls
-          FROM c),
-        fires0 AS (
-          SELECT win.key, win.w, min(c2.aid) AS fa
-          FROM (SELECT DISTINCT key, w, wend FROM cls WHERE cls <> 'side') win
-          JOIN c c2 ON c2.key = win.key AND c2.cwm_i >= win.wend
-          GROUP BY 1, 2),
-        ontime AS (
-          SELECT f.key, f.w AS win_start_us, 'fire' AS tag, f.fa AS trig_id,
-            count(*) AS n, CAST(sum(x.vm) AS BIGINT) AS sum_millis
-          FROM fires0 f JOIN cls x ON x.key = f.key AND x.w = f.w
-            AND x.cls <> 'side' AND x.aid <= f.fa
-          GROUP BY 1, 2, 3, 4),
-        latef AS (
-          SELECT l.key, l.w AS win_start_us, 'fire' AS tag, l.aid AS trig_id,
-            count(*) AS n, CAST(sum(x.vm) AS BIGINT) AS sum_millis
-          FROM (SELECT * FROM cls WHERE cls = 'late') l
-          JOIN cls x ON x.key = l.key AND x.w = l.w
-            AND x.cls <> 'side' AND x.aid <= l.aid
-          GROUP BY 1, 2, 3, 4),
-        seqd AS (
-          SELECT key, win_start_us, tag,
-            row_number() OVER (PARTITION BY key, win_start_us ORDER BY trig_id) - 1 AS fire_seq,
-            trig_id, n, sum_millis
-          FROM (SELECT * FROM ontime UNION ALL SELECT * FROM latef))
-        SELECT key, win_start_us, tag, fire_seq, trig_id, n, sum_millis FROM seqd
-        UNION ALL
-        SELECT key, w AS win_start_us, 'side' AS tag, CAST(-1 AS BIGINT) AS fire_seq,
-          aid AS trig_id, CAST(1 AS BIGINT) AS n, vm AS sum_millis
-        FROM cls WHERE cls = 'side'""")),
+      Some(latenessOracleSql(
+        cwmI = "max(ts2) OVER (PARTITION BY key ORDER BY aid) - 1800000000",
+        cwmE = """max(ts2) OVER (PARTITION BY key ORDER BY aid
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 1800000000"""))),
 
     // Punctuated watermarks: only 'purchase' events advance the operator's
     // clean watermark (to their own event time); everything else rides on
@@ -702,54 +720,12 @@ object StatefulStreamQueries {
           .toDF("key", "win_start_us", "tag", "fire_seq", "trig_id", "n", "sum_millis")
         run(out, "q8f_sink")
       },
-      Some(s"""WITH r AS (
-          SELECT user_id AS key, event_id AS aid, event_type,
-            epoch_us(ts) - CASE WHEN event_id % 5 = 0 THEN ${8L * 3600000000L} ELSE 0 END AS ts2,
-            CAST(round(value*1000) AS BIGINT) AS vm
-          FROM events),
-        c AS (
-          SELECT key, aid, ts2, vm,
-            (ts2 // ${6L * 3600000000L}) * ${6L * 3600000000L} AS w,
-            max(CASE WHEN event_type = 'purchase' THEN ts2 END)
-              OVER (PARTITION BY key ORDER BY aid) AS cwm_i,
-            max(CASE WHEN event_type = 'purchase' THEN ts2 END)
+      Some(latenessOracleSql(
+        cwmI = """max(CASE WHEN event_type = 'purchase' THEN ts2 END)
+              OVER (PARTITION BY key ORDER BY aid)""",
+        cwmE = """max(CASE WHEN event_type = 'purchase' THEN ts2 END)
               OVER (PARTITION BY key ORDER BY aid
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cwm_e
-          FROM r),
-        cls AS (
-          SELECT *, w + ${6L * 3600000000L} AS wend,
-            CASE WHEN w + ${6L * 3600000000L} + ${4L * 3600000000L} <= cwm_e THEN 'side'
-                 WHEN w + ${6L * 3600000000L} <= cwm_e THEN 'late'
-                 ELSE 'norm' END AS cls
-          FROM c),
-        fires0 AS (
-          SELECT win.key, win.w, min(c2.aid) AS fa
-          FROM (SELECT DISTINCT key, w, wend FROM cls WHERE cls <> 'side') win
-          JOIN c c2 ON c2.key = win.key AND c2.cwm_i >= win.wend
-          GROUP BY 1, 2),
-        ontime AS (
-          SELECT f.key, f.w AS win_start_us, 'fire' AS tag, f.fa AS trig_id,
-            count(*) AS n, CAST(sum(x.vm) AS BIGINT) AS sum_millis
-          FROM fires0 f JOIN cls x ON x.key = f.key AND x.w = f.w
-            AND x.cls <> 'side' AND x.aid <= f.fa
-          GROUP BY 1, 2, 3, 4),
-        latef AS (
-          SELECT l.key, l.w AS win_start_us, 'fire' AS tag, l.aid AS trig_id,
-            count(*) AS n, CAST(sum(x.vm) AS BIGINT) AS sum_millis
-          FROM (SELECT * FROM cls WHERE cls = 'late') l
-          JOIN cls x ON x.key = l.key AND x.w = l.w
-            AND x.cls <> 'side' AND x.aid <= l.aid
-          GROUP BY 1, 2, 3, 4),
-        seqd AS (
-          SELECT key, win_start_us, tag,
-            row_number() OVER (PARTITION BY key, win_start_us ORDER BY trig_id) - 1 AS fire_seq,
-            trig_id, n, sum_millis
-          FROM (SELECT * FROM ontime UNION ALL SELECT * FROM latef))
-        SELECT key, win_start_us, tag, fire_seq, trig_id, n, sum_millis FROM seqd
-        UNION ALL
-        SELECT key, w AS win_start_us, 'side' AS tag, CAST(-1 AS BIGINT) AS fire_seq,
-          aid AS trig_id, CAST(1 AS BIGINT) AS n, vm AS sum_millis
-        FROM cls WHERE cls = 'side'""")),
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"""))),
 
     // Dynamic session gaps (per-element gap: purchases close fast, the rest
     // linger): each element extends the session end to max(end, ts + gap).

@@ -76,6 +76,26 @@ object Cep {
       require(pendingGuards.isEmpty, "notFollowedBy must be followed by a bound stage")
       copy(withinUs = us)
     }
+
+    /** Structural constraints the NFA's single-stage lookahead can honor —
+      * checked at compile time (NfaProcessor construction) so unsupported
+      * shapes fail loudly instead of silently never matching:
+      *  - a trailing optional stage would be a no-op (the skip path needs a
+      *    following stage), as would consecutive optionals;
+      *  - a oneOrMore stage followed by a stage of the SAME event type can
+      *    never exit the loop (greedy absorption always wins). */
+    private[Cep] def validate(): Unit = {
+      require(!stages.last.optional,
+        "optional on the final stage is unsupported (no following stage to skip to)")
+      stages.sliding(2).foreach { w =>
+        if (w.length == 2) {
+          require(!(w(0).optional && w(1).optional),
+            "consecutive optional stages are unsupported (one stage of lookahead)")
+          require(!(w(0).unbounded && w(0).eventType == w(1).eventType),
+            s"oneOrMore('${w(0).eventType}') followed by the same type never exits the loop")
+        }
+      }
+    }
   }
 
   object Pattern {
@@ -92,6 +112,8 @@ object Cep {
   final class NfaProcessor(pattern: Pattern)
       extends OrderedProcessor[Long, KeyedEvent, Match](
         KeyedEvent.orderKey, Encoders.product[KeyedEvent]) {
+
+    pattern.validate()
 
     @transient private var partials: ValueState[Seq[Partial]] = _
 

@@ -144,8 +144,12 @@ object StatefulOps {
     * order-by value, including ones that sort after the current row — so
     * rows are held in a same-ts pending group and emitted together, each
     * with the aggregate over the full peer group, once the timestamp
-    * advances (or the drain ends via [[onWatermark]], when the watermark
-    * guarantees no more peers for that ts can arrive). */
+    * advances or the drain ends via [[onWatermark]]. Boundary caveat: a
+    * peer with ts EXACTLY equal to the watermark could still arrive in a
+    * later batch after the group flushed (only strictly-older rows are
+    * dropped as late); the reference operator has the same boundary — its
+    * RowTimeBoundedRangeOver fires at the watermark and drops subsequent
+    * equal-ts rows as late — so flushed groups match reference behavior. */
   final class RangeBoundedAgg(durUs: Long) extends OrderedProcessor[Long, KeyedEvent, RunningAggOut](
       KeyedEvent.orderKey, Encoders.product[KeyedEvent]) {
     @transient private var win: ValueState[Seq[(Long, Long)]] = _
