@@ -164,6 +164,53 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Incremental near-dedup: MinHash/LSH candidates between an `incoming`
+    * batch and the existing `corpus` ONLY — never corpus × corpus, whose
+    * cost was already paid when the corpus was built. This is the steady-
+    * state shape of a production dedup service: each ingest batch pays
+    * O(|batch| + collisions), not O(|corpus|²).
+    *
+    * Same banding + signature-agreement pre-filter + exact-Jaccard
+    * verification as [[minhashDupPairs]] (identical recall/precision
+    * properties); only the candidate join is cross-sided. At true scale
+    * the corpus-side banded buckets and shingle tables are precomputed,
+    * persisted bucketed on doc id, and only the batch side is hashed per
+    * run. Output: (new_id, old_id, jaccard >= threshold). */
+  def minhashNewVsCorpus(incoming: DataFrame, corpus: DataFrame,
+                         idCol: String, textCol: String, n: Int, k: Int,
+                         bands: Int, threshold: Double): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val rowsPerBand = k / bands
+    def prep(df: DataFrame) = {
+      val sh = df.select(col(idCol).as("doc"),
+        Hashes.shingleHashesUdf(n)(col(textCol)).as("shs")).cache()
+      val sigs = sh.select(col("doc"), Hashes.minhashFromHashes(col("shs"), k).as("sig")).cache()
+      val banded = sigs.select(col("doc"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(lit("band"), b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+        .toDF("doc", "band", "bucket")
+      (sh, sigs, banded)
+    }
+    val (shNew, sigNew, bandNew) = prep(incoming)
+    val (shOld, sigOld, bandOld) = prep(corpus)
+    val cands = bandNew.as("a").join(bandOld.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.doc").as("new_id"), col("b.doc").as("old_id"))
+      .distinct()
+      .join(broadcast(sigNew.select(col("doc").as("new_id"), col("sig").as("sig1"))), "new_id")
+      .join(broadcast(sigOld.select(col("doc").as("old_id"), col("sig").as("sig2"))), "old_id")
+      .filter(sigAgreement(col("sig1"), col("sig2")) >= threshold - 0.25)
+      .select("new_id", "old_id")
+    cands
+      .join(broadcast(shNew.select(col("doc").as("new_id"), col("shs").as("sh1"))), "new_id")
+      .join(broadcast(shOld.select(col("doc").as("old_id"), col("shs").as("sh2"))), "old_id")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("jaccard", col("inter") /
+        (size(col("sh1")) + size(col("sh2")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "old_id", "jaccard")
+  }
+
   /** Close the near-dup loop: given verified duplicate PAIRS, pick one
     * representative per duplicate CLUSTER (connected components over the
     * pair graph, representative = min id — transitively-linked docs dedup

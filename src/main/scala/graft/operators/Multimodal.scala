@@ -49,7 +49,8 @@ object Multimodal {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(metaSchema)
     media.select("doc_id", "media_type", "payload").mapPartitions { rows =>
       rows.map { r =>
-        val payload = r.getAs[Array[Byte]]("payload")
+        val payload =
+          Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.emptyByteArray)
         val (d1, d2, nf) = fakeDecode(r.getAs[String]("media_type"), payload)
         Row(r.getAs[Long]("doc_id"), r.getAs[String]("media_type"),
           payload.length, d1, d2, nf)
@@ -76,7 +77,8 @@ object Multimodal {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(resizedSchema)
     media.select("doc_id", "media_type", "payload").mapPartitions { rows =>
       rows.map { r =>
-        val p = r.getAs[Array[Byte]]("payload")
+        // null payload == empty media, not a job-killing NPE
+        val p = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.emptyByteArray)
         val out = new Array[Byte](nBytes)
         var i = 0
         while (i < nBytes) { out(i) = if (p.length > 0) p(i % p.length) else 0; i += 1 }
@@ -98,7 +100,7 @@ object Multimodal {
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(featSchema)
     media.select("doc_id", "payload").mapPartitions { rows =>
       rows.map { r =>
-        val p = r.getAs[Array[Byte]]("payload")
+        val p = Option(r.getAs[Array[Byte]]("payload")).getOrElse(Array.emptyByteArray)
         val acc = new Array[Float](dim)
         var i = 0
         while (i < p.length) { acc(i % dim) += (p(i) & 0xff) / 255.0f; i += 1 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Skew-resilient equi-join by key salting.
@@ -20,17 +21,36 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   /** Inner equi-join `left ⋈ right` on `key`, left side salted into
-    * `buckets` sub-partitions per key. Result == plain inner join. */
+    * `buckets` sub-partitions per key. Result == plain inner join.
+    *
+    * The salt is a content hash of the whole row: a pure function of the
+    * data, so a task retry recomputing a partition after an upstream shuffle
+    * reassigns rows assigns every row the SAME salt it got the first time.
+    * Position-based salts (`monotonically_increasing_id`, partition id,
+    * round-robin) depend on partition layout and intra-partition order and
+    * can change on retry, silently dropping/duplicating joined rows
+    * (SPARK-23207-class indeterminate-stage hazard) — never use them here.
+    *
+    * Caveat: exact duplicate rows hash identically and share a bucket. For
+    * inputs whose skew IS exact duplication, set `spreadDuplicates = true`:
+    * a within-(key, hash) `row_number` — deterministic because ties are
+    * byte-identical rows, so any tie order yields the same salt multiset —
+    * fans duplicates round-robin, at the cost of one extra shuffle of the
+    * left side. */
   def saltedInner(left: DataFrame, right: DataFrame, key: String,
-                  buckets: Int): DataFrame = {
+                  buckets: Int, spreadDuplicates: Boolean = false): DataFrame = {
     require(buckets >= 1)
-    // Deterministic salt (stable across retries — a random salt would break
-    // task-retry idempotence): the per-partition row index modulo buckets is
-    // EXACT round-robin, so a hot key's rows — including exact duplicates, a
-    // common skew pathology a content hash would pile into one bucket —
-    // spread evenly by construction, with no per-row hashing cost.
-    val salted = left
-      .withColumn("_salt", pmod(monotonically_increasing_id(), lit(buckets.toLong)))
+    val cols = left.columns.map(col)
+    val contentHash = xxhash64(cols.toIndexedSeq: _*)
+    val salted =
+      if (spreadDuplicates) {
+        val dupRank = row_number().over(
+          Window.partitionBy(col(key), contentHash).orderBy(contentHash))
+        left.withColumn("_salt",
+          pmod(contentHash + dupRank, lit(buckets.toLong)))
+      } else {
+        left.withColumn("_salt", pmod(contentHash, lit(buckets.toLong)))
+      }
     val replicated = right.withColumn("_salt",
       explode(sequence(lit(0L), lit(buckets - 1L))))
     salted.join(replicated, Seq(key, "_salt"), "inner").drop("_salt")

@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document-to-training-example transforms: chunking, context packing,
+  * PII scrubbing, corpus-statistics scoring.
+  *
+  * All declarative (built-in array/window functions — whole-stage codegen,
+  * no UDF in the hot path) and deterministic, so every transform is
+  * oracle-replayable and retry-stable.
+  */
+object TextPipeline {
+
+  /** Split each document into overlapping fixed-size token windows
+    * ("chunks") — the standard long-document → context-window transform.
+    * Emits (id, chunk_idx, chunk_text, n_tokens). `stride = size - overlap`
+    * tokens between chunk starts; the final partial chunk is kept iff it
+    * adds unseen tokens.
+    *
+    * Pure per-row array work (split → slice loop via transform) — no
+    * shuffle, no UDF; at 100 TB this runs fused into the scan. */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+            chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize)
+    val stride = chunkSize - overlap
+    val toks = TextFunctions.tokens(col(textCol))
+    // Chunk k starts at token k*stride and covers previously-unseen tokens
+    // iff k*stride + overlap < n, so #chunks = ceil((n-overlap)/stride) —
+    // floored at 1 for any non-empty doc (a doc shorter than the overlap
+    // still yields its one chunk). Empty docs emit nothing.
+    val nChunks = when(size(toks) > 0,
+      greatest(ceil((size(toks).cast("double") - overlap) / stride), lit(1))
+        .cast("int")).otherwise(0)
+    df.select(col(idCol), toks.as("_toks"), nChunks.as("_nc"))
+      // guard BEFORE explode: sequence(0, -1) is a DESCENDING [0,-1] in
+      // Spark, so an unguarded empty doc would emit two phantom chunks
+      .filter(col("_nc") > 0)
+      .withColumn("chunk_idx", explode(sequence(lit(0), col("_nc") - 1)))
+      .select(col(idCol), col("chunk_idx"),
+        array_join(slice(col("_toks"), col("chunk_idx") * stride + 1, lit(chunkSize)), " ")
+          .as("chunk_text"),
+        least(size(col("_toks")) - col("chunk_idx") * stride, lit(chunkSize))
+          .as("n_tokens"))
+  }
+
+  /** Token-budget packing: assign documents, in a deterministic order, to
+    * consecutive bins of ≈`budget` tokens — the scalable form of
+    * context-window packing. Bin id = which budget-multiple the doc's last
+    * token (on the capped cumulative-token axis) falls in, so each bin's
+    * capped token mass deviates from `budget` by at most the largest
+    * capped doc — bounded waste, like next-fit, but expressible as ONE
+    * window cumsum (one sort shuffle, no sequential scan: exact next-fit
+    * needs a running reset that no prefix aggregate can express).
+    * Oversized docs (> budget) count as exactly `budget` toward the
+    * cumulative axis: they always start a fresh bin, and they cannot
+    * inflate later docs' bin indices past one boundary. */
+  def packBudget(df: DataFrame, orderCol: String, tokenCol: String,
+                 budget: Long, partCol: Column = lit(0),
+                 binCol: String = "bin"): DataFrame = {
+    require(budget > 0)
+    val w = Window.partitionBy(partCol).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cumIncl = sum(least(col(tokenCol), lit(budget))).over(w)
+    df.withColumn(binCol, floor((cumIncl - 1) / budget).cast("long"))
+  }
+
+  /** PII scrubbing: mask emails, long digit runs (phone/account numbers),
+    * and IPv4 addresses; count replacements per category for audit.
+    * RE2-compatible patterns (no backrefs/lookahead) so the same regexes
+    * run identically in Spark (Java regex) and the DuckDB oracle (RE2). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val DigitRunRe = "\\b[0-9][0-9 -]{6,}[0-9]\\b"
+
+  def scrubPii(df: DataFrame, textCol: String): DataFrame = {
+    val t0 = col(textCol)
+    val t1 = regexp_replace(t0, EmailRe, "<EMAIL>")
+    val t2 = regexp_replace(t1, Ipv4Re, "<IP>")
+    val t3 = regexp_replace(t2, DigitRunRe, "<NUMBER>")
+    df.withColumn("n_emails", size(regexp_extract_all(t0, lit(EmailRe), lit(0))))
+      .withColumn("n_ips", size(regexp_extract_all(t1, lit(Ipv4Re), lit(0))))
+      .withColumn("n_numbers", size(regexp_extract_all(t2, lit(DigitRunRe), lit(0))))
+      .withColumn("clean_text", t3)
+  }
+
+  /** Unigram log-probability scoring — the cheap stand-in for the CCNet/
+    * KenLM perplexity filter: score(doc) = mean over tokens of
+    * ln P(token | corpus), with add-one smoothing over the corpus vocab.
+    * Low (very negative) scores = rare-token soup (boilerplate, garbled
+    * encodings); high = common fluent text.
+    *
+    * Two aggregations over the exploded token stream (corpus counts, then
+    * per-doc mean of broadcast-joined log-probs). The unigram table is
+    * vocab-sized — orders smaller than the corpus — and broadcasts; at
+    * 100 TB cap it with a min-count cutoff so it stays broadcastable. */
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String,
+                     minCount: Long = 1L): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    val totals = counts.agg(sum("cnt").as("total"), count(lit(1)).as("vocab"))
+    val probs = counts.crossJoin(broadcast(totals))
+      .select(col("tok"),
+        log((col("cnt") + 1).cast("double") / (col("total") + col("vocab")))
+          .as("logp"))
+    toks.join(broadcast(probs), Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(avg(col("logp")).as("logprob"), count(lit(1)).as("n_toks"))
+  }
+}

@@ -225,7 +225,11 @@ object ExtensionQueries {
     // path is result-identical.
     Entry("q8b_minhash_bucketed",
       (s, dir) => {
-        val tag = dir.replaceAll("[^0-9]", "")
+        // Full-path hash, not digit extraction: two fixture dirs with the
+        // same digits must not collide on the same catalog table names
+        // (writeBucketed DROPs the colliding table mid-flight).
+        val tag = java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
         val pairs = Dedup.minhashDupPairsBucketed(t(s, dir, "documents"),
           "doc_id", "text", n = 2, k = 128, bands = 64, threshold = 0.5,
           tableTag = tag, buckets = 8)

@@ -1,0 +1,292 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions
+import graft.operators.{AsOfJoin, BloomPrune, Dedup, RangeJoin, Sampling, TextPipeline}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-3 additions: temporal joins (as-of, binned range), bloom-pruned
+  * joins, deterministic sampling/splits, and document→training-example
+  * transforms (chunking, packing, PII scrubbing, unigram LM scoring,
+  * incremental dedup).
+  */
+object PipelineQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** Oracle fragment: whitespace tokens of `text` as a DuckDB list. */
+  private val OTOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+  /** Oracle fragment: FNV-1a 64 over an ASCII string expression `in`, as an
+    * unsigned HUGEINT — mirrors graft.functions.Fnv1a64Expr bit-for-bit
+    * (same construction as ExtensionQueries' fingerprint oracle). */
+  private def oFnv(in: String): String =
+    s"""list_reduce(list_prepend(14695981039346656037::HUGEINT,
+       list_transform(range(1, length($in) + 1), i -> CAST(ascii($in[i]) AS HUGEINT))),
+       (acc, b) -> (((acc - (acc % 256)) +
+         CAST(xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
+         * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)"""
+
+  /** Oracle fragment: Sampling.unitHash replayed — (fnv >>> 11) / 2^53. */
+  private def oUnitHash(idExpr: String, salt: String): String =
+    s"""(CAST(${oFnv(s"(CAST($idExpr AS VARCHAR) || ':$salt')")} // 2048::HUGEINT AS DOUBLE)
+        / 9007199254740992.0)"""
+
+  private val DayUs = 86400000000L
+  private val FiveMinUs = 300000000L
+
+  def entries: Seq[Entry] = Seq(
+
+    // ---- as-of (point-in-time) joins --------------------------------------
+
+    Entry("qb0_asof_backward",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        AsOfJoin.backward(views, purchases, key = "user_id",
+          leftTs = "ts", rightTs = "ts", tiebreak = "event_id",
+          toleranceUs = DayUs, rightPrefix = "p_")
+          .select(col("event_id").as("view_id"), col("user_id"),
+            unix_micros(col("ts")).as("view_ts_us"),
+            col("p_event_id").as("purchase_id"),
+            unix_micros(col("p_ts")).as("purchase_ts_us"),
+            col("p_value").as("purchase_value"))
+      },
+      Some(s"""WITH u AS (
+          SELECT user_id, ts, 0 AS is_left, event_id, value FROM events
+          WHERE event_type = 'purchase'
+          UNION ALL
+          SELECT user_id, ts, 1, event_id, NULL FROM events
+          WHERE event_type = 'view'
+        ), c AS (
+          SELECT user_id, ts, is_left, event_id,
+            last_value(CASE WHEN is_left = 0 THEN event_id END IGNORE NULLS) OVER w AS p_id,
+            last_value(CASE WHEN is_left = 0 THEN epoch_us(ts) END IGNORE NULLS) OVER w AS p_ts_us,
+            last_value(CASE WHEN is_left = 0 THEN value END IGNORE NULLS) OVER w AS p_value
+          FROM u
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_left, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id AS view_id, user_id, epoch_us(ts) AS view_ts_us,
+          CASE WHEN epoch_us(ts) - p_ts_us <= $DayUs THEN p_id END AS purchase_id,
+          CASE WHEN epoch_us(ts) - p_ts_us <= $DayUs THEN p_ts_us END AS purchase_ts_us,
+          CASE WHEN epoch_us(ts) - p_ts_us <= $DayUs THEN p_value END AS purchase_value
+        FROM c WHERE is_left = 1""")),
+
+    Entry("qb1_asof_forward",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        AsOfJoin.forward(signups, purchases, key = "user_id",
+          leftTs = "ts", rightTs = "ts", tiebreak = "event_id",
+          rightPrefix = "p_")
+          .select(col("event_id").as("signup_id"), col("user_id"),
+            unix_micros(col("ts")).as("signup_ts_us"),
+            col("p_event_id").as("purchase_id"),
+            unix_micros(col("p_ts")).as("purchase_ts_us"))
+      },
+      Some("""WITH u AS (
+          SELECT user_id, ts, 0 AS is_left, event_id FROM events
+          WHERE event_type = 'purchase'
+          UNION ALL
+          SELECT user_id, ts, 1, event_id FROM events
+          WHERE event_type = 'signup'
+        ), c AS (
+          SELECT user_id, ts, is_left, event_id,
+            last_value(CASE WHEN is_left = 0 THEN event_id END IGNORE NULLS) OVER w AS p_id,
+            last_value(CASE WHEN is_left = 0 THEN epoch_us(ts) END IGNORE NULLS) OVER w AS p_ts_us
+          FROM u
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, is_left, event_id DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_id AS signup_id, user_id, epoch_us(ts) AS signup_ts_us,
+          p_id AS purchase_id, p_ts_us AS purchase_ts_us
+        FROM c WHERE is_left = 1""")),
+
+    // ---- binned non-equi range join ---------------------------------------
+
+    Entry("qb2_range_join_binned",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val points = ev.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), unix_micros(col("ts")).as("pt_us"))
+        val intervals = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("error_id"),
+            unix_micros(col("ts")).as("lo_us"),
+            (unix_micros(col("ts")) + FiveMinUs).as("hi_us"))
+        RangeJoin.pointInInterval(points, "pt_us", intervals, "lo_us", "hi_us",
+          binWidthUs = FiveMinUs)
+          .select("view_id", "error_id", "pt_us", "lo_us")
+      },
+      Some(s"""SELECT v.event_id AS view_id, e.event_id AS error_id,
+          epoch_us(v.ts) AS pt_us, epoch_us(e.ts) AS lo_us
+        FROM events v JOIN events e
+          ON v.event_type = 'view' AND e.event_type = 'error'
+          AND epoch_us(v.ts) >= epoch_us(e.ts)
+          AND epoch_us(v.ts) < epoch_us(e.ts) + $FiveMinUs""")),
+
+    // ---- bloom-pruned semi join -------------------------------------------
+
+    Entry("qb3_bloom_semi",
+      (s, dir) => {
+        val bigOrders = t(s, dir, "orders")
+          .filter(col("o_totalprice") > 400000.0)
+          .select(col("o_custkey").as("c_custkey"))
+        BloomPrune.semiJoin(t(s, dir, "customer"), bigOrders, "c_custkey",
+          expectedItems = 100000L)
+          .select("c_custkey", "c_name")
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)""")),
+
+    // ---- deterministic sampling / splits ----------------------------------
+
+    Entry("qb4_split",
+      (s, dir) => Sampling.split(t(s, dir, "documents"), "doc_id",
+          weights = Seq(0.8, 0.1, 0.1), names = Seq("train", "val", "test"))
+        .select("doc_id", "split"),
+      Some(s"""SELECT doc_id,
+          CASE WHEN ${oUnitHash("doc_id", "split")} < 0.8 THEN 'train'
+               WHEN ${oUnitHash("doc_id", "split")} < 0.9 THEN 'val'
+               ELSE 'test' END AS split
+        FROM documents""")),
+
+    Entry("qb5_stratified_sample",
+      (s, dir) => Sampling.stratified(t(s, dir, "documents"), "doc_id", "lang",
+          fractions = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1))
+        .select("doc_id", "lang"),
+      Some(s"""SELECT doc_id, lang FROM documents
+        WHERE ${oUnitHash("doc_id", "strat")} <
+          CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 WHEN 'fr' THEN 0.1
+               ELSE 0.0 END""")),
+
+    // ---- document -> training-example transforms --------------------------
+
+    Entry("qb6_chunk",
+      (s, dir) => TextPipeline.chunk(t(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 64, overlap = 16),
+      Some(s"""WITH toks AS (
+          SELECT doc_id, $OTOKS AS w FROM documents
+        ), n AS (
+          SELECT doc_id, w, len(w) AS n FROM toks
+        ), c AS (
+          SELECT doc_id, w, n,
+            unnest(range(CAST(CASE WHEN n > 0
+              THEN greatest(ceil((n - 16) / 48.0), 1) ELSE 0 END AS BIGINT))) AS ci
+          FROM n
+        )
+        SELECT doc_id, ci AS chunk_idx,
+          array_to_string(w[ci*48 + 1 : ci*48 + 64], ' ') AS chunk_text,
+          least(n - ci*48, 64) AS n_tokens
+        FROM c""")),
+
+    Entry("qb7_pack_budget",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextFunctions.tokenCount(col("text")).as("n_toks"))
+        TextPipeline.packBudget(d, orderCol = "doc_id", tokenCol = "n_toks",
+          budget = 500L, partCol = col("lang"))
+      },
+      Some(s"""SELECT doc_id, lang, len($OTOKS) AS n_toks,
+          CAST(floor((sum(least(len($OTOKS), 500)) OVER
+            (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) / 500)
+            AS BIGINT) AS bin
+        FROM documents""")),
+
+    Entry("qb8_pii_scrub",
+      (s, dir) => {
+        // fixture text carries no PII, so plant a deterministic specimen per
+        // doc — the scrub pipeline and its oracle replay the same planting
+        val d = t(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"), lit(" contact user"), col("doc_id"),
+            lit("@example.com via 10.0.0."), pmod(col("doc_id"), lit(256)),
+            lit(" or 555-123-4567")).as("text"))
+        TextPipeline.scrubPii(d, "text")
+          .select("doc_id", "n_emails", "n_ips", "n_numbers", "clean_text")
+      },
+      Some {
+        val t0 = """(text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+          '@example.com via 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+          ' or 555-123-4567')"""
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+        val num = "\\b[0-9][0-9 -]{6,}[0-9]\\b"
+        s"""WITH staged AS (
+          SELECT doc_id, $t0 AS t0,
+            regexp_replace($t0, '$email', '<EMAIL>', 'g') AS t1
+          FROM documents
+        ), staged2 AS (
+          SELECT doc_id, t0, t1,
+            regexp_replace(t1, '$ip', '<IP>', 'g') AS t2
+          FROM staged
+        )
+        SELECT doc_id,
+          len(regexp_extract_all(t0, '$email')) AS n_emails,
+          len(regexp_extract_all(t1, '$ip')) AS n_ips,
+          len(regexp_extract_all(t2, '$num')) AS n_numbers,
+          regexp_replace(t2, '$num', '<NUMBER>', 'g') AS clean_text
+        FROM staged2"""
+      }),
+
+    Entry("qb9_unigram_logprob",
+      (s, dir) => TextPipeline.unigramLogProb(t(s, dir, "documents"),
+          "doc_id", "text")
+        .select(col("doc_id"), round(col("logprob"), 6).as("logprob"),
+          col("n_toks")),
+      Some("""WITH toks AS (
+          SELECT doc_id,
+            unnest(list_filter(string_split_regex(lower(text), '\s+'),
+              x -> x <> '')) AS tok
+          FROM documents
+        ), counts AS (
+          SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+        ), tot AS (
+          SELECT sum(cnt) AS total, count(*) AS vocab FROM counts
+        ), probs AS (
+          SELECT tok, ln((cnt + 1) / (total + vocab)) AS logp
+          FROM counts, tot
+        )
+        SELECT doc_id, round(avg(logp), 6) AS logprob,
+          CAST(count(*) AS BIGINT) AS n_toks
+        FROM toks JOIN probs USING (tok)
+        GROUP BY doc_id""")),
+
+    Entry("qba_incremental_dedup",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val incoming = d.filter(pmod(col("doc_id"), lit(4)) === 0)
+        val corpus = d.filter(pmod(col("doc_id"), lit(4)) =!= 0)
+        Dedup.minhashNewVsCorpus(incoming, corpus, "doc_id", "text",
+          n = 2, k = 128, bands = 64, threshold = 0.5)
+          .select(col("new_id"), col("old_id"), round(col("jaccard"), 9).as("jaccard"))
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, $OTOKS AS w FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, (w[i] || ' ' || w[i+1]) AS sh
+          FROM toks CROSS JOIN UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+        ), sizes AS (
+          SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id
+        ), common AS (
+          SELECT a.doc_id AS new_id, b.doc_id AS old_id, count(*) AS c
+          FROM sh a JOIN sh b ON a.sh = b.sh
+          WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0
+          GROUP BY 1, 2
+        )
+        SELECT new_id, old_id,
+          round(CAST(c AS DOUBLE) / (s1.nsh + s2.nsh - c), 9) AS jaccard
+        FROM common
+        JOIN sizes s1 ON new_id = s1.doc_id
+        JOIN sizes s2 ON old_id = s2.doc_id
+        WHERE CAST(c AS DOUBLE) / (s1.nsh + s2.nsh - c) >= 0.5"""))
+  )
+}

@@ -93,6 +93,9 @@ object Cep {
             "consecutive optional stages are unsupported (one stage of lookahead)")
           require(!(w(0).unbounded && w(0).eventType == w(1).eventType),
             s"oneOrMore('${w(0).eventType}') followed by the same type never exits the loop")
+          require(!(w(0).unbounded && w(1).optional),
+            s"oneOrMore('${w(0).eventType}') followed by an optional stage never takes " +
+              "the skip path (exiting the loop requires the optional stage's own type)")
         }
       }
     }

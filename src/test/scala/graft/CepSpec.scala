@@ -143,4 +143,22 @@ class CepSpec extends SparkSpec {
       Seq(ev(1, 10, "a"), ev(2, 20, "b"), ev(3, 30, "a")))
     assert(got.map(_.ids).toSet === Set(Seq(1L), Seq(3L)))
   }
+
+  test("validate rejects silently-never-matching shapes at construction") {
+    def reject(p: Cep.Pattern): Unit =
+      intercept[IllegalArgumentException](new Cep.NfaProcessor(p))
+    // trailing optional: no following stage to skip to
+    reject(Cep.Pattern.begin("a").followedBy("b").optional)
+    // consecutive optionals exceed the one-stage lookahead
+    reject(Cep.Pattern.begin("a").followedBy("b").optional.followedBy("c").optional
+      .followedBy("d"))
+    // oneOrMore followed by the same type never exits the loop
+    reject(Cep.Pattern.begin("a").oneOrMore.followedBy("a"))
+    // oneOrMore followed by an optional stage: the skip path needs the
+    // optional stage's own type to exit the loop — 'a a c' never matches
+    reject(Cep.Pattern.begin("a").oneOrMore.followedBy("b").optional.followedBy("c"))
+    // sanity: the legal neighbours still construct
+    new Cep.NfaProcessor(Cep.Pattern.begin("a").oneOrMore.followedBy("b"))
+    new Cep.NfaProcessor(Cep.Pattern.begin("a").followedBy("b").optional.followedBy("c"))
+  }
 }

@@ -61,6 +61,29 @@ class MiscOpsSpec extends SparkSpec {
     assert(byId(1L).toSeq === "xxxx".getBytes("UTF-8").toSeq) // cyclic pad
   }
 
+  test("multimodal: null payload rows survive decode/resize/extract as empty media") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("media_type", StringType),
+      StructField("payload", BinaryType, nullable = true)))
+    val media = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(0L, "image", null),
+        Row(1L, "image", "abc".getBytes("UTF-8"))),
+      schema)
+    // ADVICE r2: a single null payload must not NPE the whole job
+    val meta = Multimodal.decodeMeta(media).collect()
+      .map(r => r.getLong(0) -> r.getAs[Int]("n_bytes")).toMap
+    assert(meta(0L) === 0 && meta(1L) === 3)
+    val resized = Multimodal.resize(media, nBytes = 4).collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload").toSeq).toMap
+    assert(resized(0L) === Seq[Byte](0, 0, 0, 0))
+    val emb = Multimodal.extractFeatures(media, dim = 4).collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Float]]("embedding")).toMap
+    assert(emb(0L).forall(_ == 0.0f) && emb(1L).exists(_ > 0.0f))
+  }
+
   test("multimodal: extracted features feed the ANN stack end to end") {
     val docs = Seq((0L, "aaaa bbbb"), (1L, "aaaa bbbc"), (2L, "zzzz qqqq rrr"))
       .toDF("doc_id", "text")

@@ -1,0 +1,216 @@
+package graft
+
+import graft.operators.{AsOfJoin, BloomPrune, Dedup, RangeJoin, Sampling, TextPipeline}
+import org.apache.spark.sql.functions._
+
+/** Round-3 operators: as-of join, binned range join, bloom pruning,
+  * deterministic sampling, chunking/packing/PII/LM-scoring pipeline. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tsUs(us: Long) = new java.sql.Timestamp(us / 1000)
+
+  // ---- AsOfJoin -----------------------------------------------------------
+
+  private def mkEvents(rows: Seq[(Long, Long, Long, Double)]) = // key, id, tsUs, v
+    rows.toDF("user_id", "event_id", "us", "value")
+      .withColumn("ts", timestamp_micros($"us")).drop("us")
+
+  test("asof backward: latest right at-or-before each left row, per key") {
+    val left = mkEvents(Seq((1L, 10L, 1000L, 0.0), (1L, 11L, 2500L, 0.0),
+      (2L, 12L, 9999L, 0.0))).select("user_id", "event_id", "ts")
+    val right = mkEvents(Seq((1L, 20L, 1000L, 1.0), (1L, 21L, 2000L, 2.0),
+      (1L, 22L, 3000L, 3.0))).select("user_id", "ts", "event_id", "value")
+    val got = AsOfJoin.backward(left, right, "user_id", "ts", "ts", "event_id")
+      .select($"event_id", $"r_event_id", $"r_value")
+      .as[(Long, Option[Long], Option[Double])].collect().sortBy(_._1)
+    assert(got === Seq(
+      (10L, Some(20L), Some(1.0)),   // equal ts is inclusive
+      (11L, Some(21L), Some(2.0)),   // 2500 -> right at 2000, not 3000
+      (12L, None, None)))            // key 2 has no right rows
+  }
+
+  test("asof backward: equal-timestamp ties pick max tiebreak, deterministically") {
+    val left = mkEvents(Seq((1L, 10L, 5000L, 0.0))).select("user_id", "event_id", "ts")
+    val right = mkEvents(Seq((1L, 31L, 5000L, 1.0), (1L, 33L, 5000L, 3.0),
+      (1L, 32L, 5000L, 2.0))).select("user_id", "ts", "event_id", "value")
+    val got = AsOfJoin.backward(left, right, "user_id", "ts", "ts", "event_id")
+      .select($"r_event_id").as[Long].collect()
+    assert(got.toSeq === Seq(33L))
+  }
+
+  test("asof backward: tolerance nulls out stale matches") {
+    val left = mkEvents(Seq((1L, 10L, 10000L, 0.0))).select("user_id", "event_id", "ts")
+    val right = mkEvents(Seq((1L, 20L, 1000L, 1.0))).select("user_id", "ts", "event_id", "value")
+    val within = AsOfJoin.backward(left, right, "user_id", "ts", "ts", "event_id",
+      toleranceUs = 9000L).select($"r_event_id").as[Option[Long]].collect()
+    val stale = AsOfJoin.backward(left, right, "user_id", "ts", "ts", "event_id",
+      toleranceUs = 8999L).select($"r_event_id").as[Option[Long]].collect()
+    assert(within.toSeq === Seq(Some(20L)) && stale.toSeq === Seq(None))
+  }
+
+  test("asof forward: earliest right at-or-after; min tiebreak on ties") {
+    val left = mkEvents(Seq((1L, 10L, 2000L, 0.0), (1L, 11L, 3500L, 0.0)))
+      .select("user_id", "event_id", "ts")
+    val right = mkEvents(Seq((1L, 20L, 1000L, 1.0), (1L, 21L, 2000L, 2.0),
+      (1L, 23L, 4000L, 4.0), (1L, 22L, 4000L, 3.0)))
+      .select("user_id", "ts", "event_id", "value")
+    val got = AsOfJoin.forward(left, right, "user_id", "ts", "ts", "event_id")
+      .select($"event_id", $"r_event_id").as[(Long, Option[Long])]
+      .collect().sortBy(_._1)
+    assert(got === Seq((10L, Some(21L)), (11L, Some(22L))))
+  }
+
+  test("asof join is one sort-shuffle, no join blowup in the plan") {
+    val left = mkEvents((1 to 100).map(i => (i.toLong % 5, i.toLong, i * 1000L, 0.0)))
+      .select("user_id", "event_id", "ts")
+    val right = mkEvents((1 to 100).map(i => (i.toLong % 5, 200L + i, i * 700L, 1.0)))
+      .select("user_id", "ts", "event_id", "value")
+    val plan = AsOfJoin.backward(left, right, "user_id", "ts", "ts", "event_id")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of must not plan a join operator:\n$plan")
+    assert("(?<!Broadcast)Exchange ".r.findAllIn(plan).length <= 1,
+      s"expected a single shuffle:\n$plan")
+  }
+
+  // ---- RangeJoin ----------------------------------------------------------
+
+  test("binned range join equals the nested-loop semantics exactly") {
+    val rnd = new scala.util.Random(7)
+    val points = (1 to 300).map(i => (i.toLong, rnd.nextInt(10000).toLong))
+      .toDF("pid", "pt")
+    val intervals = (1 to 80).map { i =>
+      val lo = rnd.nextInt(10000).toLong; (100L + i, lo, lo + rnd.nextInt(800).toLong)
+    }.toDF("iid", "lo", "hi")
+    val expected = points.join(intervals, $"pt" >= $"lo" && $"pt" < $"hi")
+      .select("pid", "iid").as[(Long, Long)].collect().sorted
+    val got = RangeJoin.pointInInterval(points, "pt", intervals, "lo", "hi", 256L)
+      .select("pid", "iid").as[(Long, Long)].collect().sorted
+    assert(got === expected && expected.nonEmpty)
+  }
+
+  test("binned range join handles empty and bin-boundary intervals") {
+    val points = Seq((1L, 256L), (2L, 255L), (3L, 512L)).toDF("pid", "pt")
+    // [256, 512): contains 256, not 255/512; [100,100) empty
+    val intervals = Seq((10L, 256L, 512L), (11L, 100L, 100L)).toDF("iid", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, "pt", intervals, "lo", "hi", 256L)
+      .select("pid", "iid").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 10L)))
+  }
+
+  // ---- BloomPrune ---------------------------------------------------------
+
+  test("bloom-pruned semi join is exact (false positives re-filtered)") {
+    val left = (1 to 5000).map(i => (i.toLong, s"v$i")).toDF("k", "payload")
+    val right = (1 to 5000).filter(_ % 17 == 0).map(i => (i.toLong, i)).toDF("k", "x")
+    val expected = left.join(right.select("k").distinct(), Seq("k"), "left_semi")
+      .as[(Long, String)].collect().sorted
+    val got = BloomPrune.semiJoin(left, right, "k", expectedItems = 1000L)
+      .as[(Long, String)].collect().sorted
+    assert(got === expected && got.length === 5000 / 17)
+  }
+
+  // ---- Sampling -----------------------------------------------------------
+
+  test("split is disjoint-exhaustive, layout-independent, and ~proportional") {
+    val a = (1L to 2000L).toDF("id").repartition(13)
+    val b = (1L to 2000L).toDF("id").repartition(2).sort(desc("id"))
+    def splits(df: org.apache.spark.sql.DataFrame) =
+      Sampling.split(df, "id", Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
+        .as[(Long, String)].collect().sorted.toSeq
+    val sa = splits(a)
+    assert(sa === splits(b))                       // layout-independent
+    assert(sa.length === 2000)                     // exhaustive
+    val counts = sa.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 1600) < 100 &&
+      math.abs(counts("val") - 200) < 60 && math.abs(counts("test") - 200) < 60)
+  }
+
+  test("sample(fraction) and stratified sampling are deterministic subsets") {
+    val df = (1L to 1000L).map(i => (i, if (i % 2 == 0) "en" else "de"))
+      .toDF("id", "lang")
+    val s1 = Sampling.sample(df, "id", 0.3).as[(Long, String)].collect().toSet
+    val s2 = Sampling.sample(df, "id", 0.3).as[(Long, String)].collect().toSet
+    assert(s1 === s2 && math.abs(s1.size - 300) < 60)
+    // a smaller fraction with the same salt is a SUBSET (nested samples)
+    val s3 = Sampling.sample(df, "id", 0.1).as[(Long, String)].collect().toSet
+    assert(s3.subsetOf(s1))
+    val st = Sampling.stratified(df, "id", "lang", Map("en" -> 0.5))
+      .as[(Long, String)].collect()
+    assert(st.forall(_._2 == "en") && math.abs(st.length - 250) < 60)
+  }
+
+  // ---- TextPipeline -------------------------------------------------------
+
+  test("chunk: overlapping windows cover every token; short docs yield one chunk") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 toks
+      (2L, "a b"), (3L, "")).toDF("id", "text")
+    val got = TextPipeline.chunk(docs, "id", "text", chunkSize = 4, overlap = 1)
+      .as[(Long, Int, String, Int)].collect().sortBy(c => (c._1, c._2))
+    // stride 3: chunks at 0,3,6 cover tokens 1..10 (ceil((10-1)/3) = 3)
+    assert(got.filter(_._1 == 1L).map(_._3).toSeq ===
+      Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10"))
+    assert(got.filter(_._1 == 2L) === Seq((2L, 0, "a b", 2))) // short doc
+    assert(!got.exists(_._1 == 3L))                           // empty doc
+    // consecutive chunks share exactly `overlap` tokens
+    val c1 = got(0)._3.split(" ").toSeq; val c2 = got(1)._3.split(" ").toSeq
+    assert(c1.takeRight(1) === c2.take(1))
+  }
+
+  test("packBudget: bins hold ~budget tokens, deviation bounded by max doc") {
+    val docs = (1 to 100).map(i => (i.toLong, 30 + (i * 7) % 50)).toDF("id", "n")
+    val binned = TextPipeline.packBudget(docs, "id", "n", budget = 200L)
+      .as[(Long, Int, Long)].collect()
+    val byBin = binned.groupBy(_._3).view.mapValues(_.map(_._2).sum).toMap
+    val maxDoc = 79
+    assert(byBin.values.forall(s => s <= 200 + maxDoc))
+    assert(byBin.filterKeys(_ < byBin.keys.max).values.forall(s => s > 200 - maxDoc))
+    // bins are contiguous in doc order
+    val ordered = binned.sortBy(_._1).map(_._3)
+    assert(ordered.zip(ordered.tail).forall { case (a, b) => b - a == 0 || b - a == 1 })
+  }
+
+  test("packBudget: an oversized doc counts as one budget and starts a new bin") {
+    val docs = Seq((1L, 50), (2L, 999), (3L, 50)).toDF("id", "n")
+    val bins = TextPipeline.packBudget(docs, "id", "n", budget = 100L)
+      .as[(Long, Int, Long)].collect().sortBy(_._1).map(_._3)
+    // capped at budget: doc2 crosses exactly one boundary (no index blowup
+    // from its true 999 tokens), and it never shares a bin with doc1
+    assert(bins.toSeq === Seq(0L, 1L, 1L))
+  }
+
+  test("scrubPii masks emails, IPs, digit runs and counts each") {
+    val df = Seq((1L,
+      "mail a.b+c@ex-ample.org and 10.0.0.1 then call 555-123-4567 ok")).toDF("id", "text")
+    val r = TextPipeline.scrubPii(df, "text")
+      .select("clean_text", "n_emails", "n_ips", "n_numbers")
+      .as[(String, Int, Int, Int)].collect().head
+    assert(r._1 === "mail <EMAIL> and <IP> then call <NUMBER> ok")
+    assert((r._2, r._3, r._4) === (1, 1, 1))
+  }
+
+  test("unigramLogProb ranks common-token docs above rare-token docs") {
+    val docs = Seq(
+      (1L, "the the the the the"),
+      (2L, "the of and to in"),
+      (3L, "zxqv wvut qqpl mnbv")).toDF("id", "text")
+    val scores = TextPipeline.unigramLogProb(docs, "id", "text")
+      .as[(Long, Double, Long)].collect().map(t => t._1 -> t._2).toMap
+    assert(scores(1L) > scores(2L) && scores(2L) > scores(3L))
+  }
+
+  // ---- incremental dedup --------------------------------------------------
+
+  test("minhashNewVsCorpus finds cross-side near-dups only, exact-verified") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val corpus = Seq((1L, base), (2L, "completely different text about spark plans"),
+      (3L, base + " slightly")).toDF("doc_id", "text")  // 1 and 3 near-dup: intra-corpus, must NOT appear
+    val incoming = Seq((10L, base + " extra"), (11L, "nothing like anything here at all"))
+      .toDF("doc_id", "text")
+    val got = Dedup.minhashNewVsCorpus(incoming, corpus, "doc_id", "text",
+      n = 2, k = 128, bands = 64, threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
+    assert(got === Set((10L, 1L), (10L, 3L)))
+  }
+}
