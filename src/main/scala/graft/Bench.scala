@@ -20,7 +20,10 @@ object Bench {
     "q90_stream_unbounded_agg", "q91_stream_tumble", "q94_stream_join",
     "q95_stream_over_running", "q97_stream_cep_seq",
     "q80_doc_stats", "q85_minhash_dedup", "q88_knn_brute", "q89_knn_lsh",
-    "qa2_graph_pagerank")
+    "qa2_graph_pagerank",
+    // round 3: temporal joins (no round-1 baseline entry; compare totals
+    // with the round-3 figures in BASELINE.md)
+    "qb0_asof_backward", "qb2_range_join_binned")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

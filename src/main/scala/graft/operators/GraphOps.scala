@@ -67,18 +67,24 @@ object GraphOps {
     * rank' = 150000 + (85 * sum(rank(src) div outdeg(src))) div 100. */
   def pageRankScaled(edges: DataFrame, iters: Int): DataFrame = {
     val e = edges.select("src", "dst").distinct().cache()
-    val outdeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    // Loop-invariant hoist: (edge ⋈ out-degree) never changes across
+    // rounds — pay its join once, not per iteration. At scale this is a
+    // full shuffle of the edge set saved per round; the cached result is
+    // already partitioned for the per-round rank join.
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val eWithDeg = e.join(outdeg, "src")
+      .select(col("src").as("node"), col("dst"), col("d")).cache()
     val verts = vertices(e).cache()
     val ranks = Iterations.iterate(verts.withColumn("rank", lit(1000000L)), iters, fuse = 2) { cur =>
       // `div` = exact integer division (Spark's `/` would be double division)
-      val contribs = e.join(cur.join(outdeg, "node"), e("src") === col("node"))
+      val contribs = eWithDeg.join(cur, "node")
         .select(col("dst").as("node"), expr("rank div d").as("c"))
         .groupBy("node").agg(sum(col("c")).as("contrib"))
       verts.join(contribs, Seq("node"), "left")
         .select(col("node"),
           (lit(150000L) + expr("(85 * coalesce(contrib, 0L)) div 100")).as("rank"))
     }
-    e.unpersist(); verts.unpersist()
+    e.unpersist(); eWithDeg.unpersist(); verts.unpersist()
     ranks
   }
 
