@@ -50,6 +50,52 @@ object Partitioning {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** Z-order (Morton) clustering for multi-dimensional data skipping.
+    *
+    * A table range-partitioned and sorted by ONE column prunes scans on
+    * that column only; filters on a second column read every file. Z-order
+    * interleaves the bits of several columns' rank positions, so rows close
+    * in ANY clustered dimension land close in the layout — per-file min/max
+    * stats then prune scans on every clustered column (the standard
+    * Delta/Iceberg `OPTIMIZE ZORDER BY` layout trick, here as a plain
+    * operator: repartitionByRange + sortWithinPartitions on the z-value).
+    *
+    * Each column is scaled to `bits` levels between its min and max (one
+    * tiny stats agg, broadcast as literals), then bit-interleaved with pure
+    * bitwise Column arithmetic — fully codegen'd, no UDF. Columns must be
+    * numeric (cast dates/timestamps to epoch first). At 100 TB this is a
+    * one-shuffle layout rewrite whose cost is repaid by every subsequent
+    * selective scan. */
+  def zorderBy(df: DataFrame, n: Int, cols: Seq[String], bits: Int = 16): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(cols.nonEmpty && cols.size * bits <= 63,
+      s"${cols.size} cols x $bits bits must fit a signed long")
+    val stats = df.agg(
+      cols.flatMap(c => Seq(min(col(c).cast("double")).as(s"_min_$c"),
+        max(col(c).cast("double")).as(s"_max_$c"))).head,
+      cols.flatMap(c => Seq(min(col(c).cast("double")).as(s"_min_$c"),
+        max(col(c).cast("double")).as(s"_max_$c"))).tail: _*).head()
+    val levels = (1L << bits) - 1
+    val scaled = cols.zipWithIndex.map { case (c, i) =>
+      val lo = stats.getDouble(2 * i); val hi = stats.getDouble(2 * i + 1)
+      val span = if (hi > lo) hi - lo else 1.0
+      least(greatest(
+        round((col(c).cast("double") - lit(lo)) / lit(span) * levels).cast("long"),
+        lit(0L)), lit(levels))
+    }
+    // interleave: output bit (b * #cols + j) = bit b of column j
+    val z = (0 until bits).foldLeft(lit(0L)) { (acc, b) =>
+      scaled.zipWithIndex.foldLeft(acc) { case (a, (s, j)) =>
+        a.bitwiseOR(shiftleft(shiftrightunsigned(s, b).bitwiseAND(lit(1L)),
+          b * cols.size + j))
+      }
+    }
+    df.withColumn("_z", z)
+      .repartitionByRange(n, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+  }
+
   /** zipWithUniqueId (reference: DataSetUtils.zipWithUniqueId): unique but
     * non-contiguous ids in ONE pass (id = index-within-partition ×
     * #partitions + partitionId) — when contiguity isn't needed, skip

@@ -18,7 +18,11 @@ object CoProcess {
                     valueMillis: Long)
 
   object Tagged {
-    val orderKey: OrderKey[Tagged] = t => (t.tsUs / 1000, t.tsUs, t.eventId)
+    // tieId folds the side bit in: the OrderKey contract requires a unique
+    // tie per buffered row, and the two sides may legitimately carry the
+    // same eventId. Also pins equal-(ts, id) interleaving to left-first.
+    val orderKey: OrderKey[Tagged] =
+      t => (t.tsUs / 1000, t.tsUs, t.eventId * 2 + t.side)
   }
 
   /** CoProcessFunction-style callbacks, event-time ordered across BOTH

@@ -26,13 +26,25 @@ import org.apache.spark.sql.streaming._
 object EventTimeOps {
 
   /** Extracts (timerEpochMs, sortMicros, tieId): `_1` drives timers and the
-    * watermark drain; `(_2, _3)` give total deterministic order within a key. */
+    * watermark drain; `(_2, _3)` give total deterministic order within a key.
+    * CONTRACT: the full triple must be unique per buffered row of a key —
+    * it is the row's identity in the state buffer (a duplicate key would
+    * overwrite, not double-buffer). Use a unique event/sequence id as the
+    * tie component; fold in a side/source bit when merging streams. */
   type OrderKey[I] = I => (Long, Long, Long)
 
   abstract class OrderedProcessor[K, I, O](orderKey: OrderKey[I], bufEnc: Encoder[I])
       extends StatefulProcessor[K, I, O] {
 
-    @transient private var buf: ListState[I] = _
+    // Buffer = MapState keyed by the row's full order key (timerMs, sortUs,
+    // tieId — unique per row, tieId breaks exact ties). A drain READS the
+    // buffer but deletes only the consumed entries; the pending suffix is
+    // never rewritten. The previous ListState buffer had no partial
+    // removal, so every drain cleared and re-appended all pending rows —
+    // O(pending) WRITE amplification per drain, the cost SCALE.md flagged
+    // for long-watermark-delay streams. Map puts are O(1) per row on
+    // ingest (no read-modify-write of a bucket list).
+    @transient private var buf: MapState[(Long, Long, Long), I] = _
 
     /** Hook for subclasses to open their own state. */
     protected def openState(handle: StatefulProcessorHandle): Unit = {}
@@ -46,7 +58,11 @@ object EventTimeOps {
     protected def onWatermark(key: K, watermarkMs: Long): Iterator[O] = Iterator.empty
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
-      buf = getHandle.getListState[I]("graft_buf", bufEnc, TTLConfig.NONE)
+      buf = getHandle.getMapState[(Long, Long, Long), I]("graft_buf",
+        org.apache.spark.sql.Encoders.tuple(org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong),
+        bufEnc, TTLConfig.NONE)
       openState(getHandle)
     }
 
@@ -57,7 +73,7 @@ object EventTimeOps {
       // state-store scan on expiry (~rows× overhead for no extra output).
       var maxTs = Long.MinValue
       rows.foreach { r =>
-        buf.appendValue(r)
+        buf.updateValue(orderKey(r), r)
         val t = orderKey(r)._1
         if (t > maxTs) maxTs = t
       }
@@ -67,14 +83,13 @@ object EventTimeOps {
 
     override def handleExpiredTimer(key: K, tv: TimerValues, info: ExpiredTimerInfo): Iterator[O] = {
       val wm = tv.getCurrentWatermarkInMs()
-      val all = buf.get().toArray(scala.reflect.ClassTag.AnyRef.asInstanceOf[scala.reflect.ClassTag[I]])
-      val (ready, pending) = all.partition(r => orderKey(r)._1 <= wm)
+      val ready = scala.collection.mutable.ArrayBuffer.empty[((Long, Long, Long), I)]
+      buf.iterator().foreach { case e @ (k, _) => if (k._1 <= wm) ready += e }
       if (ready.isEmpty) onWatermark(key, wm)
       else {
-        buf.clear()
-        pending.foreach(buf.appendValue)
-        ready.sortBy(r => { val k = orderKey(r); (k._2, k._3) })
-          .iterator.flatMap(r => onOrdered(key, r)) ++ onWatermark(key, wm)
+        ready.foreach { case (k, _) => buf.removeKey(k) } // pending untouched
+        ready.sortInPlaceBy { case (k, _) => (k._2, k._3) }
+          .iterator.flatMap { case (_, r) => onOrdered(key, r) } ++ onWatermark(key, wm)
       }
     }
   }

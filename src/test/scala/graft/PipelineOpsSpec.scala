@@ -61,6 +61,43 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === Seq((10L, Some(21L)), (11L, Some(22L))))
   }
 
+  test("asof backward/forward match a brute-force oracle on randomized inputs") {
+    // dense timestamp collisions + multi-key + tolerance, 3 seeded rounds
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      val lrows = (1 to 150).map(i =>
+        (rnd.nextInt(4).toLong, i.toLong, rnd.nextInt(40) * 1000L, 0.0))
+      val rrows = (1 to 150).map(i =>
+        (rnd.nextInt(4).toLong, 1000L + i, rnd.nextInt(40) * 1000L, i.toDouble))
+      val tol = if (seed % 2 == 0) 5000L else 0L
+      val left = mkEvents(lrows).select("user_id", "event_id", "ts")
+      val right = mkEvents(rrows).select("user_id", "ts", "event_id", "value")
+
+      def bruteBackward = lrows.map { case (k, id, ts, _) =>
+        val cands = rrows.filter(r => r._1 == k && r._3 <= ts &&
+          (tol <= 0 || ts - r._3 <= tol))
+        id -> (if (cands.isEmpty) None
+               else Some(cands.maxBy(r => (r._3, r._2))._2))
+      }.sortBy(_._1)
+      def bruteForward = lrows.map { case (k, id, ts, _) =>
+        val cands = rrows.filter(r => r._1 == k && r._3 >= ts)
+        id -> (if (cands.isEmpty) None
+               else Some(cands.minBy(r => (r._3, r._2))._2))
+      }.sortBy(_._1)
+
+      val gotB = AsOfJoin.backward(left, right, "user_id", "ts", "ts", "event_id",
+          toleranceUs = tol)
+        .select($"event_id", $"r_event_id").as[(Long, Option[Long])]
+        .collect().sortBy(_._1).toSeq
+      assert(gotB === bruteBackward, s"backward mismatch, seed=$seed")
+
+      val gotF = AsOfJoin.forward(left, right, "user_id", "ts", "ts", "event_id")
+        .select($"event_id", $"r_event_id").as[(Long, Option[Long])]
+        .collect().sortBy(_._1).toSeq
+      assert(gotF === bruteForward, s"forward mismatch, seed=$seed")
+    }
+  }
+
   test("asof join is one sort-shuffle, no join blowup in the plan") {
     val left = mkEvents((1 to 100).map(i => (i.toLong % 5, i.toLong, i * 1000L, 0.0)))
       .select("user_id", "event_id", "ts")
@@ -198,6 +235,32 @@ class PipelineOpsSpec extends SparkSpec {
     val scores = TextPipeline.unigramLogProb(docs, "id", "text")
       .as[(Long, Double, Long)].collect().map(t => t._1 -> t._2).toMap
     assert(scores(1L) > scores(2L) && scores(2L) > scores(3L))
+  }
+
+  // ---- z-order layout -----------------------------------------------------
+
+  test("zorderBy bounds per-partition spread on EVERY clustered column") {
+    import graft.operators.Partitioning
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 4096).map(_ => (rnd.nextInt(1000), rnd.nextInt(1000)))
+      .toDF("x", "y")
+    def spans(d: org.apache.spark.sql.DataFrame, c: String): Seq[Long] =
+      d.select(col(c).cast("long"), spark_partition_id().as("p"))
+        .groupBy("p").agg((max(c) - min(c)).as("span"))
+        .select("span").as[Long].collect().toSeq
+    val zed = Partitioning.zorderBy(df, 16, Seq("x", "y")).cache()
+    assert(zed.count() === 4096)                       // nothing lost
+    val linear = df.repartitionByRange(16, $"x").cache()
+    val zx = spans(zed, "x"); val zy = spans(zed, "y")
+    val lx = spans(linear, "x"); val ly = spans(linear, "y")
+    def avg(s: Seq[Long]) = s.sum.toDouble / s.size
+    // linear: x tightly bounded, y unbounded (~full range per partition)
+    assert(avg(lx) < 200 && avg(ly) > 800)
+    // z-order: BOTH columns bounded well below full range — min/max file
+    // stats can prune selective scans on either column
+    assert(avg(zx) < 600 && avg(zy) < 600,
+      s"z spans x=${avg(zx)} y=${avg(zy)} not both bounded")
+    zed.unpersist(); linear.unpersist()
   }
 
   // ---- incremental dedup --------------------------------------------------

@@ -50,4 +50,30 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"query side not broadcast:\n$plan")
   }
+
+  test("qb2 binned range join plans hash joins only — never a nested loop") {
+    val plan = executedPlan("qb2_range_join_binned")
+    assert(!plan.contains("NestedLoop"),
+      s"bin decomposition failed to manufacture an equi-key:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected an equi-join on the bin key:\n$plan")
+  }
+
+  test("qb4 deterministic split is map-side only: zero exchanges") {
+    val plan = executedPlan("qb4_split")
+    assert(!plan.contains("Exchange"),
+      s"sampling/split must fuse into the scan with no shuffle:\n$plan")
+  }
+
+  test("qb0 as-of join is a window pass, not a join: no join operator, one shuffle") {
+    // AQE's toString appends an "== Initial Plan ==" section that would
+    // double-count operators — pin the final plan only
+    val plan = executedPlan("qb0_asof_backward").split("== Initial Plan ==").head
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+    val exchanges = "(?<!Broadcast)Exchange ".r.findAllIn(plan).length
+    assert(exchanges <= 1, s"expected one sort-shuffle, got $exchanges:\n$plan")
+    // the two window passes share one sort: exactly one Sort operator
+    assert("Sort \\[".r.findAllIn(plan).length === 1,
+      s"the carried-ts window must reuse the payload window's sort:\n$plan")
+  }
 }
