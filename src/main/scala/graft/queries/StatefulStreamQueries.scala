@@ -777,5 +777,43 @@ object StatefulStreamQueries {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""")),
+
+    // Streaming temporal (as-of) join: each view enriched with the latest
+    // purchase at-or-before it — the stream-native point-in-time feature
+    // lookup; state per key is ONE version tuple. Exactly the batch
+    // AsOfJoin.backward semantics (qb0 sans tolerance), which the window-
+    // replay oracle pins.
+    Entry("qbb_stream_asof",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        import graft.streaming.{CoProcess, TemporalJoin}
+        val ev = keyedEvents(s, dir)
+        def side(typ: String, tag: Int) = ev.filter(_.eventType == typ)
+          .map(e => CoProcess.Tagged(e.key, e.eventId, e.tsUs, tag, e.valueMillis))
+        val out = TemporalJoin.asof(side("purchase", 0), side("view", 1))
+          .toDF("key", "view_id", "ts_us", "purchase_id", "purchase_ts_us",
+            "purchase_value_millis")
+        run(out, "qbb_sink")
+      },
+      Some("""WITH u AS (
+          SELECT user_id, ts, 0 AS is_left, event_id,
+            CAST(round(value*1000) AS BIGINT) AS vm
+          FROM events WHERE event_type = 'purchase'
+          UNION ALL
+          SELECT user_id, ts, 1, event_id, NULL FROM events
+          WHERE event_type = 'view'
+        ), c AS (
+          SELECT user_id, ts, is_left, event_id,
+            last_value(CASE WHEN is_left = 0 THEN event_id END IGNORE NULLS) OVER w AS p_id,
+            last_value(CASE WHEN is_left = 0 THEN epoch_us(ts) END IGNORE NULLS) OVER w AS p_ts_us,
+            last_value(CASE WHEN is_left = 0 THEN vm END IGNORE NULLS) OVER w AS p_vm
+          FROM u
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_left, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT user_id AS key, event_id AS view_id, epoch_us(ts) AS ts_us,
+          p_id AS purchase_id, p_ts_us AS purchase_ts_us, p_vm AS purchase_value_millis
+        FROM c WHERE is_left = 1""")),
   )
 }

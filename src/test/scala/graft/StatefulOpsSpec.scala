@@ -134,4 +134,38 @@ class StatefulOpsSpec extends SparkSpec {
     assert(out.map(_.eventId).sorted === (1L to 10L))
     assert(out.maxBy(_.eventId).runningSumMillis === 55L)
   }
+
+  test("temporal as-of join: inclusive bound, version upgrades, cross-batch state") {
+    import graft.streaming.{CoProcess, TemporalJoin}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def t(key: Long, id: Long, tsSec: Long, side: Int, vm: Long = 0) =
+      CoProcess.Tagged(key, id, tsSec * 1000000L, side, vm)
+    val mem = MemoryStream[CoProcess.Tagged]
+    val ds = mem.toDS()
+      .withColumn("ts", timestamp_micros(col("tsUs")))
+      .withWatermark("ts", "0 seconds")
+      .drop("ts").as[CoProcess.Tagged]
+    val out = TemporalJoin.asof(ds.filter(_.side == 0), ds.filter(_.side == 1))
+    val name = s"asof_${System.nanoTime()}"
+    val q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      // batch 1: build v1@10 (vm=111), probe@10 (tie -> inclusive, sees v1),
+      // probe@15 (sees v1)
+      mem.addData(t(1, 100, 10, 0, 111), t(1, 5, 10, 1), t(1, 6, 15, 1))
+      q.processAllAvailable()
+      // batch 2: build v2@20 (vm=222), probe@25 (sees v2 — version state
+      // crossed the micro-batch), and a probe on a build-less key (None)
+      mem.addData(t(1, 200, 20, 0, 222), t(1, 7, 25, 1), t(2, 8, 25, 1))
+      q.processAllAvailable()
+      mem.addData(); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name).as[TemporalJoin.Enriched].collect()
+      .sortBy(e => (e.key, e.probeId))
+      .map(e => (e.key, e.probeId, e.buildId, e.buildValueMillis))
+    assert(got.toSeq === Seq(
+      (1L, 5L, Some(100L), Some(111L)),
+      (1L, 6L, Some(100L), Some(111L)),
+      (1L, 7L, Some(200L), Some(222L)),
+      (2L, 8L, None, None)))
+  }
 }
