@@ -28,6 +28,12 @@ object PipelineQueries {
          CAST(xor(CAST(acc % 256 AS BIGINT), CAST(b AS BIGINT)) AS HUGEINT))
          * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT)"""
 
+  /** Oracle fragment: unsigned-64 HUGEINT `h` as signed BIGINT (two's
+    * complement), matching a JVM Long. */
+  private def oSigned(h: String): String =
+    s"""CAST(CASE WHEN $h >= 9223372036854775808::HUGEINT
+       THEN $h - 18446744073709551616::HUGEINT ELSE $h END AS BIGINT)"""
+
   /** Oracle fragment: Sampling.unitHash replayed — (fnv >>> 11) / 2^53. */
   private def oUnitHash(idExpr: String, salt: String): String =
     s"""(CAST(${oFnv(s"(CAST($idExpr AS VARCHAR) || ':$salt')")} // 2048::HUGEINT AS DOUBLE)
@@ -287,6 +293,23 @@ object PipelineQueries {
         FROM common
         JOIN sizes s1 ON new_id = s1.doc_id
         JOIN sizes s2 ON old_id = s2.doc_id
-        WHERE CAST(c AS DOUBLE) / (s1.nsh + s2.nsh - c) >= 0.5"""))
+        WHERE CAST(c AS DOUBLE) / (s1.nsh + s2.nsh - c) >= 0.5""")),
+
+    // SparkSessionExtensions surface: the native codegen expressions called
+    // from SQL TEXT via the injected function registry — same rows as the
+    // Column API, same DuckDB-replayed FNV oracle as q87.
+    Entry("qbc_sql_native_fn",
+      (s, dir) => {
+        graft.functions.GraftExtensions.register(s)
+        graft.Tables.registerAll(s, dir)
+        s.sql("""SELECT doc_id,
+            fnv1a64(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))) AS fp
+          FROM documents""")
+      },
+      Some(s"""WITH norm AS (
+          SELECT doc_id,
+            trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
+          FROM documents)
+        SELECT doc_id, ${oSigned(oFnv("s"))} AS fp FROM norm"""))
   )
 }

@@ -110,4 +110,20 @@ class FunctionsSpec extends SparkSpec {
     val qs = df.select(TextFunctions.qualityScore($"text")).as[Double].collect()
     qs.foreach(q => assert(q >= 0.0 && q <= 1.0))
   }
+
+  test("GraftExtensions: native expressions callable from SQL text") {
+    import graft.functions.{GraftExtensions, Hashes}
+    GraftExtensions.register(spark)
+    val fp = spark.sql("SELECT fnv1a64('hello world 42') AS h").as[Long].head()
+    assert(fp === Hashes.fnv1a64("hello world 42"))
+    val cs = spark.sql("""SELECT cosine_similarity(
+        CAST(array(1.0, 0.0) AS array<float>),
+        CAST(array(1.0, 0.0) AS array<float>)) AS c""").as[Double].head()
+    assert(math.abs(cs - 1.0) < 1e-12)
+    // the config-path injector wires the same descriptors
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must not throw; descriptors validated above
+    // arity errors are loud, not silent
+    intercept[Exception](spark.sql("SELECT fnv1a64('a', 'b')").collect())
+  }
 }
