@@ -54,6 +54,8 @@ object AsOfJoin {
   def backward(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String, tiebreak: String,
                toleranceUs: Long = 0L, rightPrefix: String = "r_"): DataFrame = {
+    val reserved = Set("_ts", "_side", "_tb", "_payload", "_match", "_match_ts")
+    require(!left.columns.exists(reserved), s"left columns clash with ${reserved.mkString(",")}")
     val rightPayloadCols = right.columns.filter(_ != key).toSeq
     val leftCols = left.columns.toSeq
 

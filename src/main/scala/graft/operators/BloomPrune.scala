@@ -32,7 +32,9 @@ object BloomPrune {
     val bloom = right.stat.bloomFilter(key, expectedItems, fpp)
     val bc = left.sparkSession.sparkContext.broadcast(bloom)
     val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    // left_semi dedups the build side itself — a distinct() here would add
+    // a whole extra shuffle for nothing
     left.filter(mightContain(col(key)))
-      .join(right.select(key).distinct(), Seq(key), "left_semi")
+      .join(right.select(key), Seq(key), "left_semi")
   }
 }

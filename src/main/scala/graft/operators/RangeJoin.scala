@@ -34,9 +34,13 @@ object RangeJoin {
                       binWidthUs: Long): DataFrame = {
     require(binWidthUs > 0)
     val p = points.withColumn("_bin", floor(col(ptUs) / binWidthUs))
+    // Degenerate intervals (hi <= lo) match nothing, but unguarded they
+    // would feed sequence() a DESCENDING range — for a far-inverted pair
+    // that's millions of phantom bins from one row. Filter them out first.
+    //
     // hi is exclusive: an interval touching bin boundary hi = k*W does not
     // occupy bin k — hence the -1 on the inclusive upper bin.
-    val iv = intervals.withColumn("_bin",
+    val iv = intervals.filter(col(hiUs) > col(loUs)).withColumn("_bin",
       explode(sequence(floor(col(loUs) / binWidthUs),
         floor((col(hiUs) - 1) / binWidthUs))))
     p.join(iv, Seq("_bin"), "inner")
