@@ -27,8 +27,14 @@ object Dedup {
   /** Distinct (id, shingle) pairs for an inverted index. */
   private def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int,
                            maxDocFreq: Option[Long]): DataFrame = {
+    // hashed shingles, not strings: ONE compiled tokenize+shingle+hash pass
+    // per doc (the string expression chain re-walks the text through
+    // interpreted higher-order functions), and the inverted-index self-join
+    // shuffles/compares 8-byte longs instead of ~15-byte UTF-8 bigrams —
+    // identical Jaccard up to 64-bit collisions (~1e-9 at corpus scale),
+    // the same equivalence the MinHash verify step already relies on.
     val pairs = df
-      .select(col(idCol).as("doc"), explode(TextFunctions.wordShingles(col(textCol), n)).as("sh"))
+      .select(col(idCol).as("doc"), explode(Hashes.shingleHashesUdf(n)(col(textCol))).as("sh"))
     maxDocFreq match {
       case None => pairs
       case Some(m) =>
