@@ -16,6 +16,31 @@ import org.apache.spark.sql.functions._
   */
 object Preprocessing {
 
+  /** Per-group simple linear regression y = a + b·x by closed-form least
+    * squares (reference capability: FlinkML MultipleLinearRegression —
+    * flink-libraries/flink-ml/.../ml/regression/MultipleLinearRegression
+    * .scala, which iterates SGD; for low dimension the normal equations
+    * need ONE aggregation pass, the scalable route — SGD's per-step full
+    * passes are the wrong shape for 100 TB; spark.ml carries the
+    * high-dimensional/iterative case).
+    *
+    * `xCol`/`yCol` must be integral-valued (cast/cents first): the five
+    * moments (n, Σx, Σy, Σxy, Σx²) are exact longs, so slope/intercept
+    * derive through one fixed double-arithmetic sequence — bit-identical
+    * on any engine, any partitioning. */
+  def linearFit(df: DataFrame, groupCols: Seq[String], xCol: String,
+                yCol: String): DataFrame = {
+    val x = col(xCol).cast("long"); val y = col(yCol).cast("long")
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+      .withColumn("slope",
+        (col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy")) /
+          (col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")))
+      .withColumn("intercept",
+        (col("sy") - col("slope") * col("sx")) / col("n").cast("double"))
+  }
+
   /** z-score columns from integer inputs: z = (x - Σx/n) / sqrt(Σx²/n - (Σx/n)²).
     * Constant columns map to 0. Input columns must be integral (e.g. cents). */
   def standardScale(df: DataFrame, cols: Seq[String], keep: Seq[String] = Nil): DataFrame = {

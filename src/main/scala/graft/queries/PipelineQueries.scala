@@ -295,6 +295,37 @@ object PipelineQueries {
         JOIN sizes s2 ON old_id = s2.doc_id
         WHERE CAST(c AS DOUBLE) / (s1.nsh + s2.nsh - c) >= 0.5""")),
 
+    // Closed-form least squares via one aggregation pass (the scalable
+    // low-dimensional regression; FlinkML's SGD loop is the wrong shape at
+    // scale). Exact integer moments -> deterministic doubles.
+    Entry("qbd_linreg",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_quantity").as("x"),
+            QueryUtil.cents(col("l_extendedprice")).as("y"))
+        graft.operators.Preprocessing.linearFit(li, Seq("l_returnflag"), "x", "y")
+          .select(col("l_returnflag"), col("n"),
+            round(col("slope"), 6).as("slope"),
+            round(col("intercept"), 6).as("intercept"))
+      },
+      Some("""WITH m AS (
+          SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+            CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sy,
+            CAST(sum(CAST(l_quantity AS BIGINT) *
+              CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sxy,
+            CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx
+          FROM lineitem GROUP BY l_returnflag
+        ), fit AS (
+          SELECT l_returnflag, n,
+            (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+              (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS slope
+          FROM m
+        )
+        SELECT f.l_returnflag, f.n, round(f.slope, 6) AS slope,
+          round((m.sy - f.slope * m.sx) / CAST(m.n AS DOUBLE), 6) AS intercept
+        FROM fit f JOIN m ON f.l_returnflag = m.l_returnflag""")),
+
     // SparkSessionExtensions surface: the native codegen expressions called
     // from SQL TEXT via the injected function registry — same rows as the
     // Column API, same DuckDB-replayed FNV oracle as q87.

@@ -237,6 +237,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(scores(1L) > scores(2L) && scores(2L) > scores(3L))
   }
 
+  // ---- closed-form regression ---------------------------------------------
+
+  test("linearFit recovers exact coefficients per group, any partitioning") {
+    // y = 3x + 7 exactly for group a; y = -2x + 100 for group b
+    val rows = (1 to 500).flatMap(i =>
+      Seq(("a", i.toLong, 3L * i + 7), ("b", i.toLong, -2L * i + 100)))
+    def fit(parts: Int) = graft.operators.Preprocessing
+      .linearFit(rows.toDF("g", "x", "y").repartition(parts), Seq("g"), "x", "y")
+      .select($"g", $"slope", $"intercept").as[(String, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    val f = fit(7)
+    assert(f === Seq(("a", 3.0, 7.0), ("b", -2.0, 100.0)))
+    assert(f === fit(2)) // exact moments: partitioning cannot change bits
+  }
+
   // ---- z-order layout -----------------------------------------------------
 
   test("zorderBy bounds per-partition spread on EVERY clustered column") {
