@@ -33,9 +33,10 @@ object TemporalJoin {
                       buildValueMillis: Option[Long])
 
   /** Build rows first at equal ts (side 0 = build, 1 = probe), then by id:
-    * the OrderKey-contract-unique tie is (side, eventId) packed. */
+    * the OrderKey-contract-unique tie is (side, eventId) packed — side in
+    * bit 62, leaving the full non-negative id range collision-free. */
   private val orderKey: EventTimeOps.OrderKey[Tagged] =
-    t => (t.tsUs / 1000, t.tsUs, (t.side.toLong << 40) | (t.eventId & ((1L << 40) - 1)))
+    t => (t.tsUs / 1000, t.tsUs, (t.side.toLong << 62) | (t.eventId & ((1L << 62) - 1)))
 
   final class Processor
       extends EventTimeOps.OrderedProcessor[Long, Tagged, Enriched](
