@@ -295,6 +295,36 @@ object PipelineQueries {
         JOIN sizes s2 ON old_id = s2.doc_id
         WHERE CAST(c AS DOUBLE) / (s1.nsh + s2.nsh - c) >= 0.5""")),
 
+    // Prefix-filtered EXACT Jaccard at a dedup-grade threshold (AllPairs):
+    // candidates only where rarity-ordered prefixes collide — complete by
+    // pigeonhole, so the oracle is the plain all-pairs SQL. Same result
+    // set as q85's MinHash path at the same threshold, by a second,
+    // independent algorithm.
+    Entry("qbe_jaccard_prefix",
+      (s, dir) => {
+        val pairs = Dedup.jaccardPairsPrefix(t(s, dir, "documents"),
+          "doc_id", "text", n = 2, threshold = 0.8)
+        pairs.select(col("id1"), col("id2"), round(col("jaccard"), 9).as("jaccard"))
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, $OTOKS AS w FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, (w[i] || ' ' || w[i+1]) AS sh
+          FROM toks CROSS JOIN UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+        ), sizes AS (
+          SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id
+        ), common AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id1, id2,
+          round(CAST(c AS DOUBLE) / (s1.nsh + s2.nsh - c), 9) AS jaccard
+        FROM common
+        JOIN sizes s1 ON id1 = s1.doc_id
+        JOIN sizes s2 ON id2 = s2.doc_id
+        WHERE CAST(c AS DOUBLE) / (s1.nsh + s2.nsh - c) >= 0.8""")),
+
     // Closed-form least squares via one aggregation pass (the scalable
     // low-dimensional regression; FlinkML's SGD loop is the wrong shape at
     // scale). Exact integer moments -> deterministic doubles.

@@ -280,6 +280,25 @@ class PipelineOpsSpec extends SparkSpec {
 
   // ---- incremental dedup --------------------------------------------------
 
+  test("prefix-filtered Jaccard equals the full inverted-index result") {
+    val rnd = new scala.util.Random(23)
+    val vocab = (1 to 60).map(i => s"w$i")
+    def doc() = (1 to 12).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    // random docs plus planted near-dup pairs
+    val base = (1 to 60).map(i => (i.toLong, doc()))
+    val dups = base.take(8).map { case (id, t) =>
+      (1000L + id, t.split(" ").dropRight(1).mkString(" ") + " w1") }
+    val docs = (base ++ dups).toDF("doc_id", "text")
+    for (t <- Seq(0.5, 0.7)) {
+      val full = Dedup.jaccardPairs(docs, "doc_id", "text", n = 2, threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      val pfx = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", n = 2, threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pfx === full, s"prefix filter lost/added pairs at t=$t")
+      assert(full.nonEmpty, s"degenerate test corpus at t=$t")
+    }
+  }
+
   test("minhashNewVsCorpus finds cross-side near-dups only, exact-verified") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val corpus = Seq((1L, base), (2L, "completely different text about spark plans"),
