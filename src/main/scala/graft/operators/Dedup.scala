@@ -278,6 +278,31 @@ object Dedup {
       .select("new_id", "old_id", "jaccard")
   }
 
+  /** Benchmark decontamination: per training doc, how many distinct
+    * n-gram shingles it shares with the evaluation/benchmark corpus —
+    * the standard train/test contamination check run before training.
+    * Output: (doc, n_shared, contaminated) for EVERY training doc.
+    *
+    * The benchmark's distinct shingle-hash set is tiny next to the corpus
+    * (benchmarks are small by construction) — broadcast it so the
+    * training side never shuffles; the per-doc count is a map-side
+    * semi-join + partial aggregation fused into the scan. */
+  def contaminationCheck(train: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String, n: Int): DataFrame = {
+    val benchSh = benchmark
+      .select(explode(Hashes.shingleHashesUdf(n)(col(textCol))).as("h"))
+      .distinct()
+    val trainSh = train.select(col(idCol).as("doc"),
+      explode(Hashes.shingleHashesUdf(n)(col(textCol))).as("h"))
+    val shared = trainSh.join(broadcast(benchSh), Seq("h"), "left_semi")
+      .groupBy("doc").agg(count(lit(1)).as("n_shared"))
+    train.select(col(idCol).as("doc"))
+      .join(shared, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** Close the near-dup loop: given verified duplicate PAIRS, pick one
     * representative per duplicate CLUSTER (connected components over the
     * pair graph, representative = min id — transitively-linked docs dedup

@@ -86,6 +86,40 @@ object TextPipeline {
       .withColumn("clean_text", t3)
   }
 
+  /** Corpus-wide span-level exact dedup (the C4 duplicate-line /
+    * Lee-et-al duplicated-substring removal, at fixed token-span
+    * granularity): split each doc into consecutive `spanTokens`-token
+    * spans, keep only each distinct span's FIRST occurrence in corpus
+    * order (doc id, then position), and rebuild documents from their
+    * surviving spans. Boilerplate repeated across documents vanishes
+    * everywhere but its first appearance.
+    *
+    * One window pass over the exploded spans (shuffle keyed on span text —
+    * hot boilerplate spans are exactly the skew candidates; the window is
+    * a running min, so AQE skew-split applies) and one per-doc
+    * re-aggregation. Deterministic: "first" is a total order, so the
+    * output is reproducible under any partitioning. */
+  def dedupSpans(df: DataFrame, idCol: String, textCol: String,
+                 spanTokens: Int): DataFrame = {
+    require(spanTokens > 0)
+    val toks = TextFunctions.tokens(col(textCol))
+    val spans = df
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), ceil(size(toks).cast("double") / spanTokens).cast("int") - 1),
+        i => array_join(slice(toks, i * spanTokens + 1, lit(spanTokens)), " "))))
+      .toDF(idCol, "span_idx", "span")
+      .filter(col("span") =!= "") // empty doc → single empty span, drop
+    val w = Window.partitionBy(col("span"))
+      .orderBy(col(idCol), col("span_idx"))
+    val marked = spans.withColumn("_rn", row_number().over(w))
+    marked.groupBy(col(idCol)).agg(
+      array_join(transform(array_sort(collect_list(
+        when(col("_rn") === 1, struct(col("span_idx"), col("span"))))),
+        s => s.getField("span")), " ").as("clean_text"),
+      sum(when(col("_rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+      sum(when(col("_rn") =!= 1, 1L).otherwise(0L)).as("n_dropped"))
+  }
+
   /** Unigram log-probability scoring — the cheap stand-in for the CCNet/
     * KenLM perplexity filter: score(doc) = mean over tokens of
     * ln P(token | corpus), with add-one smoothing over the corpus vocab.

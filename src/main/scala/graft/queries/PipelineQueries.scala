@@ -295,6 +295,57 @@ object PipelineQueries {
         JOIN sizes s2 ON old_id = s2.doc_id
         WHERE CAST(c AS DOUBLE) / (s1.nsh + s2.nsh - c) >= 0.5""")),
 
+    // Benchmark decontamination: flag training docs sharing any 3-gram
+    // with the (small) benchmark slice — the pre-training contamination
+    // audit; benchmark shingle set broadcasts, the corpus never shuffles.
+    Entry("qbf_decontaminate",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val bench = d.filter(pmod(col("doc_id"), lit(50)) === 0)
+        val train = d.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+        Dedup.contaminationCheck(train, bench, "doc_id", "text", n = 3)
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, $OTOKS AS w FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, (w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS sh
+          FROM toks CROSS JOIN UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        ), bench AS (
+          SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0
+        ), cnt AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+          FROM sh JOIN bench USING (sh) WHERE doc_id % 50 <> 0 GROUP BY doc_id
+        )
+        SELECT d.doc_id AS doc, COALESCE(c.n_shared, 0) AS n_shared,
+          COALESCE(c.n_shared, 0) > 0 AS contaminated
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+        LEFT JOIN cnt c ON d.doc_id = c.doc_id""")),
+
+    // Corpus-wide span dedup (C4 duplicate-line removal at 10-token-span
+    // granularity): each distinct span survives only at its first corpus
+    // occurrence; docs rebuild from surviving spans.
+    Entry("qbg_span_dedup",
+      (s, dir) => TextPipeline.dedupSpans(t(s, dir, "documents"),
+        "doc_id", "text", spanTokens = 10),
+      Some(s"""WITH toks AS (
+          SELECT doc_id, $OTOKS AS w FROM documents
+        ), spans AS (
+          SELECT doc_id, i AS span_idx,
+            array_to_string(w[i*10 + 1 : i*10 + 10], ' ') AS span
+          FROM toks CROSS JOIN UNNEST(range(CAST(ceil(len(w) / 10.0) AS BIGINT))) AS t(i)
+        ), nz AS (
+          SELECT * FROM spans WHERE span <> ''
+        ), m AS (
+          SELECT *, row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+          FROM nz
+        )
+        SELECT doc_id,
+          COALESCE(string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY span_idx), '')
+            AS clean_text,
+          CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+          CAST(sum(CASE WHEN rn <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+        FROM m GROUP BY doc_id""")),
+
     // Prefix-filtered EXACT Jaccard at a dedup-grade threshold (AllPairs):
     // candidates only where rarity-ordered prefixes collide — complete by
     // pigeonhole, so the oracle is the plain all-pairs SQL. Same result

@@ -280,6 +280,33 @@ class PipelineOpsSpec extends SparkSpec {
 
   // ---- incremental dedup --------------------------------------------------
 
+  test("dedupSpans keeps only first corpus occurrence; docs rebuild in order") {
+    val span = (1 to 10).map(i => s"b$i").mkString(" ")   // shared boilerplate
+    val u1 = (1 to 10).map(i => s"x$i").mkString(" ")
+    val u2 = (1 to 10).map(i => s"y$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$span $u1"),        // first occurrence of span: keeps both
+      (2L, s"$u2 $span"),        // later occurrence: span dropped, u2 kept
+      (3L, span)).toDF("doc_id", "text") // all spans dropped -> empty text
+    val got = TextPipeline.dedupSpans(docs, "doc_id", "text", spanTokens = 10)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(got(0) === ((1L, s"$span $u1", 2L, 0L)))
+    assert(got(1) === ((2L, u2, 1L, 1L)))
+    assert(got(2) === ((3L, "", 0L, 1L)))
+  }
+
+  test("contaminationCheck counts shared n-grams; clean docs report zero") {
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "a sentence with the quick brown fox inside it"), // shares 3-grams
+      (2L, "nothing in common with anything here")).toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .contaminationCheck(train, bench, "doc_id", "text", n = 3)
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    // "the quick brown" and "quick brown fox" are the shared 3-grams
+    assert(got.toSeq === Seq((1L, 2L, true), (2L, 0L, false)))
+  }
+
   test("prefix-filtered Jaccard equals the full inverted-index result") {
     val rnd = new scala.util.Random(23)
     val vocab = (1 to 60).map(i => s"w$i")
