@@ -54,60 +54,35 @@ object AsOfJoin {
   def backward(left: DataFrame, right: DataFrame, key: String,
                leftTs: String, rightTs: String, tiebreak: String,
                toleranceUs: Long = 0L, rightPrefix: String = "r_"): DataFrame = {
-    val reserved = Set("_ts", "_side", "_tb", "_payload", "_match", "_match_ts")
-    require(!left.columns.exists(reserved), s"left columns clash with ${reserved.mkString(",")}")
-    val rightPayloadCols = right.columns.filter(_ != key).toSeq
-    val leftCols = left.columns.toSeq
-
-    // Common shape: (key, _ts, _side, _tb, _payload, <left cols as nulls/values>)
-    val taggedRight = right.select(
-      Seq(col(key), col(rightTs).as("_ts"), lit(0).as("_side"),
-        col(tiebreak).as("_tb"),
-        struct(rightPayloadCols.map(col): _*).as("_payload")) ++
-        leftCols.filter(_ != key).map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
-    val taggedLeft = left.select(
-      Seq(col(key), col(leftTs).as("_ts"), lit(1).as("_side"),
-        lit(null).cast("long").as("_tb"),
-        lit(null).cast(taggedRight.schema("_payload").dataType).as("_payload")) ++
-        leftCols.filter(_ != key).map(col): _*)
-
-    // Right rows first at equal ts => inclusive rightTs <= leftTs.
-    val w = Window.partitionBy(key).orderBy(col("_ts"), col("_side"), col("_tb"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = taggedRight.unionByName(taggedLeft)
-      .withColumn("_match", last(col("_payload"), ignoreNulls = true).over(w))
-      .withColumn("_match_ts", last(when(col("_side") === 0, col("_ts")),
-        ignoreNulls = true).over(w))
-      .filter(col("_side") === 1)
-
-    val tolerated =
-      if (toleranceUs > 0)
-        carried.withColumn("_match",
-          when(unix_micros(col("_ts")) - unix_micros(col("_match_ts")) <= toleranceUs,
-            col("_match")))
-      else carried
-
-    tolerated.select(
-      leftCols.map(c => if (c == key) col(key) else col(c)) ++
-        rightPayloadCols.map(c => col(s"_match.$c").as(s"$rightPrefix$c")): _*)
+    requireClean(left)
+    // timestamp order == µs-long order: both directions share ONE core
+    val axL = left.withColumn("_axts", expr(s"unix_micros($leftTs)"))
+    val axR = right.withColumn("_axts", expr(s"unix_micros($rightTs)"))
+      .withColumn("_axtb", col(tiebreak).cast("long"))
+    backwardOnLong(axL, axR, key, "_axts", "_axtb", toleranceUs, rightPrefix)
   }
 
   /** Forward as-of join (earliest right at-or-after left): the time-mirrored
-    * [[backward]] — same single-shuffle plan, window ordered descending. */
+    * [[backward]] — same single-shuffle plan on a negated time axis. */
   def forward(left: DataFrame, right: DataFrame, key: String,
               leftTs: String, rightTs: String, tiebreak: String,
               toleranceUs: Long = 0L, rightPrefix: String = "r_"): DataFrame = {
-    val negL = left.withColumn("_negts", expr(s"-unix_micros($leftTs)"))
-    val negR = right.withColumn("_negts", expr(s"-unix_micros($rightTs)"))
+    requireClean(left)
+    val negL = left.withColumn("_axts", expr(s"-unix_micros($leftTs)"))
+    val negR = right.withColumn("_axts", expr(s"-unix_micros($rightTs)"))
       // mirror the tiebreak too: backward takes MAX _tb, forward wants MIN
-      .withColumn("_negtb", -col(tiebreak).cast("long"))
-    // reuse backward on negated micro timestamps
-    val joined = backwardOnLong(negL, negR, key, "_negts", "_negtb", toleranceUs,
-      rightPrefix)
-    joined.drop("_negts")
+      .withColumn("_axtb", -col(tiebreak).cast("long"))
+    backwardOnLong(negL, negR, key, "_axts", "_axtb", toleranceUs, rightPrefix)
   }
 
-  /** backward() specialized to a pre-negated long-µs axis (forward support). */
+  private val reserved =
+    Set("_ts", "_side", "_tb", "_payload", "_match", "_match_ts", "_axts", "_axtb")
+  private def requireClean(left: DataFrame): Unit =
+    require(!left.columns.exists(reserved),
+      s"left columns clash with reserved names ${reserved.mkString(",")}")
+
+  /** The one as-of core, on a long axis (ascending = backward; callers
+    * negate the axis for forward). */
   private def backwardOnLong(left: DataFrame, right: DataFrame, key: String,
                              tsCol: String, tbCol: String, toleranceUs: Long,
                              rightPrefix: String): DataFrame = {

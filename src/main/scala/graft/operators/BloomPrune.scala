@@ -26,15 +26,29 @@ object BloomPrune {
 
   /** `left LEFT SEMI JOIN right ON left(key) = right(key)`, bloom-pruned.
     * `fpp` trades filter size vs wasted shuffle (false positives are
-    * re-filtered by the exact join, never emitted). */
+    * re-filtered by the exact join, never emitted). Integral and string
+    * keys are supported; anything else fails loudly rather than silently
+    * pruning everything (a Long-only probe would null-cast e.g. UUID keys
+    * and drop every row before the "exact" join). Null keys never match —
+    * semi-join equality semantics. */
   def semiJoin(left: DataFrame, right: DataFrame, key: String,
                expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.types._
     val bloom = right.stat.bloomFilter(key, expectedItems, fpp)
     val bc = left.sparkSession.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    val mightContain = left.schema(key).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+          .apply(col(key).cast("long"))
+      case StringType =>
+        udf((k: String) => k != null && bc.value.mightContainString(k))
+          .apply(col(key))
+      case dt => throw new IllegalArgumentException(
+        s"bloom-prunable key must be integral or string, got ${dt.sql}")
+    }
     // left_semi dedups the build side itself — a distinct() here would add
     // a whole extra shuffle for nothing
-    left.filter(mightContain(col(key)))
+    left.filter(mightContain)
       .join(right.select(key), Seq(key), "left_semi")
   }
 }

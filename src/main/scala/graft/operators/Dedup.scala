@@ -114,14 +114,7 @@ object Dedup {
             ceil((col("a.nsh") + col("b.nsh")) * (threshold / (1 + threshold))))
       .select(col("a.doc").as("id1"), col("b.doc").as("id2"))
       .distinct()
-    cands
-      .join(sh.select(col("doc").as("id1"), col("shs").as("sh1")), "id1")
-      .join(sh.select(col("doc").as("id2"), col("shs").as("sh2")), "id2")
-      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
-      .withColumn("jaccard", col("inter") /
-        (size(col("sh1")) + size(col("sh2")) - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("id1", "id2", "jaccard")
+    verifyJaccard(cands, sh, sh, "id1", "id2", threshold, broadcastLookups = false)
   }
 
   /** MinHash signatures: (idCol, sig array<long>), single compiled pass. */
@@ -130,12 +123,56 @@ object Dedup {
     df.select(col(idCol).as("doc"),
       Hashes.minhashFromText(col(textCol), n, k).as("sig"))
 
-  /** LSH candidate pairs from banded MinHash signatures (id1 < id2). */
-  def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val banded = sigs.select(col("doc"),
+  /** (doc, band, bucket) rows from signatures — THE banding function; every
+    * candidate path must use this one definition or cross-path lookups
+    * silently probe different buckets. */
+  private def bandedBuckets(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+    sigs.select(col("doc"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(lit("band"), b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .toDF("doc", "band", "bucket")
+
+  /** Exact-Jaccard verification of candidate (leftId, rightId) pairs
+    * against per-doc hashed shingle sets — the one definition of the
+    * verify formula. `broadcastLookups` = map-side joins when the per-doc
+    * tables fit executor memory; false = plain (bucketed/shuffled) joins. */
+  private def verifyJaccard(cands: DataFrame, shLeft: DataFrame, shRight: DataFrame,
+                            leftId: String, rightId: String, threshold: Double,
+                            broadcastLookups: Boolean): DataFrame = {
+    def side(t: DataFrame) = if (broadcastLookups) broadcast(t) else t
+    cands
+      .join(side(shLeft.select(col("doc").as(leftId), col("shs").as("sh1"))), leftId)
+      .join(side(shRight.select(col("doc").as(rightId), col("shs").as("sh2"))), rightId)
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("jaccard", col("inter") /
+        (size(col("sh1")) + size(col("sh2")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col(leftId), col(rightId), col("jaccard"))
+  }
+
+  /** The per-corpus MinHash artifacts: hashed shingle sets, signatures,
+    * banded buckets. Compute ONCE per corpus (and persist — bucketed on
+    * `doc` in production) so incremental runs never re-pay corpus hashing. */
+  final case class MinhashTables(sh: DataFrame, sigs: DataFrame, banded: DataFrame)
+
+  /** Build [[MinhashTables]] for a corpus (one text pass; `cache` pins the
+    * two lookup tables for multi-use within a session — for cross-session
+    * reuse write them out bucketed on `doc` instead). */
+  def prepMinhashTables(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, k: Int, bands: Int,
+                        cache: Boolean = true): MinhashTables = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val sh0 = df.select(col(idCol).as("doc"),
+      Hashes.shingleHashesUdf(n)(col(textCol)).as("shs"))
+    val sh = if (cache) sh0.cache() else sh0
+    val sigs0 = sh.select(col("doc"), Hashes.minhashFromHashes(col("shs"), k).as("sig"))
+    val sigs = if (cache) sigs0.cache() else sigs0
+    MinhashTables(sh, sigs, bandedBuckets(sigs, bands, k / bands))
+  }
+
+  /** LSH candidate pairs from banded MinHash signatures (id1 < id2). */
+  def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = bandedBuckets(sigs, bands, rowsPerBand)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc") < col("b.doc"))
@@ -221,14 +258,7 @@ object Dedup {
       .join(sigs.select(col("doc").as("id2"), col("sig").as("sig2")), "id2")
       .filter(sigAgreement(col("sig1"), col("sig2")) >= threshold - 0.25)
       .select("id1", "id2")
-    cands
-      .join(sh.select(col("doc").as("id1"), col("shs").as("sh1")), "id1")
-      .join(sh.select(col("doc").as("id2"), col("shs").as("sh2")), "id2")
-      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
-      .withColumn("jaccard", col("inter") /
-        (size(col("sh1")) + size(col("sh2")) - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select("id1", "id2", "jaccard")
+    verifyJaccard(cands, sh, sh, "id1", "id2", threshold, broadcastLookups = false)
   }
 
   /** Incremental near-dedup: MinHash/LSH candidates between an `incoming`
@@ -239,44 +269,43 @@ object Dedup {
     *
     * Same banding + signature-agreement pre-filter + exact-Jaccard
     * verification as [[minhashDupPairs]] (identical recall/precision
-    * properties); only the candidate join is cross-sided. At true scale
-    * the corpus-side banded buckets and shingle tables are precomputed,
-    * persisted bucketed on doc id, and only the batch side is hashed per
-    * run. Output: (new_id, old_id, jaccard >= threshold). */
-  def minhashNewVsCorpus(incoming: DataFrame, corpus: DataFrame,
+    * properties); only the candidate join is cross-sided. This overload
+    * takes the corpus's PRECOMPUTED [[MinhashTables]] — build them once
+    * with [[prepMinhashTables]] when the corpus is built (persist bucketed
+    * on doc id at scale) so each batch pays only its own hashing. The
+    * lookup joins here are NOT broadcast: the corpus tables are
+    * corpus-sized. Output: (new_id, old_id, jaccard >= threshold). */
+  def minhashNewVsCorpus(incoming: DataFrame, corpus: MinhashTables,
                          idCol: String, textCol: String, n: Int, k: Int,
                          bands: Int, threshold: Double): DataFrame = {
-    require(k % bands == 0, s"k=$k must divide into bands=$bands")
-    val rowsPerBand = k / bands
-    def prep(df: DataFrame) = {
-      val sh = df.select(col(idCol).as("doc"),
-        Hashes.shingleHashesUdf(n)(col(textCol)).as("shs")).cache()
-      val sigs = sh.select(col("doc"), Hashes.minhashFromHashes(col("shs"), k).as("sig")).cache()
-      val banded = sigs.select(col("doc"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(lit("band"), b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
-        .toDF("doc", "band", "bucket")
-      (sh, sigs, banded)
-    }
-    val (shNew, sigNew, bandNew) = prep(incoming)
-    val (shOld, sigOld, bandOld) = prep(corpus)
-    val cands = bandNew.as("a").join(bandOld.as("b"),
+    val nw = prepMinhashTables(incoming, idCol, textCol, n, k, bands)
+    val cands = nw.banded.as("a").join(corpus.banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .select(col("a.doc").as("new_id"), col("b.doc").as("old_id"))
       .distinct()
-      .join(broadcast(sigNew.select(col("doc").as("new_id"), col("sig").as("sig1"))), "new_id")
-      .join(broadcast(sigOld.select(col("doc").as("old_id"), col("sig").as("sig2"))), "old_id")
+      .join(broadcast(nw.sigs.select(col("doc").as("new_id"), col("sig").as("sig1"))), "new_id")
+      .join(corpus.sigs.select(col("doc").as("old_id"), col("sig").as("sig2")), "old_id")
       .filter(sigAgreement(col("sig1"), col("sig2")) >= threshold - 0.25)
       .select("new_id", "old_id")
+    // batch-side lookups broadcast (a batch is small); corpus-side shuffle
     cands
-      .join(broadcast(shNew.select(col("doc").as("new_id"), col("shs").as("sh1"))), "new_id")
-      .join(broadcast(shOld.select(col("doc").as("old_id"), col("shs").as("sh2"))), "old_id")
+      .join(broadcast(nw.sh.select(col("doc").as("new_id"), col("shs").as("sh1"))), "new_id")
+      .join(corpus.sh.select(col("doc").as("old_id"), col("shs").as("sh2")), "old_id")
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
       .withColumn("jaccard", col("inter") /
         (size(col("sh1")) + size(col("sh2")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("new_id", "old_id", "jaccard")
   }
+
+  /** Convenience overload that preps the corpus tables in-line — for
+    * one-shot use; a real ingest loop should prep once and reuse. */
+  def minhashNewVsCorpus(incoming: DataFrame, corpus: DataFrame,
+                         idCol: String, textCol: String, n: Int, k: Int,
+                         bands: Int, threshold: Double): DataFrame =
+    minhashNewVsCorpus(incoming,
+      prepMinhashTables(corpus, idCol, textCol, n, k, bands),
+      idCol, textCol, n, k, bands, threshold)
 
   /** Benchmark decontamination: per training doc, how many distinct
     * n-gram shingles it shares with the evaluation/benchmark corpus —

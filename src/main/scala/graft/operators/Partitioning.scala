@@ -70,14 +70,16 @@ object Partitioning {
     import org.apache.spark.sql.functions._
     require(cols.nonEmpty && cols.size * bits <= 63,
       s"${cols.size} cols x $bits bits must fit a signed long")
-    val stats = df.agg(
-      cols.flatMap(c => Seq(min(col(c).cast("double")).as(s"_min_$c"),
-        max(col(c).cast("double")).as(s"_max_$c"))).head,
-      cols.flatMap(c => Seq(min(col(c).cast("double")).as(s"_min_$c"),
-        max(col(c).cast("double")).as(s"_max_$c"))).tail: _*).head()
+    val statExprs = cols.flatMap(c => Seq(min(col(c).cast("double")).as(s"_min_$c"),
+      max(col(c).cast("double")).as(s"_max_$c")))
+    val stats = df.agg(statExprs.head, statExprs.tail: _*).head()
+    // empty input or an all-null column: min/max are null — every z-value
+    // degenerates to one bin, which is harmless; never NPE on the driver
+    def statOr0(i: Int): Double =
+      if (stats.isNullAt(i)) 0.0 else stats.getDouble(i)
     val levels = (1L << bits) - 1
     val scaled = cols.zipWithIndex.map { case (c, i) =>
-      val lo = stats.getDouble(2 * i); val hi = stats.getDouble(2 * i + 1)
+      val lo = statOr0(2 * i); val hi = statOr0(2 * i + 1)
       val span = if (hi > lo) hi - lo else 1.0
       least(greatest(
         round((col(c).cast("double") - lit(lo)) / lit(span) * levels).cast("long"),

@@ -34,11 +34,16 @@ object Preprocessing {
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
         sum(x * y).as("sxy"), sum(x * x).as("sxx"))
-      .withColumn("slope",
+      // degenerate group (single row / constant x): slope undefined -> NULL
+      // on every engine, rather than Spark-NULL vs IEEE-Infinity skew
+      .withColumn("_det",
+        col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx"))
+      .withColumn("slope", when(col("_det") =!= 0.0,
         (col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy")) /
-          (col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx")))
+          col("_det")))
       .withColumn("intercept",
         (col("sy") - col("slope") * col("sx")) / col("n").cast("double"))
+      .drop("_det")
   }
 
   /** z-score columns from integer inputs: z = (x - Σx/n) / sqrt(Σx²/n - (Σx/n)²).

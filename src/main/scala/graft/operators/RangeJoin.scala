@@ -33,6 +33,13 @@ object RangeJoin {
                       intervals: DataFrame, loUs: String, hiUs: String,
                       binWidthUs: Long): DataFrame = {
     require(binWidthUs > 0)
+    // overlapping names would make the post-join exact re-check ambiguous
+    // (or silently read the wrong side); fail loudly instead
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(overlap.isEmpty,
+      s"points/intervals share column names ${overlap.mkString(",")} — rename first")
+    require(!(points.columns ++ intervals.columns).contains("_bin"),
+      "'_bin' is reserved by pointInInterval")
     val p = points.withColumn("_bin", floor(col(ptUs) / binWidthUs))
     // Degenerate intervals (hi <= lo) match nothing, but unguarded they
     // would feed sequence() a DESCENDING range — for a far-inverted pair

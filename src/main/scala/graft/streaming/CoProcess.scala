@@ -21,8 +21,14 @@ object CoProcess {
     // tieId folds the side bit in: the OrderKey contract requires a unique
     // tie per buffered row, and the two sides may legitimately carry the
     // same eventId. Also pins equal-(ts, id) interleaving to left-first.
-    val orderKey: OrderKey[Tagged] =
-      t => (t.tsUs / 1000, t.tsUs, t.eventId * 2 + t.side)
+    // The packing needs eventId < 2^62 — enforced loudly, because a
+    // silent overflow would misorder (or, under the MapState buffer,
+    // drop) rows instead of failing.
+    val orderKey: OrderKey[Tagged] = { t =>
+      require(t.eventId >= 0 && t.eventId < (1L << 62),
+        s"eventId ${t.eventId} outside [0, 2^62) — tie packing would collide")
+      (t.tsUs / 1000, t.tsUs, t.eventId * 2 + t.side)
+    }
   }
 
   /** CoProcessFunction-style callbacks, event-time ordered across BOTH

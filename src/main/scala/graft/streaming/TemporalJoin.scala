@@ -34,9 +34,13 @@ object TemporalJoin {
 
   /** Build rows first at equal ts (side 0 = build, 1 = probe), then by id:
     * the OrderKey-contract-unique tie is (side, eventId) packed — side in
-    * bit 62, leaving the full non-negative id range collision-free. */
-  private val orderKey: EventTimeOps.OrderKey[Tagged] =
-    t => (t.tsUs / 1000, t.tsUs, (t.side.toLong << 62) | (t.eventId & ((1L << 62) - 1)))
+    * bit 62. Ids must fit below it; enforced loudly, because a masked
+    * overflow would silently overwrite a buffered row (MapState identity). */
+  private val orderKey: EventTimeOps.OrderKey[Tagged] = { t =>
+    require(t.eventId >= 0 && t.eventId < (1L << 62),
+      s"eventId ${t.eventId} outside [0, 2^62) — tie packing would collide")
+    (t.tsUs / 1000, t.tsUs, (t.side.toLong << 62) | t.eventId)
+  }
 
   final class Processor
       extends EventTimeOps.OrderedProcessor[Long, Tagged, Enriched](
