@@ -274,5 +274,21 @@ object MiscQueries {
         SELECT l_returnflag, count(*) AS n,
           count(*) FILTER (pq IS NOT NULL AND qty > pq) AS asc_steps
         FROM o GROUP BY l_returnflag""")),
+
+    // Correlated scalar subquery (the TPC-H Q2/Q20 shape on this fixture's
+    // schema): parts priced above their type's average retail price.
+    // Catalyst decorrelates both subqueries (RewriteCorrelatedScalarSubquery)
+    // into one aggregate per p_type joined back to part — NOT a per-row
+    // re-scan; PlanQualitySpec pins the decorrelated plan shape. Cross-
+    // multiplication (price*cnt > sum) keeps the comparison in exact long
+    // arithmetic so the oracle matches bit-for-bit with no avg() float.
+    sqlBoth("qbh_decorrelated_scalar",
+      """SELECT p.p_partkey, p.p_name,
+          CAST(round(p.p_retailprice * 100) AS BIGINT) AS price_c
+        FROM part p
+        WHERE CAST(round(p.p_retailprice * 100) AS BIGINT) *
+            (SELECT count(*) FROM part p2 WHERE p2.p_type = p.p_type)
+          > (SELECT CAST(sum(CAST(round(p2.p_retailprice * 100) AS BIGINT)) AS BIGINT)
+             FROM part p2 WHERE p2.p_type = p.p_type)"""),
   )
 }

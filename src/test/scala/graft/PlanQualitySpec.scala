@@ -76,4 +76,17 @@ class PlanQualitySpec extends SparkSpec {
     assert("Sort \\[".r.findAllIn(plan).length === 1,
       s"the carried-ts window must reuse the payload window's sort:\n$plan")
   }
+
+  test("qbh correlated scalar subquery decorrelates to one agg + join, no per-row subquery") {
+    val plan = executedPlan("qbh_decorrelated_scalar").split("== Initial Plan ==").head
+    // Catalyst's RewriteCorrelatedScalarSubquery must turn the correlated
+    // subqueries into a grouped aggregate joined back to part — a physical
+    // plan with a join and NO scalar-subquery execution node. A per-row
+    // subquery would render as "Subquery" / "InSubquery" in the plan.
+    assert(!plan.contains("Subquery"), s"subquery survived decorrelation:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      s"expected the decorrelated agg joined back to part:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"expected map-side partial agg for the per-type aggregate:\n$plan")
+  }
 }
