@@ -815,5 +815,145 @@ object StatefulStreamQueries {
         SELECT user_id AS key, event_id AS view_id, epoch_us(ts) AS ts_us,
           p_id AS purchase_id, p_ts_us AS purchase_ts_us, p_vm AS purchase_value_millis
         FROM c WHERE is_left = 1""")),
+
+    // CEP followedByAny (skip-till-ANY-match): the partial FORKS per
+    // qualifying event, so every view pairs with EVERY click after it
+    // within 1 day — not just the first (contrast q99's greedy binding).
+    Entry("qbi_cep_followed_by_any",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        import graft.streaming.{Cep, EventTimeOps}
+        val pat = Cep.Pattern.begin("view").followedByAny("click").within(86400000000L)
+        val out = EventTimeOps.ordered(keyedEvents(s, dir),
+            (e: StatefulOps.KeyedEvent) => e.key, new Cep.NfaProcessor(pat))
+          .select(col("key"),
+            element_at(col("ids"), 1).as("id_view"),
+            element_at(col("ids"), 2).as("id_click"),
+            col("startTsUs").as("start_ts_us"), col("endTsUs").as("end_ts_us"))
+        run(out, "qbi_sink")
+      },
+      Some("""SELECT v.user_id AS key, v.event_id AS id_view, c.event_id AS id_click,
+          epoch_us(v.ts) AS start_ts_us, epoch_us(c.ts) AS end_ts_us
+        FROM events v JOIN events c ON c.user_id = v.user_id
+        WHERE v.event_type = 'view' AND c.event_type = 'click'
+          AND (c.ts > v.ts OR (c.ts = v.ts AND c.event_id > v.event_id))
+          AND epoch_us(c.ts) - epoch_us(v.ts) <= 86400000000""")),
+
+    // CEP or-condition: one stage accepts click OR purchase; greedy first
+    // binding picks whichever of the two types comes first after the view.
+    Entry("qbj_cep_or",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        import graft.streaming.{Cep, EventTimeOps}
+        val pat = Cep.Pattern.begin("view").followedBy("click").or("purchase")
+          .within(86400000000L)
+        val out = EventTimeOps.ordered(keyedEvents(s, dir),
+            (e: StatefulOps.KeyedEvent) => e.key, new Cep.NfaProcessor(pat))
+          .select(col("key"),
+            element_at(col("ids"), 1).as("id_view"),
+            element_at(col("ids"), 2).as("id_next"),
+            col("startTsUs").as("start_ts_us"), col("endTsUs").as("end_ts_us"))
+        run(out, "qbj_sink")
+      },
+      Some("""WITH v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view')
+        SELECT v.user_id AS key, v.event_id AS id_view, x.event_id AS id_next,
+          epoch_us(v.ts) AS start_ts_us, epoch_us(x.ts) AS end_ts_us
+        FROM v JOIN LATERAL (
+          SELECT event_id, ts FROM events e
+          WHERE e.user_id = v.user_id AND e.event_type IN ('click', 'purchase')
+            AND (e.ts > v.ts OR (e.ts = v.ts AND e.event_id > v.event_id))
+          ORDER BY e.ts, e.event_id LIMIT 1) x ON true
+        WHERE epoch_us(x.ts) - epoch_us(v.ts) <= 86400000000""")),
+
+    // CEP until: views absorb into the oneOrMore loop only until the first
+    // error after the partial's start closes it; the first purchase within
+    // 1 day still completes the match. n_views therefore counts views
+    // before min(first error, purchase) — the loop-stop semantics.
+    Entry("qbk_cep_until",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        import graft.streaming.{Cep, EventTimeOps}
+        val pat = Cep.Pattern.begin("view").oneOrMore.until("error")
+          .followedBy("purchase").within(86400000000L)
+        val out = EventTimeOps.ordered(keyedEvents(s, dir),
+            (e: StatefulOps.KeyedEvent) => e.key, new Cep.NfaProcessor(pat))
+          .select(col("key"),
+            element_at(col("ids"), 1).as("id_first"),
+            (size(col("ids")) - 1).cast("long").as("n_views"),
+            element_at(col("ids"), -1).as("id_purchase"),
+            col("startTsUs").as("start_ts_us"), col("endTsUs").as("end_ts_us"))
+        run(out.toDF(), "qbk_sink")
+      },
+      Some("""WITH v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+        fp AS (SELECT v.user_id, v.event_id AS id_first, v.ts AS vts,
+            p.event_id AS id_purchase, p.ts AS pts
+          FROM v JOIN LATERAL (
+            SELECT event_id, ts FROM events p
+            WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+              AND (p.ts > v.ts OR (p.ts = v.ts AND p.event_id > v.event_id))
+            ORDER BY p.ts, p.event_id LIMIT 1) p ON true
+          WHERE epoch_us(p.ts) - epoch_us(v.ts) <= 86400000000),
+        fe AS (SELECT fp.*, e.event_id AS eid, e.ts AS ets
+          FROM fp LEFT JOIN LATERAL (
+            SELECT event_id, ts FROM events e
+            WHERE e.user_id = fp.user_id AND e.event_type = 'error'
+              AND (e.ts > fp.vts OR (e.ts = fp.vts AND e.event_id > fp.id_first))
+            ORDER BY e.ts, e.event_id LIMIT 1) e ON true)
+        SELECT user_id AS key, id_first,
+          CAST(1 + (SELECT count(*) FROM events w
+            WHERE w.user_id = fe.user_id AND w.event_type = 'view'
+              AND (w.ts > vts OR (w.ts = vts AND w.event_id > id_first))
+              AND (w.ts < pts OR (w.ts = pts AND w.event_id < id_purchase))
+              AND (ets IS NULL OR w.ts < ets OR (w.ts = ets AND w.event_id < eid)))
+            AS BIGINT) AS n_views,
+          id_purchase, epoch_us(vts) AS start_ts_us, epoch_us(pts) AS end_ts_us
+        FROM fe""")),
+
+    // CEP timeout select: views whose first purchase misses the 1-day bound
+    // emit a timed_out row (id_purchase = -1, end = the deadline) when the
+    // key's next event past the deadline prunes the partial — lazy,
+    // data-driven detection, so a batch oracle reproduces it exactly.
+    Entry("qbl_cep_timeout",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        import graft.streaming.{Cep, EventTimeOps}
+        val pat = Cep.Pattern.begin("view").followedBy("purchase").within(86400000000L)
+        val out = EventTimeOps.ordered(keyedEvents(s, dir),
+            (e: StatefulOps.KeyedEvent) => e.key,
+            new Cep.NfaProcessor(pat, emitTimeouts = true))
+          .select(col("key"),
+            element_at(col("ids"), 1).as("id_view"),
+            when(size(col("ids")) === 2, element_at(col("ids"), 2))
+              .otherwise(lit(-1L)).as("id_purchase"),
+            col("startTsUs").as("start_ts_us"), col("endTsUs").as("end_ts_us"),
+            col("timedOut").cast("int").as("timed_out"))
+        run(out.toDF(), "qbl_sink")
+      },
+      Some("""WITH v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+        fp AS (SELECT v.user_id, v.event_id, v.ts AS vts,
+            p.event_id AS pid, p.ts AS pts
+          FROM v LEFT JOIN LATERAL (
+            SELECT event_id, ts FROM events p
+            WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+              AND (p.ts > v.ts OR (p.ts = v.ts AND p.event_id > v.event_id))
+            ORDER BY p.ts, p.event_id LIMIT 1) p ON true)
+        SELECT user_id AS key, event_id AS id_view, pid AS id_purchase,
+          epoch_us(vts) AS start_ts_us, epoch_us(pts) AS end_ts_us,
+          CAST(0 AS INTEGER) AS timed_out
+        FROM fp
+        WHERE pts IS NOT NULL AND epoch_us(pts) - epoch_us(vts) <= 86400000000
+        UNION ALL
+        SELECT user_id AS key, event_id AS id_view, CAST(-1 AS BIGINT) AS id_purchase,
+          epoch_us(vts) AS start_ts_us, epoch_us(vts) + 86400000000 AS end_ts_us,
+          CAST(1 AS INTEGER) AS timed_out
+        FROM fp
+        WHERE (pts IS NULL OR epoch_us(pts) - epoch_us(vts) > 86400000000)
+          AND EXISTS (SELECT 1 FROM events e
+            WHERE e.user_id = fp.user_id
+              AND epoch_us(e.ts) - epoch_us(vts) > 86400000000)""")),
   )
 }

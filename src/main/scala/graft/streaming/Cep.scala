@@ -6,19 +6,39 @@ import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.streaming.{StatefulProcessorHandle, TTLConfig, ValueState}
 
 /** CEP subset (reference: flink-libraries/flink-cep/.../pattern/Pattern.java
-  * — begin/next/followedBy/times/oneOrMore/within; nfa/NFA.java — partial
-  * match tracking). Patterns compile to a small NFA evaluated per key in
-  * event-time order on the ordered stateful processor.
+  * — begin/next/followedBy/followedByAny/times/oneOrMore/until/within;
+  * nfa/NFA.java + nfa/SharedBuffer.java — partial-match tracking with
+  * branching alternatives). Patterns compile to a small NFA evaluated per
+  * key in event-time order on the ordered stateful processor.
   *
   * Semantics (pinned, deterministic):
   *  - `next` = strict contiguity: the very next event of the key must match.
   *  - `followedBy` = relaxed contiguity with GREEDY FIRST BINDING: each
   *    pending partial match binds the first qualifying event; non-matching
-  *    events in between are skipped (no branching — the reference's
-  *    skip-till-next-match).
+  *    events in between are skipped (the reference's skip-till-next-match).
+  *  - `followedByAny` = skip-till-ANY-match: each qualifying event both
+  *    advances a FORKED copy of the partial AND leaves the original pending,
+  *    so every later qualifying event spawns another alternative (the
+  *    reference's SharedBuffer branching). Combinatorial by design; `within`
+  *    bounds the live branch set.
+  *  - `or(t)` widens the LAST added stage to also accept events of type `t`
+  *    (the reference's Pattern.or condition disjunction).
   *  - `times(n)` = n consecutive bindings of the same stage predicate
   *    (contiguity of the stage itself follows the stage's kind).
+  *  - `until(t)` (on a oneOrMore stage): an event of type `t` CLOSES the
+  *    loop for every live partial — no further absorption — but the partial
+  *    stays pending for the following stage (reference: Pattern.until /
+  *    NFA stop state). Partials started after the closing event are
+  *    unaffected (each partial evaluates `until` on its own suffix).
   *  - `within(d)`: whole match must span <= d; overdue partials are pruned.
+  *  - timeout select (`new NfaProcessor(pat, emitTimeouts = true)`): a
+  *    pruned overdue partial emits a [[Match]] with `timedOut = true`,
+  *    `ids` = the events bound so far and `endTsUs` = its deadline
+  *    (startTsUs + within) — the reference's PatternStream.select timeout
+  *    variant. Detection is LAZY and purely data-driven: the timeout is
+  *    reported when the key's next event past the deadline arrives (no
+  *    wall-clock end-of-stream flush), which keeps the operator
+  *    deterministic and exactly reproducible by a batch oracle.
   *  - Every event that satisfies stage 0 starts a new partial match, so
   *    overlapping matches with distinct start events are all reported
   *    (reference default NO_SKIP after-match behavior).
@@ -26,31 +46,50 @@ import org.apache.spark.sql.streaming.{StatefulProcessorHandle, TTLConfig, Value
 object Cep {
 
   sealed trait Contiguity
-  case object Strict extends Contiguity   // next
-  case object Relaxed extends Contiguity  // followedBy
+  case object Strict extends Contiguity      // next
+  case object Relaxed extends Contiguity     // followedBy (skip till next match)
+  case object RelaxedAny extends Contiguity  // followedByAny (skip till ANY match)
 
-  /** One pattern stage: predicate on event_type, repetition count, how it
-    * attaches to the previous stage, and negative guards — event types
-    * that must NOT occur between the previous binding and this one
-    * (notFollowedBy). `unbounded` = oneOrMore (greedy loop), `optional` =
-    * the stage may be skipped when the following stage's event arrives
-    * first. */
-  final case class Stage(eventType: String, times: Int = 1,
+  /** One pattern stage: accepted event types (>1 via `or`), repetition
+    * count, how it attaches to the previous stage, negative guards — event
+    * types that must NOT occur between the previous binding and this one
+    * (notFollowedBy) — and, for unbounded loops, the `until` stop types.
+    * `unbounded` = oneOrMore (greedy loop), `optional` = the stage may be
+    * skipped when the following stage's event arrives first. */
+  final case class Stage(types: Set[String], times: Int = 1,
                          contiguity: Contiguity = Relaxed,
                          guards: Set[String] = Set.empty,
                          unbounded: Boolean = false,
-                         optional: Boolean = false) extends Serializable
+                         optional: Boolean = false,
+                         untilTypes: Set[String] = Set.empty) extends Serializable {
+    def matches(t: String): Boolean = types.contains(t)
+    def label: String = types.mkString("|")
+  }
 
   /** Fluent builder mirroring Pattern.begin(...).followedBy(...)
-    * .oneOrMore.optional.notFollowedBy(...).within(...). */
+    * .oneOrMore.until(...).optional.notFollowedBy(...).within(...). */
   final case class Pattern(stages: Vector[Stage], withinUs: Long = Long.MaxValue,
                            pendingGuards: Set[String] = Set.empty) {
     def next(t: String, times: Int = 1): Pattern =
-      copy(stages = stages :+ Stage(t, times, Strict, pendingGuards),
+      copy(stages = stages :+ Stage(Set(t), times, Strict, pendingGuards),
         pendingGuards = Set.empty)
     def followedBy(t: String, times: Int = 1): Pattern =
-      copy(stages = stages :+ Stage(t, times, Relaxed, pendingGuards),
+      copy(stages = stages :+ Stage(Set(t), times, Relaxed, pendingGuards),
         pendingGuards = Set.empty)
+    /** Skip-till-any-match: the stage binds EVERY qualifying event, not just
+      * the first — the partial forks per binding (reference:
+      * Pattern.followedByAny). */
+    def followedByAny(t: String, times: Int = 1): Pattern =
+      copy(stages = stages :+ Stage(Set(t), times, RelaxedAny, pendingGuards),
+        pendingGuards = Set.empty)
+    /** The LAST added stage also accepts events of type `t` (reference:
+      * Pattern.or — condition disjunction on one stage). */
+    def or(t: String): Pattern = {
+      require(stages.nonEmpty, "or needs a stage")
+      require(pendingGuards.isEmpty,
+        "or widens the last bound stage; it cannot follow a dangling notFollowedBy")
+      copy(stages = stages.init :+ stages.last.copy(types = stages.last.types + t))
+    }
     /** The given type must not occur before the NEXT bound stage
       * (reference: Pattern.notFollowedBy; a trailing notFollowedBy with no
       * following stage is rejected, as in the reference). */
@@ -63,6 +102,17 @@ object Cep {
     def oneOrMore: Pattern = {
       require(stages.nonEmpty, "oneOrMore needs a stage")
       copy(stages = stages.init :+ stages.last.copy(unbounded = true))
+    }
+    /** Stop condition for the last (oneOrMore) stage: an event of type `t`
+      * closes the loop — no further absorption — while the partial stays
+      * pending for the following stage (reference: Pattern.until). */
+    def until(t: String): Pattern = {
+      require(stages.nonEmpty && stages.last.unbounded,
+        "until applies to a oneOrMore stage")
+      require(!stages.last.types.contains(t),
+        s"until('$t') conflicts with the loop's own event type")
+      copy(stages = stages.init :+
+        stages.last.copy(untilTypes = stages.last.untilTypes + t))
     }
     /** The last added stage may be skipped: if the FOLLOWING stage's event
       * arrives before this stage binds, the match proceeds without it
@@ -82,8 +132,10 @@ object Cep {
       * shapes fail loudly instead of silently never matching:
       *  - a trailing optional stage would be a no-op (the skip path needs a
       *    following stage), as would consecutive optionals;
-      *  - a oneOrMore stage followed by a stage of the SAME event type can
-      *    never exit the loop (greedy absorption always wins). */
+      *  - a oneOrMore stage followed by a stage sharing an event type can
+      *    never exit the loop on that type (greedy absorption always wins);
+      *  - an until type that the NEXT stage also accepts is ambiguous (the
+      *    event would both close the loop and exit it). */
     private[Cep] def validate(): Unit = {
       require(!stages.last.optional,
         "optional on the final stage is unsupported (no following stage to skip to)")
@@ -91,11 +143,13 @@ object Cep {
         if (w.length == 2) {
           require(!(w(0).optional && w(1).optional),
             "consecutive optional stages are unsupported (one stage of lookahead)")
-          require(!(w(0).unbounded && w(0).eventType == w(1).eventType),
-            s"oneOrMore('${w(0).eventType}') followed by the same type never exits the loop")
+          require((w(0).types intersect w(1).types).isEmpty || !w(0).unbounded,
+            s"oneOrMore('${w(0).label}') followed by a shared type never exits the loop")
           require(!(w(0).unbounded && w(1).optional),
-            s"oneOrMore('${w(0).eventType}') followed by an optional stage never takes " +
+            s"oneOrMore('${w(0).label}') followed by an optional stage never takes " +
               "the skip path (exiting the loop requires the optional stage's own type)")
+          require((w(0).untilTypes intersect w(1).types).isEmpty,
+            s"until type shared with the next stage ('${w(1).label}') is ambiguous")
         }
       }
     }
@@ -103,20 +157,28 @@ object Cep {
 
   object Pattern {
     def begin(t: String, times: Int = 1): Pattern =
-      Pattern(Vector(Stage(t, times, Relaxed)))
+      Pattern(Vector(Stage(Set(t), times, Relaxed)))
   }
 
-  /** A partial match: stage index, bindings so far, repetition progress. */
-  final case class Partial(stage: Int, reps: Int, startTsUs: Long, ids: Seq[Long])
+  /** A partial match: stage index, bindings so far, repetition progress;
+    * `loopClosed` = an `until` event stopped this partial's oneOrMore loop. */
+  final case class Partial(stage: Int, reps: Int, startTsUs: Long, ids: Seq[Long],
+                           loopClosed: Boolean = false)
 
-  final case class Match(key: Long, ids: Seq[Long], startTsUs: Long, endTsUs: Long)
+  /** A completed match, or — when the processor runs with
+    * `emitTimeouts = true` — a timed-out partial (`timedOut = true`,
+    * `ids` = events bound before the deadline, `endTsUs` = the deadline). */
+  final case class Match(key: Long, ids: Seq[Long], startTsUs: Long, endTsUs: Long,
+                         timedOut: Boolean = false)
 
   /** NFA over one key's event-time-ordered events. */
-  final class NfaProcessor(pattern: Pattern)
+  final class NfaProcessor(pattern: Pattern, emitTimeouts: Boolean = false)
       extends OrderedProcessor[Long, KeyedEvent, Match](
         KeyedEvent.orderKey, Encoders.product[KeyedEvent]) {
 
     pattern.validate()
+    require(!emitTimeouts || pattern.withinUs != Long.MaxValue,
+      "timeout select requires a within() bound")
 
     @transient private var partials: ValueState[Seq[Partial]] = _
 
@@ -134,7 +196,7 @@ object Cep {
       /** Bind `e` as a repetition of stage `i`: emits a match and/or leaves
         * a surviving partial. A looping (oneOrMore) stage stays put and, if
         * final, emits per absorption; a bounded stage advances on its last
-        * repetition. */
+        * repetition. Advancing to a new stage resets `loopClosed`. */
       def bindAt(i: Int, reps0: Int, start: Long, ids: Seq[Long]): Unit = {
         val stage = st(i)
         val ids1 = ids :+ e.eventId
@@ -151,30 +213,45 @@ object Cep {
       }
 
       cur.foreach { p =>
-        if (e.tsUs - p.startTsUs > pattern.withinUs) () // overdue: prune
-        else {
+        if (e.tsUs - p.startTsUs > pattern.withinUs) {
+          // overdue: prune; under timeout select, report the dead partial
+          if (emitTimeouts)
+            out += Match(key, p.ids, p.startTsUs,
+              p.startTsUs + pattern.withinUs, timedOut = true)
+        } else {
           val stage = st(p.stage)
-          if (e.eventType == stage.eventType) {
+          val nextStage = if (p.stage + 1 < st.length) Some(st(p.stage + 1)) else None
+          if (stage.matches(e.eventType) && !(stage.unbounded && p.loopClosed)) {
             bindAt(p.stage, p.reps, p.startTsUs, p.ids)
-          } else if (stage.unbounded && p.reps >= 1 && p.stage + 1 < st.length &&
-              e.eventType == st(p.stage + 1).eventType) {
+            // skip-till-any: the un-advanced partial survives to bind a
+            // later qualifying event too (SharedBuffer fork)
+            if (stage.contiguity == RelaxedAny) next += p
+          } else if (stage.unbounded && p.reps >= 1 &&
+              nextStage.exists(_.matches(e.eventType))) {
             // loop exit: the next stage's first qualifying event advances
             bindAt(p.stage + 1, 0, p.startTsUs, p.ids)
-          } else if (stage.optional && p.reps == 0 && p.stage + 1 < st.length &&
-              e.eventType == st(p.stage + 1).eventType) {
+            if (nextStage.get.contiguity == RelaxedAny) next += p
+          } else if (stage.optional && p.reps == 0 &&
+              nextStage.exists(_.matches(e.eventType))) {
             // optional skip: following stage's event arrived first
             bindAt(p.stage + 1, 0, p.startTsUs, p.ids)
+            if (nextStage.get.contiguity == RelaxedAny) next += p
           } else if (stage.guards.contains(e.eventType)) {
             // negative guard hit between bindings: kill the partial
+          } else if (stage.unbounded && stage.untilTypes.contains(e.eventType)) {
+            // until: the loop stops absorbing; the partial survives only if
+            // a later stage can still complete the match
+            if (p.stage + 1 < st.length) next += p.copy(loopClosed = true)
           } else {
             // the pending binding's contiguity governs whether a gap is
-            // allowed: relaxed skips the event, strict drops the partial
-            if (stage.contiguity == Relaxed) next += p
+            // allowed: relaxed (either kind) skips the event, strict drops
+            // the partial
+            if (stage.contiguity != Strict) next += p
           }
         }
       }
       // a head-stage event always starts a fresh partial
-      if (e.eventType == st.head.eventType) bindAt(0, 0, e.tsUs, Seq.empty)
+      if (st.head.matches(e.eventType)) bindAt(0, 0, e.tsUs, Seq.empty)
       partials.update(next.result())
       out.result().iterator
     }

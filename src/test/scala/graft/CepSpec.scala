@@ -9,12 +9,14 @@ import org.apache.spark.sql.functions._
 class CepSpec extends SparkSpec {
   import spark.implicits._
 
-  private def runPat(pat: Cep.Pattern, events: Seq[KeyedEvent]): Seq[Cep.Match] = {
+  private def runPat(pat: Cep.Pattern, events: Seq[KeyedEvent],
+                     emitTimeouts: Boolean = false): Seq[Cep.Match] = {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val mem = MemoryStream[KeyedEvent]
     val ds = mem.toDS().withColumn("ts", timestamp_micros(col("tsUs")))
       .withWatermark("ts", "0 seconds").drop("ts").as[KeyedEvent]
-    val out = EventTimeOps.ordered(ds, (e: KeyedEvent) => e.key, new Cep.NfaProcessor(pat))
+    val out = EventTimeOps.ordered(ds, (e: KeyedEvent) => e.key,
+      new Cep.NfaProcessor(pat, emitTimeouts))
     val name = s"cep_${System.nanoTime()}"
     val q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
     try { mem.addData(events: _*); q.processAllAvailable(); mem.addData(); q.processAllAvailable() }
@@ -160,5 +162,66 @@ class CepSpec extends SparkSpec {
     // sanity: the legal neighbours still construct
     new Cep.NfaProcessor(Cep.Pattern.begin("a").oneOrMore.followedBy("b"))
     new Cep.NfaProcessor(Cep.Pattern.begin("a").followedBy("b").optional.followedBy("c"))
+  }
+
+  test("followedByAny binds every qualifying event where followedBy binds only the first") {
+    val events = Seq(ev(1, 10, "a"), ev(2, 20, "b"), ev(3, 30, "x"), ev(4, 40, "b"))
+    val any = runPat(Cep.Pattern.begin("a").followedByAny("b"), events)
+    assert(any.map(_.ids).toSet === Set(Seq(1L, 2L), Seq(1L, 4L)))
+    val greedy = runPat(Cep.Pattern.begin("a").followedBy("b"), events)
+    assert(greedy.map(_.ids) === Seq(Seq(1L, 2L)))
+  }
+
+  test("followedByAny mid-pattern: each fork continues to the next stage independently") {
+    val got = runPat(Cep.Pattern.begin("a").followedByAny("b").followedBy("c"),
+      Seq(ev(1, 10, "a"), ev(2, 20, "b"), ev(3, 30, "b"), ev(4, 40, "c")))
+    assert(got.map(_.ids).toSet === Set(Seq(1L, 2L, 4L), Seq(1L, 3L, 4L)))
+  }
+
+  test("or widens a stage to either type, greedy-first across both") {
+    val pat = Cep.Pattern.begin("a").followedBy("b").or("c")
+    assert(runPat(pat, Seq(ev(1, 10, "a"), ev(2, 20, "c")))
+      .map(_.ids) === Seq(Seq(1L, 2L)))
+    // the first event of EITHER type binds; the later b does not re-bind
+    assert(runPat(pat, Seq(ev(1, 10, "a"), ev(2, 20, "c"), ev(3, 30, "b")))
+      .map(_.ids) === Seq(Seq(1L, 2L)))
+  }
+
+  test("until closes the loop: loop-type events after the stop event are not absorbed") {
+    val pat = Cep.Pattern.begin("a").oneOrMore.until("u").followedBy("b")
+    val got = runPat(pat, Seq(ev(1, 10, "a"), ev(2, 20, "a"), ev(3, 30, "u"),
+      ev(4, 40, "a"), ev(5, 50, "b")))
+    // partials born at 1 and 2 stop absorbing at the u but still complete on
+    // b; the a@40 partial was born AFTER the u, so its loop is open
+    assert(got.map(_.ids).toSet ===
+      Set(Seq(1L, 2L, 5L), Seq(2L, 5L), Seq(4L, 5L)))
+  }
+
+  test("until on a final oneOrMore stage kills the partial outright") {
+    val got = runPat(Cep.Pattern.begin("a").oneOrMore.until("u"),
+      Seq(ev(1, 10, "a"), ev(2, 20, "u"), ev(3, 30, "a")))
+    // no [1,3] extension across the u
+    assert(got.map(_.ids).toSet === Set(Seq(1L), Seq(3L)))
+  }
+
+  test("timeout select reports pruned partials with bound ids and the deadline") {
+    val pat = Cep.Pattern.begin("a").followedBy("b").within(15000000L)
+    val got = runPat(pat,
+      Seq(ev(1, 10, "a"), ev(2, 40, "x"), ev(3, 45, "a"), ev(4, 50, "b")),
+      emitTimeouts = true)
+    val (timeouts, matches) = got.partition(_.timedOut)
+    assert(matches.map(_.ids) === Seq(Seq(3L, 4L)))
+    assert(timeouts.map(m => (m.ids, m.endTsUs)) === Seq((Seq(1L), 25000000L)))
+  }
+
+  test("new-shape validation: until placement, timeout needs within, ambiguous until") {
+    // until on a non-loop stage
+    intercept[IllegalArgumentException](Cep.Pattern.begin("a").followedBy("b").until("u"))
+    // timeout select without a within bound
+    intercept[IllegalArgumentException](
+      new Cep.NfaProcessor(Cep.Pattern.begin("a").followedBy("b"), emitTimeouts = true))
+    // until type shared with the next stage (would both close and exit)
+    intercept[IllegalArgumentException](new Cep.NfaProcessor(
+      Cep.Pattern.begin("a").oneOrMore.until("b").followedBy("b")))
   }
 }
