@@ -96,4 +96,139 @@ object GraphOps {
     edges.join(vertexAttrs.withColumnRenamed("node", "dst"), "dst")
       .groupBy(col("src").as("node"))
       .agg(sum(col(attrCol)).as(s"sum_$attrCol"), count(lit(1)).as("n_nbrs"))
+
+  /** Sentinel distance for not-yet-reached nodes in [[sssp]]; any real
+    * shortest path stays far below it, so `dist < Unreached` is the
+    * reachability test. */
+  val Unreached: Long = 1000000000000000L
+
+  /** Single-source shortest paths, `maxIter` synchronous Bellman-Ford
+    * rounds (reference: flink-gelly/.../library/SingleSourceShortestPaths
+    * .java — scatter-gather min-distance with a maxIterations bound).
+    * `wedges` is a DIRECTED weighted edge list (a, b, wt) — pass both
+    * directions for an undirected graph; `source` is a 1-row frame with
+    * column `s` (kept as a frame so the source can itself be a query, e.g.
+    * `agg(min(...))`, without a driver collect). After k rounds each dist
+    * is the exact min-weight path using <= k edges, so a bounded
+    * recursive-CTE oracle replays it bit-for-bit. Integer weights keep the
+    * arithmetic engine-portable. Returns only reached nodes.
+    *
+    * Scale: one shuffle per round keyed on node id (the relax join + min
+    * aggregate); the edge set is cached and re-partitioned once. */
+  def sssp(wedges: DataFrame, source: DataFrame, maxIter: Int): DataFrame = {
+    val e = wedges.select("a", "b", "wt").cache()
+    val verts = e.select(col("a").as("node")).union(e.select(col("b"))).distinct()
+    val init = verts.crossJoin(broadcast(source))
+      .select(col("node"),
+        when(col("node") === col("s"), lit(0L)).otherwise(lit(Unreached)).as("d"))
+    val res = Iterations.iterate(init, maxIter) { cur =>
+      val relaxed = e.join(cur.withColumnRenamed("node", "a"), "a")
+        .select(col("b").as("node"), (col("d") + col("wt")).as("nd"))
+        .groupBy("node").agg(min(col("nd")).as("md"))
+      cur.join(relaxed, Seq("node"), "left")
+        .select(col("node"), least(col("d"), coalesce(col("md"), col("d"))).as("d"))
+    }
+    e.unpersist()
+    res.filter(col("d") < Unreached).select(col("node"), col("d").as("dist"))
+  }
+
+  /** Label propagation, `iters` fixed synchronous rounds (reference:
+    * flink-gelly/.../library/LabelPropagation.java — each vertex adopts
+    * the most frequent label among its neighbors per superstep). Tie-break
+    * = smallest label, pinned so replay is deterministic (the fixed round
+    * count also sidesteps LPA's oscillation on bipartite graphs — the
+    * reference bounds by maxIterations for the same reason). Initial label
+    * = own node id.
+    *
+    * Scale: two shuffles per round (neighbor-label count, then per-node
+    * argmax) keyed on node id; no driver-side state. */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    val ued = undirected(edges).cache()
+    val init = vertices(edges).withColumn("lbl", col("node"))
+    val out = Iterations.iterate(init, iters) { cur =>
+      val counts = ued.join(cur.withColumnRenamed("node", "b"), "b")
+        .groupBy(col("a").as("node"), col("lbl")).agg(count(lit(1)).as("c"))
+      // argmax by (count, -label): max count wins, ties take the smallest
+      // label — a single struct max, no window shuffle
+      counts.groupBy("node")
+        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("lbl"))
+    }
+    ued.unpersist()
+    out.select(col("node"), col("lbl").as("label"))
+  }
+
+  /** Triangle enumeration (reference: flink-gelly/.../library/
+    * TriangleEnumerator.java — its open-wedge build + closing-edge join,
+    * including the degree-based edge orientation that bounds wedge
+    * fan-out). Input: undirected edge list (src, dst). Output: one row per
+    * triangle, vertices sorted ascending.
+    *
+    * Each edge is oriented from its lower-(degree, id) endpoint to the
+    * higher one; wedges are pairs of out-edges of one vertex, closed by an
+    * oriented edge between the endpoints. Out-degree under this
+    * orientation is O(sqrt(m)), so wedge count is O(m^1.5) — the bound
+    * that keeps the join from exploding on high-degree hub vertices at
+    * scale. */
+  def triangles(edges: DataFrame): DataFrame = {
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("x"), greatest(col("src"), col("dst")).as("y"))
+      .filter(col("x") =!= col("y")).distinct()
+    val deg = canon.select(col("x").as("n")).union(canon.select(col("y")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // orient each edge toward the higher (degree, id) endpoint
+    val oriented = canon
+      .join(deg.select(col("n").as("x"), col("d").as("dx")), "x")
+      .join(deg.select(col("n").as("y"), col("d").as("dy")), "y")
+      .select(
+        when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")), col("x"))
+          .otherwise(col("y")).as("u"),
+        when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")), col("y"))
+          .otherwise(col("x")).as("v"),
+        when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")),
+          struct(col("dy").as("d"), col("y").as("n")))
+          .otherwise(struct(col("dx").as("d"), col("x").as("n"))).as("vk"))
+      .cache()
+    val w1 = oriented.select(col("u"), col("v").as("v1"), col("vk").as("k1"))
+    val w2 = oriented.select(col("u"), col("v").as("v2"), col("vk").as("k2"))
+    val closing = oriented.select(col("u").as("v1"), col("v").as("v2"))
+    val tris = w1.join(w2, Seq("u")).filter(col("k1") < col("k2"))
+      .join(closing, Seq("v1", "v2"))
+      .select(array_sort(array(col("u"), col("v1"), col("v2"))).as("t"))
+      .select(col("t").getItem(0).as("v1"), col("t").getItem(1).as("v2"),
+        col("t").getItem(2).as("v3"))
+    tris
+  }
+
+  /** HITS hubs-and-authorities, `iters` fixed synchronous rounds
+    * (reference: flink-gelly/.../library/HITS.java). Scores are integer
+    * micro-units rescaled by the round's global max instead of the
+    * reference's L2 norm — same fixpoint structure, but exact integer
+    * arithmetic that any engine replays bit-for-bit AND bounded values
+    * (raw unnormalized HITS grows geometrically and would overflow at
+    * scale). hub' = sum of auth over out-neighbors; auth' = sum of hub
+    * over in-neighbors; both then scaled to max 1e6.
+    *
+    * Scale: two aggregate shuffles per round keyed on node id, plus two
+    * single-row maxes broadcast back — no driver collect. */
+  def hitsScaled(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select("src", "dst").distinct().cache()
+    val verts = vertices(e).cache()
+    val init = verts.withColumn("hub", lit(1000000L)).withColumn("auth", lit(1000000L))
+    val res = Iterations.iterate(init, iters) { cur =>
+      val hubRaw = e.join(cur.select(col("node").as("dst"), col("auth")), "dst")
+        .groupBy(col("src").as("node")).agg(sum(col("auth")).as("hr"))
+      val authRaw = e.join(cur.select(col("node").as("src"), col("hub")), "src")
+        .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("ar"))
+      val maxes = hubRaw.agg(max(col("hr")).as("mh"))
+        .crossJoin(authRaw.agg(max(col("ar")).as("ma")))
+      verts.join(hubRaw, Seq("node"), "left").join(authRaw, Seq("node"), "left")
+        .crossJoin(broadcast(maxes))
+        .select(col("node"),
+          expr("coalesce(hr, 0L) * 1000000 div mh").as("hub"),
+          expr("coalesce(ar, 0L) * 1000000 div ma").as("auth"))
+    }
+    e.unpersist(); verts.unpersist()
+    res
+  }
 }

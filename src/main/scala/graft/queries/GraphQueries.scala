@@ -98,5 +98,114 @@ object GraphQueries {
           count(*) AS n_nbrs
         FROM edges JOIN supplier ON s_suppkey = dst - 100000
         GROUP BY src""")),
+
+    // SSSP: 10 Bellman-Ford rounds on the undirected dense graph, integer
+    // weights (a+b)%7+1, source = min node id. After k rounds dist = exact
+    // min-weight path over <= k edges — replayed by a bounded recursive CTE.
+    Entry("qbm_graph_sssp",
+      (s, dir) => {
+        val ued = GraphOps.undirected(denseEdges(s, dir))
+        val w = ued.withColumn("wt", expr("(a + b) % 7 + 1"))
+        GraphOps.sssp(w, ued.agg(min(col("a")).as("s")), maxIter = 10)
+      },
+      Some(s"""WITH RECURSIVE edges AS ($ODenseEdges),
+        uedges AS (SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges),
+        w AS (SELECT a, b, (a + b) % 7 + 1 AS wt FROM uedges),
+        nodes AS (SELECT DISTINCT a AS node FROM uedges),
+        sp(iter, node, d) AS (
+          SELECT 0, node, CAST(CASE WHEN node = (SELECT min(a) FROM uedges)
+            THEN 0 ELSE 1000000000000000 END AS BIGINT)
+          FROM nodes
+          UNION ALL
+          SELECT p.iter + 1, p.node, least(p.d, COALESCE(r.md, p.d))
+          FROM sp p LEFT JOIN (
+            SELECT e.b AS node, s2.iter, min(s2.d + e.wt) AS md
+            FROM sp s2 JOIN w e ON e.a = s2.node
+            GROUP BY e.b, s2.iter) r ON r.node = p.node AND r.iter = p.iter
+          WHERE p.iter < 10)
+        SELECT node, d AS dist FROM sp
+        WHERE iter = 10 AND d < 1000000000000000""")),
+
+    // Label propagation: 5 synchronous rounds, most-frequent neighbor
+    // label, ties to the smallest label; initial label = node id.
+    Entry("qbn_graph_label_prop",
+      (s, dir) => GraphOps.labelPropagation(denseEdges(s, dir), iters = 5),
+      Some(s"""WITH RECURSIVE edges AS ($ODenseEdges),
+        uedges AS (SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges),
+        nodes AS (SELECT DISTINCT a AS node FROM uedges),
+        lp(iter, node, lbl) AS (
+          SELECT 0, node, node FROM nodes
+          UNION ALL
+          SELECT l.iter + 1, l.node, x.new_lbl
+          FROM lp l JOIN (
+            SELECT node, iter, lbl AS new_lbl FROM (
+              SELECT u.a AS node, l2.iter, l2.lbl, count(*) AS c,
+                row_number() OVER (PARTITION BY u.a, l2.iter
+                                   ORDER BY count(*) DESC, l2.lbl) AS rn
+              FROM uedges u JOIN lp l2 ON l2.node = u.b
+              GROUP BY u.a, l2.iter, l2.lbl) t WHERE rn = 1) x
+            ON x.node = l.node AND x.iter = l.iter
+          WHERE l.iter < 5)
+        SELECT node, lbl AS label FROM lp WHERE iter = 5""")),
+
+    // Triangle enumeration over a co-purchase projection: customers who
+    // share >= 2 suppliers (low-quantity lineitems keep the projection
+    // mid-sized). Spark side runs the degree-oriented wedge join.
+    Entry("qbo_graph_triangles",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        val l = Tables(s, dir, "lineitem")
+        val base = o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .filter(col("l_quantity") <= 2)
+          .select(col("o_custkey").as("src"), (lit(100000) + col("l_suppkey")).as("dst"))
+          .distinct()
+        val proj = base.alias("e1")
+          .join(base.alias("e2"),
+            col("e1.dst") === col("e2.dst") && col("e1.src") < col("e2.src"))
+          .groupBy(col("e1.src").as("pa"), col("e2.src").as("pb"))
+          .agg(count(lit(1)).as("shared")).filter(col("shared") >= 2)
+          .select(col("pa").as("src"), col("pb").as("dst"))
+        GraphOps.triangles(proj)
+      },
+      Some("""WITH edges AS (
+          SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          WHERE l_quantity <= 2),
+        te AS (SELECT e1.src AS a, e2.src AS b
+               FROM edges e1 JOIN edges e2 ON e1.dst = e2.dst AND e1.src < e2.src
+               GROUP BY 1, 2 HAVING count(*) >= 2)
+        SELECT x.a AS v1, x.b AS v2, y.b AS v3
+        FROM te x JOIN te y ON y.a = x.b JOIN te z ON z.a = x.a AND z.b = y.b""")),
+
+    // HITS: 5 synchronous rounds, integer micro-unit scores rescaled by the
+    // round's global max (exact replayable arithmetic; bounded values).
+    Entry("qbp_graph_hits",
+      (s, dir) => GraphOps.hitsScaled(denseEdges(s, dir), iters = 5),
+      Some(s"""WITH RECURSIVE edges AS ($ODenseEdges),
+        nodes AS (SELECT DISTINCT src AS node FROM edges
+                  UNION SELECT DISTINCT dst FROM edges),
+        hits(iter, node, hub, auth) AS (
+          SELECT 0, node, CAST(1000000 AS BIGINT), CAST(1000000 AS BIGINT) FROM nodes
+          UNION ALL
+          SELECT h.iter + 1, h.node,
+            CAST(COALESCE(hr.v, 0) * 1000000 // mxh.m AS BIGINT),
+            CAST(COALESCE(ar.v, 0) * 1000000 // mxa.m AS BIGINT)
+          FROM hits h
+          LEFT JOIN (SELECT e.src AS node, h2.iter, sum(h2.auth) AS v
+                     FROM hits h2 JOIN edges e ON e.dst = h2.node
+                     GROUP BY e.src, h2.iter) hr ON hr.node = h.node AND hr.iter = h.iter
+          LEFT JOIN (SELECT e.dst AS node, h3.iter, sum(h3.hub) AS v
+                     FROM hits h3 JOIN edges e ON e.src = h3.node
+                     GROUP BY e.dst, h3.iter) ar ON ar.node = h.node AND ar.iter = h.iter
+          JOIN (SELECT iter, max(v) AS m FROM (
+                  SELECT h4.iter, e.src, sum(h4.auth) AS v
+                  FROM hits h4 JOIN edges e ON e.dst = h4.node GROUP BY h4.iter, e.src)
+                GROUP BY iter) mxh ON mxh.iter = h.iter
+          JOIN (SELECT iter, max(v) AS m FROM (
+                  SELECT h5.iter, e.dst, sum(h5.hub) AS v
+                  FROM hits h5 JOIN edges e ON e.src = h5.node GROUP BY h5.iter, e.dst)
+                GROUP BY iter) mxa ON mxa.iter = h.iter
+          WHERE h.iter < 5)
+        SELECT node, hub, auth FROM hits WHERE iter = 5""")),
   )
 }

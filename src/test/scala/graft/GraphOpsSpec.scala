@@ -46,4 +46,57 @@ class GraphOpsSpec extends SparkSpec {
     assert(out(2L) === ((7L, 1L)))
     assert(out(10L) === ((5L, 1L)))
   }
+
+  test("sssp relaxes min-weight paths and excludes unreached nodes") {
+    // 1-2-3 weighted chain plus a heavy shortcut 1->3; separate pair 10-11
+    val w = Seq((1L, 2L, 1L), (2L, 1L, 1L), (2L, 3L, 2L), (3L, 2L, 2L),
+      (1L, 3L, 10L), (3L, 1L, 10L), (10L, 11L, 4L), (11L, 10L, 4L))
+      .toDF("a", "b", "wt")
+    val src = spark.range(1).select(lit(1L).as("s"))
+    val d = GraphOps.sssp(w, src, maxIter = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the 1->2->3 path (3) beats the direct edge (10); 10/11 unreached
+    assert(d === Map(1L -> 0L, 2L -> 1L, 3L -> 3L))
+  }
+
+  test("sssp with maxIter 1 only reaches one hop") {
+    val w = Seq((1L, 2L, 1L), (2L, 3L, 1L)).toDF("a", "b", "wt")
+    val src = spark.range(1).select(lit(1L).as("s"))
+    val d = GraphOps.sssp(w, src, maxIter = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d === Map(1L -> 0L, 2L -> 1L))
+  }
+
+  test("labelPropagation adopts the most frequent neighbor label, ties to smallest") {
+    // star: 1,2,3 all touch 9; after round 1 every leaf has label 9's
+    // initial (9), 9 has min leaf label (1); round 2: leaves pick 9's
+    // round-1 label (1), 9 picks majority leaf label (9)
+    val star = Seq((1L, 9L), (2L, 9L), (3L, 9L)).toDF("src", "dst")
+    val l1 = GraphOps.labelPropagation(star, iters = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l1 === Map(1L -> 9L, 2L -> 9L, 3L -> 9L, 9L -> 1L))
+    val l2 = GraphOps.labelPropagation(star, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l2 === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L))
+  }
+
+  test("triangles enumerates each triangle once, vertices sorted") {
+    // K4 on {1,2,3,4} has 4 triangles; 5-6-7 path has none
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val e = (k4 ++ Seq((5L, 6L), (6L, 7L))).toDF("src", "dst")
+    val t = GraphOps.triangles(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(t === Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+  }
+
+  test("hitsScaled: hubs feed authorities; scores rescale to max 1e6") {
+    // 1 and 2 both point at 3 and 4: perfect hubs 1,2 / authorities 3,4
+    val e = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    val h = GraphOps.hitsScaled(e, iters = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(h(1L) === ((1000000L, 0L)))
+    assert(h(2L) === ((1000000L, 0L)))
+    assert(h(3L) === ((0L, 1000000L)))
+    assert(h(4L) === ((0L, 1000000L)))
+  }
 }
