@@ -41,15 +41,26 @@ object Similarity {
       .select("query_id", "nbr_id", "cos", "rank")
   }
 
-  /** Deterministic random hyperplanes for all tables, flattened:
-    * planes(table*nBits + bit)(dim). */
-  private def hyperplanes(dim: Int, nBits: Int, nTables: Int): Array[Array[Double]] =
-    Array.tabulate(nTables) { t =>
-      val rnd = new scala.util.Random(1234L + t)
-      Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
-    }.flatten
+  /** Rademacher (±1) hyperplane sign for plane (table, bit) at dimension
+    * `i`: two Lehmer-generator steps on the flat index, parity of the
+    * result. Pure small-integer arithmetic (no overflow below 2^47, no RNG
+    * object), so ANY engine — the DuckDB correctness oracle included —
+    * reproduces the same sign from the same formula. */
+  @inline private def planeSign(flatIdx: Long): Long = {
+    val x1 = (flatIdx * 48271L) % 2147483647L
+    val x2 = (x1 * 48271L) % 2147483647L
+    if ((x2 & 1L) == 1L) 1L else -1L
+  }
 
   /** All (table, bucket) pairs for a vector in ONE compiled pass.
+    *
+    * Sign-random-projection with ±1 (Rademacher) planes over the vector
+    * quantized to integer micro-units (floor(x * 1e6)): the whole bucket
+    * computation is EXACT integer arithmetic — no float summation order,
+    * no RNG state — so buckets are bit-reproducible across engines and
+    * the DuckDB oracle can replay the candidate generation. Recall of
+    * ±1 planes matches gaussian planes at the same nBits/nTables (both
+    * are unbiased sign-random-projection families).
     *
     * A per-bit Catalyst expression (nTables × nBits × dim `element_at` terms)
     * exceeds the 64KB codegen method limit and falls back to interpreted
@@ -57,17 +68,19 @@ object Similarity {
     * products in tight JIT'd loops; the rest of the plan (explode → bucket
     * join) stays codegen'd. */
   private def bucketsUdf(dim: Int, nBits: Int, nTables: Int) = {
-    val planes = hyperplanes(dim, nBits, nTables)
     udf { (v: Array[Float]) =>
       Array.tabulate(nTables) { t =>
         var bkt = 0L
         var b = 0
         while (b < nBits) {
-          val p = planes(t * nBits + b)
-          var dotp = 0.0
+          var dotp = 0L
           var i = 0
           val n = math.min(dim, v.length)
-          while (i < n) { dotp += p(i) * v(i); i += 1 }
+          while (i < n) {
+            dotp += planeSign(((t * nBits + b) * dim + i + 1).toLong) *
+              math.floor(v(i) * 1000000.0).toLong
+            i += 1
+          }
           if (dotp >= 0) bkt |= (1L << b)
           b += 1
         }

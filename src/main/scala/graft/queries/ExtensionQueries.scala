@@ -409,18 +409,69 @@ object ExtensionQueries {
           WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
         WHERE rank <= 10""")),
 
-    // LSH ANN: approximate (recall < 1) — rows-only; ScalaTest measures
-    // recall against the brute-force baseline.
+    // LSH ANN with recall-vs-brute columns. The bucket computation is
+    // exact integer arithmetic (Rademacher planes over micro-quantized
+    // vectors — Similarity.bucketsUdf), so the oracle replays candidate
+    // generation, scoring AND the recall join bit-for-bit: full oracle
+    // coverage for an approximate operator.
     Entry("q89_knn_lsh",
       (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
         val emb = t(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id") < 5)
-        Similarity.lshTopK(emb, queries, "vec_id", "embedding", "vec_id",
+        val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", "vec_id",
           k = 10, dim = 64, nBits = 8, nTables = 8)
+        val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+          "vec_id", k = 10).select(col("query_id"), col("nbr_id"), lit(1L).as("hit"))
+        approx.join(exact, Seq("query_id", "nbr_id"), "left")
+          .withColumn("in_exact_topk", coalesce(col("hit"), lit(0L)))
+          .withColumn("hits_at_10",
+            sum(col("in_exact_topk")).over(Window.partitionBy("query_id")))
           .select(col("query_id"), col("rank"), col("nbr_id"),
-            round(col("cos"), 6).as("cos_sim"))
+            round(col("cos"), 6).as("cos_sim"), col("in_exact_topk"), col("hits_at_10"))
       },
-      None),
+      Some("""WITH signs AS (
+          SELECT t, b, i,
+            CASE WHEN (((((t*8+b)*64 + i + 1) * 48271) % 2147483647) * 48271
+                       % 2147483647) % 2 = 1 THEN 1 ELSE -1 END AS s
+          FROM range(8) r1(t), range(8) r2(b), range(64) r3(i)),
+        qv AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> CAST(floor(x * 1000000) AS BIGINT)) AS w
+               FROM embeddings),
+        dots AS (SELECT v.vec_id, s.t, s.b, sum(s.s * v.w[s.i + 1]) AS d
+                 FROM qv v CROSS JOIN signs s GROUP BY 1, 2, 3),
+        bkts AS (SELECT vec_id, t,
+                   sum(CASE WHEN d >= 0 THEN 1 << b ELSE 0 END) AS bkt
+                 FROM dots GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS nbr_id
+                 FROM bkts q JOIN bkts c ON c.t = q.t AND c.bkt = q.bkt
+                 WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+        approx AS (SELECT query_id, rank, nbr_id, round(cos, 6) AS cos_sim FROM (
+            SELECT cand.query_id, cand.nbr_id,
+              list_cosine_similarity(CAST(ce.embedding AS DOUBLE[]),
+                                     CAST(qe.embedding AS DOUBLE[])) AS cos,
+              row_number() OVER (PARTITION BY cand.query_id
+                ORDER BY list_cosine_similarity(CAST(ce.embedding AS DOUBLE[]),
+                                                CAST(qe.embedding AS DOUBLE[])) DESC,
+                         cand.nbr_id) AS rank
+            FROM cand JOIN embeddings ce ON ce.vec_id = cand.nbr_id
+                      JOIN embeddings qe ON qe.vec_id = cand.query_id)
+          WHERE rank <= 10),
+        exact AS (SELECT query_id, nbr_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                                CAST(q.embedding AS DOUBLE[])) DESC,
+                         c.vec_id) AS rank
+            FROM embeddings c CROSS JOIN embeddings q
+            WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+          WHERE rank <= 10)
+        SELECT a.query_id, a.rank, a.nbr_id, a.cos_sim,
+          CAST(CASE WHEN e.nbr_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_exact_topk,
+          CAST(sum(CASE WHEN e.nbr_id IS NULL THEN 0 ELSE 1 END)
+               OVER (PARTITION BY a.query_id) AS BIGINT) AS hits_at_10
+        FROM approx a LEFT JOIN exact e
+          ON e.query_id = a.query_id AND e.nbr_id = a.nbr_id""")),
 
     // Quality-threshold corpus filtering (the canonical training-data
     // pipeline stage): keep documents at/above the exact corpus median
@@ -448,18 +499,70 @@ object ExtensionQueries {
         SELECT doc_id, round(quality, 9) AS quality
         FROM q, m WHERE quality >= med""")),
 
-    // IVF coarse-quantized ANN (approximate; recall measured in specs) —
-    // rows-only gate check.
+    // IVF coarse-quantized ANN with recall-vs-brute columns. Centroids are
+    // the lowest-id rows (deterministic) and assignment/probing order by
+    // (distance, cell_id), so the oracle replays cell assignment, probing,
+    // scoring AND the recall join — full oracle coverage.
     Entry("qa9_knn_ivf",
       (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
         val emb = t(s, dir, "embeddings")
         val queries = emb.filter(col("vec_id") < 5)
-        Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "vec_id",
+        val approx = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "vec_id",
           k = 10, nCells = 16, nProbe = 8)
+        val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+          "vec_id", k = 10).select(col("query_id"), col("nbr_id"), lit(1L).as("hit"))
+        approx.join(exact, Seq("query_id", "nbr_id"), "left")
+          .withColumn("in_exact_topk", coalesce(col("hit"), lit(0L)))
+          .withColumn("hits_at_10",
+            sum(col("in_exact_topk")).over(Window.partitionBy("query_id")))
           .select(col("query_id"), col("rank"), col("nbr_id"),
-            round(col("cos"), 6).as("cos_sim"))
+            round(col("cos"), 6).as("cos_sim"), col("in_exact_topk"), col("hits_at_10"))
       },
-      None),
+      Some("""WITH cents AS (SELECT vec_id AS cell_id, embedding AS centroid
+               FROM embeddings ORDER BY vec_id LIMIT 16),
+        assigned AS (SELECT c.vec_id AS nbr_id, a.cell_id
+          FROM embeddings c JOIN LATERAL (
+            SELECT t.cell_id FROM cents t
+            ORDER BY list_distance(CAST(c.embedding AS DOUBLE[]),
+                                   CAST(t.centroid AS DOUBLE[])), t.cell_id
+            LIMIT 1) a ON true),
+        probes AS (SELECT q.vec_id AS query_id, p.cell_id
+          FROM embeddings q JOIN LATERAL (
+            SELECT t.cell_id FROM cents t
+            ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]),
+                                   CAST(t.centroid AS DOUBLE[])), t.cell_id
+            LIMIT 8) p ON true
+          WHERE q.vec_id < 5),
+        cand AS (SELECT p.query_id, a.nbr_id
+          FROM probes p JOIN assigned a ON a.cell_id = p.cell_id
+          WHERE a.nbr_id <> p.query_id),
+        approx AS (SELECT query_id, rank, nbr_id, round(cos, 6) AS cos_sim FROM (
+            SELECT cand.query_id, cand.nbr_id,
+              list_cosine_similarity(CAST(ce.embedding AS DOUBLE[]),
+                                     CAST(qe.embedding AS DOUBLE[])) AS cos,
+              row_number() OVER (PARTITION BY cand.query_id
+                ORDER BY list_cosine_similarity(CAST(ce.embedding AS DOUBLE[]),
+                                                CAST(qe.embedding AS DOUBLE[])) DESC,
+                         cand.nbr_id) AS rank
+            FROM cand JOIN embeddings ce ON ce.vec_id = cand.nbr_id
+                      JOIN embeddings qe ON qe.vec_id = cand.query_id)
+          WHERE rank <= 10),
+        exact AS (SELECT query_id, nbr_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                                CAST(q.embedding AS DOUBLE[])) DESC,
+                         c.vec_id) AS rank
+            FROM embeddings c CROSS JOIN embeddings q
+            WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+          WHERE rank <= 10)
+        SELECT a.query_id, a.rank, a.nbr_id, a.cos_sim,
+          CAST(CASE WHEN e.nbr_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_exact_topk,
+          CAST(sum(CASE WHEN e.nbr_id IS NULL THEN 0 ELSE 1 END)
+               OVER (PARTITION BY a.query_id) AS BIGINT) AS hits_at_10
+        FROM approx a LEFT JOIN exact e
+          ON e.query_id = a.query_id AND e.nbr_id = a.nbr_id""")),
 
     // Same exact-KNN as q88 but scored by the native codegen Catalyst
     // expression (CosineSimilarityExpr) instead of a UDF — shares q88's
