@@ -46,8 +46,24 @@ object EventTimeOps {
     // ingest (no read-modify-write of a bucket list).
     @transient private var buf: MapState[(Long, Long, Long), I] = _
 
+    // Smallest timer-ms among buffered rows (unset = buffer empty). The
+    // timer path consults it before touching `buf`: a watermark tick with
+    // `minPending > wm` cannot release anything, so the full-buffer scan —
+    // O(buffered rows) read amplification per key per batch under long
+    // watermark delays, across OVER windows / CEP / the ordered drain —
+    // is skipped entirely. Maintained on ingest (min with the batch's
+    // smallest ts) and on drain (min over the surviving pending keys,
+    // computed during the same scan that selects the ready ones).
+    @transient private var minPending: ValueState[Long] = _
+
     /** Hook for subclasses to open their own state. */
     protected def openState(handle: StatefulProcessorHandle): Unit = {}
+
+    /** Test hook: invoked immediately before a full buffer scan on the
+      * timer path. The min-pending guard exists to keep these rare; the
+      * no-op-tick spec counts calls to prove a tick below every buffered
+      * timestamp never iterates the buffer. */
+    protected def onBufferScan(): Unit = {}
 
     /** Called once per row, per key, in event-time order. */
     protected def onOrdered(key: K, row: I): Iterator[O]
@@ -63,6 +79,8 @@ object EventTimeOps {
           org.apache.spark.sql.Encoders.scalaLong,
           org.apache.spark.sql.Encoders.scalaLong),
         bufEnc, TTLConfig.NONE)
+      minPending = getHandle.getValueState[Long]("graft_min_pending",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
       openState(getHandle)
     }
 
@@ -72,19 +90,35 @@ object EventTimeOps {
       // every row <= watermark anyway, and per-row timers would each cost a
       // state-store scan on expiry (~rows× overhead for no extra output).
       var maxTs = Long.MinValue
+      var minTs = Long.MaxValue
       rows.foreach { r =>
         buf.updateValue(orderKey(r), r)
         val t = orderKey(r)._1
         if (t > maxTs) maxTs = t
+        if (t < minTs) minTs = t
       }
-      if (maxTs != Long.MinValue) getHandle.registerTimer(maxTs)
+      if (maxTs != Long.MinValue) {
+        getHandle.registerTimer(maxTs)
+        if (!minPending.exists() || minTs < minPending.get()) minPending.update(minTs)
+      }
       Iterator.empty
     }
 
     override def handleExpiredTimer(key: K, tv: TimerValues, info: ExpiredTimerInfo): Iterator[O] = {
       val wm = tv.getCurrentWatermarkInMs()
+      // Guard: nothing buffered, or everything buffered is still above the
+      // watermark — the scan below cannot release a row, so don't pay it.
+      // Subclass-registered timers (window cleanup, CEP timeouts, session
+      // gaps) land here constantly with an untouched buffer.
+      if (!minPending.exists() || minPending.get() > wm) return onWatermark(key, wm)
+      onBufferScan()
       val ready = scala.collection.mutable.ArrayBuffer.empty[((Long, Long, Long), I)]
-      buf.iterator().foreach { case e @ (k, _) => if (k._1 <= wm) ready += e }
+      var survivorMin = Long.MaxValue
+      buf.iterator().foreach { case e @ (k, _) =>
+        if (k._1 <= wm) ready += e
+        else if (k._1 < survivorMin) survivorMin = k._1
+      }
+      if (survivorMin == Long.MaxValue) minPending.clear() else minPending.update(survivorMin)
       if (ready.isEmpty) onWatermark(key, wm)
       else {
         ready.foreach { case (k, _) => buf.removeKey(k) } // pending untouched
