@@ -117,6 +117,40 @@ object StreamQueries {
         GROUP BY 1, wm.watermark_ms
         HAVING ((win_start_us + $HourUs) / 1000) <= wm.watermark_ms""")),
 
+    // Processing-time tumbling window (reference:
+    // TumblingProcessingTimeWindows + ProcessingTimeTrigger): windows are
+    // assigned by the arrival clock, not the event's own timestamp. The
+    // Spark mapping is ProcTime.tumble — an ingest-time clock column through
+    // the ordinary window machinery (production clock: current_timestamp()).
+    // The gate injects a deterministic clock — a steady 3 ms-per-event
+    // source replay over the fixture's arrival sequence (event_id) — so the
+    // wall-clock semantics, including the append-mode "window closes when
+    // the clock passes its end" trigger, replay bit-for-bit in the oracle.
+    Entry("qbq_proctime_tumble",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        val clock = timestamp_millis(lit(1000000000000L) + col("event_id") * 3)
+        val (stamped, win) = graft.streaming.ProcTime.tumble(
+          eventsStream(s, dir), "1 second", clock)
+        val agg = stamped
+          .groupBy(win, col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("value") * 1000).cast("long")).as("sum_millis"))
+          .select(unix_millis(col("window.start")).as("win_start_ms"),
+            col("event_type"), col("n"), col("sum_millis"))
+        run(agg, "append", "qbq_sink")
+      },
+      Some("""WITH e AS (
+          SELECT event_type, value,
+            1000000000000 + event_id * 3 AS proc_ms FROM events),
+        wm AS (SELECT max(proc_ms) AS wm_ms FROM e)
+        SELECT (proc_ms // 1000) * 1000 AS win_start_ms, event_type,
+          count(*) AS n,
+          CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS sum_millis
+        FROM e, wm
+        GROUP BY 1, 2, wm.wm_ms
+        HAVING win_start_ms + 1000 <= wm.wm_ms""")),
+
     // streaming dedup (dropDuplicates) feeding an aggregation
     Entry("q93_stream_dedup",
       (s, dir) => {
