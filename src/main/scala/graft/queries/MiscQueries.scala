@@ -278,7 +278,8 @@ object MiscQueries {
     // Correlated scalar subquery (the TPC-H Q2/Q20 shape on this fixture's
     // schema): parts priced above their type's average retail price.
     // Catalyst decorrelates both subqueries (RewriteCorrelatedScalarSubquery)
-    // into one aggregate per p_type joined back to part — NOT a per-row
+    // into grouped aggregate(s) joined back to part — one join per subquery
+    // unless MergeScalarSubqueries fuses them; either way NOT a per-row
     // re-scan; PlanQualitySpec pins the decorrelated plan shape. Cross-
     // multiplication (price*cnt > sum) keeps the comparison in exact long
     // arithmetic so the oracle matches bit-for-bit with no avg() float.

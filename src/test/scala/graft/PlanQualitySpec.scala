@@ -80,10 +80,15 @@ class PlanQualitySpec extends SparkSpec {
   test("qbh correlated scalar subquery decorrelates to one agg + join, no per-row subquery") {
     val plan = executedPlan("qbh_decorrelated_scalar").split("== Initial Plan ==").head
     // Catalyst's RewriteCorrelatedScalarSubquery must turn the correlated
-    // subqueries into a grouped aggregate joined back to part — a physical
-    // plan with a join and NO scalar-subquery execution node. A per-row
-    // subquery would render as "Subquery" / "InSubquery" in the plan.
-    assert(!plan.contains("Subquery"), s"subquery survived decorrelation:\n$plan")
+    // subqueries into grouped aggregate(s) joined back to part — a physical
+    // plan with a join and NO scalar-subquery execution node. Match the
+    // specific per-row node forms ("Subquery subquery" / scalar-subquery
+    // expressions / InSubquery), not the bare "Subquery" substring, so an
+    // unrelated SubqueryBroadcast/ReusedSubquery from dynamic partition
+    // pruning can't trip or mask the pin.
+    val perRow = "(scalar-subquery#|InSubquery|Subquery subquery#)".r
+    assert(perRow.findFirstIn(plan).isEmpty,
+      s"per-row subquery node survived decorrelation:\n$plan")
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
       s"expected the decorrelated agg joined back to part:\n$plan")
     assert(plan.contains("partial_count") || plan.contains("partial_sum"),
