@@ -145,6 +145,15 @@ object Hashes {
       scala.collection.immutable.ArraySeq.unsafeWrapArray(wordShinglesLocal(t, n)), k))
     f(text)
   }
+  /** Sorted distinct shingle hashes of a text column — native codegen
+    * expression (see [[ShingleHashesExpr]]); bit-identical to mapping
+    * [[shingleHashes]] over the column but with no UDF boundary and no
+    * String/shingle allocation. This is THE text pass every dedup operator
+    * starts with; profile note in SCALE.md ("shingle-hash kernel"). */
+  def shingleHashCol(text: Column, n: Int): Column = ShingleHashesExpr(text, n)
+
+  /** The pre-rewrite UDF form of [[shingleHashCol]] — kept (unused in
+    * operators) as the comparison arm of the SCALE.md profile. */
   def shingleHashesUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((t: String) => shingleHashes(t, n))
   /** Signature over an already-hashed shingle set (one text pass total). */

@@ -34,7 +34,7 @@ object Dedup {
     // identical Jaccard up to 64-bit collisions (~1e-9 at corpus scale),
     // the same equivalence the MinHash verify step already relies on.
     val pairs = df
-      .select(col(idCol).as("doc"), explode(Hashes.shingleHashesUdf(n)(col(textCol))).as("sh"))
+      .select(col(idCol).as("doc"), explode(Hashes.shingleHashCol(col(textCol), n)).as("sh"))
     maxDocFreq match {
       case None => pairs
       case Some(m) =>
@@ -93,7 +93,7 @@ object Dedup {
                          n: Int, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1)
     val sh = df.select(col(idCol).as("doc"),
-      Hashes.shingleHashesUdf(n)(col(textCol)).as("shs")).cache()
+      Hashes.shingleHashCol(col(textCol), n).as("shs")).cache()
     val idx = sh.select(col("doc"), size(col("shs")).as("nsh"),
       explode(col("shs")).as("h"))
     val freq = idx.groupBy("h").agg(count(lit(1)).as("df"))
@@ -163,7 +163,7 @@ object Dedup {
                         cache: Boolean = true): MinhashTables = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val sh0 = df.select(col(idCol).as("doc"),
-      Hashes.shingleHashesUdf(n)(col(textCol)).as("shs"))
+      Hashes.shingleHashCol(col(textCol), n).as("shs"))
     val sh = if (cache) sh0.cache() else sh0
     val sigs0 = sh.select(col("doc"), Hashes.minhashFromHashes(col("shs"), k).as("sig"))
     val sigs = if (cache) sigs0.cache() else sigs0
@@ -211,7 +211,7 @@ object Dedup {
     // hashed shingle set (min is duplicate/order-invariant), which the
     // verification step reuses.
     val sh = df.select(col(idCol).as("doc"),
-      Hashes.shingleHashesUdf(n)(col(textCol)).as("shs")).cache()
+      Hashes.shingleHashCol(col(textCol), n).as("shs")).cache()
     val sigs = sh.select(col("doc"), Hashes.minhashFromHashes(col("shs"), k).as("sig")).cache()
     val cands = lshCandidates(sigs, bands, k / bands)
       .join(broadcast(sigs.select(col("doc").as("id1"), col("sig").as("sig1"))), "id1")
@@ -245,7 +245,7 @@ object Dedup {
     val sigTbl = s"graft_mh_sigs_$tableTag"
     val shTbl = s"graft_mh_sh_$tableTag"
     val shSrc = df.select(col(idCol).as("doc"),
-      Hashes.shingleHashesUdf(n)(col(textCol)).as("shs"))
+      Hashes.shingleHashCol(col(textCol), n).as("shs"))
     graft.sources.Sources.writeBucketed(shSrc, shTbl, buckets, Seq("doc"))
     val sh = spark.table(shTbl)
     // signatures derive from the persisted hashes: one text pass total
@@ -319,10 +319,10 @@ object Dedup {
   def contaminationCheck(train: DataFrame, benchmark: DataFrame,
                          idCol: String, textCol: String, n: Int): DataFrame = {
     val benchSh = benchmark
-      .select(explode(Hashes.shingleHashesUdf(n)(col(textCol))).as("h"))
+      .select(explode(Hashes.shingleHashCol(col(textCol), n)).as("h"))
       .distinct()
     val trainSh = train.select(col(idCol).as("doc"),
-      explode(Hashes.shingleHashesUdf(n)(col(textCol))).as("h"))
+      explode(Hashes.shingleHashCol(col(textCol), n)).as("h"))
     val shared = trainSh.join(broadcast(benchSh), Seq("h"), "left_semi")
       .groupBy("doc").agg(count(lit(1)).as("n_shared"))
     train.select(col(idCol).as("doc"))

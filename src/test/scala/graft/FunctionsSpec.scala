@@ -80,6 +80,34 @@ class FunctionsSpec extends SparkSpec {
     assert(bpe === 5)
   }
 
+  test("ShingleHashesExpr is bit-identical to the local kernel and codegen'd") {
+    import graft.functions.Hashes
+    val cases = Seq(
+      "the quick  brown fox", // double space
+      " leading and trailing \t\n ", // regex-\s whitespace variety
+      "one", // fewer tokens than n
+      "", // empty
+      "dup dup dup dup", // duplicate shingles collapse
+      "héllo wörld héllo wörld", // multi-byte UTF-8
+      "a b a b a b c") // repeats with a tail
+    val df = cases.toDF("text")
+    val native = df.select(Hashes.shingleHashCol($"text", 2)).collect()
+      .map(_.getSeq[Long](0))
+    val expected = cases.map(t => Hashes.shingleHashes(t, 2).toSeq)
+    assert(native.toSeq === expected)
+    // null text -> empty array (the UDF behavior downstream explode relies on)
+    val withNull = Seq(Option("x y"), None).toDF("text")
+      .select(Hashes.shingleHashCol($"text", 2)).collect().map(_.getSeq[Long](0))
+    assert(withNull(1) === Seq.empty)
+    // stays inside whole-stage codegen (non-foldable input so the project
+    // isn't constant-folded into a LocalTableScan)
+    val plan = spark.range(3)
+      .select(concat(lit("tok "), $"id".cast("string")).as("text"))
+      .select(Hashes.shingleHashCol($"text", 1))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [shinglehashesexpr"))
+  }
+
   test("langId picks dominant stopword language; CJK short-circuits") {
     val rows = Seq(
       "the cat sat on the mat with a hat",          // en
