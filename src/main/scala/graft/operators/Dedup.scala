@@ -24,39 +24,42 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("dup_count"))
 
-  /** Distinct (id, shingle) pairs for an inverted index. */
-  private def shingleIndex(df: DataFrame, idCol: String, textCol: String, n: Int,
-                           maxDocFreq: Option[Long]): DataFrame = {
-    // hashed shingles, not strings: ONE compiled tokenize+shingle+hash pass
-    // per doc (the string expression chain re-walks the text through
-    // interpreted higher-order functions), and the inverted-index self-join
-    // shuffles/compares 8-byte longs instead of ~15-byte UTF-8 bigrams —
-    // identical Jaccard up to 64-bit collisions (~1e-9 at corpus scale),
-    // the same equivalence the MinHash verify step already relies on.
-    val pairs = df
-      .select(col(idCol).as("doc"), explode(Hashes.shingleHashCol(col(textCol), n)).as("sh"))
-    maxDocFreq match {
-      case None => pairs
-      case Some(m) =>
-        // drop shingles that occur in more than m docs: they contribute
-        // O(df^2) candidate pairs and almost no Jaccard signal.
-        val hot = pairs.groupBy("sh").count().filter(col("count") > m).select("sh")
-        pairs.join(hot, Seq("sh"), "left_anti")
-    }
-  }
+  // Shingles are HASHED (ShingleHashesExpr), not strings: one compiled
+  // tokenize+shingle+hash pass per doc, and downstream shuffles move 8-byte
+  // longs instead of ~15-byte UTF-8 bigrams — identical Jaccard up to
+  // 64-bit collisions (~1e-9 at corpus scale), the same equivalence the
+  // MinHash verify step already relies on.
 
   /** Exact n-gram Jaccard similarity pairs with similarity >= threshold.
-    * Output: (id1, id2, jaccard) with id1 < id2. */
+    * Output: (id1, id2, jaccard) with id1 < id2.
+    *
+    * Each side of the inverted-index self-join carries its doc's
+    * (post-cutoff) shingle-set size inline, so the jaccard computation
+    * after pair counting needs NO size-lookup joins — the sizes ride the
+    * count aggregate as `first()`s. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
                    threshold: Double, maxDocFreq: Option[Long] = None): DataFrame = {
-    val idx = shingleIndex(df, idCol, textCol, n, maxDocFreq).cache()
-    val sizes = idx.groupBy("doc").agg(count(lit(1)).as("nsh"))
-    val common = idx.as("a").join(idx.as("b"), col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
+    val base = df.select(col(idCol).as("doc"),
+      Hashes.shingleHashCol(col(textCol), n).as("shs"))
+    val raw = base.select(col("doc"), size(col("shs")).cast("long").as("nsh"),
+      explode(col("shs")).as("sh"))
+    val idx = (maxDocFreq match {
+      case None => raw
+      case Some(m) =>
+        val hot = raw.groupBy("sh").count().filter(col("count") > m).select("sh")
+        // sizes must be recomputed over the SURVIVING shingles: they are
+        // the jaccard denominator's universe after the cutoff
+        raw.join(hot, Seq("sh"), "left_anti")
+          .withColumn("nsh", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("doc")))
+    }).cache()
+    idx.as("a").join(idx.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("id1"), col("b.doc").as("id2"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("doc", "id1").withColumnRenamed("nsh", "n1"), "id1")
-      .join(sizes.withColumnRenamed("doc", "id2").withColumnRenamed("nsh", "n2"), "id2")
+      .agg(count(lit(1)).as("common"),
+        // nsh is constant per doc: min == the value, with cheaper agg
+        // state than first() (no valueSet flag column)
+        min(col("a.nsh")).as("n1"), min(col("b.nsh")).as("n2"))
       .withColumn("jaccard", col("common").cast("double") /
         (col("n1") + col("n2") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
