@@ -121,7 +121,7 @@ object GraphOps {
     val init = verts.crossJoin(broadcast(source))
       .select(col("node"),
         when(col("node") === col("s"), lit(0L)).otherwise(lit(Unreached)).as("d"))
-    val res = Iterations.iterate(init, maxIter) { cur =>
+    val res = Iterations.iterate(init, maxIter, fuse = 2) { cur =>
       val relaxed = e.join(cur.withColumnRenamed("node", "a"), "a")
         .select(col("b").as("node"), (col("d") + col("wt")).as("nd"))
         .groupBy("node").agg(min(col("nd")).as("md"))
@@ -145,7 +145,7 @@ object GraphOps {
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     val ued = undirected(edges).cache()
     val init = vertices(edges).withColumn("lbl", col("node"))
-    val out = Iterations.iterate(init, iters) { cur =>
+    val out = Iterations.iterate(init, iters, fuse = 2) { cur =>
       val counts = ued.join(cur.withColumnRenamed("node", "b"), "b")
         .groupBy(col("a").as("node"), col("lbl")).agg(count(lit(1)).as("c"))
       // argmax by (count, -label): max count wins, ties take the smallest
@@ -200,6 +200,82 @@ object GraphOps {
     tris
   }
 
+  /** Adamic-Adar similarity (reference: flink-gelly/.../library/similarity/
+    * AdamicAdar.java — per-vertex neighbor-pair emission weighted by
+    * 1/log(degree)). Output: (u, v, aa_micro) for u < v sharing >= 1
+    * neighbor, where aa_micro = Σ_w floor(1e9 / ln(deg(w))) over common
+    * neighbors w. Integer micro-contributions (same device as PageRank/
+    * HITS) make the SUM exact and order-independent — a float Σ1/ln(d)
+    * depends on summation order and would not replay across engines; each
+    * per-degree contribution is a single division any engine rounds alike.
+    *
+    * Scale: wedge generation is the self-join on the center vertex — the
+    * same O(Σ deg²) regime as the reference's; `maxDegree` drops hub
+    * centers (their contribution ≈ 0 by construction: 1/ln(huge)), the
+    * standard cutoff that bounds fan-out at corpus scale. */
+  def adamicAdar(edges: DataFrame, maxDegree: Option[Long] = None): DataFrame = {
+    val ued = undirected(edges)
+    val deg0 = ued.groupBy(col("a").as("w")).agg(count(lit(1)).as("d"))
+    val deg = maxDegree.fold(deg0)(m => deg0.filter(col("d") <= m))
+    val nbrs = ued.select(col("a").as("w"), col("b").as("n"))
+      .join(deg.filter(col("d") >= 2), "w") // a 1-degree center has no pairs
+      .withColumn("c", floor(lit(1000000000.0) / log(col("d"))).cast("long"))
+    nbrs.as("x").join(nbrs.as("y"),
+        col("x.w") === col("y.w") && col("x.n") < col("y.n"))
+      .groupBy(col("x.n").as("u"), col("y.n").as("v"))
+      .agg(sum(col("x.c")).as("aa_micro"))
+  }
+
+  /** Community detection by label propagation with hop attenuation
+    * (reference: flink-gelly/.../library/CommunityDetection.java — Leung
+    * et al.'s scored LPA). Each vertex carries (label, score); per round a
+    * vertex adopts the neighbor label with the highest score SUM (ties to
+    * the smallest label, pinned for determinism), taking as its new score
+    * the highest single incoming score of that label minus `deltaMicro`
+    * (the hop attenuation). Scores are integer micro-units, initial 1e6 —
+    * exact replayable arithmetic, no float argmax ambiguity.
+    *
+    * Scale: two aggregate shuffles per round keyed on node id (label-score
+    * sum, then per-node argmax), same shape as [[labelPropagation]]. */
+  def communityDetection(edges: DataFrame, iters: Int,
+                         deltaMicro: Long = 500000L): DataFrame = {
+    val ued = undirected(edges).cache()
+    val init = vertices(edges)
+      .select(col("node"), col("node").as("lbl"), lit(1000000L).as("score"))
+    val out = Iterations.iterate(init, iters, fuse = 2) { cur =>
+      val msgs = ued.join(cur.withColumnRenamed("node", "b"), "b")
+        .select(col("a").as("node"), col("lbl"), col("score"))
+      msgs.groupBy("node", "lbl")
+        .agg(sum(col("score")).as("tot"), max(col("score")).as("mx"))
+        // argmax by (sum, -label): one struct max, no window shuffle; mx
+        // rides along (labels are unique per node group, so it never ties)
+        .groupBy("node")
+        .agg(max(struct(col("tot"), (-col("lbl")).as("nl"), col("mx"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("lbl"),
+          (col("m.mx") - deltaMicro).as("score"))
+    }
+    ued.unpersist()
+    out.select(col("node"), col("lbl").as("community"), col("score"))
+  }
+
+  /** Structural summarization (reference: flink-gelly/.../library/
+    * Summarization.java): contract same-value vertices into one group
+    * vertex; group parallel edges by (source group, target group, edge
+    * value). Output: one row per summarized edge with its multiplicity and
+    * the two group sizes — the compact topology-of-groups view. */
+  def summarize(edges: DataFrame, vertexVals: DataFrame,
+                edgeValCol: Option[String] = None): DataFrame = {
+    val groupSizes = vertexVals.groupBy(col("value").as("g"))
+      .agg(count(lit(1)).as("n"))
+    val e = edges
+      .join(vertexVals.select(col("node").as("src"), col("value").as("src_group")), "src")
+      .join(vertexVals.select(col("node").as("dst"), col("value").as("dst_group")), "dst")
+    val keys = Seq(col("src_group"), col("dst_group")) ++ edgeValCol.map(col)
+    e.groupBy(keys: _*).agg(count(lit(1)).as("n_edges"))
+      .join(broadcast(groupSizes.toDF("src_group", "src_group_size")), "src_group")
+      .join(broadcast(groupSizes.toDF("dst_group", "dst_group_size")), "dst_group")
+  }
+
   /** HITS hubs-and-authorities, `iters` fixed synchronous rounds
     * (reference: flink-gelly/.../library/HITS.java). Scores are integer
     * micro-units rescaled by the round's global max instead of the
@@ -215,6 +291,9 @@ object GraphOps {
     val e = edges.select("src", "dst").distinct().cache()
     val verts = vertices(e).cache()
     val init = verts.withColumn("hub", lit(1000000L)).withColumn("auth", lit(1000000L))
+    // fuse=1: a HITS round is TWO aggregations plus two broadcast maxes —
+    // fusing doubles an already-wide plan per job and measured slower;
+    // the single-aggregate rounds (PageRank/SSSP/LPA/community) fuse well.
     val res = Iterations.iterate(init, iters) { cur =>
       val hubRaw = e.join(cur.select(col("node").as("dst"), col("auth")), "dst")
         .groupBy(col("src").as("node")).agg(sum(col("auth")).as("hr"))

@@ -99,14 +99,19 @@ object GraphQueries {
         FROM edges JOIN supplier ON s_suppkey = dst - 100000
         GROUP BY src""")),
 
-    // SSSP: 10 Bellman-Ford rounds on the undirected dense graph, integer
+    // SSSP: 5 Bellman-Ford rounds on the undirected dense graph, integer
     // weights (a+b)%7+1, source = min node id. After k rounds dist = exact
     // min-weight path over <= k edges — replayed by a bounded recursive CTE.
+    // (k=5 spans the bipartite graph's effective radius here; the bounded-k
+    // contract makes any k exact, and the oracle replays the same k.)
     Entry("qbm_graph_sssp",
       (s, dir) => {
-        val ued = GraphOps.undirected(denseEdges(s, dir))
+        // cache the undirected view: both the weighted edge set and the
+        // min-id source aggregate read it — uncached, the orders⋈lineitem
+        // edge build would run twice
+        val ued = GraphOps.undirected(denseEdges(s, dir)).cache()
         val w = ued.withColumn("wt", expr("(a + b) % 7 + 1"))
-        GraphOps.sssp(w, ued.agg(min(col("a")).as("s")), maxIter = 10)
+        GraphOps.sssp(w, ued.agg(min(col("a")).as("s")), maxIter = 5)
       },
       Some(s"""WITH RECURSIVE edges AS ($ODenseEdges),
         uedges AS (SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges),
@@ -122,9 +127,9 @@ object GraphQueries {
             SELECT e.b AS node, s2.iter, min(s2.d + e.wt) AS md
             FROM sp s2 JOIN w e ON e.a = s2.node
             GROUP BY e.b, s2.iter) r ON r.node = p.node AND r.iter = p.iter
-          WHERE p.iter < 10)
+          WHERE p.iter < 5)
         SELECT node, d AS dist FROM sp
-        WHERE iter = 10 AND d < 1000000000000000""")),
+        WHERE iter = 5 AND d < 1000000000000000""")),
 
     // Label propagation: 5 synchronous rounds, most-frequent neighbor
     // label, ties to the smallest label; initial label = node id.
@@ -176,6 +181,87 @@ object GraphQueries {
                GROUP BY 1, 2 HAVING count(*) >= 2)
         SELECT x.a AS v1, x.b AS v2, y.b AS v3
         FROM te x JOIN te y ON y.a = x.b JOIN te z ON z.a = x.a AND z.b = y.b""")),
+
+    // Adamic-Adar: common-neighbor pairs weighted by floor(1e9/ln(deg)) —
+    // integer micro-contributions so the sum is exact and order-free. The
+    // maxDegree=100 knob (production hub cutoff: 1/ln(huge) ~ 0 signal)
+    // drops the ~500-degree supplier hubs, bounding the wedge join.
+    Entry("qbr_graph_adamic_adar",
+      (s, dir) => GraphOps.adamicAdar(denseEdges(s, dir), maxDegree = Some(100L)),
+      Some(s"""WITH edges AS ($ODenseEdges),
+        uedges AS (SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges),
+        deg AS (SELECT a AS w, count(*) AS d FROM uedges GROUP BY a),
+        nbrs AS (
+          SELECT u.a AS w, u.b AS n,
+            CAST(floor(1000000000 / ln(d.d)) AS BIGINT) AS c
+          FROM uedges u JOIN deg d ON d.w = u.a
+          WHERE d.d BETWEEN 2 AND 100)
+        SELECT x.n AS u, y.n AS v, CAST(sum(x.c) AS BIGINT) AS aa_micro
+        FROM nbrs x JOIN nbrs y ON x.w = y.w AND x.n < y.n
+        GROUP BY 1, 2""")),
+
+    // Community detection: scored label propagation with hop attenuation
+    // (integer micro-scores, delta = 0.5e6), 5 rounds; argmax by score sum,
+    // ties to the smallest label; adopted score = best single incoming
+    // score of the winning label minus delta.
+    Entry("qbs_graph_community",
+      (s, dir) => GraphOps.communityDetection(denseEdges(s, dir), iters = 5),
+      Some(s"""WITH RECURSIVE edges AS ($ODenseEdges),
+        uedges AS (SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges),
+        nodes AS (SELECT DISTINCT a AS node FROM uedges),
+        cd(iter, node, lbl, score) AS (
+          SELECT 0, node, node, CAST(1000000 AS BIGINT) FROM nodes
+          UNION ALL
+          SELECT c.iter + 1, c.node, x.lbl, x.mx - 500000
+          FROM cd c JOIN (
+            SELECT node, iter, lbl, mx FROM (
+              SELECT u.a AS node, m.iter, m.lbl,
+                sum(m.score) AS tot, max(m.score) AS mx,
+                row_number() OVER (PARTITION BY u.a, m.iter
+                                   ORDER BY sum(m.score) DESC, m.lbl) AS rn
+              FROM uedges u JOIN cd m ON m.node = u.b
+              GROUP BY u.a, m.iter, m.lbl) t
+            WHERE rn = 1) x ON x.node = c.node AND x.iter = c.iter
+          WHERE c.iter < 5)
+        SELECT node, lbl AS community, score FROM cd WHERE iter = 5""")),
+
+    // Summarization: contract same-value vertices (customer market
+    // segment; supplier nation) and group parallel edges by
+    // (src group, dst group, order priority) with multiplicities.
+    Entry("qbt_graph_summarize",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        val l = Tables(s, dir, "lineitem")
+        val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("src"),
+            (lit(100000) + col("l_suppkey")).as("dst"),
+            col("o_orderpriority").as("prio"))
+        val cust = Tables(s, dir, "customer")
+          .select(col("c_custkey").as("node"), col("c_mktsegment").as("value"))
+        val sup = Tables(s, dir, "supplier")
+          .join(Tables(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+          .select((lit(100000) + col("s_suppkey")).as("node"),
+            concat(lit("S:"), col("n_name")).as("value"))
+        GraphOps.summarize(edges, cust.union(sup), Some("prio"))
+      },
+      Some("""WITH vv AS (
+          SELECT c_custkey AS node, c_mktsegment AS value FROM customer
+          UNION ALL
+          SELECT 100000 + s_suppkey, 'S:' || n_name
+          FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+        gs AS (SELECT value AS g, count(*) AS n FROM vv GROUP BY value),
+        e AS (SELECT o_custkey AS src, 100000 + l_suppkey AS dst,
+                o_orderpriority AS prio
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        agg AS (
+          SELECT sv.value AS src_group, dv.value AS dst_group, e.prio,
+            count(*) AS n_edges
+          FROM e JOIN vv sv ON sv.node = e.src JOIN vv dv ON dv.node = e.dst
+          GROUP BY 1, 2, 3)
+        SELECT a.src_group, a.dst_group, a.prio, a.n_edges,
+          g1.n AS src_group_size, g2.n AS dst_group_size
+        FROM agg a JOIN gs g1 ON g1.g = a.src_group
+        JOIN gs g2 ON g2.g = a.dst_group""")),
 
     // HITS: 5 synchronous rounds, integer micro-unit scores rescaled by the
     // round's global max (exact replayable arithmetic; bounded values).

@@ -89,6 +89,54 @@ class GraphOpsSpec extends SparkSpec {
     assert(t === Set((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
   }
 
+  test("adamicAdar weights common neighbors by floor(1e9/ln(deg))") {
+    // square 1-2-3-4-1: each pair of opposite corners (1,3) and (2,4)
+    // shares its two degree-2 neighbors; adjacent pairs share none
+    val sq = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val aa = GraphOps.adamicAdar(sq).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val c2 = math.floor(1e9 / math.log(2.0)).toLong // degree-2 contribution
+    assert(aa === Map((1L, 3L) -> 2 * c2, (2L, 4L) -> 2 * c2))
+    // hub cutoff: center of a star exceeds maxDegree -> no pairs at all
+    val star = Seq((9L, 1L), (9L, 2L), (9L, 3L)).toDF("src", "dst")
+    assert(GraphOps.adamicAdar(star, maxDegree = Some(2L)).count() === 0)
+    assert(GraphOps.adamicAdar(star).count() === 3) // all leaf pairs via 9
+  }
+
+  test("communityDetection: label flows from the heavier side, score attenuates") {
+    // path 1-2: after round 1 each adopts the other's label (only message),
+    // score 1e6 - 5e5; round 2 swaps back with score 5e5 - 5e5 = 0
+    val pair = Seq((1L, 2L)).toDF("src", "dst")
+    val r1 = GraphOps.communityDetection(pair, iters = 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(r1 === Map(1L -> ((2L, 500000L)), 2L -> ((1L, 500000L))))
+    val r2 = GraphOps.communityDetection(pair, iters = 2).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(r2 === Map(1L -> ((1L, 0L)), 2L -> ((2L, 0L))))
+    // triangle 1-2-3: node 1 hears labels {2,3}, sums tie at 1e6 each ->
+    // smallest label wins: everyone converges toward label 1's community
+    val tri = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val t2 = GraphOps.communityDetection(tri, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(t2.values.toSet === Set(1L))
+  }
+
+  test("summarize contracts same-value vertices and counts parallel edges") {
+    val e = Seq((1L, 10L, "x"), (2L, 10L, "x"), (2L, 11L, "y"), (3L, 11L, "x"))
+      .toDF("src", "dst", "ev")
+    val vv = Seq((1L, "A"), (2L, "A"), (3L, "B"), (10L, "C"), (11L, "C"))
+      .toDF("node", "value")
+    val out = GraphOps.summarize(e, vv, Some("ev")).collect()
+      .map(r => (r.getAs[String]("src_group"), r.getAs[String]("dst_group"),
+        r.getAs[String]("ev")) ->
+        (r.getAs[Long]("n_edges"), r.getAs[Long]("src_group_size"),
+          r.getAs[Long]("dst_group_size"))).toMap
+    assert(out === Map(
+      ("A", "C", "x") -> ((2L, 2L, 2L)),
+      ("A", "C", "y") -> ((1L, 2L, 2L)),
+      ("B", "C", "x") -> ((1L, 1L, 2L))))
+  }
+
   test("hitsScaled: hubs feed authorities; scores rescale to max 1e6") {
     // 1 and 2 both point at 3 and 4: perfect hubs 1,2 / authorities 3,4
     val e = Seq((1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
