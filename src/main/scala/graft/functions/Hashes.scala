@@ -6,11 +6,13 @@ import org.apache.spark.sql.functions.udf
 /** Deterministic per-row signature hashes for near-duplicate detection:
   * MinHash signatures, SimHash, and a rolling-polynomial fingerprint.
   *
-  * These are genuine per-row imperative loops (k permutations × n shingles),
-  * so they are plain Scala functions exposed as UDFs for now; they sit at a
-  * pipeline stage where the surrounding plan (shingling, LSH banding,
-  * bucket joins) stays declarative. TODO(perf): promote to codegen'd
-  * Catalyst expressions if bench shows them hot.
+  * The two kernels on every dedup corpus pass are native codegen
+  * expressions as of round 6 — [[ShingleHashesExpr]] (text → sorted
+  * distinct shingle hashes) and [[MinHashSigExpr]] (hashes → signature);
+  * see the SCALE.md "shingle-hash kernel" profile. The remaining UDFs
+  * (SimHash over token arrays, string-shingle MinHash) sit on cold or
+  * spec-only paths; the local Scala functions below stay as the reference
+  * implementations the expression specs pin against.
   */
 object Hashes {
 
@@ -137,14 +139,12 @@ object Hashes {
   val minhashUdf: Int => org.apache.spark.sql.expressions.UserDefinedFunction =
     k => udf((s: Seq[String]) => minHashSignature(s, k))
   def minhash(shingles: Column, k: Int): Column = minhashUdf(k)(shingles)
-  /** Tokenize + shingle + sign in ONE compiled pass (the expression-chain
-    * form re-walks the text several times through interpreted higher-order
-    * functions and dominates MinHash cost at scale). */
-  def minhashFromText(text: Column, n: Int, k: Int): Column = {
-    val f = udf((t: String) => minHashSignature(
-      scala.collection.immutable.ArraySeq.unsafeWrapArray(wordShinglesLocal(t, n)), k))
-    f(text)
-  }
+  /** Tokenize + shingle + sign as two composed NATIVE expressions (no UDF
+    * boundary, no boxed Seq; signature min is duplicate- and order-
+    * invariant, so signing the sorted distinct hash set is bit-identical
+    * to signing the raw shingle stream). */
+  def minhashFromText(text: Column, n: Int, k: Int): Column =
+    MinHashSigExpr(ShingleHashesExpr(text, n), k)
   /** Sorted distinct shingle hashes of a text column — native codegen
     * expression (see [[ShingleHashesExpr]]); bit-identical to mapping
     * [[shingleHashes]] over the column but with no UDF boundary and no
@@ -156,12 +156,10 @@ object Hashes {
     * operators) as the comparison arm of the SCALE.md profile. */
   def shingleHashesUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((t: String) => shingleHashes(t, n))
-  /** Signature over an already-hashed shingle set (one text pass total). */
-  def minhashFromHashes(hashes: Column, k: Int): Column = {
-    val f = udf((hs: Seq[Long]) => minHashSignatureFromHashes(
-      if (hs == null) Array.empty[Long] else hs.toArray, k))
-    f(hashes)
-  }
+  /** Signature over an already-hashed shingle set (one text pass total) —
+    * native expression, primitive arrays end to end (see MinHashSigExpr). */
+  def minhashFromHashes(hashes: Column, k: Int): Column =
+    MinHashSigExpr(hashes, k)
   val simhashUdf = udf((toks: Seq[String]) => simHash64(toks))
   def simhash(toks: Column): Column = simhashUdf(toks)
   val hammingUdf = udf((a: Long, b: Long) => hamming64(a, b))

@@ -108,6 +108,23 @@ class FunctionsSpec extends SparkSpec {
     assert(plan.contains("*(1) Project [shinglehashesexpr"))
   }
 
+  test("MinHashSigExpr matches the local kernel; text→sig composition holds") {
+    import graft.functions.Hashes
+    val texts = Seq("a b c d e a b", "x y", "", "solo")
+    val df = texts.toDF("text")
+    val native = df.select(Hashes.minhashFromText($"text", 2, 16)).collect()
+      .map(_.getSeq[Long](0))
+    val expected = texts.map(t => Hashes.minHashSignature(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(
+        Hashes.wordShinglesLocal(t, 2)), 16).toSeq)
+    assert(native.toSeq === expected)
+    // null input signs the empty set (sentinel signature, not null)
+    val withNull = Seq(Option("x y"), None).toDF("text")
+      .select(Hashes.minhashFromHashes(Hashes.shingleHashCol($"text", 2), 16))
+      .collect().map(_.getSeq[Long](0))
+    assert(withNull(1) === Seq.fill(16)((1L << 32) - 1))
+  }
+
   test("langId picks dominant stopword language; CJK short-circuits") {
     val rows = Seq(
       "the cat sat on the mat with a hat",          // en
