@@ -217,9 +217,12 @@ object GraphOps {
     val ued = undirected(edges)
     val deg0 = ued.groupBy(col("a").as("w")).agg(count(lit(1)).as("d"))
     val deg = maxDegree.fold(deg0)(m => deg0.filter(col("d") <= m))
+    // cached: both sides of the wedge self-join read it — uncached, the
+    // full undirected+degree lineage (and its shuffles) would run twice
     val nbrs = ued.select(col("a").as("w"), col("b").as("n"))
       .join(deg.filter(col("d") >= 2), "w") // a 1-degree center has no pairs
       .withColumn("c", floor(lit(1000000000.0) / log(col("d"))).cast("long"))
+      .cache()
     nbrs.as("x").join(nbrs.as("y"),
         col("x.w") === col("y.w") && col("x.n") < col("y.n"))
       .groupBy(col("x.n").as("u"), col("y.n").as("v"))
