@@ -1,0 +1,224 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Native model-fitting surface (reference: flink-libraries/flink-ml/.../
+  * recommendation/ALS.scala, classification/SVM.scala (CoCoA), and
+  * optimization/GradientDescent.scala), re-expressed as DataFrame
+  * aggregation loops instead of the reference's per-partition native
+  * solvers.
+  *
+  * Shape at scale: every iteration is one join + one aggregate shuffle
+  * keyed on the factor id (ALS) or one full-scan aggregate producing a
+  * k-element gradient (SVM). Model state is either a factor DataFrame
+  * (ALS — never collected) or a k-vector on the driver (SVM — k is the
+  * feature count, bytes, the same driver-held model every distributed GD
+  * implementation carries). Nothing driver-side grows with the data.
+  *
+  * Determinism: the gate-query paths ([[alsRank1Scaled]], [[svmScaled]])
+  * use exact integer arithmetic (the same micro-unit device as
+  * GraphOps.pageRankScaled) so any engine replays them bit-for-bit; the
+  * general [[alsFit]] path is double-precision and verified by property
+  * specs (exact low-rank recovery) rather than a hash oracle.
+  */
+object ML {
+
+  // ---------------------------------------------------------------- ALS
+
+  /** Alternating least squares, rank-1, scaled-integer arithmetic.
+    *
+    * Factors are longs in `scale` micro-units (f_real = f / scale). Each
+    * half-step is the exact rank-1 normal equation
+    * u = Σ r·v / Σ v² computed as (scale² · Σ r·V) div (Σ V²) — all
+    * BIGINT, so the alternation is engine-portable (DuckDB `//` replays
+    * Spark `div` exactly on the positive domain).
+    *
+    * `ratings` columns: (user, item, rating) with positive integral
+    * ratings. One sweep = user half-step from item factors, then item
+    * half-step from the new user factors. Returns
+    * (side: "user"|"item", id, f) — both factor tables in one frame.
+    *
+    * Magnitude safety at sf1 (6M ratings, ~40 per user / ~30 per item):
+    * Σ r·V ≤ 40·200·5e5 ≈ 4e9; ·scale² (1e8) ≈ 4e17 < 2^63. Ratings-per-
+    * key is a data-density constant, not a corpus-size function, so the
+    * bound holds at 100 TB the same way it holds at sf0.01. */
+  def alsRank1Scaled(ratings: DataFrame, userCol: String, itemCol: String,
+                     ratingCol: String, sweeps: Int,
+                     scale: Long = 10000L): DataFrame = {
+    val r = ratings.select(col(userCol).as("u"), col(itemCol).as("i"),
+      col(ratingCol).cast("long").as("v")).cache()
+    val sc2 = scale * scale
+    def halfStep(from: DataFrame, joinKey: String, groupKey: String): DataFrame =
+      r.join(from.withColumnRenamed("id", joinKey), joinKey)
+        .groupBy(col(groupKey).as("id"))
+        .agg(sum(col("v") * col("f")).as("srv"), sum(col("f") * col("f")).as("svv"))
+        .select(col("id"), expr(s"($sc2 * srv) div svv").as("f"))
+    var itemF = r.select(col("i").as("id")).distinct()
+      .withColumn("f", lit(scale))
+    var userF: DataFrame = null
+    for (_ <- 1 to sweeps) {
+      userF = halfStep(itemF, "i", "u").localCheckpoint()
+      itemF = halfStep(userF, "u", "i").localCheckpoint()
+    }
+    r.unpersist()
+    userF.select(lit("user").as("side"), col("id"), col("f"))
+      .union(itemF.select(lit("item"), col("id"), col("f")))
+  }
+
+  /** Alternating least squares, general rank-k with weighted-λ
+    * regularization (Zhou et al., the scheme the reference's
+    * recommendation/ALS.scala implements): each half-step solves, per
+    * entity, (Σ f fᵀ + λ·n·I) x = Σ r·f over its ratings.
+    *
+    * The normal-equation sums are native codegen aggregates — one column
+    * per (a ≤ b) Gram entry and per rhs component, so the shuffle carries
+    * k(k+3)/2 doubles per entity, not the rating rows. Only the k×k solve
+    * (per entity, on the aggregated row) is a UDF — O(k³) on k ~ 10-100,
+    * negligible next to the join.
+    *
+    * Factor init is a deterministic per-(id, component) hash in
+    * [0.1, 1.1) — reproducible across runs, full-rank in expectation
+    * (identical init vectors would make the Gram matrix singular).
+    *
+    * Returns (side, id, f: array<double>). */
+  def alsFit(ratings: DataFrame, userCol: String, itemCol: String,
+             ratingCol: String, rank: Int, sweeps: Int,
+             lambda: Double = 0.1): DataFrame = {
+    require(rank >= 1, s"rank must be >= 1, got $rank")
+    val r = ratings.select(col(userCol).as("u"), col(itemCol).as("i"),
+      col(ratingCol).cast("double").as("v")).cache()
+
+    def hashInit(idCol: Column): Column = array(
+      (0 until rank).map(j =>
+        pmod(xxhash64(concat(idCol.cast("string"), lit(s"#$j"))), lit(1000L))
+          .cast("double") / 1000.0 + 0.1): _*)
+
+    val solve = udf { (gram: Seq[Double], rhs: Seq[Double], n: Long) =>
+      // dense A from the packed upper triangle, λ·n ridge on the diagonal
+      val k = rhs.length
+      val a = Array.ofDim[Double](k, k)
+      var idx = 0
+      for (p <- 0 until k; q <- p until k) {
+        a(p)(q) = gram(idx); a(q)(p) = gram(idx); idx += 1
+      }
+      for (p <- 0 until k) a(p)(p) += lambda * n
+      val b = rhs.toArray
+      // Gaussian elimination with partial pivoting (k is small by contract)
+      for (p <- 0 until k) {
+        var best = p
+        for (q <- p + 1 until k) if (math.abs(a(q)(p)) > math.abs(a(best)(p))) best = q
+        val tmp = a(p); a(p) = a(best); a(best) = tmp
+        val tb = b(p); b(p) = b(best); b(best) = tb
+        for (q <- p + 1 until k) {
+          val m = a(q)(p) / a(p)(p)
+          for (c <- p until k) a(q)(c) -= m * a(p)(c)
+          b(q) -= m * b(p)
+        }
+      }
+      val x = new Array[Double](k)
+      for (p <- (k - 1) to 0 by -1) {
+        var s = b(p)
+        for (c <- p + 1 until k) s -= a(p)(c) * x(c)
+        x(p) = s / a(p)(p)
+      }
+      x.toSeq
+    }
+
+    val gramCols = for (p <- 0 until rank; q <- p until rank)
+      yield sum(col("f")(p) * col("f")(q)).as(s"g_${p}_$q")
+    val rhsCols = (0 until rank).map(p => sum(col("v") * col("f")(p)).as(s"b_$p"))
+    val gramArr = array((for (p <- 0 until rank; q <- p until rank)
+      yield col(s"g_${p}_$q")): _*)
+    val rhsArr = array((0 until rank).map(p => col(s"b_$p")): _*)
+
+    def halfStep(from: DataFrame, joinKey: String, groupKey: String): DataFrame =
+      r.join(from.withColumnRenamed("id", joinKey), joinKey)
+        .groupBy(col(groupKey).as("id"))
+        .agg(count(lit(1)).as("n"), gramCols ++ rhsCols: _*)
+        .select(col("id"), solve(gramArr, rhsArr, col("n")).as("f"))
+
+    var itemF = r.select(col("i").as("id")).distinct()
+      .select(col("id"), hashInit(col("id")).as("f"))
+    var userF: DataFrame = null
+    for (_ <- 1 to sweeps) {
+      userF = halfStep(itemF, "i", "u").localCheckpoint()
+      itemF = halfStep(userF, "u", "i").localCheckpoint()
+    }
+    r.unpersist()
+    userF.select(lit("user").as("side"), col("id"), col("f"))
+      .union(itemF.select(lit("item"), col("id"), col("f")))
+  }
+
+  /** Predicted rating for every (user, item) pair present in `pairs`,
+    * from [[alsFit]]-shaped factors: the factor dot product. */
+  def alsPredict(pairs: DataFrame, factors: DataFrame,
+                 userCol: String, itemCol: String): DataFrame = {
+    val uf = factors.filter(col("side") === "user").select(col("id"), col("f").as("uf"))
+    val itf = factors.filter(col("side") === "item").select(col("id"), col("f").as("if_"))
+    pairs.join(uf.withColumnRenamed("id", userCol), userCol)
+      .join(itf.withColumnRenamed("id", itemCol), itemCol)
+      .withColumn("prediction",
+        aggregate(zip_with(col("uf"), col("if_"), (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x))
+      .drop("uf", "if_")
+  }
+
+  // ---------------------------------------------------------------- SVM
+
+  /** Linear SVM by full-batch Pegasos subgradient descent in scaled
+    * integers (reference: flink-ml/.../classification/SVM.scala — CoCoA
+    * reaches the same hinge-loss optimum; the full-batch subgradient
+    * shape maps 1:1 onto a Spark aggregate per round).
+    *
+    * `features` columns: `labelCol` in {-1, +1} and integral feature
+    * columns `xCols` (include a constant 1 column for a bias term).
+    * Weights are longs in `scale` micro-units, λ = 1/`lambdaInv`,
+    * η_t = 1/(λt):
+    *
+    *   violators_t = rows with y·⟨W, x⟩ < scale        (real y·⟨w,x⟩ < 1)
+    *   G_j = Σ_violators y·x_j                         (exact BIGINT)
+    *   W_j ← W_j − W_j div t + (scale·lambdaInv·G_j) div (t·n)
+    *
+    * Every round is ONE aggregate over the cached feature frame producing
+    * k+1 longs; the weight vector lives on the driver (k bytes — the same
+    * model state FlinkML's GradientDescent reduces to the job manager).
+    * Pegasos bounds ‖w‖ ≤ 1/√λ, so W_j ≈ scale·O(1) and the margin sum
+    * stays far from 2^63 regardless of row count.
+    *
+    * Returns one row per weight (k = column name, v = scaled weight) plus
+    * a `_violations` row: the violator count under the FINAL weights. */
+  def svmScaled(features: DataFrame, labelCol: String, xCols: Seq[String],
+                iters: Int, scale: Long = 1000000L,
+                lambdaInv: Long = 1L): DataFrame = {
+    val spark = features.sparkSession
+    val f = features.select(
+      (col(labelCol).cast("long").as("y") +: xCols.map(c => col(c).cast("long").as(c))): _*)
+      .cache()
+    val n = f.count()
+    var w = xCols.map(_ => 0L).toArray
+
+    def marginCol(weights: Array[Long]): Column =
+      col("y") * xCols.zip(weights).map { case (c, wj) => col(c) * lit(wj) }
+        .reduce(_ + _)
+
+    for (t <- 1 to iters) {
+      val gCols = xCols.map(c =>
+        sum(when(marginCol(w) < scale, col("y") * col(c)).otherwise(0L)).as(c))
+      val g = f.agg(gCols.head, gCols.tail: _*).head()
+      w = w.zipWithIndex.map { case (wj, j) =>
+        wj - wj / t + (scale * lambdaInv * g.getLong(j)) / (t * n)
+      }
+    }
+    val finalViol = f.filter(marginCol(w) < scale).count()
+    f.unpersist()
+    import spark.implicits._
+    (xCols.zip(w) :+ ("_violations" -> finalViol)).toDF("k", "v")
+  }
+
+  /** Margin-sign predictions under [[svmScaled]] weights: +1 / -1 per row. */
+  def svmPredict(features: DataFrame, weights: Map[String, Long]): Column = {
+    val m = weights.map { case (c, wj) => col(c) * lit(wj) }.reduce(_ + _)
+    when(m >= 0, 1).otherwise(-1)
+  }
+}

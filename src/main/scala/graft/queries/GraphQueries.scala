@@ -293,5 +293,52 @@ object GraphQueries {
                 GROUP BY iter) mxa ON mxa.iter = h.iter
           WHERE h.iter < 5)
         SELECT node, hub, auth FROM hits WHERE iter = 5""")),
+
+    // Graph transformation facade (Gelly Graph.java surface): build a
+    // valued graph (vertex value = nation key; suppliers offset),
+    // subgraph to even-nation vertices, scale values, reverse, then
+    // neighbor-sum + degrees. Exercises subgraph/mapVertices/reverse/
+    // reduceOnNeighbors/getDegrees in one declarative plan.
+    Entry("qbw_graph_transform",
+      (s, dir) => {
+        val c = Tables(s, dir, "customer")
+        val su = Tables(s, dir, "supplier")
+        val verts = c.select(col("c_custkey").as("node"),
+            col("c_nationkey").cast("long").as("value"))
+          .unionByName(su.select((lit(100000) + col("s_suppkey")).as("node"),
+            (lit(100L) + col("s_nationkey")).as("value")))
+        val g = graft.operators.Graph(verts,
+          denseEdges(s, dir).withColumn("value", lit(1L)))
+          .subgraph(col("value") % 2 === 0, lit(true))
+          .mapVertices(_ * 10)
+          .reverse
+        g.getDegrees.join(
+            g.reduceOnNeighbors(sum, "out").withColumnRenamed("reduced", "nbr_sum"),
+            Seq("node"), "left")
+          .select(col("node"), col("deg"),
+            coalesce(col("nbr_sum"), lit(0L)).as("nbr_sum"))
+      },
+      Some(s"""WITH verts AS (
+          SELECT c_custkey AS node, CAST(c_nationkey AS BIGINT) AS value
+          FROM customer
+          UNION ALL
+          SELECT 100000 + s_suppkey, CAST(100 + s_nationkey AS BIGINT)
+          FROM supplier),
+        keep AS (SELECT node, value * 10 AS value FROM verts WHERE value % 2 = 0),
+        e0 AS ($ODenseEdges),
+        rev AS (
+          SELECT e.dst AS src, e.src AS dst FROM e0 e
+          JOIN keep k1 ON e.src = k1.node JOIN keep k2 ON e.dst = k2.node),
+        red AS (
+          SELECT r.src AS node, CAST(sum(k.value) AS BIGINT) AS nbr_sum
+          FROM rev r JOIN keep k ON r.dst = k.node GROUP BY 1),
+        deg AS (
+          SELECT k.node, CAST(COALESCE(d.c, 0) AS BIGINT) AS deg
+          FROM keep k LEFT JOIN (
+            SELECT node, count(*) AS c FROM (
+              SELECT src AS node FROM rev UNION ALL SELECT dst FROM rev)
+            GROUP BY 1) d ON k.node = d.node)
+        SELECT d.node, d.deg, COALESCE(r.nbr_sum, 0) AS nbr_sum
+        FROM deg d LEFT JOIN red r ON d.node = r.node""")),
   )
 }

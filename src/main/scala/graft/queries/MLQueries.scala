@@ -1,0 +1,112 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.ML
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Native model-fitting gate queries (SURVEY.md §2.12 FlinkML analogue:
+  * recommendation/ALS.scala, classification/SVM.scala,
+  * optimization/GradientDescent.scala). Both use exact scaled-integer
+  * arithmetic (the qa2 PageRank device) so DuckDB replays every iteration
+  * bit-for-bit — no float summation-order dependence.
+  */
+object MLQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
+
+  /** (user, item, rating) = (o_custkey, l_partkey, Σ l_quantity). */
+  private def ratings(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders"); val l = t(s, dir, "lineitem")
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("u"), col("l_partkey").as("i"))
+      .agg(sum(col("l_quantity").cast("long")).as("r"))
+  }
+
+  private val ORatings =
+    """SELECT o_custkey AS u, l_partkey AS i,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS v
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1, 2"""
+
+  /** One rank-1 ALS half-step in DuckDB: factors for `gk` from factors
+    * `from` (sum casts pin DuckDB's HUGEINT sums back to the BIGINT
+    * domain Spark computes in; bounds reasoned in ML.alsRank1Scaled). */
+  private def oHalf(name: String, from: String, jk: String, gk: String): String =
+    s"""$name AS (
+       SELECT r.$gk AS id,
+         (100000000 * CAST(sum(r.v * f.f) AS BIGINT))
+           // CAST(sum(f.f * f.f) AS BIGINT) AS f
+       FROM r JOIN $from f ON r.$jk = f.id GROUP BY r.$gk)"""
+
+  def entries: Seq[Entry] = Seq(
+
+    // Alternating least squares, rank-1, 2 sweeps, factors in 1e4
+    // micro-units. The oracle unrolls the 4 half-steps as plain grouped
+    // aggregates — every step is exact BIGINT math, so the alternation
+    // replays bit-for-bit.
+    Entry("qbu_als_rank1",
+      (s, dir) => ML.alsRank1Scaled(ratings(s, dir), "u", "i", "r", sweeps = 2),
+      Some(s"""WITH r AS ($ORatings),
+        i0 AS (SELECT DISTINCT i AS id, CAST(10000 AS BIGINT) AS f FROM r),
+        ${oHalf("u1", "i0", "i", "u")},
+        ${oHalf("i1", "u1", "u", "i")},
+        ${oHalf("u2", "i1", "i", "u")},
+        ${oHalf("i2", "u2", "u", "i")}
+        SELECT 'user' AS side, id, f FROM u2
+        UNION ALL SELECT 'item' AS side, id, f FROM i2""")),
+
+    // Linear SVM: 4 full-batch Pegasos rounds over lineitem features
+    // (label: was the line returned), weights in 1e6 micro-units. The
+    // oracle unrolls each round: gradient aggregate -> integer weight
+    // update -> next round's margin test, all BIGINT (DuckDB `//` and
+    // Scala/Spark integer division both truncate toward zero).
+    Entry("qbv_svm_pegasos",
+      (s, dir) => {
+        val f = t(s, dir, "lineitem").select(
+          when(col("l_returnflag") === "R", 1L).otherwise(-1L).as("y"),
+          lit(1L).as("b"),
+          col("l_quantity").cast("long").as("qty"),
+          expr("CAST(round(l_extendedprice*100) AS BIGINT) div 10000").as("price_h"),
+          expr("CAST(round(l_discount*100) AS BIGINT)").as("disc"))
+        ML.svmScaled(f, "y", Seq("b", "qty", "price_h", "disc"), iters = 4)
+      },
+      Some {
+        val S = "1000000"
+        def g(i: Int, cond: String) =
+          s"""g$i AS (SELECT
+             CAST(sum(CASE WHEN $cond THEN y*b ELSE 0 END) AS BIGINT) AS gb,
+             CAST(sum(CASE WHEN $cond THEN y*qty ELSE 0 END) AS BIGINT) AS gq,
+             CAST(sum(CASE WHEN $cond THEN y*price_h ELSE 0 END) AS BIGINT) AS gp,
+             CAST(sum(CASE WHEN $cond THEN y*disc ELSE 0 END) AS BIGINT) AS gd
+             FROM f${if (i > 1) s", w${i - 1}" else ""})"""
+        def upd(t: Int, prev: String) = Seq("b" -> "gb", "qty" -> "gq",
+          "price_h" -> "gp", "disc" -> "gd").map { case (c, gc) =>
+          val w = s"w_$c"
+          if (t == 1) s"($S * $gc) // ($t * n.n) AS $w"
+          else s"$prev.$w - $prev.$w // $t + ($S * $gc) // ($t * n.n) AS $w"
+        }.mkString(", ")
+        val margin = (i: Int) =>
+          s"y*(w$i.w_b*b + w$i.w_qty*qty + w$i.w_price_h*price_h + w$i.w_disc*disc) < $S"
+        s"""WITH f AS (SELECT
+            CASE WHEN l_returnflag = 'R' THEN 1 ELSE -1 END AS y,
+            1 AS b, CAST(l_quantity AS BIGINT) AS qty,
+            CAST(round(l_extendedprice*100) AS BIGINT) // 10000 AS price_h,
+            CAST(round(l_discount*100) AS BIGINT) AS disc FROM lineitem),
+          n AS (SELECT count(*) AS n FROM f),
+          ${g(1, s"0 < $S")},
+          w1 AS (SELECT ${upd(1, "")} FROM g1, n),
+          ${g(2, margin(1))},
+          w2 AS (SELECT ${upd(2, "w1")} FROM g2, w1, n),
+          ${g(3, margin(2))},
+          w3 AS (SELECT ${upd(3, "w2")} FROM g3, w2, n),
+          ${g(4, margin(3))},
+          w4 AS (SELECT ${upd(4, "w3")} FROM g4, w3, n),
+          viol AS (SELECT CAST(count(*) AS BIGINT) AS c FROM f, w4 WHERE ${margin(4)})
+          SELECT 'b' AS k, w_b AS v FROM w4
+          UNION ALL SELECT 'qty', w_qty FROM w4
+          UNION ALL SELECT 'price_h', w_price_h FROM w4
+          UNION ALL SELECT 'disc', w_disc FROM w4
+          UNION ALL SELECT '_violations', c FROM viol"""
+      })
+  )
+}

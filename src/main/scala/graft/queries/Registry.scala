@@ -10,7 +10,7 @@ object Registry {
     BatchQueries.entries ++ ExprQueries.entries ++ WindowQueries.entries ++
       ExtensionQueries.entries ++ StreamQueries.entries ++
       StatefulStreamQueries.entries ++ GraphQueries.entries ++ MiscQueries.entries ++
-      TpchExtraQueries.entries ++ PipelineQueries.entries
+      TpchExtraQueries.entries ++ PipelineQueries.entries ++ MLQueries.entries
 
   def queries: Map[String, Q] = entries.map(e => e.name -> e.q).toMap
   def oracles: Map[String, String] =

@@ -1,0 +1,79 @@
+package graft
+
+import graft.operators.ML
+import org.apache.spark.sql.functions._
+
+/** Specs for the double-precision ML paths that have no SQL-expressible
+  * oracle (the scaled-integer gate paths are hash-checked by qbu/qbv). */
+class MLSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("alsFit rank-2 recovers an exactly rank-2 rating matrix") {
+    // ratings = U·Vᵀ for known rank-2 factors; a complete exact low-rank
+    // matrix is recoverable, so predictions must converge to the data
+    val users = (0 until 20).map(u => (u.toLong, 1.0 + (u % 5), 0.5 + (u % 3)))
+    val items = (0 until 15).map(i => (i.toLong, 1.0 + (i % 4), 0.5 + (i % 2)))
+    val ratings = for ((u, a, b) <- users; (i, c, d) <- items)
+      yield (u, i, a * c + b * d)
+    val df = ratings.toDF("u", "i", "r")
+    val factors = ML.alsFit(df, "u", "i", "r", rank = 2, sweeps = 10, lambda = 1e-9)
+    val rmse = ML.alsPredict(df, factors, "u", "i")
+      .agg(sqrt(avg(pow(col("prediction") - col("r"), 2))))
+      .head().getDouble(0)
+    assert(rmse < 1e-3, s"rank-2 ALS should fit exact rank-2 data, rmse=$rmse")
+  }
+
+  test("alsFit higher rank also fits (regularized solve stays non-singular)") {
+    val ratings = for (u <- 0 until 12; i <- 0 until 10)
+      yield (u.toLong, i.toLong, (1.0 + u % 3) * (1.0 + i % 4))
+    val df = ratings.toDF("u", "i", "r")
+    val factors = ML.alsFit(df, "u", "i", "r", rank = 4, sweeps = 8, lambda = 1e-6)
+    val rmse = ML.alsPredict(df, factors, "u", "i")
+      .agg(sqrt(avg(pow(col("prediction") - col("r"), 2))))
+      .head().getDouble(0)
+    assert(rmse < 1e-2, s"rank-4 >= true rank, should still fit, rmse=$rmse")
+  }
+
+  test("alsRank1Scaled recovers rank-1 structure") {
+    // exact rank-1 integer ratings: r = a_u * c_i
+    val as = Map(1L -> 2L, 2L -> 3L, 3L -> 5L)
+    val cs = Map(10L -> 4L, 11L -> 7L, 12L -> 2L)
+    val df = (for ((u, a) <- as.toSeq; (i, c) <- cs.toSeq)
+      yield (u, i, a * c)).toDF("u", "i", "r")
+    val f = ML.alsRank1Scaled(df, "u", "i", "r", sweeps = 3)
+    val uf = f.filter($"side" === "user").as[(String, Long, Long)].collect()
+      .map(r => r._2 -> r._3).toMap
+    val itf = f.filter($"side" === "item").as[(String, Long, Long)].collect()
+      .map(r => r._2 -> r._3).toMap
+    for ((u, a) <- as; (i, c) <- cs) {
+      val pred = uf(u).toDouble * itf(i).toDouble / 1e8
+      val err = math.abs(pred - a * c) / (a * c)
+      assert(err < 0.01, s"u=$u i=$i pred=$pred want=${a * c}")
+    }
+  }
+
+  test("svmScaled separates linearly separable data") {
+    // y = sign(x - 5) with a margin gap: a correct (w_x, w_b) exists
+    val rows = (0 to 10).filter(_ != 5)
+      .map(x => (if (x >= 6) 1L else -1L, 1L, x.toLong))
+    val df = rows.toDF("y", "b", "x")
+    // λ = 1/100: small enough that the hinge term dominates and the
+    // optimum actually separates (λ = 1 over-regularizes a unit-margin
+    // boundary at |w| ~ 2)
+    val w = ML.svmScaled(df, "y", Seq("b", "x"), iters = 50, lambdaInv = 100L)
+      .as[(String, Long)].collect().toMap
+    val weights = Map("b" -> w("b"), "x" -> w("x"))
+    val acc = df.withColumn("p", ML.svmPredict(df, weights))
+      .filter($"p" === $"y").count().toDouble / rows.size
+    assert(acc == 1.0, s"separable data must classify perfectly, acc=$acc, w=$w")
+  }
+
+  test("svmScaled violation count decreases vs the all-violating start") {
+    val rows = (0 to 10).filter(_ != 5)
+      .map(x => (if (x >= 6) 1L else -1L, 1L, x.toLong))
+    val df = rows.toDF("y", "b", "x")
+    val viol = ML.svmScaled(df, "y", Seq("b", "x"), iters = 50, lambdaInv = 100L)
+      .filter($"k" === "_violations").head().getLong(1)
+    assert(viol < rows.size, "training must reduce hinge violations below n")
+  }
+}
