@@ -1,0 +1,64 @@
+package graft
+
+import graft.queries.Registry
+import org.apache.spark.sql.SparkSession
+
+/** Profiling main for the driver-loop iteration fixed costs (NEXT.md
+  * round-7 candidate: qa2/qbm per-round overhead at small SF is job
+  * scheduling + planning, not data). Times pageRankScaled under the
+  * candidate knob settings: AQE on/off and shuffle partition count inside
+  * the loop body, and the Iterations fuse level.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.IterBench"
+  */
+object IterBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // warm-up: JVM + codegen + scan
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag").count().collect()
+    Registry.queries("qa2_graph_pagerank")(spark, sfDir).count()
+
+    def timed(label: String)(body: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = body
+      println(f"[iterbench] $label%-40s ${(System.nanoTime() - t0) / 1e9}%6.2f s  (rows=$n)")
+    }
+
+    def withConf(kv: (String, String)*)(body: => Long): Long = {
+      val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+      kv.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally old.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+
+    val run = () => Registry.queries("qa2_graph_pagerank")(spark, sfDir).count()
+
+    for (round <- 1 to 2) {
+      println(s"--- round $round ---")
+      timed("baseline (aqe on, 32 parts)")(run())
+      timed("aqe off")(withConf("spark.sql.adaptive.enabled" -> "false")(run()))
+      timed("aqe off, 8 parts")(withConf(
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> "8")(run()))
+      timed("aqe off, 4 parts")(withConf(
+        "spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.shuffle.partitions" -> "4")(run()))
+      timed("aqe on, 8 parts")(withConf(
+        "spark.sql.shuffle.partitions" -> "8")(run()))
+      timed("aqe on, coalesce minPartitionSize 8m")(withConf(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "8m")(run()))
+    }
+    spark.stop()
+  }
+}

@@ -48,18 +48,21 @@ object GraphOps {
     * (node, component) where component = min node id in the component. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val ued = undirected(edges).cache()
-    val initial = vertices(edges).withColumn("lbl", col("node"))
-    val labels = Iterations.iterateDelta(initial, maxIter) { cur =>
-      val nbrMin = ued.join(cur, ued("b") === cur("node"))
-        .groupBy(col("a").as("node")).agg(min(col("lbl")).as("nbr_lbl"))
-      cur.join(nbrMin, Seq("node"), "left")
-        .select(col("node"), least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
-    } { (prev, next) =>
-      next.join(prev.withColumnRenamed("lbl", "old"), "node")
-        .filter(col("lbl") =!= col("old")).limit(1).count() == 0
+    val n = ued.count()
+    Iterations.withLoopProfile(ued.sparkSession, n) {
+      val initial = vertices(edges).withColumn("lbl", col("node"))
+      val labels = Iterations.iterateDelta(initial, maxIter) { cur =>
+        val nbrMin = ued.join(cur, ued("b") === cur("node"))
+          .groupBy(col("a").as("node")).agg(min(col("lbl")).as("nbr_lbl"))
+        cur.join(nbrMin, Seq("node"), "left")
+          .select(col("node"), least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
+      } { (prev, next) =>
+        next.join(prev.withColumnRenamed("lbl", "old"), "node")
+          .filter(col("lbl") =!= col("old")).limit(1).count() == 0
+      }
+      ued.unpersist()
+      labels.select(col("node"), col("lbl").as("component"))
     }
-    ued.unpersist()
-    labels.select(col("node"), col("lbl").as("component"))
   }
 
   /** PageRank, `iters` fixed rounds, damping 0.85, dangling mass dropped.
@@ -67,25 +70,28 @@ object GraphOps {
     * rank' = 150000 + (85 * sum(rank(src) div outdeg(src))) div 100. */
   def pageRankScaled(edges: DataFrame, iters: Int): DataFrame = {
     val e = edges.select("src", "dst").distinct().cache()
-    // Loop-invariant hoist: (edge ⋈ out-degree) never changes across
-    // rounds — pay its join once, not per iteration. At scale this is a
-    // full shuffle of the edge set saved per round; the cached result is
-    // already partitioned for the per-round rank join.
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
-    val eWithDeg = e.join(outdeg, "src")
-      .select(col("src").as("node"), col("dst"), col("d")).cache()
-    val verts = vertices(e).cache()
-    val ranks = Iterations.iterate(verts.withColumn("rank", lit(1000000L)), iters, fuse = 2) { cur =>
-      // `div` = exact integer division (Spark's `/` would be double division)
-      val contribs = eWithDeg.join(cur, "node")
-        .select(col("dst").as("node"), expr("rank div d").as("c"))
-        .groupBy("node").agg(sum(col("c")).as("contrib"))
-      verts.join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (lit(150000L) + expr("(85 * coalesce(contrib, 0L)) div 100")).as("rank"))
+    val n = e.count() // materializes the cache and sizes the loop profile
+    Iterations.withLoopProfile(e.sparkSession, n) {
+      // Loop-invariant hoist: (edge ⋈ out-degree) never changes across
+      // rounds — pay its join once, not per iteration. At scale this is a
+      // full shuffle of the edge set saved per round; the cached result is
+      // already partitioned for the per-round rank join.
+      val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      val eWithDeg = e.join(outdeg, "src")
+        .select(col("src").as("node"), col("dst"), col("d")).cache()
+      val verts = vertices(e).cache()
+      val ranks = Iterations.iterate(verts.withColumn("rank", lit(1000000L)), iters, fuse = 2) { cur =>
+        // `div` = exact integer division (Spark's `/` would be double division)
+        val contribs = eWithDeg.join(cur, "node")
+          .select(col("dst").as("node"), expr("rank div d").as("c"))
+          .groupBy("node").agg(sum(col("c")).as("contrib"))
+        verts.join(contribs, Seq("node"), "left")
+          .select(col("node"),
+            (lit(150000L) + expr("(85 * coalesce(contrib, 0L)) div 100")).as("rank"))
+      }
+      e.unpersist(); eWithDeg.unpersist(); verts.unpersist()
+      ranks
     }
-    e.unpersist(); eWithDeg.unpersist(); verts.unpersist()
-    ranks
   }
 
   /** Aggregate a neighbor attribute onto each vertex (reference:
@@ -117,19 +123,22 @@ object GraphOps {
     * aggregate); the edge set is cached and re-partitioned once. */
   def sssp(wedges: DataFrame, source: DataFrame, maxIter: Int): DataFrame = {
     val e = wedges.select("a", "b", "wt").cache()
-    val verts = e.select(col("a").as("node")).union(e.select(col("b"))).distinct()
-    val init = verts.crossJoin(broadcast(source))
-      .select(col("node"),
-        when(col("node") === col("s"), lit(0L)).otherwise(lit(Unreached)).as("d"))
-    val res = Iterations.iterate(init, maxIter, fuse = 2) { cur =>
-      val relaxed = e.join(cur.withColumnRenamed("node", "a"), "a")
-        .select(col("b").as("node"), (col("d") + col("wt")).as("nd"))
-        .groupBy("node").agg(min(col("nd")).as("md"))
-      cur.join(relaxed, Seq("node"), "left")
-        .select(col("node"), least(col("d"), coalesce(col("md"), col("d"))).as("d"))
+    val n = e.count()
+    Iterations.withLoopProfile(e.sparkSession, n) {
+      val verts = e.select(col("a").as("node")).union(e.select(col("b"))).distinct()
+      val init = verts.crossJoin(broadcast(source))
+        .select(col("node"),
+          when(col("node") === col("s"), lit(0L)).otherwise(lit(Unreached)).as("d"))
+      val res = Iterations.iterate(init, maxIter, fuse = 2) { cur =>
+        val relaxed = e.join(cur.withColumnRenamed("node", "a"), "a")
+          .select(col("b").as("node"), (col("d") + col("wt")).as("nd"))
+          .groupBy("node").agg(min(col("nd")).as("md"))
+        cur.join(relaxed, Seq("node"), "left")
+          .select(col("node"), least(col("d"), coalesce(col("md"), col("d"))).as("d"))
+      }
+      e.unpersist()
+      res.filter(col("d") < Unreached).select(col("node"), col("d").as("dist"))
     }
-    e.unpersist()
-    res.filter(col("d") < Unreached).select(col("node"), col("d").as("dist"))
   }
 
   /** Label propagation, `iters` fixed synchronous rounds (reference:
@@ -144,18 +153,21 @@ object GraphOps {
     * argmax) keyed on node id; no driver-side state. */
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     val ued = undirected(edges).cache()
-    val init = vertices(edges).withColumn("lbl", col("node"))
-    val out = Iterations.iterate(init, iters, fuse = 2) { cur =>
-      val counts = ued.join(cur.withColumnRenamed("node", "b"), "b")
-        .groupBy(col("a").as("node"), col("lbl")).agg(count(lit(1)).as("c"))
-      // argmax by (count, -label): max count wins, ties take the smallest
-      // label — a single struct max, no window shuffle
-      counts.groupBy("node")
-        .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
-        .select(col("node"), (-col("m.nl")).as("lbl"))
+    val n = ued.count()
+    Iterations.withLoopProfile(ued.sparkSession, n) {
+      val init = vertices(edges).withColumn("lbl", col("node"))
+      val out = Iterations.iterate(init, iters, fuse = 2) { cur =>
+        val counts = ued.join(cur.withColumnRenamed("node", "b"), "b")
+          .groupBy(col("a").as("node"), col("lbl")).agg(count(lit(1)).as("c"))
+        // argmax by (count, -label): max count wins, ties take the smallest
+        // label — a single struct max, no window shuffle
+        counts.groupBy("node")
+          .agg(max(struct(col("c"), (-col("lbl")).as("nl"))).as("m"))
+          .select(col("node"), (-col("m.nl")).as("lbl"))
+      }
+      ued.unpersist()
+      out.select(col("node"), col("lbl").as("label"))
     }
-    ued.unpersist()
-    out.select(col("node"), col("lbl").as("label"))
   }
 
   /** Triangle enumeration (reference: flink-gelly/.../library/
@@ -243,22 +255,25 @@ object GraphOps {
   def communityDetection(edges: DataFrame, iters: Int,
                          deltaMicro: Long = 500000L): DataFrame = {
     val ued = undirected(edges).cache()
-    val init = vertices(edges)
-      .select(col("node"), col("node").as("lbl"), lit(1000000L).as("score"))
-    val out = Iterations.iterate(init, iters, fuse = 2) { cur =>
-      val msgs = ued.join(cur.withColumnRenamed("node", "b"), "b")
-        .select(col("a").as("node"), col("lbl"), col("score"))
-      msgs.groupBy("node", "lbl")
-        .agg(sum(col("score")).as("tot"), max(col("score")).as("mx"))
-        // argmax by (sum, -label): one struct max, no window shuffle; mx
-        // rides along (labels are unique per node group, so it never ties)
-        .groupBy("node")
-        .agg(max(struct(col("tot"), (-col("lbl")).as("nl"), col("mx"))).as("m"))
-        .select(col("node"), (-col("m.nl")).as("lbl"),
-          (col("m.mx") - deltaMicro).as("score"))
+    val n = ued.count()
+    Iterations.withLoopProfile(ued.sparkSession, n) {
+      val init = vertices(edges)
+        .select(col("node"), col("node").as("lbl"), lit(1000000L).as("score"))
+      val out = Iterations.iterate(init, iters, fuse = 2) { cur =>
+        val msgs = ued.join(cur.withColumnRenamed("node", "b"), "b")
+          .select(col("a").as("node"), col("lbl"), col("score"))
+        msgs.groupBy("node", "lbl")
+          .agg(sum(col("score")).as("tot"), max(col("score")).as("mx"))
+          // argmax by (sum, -label): one struct max, no window shuffle; mx
+          // rides along (labels are unique per node group, so it never ties)
+          .groupBy("node")
+          .agg(max(struct(col("tot"), (-col("lbl")).as("nl"), col("mx"))).as("m"))
+          .select(col("node"), (-col("m.nl")).as("lbl"),
+            (col("m.mx") - deltaMicro).as("score"))
+      }
+      ued.unpersist()
+      out.select(col("node"), col("lbl").as("community"), col("score"))
     }
-    ued.unpersist()
-    out.select(col("node"), col("lbl").as("community"), col("score"))
   }
 
   /** Structural summarization (reference: flink-gelly/.../library/
@@ -292,25 +307,28 @@ object GraphOps {
     * single-row maxes broadcast back — no driver collect. */
   def hitsScaled(edges: DataFrame, iters: Int): DataFrame = {
     val e = edges.select("src", "dst").distinct().cache()
-    val verts = vertices(e).cache()
-    val init = verts.withColumn("hub", lit(1000000L)).withColumn("auth", lit(1000000L))
-    // fuse=1: a HITS round is TWO aggregations plus two broadcast maxes —
-    // fusing doubles an already-wide plan per job and measured slower;
-    // the single-aggregate rounds (PageRank/SSSP/LPA/community) fuse well.
-    val res = Iterations.iterate(init, iters) { cur =>
-      val hubRaw = e.join(cur.select(col("node").as("dst"), col("auth")), "dst")
-        .groupBy(col("src").as("node")).agg(sum(col("auth")).as("hr"))
-      val authRaw = e.join(cur.select(col("node").as("src"), col("hub")), "src")
-        .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("ar"))
-      val maxes = hubRaw.agg(max(col("hr")).as("mh"))
-        .crossJoin(authRaw.agg(max(col("ar")).as("ma")))
-      verts.join(hubRaw, Seq("node"), "left").join(authRaw, Seq("node"), "left")
-        .crossJoin(broadcast(maxes))
-        .select(col("node"),
-          expr("coalesce(hr, 0L) * 1000000 div mh").as("hub"),
-          expr("coalesce(ar, 0L) * 1000000 div ma").as("auth"))
+    val n = e.count()
+    Iterations.withLoopProfile(e.sparkSession, n) {
+      val verts = vertices(e).cache()
+      val init = verts.withColumn("hub", lit(1000000L)).withColumn("auth", lit(1000000L))
+      // fuse=1: a HITS round is TWO aggregations plus two broadcast maxes —
+      // fusing doubles an already-wide plan per job and measured slower;
+      // the single-aggregate rounds (PageRank/SSSP/LPA/community) fuse well.
+      val res = Iterations.iterate(init, iters) { cur =>
+        val hubRaw = e.join(cur.select(col("node").as("dst"), col("auth")), "dst")
+          .groupBy(col("src").as("node")).agg(sum(col("auth")).as("hr"))
+        val authRaw = e.join(cur.select(col("node").as("src"), col("hub")), "src")
+          .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("ar"))
+        val maxes = hubRaw.agg(max(col("hr")).as("mh"))
+          .crossJoin(authRaw.agg(max(col("ar")).as("ma")))
+        verts.join(hubRaw, Seq("node"), "left").join(authRaw, Seq("node"), "left")
+          .crossJoin(broadcast(maxes))
+          .select(col("node"),
+            expr("coalesce(hr, 0L) * 1000000 div mh").as("hub"),
+            expr("coalesce(ar, 0L) * 1000000 div ma").as("auth"))
+      }
+      e.unpersist(); verts.unpersist()
+      res
     }
-    e.unpersist(); verts.unpersist()
-    res
   }
 }

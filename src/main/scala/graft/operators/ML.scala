@@ -48,22 +48,25 @@ object ML {
                      scale: Long = 10000L): DataFrame = {
     val r = ratings.select(col(userCol).as("u"), col(itemCol).as("i"),
       col(ratingCol).cast("long").as("v")).cache()
-    val sc2 = scale * scale
-    def halfStep(from: DataFrame, joinKey: String, groupKey: String): DataFrame =
-      r.join(from.withColumnRenamed("id", joinKey), joinKey)
-        .groupBy(col(groupKey).as("id"))
-        .agg(sum(col("v") * col("f")).as("srv"), sum(col("f") * col("f")).as("svv"))
-        .select(col("id"), expr(s"($sc2 * srv) div svv").as("f"))
-    var itemF = r.select(col("i").as("id")).distinct()
-      .withColumn("f", lit(scale))
-    var userF: DataFrame = null
-    for (_ <- 1 to sweeps) {
-      userF = halfStep(itemF, "i", "u").localCheckpoint()
-      itemF = halfStep(userF, "u", "i").localCheckpoint()
+    val n = r.count()
+    Iterations.withLoopProfile(r.sparkSession, n) {
+      val sc2 = scale * scale
+      def halfStep(from: DataFrame, joinKey: String, groupKey: String): DataFrame =
+        r.join(from.withColumnRenamed("id", joinKey), joinKey)
+          .groupBy(col(groupKey).as("id"))
+          .agg(sum(col("v") * col("f")).as("srv"), sum(col("f") * col("f")).as("svv"))
+          .select(col("id"), expr(s"($sc2 * srv) div svv").as("f"))
+      var itemF = r.select(col("i").as("id")).distinct()
+        .withColumn("f", lit(scale))
+      var userF: DataFrame = null
+      for (_ <- 1 to sweeps) {
+        userF = halfStep(itemF, "i", "u").localCheckpoint()
+        itemF = halfStep(userF, "u", "i").localCheckpoint()
+      }
+      r.unpersist()
+      userF.select(lit("user").as("side"), col("id"), col("f"))
+        .union(itemF.select(lit("item"), col("id"), col("f")))
     }
-    r.unpersist()
-    userF.select(lit("user").as("side"), col("id"), col("f"))
-      .union(itemF.select(lit("item"), col("id"), col("f")))
   }
 
   /** Alternating least squares, general rank-k with weighted-λ
