@@ -38,6 +38,16 @@ class GraphOpsSpec extends SparkSpec {
     assert(pr(3L) > pr(2L)) // 3 receives from 2 which receives from 1
   }
 
+  test("withLoopProfile restores session conf after a small-frame loop") {
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    GraphOps.pageRankScaled(edges, iters = 2).collect()
+    assert(spark.conf.get(key) === before,
+      "loop profile must restore shuffle partitions")
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === "true",
+      "loop profile must restore AQE")
+  }
+
   test("sumOverOutNeighbors aggregates neighbor attributes") {
     val attrs = Seq((2L, 100L), (3L, 7L), (11L, 5L)).toDF("node", "x")
     val out = GraphOps.sumOverOutNeighbors(edges, attrs, "x").collect()

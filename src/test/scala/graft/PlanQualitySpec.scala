@@ -94,4 +94,18 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("partial_count") || plan.contains("partial_sum"),
       s"expected map-side partial agg for the per-type aggregate:\n$plan")
   }
+
+  test("qbw graph facade chain: broadcast endpoint semi-joins, partial aggs, no UDF") {
+    val plan = executedPlan("qbw_graph_transform").split("== Initial Plan ==").head
+    // subgraph's two endpoint checks must plan as (broadcast, at this
+    // scale) semi-joins — an inner join would duplicate rows per edge
+    assert(plan.contains("LeftSemi"), s"endpoint check is not a semi-join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"small vertex set did not broadcast:\n$plan")
+    // degree + neighbor-sum aggregations keep map-side combine
+    assert(plan.contains("partial_count") && plan.contains("partial_sum"),
+      s"facade aggregations lost map-side partial agg:\n$plan")
+    // the whole chain is built-in expressions — nothing falls out of codegen
+    assert(!plan.contains("UDF"), s"facade chain must not plan a UDF:\n$plan")
+  }
 }
