@@ -59,6 +59,27 @@ object IterBench {
       timed("aqe on, coalesce minPartitionSize 8m")(withConf(
         "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "8m")(run()))
     }
+
+    // qbm breakdown: wedge build vs per-round loop cost
+    import graft.operators.GraphOps
+    import org.apache.spark.sql.functions._
+    def sspRun(iters: Int): Long = {
+      val ued = GraphOps.undirected(
+        Tables(spark, sfDir, "orders").join(Tables(spark, sfDir, "lineitem"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("src"), (lit(100000) + col("l_suppkey")).as("dst"))
+          .distinct()).cache()
+      val w = ued.withColumn("wt", expr("(a + b) % 7 + 1"))
+      val out = GraphOps.sssp(w, ued.agg(min(col("a")).as("s")), maxIter = iters).count()
+      ued.unpersist()
+      out
+    }
+    for (round <- 1 to 2) {
+      println(s"--- sssp breakdown round $round ---")
+      timed("sssp maxIter=0 (build only)")(sspRun(0))
+      timed("sssp maxIter=1")(sspRun(1))
+      timed("sssp maxIter=5")(sspRun(5))
+    }
     spark.stop()
   }
 }

@@ -49,15 +49,23 @@ object GraphOps {
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val ued = undirected(edges).cache()
     val n = ued.count()
+    val small = n < Iterations.defaultBigRows
+    def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     Iterations.withLoopProfile(ued.sparkSession, n) {
-      val initial = vertices(edges).withColumn("lbl", col("node"))
+      // vertices from the CACHED undirected view (it carries both
+      // directions, so distinct `a` is every endpoint) — deriving them
+      // from the raw `edges` frame would re-run the whole upstream
+      // pipeline a second time (q8i's pair graph costs a full MinHash
+      // dedup pass to build)
+      val initial = ued.select(col("a").as("node")).distinct()
+        .withColumn("lbl", col("node"))
       val labels = Iterations.iterateDelta(initial, maxIter) { cur =>
-        val nbrMin = ued.join(cur, ued("b") === cur("node"))
+        val nbrMin = ued.join(maybeB(cur), ued("b") === cur("node"))
           .groupBy(col("a").as("node")).agg(min(col("lbl")).as("nbr_lbl"))
-        cur.join(nbrMin, Seq("node"), "left")
+        cur.join(maybeB(nbrMin), Seq("node"), "left")
           .select(col("node"), least(col("lbl"), coalesce(col("nbr_lbl"), col("lbl"))).as("lbl"))
       } { (prev, next) =>
-        next.join(prev.withColumnRenamed("lbl", "old"), "node")
+        next.join(maybeB(prev.withColumnRenamed("lbl", "old")), "node")
           .filter(col("lbl") =!= col("old")).limit(1).count() == 0
       }
       ued.unpersist()
@@ -71,6 +79,8 @@ object GraphOps {
   def pageRankScaled(edges: DataFrame, iters: Int): DataFrame = {
     val e = edges.select("src", "dst").distinct().cache()
     val n = e.count() // materializes the cache and sizes the loop profile
+    val small = n < Iterations.defaultBigRows
+    def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     Iterations.withLoopProfile(e.sparkSession, n) {
       // Loop-invariant hoist: (edge ⋈ out-degree) never changes across
       // rounds — pay its join once, not per iteration. At scale this is a
@@ -82,10 +92,10 @@ object GraphOps {
       val verts = vertices(e).cache()
       val ranks = Iterations.iterate(verts.withColumn("rank", lit(1000000L)), iters, fuse = 2) { cur =>
         // `div` = exact integer division (Spark's `/` would be double division)
-        val contribs = eWithDeg.join(cur, "node")
+        val contribs = eWithDeg.join(maybeB(cur), "node")
           .select(col("dst").as("node"), expr("rank div d").as("c"))
           .groupBy("node").agg(sum(col("c")).as("contrib"))
-        verts.join(contribs, Seq("node"), "left")
+        verts.join(maybeB(contribs), Seq("node"), "left")
           .select(col("node"),
             (lit(150000L) + expr("(85 * coalesce(contrib, 0L)) div 100")).as("rank"))
       }
@@ -124,16 +134,22 @@ object GraphOps {
   def sssp(wedges: DataFrame, source: DataFrame, maxIter: Int): DataFrame = {
     val e = wedges.select("a", "b", "wt").cache()
     val n = e.count()
+    // In the small regime the per-round vertex frame fits a broadcast, but
+    // a localCheckpoint carries no stats (and the loop profile turns AQE's
+    // runtime conversion off) — hint it explicitly. One shuffle per round
+    // (the message aggregate) remains; the cached edge frame never moves.
+    val small = n < Iterations.defaultBigRows
+    def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     Iterations.withLoopProfile(e.sparkSession, n) {
       val verts = e.select(col("a").as("node")).union(e.select(col("b"))).distinct()
       val init = verts.crossJoin(broadcast(source))
         .select(col("node"),
           when(col("node") === col("s"), lit(0L)).otherwise(lit(Unreached)).as("d"))
       val res = Iterations.iterate(init, maxIter, fuse = 2) { cur =>
-        val relaxed = e.join(cur.withColumnRenamed("node", "a"), "a")
+        val relaxed = e.join(maybeB(cur.withColumnRenamed("node", "a")), "a")
           .select(col("b").as("node"), (col("d") + col("wt")).as("nd"))
           .groupBy("node").agg(min(col("nd")).as("md"))
-        cur.join(relaxed, Seq("node"), "left")
+        cur.join(maybeB(relaxed), Seq("node"), "left")
           .select(col("node"), least(col("d"), coalesce(col("md"), col("d"))).as("d"))
       }
       e.unpersist()
@@ -154,10 +170,15 @@ object GraphOps {
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     val ued = undirected(edges).cache()
     val n = ued.count()
+    val small = n < Iterations.defaultBigRows
+    def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     Iterations.withLoopProfile(ued.sparkSession, n) {
-      val init = vertices(edges).withColumn("lbl", col("node"))
+      // endpoints of the cached undirected view, not the raw frame (see
+      // connectedComponents — avoids re-running the edge derivation)
+      val init = ued.select(col("a").as("node")).distinct()
+        .withColumn("lbl", col("node"))
       val out = Iterations.iterate(init, iters, fuse = 2) { cur =>
-        val counts = ued.join(cur.withColumnRenamed("node", "b"), "b")
+        val counts = ued.join(maybeB(cur.withColumnRenamed("node", "b")), "b")
           .groupBy(col("a").as("node"), col("lbl")).agg(count(lit(1)).as("c"))
         // argmax by (count, -label): max count wins, ties take the smallest
         // label — a single struct max, no window shuffle
@@ -256,11 +277,15 @@ object GraphOps {
                          deltaMicro: Long = 500000L): DataFrame = {
     val ued = undirected(edges).cache()
     val n = ued.count()
+    val small = n < Iterations.defaultBigRows
+    def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     Iterations.withLoopProfile(ued.sparkSession, n) {
-      val init = vertices(edges)
+      // endpoints of the cached undirected view, not the raw frame (see
+      // connectedComponents — avoids re-running the edge derivation)
+      val init = ued.select(col("a").as("node")).distinct()
         .select(col("node"), col("node").as("lbl"), lit(1000000L).as("score"))
       val out = Iterations.iterate(init, iters, fuse = 2) { cur =>
-        val msgs = ued.join(cur.withColumnRenamed("node", "b"), "b")
+        val msgs = ued.join(maybeB(cur.withColumnRenamed("node", "b")), "b")
           .select(col("a").as("node"), col("lbl"), col("score"))
         msgs.groupBy("node", "lbl")
           .agg(sum(col("score")).as("tot"), max(col("score")).as("mx"))
@@ -308,6 +333,8 @@ object GraphOps {
   def hitsScaled(edges: DataFrame, iters: Int): DataFrame = {
     val e = edges.select("src", "dst").distinct().cache()
     val n = e.count()
+    val small = n < Iterations.defaultBigRows
+    def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     Iterations.withLoopProfile(e.sparkSession, n) {
       val verts = vertices(e).cache()
       val init = verts.withColumn("hub", lit(1000000L)).withColumn("auth", lit(1000000L))
@@ -315,13 +342,14 @@ object GraphOps {
       // fusing doubles an already-wide plan per job and measured slower;
       // the single-aggregate rounds (PageRank/SSSP/LPA/community) fuse well.
       val res = Iterations.iterate(init, iters) { cur =>
-        val hubRaw = e.join(cur.select(col("node").as("dst"), col("auth")), "dst")
+        val hubRaw = e.join(maybeB(cur.select(col("node").as("dst"), col("auth"))), "dst")
           .groupBy(col("src").as("node")).agg(sum(col("auth")).as("hr"))
-        val authRaw = e.join(cur.select(col("node").as("src"), col("hub")), "src")
+        val authRaw = e.join(maybeB(cur.select(col("node").as("src"), col("hub"))), "src")
           .groupBy(col("dst").as("node")).agg(sum(col("hub")).as("ar"))
         val maxes = hubRaw.agg(max(col("hr")).as("mh"))
           .crossJoin(authRaw.agg(max(col("ar")).as("ma")))
-        verts.join(hubRaw, Seq("node"), "left").join(authRaw, Seq("node"), "left")
+        verts.join(maybeB(hubRaw), Seq("node"), "left")
+          .join(maybeB(authRaw), Seq("node"), "left")
           .crossJoin(broadcast(maxes))
           .select(col("node"),
             expr("coalesce(hr, 0L) * 1000000 div mh").as("hub"),

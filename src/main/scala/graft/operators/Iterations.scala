@@ -40,7 +40,7 @@ object Iterations {
     * for. Session confs are restored on exit (loops run one at a time per
     * session; the driver executes queries serially). */
   def withLoopProfile[T](spark: SparkSession, rows: Long,
-                         bigRows: Long = 1000000L)(body: => T): T = {
+                         bigRows: Long = defaultBigRows)(body: => T): T = {
     if (rows >= bigRows) body
     else {
       val parts = math.max(4L, math.min(rows / 50000L + 1L, 16L)).toString
@@ -54,6 +54,11 @@ object Iterations {
       }
     }
   }
+
+  /** Profile cutoff, env-overridable for experiments and deployments
+    * (SPARK_GRAFT_LOOP_BIG_ROWS; 0 disables the small profile). */
+  def defaultBigRows: Long =
+    sys.env.get("SPARK_GRAFT_LOOP_BIG_ROWS").map(_.toLong).getOrElse(1000000L)
 
   /** Delta iteration: iterate until `converged(prev, next)` or maxIter.
     * `converged` typically counts changed rows (the solution-set delta);

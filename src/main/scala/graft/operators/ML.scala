@@ -49,10 +49,12 @@ object ML {
     val r = ratings.select(col(userCol).as("u"), col(itemCol).as("i"),
       col(ratingCol).cast("long").as("v")).cache()
     val n = r.count()
+    val small = n < Iterations.defaultBigRows
+    def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     Iterations.withLoopProfile(r.sparkSession, n) {
       val sc2 = scale * scale
       def halfStep(from: DataFrame, joinKey: String, groupKey: String): DataFrame =
-        r.join(from.withColumnRenamed("id", joinKey), joinKey)
+        r.join(maybeB(from.withColumnRenamed("id", joinKey)), joinKey)
           .groupBy(col(groupKey).as("id"))
           .agg(sum(col("v") * col("f")).as("srv"), sum(col("f") * col("f")).as("svv"))
           .select(col("id"), expr(s"($sc2 * srv) div svv").as("f"))
