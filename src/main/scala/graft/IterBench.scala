@@ -3,11 +3,12 @@ package graft
 import graft.queries.Registry
 import org.apache.spark.sql.SparkSession
 
-/** Profiling main for the driver-loop iteration fixed costs (NEXT.md
-  * round-7 candidate: qa2/qbm per-round overhead at small SF is job
-  * scheduling + planning, not data). Times pageRankScaled under the
-  * candidate knob settings: AQE on/off and shuffle partition count inside
-  * the loop body, and the Iterations fuse level.
+/** Profiling main for the driver-loop iteration fixed costs. A/Bs the
+  * small-loop execution profile (Iterations.withLoopProfile) via its
+  * `graft.loop.bigRows` system property — external conf knobs would be
+  * clobbered by the profile inside the loop, so on/off via the property
+  * is the only honest comparison — and breaks the SSSP gate into build
+  * cost vs per-round cost.
   *
   * Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.IterBench"
   */
@@ -33,12 +34,12 @@ object IterBench {
       println(f"[iterbench] $label%-40s ${(System.nanoTime() - t0) / 1e9}%6.2f s  (rows=$n)")
     }
 
-    def withConf(kv: (String, String)*)(body: => Long): Long = {
-      val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
-      kv.foreach { case (k, v) => spark.conf.set(k, v) }
-      try body finally old.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None) => spark.conf.unset(k)
+    def withProfile(on: Boolean)(body: => Long): Long = {
+      val old = sys.props.get("graft.loop.bigRows")
+      sys.props("graft.loop.bigRows") = if (on) "1000000" else "0"
+      try body finally old match {
+        case Some(v) => sys.props("graft.loop.bigRows") = v
+        case None => sys.props -= "graft.loop.bigRows"
       }
     }
 
@@ -46,18 +47,8 @@ object IterBench {
 
     for (round <- 1 to 2) {
       println(s"--- round $round ---")
-      timed("baseline (aqe on, 32 parts)")(run())
-      timed("aqe off")(withConf("spark.sql.adaptive.enabled" -> "false")(run()))
-      timed("aqe off, 8 parts")(withConf(
-        "spark.sql.adaptive.enabled" -> "false",
-        "spark.sql.shuffle.partitions" -> "8")(run()))
-      timed("aqe off, 4 parts")(withConf(
-        "spark.sql.adaptive.enabled" -> "false",
-        "spark.sql.shuffle.partitions" -> "4")(run()))
-      timed("aqe on, 8 parts")(withConf(
-        "spark.sql.shuffle.partitions" -> "8")(run()))
-      timed("aqe on, coalesce minPartitionSize 8m")(withConf(
-        "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "8m")(run()))
+      timed("pagerank, loop profile ON")(withProfile(on = true)(run()))
+      timed("pagerank, loop profile OFF")(withProfile(on = false)(run()))
     }
 
     // qbm breakdown: wedge build vs per-round loop cost

@@ -54,12 +54,19 @@ final case class Graph(vertices: DataFrame, edges: DataFrame) {
   def filterOnEdges(ePred: Column): Graph = copy(edges = edges.filter(ePred))
 
   /** Join an input (node, x) onto vertex values, `f(value, x)` where
-    * matched, value kept otherwise (Graph.java joinWithVertices). */
+    * matched, value kept otherwise (Graph.java joinWithVertices). Gelly
+    * applies exactly one input row per vertex; its "first match" is
+    * nondeterministic in a distributed run, so this pins the MIN input
+    * value per node — deterministic replay beats order dependence. A
+    * match flag (not null-ness of x) decides whether `f` applies, so a
+    * matched-but-null input value still goes through `f`. */
   def joinWithVertices(input: DataFrame, f: (Column, Column) => Column): Graph = {
     val in = input.toDF("node", "_x")
+      .groupBy("node").agg(min(col("_x")).as("_x"))
+      .withColumn("_m", lit(true))
     val vs = vertices.join(in, Seq("node"), "left")
       .select(col("node"),
-        when(col("_x").isNotNull, f(col("value"), col("_x")))
+        when(col("_m"), f(col("value"), col("_x")))
           .otherwise(col("value")).as("value"))
     copy(vertices = vs)
   }

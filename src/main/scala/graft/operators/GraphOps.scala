@@ -49,8 +49,7 @@ object GraphOps {
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val ued = undirected(edges).cache()
     val n = ued.count()
-    val small = n < Iterations.defaultBigRows
-    def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val maybeB = Iterations.maybeBroadcast(n)
     Iterations.withLoopProfile(ued.sparkSession, n) {
       // vertices from the CACHED undirected view (it carries both
       // directions, so distinct `a` is every endpoint) — deriving them
@@ -79,8 +78,7 @@ object GraphOps {
   def pageRankScaled(edges: DataFrame, iters: Int): DataFrame = {
     val e = edges.select("src", "dst").distinct().cache()
     val n = e.count() // materializes the cache and sizes the loop profile
-    val small = n < Iterations.defaultBigRows
-    def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val maybeB = Iterations.maybeBroadcast(n)
     Iterations.withLoopProfile(e.sparkSession, n) {
       // Loop-invariant hoist: (edge ⋈ out-degree) never changes across
       // rounds — pay its join once, not per iteration. At scale this is a
@@ -138,8 +136,7 @@ object GraphOps {
     // a localCheckpoint carries no stats (and the loop profile turns AQE's
     // runtime conversion off) — hint it explicitly. One shuffle per round
     // (the message aggregate) remains; the cached edge frame never moves.
-    val small = n < Iterations.defaultBigRows
-    def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val maybeB = Iterations.maybeBroadcast(n)
     Iterations.withLoopProfile(e.sparkSession, n) {
       val verts = e.select(col("a").as("node")).union(e.select(col("b"))).distinct()
       val init = verts.crossJoin(broadcast(source))
@@ -170,8 +167,7 @@ object GraphOps {
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     val ued = undirected(edges).cache()
     val n = ued.count()
-    val small = n < Iterations.defaultBigRows
-    def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val maybeB = Iterations.maybeBroadcast(n)
     Iterations.withLoopProfile(ued.sparkSession, n) {
       // endpoints of the cached undirected view, not the raw frame (see
       // connectedComponents — avoids re-running the edge derivation)
@@ -277,8 +273,7 @@ object GraphOps {
                          deltaMicro: Long = 500000L): DataFrame = {
     val ued = undirected(edges).cache()
     val n = ued.count()
-    val small = n < Iterations.defaultBigRows
-    def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val maybeB = Iterations.maybeBroadcast(n)
     Iterations.withLoopProfile(ued.sparkSession, n) {
       // endpoints of the cached undirected view, not the raw frame (see
       // connectedComponents — avoids re-running the edge derivation)
@@ -333,8 +328,7 @@ object GraphOps {
   def hitsScaled(edges: DataFrame, iters: Int): DataFrame = {
     val e = edges.select("src", "dst").distinct().cache()
     val n = e.count()
-    val small = n < Iterations.defaultBigRows
-    def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val maybeB = Iterations.maybeBroadcast(n)
     Iterations.withLoopProfile(e.sparkSession, n) {
       val verts = vertices(e).cache()
       val init = verts.withColumn("hub", lit(1000000L)).withColumn("auth", lit(1000000L))

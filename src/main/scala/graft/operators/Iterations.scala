@@ -55,10 +55,24 @@ object Iterations {
     }
   }
 
-  /** Profile cutoff, env-overridable for experiments and deployments
-    * (SPARK_GRAFT_LOOP_BIG_ROWS; 0 disables the small profile). */
+  /** Profile cutoff, overridable for experiments and deployments — system
+    * property `graft.loop.bigRows` first (settable at runtime, used by
+    * IterBench to A/B the profile), then env SPARK_GRAFT_LOOP_BIG_ROWS;
+    * 0 disables the small profile. */
   def defaultBigRows: Long =
-    sys.env.get("SPARK_GRAFT_LOOP_BIG_ROWS").map(_.toLong).getOrElse(1000000L)
+    sys.props.get("graft.loop.bigRows")
+      .orElse(sys.env.get("SPARK_GRAFT_LOOP_BIG_ROWS"))
+      .map(_.toLong).getOrElse(1000000L)
+
+  /** Broadcast hint for the vertex-sized side of per-round loop joins,
+    * conditioned on the same cutoff as [[withLoopProfile]]: checkpointed
+    * frames carry no stats and the small profile turns AQE's runtime
+    * conversion off, so without the hint the cached edge set would
+    * shuffle every round. Above the cutoff: identity — cluster-scale
+    * vertex frames don't fit a broadcast. */
+  def maybeBroadcast(rows: Long): DataFrame => DataFrame =
+    if (rows < defaultBigRows) org.apache.spark.sql.functions.broadcast
+    else identity
 
   /** Delta iteration: iterate until `converged(prev, next)` or maxIter.
     * `converged` typically counts changed rows (the solution-set delta);

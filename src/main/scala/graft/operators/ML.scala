@@ -46,11 +46,11 @@ object ML {
   def alsRank1Scaled(ratings: DataFrame, userCol: String, itemCol: String,
                      ratingCol: String, sweeps: Int,
                      scale: Long = 10000L): DataFrame = {
+    require(sweeps >= 1, s"sweeps must be >= 1, got $sweeps")
     val r = ratings.select(col(userCol).as("u"), col(itemCol).as("i"),
       col(ratingCol).cast("long").as("v")).cache()
     val n = r.count()
-    val small = n < Iterations.defaultBigRows
-    def maybeB(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val maybeB = Iterations.maybeBroadcast(n)
     Iterations.withLoopProfile(r.sparkSession, n) {
       val sc2 = scale * scale
       def halfStep(from: DataFrame, joinKey: String, groupKey: String): DataFrame =
@@ -91,6 +91,7 @@ object ML {
              ratingCol: String, rank: Int, sweeps: Int,
              lambda: Double = 0.1): DataFrame = {
     require(rank >= 1, s"rank must be >= 1, got $rank")
+    require(sweeps >= 1, s"sweeps must be >= 1, got $sweeps")
     val r = ratings.select(col(userCol).as("u"), col(itemCol).as("i"),
       col(ratingCol).cast("double").as("v")).cache()
 
@@ -189,18 +190,23 @@ object ML {
     * k+1 longs; the weight vector lives on the driver (k bytes — the same
     * model state FlinkML's GradientDescent reduces to the job manager).
     * Pegasos bounds ‖w‖ ≤ 1/√λ, so W_j ≈ scale·O(1) and the margin sum
-    * stays far from 2^63 regardless of row count.
+    * stays far from 2^63 regardless of row count. The driver-side update
+    * term scale·lambdaInv·G_j DOES grow with the row count (G_j is a sum
+    * over violators), so it runs in BigInt — the mirror of the oracle's
+    * HUGEINT — and only the bounded result returns to Long.
     *
     * Returns one row per weight (k = column name, v = scaled weight) plus
     * a `_violations` row: the violator count under the FINAL weights. */
   def svmScaled(features: DataFrame, labelCol: String, xCols: Seq[String],
                 iters: Int, scale: Long = 1000000L,
                 lambdaInv: Long = 1L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
     val spark = features.sparkSession
     val f = features.select(
       (col(labelCol).cast("long").as("y") +: xCols.map(c => col(c).cast("long").as(c))): _*)
       .cache()
     val n = f.count()
+    require(n > 0, "svmScaled: empty feature frame")
     var w = xCols.map(_ => 0L).toArray
 
     def marginCol(weights: Array[Long]): Column =
@@ -212,7 +218,11 @@ object ML {
         sum(when(marginCol(w) < scale, col("y") * col(c)).otherwise(0L)).as(c))
       val g = f.agg(gCols.head, gCols.tail: _*).head()
       w = w.zipWithIndex.map { case (wj, j) =>
-        wj - wj / t + (scale * lambdaInv * g.getLong(j)) / (t * n)
+        // BigInt: G_j is O(n·max|x|), the product overflows Long in the
+        // 10^8+-row regime; BigInt/HUGEINT division both truncate toward
+        // zero, and the quotient is back in the Pegasos-bounded range
+        (BigInt(wj) - wj / t +
+          (BigInt(scale) * lambdaInv * g.getLong(j)) / (BigInt(t) * n)).toLong
       }
     }
     val finalViol = f.filter(marginCol(w) < scale).count()
@@ -221,8 +231,9 @@ object ML {
     (xCols.zip(w) :+ ("_violations" -> finalViol)).toDF("k", "v")
   }
 
-  /** Margin-sign predictions under [[svmScaled]] weights: +1 / -1 per row. */
-  def svmPredict(features: DataFrame, weights: Map[String, Long]): Column = {
+  /** Margin-sign prediction Column under [[svmScaled]] weights: +1 / -1
+    * per row of any frame carrying the feature columns. */
+  def svmPredict(weights: Map[String, Long]): Column = {
     val m = weights.map { case (c, wj) => col(c) * lit(wj) }.reduce(_ + _)
     when(m >= 0, 1).otherwise(-1)
   }

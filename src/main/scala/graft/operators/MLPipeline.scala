@@ -30,28 +30,19 @@ object MLPipeline {
     def fit(df: DataFrame): Transformer
   }
 
-  /** z-score scaler: fit = one moments row over the training frame
-    * (exact decimal sums, as in Preprocessing.standardScale), checkpointed
-    * so serving never re-runs the training scan; transform appends
-    * `<col>_z` columns. */
+  /** z-score scaler: fit = one moments row over the training frame (the
+    * shared Preprocessing.zStats/zOut expressions — exact decimal sums of
+    * INTEGRAL columns), checkpointed so serving never re-runs the
+    * training scan; transform appends `<col>_z` columns. */
   final case class StandardScaler(cols: Seq[String]) extends Estimator {
     def fit(df: DataFrame): Transformer = {
-      val stats = df.select(cols.flatMap(c => Seq(
-        count(col(c)).as(s"__${c}_n"),
-        sum(col(c).cast("decimal(38,0)")).as(s"__${c}_s"),
-        sum(col(c).cast("decimal(19,0)") * col(c).cast("decimal(19,0)"))
-          .as(s"__${c}_q"))): _*).localCheckpoint()
+      val stats = df.select(cols.flatMap(c => Preprocessing.zStats(c, "__")): _*)
+        .localCheckpoint()
       new Transformer {
-        def transform(in: DataFrame): DataFrame = {
-          val outCols = cols.map { c =>
-            val mean = col(s"__${c}_s").cast("double") / col(s"__${c}_n")
-            val varP = col(s"__${c}_q").cast("double") / col(s"__${c}_n") - mean * mean
-            round(when(varP <= 0.0, lit(0.0))
-              .otherwise((col(c) - mean) / sqrt(varP)), 9).as(s"${c}_z")
-          }
+        def transform(in: DataFrame): DataFrame =
           in.crossJoin(broadcast(stats))
-            .select(in.columns.map(col).toSeq ++ outCols: _*)
-        }
+            .select(in.columns.map(col).toSeq ++
+              cols.map(c => Preprocessing.zOut(c, "__")): _*)
       }
     }
   }
@@ -60,20 +51,13 @@ object MLPipeline {
     * reference's midpoint convention); appends `<col>_mm`. */
   final case class MinMaxScaler(cols: Seq[String]) extends Estimator {
     def fit(df: DataFrame): Transformer = {
-      val stats = df.select(cols.flatMap(c =>
-        Seq(min(col(c)).as(s"__${c}_min"), max(col(c)).as(s"__${c}_max"))): _*)
+      val stats = df.select(cols.flatMap(c => Preprocessing.mmStats(c, "__")): _*)
         .localCheckpoint()
       new Transformer {
-        def transform(in: DataFrame): DataFrame = {
-          val outCols = cols.map { c =>
-            round(when(col(s"__${c}_max") === col(s"__${c}_min"), lit(0.5))
-              .otherwise((col(c) - col(s"__${c}_min")).cast("double") /
-                (col(s"__${c}_max") - col(s"__${c}_min")).cast("double")), 9)
-              .as(s"${c}_mm")
-          }
+        def transform(in: DataFrame): DataFrame =
           in.crossJoin(broadcast(stats))
-            .select(in.columns.map(col).toSeq ++ outCols: _*)
-        }
+            .select(in.columns.map(col).toSeq ++
+              cols.map(c => Preprocessing.mmOut(c, "__")): _*)
       }
     }
   }
@@ -113,7 +97,7 @@ object MLPipeline {
       val weights = xCols.map(c => c -> w(c)).toMap
       new Transformer {
         def transform(in: DataFrame): DataFrame =
-          in.withColumn("prediction", ML.svmPredict(in, weights))
+          in.withColumn("prediction", ML.svmPredict(weights))
       }
     }
   }

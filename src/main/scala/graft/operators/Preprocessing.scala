@@ -46,39 +46,52 @@ object Preprocessing {
       .drop("_det")
   }
 
-  /** z-score columns from integer inputs: z = (x - Σx/n) / sqrt(Σx²/n - (Σx/n)²).
-    * Constant columns map to 0. Input columns must be integral (e.g. cents). */
-  def standardScale(df: DataFrame, cols: Seq[String], keep: Seq[String] = Nil): DataFrame = {
-    // moments in decimal(38,0): Σx² of 64-bit inputs overflows long at
-    // ~10^5 rows of 10^7-scale values; decimal stays exact (DuckDB's
-    // int128 sum is the mirror image)
-    val stats = df.select(
-      cols.flatMap(c => Seq(
-        count(col(c)).as(s"${c}_n"),
-        sum(col(c).cast("decimal(38,0)")).as(s"${c}_s"),
-        sum(col(c).cast("decimal(19,0)") * col(c).cast("decimal(19,0)")).as(s"${c}_q"))): _*)
-    val joined = df.crossJoin(broadcast(stats))
-    val outCols: Seq[Column] = cols.map { c =>
-      val mean = col(s"${c}_s").cast("double") / col(s"${c}_n")
-      val varP = col(s"${c}_q").cast("double") / col(s"${c}_n") - mean * mean
-      round(when(varP <= 0.0, lit(0.0))
-        .otherwise((col(c) - mean) / sqrt(varP)), 9).as(s"${c}_z")
-    }
-    joined.select(keep.map(col) ++ outCols: _*)
+  /** Moment aggregate columns for z-scoring `c`, prefixed `p` (shared by
+    * [[standardScale]] and MLPipeline.StandardScaler).
+    * Moments in decimal(38,0): Σx² of 64-bit inputs overflows long at
+    * ~10^5 rows of 10^7-scale values; decimal stays exact (DuckDB's
+    * int128 sum is the mirror image). Input must be integral (e.g.
+    * cents) — a double input would be silently truncated by the decimal
+    * cast. */
+  private[operators] def zStats(c: String, p: String): Seq[Column] = Seq(
+    count(col(c)).as(s"$p${c}_n"),
+    sum(col(c).cast("decimal(38,0)")).as(s"$p${c}_s"),
+    sum(col(c).cast("decimal(19,0)") * col(c).cast("decimal(19,0)")).as(s"$p${c}_q"))
+
+  /** z = (x - Σx/n) / sqrt(Σx²/n - (Σx/n)²) over [[zStats]] columns;
+    * constant column → 0. One fixed double-arithmetic sequence from exact
+    * moments — engine- and partitioning-independent. */
+  private[operators] def zOut(c: String, p: String): Column = {
+    val mean = col(s"$p${c}_s").cast("double") / col(s"$p${c}_n")
+    val varP = col(s"$p${c}_q").cast("double") / col(s"$p${c}_n") - mean * mean
+    round(when(varP <= 0.0, lit(0.0))
+      .otherwise((col(c) - mean) / sqrt(varP)), 9).as(s"${c}_z")
   }
 
-  /** x' = (x - min) / (max - min) per integral column; constant → 0.5
-    * (the reference's midpoint convention for an empty range). */
+  /** min/max aggregate columns for [[minMaxScale]]-style rescaling. */
+  private[operators] def mmStats(c: String, p: String): Seq[Column] =
+    Seq(min(col(c)).as(s"$p${c}_min"), max(col(c)).as(s"$p${c}_max"))
+
+  /** x' = (x - min) / (max - min); constant training column → 0.5 (the
+    * reference's midpoint convention for an empty range). */
+  private[operators] def mmOut(c: String, p: String): Column =
+    round(when(col(s"$p${c}_max") === col(s"$p${c}_min"), lit(0.5))
+      .otherwise((col(c) - col(s"$p${c}_min")).cast("double") /
+        (col(s"$p${c}_max") - col(s"$p${c}_min")).cast("double")), 9).as(s"${c}_mm")
+
+  /** z-score columns from integer inputs; constant columns map to 0.
+    * Input columns must be integral (e.g. cents). */
+  def standardScale(df: DataFrame, cols: Seq[String], keep: Seq[String] = Nil): DataFrame = {
+    val stats = df.select(cols.flatMap(c => zStats(c, "")): _*)
+    df.crossJoin(broadcast(stats))
+      .select(keep.map(col) ++ cols.map(c => zOut(c, "")): _*)
+  }
+
+  /** x' = (x - min) / (max - min) per integral column; constant → 0.5. */
   def minMaxScale(df: DataFrame, cols: Seq[String], keep: Seq[String] = Nil): DataFrame = {
-    val stats = df.select(
-      cols.flatMap(c => Seq(min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))): _*)
-    val joined = df.crossJoin(broadcast(stats))
-    val outCols: Seq[Column] = cols.map { c =>
-      round(when(col(s"${c}_max") === col(s"${c}_min"), lit(0.5))
-        .otherwise((col(c) - col(s"${c}_min")).cast("double") /
-          (col(s"${c}_max") - col(s"${c}_min")).cast("double")), 9).as(s"${c}_mm")
-    }
-    joined.select(keep.map(col) ++ outCols: _*)
+    val stats = df.select(cols.flatMap(c => mmStats(c, "")): _*)
+    df.crossJoin(broadcast(stats))
+      .select(keep.map(col) ++ cols.map(c => mmOut(c, "")): _*)
   }
 
   /** Degree-d polynomial expansion of one integral column: x^2 .. x^d as

@@ -58,8 +58,11 @@ object MLQueries {
     // Linear SVM: 4 full-batch Pegasos rounds over lineitem features
     // (label: was the line returned), weights in 1e6 micro-units. The
     // oracle unrolls each round: gradient aggregate -> integer weight
-    // update -> next round's margin test, all BIGINT (DuckDB `//` and
-    // Scala/Spark integer division both truncate toward zero).
+    // update -> next round's margin test. The update term runs in
+    // HUGEINT, mirroring the Scala side's BigInt (the gradient sum is
+    // O(n·max|x|), so scale·G overflows BIGINT in the 10^8+-row regime);
+    // both divisions truncate toward zero, and the bounded weight casts
+    // back to BIGINT exactly.
     Entry("qbv_svm_pegasos",
       (s, dir) => {
         val f = t(s, dir, "lineitem").select(
@@ -71,19 +74,19 @@ object MLQueries {
         ML.svmScaled(f, "y", Seq("b", "qty", "price_h", "disc"), iters = 4)
       },
       Some {
-        val S = "1000000"
+        val S = "1000000::HUGEINT"
         def g(i: Int, cond: String) =
           s"""g$i AS (SELECT
-             CAST(sum(CASE WHEN $cond THEN y*b ELSE 0 END) AS BIGINT) AS gb,
-             CAST(sum(CASE WHEN $cond THEN y*qty ELSE 0 END) AS BIGINT) AS gq,
-             CAST(sum(CASE WHEN $cond THEN y*price_h ELSE 0 END) AS BIGINT) AS gp,
-             CAST(sum(CASE WHEN $cond THEN y*disc ELSE 0 END) AS BIGINT) AS gd
+             sum(CASE WHEN $cond THEN y*b ELSE 0 END) AS gb,
+             sum(CASE WHEN $cond THEN y*qty ELSE 0 END) AS gq,
+             sum(CASE WHEN $cond THEN y*price_h ELSE 0 END) AS gp,
+             sum(CASE WHEN $cond THEN y*disc ELSE 0 END) AS gd
              FROM f${if (i > 1) s", w${i - 1}" else ""})"""
         def upd(t: Int, prev: String) = Seq("b" -> "gb", "qty" -> "gq",
           "price_h" -> "gp", "disc" -> "gd").map { case (c, gc) =>
           val w = s"w_$c"
-          if (t == 1) s"($S * $gc) // ($t * n.n) AS $w"
-          else s"$prev.$w - $prev.$w // $t + ($S * $gc) // ($t * n.n) AS $w"
+          if (t == 1) s"CAST(($S * $gc) // ($t * n.n) AS BIGINT) AS $w"
+          else s"CAST($prev.$w - $prev.$w // $t + ($S * $gc) // ($t * n.n) AS BIGINT) AS $w"
         }.mkString(", ")
         val margin = (i: Int) =>
           s"y*(w$i.w_b*b + w$i.w_qty*qty + w$i.w_price_h*price_h + w$i.w_disc*disc) < $S"

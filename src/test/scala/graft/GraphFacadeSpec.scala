@@ -39,6 +39,14 @@ class GraphFacadeSpec extends SparkSpec {
     assert(m === Map(1L -> 110L, 2L -> 20L, 3L -> 330L, 4L -> 40L))
   }
 
+  test("joinWithVertices keeps one vertex per id on duplicate input (min wins)") {
+    val in = Seq((1L, 200L), (1L, 100L)).toDF("node", "x")
+    val g = g1.joinWithVertices(in, (v, x) => v + x)
+    val rows = g.vertices.as[(Long, Long)].collect()
+    assert(rows.length === 4, "vertex set must stay unique per id")
+    assert(rows.toMap.apply(1L) === 110L) // min input value, deterministic
+  }
+
   test("union dedups vertices (left wins) and keeps duplicate edges") {
     val g2 = Graph(
       Seq((3L, 99L), (5L, 50L)).toDF("node", "value"),

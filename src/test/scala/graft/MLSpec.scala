@@ -63,7 +63,7 @@ class MLSpec extends SparkSpec {
     val w = ML.svmScaled(df, "y", Seq("b", "x"), iters = 50, lambdaInv = 100L)
       .as[(String, Long)].collect().toMap
     val weights = Map("b" -> w("b"), "x" -> w("x"))
-    val acc = df.withColumn("p", ML.svmPredict(df, weights))
+    val acc = df.withColumn("p", ML.svmPredict(weights))
       .filter($"p" === $"y").count().toDouble / rows.size
     assert(acc == 1.0, s"separable data must classify perfectly, acc=$acc, w=$w")
   }
