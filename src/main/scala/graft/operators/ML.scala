@@ -71,6 +71,75 @@ object ML {
     }
   }
 
+  /** Alternating least squares, rank-2, engine-portable arithmetic — the
+    * multi-component normal-equation path with a hash oracle (rank-k for
+    * k > 2 stays double-precision, spec-verified via [[alsFit]]).
+    *
+    * Factors are PAIRS of longs in `scale` micro-units. Each half-step:
+    * exact BIGINT Gram/rhs sums (s00, s01, s11, b0, b1) per entity, then
+    * the closed-form 2×2 ridge solve in ONE fixed double-arithmetic
+    * sequence from those exact integers (the linearFit device — no float
+    * SUM ever crosses rows, so partial-agg order cannot perturb it), then
+    * floor back to scaled longs. Any engine replays it bit-for-bit.
+    *
+    * Init breaks symmetry deterministically: f0 = scale,
+    * f1 = ((id % 7) - 3) · scale/4 — expressible in plain SQL, full-rank
+    * across any ≥ 2 items with different id mod 7.
+    *
+    * Ridge: λ·n̂ on the REAL-unit Gram diagonal (n̂ = the entity's rating
+    * count, Zhou et al. weighted-λ) keeps the solve non-singular even if
+    * factors drift toward collinearity mid-alternation.
+    *
+    * Scale shape: identical to [[alsRank1Scaled]] — one join + one
+    * aggregate per half-step, factor frames never collected. */
+  def alsRank2Scaled(ratings: DataFrame, userCol: String, itemCol: String,
+                     ratingCol: String, sweeps: Int, scale: Long = 10000L,
+                     lambdaMilli: Long = 10L): DataFrame = {
+    require(sweeps >= 1, s"sweeps must be >= 1, got $sweeps")
+    val r = ratings.select(col(userCol).as("u"), col(itemCol).as("i"),
+      col(ratingCol).cast("long").as("v")).cache()
+    val n = r.count()
+    val maybeB = Iterations.maybeBroadcast(n)
+    Iterations.withLoopProfile(r.sparkSession, n) {
+      val sc = scale.toDouble
+      val lam = lambdaMilli / 1000.0
+      def halfStep(from: DataFrame, joinKey: String, groupKey: String): DataFrame = {
+        val agged = r.join(maybeB(from.withColumnRenamed("id", joinKey)), joinKey)
+          .groupBy(col(groupKey).as("id"))
+          .agg(count(lit(1)).as("nn"),
+            sum(col("f0") * col("f0")).as("s00"),
+            sum(col("f0") * col("f1")).as("s01"),
+            sum(col("f1") * col("f1")).as("s11"),
+            sum(col("v") * col("f0")).as("b0"),
+            sum(col("v") * col("f1")).as("b1"))
+        // real-unit system: A = S/scale² + λ·n̂·I, b = B/scale; solved by
+        // Cramer's rule. The expression tree below must match the oracle
+        // SQL exactly (same association order) — IEEE doubles are then
+        // bit-identical on any engine.
+        val a00 = col("s00").cast("double") / (sc * sc) + col("nn") * lam
+        val a01 = col("s01").cast("double") / (sc * sc)
+        val a11 = col("s11").cast("double") / (sc * sc) + col("nn") * lam
+        val c0 = col("b0").cast("double") / sc
+        val c1 = col("b1").cast("double") / sc
+        val det = a00 * a11 - a01 * a01
+        agged.select(col("id"),
+          floor(lit(sc) * ((c0 * a11 - c1 * a01) / det)).cast("long").as("f0"),
+          floor(lit(sc) * ((c1 * a00 - c0 * a01) / det)).cast("long").as("f1"))
+      }
+      var itemF = r.select(col("i").as("id")).distinct()
+        .select(col("id"), lit(scale).as("f0"),
+          ((col("id") % 7 - 3) * (scale / 4)).cast("long").as("f1"))
+      var userF: DataFrame = null
+      for (_ <- 1 to sweeps) {
+        userF = halfStep(itemF, "i", "u").localCheckpoint()
+        itemF = halfStep(userF, "u", "i").localCheckpoint()
+      }
+      r.unpersist()
+      userF.select(lit("user").as("side"), col("id"), col("f0"), col("f1"))
+        .union(itemF.select(lit("item"), col("id"), col("f0"), col("f1")))
+    }
+  }
+
   /** Alternating least squares, general rank-k with weighted-λ
     * regularization (Zhou et al., the scheme the reference's
     * recommendation/ALS.scala implements): each half-step solves, per

@@ -55,6 +55,45 @@ object MLQueries {
         SELECT 'user' AS side, id, f FROM u2
         UNION ALL SELECT 'item' AS side, id, f FROM i2""")),
 
+    // Rank-2 ALS, 2 sweeps: exact BIGINT Gram/rhs sums per half-step,
+    // closed-form 2x2 ridge solve in one fixed double-arithmetic sequence
+    // from those integers (the qbd/linearFit device), floored back to
+    // scaled longs. The oracle repeats the identical formula tree, so the
+    // doubles agree bitwise and the floor pins them back to integers.
+    Entry("qbx_als_rank2",
+      (s, dir) => ML.alsRank2Scaled(ratings(s, dir), "u", "i", "r", sweeps = 2),
+      Some {
+        def half(name: String, from: String, jk: String, gk: String) =
+          s"""$name AS (
+             SELECT id,
+               CAST(floor(10000.0 * ((c0 * a11 - c1 * a01) / (a00 * a11 - a01 * a01))) AS BIGINT) AS f0,
+               CAST(floor(10000.0 * ((c1 * a00 - c0 * a01) / (a00 * a11 - a01 * a01))) AS BIGINT) AS f1
+             FROM (
+               SELECT id,
+                 CAST(s00 AS DOUBLE) / 100000000.0 + nn * 0.01 AS a00,
+                 CAST(s01 AS DOUBLE) / 100000000.0 AS a01,
+                 CAST(s11 AS DOUBLE) / 100000000.0 + nn * 0.01 AS a11,
+                 CAST(b0 AS DOUBLE) / 10000.0 AS c0,
+                 CAST(b1 AS DOUBLE) / 10000.0 AS c1
+               FROM (
+                 SELECT r.$gk AS id, count(*) AS nn,
+                   CAST(sum(f.f0 * f.f0) AS BIGINT) AS s00,
+                   CAST(sum(f.f0 * f.f1) AS BIGINT) AS s01,
+                   CAST(sum(f.f1 * f.f1) AS BIGINT) AS s11,
+                   CAST(sum(r.v * f.f0) AS BIGINT) AS b0,
+                   CAST(sum(r.v * f.f1) AS BIGINT) AS b1
+                 FROM r JOIN $from f ON r.$jk = f.id GROUP BY r.$gk)))"""
+        s"""WITH r AS ($ORatings),
+          i0 AS (SELECT DISTINCT i AS id, CAST(10000 AS BIGINT) AS f0,
+                 CAST((i % 7 - 3) * 2500 AS BIGINT) AS f1 FROM r),
+          ${half("u1", "i0", "i", "u")},
+          ${half("i1", "u1", "u", "i")},
+          ${half("u2", "i1", "i", "u")},
+          ${half("i2", "u2", "u", "i")}
+          SELECT 'user' AS side, id, f0, f1 FROM u2
+          UNION ALL SELECT 'item' AS side, id, f0, f1 FROM i2"""
+      }),
+
     // Linear SVM: 4 full-batch Pegasos rounds over lineitem features
     // (label: was the line returned), weights in 1e6 micro-units. The
     // oracle unrolls each round: gradient aggregate -> integer weight
