@@ -54,6 +54,30 @@ object Sampling {
     df.withColumn(splitCol, expr0)
   }
 
+  /** Deterministic k-fold assignment (reference: flink-ml/.../
+    * preprocessing/Splitter.scala — kFoldSplit): adds `foldCol` =
+    * floor(unitHash·k) ∈ [0, k). Content-hashed, so the assignment is
+    * stable across runs and partitionings and replayable in plain SQL —
+    * the reference's random folds are neither. Map-side only: no shuffle,
+    * no state, works identically on a 100 TB frame. */
+  def kFold(df: DataFrame, idCol: String, k: Int, foldCol: String = "fold",
+            salt: String = "kfold"): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    df.withColumn(foldCol,
+      floor(unitHash(col(idCol), salt) * k).cast("int"))
+  }
+
+  /** The i-th cross-validation pair: (train = every other fold, test =
+    * fold i). Both are filters over the same deterministic assignment —
+    * disjoint and exhaustive by construction. */
+  def kFoldSplit(df: DataFrame, idCol: String, k: Int, i: Int,
+                 salt: String = "kfold"): (DataFrame, DataFrame) = {
+    require(i >= 0 && i < k, s"fold index $i outside [0, $k)")
+    val withFold = kFold(df, idCol, k, salt = salt)
+    (withFold.filter(col("fold") =!= i).drop("fold"),
+      withFold.filter(col("fold") === i).drop("fold"))
+  }
+
   /** Per-stratum Bernoulli sample: fractions(stratum) of each stratum's
     * rows, deterministic. Strata absent from the map are dropped —
     * the `sampleBy` contract. */

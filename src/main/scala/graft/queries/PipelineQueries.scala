@@ -164,6 +164,16 @@ object PipelineQueries {
                ELSE 'test' END AS split
         FROM documents""")),
 
+    // k-fold CV assignment (FlinkML Splitter.kFoldSplit analogue):
+    // content-hash folds, stable and SQL-replayable; floor(u*k) uses the
+    // same double on both engines so the fold id matches bit-for-bit.
+    Entry("qby_kfold",
+      (s, dir) => Sampling.kFold(t(s, dir, "documents"), "doc_id", k = 5)
+        .select("doc_id", "fold"),
+      Some(s"""SELECT doc_id,
+          CAST(floor(${oUnitHash("doc_id", "kfold")} * 5) AS INTEGER) AS fold
+        FROM documents""")),
+
     Entry("qb5_stratified_sample",
       (s, dir) => Sampling.stratified(t(s, dir, "documents"), "doc_id", "lang",
           fractions = Map("en" -> 0.5, "de" -> 0.25, "fr" -> 0.1))

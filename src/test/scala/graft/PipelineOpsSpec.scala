@@ -177,6 +177,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(st.forall(_._2 == "en") && math.abs(st.length - 250) < 60)
   }
 
+  test("kFold partitions rows into k balanced folds; kFoldSplit is disjoint-exhaustive") {
+    val df = (1L to 2000L).toDF("id")
+    val folds = Sampling.kFold(df, "id", 5).as[(Long, Int)].collect()
+    assert(folds.length === 2000)
+    assert(folds.forall { case (_, f) => f >= 0 && f < 5 })
+    val sizes = folds.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sizes.keySet === Set(0, 1, 2, 3, 4))
+    assert(sizes.values.forall(s => math.abs(s - 400) < 100), s"unbalanced: $sizes")
+    val (train, test) = Sampling.kFoldSplit(df, "id", 5, i = 2)
+    val tr = train.as[Long].collect().toSet
+    val te = test.as[Long].collect().toSet
+    assert(tr.intersect(te).isEmpty)
+    assert(tr.union(te) === (1L to 2000L).toSet)
+    // same assignment as kFold: fold-2 rows are exactly the test side
+    assert(te === folds.filter(_._2 == 2).map(_._1).toSet)
+  }
+
   // ---- TextPipeline -------------------------------------------------------
 
   test("chunk: overlapping windows cover every token; short docs yield one chunk") {
