@@ -30,7 +30,11 @@ object PlanAudit {
           val cart = "CartesianProduct".r.findAllIn(p).length
           val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
           val sorts = "Sort ".r.findAllIn(p).length
-          println(f"$name%-30s exchanges=$ex%-3d sorts=$sorts%-3d cartesian=$cart bnlj=$bnl")
+          // duplicated subtrees Catalyst dedupes at runtime — high counts
+          // of raw exchanges with matching reuse are fine; without, the
+          // subtree genuinely runs twice
+          val reused = "ReusedExchange".r.findAllIn(p).length
+          println(f"$name%-30s exchanges=$ex%-3d sorts=$sorts%-3d cartesian=$cart bnlj=$bnl reused=$reused")
         } catch { case e: Throwable => println(f"$name%-30s ERROR ${e.getMessage}") }
       }
     spark.stop()

@@ -107,6 +107,14 @@ final case class Graph(vertices: DataFrame, edges: DataFrame) {
     Graph(vertices.join(keep, Seq("node"), "semi"), es)
   }
 
+  /** Cache both frames. Call before fanning out to MULTIPLE consumers
+    * (degrees + a neighborhood reduce, several algorithms): transformation
+    * chains are lazy plans, so without it each consumer re-executes the
+    * whole derivation — at scale that is a redundant scan+join of the
+    * fact table per consumer (PlanAudit: qbw went 12 unreused exchanges →
+    * reused). */
+  def cached: Graph = Graph(vertices.cache(), edges.cache())
+
   /** Flip edge direction (Graph.java reverse). Narrow, no shuffle. */
   def reverse: Graph =
     copy(edges = edges.select(col("dst").as("src"), col("src").as("dst"), col("value")))

@@ -312,6 +312,7 @@ object GraphQueries {
           .subgraph(col("value") % 2 === 0, lit(true))
           .mapVertices(_ * 10)
           .reverse
+          .cached // two consumers below — don't re-run the edge build
         g.getDegrees.join(
             g.reduceOnNeighbors(sum, "out").withColumnRenamed("reduced", "nbr_sum"),
             Seq("node"), "left")
