@@ -128,10 +128,12 @@ final case class Graph(vertices: DataFrame, edges: DataFrame) {
     edges.groupBy(col("dst").as("node")).agg(count(lit(1)).as("deg"))
   def outDegrees: DataFrame =
     edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-  /** Total degree per vertex, isolated vertices at 0 (Graph.java getDegrees). */
+  /** Total degree per vertex, isolated vertices at 0 (Graph.java
+    * getDegrees). Endpoints come from ONE edge scan (explode, not a
+    * two-branch union that would execute the edge derivation twice); the
+    * vertices join stays — it is what gives isolated vertices their 0. */
   def getDegrees: DataFrame = {
-    val ends = edges.select(col("src").as("node"))
-      .unionByName(edges.select(col("dst").as("node")))
+    val ends = edges.select(explode(array(col("src"), col("dst"))).as("node"))
     vertices.select(col("node"))
       .join(ends.groupBy("node").agg(count(lit(1)).as("d")), Seq("node"), "left")
       .select(col("node"), coalesce(col("d"), lit(0L)).as("deg"))

@@ -30,17 +30,20 @@ object GraphOps {
   def vertices(edges: DataFrame): DataFrame =
     edges.select(col("src").as("node")).union(edges.select(col("dst"))).distinct()
 
-  /** In/out/total degrees (reference: Graph.java — inDegrees/outDegrees/getDegrees). */
-  def degrees(edges: DataFrame): DataFrame = {
-    val out = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("out_deg"))
-    val in = edges.groupBy(col("dst").as("node")).agg(count(lit(1)).as("in_deg"))
-    vertices(edges)
-      .join(out, Seq("node"), "left").join(in, Seq("node"), "left")
-      .select(col("node"),
-        coalesce(col("in_deg"), lit(0L)).as("in_deg"),
-        coalesce(col("out_deg"), lit(0L)).as("out_deg"),
-        (coalesce(col("in_deg"), lit(0L)) + coalesce(col("out_deg"), lit(0L))).as("deg"))
-  }
+  /** In/out/total degrees (reference: Graph.java — inDegrees/outDegrees/
+    * getDegrees). ONE pass: each edge explodes to its two endpoint
+    * contributions, then a single aggregate shuffle keyed on the node —
+    * the previous three-way (vertices ⋈ out ⋈ in) shape executed the
+    * edge-derivation subtree three times (PlanAudit: qa0 had 14 unreused
+    * exchanges), a redundant fact-table join per branch at scale. */
+  def degrees(edges: DataFrame): DataFrame =
+    edges.select(explode(array(
+        struct(col("src").as("node"), lit(0L).as("i"), lit(1L).as("o")),
+        struct(col("dst").as("node"), lit(1L).as("i"), lit(0L).as("o")))).as("x"))
+      .groupBy(col("x.node").as("node"))
+      .agg(sum(col("x.i")).as("in_deg"), sum(col("x.o")).as("out_deg"))
+      .select(col("node"), col("in_deg"), col("out_deg"),
+        (col("in_deg") + col("out_deg")).as("deg"))
 
   /** Connected components by min-label propagation to fixpoint
     * (reference: flink-libraries/flink-gelly/.../library/
