@@ -101,12 +101,17 @@ object Dedup {
       explode(col("shs")).as("h"))
     val freq = idx.groupBy("h").agg(count(lit(1)).as("df"))
     // rarity order (df, h): rarest first — minimal-candidate prefixes
+    // cached: BOTH sides of the candidate self-join read it — uncached,
+    // the doc-frequency aggregate and the rarity-window sort execute
+    // twice (AllPairs implementations materialize the prefix index for
+    // the same reason)
     val prefix = idx.join(freq, "h")
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("doc")
           .orderBy(col("df"), col("h"))))
       .filter(col("rn") <= col("nsh") - ceil(col("nsh") * threshold) + 1)
       .select("doc", "h", "rn", "nsh")
+      .cache()
     val cands = prefix.as("a").join(prefix.as("b"),
         col("a.h") === col("b.h") && col("a.doc") < col("b.doc") &&
           // length filter
