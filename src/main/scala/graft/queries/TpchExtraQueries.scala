@@ -285,9 +285,14 @@ object TpchExtraQueries {
         val li = t(s, dir, "lineitem")
           .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
             col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        // cached: the revenue view feeds BOTH the global max and the
+        // equality filter (Q15's defining shape) — uncached, the lineitem
+        // scan+aggregate runs twice; the view is supplier-cardinality,
+        // tiny at any scale
         val rev = li.groupBy(col("l_suppkey").as("supplier_no"))
           .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
             .as("total_revenue_c"))
+          .cache()
         val top = rev.agg(max(col("total_revenue_c")).as("m"))
         rev.crossJoin(broadcast(top)).filter(col("total_revenue_c") === col("m"))
           .join(t(s, dir, "supplier"), col("supplier_no") === col("s_suppkey"))
