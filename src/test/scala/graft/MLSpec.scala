@@ -52,6 +52,26 @@ class MLSpec extends SparkSpec {
     }
   }
 
+  test("alsRank2Scaled reconstructs an exactly rank-2 rating matrix") {
+    // the qbx oracle proves engine replay; this proves the alternation
+    // actually FITS: predictions from the scaled factors approach the
+    // known rank-2 data
+    val ratings = for (u <- 1L to 12L; i <- 1L to 10L)
+      yield (u, i, (2 + u % 3) * (1 + i % 4) + (1 + u % 2) * (2 + i % 3))
+    val df = ratings.toDF("u", "i", "r")
+    val f = ML.alsRank2Scaled(df, "u", "i", "r", sweeps = 6)
+    val uf = f.filter($"side" === "user").as[(String, Long, Long, Long)]
+      .collect().map(r => r._2 -> (r._3, r._4)).toMap
+    val itf = f.filter($"side" === "item").as[(String, Long, Long, Long)]
+      .collect().map(r => r._2 -> (r._3, r._4)).toMap
+    val errs = ratings.map { case (u, i, r) =>
+      val pred = (uf(u)._1.toDouble * itf(i)._1 + uf(u)._2.toDouble * itf(i)._2) / 1e8
+      math.abs(pred - r) / r
+    }
+    val meanErr = errs.sum / errs.size
+    assert(meanErr < 0.05, s"rank-2 ALS should fit rank-2 data, mean rel err $meanErr")
+  }
+
   test("svmScaled separates linearly separable data") {
     // y = sign(x - 5) with a margin gap: a correct (w_x, w_b) exists
     val rows = (0 to 10).filter(_ != 5)
