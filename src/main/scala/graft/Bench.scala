@@ -70,7 +70,12 @@ object Bench {
       val t0 = System.nanoTime()
       try { SparkEntry.queries(name)(spark, sfDir).count() }
       catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // drop this query's cache() entries AFTER its timing window: each
+      // query pays for (and reuses) only its own caches, and a long sweep
+      // cannot LRU-evict a later query's loop caches
+      spark.catalog.clearCache()
+      name -> elapsed
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

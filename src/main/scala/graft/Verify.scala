@@ -26,6 +26,11 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // per-query cache lifecycle: operators cache() intermediates for
+        // intra-query reuse; across the 160+-query session those entries
+        // would pile up in storage memory and LRU-evict a later query's
+        // hot loop caches mid-iteration
+        finally spark.catalog.clearCache()
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

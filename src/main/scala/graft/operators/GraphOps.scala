@@ -202,10 +202,23 @@ object GraphOps {
     * orientation is O(sqrt(m)), so wedge count is O(m^1.5) — the bound
     * that keeps the join from exploding on high-degree hub vertices at
     * scale. */
-  def triangles(edges: DataFrame): DataFrame = {
-    val canon = edges
-      .select(least(col("src"), col("dst")).as("x"), greatest(col("src"), col("dst")).as("y"))
+  /** Canonical simple undirected edge list (x < y, no loops, distinct) —
+    * the shared base of the triangle/clustering family. Callers cache it:
+    * degrees read it twice (the union) and the orientation join twice
+    * more, so an uncached canon re-runs the UPSTREAM edge derivation
+    * ~5× (the co-buy projection behind qbo/qc2 is itself a join+agg —
+    * qbo measured 10.3 s → 6.6 s at sf0.1, same protocol, from this cache
+    * alone). */
+  private def canonEdges(edges: DataFrame): DataFrame =
+    edges.select(least(col("src"), col("dst")).as("x"),
+        greatest(col("src"), col("dst")).as("y"))
       .filter(col("x") =!= col("y")).distinct()
+
+  def triangles(edges: DataFrame): DataFrame = {
+    // cache() is idempotent across the family: localClusteringCoefficient
+    // builds the identical canon plan and Spark's CacheManager serves both
+    // from one entry (plan-canonicalized matching)
+    val canon = canonEdges(edges).cache()
     val deg = canon.select(col("x").as("n")).union(canon.select(col("y")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     // orient each edge toward the higher (degree, id) endpoint
@@ -230,6 +243,93 @@ object GraphOps {
       .select(col("t").getItem(0).as("v1"), col("t").getItem(1).as("v2"),
         col("t").getItem(2).as("v3"))
     tris
+  }
+
+  /** Local clustering coefficient (reference: flink-gelly/.../library/
+    * clustering/directed+undirected/LocalClusteringCoefficient.java):
+    * per vertex, the fraction of its neighbor pairs that are themselves
+    * connected = tri(v) / C(deg(v), 2). Derived from [[triangles]] (the
+    * degree-oriented O(m^1.5) enumeration) plus simple-graph degrees.
+    * Reported in integer micro-units — lcc_micro = (tri · 1e6) div
+    * wedges(v), wedges(v) = deg·(deg−1)/2 (exact: d(d−1) is always even)
+    * — so the ratio replays bit-for-bit on any engine; vertices with
+    * deg < 2 report 0 (no pairs), the reference's convention.
+    *
+    * Scale: the triangle join dominates (see [[triangles]]); the rest is
+    * one explode + two aggregate shuffles keyed on the vertex. */
+  def localClusteringCoefficient(edges: DataFrame): DataFrame = {
+    val canon = canonEdges(edges).cache() // shares triangles' cache entry
+    val deg = canon.select(col("x").as("node")).union(canon.select(col("y")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val triPerV = triangles(edges)
+      .select(explode(array(col("v1"), col("v2"), col("v3"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri_count"))
+    deg.join(triPerV, Seq("node"), "left")
+      .select(col("node"), coalesce(col("tri_count"), lit(0L)).as("tri_count"),
+        col("deg"),
+        when(col("deg") >= 2,
+          expr("(coalesce(tri_count, 0L) * 1000000) div ((deg * (deg - 1)) div 2)"))
+          .otherwise(lit(0L)).as("lcc_micro"))
+  }
+
+  /** Global clustering coefficient (reference: flink-gelly/.../library/
+    * clustering/{directed,undirected}/GlobalClusteringCoefficient.java):
+    * 3·triangles /
+    * open-wedge count, the one-row graph-level transitivity summary.
+    * gcc_micro = (3·T·1e6) div W with W = Σ_v deg(deg−1)/2 — exact
+    * integers end to end. */
+  def globalClusteringCoefficient(edges: DataFrame): DataFrame = {
+    val canon = canonEdges(edges).cache() // shares triangles' cache entry
+    val wedges = canon.select(col("x").as("node")).union(canon.select(col("y")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+      .agg(sum(expr("(d * (d - 1)) div 2")).as("n_wedges"))
+    val tris = triangles(edges).agg(count(lit(1)).as("n_triangles"))
+    tris.crossJoin(broadcast(wedges))
+      .select(col("n_triangles"), col("n_wedges"),
+        when(col("n_wedges") > 0, expr("(3 * n_triangles * 1000000) div n_wedges"))
+          .otherwise(lit(0L)).as("gcc_micro"))
+  }
+
+  /** Average clustering coefficient (reference: flink-gelly/.../library/
+    * clustering/{directed,undirected}/AverageClusteringCoefficient.java):
+    * the mean of the per-vertex local coefficients over all vertices —
+    * one row (n_vertices, avg_lcc_micro = Σ lcc_micro div n). Exact
+    * integers end to end (each lcc_micro is already an integer ratio). */
+  def averageClusteringCoefficient(edges: DataFrame): DataFrame =
+    localClusteringCoefficient(edges)
+      .agg(count(lit(1)).as("n_vertices"), sum(col("lcc_micro")).as("s"))
+      .select(col("n_vertices"), expr("s div n_vertices").as("avg_lcc_micro"))
+
+  /** Neighborhood Jaccard similarity (reference: flink-gelly/.../library/
+    * similarity/JaccardIndex.java — neighbor-SET overlap per vertex pair;
+    * the document-shingle Jaccard in Dedup is a different operator).
+    * Output: (u, v, shared, union_n, jacc_micro) for u < v with ≥ 1
+    * common neighbor, jacc_micro = (shared · 1e6) div (deg(u) + deg(v)
+    * − shared) — integer division, engine-portable.
+    *
+    * Scale: the wedge self-join on the center vertex, the same O(Σ deg²)
+    * regime as [[adamicAdar]]; `maxDegree` drops hub CENTERS (bounding
+    * fan-out — the reference's groupSize batching solves the same blowup;
+    * pair degrees in the denominator stay the full counts, so only
+    * `shared` coverage, not the metric definition, is affected). */
+  def jaccardIndex(edges: DataFrame, maxDegree: Option[Long] = None): DataFrame = {
+    val ued = undirected(edges).cache()
+    val deg = ued.groupBy(col("a").as("w")).agg(count(lit(1)).as("d"))
+    val centers = maxDegree.fold(deg)(m => deg.filter(col("d") <= m))
+    // cached: both sides of the wedge self-join read it
+    val nbrs = ued.select(col("a").as("w"), col("b").as("n"))
+      .join(centers.filter(col("d") >= 2).select("w"), "w").cache()
+    val shared = nbrs.as("x").join(nbrs.as("y"),
+        col("x.w") === col("y.w") && col("x.n") < col("y.n"))
+      .groupBy(col("x.n").as("u"), col("y.n").as("v"))
+      .agg(count(lit(1)).as("shared"))
+    val out = shared
+      .join(deg.select(col("w").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("w").as("v"), col("d").as("dv")), "v")
+      .select(col("u"), col("v"), col("shared"),
+        (col("du") + col("dv") - col("shared")).as("union_n"),
+        expr("(shared * 1000000) div (du + dv - shared)").as("jacc_micro"))
+    out
   }
 
   /** Adamic-Adar similarity (reference: flink-gelly/.../library/similarity/

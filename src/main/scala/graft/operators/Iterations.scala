@@ -39,18 +39,32 @@ object Iterations {
     * handling is worth its planning cost — exactly the regime it was built
     * for. Session confs are restored on exit (loops run one at a time per
     * session; the driver executes queries serially). */
+  /** Reentrancy depth for [[withLoopProfile]]: only the OUTERMOST call
+    * sets and restores session confs, so a loop body that itself invokes a
+    * loop-profiled operator cannot restore confs mid-flight. Session confs
+    * are still session-global — running loop-profiled queries CONCURRENTLY
+    * on one shared SparkSession remains unsupported (the gate driver and
+    * Verify/Bench run queries serially; a parallel harness should give
+    * each thread `spark.newSession()`). */
+  private val profileDepth = new java.util.concurrent.atomic.AtomicInteger(0)
+
   def withLoopProfile[T](spark: SparkSession, rows: Long,
                          bigRows: Long = defaultBigRows)(body: => T): T = {
     if (rows >= bigRows) body
-    else {
+    else if (profileDepth.getAndIncrement() > 0) {
+      try body finally { profileDepth.decrementAndGet(); () }
+    } else {
       val parts = math.max(4L, math.min(rows / 50000L + 1L, 16L)).toString
       val keys = Seq("spark.sql.adaptive.enabled" -> "false",
         "spark.sql.shuffle.partitions" -> parts)
       val old = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
       keys.foreach { case (k, v) => spark.conf.set(k, v) }
-      try body finally old.foreach {
-        case (k, Some(v)) => spark.conf.set(k, v)
-        case (k, None) => spark.conf.unset(k)
+      try body finally {
+        old.foreach {
+          case (k, Some(v)) => spark.conf.set(k, v)
+          case (k, None) => spark.conf.unset(k)
+        }
+        profileDepth.decrementAndGet()
       }
     }
   }
@@ -65,13 +79,20 @@ object Iterations {
       .map(_.toLong).getOrElse(1000000L)
 
   /** Broadcast hint for the vertex-sized side of per-round loop joins,
-    * conditioned on the same cutoff as [[withLoopProfile]]: checkpointed
-    * frames carry no stats and the small profile turns AQE's runtime
-    * conversion off, so without the hint the cached edge set would
-    * shuffle every round. Above the cutoff: identity — cluster-scale
-    * vertex frames don't fit a broadcast. */
+    * gated on the EDGE-frame row count the callers already hold (the same
+    * `rows` they size [[withLoopProfile]] with): checkpointed frames carry
+    * no stats and the small profile turns AQE's runtime conversion off, so
+    * without the hint the cached edge set would shuffle every round. Above
+    * the cutoff: identity — cluster-scale vertex frames don't fit a
+    * broadcast.
+    *
+    * The broadcast FRAME is the vertex/factor side, which can hold up to
+    * ~2× the edge count's distinct endpoints, so the hint applies only
+    * below bigRows/2 — with the profile's AQE-off there is no runtime
+    * fallback if a hinted broadcast overflows memory, and a 2× frame just
+    * under the raw cutoff would be exactly that case. */
   def maybeBroadcast(rows: Long): DataFrame => DataFrame =
-    if (rows < defaultBigRows) org.apache.spark.sql.functions.broadcast
+    if (rows < defaultBigRows / 2) org.apache.spark.sql.functions.broadcast
     else identity
 
   /** Delta iteration: iterate until `converged(prev, next)` or maxIter.

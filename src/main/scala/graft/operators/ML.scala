@@ -239,6 +239,68 @@ object ML {
       .drop("uf", "if_")
   }
 
+  // --------------------------------------------------- linear regression
+
+  /** Multi-feature least squares y = w0 + Σ wj·xj by normal equations in
+    * ONE aggregation pass (reference: flink-ml/.../regression/
+    * MultipleLinearRegression.scala — its SGD loop needs a full data pass
+    * per step, the wrong shape at scale; the Gram matrix of k features is
+    * k(k+3)/2 sums, one shuffle-free aggregate). The k×k solve runs on
+    * the driver over that single aggregated row — O(k²) model state, the
+    * same driver-held weight vector every distributed GD carries.
+    *
+    * Returns feature name → weight, with the intercept under
+    * `_intercept`. Spec-verified (exact planted-relation recovery); the
+    * two-feature hash-oracled sibling is
+    * [[Preprocessing.multiLinearFit]]. */
+  def linearRegressionFit(features: DataFrame, xCols: Seq[String],
+                          yCol: String): Map[String, Double] = {
+    require(xCols.nonEmpty, "linearRegressionFit needs at least one feature")
+    val aug = lit(1.0) +: xCols.map(c => col(c).cast("double")) // intercept first
+    val k = aug.length
+    val gramCols = for (p <- 0 until k; q <- p until k)
+      yield sum(aug(p) * aug(q)).as(s"g_${p}_$q")
+    val rhsCols = (0 until k).map(p =>
+      sum(aug(p) * col(yCol).cast("double")).as(s"b_$p"))
+    val row = features.agg((gramCols ++ rhsCols).head,
+      (gramCols ++ rhsCols).tail: _*).head()
+    val a = Array.ofDim[Double](k, k)
+    var idx = 0
+    for (p <- 0 until k; q <- p until k) {
+      a(p)(q) = row.getDouble(idx); a(q)(p) = row.getDouble(idx); idx += 1
+    }
+    val b = (0 until k).map(p => row.getDouble(idx + p)).toArray
+    // Gaussian elimination with partial pivoting (k small by contract)
+    for (p <- 0 until k) {
+      var best = p
+      for (q <- p + 1 until k) if (math.abs(a(q)(p)) > math.abs(a(best)(p))) best = q
+      val tmp = a(p); a(p) = a(best); a(best) = tmp
+      val tb = b(p); b(p) = b(best); b(best) = tb
+      require(a(p)(p) != 0.0, "linearRegressionFit: singular normal equations " +
+        "(collinear or constant features)")
+      for (q <- p + 1 until k) {
+        val m = a(q)(p) / a(p)(p)
+        for (c <- p until k) a(q)(c) -= m * a(p)(c)
+        b(q) -= m * b(p)
+      }
+    }
+    val x = new Array[Double](k)
+    for (p <- (k - 1) to 0 by -1) {
+      var s = b(p)
+      for (c <- p + 1 until k) s -= a(p)(c) * x(c)
+      x(p) = s / a(p)(p)
+    }
+    (("_intercept" -> x(0)) +: xCols.zipWithIndex.map { case (c, j) => c -> x(j + 1) }).toMap
+  }
+
+  /** Prediction Column under [[linearRegressionFit]] weights. Terms add
+    * in sorted-column-name order so the float sum is reproducible (Map
+    * iteration order is not a stable contract). */
+  def linearRegressionPredict(weights: Map[String, Double]): Column =
+    weights.toSeq.filter(_._1 != "_intercept").sortBy(_._1)
+      .map { case (c, w) => col(c).cast("double") * lit(w) }
+      .foldLeft(lit(weights("_intercept")).cast("double"))(_ + _)
+
   // ---------------------------------------------------------------- SVM
 
   /** Linear SVM by full-batch Pegasos subgradient descent in scaled
@@ -276,6 +338,22 @@ object ML {
       .cache()
     val n = f.count()
     require(n > 0, "svmScaled: empty feature frame")
+    // Executor-side margin guard: the per-row test y·Σ x_j·W_j runs in
+    // plain Long (the hot codegen path — decimal would de-optimize it).
+    // Pegasos bounds ‖w‖ ≤ 1/√λ, i.e. |W_j| ≲ scale·√lambdaInv in scaled
+    // units, so the margin magnitude is ≤ k·max|x|·scale·√lambdaInv.
+    // Enforce that bound (one tiny aggregate over the cached frame) so a
+    // large integral feature cannot silently wrap the margin and corrupt
+    // the violator set — scale features down (or z-score via
+    // Preprocessing) if this trips.
+    val maxAbsRow = f.agg(max(abs(col(xCols.head))).as(xCols.head),
+      xCols.tail.map(c => max(abs(col(c))).as(c)): _*).head()
+    val maxX = math.max(1L, xCols.indices.map(maxAbsRow.getLong).max)
+    val marginBound = xCols.length.toDouble * maxX.toDouble *
+      scale.toDouble * math.sqrt(lambdaInv.toDouble)
+    require(marginBound < math.pow(2, 62),
+      f"svmScaled: margin bound k*max|x|*scale*sqrt(lambdaInv) = $marginBound%.3g " +
+        "risks Long overflow; reduce feature magnitudes or scale/lambdaInv")
     var w = xCols.map(_ => 0L).toArray
 
     def marginCol(weights: Array[Long]): Column =

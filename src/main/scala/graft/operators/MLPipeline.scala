@@ -87,6 +87,22 @@ object MLPipeline {
     }
   }
 
+  /** Multi-feature least-squares Predictor (reference: flink-ml/.../
+    * regression/MultipleLinearRegression.scala): fit = ONE Gram aggregate
+    * + a driver-side k×k solve (ML.linearRegressionFit — O(k²) model
+    * state); transform appends `prediction` = w0 + Σ wj·xj with no
+    * shuffle. */
+  final case class MultipleLinearRegression(xCols: Seq[String], yCol: String)
+      extends Estimator {
+    def fit(df: DataFrame): Transformer = {
+      val w = ML.linearRegressionFit(df, xCols, yCol)
+      new Transformer {
+        def transform(in: DataFrame): DataFrame =
+          in.withColumn("prediction", ML.linearRegressionPredict(w))
+      }
+    }
+  }
+
   /** Hinge-loss linear classifier over integral feature columns via the
     * deterministic Pegasos loop (ML.svmScaled); prediction in {-1, 1}. */
   final case class LinearSVM(labelCol: String, xCols: Seq[String], iters: Int,

@@ -46,6 +46,53 @@ object Preprocessing {
       .drop("_det")
   }
 
+  /** Per-group TWO-feature linear regression y = b0 + b1·x1 + b2·x2 by
+    * closed-form normal equations (reference: flink-ml/.../ml/regression/
+    * MultipleLinearRegression.scala — multi-feature least squares; its SGD
+    * loop is replaced by the one-aggregation-pass solve, the scalable
+    * shape — see [[linearFit]]). The general-k sibling is
+    * [[ML.linearRegressionFit]]; two features get the closed form because
+    * a 3×3 Cramer solve is expressible as ONE fixed double-arithmetic
+    * sequence over exact integer moments, so the result hash-oracles on
+    * any engine.
+    *
+    * `x1Col`/`x2Col`/`yCol` must be integral-valued (cast/cents first);
+    * the nine moments are exact longs (magnitude contract as
+    * [[linearFit]]: Σx·y of bounded per-row values stays far below 2^63
+    * at any corpus size where the per-row bound holds). A singular system
+    * (collinear features, constant column, < 3 distinct points) yields
+    * NULL coefficients on every engine rather than engine-skewed ±Inf. */
+  def multiLinearFit(df: DataFrame, groupCols: Seq[String], x1Col: String,
+                     x2Col: String, yCol: String): DataFrame = {
+    val x1 = col(x1Col).cast("long"); val x2 = col(x2Col).cast("long")
+    val y = col(yCol).cast("long")
+    val m = df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(x1).as("s1"), sum(x2).as("s2"),
+        sum(y).as("sy"), sum(x1 * x1).as("s11"), sum(x1 * x2).as("s12"),
+        sum(x2 * x2).as("s22"), sum(x1 * y).as("s1y"), sum(x2 * y).as("s2y"))
+    // Cramer's rule on A = [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]],
+    // b = [sy,s1y,s2y] — every product in double AFTER the exact integer
+    // aggregation, in one pinned association order mirrored by the oracle
+    def d(c: String): Column = col(c).cast("double")
+    val det = d("n") * (d("s11") * d("s22") - d("s12") * d("s12")) -
+      d("s1") * (d("s1") * d("s22") - d("s12") * d("s2")) +
+      d("s2") * (d("s1") * d("s12") - d("s11") * d("s2"))
+    val det0 = d("sy") * (d("s11") * d("s22") - d("s12") * d("s12")) -
+      d("s1") * (d("s1y") * d("s22") - d("s12") * d("s2y")) +
+      d("s2") * (d("s1y") * d("s12") - d("s11") * d("s2y"))
+    val det1 = d("n") * (d("s1y") * d("s22") - d("s12") * d("s2y")) -
+      d("sy") * (d("s1") * d("s22") - d("s12") * d("s2")) +
+      d("s2") * (d("s1") * d("s2y") - d("s1y") * d("s2"))
+    val det2 = d("n") * (d("s11") * d("s2y") - d("s1y") * d("s12")) -
+      d("s1") * (d("s1") * d("s2y") - d("s1y") * d("s2")) +
+      d("sy") * (d("s1") * d("s12") - d("s11") * d("s2"))
+    m.withColumn("_det", det)
+      .withColumn("intercept", when(col("_det") =!= 0.0, det0 / col("_det")))
+      .withColumn("b1", when(col("_det") =!= 0.0, det1 / col("_det")))
+      .withColumn("b2", when(col("_det") =!= 0.0, det2 / col("_det")))
+      .drop("_det")
+  }
+
   /** Moment aggregate columns for z-scoring `c`, prefixed `p` (shared by
     * [[standardScale]] and MLPipeline.StandardScaler).
     * Moments in decimal(38,0): Σx² of 64-bit inputs overflows long at

@@ -42,6 +42,33 @@ object GraphQueries {
     """SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst
        FROM orders JOIN lineitem ON o_orderkey = l_orderkey"""
 
+  /** Triangle-bearing projected graph shared by qbo/qc2/qc3: customers
+    * co-buying from >= 2 common suppliers, edges src < dst. */
+  private def triEdges(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val l = Tables(s, dir, "lineitem")
+    val base = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_quantity") <= 2)
+      .select(col("o_custkey").as("src"), (lit(100000) + col("l_suppkey")).as("dst"))
+      .distinct()
+    base.alias("e1")
+      .join(base.alias("e2"),
+        col("e1.dst") === col("e2.dst") && col("e1.src") < col("e2.src"))
+      .groupBy(col("e1.src").as("pa"), col("e2.src").as("pb"))
+      .agg(count(lit(1)).as("shared")).filter(col("shared") >= 2)
+      .select(col("pa").as("src"), col("pb").as("dst"))
+  }
+
+  /** SQL mirror of [[triEdges]] (edges + te CTE bodies). */
+  private val OTriEdges =
+    """edges AS (
+          SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          WHERE l_quantity <= 2),
+        te AS (SELECT e1.src AS a, e2.src AS b
+               FROM edges e1 JOIN edges e2 ON e1.dst = e2.dst AND e1.src < e2.src
+               GROUP BY 1, 2 HAVING count(*) >= 2)"""
+
   def entries: Seq[Entry] = Seq(
 
     Entry("qa0_graph_degrees",
@@ -157,30 +184,89 @@ object GraphQueries {
     // share >= 2 suppliers (low-quantity lineitems keep the projection
     // mid-sized). Spark side runs the degree-oriented wedge join.
     Entry("qbo_graph_triangles",
-      (s, dir) => {
-        val o = Tables(s, dir, "orders")
-        val l = Tables(s, dir, "lineitem")
-        val base = o.join(l, col("o_orderkey") === col("l_orderkey"))
-          .filter(col("l_quantity") <= 2)
-          .select(col("o_custkey").as("src"), (lit(100000) + col("l_suppkey")).as("dst"))
-          .distinct()
-        val proj = base.alias("e1")
-          .join(base.alias("e2"),
-            col("e1.dst") === col("e2.dst") && col("e1.src") < col("e2.src"))
-          .groupBy(col("e1.src").as("pa"), col("e2.src").as("pb"))
-          .agg(count(lit(1)).as("shared")).filter(col("shared") >= 2)
-          .select(col("pa").as("src"), col("pb").as("dst"))
-        GraphOps.triangles(proj)
-      },
-      Some("""WITH edges AS (
-          SELECT DISTINCT o_custkey AS src, 100000 + l_suppkey AS dst
-          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-          WHERE l_quantity <= 2),
-        te AS (SELECT e1.src AS a, e2.src AS b
-               FROM edges e1 JOIN edges e2 ON e1.dst = e2.dst AND e1.src < e2.src
-               GROUP BY 1, 2 HAVING count(*) >= 2)
+      (s, dir) => GraphOps.triangles(triEdges(s, dir)),
+      Some(s"""WITH $OTriEdges
         SELECT x.a AS v1, x.b AS v2, y.b AS v3
         FROM te x JOIN te y ON y.a = x.b JOIN te z ON z.a = x.a AND z.b = y.b""")),
+
+    // Local clustering coefficient: per-vertex triangle count over the
+    // vertex's neighbor-pair count, in exact integer micro-units (deg < 2
+    // -> 0). Triangles via the degree-oriented enumeration.
+    Entry("qc2_graph_local_cc",
+      (s, dir) => GraphOps.localClusteringCoefficient(triEdges(s, dir)),
+      Some(s"""WITH $OTriEdges,
+        tri AS (SELECT x.a AS v1, x.b AS v2, y.b AS v3
+                FROM te x JOIN te y ON y.a = x.b JOIN te z ON z.a = x.a AND z.b = y.b),
+        tv AS (SELECT v1 AS node FROM tri UNION ALL SELECT v2 FROM tri
+               UNION ALL SELECT v3 FROM tri),
+        tc AS (SELECT node, count(*) AS tri_count FROM tv GROUP BY node),
+        deg AS (SELECT node, count(*) AS deg FROM
+                  (SELECT a AS node FROM te UNION ALL SELECT b FROM te)
+                GROUP BY node)
+        SELECT d.node, CAST(COALESCE(tc.tri_count, 0) AS BIGINT) AS tri_count,
+          CAST(d.deg AS BIGINT) AS deg,
+          CAST(CASE WHEN d.deg >= 2
+            THEN (COALESCE(tc.tri_count, 0) * 1000000) // ((d.deg * (d.deg - 1)) // 2)
+            ELSE 0 END AS BIGINT) AS lcc_micro
+        FROM deg d LEFT JOIN tc ON tc.node = d.node""")),
+
+    // Global clustering coefficient: 3*triangles / open wedges, one exact
+    // integer-ratio row for the whole graph.
+    Entry("qc3_graph_global_cc",
+      (s, dir) => GraphOps.globalClusteringCoefficient(triEdges(s, dir)),
+      Some(s"""WITH $OTriEdges,
+        tri AS (SELECT count(*) AS n_triangles
+                FROM te x JOIN te y ON y.a = x.b JOIN te z ON z.a = x.a AND z.b = y.b),
+        deg AS (SELECT node, count(*) AS d FROM
+                  (SELECT a AS node FROM te UNION ALL SELECT b FROM te)
+                GROUP BY node),
+        w AS (SELECT CAST(sum((d * (d - 1)) // 2) AS BIGINT) AS n_wedges FROM deg)
+        SELECT CAST(tri.n_triangles AS BIGINT) AS n_triangles, w.n_wedges,
+          CAST(CASE WHEN w.n_wedges > 0
+            THEN (3 * tri.n_triangles * 1000000) // w.n_wedges
+            ELSE 0 END AS BIGINT) AS gcc_micro
+        FROM tri, w""")),
+
+    // Average clustering coefficient: mean of the per-vertex local
+    // coefficients — the third Gelly clustering summary, one exact row.
+    Entry("qc7_graph_avg_cc",
+      (s, dir) => GraphOps.averageClusteringCoefficient(triEdges(s, dir)),
+      Some(s"""WITH $OTriEdges,
+        tri AS (SELECT x.a AS v1, x.b AS v2, y.b AS v3
+                FROM te x JOIN te y ON y.a = x.b JOIN te z ON z.a = x.a AND z.b = y.b),
+        tv AS (SELECT v1 AS node FROM tri UNION ALL SELECT v2 FROM tri
+               UNION ALL SELECT v3 FROM tri),
+        tc AS (SELECT node, count(*) AS tri_count FROM tv GROUP BY node),
+        deg AS (SELECT node, count(*) AS deg FROM
+                  (SELECT a AS node FROM te UNION ALL SELECT b FROM te)
+                GROUP BY node),
+        lcc AS (SELECT d.node,
+            CASE WHEN d.deg >= 2
+              THEN (COALESCE(tc.tri_count, 0) * 1000000) // ((d.deg * (d.deg - 1)) // 2)
+              ELSE 0 END AS lcc_micro
+          FROM deg d LEFT JOIN tc ON tc.node = d.node)
+        SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+          CAST(CAST(sum(lcc_micro) AS BIGINT) // count(*) AS BIGINT) AS avg_lcc_micro
+        FROM lcc""")),
+
+    // Neighborhood Jaccard similarity (Gelly JaccardIndex): neighbor-SET
+    // overlap per vertex pair via the center-vertex wedge join; hub
+    // centers dropped at degree > 100 (the qbr cutoff), full degrees in
+    // the denominator. Integer micro-ratio, engine-exact.
+    Entry("qc4_graph_jaccard_index",
+      (s, dir) => GraphOps.jaccardIndex(denseEdges(s, dir), maxDegree = Some(100L)),
+      Some(s"""WITH edges AS ($ODenseEdges),
+        uedges AS (SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges),
+        deg AS (SELECT a AS w, count(*) AS d FROM uedges GROUP BY a),
+        nbrs AS (SELECT u.a AS w, u.b AS n FROM uedges u JOIN deg d ON d.w = u.a
+                 WHERE d.d BETWEEN 2 AND 100),
+        sh AS (SELECT x.n AS u, y.n AS v, count(*) AS c
+               FROM nbrs x JOIN nbrs y ON x.w = y.w AND x.n < y.n
+               GROUP BY 1, 2)
+        SELECT sh.u, sh.v, CAST(sh.c AS BIGINT) AS shared,
+          CAST(du.d + dv.d - sh.c AS BIGINT) AS union_n,
+          CAST((sh.c * 1000000) // (du.d + dv.d - sh.c) AS BIGINT) AS jacc_micro
+        FROM sh JOIN deg du ON du.w = sh.u JOIN deg dv ON dv.w = sh.v""")),
 
     // Adamic-Adar: common-neighbor pairs weighted by floor(1e9/ln(deg)) —
     // integer micro-contributions so the sum is exact and order-free. The

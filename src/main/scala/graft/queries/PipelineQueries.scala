@@ -417,6 +417,54 @@ object PipelineQueries {
           round((m.sy - f.slope * m.sx) / CAST(m.n AS DOUBLE), 6) AS intercept
         FROM fit f JOIN m ON f.l_returnflag = m.l_returnflag""")),
 
+    // Multi-feature (k=2) least squares via the closed-form 3×3 Cramer
+    // solve over exact integer moments — MultipleLinearRegression parity
+    // with a hash oracle (general k is ML.linearRegressionFit, spec-
+    // verified). Same one-aggregation-pass shape as qbd.
+    Entry("qc1_multilinreg",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_quantity").as("x1"),
+            round(col("l_discount") * 100).cast("long").as("x2"),
+            QueryUtil.cents(col("l_extendedprice")).as("y"))
+        graft.operators.Preprocessing.multiLinearFit(
+            li, Seq("l_returnflag"), "x1", "x2", "y")
+          .select(col("l_returnflag"), col("n"),
+            round(col("intercept"), 6).as("intercept"),
+            round(col("b1"), 6).as("b1"), round(col("b2"), 6).as("b2"))
+      },
+      Some("""WITH m AS (
+          SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+            CAST(sum(CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS s2,
+            CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sy,
+            CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s11,
+            CAST(sum(CAST(l_quantity AS BIGINT) * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS s12,
+            CAST(sum(CAST(round(l_discount*100) AS BIGINT) * CAST(round(l_discount*100) AS BIGINT)) AS BIGINT) AS s22,
+            CAST(sum(CAST(l_quantity AS BIGINT) * CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS s1y,
+            CAST(sum(CAST(round(l_discount*100) AS BIGINT) * CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS s2y
+          FROM lineitem GROUP BY l_returnflag
+        ), c AS (
+          SELECT l_returnflag, n,
+            CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE)) -
+              CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE)) +
+              CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE)) AS det,
+            CAST(sy AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s12 AS DOUBLE)) -
+              CAST(s1 AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2y AS DOUBLE)) +
+              CAST(s2 AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE)) AS det0,
+            CAST(n AS DOUBLE) * (CAST(s1y AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2y AS DOUBLE)) -
+              CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s22 AS DOUBLE) - CAST(s12 AS DOUBLE) * CAST(s2 AS DOUBLE)) +
+              CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE)) AS det1,
+            CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s1y AS DOUBLE) * CAST(s12 AS DOUBLE)) -
+              CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s2y AS DOUBLE) - CAST(s1y AS DOUBLE) * CAST(s2 AS DOUBLE)) +
+              CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * CAST(s12 AS DOUBLE) - CAST(s11 AS DOUBLE) * CAST(s2 AS DOUBLE)) AS det2
+          FROM m)
+        SELECT l_returnflag, n,
+          round(CASE WHEN det <> 0 THEN det0 / det END, 6) AS intercept,
+          round(CASE WHEN det <> 0 THEN det1 / det END, 6) AS b1,
+          round(CASE WHEN det <> 0 THEN det2 / det END, 6) AS b2
+        FROM c""")),
+
     // SparkSessionExtensions surface: the native codegen expressions called
     // from SQL TEXT via the injected function registry — same rows as the
     // Column API, same DuckDB-replayed FNV oracle as q87.

@@ -955,5 +955,71 @@ object StatefulStreamQueries {
           AND EXISTS (SELECT 1 FROM events e
             WHERE e.user_id = fp.user_id
               AND epoch_us(e.ts) - epoch_us(vts) > 86400000000)""")),
+
+    // CEP where (SimpleCondition): the purchase stage predicates on the
+    // event VALUE (> 50 currency units), not just its type — a
+    // small/cheap purchase is a non-matching event the relaxed stage
+    // skips over. Greedy first binding therefore picks the first
+    // QUALIFYING purchase, which type-only matching cannot express
+    // (contrast qbl's unconditioned purchase stage).
+    Entry("qbz_cep_where",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        import graft.streaming.{Cep, EventTimeOps}
+        val pat = Cep.Pattern.begin("view")
+          .followedBy("purchase").where(_.valueMillis > 50000L)
+          .within(86400000000L)
+        val out = EventTimeOps.ordered(keyedEvents(s, dir),
+            (e: StatefulOps.KeyedEvent) => e.key, new Cep.NfaProcessor(pat))
+          .select(col("key"),
+            element_at(col("ids"), 1).as("id_view"),
+            element_at(col("ids"), 2).as("id_purchase"),
+            col("startTsUs").as("start_ts_us"), col("endTsUs").as("end_ts_us"))
+        run(out, "qbz_sink")
+      },
+      Some("""WITH v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view')
+        SELECT v.user_id AS key, v.event_id AS id_view, p.event_id AS id_purchase,
+          epoch_us(v.ts) AS start_ts_us, epoch_us(p.ts) AS end_ts_us
+        FROM v JOIN LATERAL (
+          SELECT event_id, ts FROM events p
+          WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+            AND CAST(round(p.value*1000) AS BIGINT) > 50000
+            AND (p.ts > v.ts OR (p.ts = v.ts AND p.event_id > v.event_id))
+          ORDER BY p.ts, p.event_id LIMIT 1) p ON true
+        WHERE epoch_us(p.ts) - epoch_us(v.ts) <= 86400000000""")),
+
+    // CEP iterative condition: the second stage's predicate READS the
+    // bindings — a follow-up purchase more than double the FIRST bound
+    // purchase's value (IterativeCondition parity; inexpressible with
+    // type labels or a per-event where). Greedy first binding picks the
+    // first purchase satisfying the binding-dependent test.
+    Entry("qc0_cep_iterative_cond",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        import graft.streaming.{Cep, EventTimeOps}
+        val pat = Cep.Pattern.begin("purchase")
+          .followedBy("purchase").whereIter((e, vals) => e.valueMillis > vals.head * 2)
+          .within(86400000000L)
+        val out = EventTimeOps.ordered(keyedEvents(s, dir),
+            (e: StatefulOps.KeyedEvent) => e.key, new Cep.NfaProcessor(pat))
+          .select(col("key"),
+            element_at(col("ids"), 1).as("id_first"),
+            element_at(col("ids"), 2).as("id_big"),
+            col("startTsUs").as("start_ts_us"), col("endTsUs").as("end_ts_us"))
+        run(out, "qc0_sink")
+      },
+      Some("""WITH p AS (SELECT user_id, event_id, ts,
+            CAST(round(value*1000) AS BIGINT) AS vm
+          FROM events WHERE event_type = 'purchase')
+        SELECT a.user_id AS key, a.event_id AS id_first, b.event_id AS id_big,
+          epoch_us(a.ts) AS start_ts_us, epoch_us(b.ts) AS end_ts_us
+        FROM p a JOIN LATERAL (
+          SELECT event_id, ts FROM p b
+          WHERE b.user_id = a.user_id AND b.vm > a.vm * 2
+            AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+          ORDER BY b.ts, b.event_id LIMIT 1) b ON true
+        WHERE epoch_us(b.ts) - epoch_us(a.ts) <= 86400000000""")),
   )
 }

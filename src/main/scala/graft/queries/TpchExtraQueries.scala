@@ -419,5 +419,111 @@ object TpchExtraQueries {
           AND NOT EXISTS (SELECT 1 FROM orders
             WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
         GROUP BY cntrycode""")),
+
+    // Q2 shape (minimum-cost supplier): the fixture has no partsupp table,
+    // so one is DERIVED deterministically — distinct (partkey, suppkey)
+    // pairs observed in lineitem with a synthesized supplycost that is a
+    // pure integer function of the keys (both engines replay it exactly).
+    // The correlated min-per-part subquery becomes a window min over the
+    // joined frame: ONE shuffle on p_partkey, with the supplier/nation/
+    // region dimension chain broadcast — the Spark-first translation of
+    // TPC-H Q2's correlated scalar subquery.
+    Entry("qc5_min_cost_supplier",
+      (s, dir) => {
+        val ps = t(s, dir, "lineitem")
+          .select(col("l_partkey").cast("long").as("ps_partkey"),
+            col("l_suppkey").cast("long").as("ps_suppkey")).distinct()
+          .withColumn("ps_supplycost",
+            lit(100L) + (col("ps_partkey") * 37 + col("ps_suppkey") * 61) % 90000)
+        val elig = ps
+          .join(t(s, dir, "supplier"), col("s_suppkey") === col("ps_suppkey"))
+          .join(t(s, dir, "nation"), col("n_nationkey") === col("s_nationkey"))
+          .join(t(s, dir, "region").filter(col("r_name") === "EUROPE"),
+            col("r_regionkey") === col("n_regionkey"))
+        val j = t(s, dir, "part").filter(col("p_type") === "ECONOMY")
+          .join(elig, col("ps_partkey") === col("p_partkey"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("p_partkey")
+        j.withColumn("mc", min(col("ps_supplycost")).over(w))
+          .filter(col("ps_supplycost") === col("mc"))
+          .select(col("p_partkey"), col("s_name"),
+            col("ps_suppkey").as("s_suppkey"), col("n_name"),
+            col("ps_supplycost").as("supplycost_cents"),
+            cents(col("s_acctbal")).as("acctbal_cents"))
+      },
+      Some(s"""WITH ps AS (
+          SELECT DISTINCT CAST(l_partkey AS BIGINT) AS ps_partkey,
+            CAST(l_suppkey AS BIGINT) AS ps_suppkey FROM lineitem),
+        ps2 AS (SELECT ps_partkey, ps_suppkey,
+            100 + (ps_partkey * 37 + ps_suppkey * 61) % 90000 AS ps_supplycost
+          FROM ps),
+        elig AS (SELECT ps2.*, s_name, s_acctbal, n_name
+          FROM ps2 JOIN supplier ON s_suppkey = ps_suppkey
+          JOIN nation ON n_nationkey = s_nationkey
+          JOIN region ON r_regionkey = n_regionkey
+          WHERE r_name = 'EUROPE'),
+        j AS (SELECT p_partkey, s_name, ps_suppkey, n_name, ps_supplycost, s_acctbal,
+            min(ps_supplycost) OVER (PARTITION BY p_partkey) AS mc
+          FROM part JOIN elig ON ps_partkey = p_partkey WHERE p_type = 'ECONOMY')
+        SELECT p_partkey, s_name, ps_suppkey AS s_suppkey, n_name,
+          CAST(ps_supplycost AS BIGINT) AS supplycost_cents,
+          ${centsSql("s_acctbal")} AS acctbal_cents
+        FROM j WHERE ps_supplycost = mc""")),
+
+    // Q20 shape (excess-stock suppliers): derived partsupp again, now with
+    // a synthesized availqty; a supplier qualifies when its available
+    // stock of some 'small%' part exceeds half the quantity it shipped of
+    // that part in 1996 — the correlated half-sum subquery becomes a
+    // pre-aggregated (partkey, suppkey) frame joined back (integral
+    // 2·availqty > sum form, no float half), then a semi join onto the
+    // supplier dimension. Aggregate and join co-partition on the same
+    // composite key; the dimension chain broadcasts.
+    Entry("qc6_excess_stock_suppliers",
+      (s, dir) => {
+        val ps = t(s, dir, "lineitem")
+          .select(col("l_partkey").cast("long").as("ps_partkey"),
+            col("l_suppkey").cast("long").as("ps_suppkey")).distinct()
+          .withColumn("ps_availqty",
+            lit(1L) + (col("ps_partkey") * 13 + col("ps_suppkey") * 7) % 1000)
+        val smallParts = t(s, dir, "part")
+          .filter(col("p_name").startsWith("small")).select("p_partkey")
+        val shipped = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(sum(col("l_quantity").cast("long")).as("sq"))
+        val excess = ps
+          .join(smallParts, col("p_partkey") === col("ps_partkey"))
+          .join(shipped, col("l_partkey") === col("ps_partkey") &&
+            col("l_suppkey") === col("ps_suppkey"))
+          .filter(col("ps_availqty") * 2 > col("sq"))
+          .select(col("ps_suppkey")).distinct()
+        t(s, dir, "supplier")
+          .join(t(s, dir, "nation"), col("n_nationkey") === col("s_nationkey"))
+          .join(t(s, dir, "region").filter(col("r_name") === "EUROPE"),
+            col("r_regionkey") === col("n_regionkey"))
+          .join(excess, col("s_suppkey") === col("ps_suppkey"), "left_semi")
+          .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      },
+      Some("""WITH ps AS (
+          SELECT DISTINCT CAST(l_partkey AS BIGINT) AS ps_partkey,
+            CAST(l_suppkey AS BIGINT) AS ps_suppkey FROM lineitem),
+        ps2 AS (SELECT ps_partkey, ps_suppkey,
+            1 + (ps_partkey * 13 + ps_suppkey * 7) % 1000 AS ps_availqty
+          FROM ps),
+        shipped AS (SELECT l_partkey, l_suppkey,
+            CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+          GROUP BY 1, 2),
+        excess AS (SELECT DISTINCT ps_suppkey
+          FROM ps2 JOIN part ON p_partkey = ps_partkey
+          JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+          WHERE p_name LIKE 'small%' AND 2 * ps_availqty > sq)
+        SELECT s_suppkey, s_name, n_name
+        FROM supplier JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        WHERE s_suppkey IN (SELECT ps_suppkey FROM excess)
+          AND r_name = 'EUROPE'""")),
   )
 }

@@ -50,19 +50,33 @@ object Cep {
   case object Relaxed extends Contiguity     // followedBy (skip till next match)
   case object RelaxedAny extends Contiguity  // followedByAny (skip till ANY match)
 
-  /** One pattern stage: accepted event types (>1 via `or`), repetition
-    * count, how it attaches to the previous stage, negative guards — event
-    * types that must NOT occur between the previous binding and this one
-    * (notFollowedBy) — and, for unbounded loops, the `until` stop types.
-    * `unbounded` = oneOrMore (greedy loop), `optional` = the stage may be
-    * skipped when the following stage's event arrives first. */
+  /** A value condition on a candidate event, with read access to the
+    * valueMillis of the events the partial has bound so far (oldest first)
+    * — the reference's IterativeCondition (flink-cep/.../pattern/
+    * conditions/IterativeCondition.java); a SimpleCondition is the special
+    * case ignoring the bindings. Must be deterministic and serializable
+    * (plain Scala closures are). */
+  type IterCond = (KeyedEvent, Seq[Long]) => Boolean
+
+  /** One pattern stage: accepted event types (>1 via `or`), an optional
+    * value condition (where/whereIter), repetition count, how it attaches
+    * to the previous stage, negative guards — event types that must NOT
+    * occur between the previous binding and this one (notFollowedBy) —
+    * and, for unbounded loops, the `until` stop types. `unbounded` =
+    * oneOrMore (greedy loop), `optional` = the stage may be skipped when
+    * the following stage's event arrives first. */
   final case class Stage(types: Set[String], times: Int = 1,
                          contiguity: Contiguity = Relaxed,
                          guards: Set[String] = Set.empty,
                          unbounded: Boolean = false,
                          optional: Boolean = false,
-                         untilTypes: Set[String] = Set.empty) extends Serializable {
+                         untilTypes: Set[String] = Set.empty,
+                         cond: Option[IterCond] = None) extends Serializable {
     def matches(t: String): Boolean = types.contains(t)
+    /** Full acceptance test: event type AND the value condition evaluated
+      * against the partial's bound values (empty at a head-stage bind). */
+    def accepts(e: KeyedEvent, boundVals: Seq[Long]): Boolean =
+      types.contains(e.eventType) && cond.forall(_(e, boundVals))
     def label: String = types.mkString("|")
   }
 
@@ -89,6 +103,28 @@ object Cep {
       require(pendingGuards.isEmpty,
         "or widens the last bound stage; it cannot follow a dangling notFollowedBy")
       copy(stages = stages.init :+ stages.last.copy(types = stages.last.types + t))
+    }
+    /** Value condition on the LAST added stage (reference: Pattern.where +
+      * SimpleCondition — a predicate on the candidate event alone). A
+      * type-matching event that fails the condition is simply a
+      * non-matching event: relaxed contiguity skips it, strict drops the
+      * partial. Repeated `where` calls AND-compose, as in the reference. */
+    def where(f: KeyedEvent => Boolean): Pattern =
+      whereIter((e, _) => f(e))
+    /** Value condition with access to the partial's bound values so far
+      * (valueMillis, oldest first — the head binding is `vals.head`):
+      * the reference's IterativeCondition, e.g. "this purchase is larger
+      * than the first one bound". AND-composes with prior conditions. */
+    def whereIter(f: IterCond): Pattern = {
+      require(stages.nonEmpty, "where needs a stage")
+      require(pendingGuards.isEmpty,
+        "where conditions the last bound stage; it cannot follow a dangling notFollowedBy")
+      val last = stages.last
+      val merged: IterCond = last.cond match {
+        case Some(g) => (e, vs) => g(e, vs) && f(e, vs)
+        case None => f
+      }
+      copy(stages = stages.init :+ last.copy(cond = Some(merged)))
     }
     /** The given type must not occur before the NEXT bound stage
       * (reference: Pattern.notFollowedBy; a trailing notFollowedBy with no
@@ -143,7 +179,11 @@ object Cep {
         if (w.length == 2) {
           require(!(w(0).optional && w(1).optional),
             "consecutive optional stages are unsupported (one stage of lookahead)")
-          require((w(0).types intersect w(1).types).isEmpty || !w(0).unbounded,
+          // with value conditions the overlap CAN be escapable (the loop's
+          // cond rejects what the next stage's cond accepts), so only the
+          // cond-free case is provably stuck
+          require((w(0).types intersect w(1).types).isEmpty || !w(0).unbounded ||
+              w(0).cond.isDefined || w(1).cond.isDefined,
             s"oneOrMore('${w(0).label}') followed by a shared type never exits the loop")
           require(!(w(0).unbounded && w(1).optional),
             s"oneOrMore('${w(0).label}') followed by an optional stage never takes " +
@@ -160,10 +200,12 @@ object Cep {
       Pattern(Vector(Stage(Set(t), times, Relaxed)))
   }
 
-  /** A partial match: stage index, bindings so far, repetition progress;
+  /** A partial match: stage index, bindings so far (ids + their
+    * valueMillis, for iterative conditions), repetition progress;
     * `loopClosed` = an `until` event stopped this partial's oneOrMore loop. */
   final case class Partial(stage: Int, reps: Int, startTsUs: Long, ids: Seq[Long],
-                           loopClosed: Boolean = false)
+                           loopClosed: Boolean = false,
+                           vals: Seq[Long] = Seq.empty)
 
   /** A completed match, or — when the processor runs with
     * `emitTimeouts = true` — a timed-out partial (`timedOut = true`,
@@ -171,14 +213,26 @@ object Cep {
   final case class Match(key: Long, ids: Seq[Long], startTsUs: Long, endTsUs: Long,
                          timedOut: Boolean = false)
 
-  /** NFA over one key's event-time-ordered events. */
-  final class NfaProcessor(pattern: Pattern, emitTimeouts: Boolean = false)
+  /** NFA over one key's event-time-ordered events.
+    *
+    * `maxPartials` caps the per-key live partial set (reference analogue:
+    * the SharedBuffer's bounded after-match pruning): `followedByAny`
+    * forks a branch per qualifying event, so without a cap a hostile key
+    * could grow state up to its event count inside the `within` horizon.
+    * When the cap is hit, the OLDEST-start partials are dropped first
+    * (deterministically; ties keep the earlier-built branch) — newest
+    * starts are the ones still able to complete, so this is the
+    * least-lossy deterministic policy. Matches below the cap are
+    * unchanged (CepSpec pins both properties). */
+  final class NfaProcessor(pattern: Pattern, emitTimeouts: Boolean = false,
+                           maxPartials: Int = Int.MaxValue)
       extends OrderedProcessor[Long, KeyedEvent, Match](
         KeyedEvent.orderKey, Encoders.product[KeyedEvent]) {
 
     pattern.validate()
     require(!emitTimeouts || pattern.withinUs != Long.MaxValue,
       "timeout select requires a within() bound")
+    require(maxPartials >= 1, s"maxPartials must be >= 1, got $maxPartials")
 
     @transient private var partials: ValueState[Seq[Partial]] = _
 
@@ -197,18 +251,20 @@ object Cep {
         * a surviving partial. A looping (oneOrMore) stage stays put and, if
         * final, emits per absorption; a bounded stage advances on its last
         * repetition. Advancing to a new stage resets `loopClosed`. */
-      def bindAt(i: Int, reps0: Int, start: Long, ids: Seq[Long]): Unit = {
+      def bindAt(i: Int, reps0: Int, start: Long, ids: Seq[Long],
+                 vals: Seq[Long]): Unit = {
         val stage = st(i)
         val ids1 = ids :+ e.eventId
+        val vals1 = vals :+ e.valueMillis
         if (stage.unbounded) {
           if (i == st.length - 1) out += Match(key, ids1, start, e.tsUs)
-          next += Partial(i, reps0 + 1, start, ids1)
+          next += Partial(i, reps0 + 1, start, ids1, vals = vals1)
         } else {
           val reps = reps0 + 1
           if (reps == stage.times) {
             if (i + 1 == st.length) out += Match(key, ids1, start, e.tsUs)
-            else next += Partial(i + 1, 0, start, ids1)
-          } else next += Partial(i, reps, start, ids1)
+            else next += Partial(i + 1, 0, start, ids1, vals = vals1)
+          } else next += Partial(i, reps, start, ids1, vals = vals1)
         }
       }
 
@@ -221,20 +277,20 @@ object Cep {
         } else {
           val stage = st(p.stage)
           val nextStage = if (p.stage + 1 < st.length) Some(st(p.stage + 1)) else None
-          if (stage.matches(e.eventType) && !(stage.unbounded && p.loopClosed)) {
-            bindAt(p.stage, p.reps, p.startTsUs, p.ids)
+          if (stage.accepts(e, p.vals) && !(stage.unbounded && p.loopClosed)) {
+            bindAt(p.stage, p.reps, p.startTsUs, p.ids, p.vals)
             // skip-till-any: the un-advanced partial survives to bind a
             // later qualifying event too (SharedBuffer fork)
             if (stage.contiguity == RelaxedAny) next += p
           } else if (stage.unbounded && p.reps >= 1 &&
-              nextStage.exists(_.matches(e.eventType))) {
+              nextStage.exists(_.accepts(e, p.vals))) {
             // loop exit: the next stage's first qualifying event advances
-            bindAt(p.stage + 1, 0, p.startTsUs, p.ids)
+            bindAt(p.stage + 1, 0, p.startTsUs, p.ids, p.vals)
             if (nextStage.get.contiguity == RelaxedAny) next += p
           } else if (stage.optional && p.reps == 0 &&
-              nextStage.exists(_.matches(e.eventType))) {
+              nextStage.exists(_.accepts(e, p.vals))) {
             // optional skip: following stage's event arrived first
-            bindAt(p.stage + 1, 0, p.startTsUs, p.ids)
+            bindAt(p.stage + 1, 0, p.startTsUs, p.ids, p.vals)
             if (nextStage.get.contiguity == RelaxedAny) next += p
           } else if (stage.guards.contains(e.eventType)) {
             // negative guard hit between bindings: kill the partial
@@ -245,14 +301,27 @@ object Cep {
           } else {
             // the pending binding's contiguity governs whether a gap is
             // allowed: relaxed (either kind) skips the event, strict drops
-            // the partial
+            // the partial (a type-matching event that merely FAILS the
+            // stage's value condition lands here too — it is just a
+            // non-matching event, the reference's condition semantics)
             if (stage.contiguity != Strict) next += p
           }
         }
       }
       // a head-stage event always starts a fresh partial
-      if (st.head.matches(e.eventType)) bindAt(0, 0, e.tsUs, Seq.empty)
-      partials.update(next.result())
+      if (st.head.accepts(e, Seq.empty)) bindAt(0, 0, e.tsUs, Seq.empty, Seq.empty)
+      val all = next.result()
+      val kept =
+        if (all.size <= maxPartials) all
+        else {
+          // oldest-start first, ties earliest-built: drop indices are a
+          // pure function of the (deterministic) partial set
+          val drop = all.zipWithIndex
+            .sortBy { case (p, i) => (p.startTsUs, i) }
+            .take(all.size - maxPartials).map(_._2).toSet
+          all.zipWithIndex.collect { case (p, i) if !drop.contains(i) => p }
+        }
+      partials.update(kept)
       out.result().iterator
     }
   }

@@ -214,6 +214,88 @@ class CepSpec extends SparkSpec {
     assert(timeouts.map(m => (m.ids, m.endTsUs)) === Seq((Seq(1L), 25000000L)))
   }
 
+  private def evv(id: Long, tsSec: Long, typ: String, vm: Long) =
+    KeyedEvent(1L, id, tsSec * 1000000L, typ, vm)
+
+  test("where diverges from type-only matching: a failing event is skipped, not bound") {
+    val events = Seq(evv(1, 10, "a", 0), evv(2, 20, "b", 50), evv(3, 30, "b", 200))
+    val typed = runPat(Cep.Pattern.begin("a").followedBy("b"), events)
+    assert(typed.map(_.ids) === Seq(Seq(1L, 2L))) // greedy binds the first b
+    val conded = runPat(
+      Cep.Pattern.begin("a").followedBy("b").where(_.valueMillis > 100), events)
+    assert(conded.map(_.ids) === Seq(Seq(1L, 3L))) // small b skipped
+  }
+
+  test("where on the head stage gates which events start partials") {
+    val got = runPat(Cep.Pattern.begin("a").where(_.valueMillis >= 100).followedBy("b"),
+      Seq(evv(1, 10, "a", 50), evv(2, 20, "a", 150), evv(3, 30, "b", 0)))
+    assert(got.map(_.ids) === Seq(Seq(2L, 3L)))
+  }
+
+  test("where under strict contiguity: a type-matching but failing next event kills the partial") {
+    val pat = Cep.Pattern.begin("a").next("b").where(_.valueMillis > 100)
+    assert(runPat(pat,
+      Seq(evv(1, 10, "a", 0), evv(2, 20, "b", 50), evv(3, 30, "b", 200))).isEmpty)
+    assert(runPat(pat, Seq(evv(1, 10, "a", 0), evv(2, 20, "b", 200)))
+      .map(_.ids) === Seq(Seq(1L, 2L)))
+  }
+
+  test("repeated where calls AND-compose") {
+    val pat = Cep.Pattern.begin("a")
+      .followedBy("b").where(_.valueMillis > 100).where(_.valueMillis < 300)
+    val got = runPat(pat, Seq(evv(1, 10, "a", 0), evv(2, 20, "b", 400),
+      evv(3, 30, "b", 200)))
+    assert(got.map(_.ids) === Seq(Seq(1L, 3L)))
+  }
+
+  test("whereIter reads the bound values: second purchase strictly larger than the first") {
+    val pat = Cep.Pattern.begin("p")
+      .followedBy("p").whereIter((e, vals) => e.valueMillis > vals.head)
+    val got = runPat(pat,
+      Seq(evv(1, 10, "p", 100), evv(2, 20, "p", 50), evv(3, 30, "p", 150)))
+    // start@1 skips p@50, binds p@150; start@2 binds p@150; start@3 pending
+    assert(got.map(_.ids).toSet === Set(Seq(1L, 3L), Seq(2L, 3L)))
+  }
+
+  test("conditioned oneOrMore can share a type with the next stage and still exit") {
+    // small p's absorb into the loop; the big p fails the loop's condition
+    // and takes the exit edge instead (validate allows the overlap because
+    // conditions are present)
+    val pat = Cep.Pattern.begin("p").where(_.valueMillis < 100).oneOrMore
+      .followedBy("p").where(_.valueMillis >= 100)
+    val got = runPat(pat,
+      Seq(evv(1, 10, "p", 50), evv(2, 20, "p", 60), evv(3, 30, "p", 200)))
+    assert(got.map(_.ids).toSet === Set(Seq(1L, 2L, 3L), Seq(2L, 3L)))
+    // cond-free overlap is still rejected
+    intercept[IllegalArgumentException](
+      new Cep.NfaProcessor(Cep.Pattern.begin("p").oneOrMore.followedBy("p")))
+  }
+
+  test("maxPartials caps per-key state oldest-start first; below the cap output is unchanged") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val pat = Cep.Pattern.begin("a").followedByAny("b")
+    val events = Seq(ev(1, 10, "a"), ev(2, 20, "a"), ev(3, 30, "a"), ev(4, 40, "b"))
+    def runCapped(cap: Int): Seq[Cep.Match] = {
+      val mem = MemoryStream[KeyedEvent]
+      val ds = mem.toDS().withColumn("ts", timestamp_micros(col("tsUs")))
+        .withWatermark("ts", "0 seconds").drop("ts").as[KeyedEvent]
+      val out = EventTimeOps.ordered(ds, (e: KeyedEvent) => e.key,
+        new Cep.NfaProcessor(pat, maxPartials = cap))
+      val name = s"cep_${System.nanoTime()}"
+      val q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+      try { mem.addData(events: _*); q.processAllAvailable(); mem.addData(); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).as[Cep.Match].collect().toSeq
+    }
+    // cap above the live set: identical to the uncapped run
+    assert(runCapped(10).map(_.ids).toSet ===
+      runPat(pat, events).map(_.ids).toSet)
+    assert(runCapped(10).map(_.ids).toSet ===
+      Set(Seq(1L, 4L), Seq(2L, 4L), Seq(3L, 4L)))
+    // cap = 2: the a@10 partial (oldest start) is dropped when a@30 lands
+    assert(runCapped(2).map(_.ids).toSet === Set(Seq(2L, 4L), Seq(3L, 4L)))
+  }
+
   test("new-shape validation: until placement, timeout needs within, ambiguous until") {
     // until on a non-loop stage
     intercept[IllegalArgumentException](Cep.Pattern.begin("a").followedBy("b").until("u"))

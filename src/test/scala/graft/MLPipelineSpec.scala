@@ -19,7 +19,22 @@ class MLPipelineSpec extends SparkSpec {
     assert(t2.transform(serve).select($"x_z").head().getDouble(0) === 0.0)
   }
 
-  test("MinMaxScaler clamps to the training range; constant -> 0.5") {
+  test("MultipleLinearRegression recovers an exact plane and predicts unseen points") {
+    // y = 3 + 2*x1 - x2, exactly linear and full-rank
+    val train = Seq((1L, 1L), (2L, 5L), (3L, 2L), (4L, 7L), (5L, 3L), (6L, 1L))
+      .toDF("x1", "x2").withColumn("y", lit(3.0) + col("x1") * 2 - col("x2"))
+    val t = MultipleLinearRegression(Seq("x1", "x2"), "y").fit(train)
+    val pred = t.transform(Seq((10L, 4L)).toDF("x1", "x2"))
+      .select($"prediction").head().getDouble(0)
+    assert(math.abs(pred - (3.0 + 20.0 - 4.0)) < 1e-9)
+    // collinear features must fail loudly, not return garbage
+    val bad = Seq((1L, 2L), (2L, 4L), (3L, 6L)).toDF("x1", "x2")
+      .withColumn("y", col("x1") * 1.0)
+    intercept[IllegalArgumentException](
+      MultipleLinearRegression(Seq("x1", "x2"), "y").fit(bad))
+  }
+
+  test("MinMaxScaler applies the training range (values outside extrapolate); constant -> 0.5") {
     val t = MinMaxScaler(Seq("x")).fit(Seq(10L, 20L).toDF("x"))
     val out = t.transform(Seq(10L, 15L, 25L).toDF("x"))
       .select($"x_mm").as[Double].collect().toSeq
