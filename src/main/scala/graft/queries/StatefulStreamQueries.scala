@@ -1021,5 +1021,71 @@ object StatefulStreamQueries {
             AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
           ORDER BY b.ts, b.event_id LIMIT 1) b ON true
         WHERE epoch_us(b.ts) - epoch_us(a.ts) <= 86400000000""")),
+
+    // CEP times(from, to) range repetition: the click stage binds the
+    // FIRST 2 and 3 clicks after each view greedily, emitting a match at
+    // every count in the range (final-stage per-count emission) — the
+    // deterministic-subset semantics of the reference's times(from, to).
+    Entry("qc8_cep_times_range",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        import graft.streaming.{Cep, EventTimeOps}
+        val pat = Cep.Pattern.begin("view").followedBy("click").times(2, 3)
+          .within(86400000000L)
+        val out = EventTimeOps.ordered(keyedEvents(s, dir),
+            (e: StatefulOps.KeyedEvent) => e.key, new Cep.NfaProcessor(pat))
+          .select(col("key"),
+            element_at(col("ids"), 1).as("id_view"),
+            (size(col("ids")) - 1).cast("long").as("n_clicks"),
+            element_at(col("ids"), -1).as("id_last"),
+            col("startTsUs").as("start_ts_us"), col("endTsUs").as("end_ts_us"))
+        run(out, "qc8_sink")
+      },
+      Some("""WITH v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'),
+        c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+        r AS (SELECT v.user_id, v.event_id AS id_view, v.ts AS vts,
+            c.event_id AS cid, c.ts AS cts,
+            row_number() OVER (PARTITION BY v.user_id, v.event_id
+                               ORDER BY c.ts, c.event_id) AS rk
+          FROM v JOIN c ON c.user_id = v.user_id
+            AND (c.ts > v.ts OR (c.ts = v.ts AND c.event_id > v.event_id)))
+        SELECT user_id AS key, id_view, CAST(rk AS BIGINT) AS n_clicks,
+          cid AS id_last, epoch_us(vts) AS start_ts_us, epoch_us(cts) AS end_ts_us
+        FROM r WHERE rk IN (2, 3)
+          AND epoch_us(cts) - epoch_us(vts) <= 86400000000""")),
+
+    // CEP notNext (strict-contiguity negative pattern): a view whose
+    // IMMEDIATE successor in the key's event-time order is an error never
+    // matches; errors later in the gap are irrelevant (contrast q9a's
+    // notFollowedBy whole-gap guard).
+    Entry("qc9_cep_not_next",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        import graft.streaming.{Cep, EventTimeOps}
+        val pat = Cep.Pattern.begin("view").notNext("error").followedBy("purchase")
+          .within(86400000000L)
+        val out = EventTimeOps.ordered(keyedEvents(s, dir),
+            (e: StatefulOps.KeyedEvent) => e.key, new Cep.NfaProcessor(pat))
+          .select(col("key"),
+            element_at(col("ids"), 1).as("id_view"),
+            element_at(col("ids"), 2).as("id_purchase"),
+            col("startTsUs").as("start_ts_us"), col("endTsUs").as("end_ts_us"))
+        run(out, "qc9_sink")
+      },
+      Some("""WITH o AS (SELECT user_id, event_id, ts, event_type,
+            lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+          FROM events),
+        v AS (SELECT user_id, event_id, ts FROM o
+          WHERE event_type = 'view' AND (nxt IS NULL OR nxt <> 'error'))
+        SELECT v.user_id AS key, v.event_id AS id_view, p.event_id AS id_purchase,
+          epoch_us(v.ts) AS start_ts_us, epoch_us(p.ts) AS end_ts_us
+        FROM v JOIN LATERAL (
+          SELECT event_id, ts FROM events p
+          WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+            AND (p.ts > v.ts OR (p.ts = v.ts AND p.event_id > v.event_id))
+          ORDER BY p.ts, p.event_id LIMIT 1) p ON true
+        WHERE epoch_us(p.ts) - epoch_us(v.ts) <= 86400000000""")),
   )
 }

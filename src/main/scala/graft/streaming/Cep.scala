@@ -25,6 +25,17 @@ import org.apache.spark.sql.streaming.{StatefulProcessorHandle, TTLConfig, Value
   *    (the reference's Pattern.or condition disjunction).
   *  - `times(n)` = n consecutive bindings of the same stage predicate
   *    (contiguity of the stage itself follows the stage's kind).
+  *  - `times(from, to)` = GREEDY range repetition: the stage absorbs up
+  *    to `to` qualifying events; once `from` are bound, the next stage's
+  *    first qualifying event advances (deterministic first-binding, not
+  *    the reference's all-count branching); a final range stage emits a
+  *    match at every count in [from, to].
+  *  - `notNext(t)`: the event immediately after the previous binding must
+  *    not be of type `t` (reference: Pattern.notNext) — later `t`s are
+  *    irrelevant, unlike notFollowedBy's whole-gap guard.
+  *  - `where(f)` / `whereIter(f)`: value conditions on the last stage
+  *    (reference: SimpleCondition / IterativeCondition); a type-matching
+  *    event failing the condition is simply a non-matching event.
   *  - `until(t)` (on a oneOrMore stage): an event of type `t` CLOSES the
   *    loop for every live partial — no further absorption — but the partial
   *    stays pending for the following stage (reference: Pattern.until /
@@ -71,37 +82,61 @@ object Cep {
                          unbounded: Boolean = false,
                          optional: Boolean = false,
                          untilTypes: Set[String] = Set.empty,
-                         cond: Option[IterCond] = None) extends Serializable {
+                         cond: Option[IterCond] = None,
+                         timesTo: Int = 0,
+                         strictGuards: Set[String] = Set.empty) extends Serializable {
     def matches(t: String): Boolean = types.contains(t)
     /** Full acceptance test: event type AND the value condition evaluated
       * against the partial's bound values (empty at a head-stage bind). */
     def accepts(e: KeyedEvent, boundVals: Seq[Long]): Boolean =
       types.contains(e.eventType) && cond.forall(_(e, boundVals))
+    /** Upper repetition bound: `timesTo` when a times(from, to) range was
+      * declared, else the fixed `times`. */
+    def timesMax: Int = if (timesTo > 0) timesTo else times
     def label: String = types.mkString("|")
   }
 
   /** Fluent builder mirroring Pattern.begin(...).followedBy(...)
     * .oneOrMore.until(...).optional.notFollowedBy(...).within(...). */
   final case class Pattern(stages: Vector[Stage], withinUs: Long = Long.MaxValue,
-                           pendingGuards: Set[String] = Set.empty) {
+                           pendingGuards: Set[String] = Set.empty,
+                           pendingStrictGuards: Set[String] = Set.empty) {
     def next(t: String, times: Int = 1): Pattern =
-      copy(stages = stages :+ Stage(Set(t), times, Strict, pendingGuards),
-        pendingGuards = Set.empty)
+      copy(stages = stages :+ Stage(Set(t), times, Strict, pendingGuards,
+        strictGuards = pendingStrictGuards),
+        pendingGuards = Set.empty, pendingStrictGuards = Set.empty)
     def followedBy(t: String, times: Int = 1): Pattern =
-      copy(stages = stages :+ Stage(Set(t), times, Relaxed, pendingGuards),
-        pendingGuards = Set.empty)
+      copy(stages = stages :+ Stage(Set(t), times, Relaxed, pendingGuards,
+        strictGuards = pendingStrictGuards),
+        pendingGuards = Set.empty, pendingStrictGuards = Set.empty)
     /** Skip-till-any-match: the stage binds EVERY qualifying event, not just
       * the first — the partial forks per binding (reference:
       * Pattern.followedByAny). */
     def followedByAny(t: String, times: Int = 1): Pattern =
-      copy(stages = stages :+ Stage(Set(t), times, RelaxedAny, pendingGuards),
-        pendingGuards = Set.empty)
+      copy(stages = stages :+ Stage(Set(t), times, RelaxedAny, pendingGuards,
+        strictGuards = pendingStrictGuards),
+        pendingGuards = Set.empty, pendingStrictGuards = Set.empty)
+    /** Range repetition on the LAST added stage (reference:
+      * Pattern.times(from, to)): the stage binds between `from` and `to`
+      * consecutive repetitions, GREEDILY — it keeps absorbing qualifying
+      * events up to `to`; once at least `from` are bound, the next
+      * stage's first qualifying event advances the match out (the same
+      * deterministic first-binding family as followedBy, not the
+      * reference's all-count branching). A final range stage emits a
+      * match at EVERY count in [from, to] (the per-absorption behavior a
+      * final oneOrMore has). */
+    def times(from: Int, to: Int): Pattern = {
+      require(stages.nonEmpty, "times needs a stage")
+      require(from >= 1 && to >= from, s"need 1 <= from <= to, got ($from, $to)")
+      require(!stages.last.unbounded, "times(from, to) conflicts with oneOrMore")
+      copy(stages = stages.init :+ stages.last.copy(times = from, timesTo = to))
+    }
     /** The LAST added stage also accepts events of type `t` (reference:
       * Pattern.or — condition disjunction on one stage). */
     def or(t: String): Pattern = {
       require(stages.nonEmpty, "or needs a stage")
-      require(pendingGuards.isEmpty,
-        "or widens the last bound stage; it cannot follow a dangling notFollowedBy")
+      require(pendingGuards.isEmpty && pendingStrictGuards.isEmpty,
+        "or widens the last bound stage; it cannot follow a dangling notFollowedBy/notNext")
       copy(stages = stages.init :+ stages.last.copy(types = stages.last.types + t))
     }
     /** Value condition on the LAST added stage (reference: Pattern.where +
@@ -117,8 +152,8 @@ object Cep {
       * than the first one bound". AND-composes with prior conditions. */
     def whereIter(f: IterCond): Pattern = {
       require(stages.nonEmpty, "where needs a stage")
-      require(pendingGuards.isEmpty,
-        "where conditions the last bound stage; it cannot follow a dangling notFollowedBy")
+      require(pendingGuards.isEmpty && pendingStrictGuards.isEmpty,
+        "where conditions the last bound stage; it cannot follow a dangling notFollowedBy/notNext")
       val last = stages.last
       val merged: IterCond = last.cond match {
         case Some(g) => (e, vs) => g(e, vs) && f(e, vs)
@@ -130,6 +165,11 @@ object Cep {
       * (reference: Pattern.notFollowedBy; a trailing notFollowedBy with no
       * following stage is rejected, as in the reference). */
     def notFollowedBy(t: String): Pattern = copy(pendingGuards = pendingGuards + t)
+    /** The event IMMEDIATELY after the previous binding must not be of
+      * type `t` (reference: Pattern.notNext — the strict-contiguity
+      * negative pattern). Later occurrences of `t` are irrelevant,
+      * unlike notFollowedBy's whole-gap guard. */
+    def notNext(t: String): Pattern = copy(pendingStrictGuards = pendingStrictGuards + t)
     /** The last added stage loops greedily: it absorbs every further event
       * of its type; the next stage's first qualifying event advances the
       * match out of the loop. A final oneOrMore stage emits a match on
@@ -159,7 +199,8 @@ object Cep {
       copy(stages = stages.init :+ stages.last.copy(optional = true))
     }
     def within(us: Long): Pattern = {
-      require(pendingGuards.isEmpty, "notFollowedBy must be followed by a bound stage")
+      require(pendingGuards.isEmpty && pendingStrictGuards.isEmpty,
+        "notFollowedBy/notNext must be followed by a bound stage")
       copy(withinUs = us)
     }
 
@@ -175,6 +216,11 @@ object Cep {
     private[Cep] def validate(): Unit = {
       require(!stages.last.optional,
         "optional on the final stage is unsupported (no following stage to skip to)")
+      stages.foreach { s =>
+        require((s.strictGuards intersect s.types).isEmpty,
+          s"notNext type also accepted by stage '${s.label}' is ambiguous " +
+            "(the immediate event would both bind and kill)")
+      }
       stages.sliding(2).foreach { w =>
         if (w.length == 2) {
           require(!(w(0).optional && w(1).optional),
@@ -201,11 +247,15 @@ object Cep {
   }
 
   /** A partial match: stage index, bindings so far (ids + their
-    * valueMillis, for iterative conditions), repetition progress;
-    * `loopClosed` = an `until` event stopped this partial's oneOrMore loop. */
+    * valueMillis — `vals` is populated only when some stage carries a
+    * value condition, to keep conditionless patterns' state lean),
+    * repetition progress; `loopClosed` = an `until` event stopped this
+    * partial's oneOrMore loop; `gapSeen` = at least one event arrived
+    * since the last binding (arms/disarms the notNext strict guard). */
   final case class Partial(stage: Int, reps: Int, startTsUs: Long, ids: Seq[Long],
                            loopClosed: Boolean = false,
-                           vals: Seq[Long] = Seq.empty)
+                           vals: Seq[Long] = Seq.empty,
+                           gapSeen: Boolean = false)
 
   /** A completed match, or — when the processor runs with
     * `emitTimeouts = true` — a timed-out partial (`timedOut = true`,
@@ -234,6 +284,10 @@ object Cep {
       "timeout select requires a within() bound")
     require(maxPartials >= 1, s"maxPartials must be >= 1, got $maxPartials")
 
+    /** Bound values are only carried in state when some stage's condition
+      * can read them — conditionless patterns keep partial state lean. */
+    private val needVals = pattern.stages.exists(_.cond.isDefined)
+
     @transient private var partials: ValueState[Seq[Partial]] = _
 
     override protected def openState(h: StatefulProcessorHandle): Unit =
@@ -255,16 +309,22 @@ object Cep {
                  vals: Seq[Long]): Unit = {
         val stage = st(i)
         val ids1 = ids :+ e.eventId
-        val vals1 = vals :+ e.valueMillis
+        val vals1 = if (needVals) vals :+ e.valueMillis else vals
         if (stage.unbounded) {
           if (i == st.length - 1) out += Match(key, ids1, start, e.tsUs)
           next += Partial(i, reps0 + 1, start, ids1, vals = vals1)
         } else {
           val reps = reps0 + 1
-          if (reps == stage.times) {
-            if (i + 1 == st.length) out += Match(key, ids1, start, e.tsUs)
-            else next += Partial(i + 1, 0, start, ids1, vals = vals1)
-          } else next += Partial(i, reps, start, ids1, vals = vals1)
+          if (i + 1 == st.length) {
+            // final stage: emit once the minimum count is reached; a
+            // times(from, to) range keeps absorbing — and emitting per
+            // count — until the max (fixed times is from == to)
+            if (reps >= stage.times) out += Match(key, ids1, start, e.tsUs)
+            if (reps < stage.timesMax) next += Partial(i, reps, start, ids1, vals = vals1)
+          } else {
+            if (reps == stage.timesMax) next += Partial(i + 1, 0, start, ids1, vals = vals1)
+            else next += Partial(i, reps, start, ids1, vals = vals1)
+          }
         }
       }
 
@@ -277,34 +337,45 @@ object Cep {
         } else {
           val stage = st(p.stage)
           val nextStage = if (p.stage + 1 < st.length) Some(st(p.stage + 1)) else None
-          if (stage.accepts(e, p.vals) && !(stage.unbounded && p.loopClosed)) {
+          if (!p.gapSeen && p.reps == 0 && stage.strictGuards.contains(e.eventType)) {
+            // notNext violated: the immediate successor of the previous
+            // binding is a prohibited type — kill the partial (wins over
+            // any other use of the event; the declared constraint is
+            // already broken)
+          } else if (stage.accepts(e, p.vals) && !(stage.unbounded && p.loopClosed)) {
             bindAt(p.stage, p.reps, p.startTsUs, p.ids, p.vals)
             // skip-till-any: the un-advanced partial survives to bind a
             // later qualifying event too (SharedBuffer fork)
-            if (stage.contiguity == RelaxedAny) next += p
+            if (stage.contiguity == RelaxedAny) next += p.copy(gapSeen = true)
           } else if (stage.unbounded && p.reps >= 1 &&
               nextStage.exists(_.accepts(e, p.vals))) {
             // loop exit: the next stage's first qualifying event advances
             bindAt(p.stage + 1, 0, p.startTsUs, p.ids, p.vals)
-            if (nextStage.get.contiguity == RelaxedAny) next += p
+            if (nextStage.get.contiguity == RelaxedAny) next += p.copy(gapSeen = true)
+          } else if (!stage.unbounded && stage.timesTo > 0 && p.reps >= stage.times &&
+              nextStage.exists(_.accepts(e, p.vals))) {
+            // times(from, to) early exit: at least `from` repetitions are
+            // bound, the next stage's first qualifying event advances
+            bindAt(p.stage + 1, 0, p.startTsUs, p.ids, p.vals)
+            if (nextStage.get.contiguity == RelaxedAny) next += p.copy(gapSeen = true)
           } else if (stage.optional && p.reps == 0 &&
               nextStage.exists(_.accepts(e, p.vals))) {
             // optional skip: following stage's event arrived first
             bindAt(p.stage + 1, 0, p.startTsUs, p.ids, p.vals)
-            if (nextStage.get.contiguity == RelaxedAny) next += p
+            if (nextStage.get.contiguity == RelaxedAny) next += p.copy(gapSeen = true)
           } else if (stage.guards.contains(e.eventType)) {
             // negative guard hit between bindings: kill the partial
           } else if (stage.unbounded && stage.untilTypes.contains(e.eventType)) {
             // until: the loop stops absorbing; the partial survives only if
             // a later stage can still complete the match
-            if (p.stage + 1 < st.length) next += p.copy(loopClosed = true)
+            if (p.stage + 1 < st.length) next += p.copy(loopClosed = true, gapSeen = true)
           } else {
             // the pending binding's contiguity governs whether a gap is
             // allowed: relaxed (either kind) skips the event, strict drops
             // the partial (a type-matching event that merely FAILS the
             // stage's value condition lands here too — it is just a
             // non-matching event, the reference's condition semantics)
-            if (stage.contiguity != Strict) next += p
+            if (stage.contiguity != Strict) next += p.copy(gapSeen = true)
           }
         }
       }

@@ -296,6 +296,41 @@ class CepSpec extends SparkSpec {
     assert(runCapped(2).map(_.ids).toSet === Set(Seq(2L, 4L), Seq(3L, 4L)))
   }
 
+  test("times(from, to) on the final stage emits a match per count in the range") {
+    val got = runPat(Cep.Pattern.begin("v").followedBy("a").times(2, 3),
+      Seq(ev(1, 10, "v"), ev(2, 20, "a"), ev(3, 30, "a"), ev(4, 40, "a"), ev(5, 50, "a")))
+    // the v-start binds a@20,a@30 (count 2) and a@40 (count 3), then stops
+    assert(got.map(_.ids).toSet ===
+      Set(Seq(1L, 2L, 3L), Seq(1L, 2L, 3L, 4L)))
+  }
+
+  test("times(from, to) mid-pattern: greedy absorption, early exit after the minimum") {
+    val pat = Cep.Pattern.begin("v").followedBy("a").times(2, 3).followedBy("b")
+    // only 2 a's, then b: early exit at the minimum
+    assert(runPat(pat, Seq(ev(1, 10, "v"), ev(2, 20, "a"), ev(3, 30, "a"), ev(4, 40, "b")))
+      .map(_.ids) === Seq(Seq(1L, 2L, 3L, 4L)))
+    // 4 a's: absorbs to the max of 3, the 4th is skipped (relaxed), b binds
+    assert(runPat(pat, Seq(ev(1, 10, "v"), ev(2, 20, "a"), ev(3, 30, "a"),
+      ev(4, 40, "a"), ev(5, 50, "a"), ev(6, 60, "b")))
+      .map(_.ids) === Seq(Seq(1L, 2L, 3L, 4L, 6L)))
+    // one a only: below the minimum, no match
+    assert(runPat(pat, Seq(ev(1, 10, "v"), ev(2, 20, "a"), ev(3, 30, "b"))).isEmpty)
+  }
+
+  test("notNext kills only when the prohibited type is the IMMEDIATE successor") {
+    val pat = Cep.Pattern.begin("v").notNext("x").followedBy("p")
+    // x immediately after v: dead
+    assert(runPat(pat, Seq(ev(1, 10, "v"), ev(2, 20, "x"), ev(3, 30, "p"))).isEmpty)
+    // x later in the gap: irrelevant (contrast notFollowedBy)
+    assert(runPat(pat, Seq(ev(1, 10, "v"), ev(2, 20, "y"), ev(3, 30, "x"), ev(4, 40, "p")))
+      .map(_.ids) === Seq(Seq(1L, 4L)))
+    // immediate p binds as usual
+    assert(runPat(pat, Seq(ev(1, 10, "v"), ev(2, 20, "p"))).map(_.ids) === Seq(Seq(1L, 2L)))
+    // ambiguous: notNext type also accepted by the guarded stage
+    intercept[IllegalArgumentException](
+      new Cep.NfaProcessor(Cep.Pattern.begin("v").notNext("p").followedBy("p")))
+  }
+
   test("new-shape validation: until placement, timeout needs within, ambiguous until") {
     // until on a non-loop stage
     intercept[IllegalArgumentException](Cep.Pattern.begin("a").followedBy("b").until("u"))
