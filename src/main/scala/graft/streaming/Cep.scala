@@ -296,8 +296,23 @@ object Cep {
         TTLConfig.NONE)
 
     override protected def onOrdered(key: Long, e: KeyedEvent): Iterator[Match] = {
-      val st = pattern.stages
       val cur = if (partials.exists()) partials.get() else Seq.empty
+      val (kept, out) = Nfa.step(pattern, cur, key, e, emitTimeouts, maxPartials, needVals)
+      partials.update(kept)
+      out.iterator
+    }
+  }
+
+  /** The pure per-event NFA transition — (partial set, event) → (new
+    * partial set, emitted matches). Factored out of [[NfaProcessor]] so it
+    * is directly testable without a streaming harness (CepFuzzSpec runs a
+    * randomized differential check against an independent brute-force
+    * matcher); the processor is a thin per-key state wrapper around it. */
+  private[graft] object Nfa {
+    def step(pattern: Pattern, cur: Seq[Partial], key: Long, e: KeyedEvent,
+             emitTimeouts: Boolean, maxPartials: Int,
+             needVals: Boolean): (Seq[Partial], Seq[Match]) = {
+      val st = pattern.stages
       val out = Seq.newBuilder[Match]
       val next = Seq.newBuilder[Partial]
 
@@ -392,8 +407,7 @@ object Cep {
             .take(all.size - maxPartials).map(_._2).toSet
           all.zipWithIndex.collect { case (p, i) if !drop.contains(i) => p }
         }
-      partials.update(kept)
-      out.result().iterator
+      (kept, out.result())
     }
   }
 }
