@@ -1087,5 +1087,103 @@ object StatefulStreamQueries {
             AND (p.ts > v.ts OR (p.ts = v.ts AND p.event_id > v.event_id))
           ORDER BY p.ts, p.event_id LIMIT 1) p ON true
         WHERE epoch_us(p.ts) - epoch_us(v.ts) <= 86400000000""")),
+
+    // CEP consecutive (strict internal loop contiguity, reference
+    // Quantifier.consecutive): each view starts a loop that absorbs only
+    // the CONTIGUOUS run of views after it — the first non-view event
+    // closes absorption — then the first purchase completes the match.
+    // Contrast q9k, whose relaxed loop skips interleaved events.
+    Entry("qca_cep_consecutive",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        import graft.streaming.{Cep, EventTimeOps}
+        val pat = Cep.Pattern.begin("view").oneOrMore.consecutive
+          .followedBy("purchase").within(86400000000L)
+        val out = EventTimeOps.ordered(keyedEvents(s, dir),
+            (e: StatefulOps.KeyedEvent) => e.key, new Cep.NfaProcessor(pat))
+          .select(col("key"),
+            element_at(col("ids"), 1).as("id_first"),
+            (size(col("ids")) - 1).cast("long").as("n_views"),
+            element_at(col("ids"), -1).as("id_purchase"),
+            col("startTsUs").as("start_ts_us"), col("endTsUs").as("end_ts_us"))
+        run(out.toDF(), "qca_sink")
+      },
+      Some("""WITH seq AS (SELECT user_id, event_id, ts, event_type,
+            row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+          FROM events),
+        v AS (SELECT * FROM seq WHERE event_type = 'view'),
+        b AS (SELECT v.user_id, v.event_id AS id_first, v.ts AS vts, v.rn AS vrn,
+            nv.rn AS brn
+          FROM v JOIN LATERAL (
+            SELECT rn FROM seq n
+            WHERE n.user_id = v.user_id AND n.rn > v.rn AND n.event_type <> 'view'
+            ORDER BY n.rn LIMIT 1) nv ON true),
+        p AS (SELECT b.*, pu.event_id AS id_purchase, pu.ts AS pts
+          FROM b JOIN LATERAL (
+            SELECT event_id, ts FROM seq pu
+            WHERE pu.user_id = b.user_id AND pu.rn >= b.brn
+              AND pu.event_type = 'purchase'
+            ORDER BY pu.rn LIMIT 1) pu ON true)
+        SELECT user_id AS key, id_first, CAST(brn - vrn AS BIGINT) AS n_views,
+          id_purchase, epoch_us(vts) AS start_ts_us, epoch_us(pts) AS end_ts_us
+        FROM p WHERE epoch_us(pts) - epoch_us(vts) <= 86400000000""")),
+
+    // CEP allowCombinations (skip-till-any BETWEEN repetitions, reference
+    // Quantifier.allowCombinations): each error starts a loop whose later
+    // repetitions fork per qualifying event, so every error subset
+    // containing the first one reaches the signup — 2^k matches per
+    // (first error, signup) pair with k middle errors (max k = 4 on this
+    // fixture). The gate aggregates per start: the match count, total
+    // bound repetitions, and the sum of last-bound error ids form an
+    // exact signature of the explored subset lattice, replayed in SQL via
+    // the closed forms 2^k, 2^k + k*2^(k-1), and sum(id_i * 2^(i-1)).
+    Entry("qcb_cep_combinations",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        import graft.streaming.{Cep, EventTimeOps}
+        val pat = Cep.Pattern.begin("error").oneOrMore.allowCombinations
+          .followedBy("signup").within(86400000000L)
+        val matches = EventTimeOps.ordered(keyedEvents(s, dir),
+            (e: StatefulOps.KeyedEvent) => e.key, new Cep.NfaProcessor(pat))
+        run(matches.toDF(), "qcb_sink")
+          .groupBy(col("key"), element_at(col("ids"), 1).as("id_first"))
+          .agg(count(lit(1)).as("n_matches"),
+            sum(size(col("ids")) - 1).as("sum_reps"),
+            sum(element_at(col("ids"), -2)).as("sum_last"),
+            max(element_at(col("ids"), -1)).as("id_signup"),
+            max(col("startTsUs")).as("start_ts_us"),
+            max(col("endTsUs")).as("end_ts_us"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'),
+        fs AS (SELECT e.user_id, e.event_id AS id_first, e.ts AS ets,
+            s.event_id AS id_signup, s.ts AS sts
+          FROM e JOIN LATERAL (
+            SELECT event_id, ts FROM events s
+            WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+              AND (s.ts > e.ts OR (s.ts = e.ts AND s.event_id > e.event_id))
+            ORDER BY s.ts, s.event_id LIMIT 1) s ON true
+          WHERE epoch_us(s.ts) - epoch_us(e.ts) <= 86400000000),
+        mid AS (SELECT fs.user_id, fs.id_first, m.event_id AS mid_id,
+            row_number() OVER (PARTITION BY fs.user_id, fs.id_first
+                               ORDER BY m.ts, m.event_id) AS i
+          FROM fs JOIN events m ON m.user_id = fs.user_id
+            AND m.event_type = 'error'
+            AND (m.ts > fs.ets OR (m.ts = fs.ets AND m.event_id > fs.id_first))
+            AND (m.ts < fs.sts OR (m.ts = fs.sts AND m.event_id < fs.id_signup))),
+        kk AS (SELECT fs.user_id, fs.id_first, fs.id_signup, fs.ets, fs.sts,
+            count(mid.mid_id) AS k,
+            CAST(coalesce(sum(mid.mid_id * CAST(power(2, mid.i - 1) AS BIGINT)), 0)
+              AS BIGINT) AS mid_last_sum
+          FROM fs LEFT JOIN mid ON mid.user_id = fs.user_id
+            AND mid.id_first = fs.id_first
+          GROUP BY 1, 2, 3, 4, 5)
+        SELECT user_id AS key, id_first,
+          CAST(power(2, k) AS BIGINT) AS n_matches,
+          CAST(power(2, k) + k * power(2, k - 1) AS BIGINT) AS sum_reps,
+          id_first + mid_last_sum AS sum_last,
+          id_signup, epoch_us(ets) AS start_ts_us, epoch_us(sts) AS end_ts_us
+        FROM kk""")),
   )
 }

@@ -30,6 +30,14 @@ import org.apache.spark.sql.streaming.{StatefulProcessorHandle, TTLConfig, Value
   *    first qualifying event advances (deterministic first-binding, not
   *    the reference's all-count branching); a final range stage emits a
   *    match at every count in [from, to].
+  *  - `consecutive` (on a oneOrMore stage) = strict INTERNAL contiguity
+  *    (reference: Quantifier.consecutive): after the first repetition, a
+  *    non-matching event closes the loop; outer contiguity still governs
+  *    the gap before the first repetition.
+  *  - `allowCombinations` (on a oneOrMore stage) = skip-till-any BETWEEN
+  *    repetitions (reference: Quantifier.allowCombinations): each further
+  *    qualifying event extends the loop AND forks a skipping branch, so
+  *    all repetition subsets containing the first binding are explored.
   *  - `notNext(t)`: the event immediately after the previous binding must
   *    not be of type `t` (reference: Pattern.notNext) — later `t`s are
   *    irrelevant, unlike notFollowedBy's whole-gap guard.
@@ -84,7 +92,9 @@ object Cep {
                          untilTypes: Set[String] = Set.empty,
                          cond: Option[IterCond] = None,
                          timesTo: Int = 0,
-                         strictGuards: Set[String] = Set.empty) extends Serializable {
+                         strictGuards: Set[String] = Set.empty,
+                         loopStrict: Boolean = false,
+                         loopAny: Boolean = false) extends Serializable {
     def matches(t: String): Boolean = types.contains(t)
     /** Full acceptance test: event type AND the value condition evaluated
       * against the partial's bound values (empty at a head-stage bind). */
@@ -179,6 +189,37 @@ object Cep {
       require(stages.nonEmpty, "oneOrMore needs a stage")
       copy(stages = stages.init :+ stages.last.copy(unbounded = true))
     }
+    /** Internal STRICT contiguity for the last (oneOrMore) stage
+      * (reference: Quantifier.consecutive, the 1.3 looping-contiguity
+      * modifier): once the loop has bound its first repetition, the first
+      * event that neither repeats the loop nor advances to the next stage
+      * CLOSES the loop — no further absorption; the partial stays pending
+      * for the following stage (or dies when the loop is final). The gap
+      * BEFORE the first repetition still follows the stage's outer
+      * contiguity, as in the reference. */
+    def consecutive: Pattern = {
+      require(stages.nonEmpty && stages.last.unbounded,
+        "consecutive applies to a oneOrMore stage")
+      require(!stages.last.loopAny,
+        "consecutive conflicts with allowCombinations on the same stage")
+      copy(stages = stages.init :+ stages.last.copy(loopStrict = true))
+    }
+    /** Non-deterministic internal contiguity for the last (oneOrMore)
+      * stage (reference: Quantifier.allowCombinations — skip-till-any
+      * BETWEEN repetitions): after the first repetition binds (outer
+      * contiguity unchanged: followedBy still binds the FIRST qualifying
+      * event), every further qualifying event both extends the loop and
+      * forks a branch that skips it, so all order-preserving repetition
+      * subsets containing the first binding are explored. Combinatorial by
+      * design; `within` (and the NfaProcessor `maxPartials` valve) bound
+      * the live branch set. */
+    def allowCombinations: Pattern = {
+      require(stages.nonEmpty && stages.last.unbounded,
+        "allowCombinations applies to a oneOrMore stage")
+      require(!stages.last.loopStrict,
+        "allowCombinations conflicts with consecutive on the same stage")
+      copy(stages = stages.init :+ stages.last.copy(loopAny = true))
+    }
     /** Stop condition for the last (oneOrMore) stage: an event of type `t`
       * closes the loop — no further absorption — while the partial stays
       * pending for the following stage (reference: Pattern.until). */
@@ -226,10 +267,12 @@ object Cep {
           require(!(w(0).optional && w(1).optional),
             "consecutive optional stages are unsupported (one stage of lookahead)")
           // with value conditions the overlap CAN be escapable (the loop's
-          // cond rejects what the next stage's cond accepts), so only the
-          // cond-free case is provably stuck
+          // cond rejects what the next stage's cond accepts), and a
+          // consecutive loop closes on the first gap after which a shared
+          // type CAN exit — so only the cond-free non-consecutive case is
+          // provably stuck
           require((w(0).types intersect w(1).types).isEmpty || !w(0).unbounded ||
-              w(0).cond.isDefined || w(1).cond.isDefined,
+              w(0).cond.isDefined || w(1).cond.isDefined || w(0).loopStrict,
             s"oneOrMore('${w(0).label}') followed by a shared type never exits the loop")
           require(!(w(0).unbounded && w(1).optional),
             s"oneOrMore('${w(0).label}') followed by an optional stage never takes " +
@@ -360,8 +403,13 @@ object Cep {
           } else if (stage.accepts(e, p.vals) && !(stage.unbounded && p.loopClosed)) {
             bindAt(p.stage, p.reps, p.startTsUs, p.ids, p.vals)
             // skip-till-any: the un-advanced partial survives to bind a
-            // later qualifying event too (SharedBuffer fork)
-            if (stage.contiguity == RelaxedAny) next += p.copy(gapSeen = true)
+            // later qualifying event too (SharedBuffer fork). The same
+            // fork applies BETWEEN loop repetitions under
+            // allowCombinations (internal skip-till-any — the branch that
+            // skips this absorption explores the other repetition subsets).
+            if (stage.contiguity == RelaxedAny ||
+                (stage.unbounded && stage.loopAny && p.reps >= 1))
+              next += p.copy(gapSeen = true)
           } else if (stage.unbounded && p.reps >= 1 &&
               nextStage.exists(_.accepts(e, p.vals))) {
             // loop exit: the next stage's first qualifying event advances
@@ -383,6 +431,11 @@ object Cep {
           } else if (stage.unbounded && stage.untilTypes.contains(e.eventType)) {
             // until: the loop stops absorbing; the partial survives only if
             // a later stage can still complete the match
+            if (p.stage + 1 < st.length) next += p.copy(loopClosed = true, gapSeen = true)
+          } else if (stage.unbounded && stage.loopStrict && p.reps >= 1) {
+            // consecutive: a non-matching event after the first repetition
+            // closes the loop — no further absorption; the partial
+            // survives only if a later stage can still complete the match
             if (p.stage + 1 < st.length) next += p.copy(loopClosed = true, gapSeen = true)
           } else {
             // the pending binding's contiguity governs whether a gap is

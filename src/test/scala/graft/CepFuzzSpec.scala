@@ -69,6 +69,80 @@ class CepFuzzSpec extends AnyFunSuite {
     res.result()
   }
 
+  /** Closed-form reference for head→loop(oneOrMore)→tail patterns under
+    * the three internal-contiguity modes, written from the reference
+    * quantifier semantics (Quantifier.consecutive / allowCombinations +
+    * this repo's pinned greedy default), independent of the NFA code:
+    *  - default: absorb every loop-type event from the first one on,
+    *    skipping others; the first tail event after >=1 repetition exits.
+    *  - consecutive: absorb the maximal CONTIGUOUS run starting at the
+    *    first loop event; the first non-loop event closes absorption (and
+    *    exits directly when it is the tail type).
+    *  - combinations: the first loop event is always bound; every subset
+    *    of the loop events strictly between it and the first tail event
+    *    joins it (order preserved).
+    */
+  private def bruteLoop(mode: String, h: String, l: String, t: String,
+                        withinUs: Long,
+                        events: IndexedSeq[KeyedEvent]): Set[(Seq[Long], Long, Long)] = {
+    val res = Set.newBuilder[(Seq[Long], Long, Long)]
+    for (i <- events.indices if events(i).eventType == h) {
+      val start = events(i).tsUs
+      val jOpt = (i + 1 until events.length).find(events(_).eventType == l)
+      jOpt.foreach { j =>
+        val tailOpt = (j + 1 until events.length).find(events(_).eventType == t)
+        tailOpt.foreach { k =>
+          val tail = events(k)
+          if (tail.tsUs - start <= withinUs) {
+            val mids = (j + 1 until k).filter(events(_).eventType == l)
+            mode match {
+              case "default" =>
+                res += ((events(i).eventId +: (j +: mids).map(events(_).eventId)
+                  :+ tail.eventId, start, tail.tsUs))
+              case "consecutive" =>
+                // maximal contiguous run at j; events between run end and
+                // the tail must not re-open the loop
+                var end = j
+                while (end + 1 < k && events(end + 1).eventType == l) end += 1
+                res += ((events(i).eventId +: (j to end).map(events(_).eventId)
+                  :+ tail.eventId, start, tail.tsUs))
+              case "combinations" =>
+                mids.toSet.subsets().foreach { s =>
+                  res += ((events(i).eventId +: (j +: mids.filter(s)).map(events(_).eventId)
+                    :+ tail.eventId, start, tail.tsUs))
+                }
+            }
+          }
+        }
+      }
+    }
+    res.result()
+  }
+
+  test("loop NFA matches the closed-form reference on 1500 random streams x 3 modes") {
+    val rnd = new scala.util.Random(20260814L)
+    val types = Vector("a", "b", "c", "x")
+    for (trial <- 1 to 1500; mode <- Seq("default", "consecutive", "combinations")) {
+      val Seq(h, l, t) = rnd.shuffle(types.toList).take(3)
+      val base = Pattern.begin(h).followedBy(l).oneOrMore
+      val modded = mode match {
+        case "default" => base
+        case "consecutive" => base.consecutive
+        case "combinations" => base.allowCombinations
+      }
+      val within = if (rnd.nextBoolean()) 12L * 1000000L else Long.MaxValue
+      val pat = modded.followedBy(t).within(within)
+      val events = (0 until 25).map { k =>
+        KeyedEvent(1L, k + 1L, (k + 1L) * 1000000L,
+          types(rnd.nextInt(types.length)), 0L)
+      }
+      val got = runNfa(pat, events)
+      val want = bruteLoop(mode, h, l, t, within, events)
+      assert(got === want,
+        s"trial $trial mode=$mode $h->$l+->$t within=$within diverged")
+    }
+  }
+
   test("NFA matches the brute-force reference on 3000 random pattern/stream pairs") {
     val rnd = new scala.util.Random(20260813L)
     val types = Vector("a", "b", "c", "d")

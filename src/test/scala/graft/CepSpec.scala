@@ -331,6 +331,78 @@ class CepSpec extends SparkSpec {
       new Cep.NfaProcessor(Cep.Pattern.begin("v").notNext("p").followedBy("p")))
   }
 
+  test("consecutive closes the loop at the first gap; default keeps absorbing past it") {
+    val events = Seq(ev(1, 10, "a"), ev(2, 20, "b"), ev(3, 30, "b"),
+      ev(4, 40, "x"), ev(5, 50, "b"), ev(6, 60, "c"))
+    val dflt = runPat(Cep.Pattern.begin("a").followedBy("b").oneOrMore
+      .followedBy("c"), events)
+    assert(dflt.map(_.ids) === Seq(Seq(1L, 2L, 3L, 5L, 6L)))
+    val consec = runPat(Cep.Pattern.begin("a").followedBy("b").oneOrMore.consecutive
+      .followedBy("c"), events)
+    // x@40 closes the loop: b@50 is NOT absorbed, c still binds
+    assert(consec.map(_.ids) === Seq(Seq(1L, 2L, 3L, 6L)))
+  }
+
+  test("consecutive still allows a gap BEFORE the first repetition (outer contiguity)") {
+    val got = runPat(Cep.Pattern.begin("a").followedBy("b").oneOrMore.consecutive
+      .followedBy("c"),
+      Seq(ev(1, 10, "a"), ev(2, 20, "x"), ev(3, 30, "b"), ev(4, 40, "b"), ev(5, 50, "c")))
+    assert(got.map(_.ids) === Seq(Seq(1L, 3L, 4L, 5L)))
+  }
+
+  test("consecutive on a final loop stage: the gap kills further emission") {
+    val events = Seq(ev(1, 10, "a"), ev(2, 20, "b"), ev(3, 30, "b"),
+      ev(4, 40, "x"), ev(5, 50, "b"))
+    val dflt = runPat(Cep.Pattern.begin("a").followedBy("b").oneOrMore, events)
+    assert(dflt.map(_.ids).toSet ===
+      Set(Seq(1L, 2L), Seq(1L, 2L, 3L), Seq(1L, 2L, 3L, 5L)))
+    val consec = runPat(Cep.Pattern.begin("a").followedBy("b").oneOrMore.consecutive,
+      events)
+    assert(consec.map(_.ids).toSet === Set(Seq(1L, 2L), Seq(1L, 2L, 3L)))
+  }
+
+  test("consecutive loop may share a type with the next stage: the gap opens the exit") {
+    val pat = Cep.Pattern.begin("p").oneOrMore.consecutive.followedBy("p")
+    val got = runPat(pat, Seq(ev(1, 10, "p"), ev(2, 20, "p"), ev(3, 30, "x"), ev(4, 40, "p")))
+    // starts at 1 and 2 absorb contiguously, close at x@30, exit on p@40;
+    // the p@40 partial stays pending (its loop is open, absorbing)
+    assert(got.map(_.ids).toSet === Set(Seq(1L, 2L, 4L), Seq(2L, 4L)))
+    // without a gap the loop absorbs greedily and never exits
+    assert(runPat(pat, Seq(ev(1, 10, "p"), ev(2, 20, "p"), ev(3, 30, "p"))).isEmpty)
+  }
+
+  test("allowCombinations explores every repetition subset containing the first binding") {
+    val events = Seq(ev(1, 10, "a"), ev(2, 20, "b"), ev(3, 30, "b"),
+      ev(4, 40, "b"), ev(5, 50, "c"))
+    val dflt = runPat(Cep.Pattern.begin("a").followedBy("b").oneOrMore
+      .followedBy("c"), events)
+    assert(dflt.map(_.ids) === Seq(Seq(1L, 2L, 3L, 4L, 5L)))
+    val combo = runPat(Cep.Pattern.begin("a").followedBy("b").oneOrMore.allowCombinations
+      .followedBy("c"), events)
+    assert(combo.map(_.ids).toSet === Set(
+      Seq(1L, 2L, 5L), Seq(1L, 2L, 3L, 5L), Seq(1L, 2L, 4L, 5L), Seq(1L, 2L, 3L, 4L, 5L)))
+  }
+
+  test("allowCombinations on a final loop stage emits each subset at its last absorption") {
+    val got = runPat(Cep.Pattern.begin("a").followedBy("b").oneOrMore.allowCombinations,
+      Seq(ev(1, 10, "a"), ev(2, 20, "b"), ev(3, 30, "b"), ev(4, 40, "b")))
+    assert(got.map(_.ids).toSet === Set(
+      Seq(1L, 2L), Seq(1L, 2L, 3L), Seq(1L, 2L, 4L), Seq(1L, 2L, 3L, 4L)))
+  }
+
+  test("loop-contiguity builder validation: loop-only, mutually exclusive") {
+    intercept[IllegalArgumentException](Cep.Pattern.begin("a").followedBy("b").consecutive)
+    intercept[IllegalArgumentException](
+      Cep.Pattern.begin("a").followedBy("b").allowCombinations)
+    intercept[IllegalArgumentException](
+      Cep.Pattern.begin("a").oneOrMore.consecutive.allowCombinations)
+    intercept[IllegalArgumentException](
+      Cep.Pattern.begin("a").oneOrMore.allowCombinations.consecutive)
+    // non-consecutive shared-type loop is still rejected at construction
+    intercept[IllegalArgumentException](new Cep.NfaProcessor(
+      Cep.Pattern.begin("p").oneOrMore.allowCombinations.followedBy("p")))
+  }
+
   test("new-shape validation: until placement, timeout needs within, ambiguous until") {
     // until on a non-loop stage
     intercept[IllegalArgumentException](Cep.Pattern.begin("a").followedBy("b").until("u"))
