@@ -427,5 +427,93 @@ object GraphQueries {
             GROUP BY 1) d ON k.node = d.node)
         SELECT d.node, d.deg, COALESCE(r.nbr_sum, 0) AS nbr_sum
         FROM deg d LEFT JOIN red r ON d.node = r.node""")),
+
+    // Gelly generator package parity (reference: flink-gelly generator/
+    // {Complete,Cycle,Path,Star,Grid,Hypercube,SingletonEdge,Empty,RMat}
+    // Graph.java): each generator is a scan-free spark.range expression
+    // pipeline; the gate checks the out-degree distribution of every
+    // generated graph. The regular generators have closed-form
+    // distributions; rmat's deterministic arithmetic mix is replayed
+    // edge-for-edge in SQL (power-of-two bit weights + quadrant
+    // thresholds over plain integer arithmetic).
+    Entry("qcc_graph_generate",
+      (s, _) => {
+        import graft.operators.GraphGenerators
+        def dist(name: String, edges: DataFrame): DataFrame =
+          edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+            .groupBy(col("deg")).agg(count(lit(1)).as("cnt"))
+            .select(lit(name).as("gen"), col("deg"), col("cnt"))
+        dist("complete", GraphGenerators.complete(s, 20))
+          .unionAll(dist("cycle", GraphGenerators.cycle(s, 100)))
+          .unionAll(dist("path", GraphGenerators.path(s, 50)))
+          .unionAll(dist("star", GraphGenerators.star(s, 64)))
+          .unionAll(dist("grid", GraphGenerators.grid(s, 8, 8)))
+          .unionAll(dist("hypercube", GraphGenerators.hypercube(s, 6)))
+          .unionAll(dist("singleton", GraphGenerators.singletonEdges(s, 25)))
+          .unionAll(dist("rmat", GraphGenerators.rmat(s, 8, 2000)))
+          .unionAll(GraphGenerators.empty(s, 100)
+            .agg(count(lit(1)).as("cnt"))
+            .select(lit("empty").as("gen"), lit(0L).as("deg"), col("cnt")))
+      },
+      Some("""WITH rm AS (
+          SELECT t.e,
+            CAST(sum(CASE WHEN t.h >= 7600 THEN t.w ELSE 0 END) AS BIGINT) AS src,
+            CAST(sum(CASE WHEN (t.h >= 5700 AND t.h < 7600) OR t.h >= 9500
+                          THEN t.w ELSE 0 END) AS BIGINT) AS dst
+          FROM (SELECT e.range AS e, l.range AS l,
+                  CAST(power(2, 7 - l.range) AS BIGINT) AS w,
+                  ((e.range + 1) * 2654435761 + (l.range + 1) * 40503 + 7)
+                    % 2147483647 % 10000 AS h
+                FROM range(2000) e, range(8) l) t
+          GROUP BY t.e)
+        SELECT gen, CAST(deg AS BIGINT) AS deg, CAST(cnt AS BIGINT) AS cnt
+        FROM (VALUES
+          ('complete', 19, 20), ('cycle', 2, 100), ('path', 1, 2),
+          ('path', 2, 48), ('star', 63, 1), ('star', 1, 63), ('grid', 2, 4),
+          ('grid', 3, 24), ('grid', 4, 36), ('hypercube', 6, 64),
+          ('singleton', 1, 50), ('empty', 0, 100)) v(gen, deg, cnt)
+        UNION ALL
+        SELECT 'rmat', d.deg, CAST(count(*) AS BIGINT) AS cnt
+        FROM (SELECT src, CAST(count(*) AS BIGINT) AS deg
+              FROM rm GROUP BY src) d
+        GROUP BY d.deg""")),
+
+    // Generic scatter-gather iteration facade (reference: flink-gelly
+    // spargel/ScatterGatherIteration.java via Graph.run): 3 bounded
+    // supersteps of max-id propagation over the undirected sparse graph —
+    // val_3(v) = max source id within 3 hops — with the per-round
+    // join+aggregate+apply replayed as 3 unrolled SQL rounds. The library
+    // algorithms (qa1/qa2/qbm...) hand-inline this loop; the facade gate
+    // proves the user-facing iteration model itself.
+    Entry("qcd_scatter_gather",
+      (s, dir) => {
+        import graft.operators.{GraphIterations, GraphOps}
+        val ued = GraphOps.undirected(sparseEdges(s, dir))
+          .select(col("a").as("src"), col("b").as("dst"))
+        val init = ued.select(col("src").as("node")).distinct()
+          .withColumn("val", col("node"))
+        GraphIterations.scatterGather(ued, init, 3)(
+          identity, max, (old, acc) => greatest(old, coalesce(acc, old)))
+      },
+      Some(s"""WITH edges AS ($OEdges),
+        ued AS (SELECT src AS a, dst AS b FROM edges
+                UNION SELECT dst, src FROM edges),
+        r0 AS (SELECT DISTINCT a AS node, a AS val FROM ued),
+        r1 AS (SELECT r0.node, greatest(r0.val, coalesce(m.mx, r0.val)) AS val
+               FROM r0 LEFT JOIN (
+                 SELECT u.b AS node, max(x.val) AS mx
+                 FROM ued u JOIN r0 x ON u.a = x.node GROUP BY u.b) m
+               ON m.node = r0.node),
+        r2 AS (SELECT r1.node, greatest(r1.val, coalesce(m.mx, r1.val)) AS val
+               FROM r1 LEFT JOIN (
+                 SELECT u.b AS node, max(x.val) AS mx
+                 FROM ued u JOIN r1 x ON u.a = x.node GROUP BY u.b) m
+               ON m.node = r1.node),
+        r3 AS (SELECT r2.node, greatest(r2.val, coalesce(m.mx, r2.val)) AS val
+               FROM r2 LEFT JOIN (
+                 SELECT u.b AS node, max(x.val) AS mx
+                 FROM ued u JOIN r2 x ON u.a = x.node GROUP BY u.b) m
+               ON m.node = r2.node)
+        SELECT node, val FROM r3""")),
   )
 }
