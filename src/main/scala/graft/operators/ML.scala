@@ -384,4 +384,96 @@ object ML {
     val m = weights.map { case (c, wj) => col(c) * lit(wj) }.reduce(_ + _)
     when(m >= 0, 1).otherwise(-1)
   }
+
+  // --------------------------------------------- gradient descent (GD)
+
+  /** Full-batch gradient descent over squared loss in scaled integers —
+    * the generic optimizer (reference: flink-ml/.../optimization/
+    * GradientDescent.scala with LossFunction = SquaredLoss and
+    * RegularizationPenalty ∈ {NoRegularization, L2Regularization,
+    * L1Regularization}; the reference folds per-partition gradient sums
+    * to the job manager — here each round is ONE Spark aggregate
+    * producing k exact sums, and the k-long weight vector lives on the
+    * driver, the same O(features) model state).
+    *
+    * Weights are longs in `scale` micro-units, learning rate
+    * η_t = 1/(etaInv·t) (harmonic decay — a rational schedule so any SQL
+    * engine replays the trajectory; the reference's 1/√t default is
+    * irrational and would not hash-oracle). Per round t:
+    *
+    *   r_i  = Σ_k x_ik·W_k − y_i·scale          (scaled residual, Long —
+    *                                             the codegen'd hot path)
+    *   G_j  = Σ_i x_ij·r_i                      (decimal(38,0): per-row
+    *                                             products are Long-safe,
+    *                                             the SUM is not at 10^11+
+    *                                             rows)
+    *   W_j ← W_j − penalty_j(t) − G_j div (etaInv·t·n)
+    *     penalty: none → 0
+    *              l2   → W_j div (lambdaInv·etaInv·t)        (λ = 1/λInv)
+    *              l1   → sign(W_j)·(scale div (lambdaInv·etaInv·t))
+    *
+    * All divisions truncate toward zero (BigInt here, HUGEINT `//` in
+    * the oracle). The executor-side residual is guarded like
+    * [[svmScaled]]'s margin: k·max|x|·max|W| + max|y|·scale must stay
+    * below 2^62, re-checked against the actual weights every round since
+    * GD (unlike Pegasos) carries no intrinsic ‖w‖ bound.
+    *
+    * Returns one row per weight (k, v) plus `_resid_abs_div_n`: the
+    * mean absolute scaled residual (div n) under the final weights —
+    * the convergence witness the gate hashes. */
+  def gradientDescentScaled(features: DataFrame, yCol: String, xCols: Seq[String],
+                            iters: Int, scale: Long = 1000000L,
+                            etaInv: Long = 10000L, penalty: String = "none",
+                            lambdaInv: Long = 1L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(Set("none", "l2", "l1").contains(penalty),
+      s"penalty must be none|l2|l1, got '$penalty'")
+    val spark = features.sparkSession
+    val f = features.select(
+      (col(yCol).cast("long").as("y") +: xCols.map(c => col(c).cast("long").as(c))): _*)
+      .cache()
+    val n = f.count()
+    require(n > 0, "gradientDescentScaled: empty feature frame")
+    val boundsRow = f.agg(max(abs(col("y"))).as("y"),
+      xCols.map(c => max(abs(col(c))).as(c)): _*).head()
+    val maxY = math.max(1L, boundsRow.getLong(0))
+    val maxX = math.max(1L, (1 to xCols.length).map(boundsRow.getLong).max)
+    var w = xCols.map(_ => 0L).toArray
+
+    def residCol(weights: Array[Long]): Column =
+      xCols.zip(weights).map { case (c, wj) => col(c) * lit(wj) }
+        .reduce(_ + _) - col("y") * lit(scale)
+
+    def guard(weights: Array[Long], t: Int): Unit = {
+      val maxW = math.max(1L, weights.map(math.abs).max)
+      val bound = xCols.length.toDouble * maxX.toDouble * maxW.toDouble +
+        maxY.toDouble * scale.toDouble
+      require(bound < math.pow(2, 62),
+        f"gradientDescentScaled: residual bound $bound%.3g at round $t risks " +
+          "Long overflow; scale features down or raise etaInv")
+    }
+
+    for (t <- 1 to iters) {
+      guard(w, t)
+      val r = residCol(w)
+      val gCols = xCols.map(c =>
+        sum(col(c) * r.cast("decimal(38,0)")).as(c))
+      val g = f.agg(gCols.head, gCols.tail: _*).head()
+      w = w.zipWithIndex.map { case (wj, j) =>
+        val gj = BigInt(g.getDecimal(j).toBigInteger)
+        val pen = penalty match {
+          case "none" => BigInt(0)
+          case "l2" => BigInt(wj) / (lambdaInv * etaInv * t)
+          case "l1" => BigInt(wj).signum * (BigInt(scale) / (lambdaInv * etaInv * t))
+        }
+        (BigInt(wj) - pen - gj / (BigInt(etaInv) * t * n)).toLong
+      }
+    }
+    guard(w, iters + 1)
+    val residAbs = BigInt(f.agg(sum(abs(residCol(w)).cast("decimal(38,0)")))
+      .head().getDecimal(0).toBigInteger)
+    f.unpersist()
+    import spark.implicits._
+    (xCols.zip(w) :+ ("_resid_abs_div_n" -> (residAbs / n).toLong)).toDF("k", "v")
+  }
 }

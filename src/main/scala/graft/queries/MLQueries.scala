@@ -149,6 +149,60 @@ object MLQueries {
           UNION ALL SELECT 'price_h', w_price_h FROM w4
           UNION ALL SELECT 'disc', w_disc FROM w4
           UNION ALL SELECT '_violations', c FROM viol"""
-      })
+      }),
+
+    // The generic optimizer (reference: flink-ml optimization/
+    // GradientDescent.scala, SquaredLoss + L2Regularization): 4 rounds of
+    // full-batch GD in scaled integers with harmonic step decay, fitting
+    // y = 3*qty + disc over (bias, qty, disc). One aggregate per round
+    // producing 3 exact gradient sums; the oracle unrolls the identical
+    // rounds in HUGEINT (DuckDB `//` truncates toward zero like BigInt).
+    Entry("qce_gradient_descent",
+      (s, dir) => {
+        val f = t(s, dir, "lineitem").select(
+          lit(1L).as("b"),
+          col("l_quantity").cast("long").as("qty"),
+          expr("CAST(round(l_discount*100) AS BIGINT)").as("disc"),
+          (col("l_quantity").cast("long") * 3 +
+            expr("CAST(round(l_discount*100) AS BIGINT)")).as("y"))
+        ML.gradientDescentScaled(f, "y", Seq("b", "qty", "disc"), iters = 4,
+          etaInv = 20000L, penalty = "l2", lambdaInv = 2L)
+      },
+      Some {
+        val S = 1000000L
+        val etaInv = 20000L
+        val lamEta = 2L * etaInv // lambdaInv * etaInv
+        def resid(w: String) =
+          s"(b*$w.w_b + qty*$w.w_qty + disc*$w.w_disc - y*$S)"
+        def g(i: Int, r: String, from: String) =
+          s"""g$i AS (SELECT sum(b::HUGEINT * $r) AS gb,
+             sum(qty::HUGEINT * $r) AS gq, sum(disc::HUGEINT * $r) AS gd
+             FROM $from)"""
+        def upd(t: Int, prev: String) = Seq("w_b" -> "gb", "w_qty" -> "gq",
+          "w_disc" -> "gd").map { case (wc, gc) =>
+          if (t == 1) s"CAST(0 - $gc // (${etaInv * t}::HUGEINT * n.n) AS BIGINT) AS $wc"
+          else s"CAST($prev.$wc - $prev.$wc // ${lamEta * t} " +
+            s"- $gc // (${etaInv * t}::HUGEINT * n.n) AS BIGINT) AS $wc"
+        }.mkString(", ")
+        s"""WITH f AS (SELECT 1::BIGINT AS b, CAST(l_quantity AS BIGINT) AS qty,
+            CAST(round(l_discount*100) AS BIGINT) AS disc,
+            CAST(l_quantity AS BIGINT)*3 + CAST(round(l_discount*100) AS BIGINT) AS y
+          FROM lineitem),
+          n AS (SELECT count(*) AS n FROM f),
+          ${g(1, s"(0 - y*$S)::HUGEINT", "f")},
+          w1 AS (SELECT ${upd(1, "")} FROM g1, n),
+          ${g(2, s"${resid("w1")}::HUGEINT", "f, w1")},
+          w2 AS (SELECT ${upd(2, "w1")} FROM g2, w1, n),
+          ${g(3, s"${resid("w2")}::HUGEINT", "f, w2")},
+          w3 AS (SELECT ${upd(3, "w2")} FROM g3, w2, n),
+          ${g(4, s"${resid("w3")}::HUGEINT", "f, w3")},
+          w4 AS (SELECT ${upd(4, "w3")} FROM g4, w3, n),
+          ra AS (SELECT CAST(sum(abs(${resid("w4")}::HUGEINT)) // n.n AS BIGINT) AS v
+                 FROM f, w4, n GROUP BY n.n)
+          SELECT 'b' AS k, w_b AS v FROM w4
+          UNION ALL SELECT 'qty', w_qty FROM w4
+          UNION ALL SELECT 'disc', w_disc FROM w4
+          UNION ALL SELECT '_resid_abs_div_n', v FROM ra"""
+      }),
   )
 }

@@ -96,4 +96,49 @@ class MLSpec extends SparkSpec {
       .filter($"k" === "_violations").head().getLong(1)
     assert(viol < rows.size, "training must reduce hinge violations below n")
   }
+
+  test("gradientDescentScaled matches an independent BigInt replay for every penalty") {
+    val rows = Seq((1L, 2L, 7L), (1L, 5L, 16L), (1L, 9L, 28L), (1L, 3L, 10L))
+    val df = rows.toDF("b", "x", "y")
+    val scale = 1000000L; val etaInv = 10L; val lambdaInv = 2L; val iters = 5
+    val n = rows.size
+    for (penalty <- Seq("none", "l2", "l1")) {
+      // straight-line BigInt reimplementation of the documented update
+      var w = Array(BigInt(0), BigInt(0))
+      for (t <- 1 to iters) {
+        val g = Array(BigInt(0), BigInt(0))
+        rows.foreach { case (b, x, y) =>
+          val r = b * w(0) + x * w(1) - BigInt(y) * scale
+          g(0) += b * r; g(1) += x * r
+        }
+        w = w.zipWithIndex.map { case (wj, j) =>
+          val pen = penalty match {
+            case "none" => BigInt(0)
+            case "l2" => wj / (lambdaInv * etaInv * t)
+            case "l1" => BigInt(wj.signum) * (BigInt(scale) / (lambdaInv * etaInv * t))
+          }
+          wj - pen - g(j) / (BigInt(etaInv) * t * n)
+        }
+      }
+      val got = ML.gradientDescentScaled(df, "y", Seq("b", "x"), iters,
+        scale, etaInv, penalty, lambdaInv)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got("b") === w(0).toLong && got("x") === w(1).toLong,
+        s"penalty=$penalty diverged from the replay")
+      // y ~= 3x + 1: the slope weight must head toward 3·scale
+      assert(got("x") > 2 * scale && got("x") < 4 * scale, s"penalty=$penalty slope off")
+    }
+    // the three penalties produce distinct trajectories on this fixture
+    val ws = Seq("none", "l2", "l1").map(p =>
+      ML.gradientDescentScaled(df, "y", Seq("b", "x"), iters, scale, etaInv, p, lambdaInv)
+        .filter($"k" === "x").head().getLong(1))
+    assert(ws.distinct.size === 3)
+  }
+
+  test("gradientDescentScaled guards the residual bound against Long overflow") {
+    val df = Seq((1L, 1L << 40, 5L)).toDF("b", "x", "y")
+    val e = intercept[IllegalArgumentException](
+      ML.gradientDescentScaled(df, "y", Seq("b", "x"), iters = 3, etaInv = 1L))
+    assert(e.getMessage.contains("residual bound"))
+  }
 }
