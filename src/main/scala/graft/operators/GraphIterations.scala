@@ -72,7 +72,11 @@ object GraphIterations {
   /** Vertex-centric / Pregel (reference: pregel/VertexCentricIteration
     * .java): `compute` sees (old value, inbox array — message values from
     * all in-neighbors, ascending-sorted so the computation is
-    * deterministic, NULL when the inbox is empty). */
+    * deterministic, NULL when the inbox is empty). Scale note: the
+    * collect_list inbox does NOT combine map-side and grows with
+    * in-degree — on skewed graphs prefer [[scatterGather]] /
+    * [[gatherSumApply]], whose declarative aggregates partial-reduce
+    * before the shuffle. */
   def vertexCentric(edges: DataFrame, initial: DataFrame, maxIter: Int)(
       message: Column => Column, compute: (Column, Column) => Column): DataFrame =
     loop(edges, initial, maxIter, convergeDelta = false)(

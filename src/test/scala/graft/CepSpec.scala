@@ -403,6 +403,32 @@ class CepSpec extends SparkSpec {
       Cep.Pattern.begin("p").oneOrMore.allowCombinations.followedBy("p")))
   }
 
+  test("a partial dropped by maxPartials never reports a timeout (cap wins over select)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val pat = Cep.Pattern.begin("a").followedBy("b").within(15000000L)
+    // three a-starts inside one within-window, no b: uncapped, all three
+    // partials time out at x@60; with cap=2 the oldest (a@10) is
+    // cap-dropped when a@14 lands — while still live, well before its
+    // deadline — so its deadline must NOT be reported later
+    val events = Seq(ev(1, 10, "a"), ev(2, 12, "a"), ev(3, 14, "a"), ev(4, 60, "x"))
+    def runCapped(cap: Int): Seq[Cep.Match] = {
+      val mem = MemoryStream[KeyedEvent]
+      val ds = mem.toDS().withColumn("ts", timestamp_micros(col("tsUs")))
+        .withWatermark("ts", "0 seconds").drop("ts").as[KeyedEvent]
+      val out = EventTimeOps.ordered(ds, (e: KeyedEvent) => e.key,
+        new Cep.NfaProcessor(pat, emitTimeouts = true, maxPartials = cap))
+      val name = s"cep_${System.nanoTime()}"
+      val q = out.writeStream.outputMode("append").format("memory").queryName(name).start()
+      try { mem.addData(events: _*); q.processAllAvailable(); mem.addData(); q.processAllAvailable() }
+      finally q.stop()
+      spark.table(name).as[Cep.Match].collect().toSeq
+    }
+    assert(runCapped(10).filter(_.timedOut).map(_.ids).toSet ===
+      Set(Seq(1L), Seq(2L), Seq(3L)))
+    assert(runCapped(2).filter(_.timedOut).map(_.ids).toSet ===
+      Set(Seq(2L), Seq(3L)))
+  }
+
   test("new-shape validation: until placement, timeout needs within, ambiguous until") {
     // until on a non-loop stage
     intercept[IllegalArgumentException](Cep.Pattern.begin("a").followedBy("b").until("u"))
