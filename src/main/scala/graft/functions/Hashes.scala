@@ -135,6 +135,16 @@ object Hashes {
   def shingleHashes(text: String, n: Int): Array[Long] =
     wordShinglesLocal(text, n).map(fnv1a64).distinct.sorted
 
+  /** Positional shingle hashes — document order, duplicates KEPT (element i
+    * = hash of the n-gram starting at token i). Local twin of
+    * [[PosShingleHashesExpr]] for spec cross-checks. */
+  def posShingleHashes(text: String, n: Int): Array[Long] = {
+    if (text == null) return Array.empty
+    val toks = text.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) return Array.empty
+    Array.tabulate(toks.length - n + 1)(i => fnv1a64(toks.slice(i, i + n).mkString(" ")))
+  }
+
   // Column-level wrappers
   val minhashUdf: Int => org.apache.spark.sql.expressions.UserDefinedFunction =
     k => udf((s: Seq[String]) => minHashSignature(s, k))

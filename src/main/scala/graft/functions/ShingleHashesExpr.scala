@@ -75,6 +75,30 @@ object ShingleHashesExpr {
     * n-token window's bytes joined by single spaces, deduped and sorted
     * (sort-then-unique == distinct-then-sort). */
   def hashes(s: UTF8String, n: Int): ArrayData = {
+    val out = raw(s, n)
+    if (out.isEmpty) return empty()
+    val m = out.length
+    java.util.Arrays.sort(out)
+    var u = 1
+    var k = 1
+    while (k < m) {
+      if (out(k) != out(u - 1)) { out(u) = out(k); u += 1 }
+      k += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (u == m) out else java.util.Arrays.copyOf(out, u))
+  }
+
+  /** Referenced from generated code — must stay public and static-shaped.
+    * POSITIONAL form: element i is the hash of the n-gram starting at token
+    * i, in document order, duplicates kept — the seed stream for
+    * substring-level span detection (Dedup.sharedSpans), where WHERE an
+    * n-gram occurs matters as much as whether it does. */
+  def posHashes(s: UTF8String, n: Int): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(raw(s, n))
+
+  /** One pass over the UTF8String bytes → window hashes in position order. */
+  private def raw(s: UTF8String, n: Int): Array[Long] = {
     val bytes = s.getBytes
     val len = bytes.length
     var starts = new Array[Int](16)
@@ -95,7 +119,7 @@ object ShingleHashesExpr {
         nt += 1
       }
     }
-    if (nt < n) return empty()
+    if (nt < n) return Array.emptyLongArray
     val m = nt - n + 1
     val out = new Array[Long](m)
     var w = 0
@@ -116,18 +140,55 @@ object ShingleHashesExpr {
       out(w) = h
       w += 1
     }
-    java.util.Arrays.sort(out)
-    var u = 1
-    var k = 1
-    while (k < m) {
-      if (out(k) != out(u - 1)) { out(u) = out(k); u += 1 }
-      k += 1
-    }
-    UnsafeArrayData.fromPrimitiveArray(
-      if (u == m) out else java.util.Arrays.copyOf(out, u))
+    out
   }
 
   /** Column-level constructor. */
   def apply(c: Column, n: Int): Column =
     GraftExprBridge.column(ShingleHashesExpr(GraftExprBridge.expression(c), n))
+}
+
+/** Positional word-n-gram FNV-1a hashes: element i = hash of the shingle
+  * starting at token i, document order, duplicates kept (contrast
+  * [[ShingleHashesExpr]], which returns the sorted distinct SET). This is
+  * the seed stream for seed-and-extend substring dedup
+  * (graft.operators.Dedup.sharedSpans): downstream joins carry an 8-byte
+  * hash + 4-byte position per token window instead of the ~50-byte shingle
+  * string. Same one-pass zero-allocation byte kernel; null → empty array. */
+case class PosShingleHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pos_shingle_hashes expects a string input, got ${child.dataType.sql}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) ShingleHashesExpr.empty()
+    else ShingleHashesExpr.posHashes(v.asInstanceOf[UTF8String], n)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val cls = "graft.functions.ShingleHashesExpr"
+    val javaType = CodeGenerator.javaType(dataType)
+    ev.copy(code = code"""
+      ${c.code}
+      $javaType ${ev.value} = ${c.isNull} ? $cls.empty()
+        : $cls.posHashes(${c.value}, $n);
+    """, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PosShingleHashesExpr {
+  /** Column-level constructor. */
+  def apply(c: Column, n: Int): Column =
+    GraftExprBridge.column(PosShingleHashesExpr(GraftExprBridge.expression(c), n))
 }

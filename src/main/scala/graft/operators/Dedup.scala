@@ -389,4 +389,68 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .select("id1", "id2", "hamming")
   }
+
+  /** Substring-level shared-span detection — seed-and-extend: every maximal
+    * run of >= `minTokens` consecutive shared tokens between two documents
+    * (the span-granular sibling of whole-doc MinHash dedup; capability
+    * analogue of suffix-array substring dedup over training corpora, which
+    * removes verbatim boilerplate that whole-doc similarity never sees).
+    *
+    * Algorithm, fully distributed:
+    *  1. seeds: positional n-gram hashes per doc ([[graft.functions
+    *     .PosShingleHashesExpr]] — one compiled pass; joins move an 8-byte
+    *     hash + position, never the shingle string);
+    *  2. frequency cutoff: n-grams in < 2 docs cannot seed and are dropped
+    *     EARLY (the bulk of a natural corpus); n-grams in > `maxDf` docs
+    *     are boilerplate whose posting lists would explode the self-join
+    *     quadratically — the same hot-shingle bound jaccardPairs carries;
+    *  3. self-join on the hash (id1 < id2): a shared substring of length
+    *     L >= n contributes L-n+1 seed matches on ONE diagonal
+    *     (p1 - p2 constant);
+    *  4. gaps-and-islands per (id1, id2, diagonal): island = p1 -
+    *     row_number() — consecutive seeds collapse to one maximal span,
+    *     span_tokens = max(p1) - min(p1) + n.
+    *
+    * Output: (id1, id2, start1, start2, span_tokens), token-indexed from 0,
+    * one row per maximal shared span with span_tokens >= minTokens.
+    * Deterministic under any partitioning; exact up to 64-bit FNV
+    * collisions (the equivalence every hashed-shingle operator here relies
+    * on — and a collision only matters if it lands ADJACENT to a real run
+    * on the same doc-pair diagonal). Internal periodicity (e.g. "a a a a"
+    * shared) reports one maximal run per diagonal — the standard maximal-
+    * exact-match semantics.
+    *
+    * Scale: the exploded seed frame is one row per token position (linear
+    * in corpus); the df-cutoff aggregate and the self-join shuffle on the
+    * same key (hash), and the islands window + final aggregate shuffle on
+    * (id1, id2) pairs — fine-grained keys with no hot spot once maxDf caps
+    * the posting lists. No driver state, no collect. */
+  def sharedSpans(df: DataFrame, idCol: String, textCol: String,
+                  n: Int, minTokens: Int, maxDf: Int = 64): DataFrame = {
+    require(n >= 2, s"seed n-gram width must be >= 2, got $n")
+    require(minTokens >= n, s"minTokens ($minTokens) must be >= n ($n)")
+    import org.apache.spark.sql.expressions.Window
+    val grams = df.select(col(idCol).as("_sid"),
+        posexplode(graft.functions.PosShingleHashesExpr(col(textCol), n)))
+      .toDF("_sid", "pos", "h")
+    // n-grams that can seed a cross-doc pair: distinct-doc count in [2, maxDf]
+    val seedKeys = grams.groupBy("h")
+      .agg(countDistinct(col("_sid")).as("_df"))
+      .filter(col("_df").between(2, maxDf)).select("h")
+    val seeds = grams.join(seedKeys, "h")
+    val left = seeds.select(col("h"), col("_sid").as("id1"), col("pos").as("p1"))
+    val right = seeds.select(col("h"), col("_sid").as("id2"), col("pos").as("p2"))
+    val pairs = left.join(right, Seq("h"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("diag", col("p1") - col("p2"))
+    val w = Window.partitionBy(col("id1"), col("id2"), col("diag")).orderBy(col("p1"))
+    pairs.withColumn("_island", col("p1") - row_number().over(w))
+      .groupBy(col("id1"), col("id2"), col("diag"), col("_island"))
+      .agg(min(col("p1")).as("start1"), min(col("p2")).as("start2"),
+        (max(col("p1")) - min(col("p1")) + lit(n)).as("span_tokens"))
+      .filter(col("span_tokens") >= minTokens)
+      .select(col("id1"), col("id2"), col("start1").cast("long"),
+        col("start2").cast("long"), col("span_tokens").cast("long"))
+      .toDF("id1", "id2", "start1", "start2", "span_tokens")
+  }
 }

@@ -356,6 +356,39 @@ object PipelineQueries {
           CAST(sum(CASE WHEN rn <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
         FROM m GROUP BY doc_id""")),
 
+    // Substring-level shared spans (seed-and-extend): every maximal run of
+    // >= 12 consecutive shared tokens between any doc pair. Spark seeds on
+    // positional n-gram HASHES (PosShingleHashesExpr); the oracle replays
+    // with the n-gram STRINGS — identical output up to 64-bit FNV
+    // collisions, the equivalence the whole hashed-shingle family relies
+    // on (a collision would fail this gate loudly).
+    Entry("qcf_shared_spans",
+      (s, dir) => Dedup.sharedSpans(t(s, dir, "documents"),
+        "doc_id", "text", n = 8, minTokens = 12, maxDf = 64),
+      Some(s"""WITH toks AS (
+          SELECT doc_id, $OTOKS AS w FROM documents
+        ), g AS (
+          SELECT doc_id, i - 1 AS pos, array_to_string(w[i : i + 7], ' ') AS ng
+          FROM toks CROSS JOIN UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+          WHERE len(w) >= 8
+        ), keys AS (
+          SELECT ng FROM g GROUP BY ng
+          HAVING count(DISTINCT doc_id) BETWEEN 2 AND 64
+        ), sd AS (
+          SELECT g.* FROM g JOIN keys USING (ng)
+        ), p AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2, a.pos AS p1, b.pos AS p2,
+            a.pos - b.pos AS diag
+          FROM sd a JOIN sd b ON a.ng = b.ng AND a.doc_id < b.doc_id
+        ), r AS (
+          SELECT *, p1 - row_number() OVER (
+            PARTITION BY id1, id2, diag ORDER BY p1) AS island FROM p
+        )
+        SELECT id1, id2, min(p1) AS start1, min(p2) AS start2,
+          max(p1) - min(p1) + 8 AS span_tokens
+        FROM r GROUP BY id1, id2, diag, island
+        HAVING max(p1) - min(p1) + 8 >= 12""")),
+
     // Prefix-filtered EXACT Jaccard at a dedup-grade threshold (AllPairs):
     // candidates only where rarity-ordered prefixes collide — complete by
     // pigeonhole, so the oracle is the plain all-pairs SQL. Same result

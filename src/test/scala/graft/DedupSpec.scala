@@ -139,4 +139,39 @@ class DedupSpec extends SparkSpec {
     assert(byQ.keySet === Set(0L, 1L, 2L))
     byQ.values.foreach(rs => assert(rs.map(_._2).sorted.toSeq === Seq(1, 2, 3, 4)))
   }
+
+  private def spansOf(df: org.apache.spark.sql.DataFrame) =
+    df.select("id1", "id2", "start1", "start2", "span_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+
+  test("sharedSpans reports the one maximal planted run with exact bounds") {
+    val run = (1 to 15).map(i => s"s$i").mkString(" ")
+    val d = Seq(
+      (1L, s"u1 u2 u3 u4 $run u5 u6 u7 u8"),
+      (2L, s"v1 v2 v3 $run v4 v5")).toDF("doc_id", "text")
+    // one row: A-start 4, B-start 3, 15 tokens — NOT one row per seed
+    assert(spansOf(Dedup.sharedSpans(d, "doc_id", "text", n = 4, minTokens = 6))
+      === Set((1L, 2L, 4L, 3L, 15L)))
+    // below minTokens: silent
+    assert(Dedup.sharedSpans(d, "doc_id", "text", n = 4, minTokens = 16).isEmpty)
+  }
+
+  test("sharedSpans separates two distinct runs between the same pair") {
+    val s = (1 to 5).map(i => s"s$i").mkString(" ")
+    val tt = (1 to 6).map(i => s"t$i").mkString(" ")
+    val d = Seq(
+      (1L, s"f1 f2 $s g1 g2 g3 g4 g5 $tt"),
+      (2L, s"h1 $s h2 h3 h4 h5 h6 $tt h7")).toDF("doc_id", "text")
+    val got = spansOf(Dedup.sharedSpans(d, "doc_id", "text", n = 4, minTokens = 5))
+    assert(got === Set((1L, 2L, 2L, 1L, 5L), (1L, 2L, 12L, 11L, 6L)))
+  }
+
+  test("sharedSpans maxDf drops boilerplate shared by too many docs") {
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    val d = (1L to 4L).map(k => (k, s"w${k}a w${k}b $boiler w${k}c")).toDF("doc_id", "text")
+    assert(Dedup.sharedSpans(d, "doc_id", "text", n = 4, minTokens = 8, maxDf = 3).isEmpty)
+    val kept = spansOf(Dedup.sharedSpans(d, "doc_id", "text", n = 4, minTokens = 8, maxDf = 4))
+    assert(kept.size === 6 && kept.forall { case (_, _, s1, s2, len) =>
+      s1 == 2L && s2 == 2L && len == 10L })
+  }
 }

@@ -108,6 +108,34 @@ class FunctionsSpec extends SparkSpec {
     assert(plan.contains("*(1) Project [shinglehashesexpr"))
   }
 
+  test("PosShingleHashesExpr: positional, duplicates kept, codegen'd") {
+    import graft.functions.{Hashes, PosShingleHashesExpr}
+    val cases = Seq(
+      "the quick  brown fox", // double space
+      "a b a b a b c", // repeats: positional form KEEPS duplicates
+      "one", // fewer tokens than n
+      "", // empty
+      "héllo wörld héllo wörld") // multi-byte UTF-8
+    val df = cases.toDF("text")
+    val native = df.select(PosShingleHashesExpr($"text", 2)).collect()
+      .map(_.getSeq[Long](0))
+    val expected = cases.map(t => Hashes.posShingleHashes(t, 2).toSeq)
+    assert(native.toSeq === expected)
+    // element i = hash of the window at token i; set form is its distinct-sort
+    val rep = Hashes.posShingleHashes("a b a b a b c", 2)
+    assert(rep.length === 6 && rep(0) === rep(2) && rep(0) === rep(4))
+    assert(rep.distinct.sorted.toSeq ===
+      Hashes.shingleHashes("a b a b a b c", 2).toSeq)
+    val withNull = Seq(Option("x y"), None).toDF("text")
+      .select(PosShingleHashesExpr($"text", 2)).collect().map(_.getSeq[Long](0))
+    assert(withNull(1) === Seq.empty)
+    val plan = spark.range(3)
+      .select(concat(lit("tok "), $"id".cast("string")).as("text"))
+      .select(PosShingleHashesExpr($"text", 1))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [posshinglehashesexpr"))
+  }
+
   test("MinHashSigExpr matches the local kernel; text→sig composition holds") {
     import graft.functions.Hashes
     val texts = Seq("a b c d e a b", "x y", "", "solo")
