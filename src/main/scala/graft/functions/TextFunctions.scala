@@ -103,6 +103,73 @@ object TextFunctions {
       greatest(size(toks), lit(1)).cast("double")
   }
 
+  /** Word n-grams in document order, duplicates KEPT (contrast
+    * [[wordShingles]], the distinct set) — the occurrence stream the
+    * repetition signals below count over. */
+  def posNgrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
+      .otherwise(lit(Array.empty[String]))
+  }
+
+  /** Gopher repetition signal: fraction of n-gram OCCURRENCES that are
+    * duplicates of an earlier occurrence — (total - distinct) / total, 0
+    * for docs shorter than n tokens. Counted over hashed windows
+    * ([[PosShingleHashesExpr]], one compiled pass) — exact up to 64-bit
+    * collisions, like every hashed-shingle operator here. Per-row
+    * expression: the whole signal fuses into the scan, no shuffle. */
+  def dupNgramFrac(text: Column, n: Int): Column = {
+    val h = PosShingleHashesExpr(text, n)
+    val m = size(h)
+    when(m === 0, lit(0.0))
+      .otherwise((m - size(array_distinct(h))).cast("double") / m.cast("double"))
+  }
+
+  /** Gopher repetition signal: fraction of the document's characters
+    * covered by occurrences of its MOST FREQUENT n-gram (count × n-gram
+    * char length / text char length). Tie-break: lexicographically
+    * smallest among the most frequent — a total order, so deterministic.
+    * One sorted-array run scan via the `aggregate` HOF, still per-row. */
+  def topNgramCharFrac(text: Column, n: Int): Column = {
+    val sorted = array_sort(posNgrams(text, n))
+    val best = aggregate(sorted,
+      struct(lit("").as("prev"), lit(0).as("run"), lit("").as("best"), lit(0).as("bestRun")),
+      (acc, x) => {
+        val run = when(acc.getField("prev") === x, acc.getField("run") + 1).otherwise(lit(1))
+        val better = run > acc.getField("bestRun")
+        struct(x.as("prev"), run.as("run"),
+          when(better, x).otherwise(acc.getField("best")).as("best"),
+          when(better, run).otherwise(acc.getField("bestRun")).as("bestRun"))
+      })
+    (best.getField("bestRun").cast("double") * length(best.getField("best")).cast("double")) /
+      greatest(length(text), lit(1)).cast("double")
+  }
+
+  /** Gopher repetition signal (the 5..10-gram family): fraction of the
+    * document's characters inside DUPLICATED n-grams — sum over n-grams
+    * occurring >= 2 times of count × char length, over text char length.
+    * Same per-row sorted run scan, accumulating closed runs. */
+  def dupNgramCharFrac(text: Column, n: Int): Column = {
+    val sorted = array_sort(posNgrams(text, n))
+    val total = aggregate(sorted,
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0L).as("acc")),
+      (acc, x) => {
+        val cont = acc.getField("prev") === x
+        val closed = when(!cont && acc.getField("run") >= 2,
+          acc.getField("run").cast("long") * length(acc.getField("prev")).cast("long"))
+          .otherwise(lit(0L))
+        struct(x.as("prev"),
+          when(cont, acc.getField("run") + 1).otherwise(lit(1)).as("run"),
+          (acc.getField("acc") + closed).as("acc"))
+      },
+      acc => acc.getField("acc") + when(acc.getField("run") >= 2,
+        acc.getField("run").cast("long") * length(acc.getField("prev")).cast("long"))
+        .otherwise(lit(0L)))
+    total.cast("double") / greatest(length(text), lit(1)).cast("double")
+  }
+
   /** Type-token ratio (lexical diversity). */
   def typeTokenRatio(text: Column): Column =
     size(array_distinct(tokens(text))).cast("double") /

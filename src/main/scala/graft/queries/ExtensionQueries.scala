@@ -219,6 +219,46 @@ object ExtensionQueries {
           (r_len AND r_meanlen AND r_alpha AND r_symbol AND r_stopword AND r_repetition) AS keep
         FROM r""")),
 
+    // The published Gopher REPETITION signals proper (q8h's rule set only
+    // carries the type-token-ratio proxy): duplicate n-gram fraction for
+    // n=2..4, top-bigram character coverage, duplicated-5-gram character
+    // coverage. Entirely per-row HOF expressions fused into the scan —
+    // zero shuffle at any corpus size. Spark counts hashed windows where
+    // only multiplicity matters (dup2..4); the oracle replays on strings.
+    Entry("qcg_repetition_signals",
+      (s, dir) => {
+        import graft.functions.TextFunctions
+        val d = t(s, dir, "documents")
+        val txt = col("text")
+        d.select(col("doc_id"),
+          round(TextFunctions.dupNgramFrac(txt, 2), 9).as("dup2"),
+          round(TextFunctions.dupNgramFrac(txt, 3), 9).as("dup3"),
+          round(TextFunctions.dupNgramFrac(txt, 4), 9).as("dup4"),
+          round(TextFunctions.topNgramCharFrac(txt, 2), 9).as("top2_char"),
+          round(TextFunctions.dupNgramCharFrac(txt, 5), 9).as("dup5_char"))
+      },
+      Some(s"""WITH toks AS (SELECT doc_id, text, $OTOKS AS w FROM documents),
+        b AS (SELECT doc_id, text,
+          list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS g2,
+          list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS g3,
+          list_transform(range(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]) AS g4,
+          list_transform(range(1, len(w) - 3), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]) AS g5
+          FROM toks),
+        t2 AS (SELECT doc_id, ng, count(*) AS c FROM b, UNNEST(g2) AS u(ng) GROUP BY 1, 2),
+        top2 AS (SELECT doc_id, c * length(ng) AS chars FROM (
+          SELECT doc_id, ng, c, row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, ng) AS rn
+          FROM t2) WHERE rn = 1),
+        d5 AS (SELECT doc_id, sum(CASE WHEN c >= 2 THEN c * length(ng) ELSE 0 END) AS chars
+          FROM (SELECT doc_id, ng, count(*) AS c FROM b, UNNEST(g5) AS u(ng) GROUP BY 1, 2)
+          GROUP BY 1)
+        SELECT b.doc_id,
+          round(CASE WHEN len(g2) = 0 THEN 0 ELSE CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2) END, 9) AS dup2,
+          round(CASE WHEN len(g3) = 0 THEN 0 ELSE CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3) END, 9) AS dup3,
+          round(CASE WHEN len(g4) = 0 THEN 0 ELSE CAST(len(g4) - len(list_distinct(g4)) AS DOUBLE) / len(g4) END, 9) AS dup4,
+          round(CAST(COALESCE(top2.chars, 0) AS DOUBLE) / greatest(length(b.text), 1), 9) AS top2_char,
+          round(CAST(COALESCE(d5.chars, 0) AS DOUBLE) / greatest(length(b.text), 1), 9) AS dup5_char
+        FROM b LEFT JOIN top2 USING (doc_id) LEFT JOIN d5 USING (doc_id)""")),
+
     // The >10M-doc scale path of q85: identical MinHash/LSH pipeline but the
     // per-doc lookup tables are bucketed co-partitioned joins instead of
     // broadcasts. Shares q85's exact oracle — the point IS that the scale

@@ -136,6 +136,28 @@ class FunctionsSpec extends SparkSpec {
     assert(plan.contains("*(1) Project [posshinglehashesexpr"))
   }
 
+  test("Gopher repetition signals: hand-computed fractions, short-doc zeros") {
+    import graft.functions.TextFunctions._
+    val rows = Seq("a a a b", "x y x y x y", "one")
+    val got = rows.toDF("text").select(
+      dupNgramFrac($"text", 2).as("d2"),
+      topNgramCharFrac($"text", 2).as("t2"),
+      dupNgramCharFrac($"text", 2).as("c2"),
+      dupNgramCharFrac($"text", 5).as("c5"))
+      .as[(Double, Double, Double, Double)].collect()
+    // "a a a b": bigrams {a a, a a, a b} -> dup 1/3; top "a a" run 2 -> 6/7 chars
+    assert(math.abs(got(0)._1 - 1.0 / 3) < 1e-12)
+    assert(math.abs(got(0)._2 - 6.0 / 7) < 1e-12)
+    assert(math.abs(got(0)._3 - 6.0 / 7) < 1e-12) // the "a a" run is the only dup
+    assert(got(0)._4 === 0.0) // no 5-grams in a 4-token doc
+    // "x y x y x y": {x y}x3 + {y x}x2 -> dup 3/5; top run 3*3/11; dup chars (9+6)/11
+    assert(math.abs(got(1)._1 - 0.6) < 1e-12)
+    assert(math.abs(got(1)._2 - 9.0 / 11) < 1e-12)
+    assert(math.abs(got(1)._3 - 15.0 / 11) < 1e-12)
+    // single token: every signal 0, no division blowups
+    assert(got(2) === ((0.0, 0.0, 0.0, 0.0)))
+  }
+
   test("MinHashSigExpr matches the local kernel; text→sig composition holds") {
     import graft.functions.Hashes
     val texts = Seq("a b c d e a b", "x y", "", "solo")
