@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{Hashes, TextFunctions}
+import graft.functions.{Hashes, TextFunctions, VectorFunctions}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -388,6 +388,42 @@ object Dedup {
       .withColumn("hamming", Hashes.hamming(col("h1"), col("h2")))
       .filter(col("hamming") <= maxDist)
       .select("id1", "id2", "hamming")
+  }
+
+  /** SemDeDup-style semantic near-dup pairs over an embedding column:
+    * vectors are assigned to their nearest of `nCells` centroids
+    * (deterministic lowest-id sample, squared-Euclidean, ties to the lower
+    * cell — the same zero-refinement IVF partitioner Similarity.ivfTopK
+    * starts from, so the whole operator replays in plain SQL), and the
+    * O(n²) cosine comparison runs WITHIN cells only. Output:
+    * (cell_id, id1, id2, cos) with id1 < id2 and cos >= threshold; feed to
+    * [[keepRepresentatives]] to pick survivors.
+    *
+    * Scale: clustering is what makes semantic dedup tractable — the
+    * quadratic term is bounded per cell ((n/c)² per cell vs n² global), so
+    * nCells grows with the corpus to hold cell size constant. The
+    * centroid frame is nCells rows and broadcasts; assignment is one
+    * narrow pass; the pair join shuffles once on cell_id. A pathological
+    * cell (all vectors in one cluster) re-creates the quadratic — refine
+    * centroids (ivfTopK's Lloyd rounds) or raise nCells; same knob
+    * semantics as the reference-side cluster-then-compare pipelines. */
+  def semanticDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+                       nCells: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = emb.select(col(idCol).as("_vid"), col(vecCol).as("_vec"))
+    val cents = c.orderBy(col("_vid")).limit(nCells)
+      .select(col("_vid").as("cell_id"), col("_vec").as("centroid"))
+    val aw = Window.partitionBy("_vid").orderBy(col("cdist").asc, col("cell_id"))
+    val assigned = c.crossJoin(broadcast(cents))
+      .withColumn("cdist", VectorFunctions.squaredEuclidean(col("_vec"), col("centroid")))
+      .withColumn("r", row_number().over(aw)).filter(col("r") === 1)
+      .select(col("cell_id"), col("_vid"), col("_vec"))
+    val a = assigned.select(col("cell_id"), col("_vid").as("id1"), col("_vec").as("v1"))
+    val b = assigned.select(col("cell_id"), col("_vid").as("id2"), col("_vec").as("v2"))
+    a.join(b, Seq("cell_id")).filter(col("id1") < col("id2"))
+      .withColumn("cos", VectorFunctions.cosineSimilarityFast(col("v1"), col("v2")))
+      .filter(col("cos") >= threshold)
+      .select(col("cell_id"), col("id1"), col("id2"), col("cos"))
   }
 
   /** Substring-level shared-span detection — seed-and-extend: every maximal

@@ -607,6 +607,34 @@ object ExtensionQueries {
     // Same exact-KNN as q88 but scored by the native codegen Catalyst
     // expression (CosineSimilarityExpr) instead of a UDF — shares q88's
     // oracle because the accumulation order is bit-identical.
+    // SemDeDup: cluster embeddings (deterministic zero-refinement IVF
+    // partitioner), then within-cluster pairwise cosine >= threshold. The
+    // clustering bounds the quadratic term — the whole point of semantic
+    // dedup at corpus scale; the oracle replays assignment and pairing.
+    Entry("qch_semantic_dedup",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Dedup.semanticDupPairs(emb, "vec_id", "embedding",
+            nCells = 16, threshold = 0.35)
+          .select(col("cell_id"), col("id1"), col("id2"),
+            round(col("cos"), 6).as("cos_sim"))
+      },
+      Some("""WITH cents AS (SELECT vec_id AS cell_id, embedding AS centroid
+               FROM embeddings ORDER BY vec_id LIMIT 16),
+        assigned AS (SELECT c.vec_id, c.embedding, a.cell_id
+          FROM embeddings c JOIN LATERAL (
+            SELECT t.cell_id FROM cents t
+            ORDER BY list_distance(CAST(c.embedding AS DOUBLE[]),
+                                   CAST(t.centroid AS DOUBLE[])), t.cell_id
+            LIMIT 1) a ON true)
+        SELECT a.cell_id, a.vec_id AS id1, b.vec_id AS id2,
+          round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+        FROM assigned a JOIN assigned b
+          ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.35""")),
+
     Entry("qab_knn_native_expr",
       (s, dir) => {
         import graft.functions.CosineSimilarityExpr

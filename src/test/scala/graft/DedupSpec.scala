@@ -140,6 +140,26 @@ class DedupSpec extends SparkSpec {
     byQ.values.foreach(rs => assert(rs.map(_._2).sorted.toSeq === Seq(1, 2, 3, 4)))
   }
 
+  test("semanticDupPairs pairs within cells only; clones score cos 1") {
+    // two tight clusters around orthogonal axes; ids 0 and 1 are the
+    // deterministic centroids (lowest-id sample, nCells = 2)
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)),
+      (2L, Seq(0.9f, 0.1f, 0f, 0f)), (3L, Seq(0.9f, 0.1f, 0f, 0f)), // clones, cell 0
+      (4L, Seq(0.1f, 0.9f, 0f, 0f))).toDF("vec_id", "embedding")
+    val pairs = Dedup.semanticDupPairs(vecs, "vec_id", "embedding",
+        nCells = 2, threshold = 0.999)
+      .select("cell_id", "id1", "id2").as[(Long, Long, Long)].collect().toSet
+    // only the clone pair survives the threshold, and it lives in cell 0
+    assert(pairs === Set((0L, 2L, 3L)))
+    // dropping the threshold exposes every within-cell pair but NEVER a
+    // cross-cell one — the clustering bound is structural, not a filter
+    val all = Dedup.semanticDupPairs(vecs, "vec_id", "embedding",
+        nCells = 2, threshold = -1.0)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(all === Set((0L, 2L), (0L, 3L), (2L, 3L), (1L, 4L)))
+  }
+
   private def spansOf(df: org.apache.spark.sql.DataFrame) =
     df.select("id1", "id2", "start1", "start2", "span_tokens")
       .as[(Long, Long, Long, Long, Long)].collect().toSet
