@@ -335,6 +335,42 @@ object ExtensionQueries {
     // Corpus token accounting per (lang, source): the budgeting numbers a
     // training-data pipeline reports — doc counts, total/mean tokens, and
     // exact interpolated length percentiles.
+    // Corpus length-distribution profile: EXACT per-language token-count
+    // quantiles by explicit nearest-rank arithmetic (rank == ceil(p * n),
+    // a total order with doc_id tie-break) so both engines compute the
+    // identical element — no reliance on either engine's quantile
+    // interpolation flavor. Exact quantiles cost one sort per group (the
+    // window); at 100 TB the same profile runs on approx_percentile
+    // (t-digest) with this query as its verification twin at sampled SF.
+    Entry("qci_length_quantiles",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val d = t(s, dir, "documents").select(col("lang"),
+          TextFunctions.tokenCount(col("text")).cast("long").as("len"), col("doc_id"))
+        val wg = Window.partitionBy("lang")
+        val ranked = d
+          .withColumn("r", row_number().over(wg.orderBy(col("len"), col("doc_id"))))
+          .withColumn("n", count(lit(1)).over(wg))
+        def at(p: Double) = max(when(
+          col("r") === greatest(lit(1L), ceil(col("n") * lit(p)).cast("long")),
+          col("len")))
+        ranked.groupBy(col("lang")).agg(
+          max(col("n")).as("n_docs"),
+          at(0.5).as("p50_tokens"), at(0.9).as("p90_tokens"),
+          at(0.99).as("p99_tokens"))
+      },
+      Some(s"""WITH d AS (SELECT lang, CAST(len($OTOKS) AS BIGINT) AS l, doc_id
+          FROM documents),
+        r AS (SELECT lang, l,
+            row_number() OVER (PARTITION BY lang ORDER BY l, doc_id) AS r,
+            count(*) OVER (PARTITION BY lang) AS n
+          FROM d)
+        SELECT lang, max(n) AS n_docs,
+          max(CASE WHEN r = greatest(1, CAST(ceil(n * 0.5) AS BIGINT)) THEN l END) AS p50_tokens,
+          max(CASE WHEN r = greatest(1, CAST(ceil(n * 0.9) AS BIGINT)) THEN l END) AS p90_tokens,
+          max(CASE WHEN r = greatest(1, CAST(ceil(n * 0.99) AS BIGINT)) THEN l END) AS p99_tokens
+        FROM r GROUP BY lang""")),
+
     Entry("q8j_corpus_stats",
       (s, dir) => {
         val d = t(s, dir, "documents")

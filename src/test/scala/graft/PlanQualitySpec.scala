@@ -111,4 +111,24 @@ class PlanQualitySpec extends SparkSpec {
     // the whole chain is built-in expressions — nothing falls out of codegen
     assert(!plan.contains("UDF"), s"facade chain must not plan a UDF:\n$plan")
   }
+
+  test("qcg repetition signals fuse into the scan: zero exchanges, no UDF") {
+    val plan = executedPlan("qcg_repetition_signals")
+    assert(!plan.contains("Exchange"),
+      s"per-row signals must not shuffle at any corpus size:\n$plan")
+    assert(!plan.contains("UDF"), s"signals must stay native:\n$plan")
+    assert(plan.contains("posshinglehashesexpr"),
+      s"dup-fraction must count hashed windows via the native kernel:\n$plan")
+  }
+
+  test("qcf shared spans: hashed-seed joins, no UDF, no string shuffle key") {
+    val plan = executedPlan("qcf_shared_spans").split("== Initial Plan ==").head
+    assert(!plan.contains("UDF"), s"seed pipeline must stay native:\n$plan")
+    assert(plan.contains("posshinglehashesexpr"),
+      s"seeds must come from the positional native kernel:\n$plan")
+    // both the df-cutoff aggregate and the self-join key on the 8-byte
+    // hash — the shingle STRING must never be a shuffle key
+    assert(!plan.toLowerCase.contains("hashpartitioning(ng"),
+      s"n-gram strings must not be shuffled as keys:\n$plan")
+  }
 }
