@@ -476,4 +476,61 @@ object ML {
     import spark.implicits._
     (xCols.zip(w) :+ ("_resid_abs_div_n" -> (residAbs / n).toLong)).toDF("k", "v")
   }
+
+  // ------------------------------------------------------------- k-means
+
+  /** [[kMeansScaled]] output: per-vector cell assignment and the final
+    * quantized centroids. */
+  final case class KMeansResult(assignments: DataFrame, centroids: DataFrame)
+
+  /** Deterministic distributed Lloyd's k-means over quantized integer
+    * vectors — the trainer behind the IVF/SemDeDup cluster partitioners
+    * (Similarity.ivfTopK seeds from exactly this zero-iteration state).
+    *
+    * Exactness device (same family as pageRankScaled/svmScaled): each
+    * float coordinate quantizes once to floor(v·scale) micro-units; the
+    * assignment metric is the INTEGER squared Euclidean distance (ties to
+    * the lower cell id), and the centroid update is the per-dimension
+    * floor(sum/count) — every round is engine-portable, so the whole
+    * trajectory hash-oracles. Initial centroids: the k lowest-id vectors.
+    * A cell that loses all members drops out (k shrinks, deterministic).
+    *
+    * Shape at scale: per round ONE broadcast of k quantized centroids +
+    * one narrow argmin pass + one (cell, dim)-keyed aggregate — no
+    * driver collect, model state lives in a k-row frame. Magnitude: the
+    * update sums |q| ≤ scale·max|v| per member, so the double-floored
+    * division stays exact while cell_members · scale · max|v| < 2^53 —
+    * ~9e9 members per cell at unit-norm embeddings and scale 1e6. */
+  def kMeansScaled(df: DataFrame, idCol: String, vecCol: String,
+                   k: Int, iters: Int, scale: Long = 1000000L): KMeansResult = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    import org.apache.spark.sql.expressions.Window
+    val q = df.select(col(idCol).as("_id"),
+        transform(col(vecCol), x => floor(x.cast("double") * scale).cast("long")).as("qv"))
+      .cache()
+    var cents = q.orderBy(col("_id")).limit(k)
+      .select(col("_id").as("cell_id"), col("qv").as("cvec"))
+    def assign(cs: DataFrame): DataFrame = {
+      val aw = Window.partitionBy("_id").orderBy(col("dist").asc, col("cell_id"))
+      q.crossJoin(broadcast(cs))
+        .withColumn("dist", aggregate(
+          zip_with(col("qv"), col("cvec"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+        .withColumn("r", row_number().over(aw)).filter(col("r") === 1)
+        .select(col("_id"), col("qv"), col("cell_id"))
+    }
+    for (_ <- 1 to iters) {
+      cents = assign(cents)
+        .select(col("cell_id"), posexplode(col("qv")))
+        .groupBy("cell_id", "pos")
+        .agg(floor(sum(col("col")).cast("double") / count(lit(1))).cast("long").as("v"))
+        .groupBy("cell_id")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+          x => x.getField("v")).as("cvec"))
+        .localCheckpoint()
+    }
+    val fin = assign(cents)
+    KMeansResult(fin.select(col("_id").as(idCol), col("cell_id")), cents)
+  }
 }

@@ -204,5 +204,51 @@ object MLQueries {
           UNION ALL SELECT 'disc', w_disc FROM w4
           UNION ALL SELECT '_resid_abs_div_n', v FROM ra"""
       }),
+
+    // Lloyd's k-means on quantized integers (k=4, two update rounds + the
+    // final assignment): the oracle unrolls all three assignment passes
+    // and both centroid updates — integer distances, floor-division
+    // updates, ties to the lower cell — and compares per-cell membership
+    // (count, id-sum) plus the final centroid coordinate sums.
+    Entry("qcj_kmeans",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val r = ML.kMeansScaled(emb, "vec_id", "embedding", k = 4, iters = 2)
+        val a = r.assignments.groupBy("cell_id")
+          .agg(count(lit(1)).as("n_members"), sum(col("vec_id")).as("id_sum"))
+        val c = r.centroids.select(col("cell_id"),
+          aggregate(col("cvec"), lit(0L), (acc, x) => acc + x).as("centroid_sum"))
+        a.join(c, Seq("cell_id"))
+          .select("cell_id", "n_members", "id_sum", "centroid_sum")
+      },
+      Some {
+        def assign(name: String, cents: String) =
+          s"""$name AS (SELECT q.id, q.qv, s.cell_id FROM q JOIN LATERAL (
+             SELECT t.cell_id FROM $cents t
+             ORDER BY list_aggregate(list_transform(range(1, len(q.qv) + 1),
+               i -> (q.qv[i] - t.cvec[i]) * (q.qv[i] - t.cvec[i])), 'sum'),
+               t.cell_id
+             LIMIT 1) s ON true)"""
+        def update(name: String, from: String) =
+          s"""$name AS (SELECT cell_id, list(v ORDER BY pos) AS cvec FROM (
+             SELECT cell_id, pos,
+               CAST(floor(CAST(sum(qv[pos]) AS DOUBLE) / count(*)) AS BIGINT) AS v
+             FROM $from CROSS JOIN UNNEST(generate_series(1, len(qv))) AS t(pos)
+             GROUP BY cell_id, pos) GROUP BY cell_id)"""
+        s"""WITH q AS (SELECT vec_id AS id,
+            list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+          FROM embeddings),
+        c0 AS (SELECT id AS cell_id, qv AS cvec FROM q ORDER BY id LIMIT 4),
+        ${assign("a1", "c0")}, ${update("c1", "a1")},
+        ${assign("a2", "c1")}, ${update("c2", "a2")},
+        ${assign("a3", "c2")},
+        agg AS (SELECT cell_id, CAST(count(*) AS BIGINT) AS n_members,
+            CAST(sum(id) AS BIGINT) AS id_sum FROM a3 GROUP BY 1),
+        csum AS (SELECT cell_id,
+            CAST(list_aggregate(cvec, 'sum') AS BIGINT) AS centroid_sum FROM c2)
+        SELECT agg.cell_id, n_members, id_sum, centroid_sum
+        FROM agg JOIN csum USING (cell_id)"""
+      }),
   )
 }

@@ -186,6 +186,50 @@ class DedupSpec extends SparkSpec {
     assert(got === Set((1L, 2L, 2L, 1L, 5L), (1L, 2L, 12L, 11L, 6L)))
   }
 
+  test("sharedSpans differential fuzz: matches a brute-force matcher on a random corpus") {
+    // tiny vocab + short docs = dense accidental n-gram sharing — the
+    // adversarial regime for the diagonal/island bookkeeping (repeats,
+    // overlapping runs, internal periodicity)
+    val rnd = new scala.util.Random(42)
+    val vocab = Array("a", "b", "c", "d", "e", "f", "g", "h")
+    val docs = (1L to 60L).map { id =>
+      val len = 20 + rnd.nextInt(21)
+      id -> Array.fill(len)(vocab(rnd.nextInt(vocab.length)))
+    }
+    val (n, minTokens) = (3, 5)
+    def brute: Set[(Long, Long, Long, Long, Long)] = {
+      val out = Set.newBuilder[(Long, Long, Long, Long, Long)]
+      for {
+        (id1, t1) <- docs; (id2, t2) <- docs if id1 < id2
+        g1 = t1.sliding(n).map(_.mkString(" ")).toArray
+        g2 = t2.sliding(n).map(_.mkString(" ")).toArray
+        diag <- (1 - g2.length) until g1.length
+      } {
+        // walk the diagonal p1 = p2 + diag, collecting maximal match runs
+        var p1 = math.max(0, diag)
+        var runStart = -1
+        def close(end: Int): Unit = if (runStart >= 0) {
+          val span = end - runStart + n
+          if (span >= minTokens)
+            out += ((id1, id2, runStart.toLong, (runStart - diag).toLong, span.toLong))
+          runStart = -1
+        }
+        while (p1 < g1.length && p1 - diag < g2.length) {
+          if (p1 - diag >= 0 && g1(p1) == g2(p1 - diag)) {
+            if (runStart < 0) runStart = p1
+          } else close(p1 - 1)
+          p1 += 1
+        }
+        close(p1 - 1)
+      }
+      out.result()
+    }
+    val df = docs.map { case (id, toks) => (id, toks.mkString(" ")) }.toDF("doc_id", "text")
+    val got = spansOf(Dedup.sharedSpans(df, "doc_id", "text", n, minTokens,
+      maxDf = Int.MaxValue))
+    assert(got === brute)
+  }
+
   test("sharedSpans maxDf drops boilerplate shared by too many docs") {
     val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
     val d = (1L to 4L).map(k => (k, s"w${k}a w${k}b $boiler w${k}c")).toDF("doc_id", "text")

@@ -141,4 +141,36 @@ class MLSpec extends SparkSpec {
       ML.gradientDescentScaled(df, "y", Seq("b", "x"), iters = 3, etaInv = 1L))
     assert(e.getMessage.contains("residual bound"))
   }
+
+  test("kMeansScaled recovers planted clusters and tightens centroids over rounds") {
+    // three tight planted clusters; the first three ids land in DIFFERENT
+    // clusters so the lowest-id init starts with one seed per true cluster
+    val centers = Seq(Seq(10f, 0f, 0f), Seq(0f, 10f, 0f), Seq(0f, 0f, 10f))
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 30).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(v => v + (rnd.nextFloat() - 0.5f) * 0.2f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val r = ML.kMeansScaled(df, "vec_id", "embedding", k = 3, iters = 2)
+    val got = r.assignments.as[(Long, Long)].collect().toMap
+    // every member of a planted cluster shares its seed's cell
+    assert((0 until 30).forall(i => got(i.toLong) === got((i % 3).toLong)))
+    assert(got.values.toSet.size === 3)
+    // after two rounds each centroid sits within quantization noise of its
+    // planted center (init was a single sample; the mean is much closer)
+    val cents = r.centroids.as[(Long, Seq[Long])].collect().toMap
+    centers.zipWithIndex.foreach { case (c, i) =>
+      val cv = cents(got(i.toLong))
+      c.zip(cv).foreach { case (exp, gotQ) =>
+        assert(math.abs(gotQ / 1e6 - exp) < 0.1, s"centroid $i drifted: $cv")
+      }
+    }
+    // a dead seed drops out: two identical far points + one lone seed that
+    // captures everything leaves the dead cell without members
+    val degen = Seq((0L, Seq(0f, 0f)), (1L, Seq(0.001f, 0f)), (2L, Seq(0.001f, 0.001f)))
+      .toDF("vec_id", "embedding")
+    val r2 = ML.kMeansScaled(degen, "vec_id", "embedding", k = 2, iters = 2)
+    assert(r2.assignments.select("cell_id").as[Long].collect().toSet.size <= 2)
+  }
 }
