@@ -23,7 +23,10 @@ object Bench {
     "qa2_graph_pagerank",
     // round 3: temporal joins (no round-1 baseline entry; compare totals
     // with the round-3 figures in BASELINE.md)
-    "qb0_asof_backward", "qb2_range_join_binned")
+    "qb0_asof_backward", "qb2_range_join_binned",
+    // round 7: pipeline-surface flagships (no round-1 baseline entry;
+    // subset totals for cross-round comparison as BASELINE.md describes)
+    "qcf_shared_spans", "qcg_repetition_signals", "qcj_kmeans")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -404,20 +404,28 @@ object Dedup {
     * nCells grows with the corpus to hold cell size constant. The
     * centroid frame is nCells rows and broadcasts; assignment is one
     * narrow pass; the pair join shuffles once on cell_id. A pathological
-    * cell (all vectors in one cluster) re-creates the quadratic — refine
-    * centroids (ivfTopK's Lloyd rounds) or raise nCells; same knob
-    * semantics as the reference-side cluster-then-compare pipelines. */
+    * cell (all vectors in one cluster) re-creates the quadratic —
+    * `refineIters > 0` runs [[ML.kMeansScaled]] Lloyd rounds to balance
+    * cells, or raise nCells; same knob semantics as the reference-side
+    * cluster-then-compare pipelines. */
   def semanticDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-                       nCells: Int, threshold: Double): DataFrame = {
+                       nCells: Int, threshold: Double,
+                       refineIters: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val c = emb.select(col(idCol).as("_vid"), col(vecCol).as("_vec"))
-    val cents = c.orderBy(col("_vid")).limit(nCells)
-      .select(col("_vid").as("cell_id"), col("_vec").as("centroid"))
-    val aw = Window.partitionBy("_vid").orderBy(col("cdist").asc, col("cell_id"))
-    val assigned = c.crossJoin(broadcast(cents))
-      .withColumn("cdist", VectorFunctions.squaredEuclidean(col("_vec"), col("centroid")))
-      .withColumn("r", row_number().over(aw)).filter(col("r") === 1)
-      .select(col("cell_id"), col("_vid"), col("_vec"))
+    val assigned = if (refineIters > 0) {
+      val km = ML.kMeansScaled(emb, idCol, vecCol, nCells, refineIters)
+      c.join(km.assignments.select(col(idCol).as("_vid"), col("cell_id")), "_vid")
+        .select(col("cell_id"), col("_vid"), col("_vec"))
+    } else {
+      val cents = c.orderBy(col("_vid")).limit(nCells)
+        .select(col("_vid").as("cell_id"), col("_vec").as("centroid"))
+      val aw = Window.partitionBy("_vid").orderBy(col("cdist").asc, col("cell_id"))
+      c.crossJoin(broadcast(cents))
+        .withColumn("cdist", VectorFunctions.squaredEuclidean(col("_vec"), col("centroid")))
+        .withColumn("r", row_number().over(aw)).filter(col("r") === 1)
+        .select(col("cell_id"), col("_vid"), col("_vec"))
+    }
     val a = assigned.select(col("cell_id"), col("_vid").as("id1"), col("_vec").as("v1"))
     val b = assigned.select(col("cell_id"), col("_vid").as("id2"), col("_vec").as("v2"))
     a.join(b, Seq("cell_id")).filter(col("id1") < col("id2"))

@@ -158,6 +158,12 @@ class DedupSpec extends SparkSpec {
         nCells = 2, threshold = -1.0)
       .select("id1", "id2").as[(Long, Long)].collect().toSet
     assert(all === Set((0L, 2L), (0L, 3L), (2L, 3L), (1L, 4L)))
+    // Lloyd-refined assignment (kMeansScaled path) preserves the clean
+    // clustering, so the clone pair survives identically
+    val refined = Dedup.semanticDupPairs(vecs, "vec_id", "embedding",
+        nCells = 2, threshold = 0.999, refineIters = 1)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(refined === Set((2L, 3L)))
   }
 
   private def spansOf(df: org.apache.spark.sql.DataFrame) =
