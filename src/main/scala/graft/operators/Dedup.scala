@@ -497,4 +497,56 @@ object Dedup {
         col("start2").cast("long"), col("span_tokens").cast("long"))
       .toDF("id1", "id2", "start1", "start2", "span_tokens")
   }
+
+  /** The removal half of substring dedup (the action [[sharedSpans]]
+    * detects for): every LATER occurrence of a shared span — the id2 side,
+    * so the lowest doc id keeps its copy, the keep-first policy
+    * TextPipeline.dedupSpans uses at block granularity — is cut out, and
+    * documents rebuild from the surviving tokens.
+    *
+    * Overlapping removal intervals within a doc union-merge first (one
+    * gaps-and-islands window per doc: an interval starting past the
+    * running max end opens a new island), so a token is removed once no
+    * matter how many pairs cover it. Output: (idCol, clean_text,
+    * n_removed) for EVERY input doc — untouched docs pass through with
+    * n_removed = 0.
+    *
+    * Scale: inherits sharedSpans' linear seed economics; the merge window
+    * keys on the removing doc (fine-grained), and the kill set explodes
+    * only REMOVED positions — bounded by the duplicated fraction of the
+    * corpus, not the corpus. Rebuild is one anti-join + one per-doc
+    * aggregate. */
+  def removeSharedSpans(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, minTokens: Int, maxDf: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = sharedSpans(df, idCol, textCol, n, minTokens, maxDf)
+    val iv = spans.select(col("id2").as("_rid"), col("start2").as("s"),
+      (col("start2") + col("span_tokens")).as("e")).distinct()
+    val ord = Window.partitionBy("_rid").orderBy(col("s"), col("e"))
+    val merged = iv
+      .withColumn("brk", when(col("s") > coalesce(
+        max(col("e")).over(ord.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(-1L)), 1).otherwise(0))
+      .withColumn("grp", sum(col("brk")).over(ord))
+      .groupBy(col("_rid"), col("grp"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val kill = merged.select(col("_rid"),
+      explode(sequence(col("s"), col("e") - 1)).as("pos"))
+    val toks = df.select(col(idCol).as("_rid"),
+        posexplode(TextFunctions.tokens(col(textCol))))
+      .toDF("_rid", "pos", "tok")
+      .withColumn("pos", col("pos").cast("long"))
+    val kept = toks.join(kill, Seq("_rid", "pos"), "left_anti")
+      .groupBy(col("_rid"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol).as("_rid"),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("n_total"))
+      .join(kept, Seq("_rid"), "left")
+      .select(col("_rid").as(idCol),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
 }

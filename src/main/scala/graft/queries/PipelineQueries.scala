@@ -18,6 +18,35 @@ object PipelineQueries {
   /** Oracle fragment: whitespace tokens of `text` as a DuckDB list. */
   private val OTOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 
+  /** Oracle fragment: the shared-span CTE chain (Dedup.sharedSpans with
+    * n=8, minTokens=12, maxDf=64 on `documents`) — replayed on n-gram
+    * STRINGS where Spark joins hashes; exposes `toks(doc_id, w)` and
+    * `spans(id1, id2, start1, start2, span_tokens)` for qcf/qck. */
+  private val OSpanCtes = s"""toks AS (
+      SELECT doc_id, $OTOKS AS w FROM documents
+    ), g AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(w[i : i + 7], ' ') AS ng
+      FROM toks CROSS JOIN UNNEST(generate_series(1, len(w) - 7)) AS t(i)
+      WHERE len(w) >= 8
+    ), keys AS (
+      SELECT ng FROM g GROUP BY ng
+      HAVING count(DISTINCT doc_id) BETWEEN 2 AND 64
+    ), sd AS (
+      SELECT g.* FROM g JOIN keys USING (ng)
+    ), p AS (
+      SELECT a.doc_id AS id1, b.doc_id AS id2, a.pos AS p1, b.pos AS p2,
+        a.pos - b.pos AS diag
+      FROM sd a JOIN sd b ON a.ng = b.ng AND a.doc_id < b.doc_id
+    ), r AS (
+      SELECT *, p1 - row_number() OVER (
+        PARTITION BY id1, id2, diag ORDER BY p1) AS island FROM p
+    ), spans AS (
+      SELECT id1, id2, min(p1) AS start1, min(p2) AS start2,
+        max(p1) - min(p1) + 8 AS span_tokens
+      FROM r GROUP BY id1, id2, diag, island
+      HAVING max(p1) - min(p1) + 8 >= 12
+    )"""
+
   /** Oracle fragment: FNV-1a 64 over an ASCII string expression `in`, as an
     * unsigned HUGEINT — mirrors graft.functions.Fnv1a64Expr bit-for-bit
     * (same construction as ExtensionQueries' fingerprint oracle). */
@@ -365,29 +394,36 @@ object PipelineQueries {
     Entry("qcf_shared_spans",
       (s, dir) => Dedup.sharedSpans(t(s, dir, "documents"),
         "doc_id", "text", n = 8, minTokens = 12, maxDf = 64),
-      Some(s"""WITH toks AS (
-          SELECT doc_id, $OTOKS AS w FROM documents
-        ), g AS (
-          SELECT doc_id, i - 1 AS pos, array_to_string(w[i : i + 7], ' ') AS ng
-          FROM toks CROSS JOIN UNNEST(generate_series(1, len(w) - 7)) AS t(i)
-          WHERE len(w) >= 8
-        ), keys AS (
-          SELECT ng FROM g GROUP BY ng
-          HAVING count(DISTINCT doc_id) BETWEEN 2 AND 64
-        ), sd AS (
-          SELECT g.* FROM g JOIN keys USING (ng)
-        ), p AS (
-          SELECT a.doc_id AS id1, b.doc_id AS id2, a.pos AS p1, b.pos AS p2,
-            a.pos - b.pos AS diag
-          FROM sd a JOIN sd b ON a.ng = b.ng AND a.doc_id < b.doc_id
-        ), r AS (
-          SELECT *, p1 - row_number() OVER (
-            PARTITION BY id1, id2, diag ORDER BY p1) AS island FROM p
-        )
-        SELECT id1, id2, min(p1) AS start1, min(p2) AS start2,
-          max(p1) - min(p1) + 8 AS span_tokens
-        FROM r GROUP BY id1, id2, diag, island
-        HAVING max(p1) - min(p1) + 8 >= 12""")),
+      Some(s"""WITH $OSpanCtes
+        SELECT id1, id2, start1, start2, span_tokens FROM spans""")),
+
+    // The removal half of substring dedup: later occurrences (the id2
+    // side, keep-lowest-doc-first) of every shared span are interval-
+    // merged per doc and cut out; docs rebuild from the surviving tokens.
+    Entry("qck_substring_dedup",
+      (s, dir) => Dedup.removeSharedSpans(t(s, dir, "documents"),
+        "doc_id", "text", n = 8, minTokens = 12, maxDf = 64),
+      Some(s"""WITH $OSpanCtes,
+        iv AS (SELECT DISTINCT id2 AS doc, start2 AS s,
+            start2 + span_tokens AS e FROM spans),
+        mrk AS (SELECT *, CASE WHEN s > coalesce(max(e) OVER (
+            PARTITION BY doc ORDER BY s, e
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+          THEN 1 ELSE 0 END AS brk FROM iv),
+        grpd AS (SELECT *, sum(brk) OVER (
+            PARTITION BY doc ORDER BY s, e) AS grp FROM mrk),
+        mi AS (SELECT doc, min(s) AS s, max(e) AS e FROM grpd GROUP BY doc, grp),
+        kill AS (SELECT doc, UNNEST(generate_series(s, e - 1)) AS pos FROM mi),
+        toks2 AS (SELECT doc_id, i - 1 AS pos, w[i] AS tok
+          FROM toks CROSS JOIN UNNEST(generate_series(1, len(w))) AS t(i)),
+        kept AS (SELECT t2.* FROM toks2 t2 LEFT JOIN kill k
+          ON t2.doc_id = k.doc AND t2.pos = k.pos WHERE k.pos IS NULL),
+        agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+            count(*) AS n_kept FROM kept GROUP BY doc_id),
+        tot AS (SELECT doc_id, len(w) AS n_total FROM toks)
+        SELECT tot.doc_id, coalesce(clean_text, '') AS clean_text,
+          CAST(tot.n_total - coalesce(n_kept, 0) AS BIGINT) AS n_removed
+        FROM tot LEFT JOIN agg USING (doc_id)""")),
 
     // Prefix-filtered EXACT Jaccard at a dedup-grade threshold (AllPairs):
     // candidates only where rarity-ordered prefixes collide — complete by

@@ -236,6 +236,31 @@ class DedupSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  test("removeSharedSpans keeps the lowest doc's copy, rebuilds the rest") {
+    val run = (1 to 15).map(i => s"s$i").mkString(" ")
+    val d = Seq(
+      (1L, s"u1 u2 u3 u4 $run u5 u6 u7 u8"),
+      (2L, s"v1 v2 v3 $run v4 v5"),
+      (3L, "w1 w2 w3")).toDF("doc_id", "text")
+    val got = Dedup.removeSharedSpans(d, "doc_id", "text", n = 4, minTokens = 6)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((s"u1 u2 u3 u4 $run u5 u6 u7 u8", 0L))) // first copy kept
+    assert(got(2L) === (("v1 v2 v3 v4 v5", 15L))) // span cut, seams closed
+    assert(got(3L) === (("w1 w2 w3", 0L))) // untouched doc passes through
+  }
+
+  test("removeSharedSpans merges overlapping intervals (periodic text, full removal)") {
+    // "c c c ..." matches on every diagonal: the removal intervals on the
+    // higher doc overlap heavily and must union before cutting
+    val d = Seq(
+      (1L, "c c c c c"),
+      (2L, "c c c c c c")).toDF("doc_id", "text")
+    val got = Dedup.removeSharedSpans(d, "doc_id", "text", n = 3, minTokens = 4)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L)._2 === 0L) // lower id keeps everything
+    assert(got(2L)._1 === "" && got(2L)._2 === 6L) // fully covered → empty
+  }
+
   test("sharedSpans maxDf drops boilerplate shared by too many docs") {
     val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
     val d = (1L to 4L).map(k => (k, s"w${k}a w${k}b $boiler w${k}c")).toDF("doc_id", "text")
