@@ -335,6 +335,47 @@ object ExtensionQueries {
     // Corpus token accounting per (lang, source): the budgeting numbers a
     // training-data pipeline reports — doc counts, total/mean tokens, and
     // exact interpolated length percentiles.
+    // Deterministic HyperLogLog (Sketches.hllDistinct): FNV registers,
+    // trailing-zero ranks, EXACT integer register sums — the oracle
+    // replays every register and lands on the identical double estimate.
+    // p=4 here because the fixture's per-lang cardinalities (~70–220) sit
+    // in the RAW estimator's regime at m=16 (the raw form has no
+    // linear-counting switch — ln is not bit-portable); the operator
+    // default p=10 regime is accuracy-tested in SketchesSpec at 20k
+    // distinct. n_exact rides along so the error is visible.
+    Entry("qcl_hll_distinct",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val sk = graft.operators.Sketches.hllDistinct(d, Seq("lang"), "text", p = 4)
+        val exact = d.groupBy(col("lang")).agg(countDistinct(col("text")).as("n_exact"))
+        sk.join(exact, Seq("lang"))
+          .select("lang", "n_exact", "hll_estimate", "zero_registers")
+      },
+      Some {
+        val p = 4
+        val m = 1 << p
+        val c = 0.673 * m.toDouble * m.toDouble
+        val cap = 64 - p + 1
+        val rest = s"((h >> $p) & ${(1L << (64 - p)) - 1})"
+        s"""WITH h AS (SELECT lang, ${oSigned(oFnv("text"))} AS h FROM documents),
+        r AS (SELECT lang, h & ${m - 1} AS bucket,
+            CASE WHEN $rest = 0 THEN $cap
+              ELSE CAST(log2(CAST($rest & -$rest AS DOUBLE)) AS INT) + 1
+            END AS rank
+          FROM h),
+        reg AS (SELECT lang, bucket, max(rank) AS mx FROM r GROUP BY 1, 2),
+        agg AS (SELECT lang,
+            sum(CAST(power(2.0, 64 - mx) AS HUGEINT)) AS present,
+            count(*) AS nreg
+          FROM reg GROUP BY 1),
+        ex AS (SELECT lang, count(DISTINCT text) AS n_exact FROM documents GROUP BY 1)
+        SELECT agg.lang, CAST(n_exact AS BIGINT) AS n_exact,
+          round($c * 1.8446744073709552E19 / CAST(present +
+            ($m - nreg) * 18446744073709551616::HUGEINT AS DOUBLE), 4) AS hll_estimate,
+          CAST($m - nreg AS BIGINT) AS zero_registers
+        FROM agg JOIN ex USING (lang)"""
+      }),
+
     // Corpus length-distribution profile: EXACT per-language token-count
     // quantiles by explicit nearest-rank arithmetic (rank == ceil(p * n),
     // a total order with doc_id tie-break) so both engines compute the
