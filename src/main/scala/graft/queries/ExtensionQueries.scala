@@ -22,7 +22,7 @@ object ExtensionQueries {
     * HUGEINT mod-2^64 arithmetic; the XOR only ever touches the low byte, so
     * it runs on BIGINT and is re-added. Mirrors Hashes.fnv1a64 bit-for-bit
     * (verified: both produce 4258664394790625059 for 'hello world 42'). */
-  private def oFnv(in: String): String =
+  private[queries] def oFnv(in: String): String =
     s"""list_reduce(list_prepend(14695981039346656037::HUGEINT,
        list_transform(range(1, length($in) + 1), i -> CAST(ascii($in[i]) AS HUGEINT))),
        (acc, b) -> (((acc - (acc % 256)) +
@@ -31,7 +31,7 @@ object ExtensionQueries {
 
   /** Oracle fragment: reinterpret unsigned-64 HUGEINT `h` as signed BIGINT
     * (two's complement), matching a JVM Long. */
-  private def oSigned(h: String): String =
+  private[queries] def oSigned(h: String): String =
     s"""CAST(CASE WHEN $h >= 9223372036854775808::HUGEINT
        THEN $h - 18446744073709551616::HUGEINT ELSE $h END AS BIGINT)"""
 
@@ -374,6 +374,109 @@ object ExtensionQueries {
             ($m - nreg) * 18446744073709551616::HUGEINT AS DOUBLE), 4) AS hll_estimate,
           CAST($m - nreg AS BIGINT) AS zero_registers
         FROM agg JOIN ex USING (lang)"""
+      }),
+
+    // Count-Min heavy-hitter accounting (Sketches.countMin/cmLookup): the
+    // exact top tokens — the candidate set a heavy-hitter pass would carry —
+    // probed against a w=1024, d=3 Count-Min sketch of the whole token
+    // stream. Seeded FNV buckets + integer counters are fully deterministic,
+    // so the oracle rebuilds every counter and lands on identical estimates;
+    // `overcount` (always >= 0) is the CM over-estimate guarantee made
+    // visible and gate-checked.
+    Entry("qcm_countmin_tokens",
+      (s, dir) => {
+        val w = 1024
+        val depth = 3
+        val toks = t(s, dir, "documents")
+          .select(explode(split(col("text"), "\\s+")).as("tok"))
+          .filter(length(col("tok")) > 0)
+        val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("true_cnt"))
+          .orderBy(col("true_cnt").desc, col("tok").asc).limit(12)
+        val sk = graft.operators.Sketches.countMin(toks, "tok", w, depth)
+        graft.operators.Sketches.cmLookup(sk, top, "tok", w, depth)
+          .join(top, Seq("tok"))
+          .select(col("tok"), col("true_cnt"), col("cm_est"),
+            (col("cm_est") - col("true_cnt")).as("overcount"))
+      },
+      Some {
+        val w = 1024
+        s"""WITH toks AS (SELECT unnest($OTOKS) AS tok FROM documents),
+        cnts AS (SELECT tok, count(*) AS true_cnt FROM toks GROUP BY 1),
+        top AS (SELECT * FROM cnts ORDER BY true_cnt DESC, tok LIMIT 12),
+        seeded AS (SELECT ri, concat(CAST(ri AS VARCHAR), '|', tok) AS s
+          FROM toks CROSS JOIN range(3) r(ri)),
+        counters AS (SELECT ri, ${oFnv("s")} % $w AS bucket, count(*) AS cnt
+          FROM seeded GROUP BY 1, 2),
+        pseed AS (SELECT tok, true_cnt, ri,
+            concat(CAST(ri AS VARCHAR), '|', tok) AS s
+          FROM top CROSS JOIN range(3) r(ri)),
+        pb AS (SELECT tok, true_cnt, ri, ${oFnv("s")} % $w AS bucket FROM pseed)
+        SELECT tok, CAST(true_cnt AS BIGINT) AS true_cnt,
+          CAST(min(cnt) AS BIGINT) AS cm_est,
+          CAST(min(cnt) - true_cnt AS BIGINT) AS overcount
+        FROM pb JOIN counters USING (ri, bucket) GROUP BY tok, true_cnt"""
+      }),
+
+    // Sketch MERGE as a query: pairwise |A ∪ B| distinct-text estimates
+    // across language segments from per-language register frames alone —
+    // the roll-up shape that makes sketches pay at corpus scale (per-
+    // segment registers are tiny; unions never re-read the data). hllMerge
+    // is lossless (register max commutes with set union), so the oracle,
+    // which sketches each pair's union directly, lands on identical
+    // registers and the identical estimate. n_exact rides along.
+    Entry("qcn_hll_union",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val regs = graft.operators.Sketches.hllRegisters(d, Seq("lang"), "text", p = 4)
+        val langs = d.select(col("lang")).distinct()
+        val pairs = langs.select(col("lang").as("lang_a"))
+          .crossJoin(langs.select(col("lang").as("lang_b")))
+          .filter(col("lang_a") < col("lang_b"))
+        val sideA = pairs.join(regs.withColumnRenamed("lang", "lang_a"), Seq("lang_a"))
+          .select("lang_a", "lang_b", "_bucket", "_m")
+        val sideB = pairs.join(regs.withColumnRenamed("lang", "lang_b"), Seq("lang_b"))
+          .select("lang_a", "lang_b", "_bucket", "_m")
+        val est = graft.operators.Sketches.hllEstimate(
+          graft.operators.Sketches.hllMerge(Seq(sideA, sideB), Seq("lang_a", "lang_b")),
+          Seq("lang_a", "lang_b"), p = 4)
+        val exact = pairs
+          .join(d, col("lang") === col("lang_a") || col("lang") === col("lang_b"))
+          .groupBy(col("lang_a"), col("lang_b"))
+          .agg(countDistinct(col("text")).as("n_exact"))
+        est.join(exact, Seq("lang_a", "lang_b"))
+          .select("lang_a", "lang_b", "n_exact", "hll_estimate", "zero_registers")
+      },
+      Some {
+        val p = 4
+        val m = 1 << p
+        val c = 0.673 * m.toDouble * m.toDouble
+        val cap = 64 - p + 1
+        val rest = s"((h >> $p) & ${(1L << (64 - p)) - 1})"
+        s"""WITH h AS (SELECT lang, ${oSigned(oFnv("text"))} AS h FROM documents),
+        r AS (SELECT lang, h & ${m - 1} AS bucket,
+            CASE WHEN $rest = 0 THEN $cap
+              ELSE CAST(log2(CAST($rest & -$rest AS DOUBLE)) AS INT) + 1
+            END AS rank
+          FROM h),
+        reg AS (SELECT lang, bucket, max(rank) AS mx FROM r GROUP BY 1, 2),
+        langs AS (SELECT DISTINCT lang FROM documents),
+        pairs AS (SELECT a.lang AS lang_a, b.lang AS lang_b
+          FROM langs a CROSS JOIN langs b WHERE a.lang < b.lang),
+        preg AS (SELECT lang_a, lang_b, bucket, max(mx) AS mx
+          FROM pairs JOIN reg ON reg.lang = lang_a OR reg.lang = lang_b
+          GROUP BY 1, 2, 3),
+        agg AS (SELECT lang_a, lang_b,
+            sum(CAST(power(2.0, 64 - mx) AS HUGEINT)) AS present,
+            count(*) AS nreg
+          FROM preg GROUP BY 1, 2),
+        ex AS (SELECT lang_a, lang_b, count(DISTINCT text) AS n_exact
+          FROM pairs JOIN documents ON lang = lang_a OR lang = lang_b
+          GROUP BY 1, 2)
+        SELECT agg.lang_a, agg.lang_b, CAST(n_exact AS BIGINT) AS n_exact,
+          round($c * 1.8446744073709552E19 / CAST(present +
+            ($m - nreg) * 18446744073709551616::HUGEINT AS DOUBLE), 4) AS hll_estimate,
+          CAST($m - nreg AS BIGINT) AS zero_registers
+        FROM agg JOIN ex USING (lang_a, lang_b)"""
       }),
 
     // Corpus length-distribution profile: EXACT per-language token-count

@@ -117,6 +117,57 @@ object StreamQueries {
         GROUP BY 1, wm.watermark_ms
         HAVING ((win_start_us + $HourUs) / 1000) <= wm.watermark_ms""")),
 
+    // Streaming windowed HLL (Sketches.hllWindowedDistinct): distinct users
+    // per 6-hour window as a mergeable sketch — two CHAINED windowed
+    // aggregations (window×bucket register max, then the register sum
+    // re-keyed on the same window via window_time), Spark's multiple-
+    // stateful-operator form. Per-window state is 2^p registers regardless
+    // of event volume, the shape that survives unbounded keys where exact
+    // windowed countDistinct cannot. Deterministic register arithmetic =
+    // the oracle replays every register; append-mode emission follows the
+    // q92 watermark rule.
+    Entry("qco_stream_hll_window",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        val agg = graft.operators.Sketches.hllWindowedDistinct(
+          eventsStream(s, dir), "ts", "6 hours", "user_id",
+          p = 4, watermark = "10 minutes")
+          .select(unix_micros(col("window.start")).as("win_start_us"),
+            col("hll_estimate"), col("zero_registers"))
+        run(agg, "append", "qco_sink")
+      },
+      Some {
+        val p = 4
+        val m = 1 << p
+        val c = 0.673 * m.toDouble * m.toDouble
+        val cap = 64 - p + 1
+        val rest = s"((h >> $p) & ${(1L << (64 - p)) - 1})"
+        val winUs = 6 * HourUs
+        s"""WITH wm AS (
+          SELECT epoch_ms(max(ts)) - 600000 AS watermark_ms FROM events
+        ),
+        u AS (SELECT (epoch_us(ts) // $winUs) * $winUs AS win_start_us,
+            CAST(user_id AS VARCHAR) AS us FROM events),
+        h AS (SELECT win_start_us,
+            ${ExtensionQueries.oSigned(ExtensionQueries.oFnv("us"))} AS h FROM u),
+        r AS (SELECT win_start_us, h & ${m - 1} AS bucket,
+            CASE WHEN $rest = 0 THEN $cap
+              ELSE CAST(log2(CAST($rest & -$rest AS DOUBLE)) AS INT) + 1
+            END AS rank
+          FROM h),
+        reg AS (SELECT win_start_us, bucket, max(rank) AS mx FROM r GROUP BY 1, 2),
+        agg AS (SELECT win_start_us,
+            sum(CAST(power(2.0, 64 - mx) AS HUGEINT)) AS present,
+            count(*) AS nreg
+          FROM reg GROUP BY 1)
+        SELECT win_start_us,
+          round($c * 1.8446744073709552E19 / CAST(present +
+            ($m - nreg) * 18446744073709551616::HUGEINT AS DOUBLE), 4) AS hll_estimate,
+          CAST($m - nreg AS BIGINT) AS zero_registers
+        FROM agg, wm
+        WHERE ((win_start_us + $winUs) / 1000) <= wm.watermark_ms"""
+      }),
+
     // Processing-time tumbling window (reference:
     // TumblingProcessingTimeWindows + ProcessingTimeTrigger): windows are
     // assigned by the arrival clock, not the event's own timestamp. The
