@@ -479,6 +479,311 @@ object ExtensionQueries {
         FROM agg JOIN ex USING (lang_a, lang_b)"""
       }),
 
+    // KMV set-similarity (Sketches.kmvSketch/kmvPairEstimate): pairwise
+    // token-VOCABULARY Jaccard between languages estimated from k=32
+    // bottom-k sketches alone — the sketch family that, unlike HLL,
+    // supports intersections. The union sketch is a uniform hash-sample of
+    // A ∪ B; the fraction present in both input sketches estimates J. All
+    // sketch frames are ≤ k rows per pair, so cross-segment similarity
+    // matrices never re-read the corpus at scale; exact vocabulary Jaccard
+    // rides along as the accuracy column. Deterministic bottom-k = the
+    // oracle replays hash-for-hash.
+    Entry("qcp_kmv_jaccard",
+      (s, dir) => {
+        val k = 32
+        val d = t(s, dir, "documents")
+        val toks = d.select(col("lang"),
+            explode(split(col("text"), "\\s+")).as("tok"))
+          .filter(length(col("tok")) > 0)
+        val sk = graft.operators.Sketches.kmvSketch(toks, Seq("lang"), "tok", k)
+        val langs = d.select(col("lang")).distinct()
+        val pairs = langs.select(col("lang").as("lang_a"))
+          .crossJoin(langs.select(col("lang").as("lang_b")))
+          .filter(col("lang_a") < col("lang_b"))
+        val skA = pairs.join(sk.withColumnRenamed("lang", "lang_a"), Seq("lang_a"))
+          .select("lang_a", "lang_b", "_h")
+        val skB = pairs.join(sk.withColumnRenamed("lang", "lang_b"), Seq("lang_b"))
+          .select("lang_a", "lang_b", "_h")
+        val est = graft.operators.Sketches.kmvPairEstimate(
+          skA, skB, Seq("lang_a", "lang_b"), k)
+        val vocab = toks.distinct()
+        val sizes = vocab.groupBy(col("lang")).agg(count(lit(1)).as("nv"))
+        val inter = pairs
+          .join(vocab.withColumnRenamed("lang", "lang_a"), Seq("lang_a"))
+          .join(vocab.withColumnRenamed("lang", "lang_b"), Seq("lang_b", "tok"))
+          .groupBy(col("lang_a"), col("lang_b")).agg(count(lit(1)).as("ni"))
+        val exact = pairs
+          .join(sizes.select(col("lang").as("lang_a"), col("nv").as("nva")), Seq("lang_a"))
+          .join(sizes.select(col("lang").as("lang_b"), col("nv").as("nvb")), Seq("lang_b"))
+          .join(inter, Seq("lang_a", "lang_b"), "left")
+          .select(col("lang_a"), col("lang_b"),
+            (col("nva") + col("nvb") - coalesce(col("ni"), lit(0L))).as("n_union_exact"),
+            coalesce(col("ni"), lit(0L)).as("_ni"))
+        est.join(exact, Seq("lang_a", "lang_b"))
+          .select(col("lang_a"), col("lang_b"), col("union_size"), col("n_common"),
+            col("kmv_union_est"), col("kmv_jaccard"), col("kmv_inter_est"),
+            col("n_union_exact"),
+            round(col("_ni").cast("double") / col("n_union_exact").cast("double"), 9)
+              .as("jaccard_exact"))
+      },
+      Some {
+        val k = 32
+        val c = (k - 1).toDouble * math.pow(2.0, 64)
+        val rawU = s"CASE WHEN L < $k THEN CAST(L AS DOUBLE) " +
+          s"ELSE $c / CAST(kth AS DOUBLE) END"
+        s"""WITH toks AS (SELECT DISTINCT lang, unnest($OTOKS) AS tok FROM documents),
+        h0 AS (SELECT DISTINCT lang,
+            CAST(${oSigned(oFnv("tok"))} AS VARCHAR) AS hs FROM toks),
+        h AS (SELECT DISTINCT lang, ${oFnv("hs")} AS u FROM h0),
+        sk AS (SELECT lang, u FROM (SELECT lang, u,
+            row_number() OVER (PARTITION BY lang ORDER BY u) AS rn FROM h)
+          WHERE rn <= $k),
+        langs AS (SELECT DISTINCT lang FROM documents),
+        pairs AS (SELECT a.lang AS lang_a, b.lang AS lang_b
+          FROM langs a CROSS JOIN langs b WHERE a.lang < b.lang),
+        pu AS (SELECT lang_a, lang_b, u FROM pairs JOIN sk ON sk.lang = lang_a
+          UNION SELECT lang_a, lang_b, u FROM pairs JOIN sk ON sk.lang = lang_b),
+        un AS (SELECT lang_a, lang_b, u FROM (SELECT lang_a, lang_b, u,
+            row_number() OVER (PARTITION BY lang_a, lang_b ORDER BY u) AS rn FROM pu)
+          WHERE rn <= $k),
+        fl AS (SELECT un.lang_a, un.lang_b, un.u,
+            CASE WHEN a.u IS NOT NULL AND b.u IS NOT NULL THEN 1 ELSE 0 END AS inboth
+          FROM un LEFT JOIN sk a ON a.lang = un.lang_a AND a.u = un.u
+            LEFT JOIN sk b ON b.lang = un.lang_b AND b.u = un.u),
+        agg AS (SELECT lang_a, lang_b, count(*) AS L, sum(inboth) AS m,
+            max(u) AS kth FROM fl GROUP BY 1, 2),
+        vs AS (SELECT lang, count(*) AS nv FROM toks GROUP BY 1),
+        iv AS (SELECT p.lang_a, p.lang_b, count(*) AS ni
+          FROM pairs p JOIN toks x ON x.lang = p.lang_a
+            JOIN toks y ON y.lang = p.lang_b AND y.tok = x.tok
+          GROUP BY 1, 2),
+        ex AS (SELECT p.lang_a, p.lang_b,
+            va.nv + vb.nv - coalesce(iv.ni, 0) AS n_union_exact,
+            coalesce(iv.ni, 0) AS ni
+          FROM pairs p JOIN vs va ON va.lang = p.lang_a
+            JOIN vs vb ON vb.lang = p.lang_b
+            LEFT JOIN iv ON iv.lang_a = p.lang_a AND iv.lang_b = p.lang_b)
+        SELECT agg.lang_a, agg.lang_b,
+          CAST(L AS BIGINT) AS union_size, CAST(m AS BIGINT) AS n_common,
+          round($rawU, 4) AS kmv_union_est,
+          round(CAST(m AS DOUBLE) / CAST(L AS DOUBLE), 9) AS kmv_jaccard,
+          round((CAST(m AS DOUBLE) / CAST(L AS DOUBLE)) * ($rawU), 4) AS kmv_inter_est,
+          CAST(n_union_exact AS BIGINT) AS n_union_exact,
+          round(CAST(ni AS DOUBLE) / CAST(n_union_exact AS DOUBLE), 9) AS jaccard_exact
+        FROM agg JOIN ex USING (lang_a, lang_b)"""
+      }),
+
+    // Product-quantization ANN (PQ.fit/adcTopK — Jégou et al. TPAMI 2011):
+    // 4 subspace codebooks (k=8, one Lloyd round of the deterministic
+    // scaled-integer k-means), corpus scanned as 4 codes per vector, probe
+    // distances via a broadcast 4×8 ADC lookup table. The oracle re-trains
+    // every codebook (unrolled per subspace, qcj's device), re-encodes,
+    // and replays the ADC sums bit-for-bit; in_exact_topk/recall_at_5
+    // compare against the exact quantized-L2 top-5 inline (q89's recall
+    // pattern), so the approximate operator is still hash-gated.
+    Entry("qcr_pq_ann",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val dim = 64
+        val m = 4
+        val topK = 5
+        val emb = t(s, dir, "embeddings")
+        val model = graft.operators.PQ.fit(emb, "vec_id", "embedding", dim, m,
+          k = 8, iters = 1)
+        val probes = emb.filter(col("vec_id") < 5)
+        val top = graft.operators.PQ.adcTopK(model, probes, "vec_id",
+          "embedding", dim, m, topK)
+        val qf = emb.select(col("vec_id"),
+          transform(col("embedding"),
+            x => floor(x.cast("double") * 1000000L).cast("long")).as("qv"))
+        val pf = qf.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("p_id"), col("qv").as("pv"))
+        val bw = Window.partitionBy("p_id").orderBy(col("d").asc, col("vec_id").asc)
+        val brute = pf.crossJoin(qf)
+          .withColumn("d", aggregate(
+            zip_with(col("pv"), col("qv"), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x))
+          .withColumn("rk", row_number().over(bw)).filter(col("rk") <= topK)
+          .select(col("p_id"), col("vec_id").as("b_id"), lit(1L).as("hit"))
+        top.join(brute,
+            col("q_id") === col("p_id") && col("id") === col("b_id"), "left")
+          .withColumn("in_exact_topk", coalesce(col("hit"), lit(0L)))
+          .withColumn("recall_at_5",
+            sum(col("in_exact_topk")).over(Window.partitionBy("q_id")))
+          .select(col("q_id"), col("rank"), col("id").as("nbr_id"),
+            col("adc_dist"), col("in_exact_topk"), col("recall_at_5"))
+      },
+      Some {
+        val sub = 16
+        val k = 8
+        def qcte(mi: Int) = {
+          val a = mi * sub + 1
+          val b = (mi + 1) * sub
+          s"""q$mi AS (SELECT vec_id AS id, list_transform(embedding[$a:$b],
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+             FROM embeddings)"""
+        }
+        def assign(name: String, qn: String, cents: String) =
+          s"""$name AS (SELECT q.id, q.qv, s.cell_id FROM $qn q JOIN LATERAL (
+             SELECT t.cell_id FROM $cents t
+             ORDER BY list_aggregate(list_transform(range(1, len(q.qv) + 1),
+               i -> (q.qv[i] - t.cvec[i]) * (q.qv[i] - t.cvec[i])), 'sum'),
+               t.cell_id
+             LIMIT 1) s ON true)"""
+        def update(name: String, from: String) =
+          s"""$name AS (SELECT cell_id, list(v ORDER BY pos) AS cvec FROM (
+             SELECT cell_id, pos,
+               CAST(floor(CAST(sum(qv[pos]) AS DOUBLE) / count(*)) AS BIGINT) AS v
+             FROM $from CROSS JOIN UNNEST(generate_series(1, len(qv))) AS t(pos)
+             GROUP BY cell_id, pos) GROUP BY cell_id)"""
+        val perSub = (0 until 4).map { mi =>
+          s"""${qcte(mi)},
+          c${mi}0 AS (SELECT id AS cell_id, qv AS cvec FROM q$mi ORDER BY id LIMIT $k),
+          ${assign(s"a${mi}1", s"q$mi", s"c${mi}0")},
+          ${update(s"c${mi}1", s"a${mi}1")},
+          ${assign(s"a${mi}2", s"q$mi", s"c${mi}1")},
+          lut$mi AS (SELECT p.id AS q_id, t.cell_id,
+              list_aggregate(list_transform(range(1, len(p.qv) + 1),
+                i -> (p.qv[i] - t.cvec[i]) * (p.qv[i] - t.cvec[i])), 'sum') AS pdist
+            FROM q$mi p CROSS JOIN c${mi}1 t WHERE p.id < 5),
+          adc$mi AS (SELECT l.q_id, a.id AS nbr_id, l.pdist
+            FROM a${mi}2 a JOIN lut$mi l USING (cell_id))"""
+        }.mkString(",\n")
+        s"""WITH $perSub,
+        adc AS (SELECT q_id, nbr_id, sum(pdist) AS adc_dist FROM (
+            SELECT * FROM adc0 UNION ALL SELECT * FROM adc1
+            UNION ALL SELECT * FROM adc2 UNION ALL SELECT * FROM adc3)
+          GROUP BY 1, 2),
+        tops AS (SELECT q_id, nbr_id, adc_dist, rank FROM (
+            SELECT q_id, nbr_id, adc_dist,
+              row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, nbr_id) AS rank
+            FROM adc) WHERE rank <= 5),
+        qf AS (SELECT vec_id AS id, list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+          FROM embeddings),
+        bd AS (SELECT p.id AS q_id, c.id AS nbr_id,
+            list_aggregate(list_transform(range(1, len(p.qv) + 1),
+              i -> (p.qv[i] - c.qv[i]) * (p.qv[i] - c.qv[i])), 'sum') AS d
+          FROM qf p CROSS JOIN qf c WHERE p.id < 5),
+        bt AS (SELECT q_id, nbr_id FROM (SELECT q_id, nbr_id,
+            row_number() OVER (PARTITION BY q_id ORDER BY d, nbr_id) AS rk FROM bd)
+          WHERE rk <= 5),
+        fl AS (SELECT t.q_id, t.rank, t.nbr_id, t.adc_dist,
+            CASE WHEN b.nbr_id IS NOT NULL THEN 1 ELSE 0 END AS in_exact_topk
+          FROM tops t LEFT JOIN bt b ON b.q_id = t.q_id AND b.nbr_id = t.nbr_id)
+        SELECT q_id, rank, nbr_id, CAST(adc_dist AS BIGINT) AS adc_dist,
+          CAST(in_exact_topk AS BIGINT) AS in_exact_topk,
+          CAST(sum(in_exact_topk) OVER (PARTITION BY q_id) AS BIGINT) AS recall_at_5
+        FROM fl"""
+      }),
+
+    // Dyadic Count-Min range counts (Sketches.dyadicCountMin /
+    // dyadicRangeCount — the CM range-query construction): "how many
+    // documents have a token count in [lo, hi]" answered from a
+    // bits·d·w-counter sketch via ≤ 2·bits point lookups per range, the
+    // shape that answers arbitrary interval/rank queries over an unbounded
+    // stream without re-scanning it. The canonical decomposition is pure
+    // driver arithmetic, so the oracle carries it as a literal probe list
+    // and rebuilds every counter; `overcount` pins the one-sided guarantee.
+    Entry("qcq_cm_range",
+      (s, dir) => {
+        val bits = 16
+        val w = 512
+        val depth = 3
+        val ranges = Seq(
+          ("r_under_100", 0L, 99L), ("r_100_199", 100L, 199L),
+          ("r_200_399", 200L, 399L), ("r_400_799", 400L, 799L),
+          ("r_800_up", 800L, 65535L), ("r_all", 0L, 65535L),
+          ("r_127_513", 127L, 513L))
+        val v = t(s, dir, "documents")
+          .select(TextFunctions.tokenCount(col("text")).as("v"))
+        val sk = graft.operators.Sketches.dyadicCountMin(v, "v", bits, w, depth)
+        val est = graft.operators.Sketches.dyadicRangeCount(s, sk, ranges, bits, w, depth)
+        import s.implicits._
+        val rdf = ranges.toDF("range_id", "lo", "hi")
+        val tru = broadcast(rdf)
+          .join(v, col("v").between(col("lo"), col("hi")), "left")
+          .groupBy(col("range_id")).agg(count(col("v")).as("true_cnt"))
+        est.join(tru, Seq("range_id"))
+          .select(col("range_id"), col("range_est"), col("true_cnt"),
+            (col("range_est") - col("true_cnt")).as("overcount"))
+      },
+      Some {
+        val bits = 16
+        val w = 512
+        val ranges = Seq(
+          ("r_under_100", 0L, 99L), ("r_100_199", 100L, 199L),
+          ("r_200_399", 200L, 399L), ("r_400_799", 400L, 799L),
+          ("r_800_up", 800L, 65535L), ("r_all", 0L, 65535L),
+          ("r_127_513", 127L, 513L))
+        val probeRows = ranges.flatMap { case (id, lo, hi) =>
+          graft.operators.Sketches.dyadicCover(lo, hi, bits).map {
+            case (l, node) => s"('$id', '$l|$node')"
+          }
+        }.mkString(", ")
+        val rngRows = ranges.map { case (id, lo, hi) => s"('$id', $lo, $hi)" }
+          .mkString(", ")
+        s"""WITH v AS (SELECT len($OTOKS) AS v FROM documents),
+        dk AS (SELECT concat(CAST(l AS VARCHAR), '|', CAST(v >> l AS VARCHAR)) AS dkey
+          FROM v CROSS JOIN range($bits) r(l)),
+        seeded AS (SELECT ri, concat(CAST(ri AS VARCHAR), '|', dkey) AS s
+          FROM dk CROSS JOIN range(3) q(ri)),
+        counters AS (SELECT ri, ${oFnv("s")} % $w AS bucket, count(*) AS cnt
+          FROM seeded GROUP BY 1, 2),
+        probes(range_id, dkey) AS (VALUES $probeRows),
+        pseed AS (SELECT range_id, dkey, ri,
+            concat(CAST(ri AS VARCHAR), '|', dkey) AS s
+          FROM probes CROSS JOIN range(3) q(ri)),
+        pb AS (SELECT range_id, dkey, ri, ${oFnv("s")} % $w AS bucket FROM pseed),
+        node_est AS (SELECT range_id, dkey, min(coalesce(cnt, 0)) AS est
+          FROM pb LEFT JOIN counters USING (ri, bucket) GROUP BY 1, 2),
+        est AS (SELECT range_id, sum(est) AS range_est FROM node_est GROUP BY 1),
+        rng(range_id, lo, hi) AS (VALUES $rngRows),
+        tru AS (SELECT range_id, count(v.v) AS true_cnt
+          FROM rng LEFT JOIN v ON v.v BETWEEN lo AND hi GROUP BY 1)
+        SELECT range_id, CAST(range_est AS BIGINT) AS range_est,
+          CAST(true_cnt AS BIGINT) AS true_cnt,
+          CAST(range_est - true_cnt AS BIGINT) AS overcount
+        FROM est JOIN tru USING (range_id)"""
+      }),
+
+    // AMS second-moment sketch (Sketches.amsF2): per-language self-join
+    // size of the token column — F2 = sum of squared frequencies, the
+    // number that predicts shuffle volume and flags heavy-hitter skew —
+    // estimated from 8 integer counters per language. Signs, sums and the
+    // mean are exact integer/double arithmetic, so the oracle replays the
+    // estimate to the bit; exact F2 and the token count ride along to show
+    // the estimate against its target.
+    Entry("qcs_ams_f2",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("lang"), explode(split(col("text"), "\\s+")).as("tok"))
+          .filter(length(col("tok")) > 0)
+        val est = graft.operators.Sketches.amsF2(toks, Seq("lang"), "tok", d = 8)
+        val exact = toks.groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+          .groupBy(col("lang")).agg(sum(col("c") * col("c")).as("f2_exact"),
+            sum(col("c")).as("n_tokens"))
+        est.join(exact, Seq("lang"))
+          .select(col("lang"), col("f2_est"), col("f2_exact"), col("n_tokens"))
+      },
+      Some {
+        s"""WITH toks AS (SELECT lang, unnest($OTOKS) AS tok FROM documents),
+        h0 AS (SELECT lang, j,
+            CAST(${oSigned(oFnv("concat(CAST(j AS VARCHAR), '|', tok)"))} AS VARCHAR) AS hs
+          FROM toks CROSS JOIN range(8) r(j)),
+        sgn AS (SELECT lang, j,
+            CASE WHEN ${oFnv("hs")} % 2 = 1 THEN -1 ELSE 1 END AS s
+          FROM h0),
+        z AS (SELECT lang, j, sum(s) AS z FROM sgn GROUP BY 1, 2),
+        est AS (SELECT lang,
+            CAST(floor(CAST(sum(z*z) AS DOUBLE) / 8) AS BIGINT) AS f2_est
+          FROM z GROUP BY 1),
+        cnts AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+        ex AS (SELECT lang, CAST(sum(c*c) AS BIGINT) AS f2_exact,
+            CAST(sum(c) AS BIGINT) AS n_tokens FROM cnts GROUP BY 1)
+        SELECT lang, f2_est, f2_exact, n_tokens FROM est JOIN ex USING (lang)"""
+      }),
+
     // Corpus length-distribution profile: EXACT per-language token-count
     // quantiles by explicit nearest-rank arithmetic (rank == ceil(p * n),
     // a total order with doc_id tie-break) so both engines compute the

@@ -85,6 +85,103 @@ class SketchesSpec extends SparkSpec {
     assert(exact === 0L, "d=3 min over 4096-wide rows should be collision-free here")
   }
 
+  test("kmvSketch: bounded size, layout-invariant, and bottom-k merge is lossless") {
+    val a = spark.range(2000).select(lit("g").as("grp"), concat(lit("x"), $"id").as("v"))
+    val b = spark.range(1000, 2500).select(lit("g").as("grp"), concat(lit("x"), $"id").as("v"))
+    val sa = Sketches.kmvSketch(a, Seq("grp"), "v", 64)
+    assert(sa.count() === 64)
+    val shuffled = Sketches.kmvSketch(a.repartition(7), Seq("grp"), "v", 64)
+    assert(sa.exceptAll(shuffled).isEmpty && shuffled.exceptAll(sa).isEmpty)
+    // merge(sketch(A), sketch(B)) == sketch(A union B), hash-for-hash
+    val sb = Sketches.kmvSketch(b, Seq("grp"), "v", 64)
+    val merged = Sketches.kmvBottomK(sa.unionByName(sb), Seq("grp"), 64)
+    val direct = Sketches.kmvSketch(a.unionByName(b), Seq("grp"), "v", 64)
+    assert(merged.exceptAll(direct).isEmpty && direct.exceptAll(merged).isEmpty)
+  }
+
+  test("kmvEstimate: exact below k; within the k=64 error regime on 2500 distinct") {
+    val small = spark.range(40).select(lit("g").as("grp"), concat(lit("s"), $"id").as("v"))
+    val es = Sketches.kmvEstimate(Sketches.kmvSketch(small, Seq("grp"), "v", 64), Seq("grp"), 64)
+    assert(es.select($"kmv_estimate").as[Double].head() === 40.0)
+    val big = spark.range(2500).select(lit("g").as("grp"), concat(lit("x"), $"id").as("v"))
+    val eb = Sketches.kmvEstimate(Sketches.kmvSketch(big, Seq("grp"), "v", 64), Seq("grp"), 64)
+      .select($"kmv_estimate").as[Double].head()
+    assert(eb > 1700 && eb < 3500, s"estimate $eb implausible for 2500 distinct")
+  }
+
+  test("kmvPairEstimate approximates Jaccard: A=0..1999, B=1000..2999 -> J=1/3") {
+    val a = spark.range(2000).select(lit("g").as("grp"), concat(lit("x"), $"id").as("v"))
+    val b = spark.range(1000, 3000).select(lit("g").as("grp"), concat(lit("x"), $"id").as("v"))
+    val est = Sketches.kmvPairEstimate(
+      Sketches.kmvSketch(a, Seq("grp"), "v", 128),
+      Sketches.kmvSketch(b, Seq("grp"), "v", 128), Seq("grp"), 128)
+    val row = est.select($"kmv_jaccard", $"kmv_union_est", $"kmv_inter_est").head()
+    assert(row.getDouble(0) > 0.18 && row.getDouble(0) < 0.5,
+      s"jaccard est ${row.getDouble(0)} vs truth 0.333")
+    assert(row.getDouble(1) > 2100 && row.getDouble(1) < 4200,
+      s"union est ${row.getDouble(1)} vs truth 3000")
+    assert(row.getDouble(2) > 420 && row.getDouble(2) < 2100,
+      s"inter est ${row.getDouble(2)} vs truth 1000")
+  }
+
+  test("dyadicCover tiles every range exactly with aligned disjoint blocks") {
+    val rng = new scala.util.Random(42)
+    val cases = Seq((0L, 0L), (0L, 1023L), (1L, 1022L), (511L, 512L), (0L, 65535L)) ++
+      (1 to 40).map { _ =>
+        val a = rng.nextInt(65536).toLong; val b = rng.nextInt(65536).toLong
+        (math.min(a, b), math.max(a, b))
+      }
+    cases.foreach { case (lo, hi) =>
+      val cover = Sketches.dyadicCover(lo, hi, 16)
+      assert(cover.size <= 32, s"[$lo,$hi]: ${cover.size} blocks")
+      val blocks = cover.map { case (l, node) =>
+        (node << l, (node << l) + (1L << l) - 1) }
+      // aligned, in-range, disjoint, and summing to the full width
+      blocks.foreach { case (a, b) => assert(a >= lo && b <= hi) }
+      assert(blocks.map { case (a, b) => b - a + 1 }.sum === hi - lo + 1)
+      assert(blocks.sortBy(_._1).sliding(2).forall {
+        case Seq((_, b1), (a2, _)) => a2 == b1 + 1
+        case _ => true
+      })
+    }
+  }
+
+  test("dyadicRangeCount: exact on a wide sketch, one-sided on a narrow one") {
+    val df = spark.range(3000).select(($"id" % 500).as("v"))
+    val ranges = Seq(("a", 0L, 99L), ("b", 100L, 499L), ("c", 250L, 250L),
+      ("d", 0L, 1023L), ("e", 600L, 1000L))
+    val truth = Map("a" -> 600L, "b" -> 2400L, "c" -> 6L, "d" -> 3000L, "e" -> 0L)
+    val wide = Sketches.dyadicRangeCount(spark,
+      Sketches.dyadicCountMin(df, "v", 10, 8192, 3), ranges, 10, 8192, 3)
+      .as[(String, Long)].collect().toMap
+    assert(wide === truth)
+    val narrow = Sketches.dyadicRangeCount(spark,
+      Sketches.dyadicCountMin(df, "v", 10, 32, 2), ranges, 10, 32, 2)
+      .as[(String, Long)].collect().toMap
+    truth.foreach { case (id, n) =>
+      assert(narrow(id) >= n, s"range $id under-counted: ${narrow(id)} < $n") }
+  }
+
+  test("amsF2: within the d=32 error regime on a skewed stream; Z state is additive") {
+    // key j appears j times, j in 1..60 -> F2 = sum j^2 = 73810, N = 1830
+    val df = spark.range(1, 61).select(
+      explode(sequence(lit(1), $"id".cast("int"))).as("rep"),
+      concat(lit("k"), $"id").as("k"))
+      .select(lit("g").as("grp"), $"k")
+    val f2 = 73810.0
+    val est = Sketches.amsF2(df, Seq("grp"), "k", d = 32)
+      .select($"f2_est").as[Long].head().toDouble
+    assert(est > f2 / 2.5 && est < f2 * 2.5, s"F2 est $est vs true $f2")
+    // Z frames of disjoint halves add to the whole
+    val h = df.limit(900)
+    val t2 = df.exceptAll(h)
+    val summed = Sketches.amsZ(h, Seq("grp"), "k", 16)
+      .unionByName(Sketches.amsZ(t2, Seq("grp"), "k", 16))
+      .groupBy($"grp", $"_j").agg(sum($"_z").as("_z"))
+    val whole = Sketches.amsZ(df, Seq("grp"), "k", 16)
+    assert(summed.exceptAll(whole).isEmpty && whole.exceptAll(summed).isEmpty)
+  }
+
   test("countMin sketch is bounded by d*w rows, layout-invariant, and additive-mergeable") {
     val df = spark.range(5000).select(concat(lit("t"), $"id" % 300).as("k"))
     val sk = Sketches.countMin(df, "k", 256, 4)
