@@ -365,6 +365,121 @@ object Sketches {
         .as("f2_est"))
   }
 
+  /** Per-LEVEL dyadic Count-Min counters: (l, cm_row, cm_bucket, cnt) —
+    * one independent d×w sketch per dyadic level, the layout of Cormode &
+    * Muthukrishnan's hierarchical constructions (range sums share one
+    * sketch fine, but tree DESCENTS compare node estimates against a
+    * fixed threshold, and a shared sketch's collision load grows with
+    * bits·N while a per-level sketch's stays N/w — the difference between
+    * a descent that prunes and one that drowns). Counters are plain sums,
+    * so per-shard/per-day frames merge by per-(l, row, bucket) addition. */
+  def dyadicLevelCounters(df: DataFrame, valueCol: String, bits: Int,
+                          w: Int, d: Int): DataFrame = {
+    require(bits >= 1 && bits <= 62, s"bits must be in [1, 62], got $bits")
+    val v = col(valueCol).cast("long")
+    df.select(posexplode(array((0 until bits).map(l => shiftright(v, l)): _*))
+        .as(Seq("l", "_node")))
+      .select(col("l"), posexplode(seededBuckets(col("_node").cast("string"), w, d))
+        .as(Seq("cm_row", "cm_bucket")))
+      .groupBy(col("l"), col("cm_row"), col("cm_bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** CM estimates for a (l, node) probe frame against [[dyadicLevelCounters]]
+    * (broadcast): min over the d seeded counters, absent counters count 0.
+    * Carries every other probe column through. */
+  private def levelEst(counters: DataFrame, probes: DataFrame, w: Int,
+                       d: Int, estCol: String): DataFrame = {
+    val carry = probes.columns.map(col).toSeq
+    probes
+      .select((carry :+ posexplode(seededBuckets(col("node").cast("string"), w, d))
+        .as(Seq("cm_row", "cm_bucket"))): _*)
+      .join(broadcast(counters), Seq("l", "cm_row", "cm_bucket"), "left")
+      .groupBy(carry: _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as(estCol))
+  }
+
+  /** Hierarchical heavy hitters by dyadic-tree descent (Cormode &
+    * Muthukrishnan 2005 §4.1): every key whose TRUE count ≥ `minCount`,
+    * found WITHOUT ever materializing the distinct-key set — the property
+    * that matters when the key universe itself is corpus-sized. Keys hash
+    * into [0, 2^bits); the descent starts at the two top dyadic nodes and
+    * expands only children whose CM estimate ≥ minCount. One-sided CM
+    * error ⇒ an ancestor of a true heavy hitter always passes, so the
+    * surviving leaves are a GUARANTEED SUPERSET of the true heavy hitters;
+    * the final semi-join back to the data attaches exact counts so false
+    * positives are visible (`is_heavy`). The only corpus-sized work is the
+    * one-pass sketch build and the final count of the few candidate keys;
+    * the descent itself touches ≤ 2·|candidates|·bits sketch probes.
+    *
+    * Hashing uses the double-FNV device ([[kmvSketch]]) so sibling counts
+    * split evenly. Returns (key, hv, cm_est, true_cnt, is_heavy). */
+  def dyadicHeavyHitters(df: DataFrame, keyCol: String, bits: Int, w: Int,
+                         d: Int, minCount: Long): DataFrame = {
+    require(bits >= 2 && bits <= 62, s"bits must be in [2, 62], got $bits")
+    require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    val hv = Fnv1a64Expr(Fnv1a64Expr(col(keyCol).cast("string")).cast("string"))
+      .bitwiseAND(lit((1L << bits) - 1))
+    val hashed = df.select(col(keyCol).as("key"), hv.as("hv"))
+    // Materialized once: the descent probes it bits times and the lazy
+    // plan must not re-aggregate the corpus per level.
+    val counters = dyadicLevelCounters(hashed, "hv", bits, w, d).localCheckpoint()
+    var frontier = hashed.sparkSession.range(2)
+      .select(lit(bits - 1).as("l"), col("id").as("node"))
+    for (l <- (bits - 1) to 0 by -1) {
+      val kept = levelEst(counters, frontier, w, d, "cm_est")
+        .filter(col("cm_est") >= minCount)
+      frontier =
+        if (l == 0) kept
+        else kept.select(explode(array(col("node") * 2, col("node") * 2 + 1)).as("node"))
+          .select(lit(l - 1).as("l"), col("node"))
+    }
+    val leaves = frontier.select(col("node").as("hv"), col("cm_est"))
+    hashed.join(broadcast(leaves), Seq("hv"))
+      .groupBy(col("key"), col("hv"), col("cm_est"))
+      .agg(count(lit(1)).as("true_cnt"))
+      .select(col("key"), col("hv"), col("cm_est"), col("true_cnt"),
+        (col("true_cnt") >= minCount).as("is_heavy"))
+  }
+
+  /** Quantiles by dyadic-tree descent over [[dyadicLevelCounters]] — the
+    * inverse of [[dyadicRangeCount]]'s CDF direction: for each percentile
+    * the smallest value v with estimated rank ≥ ⌈p·N/100⌉, found in `bits`
+    * sketch probes per percentile (descend; go left iff the left child's
+    * mass already covers the remaining target). Values must lie in
+    * [0, 2^bits) — the NATURAL integer domain, not a hash (quantiles need
+    * order). CM overcount is one-sided so the estimated quantile can sit
+    * early, never late; `est_rank` (the estimated rank of the answer) is
+    * emitted so the caller sees the bias. N is taken from the data in the
+    * same plan — no driver action. Returns (pct, target, q_est, est_rank). */
+  def dyadicQuantiles(df: DataFrame, valueCol: String, bits: Int, w: Int,
+                      d: Int, pcts: Seq[Int]): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      s"pcts must be in [1, 100], got $pcts")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counters = dyadicLevelCounters(df, valueCol, bits, w, d).localCheckpoint()
+    val nF = df.agg(count(lit(1)).as("_n"))
+    var state = pcts.toDF("pct").crossJoin(broadcast(nF))
+      .select(col("pct"),
+        ceil(col("pct") * col("_n") / lit(100.0)).cast("long").as("target"),
+        lit(0L).as("node"), lit(0L).as("cum"))
+    for (l <- (bits - 1) to 0 by -1) {
+      val probed = levelEst(counters,
+        state.select(col("pct"), col("target"), col("cum"), lit(l).as("l"),
+          (col("node") * 2).as("node")), w, d, "_el")
+      val goLeft = col("cum") + col("_el") >= col("target")
+      state = probed.select(col("pct"), col("target"),
+        when(goLeft, col("node")).otherwise(col("node") + 1).as("node"),
+        when(goLeft, col("cum")).otherwise(col("cum") + col("_el")).as("cum"))
+    }
+    levelEst(counters,
+      state.select(col("pct"), col("target"), col("cum"), lit(0).as("l"), col("node")),
+      w, d, "_e0")
+      .select(col("pct"), col("target"), col("node").as("q_est"),
+        (col("cum") + col("_e0")).as("est_rank"))
+  }
+
   /** Signed column whose order equals the UNSIGNED order of the hash. */
   private def unsignedOrd = col("_h").bitwiseXOR(lit(Long.MinValue))
 

@@ -784,6 +784,142 @@ object ExtensionQueries {
         SELECT lang, f2_est, f2_exact, n_tokens FROM est JOIN ex USING (lang)"""
       }),
 
+    // Hierarchical heavy hitters (Sketches.dyadicHeavyHitters — Cormode &
+    // Muthukrishnan's dyadic-tree descent): every user with >= 80 events,
+    // found WITHOUT materializing the distinct-key set — the descent
+    // expands only dyadic nodes whose per-level CM estimate clears the
+    // threshold, so at corpus scale the only full-data work is the one-pass
+    // sketch and the exact count of the few surviving candidates. One-sided
+    // CM error makes the survivors a guaranteed SUPERSET of the true heavy
+    // hitters; exact counts ride along (is_heavy) so false positives are
+    // visible. The oracle replays the descent via its all-ancestors
+    // characterization: a leaf survives iff every ancestor's estimate
+    // clears the threshold.
+    Entry("qct_heavy_hitters",
+      (s, dir) => {
+        val hh = graft.operators.Sketches.dyadicHeavyHitters(
+          t(s, dir, "events").select(col("user_id")), "user_id",
+          bits = 16, w = 8192, d = 3, minCount = 80L)
+        hh.select(col("key").as("user_id"), col("hv"), col("cm_est"),
+          col("true_cnt"),
+          when(col("is_heavy"), 1L).otherwise(0L).as("is_heavy"))
+      },
+      Some {
+        val bits = 16
+        val w = 8192
+        val t0 = 80
+        s"""WITH u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1),
+        h0 AS (SELECT user_id, c,
+            CAST(${oSigned(oFnv("CAST(user_id AS VARCHAR)"))} AS VARCHAR) AS hs
+          FROM u),
+        hv AS (SELECT user_id, c,
+            CAST(${oFnv("hs")} % ${1L << bits} AS BIGINT) AS hv FROM h0),
+        nw AS (SELECT l, hv >> l AS node, CAST(sum(c) AS BIGINT) AS wgt
+          FROM hv CROSS JOIN range($bits) r(l) GROUP BY 1, 2),
+        nb AS (SELECT l, node, wgt, ri,
+            CAST(${oFnv("concat(CAST(ri AS VARCHAR), '|', CAST(node AS VARCHAR))")}
+              % $w AS BIGINT) AS bucket
+          FROM nw CROSS JOIN range(3) q(ri)),
+        counters AS (SELECT l, ri, bucket, CAST(sum(wgt) AS BIGINT) AS cnt
+          FROM nb GROUP BY 1, 2, 3),
+        ne AS (SELECT nb.l, nb.node, min(c2.cnt) AS est
+          FROM nb JOIN counters c2 USING (l, ri, bucket) GROUP BY 1, 2),
+        chk AS (SELECT x.hv,
+            sum(CASE WHEN ne.est >= $t0 THEN 0 ELSE 1 END) AS bad
+          FROM (SELECT DISTINCT hv FROM hv) x
+          CROSS JOIN range($bits) r(l)
+          JOIN ne ON ne.l = r.l AND ne.node = x.hv >> r.l
+          GROUP BY 1),
+        surv AS (SELECT chk.hv, ne.est AS cm_est FROM chk
+          JOIN ne ON ne.l = 0 AND ne.node = chk.hv WHERE chk.bad = 0)
+        SELECT h.user_id, h.hv, CAST(s.cm_est AS BIGINT) AS cm_est,
+          h.c AS true_cnt,
+          CAST(CASE WHEN h.c >= $t0 THEN 1 ELSE 0 END AS BIGINT) AS is_heavy
+        FROM hv h JOIN surv s USING (hv)"""
+      }),
+
+    // Quantiles by dyadic-CM descent (Sketches.dyadicQuantiles — the
+    // inverse of qcq's CDF direction): per-language-agnostic document
+    // token-count percentiles answered in bits probes each against the
+    // per-level sketch, the shape that serves rank/quantile queries over
+    // an unbounded stream without re-scanning it. One-sided CM error means
+    // the estimate can only sit EARLY (<= the exact nearest-rank value,
+    // which rides along from qci's explicit-rank device). The oracle
+    // replays the 16-level descent unrolled, probing the same counters.
+    Entry("qcu_cm_quantiles",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val pcts = Seq(25, 50, 75, 90, 99)
+        val v = t(s, dir, "documents")
+          .select(TextFunctions.tokenCount(col("text")).as("v"))
+        val est = graft.operators.Sketches.dyadicQuantiles(
+          v, "v", bits = 16, w = 1024, d = 3, pcts)
+        // Exact nearest-rank verification column: a single-partition sort,
+        // fine for the accuracy column (production answers come from the
+        // sketch; this is the q89-recall pattern).
+        val ranked = v.withColumn("rn", row_number().over(Window.orderBy(col("v"))))
+        est.join(ranked, col("rn") === col("target"))
+          .select(col("pct"), col("target"), col("q_est"), col("est_rank"),
+            col("v").as("q_exact"))
+      },
+      Some {
+        val bits = 16
+        val w = 1024
+        def fnvBucket(nodeExpr: String) =
+          s"""CAST(${oFnv(s"concat(CAST(ri AS VARCHAR), '|', CAST($nodeExpr AS VARCHAR))")}
+             % $w AS BIGINT)"""
+        // Every step CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
+        // each step references its predecessor twice — unmaterialized, the
+        // 16-step chain expands 2^16-fold.
+        val steps = ((bits - 1) to 0 by -1).map { l =>
+          s"""pb$l AS (SELECT s.pct, s.target, s.node, s.cum, q.ri,
+              ${fnvBucket("s.node * 2")} AS bucket
+            FROM s${l + 1} s CROSS JOIN range(3) q(ri)),
+          e$l AS (SELECT pct, min(coalesce(c.cnt, 0)) AS est
+            FROM pb$l LEFT JOIN counters c
+              ON c.l = $l AND c.ri = pb$l.ri AND c.bucket = pb$l.bucket
+            GROUP BY 1),
+          s$l AS MATERIALIZED (SELECT s.pct, s.target,
+              CASE WHEN s.cum + e.est >= s.target
+                THEN s.node * 2 ELSE s.node * 2 + 1 END AS node,
+              CASE WHEN s.cum + e.est >= s.target
+                THEN s.cum ELSE s.cum + e.est END AS cum
+            FROM s${l + 1} s JOIN e$l e USING (pct))"""
+        }.mkString(",\n")
+        s"""WITH v AS MATERIALIZED (SELECT len($OTOKS) AS v FROM documents),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+        p(pct) AS (VALUES (25), (50), (75), (90), (99)),
+        t AS MATERIALIZED (SELECT pct, CAST(ceil(pct * n / 100.0) AS BIGINT) AS target
+          FROM p CROSS JOIN n),
+        nw AS (SELECT l, v >> l AS node, CAST(count(*) AS BIGINT) AS wgt
+          FROM v CROSS JOIN range($bits) r(l) GROUP BY 1, 2),
+        nb AS (SELECT l, node, wgt, ri,
+            ${fnvBucket("node")} AS bucket
+          FROM nw CROSS JOIN range(3) q(ri)),
+        counters AS MATERIALIZED (SELECT l, ri, bucket, CAST(sum(wgt) AS BIGINT) AS cnt
+          FROM nb GROUP BY 1, 2, 3),
+        s$bits AS (SELECT pct, target, CAST(0 AS BIGINT) AS node,
+          CAST(0 AS BIGINT) AS cum FROM t),
+        $steps,
+        pbf AS (SELECT s.pct, s.target, s.node, s.cum, q.ri,
+            ${fnvBucket("s.node")} AS bucket
+          FROM s0 s CROSS JOIN range(3) q(ri)),
+        ef AS (SELECT pct, min(coalesce(c.cnt, 0)) AS est
+          FROM pbf LEFT JOIN counters c
+            ON c.l = 0 AND c.ri = pbf.ri AND c.bucket = pbf.bucket
+          GROUP BY 1),
+        fin AS (SELECT s.pct, s.target, s.node AS q_est,
+            s.cum + e.est AS est_rank
+          FROM s0 s JOIN ef e USING (pct)),
+        rk AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v),
+        ex AS (SELECT t.pct, rk.v AS q_exact FROM t JOIN rk ON rk.rn = t.target)
+        SELECT f.pct, f.target, CAST(f.q_est AS BIGINT) AS q_est,
+          CAST(f.est_rank AS BIGINT) AS est_rank,
+          CAST(ex.q_exact AS BIGINT) AS q_exact
+        FROM fin f JOIN ex ON ex.pct = f.pct"""
+      }),
+
     // Corpus length-distribution profile: EXACT per-language token-count
     // quantiles by explicit nearest-rank arithmetic (rank == ceil(p * n),
     // a total order with doc_id tie-break) so both engines compute the

@@ -196,4 +196,72 @@ class SketchesSpec extends SparkSpec {
       .groupBy($"cm_row", $"cm_bucket").agg(sum($"cm_cnt").as("cm_cnt"))
     assert(summed.exceptAll(sk).isEmpty && sk.exceptAll(summed).isEmpty)
   }
+
+  test("dyadicHeavyHitters: guaranteed superset of true heavy hitters, one-sided estimates") {
+    // key "big-j" appears 40+10j times (j in 0..4), plus 400 singletons
+    val heavy = spark.range(5).select(
+      explode(sequence(lit(1), lit(40) + $"id" * 10)).as("rep"),
+      concat(lit("big-"), $"id").as("k"))
+    val noise = spark.range(400).select(lit(0).as("rep"), concat(lit("one-"), $"id").as("k"))
+    val df = heavy.unionByName(noise).select($"k")
+    val got = Sketches.dyadicHeavyHitters(df, "k", bits = 12, w = 1024, d = 3,
+      minCount = 45L)
+      .select($"key", $"cm_est", $"true_cnt", $"is_heavy")
+      .as[(String, Long, Long, Boolean)].collect()
+    val byKey = got.map(r => r._1 -> r).toMap
+    // every key with true count >= 45 must be reported (big-1..big-4)
+    (1 to 4).foreach { j =>
+      val r = byKey.getOrElse(s"big-$j", fail(s"true heavy hitter big-$j missing"))
+      assert(r._3 === 40L + 10 * j && r._4, s"big-$j wrong: $r")
+    }
+    // one-sided: every reported estimate >= the exact count
+    got.foreach { r => assert(r._2 >= r._3, s"under-estimate: $r") }
+    // is_heavy is exactly the true-count threshold
+    got.foreach { r => assert(r._4 === (r._3 >= 45L), s"is_heavy wrong: $r") }
+  }
+
+  test("dyadicHeavyHitters descent equals the all-ancestors-pass characterization") {
+    val df = spark.range(2000).select(concat(lit("u"), $"id" % 37).as("k"))
+    val bits = 8
+    val (w, d, t0) = (64, 2, 50L) // narrow: collisions force nontrivial pruning
+    val got = Sketches.dyadicHeavyHitters(df, "k", bits, w, d, t0)
+      .select($"hv").distinct().as[Long].collect().toSet
+    // brute reformulation: leaf survives iff est(l, hv >> l) >= t0 for ALL l
+    val hv = graft.functions.Fnv1a64Expr(
+      graft.functions.Fnv1a64Expr($"k".cast("string")).cast("string"))
+      .bitwiseAND(lit((1L << bits) - 1))
+    val hashed = df.select(hv.as("hv"))
+    val cnts = Sketches.dyadicLevelCounters(hashed, "hv", bits, w, d).collect()
+      .map(r => (r.getAs[Int]("l"), r.getAs[Int]("cm_row"),
+        r.getAs[Long]("cm_bucket")) -> r.getAs[Long]("cnt")).toMap
+    // brute re-derivation of the probe arithmetic, JVM-side
+    val brute = hashed.distinct().as[Long].collect().filter { leaf =>
+      (0 until bits).forall { l =>
+        val node = leaf >> l
+        (0 until d).map { i =>
+          val h = graft.functions.Hashes.fnv1a64(s"$i|$node")
+          cnts.getOrElse((l, i, h & (w - 1).toLong), 0L)
+        }.min >= t0
+      }
+    }.toSet
+    assert(got === brute)
+  }
+
+  test("dyadicQuantiles: exact nearest-rank on a collision-free sketch; never late under collisions") {
+    val df = spark.range(1000).select($"id".as("v")) // v = 0..999, rank(v) = v+1
+    val pcts = Seq(10, 25, 50, 75, 99)
+    val wide = Sketches.dyadicQuantiles(df, "v", bits = 10, w = 4096, d = 3, pcts)
+      .select($"pct", $"target", $"q_est", $"est_rank")
+      .as[(Int, Long, Long, Long)].collect()
+    wide.foreach { case (p, target, q, er) =>
+      assert(target === math.ceil(p * 1000 / 100.0).toLong)
+      assert(q === target - 1, s"p$p: q_est $q != exact ${target - 1}") // rank v+1 -> v = target-1
+      assert(er === target, s"p$p: est_rank $er != $target on an exact sketch")
+    }
+    val narrow = Sketches.dyadicQuantiles(df, "v", bits = 10, w = 32, d = 2, pcts)
+      .select($"pct", $"target", $"q_est").as[(Int, Long, Long)].collect()
+    narrow.foreach { case (p, target, q) =>
+      assert(q <= target - 1, s"p$p: overcounts must bias EARLY, got $q > ${target - 1}")
+    }
+  }
 }
