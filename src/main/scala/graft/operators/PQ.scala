@@ -76,4 +76,53 @@ object PQ {
     adc.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
       .select(col("q_id"), col("rank"), col("id"), col("adc_dist"))
   }
+
+  /** IVF + PQ composed ANN (the IVFADC search layout of Jégou et al. 2011
+    * §IV, minus residual encoding — codes quantize the raw vectors, the
+    * coarse quantizer only PRUNES): each probe ranks only the codes whose
+    * vector fell in one of its `nProbe` nearest coarse cells. At corpus
+    * scale this is the production shape: the coarse assignment partitions
+    * the corpus once; a probe touches nProbe/nCells of the code frame
+    * instead of all of it, and everything probe-sized (coarse centroids,
+    * probe→cell routing, the ADC lookup table) is broadcast — the scan
+    * side never shuffles. Ties break to the lower cell / corpus id, so
+    * results are deterministic and engine-replayable.
+    *
+    * `coarse` is a full-dimension [[ML.kMeansScaled]] fit over the same
+    * corpus; `model` a [[fit]] over the same corpus. Returns
+    * (q_id, rank, id, adc_dist) — at most topK rows per probe, fewer when
+    * the probed cells hold fewer candidates. */
+  def ivfAdcTopK(coarse: ML.KMeansResult, model: PQModel, probes: DataFrame,
+                 idCol: String, vecCol: String, dim: Int, m: Int, nProbe: Int,
+                 topK: Int, scale: Long = 1000000L): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val sub = dim / m
+    val qp = probes.select(col(idCol).as("q_id"),
+      transform(col(vecCol), x => floor(x.cast("double") * scale).cast("long")).as("qv"))
+    val pw = Window.partitionBy("q_id").orderBy(col("cdist").asc, col("cell_id"))
+    val probeCells = qp.crossJoin(broadcast(coarse.centroids))
+      .withColumn("cdist",
+        aggregate(zip_with(col("qv"), col("cvec"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x))
+      .withColumn("r", row_number().over(pw)).filter(col("r") <= nProbe)
+      .select(col("q_id"), col("cell_id").as("ivf_cell"))
+    val lut = qp.select(col("q_id"),
+        posexplode(array((0 until m).map(mi =>
+          slice(col("qv"), mi * sub + 1, sub)): _*)).as(Seq("m", "pv")))
+      .join(broadcast(model.centroids), Seq("m"))
+      .select(col("q_id"), col("m"), col("cell_id"),
+        aggregate(zip_with(col("pv"), col("cvec"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("pdist"))
+    val cellOf = coarse.assignments
+      .select(col(idCol).as("id"), col("cell_id").as("ivf_cell"))
+    val routed = probeCells.join(broadcast(lut), Seq("q_id"))
+    val adc = model.codes.join(cellOf, Seq("id"))
+      .join(broadcast(routed), Seq("ivf_cell", "m", "cell_id"))
+      .groupBy(col("q_id"), col("id"))
+      .agg(sum(col("pdist")).as("adc_dist"))
+    val w = Window.partitionBy("q_id").orderBy(col("adc_dist").asc, col("id").asc)
+    adc.withColumn("rank", row_number().over(w)).filter(col("rank") <= topK)
+      .select(col("q_id"), col("rank"), col("id"), col("adc_dist"))
+  }
 }

@@ -63,4 +63,37 @@ class PQSpec extends SparkSpec {
         s"probe $q got cross-cluster neighbor $n under ADC")
     }
   }
+
+  test("ivfAdcTopK with nProbe = nCells equals the unpruned adcTopK") {
+    val df = clustered
+    val coarse = graft.operators.ML.kMeansScaled(df, "vec_id", "embedding",
+      k = 4, iters = 1)
+    val model = PQ.fit(df, "vec_id", "embedding", dim = 8, m = 2, k = 4, iters = 1)
+    val probes = df.filter($"vec_id".isin(0L, 21L, 39L))
+    val full = PQ.adcTopK(model, probes, "vec_id", "embedding", dim = 8, m = 2,
+      topK = 6)
+    val ivf = PQ.ivfAdcTopK(coarse, model, probes, "vec_id", "embedding",
+      dim = 8, m = 2, nProbe = 4, topK = 6)
+    assert(ivf.exceptAll(full).isEmpty && full.exceptAll(ivf).isEmpty)
+  }
+
+  test("ivfAdcTopK prunes: with nProbe = 1 every neighbor shares the probe's nearest cell") {
+    val df = clustered
+    val coarse = graft.operators.ML.kMeansScaled(df, "vec_id", "embedding",
+      k = 2, iters = 2)
+    val model = PQ.fit(df, "vec_id", "embedding", dim = 8, m = 2, k = 4, iters = 1)
+    val probes = df.filter($"vec_id".isin(3L, 27L))
+    val top = PQ.ivfAdcTopK(coarse, model, probes, "vec_id", "embedding",
+      dim = 8, m = 2, nProbe = 1, topK = 10)
+    val cellOf = coarse.assignments.select($"vec_id", $"cell_id")
+      .as[(Long, Long)].collect().toMap
+    val rows = top.select($"q_id", $"id").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, n) =>
+      assert(cellOf(n) === cellOf(q),
+        s"neighbor $n (cell ${cellOf(n)}) outside probe $q's cell ${cellOf(q)}")
+    }
+    // the two tight clusters coincide with the 2 coarse cells: 10 each
+    assert(rows.count(_._1 == 3L) === 10 && rows.count(_._1 == 27L) === 10)
+  }
 }
