@@ -26,7 +26,9 @@ object Bench {
     "qb0_asof_backward", "qb2_range_join_binned",
     // round 7: pipeline-surface flagships (no round-1 baseline entry;
     // subset totals for cross-round comparison as BASELINE.md describes)
-    "qcf_shared_spans", "qcg_repetition_signals", "qcj_kmeans")
+    "qcf_shared_spans", "qcg_repetition_signals", "qcj_kmeans",
+    // round 7, sketch batch: the corpus-scale estimation paths
+    "qcl_hll_distinct", "qct_heavy_hitters", "qcv_ivfpq_ann")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

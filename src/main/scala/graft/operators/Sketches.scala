@@ -387,16 +387,27 @@ object Sketches {
 
   /** CM estimates for a (l, node) probe frame against [[dyadicLevelCounters]]
     * (broadcast): min over the d seeded counters, absent counters count 0.
-    * Carries every other probe column through. */
+    * Carries every other probe column through.
+    *
+    * Shaped as d broadcast joins + `least`, NOT explode + groupBy-min: the
+    * tree descents call this once per level, and a groupBy would put a
+    * shuffle BARRIER in every one of the bits sequential steps — on a real
+    * cluster the descent's latency is those barriers, not the tiny data.
+    * Broadcast joins keep the whole descent narrow (zero exchanges). */
   private def levelEst(counters: DataFrame, probes: DataFrame, w: Int,
                        d: Int, estCol: String): DataFrame = {
-    val carry = probes.columns.map(col).toSeq
-    probes
-      .select((carry :+ posexplode(seededBuckets(col("node").cast("string"), w, d))
-        .as(Seq("cm_row", "cm_bucket"))): _*)
-      .join(broadcast(counters), Seq("l", "cm_row", "cm_bucket"), "left")
-      .groupBy(carry: _*)
-      .agg(min(coalesce(col("cnt"), lit(0L))).as(estCol))
+    val carry = probes.columns.toSeq
+    var cur = probes.withColumn("_bks",
+      seededBuckets(col("node").cast("string"), w, d))
+    for (i <- 0 until d) {
+      val ci = counters.filter(col("cm_row") === i)
+        .select(col("l"), col("cm_bucket").as(s"_b$i"), col("cnt").as(s"_c$i"))
+      cur = cur.withColumn(s"_b$i", element_at(col("_bks"), i + 1))
+        .join(broadcast(ci), Seq("l", s"_b$i"), "left")
+    }
+    cur.withColumn(estCol,
+        least((0 until d).map(i => coalesce(col(s"_c$i"), lit(0L))): _*))
+      .select((carry :+ estCol).map(col): _*)
   }
 
   /** Hierarchical heavy hitters by dyadic-tree descent (Cormode &

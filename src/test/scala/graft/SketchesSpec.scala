@@ -247,6 +247,19 @@ class SketchesSpec extends SparkSpec {
     assert(got === brute)
   }
 
+  test("descent plans are barrier-free: exchange count does not grow with tree depth") {
+    val df = spark.range(500).select(($"id" % 97).as("v"))
+    // broadcast exchanges may scale with d x levels (tiny, and runtime
+    // exchange reuse dedupes the identical per-row counter frames); what
+    // must NOT grow is shuffle barriers — each probe step stays narrow
+    def shuffles(plan: org.apache.spark.sql.DataFrame) =
+      plan.queryExecution.executedPlan.toString.linesIterator
+        .count(l => l.contains("Exchange") && !l.contains("Broadcast"))
+    val shallow = shuffles(Sketches.dyadicQuantiles(df, "v", bits = 4, w = 256, d = 3, Seq(50)))
+    val deep = shuffles(Sketches.dyadicQuantiles(df, "v", bits = 12, w = 256, d = 3, Seq(50)))
+    assert(deep === shallow, s"descent grew shuffles: bits=4 -> $shallow, bits=12 -> $deep")
+  }
+
   test("dyadicQuantiles: exact nearest-rank on a collision-free sketch; never late under collisions") {
     val df = spark.range(1000).select($"id".as("v")) // v = 0..999, rank(v) = v+1
     val pcts = Seq(10, 25, 50, 75, 99)
