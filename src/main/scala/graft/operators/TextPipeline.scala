@@ -145,4 +145,85 @@ object TextPipeline {
       .groupBy(col(idCol))
       .agg(avg(col("logp")).as("logprob"), count(lit(1)).as("n_toks"))
   }
+
+  /** Per-document top-`k` terms by smoothed TF-IDF — the classic keyword /
+    * topic-signal extractor (tf · (ln((N+1)/(df+1)) + 1), the smooth-idf
+    * variant that never zeroes a term appearing in every doc).
+    *
+    * Rank is taken over the 6-decimal-rounded score with a term-ascending
+    * tie-break, so the ordering is engine-portable (ln may differ by 1 ulp
+    * between libm implementations; 6 decimals absorbs it — the qb9 device).
+    *
+    * Shape at scale: one exploded-token aggregate for per-doc tf (keyed on
+    * (doc, term) — partial aggregation absorbs in-doc repeats map-side),
+    * one vocab-sized df aggregate whose result BROADCASTS back (vocab ≪
+    * corpus; cap with a min-df cutoff at 100 TB like unigramLogProb), and
+    * one per-doc window for the top-k — the window repartitions on doc id,
+    * the same key the tf aggregate already produced, so AQE/EnsureRequirements
+    * reuses the partitioning instead of a second full shuffle. */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = df.select(col(idCol),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfCounts = toks.select(col(idCol), col("term")).distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = df.select(col(idCol)).distinct().count()
+    val scored = tf.join(broadcast(dfCounts), Seq("term"))
+      .withColumn("tfidf", round(col("tf") *
+        (log((lit(nDocs) + 1).cast("double") / (col("df") + 1)) + 1), 6))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("rnk"), col("term"), col("tf"), col("df"), col("tfidf"))
+  }
+
+  /** Okapi BM25 document ranking for a fixed term set — the standard
+    * lexical retrieval scorer:
+    *
+    *   score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1−b+b·|d|/avgdl))
+    *   idf(t)   = ln(1 + (N − df(t) + 0.5)/(df(t) + 0.5))
+    *
+    * Returns every document matching ≥1 query term with its rounded score
+    * (order by score desc, id asc downstream for a stable top-k). All
+    * inputs to the floating math are exact integers (tf, df, N, doc
+    * lengths), divisions are IEEE-exact, and ln sits under a 6-decimal
+    * round — engine-portable like [[tfidfTopTerms]].
+    *
+    * Shape at scale: doc lengths fuse into the token scan; the query-term
+    * df/idf table is |terms| rows and BROADCASTS, as does the 1-row
+    * (N, avgdl) frame; the only shuffle is the per-doc score aggregate
+    * keyed on doc id. The corpus is never joined against itself. */
+  def bm25Rank(df: DataFrame, idCol: String, textCol: String,
+               queryTerms: Seq[String], k1: Double = 1.2,
+               b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Rank needs at least one query term")
+    // two scan-fused passes over the corpus (doc lengths; query-term tf)
+    // rather than caching the exploded token stream — the explode output
+    // is LARGER than the input text, so at 100 TB a second columnar scan
+    // beats pinning it in storage memory
+    val toks = df.select(col(idCol),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("term"))
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("total_toks"))
+    val qset = queryTerms.map(_.toLowerCase)
+    val qtf = toks.filter(col("term").isin(qset: _*))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val qdf = qtf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = qdf.crossJoin(broadcast(stats))
+      .select(col("term"),
+        log(lit(1) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+          .as("idf"))
+    qtf.join(dl, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .join(broadcast(idf), Seq("term"))
+      .withColumn("avgdl", col("total_toks").cast("double") / col("n_docs"))
+      .withColumn("contrib", col("idf") * col("tf") * (k1 + 1) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col(idCol))
+      .agg(round(sum("contrib"), 6).as("bm25"),
+        count(lit(1)).as("n_matched"))
+  }
 }

@@ -534,6 +534,69 @@ object PipelineQueries {
           round(CASE WHEN det <> 0 THEN det2 / det END, 6) AS b2
         FROM c""")),
 
+    // Per-doc top-3 terms by smoothed TF-IDF (tf · (ln((N+1)/(df+1)) + 1)),
+    // ranked on the 6-decimal-rounded score with a term tie-break so the
+    // ordering is engine-portable.
+    Entry("qcw_tfidf_top_terms",
+      (s, dir) => TextPipeline.tfidfTopTerms(t(s, dir, "documents"),
+        "doc_id", "text", k = 3),
+      Some("""WITH toks AS (
+          SELECT doc_id,
+            unnest(list_filter(string_split_regex(lower(text), '\s+'),
+              x -> x <> '')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+        ), dfc AS (
+          SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+        ), nd AS (
+          SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+        ), scored AS (
+          SELECT doc_id, term, tf, df,
+            round(tf * (ln((n_docs + 1) / (df + 1.0)) + 1), 6) AS tfidf
+          FROM tf JOIN dfc USING (term) CROSS JOIN nd
+        )
+        SELECT doc_id, rnk, term, tf, df, tfidf
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY tfidf DESC, term) AS rnk
+          FROM scored)
+        WHERE rnk <= 3""")),
+
+    // Okapi BM25 scoring of the whole corpus against a fixed 3-term query
+    // (k1=1.2, b=0.75) — per-doc score summed over matched terms, every
+    // floating input an exact integer (tf/df/N/dl), ln under round(.,6).
+    Entry("qcx_bm25_rank",
+      (s, dir) => TextPipeline.bm25Rank(t(s, dir, "documents"),
+        "doc_id", "text", Seq("hash", "join", "vector")),
+      Some("""WITH toks AS (
+          SELECT doc_id,
+            unnest(list_filter(string_split_regex(lower(text), '\s+'),
+              x -> x <> '')) AS term
+          FROM documents
+        ), dl AS (
+          SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+        ), stats AS (
+          SELECT count(*) AS n_docs, sum(dl) AS total_toks FROM dl
+        ), qtf AS (
+          SELECT doc_id, term, count(*) AS tf FROM toks
+          WHERE term IN ('hash', 'join', 'vector') GROUP BY 1, 2
+        ), qdf AS (
+          SELECT term, count(*) AS df FROM qtf GROUP BY 1
+        ), idf AS (
+          SELECT term, ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+          FROM qdf CROSS JOIN stats
+        )
+        SELECT doc_id,
+          round(sum(idf * tf * (1.2 + 1) /
+            (tf + 1.2 * (1 - 0.75 + 0.75 * dl /
+              (CAST(total_toks AS DOUBLE) / n_docs)))), 6) AS bm25,
+          CAST(count(*) AS BIGINT) AS n_matched
+        FROM qtf
+          JOIN dl USING (doc_id)
+          CROSS JOIN stats
+          JOIN idf USING (term)
+        GROUP BY doc_id""")),
+
     // SparkSessionExtensions surface: the native codegen expressions called
     // from SQL TEXT via the injected function registry — same rows as the
     // Column API, same DuckDB-replayed FNV oracle as q87.

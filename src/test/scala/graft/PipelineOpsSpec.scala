@@ -354,4 +354,66 @@ class PipelineOpsSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().map(t => (t._1, t._2)).toSet
     assert(got === Set((10L, 1L), (10L, 3L)))
   }
+
+  // ---- TF-IDF / BM25 ------------------------------------------------------
+
+  test("tfidfTopTerms: hand-checked scores, rank order, and tie-break") {
+    // N=3; "rare" only in doc 1 (df=1), "shared" in all (df=3)
+    val docs = Seq(
+      (1L, "rare shared shared"),
+      (2L, "shared common common"),
+      (3L, "shared common zed")).toDF("doc_id", "text")
+    val got = TextPipeline.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .as[(Long, Int, String, Long, Long, Double)].collect()
+      .sortBy(r => (r._1, r._2))
+    def score(tf: Long, df: Long) =
+      BigDecimal(tf * (math.log(4.0 / (df + 1)) + 1))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 1: shared tf=2 df=3 -> 2*(ln(1)+1)=2.0 beats rare tf=1 df=1 -> ln(2)+1
+    assert(got.filter(_._1 == 1L).map(r => (r._2, r._3, r._6)).toSeq ===
+      Seq((1, "shared", score(2, 3)), (2, "rare", score(1, 1))))
+    // doc 2: common tf=2 df=2 beats shared tf=1 df=3
+    assert(got.filter(_._1 == 2L).map(r => (r._2, r._3)).toSeq ===
+      Seq((1, "common"), (2, "shared")))
+    // doc 3: all three terms tie at tf=1 only on score when scores equal;
+    // here zed (df=1) > common (df=2) > shared (df=3); k=2 keeps first two
+    assert(got.filter(_._1 == 3L).map(r => (r._2, r._3)).toSeq ===
+      Seq((1, "zed"), (2, "common")))
+  }
+
+  test("tfidfTopTerms ranks on the ROUNDED score with term-ascending ties") {
+    // two terms with identical tf and df in one doc -> identical scores;
+    // the tie must break alphabetically for engine-portable ranking
+    val docs = Seq((1L, "beta alpha"), (2L, "alpha beta filler")).toDF("doc_id", "text")
+    val got = TextPipeline.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .as[(Long, Int, String, Long, Long, Double)].collect()
+      .filter(_._1 == 1L).sortBy(_._2).map(_._3).toSeq
+    assert(got === Seq("alpha", "beta"))
+  }
+
+  test("bm25Rank: hand-computed Okapi score, matched docs only") {
+    val docs = Seq(
+      (1L, "hash join hash scan"),   // dl=4, tf(hash)=2, tf(join)=1
+      (2L, "scan filter sort scan"), // no query terms -> absent from output
+      (3L, "join line")).toDF("doc_id", "text") // dl=2, tf(join)=1
+    val got = TextPipeline.bm25Rank(docs, "doc_id", "text", Seq("hash", "join"))
+      .as[(Long, Double, Long)].collect().sortBy(_._1)
+    val n = 3.0; val avgdl = 10.0 / 3
+    def idf(df: Long) = math.log(1 + (n - df + 0.5) / (df + 0.5))
+    def c(tf: Long, df: Long, dl: Long) =
+      idf(df) * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.map(_._1).toSeq === Seq(1L, 3L))
+    assert(got.map(_._3).toSeq === Seq(2L, 1L))          // n_matched terms
+    assert(got(0)._2 === r6(c(2, 1, 4) + c(1, 2, 4)))    // doc 1: hash + join
+    assert(got(1)._2 === r6(c(1, 2, 2)))                 // doc 3: join only
+  }
+
+  test("bm25Rank lowercases query terms and text consistently") {
+    val docs = Seq((1L, "Hash HASH hash")).toDF("doc_id", "text")
+    val got = TextPipeline.bm25Rank(docs, "doc_id", "text", Seq("HASH"))
+      .as[(Long, Double, Long)].collect()
+    assert(got.length == 1 && got(0)._3 == 1L)
+  }
 }
