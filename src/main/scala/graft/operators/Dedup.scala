@@ -549,4 +549,69 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"),
         (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
   }
+
+  /** Character-level near-duplicate pairs, CONFIRMED by edit distance:
+    * MinHash/LSH banding proposes candidates, exact n-gram Jaccard >=
+    * `jaccardGate` bounds the candidate set (identical candidate semantics
+    * to [[minhashDupPairs]], so recall follows the same S-curve argument),
+    * and normalized Levenshtein similarity
+    *
+    *   edit_sim = 1 − lev(t1, t2) / max(len1, len2)   >= minSim
+    *
+    * confirms on the character level — the standard second-stage check
+    * when shingle Jaccard alone over-merges (short docs, heavy shared
+    * boilerplate) or when the dedup policy is defined on edit distance
+    * (near-identical records, OCR/transcription variants).
+    *
+    * Cost control, in evaluation order:
+    *  - the Jaccard gate bounds PAIR COUNT (high edit similarity implies
+    *    high shingle Jaccard, never the reverse — every character edit
+    *    touches at most n shingles, so edit_sim >= minSim pairs survive a
+    *    gate set moderately below it);
+    *  - a length prefilter (lev >= |len1 − len2| is a lower bound) drops
+    *    pairs before any O(len²) work;
+    *  - the Levenshtein itself runs BANDED with a per-pair threshold
+    *    (`levenshtein(t1, t2, thr)` — Ukkonen's band), O(maxlen ·
+    *    (1−minSim)·maxlen) instead of O(len1·len2); above-threshold pairs
+    *    return −1 and are filtered without completing the matrix.
+    *
+    * Both the prefilter and the band carry +1 slack so the final filter on
+    * the 6-decimal-ROUNDED similarity can never disagree with them (exact
+    * for docs up to ~2M chars, where 5e-7·maxlen < 1).
+    *
+    * Engine note: Spark's levenshtein counts CHARACTER edits; DuckDB's
+    * counts BYTE edits — equal on ASCII text, divergent on multi-byte
+    * UTF-8, which is why the gate query runs on the (all-ASCII) fixture
+    * unfiltered but a cross-engine oracle over non-ASCII text must
+    * normalize first.
+    *
+    * Output: (id1, id2, lev, edit_sim) with id1 < id2. At the >10M-doc
+    * scale swap the broadcast text lookups for bucketed joins exactly as
+    * [[minhashDupPairsBucketed]] does for signatures. */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int, k: Int, bands: Int, jaccardGate: Double,
+                        minSim: Double): DataFrame = {
+    require(minSim > 0 && minSim <= 1, s"minSim must be in (0,1], got $minSim")
+    val cands = minhashDupPairs(df, idCol, textCol, n, k, bands, jaccardGate)
+      .select("id1", "id2")
+    val txt = df.select(col(idCol).as("doc"), col(textCol).as("t"),
+      length(col(textCol)).cast("long").as("len"))
+    cands
+      .join(broadcast(txt.select(col("doc").as("id1"), col("t").as("t1"),
+        col("len").as("len1"))), "id1")
+      .join(broadcast(txt.select(col("doc").as("id2"), col("t").as("t2"),
+        col("len").as("len2"))), "id2")
+      .withColumn("maxlen", greatest(col("len1"), col("len2"), lit(1L)))
+      .filter(abs(col("len1") - col("len2")) <=
+        (lit(1.0) - minSim) * col("maxlen") + 1)
+      .withColumn("thr",
+        (ceil((lit(1.0) - minSim) * col("maxlen")) + 1).cast("int"))
+      .withColumn("lev", expr("levenshtein(t1, t2, thr)"))
+      .filter(col("lev") >= 0)
+      .withColumn("edit_sim", round(lit(1.0) -
+        col("lev").cast("double") / col("maxlen").cast("double"), 6))
+      .filter(col("edit_sim") >= minSim)
+      .select(col("id1"), col("id2"), col("lev").cast("long").as("lev"),
+        col("edit_sim"))
+  }
 }

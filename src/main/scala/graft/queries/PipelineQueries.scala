@@ -597,6 +597,42 @@ object PipelineQueries {
           JOIN idf USING (term)
         GROUP BY doc_id""")),
 
+    // Edit-distance near-dup: LSH-proposed, Jaccard-gated (>= 0.5, the q85
+    // candidate set with recall ~1-1e-8), CONFIRMED by banded Levenshtein
+    // similarity >= 0.97 on the raw text. The oracle replays the exact
+    // Jaccard pair set and DuckDB's levenshtein (byte == char on the
+    // all-ASCII fixture; see Dedup.editDistancePairs engine note).
+    Entry("qcy_editdist_neardup",
+      (s, dir) => Dedup.editDistancePairs(t(s, dir, "documents"),
+        "doc_id", "text", n = 2, k = 128, bands = 64,
+        jaccardGate = 0.5, minSim = 0.97),
+      Some(s"""WITH toks AS (
+          SELECT doc_id, $OTOKS AS w FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, (w[i] || ' ' || w[i+1]) AS sh
+          FROM toks CROSS JOIN UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+        ), sizes AS (
+          SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id
+        ), common AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), pairs AS (
+          SELECT id1, id2 FROM common
+          JOIN sizes s1 ON id1 = s1.doc_id
+          JOIN sizes s2 ON id2 = s2.doc_id
+          WHERE CAST(c AS DOUBLE) / (s1.nsh + s2.nsh - c) >= 0.5
+        ), lv AS (
+          SELECT id1, id2,
+            CAST(levenshtein(d1.text, d2.text) AS BIGINT) AS lev,
+            round(1 - CAST(levenshtein(d1.text, d2.text) AS DOUBLE)
+              / greatest(length(d1.text), length(d2.text), 1), 6) AS edit_sim
+          FROM pairs
+          JOIN documents d1 ON id1 = d1.doc_id
+          JOIN documents d2 ON id2 = d2.doc_id
+        )
+        SELECT id1, id2, lev, edit_sim FROM lv WHERE edit_sim >= 0.97""")),
+
     // SparkSessionExtensions surface: the native codegen expressions called
     // from SQL TEXT via the injected function registry — same rows as the
     // Column API, same DuckDB-replayed FNV oracle as q87.

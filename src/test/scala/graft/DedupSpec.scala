@@ -269,4 +269,61 @@ class DedupSpec extends SparkSpec {
     assert(kept.size === 6 && kept.forall { case (_, _, s1, s2, len) =>
       s1 == 2L && s2 == 2L && len == 10L })
   }
+
+  // ---- edit-distance near-dup ---------------------------------------------
+
+  test("editDistancePairs: hand-computed levenshtein and normalized sim") {
+    // docs 1/2 differ by the last word "bank" -> "bend": lev = 2 substitutions
+    // (a->e, k->d wait: bank/bend = b a n k vs b e n d -> 2 subs), len 63 both
+    val got = Dedup.editDistancePairs(docs, "doc_id", "text", n = 2, k = 128,
+        bands = 64, jaccardGate = 0.5, minSim = 0.9)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val t1 = "the quick brown fox jumps over the lazy dog near the river bank"
+    assert(got((1L, 4L)) === ((0L, 1.0))) // exact dup
+    val expSim = BigDecimal(1.0 - 2.0 / t1.length)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got((1L, 2L)) === ((2L, expSim)))
+    assert(got((2L, 4L)) === ((2L, expSim)))
+    assert(got.size === 3) // doc 3/5 never reach the levenshtein stage
+  }
+
+  test("editDistancePairs minSim gate drops jaccard-similar but edit-distant pairs") {
+    // same bigram multiset reordered: jaccard high, edit distance large
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "eta theta alpha beta gamma delta epsilon zeta"), // rotated
+      (3L, "alpha beta gamma delta epsilon zeta eta thetb")  // 1-char edit of 1
+    ).toDF("doc_id", "text")
+    val strict = Dedup.editDistancePairs(d, "doc_id", "text", n = 1, k = 128,
+        bands = 64, jaccardGate = 0.5, minSim = 0.9)
+      .as[(Long, Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    assert(strict === Set((1L, 3L))) // rotation fails the edit gate
+    val loose = Dedup.editDistancePairs(d, "doc_id", "text", n = 1, k = 128,
+        bands = 64, jaccardGate = 0.5, minSim = 0.1)
+      .as[(Long, Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    assert(loose.contains((1L, 2L))) // at a loose gate the rotation passes
+  }
+
+  test("editDistancePairs banded threshold returns the same rows as unbanded") {
+    // differential: recompute lev with the 2-arg (full-matrix) form on the
+    // same Jaccard-gated candidates and compare pair-for-pair
+    val banded = Dedup.editDistancePairs(docs, "doc_id", "text", n = 2, k = 128,
+        bands = 64, jaccardGate = 0.3, minSim = 0.5)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val cands = Dedup.minhashDupPairs(docs, "doc_id", "text", n = 2, k = 128,
+        bands = 64, threshold = 0.3).select("id1", "id2")
+    val txt = docs.select(col("doc_id").as("doc"), col("text").as("t"))
+    val full = cands
+      .join(txt.select(col("doc").as("id1"), col("t").as("t1")), "id1")
+      .join(txt.select(col("doc").as("id2"), col("t").as("t2")), "id2")
+      .withColumn("maxlen", greatest(length(col("t1")), length(col("t2")), lit(1)))
+      .withColumn("lev", levenshtein(col("t1"), col("t2")).cast("long"))
+      .withColumn("edit_sim", round(lit(1.0) -
+        col("lev").cast("double") / col("maxlen").cast("double"), 6))
+      .filter(col("edit_sim") >= 0.5)
+      .select("id1", "id2", "lev", "edit_sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(banded === full)
+  }
 }
