@@ -190,6 +190,42 @@ object GraphOps {
     }
   }
 
+  /** k-core decomposition by iterative peeling: repeatedly recompute
+    * degrees over the subgraph induced by the survivors and drop vertices
+    * with degree < k. The standard web-graph quality filter (spam and
+    * scraped-page farms live in the low-core shell; densely linked
+    * content survives) — a graph-side analogue of the corpus quality
+    * rules, which is why it earns a gate here.
+    *
+    * Bounded-round contract like [[sssp]]: `maxIter` peel rounds, then a
+    * final `>= k` filter; converged when every output degree is >= k
+    * (peeling removes at least one vertex per non-converged round, so
+    * diameter-many rounds always suffice). Returns (node, deg) — the
+    * vertex's degree inside the final core subgraph.
+    *
+    * Scale: per round, two hash joins of the cached undirected edge frame
+    * against the (shrinking, broadcast-hinted) survivor set plus one
+    * degree aggregate keyed on node id — no driver collect, no
+    * full-vertex window. The edge frame is cached once and never
+    * reshuffles. */
+  def kCore(edges: DataFrame, k: Int, maxIter: Int): DataFrame = {
+    require(k >= 1 && maxIter >= 1)
+    val ued = undirected(edges).cache()
+    val n = ued.count()
+    val maybeB = Iterations.maybeBroadcast(n)
+    Iterations.withLoopProfile(ued.sparkSession, n) {
+      val init = ued.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+      val res = Iterations.iterate(init, maxIter, fuse = 2) { cur =>
+        val keep = cur.filter(col("deg") >= k).select(col("node"))
+        ued.join(maybeB(keep.withColumnRenamed("node", "a")), "a")
+          .join(maybeB(keep.withColumnRenamed("node", "b")), "b")
+          .groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
+      }
+      ued.unpersist()
+      res.filter(col("deg") >= k)
+    }
+  }
+
   /** Triangle enumeration (reference: flink-gelly/.../library/
     * TriangleEnumerator.java — its open-wedge build + closing-edge join,
     * including the degree-based edge orientation that bounds wedge

@@ -89,4 +89,92 @@ object Sampling {
     }
     df.filter(unitHash(col(idCol), salt) < fracExpr)
   }
+
+  /** Temperature-scaled per-group sample budgets: budget_g =
+    * totalBudget * n_g^alpha / Σ n_g^alpha (integer floor division).
+    * This is the multilingual-training mixture rule ("sampling with
+    * temperature", alpha = 1/T): alpha < 1 upweights small groups so the
+    * head domain/language doesn't drown the tail. alpha is fixed at 0.5
+    * here because n^0.5 = sqrt(n) is correctly rounded IEEE in both the
+    * JVM and any SQL engine, which keeps budgets integer-exact and
+    * oracle-replayable; other exponents would introduce pow() rounding
+    * drift across engines.
+    *
+    * Returns one row per group: (group, n, weight, budget). The group
+    * count frame is tiny (one row per domain/language), so everything
+    * after the first count aggregate is driver-scale; the window-sum of
+    * weights runs on that tiny frame, not the corpus.
+    */
+  def mixtureBudgets(df: DataFrame, groupCol: String,
+                     totalBudget: Long): DataFrame = {
+    require(totalBudget > 0)
+    val counts = df.groupBy(col(groupCol).as("g")).agg(count(lit(1)).as("n"))
+    val w = counts.withColumn("weight", floor(sqrt(col("n").cast("double"))).cast("long"))
+    // one-partition window over the tiny per-group frame (not the corpus);
+    // DIV keeps the budget integer-exact (no double rounding to replay)
+    val sumW = sum(col("weight")).over(org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(1)))
+    w.withColumn("budget", expr(s"${totalBudget}L * weight") .cast("long"))
+      .withColumn("sum_w", sumW)
+      .withColumn("budget", expr("budget DIV sum_w"))
+      .select(col("g").as(groupCol), col("n"), col("weight"), col("budget"))
+  }
+
+  /** Draw exactly budget_g rows per group under [[mixtureBudgets]]:
+    * rank rows within each group by content hash (ties broken by id) and
+    * keep rank <= budget. Deterministic, layout-independent, and
+    * SQL-replayable.
+    *
+    * At 100 TB: the exact-budget variant is one window shuffle keyed on
+    * the group column. When groups are few and huge that shuffle is
+    * skew-prone — use the fractional variant instead (filter
+    * unitHash < budget/n, map-side only, budget hit in expectation with
+    * O(sqrt) deviation), which is what a production mixture does anyway.
+    */
+  def mixtureSample(df: DataFrame, idCol: String, groupCol: String,
+                    totalBudget: Long, salt: String = "mixture",
+                    exact: Boolean = true): DataFrame = {
+    val budgets = mixtureBudgets(df, groupCol, totalBudget)
+      .select(col(groupCol), col("n"), col("budget"))
+    if (exact) {
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(groupCol))
+        .orderBy(unitHash(col(idCol), salt), col(idCol))
+      df.withColumn("rk", row_number().over(win))
+        .join(broadcast(budgets.drop("n")), Seq(groupCol))
+        .filter(col("rk") <= col("budget"))
+        .drop("rk", "budget")
+    } else {
+      // map-side: no window, no sort; budgets broadcast against the scan
+      df.join(broadcast(budgets), Seq(groupCol))
+        .filter(unitHash(col(idCol), salt) < col("budget").cast("double") / col("n"))
+        .drop("budget", "n")
+    }
+  }
+
+  /** Weighted priority sample (Duffield–Lund–Thorup): priority =
+    * weight / u with u = unitHash ∈ (0,1); the global top-k by priority is
+    * a weighted-without-replacement sample where inclusion probability is
+    * proportional to weight (for weights small vs the threshold). The
+    * standard one-pass scheme for "keep k rows, long docs proportionally
+    * more likely" importance subsampling.
+    *
+    * Deterministic: u is the content hash, so the sample is stable across
+    * reruns and layouts, and the oracle replays it exactly.
+    *
+    * At 100 TB: top-k is TakeOrdered — per-partition heaps of size k, one
+    * driver merge of k·P candidates, no global sort, no shuffle of the
+    * corpus. */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, salt: String = "priority"): DataFrame = {
+    require(k > 0)
+    val u = unitHash(col(idCol), salt)
+    // u is in [0,1); guard the (measure-zero, hash-possible) u = 0 case so
+    // priority stays finite and both engines agree
+    val prio = col(weightCol).cast("double") /
+      when(u === 0.0, lit(1.0) / lit(9007199254740992.0)).otherwise(u)
+    df.withColumn("priority", prio)
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(k)
+  }
 }

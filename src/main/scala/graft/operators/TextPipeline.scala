@@ -226,4 +226,141 @@ object TextPipeline {
       .agg(round(sum("contrib"), 6).as("bm25"),
         count(lit(1)).as("n_matched"))
   }
+
+  /** Corpus-frequency boilerplate removal (the CCNet / RefinedWeb
+    * "frequent paragraph" filter, at fixed token-span granularity): drop
+    * EVERY occurrence of any span that appears in more than `maxDf`
+    * distinct documents — nav bars, cookie banners, license headers.
+    * Complementary to [[dedupSpans]], which keeps first occurrences:
+    * boilerplate is noise in all its copies, so none survives.
+    *
+    * Emits (id, clean_text, n_spans, n_removed).
+    *
+    * Shape at scale: one df-count aggregate keyed on span text, whose
+    * OUTPUT after the `> maxDf` filter is only the frequency head — tiny
+    * by Zipf, so it broadcasts and the removal is a map-side hash-lookup
+    * join against the re-scanned spans; the corpus itself never shuffles
+    * except the final per-doc rebuild keyed on doc id. */
+  def removeBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                        spanTokens: Int, maxDf: Long): DataFrame = {
+    require(spanTokens > 0 && maxDf >= 1)
+    val toks = TextFunctions.tokens(col(textCol))
+    val spans = df
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), ceil(size(toks).cast("double") / spanTokens).cast("int") - 1),
+        i => array_join(slice(toks, i * spanTokens + 1, lit(spanTokens)), " "))))
+      .toDF(idCol, "span_idx", "span")
+      .filter(col("span") =!= "")
+    val hot = spans.groupBy(col("span"))
+      .agg(countDistinct(col(idCol)).as("span_df"))
+      .filter(col("span_df") > maxDf)
+      .select(col("span"), lit(true).as("_hot"))
+    spans.join(broadcast(hot), Seq("span"), "left")
+      .groupBy(col(idCol)).agg(
+        array_join(transform(array_sort(collect_list(
+          when(col("_hot").isNull, struct(col("span_idx"), col("span"))))),
+          s => s.getField("span")), " ").as("clean_text"),
+        count(lit(1)).as("n_spans"),
+        sum(when(col("_hot").isNotNull, 1L).otherwise(0L)).as("n_removed"))
+  }
+
+  /** Byte-pair-encoding pair statistics — the inner step of tokenizer
+    * training: corpus word counts, words as character-symbol sequences
+    * with an end-of-word marker, and the frequency of every adjacent
+    * symbol pair (the quantity BPE takes the argmax of to pick the next
+    * merge). Returns the top `k` pairs as (rnk, left, right, pair_count),
+    * ranked by count desc with a (left, right) lexicographic tie-break so
+    * the "next merge" is deterministic and engine-portable.
+    *
+    * Shape at scale: the corpus collapses to a VOCAB-sized word-count
+    * frame in the first aggregate (map-side partial absorbs in-doc
+    * repeats); everything after — char splitting, pair explosion, the
+    * pair aggregate — runs on the vocabulary, orders of magnitude smaller
+    * than the corpus. Top-k is TakeOrdered, no global sort. */
+  def bpePairStats(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1)
+    val words = df
+      .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val syms = concat(split(col("word"), ""), array(lit("</w>")))
+    val pairs = words
+      .select(col("cnt"), explode(transform(
+        sequence(lit(1), size(syms) - 1),
+        i => struct(element_at(syms, i).as("lhs"),
+          element_at(syms, i + 1).as("rhs")))).as("p"))
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(sum(col("cnt")).as("pair_count"))
+    pairs.orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
+      .limit(k)
+      .withColumn("rnk", row_number().over(Window.partitionBy(lit(1))
+        .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))))
+      .select("rnk", "lhs", "rhs", "pair_count")
+  }
+
+  /** Full BPE merge-table training for `nMerges` rounds — repeatedly take
+    * the most frequent adjacent symbol pair ([[bpePairStats]]'s argmax),
+    * record it, and rewrite every word's symbol sequence with the pair
+    * fused (greedy leftmost application, the reference BPE semantics).
+    * Returns the merge table (round, left, right, pair_count).
+    *
+    * The merge application is a pure higher-order `aggregate` over each
+    * word's symbol array (carry = (rebuilt prefix, pending symbol); a
+    * pending==left && next==right fuses) — no UDF, and greedy-leftmost
+    * falls out of the left fold ("aaa" + merge a+a → [aa, a]).
+    *
+    * Driver loop like [[graft.operators.GraphOps]] iterations: each round
+    * is ONE vocabulary-sized aggregate (the corpus is only read once, in
+    * the initial word count) plus a driver-held argmax — the same
+    * O(rounds) driver state any BPE trainer keeps. The vocab frame is
+    * cached and replaced each round. */
+  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int): Seq[(Int, String, String, Long)] = {
+    require(nMerges >= 1)
+    val spark = df.sparkSession
+    var vocab = df
+      .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(concat(split(col("word"), ""), array(lit("</w>"))).as("syms"),
+        col("cnt"))
+      .cache()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    try {
+      for (round <- 1 to nMerges) {
+        val top = vocab
+          .select(col("cnt"), explode(transform(
+            sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("left"),
+              element_at(col("syms"), i + 1).as("right")))).as("p"))
+          .groupBy(col("p.left").as("left"), col("p.right").as("right"))
+          .agg(sum(col("cnt")).as("pair_count"))
+          .orderBy(col("pair_count").desc, col("left"), col("right"))
+          .limit(1).collect()
+        if (top.isEmpty) return merges.toSeq
+        val (l0, r0, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((round, l0, r0, c))
+        // SQL-literal escape: symbols come from corpus text
+        val (l, r) = (l0.replace("\\", "\\\\").replace("'", "\\'"),
+          r0.replace("\\", "\\\\").replace("'", "\\'"))
+        // rewrite: fold each symbol array, fusing pending==l && x==r
+        val merged = vocab.select(
+          expr(
+            s"""aggregate(syms,
+               named_struct('out', array()::array<string>, 'pending', ''),
+               (acc, x) -> CASE
+                 WHEN acc.pending = '' THEN named_struct('out', acc.out, 'pending', x)
+                 WHEN acc.pending = '${l}' AND x = '${r}'
+                   THEN named_struct('out', array_append(acc.out, '${l}${r}'), 'pending', '')
+                 ELSE named_struct('out', array_append(acc.out, acc.pending), 'pending', x)
+               END,
+               acc -> CASE WHEN acc.pending = '' THEN acc.out
+                           ELSE array_append(acc.out, acc.pending) END)""")
+            .as("syms"),
+          col("cnt"))
+          .cache()
+        merged.count() // materialize before dropping the parent
+        vocab.unpersist()
+        vocab = merged
+      }
+      merges.toSeq
+    } finally vocab.unpersist()
+  }
 }

@@ -515,5 +515,52 @@ object GraphQueries {
                  FROM ued u JOIN r2 x ON u.a = x.node GROUP BY u.b) m
                ON m.node = r2.node)
         SELECT node, val FROM r3""")),
+
+    // k-core decomposition (4-core, 4 peel rounds) over the customer
+    // co-buy projection (customers sharing >= 2 suppliers at quantity
+    // <= 3) — a unipartite graph whose peeling genuinely CASCADES on this
+    // fixture (356 -> 292 -> 266 -> 256 -> 248 survivors), so the gate
+    // exercises the multi-round semantics, not just one degree filter.
+    // The oracle unrolls the identical 4 rounds + final filter.
+    Entry("qd3_kcore",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        val l = Tables(s, dir, "lineitem")
+        val base = o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .filter(col("l_quantity") <= 3)
+          .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+          .distinct()
+        val proj = base.alias("x")
+          .join(base.alias("y"),
+            col("x.sp") === col("y.sp") && col("x.c") < col("y.c"))
+          .groupBy(col("x.c").as("src"), col("y.c").as("dst"))
+          .agg(count(lit(1)).as("shared")).filter(col("shared") >= 2)
+          .select("src", "dst")
+        GraphOps.kCore(proj, k = 4, maxIter = 4)
+      },
+      Some("""WITH base AS (
+          SELECT DISTINCT o_custkey AS c, l_suppkey AS sp
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          WHERE l_quantity <= 3
+        ), proj AS (
+          SELECT x.c AS src, y.c AS dst FROM base x JOIN base y
+          ON x.sp = y.sp AND x.c < y.c GROUP BY 1, 2 HAVING count(*) >= 2
+        ), ed AS (
+          SELECT src AS a, dst AS b FROM proj UNION ALL SELECT dst, src FROM proj
+        ),
+        d0 AS (SELECT a AS node, count(*) AS deg FROM ed GROUP BY 1),
+        k1 AS (SELECT node FROM d0 WHERE deg >= 4),
+        d1 AS (SELECT e.a AS node, count(*) AS deg FROM ed e
+               JOIN k1 x ON e.a = x.node JOIN k1 y ON e.b = y.node GROUP BY 1),
+        k2 AS (SELECT node FROM d1 WHERE deg >= 4),
+        d2 AS (SELECT e.a AS node, count(*) AS deg FROM ed e
+               JOIN k2 x ON e.a = x.node JOIN k2 y ON e.b = y.node GROUP BY 1),
+        k3 AS (SELECT node FROM d2 WHERE deg >= 4),
+        d3 AS (SELECT e.a AS node, count(*) AS deg FROM ed e
+               JOIN k3 x ON e.a = x.node JOIN k3 y ON e.b = y.node GROUP BY 1),
+        k4 AS (SELECT node FROM d3 WHERE deg >= 4),
+        d4 AS (SELECT e.a AS node, count(*) AS deg FROM ed e
+               JOIN k4 x ON e.a = x.node JOIN k4 y ON e.b = y.node GROUP BY 1)
+        SELECT node, deg FROM d4 WHERE deg >= 4""")),
   )
 }

@@ -633,6 +633,122 @@ object PipelineQueries {
         )
         SELECT id1, id2, lev, edit_sim FROM lv WHERE edit_sim >= 0.97""")),
 
+    // Temperature-scaled domain mixture (multilingual-training sampling
+    // rule, alpha = 0.5): per-lang budgets ∝ sqrt(n), then exactly budget_g
+    // docs per lang ranked by content hash. Budget arithmetic is integer
+    // division; rank ties break on doc_id — bit-replayable end to end.
+    Entry("qcz_domain_mixture",
+      (s, dir) => Sampling.mixtureSample(t(s, dir, "documents"),
+          "doc_id", "lang", totalBudget = 200L)
+        .select("doc_id", "lang"),
+      Some(s"""WITH c AS (
+          SELECT lang, count(*) AS n FROM documents GROUP BY 1
+        ), w AS (
+          SELECT lang, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS weight
+          FROM c
+        ), b AS (
+          SELECT lang, (200 * weight) // sum(weight) OVER () AS budget FROM w
+        ), r AS (
+          SELECT doc_id, lang, row_number() OVER (
+            PARTITION BY lang
+            ORDER BY ${oUnitHash("doc_id", "mixture")}, doc_id) AS rk
+          FROM documents
+        )
+        SELECT doc_id, lang FROM r JOIN b USING (lang) WHERE rk <= budget""")),
+
+    // Weighted priority sampling (Duffield-Lund-Thorup): priority =
+    // weight/u, global top-k — longer docs proportionally likelier, one
+    // pass, no corpus shuffle (TakeOrdered). Deterministic via content
+    // hash, so the top-k set and the priorities replay exactly.
+    Entry("qd0_priority_sample",
+      (s, dir) => Sampling.prioritySample(t(s, dir, "documents"),
+          "doc_id", "n_chars", k = 100)
+        .select("doc_id", "n_chars", "priority"),
+      Some(s"""WITH u AS (
+          SELECT doc_id, n_chars,
+            ${oUnitHash("doc_id", "priority")} AS u FROM documents
+        )
+        SELECT doc_id, n_chars,
+          CAST(n_chars AS DOUBLE) /
+            (CASE WHEN u = 0.0 THEN 1.0 / 9007199254740992.0 ELSE u END)
+            AS priority
+        FROM u ORDER BY priority DESC, doc_id LIMIT 100""")),
+
+    // Corpus-frequency boilerplate removal (CCNet frequent-paragraph rule
+    // at 8-token spans): spans in > 10 distinct docs vanish EVERYWHERE.
+    // A banner is planted on every doc_id % 3 == 0 (high-df, removed) and
+    // a rarer one on doc_id % 250 == 1 (df tracks SF; the rule, not the
+    // fixture, decides). Short partial tail spans that recur across the
+    // small-vocabulary fixture get caught too — same rule both engines.
+    Entry("qd1_boilerplate",
+      (s, dir) => {
+        val banner = "subscribe to our newsletter follow us on twitter"
+        val rare = "this content is licensed under creative commons zero"
+        val staged = t(s, dir, "documents").select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(3)) === 0, concat(lit(banner + " "), col("text")))
+            .when(pmod(col("doc_id"), lit(250)) === 1, concat(lit(rare + " "), col("text")))
+            .otherwise(col("text")).as("text"))
+        TextPipeline.removeBoilerplate(staged, "doc_id", "text",
+          spanTokens = 8, maxDf = 10)
+      },
+      Some(s"""WITH staged AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 3 = 0
+                   THEN 'subscribe to our newsletter follow us on twitter ' || text
+                 WHEN doc_id % 250 = 1
+                   THEN 'this content is licensed under creative commons zero ' || text
+                 ELSE text END AS text
+          FROM documents
+        ), toks AS (
+          SELECT doc_id, $OTOKS AS w FROM staged
+        ), seg AS (
+          SELECT doc_id, i AS si, array_to_string(w[i*8 + 1 : i*8 + 8], ' ') AS span
+          FROM toks CROSS JOIN UNNEST(generate_series(0,
+            CAST(ceil(len(w) / 8.0) AS BIGINT) - 1)) AS t(i)
+          WHERE len(w) > 0
+        ), hot AS (
+          SELECT span FROM seg GROUP BY span
+          HAVING count(DISTINCT doc_id) > 10
+        ), m AS (
+          SELECT s.doc_id, s.si, s.span, h.span IS NOT NULL AS is_hot
+          FROM seg s LEFT JOIN hot h ON s.span = h.span
+        )
+        SELECT doc_id,
+          coalesce(string_agg(CASE WHEN NOT is_hot THEN span END, ' ' ORDER BY si), '')
+            AS clean_text,
+          CAST(count(*) AS BIGINT) AS n_spans,
+          CAST(sum(CASE WHEN is_hot THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+        FROM m GROUP BY doc_id""")),
+
+    // BPE tokenizer-training pair statistics: top-20 adjacent symbol pairs
+    // over (char-split word + '</w>') weighted by corpus word counts —
+    // the argmax stream BPE merges from. Multi-round bpeTrain (merge
+    // application via a higher-order fold) is spec-gated in
+    // PipelineOpsSpec; round 1 is the SQL-expressible surface.
+    Entry("qd2_bpe_pairs",
+      (s, dir) => TextPipeline.bpePairStats(t(s, dir, "documents"), "text", k = 20),
+      Some(s"""WITH words AS (
+          SELECT w AS word, count(*) AS cnt FROM (
+            SELECT unnest(list_filter(
+              string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
+            FROM documents)
+          GROUP BY 1
+        ), syms AS (
+          SELECT cnt, list_append(
+            list_transform(range(1, length(word) + 1), i -> word[i]), '</w>') AS s
+          FROM words
+        ), p AS (
+          SELECT s[i] AS lhs, s[i + 1] AS rhs, cnt
+          FROM syms CROSS JOIN UNNEST(generate_series(1, len(s) - 1)) AS t(i)
+        ), agg AS (
+          SELECT lhs, rhs, CAST(sum(cnt) AS BIGINT) AS pair_count
+          FROM p GROUP BY 1, 2
+        )
+        SELECT CAST(row_number() OVER (ORDER BY pair_count DESC, lhs, rhs)
+            AS INTEGER) AS rnk,
+          lhs, rhs, pair_count
+        FROM agg ORDER BY pair_count DESC, lhs, rhs LIMIT 20""")),
+
     // SparkSessionExtensions surface: the native codegen expressions called
     // from SQL TEXT via the injected function registry — same rows as the
     // Column API, same DuckDB-replayed FNV oracle as q87.

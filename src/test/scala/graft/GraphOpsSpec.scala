@@ -157,4 +157,24 @@ class GraphOpsSpec extends SparkSpec {
     assert(h(3L) === ((0L, 1000000L)))
     assert(h(4L) === ((0L, 1000000L)))
   }
+
+  test("kCore peels the pendant chain round by round, keeps the triangle") {
+    // triangle {1,2,3} + pendant path 3-4-5-6: 2-core = the triangle, but
+    // only after CASCADING peels (6 first, then 5, then 4)
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    val got = GraphOps.kCore(e, k = 2, maxIter = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // one round fewer has NOT yet converged: node 4's edge still inflates
+    // node 3's degree (3, not 2) in the round-2 induced subgraph
+    val early = GraphOps.kCore(e, k = 2, maxIter = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(early === Map(1L -> 2L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("kCore with k above the max degree returns empty") {
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    assert(GraphOps.kCore(e, k = 3, maxIter = 2).count() === 0L)
+  }
 }

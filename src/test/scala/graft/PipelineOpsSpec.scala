@@ -416,4 +416,116 @@ class PipelineOpsSpec extends SparkSpec {
       .as[(Long, Double, Long)].collect()
     assert(got.length == 1 && got(0)._3 == 1L)
   }
+
+  // ---- mixture / priority sampling ---------------------------------------
+
+  test("mixtureBudgets: sqrt-temperature weights, integer budgets, sum <= total") {
+    // groups of 100 / 25 / 4 docs -> weights 10 / 5 / 2, sum 17
+    val df = ((1 to 100).map(i => (i.toLong, "big")) ++
+      (101 to 125).map(i => (i.toLong, "mid")) ++
+      (126 to 129).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "lang")
+    val got = Sampling.mixtureBudgets(df, "lang", totalBudget = 17L)
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(("big", 100L, 10L, 10L), ("mid", 25L, 5L, 5L),
+      ("small", 4L, 2L, 2L)))
+    // alpha = 0.5 flattens: big is 25x small by count, only 5x by budget
+  }
+
+  test("mixtureSample exact: exactly budget_g rows per group, hash-deterministic") {
+    val df = ((1 to 100).map(i => (i.toLong, "big")) ++
+      (101 to 125).map(i => (i.toLong, "mid"))).toDF("doc_id", "lang")
+    // weights 10/5, budget 30 -> 20/10
+    val got = Sampling.mixtureSample(df, "doc_id", "lang", totalBudget = 30L)
+    val byG = got.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(byG === Map("big" -> 20L, "mid" -> 10L))
+    // deterministic: a second run selects the identical id set
+    val ids1 = got.select("doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = Sampling.mixtureSample(df, "doc_id", "lang", totalBudget = 30L)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 === ids2)
+  }
+
+  test("mixtureSample fractional: map-side, budget hit in expectation") {
+    val df = (1 to 1000).map(i => (i.toLong, "only")).toDF("doc_id", "lang")
+    // single group: weight=31, budget=200 -> fraction 0.2
+    val n = Sampling.mixtureSample(df, "doc_id", "lang", totalBudget = 200L,
+      exact = false).count()
+    assert(n > 140 && n < 260) // Bernoulli(0.2) over 1000, ±6 sigma
+  }
+
+  test("prioritySample: inclusion tracks weight; zero-weight rows never win") {
+    val df = ((1 to 200).map(i => (i.toLong, 1000L)) ++     // heavy
+      (201 to 400).map(i => (i.toLong, 1L)) ++              // light
+      (401 to 410).map(i => (i.toLong, 0L))).toDF("doc_id", "w") // zero
+    val got = Sampling.prioritySample(df, "doc_id", "w", k = 50)
+      .select("doc_id", "w").as[(Long, Long)].collect()
+    assert(got.length === 50)
+    assert(got.forall(_._2 > 0L))
+    // weight ratio 1000:1 -> heavies dominate the top-50 overwhelmingly
+    assert(got.count(_._2 == 1000L) >= 45)
+  }
+
+  // ---- boilerplate removal ------------------------------------------------
+
+  test("removeBoilerplate drops EVERY occurrence of a high-df span, keeps rare ones") {
+    val banner = "one two three four" // spanTokens = 4, aligned at pos 0
+    val docs = (1 to 6).map(i => (i.toLong, s"$banner uniq$i pad$i tail$i end$i")) :+
+      (7L, "rare span here now uniq7 pad7 tail7 end7") :+
+      (8L, "rare span here now uniq8 pad8 tail8 end8")
+    val df = docs.toDF("doc_id", "text")
+    val got = TextPipeline.removeBoilerplate(df, "doc_id", "text",
+      spanTokens = 4, maxDf = 5)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    // banner df=6 > 5 -> removed from all six docs; rare df=2 stays
+    (1 to 6).foreach { i =>
+      val r = got(i - 1)
+      assert(r._2 === s"uniq$i pad$i tail$i end$i" && r._4 === 1L)
+    }
+    assert(got(6)._2.startsWith("rare span here now") && got(6)._4 === 0L)
+    assert(got(7)._2.startsWith("rare span here now") && got(7)._4 === 0L)
+  }
+
+  test("removeBoilerplate counts distinct DOCS, not occurrences") {
+    // the span repeats 10 times but inside ONE doc -> df=1, kept
+    val df = Seq((1L, Array.fill(10)("a b c d").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextPipeline.removeBoilerplate(df, "doc_id", "text",
+      spanTokens = 4, maxDf = 5).as[(Long, String, Long, Long)].collect()
+    assert(got(0)._4 === 0L && got(0)._3 === 10L)
+  }
+
+  // ---- BPE ---------------------------------------------------------------
+
+  test("bpePairStats: weighted adjacent-pair counts with </w> marker") {
+    // "ab ab cd" -> words ab(x2), cd(x1); pairs: a+b:2, b+</w>:2, c+d:1, d+</w>:1
+    val df = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    val got = TextPipeline.bpePairStats(df, "text", k = 10)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got === Seq((1, "a", "b", 2L), (2, "b", "</w>", 2L),
+      (3, "c", "d", 1L), (4, "d", "</w>", 1L)))
+  }
+
+  test("bpeTrain: the classic low/lower merge sequence") {
+    // corpus: low x5, lower x2 — BPE first fuses l+o (7), then lo+w (7)
+    val df = Seq((1L, (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val merges = TextPipeline.bpeTrain(df, "text", nMerges = 3)
+    assert(merges.map(m => (m._2, m._3)) === Seq(
+      ("l", "o"), ("lo", "w"), ("low", "</w>")))
+    assert(merges.map(_._4) === Seq(7L, 7L, 5L))
+  }
+
+  test("bpeTrain merge application is greedy leftmost (aaa + a+a -> [aa, a])") {
+    // word 'aaaa' x3, 'aaa' x2: round 1 pair a+a counts 3*3 + 2*2 = 13;
+    // greedy rewrite gives aaaa -> [aa, aa], aaa -> [aa, a]
+    val df = Seq((1L, (Seq.fill(3)("aaaa") ++ Seq.fill(2)("aaa")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val merges = TextPipeline.bpeTrain(df, "text", nMerges = 2)
+    assert(merges(0)._2 == "a" && merges(0)._3 == "a" && merges(0)._4 == 13L)
+    // round 2: sequences are [aa,aa,</w>] x3 and [aa,a,</w>] x2 ->
+    // aa+aa: 3, aa+a: 2, aa+</w>: 3, a+</w>: 2 -> argmax ties aa+aa / aa+</w>
+    // at 3; lexicographic tie-break picks aa+</w> ('<' sorts before 'a')
+    assert(merges(1)._2 == "aa" && merges(1)._3 == "</w>" && merges(1)._4 == 3L)
+  }
 }
