@@ -723,8 +723,8 @@ object PipelineQueries {
     // BPE tokenizer-training pair statistics: top-20 adjacent symbol pairs
     // over (char-split word + '</w>') weighted by corpus word counts —
     // the argmax stream BPE merges from. Multi-round bpeTrain (merge
-    // application via a higher-order fold) is spec-gated in
-    // PipelineOpsSpec; round 1 is the SQL-expressible surface.
+    // application via a higher-order fold) is gated as qd4_bpe_train;
+    // round 1 is the SQL-expressible single-pass surface.
     Entry("qd2_bpe_pairs",
       (s, dir) => TextPipeline.bpePairStats(t(s, dir, "documents"), "text", k = 20),
       Some(s"""WITH words AS (
@@ -748,6 +748,73 @@ object PipelineQueries {
             AS INTEGER) AS rnk,
           lhs, rhs, pair_count
         FROM agg ORDER BY pair_count DESC, lhs, rhs LIMIT 20""")),
+
+    // Full BPE merge-table training, 3 rounds: each round is argmax over
+    // the CURRENT vocabulary's pair stats, then greedy-leftmost fusion of
+    // the winning pair in every word (so round-2 pairs can contain the
+    // round-1 merged symbol — the part qd2 can't see). The oracle mirrors
+    // the driver loop exactly: three argmax CTEs, each followed by a
+    // RECURSIVE positional fold that replays TextPipeline.bpeTrain's
+    // higher-order `aggregate` (carry = rebuilt-prefix + pending symbol)
+    // over the vocabulary — recursion depth = longest word, rows = vocab,
+    // never the corpus.
+    Entry("qd4_bpe_train",
+      (s, dir) => {
+        import s.implicits._
+        TextPipeline.bpeTrain(t(s, dir, "documents"), "text", nMerges = 3)
+          .toDF("rnd", "lhs", "rhs", "pair_count")
+      },
+      Some {
+        // pair-stat + argmax over vocabulary frame v<i>, emitting m<i+1>
+        def argmax(i: Int) = s"""p${i + 1} AS (
+            SELECT syms[i] AS lhs, syms[i + 1] AS rhs, sum(cnt) AS pc
+            FROM v$i CROSS JOIN UNNEST(generate_series(1, len(syms) - 1)) AS t(i)
+            GROUP BY 1, 2
+          ), m${i + 1} AS (
+            SELECT lhs, rhs, pc FROM p${i + 1}
+            ORDER BY pc DESC, lhs, rhs LIMIT 1
+          )"""
+        // greedy-leftmost fold applying m<i+1> to v<i>, emitting v<i+1>
+        def fold(i: Int) = s"""r${i + 1} AS (
+            SELECT syms, cnt, 1 AS i, []::varchar[] AS out, '' AS pending
+            FROM v$i
+            UNION ALL
+            SELECT r.syms, r.cnt, r.i + 1,
+              CASE WHEN r.pending = '' THEN r.out
+                   WHEN r.pending = m.lhs AND r.syms[r.i] = m.rhs
+                     THEN list_append(r.out, m.lhs || m.rhs)
+                   ELSE list_append(r.out, r.pending) END,
+              CASE WHEN r.pending <> '' AND r.pending = m.lhs
+                        AND r.syms[r.i] = m.rhs
+                   THEN '' ELSE r.syms[r.i] END
+            FROM r${i + 1} r, m${i + 1} m WHERE r.i <= len(r.syms)
+          ), v${i + 1} AS (
+            SELECT CASE WHEN pending = '' THEN out
+                        ELSE list_append(out, pending) END AS syms, cnt
+            FROM r${i + 1} WHERE i = len(syms) + 1
+          )"""
+        s"""WITH RECURSIVE words AS (
+            SELECT w AS word, count(*) AS cnt FROM (
+              SELECT unnest(list_filter(
+                string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
+              FROM documents)
+            GROUP BY 1
+          ), v0 AS (
+            SELECT list_append(
+                list_transform(range(1, length(word) + 1), i -> word[i]),
+                '</w>') AS syms,
+              cnt
+            FROM words
+          ), ${argmax(0)}, ${fold(0)}, ${argmax(1)}, ${fold(1)}, ${argmax(2)}
+          SELECT * FROM (
+            SELECT CAST(1 AS INTEGER) AS rnd, lhs, rhs,
+              CAST(pc AS BIGINT) AS pair_count FROM m1
+            UNION ALL SELECT CAST(2 AS INTEGER), lhs, rhs,
+              CAST(pc AS BIGINT) FROM m2
+            UNION ALL SELECT CAST(3 AS INTEGER), lhs, rhs,
+              CAST(pc AS BIGINT) FROM m3)
+          ORDER BY rnd"""
+      }),
 
     // SparkSessionExtensions surface: the native codegen expressions called
     // from SQL TEXT via the injected function registry — same rows as the
