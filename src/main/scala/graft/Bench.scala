@@ -27,8 +27,11 @@ object Bench {
     // round 7: pipeline-surface flagships (no round-1 baseline entry;
     // subset totals for cross-round comparison as BASELINE.md describes)
     "qcf_shared_spans", "qcg_repetition_signals", "qcj_kmeans",
-    // round 7, sketch batch: the corpus-scale estimation paths
-    "qcl_hll_distinct", "qct_heavy_hitters", "qcv_ivfpq_ann")
+    // round 7, sketch batch: the corpus-scale estimation paths.
+    // round 8: qcv (end-to-end fit+search, training noise dominated its
+    // timing) replaced by qd5 — the same IVFADC search against a model
+    // fitted UNTIMED via the entry's prepare hook, i.e. the deployed shape.
+    "qcl_hll_distinct", "qct_heavy_hitters", "qd5_ivfpq_search")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -71,22 +74,41 @@ object Bench {
       case None => headline.filter(SparkEntry.queries.contains)
     }
     val wall0 = System.nanoTime()
+    // A query that throws is a DNF, never a fast success: its entry becomes
+    // "err:<ExceptionClass>", it joins the "failed" list, and the process
+    // exits nonzero — a broken query can no longer masquerade as a 0.1 s win
+    // (round-7 postmortem: 6 streaming DNFs were recorded as wins).
     val results = names.map { name =>
+      // untimed setup (model fits, index builds) — see Entry.prepare
+      graft.queries.Registry.prepares.get(name).foreach { p =>
+        try p(spark, sfDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name prepare failed (query will pay " +
+            s"setup inline): ${e.getClass.getSimpleName}") }
+      }
       val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
+      val err = try { SparkEntry.queries(name)(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: " +
+            String.valueOf(e.getMessage).linesIterator.take(1).mkString)
+          Some(e.getClass.getSimpleName)
+        }
       val elapsed = (System.nanoTime() - t0) / 1e9
       // drop this query's cache() entries AFTER its timing window: each
       // query pays for (and reuses) only its own caches, and a long sweep
       // cannot LRU-evict a later query's loop caches
       spark.catalog.clearCache()
-      name -> elapsed
+      (name, elapsed, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val qs = results.map {
+      case (k, v, None) => s"\"" + k + "\":" + v
+      case (k, _, Some(e)) => s"\"" + k + "\":\"err:" + e + "\""
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case (k, _, Some(_)) => s"\"" + k + "\"" }
+    val total = results.collect { case (_, v, None) => v }.sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""queries":$qs,"sf":"$sfDir","commit":"$commitSha",""" +
+      s""""queries":$qs,"failed":${failed.mkString("[", ",", "]")},""" +
+      s""""sf":"$sfDir","commit":"$commitSha",""" +
       s""""wall_sec":${(System.nanoTime() - wall0) / 1e9}}"""
     println(json)
     // Also land the line in a file: the sbt-wrapped stdout prefixes every
@@ -98,6 +120,10 @@ object Bench {
       (json + "\n").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] write $outPath: $e") }
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] ${failed.size} quer(ies) failed: ${failed.mkString(",")}")
+      sys.exit(2)
+    }
   }
 
   /** Run provenance: the HEAD commit of the benched tree (best effort). */

@@ -21,17 +21,30 @@ object Tables {
     if (name == "events") events(spark, dir) else spark.read.parquet(path(dir, name))
   }
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no type for:
-    * read the raw int64 nanos (legacy flag) and floor-divide to microsecond
-    * TimestampType — the same ns→µs truncation DuckDB applies on read, so
-    * oracle comparisons agree exactly. */
+  /** `events.ts` has shipped in three physical layouts across fixture
+    * generations; all must land as session-zoned TimestampType with the same
+    * epoch-micros so watermarks (`withWatermark` requires TimestampType) and
+    * the DuckDB oracle agree exactly:
+    *  - TIMESTAMP(NANOS): Spark has no nanos type — read raw int64 via the
+    *    legacy flag, floor-divide to micros (DuckDB applies the same ns→µs
+    *    truncation on read);
+    *  - timestamp[us] isAdjustedToUTC=false: Spark reads TIMESTAMP_NTZ —
+    *    cast to TimestampType (UTC session tz makes the cast
+    *    instant-preserving);
+    *  - timestamp[us] UTC: already TimestampType, pass through. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(path(dir, "events"))
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else raw
+    normalizeTs(spark.read.parquet(path(dir, "events")))
+  }
+
+  private[graft] def normalizeTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Register every fixture table as a temp view (for spark.sql queries). */

@@ -104,7 +104,11 @@ object Dedup {
     // cached: BOTH sides of the candidate self-join read it — uncached,
     // the doc-frequency aggregate and the rarity-window sort execute
     // twice (AllPairs implementations materialize the prefix index for
-    // the same reason)
+    // the same reason). Lifecycle: the returned frame is lazy, so the
+    // cache cannot be dropped here; it is released by the caller's
+    // post-action spark.catalog.clearCache() (Verify/Bench do this per
+    // query) — long-lived sessions should do the same once the result
+    // is materialized.
     val prefix = idx.join(freq, "h")
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("doc")

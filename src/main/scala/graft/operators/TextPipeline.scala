@@ -325,7 +325,12 @@ object TextPipeline {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     try {
       for (round <- 1 to nMerges) {
+        // guard: a word that has collapsed to ONE symbol (e.g. 'a' after
+        // merge (a, </w>)) contributes no pairs — without the filter,
+        // sequence(1, 0) yields the DESCENDING [1, 0] and element_at(syms, 0)
+        // throws; the DuckDB oracle's generate_series(1, 0) is empty
         val top = vocab
+          .filter(size(col("syms")) > 1)
           .select(col("cnt"), explode(transform(
             sequence(lit(1), size(col("syms")) - 1),
             i => struct(element_at(col("syms"), i).as("left"),

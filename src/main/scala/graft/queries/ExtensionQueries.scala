@@ -932,117 +932,36 @@ object ExtensionQueries {
     // exact quantized-L2 top-5 ride along (q89's pattern).
     Entry("qcv_ivfpq_ann",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
+        // END-TO-END entry: trains both quantizers inline, then searches —
+        // the correctness evidence that fit+search compose. Its bench time
+        // includes (bounded, but noisy) training; the production-shaped
+        // bench twin is qd5_ivfpq_search, which searches against a
+        // pre-fitted model the way a deployed ANN service does.
         val dim = 64
-        val m = 4
-        val topK = 5
         val emb = t(s, dir, "embeddings")
         val coarse = graft.operators.ML.kMeansScaled(emb, "vec_id", "embedding",
           k = 8, iters = 1)
-        val model = graft.operators.PQ.fit(emb, "vec_id", "embedding", dim, m,
+        val model = graft.operators.PQ.fit(emb, "vec_id", "embedding", dim, m = 4,
           k = 8, iters = 1)
-        val probes = emb.filter(col("vec_id") < 5)
-        val top = graft.operators.PQ.ivfAdcTopK(coarse, model, probes,
-          "vec_id", "embedding", dim, m, nProbe = 2, topK = topK)
-        val qf = emb.select(col("vec_id"),
-          transform(col("embedding"),
-            x => floor(x.cast("double") * 1000000L).cast("long")).as("qv"))
-        val pf = qf.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("p_id"), col("qv").as("pv"))
-        val bw = Window.partitionBy("p_id").orderBy(col("d").asc, col("vec_id").asc)
-        val brute = pf.crossJoin(qf)
-          .withColumn("d", aggregate(
-            zip_with(col("pv"), col("qv"), (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, x) => acc + x))
-          .withColumn("rk", row_number().over(bw)).filter(col("rk") <= topK)
-          .select(col("p_id"), col("vec_id").as("b_id"), lit(1L).as("hit"))
-        top.join(brute,
-            col("q_id") === col("p_id") && col("id") === col("b_id"), "left")
-          .withColumn("in_exact_topk", coalesce(col("hit"), lit(0L)))
-          .withColumn("recall_at_5",
-            sum(col("in_exact_topk")).over(Window.partitionBy("q_id")))
-          .select(col("q_id"), col("rank"), col("id").as("nbr_id"),
-            col("adc_dist"), col("in_exact_topk"), col("recall_at_5"))
+        ivfpqSearch(s, dir, coarse, model)
       },
-      Some {
-        val sub = 16
-        val k = 8
-        def assign(name: String, qn: String, cents: String) =
-          s"""$name AS (SELECT q.id, q.qv, s.cell_id FROM $qn q JOIN LATERAL (
-             SELECT t.cell_id FROM $cents t
-             ORDER BY list_aggregate(list_transform(range(1, len(q.qv) + 1),
-               i -> (q.qv[i] - t.cvec[i]) * (q.qv[i] - t.cvec[i])), 'sum'),
-               t.cell_id
-             LIMIT 1) s ON true)"""
-        def update(name: String, from: String) =
-          s"""$name AS (SELECT cell_id, list(v ORDER BY pos) AS cvec FROM (
-             SELECT cell_id, pos,
-               CAST(floor(CAST(sum(qv[pos]) AS DOUBLE) / count(*)) AS BIGINT) AS v
-             FROM $from CROSS JOIN UNNEST(generate_series(1, len(qv))) AS t(pos)
-             GROUP BY cell_id, pos) GROUP BY cell_id)"""
-        def qcte(mi: Int) = {
-          val a = mi * sub + 1
-          val b = (mi + 1) * sub
-          s"""q$mi AS (SELECT vec_id AS id, list_transform(embedding[$a:$b],
-             x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
-             FROM embeddings)"""
-        }
-        val perSub = (0 until 4).map { mi =>
-          s"""${qcte(mi)},
-          c${mi}0 AS (SELECT id AS cell_id, qv AS cvec FROM q$mi ORDER BY id LIMIT $k),
-          ${assign(s"a${mi}1", s"q$mi", s"c${mi}0")},
-          ${update(s"c${mi}1", s"a${mi}1")},
-          ${assign(s"a${mi}2", s"q$mi", s"c${mi}1")},
-          lut$mi AS (SELECT p.id AS q_id, t.cell_id,
-              list_aggregate(list_transform(range(1, len(p.qv) + 1),
-                i -> (p.qv[i] - t.cvec[i]) * (p.qv[i] - t.cvec[i])), 'sum') AS pdist
-            FROM q$mi p CROSS JOIN c${mi}1 t WHERE p.id < 5),
-          adc$mi AS (SELECT l.q_id, a.id AS nbr_id, l.pdist
-            FROM a${mi}2 a JOIN lut$mi l USING (cell_id))"""
-        }.mkString(",\n")
-        s"""WITH qf AS (SELECT vec_id AS id, list_transform(embedding,
-            x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
-          FROM embeddings),
-        cc0 AS (SELECT id AS cell_id, qv AS cvec FROM qf ORDER BY id LIMIT $k),
-        ${assign("ca1", "qf", "cc0")},
-        ${update("cc1", "ca1")},
-        ${assign("ca2", "qf", "cc1")},
-        pc AS (SELECT id AS q_id, cell_id FROM (
-            SELECT p.id, t.cell_id,
-              row_number() OVER (PARTITION BY p.id ORDER BY
-                list_aggregate(list_transform(range(1, len(p.qv) + 1),
-                  i -> (p.qv[i] - t.cvec[i]) * (p.qv[i] - t.cvec[i])), 'sum'),
-                t.cell_id) AS r
-            FROM qf p CROSS JOIN cc1 t WHERE p.id < 5)
-          WHERE r <= 2),
-        cand AS (SELECT pc.q_id, ca2.id AS nbr_id
-          FROM pc JOIN ca2 ON ca2.cell_id = pc.cell_id),
-        $perSub,
-        adc AS (SELECT q_id, nbr_id, sum(pdist) AS adc_dist FROM (
-            SELECT * FROM adc0 UNION ALL SELECT * FROM adc1
-            UNION ALL SELECT * FROM adc2 UNION ALL SELECT * FROM adc3)
-          GROUP BY 1, 2),
-        fadc AS (SELECT adc.q_id, adc.nbr_id, adc.adc_dist
-          FROM adc JOIN cand USING (q_id, nbr_id)),
-        tops AS (SELECT q_id, nbr_id, adc_dist, rank FROM (
-            SELECT q_id, nbr_id, adc_dist,
-              row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, nbr_id) AS rank
-            FROM fadc) WHERE rank <= 5),
-        bd AS (SELECT p.id AS q_id, c.id AS nbr_id,
-            list_aggregate(list_transform(range(1, len(p.qv) + 1),
-              i -> (p.qv[i] - c.qv[i]) * (p.qv[i] - c.qv[i])), 'sum') AS d
-          FROM qf p CROSS JOIN qf c WHERE p.id < 5),
-        bt AS (SELECT q_id, nbr_id FROM (SELECT q_id, nbr_id,
-            row_number() OVER (PARTITION BY q_id ORDER BY d, nbr_id) AS rk FROM bd)
-          WHERE rk <= 5),
-        fl AS (SELECT t.q_id, t.rank, t.nbr_id, t.adc_dist,
-            CASE WHEN b.nbr_id IS NOT NULL THEN 1 ELSE 0 END AS in_exact_topk
-          FROM tops t LEFT JOIN bt b ON b.q_id = t.q_id AND b.nbr_id = t.nbr_id)
-        SELECT q_id, rank, nbr_id, CAST(adc_dist AS BIGINT) AS adc_dist,
-          CAST(in_exact_topk AS BIGINT) AS in_exact_topk,
-          CAST(sum(in_exact_topk) OVER (PARTITION BY q_id) AS BIGINT) AS recall_at_5
-        FROM fl"""
-      }),
+      Some(ivfpqOracle)),
+
+    // IVFADC search benched in ISOLATION: `prepare` fits the coarse
+    // quantizer + PQ codebooks once per (process, sfDir) and pins the tiny
+    // model frames with eager localCheckpoint (centroids 8+32 rows, codes
+    // 4/vec, assignments 1/vec — lineage truncated, so the timed query
+    // replays no training). This is the deployment shape: models are fit
+    // when the corpus is built and amortized over every query after; the
+    // per-query cost is routing + the pruned ADC scan only. Same
+    // deterministic fit → byte-identical results and oracle as qcv.
+    Entry("qd5_ivfpq_search",
+      (s, dir) => {
+        val (coarse, model) = ivfpqModels(s, dir)
+        ivfpqSearch(s, dir, coarse, model)
+      },
+      Some(ivfpqOracle),
+      prepare = Some((s, dir) => ivfpqModels(s, dir))),
 
     // Corpus length-distribution profile: EXACT per-language token-count
     // quantiles by explicit nearest-rank arithmetic (rank == ceil(p * n),
@@ -1407,6 +1326,12 @@ object ExtensionQueries {
           WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
         WHERE rank <= 10""")),
 
+    // WARNING — all-pairs O(n²) theta join (BroadcastNestedLoopJoin): this
+    // is the exact VERIFICATION regime, kept because its oracle is the
+    // ground truth the scalable siblings are judged against. It does not
+    // survive a 100× scale-up and is excluded from bench sweeps. Production
+    // paths for the same semantics: qch_semantic_dedup (IVF-celled SemDeDup)
+    // and q89_knn_lsh / qa9_knn_ivf (bucketed / cell-pruned ANN).
     Entry("q8a_embed_neardup",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
@@ -1422,4 +1347,145 @@ object ExtensionQueries {
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35""")),
   )
+
+  /** Per-(process, sfDir) fitted IVFADC models — the amortized "index build"
+    * a deployed ANN service pays once per corpus. Frames are pinned with
+    * eager localCheckpoint: lineage is truncated, so consumers replay no
+    * training work, and RDD-level persistence survives
+    * `spark.catalog.clearCache()` (which only drops SQL-cache entries). */
+  private val ivfpqCache =
+    scala.collection.concurrent.TrieMap.empty[String, (graft.operators.ML.KMeansResult, graft.operators.PQ.PQModel)]
+
+  private[queries] def ivfpqModels(s: SparkSession, dir: String): (graft.operators.ML.KMeansResult, graft.operators.PQ.PQModel) =
+    ivfpqCache.getOrElseUpdate(dir, {
+      val emb = t(s, dir, "embeddings")
+      val coarse = graft.operators.ML.kMeansScaled(emb, "vec_id", "embedding",
+        k = 8, iters = 1)
+      val model = graft.operators.PQ.fit(emb, "vec_id", "embedding", dim = 64,
+        m = 4, k = 8, iters = 1)
+      (graft.operators.ML.KMeansResult(
+        coarse.assignments.localCheckpoint(true),
+        coarse.centroids.localCheckpoint(true)),
+        graft.operators.PQ.PQModel(
+          model.centroids.localCheckpoint(true),
+          model.codes.localCheckpoint(true)))
+    })
+
+  /** IVFADC search + recall-vs-exact columns over `embeddings` — shared by
+    * qcv (inline fit) and qd5 (pre-fitted models). */
+  private def ivfpqSearch(s: SparkSession, dir: String,
+                          coarse: graft.operators.ML.KMeansResult,
+                          model: graft.operators.PQ.PQModel): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dim = 64
+    val m = 4
+    val topK = 5
+    val emb = t(s, dir, "embeddings")
+    val probes = emb.filter(col("vec_id") < 5)
+    val top = graft.operators.PQ.ivfAdcTopK(coarse, model, probes,
+      "vec_id", "embedding", dim, m, nProbe = 2, topK = topK)
+    val qf = emb.select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1000000L).cast("long")).as("qv"))
+    val pf = qf.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("p_id"), col("qv").as("pv"))
+    val bw = Window.partitionBy("p_id").orderBy(col("d").asc, col("vec_id").asc)
+    val brute = pf.crossJoin(qf)
+      .withColumn("d", aggregate(
+        zip_with(col("pv"), col("qv"), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("rk", row_number().over(bw)).filter(col("rk") <= topK)
+      .select(col("p_id"), col("vec_id").as("b_id"), lit(1L).as("hit"))
+    top.join(brute,
+        col("q_id") === col("p_id") && col("id") === col("b_id"), "left")
+      .withColumn("in_exact_topk", coalesce(col("hit"), lit(0L)))
+      .withColumn("recall_at_5",
+        sum(col("in_exact_topk")).over(Window.partitionBy("q_id")))
+      .select(col("q_id"), col("rank"), col("id").as("nbr_id"),
+        col("adc_dist"), col("in_exact_topk"), col("recall_at_5"))
+  }
+
+  /** DuckDB replay of the full IVFADC pipeline (coarse k-means unroll →
+    * probe routing → per-subspace PQ training → cell-restricted ADC →
+    * rank + recall-vs-exact) — shared verbatim by qcv and qd5, whose
+    * deterministic fits make their results byte-identical. */
+  private lazy val ivfpqOracle: String = {
+    val sub = 16
+    val k = 8
+    def assign(name: String, qn: String, cents: String) =
+      s"""$name AS (SELECT q.id, q.qv, s.cell_id FROM $qn q JOIN LATERAL (
+         SELECT t.cell_id FROM $cents t
+         ORDER BY list_aggregate(list_transform(range(1, len(q.qv) + 1),
+           i -> (q.qv[i] - t.cvec[i]) * (q.qv[i] - t.cvec[i])), 'sum'),
+           t.cell_id
+         LIMIT 1) s ON true)"""
+    def update(name: String, from: String) =
+      s"""$name AS (SELECT cell_id, list(v ORDER BY pos) AS cvec FROM (
+         SELECT cell_id, pos,
+           CAST(floor(CAST(sum(qv[pos]) AS DOUBLE) / count(*)) AS BIGINT) AS v
+         FROM $from CROSS JOIN UNNEST(generate_series(1, len(qv))) AS t(pos)
+         GROUP BY cell_id, pos) GROUP BY cell_id)"""
+    def qcte(mi: Int) = {
+      val a = mi * sub + 1
+      val b = (mi + 1) * sub
+      s"""q$mi AS (SELECT vec_id AS id, list_transform(embedding[$a:$b],
+         x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+         FROM embeddings)"""
+    }
+    val perSub = (0 until 4).map { mi =>
+      s"""${qcte(mi)},
+      c${mi}0 AS (SELECT id AS cell_id, qv AS cvec FROM q$mi ORDER BY id LIMIT $k),
+      ${assign(s"a${mi}1", s"q$mi", s"c${mi}0")},
+      ${update(s"c${mi}1", s"a${mi}1")},
+      ${assign(s"a${mi}2", s"q$mi", s"c${mi}1")},
+      lut$mi AS (SELECT p.id AS q_id, t.cell_id,
+          list_aggregate(list_transform(range(1, len(p.qv) + 1),
+            i -> (p.qv[i] - t.cvec[i]) * (p.qv[i] - t.cvec[i])), 'sum') AS pdist
+        FROM q$mi p CROSS JOIN c${mi}1 t WHERE p.id < 5),
+      adc$mi AS (SELECT l.q_id, a.id AS nbr_id, l.pdist
+        FROM a${mi}2 a JOIN lut$mi l USING (cell_id))"""
+    }.mkString(",\n")
+    s"""WITH qf AS (SELECT vec_id AS id, list_transform(embedding,
+        x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+      FROM embeddings),
+    cc0 AS (SELECT id AS cell_id, qv AS cvec FROM qf ORDER BY id LIMIT $k),
+    ${assign("ca1", "qf", "cc0")},
+    ${update("cc1", "ca1")},
+    ${assign("ca2", "qf", "cc1")},
+    pc AS (SELECT id AS q_id, cell_id FROM (
+        SELECT p.id, t.cell_id,
+          row_number() OVER (PARTITION BY p.id ORDER BY
+            list_aggregate(list_transform(range(1, len(p.qv) + 1),
+              i -> (p.qv[i] - t.cvec[i]) * (p.qv[i] - t.cvec[i])), 'sum'),
+            t.cell_id) AS r
+        FROM qf p CROSS JOIN cc1 t WHERE p.id < 5)
+      WHERE r <= 2),
+    cand AS (SELECT pc.q_id, ca2.id AS nbr_id
+      FROM pc JOIN ca2 ON ca2.cell_id = pc.cell_id),
+    $perSub,
+    adc AS (SELECT q_id, nbr_id, sum(pdist) AS adc_dist FROM (
+        SELECT * FROM adc0 UNION ALL SELECT * FROM adc1
+        UNION ALL SELECT * FROM adc2 UNION ALL SELECT * FROM adc3)
+      GROUP BY 1, 2),
+    fadc AS (SELECT adc.q_id, adc.nbr_id, adc.adc_dist
+      FROM adc JOIN cand USING (q_id, nbr_id)),
+    tops AS (SELECT q_id, nbr_id, adc_dist, rank FROM (
+        SELECT q_id, nbr_id, adc_dist,
+          row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, nbr_id) AS rank
+        FROM fadc) WHERE rank <= 5),
+    bd AS (SELECT p.id AS q_id, c.id AS nbr_id,
+        list_aggregate(list_transform(range(1, len(p.qv) + 1),
+          i -> (p.qv[i] - c.qv[i]) * (p.qv[i] - c.qv[i])), 'sum') AS d
+      FROM qf p CROSS JOIN qf c WHERE p.id < 5),
+    bt AS (SELECT q_id, nbr_id FROM (SELECT q_id, nbr_id,
+        row_number() OVER (PARTITION BY q_id ORDER BY d, nbr_id) AS rk FROM bd)
+      WHERE rk <= 5),
+    fl AS (SELECT t.q_id, t.rank, t.nbr_id, t.adc_dist,
+        CASE WHEN b.nbr_id IS NOT NULL THEN 1 ELSE 0 END AS in_exact_topk
+      FROM tops t LEFT JOIN bt b ON b.q_id = t.q_id AND b.nbr_id = t.nbr_id)
+    SELECT q_id, rank, nbr_id, CAST(adc_dist AS BIGINT) AS adc_dist,
+      CAST(in_exact_topk AS BIGINT) AS in_exact_topk,
+      CAST(sum(in_exact_topk) OVER (PARTITION BY q_id) AS BIGINT) AS recall_at_5
+    FROM fl"""
+  }
 }

@@ -135,7 +135,8 @@ object GraphQueries {
       (s, dir) => {
         // cache the undirected view: both the weighted edge set and the
         // min-id source aggregate read it — uncached, the orders⋈lineitem
-        // edge build would run twice
+        // edge build would run twice. Released by the harness's per-query
+        // clearCache after the consuming action.
         val ued = GraphOps.undirected(denseEdges(s, dir)).cache()
         val w = ued.withColumn("wt", expr("(a + b) % 7 + 1"))
         GraphOps.sssp(w, ued.agg(min(col("a")).as("s")), maxIter = 5)

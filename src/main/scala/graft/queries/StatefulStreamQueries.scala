@@ -29,10 +29,7 @@ object StatefulStreamQueries {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(Tables.path(dir, "events")).schema
     val raw = s.readStream.schema(schema).parquet(s"$dir/events*.parquet")
-    val withTs =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else raw
+    val withTs = Tables.normalizeTs(raw)
     withTs.withWatermark("ts", "0 seconds")
       .select(col("user_id").as("key"), col("event_id").as("eventId"),
         (unix_micros(col("ts").cast("timestamp")) - tsUsShift).as("tsUs"),

@@ -17,11 +17,11 @@ object StreamQueries {
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(Tables.path(dir, "events")).schema
-    // file-stream source needs a directory or glob, not a bare file path
-    val raw = s.readStream.schema(schema).parquet(s"$dir/events*.parquet")
-    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    // file-stream source needs a directory or glob, not a bare file path;
+    // Tables.normalizeTs handles every fixture layout (nanos-as-long /
+    // TIMESTAMP_NTZ / TimestampType) so `withWatermark` always sees
+    // TimestampType with oracle-exact epoch-micros.
+    Tables.normalizeTs(s.readStream.schema(schema).parquet(s"$dir/events*.parquet"))
   }
 
   /** Run to completion; memory sink table named after the query.

@@ -288,7 +288,8 @@ object TpchExtraQueries {
         // cached: the revenue view feeds BOTH the global max and the
         // equality filter (Q15's defining shape) — uncached, the lineitem
         // scan+aggregate runs twice; the view is supplier-cardinality,
-        // tiny at any scale
+        // tiny at any scale. Released by the harness's per-query
+        // clearCache after the consuming action.
         val rev = li.groupBy(col("l_suppkey").as("supplier_no"))
           .agg(sum(cents(col("l_extendedprice")) * (lit(100L) - cents(col("l_discount"))))
             .as("total_revenue_c"))

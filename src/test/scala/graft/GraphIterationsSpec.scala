@@ -81,4 +81,23 @@ class GraphIterationsSpec extends SparkSpec {
       col("dst") < 0 || col("dst") > 63).isEmpty)
     assert(rm.exceptAll(GraphGenerators.rmat(spark, 6, 500)).isEmpty)
   }
+
+  test("maybeBroadcast hints only below bigRows/2 (frame-size headroom)") {
+    import graft.operators.Iterations
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, ResolvedHint}
+    val cut = Iterations.defaultBigRows
+    val small = spark.range(10).toDF("id")
+    def hinted(rows: Long): Boolean = {
+      val side = Iterations.maybeBroadcast(rows)(small)
+      side.join(spark.range(20).toDF("id"), "id")
+        .queryExecution.analyzed.collect { case h: ResolvedHint => h }.nonEmpty
+    }
+    // below half the cutoff: the vertex/factor frame (≤ ~2× the edge count's
+    // distinct endpoints) still fits a broadcast → hint present
+    assert(hinted(cut / 2 - 1))
+    // at/above half the cutoff: no hint — with the small-loop profile
+    // disabling AQE there is no runtime fallback if a broadcast overflows
+    assert(!hinted(cut / 2))
+    assert(!hinted(cut * 2))
+  }
 }
