@@ -368,4 +368,88 @@ object TextPipeline {
       merges.toSeq
     } finally vocab.unpersist()
   }
+
+  /** [[bpeTrain]] with BATCHED merges — the vocab-size-scale variant: each
+    * driver round selects up to `batch` pairs (count-desc, (left, right)
+    * tie-break) that are mutually NON-OVERLAPPING (no symbol appears in two
+    * selected pairs) and applies them in ONE distributed rewrite pass, so
+    * a 32k-vocab training run costs ~vocabSize/batch driver round-trips
+    * instead of vocabSize (the top-1 loop's Achilles heel past a few
+    * hundred merges; fast BPE trainers batch exactly this way).
+    *
+    * Non-overlap makes the simultaneous application well-defined and equal
+    * to applying the selected pairs in any order; counts of LATER batch
+    * members are still the pre-batch counts (standard batched-BPE
+    * approximation — with batch=1 the result is identical to [[bpeTrain]],
+    * spec-pinned). Greedy-leftmost per word is preserved: the fold's
+    * pending/next test matches at most one selected pair (pairs share no
+    * symbols), and a fused token never re-merges within the same pass. */
+  def bpeTrainBatched(df: DataFrame, textCol: String, nMerges: Int,
+                      batch: Int): Seq[(Int, String, String, Long)] = {
+    require(nMerges >= 1 && batch >= 1)
+    require(batch <= 64, s"batch must be <= 64 (codegen CASE width), got $batch")
+    var round = 0
+    var vocab = df
+      .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(concat(split(col("word"), ""), array(lit("</w>"))).as("syms"),
+        col("cnt"))
+      .cache()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    try {
+      while (merges.size < nMerges) {
+        val want = math.min(batch, nMerges - merges.size)
+        // over-fetch 4×: greedy non-overlap selection drops conflicting
+        // candidates, and count-order must be preserved among survivors
+        val top = vocab
+          .filter(size(col("syms")) > 1)
+          .select(col("cnt"), explode(transform(
+            sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("left"),
+              element_at(col("syms"), i + 1).as("right")))).as("p"))
+          .groupBy(col("p.left").as("left"), col("p.right").as("right"))
+          .agg(sum(col("cnt")).as("pair_count"))
+          .orderBy(col("pair_count").desc, col("left"), col("right"))
+          .limit(4 * want).collect()
+        if (top.isEmpty) return merges.toSeq
+        val used = scala.collection.mutable.Set.empty[String]
+        val sel = top.iterator
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+          .filter { case (l, r, _) =>
+            if (used(l) || used(r)) false
+            else { used += l; used += r; true }
+          }
+          .take(want).toSeq
+        // first tuple slot = ROUND (shared by every merge of one batch;
+        // with batch = 1 it is bpeTrain's sequential numbering); the Seq
+        // order remains the merge-priority order a tokenizer applies
+        round += 1
+        sel.foreach { case (l, r, c) => merges += ((round, l, r, c)) }
+        def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+        val fuseBranches = sel.map { case (l0, r0, _) =>
+          val (l, r) = (esc(l0), esc(r0))
+          s"""WHEN acc.pending = '$l' AND x = '$r'
+             THEN named_struct('out', array_append(acc.out, '$l$r'), 'pending', '')"""
+        }.mkString("\n")
+        val merged = vocab.select(
+          expr(
+            s"""aggregate(syms,
+               named_struct('out', array()::array<string>, 'pending', ''),
+               (acc, x) -> CASE
+                 WHEN acc.pending = '' THEN named_struct('out', acc.out, 'pending', x)
+                 $fuseBranches
+                 ELSE named_struct('out', array_append(acc.out, acc.pending), 'pending', x)
+               END,
+               acc -> CASE WHEN acc.pending = '' THEN acc.out
+                           ELSE array_append(acc.out, acc.pending) END)""")
+            .as("syms"),
+          col("cnt"))
+          .cache()
+        merged.count() // materialize before dropping the parent
+        vocab.unpersist()
+        vocab = merged
+      }
+      merges.toSeq
+    } finally vocab.unpersist()
+  }
 }

@@ -528,4 +528,49 @@ class PipelineOpsSpec extends SparkSpec {
     // at 3; lexicographic tie-break picks aa+</w> ('<' sorts before 'a')
     assert(merges(1)._2 == "aa" && merges(1)._3 == "</w>" && merges(1)._4 == 3L)
   }
+
+  test("bpeTrainBatched: batch=1 is exactly bpeTrain; bigger batches are " +
+    "non-overlapping per round and deterministic") {
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(3)("widest") ++ Seq.fill(4)("newest")).mkString(" ")
+    val df = Seq((1L, corpus)).toDF("doc_id", "text")
+    val serial = TextPipeline.bpeTrain(df, "text", nMerges = 6)
+    val b1 = TextPipeline.bpeTrainBatched(df, "text", nMerges = 6, batch = 1)
+    assert(b1 === serial)
+    val b4 = TextPipeline.bpeTrainBatched(df, "text", nMerges = 8, batch = 4)
+    assert(b4.size === 8)
+    // within each round's batch, no symbol participates in two merges
+    b4.groupBy(_._1).foreach { case (r, round) =>
+      val syms = round.flatMap(m => Seq(m._2, m._3))
+      assert(syms.distinct.size === syms.size, s"overlap in round $r: $round")
+    }
+    // deterministic replay
+    assert(TextPipeline.bpeTrainBatched(df, "text", nMerges = 8, batch = 4) === b4)
+    // single-symbol collapse guard holds under batching too (word 'a')
+    val tiny = Seq((1L, "a a a b")).toDF("doc_id", "text")
+    val tm = TextPipeline.bpeTrainBatched(tiny, "text", nMerges = 4, batch = 2)
+    assert(tm.nonEmpty) // merges (a,</w>) then 'a' collapses to one symbol
+  }
+
+  test("char decomposition splits by CODE POINT on non-BMP text (oracle " +
+    "alignment pin for qd2/qd4)") {
+    // Spark split(s, '') advances the Java regex engine per code point
+    // (surrogate pairs stay whole since Java 8); DuckDB word[i] indexes
+    // UTF-8 characters == code points — so both engines agree on
+    // supplementary-plane text. Pin it so a Spark/Java behavior change
+    // can't silently skew the BPE oracles on emoji/CJK-ext corpora.
+    val df = Seq((1L, "a😀b 汉𠀀字")).toDF("doc_id", "text")
+    val got = df.select(split(col("text"), " ").as("w"))
+      .select(explode(col("w")).as("word"))
+      .select(col("word"), split(col("word"), "").as("chars"))
+      .orderBy("word").as[(String, Seq[String])].collect().toSeq
+    assert(got === Seq(
+      ("a😀b", Seq("a", "😀", "b")),
+      ("汉𠀀字", Seq("汉", "𠀀", "字"))))
+    // and the BPE pair device sees code-point symbols, not surrogate halves
+    val pairs = TextPipeline.bpePairStats(df.limit(1), "text", k = 20)
+      .as[(Int, String, String, Long)].collect()
+    assert(pairs.exists(p => p._2 == "a" && p._3 == "😀"))
+    assert(pairs.exists(p => p._2 == "𠀀" && p._3 == "字"))
+  }
 }
