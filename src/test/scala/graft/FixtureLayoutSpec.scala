@@ -57,6 +57,56 @@ class FixtureLayoutSpec extends SparkSpec {
       == micros.sorted)
   }
 
+  test("all fixture tables keep their column names and (normalized) types " +
+    "(regeneration drift tripwire)") {
+    // The round-7 incident generalized: the driver can regenerate
+    // /root/testdata at any time, and a silent type/name drift in ANY
+    // table would strand query surfaces the way events.ts stranded
+    // streaming. Timestamp flavor is normalized (NTZ vs UTC both read
+    // fine in batch comparisons and hash-match the oracle; events.ts is
+    // separately pinned strict below) so the known-benign flip cannot
+    // false-alarm, while renames, widenings, and column drops stay loud.
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    def norm(dt: DataType): String = dt match {
+      case TimestampType | TimestampNTZType => "timestamp*"
+      case ArrayType(e, _) => s"array<${norm(e)}>"
+      case other => other.simpleString
+    }
+    val expected = Map(
+      "region" -> Seq("r_regionkey" -> "int", "r_name" -> "string"),
+      "nation" -> Seq("n_nationkey" -> "int", "n_name" -> "string",
+        "n_regionkey" -> "int"),
+      "customer" -> Seq("c_custkey" -> "bigint", "c_name" -> "string",
+        "c_nationkey" -> "int", "c_acctbal" -> "double", "c_mktsegment" -> "string"),
+      "supplier" -> Seq("s_suppkey" -> "bigint", "s_name" -> "string",
+        "s_nationkey" -> "int", "s_acctbal" -> "double"),
+      "part" -> Seq("p_partkey" -> "bigint", "p_name" -> "string",
+        "p_brand" -> "string", "p_type" -> "string", "p_size" -> "int",
+        "p_retailprice" -> "double"),
+      "orders" -> Seq("o_orderkey" -> "bigint", "o_custkey" -> "bigint",
+        "o_orderstatus" -> "string", "o_totalprice" -> "double",
+        "o_orderdate" -> "timestamp*", "o_orderpriority" -> "string"),
+      "lineitem" -> Seq("l_orderkey" -> "bigint", "l_partkey" -> "bigint",
+        "l_suppkey" -> "bigint", "l_linenumber" -> "int",
+        "l_quantity" -> "double", "l_extendedprice" -> "double",
+        "l_discount" -> "double", "l_tax" -> "double",
+        "l_returnflag" -> "string", "l_linestatus" -> "string",
+        "l_shipdate" -> "timestamp*"),
+      "events" -> Seq("event_id" -> "bigint", "ts" -> "timestamp*",
+        "user_id" -> "bigint", "event_type" -> "string",
+        "value" -> "double", "props" -> "string"),
+      "documents" -> Seq("doc_id" -> "bigint", "text" -> "string",
+        "lang" -> "string", "source" -> "string", "n_chars" -> "bigint"),
+      "embeddings" -> Seq("vec_id" -> "bigint",
+        "embedding" -> "array<float>", "label" -> "int"))
+    Tables.all.foreach { t =>
+      val got = Tables(spark, dir, t).schema.fields.toSeq
+        .map(f => f.name -> norm(f.dataType))
+      assert(got == expected(t),
+        s"fixture table '$t' drifted:\n  got      $got\n  expected ${expected(t)}")
+    }
+  }
+
   test("the real driver fixture loads as TimestampType (drift tripwire)") {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val df = Tables.events(spark, dir)
