@@ -15,6 +15,61 @@ object PipelineQueries {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables(s, dir, n)
 
+  /** DuckDB replay of 3 rounds of classic top-1 BPE training (argmax +
+    * greedy-leftmost recursive fold per round) — shared by qd4 (bpeTrain)
+    * and qd6 (bpeTrainBatched at batch = 1, contractually identical). */
+  private lazy val OBpeTrain3: String = {
+        // pair-stat + argmax over vocabulary frame v<i>, emitting m<i+1>
+        def argmax(i: Int) = s"""p${i + 1} AS (
+            SELECT syms[i] AS lhs, syms[i + 1] AS rhs, sum(cnt) AS pc
+            FROM v$i CROSS JOIN UNNEST(generate_series(1, len(syms) - 1)) AS t(i)
+            GROUP BY 1, 2
+          ), m${i + 1} AS (
+            SELECT lhs, rhs, pc FROM p${i + 1}
+            ORDER BY pc DESC, lhs, rhs LIMIT 1
+          )"""
+        // greedy-leftmost fold applying m<i+1> to v<i>, emitting v<i+1>
+        def fold(i: Int) = s"""r${i + 1} AS (
+            SELECT syms, cnt, 1 AS i, []::varchar[] AS out, '' AS pending
+            FROM v$i
+            UNION ALL
+            SELECT r.syms, r.cnt, r.i + 1,
+              CASE WHEN r.pending = '' THEN r.out
+                   WHEN r.pending = m.lhs AND r.syms[r.i] = m.rhs
+                     THEN list_append(r.out, m.lhs || m.rhs)
+                   ELSE list_append(r.out, r.pending) END,
+              CASE WHEN r.pending <> '' AND r.pending = m.lhs
+                        AND r.syms[r.i] = m.rhs
+                   THEN '' ELSE r.syms[r.i] END
+            FROM r${i + 1} r, m${i + 1} m WHERE r.i <= len(r.syms)
+          ), v${i + 1} AS (
+            SELECT CASE WHEN pending = '' THEN out
+                        ELSE list_append(out, pending) END AS syms, cnt
+            FROM r${i + 1} WHERE i = len(syms) + 1
+          )"""
+        s"""WITH RECURSIVE words AS (
+            SELECT w AS word, count(*) AS cnt FROM (
+              SELECT unnest(list_filter(
+                string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
+              FROM documents)
+            GROUP BY 1
+          ), v0 AS (
+            SELECT list_append(
+                list_transform(range(1, length(word) + 1), i -> word[i]),
+                '</w>') AS syms,
+              cnt
+            FROM words
+          ), ${argmax(0)}, ${fold(0)}, ${argmax(1)}, ${fold(1)}, ${argmax(2)}
+          SELECT * FROM (
+            SELECT CAST(1 AS INTEGER) AS rnd, lhs, rhs,
+              CAST(pc AS BIGINT) AS pair_count FROM m1
+            UNION ALL SELECT CAST(2 AS INTEGER), lhs, rhs,
+              CAST(pc AS BIGINT) FROM m2
+            UNION ALL SELECT CAST(3 AS INTEGER), lhs, rhs,
+              CAST(pc AS BIGINT) FROM m3)
+          ORDER BY rnd"""
+  }
+
   /** Oracle fragment: whitespace tokens of `text` as a DuckDB list. */
   private val OTOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 
@@ -764,57 +819,23 @@ object PipelineQueries {
         TextPipeline.bpeTrain(t(s, dir, "documents"), "text", nMerges = 3)
           .toDF("rnd", "lhs", "rhs", "pair_count")
       },
-      Some {
-        // pair-stat + argmax over vocabulary frame v<i>, emitting m<i+1>
-        def argmax(i: Int) = s"""p${i + 1} AS (
-            SELECT syms[i] AS lhs, syms[i + 1] AS rhs, sum(cnt) AS pc
-            FROM v$i CROSS JOIN UNNEST(generate_series(1, len(syms) - 1)) AS t(i)
-            GROUP BY 1, 2
-          ), m${i + 1} AS (
-            SELECT lhs, rhs, pc FROM p${i + 1}
-            ORDER BY pc DESC, lhs, rhs LIMIT 1
-          )"""
-        // greedy-leftmost fold applying m<i+1> to v<i>, emitting v<i+1>
-        def fold(i: Int) = s"""r${i + 1} AS (
-            SELECT syms, cnt, 1 AS i, []::varchar[] AS out, '' AS pending
-            FROM v$i
-            UNION ALL
-            SELECT r.syms, r.cnt, r.i + 1,
-              CASE WHEN r.pending = '' THEN r.out
-                   WHEN r.pending = m.lhs AND r.syms[r.i] = m.rhs
-                     THEN list_append(r.out, m.lhs || m.rhs)
-                   ELSE list_append(r.out, r.pending) END,
-              CASE WHEN r.pending <> '' AND r.pending = m.lhs
-                        AND r.syms[r.i] = m.rhs
-                   THEN '' ELSE r.syms[r.i] END
-            FROM r${i + 1} r, m${i + 1} m WHERE r.i <= len(r.syms)
-          ), v${i + 1} AS (
-            SELECT CASE WHEN pending = '' THEN out
-                        ELSE list_append(out, pending) END AS syms, cnt
-            FROM r${i + 1} WHERE i = len(syms) + 1
-          )"""
-        s"""WITH RECURSIVE words AS (
-            SELECT w AS word, count(*) AS cnt FROM (
-              SELECT unnest(list_filter(
-                string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
-              FROM documents)
-            GROUP BY 1
-          ), v0 AS (
-            SELECT list_append(
-                list_transform(range(1, length(word) + 1), i -> word[i]),
-                '</w>') AS syms,
-              cnt
-            FROM words
-          ), ${argmax(0)}, ${fold(0)}, ${argmax(1)}, ${fold(1)}, ${argmax(2)}
-          SELECT * FROM (
-            SELECT CAST(1 AS INTEGER) AS rnd, lhs, rhs,
-              CAST(pc AS BIGINT) AS pair_count FROM m1
-            UNION ALL SELECT CAST(2 AS INTEGER), lhs, rhs,
-              CAST(pc AS BIGINT) FROM m2
-            UNION ALL SELECT CAST(3 AS INTEGER), lhs, rhs,
-              CAST(pc AS BIGINT) FROM m3)
-          ORDER BY rnd"""
-      }),
+      Some(OBpeTrain3)),
+
+    // Batched BPE trainer through the SAME gate oracle: with batch = 1 the
+    // batched trainer is contractually identical to the classic top-1 loop
+    // (spec-pinned law), so qd6 hash-checks the batched implementation's
+    // candidate over-fetch, greedy non-overlap selection, SQL escaping,
+    // and multi-branch fold against the DuckDB replay. batch > 1 changes
+    // the merge table by design (later batch members keep pre-batch
+    // counts) and is covered by PipelineOpsSpec laws, not a SQL oracle.
+    Entry("qd6_bpe_train_batched",
+      (s, dir) => {
+        import s.implicits._
+        TextPipeline.bpeTrainBatched(t(s, dir, "documents"), "text",
+          nMerges = 3, batch = 1)
+          .toDF("rnd", "lhs", "rhs", "pair_count")
+      },
+      Some(OBpeTrain3)),
 
     // SparkSessionExtensions surface: the native codegen expressions called
     // from SQL TEXT via the injected function registry — same rows as the
