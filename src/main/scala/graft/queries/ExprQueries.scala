@@ -213,5 +213,34 @@ object ExprQueries {
       Some("""SELECT event_id,
         CAST(json_extract_string(props, '$.k') AS INT) AS e_json_k
         FROM events WHERE event_id <= 500""")),
+
+    // SQL TIME mapping (SURVEY §1.2 SqlTimeTypeInfo): TIME is represented
+    // as micros-of-day LongType (graft.functions.TimeOfDay); the oracle
+    // computes the SAME values through DuckDB's native TIME type (cast,
+    // TIME '00:00:00' anchor arithmetic, TIME-typed extract and parse) —
+    // proving the representation is bit-equivalent to a real TIME column.
+    Entry("qd7_time_of_day",
+      (s, dir) => {
+        import graft.functions.TimeOfDay
+        val e = t(s, dir, "events").filter(col("event_id") <= 2000)
+        val tod = TimeOfDay.microsOfDay(col("ts"))
+        e.select(
+          col("event_id"),
+          tod.as("tod_us"),
+          TimeOfDay.formatSeconds(col("ts")).as("tod_str"),
+          TimeOfDay.hourOf(tod).as("tod_hour"),
+          TimeOfDay.minuteOf(tod).as("tod_min"),
+          TimeOfDay.secondOf(tod).as("tod_sec"),
+          TimeOfDay.parseMicros(TimeOfDay.formatSeconds(col("ts"))).as("tod_reparsed_us"))
+      },
+      Some("""SELECT event_id,
+          datediff('microseconds', TIME '00:00:00', CAST(ts AS TIME)) AS tod_us,
+          strftime(ts, '%H:%M:%S') AS tod_str,
+          CAST(extract(hour FROM CAST(ts AS TIME)) AS INT) AS tod_hour,
+          CAST(extract(minute FROM CAST(ts AS TIME)) AS INT) AS tod_min,
+          CAST(floor(extract(second FROM CAST(ts AS TIME))) AS INT) AS tod_sec,
+          datediff('microseconds', TIME '00:00:00',
+            CAST(strftime(ts, '%H:%M:%S') AS TIME)) AS tod_reparsed_us
+        FROM events WHERE event_id <= 2000""")),
   )
 }
