@@ -221,4 +221,33 @@ class FunctionsSpec extends SparkSpec {
     // arity errors are loud, not silent
     intercept[Exception](spark.sql("SELECT fnv1a64('a', 'b')").collect())
   }
+
+  test("TimeOfDay laws: decomposition, parse/format, date re-anchoring") {
+    import graft.functions.TimeOfDay._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      "2023-11-14 22:13:20.123456", "1970-01-01 00:00:00",
+      "1969-07-20 20:17:40.5", // pre-epoch: pmod must keep tod in [0, day)
+      "2024-02-29 23:59:59.999999").toDF("s")
+      .select(to_timestamp(col("s")).as("ts"))
+    val got = df.select(
+      microsOfDay(col("ts")).as("tod"),
+      hourOf(microsOfDay(col("ts"))).as("h"),
+      minuteOf(microsOfDay(col("ts"))).as("m"),
+      secondOf(microsOfDay(col("ts"))).as("sec"),
+      parseMicros(formatSeconds(col("ts"))).as("reparsed"),
+      unix_micros(atDate(to_date(col("ts")).cast("timestamp"),
+        microsOfDay(col("ts")))).as("rebuilt"),
+      unix_micros(col("ts")).as("us")).collect()
+    got.foreach { r =>
+      val (tod, h, m, sec) = (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3))
+      assert(tod >= 0 && tod < MicrosPerDay)
+      // decomposition law: extract fields recompose to the truncated second
+      assert((h.toLong * 3600 + m * 60 + sec) * 1000000L == tod / 1000000L * 1000000L)
+      // parse(format(ts)) == tod truncated to seconds
+      assert(r.getLong(4) == tod / 1000000L * 1000000L)
+      // date + time re-anchoring reproduces the original instant exactly
+      assert(r.getLong(5) == r.getLong(6))
+    }
+  }
 }
