@@ -330,5 +330,90 @@ object StreamQueries {
         SELECT * FROM matched
         UNION ALL SELECT * FROM un_left
         UNION ALL SELECT * FROM un_right""")),
+
+    // End-to-end Kafka-source pipeline through the correctness gate: the
+    // events fixture is re-encoded as a Kafka-framed topic (key/value
+    // bytes + topic/partition/offset/timestamp, partitioned by user,
+    // per-partition-monotonic offsets, one file per broker fetch batch),
+    // consumed via KafkaShaped.readStream (the exact format("kafka")
+    // frame), value bytes JSON-decoded — the DeserializationSchema step —
+    // then aggregated per event_type. The oracle computes the same
+    // aggregate from the ORIGINAL parquet, so encode → partition →
+    // stream → decode → aggregate must be lossless end to end. With the
+    // real connector on the classpath only the source line changes.
+    Entry("qd8_kafka_shaped_pipeline",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import org.apache.spark.sql.types._
+        val topicDir = kafkaTopicFromEvents(s, dir)
+        val valueSchema = StructType(Seq(
+          StructField("event_id", LongType), StructField("user_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value_millis", LongType)))
+        val decoded = graft.sources.KafkaShaped.readStream(s, topicDir, maxFilesPerTrigger = 1)
+          .select(col("partition"), col("offset"),
+            graft.sources.KafkaShaped.decodeJson(valueSchema).as("v"))
+          .select(col("partition"), col("offset"), col("v.*"))
+        val agg = decoded.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("value_millis")).as("sum_millis"),
+            max(col("offset")).as("max_offset"))
+        run(agg, "complete", "qd8_sink").orderBy(col("event_type"))
+      },
+      Some("""WITH e AS (SELECT *, row_number() OVER (
+            PARTITION BY user_id % 2 ORDER BY ts, event_id) - 1 AS off
+          FROM events)
+        SELECT event_type, count(*) AS n,
+          sum(CAST(round(value * 1000) AS BIGINT)) AS sum_millis,
+          max(off) AS max_offset
+        FROM e GROUP BY event_type ORDER BY event_type""")),
   )
+
+  /** events.parquet → Kafka-framed topic directory (cached per source
+    * mtime, multiBatchEvents' layout discipline): 2 files = 2 fetch
+    * batches split by event-time half, partition = user_id % 2, offsets
+    * per-partition monotonic in (ts, event_id) order. */
+  private def kafkaTopicFromEvents(s: SparkSession, dir: String): String = {
+    val srcMtime = new java.io.File(graft.Tables.path(dir, "events")).lastModified()
+    val key = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL) + s"_$srcMtime"
+    val topicDir = new java.io.File(s"/tmp/graft_kafka_topic_$key")
+    if (!topicDir.exists()) {
+      val e = graft.Tables.events(s, dir)
+      val framed = e.select(
+          col("user_id").cast("string").cast("binary").as("key"),
+          to_json(struct(col("event_id"), col("user_id"), col("event_type"),
+            round(col("value") * 1000).cast("long").as("value_millis")))
+            .cast("binary").as("value"),
+          lit("events").as("topic"),
+          pmod(col("user_id"), lit(2)).cast("int").as("partition"),
+          (row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(pmod(col("user_id"), lit(2)))
+            .orderBy(col("ts"), col("event_id"))) - 1).cast("long").as("offset"),
+          col("ts").as("timestamp"), lit(0).as("timestampType"),
+          unix_micros(col("ts")).as("_ts_us"))
+      val midUs = e.agg(avg(unix_micros(col("ts")))).head().getDouble(0).toLong
+      val staging = new java.io.File(s"${topicDir.getPath}.staging_${System.nanoTime()}")
+      staging.mkdirs()
+      Seq(col("_ts_us") <= midUs, col("_ts_us") > midUs).zipWithIndex.foreach {
+        case (cond, i) =>
+          val tmp = s"$staging/stage_$i"
+          framed.filter(cond).drop("_ts_us")
+            .select(graft.sources.KafkaShaped.schema.fieldNames.map(col).toIndexedSeq: _*)
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(staging, f"batch_$i%02d.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          dst.setLastModified(1700000000000L + i * 60000L)
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
+      try java.nio.file.Files.move(staging.toPath, topicDir.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        org.apache.commons.io.FileUtils.deleteDirectory(staging) // lost a race
+      }
+    }
+    topicDir.getPath
+  }
 }
