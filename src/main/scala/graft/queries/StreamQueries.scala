@@ -366,7 +366,87 @@ object StreamQueries {
           sum(CAST(round(value * 1000) AS BIGINT)) AS sum_millis,
           max(off) AS max_offset
         FROM e GROUP BY event_type ORDER BY event_type""")),
-  )
+  ) ++ Seq(avroGateEntry, jdbcGateEntry) // connector-gate batch twins of qd8
+
+  // Avro scan through the gate: documents re-encoded as Avro container
+  // files (Hadoop-compat write path), read back via AvroJdbc.avro, and
+  // token-profiled — the oracle computes the same profile from the
+  // ORIGINAL parquet, so schema mapping + both Avro directions must be
+  // lossless. Cached per source mtime like the Kafka topic.
+  private[queries] def avroGateEntry: Entry =
+    Entry("qd9_avro_roundtrip",
+      (s, dir) => {
+        import org.apache.spark.sql.types._
+        val srcMtime = new java.io.File(graft.Tables.path(dir, "documents")).lastModified()
+        val key = java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL) + s"_$srcMtime"
+        val avroDir = new java.io.File(s"/tmp/graft_avro_docs_$key")
+        if (!avroDir.exists()) {
+          val staging = new java.io.File(s"${avroDir.getPath}.staging_${System.nanoTime()}")
+          graft.sources.AvroJdbc.writeAvro(
+            graft.Tables(s, dir, "documents")
+              .select(col("doc_id"), col("text"), col("lang"), col("n_chars")),
+            staging.getPath)
+          try java.nio.file.Files.move(staging.toPath, avroDir.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch { case _: java.nio.file.FileAlreadyExistsException =>
+            org.apache.commons.io.FileUtils.deleteDirectory(staging)
+          }
+        }
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType),
+          StructField("lang", StringType), StructField("n_chars", LongType)))
+        graft.sources.AvroJdbc.avro(s, s"$avroDir/part-*", schema)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+            sum(graft.functions.TextFunctions.tokenCount(col("text")).cast("long"))
+              .as("sum_tokens"))
+          .orderBy(col("lang"))
+      },
+      Some(s"""SELECT lang, count(*) AS n_docs,
+          sum(n_chars) AS sum_chars,
+          sum(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')))
+            AS sum_tokens
+        FROM documents GROUP BY lang ORDER BY lang"""))
+
+  // JDBC scan through the gate: supplier+nation written to embedded
+  // Derby, read back as a PARTITIONED parallel scan (the reference's
+  // NumericBetweenParametersProvider split model), joined and aggregated
+  // — oracle computes the same from the original parquet. The Derby db
+  // lives under /tmp keyed by source mtime; writes happen once.
+  private[queries] def jdbcGateEntry: Entry =
+    Entry("qda_jdbc_roundtrip",
+      (s, dir) => {
+        val srcMtime = new java.io.File(graft.Tables.path(dir, "supplier")).lastModified()
+        val key = java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL) + s"_$srcMtime"
+        System.setProperty("derby.system.home", "/tmp/graft_derby_home")
+        val url = s"jdbc:derby:/tmp/graft_derby_$key/db;create=true"
+        val marker = new java.io.File(s"/tmp/graft_derby_$key/.loaded")
+        if (!marker.exists()) {
+          graft.sources.AvroJdbc.writeJdbc(
+            graft.Tables(s, dir, "supplier").select(col("s_suppkey"),
+              col("s_nationkey"), col("s_acctbal")), url, "supplier_t")
+          graft.sources.AvroJdbc.writeJdbc(
+            graft.Tables(s, dir, "nation").select(col("n_nationkey"), col("n_name")),
+            url, "nation_t")
+          marker.createNewFile()
+        }
+        val maxKey = graft.Tables(s, dir, "supplier")
+          .agg(max(col("s_suppkey"))).head().getLong(0)
+        val sup = graft.sources.AvroJdbc.jdbcPartitioned(s, url, "supplier_t",
+          "s_suppkey", 0L, maxKey, numParts = 4)
+        val nat = graft.sources.AvroJdbc.jdbc(s, url, "nation_t")
+        sup.join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(count(lit(1)).as("n_suppliers"),
+            sum(round(col("s_acctbal") * 100).cast("long")).as("sum_bal_cents"))
+          .orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name, count(*) AS n_suppliers,
+          sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS sum_bal_cents
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name ORDER BY n_name"""))
 
   /** events.parquet → Kafka-framed topic directory (cached per source
     * mtime, multiBatchEvents' layout discipline): 2 files = 2 fetch
