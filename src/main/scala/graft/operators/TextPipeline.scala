@@ -146,6 +146,50 @@ object TextPipeline {
       .agg(avg(col("logp")).as("logprob"), count(lit(1)).as("n_toks"))
   }
 
+  /** Per-document average bigram conditional log-probability — the CCNet /
+    * Wikipedia-LM perplexity-filtering signal one order up from
+    * [[unigramLogProb]]: P(b|a) = (C(a,b) + 1) / (C(a) + V) (add-one over
+    * the observed vocabulary), doc score = avg ln P over its bigrams.
+    * Deterministic and oracle-replayable (integer counts; ln-ulp drift
+    * absorbed by 6-decimal rounding at the call site — the qb9 device).
+    *
+    * Shape at scale: bigram pairs come from an in-row `transform` over
+    * the token array (NO shuffle, no self-join on position); the two
+    * model aggregates (bigram counts keyed (a, b), unigram counts keyed
+    * a) are vocabulary²-bounded in theory but observed-bigram-bounded in
+    * practice — at 100 TB apply `minCount` to cap the model the same way
+    * CCNet prunes its LM, and the score join keys on (a, b) with the
+    * model side read pre-aggregated. Docs with < 2 tokens score null
+    * with n_bigrams = 0 (no bigram evidence — callers decide the policy). */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String,
+                    minCount: Long = 1L): DataFrame = {
+    val withToks = df.select(col(idCol),
+      TextFunctions.tokens(lower(col(textCol))).as("t"))
+    val bigrams = withToks.select(col(idCol),
+      explode(when(size(col("t")) > 1,
+        expr("transform(sequence(1, size(t) - 1), i -> struct(t[i - 1] AS a, t[i] AS b))"))
+        .otherwise(expr("array()::array<struct<a:string,b:string>>"))).as("bg"))
+      .select(col(idCol), col("bg.a").as("a"), col("bg.b").as("b"))
+    val bgCounts = bigrams.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= minCount)
+    val uniCounts = withToks.select(explode(col("t")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("ca"))
+    val vocab = uniCounts.agg(count(lit(1)).as("v"))
+    val probs = bgCounts
+      .join(uniCounts.select(col("tok").as("a"), col("ca")), Seq("a"))
+      .crossJoin(broadcast(vocab))
+      .select(col("a"), col("b"),
+        log((col("cab") + 1).cast("double") / (col("ca") + col("v"))).as("logp"))
+    val scored = bigrams.join(probs, Seq("a", "b"), "left")
+      .groupBy(col(idCol))
+      .agg(avg(col("logp")).as("logprob"), count(lit(1)).as("n_bigrams"))
+    // docs that produced no bigrams (< 2 tokens) still get a row
+    df.select(col(idCol)).distinct()
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol), col("logprob"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
+  }
+
   /** Per-document top-`k` terms by smoothed TF-IDF — the classic keyword /
     * topic-signal extractor (tf · (ln((N+1)/(df+1)) + 1), the smooth-idf
     * variant that never zeroes a term appearing in every doc).

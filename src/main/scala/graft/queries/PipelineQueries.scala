@@ -360,6 +360,44 @@ object PipelineQueries {
         FROM toks JOIN probs USING (tok)
         GROUP BY doc_id""")),
 
+    // Bigram-LM scoring (CCNet-class perplexity filter, one order above
+    // qb9): P(b|a) = (C(a,b)+1)/(C(a)+V) over the corpus, doc score =
+    // avg ln P over its bigrams; 6-decimal rounding absorbs ln ulp drift
+    // (the qb9 device). Bigrams come from an in-row transform over the
+    // token array — no positional self-join, no extra shuffle.
+    Entry("qdb_bigram_logprob",
+      (s, dir) => TextPipeline.bigramLogProb(t(s, dir, "documents"),
+          "doc_id", "text")
+        .select(col("doc_id"), round(col("logprob"), 6).as("logprob"),
+          col("n_bigrams")),
+      Some("""WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '') AS t
+          FROM documents
+        ), bigrams AS (
+          SELECT doc_id, t[i] AS a, t[i + 1] AS b
+          FROM toks CROSS JOIN UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+          WHERE len(t) > 1
+        ), bg AS (
+          SELECT a, b, count(*) AS cab FROM bigrams GROUP BY a, b
+        ), uni AS (
+          SELECT tok, count(*) AS ca FROM (
+            SELECT unnest(t) AS tok FROM toks) GROUP BY tok
+        ), voc AS (SELECT count(*) AS v FROM uni
+        ), probs AS (
+          SELECT bg.a, bg.b, ln((bg.cab + 1) / (uni.ca + voc.v)) AS logp
+          FROM bg JOIN uni ON uni.tok = bg.a, voc
+        ), scored AS (
+          SELECT doc_id, round(avg(logp), 6) AS logprob,
+            CAST(count(*) AS BIGINT) AS n_bigrams
+          FROM bigrams JOIN probs USING (a, b)
+          GROUP BY doc_id
+        )
+        SELECT d.doc_id, s.logprob,
+          COALESCE(s.n_bigrams, 0) AS n_bigrams
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN scored s USING (doc_id)""")),
+
     Entry("qba_incremental_dedup",
       (s, dir) => {
         val d = t(s, dir, "documents")

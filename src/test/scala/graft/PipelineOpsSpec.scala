@@ -552,6 +552,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(tm.nonEmpty) // merges (a,</w>) then 'a' collapses to one symbol
   }
 
+  test("bigramLogProb: hand-computed add-one model, short-doc null policy") {
+    // corpus: "a b" x2, "a c" x1, "x" x1 → unigrams a:3 b:2? no —
+    // tokens: doc1 "a b a b" (a:2,b:2), doc2 "a c" (a:1,c:1), doc3 "x".
+    // V = 4 (a,b,c,x). bigram counts: (a,b):2, (b,a):1, (a,c):1.
+    // P(b|a) = (2+1)/(3+4) = 3/7; P(a|b) = (1+1)/(2+4) = 2/6; P(c|a) = (1+1)/(3+4) = 2/7.
+    val df = Seq((1L, "a b a b"), (2L, "a c"), (3L, "x")).toDF("doc_id", "text")
+    val got = TextPipeline.bigramLogProb(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val d1 = got(0)
+    // doc1 bigrams: (a,b),(b,a),(a,b) → avg(ln(3/7), ln(2/6), ln(3/7))
+    val exp1 = (2 * math.log(3.0 / 7) + math.log(2.0 / 6)) / 3
+    assert(d1.getLong(0) == 1L && math.abs(d1.getDouble(1) - exp1) < 1e-12
+      && d1.getLong(2) == 3L)
+    val d2 = got(1)
+    assert(d2.getLong(0) == 2L
+      && math.abs(d2.getDouble(1) - math.log(2.0 / 7)) < 1e-12
+      && d2.getLong(2) == 1L)
+    // single-token doc: no bigram evidence → null score, 0 bigrams
+    val d3 = got(2)
+    assert(d3.getLong(0) == 3L && d3.isNullAt(1) && d3.getLong(2) == 0L)
+  }
+
   test("char decomposition splits by CODE POINT on non-BMP text (oracle " +
     "alignment pin for qd2/qd4)") {
     // Spark split(s, '') advances the Java regex engine per code point
