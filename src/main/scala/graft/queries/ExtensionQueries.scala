@@ -1354,10 +1354,12 @@ object ExtensionQueries {
     * training work, and RDD-level persistence survives
     * `spark.catalog.clearCache()` (which only drops SQL-cache entries). */
   private val ivfpqCache =
-    scala.collection.concurrent.TrieMap.empty[String, (graft.operators.ML.KMeansResult, graft.operators.PQ.PQModel)]
+    scala.collection.concurrent.TrieMap.empty[(String, Long), (graft.operators.ML.KMeansResult, graft.operators.PQ.PQModel)]
 
   private[queries] def ivfpqModels(s: SparkSession, dir: String): (graft.operators.ML.KMeansResult, graft.operators.PQ.PQModel) =
-    ivfpqCache.getOrElseUpdate(dir, {
+    // mtime in the key: a regenerated embeddings fixture must refit
+    ivfpqCache.getOrElseUpdate(
+      (dir, new java.io.File(graft.Tables.path(dir, "embeddings")).lastModified()), {
       val emb = t(s, dir, "embeddings")
       val coarse = graft.operators.ML.kMeansScaled(emb, "vec_id", "embedding",
         k = 8, iters = 1)

@@ -27,10 +27,14 @@ object GraphQueries {
     * can amortize it untimed — except qa2_graph_pagerank, which stays
     * end-to-end for round-1 baseline comparability. */
   private val edgeCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(String, String, Long), DataFrame]
 
-  private def shared(dir: String, variant: String)(build: => DataFrame): DataFrame =
-    edgeCache.getOrElseUpdate((dir, variant), build.localCheckpoint(true))
+  private def shared(dir: String, variant: String)(build: => DataFrame): DataFrame = {
+    // mtime in the key: a mid-round fixture regeneration (the round-7
+    // incident) must invalidate, not serve stale edges
+    val mtime = new java.io.File(graft.Tables.path(dir, "lineitem")).lastModified()
+    edgeCache.getOrElseUpdate((dir, variant, mtime), build.localCheckpoint(true))
+  }
 
   /** Sparse deterministic edge set (44 edges @ sf0.01 → 31 components). */
   private def sparseEdges(s: SparkSession, dir: String): DataFrame =
