@@ -140,6 +140,45 @@ object Sketches {
       .groupBy(col(keyCol))
       .agg(min(coalesce(col("cm_cnt"), lit(0L))).as("cm_est"))
 
+  /** STREAMING windowed [[countMin]]: one sketch per event-time window —
+    * the per-window frequency store of a production stream (top-k /
+    * rate-limit / hot-key detectors query it after window close). State
+    * per window is ≤ d·w counters REGARDLESS of arrivals (the same
+    * bounded-state argument as [[hllWindowedDistinct]]); counters are
+    * plain sums so shard/day sketches merge by addition. Append mode:
+    * a window's counters emit once its end passes the watermark. */
+  def cmWindowedCounters(events: DataFrame, tsCol: String, duration: String,
+                         keyCol: String, w: Int, d: Int,
+                         watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), posexplode(seededBuckets(col(keyCol), w, d))
+        .as(Seq("cm_row", "cm_bucket")))
+      .groupBy(window(col(tsCol), duration), col("cm_row"), col("cm_bucket"))
+      .agg(count(lit(1)).as("cm_cnt"))
+
+  /** [[cmLookup]] against per-group (e.g. per-window) counter frames:
+    * probes × groups, min over the d seeded counters within each group,
+    * absent counters = 0 (the classic CM zero floor). The counter side is
+    * groups·d·w rows at most — broadcast-sized for any bounded group set.
+    * `groups` is caller-supplied (NOT derived from `counters`: a memory-
+    * sink counter frame self-joined against its own projection trips
+    * analyzer attribute-conflict; and the group universe is a semantic
+    * choice — closed windows, a date range — not a property of whichever
+    * counters happen to exist). */
+  def cmLookupPerGroup(counters: DataFrame, groups: DataFrame,
+                       groupCols: Seq[String],
+                       probes: DataFrame, keyCol: String,
+                       w: Int, d: Int): DataFrame = {
+    groups.select(groupCols.map(col): _*).distinct()
+      .crossJoin(probes.select(col(keyCol)).distinct())
+      .select((groupCols.map(col) :+ col(keyCol) :+
+        posexplode(seededBuckets(col(keyCol), w, d)).as(Seq("cm_row", "cm_bucket"))): _*)
+      .join(broadcast(counters), groupCols ++ Seq("cm_row", "cm_bucket"), "left")
+      .groupBy((groupCols.map(col) :+ col(keyCol)): _*)
+      .agg(min(coalesce(col("cm_cnt"), lit(0L))).as("cm_est"))
+  }
+
   /** Register index: low p bits of the FNV hash. */
   private def hllBucket(value: org.apache.spark.sql.Column, p: Int) =
     Fnv1a64Expr(value.cast("string")).bitwiseAND(lit((1L << p) - 1))

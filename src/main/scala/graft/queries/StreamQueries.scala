@@ -366,6 +366,64 @@ object StreamQueries {
           sum(CAST(round(value * 1000) AS BIGINT)) AS sum_millis,
           max(off) AS max_offset
         FROM e GROUP BY event_type ORDER BY event_type""")),
+
+    // STREAMING windowed Count-Min (the frequency sibling of qco's HLL):
+    // a real streaming query builds one CM sketch per 6h event-time
+    // window (state ≤ d·w counters per window regardless of arrivals,
+    // append-emitted on window close), then the closed windows' counter
+    // store is point-queried for every event type — the per-window
+    // hot-key/top-k detector shape. The oracle replays the seeded-FNV
+    // counter arithmetic and the watermark close per window exactly.
+    Entry("qdc_stream_cm_window",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        val (w, d) = (256, 3)
+        val counters = graft.operators.Sketches.cmWindowedCounters(
+          eventsStream(s, dir), "ts", "6 hours", "event_type", w, d,
+          watermark = "10 minutes")
+          .select(unix_micros(col("window.start")).as("win_start_us"),
+            col("cm_row"), col("cm_bucket"), col("cm_cnt"))
+        val sunk = run(counters, "append", "qdc_sink")
+        // bounded driver collect: one long per CLOSED window (a handful) —
+        // the group universe for the lookup, detached from the sink's
+        // lineage (self-joining the memory sink trips attribute conflicts)
+        import s.implicits._
+        val wins = sunk.select(col("win_start_us")).distinct()
+          .collect().map(_.getLong(0)).toSeq.toDF("win_start_us")
+        val probes = graft.Tables.events(s, dir).select(col("event_type"))
+        graft.operators.Sketches.cmLookupPerGroup(sunk, wins, Seq("win_start_us"),
+          probes, "event_type", w, d)
+          .orderBy(col("win_start_us"), col("event_type"))
+      },
+      Some {
+        val winUs = 6 * HourUs
+        s"""WITH wm AS (
+          SELECT epoch_ms(max(ts)) - 600000 AS watermark_ms FROM events
+        ),
+        u AS (SELECT (epoch_us(ts) // $winUs) * $winUs AS win_start_us,
+            event_type FROM events),
+        closed AS (SELECT DISTINCT win_start_us FROM u, wm
+          WHERE ((win_start_us + $winUs) / 1000) <= wm.watermark_ms),
+        seeded AS (SELECT win_start_us, ri,
+            concat(CAST(ri AS VARCHAR), '|', event_type) AS s
+          FROM u CROSS JOIN range(3) r(ri)),
+        counters AS (SELECT win_start_us, ri,
+            ${ExtensionQueries.oFnv("s")} % 256 AS bucket, count(*) AS cnt
+          FROM seeded GROUP BY 1, 2, 3),
+        pb AS (SELECT event_type, ri,
+            ${ExtensionQueries.oFnv("s")} % 256 AS bucket
+          FROM (SELECT event_type, ri,
+              concat(CAST(ri AS VARCHAR), '|', event_type) AS s
+            FROM (SELECT DISTINCT event_type FROM events)
+            CROSS JOIN range(3) r(ri)))
+        SELECT c.win_start_us, p.event_type,
+          CAST(min(COALESCE(k.cnt, 0)) AS BIGINT) AS cm_est
+        FROM closed c CROSS JOIN pb p
+        LEFT JOIN counters k ON k.win_start_us = c.win_start_us
+          AND k.ri = p.ri AND k.bucket = p.bucket
+        GROUP BY 1, 2
+        ORDER BY c.win_start_us, p.event_type"""
+      }),
   ) ++ Seq(avroGateEntry, jdbcGateEntry) // connector-gate batch twins of qd8
 
   // Avro scan through the gate: documents re-encoded as Avro container
