@@ -15,13 +15,24 @@ import org.apache.spark.sql.functions._
   * Comparison/ordering/arithmetic on TIME values are then plain integer
   * ops, and every helper below is a thin composition of codegen'd
   * builtins (no UDFs; whole-stage codegen preserved).
+  *
+  * ZONE INVARIANT: all helpers assume `spark.sql.session.timeZone=UTC`
+  * (the harness default, pinned by FunctionsSpec). `microsOfDay` is
+  * arithmetic on `unix_micros` and therefore always UTC-based, while
+  * `formatSeconds`/`parseMicros` go through `date_format`/`to_timestamp`
+  * which are session-zoned — under a non-UTC session zone the two
+  * families would silently disagree (e.g. `hourOf(microsOfDay(ts)) !=
+  * hour rendered by formatSeconds(ts)`). Callers on non-UTC sessions
+  * must re-zone timestamps first (`convert_timezone`) or pin the session
+  * zone; the helpers deliberately do NOT pay a per-row zone conversion.
   */
 object TimeOfDay {
 
   val MicrosPerDay: Long = 86400000000L
 
-  /** TIME part of a timestamp, as micros since midnight (session zone).
-    * pmod keeps pre-1970 instants in [0, day). */
+  /** TIME part of a timestamp, as micros since midnight (UTC-based —
+    * correct as session time-of-day only under a UTC session zone, see
+    * object doc). pmod keeps pre-1970 instants in [0, day). */
   def microsOfDay(ts: Column): Column = pmod(unix_micros(ts), lit(MicrosPerDay))
 
   /** TIME → 'HH:mm:ss' display string (second precision, the SQL TIME(0)

@@ -421,13 +421,17 @@ object TextPipeline {
     * instead of vocabSize (the top-1 loop's Achilles heel past a few
     * hundred merges; fast BPE trainers batch exactly this way).
     *
-    * Non-overlap makes the simultaneous application well-defined and equal
-    * to applying the selected pairs in any order; counts of LATER batch
-    * members are still the pre-batch counts (standard batched-BPE
-    * approximation — with batch=1 the result is identical to [[bpeTrain]],
-    * spec-pinned). Greedy-leftmost per word is preserved: the fold's
-    * pending/next test matches at most one selected pair (pairs share no
-    * symbols), and a fused token never re-merges within the same pass. */
+    * Non-overlap is STRING-level: a candidate is rejected when its left,
+    * right, or fused output `l+r` collides with any already-selected
+    * pair's left, right, or output — so (a,b) and ('ab',c) can never both
+    * be in one batch (the second's input is the first's output), making
+    * the simultaneous application well-defined and equal to applying the
+    * selected pairs in any order. Counts of LATER batch members are still
+    * the pre-batch counts (standard batched-BPE approximation — with
+    * batch=1 the result is identical to [[bpeTrain]], spec-pinned).
+    * Greedy-leftmost per word is preserved: the fold's pending/next test
+    * matches at most one selected pair (pairs share no symbols), and a
+    * fused token never re-merges within the same pass. */
   def bpeTrainBatched(df: DataFrame, textCol: String, nMerges: Int,
                       batch: Int): Seq[(Int, String, String, Long)] = {
     require(nMerges >= 1 && batch >= 1)
@@ -456,12 +460,18 @@ object TextPipeline {
           .orderBy(col("pair_count").desc, col("left"), col("right"))
           .limit(4 * want).collect()
         if (top.isEmpty) return merges.toSeq
+        // non-overlap set holds each selected pair's left, right AND fused
+        // output l+r: without the concat, (a,b) and ('ab',c) could both be
+        // selected — the second's left symbol equals the first's output,
+        // violating the "no symbol appears in two selected pairs" contract
+        // (round-9 ADVICE fix; the used(l+r) test also rejects a LATER
+        // candidate whose own output collides with a selected input)
         val used = scala.collection.mutable.Set.empty[String]
         val sel = top.iterator
           .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
           .filter { case (l, r, _) =>
-            if (used(l) || used(r)) false
-            else { used += l; used += r; true }
+            if (used(l) || used(r) || used(l + r)) false
+            else { used += l; used += r; used += (l + r); true }
           }
           .take(want).toSeq
         // first tuple slot = ROUND (shared by every merge of one batch;

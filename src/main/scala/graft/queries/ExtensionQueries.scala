@@ -1356,22 +1356,29 @@ object ExtensionQueries {
   private val ivfpqCache =
     scala.collection.concurrent.TrieMap.empty[(String, Long), (graft.operators.ML.KMeansResult, graft.operators.PQ.PQModel)]
 
-  private[queries] def ivfpqModels(s: SparkSession, dir: String): (graft.operators.ML.KMeansResult, graft.operators.PQ.PQModel) =
+  private[queries] def ivfpqModels(s: SparkSession, dir: String): (graft.operators.ML.KMeansResult, graft.operators.PQ.PQModel) = {
     // mtime in the key: a regenerated embeddings fixture must refit
-    ivfpqCache.getOrElseUpdate(
-      (dir, new java.io.File(graft.Tables.path(dir, "embeddings")).lastModified()), {
-      val emb = t(s, dir, "embeddings")
-      val coarse = graft.operators.ML.kMeansScaled(emb, "vec_id", "embedding",
-        k = 8, iters = 1)
-      val model = graft.operators.PQ.fit(emb, "vec_id", "embedding", dim = 64,
-        m = 4, k = 8, iters = 1)
-      (graft.operators.ML.KMeansResult(
-        coarse.assignments.localCheckpoint(true),
-        coarse.centroids.localCheckpoint(true)),
-        graft.operators.PQ.PQModel(
-          model.centroids.localCheckpoint(true),
-          model.codes.localCheckpoint(true)))
-    })
+    val key = (dir, new java.io.File(graft.Tables.path(dir, "embeddings")).lastModified())
+    // liveness guard: models pinned under a since-stopped SparkSession
+    // (harness restart in the same JVM) must be refitted, not served
+    ivfpqCache.get(key)
+      .filterNot(_._1.assignments.sparkSession.sparkContext.isStopped)
+      .getOrElse {
+        val emb = t(s, dir, "embeddings")
+        val coarse = graft.operators.ML.kMeansScaled(emb, "vec_id", "embedding",
+          k = 8, iters = 1)
+        val model = graft.operators.PQ.fit(emb, "vec_id", "embedding", dim = 64,
+          m = 4, k = 8, iters = 1)
+        val fitted = (graft.operators.ML.KMeansResult(
+          coarse.assignments.localCheckpoint(true),
+          coarse.centroids.localCheckpoint(true)),
+          graft.operators.PQ.PQModel(
+            model.centroids.localCheckpoint(true),
+            model.codes.localCheckpoint(true)))
+        ivfpqCache.put(key, fitted)
+        fitted
+      }
+  }
 
   /** IVFADC search + recall-vs-exact columns over `embeddings` — shared by
     * qcv (inline fit) and qd5 (pre-fitted models). */

@@ -33,7 +33,16 @@ object GraphQueries {
     // mtime in the key: a mid-round fixture regeneration (the round-7
     // incident) must invalidate, not serve stale edges
     val mtime = new java.io.File(graft.Tables.path(dir, "lineitem")).lastModified()
-    edgeCache.getOrElseUpdate((dir, variant, mtime), build.localCheckpoint(true))
+    val key = (dir, variant, mtime)
+    // liveness guard: a frame cached under a since-stopped SparkSession
+    // (harness restart in the same JVM) must be rebuilt, not served —
+    // localCheckpoint blocks die with their session
+    edgeCache.get(key).filterNot(_.sparkSession.sparkContext.isStopped)
+      .getOrElse {
+        val built = build.localCheckpoint(true)
+        edgeCache.put(key, built)
+        built
+      }
   }
 
   /** Sparse deterministic edge set (44 edges @ sf0.01 → 31 components). */

@@ -70,6 +70,90 @@ object PipelineQueries {
           ORDER BY rnd"""
   }
 
+  /** DuckDB replay of BATCHED BPE training (2 rounds × batch 4 = the qdd
+    * gate): per round, pair stats over the current vocabulary are ranked
+    * (count DESC, (lhs, rhs) tie-break), the top 4×4 candidates feed a
+    * GREEDY non-overlap selection — a recursive single-row carry walking
+    * rank order, rejecting any candidate whose lhs, rhs, or fused output
+    * lhs||rhs collides with an already-selected pair's inputs/output, and
+    * stopping at 4 — then ALL selected pairs are applied in ONE
+    * greedy-leftmost fold pass (the fuse test is membership of
+    * (pending, next) in the selected set; non-overlap guarantees at most
+    * one member matches). This replays the batch>1 logic qd6 (batch=1)
+    * cannot see: over-fetch, rank-order greedy used-set selection, and
+    * the multi-branch simultaneous rewrite. */
+  private lazy val OBpeTrainBatched2x4: String = {
+    val selTy = "STRUCT(lhs VARCHAR, rhs VARCHAR, pc BIGINT)"
+    // candidate ranking + greedy selection over vocabulary frame v<i>
+    def select(i: Int) = s"""pb$i AS (
+        SELECT syms[i] AS lhs, syms[i + 1] AS rhs, sum(cnt) AS pc
+        FROM v$i CROSS JOIN UNNEST(generate_series(1, len(syms) - 1)) AS t(i)
+        GROUP BY 1, 2
+      ), cb$i AS (
+        SELECT lhs, rhs, CAST(pc AS BIGINT) AS pc,
+          row_number() OVER (ORDER BY pc DESC, lhs, rhs) AS rnk
+        FROM pb$i QUALIFY rnk <= 16
+      ), gb$i AS (
+        SELECT 0 AS rnk, []::VARCHAR[] AS used, []::$selTy[] AS sel
+        UNION ALL
+        SELECT c.rnk,
+          CASE WHEN len(g.sel) < 4 AND NOT (list_contains(g.used, c.lhs)
+                 OR list_contains(g.used, c.rhs)
+                 OR list_contains(g.used, c.lhs || c.rhs))
+            THEN list_concat(g.used, [c.lhs, c.rhs, c.lhs || c.rhs])
+            ELSE g.used END,
+          CASE WHEN len(g.sel) < 4 AND NOT (list_contains(g.used, c.lhs)
+                 OR list_contains(g.used, c.rhs)
+                 OR list_contains(g.used, c.lhs || c.rhs))
+            THEN list_append(g.sel, {'lhs': c.lhs, 'rhs': c.rhs, 'pc': c.pc})
+            ELSE g.sel END
+        FROM gb$i g JOIN cb$i c ON c.rnk = g.rnk + 1
+      ), sb$i AS (
+        SELECT sel FROM gb$i ORDER BY rnk DESC LIMIT 1
+      )"""
+    // one fold pass applying EVERY pair in sb<i>.sel to v<i> → v<i+1>
+    def fold(i: Int) = s"""rb$i AS (
+        SELECT syms, cnt, 1 AS i, []::VARCHAR[] AS out, '' AS pending
+        FROM v$i
+        UNION ALL
+        SELECT r.syms, r.cnt, r.i + 1,
+          CASE WHEN r.pending = '' THEN r.out
+               WHEN len(list_filter(m.sel,
+                   p -> p.lhs = r.pending AND p.rhs = r.syms[r.i])) > 0
+                 THEN list_append(r.out, r.pending || r.syms[r.i])
+               ELSE list_append(r.out, r.pending) END,
+          CASE WHEN r.pending <> '' AND len(list_filter(m.sel,
+                   p -> p.lhs = r.pending AND p.rhs = r.syms[r.i])) > 0
+               THEN '' ELSE r.syms[r.i] END
+        FROM rb$i r, sb$i m WHERE r.i <= len(r.syms)
+      ), v${i + 1} AS (
+        SELECT CASE WHEN pending = '' THEN out
+                    ELSE list_append(out, pending) END AS syms, cnt
+        FROM rb$i WHERE i = len(syms) + 1
+      )"""
+    s"""WITH RECURSIVE words AS (
+        SELECT w AS word, count(*) AS cnt FROM (
+          SELECT unnest(list_filter(
+            string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
+          FROM documents)
+        GROUP BY 1
+      ), v0 AS (
+        SELECT list_append(
+            list_transform(range(1, length(word) + 1), i -> word[i]),
+            '</w>') AS syms,
+          cnt
+        FROM words
+      ), ${select(0)}, ${fold(0)}, ${select(1)}
+      SELECT * FROM (
+        SELECT CAST(1 AS INTEGER) AS rnd, u.lhs, u.rhs,
+          CAST(u.pc AS BIGINT) AS pair_count
+        FROM (SELECT unnest(sel) AS u FROM sb0)
+        UNION ALL
+        SELECT CAST(2 AS INTEGER), u.lhs, u.rhs, CAST(u.pc AS BIGINT)
+        FROM (SELECT unnest(sel) AS u FROM sb1))
+      ORDER BY rnd, lhs, rhs"""
+  }
+
   /** Oracle fragment: whitespace tokens of `text` as a DuckDB list. */
   private val OTOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 
@@ -874,6 +958,20 @@ object PipelineQueries {
           .toDF("rnd", "lhs", "rhs", "pair_count")
       },
       Some(OBpeTrain3)),
+
+    // Batched BPE at batch > 1 (round-9 VERDICT item #3): 8 merges in two
+    // rounds of 4 — the oracle replays the batched path's DISTINGUISHING
+    // logic (candidate over-fetch, greedy rank-order non-overlap selection
+    // incl. the fused-output rule, one multi-pair rewrite pass per round)
+    // which qd6's batch=1 gate is contractually blind to.
+    Entry("qdd_bpe_train_batch4",
+      (s, dir) => {
+        import s.implicits._
+        TextPipeline.bpeTrainBatched(t(s, dir, "documents"), "text",
+          nMerges = 8, batch = 4)
+          .toDF("rnd", "lhs", "rhs", "pair_count")
+      },
+      Some(OBpeTrainBatched2x4)),
 
     // SparkSessionExtensions surface: the native codegen expressions called
     // from SQL TEXT via the injected function registry — same rows as the

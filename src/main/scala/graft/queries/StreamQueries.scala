@@ -363,7 +363,7 @@ object StreamQueries {
             PARTITION BY user_id % 2 ORDER BY ts, event_id) - 1 AS off
           FROM events)
         SELECT event_type, count(*) AS n,
-          sum(CAST(round(value * 1000) AS BIGINT)) AS sum_millis,
+          CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_millis,
           max(off) AS max_offset
         FROM e GROUP BY event_type ORDER BY event_type""")),
 
@@ -462,9 +462,9 @@ object StreamQueries {
           .orderBy(col("lang"))
       },
       Some(s"""SELECT lang, count(*) AS n_docs,
-          sum(n_chars) AS sum_chars,
-          sum(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')))
-            AS sum_tokens
+          CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+          CAST(sum(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')))
+            AS BIGINT) AS sum_tokens
         FROM documents GROUP BY lang ORDER BY lang"""))
 
   // JDBC scan through the gate: supplier+nation written to embedded
@@ -502,7 +502,7 @@ object StreamQueries {
           .orderBy(col("n_name"))
       },
       Some("""SELECT n_name, count(*) AS n_suppliers,
-          sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS sum_bal_cents
+          CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT) AS sum_bal_cents
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name ORDER BY n_name"""))
 

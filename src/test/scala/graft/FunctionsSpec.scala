@@ -225,6 +225,12 @@ class FunctionsSpec extends SparkSpec {
   test("TimeOfDay laws: decomposition, parse/format, date re-anchoring") {
     import graft.functions.TimeOfDay._
     import org.apache.spark.sql.functions._
+    // ZONE INVARIANT pin (TimeOfDay object doc): microsOfDay is UTC
+    // arithmetic while formatSeconds/parseMicros are session-zoned — the
+    // laws below only cohere under a UTC session zone. If this assert
+    // fires, the harness zone drifted; fix the session, not the helpers.
+    assert(spark.conf.get("spark.sql.session.timeZone") == "UTC",
+      "TimeOfDay helpers require spark.sql.session.timeZone=UTC")
     val df = Seq(
       "2023-11-14 22:13:20.123456", "1970-01-01 00:00:00",
       "1969-07-20 20:17:40.5", // pre-epoch: pmod must keep tod in [0, day)

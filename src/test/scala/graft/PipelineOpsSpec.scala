@@ -539,10 +539,16 @@ class PipelineOpsSpec extends SparkSpec {
     assert(b1 === serial)
     val b4 = TextPipeline.bpeTrainBatched(df, "text", nMerges = 8, batch = 4)
     assert(b4.size === 8)
-    // within each round's batch, no symbol participates in two merges
+    // within each round's batch, no symbol participates in two merges —
+    // string-level rule (round-9 hardening): a pair's fused OUTPUT l+r
+    // must not collide with any other selected pair's input or output
     b4.groupBy(_._1).foreach { case (r, round) =>
       val syms = round.flatMap(m => Seq(m._2, m._3))
+      val outs = round.map(m => m._2 + m._3)
       assert(syms.distinct.size === syms.size, s"overlap in round $r: $round")
+      assert(outs.intersect(syms).isEmpty,
+        s"output/input collision in round $r: $round")
+      assert(outs.distinct.size === outs.size)
     }
     // deterministic replay
     assert(TextPipeline.bpeTrainBatched(df, "text", nMerges = 8, batch = 4) === b4)
