@@ -11,11 +11,15 @@ import org.apache.spark.sql.SparkSession
   * cost vs per-round cost.
   *
   * Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.IterBench"
+  * Section select: SPARK_GRAFT_ITERBENCH=loops|bpe (default loops —
+  * the bpe section runs a ~500-merge tokenizer training and is minutes
+  * long by design; results are recorded in BASELINE.md).
   */
 object IterBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val section = sys.env.getOrElse("SPARK_GRAFT_ITERBENCH", "loops")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -26,13 +30,74 @@ object IterBench {
     // warm-up: JVM + codegen + scan
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
-    Registry.queries("qa2_graph_pagerank")(spark, sfDir).count()
 
     def timed(label: String)(body: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = body
       println(f"[iterbench] $label%-40s ${(System.nanoTime() - t0) / 1e9}%6.2f s  (rows=$n)")
     }
+
+    // BPE tokenizer training at vocab scale (round-9 VERDICT item #4): the
+    // batched trainer's reason to exist is cutting driver round-trips from
+    // nMerges to ~nMerges/batch; this measures exactly that amortization.
+    // batch=1 IS the classic top-1 loop (contractually identical), so the
+    // batch=1 row doubles as the bpeTrain baseline.
+    if (section == "bpe") {
+      val nMerges = sys.env.getOrElse("SPARK_GRAFT_BPE_MERGES", "512").toInt
+      import graft.operators.TextPipeline
+      val docs = Tables(spark, sfDir, "documents").cache()
+      docs.count()
+      for (batch <- Seq(64, 16, 1)) {
+        timed(f"bpeTrainBatched nMerges=$nMerges batch=$batch%-3d") {
+          val merges = TextPipeline.bpeTrainBatched(docs, "text", nMerges, batch)
+          val rounds = if (merges.isEmpty) 0 else merges.map(_._1).max
+          println(s"[iterbench]   -> ${merges.size} merges in $rounds driver rounds")
+          merges.size.toLong
+        }
+      }
+      docs.unpersist()
+      spark.stop()
+      return
+    }
+
+    // State-store provider A/B for the default-provider streaming block
+    // (round-9 VERDICT item #6): q90–q94 run HDFS-backed by default (the
+    // transformWithState queries q95/q97 REQUIRE RocksDB and can't flip).
+    // Measures RocksDB + changelog checkpointing vs the default for the
+    // sweep's heaviest default-provider queries; adopt only if the total
+    // drops (BASELINE.md records the decision either way).
+    if (section == "stream") {
+      val rocks =
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+      val hdfs =
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider"
+      val qs = Seq("q94_stream_join", "q91_stream_tumble",
+        "q92_stream_tumble_append", "q90_stream_unbounded_agg")
+      for (round <- 1 to 2) {
+        println(s"--- stream state-store round $round ---")
+        for ((label, provider, changelog) <- Seq(
+            ("hdfs-default", hdfs, "false"),
+            ("rocksdb+changelog", rocks, "true"))) {
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+          spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            changelog)
+          var total = 0.0
+          qs.foreach { q =>
+            val t0 = System.nanoTime()
+            val n = Registry.queries(q)(spark, sfDir).count()
+            val dt = (System.nanoTime() - t0) / 1e9
+            total += dt
+            println(f"[iterbench] $q%-28s [$label%-17s] $dt%6.2f s  (rows=$n)")
+          }
+          println(f"[iterbench] BLOCK TOTAL               [$label%-17s] $total%6.2f s")
+        }
+      }
+      spark.stop()
+      return
+    }
+
+    Registry.queries("qa2_graph_pagerank")(spark, sfDir).count()
 
     def withProfile(on: Boolean)(body: => Long): Long = {
       val old = sys.props.get("graft.loop.bigRows")

@@ -407,7 +407,14 @@ object TextPipeline {
           .cache()
         merged.count() // materialize before dropping the parent
         vocab.unpersist()
-        vocab = merged
+        // vocab-scale lineage truncation: each round's plan nests the
+        // previous round's, so at hundreds of merges analyzer work grows
+        // O(rounds^2) and plan-tree recursion risks the stack; an eager
+        // localCheckpoint every 16 rounds (reads the fresh cache, no
+        // recompute) keeps plans shallow with O(1) amortized cost
+        vocab = if (round % 16 == 0) {
+          val t = merged.localCheckpoint(true); merged.unpersist(); t
+        } else merged
       }
       merges.toSeq
     } finally vocab.unpersist()
@@ -501,7 +508,10 @@ object TextPipeline {
           .cache()
         merged.count() // materialize before dropping the parent
         vocab.unpersist()
-        vocab = merged
+        // same vocab-scale lineage truncation as [[bpeTrain]] (see there)
+        vocab = if (round % 16 == 0) {
+          val t = merged.localCheckpoint(true); merged.unpersist(); t
+        } else merged
       }
       merges.toSeq
     } finally vocab.unpersist()

@@ -291,5 +291,61 @@ object MiscQueries {
             (SELECT count(*) FROM part p2 WHERE p2.p_type = p.p_type)
           > (SELECT CAST(sum(CAST(round(p2.p_retailprice * 100) AS BIGINT)) AS BIGINT)
              FROM part p2 WHERE p2.p_type = p.p_type)"""),
+
+    // REAL image decode through the gate (round-9; upgrades the §2.12
+    // multimodal row from stub to real): a deterministic PNG per document
+    // (dims + every pixel component are pure functions of doc_id,
+    // Images.componentOf), scanned with Spark's ACTUAL image data source
+    // (mllib + JDK ImageIO — both on this classpath), metadata and the
+    // unsigned pixel-byte sum extracted with builtins only. The oracle
+    // recomputes all of it from the formulas, so PNG encode → container →
+    // ImageIO decode → image frame is verified bit-level end to end.
+    // BGR byte ORDER (which the order-independent sum can't see) is
+    // pinned by ImageSourceSpec.
+    Entry("qdf_image_decode",
+      (s, dir) => {
+        val imgDir = pngDirFromDocuments(s, dir)
+        graft.sources.Images.read(s, imgDir).select(
+          regexp_extract(col("image.origin"), "doc_(\\d+)\\.png$", 1)
+            .cast("long").as("doc_id"),
+          col("image.height").as("height"), col("image.width").as("width"),
+          col("image.nChannels").as("n_channels"), col("image.mode").as("mode"),
+          graft.sources.Images.byteSum(col("image.data")).as("byte_sum"))
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+        ), px AS (
+          SELECT doc_id, w, h, (doc_id + 3 * tx.x + 5 * ty.y + 11 * tc.c) % 256 AS v
+          FROM d
+          CROSS JOIN UNNEST(generate_series(0, w - 1)) AS tx(x)
+          CROSS JOIN UNNEST(generate_series(0, h - 1)) AS ty(y)
+          CROSS JOIN UNNEST(generate_series(0, 2)) AS tc(c)
+        )
+        SELECT doc_id, CAST(max(h) AS INT) AS height, CAST(max(w) AS INT) AS width,
+          CAST(3 AS INT) AS n_channels, CAST(16 AS INT) AS mode,
+          CAST(sum(v) AS BIGINT) AS byte_sum
+        FROM px GROUP BY doc_id""")),
   )
+
+  /** documents → deterministic PNG directory (cached per source mtime,
+    * the kafkaTopicFromEvents discipline): one doc_<id>.png per document,
+    * generated partition-local via ImageIO, atomic-move publish. */
+  private def pngDirFromDocuments(s: SparkSession, dir: String): String = {
+    val srcMtime = new java.io.File(Tables.path(dir, "documents")).lastModified()
+    val key = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL) + s"_$srcMtime"
+    val pngDir = new java.io.File(s"/tmp/graft_png_docs_$key")
+    if (!pngDir.exists()) {
+      val staging = new java.io.File(s"${pngDir.getPath}.staging_${System.nanoTime()}")
+      staging.mkdirs()
+      graft.sources.Images.pngsFromDocIds(
+        t(s, dir, "documents"), "doc_id", staging.getPath)
+      try java.nio.file.Files.move(staging.toPath, pngDir.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        org.apache.commons.io.FileUtils.deleteDirectory(staging) // lost a race
+      }
+    }
+    pngDir.getPath
+  }
 }

@@ -424,6 +424,45 @@ object StreamQueries {
         GROUP BY 1, 2
         ORDER BY c.win_start_us, p.event_type"""
       }),
+    // Kafka gate hardening (round-9 VERDICT item #7): APPEND-mode windowed
+    // aggregation through the SAME framed topic as qd8 — watermark +
+    // window-close semantics must survive the Kafka frame path (record
+    // CreateTime `timestamp` as event time, the production pattern), with
+    // the 2-file topic drained one fetch batch per micro-batch so the
+    // watermark genuinely advances across batches. Only windows whose end
+    // <= final watermark (max event time - 10 min) may appear; the oracle
+    // pins exactly that set.
+    Entry("qde_kafka_windowed",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import org.apache.spark.sql.types._
+        val topicDir = kafkaTopicFromEvents(s, dir)
+        val valueSchema = StructType(Seq(
+          StructField("event_type", StringType),
+          StructField("value_millis", LongType)))
+        val decoded = graft.sources.KafkaShaped.readStream(s, topicDir, maxFilesPerTrigger = 1)
+          .select(col("timestamp"),
+            graft.sources.KafkaShaped.decodeJson(valueSchema).as("v"))
+          .select(col("timestamp"), col("v.event_type"), col("v.value_millis"))
+        val agg = decoded
+          .withWatermark("timestamp", "10 minutes")
+          .groupBy(window(col("timestamp"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("value_millis")).as("sum_millis"))
+          .select(unix_micros(col("window.start")).as("win_start_us"),
+            col("event_type"), col("n"), col("sum_millis"))
+        run(agg, "append", "qde_sink")
+          .orderBy(col("win_start_us"), col("event_type"))
+      },
+      Some(s"""WITH wm AS (
+          SELECT epoch_ms(max(ts)) - 600000 AS watermark_ms FROM events
+        )
+        SELECT (epoch_us(ts) // $HourUs) * $HourUs AS win_start_us,
+          event_type, count(*) AS n,
+          CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_millis
+        FROM events, wm
+        GROUP BY 1, 2, wm.watermark_ms
+        HAVING ((win_start_us + $HourUs) / 1000) <= wm.watermark_ms
+        ORDER BY win_start_us, event_type""")),
   ) ++ Seq(avroGateEntry, jdbcGateEntry) // connector-gate batch twins of qd8
 
   // Avro scan through the gate: documents re-encoded as Avro container

@@ -1,0 +1,96 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** REAL image-column decode for multimodal pipelines (SURVEY §2 multimodal
+  * brief; upgrades the Multimodal stub row — reference anchor: the
+  * image/binary `InputFormat` family of SURVEY §2.1).
+  *
+  * Unlike the Kafka connector (jar absent → KafkaShaped contract), every
+  * layer here is genuinely available in this environment and therefore
+  * REAL, not stubbed:
+  *
+  *  - `spark.read.format("image").load(dir)` — Spark's image data source
+  *    (shipped in spark-mllib, on the classpath), which decodes via JDK
+  *    `javax.imageio.ImageIO` (PNG/JPEG/BMP/GIF decoders are part of
+  *    `java.desktop`, no external native libs);
+  *  - the produced frame is mllib `ImageSchema.columnSchema`:
+  *    {{{ image: struct<origin string, height int, width int,
+  *                      nChannels int, mode int, data binary> }}}
+  *    with `mode` the OpenCV type id (CV_8UC3 = 16, CV_8UC4 = 24,
+  *    CV_8UC1 = 0) and `data` the pixel bytes in **BGR(A) row-major**
+  *    order (pinned by ImageSourceSpec);
+  *  - decode runs partition-local inside the scan — payloads never touch
+  *    the driver, so the path scales like any other columnar source.
+  *
+  * For the correctness gate the corpus is a deterministic synthetic PNG
+  * set derived from `documents.doc_id` ([[pngsFromDocIds]]): dimensions
+  * and every pixel component are pure functions of the id, so a DuckDB
+  * oracle replays the decoded metadata AND the pixel-byte sum exactly —
+  * the encode → PNG container → ImageIO decode → Spark frame loop is
+  * verified bit-level end to end (PNG is lossless).
+  */
+object Images {
+
+  /** The exact schema `format("image")` exposes (mllib ImageSchema). */
+  val schema: StructType = StructType(Seq(StructField("image", StructType(Seq(
+    StructField("origin", StringType),
+    StructField("height", IntegerType),
+    StructField("width", IntegerType),
+    StructField("nChannels", IntegerType),
+    StructField("mode", IntegerType),
+    StructField("data", BinaryType))))))
+
+  /** OpenCV type id for 8-bit 3-channel (BGR) images. */
+  val CV_8UC3 = 16
+
+  /** Deterministic fixture formulas — shared by the PNG generator and the
+    * DuckDB oracle: an id-keyed image of `widthOf × heightOf` RGB pixels
+    * with component c (0=R,1=G,2=B) at (x, y) = (id + 3x + 5y + 11c) % 256. */
+  def widthOf(id: Long): Int = (4 + id % 5).toInt
+  def heightOf(id: Long): Int = (3 + id % 4).toInt
+  def componentOf(id: Long, x: Int, y: Int, c: Int): Int =
+    ((id + 3L * x + 5L * y + 11L * c) % 256L).toInt
+
+  /** Write one `doc_<id>.png` per input id into `outDir` (must exist) —
+    * partition-local ImageIO encode, no driver collection. Local-FS paths
+    * suit local mode; on a cluster the same bytes would go through a
+    * binary-file sink to DFS, the generator logic unchanged. */
+  def pngsFromDocIds(ids: DataFrame, idCol: String, outDir: String): Unit =
+    ids.select(col(idCol).cast("long")).foreachPartition {
+      (rows: Iterator[Row]) =>
+        rows.foreach { r =>
+          val id = r.getLong(0)
+          val (w, h) = (widthOf(id), heightOf(id))
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, (componentOf(id, x, y, 0) << 16) |
+                (componentOf(id, x, y, 1) << 8) | componentOf(id, x, y, 2))
+              x += 1
+            }
+            y += 1
+          }
+          javax.imageio.ImageIO.write(img, "png",
+            new java.io.File(outDir, s"doc_$id.png"))
+        }
+    }
+
+  /** The real image scan: mllib image source over a directory of files. */
+  def read(s: SparkSession, dir: String): DataFrame =
+    s.read.format("image").load(dir)
+
+  /** Sum of a binary column's bytes as unsigned ints — builtin-only
+    * composition (hex → 2-char groups → conv), stays in whole-stage
+    * codegen; order-independent, so it verifies pixel CONTENT without
+    * assuming channel layout (layout itself is spec-pinned). */
+  def byteSum(data: Column): Column = {
+    val hexPairs = regexp_extract_all(hex(data), lit(".."), lit(0))
+    aggregate(hexPairs, lit(0L), (acc, p) => acc + conv(p, 16, 10).cast("long"))
+  }
+}

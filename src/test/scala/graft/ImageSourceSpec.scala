@@ -1,0 +1,71 @@
+package graft
+
+import graft.sources.Images
+import org.apache.spark.sql.functions._
+
+/** Pins the REAL image-source contract (sources/Images.scala): the
+  * format("image") frame schema, the BGR row-major byte layout (which
+  * qdf's order-independent byte sum cannot see), decode losslessness for
+  * PNG, and the byteSum builtin composition. */
+class ImageSourceSpec extends SparkSpec {
+
+  private def writePng(dir: java.io.File, name: String,
+                       w: Int, h: Int)(rgb: (Int, Int) => Int): Unit = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    javax.imageio.ImageIO.write(img, "png", new java.io.File(dir, name))
+  }
+
+  test("format(\"image\") exposes the documented mllib frame schema") {
+    val dir = java.nio.file.Files.createTempDirectory("img_schema").toFile
+    writePng(dir, "one.png", 2, 2)((_, _) => 0x010203)
+    val df = Images.read(spark, dir.getPath)
+    assert(df.schema === Images.schema)
+  }
+
+  test("decode is BGR row-major and lossless for PNG") {
+    val dir = java.nio.file.Files.createTempDirectory("img_bgr").toFile
+    // 2x1: pixel (0,0) = r10 g20 b30, pixel (1,0) = r40 g50 b60
+    writePng(dir, "two.png", 2, 1)((x, _) =>
+      if (x == 0) (10 << 16) | (20 << 8) | 30 else (40 << 16) | (50 << 8) | 60)
+    val r = Images.read(spark, dir.getPath)
+      .select(col("image.height"), col("image.width"), col("image.nChannels"),
+        col("image.mode"), col("image.data")).head()
+    assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) === (1, 2, 3, Images.CV_8UC3))
+    // BGR within each pixel, pixels row-major left→right
+    assert(r.getAs[Array[Byte]](4).toSeq === Seq[Byte](30, 20, 10, 60, 50, 40))
+  }
+
+  test("generator formula roundtrips through PNG + ImageIO exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("img_gen").toFile
+    val ids = Seq(7L, 12L).toDF("doc_id")
+    Images.pngsFromDocIds(ids, "doc_id", dir.getPath)
+    val got = Images.read(spark, dir.getPath)
+      .select(regexp_extract(col("image.origin"), "doc_(\\d+)\\.png$", 1)
+          .cast("long").as("id"),
+        col("image.height"), col("image.width"), col("image.data"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getAs[Array[Byte]](3).toSeq))).toMap
+    for (id <- Seq(7L, 12L)) {
+      val (h, w, data) = got(id)
+      assert((h, w) === (Images.heightOf(id), Images.widthOf(id)))
+      // expected bytes: row-major pixels, BGR per pixel, exact components
+      val exp = for {
+        y <- 0 until h; x <- 0 until w; c <- Seq(2, 1, 0)
+      } yield Images.componentOf(id, x, y, c).toByte
+      assert(data === exp)
+    }
+  }
+
+  test("byteSum sums unsigned bytes via builtins only") {
+    import spark.implicits._
+    val df = Seq(Array[Byte](0, 1, -1, 127, -128), Array.emptyByteArray)
+      .toDF("b")
+    val got = df.select(Images.byteSum(col("b")).as("s"))
+      .as[Long].collect().toSeq.sorted
+    // unsigned: 0 + 1 + 255 + 127 + 128 = 511; empty = 0
+    assert(got === Seq(0L, 511L))
+  }
+}
