@@ -325,7 +325,105 @@ object MiscQueries {
           CAST(3 AS INT) AS n_channels, CAST(16 AS INT) AS mode,
           CAST(sum(v) AS BIGINT) AS byte_sum
         FROM px GROUP BY doc_id""")),
+
+    // REAL audio decode through the gate — the WAV sibling of qdf: a
+    // deterministic mono 16-bit PCM WAV per document, scanned with Spark's
+    // built-in binaryFile source, parsed partition-local with the ACTUAL
+    // JDK javax.sound.sampled decoder (header + every sample), and the
+    // oracle replays rate/frames/signed-sample-sum from the formulas —
+    // WAV encode → container → AudioSystem decode verified bit-level.
+    Entry("qdg_audio_decode",
+      (s, dir) => {
+        val wavDir = wavDirFromDocuments(s, dir)
+        graft.sources.Audio.decodeMeta(
+          graft.sources.Audio.readBinary(s, wavDir))
+          .select(regexp_extract(col("path"), "doc_(\\d+)\\.wav$", 1)
+              .cast("long").as("doc_id"),
+            col("sample_rate"), col("n_channels"), col("n_frames"),
+            col("sample_sum"))
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, 8000 + (doc_id % 3) * 4000 AS rate,
+            50 + doc_id % 20 AS nf
+          FROM documents
+        ), s AS (
+          SELECT doc_id, rate, nf,
+            ((31 * doc_id + 7 * t.i) % 65536) - 32768 AS v
+          FROM d CROSS JOIN UNNEST(generate_series(0, nf - 1)) AS t(i)
+        )
+        SELECT doc_id, CAST(max(rate) AS INT) AS sample_rate,
+          CAST(1 AS INT) AS n_channels, CAST(max(nf) AS BIGINT) AS n_frames,
+          CAST(sum(v) AS BIGINT) AS sample_sum
+        FROM s GROUP BY doc_id""")),
+
+    // REAL video-container metadata through the gate — the third modality:
+    // a minimal-but-valid ISO BMFF (MP4) box tree per document (ftyp +
+    // moov(mvhd, trak(tkhd)), written byte-level big-endian), scanned via
+    // binaryFile and parsed with a real atom-walker (u32 size + fourcc,
+    // container descent, version-aware offsets — the walk every MP4 probe
+    // performs; no codec, which the metadata stage doesn't need). Oracle
+    // replays all fields incl. the integer duration_ms division.
+    Entry("qdh_video_meta",
+      (s, dir) => {
+        val mp4Dir = mp4DirFromDocuments(s, dir)
+        graft.sources.Video.decodeMeta(
+          graft.sources.Video.readBinary(s, mp4Dir))
+          .select(regexp_extract(col("path"), "doc_(\\d+)\\.mp4$", 1)
+              .cast("long").as("doc_id"),
+            col("timescale"), col("duration_ticks"), col("duration_ms"),
+            col("width"), col("height"))
+      },
+      Some("""SELECT doc_id,
+          CAST(600 + (doc_id % 5) * 300 AS INT) AS timescale,
+          CAST(1200 + doc_id % 800 AS INT) AS duration_ticks,
+          CAST((1200 + doc_id % 800) * 1000 // (600 + (doc_id % 5) * 300)
+            AS BIGINT) AS duration_ms,
+          CAST(160 + (doc_id % 8) * 40 AS INT) AS width,
+          CAST(120 + (doc_id % 6) * 40 AS INT) AS height
+        FROM documents""")),
   )
+
+  /** documents → deterministic MP4 directory (same discipline as
+    * [[pngDirFromDocuments]]). */
+  private def mp4DirFromDocuments(s: SparkSession, dir: String): String = {
+    val srcMtime = new java.io.File(Tables.path(dir, "documents")).lastModified()
+    val key = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL) + s"_$srcMtime"
+    val mp4Dir = new java.io.File(s"/tmp/graft_mp4_docs_$key")
+    if (!mp4Dir.exists()) {
+      val staging = new java.io.File(s"${mp4Dir.getPath}.staging_${System.nanoTime()}")
+      staging.mkdirs()
+      graft.sources.Video.mp4sFromDocIds(
+        t(s, dir, "documents"), "doc_id", staging.getPath)
+      try java.nio.file.Files.move(staging.toPath, mp4Dir.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        org.apache.commons.io.FileUtils.deleteDirectory(staging) // lost a race
+      }
+    }
+    mp4Dir.getPath
+  }
+
+  /** documents → deterministic WAV directory (same discipline as
+    * [[pngDirFromDocuments]]). */
+  private def wavDirFromDocuments(s: SparkSession, dir: String): String = {
+    val srcMtime = new java.io.File(Tables.path(dir, "documents")).lastModified()
+    val key = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL) + s"_$srcMtime"
+    val wavDir = new java.io.File(s"/tmp/graft_wav_docs_$key")
+    if (!wavDir.exists()) {
+      val staging = new java.io.File(s"${wavDir.getPath}.staging_${System.nanoTime()}")
+      staging.mkdirs()
+      graft.sources.Audio.wavsFromDocIds(
+        t(s, dir, "documents"), "doc_id", staging.getPath)
+      try java.nio.file.Files.move(staging.toPath, wavDir.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        org.apache.commons.io.FileUtils.deleteDirectory(staging) // lost a race
+      }
+    }
+    wavDir.getPath
+  }
 
   /** documents → deterministic PNG directory (cached per source mtime,
     * the kafkaTopicFromEvents discipline): one doc_<id>.png per document,

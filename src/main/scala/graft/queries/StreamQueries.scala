@@ -384,12 +384,17 @@ object StreamQueries {
           .select(unix_micros(col("window.start")).as("win_start_us"),
             col("cm_row"), col("cm_bucket"), col("cm_cnt"))
         val sunk = run(counters, "append", "qdc_sink")
-        // bounded driver collect: one long per CLOSED window (a handful) —
-        // the group universe for the lookup, detached from the sink's
-        // lineage (self-joining the memory sink trips attribute conflicts)
-        import s.implicits._
-        val wins = sunk.select(col("win_start_us")).distinct()
-          .collect().map(_.getLong(0)).toSeq.toDF("win_start_us")
+        // group universe = closed windows, derived from the sink WITHOUT a
+        // driver collect (round-9; replaces the round-8 bounded collect).
+        // A memory-sink table exposes FIXED attribute ids (MemoryPlan
+        // output), so both direct self-join and a second s.table() read
+        // trip analyzer attribute-conflict (measured this round; the View/
+        // MemoryPlan leaf is not rewritten by DeduplicateRelations). The
+        // RDD boundary mints fresh ids while keeping the derivation in the
+        // distributed API — and is memory-sink-only scaffolding: a real
+        // sink (parquet/Kafka) re-scans with fresh ids and needs neither.
+        val winsRows = sunk.select(col("win_start_us")).distinct()
+        val wins = s.createDataFrame(winsRows.rdd, winsRows.schema)
         val probes = graft.Tables.events(s, dir).select(col("event_type"))
         graft.operators.Sketches.cmLookupPerGroup(sunk, wins, Seq("win_start_us"),
           probes, "event_type", w, d)

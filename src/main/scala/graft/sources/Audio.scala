@@ -1,0 +1,106 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** REAL audio-column decode for multimodal pipelines — the audio sibling
+  * of [[Images]] (SURVEY §2 multimodal brief). Everything here is
+  * genuinely available and REAL, no stubs:
+  *
+  *  - WAV container encode/decode via JDK `javax.sound.sampled`
+  *    (`AudioSystem` — part of `java.desktop`, headless-safe, no native
+  *    audio device touched for file parsing);
+  *  - the scan is Spark's built-in `binaryFile` source (path, length,
+  *    content), the canonical pattern for opaque media columns: bytes
+  *    stay columnar, decode runs partition-local via `mapPartitions`,
+  *    payloads never touch the driver.
+  *
+  * The gate corpus is a deterministic synthetic PCM WAV per document
+  * ([[wavsFromDocIds]]): sample rate, frame count, and every 16-bit
+  * sample are pure functions of the id, so a DuckDB oracle replays the
+  * decoded header fields AND the signed sample sum exactly — encode →
+  * WAV container → AudioSystem decode → Spark rows verified bit-level
+  * (PCM is lossless).
+  */
+object Audio {
+
+  /** Deterministic fixture formulas — shared by the WAV generator and the
+    * DuckDB oracle: mono 16-bit PCM, id-keyed. */
+  def sampleRateOf(id: Long): Int = (8000 + (id % 3) * 4000).toInt
+  def framesOf(id: Long): Int = (50 + id % 20).toInt
+  /** Signed 16-bit sample i: ((31·id + 7·i) mod 2^16) − 2^15. */
+  def sampleOf(id: Long, i: Int): Int =
+    (((31L * id + 7L * i) % 65536L) - 32768L).toInt
+
+  private def pcmFormat(rate: Float) =
+    new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false) // 16-bit mono signed LE
+
+  /** Write one `doc_<id>.wav` per input id into `outDir` (must exist) —
+    * partition-local AudioSystem encode, no driver collection. */
+  def wavsFromDocIds(ids: DataFrame, idCol: String, outDir: String): Unit =
+    ids.select(col(idCol).cast("long")).foreachPartition {
+      (rows: Iterator[Row]) =>
+        rows.foreach { r =>
+          val id = r.getLong(0)
+          val n = framesOf(id)
+          val bytes = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val v = sampleOf(id, i)
+            bytes(2 * i) = (v & 0xff).toByte          // little-endian
+            bytes(2 * i + 1) = ((v >> 8) & 0xff).toByte
+            i += 1
+          }
+          val in = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(bytes),
+            pcmFormat(sampleRateOf(id).toFloat), n.toLong)
+          javax.sound.sampled.AudioSystem.write(in,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE,
+            new java.io.File(outDir, s"doc_$id.wav"))
+        }
+    }
+
+  /** The real binary scan: Spark's binaryFile source over .wav files. */
+  def readBinary(s: SparkSession, dir: String): DataFrame =
+    s.read.format("binaryFile").option("pathGlobFilter", "*.wav").load(dir)
+
+  /** Decode one WAV container's bytes via AudioSystem: (sampleRate,
+    * channels, frames, signed-sample sum). Pure function of the bytes. */
+  def decodeWav(bytes: Array[Byte]): (Int, Int, Long, Long) = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
+        s"gate fixtures are 16-bit LE PCM, got $fmt")
+      val data = in.readAllBytes()
+      var sum = 0L
+      var i = 0
+      while (i + 1 < data.length) {
+        sum += ((data(i) & 0xff) | (data(i + 1) << 8)).toShort.toLong
+        i += 2
+      }
+      (fmt.getSampleRate.toInt, fmt.getChannels, in.getFrameLength, sum)
+    } finally in.close()
+  }
+
+  private val metaSchema = StructType(Seq(
+    StructField("path", StringType), StructField("sample_rate", IntegerType),
+    StructField("n_channels", IntegerType), StructField("n_frames", LongType),
+    StructField("sample_sum", LongType)))
+
+  /** Partition-local batched decode of a binaryFile frame — the real
+    * AudioSystem parse runs inside the executors, one pass, no driver
+    * collection (the contract [[graft.operators.Multimodal]] stubs,
+    * made real for WAV). */
+  def decodeMeta(binary: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(metaSchema)
+    binary.select("path", "content").mapPartitions { rows =>
+      rows.map { r =>
+        val (rate, ch, frames, sum) = decodeWav(r.getAs[Array[Byte]]("content"))
+        Row(r.getAs[String]("path"), rate, ch, frames, sum)
+      }
+    }(enc)
+  }
+}
