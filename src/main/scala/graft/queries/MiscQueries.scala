@@ -381,6 +381,42 @@ object MiscQueries {
           CAST(160 + (doc_id % 8) * 40 AS INT) AS width,
           CAST(120 + (doc_id % 6) * 40 AS INT) AS height
         FROM documents""")),
+
+    // MP4 sample tables (stbl — ISO 14496-12 §8.5–§8.7), the structures a
+    // demuxer walks to SEEK: stts run-length time-to-sample decode (two
+    // runs per fixture, so the run-length path is really exercised), stsz
+    // per-sample sizes, stss sync samples, stco chunk offsets. The oracle
+    // replays the whole decode — run expansion, per-sample size formula,
+    // ceil-division keyframe count — from the id-derived fixture formulas.
+    Entry("qdj_video_sample_table",
+      (s, dir) => {
+        val mp4Dir = mp4DirFromDocuments(s, dir)
+        graft.sources.Video.decodeSamples(
+          graft.sources.Video.readBinary(s, mp4Dir))
+          .select(regexp_extract(col("path"), "doc_(\\d+)\\.mp4$", 1)
+              .cast("long").as("doc_id"),
+            col("n_samples"), col("duration_ticks"), col("total_bytes"),
+            col("max_sample_size"), col("n_keyframes"), col("chunk_offset"))
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, 8 + doc_id % 17 AS n, 100 + doc_id % 50 AS d1,
+            200 + doc_id % 30 AS d2, 2 + doc_id % 3 AS k
+          FROM documents
+        ), sz AS (
+          SELECT doc_id, 500 + (doc_id * 31 + t.i * 7) % 997 AS v
+          FROM d CROSS JOIN UNNEST(generate_series(1, n)) AS t(i)
+        ), agg AS (
+          SELECT doc_id, CAST(sum(v) AS BIGINT) AS total_bytes,
+            CAST(max(v) AS INT) AS max_sample_size
+          FROM sz GROUP BY doc_id
+        )
+        SELECT d.doc_id, CAST(n AS INT) AS n_samples,
+          CAST(((n + 1) // 2) * d1 + (n - (n + 1) // 2) * d2 AS BIGINT)
+            AS duration_ticks,
+          agg.total_bytes, agg.max_sample_size,
+          CAST((n + k - 1) // k AS INT) AS n_keyframes,
+          CAST(4096 + doc_id % 512 AS BIGINT) AS chunk_offset
+        FROM d JOIN agg USING (doc_id)""")),
   )
 
   /** documents → deterministic MP4 directory (same discipline as
@@ -389,7 +425,10 @@ object MiscQueries {
     val srcMtime = new java.io.File(Tables.path(dir, "documents")).lastModified()
     val key = java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL) + s"_$srcMtime"
-    val mp4Dir = new java.io.File(s"/tmp/graft_mp4_docs_$key")
+    // fixture layout version in the key: a writeMp4 change (e.g. the v2
+    // stbl sample tables) must invalidate fixtures cached by older builds
+    val mp4Dir = new java.io.File(
+      s"/tmp/graft_mp4v${graft.sources.Video.FixtureVersion}_docs_$key")
     if (!mp4Dir.exists()) {
       val staging = new java.io.File(s"${mp4Dir.getPath}.staging_${System.nanoTime()}")
       staging.mkdirs()

@@ -1182,5 +1182,20 @@ object StatefulStreamQueries {
           id_first + mid_last_sum AS sum_last,
           id_signup, epoch_us(ets) AS start_ts_us, epoch_us(sts) AS end_ts_us
         FROM kk""")),
+
+    // Queryable state (reference: QueryableStateClient.java /
+    // KeyedStream.asQueryableState — SURVEY §2.10): run a keyed
+    // flatMapGroupsWithState running aggregate against a PERSISTENT
+    // checkpoint, then answer the "query" OUT-OF-BAND by reading the keyed
+    // state store itself via Spark's State Data Source — the returned frame
+    // comes from `format("statestore")`, not from the streaming sink. The
+    // last committed batch's state per key must equal the batch aggregate.
+    Entry("qdi_queryable_state",
+      (s, dir) => graft.streaming.QueryableState.stateFrame(s, dir)
+        .orderBy("user_id"),
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS sum_millis
+        FROM events GROUP BY user_id ORDER BY user_id"""),
+      prepare = Some((s, dir) => { graft.streaming.QueryableState.materialize(s, dir); () })),
   )
 }

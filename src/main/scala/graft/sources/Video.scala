@@ -29,11 +29,27 @@ import org.apache.spark.sql.types._
   */
 object Video {
 
+  /** Bumped whenever [[writeMp4]]'s byte layout changes — cached fixture
+    * directories embed it so stale layouts can't be read by newer parsers.
+    * v2: added mdia(mdhd, minf(stbl(stts/stsz/stss/stsc/stco))). */
+  val FixtureVersion = 2
+
   /** Deterministic fixture formulas — shared by generator and oracle. */
   def timescaleOf(id: Long): Int = (600 + (id % 5) * 300).toInt
   def durationTicksOf(id: Long): Int = (1200 + id % 800).toInt
   def widthOf(id: Long): Int = (160 + (id % 8) * 40).toInt
   def heightOf(id: Long): Int = (120 + (id % 6) * 40).toInt
+
+  // -- sample-table (stbl) fixture formulas, all id-derived ------------
+  def nSamplesOf(id: Long): Int = (8 + id % 17).toInt
+  /** stts run 1: first ceil(n/2) samples at this delta. */
+  def delta1Of(id: Long): Int = (100 + id % 50).toInt
+  /** stts run 2: remaining samples at this delta. */
+  def delta2Of(id: Long): Int = (200 + id % 30).toInt
+  def sampleSizeOf(id: Long, i: Int): Int = (500 + (id * 31 + i * 7) % 997).toInt
+  /** Sync-sample stride: samples 1, 1+k, 1+2k, … are keyframes. */
+  def syncStrideOf(id: Long): Int = (2 + id % 3).toInt
+  def chunkOffsetOf(id: Long): Long = 4096L + id % 512
 
   private def box(tag: String, payload: Array[Byte]): Array[Byte] = {
     val b = java.nio.ByteBuffer.allocate(8 + payload.length)
@@ -82,7 +98,61 @@ object Video {
       b.putInt(heightOf(id) << 16)     // height, 16.16 fixed
       b.array()
     })
-    ftyp ++ box("moov", mvhd ++ box("trak", tkhd))
+    ftyp ++ box("moov", mvhd ++ box("trak", tkhd ++ mdiaOf(id)))
+  }
+
+  /** `mdia(mdhd, minf(stbl(stts, stsz, stss, stsc, stco)))` — the sample
+    * tables every real demuxer walks to locate frames (ISO 14496-12 §8.5–
+    * §8.7). All entries id-derived so a SQL oracle replays the decode. */
+  private def mdiaOf(id: Long): Array[Byte] = {
+    val n = nSamplesOf(id)
+    val c1 = (n + 1) / 2
+    val mdhd = box("mdhd", {
+      val b = java.nio.ByteBuffer.allocate(24)
+      b.putInt(0)                      // version 0 + flags
+      b.putInt(0).putInt(0)            // creation/modification time
+      b.putInt(timescaleOf(id))
+      b.putInt(c1 * delta1Of(id) + (n - c1) * delta2Of(id))
+      b.putShort(0x55c4.toShort)       // language 'und'
+      b.putShort(0)                    // pre_defined
+      b.array()
+    })
+    val stts = box("stts", {
+      val runs = if (n - c1 > 0) Seq((c1, delta1Of(id)), (n - c1, delta2Of(id)))
+                 else Seq((c1, delta1Of(id)))
+      val b = java.nio.ByteBuffer.allocate(8 + 8 * runs.length)
+      b.putInt(0); b.putInt(runs.length)
+      runs.foreach { case (c, d) => b.putInt(c); b.putInt(d) }
+      b.array()
+    })
+    val stsz = box("stsz", {
+      val b = java.nio.ByteBuffer.allocate(12 + 4 * n)
+      b.putInt(0); b.putInt(0)         // ver/flags; sample_size=0 → per-sample
+      b.putInt(n)
+      (1 to n).foreach(i => b.putInt(sampleSizeOf(id, i)))
+      b.array()
+    })
+    val stss = box("stss", {
+      val k = syncStrideOf(id)
+      val syncs = 1 to n by k
+      val b = java.nio.ByteBuffer.allocate(8 + 4 * syncs.length)
+      b.putInt(0); b.putInt(syncs.length)
+      syncs.foreach(b.putInt)
+      b.array()
+    })
+    val stsc = box("stsc", {
+      val b = java.nio.ByteBuffer.allocate(20)
+      b.putInt(0); b.putInt(1)
+      b.putInt(1); b.putInt(n); b.putInt(1) // first_chunk, samples/chunk, sdi
+      b.array()
+    })
+    val stco = box("stco", {
+      val b = java.nio.ByteBuffer.allocate(12)
+      b.putInt(0); b.putInt(1)
+      b.putInt(chunkOffsetOf(id).toInt)
+      b.array()
+    })
+    box("mdia", mdhd ++ box("minf", box("stbl", stts ++ stsz ++ stss ++ stsc ++ stco)))
   }
 
   /** Parsed container metadata. */
@@ -92,20 +162,25 @@ object Video {
   /** Real ISO-BMFF atom walk: iterate sibling boxes (u32 size + fourcc),
     * descend containers, read mvhd/tkhd fields at version-aware offsets.
     * Throws on malformed sizes — corrupt media must be loud, not silent. */
+  /** Sibling-box walk over `[from, until)`: u32 size + fourcc per box.
+    * Throws on malformed sizes — corrupt media must be loud, not silent. */
+  private def boxChildren(bytes: Array[Byte], from: Int, until: Int): Seq[(String, Int, Int)] = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    var off = from
+    val out = Seq.newBuilder[(String, Int, Int)]
+    while (off + 8 <= until) {
+      val size = buf.getInt(off)
+      require(size >= 8 && off + size <= until, s"malformed box size $size @$off")
+      val tag = new String(bytes, off + 4, 4, "US-ASCII")
+      out += ((tag, off + 8, off + size))
+      off += size
+    }
+    out.result()
+  }
+
   def parseMp4(bytes: Array[Byte]): Mp4Meta = {
     val buf = java.nio.ByteBuffer.wrap(bytes) // big-endian by default
-    def children(from: Int, until: Int): Seq[(String, Int, Int)] = {
-      var off = from
-      val out = Seq.newBuilder[(String, Int, Int)]
-      while (off + 8 <= until) {
-        val size = buf.getInt(off)
-        require(size >= 8 && off + size <= until, s"malformed box size $size @$off")
-        val tag = new String(bytes, off + 4, 4, "US-ASCII")
-        out += ((tag, off + 8, off + size))
-        off += size
-      }
-      out.result()
-    }
+    def children(from: Int, until: Int) = boxChildren(bytes, from, until)
     val moov = children(0, bytes.length)
       .collectFirst { case ("moov", s, e) => (s, e) }
       .getOrElse(sys.error("no moov box"))
@@ -125,6 +200,81 @@ object Video {
     val width = buf.getInt(tkhdE - 8) >>> 16
     val height = buf.getInt(tkhdE - 4) >>> 16
     Mp4Meta(timescale, duration, width, height)
+  }
+
+  /** Decoded sample-table aggregates (stbl — ISO 14496-12 §8.5–§8.7). */
+  final case class Mp4Samples(nSamples: Int, durationTicks: Long,
+                              totalBytes: Long, maxSize: Int,
+                              nKeyframes: Int, chunkOffset: Long)
+
+  /** Real stbl decode: walk moov/trak/mdia/minf/stbl, then
+    *  - `stts`: run-length (count, delta) pairs → sample count + total
+    *    decode duration (the demuxer's timestamp ladder);
+    *  - `stsz`: per-sample byte sizes (uniform-size short form honored);
+    *  - `stss`: sync-sample (keyframe) numbers;
+    *  - `stco`: chunk offsets (first one returned — seek base).
+    * This is the exact walk a frame-seeking reader performs before it
+    * touches any codec. */
+  def parseSamples(bytes: Array[Byte]): Mp4Samples = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    def one(tag: String, cs: Seq[(String, Int, Int)]): (Int, Int) =
+      cs.collectFirst { case (`tag`, s, e) => (s, e) }
+        .getOrElse(sys.error(s"no $tag box"))
+    val moov = one("moov", boxChildren(bytes, 0, bytes.length))
+    val trak = one("trak", boxChildren(bytes, moov._1, moov._2))
+    val mdia = one("mdia", boxChildren(bytes, trak._1, trak._2))
+    val minf = one("minf", boxChildren(bytes, mdia._1, mdia._2))
+    val stblSpan = one("stbl", boxChildren(bytes, minf._1, minf._2))
+    val stbl = boxChildren(bytes, stblSpan._1, stblSpan._2)
+
+    val (sttsS, _) = one("stts", stbl)
+    val nRuns = buf.getInt(sttsS + 4)
+    var n = 0; var dur = 0L
+    (0 until nRuns).foreach { i =>
+      val c = buf.getInt(sttsS + 8 + i * 8)
+      val d = buf.getInt(sttsS + 12 + i * 8)
+      n += c; dur += c.toLong * d
+    }
+
+    val (stszS, _) = one("stsz", stbl)
+    val uniform = buf.getInt(stszS + 4)
+    val count = buf.getInt(stszS + 8)
+    require(count == n, s"stsz count $count != stts sample count $n")
+    var total = 0L; var maxSz = 0
+    if (uniform != 0) { total = uniform.toLong * count; maxSz = uniform }
+    else (0 until count).foreach { i =>
+      val sz = buf.getInt(stszS + 12 + i * 4)
+      total += sz; if (sz > maxSz) maxSz = sz
+    }
+
+    val (stssS, _) = one("stss", stbl)
+    val nSync = buf.getInt(stssS + 4)
+
+    val (stcoS, _) = one("stco", stbl)
+    require(buf.getInt(stcoS + 4) >= 1, "empty stco")
+    val off0 = buf.getInt(stcoS + 8).toLong & 0xffffffffL
+
+    Mp4Samples(n, dur, total, maxSz, nSync, off0)
+  }
+
+  private val samplesSchema = StructType(Seq(
+    StructField("path", StringType), StructField("n_samples", IntegerType),
+    StructField("duration_ticks", LongType),
+    StructField("total_bytes", LongType),
+    StructField("max_sample_size", IntegerType),
+    StructField("n_keyframes", IntegerType),
+    StructField("chunk_offset", LongType)))
+
+  /** Partition-local batched stbl walk over a binaryFile frame. */
+  def decodeSamples(binary: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(samplesSchema)
+    binary.select("path", "content").mapPartitions { rows =>
+      rows.map { r =>
+        val m = parseSamples(r.getAs[Array[Byte]]("content"))
+        Row(r.getAs[String]("path"), m.nSamples, m.durationTicks,
+          m.totalBytes, m.maxSize, m.nKeyframes, m.chunkOffset)
+      }
+    }(enc)
   }
 
   /** Write one `doc_<id>.mp4` per input id into `outDir` (must exist) —

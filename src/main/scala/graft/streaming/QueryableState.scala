@@ -1,0 +1,120 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Queryable state (reference: flink-runtime/.../query/QueryableStateClient
+  * .java; `KeyedStream.asQueryableState` — SURVEY.md §2.10, previously a
+  * documented non-goal): Flink exposes keyed operator state to out-of-band
+  * point lookups while the job runs. The Spark-native shape is stronger on
+  * one axis and weaker on another, and both are deliberate:
+  *
+  *  - The state ALREADY lives in a durable, versioned store (the streaming
+  *    checkpoint). Spark 4's State Data Source (`format("statestore")`)
+  *    reads it back as a DataFrame — so instead of a bespoke RPC client
+  *    doing one-key lookups, the "query" side gets the full relational
+  *    surface (filter/join/aggregate over every key's state, at any
+  *    committed batch via `batchId`), runnable from ANY Spark session with
+  *    access to the checkpoint path.
+  *  - Reads see the last COMMITTED batch, not the mid-batch value — the
+  *    same weak-consistency contract Flink documents for queryable state
+  *    (values may be stale w.r.t. in-flight processing).
+  *
+  * The stateful operator here is a per-key running aggregate over the
+  * events table built on `flatMapGroupsWithState` (the
+  * `KeyValueGroupedDataset` GroupState API — the older sibling of the
+  * `transformWithState` surface the rest of §2.10 uses, so this also pins
+  * that API variant executably). State per key: (n, sumMillis).
+  *
+  * At 100 TB scale: the checkpoint is on shared storage (S3/HDFS), state is
+  * partitioned by key hash across `spark.sql.shuffle.partitions` stores, and
+  * the offline reader parallelizes per store partition — no single-node
+  * state download, no driver collect. Reading N keys' state is a pruned
+  * scan, not N RPCs.
+  */
+object QueryableState {
+
+  /** Per-key state: event count + millis-quantized value sum. */
+  case class AggState(n: Long, sumMillis: Long)
+
+  /** Update-mode output row (also what the sink would see). */
+  case class KeyAgg(key: Long, n: Long, sumMillis: Long)
+
+  /** Checkpoint cache dir, keyed by source-dir hash + events mtime (a
+    * regenerated fixture gets a fresh checkpoint, distinct dirs never
+    * collide — same regime as StatefulStreamQueries.multiBatchEvents). */
+  def checkpointDir(srcDir: String): java.io.File = {
+    val mtime = new java.io.File(Tables.path(srcDir, "events")).lastModified()
+    val key = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(srcDir).toLong & 0xffffffffL) +
+      s"_$mtime"
+    new java.io.File(s"/tmp/graft_qstate_$key")
+  }
+
+  private def doneMarker(ckpt: java.io.File) = new java.io.File(ckpt, "_QS_DONE")
+
+  /** Run the stateful query to completion against a persistent checkpoint
+    * (idempotent: a completed checkpoint is reused; a partial one — crash
+    * mid-run — is discarded and rebuilt, `_QS_DONE` being the only
+    * completeness signal). Returns the checkpoint path. */
+  def materialize(s: SparkSession, dir: String): String = synchronized {
+    val ckpt = checkpointDir(dir)
+    if (doneMarker(ckpt).exists()) return ckpt.getPath
+    if (ckpt.exists()) org.apache.commons.io.FileUtils.deleteDirectory(ckpt)
+
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import s.implicits._
+    val schema = s.read.parquet(Tables.path(dir, "events")).schema
+    val src = s.readStream.schema(schema).parquet(s"$dir/events*.parquet")
+      .select(col("user_id").as("key"),
+        round(col("value") * 1000).cast("long").as("valueMillis"))
+      .as[(Long, Long)]
+
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    try {
+      val out = src.groupByKey(_._1)
+        .flatMapGroupsWithState[AggState, KeyAgg](
+          OutputMode.Update, GroupStateTimeout.NoTimeout) {
+          (key: Long, rows: Iterator[(Long, Long)], state: GroupState[AggState]) =>
+            val prev = state.getOption.getOrElse(AggState(0L, 0L))
+            var n = prev.n; var sm = prev.sumMillis
+            rows.foreach { r => n += 1; sm += r._2 }
+            state.update(AggState(n, sm))
+            Iterator.single(KeyAgg(key, n, sm))
+        }
+      val q = out.writeStream.outputMode("update").format("noop")
+        .option("checkpointLocation", ckpt.getPath).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+
+    doneMarker(ckpt).createNewFile()
+    ckpt.getPath
+  }
+
+  /** The queryable-state read: keyed state from the last committed batch,
+    * as `(user_id, n_events, sum_millis)` — one row per key with live
+    * state. Runs from any session that can see the checkpoint. */
+  def stateFrame(s: SparkSession, dir: String): DataFrame = {
+    val ckpt = materialize(s, dir)
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // The offline reader may run in a session where no streaming query ever
+    // started, so the StateStoreCoordinator RPC endpoint doesn't exist;
+    // snapshot-lag reporting would try to reach it from the provider's
+    // load path and fail. Reporting is a streaming-job health metric —
+    // meaningless for a read-only scan — so disable it for the read.
+    s.conf.set("spark.sql.streaming.stateStore.coordinatorReportSnapshotUploadLag", "false")
+    s.read.format("statestore").load(ckpt)
+      .select(col("key.value").as("user_id"),
+        // flatMapGroupsWithState state rows nest the user type under a
+        // `groupState` wrapper struct (state-v2 format)
+        col("value.groupState.n").as("n_events"),
+        col("value.groupState.sumMillis").as("sum_millis"))
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import graft.streaming.QueryableState
+import org.apache.spark.sql.functions._
+
+/** Queryable state via the State Data Source: the keyed state written by the
+  * flatMapGroupsWithState running aggregate, read back OFFLINE from the
+  * checkpoint, must equal the batch aggregate — and the read must come from
+  * `format("statestore")`, not the sink. */
+class QueryableStateSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("state read from checkpoint equals the batch aggregate") {
+    val got = QueryableState.stateFrame(spark, dir)
+      .orderBy("user_id").collect()
+    val want = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 1000).cast("long")).as("sum_millis"))
+      .orderBy("user_id").collect()
+    assert(got.length == want.length && got.length > 0)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(0) == w.getLong(0), "user_id")
+      assert(g.getLong(1) == w.getLong(1), s"n_events for user ${g.getLong(0)}")
+      assert(g.getLong(2) == w.getLong(2), s"sum_millis for user ${g.getLong(0)}")
+    }
+  }
+
+  test("materialize is idempotent: second call reuses the completed checkpoint") {
+    val p1 = QueryableState.materialize(spark, dir)
+    val m1 = new java.io.File(p1, "_QS_DONE").lastModified()
+    val p2 = QueryableState.materialize(spark, dir)
+    assert(p1 == p2)
+    assert(new java.io.File(p2, "_QS_DONE").lastModified() == m1,
+      "second materialize must not rebuild the checkpoint")
+  }
+
+  test("reader exposes per-partition provenance (partition_id), state is hash-partitioned") {
+    val raw = spark.read.format("statestore")
+      .load(QueryableState.materialize(spark, dir))
+    assert(raw.columns.contains("partition_id"))
+    val nParts = raw.select("partition_id").distinct().count()
+    assert(nParts > 1, s"expected state spread across >1 store partition, got $nParts")
+  }
+}

@@ -31,6 +31,58 @@ class VideoSourceSpec extends SparkSpec {
     intercept[RuntimeException](Video.parseMp4(Array[Byte](0, 0, 0, 8, 'f', 'r', 'e', 'e')))
   }
 
+  test("stbl sample tables decode back to the fixture formulas (run-length stts)") {
+    for (id <- Seq(0L, 3L, 16L, 123L, 4999L)) {
+      val sm = Video.parseSamples(Video.writeMp4(id))
+      val n = Video.nSamplesOf(id); val c1 = (n + 1) / 2
+      assert(sm.nSamples === n)
+      assert(sm.durationTicks ===
+        c1.toLong * Video.delta1Of(id) + (n - c1).toLong * Video.delta2Of(id))
+      val sizes = (1 to n).map(Video.sampleSizeOf(id, _))
+      assert(sm.totalBytes === sizes.map(_.toLong).sum)
+      assert(sm.maxSize === sizes.max)
+      assert(sm.nKeyframes === (1 to n by Video.syncStrideOf(id)).size)
+      assert(sm.chunkOffset === Video.chunkOffsetOf(id))
+    }
+  }
+
+  test("uniform-size stsz short form is honored") {
+    // hand-build a tree whose stsz uses sample_size != 0 (no per-sample list)
+    def box(tag: String, p: Array[Byte]) = {
+      val b = java.nio.ByteBuffer.allocate(8 + p.length)
+      b.putInt(8 + p.length); b.put(tag.getBytes("US-ASCII")); b.put(p); b.array()
+    }
+    def full(ints: Int*) = {
+      val b = java.nio.ByteBuffer.allocate(4 * ints.length)
+      ints.foreach(b.putInt); b.array()
+    }
+    val stbl = box("stts", full(0, 1, 5, 40)) ++      // 5 samples @40 ticks
+      box("stsz", full(0, 777, 5)) ++                 // uniform 777 bytes
+      box("stss", full(0, 2, 1, 4)) ++
+      box("stco", full(0, 1, 9999))
+    val tree = box("moov", box("trak", box("mdia",
+      box("minf", box("stbl", stbl)))))
+    val sm = Video.parseSamples(tree)
+    assert(sm === Video.Mp4Samples(5, 200L, 5L * 777, 777, 2, 9999L))
+  }
+
+  test("stsz/stts sample-count disagreement is loud") {
+    def box(tag: String, p: Array[Byte]) = {
+      val b = java.nio.ByteBuffer.allocate(8 + p.length)
+      b.putInt(8 + p.length); b.put(tag.getBytes("US-ASCII")); b.put(p); b.array()
+    }
+    def full(ints: Int*) = {
+      val b = java.nio.ByteBuffer.allocate(4 * ints.length)
+      ints.foreach(b.putInt); b.array()
+    }
+    val stbl = box("stts", full(0, 1, 5, 40)) ++
+      box("stsz", full(0, 0, 3, 10, 20, 30)) ++       // 3 != 5 samples
+      box("stss", full(0, 1, 1)) ++ box("stco", full(0, 1, 1))
+    val tree = box("moov", box("trak", box("mdia",
+      box("minf", box("stbl", stbl)))))
+    intercept[IllegalArgumentException](Video.parseSamples(tree))
+  }
+
   test("binaryFile scan + partition-local decodeMeta matches formulas") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("mp4_scan").toFile
