@@ -154,4 +154,30 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "nbr_id", "cos", "rank")
   }
+
+  /** Reciprocal-rank fusion (Cormack & Clarke, SIGIR'09): combine bounded
+    * rank lists from heterogeneous retrievers — e.g. lexical BM25 and
+    * embedding cosine — without score calibration:
+    *
+    *   rrf(d) = Σ_r 1 / (kRrf + rank_r(d))   over rankers that returned d
+    *
+    * Rank positions are integers, so given identical input rankings every
+    * engine reproduces the fused scores exactly (the sum is over ≤ |rankers|
+    * doubles; with two rankers a single IEEE add). kRrf=60 is the paper's
+    * constant.
+    *
+    * Shape at scale: each input is already a top-N-bounded retriever output
+    * (the retrievers carry the data-scale work); fusion unions R·N rows —
+    * kilobytes — so the groupBy is trivial and the fused list broadcasts
+    * into whatever join follows. The corpus is never touched here. */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, rankCol: String,
+              kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    val tagged = rankings.map(_.select(
+      col(idCol), col(rankCol).cast("long").as("__r")))
+    tagged.reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(round(sum(lit(1.0) / (lit(kRrf) + col("__r"))), 6).as("rrf_score"),
+        count(lit(1)).as("n_rankers"))
+  }
 }

@@ -988,6 +988,84 @@ object PipelineQueries {
           SELECT doc_id,
             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS s
           FROM documents)
-        SELECT doc_id, ${oSigned(oFnv("s"))} AS fp FROM norm"""))
+        SELECT doc_id, ${oSigned(oFnv("s"))} AS fp FROM norm""")),
+
+    // Hybrid retrieval via reciprocal-rank fusion (Cormack & Clarke
+    // SIGIR'09): fuse a lexical BM25 top-100 (qcx's ranker, ranked on the
+    // 6-decimal-rounded score) with a semantic cosine top-100 (q88's brute
+    // ranker, probe = vec_id 0) — rrf = Σ 1/(60+rank). Integer ranks in,
+    // so the fused scores and the final top-20 replay exactly; r_lex/r_sem
+    // stay NULL for single-ranker docs (n_rankers tells which).
+    Entry("qdk_rrf_fusion",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val lex = TextPipeline.bm25Rank(t(s, dir, "documents"),
+            "doc_id", "text", Seq("hash", "join", "vector"))
+          .withColumn("r", row_number().over(
+            Window.orderBy(col("bm25").desc, col("doc_id"))))
+          .filter(col("r") <= 100)
+          .select(col("doc_id").as("id"), col("r").cast("long").as("r"))
+        val emb = t(s, dir, "embeddings")
+        val sem = graft.operators.Similarity.bruteForceTopK(
+            emb, emb.filter(col("vec_id") === 0),
+            "vec_id", "embedding", "vec_id", k = 100)
+          .select(col("nbr_id").as("id"), col("rank").cast("long").as("r"))
+        graft.operators.Similarity.rrfFuse(Seq(lex, sem), "id", "r")
+          .withColumn("fused_rank", row_number().over(
+            Window.orderBy(col("rrf_score").desc, col("id"))).cast("long"))
+          .filter(col("fused_rank") <= 20)
+          .join(lex.withColumnRenamed("r", "r_lex"), Seq("id"), "left")
+          .join(sem.withColumnRenamed("r", "r_sem"), Seq("id"), "left")
+          .select("fused_rank", "id", "rrf_score", "n_rankers", "r_lex", "r_sem")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id,
+            unnest(list_filter(string_split_regex(lower(text), '\s+'),
+              x -> x <> '')) AS term
+          FROM documents
+        ), dl AS (
+          SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1
+        ), stats AS (
+          SELECT count(*) AS n_docs, sum(dl) AS total_toks FROM dl
+        ), qtf AS (
+          SELECT doc_id, term, count(*) AS tf FROM toks
+          WHERE term IN ('hash', 'join', 'vector') GROUP BY 1, 2
+        ), qdf AS (
+          SELECT term, count(*) AS df FROM qtf GROUP BY 1
+        ), idf AS (
+          SELECT term, ln(1 + (n_docs - df + 0.5) / (df + 0.5)) AS idf
+          FROM qdf CROSS JOIN stats
+        ), bm AS (
+          SELECT doc_id,
+            round(sum(idf * tf * (1.2 + 1) /
+              (tf + 1.2 * (1 - 0.75 + 0.75 * dl /
+                (CAST(total_toks AS DOUBLE) / n_docs)))), 6) AS bm25
+          FROM qtf JOIN dl USING (doc_id) CROSS JOIN stats JOIN idf USING (term)
+          GROUP BY doc_id
+        ), lex AS (
+          SELECT doc_id AS id, CAST(row_number()
+            OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r
+          FROM bm QUALIFY r <= 100
+        ), sem AS (
+          SELECT c.vec_id AS id, CAST(row_number()
+            OVER (ORDER BY list_cosine_similarity(
+                CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC,
+              c.vec_id) AS BIGINT) AS r
+          FROM embeddings c CROSS JOIN embeddings q
+          WHERE q.vec_id = 0 AND c.vec_id <> 0 QUALIFY r <= 100
+        ), u AS (
+          SELECT id, r FROM lex UNION ALL SELECT id, r FROM sem
+        ), sc AS (
+          SELECT id, round(sum(1.0 / (60 + r)), 6) AS rrf_score,
+            CAST(count(*) AS BIGINT) AS n_rankers
+          FROM u GROUP BY id
+        ), top AS (
+          SELECT id, rrf_score, n_rankers, CAST(row_number()
+            OVER (ORDER BY rrf_score DESC, id) AS BIGINT) AS fused_rank
+          FROM sc QUALIFY fused_rank <= 20
+        )
+        SELECT fused_rank, id, rrf_score, n_rankers,
+          lex.r AS r_lex, sem.r AS r_sem
+        FROM top LEFT JOIN lex USING (id) LEFT JOIN sem USING (id)""")),
   )
 }

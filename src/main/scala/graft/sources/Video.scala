@@ -159,9 +159,6 @@ object Video {
   final case class Mp4Meta(timescale: Int, durationTicks: Int,
                            width: Int, height: Int)
 
-  /** Real ISO-BMFF atom walk: iterate sibling boxes (u32 size + fourcc),
-    * descend containers, read mvhd/tkhd fields at version-aware offsets.
-    * Throws on malformed sizes — corrupt media must be loud, not silent. */
   /** Sibling-box walk over `[from, until)`: u32 size + fourcc per box.
     * Throws on malformed sizes — corrupt media must be loud, not silent. */
   private def boxChildren(bytes: Array[Byte], from: Int, until: Int): Seq[(String, Int, Int)] = {

@@ -118,4 +118,20 @@ class MiscOpsSpec extends SparkSpec {
       .select("uid").as[Long].collect()
     assert(ids.distinct.length === 1000)
   }
+
+  test("rrfFuse: paper formula, both-list docs dominate, n_rankers counts lists") {
+    val lex = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("id", "r")
+    val sem = Seq((11L, 1L), (13L, 2L)).toDF("id", "r")
+    val got = graft.operators.Similarity.rrfFuse(Seq(lex, sem), "id", "r")
+      .as[(Long, Double, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    def rrf(rs: Long*) = BigDecimal(rs.map(r => 1.0 / (60 + r)).sum)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(11L) === ((rrf(2L, 1L), 2L)))   // in both lists
+    assert(got(10L) === ((rrf(1L), 1L)))
+    assert(got(12L) === ((rrf(3L), 1L)))
+    assert(got(13L) === ((rrf(2L), 1L)))
+    // a doc ranked #2+#1 across lists outscores every single-list doc,
+    // even one ranked #1 — the fusion property that makes RRF robust
+    assert(got(11L)._1 > got(10L)._1)
+  }
 }
