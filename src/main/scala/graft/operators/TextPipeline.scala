@@ -357,6 +357,58 @@ object TextPipeline {
     * the initial word count) plus a driver-held argmax — the same
     * O(rounds) driver state any BPE trainer keeps. The vocab frame is
     * cached and replaced each round. */
+  /** Greedy-leftmost single-merge fold over a symbol-array column: fuse
+    * every adjacent (l, r) into l+r, scanning left to right with a
+    * one-symbol pending carry (a fused token never re-merges in the same
+    * pass). SQL-literal-escapes the symbols — they come from corpus text. */
+  private def mergeFoldSql(symsCol: String, l0: String, r0: String): String = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    val (l, r) = (esc(l0), esc(r0))
+    s"""aggregate($symsCol,
+       named_struct('out', array()::array<string>, 'pending', ''),
+       (acc, x) -> CASE
+         WHEN acc.pending = '' THEN named_struct('out', acc.out, 'pending', x)
+         WHEN acc.pending = '${l}' AND x = '${r}'
+           THEN named_struct('out', array_append(acc.out, '${l}${r}'), 'pending', '')
+         ELSE named_struct('out', array_append(acc.out, acc.pending), 'pending', x)
+       END,
+       acc -> CASE WHEN acc.pending = '' THEN acc.out
+                   ELSE array_append(acc.out, acc.pending) END)"""
+  }
+
+  /** Tokenize a corpus with a TRAINED merge list — the apply half of the
+    * BPE tokenizer ([[bpeTrain]] learns the merges; this encodes with
+    * them). Merges are applied in rank order, each as a greedy-leftmost
+    * fold within the word — the standard merges.txt-driven encoder
+    * (reference: the tokenizer side of the pipeline; public BPE per
+    * Sennrich et al. 2016).
+    *
+    * Emits (idCol, n_words, n_tokens): the per-document token count under
+    * the trained vocabulary — the number a packing / budget stage consumes.
+    *
+    * Shape at scale: encoding runs over the DISTINCT-word vocabulary
+    * (Zipf-bounded, ≪ corpus), one fold per merge per distinct word; the
+    * corpus itself is touched twice — the word-instance scan, and a
+    * broadcast join of word → token-length — and shuffles once, on the
+    * final per-doc aggregate. Merge count bounds expression depth, so for
+    * vocab-scale merge lists encode in [[mergeFoldSql]]-batches off a
+    * precomputed symbol table instead (same regime as bpeTrainBatched). */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    val words = df.select(col(idCol),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
+    var enc = words.select("word").distinct()
+      .select(col("word"),
+        concat(split(col("word"), ""), array(lit("</w>"))).as("syms"))
+    merges.foreach { case (l, r) =>
+      enc = enc.select(col("word"), expr(mergeFoldSql("syms", l, r)).as("syms"))
+    }
+    val wlen = enc.select(col("word"), size(col("syms")).cast("long").as("w_toks"))
+    words.join(broadcast(wlen), Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum("w_toks").as("n_tokens"))
+  }
+
   def bpeTrain(df: DataFrame, textCol: String, nMerges: Int): Seq[(Int, String, String, Long)] = {
     require(nMerges >= 1)
     val spark = df.sparkSession
@@ -386,24 +438,9 @@ object TextPipeline {
         if (top.isEmpty) return merges.toSeq
         val (l0, r0, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((round, l0, r0, c))
-        // SQL-literal escape: symbols come from corpus text
-        val (l, r) = (l0.replace("\\", "\\\\").replace("'", "\\'"),
-          r0.replace("\\", "\\\\").replace("'", "\\'"))
         // rewrite: fold each symbol array, fusing pending==l && x==r
         val merged = vocab.select(
-          expr(
-            s"""aggregate(syms,
-               named_struct('out', array()::array<string>, 'pending', ''),
-               (acc, x) -> CASE
-                 WHEN acc.pending = '' THEN named_struct('out', acc.out, 'pending', x)
-                 WHEN acc.pending = '${l}' AND x = '${r}'
-                   THEN named_struct('out', array_append(acc.out, '${l}${r}'), 'pending', '')
-                 ELSE named_struct('out', array_append(acc.out, acc.pending), 'pending', x)
-               END,
-               acc -> CASE WHEN acc.pending = '' THEN acc.out
-                           ELSE array_append(acc.out, acc.pending) END)""")
-            .as("syms"),
-          col("cnt"))
+          expr(mergeFoldSql("syms", l0, r0)).as("syms"), col("cnt"))
           .cache()
         merged.count() // materialize before dropping the parent
         vocab.unpersist()

@@ -82,6 +82,64 @@ object PipelineQueries {
     * one member matches). This replays the batch>1 logic qd6 (batch=1)
     * cannot see: over-fetch, rank-order greedy used-set selection, and
     * the multi-branch simultaneous rewrite. */
+  /** DuckDB replay of ENCODING with the 3 trained merges (the qdl gate):
+    * identical argmax + greedy-leftmost fold machinery as [[OBpeTrain3]],
+    * but each vocabulary frame carries the source `word` through the
+    * folds, so the final frame maps word → encoded token length and the
+    * per-document counts come from re-joining the word-instance stream. */
+  private lazy val OBpeEncode3: String = {
+    def argmax(i: Int) = s"""p${i + 1} AS (
+        SELECT syms[i] AS lhs, syms[i + 1] AS rhs, sum(cnt) AS pc
+        FROM v$i CROSS JOIN UNNEST(generate_series(1, len(syms) - 1)) AS t(i)
+        GROUP BY 1, 2
+      ), m${i + 1} AS (
+        SELECT lhs, rhs, pc FROM p${i + 1}
+        ORDER BY pc DESC, lhs, rhs LIMIT 1
+      )"""
+    def fold(i: Int) = s"""r${i + 1} AS (
+        SELECT word, syms, cnt, 1 AS i, []::varchar[] AS out, '' AS pending
+        FROM v$i
+        UNION ALL
+        SELECT r.word, r.syms, r.cnt, r.i + 1,
+          CASE WHEN r.pending = '' THEN r.out
+               WHEN r.pending = m.lhs AND r.syms[r.i] = m.rhs
+                 THEN list_append(r.out, m.lhs || m.rhs)
+               ELSE list_append(r.out, r.pending) END,
+          CASE WHEN r.pending <> '' AND r.pending = m.lhs
+                    AND r.syms[r.i] = m.rhs
+               THEN '' ELSE r.syms[r.i] END
+        FROM r${i + 1} r, m${i + 1} m WHERE r.i <= len(r.syms)
+      ), v${i + 1} AS (
+        SELECT word, CASE WHEN pending = '' THEN out
+                          ELSE list_append(out, pending) END AS syms, cnt
+        FROM r${i + 1} WHERE i = len(syms) + 1
+      )"""
+    s"""WITH RECURSIVE words AS (
+        SELECT w AS word, count(*) AS cnt FROM (
+          SELECT unnest(list_filter(
+            string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
+          FROM documents)
+        GROUP BY 1
+      ), v0 AS (
+        SELECT word, list_append(
+            list_transform(range(1, length(word) + 1), i -> word[i]),
+            '</w>') AS syms,
+          cnt
+        FROM words
+      ), ${argmax(0)}, ${fold(0)}, ${argmax(1)}, ${fold(1)}, ${argmax(2)}, ${fold(2)},
+      wl AS (
+        SELECT word, len(syms) AS w_toks FROM v3
+      ), docw AS (
+        SELECT doc_id, unnest(list_filter(
+          string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS word
+        FROM documents
+      )
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        CAST(sum(w_toks) AS BIGINT) AS n_tokens
+      FROM docw JOIN wl USING (word)
+      GROUP BY doc_id"""
+  }
+
   private lazy val OBpeTrainBatched2x4: String = {
     val selTy = "STRUCT(lhs VARCHAR, rhs VARCHAR, pc BIGINT)"
     // candidate ranking + greedy selection over vocabulary frame v<i>
@@ -1067,5 +1125,20 @@ object PipelineQueries {
         SELECT fused_rank, id, rrf_score, n_rankers,
           lex.r AS r_lex, sem.r AS r_sem
         FROM top LEFT JOIN lex USING (id) LEFT JOIN sem USING (id)""")),
+
+    // BPE ENCODING — the apply half of the tokenizer (qd4 trains; this
+    // tokenizes the corpus with the trained merges, in rank order,
+    // greedy-leftmost per word). Output = per-doc token count under the
+    // learned vocabulary, the number a packing/budget stage consumes. The
+    // oracle re-learns the same 3 merges and replays the encode through
+    // the word-carrying fold, then re-joins the word-instance stream.
+    Entry("qdl_bpe_encode",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val merges = TextPipeline.bpeTrain(docs, "text", nMerges = 3)
+          .map { case (_, l, r, _) => (l, r) }
+        TextPipeline.bpeEncode(docs, "doc_id", "text", merges)
+      },
+      Some(OBpeEncode3)),
   )
 }

@@ -1197,5 +1197,20 @@ object StatefulStreamQueries {
         CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS sum_millis
         FROM events GROUP BY user_id ORDER BY user_id"""),
       prepare = Some((s, dir) => { graft.streaming.QueryableState.materialize(s, dir); () })),
+
+    // Queryable state, transformWithState flavor: q95's RunningAgg holds a
+    // NAMED ValueState ("acc") per key; after the watermark drains the
+    // replay, the state variable is addressed BY NAME out-of-band
+    // (statestore reader option stateVarName — Flink's
+    // asQueryableState("name") addressing) and must equal the batch
+    // aggregate. Same weak-consistency read point as qdi: last committed
+    // batch.
+    Entry("qdm_tws_state_read",
+      (s, dir) => graft.streaming.QueryableState.twsStateFrame(s, dir)
+        .orderBy("user_id"),
+      Some("""SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS sum_millis
+        FROM events GROUP BY user_id ORDER BY user_id"""),
+      prepare = Some((s, dir) => { graft.streaming.QueryableState.materializeTws(s, dir); () })),
   )
 }

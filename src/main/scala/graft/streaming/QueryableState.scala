@@ -97,6 +97,58 @@ object QueryableState {
     ckpt.getPath
   }
 
+  /** transformWithState flavor of [[materialize]]: the same per-key running
+    * aggregate, but held in a NAMED state variable (`acc`, a ValueState) of
+    * a StatefulProcessor — the API surface the rest of §2.10 is built on.
+    * The offline reader then addresses the variable by name
+    * (`option("stateVarName", "acc")`), which is exactly Flink's
+    * `asQueryableState("name")` addressing model. */
+  def materializeTws(s: SparkSession, dir: String): String = synchronized {
+    val ckpt = new java.io.File(checkpointDir(dir).getPath + "_tws")
+    if (doneMarker(ckpt).exists()) return ckpt.getPath
+    if (ckpt.exists()) org.apache.commons.io.FileUtils.deleteDirectory(ckpt)
+
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import s.implicits._
+    val schema = s.read.parquet(Tables.path(dir, "events")).schema
+    val src = Tables.normalizeTs(
+        s.readStream.schema(schema).parquet(s"$dir/events*.parquet"))
+      .withWatermark("ts", "0 seconds")
+      .select(col("user_id").as("key"), col("event_id").as("eventId"),
+        org.apache.spark.sql.functions.unix_micros(col("ts")).as("tsUs"),
+        col("event_type").as("eventType"),
+        round(col("value") * 1000).cast("long").as("valueMillis"))
+      .as[StatefulOps.KeyedEvent]
+
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    try {
+      val out = StatefulOps.run(src, new StatefulOps.RunningAgg)
+      val q = out.writeStream.outputMode("append").format("noop")
+        .option("checkpointLocation", ckpt.getPath).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+
+    doneMarker(ckpt).createNewFile()
+    ckpt.getPath
+  }
+
+  /** Named-state-variable read of the transformWithState checkpoint: the
+    * `acc` ValueState per key, last committed batch. */
+  def twsStateFrame(s: SparkSession, dir: String): DataFrame = {
+    val ckpt = materializeTws(s, dir)
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set("spark.sql.streaming.stateStore.coordinatorReportSnapshotUploadLag", "false")
+    s.read.format("statestore").option("stateVarName", "acc").load(ckpt)
+      .select(col("key.value").as("user_id"),
+        col("value._1").as("n_events"),
+        col("value._2").as("sum_millis"))
+  }
+
   /** The queryable-state read: keyed state from the last committed batch,
     * as `(user_id, n_events, sum_millis)` — one row per key with live
     * state. Runs from any session that can see the checkpoint. */

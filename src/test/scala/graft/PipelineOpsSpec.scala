@@ -601,4 +601,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(pairs.exists(p => p._2 == "a" && p._3 == "😀"))
     assert(pairs.exists(p => p._2 == "𠀀" && p._3 == "字"))
   }
+
+  test("bpeEncode applies merges in rank order, greedy-leftmost, per word instance") {
+    val docs = Seq((1L, "aa ab aa"), (2L, "b")).toDF("doc_id", "text")
+    // merge 1 fuses (a,a); merge 2 fuses the RESULT with the end marker —
+    // rank order matters: (aa,</w>) can only fire after (a,a) produced 'aa'
+    val got = TextPipeline.bpeEncode(docs, "doc_id", "text",
+        Seq(("a", "a"), ("aa", "</w>")))
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // doc 1: aa -> [a,a,</w>] -> [aa,</w>] -> [aa</w>] = 1 token (×2 instances)
+    //        ab -> [a,b,</w>] = 3 tokens (no merge applies)
+    assert(got(1L) === ((3L, 1L + 3L + 1L)))
+    // doc 2: b -> [b,</w>] = 2 tokens
+    assert(got(2L) === ((1L, 2L)))
+    // encode with the merges bpeTrain learns == train-side final vocabulary
+    val merges = TextPipeline.bpeTrain(docs, "text", nMerges = 2)
+      .map { case (_, l, r, _) => (l, r) }
+    val enc = TextPipeline.bpeEncode(docs, "doc_id", "text", merges)
+      .as[(Long, Long, Long)].collect()
+    assert(enc.length === 2 && enc.forall(t => t._3 >= t._2)) // ≥1 token/word
+  }
 }

@@ -36,6 +36,22 @@ class QueryableStateSpec extends SparkSpec {
       "second materialize must not rebuild the checkpoint")
   }
 
+  test("transformWithState named state var read by stateVarName equals batch aggregate") {
+    val got = QueryableState.twsStateFrame(spark, dir)
+      .orderBy("user_id").collect()
+    val want = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 1000).cast("long")).as("sum_millis"))
+      .orderBy("user_id").collect()
+    assert(got.length == want.length && got.length > 0)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g.getLong(0) == w.getLong(0), "user_id")
+      assert(g.getLong(1) == w.getLong(1), s"n_events for user ${g.getLong(0)}")
+      assert(g.getLong(2) == w.getLong(2), s"sum_millis for user ${g.getLong(0)}")
+    }
+  }
+
   test("reader exposes per-partition provenance (partition_id), state is hash-partitioned") {
     val raw = spark.read.format("statestore")
       .load(QueryableState.materialize(spark, dir))
