@@ -50,6 +50,10 @@ import org.apache.spark.sql.streaming.{StatefulProcessorHandle, TTLConfig, Value
   *    NFA stop state). Partials started after the closing event are
   *    unaffected (each partial evaluates `until` on its own suffix).
   *  - `within(d)`: whole match must span <= d; overdue partials are pruned.
+  *    The horizon lives in whatever time domain `tsUs` carries — event time
+  *    normally; feed arrival time and the same pattern is the reference's
+  *    processing-time (clock-time) `within`, Flink 1.3's time-characteristic
+  *    switch expressed as an input choice (spec-pinned in CepSpec).
   *  - timeout select (`new NfaProcessor(pat, emitTimeouts = true)`): a
   *    pruned overdue partial emits a [[Match]] with `timedOut = true`,
   *    `ids` = the events bound so far and `endTsUs` = its deadline

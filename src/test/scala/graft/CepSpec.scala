@@ -98,6 +98,31 @@ class CepSpec extends SparkSpec {
     assert(got.map(_.ids) === Seq(Seq(3L, 4L)))
   }
 
+  test("within operates on the carried time domain — arrival-time input gives the clock-time variant") {
+    // Flink 1.3's Pattern.within follows the stream's time characteristic
+    // (event time OR processing time). The NFA is time-domain-agnostic: it
+    // prunes on tsUs, whatever that carries. Feed ARRIVAL sequence as the
+    // timestamp (the processing-time surrogate) and the same pattern
+    // becomes a clock-time window: event-time order is a,b within 5s
+    // (would match under event time) but arrival order spreads them past
+    // the within horizon, so the clock-time run must NOT match — and the
+    // late-arriving pair that is adjacent in arrival time must match even
+    // though its event times are far apart.
+    def arr(id: Long, arrivalSec: Long, typ: String) =
+      KeyedEvent(1L, id, arrivalSec * 1000000L, typ, 0L)
+    val pat = Cep.Pattern.begin("a").followedBy("b").within(15000000L)
+    // arrival domain: a@t=10 ... b@t=40 (>15s apart in clock time: pruned);
+    // a@t=45, b@t=50 adjacent in clock time: matches
+    val got = runPat(pat,
+      Seq(arr(1, 10, "a"), arr(2, 40, "b"), arr(3, 45, "a"), arr(4, 50, "b")))
+    assert(got.map(_.ids) === Seq(Seq(3L, 4L)))
+    // same four events squeezed into a 4s arrival burst: clock-time within
+    // passes for both starts (relaxed contiguity gives a2→b4 too)
+    val burst = runPat(pat,
+      Seq(arr(1, 1, "a"), arr(2, 2, "b"), arr(3, 3, "a"), arr(4, 4, "b")))
+    assert(burst.map(_.ids).toSet === Set(Seq(1L, 2L), Seq(3L, 4L)))
+  }
+
   test("notFollowedBy kills a partial when the guard type intervenes") {
     val pat = Cep.Pattern.begin("a").notFollowedBy("x").followedBy("b")
     assert(runPat(pat, Seq(ev(1, 10, "a"), ev(2, 20, "x"), ev(3, 30, "b"))).isEmpty)
