@@ -621,4 +621,16 @@ class PipelineOpsSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
     assert(enc.length === 2 && enc.forall(t => t._3 >= t._2)) // ≥1 token/word
   }
+
+  test("bpeEncode survives a 48-merge list (analyzer/codegen depth guard)") {
+    // 47 inapplicable merges deepen the nested fold expression without
+    // changing results; the final applicable merge must still fire after
+    // them — pins the depth regime the scaladoc's batching note starts at
+    val docs = Seq((1L, "abc abc")).toDF("doc_id", "text")
+    val merges = (1 to 47).map(i => (s"zz$i", s"yy$i")) :+ ("a", "b")
+    val got = TextPipeline.bpeEncode(docs, "doc_id", "text", merges)
+      .as[(Long, Long, Long)].collect()
+    // abc -> [ab, c, </w>] = 3 tokens per instance, 2 instances
+    assert(got.toSeq === Seq((1L, 2L, 6L)))
+  }
 }

@@ -131,4 +131,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("hashpartitioning(ng"),
       s"n-gram strings must not be shuffled as keys:\n$plan")
   }
+
+  test("qdl BPE encode: vocab token-lengths broadcast back to word instances, no UDF") {
+    val plan = executedPlan("qdl_bpe_encode")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"word->token-length map must broadcast (corpus never shuffles for the join):\n$plan")
+    assert(!plan.contains("UDF"), s"encode folds must be native HOF exprs:\n$plan")
+  }
+
+  test("qdk RRF fusion: rankers broadcast into the fused top-k joins") {
+    val plan = executedPlan("qdk_rrf_fusion")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"bounded rank lists must broadcast-join, not shuffle:\n$plan")
+  }
 }
