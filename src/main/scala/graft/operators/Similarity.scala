@@ -155,6 +155,40 @@ object Similarity {
       .select("query_id", "nbr_id", "cos", "rank")
   }
 
+  /** Retrieval-quality metrics of an approximate ranking against an exact
+    * relevance set — the evaluation stage every ANN/retrieval deployment
+    * runs before trusting an index: per query,
+    *
+    *   recall@k = |approx ∩ exact| / k
+    *   MRR      = 1 / rank of the first relevant result (0 if none)
+    *   nDCG@k   = Σ_{relevant i} 1/log2(rank_i+1)  /  Σ_{i=1..hits} 1/log2(i+1)
+    *
+    * (binary gains; the ideal ranking packs all hits first). Inputs are
+    * integer ranks and a membership join, so everything upstream of the
+    * final ≤k-term float sums is exact; outputs are 6-decimal-rounded.
+    *
+    * Shape at scale: both inputs are top-k-bounded per query (k·|queries|
+    * rows); the join and groupBy are on query_id — trivially small next to
+    * the retrievers that produced them. */
+  def rankingMetrics(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1)
+    val lab = approx.select("query_id", "rank", "nbr_id")
+      .join(exact.select(col("query_id"), col("nbr_id"), lit(1L).as("hit")),
+        Seq("query_id", "nbr_id"), "left")
+      .withColumn("hit", coalesce(col("hit"), lit(0L)))
+    lab.groupBy("query_id")
+      .agg(sum("hit").as("h"),
+        sum(when(col("hit") === 1, lit(1.0) / log2(col("rank") + 1))
+          .otherwise(0.0)).as("dcg"),
+        min(when(col("hit") === 1, col("rank"))).as("minr"))
+      .select(col("query_id"),
+        round(col("h").cast("double") / k, 6).as("recall_at_k"),
+        round(coalesce(lit(1.0) / col("minr"), lit(0.0)), 6).as("mrr_at_k"),
+        round(when(col("h") === 0, 0.0).otherwise(col("dcg") /
+          expr("""aggregate(sequence(1, cast(h as int)), cast(0 as double),
+                  (a, i) -> a + 1.0 / log2(i + 1))""")), 6).as("ndcg_at_k"))
+  }
+
   /** Reciprocal-rank fusion (Cormack & Clarke, SIGIR'09): combine bounded
     * rank lists from heterogeneous retrievers — e.g. lexical BM25 and
     * embedding cosine — without score calibration:

@@ -1177,6 +1177,73 @@ object ExtensionQueries {
         FROM approx a LEFT JOIN exact e
           ON e.query_id = a.query_id AND e.nbr_id = a.nbr_id""")),
 
+    // Retrieval-quality metrics (recall@10 / MRR / nDCG@10, binary gains)
+    // of the q89 LSH ranking against the exact top-10 — the index
+    // evaluation stage a deployment runs before trusting ANN results. The
+    // oracle replays q89's full candidate generation (exact-integer
+    // Rademacher buckets) and appends the metric math; ranks are integers
+    // so only the final <=10-term log-sums are float, under round(.,6).
+    Entry("qdn_rank_metrics",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 5)
+        val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+          "vec_id", k = 10, dim = 64, nBits = 8, nTables = 8)
+        val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+          "vec_id", k = 10).select("query_id", "nbr_id")
+        Similarity.rankingMetrics(
+          approx.select("query_id", "rank", "nbr_id"), exact, k = 10)
+      },
+      Some("""WITH signs AS (
+          SELECT t, b, i,
+            CASE WHEN (((((t*8+b)*64 + i + 1) * 48271) % 2147483647) * 48271
+                       % 2147483647) % 2 = 1 THEN 1 ELSE -1 END AS s
+          FROM range(8) r1(t), range(8) r2(b), range(64) r3(i)),
+        qv AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> CAST(floor(x * 1000000) AS BIGINT)) AS w
+               FROM embeddings),
+        dots AS (SELECT v.vec_id, s.t, s.b, sum(s.s * v.w[s.i + 1]) AS d
+                 FROM qv v CROSS JOIN signs s GROUP BY 1, 2, 3),
+        bkts AS (SELECT vec_id, t,
+                   sum(CASE WHEN d >= 0 THEN 1 << b ELSE 0 END) AS bkt
+                 FROM dots GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS nbr_id
+                 FROM bkts q JOIN bkts c ON c.t = q.t AND c.bkt = q.bkt
+                 WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+        approx AS (SELECT query_id, rank, nbr_id FROM (
+            SELECT cand.query_id, cand.nbr_id,
+              row_number() OVER (PARTITION BY cand.query_id
+                ORDER BY list_cosine_similarity(CAST(ce.embedding AS DOUBLE[]),
+                                                CAST(qe.embedding AS DOUBLE[])) DESC,
+                         cand.nbr_id) AS rank
+            FROM cand JOIN embeddings ce ON ce.vec_id = cand.nbr_id
+                      JOIN embeddings qe ON qe.vec_id = cand.query_id)
+          WHERE rank <= 10),
+        exact AS (SELECT query_id, nbr_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                                CAST(q.embedding AS DOUBLE[])) DESC,
+                         c.vec_id) AS rank
+            FROM embeddings c CROSS JOIN embeddings q
+            WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+          WHERE rank <= 10),
+        lab AS (SELECT a.query_id, a.rank,
+            CASE WHEN e.nbr_id IS NULL THEN 0 ELSE 1 END AS hit
+          FROM approx a LEFT JOIN exact e
+            ON e.query_id = a.query_id AND e.nbr_id = a.nbr_id),
+        agg AS (SELECT query_id, sum(hit) AS h,
+            sum(CASE WHEN hit = 1 THEN 1.0/log2(rank + 1) ELSE 0 END) AS dcg,
+            min(CASE WHEN hit = 1 THEN rank END) AS minr
+          FROM lab GROUP BY 1)
+        SELECT query_id,
+          round(CAST(h AS DOUBLE) / 10, 6) AS recall_at_k,
+          round(coalesce(1.0 / minr, 0), 6) AS mrr_at_k,
+          round(CASE WHEN h = 0 THEN 0 ELSE dcg /
+            list_aggregate(list_transform(generate_series(1, CAST(h AS INT)),
+              i -> 1.0/log2(i + 1)), 'sum') END, 6) AS ndcg_at_k
+        FROM agg""")),
+
     // Quality-threshold corpus filtering (the canonical training-data
     // pipeline stage): keep documents at/above the exact corpus median
     // quality. Median via exact percentile; threshold broadcast back.

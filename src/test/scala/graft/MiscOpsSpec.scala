@@ -119,6 +119,24 @@ class MiscOpsSpec extends SparkSpec {
     assert(ids.distinct.length === 1000)
   }
 
+  test("rankingMetrics: recall/MRR/nDCG from hand-checked rankings") {
+    val approx = Seq((1L, 1L, 10L), (1L, 2L, 11L), (1L, 3L, 12L),
+      (2L, 1L, 20L), (2L, 2L, 21L)).toDF("query_id", "rank", "nbr_id")
+    val exact = Seq((1L, 11L), (1L, 12L), (1L, 99L), (2L, 77L))
+      .toDF("query_id", "nbr_id")
+    val got = graft.operators.Similarity.rankingMetrics(approx, exact, k = 3)
+      .as[(Long, Double, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // q1: hits at ranks 2,3 → recall 2/3, MRR 1/2,
+    // nDCG = (1/log2(3)+1/log2(4)) / (1/log2(2)+1/log2(3))
+    val dcg = 1.0 / (math.log(3) / math.log(2)) + 1.0 / 2.0
+    val idcg = 1.0 + 1.0 / (math.log(3) / math.log(2))
+    assert(got(1L) === ((r6(2.0 / 3), 0.5, r6(dcg / idcg))))
+    // q2: no hits → all zero except recall 0
+    assert(got(2L) === ((0.0, 0.0, 0.0)))
+  }
+
   test("rrfFuse: paper formula, both-list docs dominate, n_rankers counts lists") {
     val lex = Seq((10L, 1L), (11L, 2L), (12L, 3L)).toDF("id", "r")
     val sem = Seq((11L, 1L), (13L, 2L)).toDF("id", "r")
