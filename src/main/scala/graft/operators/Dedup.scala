@@ -242,6 +242,46 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** Band buckets straight from a (possibly STREAMED) document frame — the
+    * public face of [[bandedBuckets]] for callers that generate candidates
+    * outside the batch join (the streaming claim index,
+    * streaming/StreamingDedup.scala). Pure expressions, so it runs
+    * unchanged on a streaming DataFrame. */
+  def bandBucketsFor(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val sigs = docs.select(col(idCol).as("doc"),
+      Hashes.minhashFromHashes(Hashes.shingleHashCol(col(textCol), n), k).as("sig"))
+    bandedBuckets(sigs, bands, k / bands)
+  }
+
+  /** Verification stage for EXTERNALLY proposed candidate pairs (the
+    * streaming claim index): identical pipeline to [[minhashDupPairs]]'s
+    * back half — distinct, signature-agreement pre-filter (same 5σ bound),
+    * exact hashed-shingle Jaccard — so stream-proposed and batch-proposed
+    * candidates are judged by the ONE verify definition. `cands` needs
+    * (id1, id2) with id1 ingested first. */
+  def verifyProposedPairs(df: DataFrame, idCol: String, textCol: String,
+                          cands0: DataFrame, n: Int, k: Int,
+                          threshold: Double): DataFrame = {
+    val sh = df.select(col(idCol).as("doc"),
+      Hashes.shingleHashCol(col(textCol), n).as("shs")).cache()
+    val sigs = sh.select(col("doc"), Hashes.minhashFromHashes(col("shs"), k).as("sig"))
+    val cands = cands0.select("id1", "id2").distinct()
+      .join(broadcast(sigs.select(col("doc").as("id1"), col("sig").as("sig1"))), "id1")
+      .join(broadcast(sigs.select(col("doc").as("id2"), col("sig").as("sig2"))), "id2")
+      .filter(sigAgreement(col("sig1"), col("sig2")) >= threshold - 0.25)
+      .select("id1", "id2")
+    cands
+      .join(broadcast(sh.select(col("doc").as("id1"), col("shs").as("sh1"))), "id1")
+      .join(broadcast(sh.select(col("doc").as("id2"), col("shs").as("sh2"))), "id2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("jaccard", col("inter") /
+        (size(col("sh1")) + size(col("sh2")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "jaccard")
+  }
+
   /** [[minhashDupPairs]] for the >10M-doc regime: the per-doc signature and
     * shingle-hash lookup tables are persisted BUCKETED on doc id instead of
     * broadcast, so each lookup join shuffles only the candidate set — the

@@ -1212,5 +1212,62 @@ object StatefulStreamQueries {
         CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS sum_millis
         FROM events GROUP BY user_id ORDER BY user_id"""),
       prepare = Some((s, dir) => { graft.streaming.QueryableState.materializeTws(s, dir); () })),
+
+    // Ingest-time near-dup (the STREAMING face of q85): documents replayed
+    // in arrival (doc-id) order through a keyed LSH claim index — per band
+    // bucket, state holds the postings list and each arrival emits a
+    // candidate pair per prior posting — then the ONE shared verify
+    // definition (sig-agreement pre-filter + exact hashed-shingle Jaccard,
+    // Dedup.verifyProposedPairs) confirms pairs batch-side. Output: each
+    // near-duplicate doc with its EARLIEST confirmed predecessor. The
+    // oracle replays exact Jaccard over all earlier docs (equal to the
+    // claim-index result by the q85 recall argument: 64×2 banding misses a
+    // J>=0.5 pair with p≈1e-8, and min-over-band-sharers = min-over-all-
+    // sharers because a sharer's bucket claimer is itself a sharer).
+    Entry("qdo_stream_lsh_neardup",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val schema = s.read.parquet(graft.Tables.path(dir, "documents")).schema
+        val raw = s.readStream.schema(schema).parquet(s"$dir/documents*.parquet")
+        val banded = graft.operators.Dedup
+          .bandBucketsFor(raw, "doc_id", "text", n = 2, k = 128, bands = 64)
+          .withColumn("ts", timestamp_micros(col("doc") * 1000000L))
+          .withWatermark("ts", "0 seconds")
+          .select(col("bucket").as("key"), col("doc").as("docId"))
+          .as[graft.streaming.StreamingDedup.BandRow]
+        val pairs = graft.streaming.EventTimeOps.ordered(banded,
+          (r: graft.streaming.StreamingDedup.BandRow) => r.key,
+          new graft.streaming.StreamingDedup.BucketClaim)
+        val cands = run(pairs.toDF(), "qdo_sink")
+        graft.operators.Dedup.verifyProposedPairs(
+            graft.Tables(s, dir, "documents"), "doc_id", "text",
+            cands, n = 2, k = 128, threshold = 0.5)
+          .groupBy(col("id2").as("doc_id"))
+          .agg(min("id1").as("dup_of"), count(lit(1)).as("n_earlier_dups"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, (w[i] || ' ' || w[i+1]) AS sh
+          FROM toks CROSS JOIN UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+        ), sizes AS (
+          SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id
+        ), common AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), p AS (
+          SELECT id1, id2, CAST(c AS DOUBLE) / (s1.nsh + s2.nsh - c) AS j
+          FROM common
+          JOIN sizes s1 ON id1 = s1.doc_id
+          JOIN sizes s2 ON id2 = s2.doc_id
+        )
+        SELECT id2 AS doc_id, CAST(min(id1) AS BIGINT) AS dup_of,
+          CAST(count(*) AS BIGINT) AS n_earlier_dups
+        FROM p WHERE j >= 0.5 GROUP BY id2""")),
   )
 }

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.streaming.{ListState, StatefulProcessorHandle, TTLConfig}
+
+/** Ingest-time near-duplicate detection — the STREAMING face of the batch
+  * MinHash/LSH dedup family (operators/Dedup.scala): as documents arrive,
+  * an LSH index held in keyed state proposes candidate pairs against
+  * everything already ingested, and an exact-Jaccard verification join
+  * (batch-side, against the document store) confirms them. This is the
+  * dedup-on-arrival shape a 100-TB training pipeline runs at its ingestion
+  * edge instead of re-running corpus-wide batch dedup per delivery.
+  *
+  * Streaming piece: band buckets (Dedup.bandBuckets — the SAME banding
+  * function as every batch path) keyed by bucket hash; per bucket a
+  * ListState holds the postings (doc ids already seen, arrival order), and
+  * each arriving doc emits one candidate pair per prior posting. Arrival
+  * order is made deterministic by the event-time ordered drain, so the
+  * emitted pair set equals the batch `lshCandidates` set (modulo duplicate
+  * pairs from multi-band collisions — the verifier distincts them), and a
+  * SQL oracle can replay the whole operator.
+  *
+  * Scale: state per bucket is the postings list — the same size the batch
+  * join's build side would be for that bucket; emission per doc is bounded
+  * by its buckets' occupancy (the LSH S-curve keeps buckets small for
+  * non-pathological corpora, same argument as batch LSH). Verification
+  * joins only candidate pairs.
+  */
+object StreamingDedup {
+
+  /** One (bucket, doc) posting row; `docId` doubles as arrival order. */
+  case class BandRow(key: Long, docId: Long)
+
+  object BandRow {
+    /** Arrival = doc-id order; the triple is unique per (bucket, doc), so a
+      * doc hitting the same bucket via two colliding bands collapses to one
+      * buffered row (free intra-bucket dedup). */
+    val orderKey: EventTimeOps.OrderKey[BandRow] =
+      r => (r.docId * 1000L, r.docId * 1000000L, r.docId)
+  }
+
+  /** Candidate pair: `id1` ingested before `id2`. */
+  case class CandPair(id1: Long, id2: Long)
+
+  /** Per-bucket claim index: emit (prior, current) for every posting
+    * already in the bucket, then append the current doc. */
+  final class BucketClaim extends EventTimeOps.OrderedProcessor[Long, BandRow, CandPair](
+      BandRow.orderKey, Encoders.product[BandRow]) {
+    @transient private var postings: ListState[Long] = _
+    override protected def openState(h: StatefulProcessorHandle): Unit =
+      postings = h.getListState[Long]("postings", Encoders.scalaLong, TTLConfig.NONE)
+    override protected def onOrdered(key: Long, r: BandRow): Iterator[CandPair] = {
+      val out = postings.get().map(p => CandPair(p, r.docId)).toVector
+      postings.appendValue(r.docId)
+      out.iterator
+    }
+  }
+}
