@@ -128,4 +128,132 @@ object AvroJdbc {
   def writeJdbc(df: DataFrame, url: String, table: String,
                 props: java.util.Properties = new java.util.Properties()): Unit =
     df.write.mode("overwrite").jdbc(url, table, props)
+
+  // ---- exactly-once streaming JDBC sink ------------------------------
+  //
+  // The reference's JDBCOutputFormat is at-least-once (flushed batches
+  // replay after restart). This closes the gap with the standard Spark
+  // recipe, made of two independent idempotence layers:
+  //  (a) per-row MERGE upserts keyed on `keyCol` — replaying a batch
+  //      re-merges to the IDENTICAL end state (covers the crash window
+  //      between a partition's data commit and everything after);
+  //  (b) a ledger row (runKey, table, batchId), inserted after the data —
+  //      a fully-committed batch replayed after checkpoint loss within
+  //      the same run is skipped wholesale.
+  // Either layer alone gives effectively-once for update-mode aggregate
+  // output; together a replay does no work at all in the common case.
+  // Key and value columns are BIGINT (the aggregate-sink shape); other
+  // types = widen the CASTs below per schema.
+
+  private def withConn[T](url: String)(f: java.sql.Connection => T): T = {
+    val c = java.sql.DriverManager.getConnection(url)
+    try f(c) finally c.close()
+  }
+
+  private def ignoreExists(f: => Unit): Unit =
+    try f catch {
+      case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () // exists
+    }
+
+  /** Create the target table (quoted, case-preserved) + the shared ledger
+    * if absent. */
+  def ensureUpsertTables(url: String, table: String, keyCol: String,
+                         valCols: Seq[String]): Unit = withConn(url) { c =>
+    val st = c.createStatement()
+    try {
+      ignoreExists(st.execute(
+        s"""CREATE TABLE "$table" ("$keyCol" BIGINT PRIMARY KEY, ${
+          valCols.map(v => s""""$v" BIGINT""").mkString(", ")})"""))
+      ignoreExists(st.execute(
+        """CREATE TABLE "graft_sink_ledger" (
+           "run_key" VARCHAR(512) NOT NULL, "tbl" VARCHAR(128) NOT NULL,
+           "batch" BIGINT NOT NULL,
+           PRIMARY KEY ("run_key", "tbl", "batch"))"""))
+    } finally st.close()
+  }
+
+  /** Upsert ONE micro-batch: ledger check → per-partition MERGE → ledger
+    * insert. Returns false when the ledger says this (runKey, batch) is
+    * already fully applied. Executor-side connections; no driver collect.
+    *
+    * `maxWriters` caps concurrent sink connections. Default 1: embedded
+    * Derby's storage layer NPEs under concurrent MERGE writers (observed at
+    * sf0.1) — and an embedded single-node engine gains nothing from
+    * parallel writers anyway. Against a server RDBMS raise it to the
+    * connection budget; each partition keeps its own transaction. */
+  def upsertBatch(batch: DataFrame, batchId: Long, url: String, table: String,
+                  keyCol: String, valCols: Seq[String], runKey: String,
+                  maxWriters: Int = 1): Boolean = {
+    val applied = withConn(url) { c =>
+      val ps = c.prepareStatement(
+        """SELECT 1 FROM "graft_sink_ledger" WHERE "run_key" = ? AND "tbl" = ? AND "batch" = ?""")
+      try {
+        ps.setString(1, runKey); ps.setString(2, table); ps.setLong(3, batchId)
+        val rs = ps.executeQuery(); try rs.next() finally rs.close()
+      } finally ps.close()
+    }
+    if (applied) return false
+
+    // Derby MERGE's source must be a table — the one-row SYSDUMMY1 with the
+    // key bound twice (match probe + insert) is the standard per-row idiom
+    val mergeSql =
+      s"""MERGE INTO "$table" t USING SYSIBM.SYSDUMMY1
+          ON t."$keyCol" = CAST(? AS BIGINT)
+          WHEN MATCHED THEN UPDATE SET ${
+            valCols.map(v => s"""t."$v" = CAST(? AS BIGINT)""").mkString(", ")}
+          WHEN NOT MATCHED THEN INSERT ("$keyCol", ${
+            valCols.map(v => s""""$v"""").mkString(", ")})
+          VALUES (CAST(? AS BIGINT), ${valCols.map(_ => "CAST(? AS BIGINT)").mkString(", ")})"""
+    val nVals = valCols.length
+    batch.select(keyCol, valCols: _*).coalesce(maxWriters).foreachPartition {
+      (rows: Iterator[org.apache.spark.sql.Row]) =>
+        if (rows.hasNext) {
+          val c = java.sql.DriverManager.getConnection(url)
+          try {
+            c.setAutoCommit(false)
+            val ps = c.prepareStatement(mergeSql)
+            try {
+              rows.foreach { r =>
+                val k = r.getLong(0)
+                ps.setLong(1, k)                                   // ON probe
+                (0 until nVals).foreach(i => ps.setLong(2 + i, r.getLong(1 + i)))
+                ps.setLong(2 + nVals, k)                           // INSERT key
+                (0 until nVals).foreach(i => ps.setLong(3 + nVals + i, r.getLong(1 + i)))
+                ps.executeUpdate()
+              }
+            } finally ps.close()
+            c.commit()
+          } finally c.close()
+        }
+    }
+
+    withConn(url) { c =>
+      val ps = c.prepareStatement(
+        """INSERT INTO "graft_sink_ledger" VALUES (?, ?, ?)""")
+      try {
+        ps.setString(1, runKey); ps.setString(2, table); ps.setLong(3, batchId)
+        try ps.executeUpdate()
+        catch { // two replayers raced to complete the same batch: fine, both merged
+          case e: java.sql.SQLException if e.getSQLState == "23505" => ()
+        }
+      } finally ps.close()
+    }
+    true
+  }
+
+  /** Start an update-mode stream into the exactly-once sink. `checkpoint`
+    * doubles as the ledger run key: restarts of the SAME run (same
+    * checkpoint) dedupe on the ledger; a fresh checkpoint replays through
+    * the idempotent merge. */
+  def startUpsertSink(stream: DataFrame, url: String, table: String,
+                      keyCol: String, valCols: Seq[String],
+                      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    ensureUpsertTables(url, table, keyCol, valCols)
+    stream.writeStream.outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        upsertBatch(b, id, url, table, keyCol, valCols, runKey = checkpoint); ()
+      }
+      .start()
+  }
 }

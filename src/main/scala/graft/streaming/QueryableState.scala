@@ -45,12 +45,17 @@ object QueryableState {
   /** Checkpoint cache dir, keyed by source-dir hash + events mtime (a
     * regenerated fixture gets a fresh checkpoint, distinct dirs never
     * collide — same regime as StatefulStreamQueries.multiBatchEvents). */
+  /** Bumped when the operator's state schema changes (AggState fields, key
+    * type, RunningAgg's acc layout) — embedded in the checkpoint cache dir
+    * so a newer build can never read a stale-layout checkpoint. */
+  private val StateLayoutVersion = 1
+
   def checkpointDir(srcDir: String): java.io.File = {
     val mtime = new java.io.File(Tables.path(srcDir, "events")).lastModified()
     val key = java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(srcDir).toLong & 0xffffffffL) +
       s"_$mtime"
-    new java.io.File(s"/tmp/graft_qstate_$key")
+    new java.io.File(s"/tmp/graft_qstate_v${StateLayoutVersion}_$key")
   }
 
   private def doneMarker(ckpt: java.io.File) = new java.io.File(ckpt, "_QS_DONE")
