@@ -1269,5 +1269,23 @@ object StatefulStreamQueries {
         SELECT id2 AS doc_id, CAST(min(id1) AS BIGINT) AS dup_of,
           CAST(count(*) AS BIGINT) AS n_earlier_dups
         FROM p WHERE j >= 0.5 GROUP BY id2""")),
+
+    // State TIME TRAVEL: the keyed running aggregate read AS OF committed
+    // batch 1 of a 4-batch replay (statestore reader `batchId` option —
+    // Flink's retained-savepoint inspection addressed by version). The
+    // batch split uses EXPLICIT id-quarter thresholds, so the oracle
+    // replays the exact prefix: state@1 = aggregate over event_id <=
+    // 2·max_id/4. Versioned state stores make every recent batch
+    // addressable; nothing is recomputed to answer "what did the state say
+    // two commits ago".
+    Entry("qdq_state_time_travel",
+      (s, dir) => graft.streaming.QueryableState.stateAtBatch(s, dir, batchId = 1)
+        .orderBy("user_id"),
+      Some("""WITH m AS (SELECT 2 * max(event_id) // 4 AS t FROM events)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+          CAST(sum(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS sum_millis
+        FROM events, m WHERE event_id <= m.t
+        GROUP BY user_id ORDER BY user_id"""),
+      prepare = Some((s, dir) => { graft.streaming.QueryableState.materializeTimeline(s, dir); () })),
   )
 }

@@ -102,6 +102,107 @@ object QueryableState {
     ckpt.getPath
   }
 
+  /** events split into 4 parquet files by EXPLICIT event-id quarter
+    * thresholds (t_i = i·max_id/4, integer division; batch i = ids in
+    * (t_i, t_{i+1}], last batch takes the remainder) with strictly
+    * increasing mtimes — unlike the quantile-based multi-batch split, the
+    * boundary formula is replayable in SQL, which the time-travel oracle
+    * needs. Cached by source mtime; staged + atomic-renamed. */
+  def ttSourceDir(s: SparkSession, dir: String): String = {
+    val mtime = new java.io.File(Tables.path(dir, "events")).lastModified()
+    val key = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL) + s"_$mtime"
+    val ttDir = new java.io.File(s"/tmp/graft_tt_src_$key")
+    if (!ttDir.exists()) {
+      val base = Tables.events(s, dir).select(col("event_id"),
+        col("ts").cast("timestamp").as("ts"), col("user_id"), col("value"))
+      val maxId = base.agg(max("event_id")).head().getLong(0)
+      def t(i: Int) = i * maxId / 4
+      val staging = new java.io.File(s"${ttDir.getPath}.staging_${System.nanoTime()}")
+      staging.mkdirs()
+      (0 until 4).foreach { i =>
+        val hi = if (i == 3) Long.MaxValue else t(i + 1)
+        // first batch is unbounded below: event ids may start at 0
+        val lo = if (i == 0) Long.MinValue else t(i)
+        val tmp = s"$staging/stage_$i"
+        base.filter(col("event_id") > lo && col("event_id") <= hi)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(staging, f"batch_$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        dst.setLastModified(1700000000000L + i * 60000L)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
+      try java.nio.file.Files.move(staging.toPath, ttDir.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        org.apache.commons.io.FileUtils.deleteDirectory(staging)
+      }
+    }
+    ttDir.getPath
+  }
+
+  /** [[materialize]] against the 4-batch split with `maxFilesPerTrigger=1`:
+    * four committed batches, each leaving the per-key running aggregate
+    * over an id-prefix of the corpus — the substrate for TIME-TRAVEL state
+    * reads. Returns the checkpoint path. */
+  def materializeTimeline(s: SparkSession, dir: String): String = synchronized {
+    val ckpt = new java.io.File(checkpointDir(dir).getPath + "_tt")
+    if (doneMarker(ckpt).exists()) return ckpt.getPath
+    if (ckpt.exists()) org.apache.commons.io.FileUtils.deleteDirectory(ckpt)
+
+    val src = ttSourceDir(s, dir)
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    import s.implicits._
+    val schema = s.read.parquet(s"$src/batch_00.parquet").schema
+    val rows = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(s"$src/batch_*.parquet")
+      .select(col("user_id").as("key"),
+        round(col("value") * 1000).cast("long").as("valueMillis"))
+      .as[(Long, Long)]
+
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+    try {
+      val out = rows.groupByKey(_._1)
+        .flatMapGroupsWithState[AggState, KeyAgg](
+          OutputMode.Update, GroupStateTimeout.NoTimeout) {
+          (key: Long, rs: Iterator[(Long, Long)], state: GroupState[AggState]) =>
+            val prev = state.getOption.getOrElse(AggState(0L, 0L))
+            var n = prev.n; var sm = prev.sumMillis
+            rs.foreach { r => n += 1; sm += r._2 }
+            state.update(AggState(n, sm))
+            Iterator.single(KeyAgg(key, n, sm))
+        }
+      val q = out.writeStream.outputMode("update").format("noop")
+        .option("checkpointLocation", ckpt.getPath).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+
+    doneMarker(ckpt).createNewFile()
+    ckpt.getPath
+  }
+
+  /** TIME-TRAVEL state read: the keyed state as of committed batch
+    * `batchId` (0-based) of the timeline checkpoint — Flink's
+    * retained-savepoint inspection, addressed by version instead of by
+    * savepoint path. State-store versioning (RocksDB retains
+    * minBatchesToRetain versions) makes every recent batch addressable. */
+  def stateAtBatch(s: SparkSession, dir: String, batchId: Long): DataFrame = {
+    val ckpt = materializeTimeline(s, dir)
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set("spark.sql.streaming.stateStore.coordinatorReportSnapshotUploadLag", "false")
+    s.read.format("statestore").option("batchId", batchId).load(ckpt)
+      .select(col("key.value").as("user_id"),
+        col("value.groupState.n").as("n_events"),
+        col("value.groupState.sumMillis").as("sum_millis"))
+  }
+
   /** transformWithState flavor of [[materialize]]: the same per-key running
     * aggregate, but held in a NAMED state variable (`acc`, a ValueState) of
     * a StatefulProcessor — the API surface the rest of §2.10 is built on.

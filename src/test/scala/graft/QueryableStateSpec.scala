@@ -52,6 +52,26 @@ class QueryableStateSpec extends SparkSpec {
     }
   }
 
+  test("time travel: state at each committed batch equals the id-prefix aggregate; last batch = full") {
+    import org.apache.spark.sql.functions.{count => cnt}
+    val maxId = Tables.events(spark, dir).agg(max("event_id")).head().getLong(0)
+    def prefixAgg(hi: Long) = Tables.events(spark, dir)
+      .filter(col("event_id") <= hi)
+      .groupBy("user_id")
+      .agg(cnt(lit(1)).as("n"), sum(round(col("value") * 1000).cast("long")).as("s"))
+      .orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    for (b <- Seq(0L, 1L, 3L)) {
+      val hi = if (b == 3) Long.MaxValue else (b + 1) * maxId / 4
+      val got = QueryableState.stateAtBatch(spark, dir, b)
+        .orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got === prefixAgg(hi), s"state@batch $b != prefix aggregate (id <= $hi)")
+    }
+    // monotonicity: totals strictly grow across the timeline
+    def total(b: Long) = QueryableState.stateAtBatch(spark, dir, b)
+      .agg(sum("n_events")).head().getLong(0)
+    assert(total(0) < total(1) && total(1) < total(3))
+  }
+
   test("reader exposes per-partition provenance (partition_id), state is hash-partitioned") {
     val raw = spark.read.format("statestore")
       .load(QueryableState.materialize(spark, dir))
