@@ -1287,5 +1287,35 @@ object StatefulStreamQueries {
         FROM events, m WHERE event_id <= m.t
         GROUP BY user_id ORDER BY user_id"""),
       prepare = Some((s, dir) => { graft.streaming.QueryableState.materializeTimeline(s, dir); () })),
+
+    // State CHANGE FEED (CDC of operator state): every keyed-state
+    // mutation across committed batches 1..3, replayed from the RocksDB
+    // CHANGELOG (readChangeFeed) — no snapshot scans. One 'update' row per
+    // (batch, touched key) carrying the post-image; the oracle recomputes
+    // touched sets from the explicit id-quarter slices and post-images as
+    // id-prefix aggregates.
+    Entry("qdr_state_change_feed",
+      (s, dir) => graft.streaming.QueryableState
+        .stateChangeFeed(s, dir, startBatchId = 1, endBatchId = 3)
+        .orderBy("batch_id", "user_id"),
+      Some("""WITH m AS (SELECT max(event_id) AS mx FROM events),
+        b AS (SELECT CAST(t.b AS BIGINT) AS batch_id,
+            CASE WHEN t.b = 3 THEN NULL ELSE (t.b + 1) * mx // 4 END AS hi,
+            t.b * mx // 4 AS lo
+          FROM m CROSS JOIN UNNEST([1, 2, 3]) AS t(b)),
+        touched AS (SELECT DISTINCT b.batch_id, e.user_id
+          FROM events e JOIN b
+            ON e.event_id > b.lo AND (b.hi IS NULL OR e.event_id <= b.hi)),
+        pref AS (SELECT b.batch_id, e.user_id,
+            CAST(count(*) AS BIGINT) AS n_events,
+            CAST(sum(CAST(round(e.value*1000) AS BIGINT)) AS BIGINT) AS sum_millis
+          FROM events e JOIN b ON (b.hi IS NULL OR e.event_id <= b.hi)
+          GROUP BY 1, 2)
+        SELECT t.batch_id, 'update' AS change_type, t.user_id,
+          p.n_events, p.sum_millis
+        FROM touched t
+        JOIN pref p ON p.batch_id = t.batch_id AND p.user_id = t.user_id
+        ORDER BY t.batch_id, t.user_id"""),
+      prepare = Some((s, dir) => { graft.streaming.QueryableState.materializeChangelog(s, dir); () })),
   )
 }

@@ -187,6 +187,73 @@ object QueryableState {
     ckpt.getPath
   }
 
+  /** [[materializeTimeline]] with RocksDB CHANGELOG checkpointing — the
+    * changelog is what the change-feed reader replays, so this variant
+    * keeps its own checkpoint (the plain timeline measures the default
+    * provider the bench A/B chose). */
+  def materializeChangelog(s: SparkSession, dir: String): String = synchronized {
+    val ckpt = new java.io.File(checkpointDir(dir).getPath + "_cdc")
+    if (doneMarker(ckpt).exists()) return ckpt.getPath
+    if (ckpt.exists()) org.apache.commons.io.FileUtils.deleteDirectory(ckpt)
+
+    val src = ttSourceDir(s, dir)
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    import s.implicits._
+    try {
+      val schema = s.read.parquet(s"$src/batch_00.parquet").schema
+      val rows = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/batch_*.parquet")
+        .select(col("user_id").as("key"),
+          round(col("value") * 1000).cast("long").as("valueMillis"))
+        .as[(Long, Long)]
+      val prev = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))
+      try {
+        val out = rows.groupByKey(_._1)
+          .flatMapGroupsWithState[AggState, KeyAgg](
+            OutputMode.Update, GroupStateTimeout.NoTimeout) {
+            (key: Long, rs: Iterator[(Long, Long)], state: GroupState[AggState]) =>
+              val prev = state.getOption.getOrElse(AggState(0L, 0L))
+              var n = prev.n; var sm = prev.sumMillis
+              rs.foreach { r => n += 1; sm += r._2 }
+              state.update(AggState(n, sm))
+              Iterator.single(KeyAgg(key, n, sm))
+          }
+        val q = out.writeStream.outputMode("update").format("noop")
+          .option("checkpointLocation", ckpt.getPath).start()
+        try q.processAllAvailable() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    } finally s.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "false")
+
+    doneMarker(ckpt).createNewFile()
+    ckpt.getPath
+  }
+
+  /** State CHANGE FEED: every state mutation between two committed batches
+    * (inclusive), as (batch_id, change_type, user_id, n_events,
+    * sum_millis) — the CDC view of operator state, replayed from the
+    * RocksDB changelog without touching full snapshots. */
+  def stateChangeFeed(s: SparkSession, dir: String,
+                      startBatchId: Long, endBatchId: Long): DataFrame = {
+    val ckpt = materializeChangelog(s, dir)
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set("spark.sql.streaming.stateStore.coordinatorReportSnapshotUploadLag", "false")
+    s.read.format("statestore")
+      .option("readChangeFeed", "true")
+      .option("changeStartBatchId", startBatchId)
+      .option("changeEndBatchId", endBatchId)
+      .load(ckpt)
+      .select(col("batch_id"), col("change_type"),
+        col("key.value").as("user_id"),
+        col("value.groupState.n").as("n_events"),
+        col("value.groupState.sumMillis").as("sum_millis"))
+  }
+
   /** TIME-TRAVEL state read: the keyed state as of committed batch
     * `batchId` (0-based) of the timeline checkpoint — Flink's
     * retained-savepoint inspection, addressed by version instead of by

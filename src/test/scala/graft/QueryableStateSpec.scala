@@ -72,6 +72,24 @@ class QueryableStateSpec extends SparkSpec {
     assert(total(0) < total(1) && total(1) < total(3))
   }
 
+  test("change feed: post-images per batch chain to the time-travel snapshots") {
+    val feed = QueryableState.stateChangeFeed(spark, dir, 0, 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(feed.nonEmpty && feed.forall(_._2 == "update"),
+      "running-agg state only ever upserts")
+    // the LAST post-image per key up to batch b == the state read at b
+    for (b <- Seq(1L, 3L)) {
+      val lastImage = feed.filter(_._1 <= b).groupBy(_._3)
+        .map { case (k, rows) => (k, rows.maxBy(_._1)._4, rows.maxBy(_._1)._5) }
+        .toSeq.sortBy(_._1)
+      val snap = QueryableState.stateAtBatch(spark, dir, b)
+        .orderBy("user_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(lastImage === snap, s"change-feed replay != snapshot at batch $b")
+    }
+  }
+
   test("reader exposes per-partition provenance (partition_id), state is hash-partitioned") {
     val raw = spark.read.format("statestore")
       .load(QueryableState.materialize(spark, dir))
