@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.ML
+import graft.queries.QueryUtil.Q
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -211,44 +212,70 @@ object MLQueries {
     // updates, ties to the lower cell — and compares per-cell membership
     // (count, id-sum) plus the final centroid coordinate sums.
     Entry("qcj_kmeans",
-      (s, dir) => {
-        val emb = t(s, dir, "embeddings")
-        val r = ML.kMeansScaled(emb, "vec_id", "embedding", k = 4, iters = 2)
-        val a = r.assignments.groupBy("cell_id")
-          .agg(count(lit(1)).as("n_members"), sum(col("vec_id")).as("id_sum"))
-        val c = r.centroids.select(col("cell_id"),
-          aggregate(col("cvec"), lit(0L), (acc, x) => acc + x).as("centroid_sum"))
-        a.join(c, Seq("cell_id"))
-          .select("cell_id", "n_members", "id_sum", "centroid_sum")
-      },
-      Some {
-        def assign(name: String, cents: String) =
-          s"""$name AS (SELECT q.id, q.qv, s.cell_id FROM q JOIN LATERAL (
-             SELECT t.cell_id FROM $cents t
-             ORDER BY list_aggregate(list_transform(range(1, len(q.qv) + 1),
-               i -> (q.qv[i] - t.cvec[i]) * (q.qv[i] - t.cvec[i])), 'sum'),
-               t.cell_id
-             LIMIT 1) s ON true)"""
-        def update(name: String, from: String) =
-          s"""$name AS (SELECT cell_id, list(v ORDER BY pos) AS cvec FROM (
-             SELECT cell_id, pos,
-               CAST(floor(CAST(sum(qv[pos]) AS DOUBLE) / count(*)) AS BIGINT) AS v
-             FROM $from CROSS JOIN UNNEST(generate_series(1, len(qv))) AS t(pos)
-             GROUP BY cell_id, pos) GROUP BY cell_id)"""
-        s"""WITH q AS (SELECT vec_id AS id,
-            list_transform(embedding,
-              x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
-          FROM embeddings),
-        c0 AS (SELECT id AS cell_id, qv AS cvec FROM q ORDER BY id LIMIT 4),
-        ${assign("a1", "c0")}, ${update("c1", "a1")},
-        ${assign("a2", "c1")}, ${update("c2", "a2")},
-        ${assign("a3", "c2")},
-        agg AS (SELECT cell_id, CAST(count(*) AS BIGINT) AS n_members,
-            CAST(sum(id) AS BIGINT) AS id_sum FROM a3 GROUP BY 1),
-        csum AS (SELECT cell_id,
-            CAST(list_aggregate(cvec, 'sum') AS BIGINT) AS centroid_sum FROM c2)
-        SELECT agg.cell_id, n_members, id_sum, centroid_sum
-        FROM agg JOIN csum USING (cell_id)"""
-      }),
+      kMeansQuery(k = 4, iters = 2),
+      Some(kMeansOracle(k = 4, iters = 2))),
+
+    // The same trainer at a deployed-ANN codebook width: k=16 cells, two
+    // update rounds. qcj proves the recurrence at toy width; this gate
+    // proves the unrolled oracle and the Scala trajectory stay bit-exact
+    // when cells outnumber the tie/drop edge cases (16 initial centroids
+    // drawn from the 16 lowest ids, cells free to lose all members). The
+    // per-round plan is identical — ONE broadcast of k centroids + a
+    // narrow argmin pass + one (cell,dim) aggregate — so k only widens
+    // the broadcast row count, never the shuffle.
+    Entry("qds_kmeans_k16",
+      kMeansQuery(k = 16, iters = 2),
+      Some(kMeansOracle(k = 16, iters = 2))),
   )
+
+  /** Shared Spark side of the qcj/qds k-means gates: train, then emit the
+    * engine-portable per-cell summary (membership count, member-id sum,
+    * centroid coordinate sum). */
+  private def kMeansQuery(k: Int, iters: Int): Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val r = ML.kMeansScaled(emb, "vec_id", "embedding", k = k, iters = iters)
+    val a = r.assignments.groupBy("cell_id")
+      .agg(count(lit(1)).as("n_members"), sum(col("vec_id")).as("id_sum"))
+    val c = r.centroids.select(col("cell_id"),
+      aggregate(col("cvec"), lit(0L), (acc, x) => acc + x).as("centroid_sum"))
+    a.join(c, Seq("cell_id"))
+      .select("cell_id", "n_members", "id_sum", "centroid_sum")
+  }
+
+  /** DuckDB replay of [[ML.kMeansScaled]] for any (k, iters): unrolls
+    * every assignment pass (integer squared distance, ties to the lower
+    * cell id) and every floor-division centroid update, then aggregates
+    * the same per-cell summary as [[kMeansQuery]]. */
+  private def kMeansOracle(k: Int, iters: Int): String = {
+    def assign(name: String, cents: String) =
+      s"""$name AS (SELECT q.id, q.qv, s.cell_id FROM q JOIN LATERAL (
+         SELECT t.cell_id FROM $cents t
+         ORDER BY list_aggregate(list_transform(range(1, len(q.qv) + 1),
+           i -> (q.qv[i] - t.cvec[i]) * (q.qv[i] - t.cvec[i])), 'sum'),
+           t.cell_id
+         LIMIT 1) s ON true)"""
+    def update(name: String, from: String) =
+      s"""$name AS (SELECT cell_id, list(v ORDER BY pos) AS cvec FROM (
+         SELECT cell_id, pos,
+           CAST(floor(CAST(sum(qv[pos]) AS DOUBLE) / count(*)) AS BIGINT) AS v
+         FROM $from CROSS JOIN UNNEST(generate_series(1, len(qv))) AS t(pos)
+         GROUP BY cell_id, pos) GROUP BY cell_id)"""
+    val rounds = (1 to iters).map { i =>
+      s"${assign(s"a$i", s"c${i - 1}")}, ${update(s"c$i", s"a$i")}"
+    }.mkString(",\n        ")
+    val sep = if (iters > 0) "," else ""
+    s"""WITH q AS (SELECT vec_id AS id,
+        list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+      FROM embeddings),
+    c0 AS (SELECT id AS cell_id, qv AS cvec FROM q ORDER BY id LIMIT $k)$sep
+    $rounds,
+    ${assign(s"a${iters + 1}", s"c$iters")},
+    agg AS (SELECT cell_id, CAST(count(*) AS BIGINT) AS n_members,
+        CAST(sum(id) AS BIGINT) AS id_sum FROM a${iters + 1} GROUP BY 1),
+    csum AS (SELECT cell_id,
+        CAST(list_aggregate(cvec, 'sum') AS BIGINT) AS centroid_sum FROM c$iters)
+    SELECT agg.cell_id, n_members, id_sum, centroid_sum
+    FROM agg JOIN csum USING (cell_id)"""
+  }
 }
