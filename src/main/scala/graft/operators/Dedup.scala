@@ -138,7 +138,7 @@ object Dedup {
   /** (doc, band, bucket) rows from signatures — THE banding function; every
     * candidate path must use this one definition or cross-path lookups
     * silently probe different buckets. */
-  private def bandedBuckets(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
+  private[operators] def bandedBuckets(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
     sigs.select(col("doc"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(lit("band"), b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
@@ -148,13 +148,22 @@ object Dedup {
     * against per-doc hashed shingle sets — the one definition of the
     * verify formula. `broadcastLookups` = map-side joins when the per-doc
     * tables fit executor memory; false = plain (bucketed/shuffled) joins. */
-  private def verifyJaccard(cands: DataFrame, shLeft: DataFrame, shRight: DataFrame,
-                            leftId: String, rightId: String, threshold: Double,
-                            broadcastLookups: Boolean): DataFrame = {
-    def side(t: DataFrame) = if (broadcastLookups) broadcast(t) else t
+  private[operators] def verifyJaccard(cands: DataFrame, shLeft: DataFrame, shRight: DataFrame,
+                                       leftId: String, rightId: String, threshold: Double,
+                                       broadcastLookups: Boolean): DataFrame =
+    verifyJaccard(cands, shLeft, shRight, leftId, rightId, threshold,
+      broadcastLeft = broadcastLookups, broadcastRight = broadcastLookups)
+
+  /** Per-side broadcast control: an ingest batch's lookup table is tiny
+    * (broadcast it) while a persistent corpus index is corpus-sized
+    * (bucketed join — only the candidate set shuffles). */
+  private[operators] def verifyJaccard(cands: DataFrame, shLeft: DataFrame, shRight: DataFrame,
+                                       leftId: String, rightId: String, threshold: Double,
+                                       broadcastLeft: Boolean, broadcastRight: Boolean): DataFrame = {
+    def side(t: DataFrame, b: Boolean) = if (b) broadcast(t) else t
     cands
-      .join(side(shLeft.select(col("doc").as(leftId), col("shs").as("sh1"))), leftId)
-      .join(side(shRight.select(col("doc").as(rightId), col("shs").as("sh2"))), rightId)
+      .join(side(shLeft.select(col("doc").as(leftId), col("shs").as("sh1")), broadcastLeft), leftId)
+      .join(side(shRight.select(col("doc").as(rightId), col("shs").as("sh2")), broadcastRight), rightId)
       .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
       .withColumn("jaccard", col("inter") /
         (size(col("sh1")) + size(col("sh2")) - col("inter")).cast("double"))
@@ -193,7 +202,7 @@ object Dedup {
   }
 
   /** Fraction of equal signature positions — unbiased estimate of Jaccard. */
-  private val sigAgreement = udf { (a: Array[Long], b: Array[Long]) =>
+  private[operators] val sigAgreement = udf { (a: Array[Long], b: Array[Long]) =>
     var eq = 0; var i = 0
     val n = math.min(a.length, b.length)
     while (i < n) { if (a(i) == b(i)) eq += 1; i += 1 }

@@ -1,0 +1,188 @@
+package graft.operators
+
+import graft.functions.Hashes
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cross-RUN persistent MinHash/LSH near-duplicate index — the steady-state
+  * shape of a dedup-at-ingest service over a growing 100-TB corpus
+  * (reference: the corpus-side role of SURVEY §2 LLM-pipeline near-dedup;
+  * the in-session twin is [[Dedup.minhashNewVsCorpus]], the in-stream twin
+  * the keyed claim index in streaming/StreamingDedup.scala).
+  *
+  * Three catalog tables persist the corpus artifacts, each BUCKETED on its
+  * join key so every ingest touches the corpus with ZERO exchange on the
+  * corpus side:
+  *
+  *  - `banded`  (doc, band, bucket), bucketed (band, bucket) — candidate
+  *    generation: the batch's band buckets shuffle into the index's
+  *    bucketing; the index itself is read pre-partitioned.
+  *  - `sigs`    (doc, sig), bucketed (doc) — signature-agreement pre-filter
+  *    lookups for the corpus side of a candidate pair.
+  *  - `sh`      (doc, shs), bucketed (doc) — exact-Jaccard verification
+  *    lookups (the one verify formula, [[Dedup.verifyJaccard]]).
+  *
+  * Each [[ingest]] batch pays O(|batch| + collisions): within-batch pairs
+  * via self-banding (batch-side lookups broadcast — a batch is small),
+  * batch-vs-corpus pairs via the bucketed index join (only the candidate
+  * set shuffles), then the batch's own artifacts are APPENDED into the
+  * three tables — bucketed appends add one file per bucket, never rewrite
+  * the corpus. Corpus hashing is paid exactly once, at the batch's own
+  * ingest.
+  *
+  * The tables are EXTERNAL (explicit warehouse location): dropping the
+  * catalog entry keeps the files, and [[attach]] re-registers them in a
+  * fresh session/process from the directory alone — restarts and other
+  * jobs (the streaming ingest wrapper, offline audits) see the same index.
+  * Doc ids must be unique across the index's lifetime (re-ingesting an id
+  * would propose self-pairs); dedup services key docs by content hash or a
+  * monotonically assigned ingest id, both of which satisfy this.
+  */
+object LshIndex {
+
+  /** Names + bucket count of one persistent index. `tag` must be unique
+    * per (index, warehouse) — collide and [[drop]] destroys both. */
+  final case class Ref(tag: String, buckets: Int) {
+    def bandedTable: String = s"graft_lshidx_banded_$tag"
+    def sigsTable: String = s"graft_lshidx_sigs_$tag"
+    def shTable: String = s"graft_lshidx_sh_$tag"
+    /** (table, bucket columns) triples — bucketing IS the contract. */
+    def layout: Seq[(String, Seq[String])] = Seq(
+      bandedTable -> Seq("band", "bucket"),
+      sigsTable -> Seq("doc"),
+      shTable -> Seq("doc"))
+  }
+
+  private def location(spark: SparkSession, table: String): java.io.File =
+    new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+
+  /** Destroy the index: catalog entries AND files. */
+  def drop(spark: SparkSession, ref: Ref): Unit = ref.layout.foreach { case (tbl, _) =>
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    org.apache.commons.io.FileUtils.deleteQuietly(location(spark, tbl))
+  }
+
+  /** Re-register an existing on-disk index in a session whose catalog does
+    * not know it (fresh process, different job). The files alone carry the
+    * data; this re-asserts the bucketing DDL over them, so bucketed reads
+    * (zero corpus-side exchange) survive restarts. */
+  def attach(spark: SparkSession, ref: Ref): Unit = ref.layout.foreach { case (tbl, cols) =>
+    if (!spark.catalog.tableExists(tbl)) {
+      val loc = location(spark, tbl)
+      require(loc.isDirectory, s"no index files at $loc — nothing to attach")
+      val schema = spark.read.parquet(loc.getAbsolutePath).schema.toDDL
+      val cl = cols.mkString(", ")
+      spark.sql(s"""CREATE TABLE $tbl ($schema) USING parquet
+        CLUSTERED BY ($cl) SORTED BY ($cl) INTO ${ref.buckets} BUCKETS
+        LOCATION '${loc.getAbsolutePath}'""")
+    }
+  }
+
+  private def appendBucketed(df: DataFrame, tbl: String, buckets: Int,
+                             cols: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    val w = df.write.mode("append").format("parquet")
+      .bucketBy(buckets, cols.head, cols.tail: _*)
+      .sortBy(cols.head, cols.tail: _*)
+    if (spark.catalog.tableExists(tbl)) w.saveAsTable(tbl)
+    else w.option("path", location(spark, tbl).getAbsolutePath).saveAsTable(tbl)
+  }
+
+  /** Ingest one batch: return every confirmed near-dup pair the batch
+    * introduces — (old_id, new_id, jaccard) with `old_id` already indexed,
+    * or the lower id for a within-batch pair — then fold the batch into
+    * the index. Identical candidate recall and verification (signature
+    * agreement pre-filter + exact hashed-shingle Jaccard) to the batch
+    * family in [[Dedup]]; results are materialized BEFORE the append so a
+    * batch never proposes pairs against itself through the index. */
+  def ingest(batch: DataFrame, idCol: String, textCol: String,
+             n: Int, k: Int, bands: Int, threshold: Double, ref: Ref): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val spark = batch.sparkSession
+    val sh = batch.select(col(idCol).as("doc"),
+      Hashes.shingleHashCol(col(textCol), n).as("shs")).cache()
+    val sigs = sh.select(col("doc"),
+      Hashes.minhashFromHashes(col("shs"), k).as("sig")).cache()
+    val banded = Dedup.bandedBuckets(sigs, bands, k / bands)
+    val exists = spark.catalog.tableExists(ref.bandedTable)
+
+    def prefiltered(cands: DataFrame, oldSigs: DataFrame, bOld: Boolean): DataFrame =
+      cands.distinct()
+        .join({ val t = oldSigs.select(col("doc").as("old_id"), col("sig").as("sig1"))
+                if (bOld) broadcast(t) else t }, "old_id")
+        .join(broadcast(sigs.select(col("doc").as("new_id"), col("sig").as("sig2"))), "new_id")
+        .filter(Dedup.sigAgreement(col("sig1"), col("sig2")) >= threshold - 0.25)
+        .select("old_id", "new_id")
+
+    // within-batch: self-banding, all lookups broadcast (a batch is small)
+    val within = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("old_id"), col("b.doc").as("new_id"))
+    val withinV = Dedup.verifyJaccard(prefiltered(within, sigs, bOld = true),
+      sh, sh, "old_id", "new_id", threshold,
+      broadcastLeft = true, broadcastRight = true)
+
+    // batch-vs-corpus: the index side of every join is a bucketed scan on
+    // its join key — no exchange, no broadcast of corpus-sized tables
+    val all = if (!exists) withinV else {
+      val cross = spark.table(ref.bandedTable).as("i").join(banded.as("b"),
+          col("i.band") === col("b.band") && col("i.bucket") === col("b.bucket"))
+        .select(col("i.doc").as("old_id"), col("b.doc").as("new_id"))
+      val crossV = Dedup.verifyJaccard(
+        prefiltered(cross, spark.table(ref.sigsTable), bOld = false),
+        spark.table(ref.shTable), sh, "old_id", "new_id", threshold,
+        broadcastLeft = false, broadcastRight = true)
+      withinV.unionByName(crossV)
+    }
+    val out = all.localCheckpoint() // materialize before the index grows
+    ref.layout.zip(Seq(banded, sigs, sh)).foreach { case ((tbl, cols), df) =>
+      appendBucketed(df, tbl, ref.buckets, cols)
+    }
+    sh.unpersist(); sigs.unpersist()
+    out
+  }
+
+  /** Maintain the index from a document STREAM — the cross-run flavor of
+    * the in-state claim index (streaming/StreamingDedup.scala): each
+    * micro-batch runs [[ingest]] inside foreachBatch, so within-batch and
+    * batch-vs-corpus pairs come from the ONE batch definition, and the
+    * corpus index survives restarts on disk (re-[[attach]] in a fresh
+    * process) instead of living in the state store.
+    *
+    * Replay discipline: pairs land in `outDir/pairs/batch_id=<id>` with
+    * per-batch OVERWRITE (a replayed batch rewrites its own partition),
+    * and a `_ledger` parquet records completed batch ids — a replayed,
+    * already-ledgered batch is skipped whole, so the non-idempotent index
+    * append runs once per batch. A crash BETWEEN the index append and the
+    * ledger write re-ingests that batch on restart: the index then holds
+    * duplicate rows for those docs (candidate `distinct()` and the
+    * self-pair guard keep results correct; storage, not correctness) —
+    * the same window Spark documents for any foreachBatch sink without a
+    * transactional target (the JDBC sink, AvroJdbc.startUpsertSink,
+    * closes it with a MERGE ledger in one transaction). */
+  def startStreamingIngest(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int, k: Int, bands: Int, threshold: Double,
+                           ref: Ref, outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val ledger = new java.io.File(outDir, "_ledger")
+        val done = ledger.isDirectory && spark.read.parquet(ledger.getAbsolutePath)
+          .where(col("batch_id") === bid).head(1).nonEmpty
+        if (!done) {
+          ingest(batch.toDF(), idCol, textCol, n, k, bands, threshold, ref)
+            .filter(col("old_id") =!= col("new_id")) // replayed-doc echo guard
+            .write.mode("overwrite")
+            .parquet(s"$outDir/pairs/batch_id=$bid")
+          Seq(bid).toDF("batch_id").write.mode("append")
+            .parquet(ledger.getAbsolutePath)
+        }
+        ()
+      }
+      .start()
+}

@@ -1270,6 +1270,57 @@ object StatefulStreamQueries {
           CAST(count(*) AS BIGINT) AS n_earlier_dups
         FROM p WHERE j >= 0.5 GROUP BY id2""")),
 
+    // Streaming ingest against the PERSISTENT index (operators/
+    // LshIndex.startStreamingIngest — the cross-run sibling of qdo's
+    // in-state claim index): documents stream through foreachBatch, each
+    // micro-batch dedups against the on-disk bucketed corpus tables and
+    // folds itself in; confirmed pairs land partitioned by batch id. The
+    // emitted set is batch-split invariant (within-batch + batch-vs-index
+    // covers every ordered pair exactly once), so unordered (least,
+    // greatest) orientation makes the gate independent of how the file
+    // source carves micro-batches — and equal to q85's exact pair set.
+    Entry("qdv_stream_persistent_index",
+      (s, dir) => {
+        val tag = java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL) + "s"
+        val ref = graft.operators.LshIndex.Ref(tag, buckets = 8)
+        graft.operators.LshIndex.drop(s, ref) // idempotent re-runs
+        val base = new java.io.File(
+          System.getProperty("java.io.tmpdir"), s"graft_qdv_$tag")
+        org.apache.commons.io.FileUtils.deleteQuietly(base)
+        val out = new java.io.File(base, "out").getAbsolutePath
+        val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+        val schema = s.read.parquet(graft.Tables.path(dir, "documents")).schema
+        val raw = s.readStream.schema(schema).parquet(s"$dir/documents*.parquet")
+        val q = graft.operators.LshIndex.startStreamingIngest(raw,
+          "doc_id", "text", n = 2, k = 128, bands = 64, threshold = 0.5,
+          ref, out, ckpt)
+        try { q.processAllAvailable() } finally q.stop()
+        s.read.parquet(s"$out/pairs")
+          .select(least(col("old_id"), col("new_id")).as("id1"),
+            greatest(col("old_id"), col("new_id")).as("id2"),
+            round(col("jaccard"), 9).as("jaccard"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, (w[i] || ' ' || w[i+1]) AS sh
+          FROM toks CROSS JOIN UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+        ), sizes AS (
+          SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id
+        ), common AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id1, id2,
+          round(CAST(c AS DOUBLE) / (s1.nsh + s2.nsh - c), 9) AS jaccard
+        FROM common
+        JOIN sizes s1 ON id1 = s1.doc_id
+        JOIN sizes s2 ON id2 = s2.doc_id
+        WHERE CAST(c AS DOUBLE) / (s1.nsh + s2.nsh - c) >= 0.5""")),
+
     // State TIME TRAVEL: the keyed running aggregate read AS OF committed
     // batch 1 of a 4-batch replay (statestore reader `batchId` option —
     // Flink's retained-savepoint inspection addressed by version). The

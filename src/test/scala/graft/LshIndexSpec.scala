@@ -1,0 +1,131 @@
+package graft
+
+import graft.operators.{Dedup, LshIndex}
+import org.apache.spark.sql.functions._
+
+/** Persistent bucketed LSH index (operators/LshIndex.scala): batch-split
+  * invariance against the one-shot batch dedup, the zero-corpus-exchange
+  * plan, and catalog-detach/attach survival (the cross-run story). */
+class LshIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ref = LshIndex.Ref("spec", buckets = 4)
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  private val base = "the quick brown fox jumps over the lazy dog again and again"
+  private val corpus = Seq[(Long, String)](
+    1L -> base,
+    2L -> "completely different words about entirely unrelated topics here now",
+    3L -> base, // dup of 1 (same batch)
+    11L -> (base + " tail"), // near-dup of 1/3 (later batch)
+    12L -> "another disjoint document with its own private vocabulary set",
+    21L -> base, // dup of 1/3/11 (third batch)
+    22L -> "more singleton text that matches nothing else in the corpus")
+  private val batches = Seq(
+    corpus.filter(_._1 < 10), corpus.filter(r => r._1 >= 10 && r._1 < 20),
+    corpus.filter(_._1 >= 20))
+
+  private def ingestAll(): Seq[org.apache.spark.sql.DataFrame] =
+    batches.map(b => LshIndex.ingest(docs(b: _*), "doc_id", "text",
+      n = 2, k = 128, bands = 64, threshold = 0.5, ref))
+
+  test("batched ingest finds exactly the one-shot pair set, oriented by ingest order") {
+    LshIndex.drop(spark, ref)
+    val got = ingestAll().reduce(_ unionByName _)
+      .select($"old_id", $"new_id").as[(Long, Long)].collect().toSet
+    // batches are id-ordered, so ingest order == id order and the one-shot
+    // (id1 < id2) orientation is directly comparable
+    val expected = Dedup.minhashDupPairs(docs(corpus: _*), "doc_id", "text",
+        n = 2, k = 128, bands = 64, threshold = 0.5)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(got === expected)
+    assert(got.contains((1L, 3L)) && got.contains((3L, 11L)) && got.contains((11L, 21L)))
+  }
+
+  test("the batch-vs-corpus candidate join shuffles only the batch side") {
+    LshIndex.drop(spark, ref)
+    ingestAll()
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = Dedup.bandBucketsFor(docs(31L -> base), "doc_id", "text",
+        n = 2, k = 128, bands = 64)
+      val j = spark.table(ref.bandedTable).as("i").join(probe.as("b"),
+        $"i.band" === $"b.band" && $"i.bucket" === $"b.bucket")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"index scan should be bucketed:\n$plan")
+      val exchanges = "Exchange".r.findAllIn(plan).size
+      assert(exchanges === 1, s"only the probe side may shuffle, plan:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("detach + attach: files alone restore the index, bucketing intact") {
+    LshIndex.drop(spark, ref)
+    ingestAll()
+    val before = ref.layout.map { case (t, _) => spark.table(t).count() }
+    // external tables: dropping the catalog entry must keep the files
+    ref.layout.foreach { case (t, _) => spark.sql(s"DROP TABLE $t") }
+    assert(!spark.catalog.tableExists(ref.bandedTable))
+    LshIndex.attach(spark, ref)
+    assert(ref.layout.map { case (t, _) => spark.table(t).count() } === before)
+    // a bare scan reports "Bucketed: false (disabled by query planner)" —
+    // bucketed reads only engage when a join/agg wants the distribution, so
+    // assert on the join plan exactly like the ingest path drives it
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = Dedup.bandBucketsFor(docs(31L -> base), "doc_id", "text",
+        n = 2, k = 128, bands = 64)
+      val plan = spark.table(ref.bandedTable).as("i").join(probe.as("b"),
+          $"i.band" === $"b.band" && $"i.bucket" === $"b.bucket")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"attached scan should stay bucketed:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    // and the restored index still serves cross-batch lookups
+    val out = LshIndex.ingest(docs(41L -> base), "doc_id", "text",
+      n = 2, k = 128, bands = 64, threshold = 0.5, ref)
+    val olds = out.select($"old_id").as[Long].collect().toSet
+    assert(olds === Set(1L, 3L, 11L, 21L))
+    LshIndex.drop(spark, ref)
+  }
+
+  test("streaming ingest: one file per micro-batch, restart is a ledgered no-op") {
+    val sref = LshIndex.Ref("specstream", buckets = 4)
+    LshIndex.drop(spark, sref)
+    val base = java.nio.file.Files.createTempDirectory("lshidx_stream").toFile
+    val src = new java.io.File(base, "src"); src.mkdirs()
+    batches.zipWithIndex.foreach { case (b, i) =>
+      docs(b: _*).coalesce(1).write.parquet(s"$src/slice$i")
+      // distinct mtimes → deterministic file-source pickup order
+      Thread.sleep(20)
+    }
+    val out = new java.io.File(base, "out").getAbsolutePath
+    val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+    val schema = docs(corpus: _*).schema
+    def start() = LshIndex.startStreamingIngest(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/slice*"),
+      "doc_id", "text", n = 2, k = 128, bands = 64, threshold = 0.5,
+      sref, out, ckpt)
+    val q = start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(s"$out/pairs")
+      .select($"old_id", $"new_id").as[(Long, Long)].collect().toSet
+    val expected = Dedup.minhashDupPairs(docs(corpus: _*), "doc_id", "text",
+        n = 2, k = 128, bands = 64, threshold = 0.5)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    assert(got === expected)
+    assert(spark.read.parquet(s"$out/pairs").select($"batch_id").distinct().count() === 3L)
+    val indexRows = spark.table(sref.bandedTable).count()
+    // restart over the same source + checkpoint: nothing new to process,
+    // the ledger guards the index against replays — no growth anywhere
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.table(sref.bandedTable).count() === indexRows)
+    assert(spark.read.parquet(s"$out/pairs")
+      .select($"old_id", $"new_id").as[(Long, Long)].collect().toSet === expected)
+    LshIndex.drop(spark, sref)
+    org.apache.commons.io.FileUtils.deleteQuietly(base)
+  }
+}
