@@ -457,6 +457,83 @@ object TextPipeline {
     } finally vocab.unpersist()
   }
 
+  /** WordPiece merge-table training — the likelihood-scored sibling of
+    * [[bpeTrain]] (public algorithm: Schuster & Nakajima 2012; the
+    * BERT-family tokenizer trainer). Each round fuses the adjacent pair
+    * maximizing count(l,r) / (count(l) · count(r)) — the corpus
+    * log-likelihood gain of merging l+r under a unigram segment model —
+    * instead of BPE's raw count(l,r) argmax.
+    *
+    * Exactness device (house style — qa2/qcj family): the score is the
+    * SCALED INTEGER floor(count(l,r) · scale / (count(l) · count(r))),
+    * ranked (score DESC, pair_count DESC, left, right) — every round is
+    * engine-portable and the whole trajectory hash-oracles. Quantization
+    * collisions fall to the deterministic tie-break; magnitude bound:
+    * pair_count · scale < 2^63, i.e. ~9.2e9 corpus tokens at the default
+    * scale 1e9 — past that, drop scale (the ranking only needs resolution
+    * below the smallest true score gap).
+    *
+    * Per round: ONE pair-stat aggregate + ONE symbol-count aggregate over
+    * the vocabulary frame (distinct words, Zipf-bounded ≪ corpus), a
+    * driver-held argmax, and the shared greedy-leftmost rewrite fold
+    * ([[mergeFoldSql]] — identical application semantics to BPE, so the
+    * merge list drives [[bpeEncode]] unchanged; BERT's longest-match-first
+    * WordPiece ENCODER is a different, vocab-driven algorithm and not
+    * modeled here).
+    *
+    * Returns (round, left, right, pair_count, score). */
+  def wordpieceTrain(df: DataFrame, textCol: String, nMerges: Int,
+                     scale: Long = 1000000000L): Seq[(Int, String, String, Long, Long)] = {
+    require(nMerges >= 1)
+    require(scale >= 1)
+    var vocab = df
+      .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(concat(split(col("word"), ""), array(lit("</w>"))).as("syms"),
+        col("cnt"))
+      .cache()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
+    try {
+      for (round <- 1 to nMerges) {
+        // symbol occurrence counts over the CURRENT segmentation (single-
+        // symbol words still count — their symbol is a merge candidate's
+        // unit); pair stats skip them (see bpeTrain's sequence guard)
+        val symCounts = vocab
+          .select(explode(col("syms")).as("sym"), col("cnt"))
+          .groupBy("sym").agg(sum(col("cnt")).as("c"))
+        val top = vocab
+          .filter(size(col("syms")) > 1)
+          .select(col("cnt"), explode(transform(
+            sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("left"),
+              element_at(col("syms"), i + 1).as("right")))).as("p"))
+          .groupBy(col("p.left").as("left"), col("p.right").as("right"))
+          .agg(sum(col("cnt")).as("pair_count"))
+          .join(symCounts.select(col("sym").as("left"), col("c").as("cl")), "left")
+          .join(symCounts.select(col("sym").as("right"), col("c").as("cr")), "right")
+          .select(col("left"), col("right"), col("pair_count"),
+            expr(s"(pair_count * ${scale}L) div (cl * cr)").as("score"))
+          .orderBy(col("score").desc, col("pair_count").desc,
+            col("left"), col("right"))
+          .limit(1).collect()
+        if (top.isEmpty) return merges.toSeq
+        val (l0, r0, c, sc) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2), top(0).getLong(3))
+        merges += ((round, l0, r0, c, sc))
+        val merged = vocab.select(
+          expr(mergeFoldSql("syms", l0, r0)).as("syms"), col("cnt"))
+          .cache()
+        merged.count() // materialize before dropping the parent
+        vocab.unpersist()
+        // same vocab-scale lineage truncation as bpeTrain (see there)
+        vocab = if (round % 16 == 0) {
+          val t = merged.localCheckpoint(true); merged.unpersist(); t
+        } else merged
+      }
+      merges.toSeq
+    } finally vocab.unpersist()
+  }
+
   /** [[bpeTrain]] with BATCHED merges — the vocab-size-scale variant: each
     * driver round selects up to `batch` pairs (count-desc, (left, right)
     * tie-break) that are mutually NON-OVERLAPPING (no symbol appears in two

@@ -70,6 +70,70 @@ object PipelineQueries {
           ORDER BY rnd"""
   }
 
+  /** DuckDB replay of 3 rounds of WordPiece training (the qdu gate):
+    * [[OBpeTrain3]]'s vocabulary frames and recursive fold, with the
+    * argmax swapped for the likelihood score — per round a symbol-count
+    * CTE over the CURRENT segmentation (single-symbol words included),
+    * then rank floor(pc·scale/(cl·cr)) DESC, pc DESC, (lhs, rhs). The
+    * division runs in DuckDB's HUGEINT and lands back in the BIGINT
+    * domain TextPipeline.wordpieceTrain computes in. */
+  private lazy val OWordpieceTrain3: String = {
+    def argmax(i: Int) = s"""sc${i + 1} AS (
+        SELECT s AS sym, sum(cnt) AS c
+        FROM v$i CROSS JOIN UNNEST(syms) AS t(s) GROUP BY 1
+      ), p${i + 1} AS (
+        SELECT syms[i] AS lhs, syms[i + 1] AS rhs, sum(cnt) AS pc
+        FROM v$i CROSS JOIN UNNEST(generate_series(1, len(syms) - 1)) AS t(i)
+        GROUP BY 1, 2
+      ), m${i + 1} AS (
+        SELECT lhs, rhs, pc,
+          (pc * 1000000000) // (cl.c * cr.c) AS score
+        FROM p${i + 1}
+        JOIN sc${i + 1} cl ON lhs = cl.sym
+        JOIN sc${i + 1} cr ON rhs = cr.sym
+        ORDER BY score DESC, pc DESC, lhs, rhs LIMIT 1
+      )"""
+    def fold(i: Int) = s"""r${i + 1} AS (
+        SELECT syms, cnt, 1 AS i, []::varchar[] AS out, '' AS pending
+        FROM v$i
+        UNION ALL
+        SELECT r.syms, r.cnt, r.i + 1,
+          CASE WHEN r.pending = '' THEN r.out
+               WHEN r.pending = m.lhs AND r.syms[r.i] = m.rhs
+                 THEN list_append(r.out, m.lhs || m.rhs)
+               ELSE list_append(r.out, r.pending) END,
+          CASE WHEN r.pending <> '' AND r.pending = m.lhs
+                    AND r.syms[r.i] = m.rhs
+               THEN '' ELSE r.syms[r.i] END
+        FROM r${i + 1} r, m${i + 1} m WHERE r.i <= len(r.syms)
+      ), v${i + 1} AS (
+        SELECT CASE WHEN pending = '' THEN out
+                    ELSE list_append(out, pending) END AS syms, cnt
+        FROM r${i + 1} WHERE i = len(syms) + 1
+      )"""
+    s"""WITH RECURSIVE words AS (
+        SELECT w AS word, count(*) AS cnt FROM (
+          SELECT unnest(list_filter(
+            string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
+          FROM documents)
+        GROUP BY 1
+      ), v0 AS (
+        SELECT list_append(
+            list_transform(range(1, length(word) + 1), i -> word[i]),
+            '</w>') AS syms,
+          cnt
+        FROM words
+      ), ${argmax(0)}, ${fold(0)}, ${argmax(1)}, ${fold(1)}, ${argmax(2)}
+      SELECT * FROM (
+        SELECT CAST(1 AS INTEGER) AS rnd, lhs, rhs,
+          CAST(pc AS BIGINT) AS pair_count, CAST(score AS BIGINT) AS score FROM m1
+        UNION ALL SELECT CAST(2 AS INTEGER), lhs, rhs,
+          CAST(pc AS BIGINT), CAST(score AS BIGINT) FROM m2
+        UNION ALL SELECT CAST(3 AS INTEGER), lhs, rhs,
+          CAST(pc AS BIGINT), CAST(score AS BIGINT) FROM m3)
+      ORDER BY rnd"""
+  }
+
   /** DuckDB replay of BATCHED BPE training (2 rounds × batch 4 = the qdd
     * gate): per round, pair stats over the current vocabulary are ranked
     * (count DESC, (lhs, rhs) tie-break), the top 4×4 candidates feed a
@@ -1030,6 +1094,21 @@ object PipelineQueries {
           .toDF("rnd", "lhs", "rhs", "pair_count")
       },
       Some(OBpeTrainBatched2x4)),
+
+    // WordPiece merge-table training, 3 rounds: same driver loop and
+    // greedy-leftmost fold as qd4, but the argmax is the LIKELIHOOD score
+    // floor(pc·1e9 / (count(l)·count(r))) — the Schuster-Nakajima
+    // criterion in the house scaled-integer device, so the trajectory
+    // replays exactly. The oracle adds a per-round symbol-count CTE over
+    // the current segmentation and ranks (score, pc, lhs, rhs); everything
+    // downstream of the argmax is OBpeTrain3's machinery.
+    Entry("qdu_wordpiece_train",
+      (s, dir) => {
+        import s.implicits._
+        TextPipeline.wordpieceTrain(t(s, dir, "documents"), "text", nMerges = 3)
+          .toDF("rnd", "lhs", "rhs", "pair_count", "score")
+      },
+      Some(OWordpieceTrain3)),
 
     // SparkSessionExtensions surface: the native codegen expressions called
     // from SQL TEXT via the injected function registry — same rows as the

@@ -558,6 +558,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(tm.nonEmpty) // merges (a,</w>) then 'a' collapses to one symbol
   }
 
+  test("wordpieceTrain: likelihood argmax diverges from BPE, score tie falls " +
+    "to pair count") {
+    // corpus: la x6, xy x1. Round 1 scores (scale 1e9): (x,y) = 1e9/(1·1)
+    // beats (l,a) = 6e9/36 — WordPiece fuses the RARE-unit pair BPE would
+    // never pick first (BPE takes (l,a) at count 6). Round 3 then ties
+    // (la,</w>) and (xy,</w>) at floor(·) = 142857142; pc DESC breaks it.
+    val df = Seq((1L, (Seq.fill(6)("la") ++ Seq("xy")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val wp = TextPipeline.wordpieceTrain(df, "text", nMerges = 3)
+    assert(wp === Seq(
+      (1, "x", "y", 1L, 1000000000L),
+      (2, "l", "a", 6L, 166666666L),
+      (3, "la", "</w>", 6L, 142857142L)))
+    // BPE's count argmax ties (l,a)/(a,</w>) at 6 and lexicographically
+    // takes (a,</w>) — either way, never round-1 (x,y)
+    val bpe = TextPipeline.bpeTrain(df, "text", nMerges = 1)
+    assert((bpe.head._2, bpe.head._3) === ("a", "</w>"))
+  }
+
   test("bigramLogProb: hand-computed add-one model, short-doc null policy") {
     // corpus: "a b" x2, "a c" x1, "x" x1 → unigrams a:3 b:2? no —
     // tokens: doc1 "a b a b" (a:2,b:2), doc2 "a c" (a:1,c:1), doc3 "x".
