@@ -534,6 +534,70 @@ object TextPipeline {
     } finally vocab.unpersist()
   }
 
+  /** WordPiece ENCODING — BERT's greedy longest-match-first tokenizer
+    * (public algorithm: Devlin et al. 2019 / the original Schuster &
+    * Nakajima decoder): per word, repeatedly take the LONGEST vocabulary
+    * piece matching at the cursor — word-initial pieces at position 1,
+    * `##`-prefixed continuation pieces after — and emit the whole word as
+    * a single UNK token when some position matches nothing. This is a
+    * different algorithm from [[bpeEncode]]'s merge-driven fold (a merge
+    * list replays training; a piece vocabulary segments directly), which
+    * is why both exist.
+    *
+    * Pure higher-order expression, no UDF: one `aggregate` over the
+    * word's character positions with a (cursor, count, ok) carry — a step
+    * whose index isn't the cursor is a no-op, so the fold touches each
+    * position once and the inner `filter`+`aggregate` picks the longest
+    * match from the vocabulary literal. Vocabulary size bounds the inner
+    * expression, so this is for tokenizer-scale vocabs a driver can
+    * inline (the 30k+-piece production regime would swap the literal for
+    * a broadcast prefix table — same outer fold).
+    *
+    * Emits (idCol, n_words, n_tokens, n_unk_words); UNK words count 1
+    * token. Same scale shape as [[bpeEncode]]: segmentation runs on the
+    * DISTINCT-word vocabulary, the corpus pays one scan + broadcast join.
+    *
+    * `vocab`: word-initial pieces plain, continuations `##`-prefixed. */
+  def wordpieceEncode(df: DataFrame, idCol: String, textCol: String,
+                      vocab: Seq[String]): DataFrame = {
+    require(vocab.nonEmpty, "vocab must not be empty")
+    def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    def arr(ps: Seq[String]) =
+      if (ps.isEmpty) "array()::array<string>"
+      else ps.map(p => s"'${esc(p)}'").mkString("array(", ", ", ")")
+    val init = arr(vocab.filterNot(_.startsWith("##")))
+    val cont = arr(vocab.filter(_.startsWith("##")).map(_.stripPrefix("##")))
+    // longest piece matching `word` at 1-based cursor `pos`; 0 = no match
+    def best(pieces: String) =
+      s"""aggregate($pieces, 0,
+         (m, p) -> CASE WHEN p = substring(word, acc.pos, length(p))
+                        THEN greatest(m, length(p)) ELSE m END)"""
+    val segSql =
+      s"""aggregate(sequence(1, length(word)),
+         named_struct('pos', 1, 'n', 0, 'ok', true),
+         (acc, i) -> CASE WHEN NOT acc.ok OR i <> acc.pos THEN acc ELSE
+           CASE WHEN (CASE WHEN acc.pos = 1 THEN ${best(init)}
+                           ELSE ${best(cont)} END) = 0
+                THEN named_struct('pos', acc.pos, 'n', acc.n, 'ok', false)
+                ELSE named_struct(
+                  'pos', acc.pos + (CASE WHEN acc.pos = 1 THEN ${best(init)}
+                                         ELSE ${best(cont)} END),
+                  'n', acc.n + 1, 'ok', true) END END,
+         acc -> named_struct('n_toks',
+             CASE WHEN acc.ok THEN acc.n ELSE 1 END,
+           'unk', NOT acc.ok))"""
+    val words = df.select(col(idCol),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
+    val seg = words.select("word").distinct()
+      .select(col("word"), expr(segSql).as("s"))
+      .select(col("word"), col("s.n_toks").cast("long").as("w_toks"),
+        col("s.unk").as("unk"))
+    words.join(broadcast(seg), Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum("w_toks").as("n_tokens"),
+        sum(when(col("unk"), 1L).otherwise(0L)).as("n_unk_words"))
+  }
+
   /** [[bpeTrain]] with BATCHED merges — the vocab-size-scale variant: each
     * driver round selects up to `batch` pairs (count-desc, (left, right)
     * tie-break) that are mutually NON-OVERLAPPING (no symbol appears in two

@@ -134,6 +134,54 @@ object PipelineQueries {
       ORDER BY rnd"""
   }
 
+  /** The qdw gate's piece vocabulary: all single letters (initial and
+    * continuation) + multi-char pieces that overlap them, so the greedy
+    * longest-match has real choices; nothing matches digits/punctuation,
+    * so such words exercise the UNK path. */
+  private lazy val WpVocab: Seq[String] =
+    ('a' to 'z').map(_.toString) ++ ('a' to 'z').map(c => s"##$c") ++
+      Seq("th", "the", "qu", "an", "re", "de",
+        "##ing", "##er", "##ed", "##es", "##on", "##tion", "##s")
+
+  /** DuckDB replay of [[TextPipeline.wordpieceEncode]] with [[WpVocab]]:
+    * a recursive CTE advancing the greedy cursor per distinct word —
+    * best match = list_max over the matching pieces' lengths (NULL = UNK
+    * stop) — then the same instance-join per-doc aggregate. */
+  private lazy val OWordpieceEncode: String = {
+    def lst(ps: Seq[String]) =
+      ps.map(p => s"'${p.replace("'", "''")}'").mkString("[", ", ", "]")
+    val init = lst(WpVocab.filterNot(_.startsWith("##")))
+    val cont = lst(WpVocab.filter(_.startsWith("##")).map(_.stripPrefix("##")))
+    s"""WITH RECURSIVE docw AS (
+        SELECT doc_id, unnest(list_filter(
+          string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS word
+        FROM documents
+      ), dw AS (
+        SELECT DISTINCT word FROM docw
+      ), seg AS (
+        SELECT word, 1 AS pos, 0 AS n, true AS ok FROM dw
+        UNION ALL
+        SELECT word,
+          CASE WHEN bl IS NULL THEN pos ELSE pos + bl END,
+          CASE WHEN bl IS NULL THEN n ELSE n + 1 END,
+          bl IS NOT NULL
+        FROM (
+          SELECT word, pos, n,
+            list_max(list_transform(list_filter(
+              CASE WHEN pos = 1 THEN $init ELSE $cont END,
+              p -> p = substr(word, pos, length(p))), p -> length(p))) AS bl
+          FROM seg WHERE ok AND pos <= length(word))
+      ), wl AS (
+        SELECT word, CASE WHEN ok THEN n ELSE 1 END AS w_toks, NOT ok AS unk
+        FROM seg WHERE (NOT ok) OR pos > length(word)
+      )
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        CAST(sum(w_toks) AS BIGINT) AS n_tokens,
+        CAST(sum(CASE WHEN unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk_words
+      FROM docw JOIN wl USING (word)
+      GROUP BY doc_id"""
+  }
+
   /** DuckDB replay of BATCHED BPE training (2 rounds × batch 4 = the qdd
     * gate): per round, pair stats over the current vocabulary are ranked
     * (count DESC, (lhs, rhs) tie-break), the top 4×4 candidates feed a
@@ -1109,6 +1157,19 @@ object PipelineQueries {
           .toDF("rnd", "lhs", "rhs", "pair_count", "score")
       },
       Some(OWordpieceTrain3)),
+
+    // WordPiece ENCODING (BERT greedy longest-match-first, ## continuation
+    // pieces, whole-word UNK): per-doc token counts under a fixed piece
+    // vocabulary — single letters guarantee alphabetic words segment, the
+    // multi-char pieces force real longest-match decisions, and tokens
+    // containing digits/punctuation hit the UNK path (no such pieces).
+    // One Scala list feeds BOTH the Spark expression literal and the
+    // oracle's DuckDB lists; the oracle walks the same greedy cursor as a
+    // recursive CTE over the distinct-word vocabulary.
+    Entry("qdw_wordpiece_encode",
+      (s, dir) => TextPipeline.wordpieceEncode(t(s, dir, "documents"), "doc_id",
+        "text", WpVocab),
+      Some(OWordpieceEncode)),
 
     // SparkSessionExtensions surface: the native codegen expressions called
     // from SQL TEXT via the injected function registry — same rows as the

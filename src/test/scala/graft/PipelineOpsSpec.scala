@@ -577,6 +577,20 @@ class PipelineOpsSpec extends SparkSpec {
     assert((bpe.head._2, bpe.head._3) === ("a", "</w>"))
   }
 
+  test("wordpieceEncode: longest-match-first, ## continuations, greedy " +
+    "UNK even when a shorter split would segment") {
+    // vocab: init {abc, ab, x}, cont {##cx, ##d}
+    //  abcd -> abc + ##d = 2 tokens
+    //  abcx -> greedy takes abc, then 'x' has no continuation -> UNK(1),
+    //          even though ab + ##cx would segment (BERT semantics)
+    //  x    -> 1 token; q7 -> UNK (no 'q' piece)
+    val vocab = Seq("abc", "ab", "x", "##cx", "##d")
+    val df = Seq((1L, "abcd abcx x"), (2L, "q7 abcd abcd")).toDF("doc_id", "text")
+    val got = TextPipeline.wordpieceEncode(df, "doc_id", "text", vocab)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 3L, 2L + 1L + 1L, 1L), (2L, 3L, 1L + 2L + 2L, 1L)))
+  }
+
   test("bigramLogProb: hand-computed add-one model, short-doc null policy") {
     // corpus: "a b" x2, "a c" x1, "x" x1 → unigrams a:3 b:2? no —
     // tokens: doc1 "a b a b" (a:2,b:2), doc2 "a c" (a:1,c:1), doc3 "x".
