@@ -598,6 +598,57 @@ object TextPipeline {
         sum(when(col("unk"), 1L).otherwise(0L)).as("n_unk_words"))
   }
 
+  /** OPTIMAL (minimal-token) segmentation against the same piece
+    * vocabulary [[wordpieceEncode]] consumes greedily — shortest-path
+    * tokenization, the uniform-score special case of the unigram-LM /
+    * SentencePiece Viterbi decoder (public: Kudo 2018). Where greedy
+    * longest-match can dead-end into UNK or over-fragment, the DP finds
+    * any valid segmentation and the fewest pieces; comparing qdw/qdx
+    * output is the standard tokenizer-quality diagnostic.
+    *
+    * Per distinct word, one `aggregate` over the positions carrying the
+    * DP cost array (costs[i] = fewest pieces covering the i-char prefix,
+    * INF when unreachable): position i relaxes over the word-initial
+    * piece equal to the whole prefix and every `##`-continuation piece
+    * ending at i. UNK contract matches [[wordpieceEncode]]: an
+    * unsegmentable word is 1 UNK token. Same distinct-word + broadcast
+    * join scale shape; vocabulary literal bounds the inner expression. */
+  def minTokenEncode(df: DataFrame, idCol: String, textCol: String,
+                     vocab: Seq[String]): DataFrame = {
+    require(vocab.nonEmpty, "vocab must not be empty")
+    val INF = 1000000000
+    def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    def arr(ps: Seq[String]) =
+      if (ps.isEmpty) "array()::array<string>"
+      else ps.map(p => s"'${esc(p)}'").mkString("array(", ", ", ")")
+    val init = arr(vocab.filterNot(_.startsWith("##")))
+    val cont = arr(vocab.filter(_.startsWith("##")).map(_.stripPrefix("##")))
+    val dpSql =
+      s"""aggregate(sequence(1, length(word)), array(0),
+         (acc, i) -> array_append(acc, least(
+           CASE WHEN array_contains($init, substring(word, 1, i))
+                THEN 1 ELSE $INF END,
+           aggregate($cont, $INF,
+             (m, p) -> CASE WHEN length(p) < i
+                 AND p = substring(word, i - length(p) + 1, length(p))
+               THEN least(m, element_at(acc, i - length(p) + 1) + 1)
+               ELSE m END))),
+         acc -> named_struct(
+           'n_toks', CASE WHEN element_at(acc, length(word) + 1) >= $INF
+                          THEN 1 ELSE element_at(acc, length(word) + 1) END,
+           'unk', element_at(acc, length(word) + 1) >= $INF))"""
+    val words = df.select(col(idCol),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
+    val seg = words.select("word").distinct()
+      .select(col("word"), expr(dpSql).as("s"))
+      .select(col("word"), col("s.n_toks").cast("long").as("w_toks"),
+        col("s.unk").as("unk"))
+    words.join(broadcast(seg), Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum("w_toks").as("n_tokens"),
+        sum(when(col("unk"), 1L).otherwise(0L)).as("n_unk_words"))
+  }
+
   /** [[bpeTrain]] with BATCHED merges — the vocab-size-scale variant: each
     * driver round selects up to `batch` pairs (count-desc, (left, right)
     * tie-break) that are mutually NON-OVERLAPPING (no symbol appears in two

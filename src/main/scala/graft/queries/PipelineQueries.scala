@@ -182,6 +182,47 @@ object PipelineQueries {
       GROUP BY doc_id"""
   }
 
+  /** DuckDB replay of [[TextPipeline.minTokenEncode]] with [[WpVocab]]:
+    * recursive CTE building each word's DP cost list position by
+    * position — initial piece = the whole prefix, continuation pieces
+    * relax from their start position's cost; INF (1e9) marks
+    * unreachable, final cost >= INF = the 1-token UNK contract. */
+  private lazy val OMinTokenEncode: String = {
+    def lst(ps: Seq[String]) =
+      ps.map(p => s"'${p.replace("'", "''")}'").mkString("[", ", ", "]")
+    val init = lst(WpVocab.filterNot(_.startsWith("##")))
+    val cont = lst(WpVocab.filter(_.startsWith("##")).map(_.stripPrefix("##")))
+    s"""WITH RECURSIVE docw AS (
+        SELECT doc_id, unnest(list_filter(
+          string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS word
+        FROM documents
+      ), dw AS (
+        SELECT DISTINCT word FROM docw
+      ), dp AS (
+        SELECT word, 0 AS i, [0] AS costs FROM dw
+        UNION ALL
+        SELECT word, i + 1, list_append(costs, least(
+            CASE WHEN list_contains($init, substr(word, 1, i + 1))
+                 THEN 1 ELSE 1000000000 END,
+            coalesce(list_min(list_transform(list_filter($cont,
+                p -> length(p) < i + 1
+                  AND p = substr(word, i + 1 - length(p) + 1, length(p))),
+              p -> costs[i + 1 - length(p) + 1] + 1)), 1000000000)))
+        FROM dp WHERE i < length(word)
+      ), wl AS (
+        SELECT word,
+          CASE WHEN costs[length(word) + 1] >= 1000000000
+               THEN 1 ELSE costs[length(word) + 1] END AS w_toks,
+          costs[length(word) + 1] >= 1000000000 AS unk
+        FROM dp WHERE i = length(word)
+      )
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        CAST(sum(w_toks) AS BIGINT) AS n_tokens,
+        CAST(sum(CASE WHEN unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk_words
+      FROM docw JOIN wl USING (word)
+      GROUP BY doc_id"""
+  }
+
   /** DuckDB replay of BATCHED BPE training (2 rounds × batch 4 = the qdd
     * gate): per round, pair stats over the current vocabulary are ranked
     * (count DESC, (lhs, rhs) tie-break), the top 4×4 candidates feed a
@@ -1170,6 +1211,17 @@ object PipelineQueries {
       (s, dir) => TextPipeline.wordpieceEncode(t(s, dir, "documents"), "doc_id",
         "text", WpVocab),
       Some(OWordpieceEncode)),
+
+    // OPTIMAL (minimal-token) segmentation over the SAME vocabulary as
+    // qdw — shortest-path tokenization (uniform-score unigram-LM /
+    // SentencePiece Viterbi). The greedy/optimal pair is the standard
+    // tokenizer diagnostic: optimal never emits more tokens, and words
+    // greedy dead-ends into UNK may segment. The oracle replays the DP
+    // as a recursive CTE carrying the cost list per word.
+    Entry("qdx_min_token_encode",
+      (s, dir) => TextPipeline.minTokenEncode(t(s, dir, "documents"), "doc_id",
+        "text", WpVocab),
+      Some(OMinTokenEncode)),
 
     // SparkSessionExtensions surface: the native codegen expressions called
     // from SQL TEXT via the injected function registry — same rows as the

@@ -591,6 +591,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === Set((1L, 3L, 2L + 1L + 1L, 1L), (2L, 3L, 1L + 2L + 2L, 1L)))
   }
 
+  test("minTokenEncode: DP segments greedy's dead ends and never uses more " +
+    "tokens") {
+    val vocab = Seq("abc", "ab", "x", "a", "##cx", "##d", "##b", "##c")
+    //  abcx: greedy abc->dead end (UNK); DP: ab + ##cx = 2
+    //  abcd: both 2 (abc+##d; DP can't beat 2)
+    //  aaaa: greedy would be a,##? no ##a piece -> UNK; DP also UNK
+    val df = Seq((1L, "abcx abcd aaaa")).toDF("doc_id", "text")
+    val dp = TextPipeline.minTokenEncode(df, "doc_id", "text", vocab)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(dp === ((1L, 3L, 2L + 2L + 1L, 1L)))
+    val greedy = TextPipeline.wordpieceEncode(df, "doc_id", "text", vocab)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(greedy === ((1L, 3L, 1L + 2L + 1L, 2L))) // abcx is UNK under greedy
+  }
+
   test("bigramLogProb: hand-computed add-one model, short-doc null policy") {
     // corpus: "a b" x2, "a c" x1, "x" x1 → unigrams a:3 b:2? no —
     // tokens: doc1 "a b a b" (a:2,b:2), doc2 "a c" (a:1,c:1), doc3 "x".
