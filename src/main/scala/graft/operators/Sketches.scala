@@ -157,6 +157,31 @@ object Sketches {
       .groupBy(window(col(tsCol), duration), col("cm_row"), col("cm_bucket"))
       .agg(count(lit(1)).as("cm_cnt"))
 
+  /** STREAMING windowed heavy-hitter CANDIDATES: one mergeable
+    * Misra-Gries summary per event-time window
+    * (functions/Aggregators.MisraGries — at most `k` counters per partial
+    * REGARDLESS of arrivals, the same bounded-state argument as
+    * [[hllWindowedDistinct]]/[[cmWindowedCounters]]), emitted with the
+    * window's exact arrival count when the watermark closes it. Any key
+    * with true in-window count > n_events/(k+1) is GUARANTEED in
+    * `candidates` (the MG bound survives partial-aggregate merging);
+    * which OTHER keys appear depends on arrival/merge order, so consumers
+    * must exact-verify: join candidates back to per-window true counts
+    * and keep `cnt · (k+1) > n_events` — two bounded passes, the same
+    * propose-then-verify regime as [[dyadicHeavyHitters]] and the
+    * streaming LSH claim index. */
+  def mgWindowedCandidates(events: DataFrame, tsCol: String, duration: String,
+                           keyCol: String, k: Int,
+                           watermark: String): DataFrame = {
+    val mg = udaf(graft.functions.Aggregators.MisraGries(k),
+      org.apache.spark.sql.Encoders.STRING)
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), duration))
+      .agg(mg(col(keyCol).cast("string")).as("candidates"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** [[cmLookup]] against per-group (e.g. per-window) counter frames:
     * probes × groups, min over the d seeded counters within each group,
     * absent counters = 0 (the classic CM zero floor). The counter side is

@@ -429,6 +429,71 @@ object StreamQueries {
         GROUP BY 1, 2
         ORDER BY c.win_start_us, p.event_type"""
       }),
+    // STREAMING windowed heavy hitters (the top-k sibling of qdc's CM
+    // store): a mergeable Misra-Gries summary rides the windowed streaming
+    // aggregate — ≤ k counters per partial, emitted with the window's
+    // exact arrival count on watermark close — then candidates are
+    // EXACT-VERIFIED against per-window true counts (the propose/verify
+    // regime of qct and qdo). MG guarantees every key with
+    // cnt·(k+1) > n_events survives any arrival/merge order, so the
+    // verified output is deterministic and the oracle replays it with no
+    // sketch at all: per closed window, exactly the keys above the bound.
+    // The fixture's raw keys are near-uniform by construction (max
+    // event_type share 24–33%, max user share < 8%), which would make any
+    // threshold either empty or capacity > distinct keys (no eviction =
+    // no sketch). The gate therefore derives a SKEWED session key — two
+    // 40%-mass hot keys + a 64-key uniform tail — so capacity 8 over ~66
+    // live keys does real MG eviction while the hot keys ride the bound.
+    Entry("qdy_stream_heavy_hitters",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        val k = 8
+        def hkey(c: org.apache.spark.sql.Column, u: org.apache.spark.sql.Column) =
+          when(pmod(c, lit(5)) < 2, lit("hot_a"))
+            .when(pmod(c, lit(5)) < 4, lit("hot_b"))
+            .otherwise(concat(lit("u"), pmod(u, lit(64)).cast("string")))
+        val keyed = eventsStream(s, dir)
+          .withColumn("hkey", hkey(col("event_id"), col("user_id")))
+        val cands = graft.operators.Sketches.mgWindowedCandidates(
+          keyed, "ts", "6 hours", "hkey", k, watermark = "10 minutes")
+          .select(unix_micros(col("window.start")).as("win_start_us"),
+            map_keys(col("candidates")).as("cand_keys"), col("n_events"))
+        val sunk = run(cands, "append", "qdy_sink")
+        val winUs = 6 * HourUs
+        val exact = graft.Tables.events(s, dir)
+          .select((floor(unix_micros(col("ts")) / winUs) * winUs)
+            .cast("long").as("win_start_us"),
+            hkey(col("event_id"), col("user_id")).as("hkey"))
+          .groupBy("win_start_us", "hkey").agg(count(lit(1)).as("cnt"))
+        sunk.select(col("win_start_us"), col("n_events"),
+            explode(col("cand_keys")).as("hkey"))
+          .join(exact, Seq("win_start_us", "hkey"))
+          .filter(col("cnt") * (k + 1) > col("n_events"))
+          .select("win_start_us", "hkey", "cnt", "n_events")
+          .orderBy("win_start_us", "hkey")
+      },
+      Some {
+        val winUs = 6 * HourUs
+        s"""WITH wm AS (
+          SELECT epoch_ms(max(ts)) - 600000 AS watermark_ms FROM events
+        ),
+        u AS (SELECT (epoch_us(ts) // $winUs) * $winUs AS win_start_us,
+            CASE WHEN event_id % 5 < 2 THEN 'hot_a'
+                 WHEN event_id % 5 < 4 THEN 'hot_b'
+                 ELSE 'u' || CAST(user_id % 64 AS VARCHAR) END AS hkey
+          FROM events),
+        n AS (SELECT win_start_us, count(*) AS n_events FROM u GROUP BY 1),
+        closed AS (SELECT win_start_us, n_events FROM n, wm
+          WHERE ((win_start_us + $winUs) / 1000) <= wm.watermark_ms),
+        c AS (SELECT win_start_us, hkey, count(*) AS cnt
+          FROM u GROUP BY 1, 2)
+        SELECT c.win_start_us, c.hkey, CAST(c.cnt AS BIGINT) AS cnt,
+          CAST(cl.n_events AS BIGINT) AS n_events
+        FROM c JOIN closed cl USING (win_start_us)
+        WHERE c.cnt * 9 > cl.n_events
+        ORDER BY c.win_start_us, c.hkey"""
+      }),
+
     // Kafka gate hardening (round-9 VERDICT item #7): APPEND-mode windowed
     // aggregation through the SAME framed topic as qd8 — watermark +
     // window-close semantics must survive the Kafka frame path (record

@@ -277,4 +277,40 @@ class SketchesSpec extends SparkSpec {
       assert(q <= target - 1, s"p$p: overcounts must bias EARLY, got $q > ${target - 1}")
     }
   }
+
+  test("MisraGries: bounded size, recall guarantee under any split/merge tree") {
+    import graft.functions.Aggregators.MisraGries
+    val mg = MisraGries(5)
+    // deterministic skewed stream: 'hot' 40%, 'warm' 20%, 40-key tail
+    val stream = (0 until 1000).map { i =>
+      if (i % 5 < 2) "hot" else if (i % 5 == 2) "warm" else s"t${i % 40}"
+    }
+    // sequential reduce: size bound holds at EVERY step
+    val seqSum = stream.foldLeft(mg.zero) { (b, x) =>
+      val nb = mg.reduce(b, x)
+      assert(nb.size <= 5, s"buffer grew past k: $nb")
+      nb
+    }
+    val n = stream.size
+    val heavy = stream.groupBy(identity).view.mapValues(_.size)
+      .filter { case (_, c) => c * 6 > n }.keySet
+    assert(heavy === Set("hot", "warm"))
+    assert(heavy.subsetOf(seqSum.keySet), s"sequential MG lost a heavy key: $seqSum")
+    // arbitrary split points + pairwise merges (the partial-agg shape)
+    for (splits <- Seq(Seq(100, 400), Seq(1, 999), Seq(250, 500, 750))) {
+      val parts = (Seq(0) ++ splits ++ Seq(n)).sliding(2).map { case Seq(a, b) =>
+        stream.slice(a, b).foldLeft(mg.zero)(mg.reduce)
+      }.toSeq
+      val merged = parts.reduce(mg.merge)
+      assert(merged.size <= 5)
+      assert(heavy.subsetOf(merged.keySet),
+        s"merge tree $splits lost a heavy key: $merged")
+      // undercount bound: estimate >= true - N/(k+1)
+      merged.foreach { case (key, est) =>
+        val truth = stream.count(_ == key)
+        assert(est <= truth && est >= truth - n / 6,
+          s"$key est $est outside [truth - N/6, truth] (truth $truth)")
+      }
+    }
+  }
 }
