@@ -190,6 +190,61 @@ object TextPipeline {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
   }
 
+  /** Per-document average INTERPOLATED KNESER-NEY bigram conditional
+    * log-probability — the LM-perplexity filter signal with the smoothing
+    * actually used by n-gram LMs (public: Kneser & Ney 1995; Chen &
+    * Goodman 1999), one modeling step past [[bigramLogProb]]'s add-one:
+    *
+    *   P(b|a) = max(C(a,b) − D, 0)/C(a·) + D·N1+(a·)/C(a·) · N1+(·b)/N1+(··)
+    *
+    * with discount D = 3/4. Every ingredient is an integer (bigram count,
+    * left-context token count, distinct right/left continuation counts,
+    * total bigram types), so with D as the rational 3/4 the probability
+    * is the exact ratio
+    *
+    *   [(4·C(a,b) − 3)·N + 3·N1+(a·)·N1+(·b)] / (4·C(a·)·N),  N = N1+(··)
+    *
+    * computed identically by any engine; only the final ln is float, and
+    * 6-decimal rounding at the call site absorbs libm ulp drift (the qb9
+    * device, same as [[bigramLogProb]]). Scoring the model's own corpus
+    * means every bigram is seen, so the max(·,0) clamp never binds and no
+    * OOV backoff path is needed.
+    *
+    * Shape at scale: identical to [[bigramLogProb]] — in-row bigram
+    * expansion (no shuffle), observed-bigram-bounded model aggregates
+    * (the N1+ columns are BY-PRODUCTs of the (a,b) count — one extra
+    * grouped count each, no new corpus pass), score join keyed (a, b).
+    * Docs with < 2 tokens: null score, n_bigrams = 0. */
+  def kneserNeyBigramLogProb(df: DataFrame, idCol: String,
+                             textCol: String): DataFrame = {
+    val withToks = df.select(col(idCol),
+      TextFunctions.tokens(lower(col(textCol))).as("t"))
+    val bigrams = withToks.select(col(idCol),
+      explode(when(size(col("t")) > 1,
+        expr("transform(sequence(1, size(t) - 1), i -> struct(t[i - 1] AS a, t[i] AS b))"))
+        .otherwise(expr("array()::array<struct<a:string,b:string>>"))).as("bg"))
+      .select(col(idCol), col("bg.a").as("a"), col("bg.b").as("b"))
+    val cab = bigrams.groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    val left = cab.groupBy("a")
+      .agg(sum("cab").as("ca"), count(lit(1)).as("n1a"))
+    val right = cab.groupBy("b").agg(count(lit(1)).as("n1b"))
+    val types = cab.agg(count(lit(1)).as("nn"))
+    val probs = cab
+      .join(left, Seq("a")).join(right, Seq("b"))
+      .crossJoin(broadcast(types))
+      .select(col("a"), col("b"),
+        log(((greatest(lit(4) * col("cab") - 3, lit(0)) * col("nn") +
+            lit(3) * col("n1a") * col("n1b")).cast("double")) /
+          ((lit(4) * col("ca") * col("nn")).cast("double"))).as("logp"))
+    val scored = bigrams.join(probs, Seq("a", "b"), "left")
+      .groupBy(col(idCol))
+      .agg(avg(col("logp")).as("logprob"), count(lit(1)).as("n_bigrams"))
+    df.select(col(idCol)).distinct()
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol), col("logprob"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
+  }
+
   /** Per-document top-`k` terms by smoothed TF-IDF — the classic keyword /
     * topic-signal extractor (tf · (ln((N+1)/(df+1)) + 1), the smooth-idf
     * variant that never zeroes a term appearing in every doc).

@@ -693,6 +693,48 @@ object PipelineQueries {
         FROM (SELECT DISTINCT doc_id FROM documents) d
         LEFT JOIN scored s USING (doc_id)""")),
 
+    // Interpolated Kneser-Ney bigram scoring (qdb's model with the
+    // smoothing real n-gram LMs use): D = 3/4 as a rational keeps the
+    // probability an exact BIGINT ratio both engines build identically —
+    // only the final ln floats, absorbed by round-6 (the qb9 device).
+    Entry("qdz_kneser_ney_logprob",
+      (s, dir) => TextPipeline.kneserNeyBigramLogProb(t(s, dir, "documents"),
+          "doc_id", "text")
+        .select(col("doc_id"), round(col("logprob"), 6).as("logprob"),
+          col("n_bigrams")),
+      Some("""WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '') AS t
+          FROM documents
+        ), bigrams AS (
+          SELECT doc_id, t[i] AS a, t[i + 1] AS b
+          FROM toks CROSS JOIN UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+          WHERE len(t) > 1
+        ), bg AS (
+          SELECT a, b, CAST(count(*) AS BIGINT) AS cab FROM bigrams GROUP BY a, b
+        ), lft AS (
+          SELECT a, CAST(sum(cab) AS BIGINT) AS ca,
+            CAST(count(*) AS BIGINT) AS n1a FROM bg GROUP BY a
+        ), rgt AS (
+          SELECT b, CAST(count(*) AS BIGINT) AS n1b FROM bg GROUP BY b
+        ), typ AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM bg
+        ), probs AS (
+          SELECT bg.a, bg.b,
+            ln(CAST(greatest(4 * bg.cab - 3, 0) * typ.nn
+                + 3 * lft.n1a * rgt.n1b AS DOUBLE)
+              / CAST(4 * lft.ca * typ.nn AS DOUBLE)) AS logp
+          FROM bg JOIN lft USING (a) JOIN rgt USING (b), typ
+        ), scored AS (
+          SELECT doc_id, round(avg(logp), 6) AS logprob,
+            CAST(count(*) AS BIGINT) AS n_bigrams
+          FROM bigrams JOIN probs USING (a, b)
+          GROUP BY doc_id
+        )
+        SELECT d.doc_id, s.logprob,
+          COALESCE(s.n_bigrams, 0) AS n_bigrams
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN scored s USING (doc_id)""")),
+
     Entry("qba_incremental_dedup",
       (s, dir) => {
         val d = t(s, dir, "documents")

@@ -606,6 +606,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(greedy === ((1L, 3L, 1L + 2L + 1L, 2L))) // abcx is UNK under greedy
   }
 
+  test("kneserNeyBigramLogProb: hand-computed D=3/4 model; discount mass " +
+    "flows to continuation counts") {
+    // "a b a b a c": bigrams (a,b)x2 (b,a)x2 (a,c)x1
+    // ca: a=3 b=2; n1a: a=2 b=1; n1b: a=1 b=1 c=1; N=3 types
+    // P(b|a) = ((4*2-3)*3 + 3*2*1)/(4*3*3) = 21/36
+    // P(a|b) = ((4*2-3)*3 + 3*1*1)/(4*2*3) = 18/24
+    // P(c|a) = ((4*1-3)*3 + 3*2*1)/(4*3*3) =  9/36
+    val df = Seq((1L, "a b a b a c"), (2L, "solo")).toDF("doc_id", "text")
+    val got = TextPipeline.kneserNeyBigramLogProb(df, "doc_id", "text")
+      .as[(Long, Option[Double], Long)].collect()
+      .map { case (k, p, n) => k -> ((p, n)) }.toMap
+    val expected = (2 * math.log(21.0 / 36) + 2 * math.log(18.0 / 24) +
+      math.log(9.0 / 36)) / 5
+    assert(math.abs(got(1L)._1.get - expected) < 1e-9)
+    assert(got(1L)._2 === 5L)
+    assert(got(2L) === ((None, 0L))) // one token -> no bigram evidence
+    // rarer continuation scores BELOW the frequent one under the same
+    // left context (the property add-one shares but KN sharpens)
+    assert(math.log(9.0 / 36) < math.log(21.0 / 36))
+  }
+
   test("bigramLogProb: hand-computed add-one model, short-doc null policy") {
     // corpus: "a b" x2, "a c" x1, "x" x1 → unigrams a:3 b:2? no —
     // tokens: doc1 "a b a b" (a:2,b:2), doc2 "a c" (a:1,c:1), doc3 "x".
