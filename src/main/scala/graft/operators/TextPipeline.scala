@@ -669,38 +669,59 @@ object TextPipeline {
     * unsegmentable word is 1 UNK token. Same distinct-word + broadcast
     * join scale shape; vocabulary literal bounds the inner expression. */
   def minTokenEncode(df: DataFrame, idCol: String, textCol: String,
-                     vocab: Seq[String]): DataFrame = {
+                     vocab: Seq[String]): DataFrame =
+    minCostEncode(df, idCol, textCol, vocab.map(_ -> 1L), unkCost = 1L)
+      .withColumnRenamed("total_cost", "n_tokens")
+
+  /** WEIGHTED Viterbi segmentation — [[minTokenEncode]]'s DP with a cost
+    * per piece: the segmentation minimizing total cost is the unigram-LM
+    * decode when costs are quantized −log p(piece) (SentencePiece's
+    * Viterbi step with the house scaled-integer device; uniform cost 1
+    * degenerates to fewest-tokens). Output is (idCol, n_words,
+    * total_cost, n_unk_words): the MINIMUM summed cost is unique by
+    * definition even when distinct segmentations tie, so the result is
+    * engine-portable without a tie-break protocol over paths.
+    * Unsegmentable words contribute `unkCost`. Same distinct-word +
+    * broadcast-join shape as the whole encode family. */
+  def minCostEncode(df: DataFrame, idCol: String, textCol: String,
+                    vocab: Seq[(String, Long)], unkCost: Long): DataFrame = {
     require(vocab.nonEmpty, "vocab must not be empty")
-    val INF = 1000000000
+    require(vocab.forall(_._2 >= 0), "piece costs must be non-negative")
+    val INF = 1000000000L
     def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
-    def arr(ps: Seq[String]) =
-      if (ps.isEmpty) "array()::array<string>"
-      else ps.map(p => s"'${esc(p)}'").mkString("array(", ", ", ")")
-    val init = arr(vocab.filterNot(_.startsWith("##")))
-    val cont = arr(vocab.filter(_.startsWith("##")).map(_.stripPrefix("##")))
+    def arr(ps: Seq[(String, Long)]) =
+      if (ps.isEmpty) "array()::array<struct<p:string,c:bigint>>"
+      else ps.map { case (p, c) => s"named_struct('p', '${esc(p)}', 'c', ${c}L)" }
+        .mkString("array(", ", ", ")")
+    val init = arr(vocab.filterNot(_._1.startsWith("##")))
+    val cont = arr(vocab.collect { case (p, c) if p.startsWith("##") =>
+      (p.stripPrefix("##"), c)
+    })
     val dpSql =
-      s"""aggregate(sequence(1, length(word)), array(0),
+      s"""aggregate(sequence(1, length(word)), array(0L),
          (acc, i) -> array_append(acc, least(
-           CASE WHEN array_contains($init, substring(word, 1, i))
-                THEN 1 ELSE $INF END,
-           aggregate($cont, $INF,
-             (m, p) -> CASE WHEN length(p) < i
-                 AND p = substring(word, i - length(p) + 1, length(p))
-               THEN least(m, element_at(acc, i - length(p) + 1) + 1)
+           aggregate($init, ${INF}L,
+             (m, e) -> CASE WHEN e.p = substring(word, 1, i)
+               THEN least(m, e.c) ELSE m END),
+           aggregate($cont, ${INF}L,
+             (m, e) -> CASE WHEN length(e.p) < i
+                 AND e.p = substring(word, i - length(e.p) + 1, length(e.p))
+               THEN least(m, element_at(acc, i - length(e.p) + 1) + e.c)
                ELSE m END))),
          acc -> named_struct(
-           'n_toks', CASE WHEN element_at(acc, length(word) + 1) >= $INF
-                          THEN 1 ELSE element_at(acc, length(word) + 1) END,
-           'unk', element_at(acc, length(word) + 1) >= $INF))"""
+           'cost', CASE WHEN element_at(acc, length(word) + 1) >= ${INF}L
+                        THEN ${unkCost}L
+                        ELSE element_at(acc, length(word) + 1) END,
+           'unk', element_at(acc, length(word) + 1) >= ${INF}L))"""
     val words = df.select(col(idCol),
       explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
     val seg = words.select("word").distinct()
       .select(col("word"), expr(dpSql).as("s"))
-      .select(col("word"), col("s.n_toks").cast("long").as("w_toks"),
+      .select(col("word"), col("s.cost").cast("long").as("w_cost"),
         col("s.unk").as("unk"))
     words.join(broadcast(seg), Seq("word"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_words"), sum("w_toks").as("n_tokens"),
+      .agg(count(lit(1)).as("n_words"), sum("w_cost").as("total_cost"),
         sum(when(col("unk"), 1L).otherwise(0L)).as("n_unk_words"))
   }
 

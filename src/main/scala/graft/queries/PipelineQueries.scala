@@ -182,6 +182,54 @@ object PipelineQueries {
       GROUP BY doc_id"""
   }
 
+  /** [[WpVocab]] with the qe0 cost formula: 4000 // (1 + length of the
+    * matchable text, continuation prefix stripped). */
+  private lazy val WpVocabCosts: Seq[(String, Long)] =
+    WpVocab.map(p => p -> (4000L / (1 + p.stripPrefix("##").length)))
+
+  /** DuckDB replay of [[TextPipeline.minCostEncode]] with
+    * [[WpVocabCosts]]: the qdx recursive cost-list DP, each relaxation
+    * adding the piece's cost instead of 1; unsegmentable words cost a
+    * flat 4000. */
+  private lazy val OWeightedSegment: String = {
+    def lst(ps: Seq[(String, Long)]) =
+      ps.map { case (p, c) => s"{'p': '${p.replace("'", "''")}', 'c': $c}" }
+        .mkString("[", ", ", "]")
+    val init = lst(WpVocabCosts.filterNot(_._1.startsWith("##")))
+    val cont = lst(WpVocabCosts.collect { case (p, c) if p.startsWith("##") =>
+      (p.stripPrefix("##"), c)
+    })
+    s"""WITH RECURSIVE docw AS (
+        SELECT doc_id, unnest(list_filter(
+          string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS word
+        FROM documents
+      ), dw AS (
+        SELECT DISTINCT word FROM docw
+      ), dp AS (
+        SELECT word, 0 AS i, [0] AS costs FROM dw
+        UNION ALL
+        SELECT word, i + 1, list_append(costs, least(
+            coalesce(list_min(list_transform(list_filter($init,
+                e -> e.p = substr(word, 1, i + 1)), e -> e.c)), 1000000000),
+            coalesce(list_min(list_transform(list_filter($cont,
+                e -> length(e.p) < i + 1
+                  AND e.p = substr(word, i + 1 - length(e.p) + 1, length(e.p))),
+              e -> costs[i + 1 - length(e.p) + 1] + e.c)), 1000000000)))
+        FROM dp WHERE i < length(word)
+      ), wl AS (
+        SELECT word,
+          CASE WHEN costs[length(word) + 1] >= 1000000000
+               THEN 4000 ELSE costs[length(word) + 1] END AS w_cost,
+          costs[length(word) + 1] >= 1000000000 AS unk
+        FROM dp WHERE i = length(word)
+      )
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        CAST(sum(w_cost) AS BIGINT) AS total_cost,
+        CAST(sum(CASE WHEN unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk_words
+      FROM docw JOIN wl USING (word)
+      GROUP BY doc_id"""
+  }
+
   /** DuckDB replay of [[TextPipeline.minTokenEncode]] with [[WpVocab]]:
     * recursive CTE building each word's DP cost list position by
     * position — initial piece = the whole prefix, continuation pieces
@@ -1264,6 +1312,17 @@ object PipelineQueries {
       (s, dir) => TextPipeline.minTokenEncode(t(s, dir, "documents"), "doc_id",
         "text", WpVocab),
       Some(OMinTokenEncode)),
+
+    // WEIGHTED Viterbi segmentation over the same vocabulary: piece cost
+    // 4000 // (1 + match-length) makes long pieces cheap (a stand-in for
+    // quantized -log p; SentencePiece's decode step), UNK words cost a
+    // flat 4000. Minimum total cost is unique even when paths tie, so no
+    // tie-break protocol is needed for engine portability. Oracle = the
+    // qdx recursive DP with per-piece costs from the same formula.
+    Entry("qe0_weighted_segment",
+      (s, dir) => TextPipeline.minCostEncode(t(s, dir, "documents"), "doc_id",
+        "text", WpVocabCosts, unkCost = 4000L),
+      Some(OWeightedSegment)),
 
     // SparkSessionExtensions surface: the native codegen expressions called
     // from SQL TEXT via the injected function registry — same rows as the

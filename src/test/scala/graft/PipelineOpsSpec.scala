@@ -627,6 +627,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(math.log(9.0 / 36) < math.log(21.0 / 36))
   }
 
+  test("minCostEncode: weighted DP trades more pieces for lower total cost") {
+    // word "abcd": fewest-tokens picks abc+##d (2 pieces, cost 100+1);
+    // the weighted DP picks ab+##c+##d (3 pieces, cost 10+10+1=21)
+    val vocab = Seq("ab" -> 10L, "abc" -> 100L, "##c" -> 10L, "##d" -> 1L)
+    val df = Seq((1L, "abcd zz")).toDF("doc_id", "text")
+    val got = TextPipeline.minCostEncode(df, "doc_id", "text", vocab,
+        unkCost = 777L)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got === ((1L, 2L, 21L + 777L, 1L))) // zz is UNK at the flat cost
+    // uniform costs reproduce minTokenEncode exactly
+    val uni = TextPipeline.minCostEncode(df, "doc_id", "text",
+        vocab.map(_._1 -> 1L), unkCost = 1L)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(uni === ((1L, 2L, 2L + 1L, 1L)))
+  }
+
   test("bigramLogProb: hand-computed add-one model, short-doc null policy") {
     // corpus: "a b" x2, "a c" x1, "x" x1 → unigrams a:3 b:2? no —
     // tokens: doc1 "a b a b" (a:2,b:2), doc2 "a c" (a:1,c:1), doc3 "x".
