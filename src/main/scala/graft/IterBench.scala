@@ -99,6 +99,37 @@ object IterBench {
       return
     }
 
+    // Tokenizer ENCODE throughput: the three segmentation algorithms over
+    // the same corpus + piece-vocabulary scale (all three run on the
+    // distinct-word frame and broadcast lengths back, so this measures
+    // the per-word kernel: merge folds vs greedy cursor vs cost DP).
+    if (section == "tok") {
+      import graft.operators.TextPipeline
+      val docs = Tables(spark, sfDir, "documents").cache()
+      docs.count()
+      val merges = TextPipeline.bpeTrain(docs, "text", nMerges = 24)
+      val vocab = ('a' to 'z').map(_.toString) ++
+        ('a' to 'z').map(c => s"##$c") ++
+        Seq("th", "the", "qu", "an", "re", "de",
+          "##ing", "##er", "##ed", "##es", "##on", "##tion", "##s")
+      for (round <- 1 to 2) {
+        timed(s"bpeEncode 24 merges, round $round") {
+          TextPipeline.bpeEncode(docs, "doc_id", "text",
+            merges.map(m => (m._2, m._3))).count()
+        }
+        timed(s"wordpieceEncode greedy, ${vocab.size} pieces, round $round") {
+          TextPipeline.wordpieceEncode(docs, "doc_id", "text", vocab).count()
+        }
+        timed(s"minCostEncode DP, ${vocab.size} pieces, round $round") {
+          TextPipeline.minCostEncode(docs, "doc_id", "text",
+            vocab.map(_ -> 1L), unkCost = 1L).count()
+        }
+      }
+      docs.unpersist()
+      spark.stop()
+      return
+    }
+
     // State-store provider A/B for the default-provider streaming block
     // (round-9 VERDICT item #6): q90–q94 run HDFS-backed by default (the
     // transformWithState queries q95/q97 REQUIRE RocksDB and can't flip).
