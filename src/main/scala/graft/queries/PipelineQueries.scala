@@ -230,6 +230,59 @@ object PipelineQueries {
       GROUP BY doc_id"""
   }
 
+  /** DuckDB replay of the qe1 learned-cost pipeline: piece dfs over
+    * distinct words (containment), inverse-frequency costs packed into
+    * one-row struct lists, then the weighted recursive DP relaxing from
+    * those lists. */
+  private lazy val ORarityCostSegment: String = {
+    def lst(ps: Seq[String]) =
+      ps.map(p => s"'${p.replace("'", "''")}'").mkString("[", ", ", "]")
+    val matchTexts = lst(WpVocab.map(_.stripPrefix("##")).distinct)
+    val init = lst(WpVocab.filterNot(_.startsWith("##")))
+    val cont = lst(WpVocab.filter(_.startsWith("##")).map(_.stripPrefix("##")))
+    s"""WITH RECURSIVE docw AS (
+        SELECT doc_id, unnest(list_filter(
+          string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS word
+        FROM documents
+      ), dw AS (
+        SELECT DISTINCT word FROM docw
+      ), dfs AS (
+        SELECT m, CAST(count(*) AS BIGINT) AS df
+        FROM (SELECT unnest($matchTexts) AS m) mt, dw
+        WHERE contains(word, m) GROUP BY m
+      ), ip AS (
+        SELECT list(struct_pack(p := v.p,
+            c := CAST(1000000 // (1 + coalesce(d.df, 0)) AS BIGINT))) AS ps
+        FROM (SELECT unnest($init) AS p) v LEFT JOIN dfs d ON d.m = v.p
+      ), cp AS (
+        SELECT list(struct_pack(p := v.p,
+            c := CAST(1000000 // (1 + coalesce(d.df, 0)) AS BIGINT))) AS ps
+        FROM (SELECT unnest($cont) AS p) v LEFT JOIN dfs d ON d.m = v.p
+      ), dp AS (
+        SELECT word, 0 AS i, [0] AS costs FROM dw
+        UNION ALL
+        SELECT word, i + 1, list_append(costs, least(
+            coalesce(list_min(list_transform(list_filter(ip.ps,
+                e -> e.p = substr(word, 1, i + 1)), e -> e.c)), 1000000000),
+            coalesce(list_min(list_transform(list_filter(cp.ps,
+                e -> length(e.p) < i + 1
+                  AND e.p = substr(word, i + 1 - length(e.p) + 1, length(e.p))),
+              e -> costs[i + 1 - length(e.p) + 1] + e.c)), 1000000000)))
+        FROM dp, ip, cp WHERE i < length(word)
+      ), wl AS (
+        SELECT word,
+          CASE WHEN costs[length(word) + 1] >= 1000000000
+               THEN 1000000 ELSE costs[length(word) + 1] END AS w_cost,
+          costs[length(word) + 1] >= 1000000000 AS unk
+        FROM dp WHERE i = length(word)
+      )
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        CAST(sum(w_cost) AS BIGINT) AS total_cost,
+        CAST(sum(CASE WHEN unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk_words
+      FROM docw JOIN wl USING (word)
+      GROUP BY doc_id"""
+  }
+
   /** DuckDB replay of [[TextPipeline.minTokenEncode]] with [[WpVocab]]:
     * recursive CTE building each word's DP cost list position by
     * position — initial piece = the whole prefix, continuation pieces
@@ -1323,6 +1376,34 @@ object PipelineQueries {
       (s, dir) => TextPipeline.minCostEncode(t(s, dir, "documents"), "doc_id",
         "text", WpVocabCosts, unkCost = 4000L),
       Some(OWeightedSegment)),
+
+    // Segmentation with corpus-LEARNED costs — the full unigram-LM-style
+    // pipeline: piece document frequency over the DISTINCT-word frame
+    // (substring containment, |vocab|-bounded expansion), inverse-
+    // frequency cost 1e6 // (1 + df) (a rarity proxy in exact integers —
+    // a -log would float), then the qe0 weighted DP. The 65-entry cost
+    // table is driver-held like a BPE merge list. The oracle rebuilds
+    // the SAME dfs/costs in CTEs, packs them into one-row struct LISTS,
+    // and cross-joins those into the recursive DP (a literal can't carry
+    // corpus-derived costs).
+    Entry("qe1_rarity_cost_segment",
+      (s, dir) => {
+        val matchTexts = WpVocab.map(_.stripPrefix("##")).distinct
+        val words = t(s, dir, "documents")
+          .select(explode(graft.functions.TextFunctions.tokens(
+            lower(col("text")))).as("word")).distinct()
+        val dfs = words
+          .select(col("word"), explode(array(matchTexts.map(lit): _*)).as("m"))
+          .filter(col("word").contains(col("m")))
+          .groupBy("m").agg(count(lit(1)).as("df"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val costs = WpVocab.map { p =>
+          p -> (1000000L / (1L + dfs.getOrElse(p.stripPrefix("##"), 0L)))
+        }
+        TextPipeline.minCostEncode(t(s, dir, "documents"), "doc_id", "text",
+          costs, unkCost = 1000000L)
+      },
+      Some(ORarityCostSegment)),
 
     // SparkSessionExtensions surface: the native codegen expressions called
     // from SQL TEXT via the injected function registry — same rows as the
