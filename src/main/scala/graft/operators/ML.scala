@@ -511,15 +511,20 @@ object ML {
       .cache()
     var cents = q.orderBy(col("_id")).limit(k)
       .select(col("_id").as("cell_id"), col("qv").as("cvec"))
-    def assign(cs: DataFrame): DataFrame = {
-      val aw = Window.partitionBy("_id").orderBy(col("dist").asc, col("cell_id"))
+    // argmin as min(struct(dist, cell_id, qv)): (dist, cell_id) is unique
+    // within a vector's k candidate rows, so the struct ordering never
+    // reaches qv and the tie still falls to the lower cell id — same
+    // result as a row_number window, but as a HASH AGGREGATE with
+    // map-side partial combine instead of a full shuffle + sort of the
+    // n·k candidate frame (the shape that matters at 100× scale)
+    def assign(cs: DataFrame): DataFrame =
       q.crossJoin(broadcast(cs))
         .withColumn("dist", aggregate(
           zip_with(col("qv"), col("cvec"), (a, b) => (a - b) * (a - b)),
           lit(0L), (acc, x) => acc + x))
-        .withColumn("r", row_number().over(aw)).filter(col("r") === 1)
-        .select(col("_id"), col("qv"), col("cell_id"))
-    }
+        .groupBy(col("_id"))
+        .agg(min(struct(col("dist"), col("cell_id"), col("qv"))).as("m"))
+        .select(col("_id"), col("m.qv").as("qv"), col("m.cell_id").as("cell_id"))
     for (_ <- 1 to iters) {
       cents = assign(cents)
         .select(col("cell_id"), posexplode(col("qv")))
