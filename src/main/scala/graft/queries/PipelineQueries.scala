@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{AsOfJoin, BloomPrune, Dedup, RangeJoin, Sampling, TextPipeline}
+import graft.operators.{AsOfJoin, BloomPrune, Dedup, ML, RangeJoin, Sampling, TextPipeline}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -228,6 +228,58 @@ object PipelineQueries {
         CAST(sum(CASE WHEN unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk_words
       FROM docw JOIN wl USING (word)
       GROUP BY doc_id"""
+  }
+
+  /** DuckDB replay of the qe2 classifier pipeline: hashed-bucket features
+    * via [[ExtensionQueries.oFnv]] (unsigned mod 8 == the Spark side's
+    * signed pmod — 8 divides 2^64), then the qbv Pegasos machinery
+    * widened to 9 features and 3 rounds, then per-doc margins. */
+  private lazy val OQualityClassifier: String = {
+    val S = "1000000::HUGEINT"
+    val fcols = "b" +: (0 until 8).map(j => s"f$j")
+    def g(i: Int, cond: String) = {
+      val sums = fcols.map(c => s"sum(CASE WHEN $cond THEN y*$c ELSE 0 END) AS g_$c")
+        .mkString(", ")
+      // MATERIALIZED: inlined, each g/w pair would nest the whole prior
+      // chain and the plan grows 2^iters (the qcu descent device)
+      s"g$i AS MATERIALIZED (SELECT $sums FROM f${if (i > 1) s", w${i - 1}" else ""})"
+    }
+    def upd(t: Int, prev: String) = fcols.map { c =>
+      if (t == 1) s"CAST(($S * g_$c) // ($t * n.n) AS BIGINT) AS w_$c"
+      else s"CAST($prev.w_$c - $prev.w_$c // $t + ($S * g_$c) // ($t * n.n) AS BIGINT) AS w_$c"
+    }.mkString(", ")
+    def margin(i: Int) =
+      s"y*(${fcols.map(c => s"w$i.w_$c*$c").mkString(" + ")}) < $S"
+    val iters = 16
+    val rounds = (1 to iters).map { i =>
+      val cond = if (i == 1) s"0 < $S" else margin(i - 1)
+      s"${g(i, cond)},\n      w$i AS MATERIALIZED (SELECT ${upd(i, if (i == 1) "" else s"w${i - 1}")} " +
+        s"FROM g$i${if (i == 1) "" else s", w${i - 1}"}, n)"
+    }.mkString(",\n      ")
+    val bucketCounts = (0 until 8).map(j =>
+      s"coalesce(sum(CASE WHEN bkt = $j THEN 1 ELSE 0 END), 0) AS f$j")
+      .mkString(", ")
+    s"""WITH toks AS (
+        SELECT doc_id, unnest(list_filter(
+          string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS tok
+        FROM documents
+      ), bk AS (
+        SELECT doc_id, CAST(${ExtensionQueries.oFnv("tok")} % 8 AS BIGINT) AS bkt
+        FROM toks
+      ), fb AS (
+        SELECT doc_id, $bucketCounts FROM bk GROUP BY doc_id
+      ), f AS MATERIALIZED (
+        SELECT d.doc_id, CASE WHEN d.n_chars >= 300 THEN 1 ELSE -1 END AS y,
+          32 AS b, ${(0 until 8).map(j => s"coalesce(fb.f$j, 0) AS f$j").mkString(", ")}
+        FROM documents d LEFT JOIN fb ON d.doc_id = fb.doc_id
+      ), n AS (SELECT count(*) AS n FROM f),
+      ${rounds},
+      mfin AS (SELECT doc_id, y,
+        ${fcols.map(c => s"w$iters.w_$c*$c").mkString(" + ")} AS margin
+        FROM f, w$iters)
+      SELECT doc_id, CAST(margin AS BIGINT) AS margin,
+        margin >= 0 AS keep, CAST(y AS BIGINT) AS y
+      FROM mfin"""
   }
 
   /** DuckDB replay of the qe1 learned-cost pipeline: piece dfs over
@@ -1404,6 +1456,50 @@ object PipelineQueries {
           costs, unkCost = 1000000L)
       },
       Some(ORarityCostSegment)),
+
+    // Model-based quality filtering — the fastText-style classifier stage
+    // of a training-data pipeline, trained IN the engine: 8 hashed
+    // token-count buckets (FNV mod 8) + a bias feature as inputs, 16
+    // full-batch Pegasos rounds (ML.svmScaled — every step exact
+    // scaled-integer), then each doc scored by its margin and filtered
+    // by sign. Label: the Gopher-style length criterion (n_chars >= 300,
+    // ~50/50 here) — the one supervised signal this fixture's
+    // shared-vocab word soup makes LEARNABLE from bag-of-token features
+    // (lang labels separate only on char-n-gram profiles; measured:
+    // stopword and bucket distributions are lang-identical). The bias
+    // FEATURE is the constant 32, not 1: Pegasos weight steps are
+    // quantized at the count features' gradient scale, and a unit bias
+    // can never reach the ~55-token boundary's intercept within harmonic
+    // decay (measured: unit bias pins keep-rate to 0; bias 32 reaches
+    // 95% label agreement with balanced keeps at sf0.1). The oracle
+    // replays feature hashing (oFnv) and all 16 gradient/update rounds
+    // (the qbv machinery widened to 9 features), then the margins.
+    Entry("qe2_quality_classifier",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val fcols = (0 until 8).map(j => s"f$j")
+        val toks = d.select(col("doc_id"),
+          explode(graft.functions.TextFunctions.tokens(lower(col("text")))).as("tok"))
+        val feats = toks
+          .withColumn("bkt", pmod(graft.functions.Fnv1a64Expr(col("tok")), lit(8)))
+          .groupBy("doc_id")
+          .agg(sum(when(col("bkt") === 0, 1L).otherwise(0L)).as("f0"),
+            (1 until 8).map(j =>
+              sum(when(col("bkt") === j, 1L).otherwise(0L)).as(s"f$j")): _*)
+        val labeled = d.select(col("doc_id"),
+            when(col("n_chars") >= 300, 1L).otherwise(-1L).as("y"))
+          .join(feats, Seq("doc_id"), "left")
+          .na.fill(0L, fcols)
+          .withColumn("b", lit(32L))
+        val xCols = "b" +: fcols
+        val w = ML.svmScaled(labeled, "y", xCols, iters = 16)
+          .filter(col("k") =!= "_violations")
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val margin = xCols.map(c => col(c) * lit(w(c))).reduce(_ + _)
+        labeled.select(col("doc_id"), margin.as("margin"),
+          (margin >= 0).as("keep"), col("y"))
+      },
+      Some(OQualityClassifier)),
 
     // SparkSessionExtensions surface: the native codegen expressions called
     // from SQL TEXT via the injected function registry — same rows as the
