@@ -144,4 +144,26 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"bounded rank lists must broadcast-join, not shuffle:\n$plan")
   }
+
+  test("qdw/qdx segmentation encoders: distinct-word lengths broadcast " +
+    "back, no UDF, corpus never sort-merge-joins") {
+    for (q <- Seq("qdw_wordpiece_encode", "qdx_min_token_encode")) {
+      val plan = executedPlan(q)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q: word->length lookup must broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q: corpus side must not sort-merge-join:\n$plan")
+      assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+        s"$q: segmentation must stay a native HOF expression:\n$plan")
+    }
+  }
+
+  test("qe2 classifier scoring: margin is a codegen projection over the " +
+    "feature aggregate, no join back to raw text") {
+    val plan = executedPlan("qe2_quality_classifier")
+    assert(!plan.contains("ScalaUDF"),
+      s"margin must be a literal-weight expression, not a UDF:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"bucket features must hash-aggregate:\n$plan")
+  }
 }
