@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cross-RUN persistent IVF (inverted-file) ANN index — the embedding-side
+  * sibling of [[LshIndex]], and the on-disk form of [[Similarity.ivfTopK]]:
+  * the coarse model (centroids) and the cell-assigned corpus live as plain
+  * parquet under the warehouse, so searches and ingests in any later
+  * process pay neither re-fit nor re-assignment.
+  *
+  *  - `cents/`  (cell_id, centroid) — the frozen coarse quantizer, tiny,
+  *    broadcast by every consumer.
+  *  - `asg/`    (nbr_id, cvec) PARTITIONED BY cell_id — the corpus laid
+  *    out cell-per-directory, so a search reading `nProbe` of `nCells`
+  *    cells scans exactly that fraction of the FILES (partition pruning,
+  *    plan-pinned in the spec) — the IVF promise made physical.
+  *
+  * [[build]] seeds centroids deterministically (lowest-id vectors — the
+  * [[Similarity.ivfTopK]] zero-refinement device, so results replay in
+  * SQL); [[ingest]] assigns new vectors to the FROZEN centroids and
+  * appends their cells — the deployed-ANN maintenance shape (models
+  * re-fit offline and rarely; the index grows continuously). Vector ids
+  * must be unique across the index's lifetime. */
+object IvfIndex {
+
+  final case class Ref(tag: String) {
+    def dirName: String = s"graft_ivfidx_$tag"
+  }
+
+  private def root(spark: SparkSession, ref: Ref): java.io.File =
+    new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), ref.dirName)
+  private def centsPath(spark: SparkSession, ref: Ref): String =
+    new java.io.File(root(spark, ref), "cents").getAbsolutePath
+  private def asgPath(spark: SparkSession, ref: Ref): String =
+    new java.io.File(root(spark, ref), "asg").getAbsolutePath
+
+  /** Destroy the index files. */
+  def drop(spark: SparkSession, ref: Ref): Unit =
+    org.apache.commons.io.FileUtils.deleteQuietly(root(spark, ref))
+
+  /** The frozen coarse quantizer. */
+  def centroids(spark: SparkSession, ref: Ref): DataFrame =
+    spark.read.parquet(centsPath(spark, ref))
+
+  /** Fit-and-load: seed `nCells` centroids from the corpus's lowest-id
+    * vectors, persist them, then [[ingest]] the corpus itself. */
+  def build(corpus: DataFrame, idCol: String, vecCol: String, nCells: Int,
+            ref: Ref): Unit = {
+    require(nCells >= 1)
+    val spark = corpus.sparkSession
+    corpus.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("cell_id"), col(vecCol).as("centroid"))
+      .write.mode("overwrite").parquet(centsPath(spark, ref))
+    ingest(corpus, idCol, vecCol, ref)
+  }
+
+  /** Assign a batch to the frozen centroids (argmin squared distance,
+    * ties to the lower cell — [[Similarity.ivfTopK]] semantics, computed
+    * as the map-side min(struct) aggregate) and append it cell-per-
+    * directory. O(|batch| · nCells) work, no corpus contact at all. */
+  def ingest(batch: DataFrame, idCol: String, vecCol: String, ref: Ref): Unit = {
+    val spark = batch.sparkSession
+    batch.select(col(idCol).as("nbr_id"), col(vecCol).as("cvec"))
+      .crossJoin(broadcast(centroids(spark, ref)))
+      .withColumn("cdist",
+        VectorFunctions.squaredEuclidean(col("cvec"), col("centroid")))
+      .groupBy(col("nbr_id"))
+      .agg(min(struct(col("cdist"), col("cell_id"), col("cvec"))).as("m"))
+      .select(col("nbr_id"), col("m.cvec").as("cvec"),
+        col("m.cell_id").as("cell_id"))
+      .write.mode("append").partitionBy("cell_id")
+      .parquet(asgPath(spark, ref))
+  }
+
+  /** Probe the index: per query, rank the `nProbe` nearest cells against
+    * the frozen centroids, then scan ONLY those cells' directories (the
+    * probed-cell set is nQueries·nProbe-bounded, collected once and
+    * pushed as a partition filter) and take the cosine top-k. Identical
+    * result semantics to [[Similarity.ivfTopK]] over the same centroid
+    * seeds. */
+  def search(queries: DataFrame, qidCol: String, vecCol: String, ref: Ref,
+             k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = queries.sparkSession
+    val cents = broadcast(centroids(spark, ref))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("cdist").asc, col("cell_id"))
+    val probes = queries
+      .select(col(qidCol).as("query_id"), col(vecCol).as("qvec"))
+      .crossJoin(cents)
+      .withColumn("cdist",
+        VectorFunctions.squaredEuclidean(col("qvec"), col("centroid")))
+      .withColumn("r", row_number().over(probeW)).filter(col("r") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("cell_id"))
+    val probedCells = probes.select("cell_id").distinct()
+      .collect().map(_.getLong(0)) // nQueries·nProbe-bounded by construction
+    val asg = spark.read.parquet(asgPath(spark, ref))
+      .filter(col("cell_id").isin(probedCells: _*)) // partition pruning
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nbr_id"))
+    asg.join(broadcast(probes), Seq("cell_id"))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn("cos", VectorFunctions.cosineSimilarityFast(col("cvec"), col("qvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "nbr_id", "cos", "rank")
+  }
+}

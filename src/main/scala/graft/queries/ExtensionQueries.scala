@@ -1382,6 +1382,85 @@ object ExtensionQueries {
         FROM approx a LEFT JOIN exact e
           ON e.query_id = a.query_id AND e.nbr_id = a.nbr_id""")),
 
+    // PERSISTENT IVF index (operators/IvfIndex.scala — the embedding-side
+    // sibling of qdt's LSH index): centroids frozen from the 75% build
+    // slice, the 25% arrival slice ingested against them with NO corpus
+    // contact, corpus laid out cell-per-directory so the probe scan reads
+    // nProbe/nCells of the FILES (partition pruning, spec-pinned). Search
+    // + recall columns mirror qa9; the oracle is qa9's replay with the
+    // centroid seed drawn from the build slice only — everything after
+    // the seed (assignment, probing, ranking) is the same frozen-model
+    // math whether a vector arrived at build or ingest time, which is
+    // exactly the invariant the gate proves.
+    Entry("qe3_ivf_persistent_index",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val tag = java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL) + "v"
+        val ref = graft.operators.IvfIndex.Ref(tag)
+        graft.operators.IvfIndex.drop(s, ref) // idempotent re-runs
+        val emb = t(s, dir, "embeddings")
+        graft.operators.IvfIndex.build(emb.filter(col("vec_id") % 4 =!= 3),
+          "vec_id", "embedding", nCells = 16, ref)
+        graft.operators.IvfIndex.ingest(emb.filter(col("vec_id") % 4 === 3),
+          "vec_id", "embedding", ref)
+        val approx = graft.operators.IvfIndex.search(emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", ref, k = 10, nProbe = 8)
+        val exact = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", "vec_id", k = 10)
+          .select(col("query_id"), col("nbr_id"), lit(1L).as("hit"))
+        approx.join(exact, Seq("query_id", "nbr_id"), "left")
+          .withColumn("in_exact_topk", coalesce(col("hit"), lit(0L)))
+          .withColumn("hits_at_10",
+            sum(col("in_exact_topk")).over(Window.partitionBy("query_id")))
+          .select(col("query_id"), col("rank"), col("nbr_id"),
+            round(col("cos"), 6).as("cos_sim"), col("in_exact_topk"), col("hits_at_10"))
+      },
+      Some("""WITH cents AS (SELECT vec_id AS cell_id, embedding AS centroid
+               FROM embeddings WHERE vec_id % 4 <> 3 ORDER BY vec_id LIMIT 16),
+        assigned AS (SELECT c.vec_id AS nbr_id, a.cell_id
+          FROM embeddings c JOIN LATERAL (
+            SELECT t.cell_id FROM cents t
+            ORDER BY list_distance(CAST(c.embedding AS DOUBLE[]),
+                                   CAST(t.centroid AS DOUBLE[])), t.cell_id
+            LIMIT 1) a ON true),
+        probes AS (SELECT q.vec_id AS query_id, p.cell_id
+          FROM embeddings q JOIN LATERAL (
+            SELECT t.cell_id FROM cents t
+            ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]),
+                                   CAST(t.centroid AS DOUBLE[])), t.cell_id
+            LIMIT 8) p ON true
+          WHERE q.vec_id < 5),
+        cand AS (SELECT p.query_id, a.nbr_id
+          FROM probes p JOIN assigned a ON a.cell_id = p.cell_id
+          WHERE a.nbr_id <> p.query_id),
+        approx AS (SELECT query_id, rank, nbr_id, round(cos, 6) AS cos_sim FROM (
+            SELECT cand.query_id, cand.nbr_id,
+              list_cosine_similarity(CAST(ce.embedding AS DOUBLE[]),
+                                     CAST(qe.embedding AS DOUBLE[])) AS cos,
+              row_number() OVER (PARTITION BY cand.query_id
+                ORDER BY list_cosine_similarity(CAST(ce.embedding AS DOUBLE[]),
+                                                CAST(qe.embedding AS DOUBLE[])) DESC,
+                         cand.nbr_id) AS rank
+            FROM cand JOIN embeddings ce ON ce.vec_id = cand.nbr_id
+                      JOIN embeddings qe ON qe.vec_id = cand.query_id)
+          WHERE rank <= 10),
+        exact AS (SELECT query_id, nbr_id FROM (
+            SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]),
+                                                CAST(q.embedding AS DOUBLE[])) DESC,
+                         c.vec_id) AS rank
+            FROM embeddings c CROSS JOIN embeddings q
+            WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+          WHERE rank <= 10)
+        SELECT a.query_id, a.rank, a.nbr_id, a.cos_sim,
+          CAST(CASE WHEN e.nbr_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_exact_topk,
+          CAST(sum(CASE WHEN e.nbr_id IS NULL THEN 0 ELSE 1 END)
+               OVER (PARTITION BY a.query_id) AS BIGINT) AS hits_at_10
+        FROM approx a LEFT JOIN exact e
+          ON e.query_id = a.query_id AND e.nbr_id = a.nbr_id""")),
+
     // Same exact-KNN as q88 but scored by the native codegen Catalyst
     // expression (CosineSimilarityExpr) instead of a UDF — shares q88's
     // oracle because the accumulation order is bit-identical.
