@@ -144,6 +144,22 @@ object LshIndex {
     out
   }
 
+  /** Compact the index: every [[ingest]] appends one file per bucket, so
+    * a long-lived index accumulates smallFiles × buckets — re-write each
+    * table once, same bucketing, one file per bucket. Content-preserving
+    * (spec-pinned) and bucket-local at scale: rows never cross buckets,
+    * so a real deployment compacts buckets independently (concat-style)
+    * — this whole-table rewrite is the simple form of that maintenance
+    * window. Not concurrency-safe with in-flight ingests. */
+  def compact(spark: SparkSession, ref: Ref): Unit = ref.layout.foreach {
+    case (tbl, cols) =>
+      val snapshot = spark.table(tbl).localCheckpoint(true)
+      spark.sql(s"DROP TABLE $tbl")
+      org.apache.commons.io.FileUtils.deleteQuietly(location(spark, tbl))
+      appendBucketed(snapshot.repartition(ref.buckets, cols.map(col): _*),
+        tbl, ref.buckets, cols)
+  }
+
   /** Maintain the index from a document STREAM — the cross-run flavor of
     * the in-state claim index (streaming/StreamingDedup.scala): each
     * micro-batch runs [[ingest]] inside foreachBatch, so within-batch and

@@ -90,6 +90,36 @@ class LshIndexSpec extends SparkSpec {
     LshIndex.drop(spark, ref)
   }
 
+  test("compact: one file per bucket, content and bucketed plan preserved") {
+    LshIndex.drop(spark, ref)
+    ingestAll() foreach (_ => ()) // 3 ingests => 3 files per bucket
+    def files(t: String) = new java.io.File(spark.conf
+      .get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val before = ref.layout.map { case (t, _) =>
+      (t, spark.table(t).collect().map(_.toString).sorted.toSeq, files(t))
+    }
+    assert(before.forall(_._3 > ref.buckets), s"expected multi-file tables: $before")
+    LshIndex.compact(spark, ref)
+    before.foreach { case (t, rows, _) =>
+      assert(files(t) <= ref.buckets, s"$t not compacted: ${files(t)} files")
+      assert(spark.table(t).collect().map(_.toString).sorted.toSeq === rows,
+        s"$t content changed under compaction")
+    }
+    // bucketed join still engages after the rewrite
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = Dedup.bandBucketsFor(docs(51L -> base), "doc_id", "text",
+        n = 2, k = 128, bands = 64)
+      val plan = spark.table(ref.bandedTable).as("i").join(probe.as("b"),
+          $"i.band" === $"b.band" && $"i.bucket" === $"b.bucket")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"compacted scan lost bucketing:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    LshIndex.drop(spark, ref)
+  }
+
   test("streaming ingest: one file per micro-batch, restart is a ledgered no-op") {
     val sref = LshIndex.Ref("specstream", buckets = 4)
     LshIndex.drop(spark, sref)
