@@ -75,6 +75,34 @@ object IvfIndex {
       .parquet(asgPath(spark, ref))
   }
 
+  /** Maintain the index from an embedding STREAM: each micro-batch runs
+    * [[ingest]] inside foreachBatch against the frozen quantizer. Same
+    * replay discipline as [[LshIndex.startStreamingIngest]]: a `_ledger`
+    * parquet records completed batch ids, so an already-ledgered replayed
+    * batch is skipped whole and the append runs once per batch (the
+    * crash-between-append-and-ledger window duplicates index rows for
+    * that batch — storage, and callers that must tolerate it de-dup on
+    * nbr_id at read time; a transactional target closes it). */
+  def startStreamingIngest(vectors: DataFrame, idCol: String, vecCol: String,
+                           ref: Ref, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val ledger = new java.io.File(root(spark, ref), "_ledger")
+        val done = ledger.isDirectory && spark.read.parquet(ledger.getAbsolutePath)
+          .where(col("batch_id") === bid).head(1).nonEmpty
+        if (!done) {
+          ingest(batch.toDF(), idCol, vecCol, ref)
+          Seq(bid).toDF("batch_id").write.mode("append")
+            .parquet(ledger.getAbsolutePath)
+        }
+        ()
+      }
+      .start()
+
   /** Probe the index: per query, rank the `nProbe` nearest cells against
     * the frozen centroids, then scan ONLY those cells' directories (the
     * probed-cell set is nQueries·nProbe-bounded, collected once and

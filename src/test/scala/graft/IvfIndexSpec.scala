@@ -49,6 +49,44 @@ class IvfIndexSpec extends SparkSpec {
     IvfIndex.drop(spark, incr); IvfIndex.drop(spark, full)
   }
 
+  test("streaming ingest: batches land against the frozen model, restart " +
+    "is a ledgered no-op") {
+    val ref = IvfIndex.Ref("specstream")
+    IvfIndex.drop(spark, ref)
+    val build = vecs(0L until 40L)
+    IvfIndex.build(build, "vec_id", "embedding", nCells = 4, ref)
+    val base = java.nio.file.Files.createTempDirectory("ivfidx_stream").toFile
+    val src = new java.io.File(base, "src"); src.mkdirs()
+    Seq(40L until 50L, 50L until 60L).zipWithIndex.foreach { case (r, i) =>
+      vecs(r).coalesce(1).write.parquet(s"$src/slice$i"); Thread.sleep(20)
+    }
+    val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+    def start() = IvfIndex.startStreamingIngest(
+      spark.readStream.schema(build.schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/slice*"),
+      "vec_id", "embedding", ref, ckpt)
+    val q = start(); try q.processAllAvailable() finally q.stop()
+    // streamed index == batch build+ingest over the same data (seed shared)
+    val batchRef = IvfIndex.Ref("specstreamb"); IvfIndex.drop(spark, batchRef)
+    IvfIndex.build(build, "vec_id", "embedding", nCells = 4, batchRef)
+    IvfIndex.ingest(vecs(40L until 60L), "vec_id", "embedding", batchRef)
+    val queries = build.filter($"vec_id" < 3)
+    def res(r: IvfIndex.Ref) =
+      IvfIndex.search(queries, "vec_id", "embedding", r, k = 5, nProbe = 2)
+        .select($"query_id", $"rank", $"nbr_id").as[(Long, Int, Long)].collect().toSet
+    assert(res(ref) === res(batchRef))
+    // restart over the same source + checkpoint: ledger blocks re-ingest
+    val rows = spark.read.parquet(
+      new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), s"${ref.dirName}/asg").getAbsolutePath).count()
+    val q2 = start(); try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(
+      new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), s"${ref.dirName}/asg").getAbsolutePath).count() === rows)
+    IvfIndex.drop(spark, ref); IvfIndex.drop(spark, batchRef)
+    org.apache.commons.io.FileUtils.deleteQuietly(base)
+  }
+
   test("search prunes to the probed cells' directories") {
     val ref = IvfIndex.Ref("specprune")
     IvfIndex.drop(spark, ref)
