@@ -130,6 +130,38 @@ object IterBench {
       return
     }
 
+    // Persistent-IVF amortization A/B: a query batch served (a) from the
+    // prebuilt on-disk index — frozen centroids + partition-pruned cell
+    // scan — vs (b) by ivfTopK from scratch, which re-derives centroids
+    // and re-assigns the whole corpus per call. Build cost reported
+    // separately (one-off).
+    if (section == "ivfidx") {
+      import graft.operators.{IvfIndex, Similarity}
+      import org.apache.spark.sql.functions.col
+      val emb = Tables(spark, sfDir, "embeddings").cache()
+      emb.count()
+      val ref = IvfIndex.Ref("iterbench")
+      val queries = emb.filter(col("vec_id") < 50)
+      timed("ivfidx build (one-off)") {
+        IvfIndex.drop(spark, ref)
+        IvfIndex.build(emb, "vec_id", "embedding", nCells = 16, ref); 1L
+      }
+      for (round <- 1 to 2) {
+        timed(s"search from the on-disk index, round $round") {
+          IvfIndex.search(queries, "vec_id", "embedding", ref,
+            k = 10, nProbe = 4).count()
+        }
+        timed(s"ivfTopK from scratch, round $round") {
+          Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "vec_id",
+            k = 10, nCells = 16, nProbe = 4).count()
+        }
+      }
+      IvfIndex.drop(spark, ref)
+      emb.unpersist()
+      spark.stop()
+      return
+    }
+
     // State-store provider A/B for the default-provider streaming block
     // (round-9 VERDICT item #6): q90–q94 run HDFS-backed by default (the
     // transformWithState queries q95/q97 REQUIRE RocksDB and can't flip).

@@ -123,6 +123,7 @@ object IvfIndex {
         VectorFunctions.squaredEuclidean(col("qvec"), col("centroid")))
       .withColumn("r", row_number().over(probeW)).filter(col("r") <= nProbe)
       .select(col("query_id"), col("qvec"), col("cell_id"))
+      .localCheckpoint(true) // consumed twice: cell collect + candidate join
     val probedCells = probes.select("cell_id").distinct()
       .collect().map(_.getLong(0)) // nQueries·nProbe-bounded by construction
     val asg = spark.read.parquet(asgPath(spark, ref))
