@@ -341,6 +341,52 @@ object ExtensionQueries {
         FROM p"""),
     ),
 
+    // Index lifecycle under the gate: same three-slice ingest as qdt with
+    // a COMPACTION between slice 1 and slice 2 — the maintenance a
+    // long-lived index runs between deliveries. Compaction must be
+    // invisible to results (one file per bucket, same rows, bucketing
+    // intact), so the pair set still equals q85's exact set and the
+    // oracle is qdt's verbatim.
+    Entry("qe4_lsh_compacted_index",
+      (s, dir) => {
+        val tag = java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL) + "c"
+        val ref = graft.operators.LshIndex.Ref(tag, buckets = 8)
+        graft.operators.LshIndex.drop(s, ref) // idempotent re-runs
+        val docs = t(s, dir, "documents")
+        def ingest(slice: Int) = graft.operators.LshIndex.ingest(
+          docs.filter(col("doc_id") % 3 === slice), "doc_id", "text",
+          n = 2, k = 128, bands = 64, threshold = 0.5, ref)
+        val out01 = ingest(0).unionByName(ingest(1))
+        graft.operators.LshIndex.compact(s, ref)
+        out01.unionByName(ingest(2))
+          .select(col("old_id"), col("new_id"), round(col("jaccard"), 9).as("jaccard"))
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, $OTOKS AS w FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, (w[i] || ' ' || w[i+1]) AS sh
+          FROM toks CROSS JOIN UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+        ), sizes AS (
+          SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id
+        ), common AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), p AS (
+          SELECT id1, id2,
+            round(CAST(c AS DOUBLE) / (s1.nsh + s2.nsh - c), 9) AS jaccard
+          FROM common
+          JOIN sizes s1 ON id1 = s1.doc_id
+          JOIN sizes s2 ON id2 = s2.doc_id
+          WHERE CAST(c AS DOUBLE) / (s1.nsh + s2.nsh - c) >= 0.5
+        )
+        SELECT CASE WHEN id1 % 3 <= id2 % 3 THEN id1 ELSE id2 END AS old_id,
+          CASE WHEN id1 % 3 <= id2 % 3 THEN id2 ELSE id1 END AS new_id,
+          jaccard
+        FROM p"""),
+    ),
+
     // Contiguous global indexing (DataSetUtils.zipWithIndex analogue): on a
     // sorted input the two-phase counts+offsets assignment equals the global
     // rank regardless of partition boundaries, which is what the oracle pins.
