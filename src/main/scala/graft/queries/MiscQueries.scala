@@ -326,6 +326,39 @@ object MiscQueries {
           CAST(sum(v) AS BIGINT) AS byte_sum
         FROM px GROUP BY doc_id""")),
 
+    // Image RESIZE through the gate (the preprocessing step after qdf's
+    // decode): every document's PNG nearest-neighbor-resized to 4×3 in
+    // builtin expressions over the decoded BGR bytes (no UDF; src pixel
+    // = floor-mapped dst coordinate). The position-weighted checksum
+    // makes the BGR channel order and the exact index mapping
+    // gate-visible (a plain sum lets transposition errors cancel); the
+    // oracle replays the mapping against the generator formulas with the
+    // BGR inversion (data channel c holds color component 2-c).
+    Entry("qe5_image_resize",
+      (s, dir) => {
+        val imgDir = pngDirFromDocuments(s, dir)
+        val r = graft.sources.Images.resizeNearestSums(col("image"), 4, 3)
+        graft.sources.Images.read(s, imgDir).select(
+          regexp_extract(col("image.origin"), "doc_(\\d+)\\.png$", 1)
+            .cast("long").as("doc_id"),
+          r.getField("sum").as("r_sum"), r.getField("chk").as("r_chk"))
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+        ), px AS (
+          SELECT doc_id,
+            ((ty.y * 4 + tx.x) * 3 + tc.c) AS dpos,
+            (doc_id + 3 * ((tx.x * w) // 4) + 5 * ((ty.y * h) // 3)
+              + 11 * (2 - tc.c)) % 256 AS v
+          FROM d
+          CROSS JOIN UNNEST(generate_series(0, 3)) AS tx(x)
+          CROSS JOIN UNNEST(generate_series(0, 2)) AS ty(y)
+          CROSS JOIN UNNEST(generate_series(0, 2)) AS tc(c)
+        )
+        SELECT doc_id, CAST(sum(v) AS BIGINT) AS r_sum,
+          CAST(sum(v * (dpos + 1)) AS BIGINT) AS r_chk
+        FROM px GROUP BY doc_id""")),
+
     // REAL audio decode through the gate — the WAV sibling of qdf: a
     // deterministic mono 16-bit PCM WAV per document, scanned with Spark's
     // built-in binaryFile source, parsed partition-local with the ACTUAL

@@ -93,4 +93,45 @@ object Images {
     val hexPairs = regexp_extract_all(hex(data), lit(".."), lit(0))
     aggregate(hexPairs, lit(0L), (acc, p) => acc + conv(p, 16, 10).cast("long"))
   }
+
+  /** NEAREST-NEIGHBOR resize of a decoded image struct to `dstW × dstH`,
+    * summarized as (sum, checksum) of the resized BGR bytes — the
+    * resize/normalize step of a multimodal preprocessing pipeline, run
+    * entirely in builtin expressions (no UDF, partition-local): one HOF
+    * pass over destination coordinates, each reading its source byte
+    * from the hex string of `data` at the mapped flat index
+    * (src = (⌊y·h/dstH⌋·w + ⌊x·w/dstW⌋)·nCh + c). The checksum weights
+    * each byte by its destination position + 1, so channel-order or
+    * mapping errors cannot cancel the way a plain sum lets them.
+    *
+    * Summaries rather than materialized bytes keep the gate engine-
+    * portable; materializing is the same expression with array_append
+    * (or a mapPartitions for bulk tensors — the Multimodal batch path). */
+  def resizeNearestSums(image: Column, dstW: Int, dstH: Int): Column = {
+    require(dstW >= 1 && dstH >= 1)
+    val w = image.getField("width").cast("long")
+    val h = image.getField("height").cast("long")
+    val nCh = image.getField("nChannels").cast("long")
+    val hx = hex(image.getField("data"))
+    val n = dstW * dstH * 3
+    aggregate(
+      sequence(lit(0L), lit(n - 1L)),
+      struct(lit(0L).as("sum"), lit(0L).as("chk")),
+      (acc, d) => {
+        // Column `/` is double division — floor() each quotient back to
+        // LongType (exact: all operands are small positive integers)
+        val c = d % 3
+        val p = floor(d / 3)
+        val x = p % dstW
+        val y = floor(p / dstW)
+        val sx = floor(x * w / dstW)
+        val sy = floor(y * h / dstH)
+        val src = (sy * w + sx) * nCh + c
+        val b = conv(substring(hx, (src * 2 + 1).cast("int"), lit(2)), 16, 10)
+          .cast("long")
+        struct((acc.getField("sum") + b).as("sum"),
+          (acc.getField("chk") + b * (d + 1)).as("chk"))
+      },
+      acc => acc)
+  }
 }
