@@ -68,4 +68,25 @@ class ImageSourceSpec extends SparkSpec {
     // unsigned: 0 + 1 + 255 + 127 + 128 = 511; empty = 0
     assert(got === Seq(0L, 511L))
   }
+
+  test("resizeNearestSums: identity dims reproduce the raw bytes; known " +
+    "2x1 -> 1x1 takes the left pixel") {
+    val dir = java.nio.file.Files.createTempDirectory("img_rsz").toFile
+    writePng(dir, "two.png", 2, 1)((x, _) =>
+      if (x == 0) (10 << 16) | (20 << 8) | 30 else (40 << 16) | (50 << 8) | 60)
+    val img = Images.read(spark, dir.getPath)
+    // identity resize: sum == byteSum, chk == sum of b*(pos+1) over BGR
+    val ident = img.select(
+        Images.resizeNearestSums(col("image"), 2, 1).as("r"),
+        Images.byteSum(col("image.data")).as("bs"))
+      .head()
+    assert(ident.getStruct(0).getLong(0) === ident.getLong(1))
+    // bytes BGR row-major: 30,20,10,60,50,40 -> chk = 30*1+20*2+10*3+60*4+50*5+40*6
+    assert(ident.getStruct(0).getLong(1) ===
+      (30 * 1 + 20 * 2 + 10 * 3 + 60 * 4 + 50 * 5 + 40 * 6).toLong)
+    // downscale 2x1 -> 1x1: nearest = src x floor(0*2/1)=0 -> left pixel only
+    val down = img.select(Images.resizeNearestSums(col("image"), 1, 1).as("r")).head()
+    assert(down.getStruct(0).getLong(0) === (30 + 20 + 10).toLong)
+    assert(down.getStruct(0).getLong(1) === (30 * 1 + 20 * 2 + 10 * 3).toLong)
+  }
 }
