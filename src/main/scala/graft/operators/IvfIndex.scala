@@ -29,17 +29,25 @@ object IvfIndex {
     def dirName: String = s"graft_ivfidx_$tag"
   }
 
-  private def root(spark: SparkSession, ref: Ref): java.io.File =
-    new java.io.File(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), ref.dirName)
+  // index location resolves through Hadoop FileSystem against the
+  // warehouse URI, so a non-local warehouse (hdfs://, s3a://) carries the
+  // index on the same storage as the catalog tables — java.io.File would
+  // silently point every operation at a same-named LOCAL path
+  private def root(spark: SparkSession, ref: Ref): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), ref.dirName)
+  private def fs(spark: SparkSession, ref: Ref): org.apache.hadoop.fs.FileSystem =
+    root(spark, ref).getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def centsPath(spark: SparkSession, ref: Ref): String =
-    new java.io.File(root(spark, ref), "cents").getAbsolutePath
+    new org.apache.hadoop.fs.Path(root(spark, ref), "cents").toString
   private def asgPath(spark: SparkSession, ref: Ref): String =
-    new java.io.File(root(spark, ref), "asg").getAbsolutePath
+    new org.apache.hadoop.fs.Path(root(spark, ref), "asg").toString
 
   /** Destroy the index files. */
-  def drop(spark: SparkSession, ref: Ref): Unit =
-    org.apache.commons.io.FileUtils.deleteQuietly(root(spark, ref))
+  def drop(spark: SparkSession, ref: Ref): Unit = {
+    val p = root(spark, ref)
+    fs(spark, ref).delete(p, true); ()
+  }
 
   /** The frozen coarse quantizer. */
   def centroids(spark: SparkSession, ref: Ref): DataFrame =
@@ -81,8 +89,9 @@ object IvfIndex {
     * parquet records completed batch ids, so an already-ledgered replayed
     * batch is skipped whole and the append runs once per batch (the
     * crash-between-append-and-ledger window duplicates index rows for
-    * that batch — storage, and callers that must tolerate it de-dup on
-    * nbr_id at read time; a transactional target closes it). */
+    * that batch — storage only: [[search]] de-dups (cell_id, nbr_id) on
+    * the pruned scan, so results are unaffected; a transactional target
+    * closes the storage cost too). */
   def startStreamingIngest(vectors: DataFrame, idCol: String, vecCol: String,
                            ref: Ref, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
@@ -91,13 +100,14 @@ object IvfIndex {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
-        val ledger = new java.io.File(root(spark, ref), "_ledger")
-        val done = ledger.isDirectory && spark.read.parquet(ledger.getAbsolutePath)
-          .where(col("batch_id") === bid).head(1).nonEmpty
+        val ledger = new org.apache.hadoop.fs.Path(root(spark, ref), "_ledger")
+        val done = fs(spark, ref).exists(ledger) &&
+          spark.read.parquet(ledger.toString)
+            .where(col("batch_id") === bid).head(1).nonEmpty
         if (!done) {
           ingest(batch.toDF(), idCol, vecCol, ref)
           Seq(bid).toDF("batch_id").write.mode("append")
-            .parquet(ledger.getAbsolutePath)
+            .parquet(ledger.toString)
         }
         ()
       }
@@ -125,9 +135,14 @@ object IvfIndex {
       .select(col("query_id"), col("qvec"), col("cell_id"))
       .localCheckpoint(true) // consumed twice: cell collect + candidate join
     val probedCells = probes.select("cell_id").distinct()
-      .collect().map(_.getLong(0)) // nQueries·nProbe-bounded by construction
+      .collect().map(_.get(0)) // nQueries·nProbe-bounded; untyped — the
+        // cell_id carries idCol's type, whatever that is
     val asg = spark.read.parquet(asgPath(spark, ref))
       .filter(col("cell_id").isin(probedCells: _*)) // partition pruning
+      // crash-window duplicate guard: a batch replayed between append and
+      // ledger write duplicates its rows — without this a duplicated
+      // corpus row occupies two of the k ranks and evicts a real neighbor
+      .dropDuplicates("cell_id", "nbr_id")
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nbr_id"))
     asg.join(broadcast(probes), Seq("cell_id"))
       .filter(col("nbr_id") =!= col("query_id"))

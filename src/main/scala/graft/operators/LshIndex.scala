@@ -53,14 +53,76 @@ object LshIndex {
       shTable -> Seq("doc"))
   }
 
-  private def location(spark: SparkSession, table: String): java.io.File =
-    new java.io.File(
-      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), table)
+  // locations resolve through Hadoop FileSystem against the warehouse URI
+  // (not java.io.File), so an hdfs:// or s3a:// warehouse carries the
+  // index on the same storage the catalog points at
+  private def location(spark: SparkSession, table: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"), table)
+  private def hfs(spark: SparkSession, p: org.apache.hadoop.fs.Path)
+      : org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Destroy the index: catalog entries AND files. */
-  def drop(spark: SparkSession, ref: Ref): Unit = ref.layout.foreach { case (tbl, _) =>
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
-    org.apache.commons.io.FileUtils.deleteQuietly(location(spark, tbl))
+  private def leaseLoc(spark: SparkSession, ref: Ref): org.apache.hadoop.fs.Path =
+    location(spark, s"graft_lshidx_lease_${ref.tag}")
+
+  /** The index is SINGLE-WRITER: [[ingest]] and [[compact]] both mutate
+    * the three tables, and a compact racing an ingest loses the ingest's
+    * appends (the rebuild snapshots before they land). The contract is
+    * enforced, not prose: writers take an exclusive on-storage lease —
+    * atomic create-if-absent of a lease file — and a second writer fails
+    * fast with the holder's tag instead of corrupting the index. The
+    * lease releases on completion; after a CRASH it lingers and must be
+    * broken explicitly ([[breakLease]]) once the operator confirms no
+    * writer is live — the standard storage-lease trade-off. */
+  private def withLease[T](spark: SparkSession, ref: Ref, who: String)(body: => T): T = {
+    val p = leaseLoc(spark, ref)
+    val f = hfs(spark, p)
+    val out = try f.create(p, false) catch {
+      case _: java.io.IOException =>
+        val holder = try {
+          val in = f.open(p)
+          try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        } catch { case _: java.io.IOException => "<unreadable>" }
+        throw new IllegalStateException(
+          s"index '${ref.tag}' is write-leased by '$holder' — concurrent " +
+            s"ingest/compact is a data-loss race; if the holder crashed, " +
+            s"LshIndex.breakLease after confirming it is dead")
+    }
+    try {
+      out.write(who.getBytes(java.nio.charset.StandardCharsets.UTF_8)); out.close()
+      body
+    } finally { f.delete(p, false); () }
+  }
+
+  /** Remove a crashed writer's lingering lease. ONLY safe once the
+    * operator has confirmed no ingest/compact is live. */
+  def breakLease(spark: SparkSession, ref: Ref): Unit = {
+    val p = leaseLoc(spark, ref)
+    hfs(spark, p).delete(p, false); ()
+  }
+
+  /** Destroy the index: catalog entries AND files (lease included). */
+  def drop(spark: SparkSession, ref: Ref): Unit = {
+    ref.layout.foreach { case (tbl, _) =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = location(spark, tbl)
+      hfs(spark, loc).delete(loc, true)
+    }
+    breakLease(spark, ref)
+  }
+
+  /** Register the bucketing DDL for `tbl` over its on-disk files. */
+  private def register(spark: SparkSession, ref: Ref, tbl: String,
+                       cols: Seq[String]): Unit = {
+    val loc = location(spark, tbl)
+    require(hfs(spark, loc).exists(loc), s"no index files at $loc — nothing to attach")
+    val schema = spark.read.parquet(loc.toString).schema.toDDL
+    val cl = cols.mkString(", ")
+    spark.sql(s"""CREATE TABLE $tbl ($schema) USING parquet
+      CLUSTERED BY ($cl) SORTED BY ($cl) INTO ${ref.buckets} BUCKETS
+      LOCATION '${loc.toString}'""")
   }
 
   /** Re-register an existing on-disk index in a session whose catalog does
@@ -68,15 +130,7 @@ object LshIndex {
     * data; this re-asserts the bucketing DDL over them, so bucketed reads
     * (zero corpus-side exchange) survive restarts. */
   def attach(spark: SparkSession, ref: Ref): Unit = ref.layout.foreach { case (tbl, cols) =>
-    if (!spark.catalog.tableExists(tbl)) {
-      val loc = location(spark, tbl)
-      require(loc.isDirectory, s"no index files at $loc — nothing to attach")
-      val schema = spark.read.parquet(loc.getAbsolutePath).schema.toDDL
-      val cl = cols.mkString(", ")
-      spark.sql(s"""CREATE TABLE $tbl ($schema) USING parquet
-        CLUSTERED BY ($cl) SORTED BY ($cl) INTO ${ref.buckets} BUCKETS
-        LOCATION '${loc.getAbsolutePath}'""")
-    }
+    if (!spark.catalog.tableExists(tbl)) register(spark, ref, tbl, cols)
   }
 
   private def appendBucketed(df: DataFrame, tbl: String, buckets: Int,
@@ -86,7 +140,7 @@ object LshIndex {
       .bucketBy(buckets, cols.head, cols.tail: _*)
       .sortBy(cols.head, cols.tail: _*)
     if (spark.catalog.tableExists(tbl)) w.saveAsTable(tbl)
-    else w.option("path", location(spark, tbl).getAbsolutePath).saveAsTable(tbl)
+    else w.option("path", location(spark, tbl).toString).saveAsTable(tbl)
   }
 
   /** Ingest one batch: return every confirmed near-dup pair the batch
@@ -100,6 +154,7 @@ object LshIndex {
              n: Int, k: Int, bands: Int, threshold: Double, ref: Ref): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val spark = batch.sparkSession
+    withLease(spark, ref, "ingest") {
     val sh = batch.select(col(idCol).as("doc"),
       Hashes.shingleHashCol(col(textCol), n).as("shs")).cache()
     val sigs = sh.select(col("doc"),
@@ -142,6 +197,7 @@ object LshIndex {
     }
     sh.unpersist(); sigs.unpersist()
     out
+    }
   }
 
   /** Compact the index: every [[ingest]] appends one file per bucket, so
@@ -150,15 +206,40 @@ object LshIndex {
     * (spec-pinned) and bucket-local at scale: rows never cross buckets,
     * so a real deployment compacts buckets independently (concat-style)
     * — this whole-table rewrite is the simple form of that maintenance
-    * window. Not concurrency-safe with in-flight ingests. */
-  def compact(spark: SparkSession, ref: Ref): Unit = ref.layout.foreach {
-    case (tbl, cols) =>
-      val snapshot = spark.table(tbl).localCheckpoint(true)
-      spark.sql(s"DROP TABLE $tbl")
-      org.apache.commons.io.FileUtils.deleteQuietly(location(spark, tbl))
-      appendBucketed(snapshot.repartition(ref.buckets, cols.map(col): _*),
-        tbl, ref.buckets, cols)
-  }
+    * window. Runs under the same exclusive write lease as [[ingest]]
+    * (a racing ingest fails fast instead of losing its appends), and is
+    * crash-durable: the compacted copy lands on storage as a `_compacting`
+    * sibling BEFORE the live table is touched, so a crash either leaves
+    * the live table intact (pre-swap) or leaves the full compacted copy
+    * one directory-rename away (the recovery a restart performs by
+    * re-running compact — the stale sibling is overwritten). */
+  def compact(spark: SparkSession, ref: Ref): Unit =
+    withLease(spark, ref, "compact") {
+      ref.layout.foreach { case (tbl, cols) =>
+        val tmp = s"${tbl}_compacting"
+        val tmpLoc = location(spark, tmp)
+        val f = hfs(spark, tmpLoc)
+        // durable compacted copy first — the live table is not yet touched
+        spark.sql(s"DROP TABLE IF EXISTS $tmp")
+        f.delete(tmpLoc, true)
+        // the localCheckpoint is NOT for durability (the tmp table is the
+        // durable copy) — it breaks the scan's logical bucket-partitioning
+        // so the repartition actually shuffles: Catalyst otherwise elides
+        // it as redundant, then plans an unbucketed scan whose raw file
+        // splits misalign with bucket ids and fan out file-per-task-bucket
+        appendBucketed(spark.table(tbl).localCheckpoint(true)
+            .repartition(ref.buckets, cols.map(col): _*),
+          tmp, ref.buckets, cols)
+        // swap: drop the live entry + files, rename the copy into place,
+        // re-assert the bucketing DDL over the renamed directory
+        spark.sql(s"DROP TABLE $tbl")
+        spark.sql(s"DROP TABLE $tmp") // catalog entry only; files stay
+        val loc = location(spark, tbl)
+        f.delete(loc, true)
+        f.rename(tmpLoc, loc)
+        register(spark, ref, tbl, cols)
+      }
+    }
 
   /** Maintain the index from a document STREAM — the cross-run flavor of
     * the in-state claim index (streaming/StreamingDedup.scala): each
@@ -187,16 +268,17 @@ object LshIndex {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
-        val ledger = new java.io.File(outDir, "_ledger")
-        val done = ledger.isDirectory && spark.read.parquet(ledger.getAbsolutePath)
-          .where(col("batch_id") === bid).head(1).nonEmpty
+        val ledger = new org.apache.hadoop.fs.Path(outDir, "_ledger")
+        val done = hfs(spark, ledger).exists(ledger) &&
+          spark.read.parquet(ledger.toString)
+            .where(col("batch_id") === bid).head(1).nonEmpty
         if (!done) {
           ingest(batch.toDF(), idCol, textCol, n, k, bands, threshold, ref)
             .filter(col("old_id") =!= col("new_id")) // replayed-doc echo guard
             .write.mode("overwrite")
             .parquet(s"$outDir/pairs/batch_id=$bid")
           Seq(bid).toDF("batch_id").write.mode("append")
-            .parquet(ledger.getAbsolutePath)
+            .parquet(ledger.toString)
         }
         ()
       }

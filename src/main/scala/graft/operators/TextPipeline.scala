@@ -526,7 +526,11 @@ object TextPipeline {
     * collisions fall to the deterministic tie-break; magnitude bound:
     * pair_count · scale < 2^63, i.e. ~9.2e9 corpus tokens at the default
     * scale 1e9 — past that, drop scale (the ranking only needs resolution
-    * below the smallest true score gap).
+    * below the smallest true score gap). The denominator carries no bound
+    * of its own: the division runs as ((pair_count·scale) div cl) div cr
+    * — exactly floor(pair_count·scale / (cl·cr)) by the nested
+    * floor-division identity — so cl·cr (which would overflow Long at
+    * ~3e9 tokens per symbol) is never materialized.
     *
     * Per round: ONE pair-stat aggregate + ONE symbol-count aggregate over
     * the vocabulary frame (distinct words, Zipf-bounded ≪ corpus), a
@@ -567,7 +571,12 @@ object TextPipeline {
           .join(symCounts.select(col("sym").as("left"), col("c").as("cl")), "left")
           .join(symCounts.select(col("sym").as("right"), col("c").as("cr")), "right")
           .select(col("left"), col("right"), col("pair_count"),
-            expr(s"(pair_count * ${scale}L) div (cl * cr)").as("score"))
+            // floor(p·s / (cl·cr)) computed as ((p·s) div cl) div cr — the
+            // nested floor-division identity keeps the value EXACT while
+            // never forming cl·cr, which overflows Long at ~3e9 tokens
+            // per symbol (well inside the corpus envelope the numerator
+            // bound allows)
+            expr(s"((pair_count * ${scale}L) div cl) div cr").as("score"))
           .orderBy(col("score").desc, col("pair_count").desc,
             col("left"), col("right"))
           .limit(1).collect()
@@ -687,7 +696,19 @@ object TextPipeline {
                     vocab: Seq[(String, Long)], unkCost: Long): DataFrame = {
     require(vocab.nonEmpty, "vocab must not be empty")
     require(vocab.forall(_._2 >= 0), "piece costs must be non-negative")
-    val INF = 1000000000L
+    // The UNK sentinel must exceed any genuine path cost, or a
+    // legitimately segmentable expensive word (plausible with -log-prob
+    // costs at scale 1e9) silently misreports as UNK. A path sums at most
+    // one piece cost per character, so INF > maxCost · maxWordLen
+    // suffices: derive it for words up to 65536 chars (tokens() words are
+    // whitespace-delimited; longer ones are not natural language). The
+    // 1e9 floor keeps small-cost vocabs (all gates) on the historical
+    // sentinel. Unreachable DP cells can sit up to maxCost above a
+    // neighboring cell's INF, hence the headroom requirement on maxCost.
+    val maxCost = (vocab.map(_._2) :+ unkCost :+ 0L).max
+    require(maxCost <= (1L << 44),
+      s"piece costs must be <= 2^44 (INF derivation headroom), got $maxCost")
+    val INF = math.max(1000000000L, (maxCost + 1L) * 65536L)
     def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
     def arr(ps: Seq[(String, Long)]) =
       if (ps.isEmpty) "array()::array<struct<p:string,c:bigint>>"

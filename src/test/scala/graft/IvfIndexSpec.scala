@@ -87,6 +87,29 @@ class IvfIndexSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(base)
   }
 
+  test("search is immune to crash-window duplicate index rows") {
+    // a crash between the asg append and the ledger write replays a batch
+    // whole — the index then carries exact duplicates of those rows; a
+    // duplicated neighbor must not occupy two of the k ranks and evict a
+    // genuine one
+    val ref = IvfIndex.Ref("specdup")
+    IvfIndex.drop(spark, ref)
+    val corpus = vecs(0L until 60L)
+    IvfIndex.build(corpus, "vec_id", "embedding", nCells = 4, ref)
+    val queries = corpus.filter($"vec_id" < 3)
+    def res() =
+      IvfIndex.search(queries, "vec_id", "embedding", ref, k = 5, nProbe = 2)
+        .select($"query_id", $"rank", $"nbr_id", round($"cos", 6))
+        .as[(Long, Int, Long, Double)].collect().toSet
+    val before = res()
+    // the replay: re-ingest an already-indexed slice (same frozen
+    // centroids => byte-identical duplicate rows in their cells)
+    IvfIndex.ingest(vecs(10L until 30L), "vec_id", "embedding", ref)
+    assert(res() === before,
+      "top-k must be unchanged by duplicated index rows")
+    IvfIndex.drop(spark, ref)
+  }
+
   test("search prunes to the probed cells' directories") {
     val ref = IvfIndex.Ref("specprune")
     IvfIndex.drop(spark, ref)

@@ -120,6 +120,34 @@ class LshIndexSpec extends SparkSpec {
     LshIndex.drop(spark, ref)
   }
 
+  test("write lease: a second writer fails fast with the holder's name; " +
+    "breakLease restores write access") {
+    LshIndex.drop(spark, ref)
+    ingestAll()
+    // a crashed writer's lingering lease — the on-storage artifact an
+    // in-flight ingest/compact holds
+    val lease = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"), s"graft_lshidx_lease_${ref.tag}")
+    java.nio.file.Files.write(lease.toPath,
+      "crashed-ingest".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val e1 = intercept[IllegalStateException] {
+      LshIndex.ingest(docs(61L -> base), "doc_id", "text",
+        n = 2, k = 128, bands = 64, threshold = 0.5, ref)
+    }
+    assert(e1.getMessage.contains("crashed-ingest"))
+    val e2 = intercept[IllegalStateException] { LshIndex.compact(spark, ref) }
+    assert(e2.getMessage.contains("crashed-ingest"))
+    // index untouched by the refused writers
+    val rows = spark.table(ref.bandedTable).count()
+    LshIndex.breakLease(spark, ref)
+    val out = LshIndex.ingest(docs(61L -> base), "doc_id", "text",
+      n = 2, k = 128, bands = 64, threshold = 0.5, ref)
+    assert(out.select($"old_id").as[Long].collect().toSet === Set(1L, 3L, 11L, 21L))
+    assert(spark.table(ref.bandedTable).count() > rows)
+    assert(!lease.exists(), "lease must release when the writer completes")
+    LshIndex.drop(spark, ref)
+  }
+
   test("streaming ingest: one file per micro-batch, restart is a ledgered no-op") {
     val sref = LshIndex.Ref("specstream", buckets = 4)
     LshIndex.drop(spark, sref)

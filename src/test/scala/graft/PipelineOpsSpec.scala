@@ -643,6 +643,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(uni === ((1L, 2L, 2L + 1L, 1L)))
   }
 
+  test("minCostEncode: -log-prob-scale costs above the old 1e9 sentinel " +
+    "still segment") {
+    // two pieces at 6e8 sum to 1.2e9 — past the historical fixed INF, so
+    // this word used to misreport as one UNK at unkCost; the sentinel now
+    // derives from the vocabulary's max cost
+    val vocab = Seq("ab" -> 600000000L, "##ab" -> 600000000L)
+    val df = Seq((1L, "abab")).toDF("doc_id", "text")
+    val got = TextPipeline.minCostEncode(df, "doc_id", "text", vocab,
+        unkCost = 5L)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got === ((1L, 1L, 1200000000L, 0L)))
+  }
+
   test("bigramLogProb: hand-computed add-one model, short-doc null policy") {
     // corpus: "a b" x2, "a c" x1, "x" x1 → unigrams a:3 b:2? no —
     // tokens: doc1 "a b a b" (a:2,b:2), doc2 "a c" (a:1,c:1), doc3 "x".
