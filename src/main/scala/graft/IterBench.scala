@@ -11,15 +11,29 @@ import org.apache.spark.sql.SparkSession
   * cost vs per-round cost.
   *
   * Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.IterBench"
-  * Section select: SPARK_GRAFT_ITERBENCH=loops|bpe (default loops —
-  * the bpe section runs a ~500-merge tokenizer training and is minutes
-  * long by design; results are recorded in BASELINE.md).
+  * Section select: SPARK_GRAFT_ITERBENCH=loops|bpe|bpescale|tok|wpencode|
+  * lshidx|ivfidx|stream|streamamort (default loops — the bpe/bpescale
+  * sections run ~500-merge tokenizer trainings and are minutes long by
+  * design; results are recorded in BASELINE.md).
+  *
+  * SPARK_GRAFT_MULT=k scales the lshidx/ivfidx corpus k× in-bench
+  * (fixtures untouched): documents replicate with id offsets and a
+  * per-replica letter-rotation `translate`, which preserves each
+  * replica's internal near-dup structure (translate is a bijection
+  * applied uniformly) while destroying cross-replica shingle overlap —
+  * so dup density stays LINEAR in k, the way a real growing corpus
+  * behaves, not quadratic the way naive replication would. Embeddings
+  * replicate with vec_id offsets. The ingest/search batch stays FIXED
+  * size as the corpus grows — measuring exactly the asymptotic claim
+  * (ingest O(batch+collisions) vs re-dedup O(corpus); search
+  * O(corpus·nProbe/nCells) vs refit O(corpus·nCells)).
   */
 object IterBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val section = sys.env.getOrElse("SPARK_GRAFT_ITERBENCH", "loops")
+    val mult = sys.env.getOrElse("SPARK_GRAFT_MULT", "1").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -60,19 +74,117 @@ object IterBench {
       return
     }
 
+    // Hash-derived pseudo-word corpus over the sf documents' doc_ids:
+    // vocab-scale tokenizer benching — the natural fixture's 31-word
+    // vocabulary exhausts BPE at ~110 merges, so merge/vocab-scale costs
+    // are unmeasurable on it. Each doc becomes `wordsPerDoc` base-26
+    // words derived from xxhash64(doc_id, i) (< 26^5, so 1-5 letters):
+    // ~uniformly distinct words, which is exactly the hard regime for
+    // the distinct-word vocabulary frame the whole tokenizer family
+    // computes on. Fixtures untouched.
+    def pseudoCorpus(wordsPerDoc: Int): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions._
+      Tables(spark, sfDir, "documents").select(col("doc_id"),
+        array_join(transform(sequence(lit(1), lit(wordsPerDoc)), i =>
+          translate(
+            conv(pmod(xxhash64(col("doc_id"), i), lit(11881376L)).cast("string"),
+              10, 26),
+            "0123456789ABCDEFGHIJKLMNOP", "abcdefghijklmnopqrstuvwxyz")),
+          " ").as("text"))
+    }
+
+    // BPE training at MERGE + VOCAB scale (round-9 VERDICT item #4): the
+    // pseudo-word corpus sustains 500+ merges, so the batched trainer's
+    // driver-round amortization is finally measurable where it matters.
+    if (section == "bpescale") {
+      import graft.operators.TextPipeline
+      val nMerges = sys.env.getOrElse("SPARK_GRAFT_BPE_MERGES", "512").toInt
+      val docs = pseudoCorpus(64).cache()
+      docs.count()
+      import org.apache.spark.sql.functions._
+      val nWords = docs.select(explode(split(col("text"), " "))).distinct().count()
+      println(s"[iterbench] pseudo-corpus: $nWords distinct words")
+      for (batch <- Seq(64, 16, 1)) {
+        timed(f"bpeTrainBatched(pseudo) nMerges=$nMerges batch=$batch%-3d") {
+          val merges = TextPipeline.bpeTrainBatched(docs, "text", nMerges, batch)
+          val rounds = if (merges.isEmpty) 0 else merges.map(_._1).max
+          println(s"[iterbench]   -> ${merges.size} merges in $rounds driver rounds")
+          merges.size.toLong
+        }
+      }
+      docs.unpersist()
+      spark.stop()
+      return
+    }
+
+    // WordPiece ENCODE at vocabulary scale: inline-literal fold (cost
+    // grows with |vocab| — six copies of the vocab array in the
+    // expression) vs the trie expression (|vocab|-independent). The 30k
+    // row is the BERT-scale regime only the trie can express.
+    if (section == "wpencode") {
+      import graft.operators.TextPipeline
+      val docs = pseudoCorpus(64).cache()
+      docs.count()
+      def vocabOf(v: Int): Seq[String] = {
+        val letters = ('a' to 'z').map(_.toString)
+        val two = for (a <- letters; b <- letters) yield a + b
+        val three = for (a <- letters; b <- letters; c <- letters) yield a + b + c
+        (letters ++ letters.map("##" + _) ++ two ++ two.map("##" + _) ++
+          three ++ three.map("##" + _)).take(v)
+      }
+      for (round <- 1 to 2) {
+        for (v <- Seq(100, 500, 1500)) {
+          timed(s"wordpieceEncode inline, $v pieces, round $round") {
+            try TextPipeline.wordpieceEncode(docs, "doc_id", "text",
+              vocabOf(v)).count()
+            catch { case e: Throwable =>
+              println(s"[iterbench]   -> FAILED: ${e.getClass.getSimpleName}"); 0L
+            }
+          }
+        }
+        for (v <- Seq(100, 500, 1500, 30000)) {
+          timed(s"wordpieceEncodeTrie, $v pieces, round $round") {
+            TextPipeline.wordpieceEncodeTrie(docs, "doc_id", "text",
+              vocabOf(v)).count()
+          }
+        }
+      }
+      docs.unpersist()
+      spark.stop()
+      return
+    }
+
     // Persistent-index amortization A/B (the reason LshIndex exists): dedup
     // of ONE arriving batch (slice 9 of 10) against a 9/10-slice corpus —
     // (a) incremental ingest into the prebuilt bucketed index vs (b) the
     // full-corpus one-shot rebuild a pipeline without an index re-pays per
     // delivery. Index build time is reported separately: it is the one-off
     // cost the steady state amortizes away.
+    // k×-replicated documents (id offsets + per-replica letter rotation —
+    // see object doc): the fixed-size ingest batch and the re-dedup corpus
+    // for the persistent-index asymptotics measurement
+    def scaledDocs(): (org.apache.spark.sql.DataFrame, Long) = {
+      import org.apache.spark.sql.functions._
+      val docs = Tables(spark, sfDir, "documents")
+      val span = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      val alpha = "etaoinshrdlu"
+      val scaled = (0 until mult).map { m =>
+        val r = m % alpha.length
+        val rot = alpha.drop(r) + alpha.take(r)
+        docs.select((col("doc_id") + lit(m * span)).as("doc_id"),
+          (if (m == 0) col("text")
+           else translate(col("text"), alpha, rot)).as("text"))
+      }.reduce(_ unionByName _)
+      (scaled.cache(), span)
+    }
+
     if (section == "lshidx") {
       import graft.operators.{Dedup, LshIndex}
       import org.apache.spark.sql.functions.col
-      val docs = Tables(spark, sfDir, "documents").cache()
-      docs.count()
+      val (docs, span) = scaledDocs()
+      println(s"[iterbench] corpus: ${docs.count()} docs (mult=$mult)")
       val ref = LshIndex.Ref("iterbench", buckets = 8)
-      timed("lshidx build: slices 0-8 of 10 into the index") {
+      timed(s"lshidx build: slices 0-8 of 10 into the index (mult=$mult)") {
         LshIndex.drop(spark, ref)
         (0 until 9).map { s =>
           LshIndex.ingest(docs.filter(col("doc_id") % 10 === s), "doc_id",
@@ -80,17 +192,20 @@ object IterBench {
         }.sum
       }
       for (round <- 1 to 2) {
-        timed(s"full-corpus re-dedup (no index), round $round") {
+        timed(s"full-corpus re-dedup (no index, mult=$mult), round $round") {
           Dedup.minhashDupPairs(docs, "doc_id", "text",
             n = 2, k = 128, bands = 64, threshold = 0.5).count()
         }
       }
-      // two FRESH disjoint arrival batches (halves of slice 9): ids must
-      // not repeat across ingests, so each round gets its own half
+      // two FRESH disjoint arrival batches (halves of replica 0's slice 9):
+      // ids must not repeat across ingests, and the batch stays FIXED size
+      // as mult grows — the steady-state delivery a 100-TB service pays
       for ((slice, round) <- Seq(9, 19).zipWithIndex) {
-        timed(s"incremental ingest of a fresh half-slice, round ${round + 1}") {
-          LshIndex.ingest(docs.filter(col("doc_id") % 20 === slice), "doc_id",
-            "text", n = 2, k = 128, bands = 64, threshold = 0.5, ref).count()
+        timed(s"incremental ingest of a fixed-size batch, round ${round + 1}") {
+          LshIndex.ingest(
+            docs.filter(col("doc_id") < span && col("doc_id") % 20 === slice),
+            "doc_id", "text", n = 2, k = 128, bands = 64, threshold = 0.5,
+            ref).count()
         }
       }
       LshIndex.drop(spark, ref)
@@ -137,27 +252,71 @@ object IterBench {
     // separately (one-off).
     if (section == "ivfidx") {
       import graft.operators.{IvfIndex, Similarity}
-      import org.apache.spark.sql.functions.col
-      val emb = Tables(spark, sfDir, "embeddings").cache()
-      emb.count()
+      import org.apache.spark.sql.functions._
+      val raw = Tables(spark, sfDir, "embeddings")
+      val span = raw.agg(max(col("vec_id"))).head().getLong(0) + 1L
+      val emb = (0 until mult).map { m =>
+        raw.select((col("vec_id") + lit(m * span)).as("vec_id"), col("embedding"))
+      }.reduce(_ unionByName _).cache()
+      println(s"[iterbench] corpus: ${emb.count()} vectors (mult=$mult)")
       val ref = IvfIndex.Ref("iterbench")
-      val queries = emb.filter(col("vec_id") < 50)
-      timed("ivfidx build (one-off)") {
+      val queries = emb.filter(col("vec_id") < 50) // fixed-size probe batch
+      timed(s"ivfidx build (one-off, mult=$mult)") {
         IvfIndex.drop(spark, ref)
         IvfIndex.build(emb, "vec_id", "embedding", nCells = 16, ref); 1L
       }
       for (round <- 1 to 2) {
-        timed(s"search from the on-disk index, round $round") {
+        timed(s"search from the on-disk index (mult=$mult), round $round") {
           IvfIndex.search(queries, "vec_id", "embedding", ref,
             k = 10, nProbe = 4).count()
         }
-        timed(s"ivfTopK from scratch, round $round") {
+        timed(s"ivfTopK from scratch (mult=$mult), round $round") {
           Similarity.ivfTopK(emb, queries, "vec_id", "embedding", "vec_id",
             k = 10, nCells = 16, nProbe = 4).count()
         }
       }
       IvfIndex.drop(spark, ref)
       emb.unpersist()
+      spark.stop()
+      return
+    }
+
+    // Micro-batch size amortization (round-9 VERDICT item #6): the
+    // standing claim behind q94/q95/q97's sweep weight is that per-event
+    // cost is dominated by per-micro-batch state-store commit machinery
+    // and amortizes with batch size. Replay the SAME 100k-event corpus
+    // through the same watermarked tumbling-window agg at 32/4/1
+    // micro-batches (maxFilesPerTrigger over 32 equal slices) and report
+    // per-batch and per-event cost.
+    if (section == "streamamort") {
+      import org.apache.spark.sql.functions._
+      val slices = 32
+      val base = java.nio.file.Files.createTempDirectory("streamamort").toFile
+      val ev = Tables(spark, sfDir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val src = new java.io.File(base, "src").getAbsolutePath
+      ev.repartition(slices).write.parquet(src)
+      val n = spark.read.parquet(src).count()
+      val schema = spark.read.parquet(src).schema
+      for (round <- 1 to 2; mft <- Seq(1, 8, 32)) {
+        val batches = math.ceil(slices.toDouble / mft).toInt
+        val ckpt = new java.io.File(base, s"ckpt_${round}_$mft").getAbsolutePath
+        val t0 = System.nanoTime()
+        val q = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", mft).parquet(src)
+          .withWatermark("ts", "1 minute")
+          .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum("value").as("v"))
+          .writeStream.outputMode("update").format("noop")
+          .option("checkpointLocation", ckpt)
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[iterbench] streamamort round $round: $batches%3d batches " +
+          f"(mft=$mft%2d)  total $dt%6.2f s  ${dt / batches}%6.3f s/batch  " +
+          f"${dt / n * 1e6}%8.1f us/event")
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(base)
       spark.stop()
       return
     }

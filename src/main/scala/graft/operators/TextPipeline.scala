@@ -614,8 +614,9 @@ object TextPipeline {
     * position once and the inner `filter`+`aggregate` picks the longest
     * match from the vocabulary literal. Vocabulary size bounds the inner
     * expression, so this is for tokenizer-scale vocabs a driver can
-    * inline (the 30k+-piece production regime would swap the literal for
-    * a broadcast prefix table — same outer fold).
+    * inline — the 30k+-piece production regime is [[wordpieceEncodeTrie]]
+    * (same algorithm, trie-compiled vocabulary, |vocab|-independent
+    * per-position cost).
     *
     * Emits (idCol, n_words, n_tokens, n_unk_words); UNK words count 1
     * token. Same scale shape as [[bpeEncode]]: segmentation runs on the
@@ -656,6 +657,32 @@ object TextPipeline {
       .select(col("word"), expr(segSql).as("s"))
       .select(col("word"), col("s.n_toks").cast("long").as("w_toks"),
         col("s.unk").as("unk"))
+    words.join(broadcast(seg), Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum("w_toks").as("n_tokens"),
+        sum(when(col("unk"), 1L).otherwise(0L)).as("n_unk_words"))
+  }
+
+  /** [[wordpieceEncode]] at PRODUCTION vocabulary scale: identical greedy
+    * longest-match-first semantics and output (law-spec'd equal), with
+    * the vocabulary compiled once into a code-point trie that ships with
+    * the plan ([[graft.functions.WordpieceEncodeExpr]]) instead of being
+    * inlined as an expression literal. The inline fold pays
+    * O(positions · |vocab|) per word and stops being expressible at
+    * BERT-scale 30k pieces (megabyte SQL text; array-backed literals make
+    * even map lookups O(|vocab|)); the trie pays O(longest piece) per
+    * position regardless of vocabulary size. Same distinct-word +
+    * broadcast-join corpus shape. */
+  def wordpieceEncodeTrie(df: DataFrame, idCol: String, textCol: String,
+                          vocab: Seq[String]): DataFrame = {
+    val words = df.select(col(idCol),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
+    val seg = words.select("word").distinct()
+      .select(col("word"), org.apache.spark.sql.GraftExprBridge.column(
+        graft.functions.WordpieceEncodeExpr(
+          org.apache.spark.sql.GraftExprBridge.expression(col("word")),
+          vocab)).as("s"))
+      .select(col("word"), col("s.w_toks").as("w_toks"), col("s.unk").as("unk"))
     words.join(broadcast(seg), Seq("word"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum("w_toks").as("n_tokens"),

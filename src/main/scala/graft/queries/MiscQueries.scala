@@ -359,6 +359,39 @@ object MiscQueries {
           CAST(sum(v * (dpos + 1)) AS BIGINT) AS r_chk
         FROM px GROUP BY doc_id""")),
 
+    // The PRODUCTION resize kernel through the same gate: resizeNearest
+    // (partition-local byte-array kernel, the one a 100-TB pipeline runs)
+    // materializes the 4×3 BGR bytes, and the summarization over its
+    // OUTPUT — an identity-dims resizeNearestSums, i.e. plain byte sum +
+    // position-weighted checksum — must replay the qe5 oracle exactly.
+    // qe5 pins the builtin mapping; this pins the kernel's actual bytes.
+    Entry("qe7_image_resize_kernel",
+      (s, dir) => {
+        val imgDir = pngDirFromDocuments(s, dir)
+        val resized = graft.sources.Images.resizeNearest(
+          graft.sources.Images.read(s, imgDir), 4, 3)
+        val r = graft.sources.Images.resizeNearestSums(col("image"), 4, 3)
+        resized.select(
+          regexp_extract(col("image.origin"), "doc_(\\d+)\\.png$", 1)
+            .cast("long").as("doc_id"),
+          r.getField("sum").as("r_sum"), r.getField("chk").as("r_chk"))
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+        ), px AS (
+          SELECT doc_id,
+            ((ty.y * 4 + tx.x) * 3 + tc.c) AS dpos,
+            (doc_id + 3 * ((tx.x * w) // 4) + 5 * ((ty.y * h) // 3)
+              + 11 * (2 - tc.c)) % 256 AS v
+          FROM d
+          CROSS JOIN UNNEST(generate_series(0, 3)) AS tx(x)
+          CROSS JOIN UNNEST(generate_series(0, 2)) AS ty(y)
+          CROSS JOIN UNNEST(generate_series(0, 2)) AS tc(c)
+        )
+        SELECT doc_id, CAST(sum(v) AS BIGINT) AS r_sum,
+          CAST(sum(v * (dpos + 1)) AS BIGINT) AS r_chk
+        FROM px GROUP BY doc_id""")),
+
     // REAL audio decode through the gate — the WAV sibling of qdf: a
     // deterministic mono 16-bit PCM WAV per document, scanned with Spark's
     // built-in binaryFile source, parsed partition-local with the ACTUAL

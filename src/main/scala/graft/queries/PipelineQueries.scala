@@ -1407,6 +1407,18 @@ object PipelineQueries {
         "text", WpVocab),
       Some(OWordpieceEncode)),
 
+    // The PRODUCTION-vocabulary-scale form of qdw: identical greedy
+    // longest-match semantics, vocabulary compiled to a code-point trie
+    // shipped with the plan (WordpieceEncodeExpr) instead of an inline
+    // expression literal — |vocab|-independent per-position cost, the
+    // regime a BERT-scale 30k-piece vocabulary requires. Same oracle as
+    // qdw (the trie is an execution strategy, not a semantics change —
+    // law-spec'd equal in PipelineOpsSpec).
+    Entry("qe6_wordpiece_trie_encode",
+      (s, dir) => TextPipeline.wordpieceEncodeTrie(t(s, dir, "documents"),
+        "doc_id", "text", WpVocab),
+      Some(OWordpieceEncode)),
+
     // OPTIMAL (minimal-token) segmentation over the SAME vocabulary as
     // qdw — shortest-path tokenization (uniform-score unigram-LM /
     // SentencePiece Viterbi). The greedy/optimal pair is the standard

@@ -95,18 +95,20 @@ object Images {
   }
 
   /** NEAREST-NEIGHBOR resize of a decoded image struct to `dstW × dstH`,
-    * summarized as (sum, checksum) of the resized BGR bytes — the
-    * resize/normalize step of a multimodal preprocessing pipeline, run
-    * entirely in builtin expressions (no UDF, partition-local): one HOF
-    * pass over destination coordinates, each reading its source byte
-    * from the hex string of `data` at the mapped flat index
-    * (src = (⌊y·h/dstH⌋·w + ⌊x·w/dstW⌋)·nCh + c). The checksum weights
-    * each byte by its destination position + 1, so channel-order or
-    * mapping errors cannot cancel the way a plain sum lets them.
+    * summarized as (sum, checksum) of the resized BGR bytes, run entirely
+    * in builtin expressions: one HOF pass over destination coordinates,
+    * each reading its source byte from the hex string of `data` at the
+    * mapped flat index (src = (⌊y·h/dstH⌋·w + ⌊x·w/dstW⌋)·nCh + c). The
+    * checksum weights each byte by its destination position + 1, so
+    * channel-order or mapping errors cannot cancel the way a plain sum
+    * lets them.
     *
-    * Summaries rather than materialized bytes keep the gate engine-
-    * portable; materializing is the same expression with array_append
-    * (or a mapPartitions for bulk tensors — the Multimodal batch path). */
+    * This is the ORACLE-REPLAY DEVICE for the qe5 gate — builtins only so
+    * DuckDB can replay it bit-exactly — NOT the production kernel: the
+    * per-byte hex walk is quadratic constant-factor waste. Production
+    * resize is [[resizeNearest]], the partition-local byte-array kernel
+    * over the same mapping law (spec-pinned equal: its output bytes
+    * reproduce exactly this sum and checksum). Benchmark that one. */
   def resizeNearestSums(image: Column, dstW: Int, dstH: Int): Column = {
     require(dstW >= 1 && dstH >= 1)
     val w = image.getField("width").cast("long")
@@ -133,5 +135,42 @@ object Images {
           (acc.getField("chk") + b * (d + 1)).as("chk"))
       },
       acc => acc)
+  }
+
+  /** PRODUCTION nearest-neighbor resize: the same mapping law as
+    * [[resizeNearestSums]] (src pixel (⌊y·h/dstH⌋, ⌊x·w/dstW⌋), first
+    * three channels kept, BGR order preserved) executed as a
+    * partition-local byte-array kernel inside mapPartitions — O(dstW ·
+    * dstH) array reads per image, no hex detour, payloads never touch
+    * the driver. Emits the full mllib image struct (mode CV_8UC3,
+    * origin carried through) so downstream decode-aware stages compose.
+    * Input images must have nChannels >= 3. */
+  def resizeNearest(images: DataFrame, dstW: Int, dstH: Int): DataFrame = {
+    require(dstW >= 1 && dstH >= 1)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    images.select(col("image")).mapPartitions { it =>
+      it.map { r =>
+        val img = r.getStruct(0)
+        val origin = img.getString(0)
+        val h = img.getInt(1); val w = img.getInt(2); val nCh = img.getInt(3)
+        val data = img.getAs[Array[Byte]](5)
+        val out = new Array[Byte](dstW * dstH * 3)
+        var d = 0
+        var y = 0
+        while (y < dstH) {
+          val sy = y.toLong * h / dstH
+          var x = 0
+          while (x < dstW) {
+            val sx = x.toLong * w / dstW
+            val src = ((sy * w + sx) * nCh).toInt
+            out(d) = data(src); out(d + 1) = data(src + 1); out(d + 2) = data(src + 2)
+            d += 3
+            x += 1
+          }
+          y += 1
+        }
+        Row(Row(origin, dstH, dstW, 3, CV_8UC3, out))
+      }
+    }(enc)
   }
 }

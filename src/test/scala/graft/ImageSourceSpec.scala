@@ -89,4 +89,34 @@ class ImageSourceSpec extends SparkSpec {
     assert(down.getStruct(0).getLong(0) === (30 + 20 + 10).toLong)
     assert(down.getStruct(0).getLong(1) === (30 * 1 + 20 * 2 + 10 * 3).toLong)
   }
+
+  test("resizeNearest (production kernel) reproduces resizeNearestSums' " +
+    "sum and checksum on every fixture image and scale") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("img_rszk").toFile
+    Images.pngsFromDocIds(Seq(3L, 7L, 12L, 18L).toDF("doc_id"), "doc_id",
+      dir.getPath)
+    val img = Images.read(spark, dir.getPath)
+    for ((dw, dh) <- Seq((2, 2), (5, 3), (1, 1), (7, 6))) {
+      // the oracle-replay device: builtin hex walk
+      val want = img.select(col("image.origin").as("o"),
+          Images.resizeNearestSums(col("image"), dw, dh).as("r"))
+        .select($"o", $"r.sum", $"r.chk")
+        .as[(String, Long, Long)].collect()
+        .map { case (o, s, c) => o -> ((s, c)) }.toMap
+      // the production kernel: partition-local byte arrays
+      val got = Images.resizeNearest(img, dw, dh)
+        .select(col("image.origin"), col("image.height"), col("image.width"),
+          col("image.nChannels"), col("image.data"))
+        .as[(String, Int, Int, Int, Array[Byte])].collect()
+      assert(got.length === 4)
+      got.foreach { case (o, h, w, nc, data) =>
+        assert((h, w, nc) === ((dh, dw, 3)))
+        val sum = data.map(b => (b & 0xff).toLong).sum
+        val chk = data.zipWithIndex
+          .map { case (b, i) => (b & 0xff).toLong * (i + 1) }.sum
+        assert((sum, chk) === want(o), s"mismatch at $o ${dw}x$dh")
+      }
+    }
+  }
 }

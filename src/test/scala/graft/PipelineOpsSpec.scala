@@ -591,6 +591,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === Set((1L, 3L, 2L + 1L + 1L, 1L), (2L, 3L, 1L + 2L + 2L, 1L)))
   }
 
+  test("wordpieceEncodeTrie equals the inline fold: fixed cases, randomized " +
+    "vocab/corpus, and non-BMP code points") {
+    def both(df: org.apache.spark.sql.DataFrame, vocab: Seq[String]) = (
+      TextPipeline.wordpieceEncode(df, "doc_id", "text", vocab)
+        .as[(Long, Long, Long, Long)].collect().toSet,
+      TextPipeline.wordpieceEncodeTrie(df, "doc_id", "text", vocab)
+        .as[(Long, Long, Long, Long)].collect().toSet)
+    // the greedy-dead-end fixture from the inline test
+    val v1 = Seq("abc", "ab", "x", "##cx", "##d")
+    val d1 = Seq((1L, "abcd abcx x"), (2L, "q7 abcd abcd")).toDF("doc_id", "text")
+    val (i1, t1) = both(d1, v1)
+    assert(t1 === i1 && i1.nonEmpty)
+    // randomized: words and pieces over a tiny alphabet maximize both
+    // collision and dead-end density
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 4) {
+      val letters = "abc"
+      def piece() = Seq.fill(1 + rnd.nextInt(3))(
+        letters(rnd.nextInt(letters.length))).mkString
+      val vocab = (Seq.fill(6)(piece()) ++ Seq.fill(6)("##" + piece())).distinct
+      def word() = Seq.fill(1 + rnd.nextInt(6))(
+        letters(rnd.nextInt(letters.length))).mkString
+      val docs = (1L to 6L).map(i => (i, Seq.fill(8)(word()).mkString(" ")))
+        .toDF("doc_id", "text")
+      val (inl, tri) = both(docs, vocab)
+      assert(tri === inl, s"trial $trial diverged (vocab=$vocab)")
+    }
+    // code-point stepping: surrogate-pair pieces must match whole
+    val smile = new String(Character.toChars(0x1F600))
+    val v2 = Seq(smile, "##" + smile, "a", "##a")
+    val d2 = Seq((1L, s"$smile$smile a$smile ${smile}a aa b"))
+      .toDF("doc_id", "text")
+    val (i2, t2) = both(d2, v2)
+    assert(t2 === i2 && i2.nonEmpty)
+  }
+
   test("minTokenEncode: DP segments greedy's dead ends and never uses more " +
     "tokens") {
     val vocab = Seq("abc", "ab", "x", "a", "##cx", "##d", "##b", "##c")
