@@ -104,7 +104,9 @@ object IterBench {
       import org.apache.spark.sql.functions._
       val nWords = docs.select(explode(split(col("text"), " "))).distinct().count()
       println(s"[iterbench] pseudo-corpus: $nWords distinct words")
-      for (batch <- Seq(64, 16, 1)) {
+      val batches = sys.env.getOrElse("SPARK_GRAFT_BPE_BATCHES", "64,16,1")
+        .split(",").toSeq.map(_.trim.toInt)
+      for (batch <- batches) {
         timed(f"bpeTrainBatched(pseudo) nMerges=$nMerges batch=$batch%-3d") {
           val merges = TextPipeline.bpeTrainBatched(docs, "text", nMerges, batch)
           val rounds = if (merges.isEmpty) 0 else merges.map(_._1).max
@@ -132,8 +134,10 @@ object IterBench {
         (letters ++ letters.map("##" + _) ++ two ++ two.map("##" + _) ++
           three ++ three.map("##" + _)).take(v)
       }
+      val inlineSizes = sys.env.get("SPARK_GRAFT_WPINLINE")
+        .map(s => Seq(s.toInt)).getOrElse(Seq(100, 500, 1500))
       for (round <- 1 to 2) {
-        for (v <- Seq(100, 500, 1500)) {
+        for (v <- inlineSizes) {
           timed(s"wordpieceEncode inline, $v pieces, round $round") {
             try TextPipeline.wordpieceEncode(docs, "doc_id", "text",
               vocabOf(v)).count()

