@@ -1056,6 +1056,25 @@ object ExtensionQueries {
       Some(ivfpqOracle),
       prepare = Some((s, dir) => ivfpqModels(s, dir))),
 
+    // The PERSISTENT form of qd5: the same IVFADC search served from the
+    // on-disk PqIndex — coarse centroids, PQ codebooks, and the corpus as
+    // codes partitioned cell-per-directory, built once by `prepare` and
+    // reusable by any later process (the compressed-ANN completion of the
+    // persistent-index family: LshIndex near-dup, IvfIndex raw-vector,
+    // PqIndex coded). Identical deterministic fits and ranking semantics
+    // to qcv/qd5 (spec-pinned byte-equal in PqIndexSpec), so all three
+    // share one oracle; the probed-cell partition pruning and the
+    // crash-window (ivf_cell, id, m) de-dup are what the index adds.
+    Entry("qe9_ivfpq_persistent_index",
+      (s, dir) => {
+        val ref = pqIndexFor(s, dir)
+        val probes = t(s, dir, "embeddings").filter(col("vec_id") < 5)
+        ivfpqRecall(s, dir, graft.operators.PqIndex.search(probes, "vec_id",
+          "embedding", dim = 64, m = 4, nProbe = 2, topK = 5, ref))
+      },
+      Some(ivfpqOracle),
+      prepare = Some((s, dir) => { pqIndexFor(s, dir); t(s, dir, "embeddings") })),
+
     // Corpus length-distribution profile: EXACT per-language token-count
     // quantiles by explicit nearest-rank arithmetic (rank == ceil(p * n),
     // a total order with doc_id tie-break) so both engines compute the
@@ -1587,6 +1606,26 @@ object ExtensionQueries {
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35""")),
   )
 
+  /** On-disk PqIndex for qe9, built once per (warehouse, fixture mtime):
+    * the files themselves are the cache (cross-PROCESS, unlike
+    * ivfpqModels' in-memory pins), and the mtime-stamped tag makes a
+    * regenerated fixture rebuild rather than serve stale cells. */
+  private[queries] def pqIndexFor(s: SparkSession, dir: String): graft.operators.PqIndex.Ref = {
+    val mt = new java.io.File(graft.Tables.path(dir, "embeddings")).lastModified()
+    val tag = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(s"$dir:$mt").toLong & 0xffffffffL) + "q"
+    val ref = graft.operators.PqIndex.Ref(tag)
+    val codes = new java.io.File(s.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"), s"${ref.dirName}/codes")
+    if (!codes.isDirectory) {
+      graft.operators.PqIndex.drop(s, ref)
+      graft.operators.PqIndex.build(t(s, dir, "embeddings"), "vec_id",
+        "embedding", dim = 64, m = 4, k = 8, iters = 1, nCells = 8,
+        cIters = 1, ref)
+    }
+    ref
+  }
+
   /** Per-(process, sfDir) fitted IVFADC models — the amortized "index build"
     * a deployed ANN service pays once per corpus. Frames are pinned with
     * eager localCheckpoint: lineage is truncated, so consumers replay no
@@ -1624,14 +1663,21 @@ object ExtensionQueries {
   private def ivfpqSearch(s: SparkSession, dir: String,
                           coarse: graft.operators.ML.KMeansResult,
                           model: graft.operators.PQ.PQModel): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val dim = 64
-    val m = 4
-    val topK = 5
     val emb = t(s, dir, "embeddings")
     val probes = emb.filter(col("vec_id") < 5)
-    val top = graft.operators.PQ.ivfAdcTopK(coarse, model, probes,
-      "vec_id", "embedding", dim, m, nProbe = 2, topK = topK)
+    ivfpqRecall(s, dir, graft.operators.PQ.ivfAdcTopK(coarse, model, probes,
+      "vec_id", "embedding", dim = 64, m = 4, nProbe = 2, topK = 5))
+  }
+
+  /** Recall-vs-exact wrapper shared by every IVFADC gate (qcv/qd5/qe9):
+    * joins a (q_id, rank, id, adc_dist) top-k against the exact
+    * quantized-L2 top-5 (q89's pattern) regardless of which engine —
+    * in-memory models or the persistent on-disk index — produced it. */
+  private def ivfpqRecall(s: SparkSession, dir: String,
+                          top: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val topK = 5
+    val emb = t(s, dir, "embeddings")
     val qf = emb.select(col("vec_id"),
       transform(col("embedding"),
         x => floor(x.cast("double") * 1000000L).cast("long")).as("qv"))

@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.{ML, PQ, PqIndex}
+import org.apache.spark.sql.functions._
+
+/** Persistent IVFADC index (operators/PqIndex.scala): byte-equality with
+  * the in-memory PQ.ivfAdcTopK over the same deterministic fits,
+  * batch-split invariance of frozen-model ingest, crash-window duplicate
+  * immunity, and the cell-directory pruning plan. */
+class PqIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 8
+  private val m = 4
+
+  private def vecs(ids: Seq[Long]) = ids.map { i =>
+    val base = if (i % 2 == 0) 1.0f else -1.0f
+    (i, Array.tabulate(dim)(d => base + ((i * 31 + d * 7) % 13).toFloat / 100f))
+  }.toDF("vec_id", "embedding")
+
+  private def res(ref: PqIndex.Ref, queries: org.apache.spark.sql.DataFrame) =
+    PqIndex.search(queries, "vec_id", "embedding", dim, m, nProbe = 2,
+        topK = 5, ref)
+      .select($"q_id", $"rank", $"id", $"adc_dist")
+      .as[(Long, Int, Long, Long)].collect().toSet
+
+  test("search over a full-corpus build is byte-equal to in-memory ivfAdcTopK") {
+    val ref = PqIndex.Ref("spec")
+    PqIndex.drop(spark, ref)
+    val corpus = vecs(0L until 60L)
+    PqIndex.build(corpus, "vec_id", "embedding", dim, m, k = 4, iters = 1,
+      nCells = 4, cIters = 1, ref)
+    val queries = corpus.filter($"vec_id" < 3)
+    val got = res(ref, queries)
+    val coarse = ML.kMeansScaled(corpus, "vec_id", "embedding", k = 4, iters = 1)
+    val model = PQ.fit(corpus, "vec_id", "embedding", dim, m, k = 4, iters = 1)
+    val want = PQ.ivfAdcTopK(coarse, model, queries, "vec_id", "embedding",
+        dim, m, nProbe = 2, topK = 5)
+      .select($"q_id", $"rank", $"id", $"adc_dist")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(got === want && got.nonEmpty)
+    PqIndex.drop(spark, ref)
+  }
+
+  test("frozen-model ingest is batch-split invariant, and replayed " +
+    "batches cannot distort results") {
+    // both indexes fit models on the SAME build slice (all centroid seeds
+    // live there), then the arrivals land as one batch vs two
+    val build = vecs(0L until 40L)
+    val one = PqIndex.Ref("specone"); PqIndex.drop(spark, one)
+    PqIndex.build(build, "vec_id", "embedding", dim, m, k = 4, iters = 1,
+      nCells = 4, cIters = 1, one)
+    PqIndex.ingest(vecs(40L until 60L), "vec_id", "embedding", dim, m, one)
+    val two = PqIndex.Ref("spectwo"); PqIndex.drop(spark, two)
+    PqIndex.build(build, "vec_id", "embedding", dim, m, k = 4, iters = 1,
+      nCells = 4, cIters = 1, two)
+    PqIndex.ingest(vecs(40L until 50L), "vec_id", "embedding", dim, m, two)
+    PqIndex.ingest(vecs(50L until 60L), "vec_id", "embedding", dim, m, two)
+    val queries = build.filter($"vec_id" < 3)
+    val a = res(one, queries)
+    assert(a === res(two, queries) && a.nonEmpty)
+    // crash-window replay: re-ingest an already-indexed slice; the
+    // (ivf_cell, id, m) de-dup must keep distances AND ranks unchanged
+    PqIndex.ingest(vecs(40L until 50L), "vec_id", "embedding", dim, m, one)
+    assert(res(one, queries) === a)
+    PqIndex.drop(spark, one); PqIndex.drop(spark, two)
+  }
+
+  test("search prunes to the probed cells' code directories") {
+    val ref = PqIndex.Ref("specprune")
+    PqIndex.drop(spark, ref)
+    PqIndex.build(vecs(0L until 60L), "vec_id", "embedding", dim, m, k = 4,
+      iters = 1, nCells = 4, cIters = 1, ref)
+    val out = PqIndex.search(vecs(Seq(0L)), "vec_id", "embedding", dim, m,
+      nProbe = 1, topK = 3, ref)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") &&
+      "PartitionFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined,
+      s"probed-cell filter must prune partitions:\n$plan")
+    assert(out.count() === 3)
+    PqIndex.drop(spark, ref)
+  }
+}
