@@ -285,6 +285,46 @@ object IterBench {
       return
     }
 
+    // Persistent-IVFADC amortization A/B: a probe batch served from the
+    // on-disk PqIndex (frozen coarse + codebooks, cell-pruned CODE scan)
+    // vs the full fit+encode+search a pipeline without the index re-pays
+    // per batch (qcv's inline shape). Build cost reported separately.
+    if (section == "pqidx") {
+      import graft.operators.{ML, PQ, PqIndex}
+      import org.apache.spark.sql.functions._
+      val raw = Tables(spark, sfDir, "embeddings")
+      val span = raw.agg(max(col("vec_id"))).head().getLong(0) + 1L
+      val emb = (0 until mult).map { m =>
+        raw.select((col("vec_id") + lit(m * span)).as("vec_id"), col("embedding"))
+      }.reduce(_ unionByName _).cache()
+      println(s"[iterbench] corpus: ${emb.count()} vectors (mult=$mult)")
+      val ref = PqIndex.Ref("iterbench")
+      val queries = emb.filter(col("vec_id") < 50)
+      timed(s"pqidx build (one-off, mult=$mult)") {
+        PqIndex.drop(spark, ref)
+        PqIndex.build(emb, "vec_id", "embedding", dim = 64, m = 4, k = 8,
+          iters = 1, nCells = 16, cIters = 1, ref); 1L
+      }
+      for (round <- 1 to 2) {
+        timed(s"search from the on-disk index (mult=$mult), round $round") {
+          PqIndex.search(queries, "vec_id", "embedding", dim = 64, m = 4,
+            nProbe = 4, topK = 10, ref).count()
+        }
+        timed(s"fit + ivfAdcTopK from scratch (mult=$mult), round $round") {
+          val coarse = ML.kMeansScaled(emb, "vec_id", "embedding",
+            k = 16, iters = 1)
+          val model = PQ.fit(emb, "vec_id", "embedding", dim = 64, m = 4,
+            k = 8, iters = 1)
+          PQ.ivfAdcTopK(coarse, model, queries, "vec_id", "embedding",
+            dim = 64, m = 4, nProbe = 4, topK = 10).count()
+        }
+      }
+      PqIndex.drop(spark, ref)
+      emb.unpersist()
+      spark.stop()
+      return
+    }
+
     // Micro-batch size amortization (round-9 VERDICT item #6): the
     // standing claim behind q94/q95/q97's sweep weight is that per-event
     // cost is dominated by per-micro-batch state-store commit machinery

@@ -68,7 +68,14 @@ object IterateStream {
     * crash-between-append-and-ledger window re-emits one batch's feedback
     * — see the class doc for why loop bodies absorb that). */
   def drive(body: DataFrame, feedbackDir: String, outDir: String,
-            checkpoint: String)(route: DataFrame => DataFrame): StreamingQuery =
+            checkpoint: String)(route: DataFrame => DataFrame): StreamingQuery = {
+    // Ledger high-water mark, read from disk ONCE per drive: micro-batch
+    // ids are sequential and every processed batch ledgers (empty ones
+    // included), so `bid <= max ledgered` is the complete replay test —
+    // a per-batch ledger scan would charge every ROUND of the loop a
+    // parquet read for a window that only exists across restarts.
+    @volatile var ledgeredMax = Long.MinValue
+    var ledgerLoaded = false
     body.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
@@ -76,9 +83,15 @@ object IterateStream {
         val spark = batch.sparkSession
         import spark.implicits._
         val ledger = new org.apache.hadoop.fs.Path(outDir, "_ledger")
-        val done = fs(spark, ledger).exists(ledger) &&
-          spark.read.parquet(ledger.toString)
-            .where(col("batch_id") === bid).head(1).nonEmpty
+        if (!ledgerLoaded) {
+          ledgeredMax = if (fs(spark, ledger).exists(ledger)) {
+            val r = spark.read.parquet(ledger.toString)
+              .agg(max(col("batch_id"))).head()
+            if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
+          } else Long.MinValue
+          ledgerLoaded = true
+        }
+        val done = bid <= ledgeredMax
         if (!done) {
           val rows = batch.toDF().localCheckpoint(true)
           if (rows.head(1).nonEmpty) {
@@ -88,10 +101,12 @@ object IterateStream {
               fb.write.mode("append").parquet(feedbackDir)
           }
           Seq(bid).toDF("batch_id").write.mode("append").parquet(ledger.toString)
+          ledgeredMax = math.max(ledgeredMax, bid)
         }
         ()
       }
       .start()
+  }
 
   /** Per-node monotone-min state: emits (node, dist) ONLY when the seen
     * minimum improves — the state dedup that stops re-circulation and
@@ -144,6 +159,11 @@ object IterateStream {
     // Frontier batches are small, so pin the loop's state to few
     // partitions: the streaming query freezes the value at checkpoint
     // creation, so this narrows only the loop, not the session.
+    // RocksDB changelog checkpointing was A/B'd for the loop's many tiny
+    // commits and REJECTED: 12.2 s vs 11.5 s on the qe8 graph — per-node
+    // loop state is so small that the snapshot the default uploads is
+    // already trivial, and the changelog adds a file per partition per
+    // round. Stays on the provider default.
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       spark.conf.set("spark.sql.shuffle.partitions", "4")
