@@ -113,12 +113,15 @@ object LshIndex {
     breakLease(spark, ref)
   }
 
-  /** Register the bucketing DDL for `tbl` over its on-disk files. */
+  /** Register the bucketing DDL for `tbl` over its on-disk files.
+    * `knownSchema` skips the parquet footer inference when the caller
+    * already holds the schema (compact does — it just read the table). */
   private def register(spark: SparkSession, ref: Ref, tbl: String,
-                       cols: Seq[String]): Unit = {
+                       cols: Seq[String],
+                       knownSchema: Option[String] = None): Unit = {
     val loc = location(spark, tbl)
     require(hfs(spark, loc).exists(loc), s"no index files at $loc — nothing to attach")
-    val schema = spark.read.parquet(loc.toString).schema.toDDL
+    val schema = knownSchema.getOrElse(spark.read.parquet(loc.toString).schema.toDDL)
     val cl = cols.mkString(", ")
     spark.sql(s"""CREATE TABLE $tbl ($schema) USING parquet
       CLUSTERED BY ($cl) SORTED BY ($cl) INTO ${ref.buckets} BUCKETS
@@ -219,6 +222,7 @@ object LshIndex {
         val tmp = s"${tbl}_compacting"
         val tmpLoc = location(spark, tmp)
         val f = hfs(spark, tmpLoc)
+        val schemaDdl = spark.table(tbl).schema.toDDL
         // durable compacted copy first — the live table is not yet touched
         spark.sql(s"DROP TABLE IF EXISTS $tmp")
         f.delete(tmpLoc, true)
@@ -237,7 +241,7 @@ object LshIndex {
         val loc = location(spark, tbl)
         f.delete(loc, true)
         f.rename(tmpLoc, loc)
-        register(spark, ref, tbl, cols)
+        register(spark, ref, tbl, cols, Some(schemaDdl))
       }
     }
 
