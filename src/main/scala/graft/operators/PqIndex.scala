@@ -103,6 +103,36 @@ object PqIndex {
       .parquet(sub(spark, ref, "codes"))
   }
 
+  /** Maintain the index from an embedding STREAM: each micro-batch runs
+    * [[ingest]] against the frozen coarse centroids + codebooks inside
+    * foreachBatch — same ledgered replay discipline as
+    * [[IvfIndex.startStreamingIngest]] (a `_ledger` parquet records
+    * completed batch ids; an already-ledgered replayed batch is skipped
+    * whole; the crash-between-append-and-ledger window duplicates one
+    * batch's code rows — storage only, [[search]] de-dups
+    * (ivf_cell, id, m) on the pruned scan). */
+  def startStreamingIngest(vectors: DataFrame, idCol: String, vecCol: String,
+                           dim: Int, m: Int, ref: Ref, checkpoint: String,
+                           scale: Long = 1000000L)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val ledger = new org.apache.hadoop.fs.Path(root(spark, ref), "_ledger")
+        val done = fs(spark, ref).exists(ledger) &&
+          spark.read.parquet(ledger.toString)
+            .where(col("batch_id") === bid).head(1).nonEmpty
+        if (!done) {
+          ingest(batch.toDF(), idCol, vecCol, dim, m, ref, scale)
+          Seq(bid).toDF("batch_id").write.mode("append")
+            .parquet(ledger.toString)
+        }
+        ()
+      }
+      .start()
+
   /** IVFADC search from the on-disk index: identical result semantics to
     * [[PQ.ivfAdcTopK]] over the same fits (spec-pinned byte-equal) —
     * coarse-rank `nProbe` cells per probe against the broadcast frozen

@@ -422,6 +422,40 @@ object MiscQueries {
           CAST(sum(v) AS BIGINT) AS sample_sum
         FROM s GROUP BY doc_id""")),
 
+    // Audio RESAMPLE through the gate (the preprocessing step after qdg's
+    // decode, the audio sibling of qe5/qe7's image resize): every
+    // document's WAV nearest-neighbor-resampled to 16 kHz inside the
+    // partition-local kernel (fixture rates are 8/12/16 kHz → 2×, 4/3×,
+    // and identity conversions all exercised). n_out = ⌊n·16000/rate⌋,
+    // output sample j reads input ⌊j·rate/16000⌋; the position-weighted
+    // checksum makes the index mapping gate-visible. The oracle replays
+    // the mapping directly from the generator formulas.
+    Entry("qea_audio_resample",
+      (s, dir) => {
+        val wavDir = wavDirFromDocuments(s, dir)
+        graft.sources.Audio.resampleNearestSums(
+          graft.sources.Audio.readBinary(s, wavDir), dstRate = 16000)
+          .select(regexp_extract(col("path"), "doc_(\\d+)\\.wav$", 1)
+              .cast("long").as("doc_id"),
+            col("src_rate"), col("n_out"), col("r_sum"), col("r_chk"))
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, 8000 + (doc_id % 3) * 4000 AS rate,
+            50 + doc_id % 20 AS nf
+          FROM documents
+        ), o AS (
+          SELECT doc_id, rate, (nf * 16000) // rate AS n_out FROM d
+        ), s AS (
+          SELECT doc_id, rate, n_out, t.j,
+            ((31 * doc_id + 7 * ((t.j * rate) // 16000)) % 65536) - 32768 AS v
+          FROM o CROSS JOIN UNNEST(generate_series(0, n_out - 1)) AS t(j)
+        )
+        SELECT doc_id, CAST(max(rate) AS INT) AS src_rate,
+          CAST(max(n_out) AS BIGINT) AS n_out,
+          CAST(sum(v) AS BIGINT) AS r_sum,
+          CAST(sum(v * (j + 1)) AS BIGINT) AS r_chk
+        FROM s GROUP BY doc_id""")),
+
     // REAL video-container metadata through the gate — the third modality:
     // a minimal-but-valid ISO BMFF (MP4) box tree per document (ftyp +
     // moov(mvhd, trak(tkhd)), written byte-level big-endian), scanned via

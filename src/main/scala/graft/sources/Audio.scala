@@ -103,4 +103,53 @@ object Audio {
       }
     }(enc)
   }
+
+  private val resampleSchema = StructType(Seq(
+    StructField("path", StringType), StructField("src_rate", IntegerType),
+    StructField("n_out", LongType), StructField("r_sum", LongType),
+    StructField("r_chk", LongType)))
+
+  /** NEAREST-NEIGHBOR sample-rate conversion of 16-bit mono PCM to
+    * `dstRate` — the audio preprocessing sibling of
+    * [[Images.resizeNearest]] (training pipelines normalize clips to one
+    * rate before featurization): n_out = ⌊n·dstRate/srcRate⌋ output
+    * frames, output sample j reads input sample ⌊j·srcRate/dstRate⌋
+    * (always in range: j < n_out ⇒ src < n). Partition-local
+    * mapPartitions over the binaryFile scan, real AudioSystem decode,
+    * payloads never touch the driver. Summarized as (n_out, sum,
+    * position-weighted checksum) — the checksum weights sample j by j+1,
+    * so a mapping or ordering error cannot cancel the way a plain sum
+    * lets it (the [[Images.resizeNearestSums]] device). An identity-rate
+    * resample reproduces the original frame count and sample sum
+    * exactly (law-spec'd). */
+  def resampleNearestSums(binary: DataFrame, dstRate: Int): DataFrame = {
+    require(dstRate >= 1)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(resampleSchema)
+    binary.select("path", "content").mapPartitions { rows =>
+      rows.map { r =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("content")))
+        try {
+          val fmt = in.getFormat
+          require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+            fmt.getChannels == 1, s"resample expects 16-bit LE mono PCM, got $fmt")
+          val data = in.readAllBytes()
+          val srcRate = fmt.getSampleRate.toInt
+          val n = data.length / 2
+          val nOut = n.toLong * dstRate / srcRate
+          var sum = 0L
+          var chk = 0L
+          var j = 0L
+          while (j < nOut) {
+            val src = (j * srcRate / dstRate).toInt
+            val v = ((data(2 * src) & 0xff) | (data(2 * src + 1) << 8)).toShort.toLong
+            sum += v
+            chk += v * (j + 1)
+            j += 1
+          }
+          Row(r.getAs[String]("path"), srcRate, nOut, sum, chk)
+        } finally in.close()
+      }
+    }(enc)
+  }
 }

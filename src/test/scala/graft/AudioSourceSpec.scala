@@ -48,6 +48,36 @@ class AudioSourceSpec extends SparkSpec {
     }
   }
 
+  test("resampleNearestSums: identity rate reproduces frames and sum; " +
+    "2x upsample duplicates each sample, brute-checked") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wav_rsp").toFile
+    val ids = Seq(3L, 4L, 5L) // rates 12000, 8000, 16000 — all three ratios
+    Audio.wavsFromDocIds(ids.toDF("doc_id"), "doc_id", dir.getPath)
+    def got(dst: Int) = Audio.resampleNearestSums(
+        Audio.readBinary(spark, dir.getPath), dst)
+      .select(regexp_extract(col("path"), "doc_(\\d+)\\.wav$", 1)
+          .cast("long").as("id"),
+        col("src_rate"), col("n_out"), col("r_sum"), col("r_chk"))
+      .as[(Long, Int, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // brute replay of the mapping from the fixture formulas
+    def want(id: Long, dst: Int) = {
+      val rate = Audio.sampleRateOf(id)
+      val n = Audio.framesOf(id)
+      val nOut = n.toLong * dst / rate
+      val vs = (0L until nOut).map(j => Audio.sampleOf(id, (j * rate / dst).toInt).toLong)
+      (rate, nOut, vs.sum, vs.zipWithIndex.map { case (v, j) => v * (j + 1) }.sum)
+    }
+    for (dst <- Seq(16000, 8000, 11025); id <- ids)
+      assert(got(dst)(id) === want(id, dst), s"id=$id dst=$dst")
+    // identity law: resampling doc 5 (16 kHz) to 16 kHz reproduces the
+    // original frame count and plain sample sum
+    val (_, nOut, sum, _) = want(5L, 16000)
+    assert(nOut === Audio.framesOf(5L).toLong)
+    assert(sum === (0 until Audio.framesOf(5L)).map(Audio.sampleOf(5L, _).toLong).sum)
+  }
+
   test("sample formula spans the signed 16-bit range (both signs hit)") {
     // exact endpoints: 31·0+7·0 ≡ 0 → -32768; 31·2113 = 65503 → +32735
     assert(Audio.sampleOf(0L, 0) === -32768)

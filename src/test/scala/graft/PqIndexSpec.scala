@@ -66,6 +66,41 @@ class PqIndexSpec extends SparkSpec {
     PqIndex.drop(spark, one); PqIndex.drop(spark, two)
   }
 
+  test("streaming ingest: batches encode against the frozen models, " +
+    "restart is a ledgered no-op") {
+    val ref = PqIndex.Ref("specstream"); PqIndex.drop(spark, ref)
+    val build = vecs(0L until 40L)
+    PqIndex.build(build, "vec_id", "embedding", dim, m, k = 4, iters = 1,
+      nCells = 4, cIters = 1, ref)
+    val base = java.nio.file.Files.createTempDirectory("pqidx_stream").toFile
+    val src = new java.io.File(base, "src"); src.mkdirs()
+    Seq(40L until 50L, 50L until 60L).zipWithIndex.foreach { case (r, i) =>
+      vecs(r).coalesce(1).write.parquet(s"$src/slice$i"); Thread.sleep(20)
+    }
+    val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+    def start() = PqIndex.startStreamingIngest(
+      spark.readStream.schema(build.schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/slice*"),
+      "vec_id", "embedding", dim, m, ref, ckpt)
+    val q = start(); try q.processAllAvailable() finally q.stop()
+    // streamed == batch build+ingest over the same data (frozen models)
+    val batchRef = PqIndex.Ref("specstreamb"); PqIndex.drop(spark, batchRef)
+    PqIndex.build(build, "vec_id", "embedding", dim, m, k = 4, iters = 1,
+      nCells = 4, cIters = 1, batchRef)
+    PqIndex.ingest(vecs(40L until 60L), "vec_id", "embedding", dim, m, batchRef)
+    val queries = build.filter($"vec_id" < 3)
+    assert(res(ref, queries) === res(batchRef, queries))
+    // restart over the same source + checkpoint: ledger blocks re-ingest
+    def codeRows() = spark.read.parquet(new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"),
+      s"${ref.dirName}/codes").getAbsolutePath).count()
+    val rows = codeRows()
+    val q2 = start(); try q2.processAllAvailable() finally q2.stop()
+    assert(codeRows() === rows)
+    PqIndex.drop(spark, ref); PqIndex.drop(spark, batchRef)
+    org.apache.commons.io.FileUtils.deleteQuietly(base)
+  }
+
   test("search prunes to the probed cells' code directories") {
     val ref = PqIndex.Ref("specprune")
     PqIndex.drop(spark, ref)
