@@ -233,6 +233,30 @@ object GraphQueries {
         WHERE iter = 30 AND d < 1000000000000000"""),
       prepare = Some((s, dir) => denseEdges(s, dir))),
 
+    // STREAMING-ITERATION CONNECTED COMPONENTS — Flink's canonical
+    // iterate() showcase, through the same feedback loop as qe8 with the
+    // generic min-fixpoint kernel: every node seeds with its own id,
+    // labels relax as min over zero-weight undirected edges, fixpoint
+    // label = component minimum. Same graph and oracle as the batch twin
+    // qa1 (driver-loop connectedComponents) — the loop moves rounds from
+    // driver jobs to feedback micro-batches, results identical.
+    Entry("qeb_stream_cc_fixpoint",
+      (s, dir) => {
+        val work = java.nio.file.Files.createTempDirectory("qeb_iter")
+          .toFile.getAbsolutePath
+        graft.streaming.IterateStream.connectedComponentsStream(
+          GraphOps.undirected(sparseEdges(s, dir)), work)
+      },
+      Some(s"""WITH RECURSIVE edges AS ($OEdges),
+        uedges AS (SELECT src AS a, dst AS b FROM edges UNION SELECT dst, src FROM edges),
+        nodes AS (SELECT DISTINCT a AS node FROM uedges),
+        reach(node, lbl) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT e.b, r.lbl FROM reach r JOIN uedges e ON e.a = r.node)
+        SELECT node, min(lbl) AS component FROM reach GROUP BY node"""),
+      prepare = Some((s, dir) => sparseEdges(s, dir))),
+
     // Label propagation: 5 synchronous rounds, most-frequent neighbor
     // label, ties to the smallest label; initial label = node id.
     Entry("qbn_graph_label_prop",

@@ -126,18 +126,18 @@ object IterateStream {
     }
   }
 
-  /** Single-source shortest paths VIA THE STREAMING LOOP — the flagship:
-    * Bellman-Ford relaxation where the frontier circulates as feedback
-    * micro-batches and per-node best distances live in keyed state. Runs
-    * the loop to FIXPOINT (exact SSSP — the batch twin GraphOps.sssp is
-    * bounded-k) and returns (node, dist) for every reached node.
-    *
-    * `edges` is the static (src, dst, wt) relation — the loop-invariant
-    * side, joined against each frontier batch (Flink loops close over
-    * their invariant inputs the same way). Runs synchronously: seeds
-    * (root, 0), drains to fixpoint, stops, reads the improvement history
-    * (the final improvement per node is its distance — min over history). */
-  def ssspToFixpoint(edges: DataFrame, root: Long, workDir: String): DataFrame = {
+  /** Generic monotone-min relaxation loop run to FIXPOINT: `seeds`
+    * (node, dist) enter as the first frontier, improvements relax across
+    * the static `edges` (src, dst, wt) — the loop-invariant side, joined
+    * against each frontier batch (Flink loops close over their invariant
+    * inputs the same way) — and circulate as feedback micro-batches with
+    * per-node best values in keyed state. Returns (node, dist): the min
+    * over the improvement history, i.e. each node's fixpoint value.
+    * One kernel, two classic iteration workloads: [[ssspToFixpoint]]
+    * (one seed at 0, real weights) and [[connectedComponentsStream]]
+    * (every node seeded with its own id, zero weights — min-label
+    * propagation). */
+  def minFixpoint(edges: DataFrame, seeds: DataFrame, workDir: String): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -146,7 +146,8 @@ object IterateStream {
     val outDir = s"$workDir/out"
     val schema = StructType.fromDDL("node BIGINT, dist BIGINT")
     val source = feedbackSource(spark, schema, fbDir)
-    seed(Seq((root, 0L)).toDF("node", "dist"), fbDir)
+    seed(seeds.select(col("node").cast("long").as("node"),
+      col("dist").cast("long").as("dist")), fbDir)
     val e = edges.select(col("src"), col("dst"), col("wt").cast("long").as("wt"))
       .localCheckpoint(true) // loop-invariant: materialize once, join per round
     val improved = source.as[(Long, Long)]
@@ -175,5 +176,29 @@ object IterateStream {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     spark.read.parquet(s"$outDir/rounds")
       .groupBy("node").agg(min("dist").as("dist"))
+  }
+
+  /** Single-source shortest paths VIA THE STREAMING LOOP: Bellman-Ford
+    * relaxation to the exact fixpoint (the batch twin GraphOps.sssp is
+    * bounded-k). Returns (node, dist) for every reached node. */
+  def ssspToFixpoint(edges: DataFrame, root: Long, workDir: String): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    minFixpoint(edges, Seq((root, 0L)).toDF("node", "dist"), workDir)
+  }
+
+  /** Connected components VIA THE STREAMING LOOP — Flink's canonical
+    * iteration example (the reference ships it as the iterate showcase):
+    * every node seeds with its own id, labels propagate as min over
+    * zero-weight edges, fixpoint label = the component's minimum node id.
+    * `undirected` is an (a, b) edge frame already closed under reversal
+    * (GraphOps.undirected). Returns (node, component). */
+  def connectedComponentsStream(undirected: DataFrame, workDir: String): DataFrame = {
+    val e = undirected.select(col("a").as("src"), col("b").as("dst"),
+      lit(0L).as("wt"))
+    val seeds = undirected.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("dist"))
+    minFixpoint(e, seeds, workDir)
+      .select(col("node"), col("dist").as("component"))
   }
 }

@@ -51,6 +51,17 @@ class StreamIterationSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("connectedComponentsStream labels a multi-component graph exactly") {
+    // components: {1,2,3,7}, {4,5}, {6,8}
+    val ue = Seq((1L, 2L), (2L, 3L), (3L, 7L), (4L, 5L), (6L, 8L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("a", "b")
+    val got = graft.streaming.IterateStream
+      .connectedComponentsStream(ue, tmp())
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 6L, 8L -> 6L))
+  }
+
   test("a re-seeded non-improving frontier terminates without emitting") {
     val edges = Seq((1L, 2L, 3L)).toDF("src", "dst", "wt")
     val dir = tmp()
