@@ -83,6 +83,31 @@ object IvfIndex {
       .parquet(asgPath(spark, ref))
   }
 
+  /** Compact the cell directories: every [[ingest]] appends one file per
+    * touched cell, so a long-lived index accumulates smallFiles × cells —
+    * rewrite the corpus once, one task per cell hash (each cell's rows
+    * land in one task, so the writer emits ONE file per cell), and swap
+    * by rename. Crash-durable the [[LshIndex.compact]] way: the compacted
+    * copy is complete on storage as an `asg_compacting` sibling BEFORE
+    * the live directory is touched. Cell-local at scale (rows never
+    * change cells), so a real deployment compacts cells independently;
+    * single-writer like every compaction here. Also collapses any
+    * crash-window duplicate rows ([[search]]'s de-dup, applied once at
+    * rest instead of per query). */
+  def compact(spark: SparkSession, ref: Ref): Unit = {
+    val live = new org.apache.hadoop.fs.Path(root(spark, ref), "asg")
+    val tmp = new org.apache.hadoop.fs.Path(root(spark, ref), "asg_compacting")
+    val f = fs(spark, ref)
+    f.delete(tmp, true)
+    val snapshot = spark.read.parquet(live.toString).localCheckpoint(true)
+    val nCells = centroids(spark, ref).count().toInt
+    snapshot.dropDuplicates("cell_id", "nbr_id")
+      .repartition(nCells, col("cell_id"))
+      .write.partitionBy("cell_id").parquet(tmp.toString)
+    f.delete(live, true)
+    f.rename(tmp, live); ()
+  }
+
   /** Maintain the index from an embedding STREAM: each micro-batch runs
     * [[ingest]] inside foreachBatch against the frozen quantizer. Same
     * replay discipline as [[LshIndex.startStreamingIngest]]: a `_ledger`

@@ -103,6 +103,25 @@ object PqIndex {
       .parquet(sub(spark, ref, "codes"))
   }
 
+  /** Compact the code-cell directories — the [[IvfIndex.compact]]
+    * maintenance for the coded corpus: one file per cell after, content
+    * preserved minus crash-window duplicate rows (the (ivf_cell, id, m)
+    * de-dup applied once at rest), crash-durable via the
+    * copy-then-rename swap, single-writer. */
+  def compact(spark: SparkSession, ref: Ref): Unit = {
+    val live = new org.apache.hadoop.fs.Path(root(spark, ref), "codes")
+    val tmp = new org.apache.hadoop.fs.Path(root(spark, ref), "codes_compacting")
+    val f = fs(spark, ref)
+    f.delete(tmp, true)
+    val snapshot = spark.read.parquet(live.toString).localCheckpoint(true)
+    val nCells = coarseCentroids(spark, ref).count().toInt
+    snapshot.dropDuplicates("ivf_cell", "id", "m")
+      .repartition(nCells, col("ivf_cell"))
+      .write.partitionBy("ivf_cell").parquet(tmp.toString)
+    f.delete(live, true)
+    f.rename(tmp, live); ()
+  }
+
   /** Maintain the index from an embedding STREAM: each micro-batch runs
     * [[ingest]] against the frozen coarse centroids + codebooks inside
     * foreachBatch — same ledgered replay discipline as

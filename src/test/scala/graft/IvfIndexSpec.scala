@@ -110,6 +110,33 @@ class IvfIndexSpec extends SparkSpec {
     IvfIndex.drop(spark, ref)
   }
 
+  test("compact: one file per cell, duplicates collapsed, search unchanged") {
+    val ref = IvfIndex.Ref("speccompact")
+    IvfIndex.drop(spark, ref)
+    IvfIndex.build(vecs(0L until 40L), "vec_id", "embedding", nCells = 4, ref)
+    IvfIndex.ingest(vecs(40L until 50L), "vec_id", "embedding", ref)
+    IvfIndex.ingest(vecs(50L until 60L), "vec_id", "embedding", ref)
+    IvfIndex.ingest(vecs(10L until 20L), "vec_id", "embedding", ref) // replay
+    val queries = vecs(0L until 3L)
+    def res() = IvfIndex.search(queries, "vec_id", "embedding", ref,
+        k = 5, nProbe = 2)
+      .select($"query_id", $"rank", $"nbr_id", round($"cos", 6))
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val before = res()
+    val asg = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"), s"${ref.dirName}/asg")
+    def cellFiles() = asg.listFiles().filter(_.getName.startsWith("cell_id="))
+      .map(d => d.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(cellFiles().exists(_ > 1), "multi-ingest must leave multiple files")
+    IvfIndex.compact(spark, ref)
+    assert(cellFiles().forall(_ === 1), s"per-cell files: ${cellFiles().toSeq}")
+    // duplicates from the replayed batch are gone at rest
+    val rows = spark.read.parquet(asg.getAbsolutePath)
+    assert(rows.count() === rows.dropDuplicates("cell_id", "nbr_id").count())
+    assert(res() === before)
+    IvfIndex.drop(spark, ref)
+  }
+
   test("search prunes to the probed cells' directories") {
     val ref = IvfIndex.Ref("specprune")
     IvfIndex.drop(spark, ref)

@@ -101,6 +101,28 @@ class PqIndexSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(base)
   }
 
+  test("compact: one file per code cell, duplicates collapsed, search unchanged") {
+    val ref = PqIndex.Ref("speccompact")
+    PqIndex.drop(spark, ref)
+    PqIndex.build(vecs(0L until 40L), "vec_id", "embedding", dim, m, k = 4,
+      iters = 1, nCells = 4, cIters = 1, ref)
+    PqIndex.ingest(vecs(40L until 60L), "vec_id", "embedding", dim, m, ref)
+    PqIndex.ingest(vecs(10L until 20L), "vec_id", "embedding", dim, m, ref) // replay
+    val queries = vecs(0L until 3L)
+    val before = res(ref, queries)
+    val codes = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"), s"${ref.dirName}/codes")
+    def cellFiles() = codes.listFiles().filter(_.getName.startsWith("ivf_cell="))
+      .map(d => d.listFiles().count(_.getName.endsWith(".parquet")))
+    assert(cellFiles().exists(_ > 1), "multi-ingest must leave multiple files")
+    PqIndex.compact(spark, ref)
+    assert(cellFiles().forall(_ === 1), s"per-cell files: ${cellFiles().toSeq}")
+    val rows = spark.read.parquet(codes.getAbsolutePath)
+    assert(rows.count() === rows.dropDuplicates("ivf_cell", "id", "m").count())
+    assert(res(ref, queries) === before)
+    PqIndex.drop(spark, ref)
+  }
+
   test("search prunes to the probed cells' code directories") {
     val ref = PqIndex.Ref("specprune")
     PqIndex.drop(spark, ref)
