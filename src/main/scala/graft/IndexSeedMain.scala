@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{IvfIndex, LshIndex}
+import graft.operators.{IvfIndex, LshIndex, PqIndex}
 import org.apache.spark.sql.SparkSession
 
 /** Seeds a persistent index from a FRESH JVM — the other half of the
@@ -54,6 +54,10 @@ object IndexSeedMain {
       case "ivf" =>
         IvfIndex.build(vecs(0L until 60L).toDF("vec_id", "embedding"),
           "vec_id", "embedding", nCells = 4, IvfIndex.Ref(tag))
+      case "pq" =>
+        PqIndex.build(vecs(0L until 60L).toDF("vec_id", "embedding"),
+          "vec_id", "embedding", dim = 8, m = 4, k = 4, iters = 1,
+          nCells = 4, cIters = 1, PqIndex.Ref(tag))
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()

@@ -43,10 +43,50 @@ object IvfIndex {
   private def asgPath(spark: SparkSession, ref: Ref): String =
     new org.apache.hadoop.fs.Path(root(spark, ref), "asg").toString
 
-  /** Destroy the index files. */
+  /** Destroy the index files (lease included). */
   def drop(spark: SparkSession, ref: Ref): Unit = {
     val p = root(spark, ref)
-    fs(spark, ref).delete(p, true); ()
+    fs(spark, ref).delete(p, true)
+    breakLease(spark, ref)
+  }
+
+  // single-writer contract, enforced like LshIndex's: ingest and compact
+  // both mutate the cell directories, and a compact racing an ingest
+  // loses the ingest's appends (the rebuild snapshots before they land).
+  // Writers take an exclusive on-storage lease; a second writer fails
+  // fast with the holder's tag. After a crash the lease lingers —
+  // break it explicitly once the operator confirms no writer is live.
+  private def leasePath(spark: SparkSession, ref: Ref): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"${ref.dirName}_lease")
+
+  private def withLease[T](spark: SparkSession, ref: Ref, who: String)(body: => T): T = {
+    val p = leasePath(spark, ref)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = try f.create(p, false) catch {
+      case _: java.io.IOException =>
+        val holder = try {
+          val in = f.open(p)
+          try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        } catch { case _: java.io.IOException => "<unreadable>" }
+        throw new IllegalStateException(
+          s"index '${ref.tag}' is write-leased by '$holder' — concurrent " +
+            s"ingest/compact is a data-loss race; if the holder crashed, " +
+            s"breakLease after confirming it is dead")
+    }
+    try {
+      out.write(who.getBytes(java.nio.charset.StandardCharsets.UTF_8)); out.close()
+      body
+    } finally { f.delete(p, false); () }
+  }
+
+  /** Remove a crashed writer's lingering lease. ONLY safe once the
+    * operator has confirmed no ingest/compact is live. */
+  def breakLease(spark: SparkSession, ref: Ref): Unit = {
+    val p = leasePath(spark, ref)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false); ()
   }
 
   /** The frozen coarse quantizer. */
@@ -71,6 +111,7 @@ object IvfIndex {
     * directory. O(|batch| · nCells) work, no corpus contact at all. */
   def ingest(batch: DataFrame, idCol: String, vecCol: String, ref: Ref): Unit = {
     val spark = batch.sparkSession
+    withLease(spark, ref, "ingest") {
     batch.select(col(idCol).as("nbr_id"), col(vecCol).as("cvec"))
       .crossJoin(broadcast(centroids(spark, ref)))
       .withColumn("cdist",
@@ -81,6 +122,7 @@ object IvfIndex {
         col("m.cell_id").as("cell_id"))
       .write.mode("append").partitionBy("cell_id")
       .parquet(asgPath(spark, ref))
+    }
   }
 
   /** Compact the cell directories: every [[ingest]] appends one file per
@@ -94,7 +136,7 @@ object IvfIndex {
     * single-writer like every compaction here. Also collapses any
     * crash-window duplicate rows ([[search]]'s de-dup, applied once at
     * rest instead of per query). */
-  def compact(spark: SparkSession, ref: Ref): Unit = {
+  def compact(spark: SparkSession, ref: Ref): Unit = withLease(spark, ref, "compact") {
     val live = new org.apache.hadoop.fs.Path(root(spark, ref), "asg")
     val tmp = new org.apache.hadoop.fs.Path(root(spark, ref), "asg_compacting")
     val f = fs(spark, ref)

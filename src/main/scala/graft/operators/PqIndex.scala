@@ -43,9 +43,47 @@ object PqIndex {
   private def sub(spark: SparkSession, ref: Ref, name: String): String =
     new org.apache.hadoop.fs.Path(root(spark, ref), name).toString
 
-  /** Destroy the index files. */
+  /** Destroy the index files (lease included). */
   def drop(spark: SparkSession, ref: Ref): Unit = {
-    fs(spark, ref).delete(root(spark, ref), true); ()
+    fs(spark, ref).delete(root(spark, ref), true)
+    breakLease(spark, ref)
+  }
+
+  // single-writer contract, enforced like LshIndex/IvfIndex: ingest and
+  // compact both mutate the cell directories; writers take an exclusive
+  // on-storage lease, a second writer fails fast with the holder's tag,
+  // and a crashed writer's lingering lease is broken explicitly.
+  private def leasePath(spark: SparkSession, ref: Ref): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"${ref.dirName}_lease")
+
+  private def withLease[T](spark: SparkSession, ref: Ref, who: String)(body: => T): T = {
+    val p = leasePath(spark, ref)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = try f.create(p, false) catch {
+      case _: java.io.IOException =>
+        val holder = try {
+          val in = f.open(p)
+          try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        } catch { case _: java.io.IOException => "<unreadable>" }
+        throw new IllegalStateException(
+          s"index '${ref.tag}' is write-leased by '$holder' — concurrent " +
+            s"ingest/compact is a data-loss race; if the holder crashed, " +
+            s"breakLease after confirming it is dead")
+    }
+    try {
+      out.write(who.getBytes(java.nio.charset.StandardCharsets.UTF_8)); out.close()
+      body
+    } finally { f.delete(p, false); () }
+  }
+
+  /** Remove a crashed writer's lingering lease. ONLY safe once the
+    * operator has confirmed no ingest/compact is live. */
+  def breakLease(spark: SparkSession, ref: Ref): Unit = {
+    val p = leasePath(spark, ref)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, false); ()
   }
 
   def coarseCentroids(spark: SparkSession, ref: Ref): DataFrame =
@@ -83,6 +121,7 @@ object PqIndex {
              ref: Ref, scale: Long = 1000000L): Unit = {
     require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m subspaces")
     val spark = batch.sparkSession
+    withLease(spark, ref, "ingest") {
     val subLen = dim / m
     val q = batch.select(col(idCol).as("id"), scaled(col(vecCol), scale).as("qv"))
     val assigned = q.crossJoin(broadcast(coarseCentroids(spark, ref)))
@@ -101,6 +140,7 @@ object PqIndex {
       .select(col("id"), col("m"), col("c.cell_id").as("cell_id"), col("ivf_cell"))
       .write.mode("append").partitionBy("ivf_cell")
       .parquet(sub(spark, ref, "codes"))
+    }
   }
 
   /** Compact the code-cell directories — the [[IvfIndex.compact]]
@@ -108,7 +148,7 @@ object PqIndex {
     * preserved minus crash-window duplicate rows (the (ivf_cell, id, m)
     * de-dup applied once at rest), crash-durable via the
     * copy-then-rename swap, single-writer. */
-  def compact(spark: SparkSession, ref: Ref): Unit = {
+  def compact(spark: SparkSession, ref: Ref): Unit = withLease(spark, ref, "compact") {
     val live = new org.apache.hadoop.fs.Path(root(spark, ref), "codes")
     val tmp = new org.apache.hadoop.fs.Path(root(spark, ref), "codes_compacting")
     val f = fs(spark, ref)

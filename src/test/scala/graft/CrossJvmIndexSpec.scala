@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{IvfIndex, LshIndex, Similarity}
+import graft.operators.{IvfIndex, LshIndex, ML, PQ, PqIndex, Similarity}
 import org.apache.spark.sql.functions._
 import scala.jdk.CollectionConverters._
 
@@ -77,5 +77,27 @@ class CrossJvmIndexSpec extends SparkSpec {
       .collect().toSet
     assert(got === want && got.nonEmpty)
     IvfIndex.drop(spark, ref)
+  }
+
+  test("PqIndex built by a second JVM serves IVFADC searches here, equal " +
+    "to in-memory ivfAdcTopK over the same fits") {
+    val ref = PqIndex.Ref("xjvmpq")
+    PqIndex.drop(spark, ref)
+    seedInFreshJvm("pq", ref.tag)
+    val corpus = IndexSeedMain.vecs(0L until 60L).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 3)
+    val got = PqIndex.search(queries, "vec_id", "embedding", dim = 8, m = 4,
+        nProbe = 2, topK = 5, ref)
+      .select($"q_id", $"rank", $"id", $"adc_dist")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    val coarse = ML.kMeansScaled(corpus, "vec_id", "embedding", k = 4, iters = 1)
+    val model = PQ.fit(corpus, "vec_id", "embedding", dim = 8, m = 4,
+      k = 4, iters = 1)
+    val want = PQ.ivfAdcTopK(coarse, model, queries, "vec_id", "embedding",
+        dim = 8, m = 4, nProbe = 2, topK = 5)
+      .select($"q_id", $"rank", $"id", $"adc_dist")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(got === want && got.nonEmpty)
+    PqIndex.drop(spark, ref)
   }
 }

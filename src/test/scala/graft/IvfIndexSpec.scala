@@ -137,6 +137,27 @@ class IvfIndexSpec extends SparkSpec {
     IvfIndex.drop(spark, ref)
   }
 
+  test("write lease: a second writer fails fast; breakLease restores access") {
+    val ref = IvfIndex.Ref("speclease")
+    IvfIndex.drop(spark, ref)
+    IvfIndex.build(vecs(0L until 40L), "vec_id", "embedding", nCells = 4, ref)
+    val lease = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"), s"${ref.dirName}_lease")
+    java.nio.file.Files.write(lease.toPath,
+      "crashed-writer".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val e = intercept[IllegalStateException] {
+      IvfIndex.ingest(vecs(40L until 50L), "vec_id", "embedding", ref)
+    }
+    assert(e.getMessage.contains("crashed-writer"))
+    assert(intercept[IllegalStateException] {
+      IvfIndex.compact(spark, ref)
+    }.getMessage.contains("crashed-writer"))
+    IvfIndex.breakLease(spark, ref)
+    IvfIndex.ingest(vecs(40L until 50L), "vec_id", "embedding", ref)
+    assert(!lease.exists(), "lease must release when the writer completes")
+    IvfIndex.drop(spark, ref)
+  }
+
   test("search prunes to the probed cells' directories") {
     val ref = IvfIndex.Ref("specprune")
     IvfIndex.drop(spark, ref)

@@ -123,6 +123,28 @@ class PqIndexSpec extends SparkSpec {
     PqIndex.drop(spark, ref)
   }
 
+  test("write lease: a second writer fails fast; breakLease restores access") {
+    val ref = PqIndex.Ref("speclease")
+    PqIndex.drop(spark, ref)
+    PqIndex.build(vecs(0L until 40L), "vec_id", "embedding", dim, m, k = 4,
+      iters = 1, nCells = 4, cIters = 1, ref)
+    val lease = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"), s"${ref.dirName}_lease")
+    java.nio.file.Files.write(lease.toPath,
+      "crashed-writer".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val e = intercept[IllegalStateException] {
+      PqIndex.ingest(vecs(40L until 50L), "vec_id", "embedding", dim, m, ref)
+    }
+    assert(e.getMessage.contains("crashed-writer"))
+    assert(intercept[IllegalStateException] {
+      PqIndex.compact(spark, ref)
+    }.getMessage.contains("crashed-writer"))
+    PqIndex.breakLease(spark, ref)
+    PqIndex.ingest(vecs(40L until 50L), "vec_id", "embedding", dim, m, ref)
+    assert(!lease.exists(), "lease must release when the writer completes")
+    PqIndex.drop(spark, ref)
+  }
+
   test("search prunes to the probed cells' code directories") {
     val ref = PqIndex.Ref("specprune")
     PqIndex.drop(spark, ref)
