@@ -195,9 +195,18 @@ object LshIndex {
       withinV.unionByName(crossV)
     }
     val out = all.localCheckpoint() // materialize before the index grows
-    ref.layout.zip(Seq(banded, sigs, sh)).foreach { case ((tbl, cols), df) =>
-      appendBucketed(df, tbl, ref.buckets, cols)
+    // the three artifact appends are independent tables — submit them as
+    // CONCURRENT Spark jobs (hashing is already computed and cached, so
+    // the jobs are write-bound and overlap cleanly; measured: the
+    // sequential form paid the three write latencies end to end)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val appends = ref.layout.zip(Seq(banded, sigs, sh)).map { case ((tbl, cols), df) =>
+      scala.concurrent.Future(appendBucketed(df, tbl, ref.buckets, cols))
     }
+    scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(appends),
+      scala.concurrent.duration.Duration.Inf)
     sh.unpersist(); sigs.unpersist()
     out
     }
@@ -218,7 +227,21 @@ object LshIndex {
     * re-running compact — the stale sibling is overwritten). */
   def compact(spark: SparkSession, ref: Ref): Unit =
     withLease(spark, ref, "compact") {
-      ref.layout.foreach { case (tbl, cols) =>
+      // three independent tables — compact them as concurrent jobs (same
+      // parallelism argument as the ingest appends; DDL targets are
+      // distinct catalog entries)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.global
+      val jobs = ref.layout.map { case (tbl, cols) =>
+        scala.concurrent.Future { compactOne(spark, ref, tbl, cols) }
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(jobs),
+        scala.concurrent.duration.Duration.Inf); ()
+    }
+
+  private def compactOne(spark: SparkSession, ref: Ref, tbl: String,
+                         cols: Seq[String]): Unit = {
         val tmp = s"${tbl}_compacting"
         val tmpLoc = location(spark, tmp)
         val f = hfs(spark, tmpLoc)
@@ -242,8 +265,7 @@ object LshIndex {
         f.delete(loc, true)
         f.rename(tmpLoc, loc)
         register(spark, ref, tbl, cols, Some(schemaDdl))
-      }
-    }
+  }
 
   /** Maintain the index from a document STREAM — the cross-run flavor of
     * the in-state claim index (streaming/StreamingDedup.scala): each
