@@ -257,6 +257,37 @@ object GraphQueries {
         SELECT node, min(lbl) AS component FROM reach GROUP BY node"""),
       prepare = Some((s, dir) => sparseEdges(s, dir))),
 
+    // STREAMING-ITERATION PAGERANK — the BULK-SYNCHRONOUS loop style
+    // (DataSet.iterate), completing the Flink iteration duality next to
+    // qe8/qeb's changed-elements-only (iterateDelta) style: the whole
+    // rank vector circulates as feedback each round, the round counter
+    // rides in the rows, and the loop body is stateless. Identical
+    // integer arithmetic to the batch driver loop (qa2), so the oracle is
+    // qa2's at 5 rounds (each round costs a full micro-batch — 5 rounds
+    // pin the capability at half the 10-round sweep weight).
+    Entry("qec_stream_pagerank",
+      (s, dir) => {
+        val work = java.nio.file.Files.createTempDirectory("qec_iter")
+          .toFile.getAbsolutePath
+        graft.streaming.IterateStream.pageRankStream(
+          sparseEdges(s, dir), iters = 5, work)
+      },
+      Some(s"""WITH RECURSIVE edges AS ($OEdges),
+        nodes AS (SELECT DISTINCT src AS node FROM edges UNION SELECT DISTINCT dst FROM edges),
+        outdeg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src),
+        pr(iter, node, rank) AS (
+          SELECT 0, node, CAST(1000000 AS BIGINT) FROM nodes
+          UNION ALL
+          SELECT p.iter + 1, p.node,
+            CAST(150000 + (85 * COALESCE(c.contrib, 0)) // 100 AS BIGINT)
+          FROM pr p LEFT JOIN (
+            SELECT e.dst AS node, p2.iter, sum(p2.rank // o.d) AS contrib
+            FROM pr p2 JOIN edges e ON e.src = p2.node JOIN outdeg o ON o.node = p2.node
+            GROUP BY e.dst, p2.iter) c ON c.node = p.node AND c.iter = p.iter
+          WHERE p.iter < 5)
+        SELECT node, rank FROM pr WHERE iter = 5"""),
+      prepare = Some((s, dir) => sparseEdges(s, dir))),
+
     // Label propagation: 5 synchronous rounds, most-frequent neighbor
     // label, ties to the smallest label; initial label = node id.
     Entry("qbn_graph_label_prop",

@@ -187,6 +187,56 @@ object IterateStream {
     minFixpoint(edges, Seq((root, 0L)).toDF("node", "dist"), workDir)
   }
 
+  /** BULK-SYNCHRONOUS iteration via the loop — the OTHER Flink iteration
+    * style: [[minFixpoint]]'s workloads circulate only CHANGED elements
+    * (the `iterateDelta` workset shape); here the WHOLE per-round dataset
+    * circulates (`DataSet.iterate` — the classic BSP round), the round
+    * counter rides in the rows, and the loop body is STATELESS — no
+    * keyed state at all, the feedback edge IS the loop. PageRank with
+    * [[graft.operators.GraphOps.pageRankScaled]]'s exact integer
+    * arithmetic (rank' = 150000 + 85·Σ(rank div outdeg) div 100, scaled
+    * 1e6), so the streamed trajectory is row-identical to the batch
+    * driver loop's (law-spec'd) and replays on qa2's oracle. Terminates
+    * by round count: the route emits nothing at round `iters`. */
+  def pageRankStream(edges: DataFrame, iters: Int, workDir: String): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val fbDir = s"$workDir/feedback"
+    val outDir = s"$workDir/out"
+    val e = edges.select("src", "dst").distinct().localCheckpoint(true)
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val eWithDeg = e.join(outdeg, "src")
+      .select(col("src").as("node"), col("dst"), col("d")).localCheckpoint(true)
+    val verts = e.select(col("src").as("node"))
+      .union(e.select(col("dst"))).distinct().localCheckpoint(true)
+    val schema = StructType.fromDDL("node BIGINT, rank BIGINT, iter INT")
+    val source = feedbackSource(spark, schema, fbDir)
+    seed(verts.select(col("node"), lit(1000000L).as("rank"),
+      lit(0).as("iter")), fbDir)
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      val q = drive(source, fbDir, outDir, s"$workDir/ckpt") { rows =>
+        val it = rows.agg(max(col("iter"))).head().getInt(0)
+        if (it >= iters) rows.limit(0)
+        else {
+          val contribs = eWithDeg
+            .join(rows.select(col("node"), col("rank")), "node")
+            .select(col("dst").as("node"), expr("rank div d").as("c"))
+            .groupBy("node").agg(sum(col("c")).as("contrib"))
+          verts.join(contribs, Seq("node"), "left")
+            .select(col("node"),
+              (lit(150000L) + expr("(85 * coalesce(contrib, 0L)) div 100"))
+                .as("rank"),
+              lit(it + 1).as("iter"))
+        }
+      }
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    spark.read.parquet(s"$outDir/rounds")
+      .filter(col("iter") === iters).select("node", "rank")
+  }
+
   /** Connected components VIA THE STREAMING LOOP — Flink's canonical
     * iteration example (the reference ships it as the iterate showcase):
     * every node seeds with its own id, labels propagate as min over

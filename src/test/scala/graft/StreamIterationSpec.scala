@@ -62,6 +62,21 @@ class StreamIterationSpec extends SparkSpec {
       4L -> 4L, 5L -> 4L, 6L -> 6L, 8L -> 6L))
   }
 
+  test("pageRankStream (bulk-synchronous loop) is row-identical to the " +
+    "batch driver loop on a randomized digraph") {
+    val rnd = new scala.util.Random(77L)
+    val es = (for (_ <- 1 to 60) yield
+      (rnd.nextInt(18).toLong, rnd.nextInt(18).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val edges = es.toDF("src", "dst")
+    val got = graft.streaming.IterateStream
+      .pageRankStream(edges, iters = 6, tmp())
+      .as[(Long, Long)].collect().toSet
+    val want = graft.operators.GraphOps.pageRankScaled(edges, iters = 6)
+      .as[(Long, Long)].collect().toSet
+    assert(got === want && got.nonEmpty)
+  }
+
   test("a re-seeded non-improving frontier terminates without emitting") {
     val edges = Seq((1L, 2L, 3L)).toDF("src", "dst", "wt")
     val dir = tmp()
