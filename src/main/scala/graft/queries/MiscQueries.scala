@@ -456,6 +456,46 @@ object MiscQueries {
           CAST(sum(v * (j + 1)) AS BIGINT) AS r_chk
         FROM s GROUP BY doc_id""")),
 
+    // Audio FEATURE-EXTRACT through the gate (the stage after qea's
+    // resample in a multimodal pipeline): 16-sample non-overlapping
+    // windows over every WAV's PCM, per-window short-time energy Σv² and
+    // zero-crossing count ((v[i−1]<0) ≠ (v[i]<0), in-window positions
+    // only), summarized per clip as the shapes a VAD/silence/quality
+    // filter consumes. Integer-exact; the oracle replays windows,
+    // energies, and the lag-based crossing test from the generator
+    // formulas (the boundary guard i%16>0 keeps crossings in-window).
+    Entry("qed_audio_frame_features",
+      (s, dir) => {
+        val wavDir = wavDirFromDocuments(s, dir)
+        graft.sources.Audio.frameFeatures(
+          graft.sources.Audio.readBinary(s, wavDir), window = 16)
+          .select(regexp_extract(col("path"), "doc_(\\d+)\\.wav$", 1)
+              .cast("long").as("doc_id"),
+            col("n_windows"), col("zc_total"), col("energy_sum"),
+            col("energy_max"))
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, 50 + doc_id % 20 AS nf FROM documents
+        ), s AS (
+          SELECT doc_id, t.i, t.i // 16 AS w,
+            ((31 * doc_id + 7 * t.i) % 65536) - 32768 AS v
+          FROM d CROSS JOIN UNNEST(generate_series(0, (nf // 16) * 16 - 1)) AS t(i)
+        ), sz AS (
+          SELECT doc_id, w, v,
+            CASE WHEN i % 16 > 0 AND
+              (lag(v) OVER (PARTITION BY doc_id ORDER BY i) < 0) <> (v < 0)
+            THEN 1 ELSE 0 END AS zc
+          FROM s
+        ), pw AS (
+          SELECT doc_id, w, sum(v * v) AS e, sum(zc) AS z
+          FROM sz GROUP BY doc_id, w
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+          CAST(sum(z) AS BIGINT) AS zc_total,
+          CAST(sum(e) AS BIGINT) AS energy_sum,
+          CAST(max(e) AS BIGINT) AS energy_max
+        FROM pw GROUP BY doc_id""")),
+
     // REAL video-container metadata through the gate — the third modality:
     // a minimal-but-valid ISO BMFF (MP4) box tree per document (ftyp +
     // moov(mvhd, trak(tkhd)), written byte-level big-endian), scanned via

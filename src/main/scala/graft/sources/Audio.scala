@@ -109,6 +109,68 @@ object Audio {
     StructField("n_out", LongType), StructField("r_sum", LongType),
     StructField("r_chk", LongType)))
 
+  private val featureSchema = StructType(Seq(
+    StructField("path", StringType), StructField("n_windows", LongType),
+    StructField("zc_total", LongType), StructField("energy_sum", LongType),
+    StructField("energy_max", LongType)))
+
+  /** Windowed FRAME FEATURES over 16-bit mono PCM — the audio
+    * feature-extract stage of a multimodal pipeline (the classic
+    * pre-neural descriptors, integer-exact so the gate replays them):
+    * the clip is cut into ⌊n/window⌋ COMPLETE non-overlapping windows
+    * (trailing partial window dropped), and per window the kernel
+    * computes short-time ENERGY Σ v² and the ZERO-CROSSING count
+    * (positions i in [1, window) with sign(v[i]) ≠ sign(v[i−1]);
+    * sign(0) counts as non-negative, so a crossing is strictly
+    * `(v[i−1] < 0) ≠ (v[i] < 0)`). Emitted per clip: window count,
+    * total crossings, summed energy, max window energy — the shapes a
+    * VAD / silence-trim / quality-filter stage consumes. Partition-local
+    * over the binaryFile scan, payloads never touch the driver. */
+  def frameFeatures(binary: DataFrame, window: Int): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(featureSchema)
+    binary.select("path", "content").mapPartitions { rows =>
+      rows.map { r =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("content")))
+        try {
+          val fmt = in.getFormat
+          require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+            fmt.getChannels == 1, s"features expect 16-bit LE mono PCM, got $fmt")
+          val data = in.readAllBytes()
+          val n = data.length / 2
+          val nWin = n / window
+          def sample(i: Int): Long =
+            ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toLong
+          var zc = 0L
+          var eSum = 0L
+          var eMax = 0L
+          var w = 0
+          while (w < nWin) {
+            var e = 0L
+            var i = w * window
+            val end = i + window
+            var prevNeg = sample(i) < 0
+            e += sample(i) * sample(i)
+            i += 1
+            while (i < end) {
+              val v = sample(i)
+              val neg = v < 0
+              if (neg != prevNeg) zc += 1
+              prevNeg = neg
+              e += v * v
+              i += 1
+            }
+            eSum += e
+            if (e > eMax) eMax = e
+            w += 1
+          }
+          Row(r.getAs[String]("path"), nWin.toLong, zc, eSum, eMax)
+        } finally in.close()
+      }
+    }(enc)
+  }
+
   /** NEAREST-NEIGHBOR sample-rate conversion of 16-bit mono PCM to
     * `dstRate` — the audio preprocessing sibling of
     * [[Images.resizeNearest]] (training pipelines normalize clips to one

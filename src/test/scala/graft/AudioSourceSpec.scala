@@ -78,6 +78,36 @@ class AudioSourceSpec extends SparkSpec {
     assert(sum === (0 until Audio.framesOf(5L)).map(Audio.sampleOf(5L, _).toLong).sum)
   }
 
+  test("frameFeatures: windows, energy, and zero crossings brute-checked " +
+    "against the formulas") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wav_feat").toFile
+    val ids = Seq(3L, 7L, 12L)
+    Audio.wavsFromDocIds(ids.toDF("doc_id"), "doc_id", dir.getPath)
+    for (window <- Seq(8, 16)) {
+      val got = Audio.frameFeatures(Audio.readBinary(spark, dir.getPath), window)
+        .select(regexp_extract(col("path"), "doc_(\\d+)\\.wav$", 1)
+            .cast("long").as("id"),
+          col("n_windows"), col("zc_total"), col("energy_sum"), col("energy_max"))
+        .as[(Long, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+      ids.foreach { id =>
+        val n = Audio.framesOf(id)
+        val nWin = n / window
+        val wins = (0 until nWin).map { w =>
+          val vs = (w * window until (w + 1) * window)
+            .map(Audio.sampleOf(id, _).toLong)
+          val e = vs.map(v => v * v).sum
+          val zc = vs.sliding(2).count(p => (p(0) < 0) != (p(1) < 0))
+          (e, zc.toLong)
+        }
+        val want = (nWin.toLong, wins.map(_._2).sum, wins.map(_._1).sum,
+          if (wins.isEmpty) 0L else wins.map(_._1).max)
+        assert(got(id) === want, s"id=$id window=$window")
+      }
+    }
+  }
+
   test("sample formula spans the signed 16-bit range (both signs hit)") {
     // exact endpoints: 31·0+7·0 ≡ 0 → -32768; 31·2113 = 65503 → +32735
     assert(Audio.sampleOf(0L, 0) === -32768)
