@@ -392,6 +392,42 @@ object MiscQueries {
           CAST(sum(v * (dpos + 1)) AS BIGINT) AS r_chk
         FROM px GROUP BY doc_id""")),
 
+    // Image FEATURE-EXTRACT through the gate: per-CHANNEL byte sums and
+    // maxima over the decoded BGR planes (the statistics a
+    // normalize/whiten stage consumes) — channel-separated, which qdf's
+    // order-independent total sum cannot see, so this pins the plane
+    // decomposition itself. The oracle replays per-channel sums/maxima
+    // from the generator formulas with the BGR inversion (data channel c
+    // holds color component 2−c).
+    Entry("qee_image_channel_stats",
+      (s, dir) => {
+        val imgDir = pngDirFromDocuments(s, dir)
+        graft.sources.Images.channelStats(
+          graft.sources.Images.read(s, imgDir))
+          .select(regexp_extract(col("origin"), "doc_(\\d+)\\.png$", 1)
+              .cast("long").as("doc_id"),
+            col("b_sum"), col("g_sum"), col("r_sum"),
+            col("b_max"), col("g_max"), col("r_max"))
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+        ), px AS (
+          SELECT doc_id, tc.c,
+            (doc_id + 3 * tx.x + 5 * ty.y + 11 * (2 - tc.c)) % 256 AS v
+          FROM d
+          CROSS JOIN UNNEST(generate_series(0, w - 1)) AS tx(x)
+          CROSS JOIN UNNEST(generate_series(0, h - 1)) AS ty(y)
+          CROSS JOIN UNNEST(generate_series(0, 2)) AS tc(c)
+        )
+        SELECT doc_id,
+          CAST(sum(CASE WHEN c = 0 THEN v END) AS BIGINT) AS b_sum,
+          CAST(sum(CASE WHEN c = 1 THEN v END) AS BIGINT) AS g_sum,
+          CAST(sum(CASE WHEN c = 2 THEN v END) AS BIGINT) AS r_sum,
+          CAST(max(CASE WHEN c = 0 THEN v END) AS INT) AS b_max,
+          CAST(max(CASE WHEN c = 1 THEN v END) AS INT) AS g_max,
+          CAST(max(CASE WHEN c = 2 THEN v END) AS INT) AS r_max
+        FROM px GROUP BY doc_id""")),
+
     // REAL audio decode through the gate — the WAV sibling of qdf: a
     // deterministic mono 16-bit PCM WAV per document, scanned with Spark's
     // built-in binaryFile source, parsed partition-local with the ACTUAL

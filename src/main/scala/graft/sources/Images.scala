@@ -137,6 +137,49 @@ object Images {
       acc => acc)
   }
 
+  /** Per-CHANNEL statistics of a decoded image — the image
+    * feature-extract stage (the audio sibling is
+    * [[Audio.frameFeatures]]): per channel of the BGR layout, the
+    * unsigned byte sum and max over all pixels. Channel-SEPARATED
+    * statistics are exactly what the order-independent byte sum (qdf)
+    * cannot see, so this pins the B/G/R plane decomposition a
+    * normalize/whiten stage consumes. Partition-local mapPartitions over
+    * the image frame, O(pixels) array reads, payloads never touch the
+    * driver. Input must have nChannels >= 3 (first three channels
+    * reported, BGR order). */
+  def channelStats(images: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("origin", StringType),
+      StructField("b_sum", LongType), StructField("g_sum", LongType),
+      StructField("r_sum", LongType),
+      StructField("b_max", IntegerType), StructField("g_max", IntegerType),
+      StructField("r_max", IntegerType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    images.select(col("image")).mapPartitions { it =>
+      it.map { r =>
+        val img = r.getStruct(0)
+        val origin = img.getString(0)
+        val h = img.getInt(1); val w = img.getInt(2); val nCh = img.getInt(3)
+        val data = img.getAs[Array[Byte]](5)
+        val sums = new Array[Long](3)
+        val maxs = new Array[Int](3)
+        var p = 0
+        val n = h * w
+        while (p < n) {
+          var c = 0
+          while (c < 3) {
+            val v = data(p * nCh + c) & 0xff
+            sums(c) += v
+            if (v > maxs(c)) maxs(c) = v
+            c += 1
+          }
+          p += 1
+        }
+        Row(origin, sums(0), sums(1), sums(2), maxs(0), maxs(1), maxs(2))
+      }
+    }(enc)
+  }
+
   /** PRODUCTION nearest-neighbor resize: the same mapping law as
     * [[resizeNearestSums]] (src pixel (⌊y·h/dstH⌋, ⌊x·w/dstW⌋), first
     * three channels kept, BGR order preserved) executed as a

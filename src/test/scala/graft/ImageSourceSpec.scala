@@ -90,6 +90,31 @@ class ImageSourceSpec extends SparkSpec {
     assert(down.getStruct(0).getLong(1) === (30 * 1 + 20 * 2 + 10 * 3).toLong)
   }
 
+  test("channelStats: per-plane sums and maxima brute-checked against the " +
+    "generator formulas (BGR inversion included)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("img_chan").toFile
+    val ids = Seq(3L, 7L, 12L)
+    Images.pngsFromDocIds(ids.toDF("doc_id"), "doc_id", dir.getPath)
+    val got = Images.channelStats(Images.read(spark, dir.getPath))
+      .select(regexp_extract(col("origin"), "doc_(\\d+)\\.png$", 1)
+          .cast("long").as("id"),
+        col("b_sum"), col("g_sum"), col("r_sum"),
+        col("b_max"), col("g_max"), col("r_max"))
+      .as[(Long, Long, Long, Long, Int, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5, r._6, r._7))).toMap
+    ids.foreach { id =>
+      val (w, h) = (Images.widthOf(id), Images.heightOf(id))
+      // data channel c holds color component 2-c (BGR layout)
+      def plane(c: Int) = for (y <- 0 until h; x <- 0 until w)
+        yield Images.componentOf(id, x, y, 2 - c)
+      val ps = (0 to 2).map(plane)
+      val want = (ps(0).map(_.toLong).sum, ps(1).map(_.toLong).sum,
+        ps(2).map(_.toLong).sum, ps(0).max, ps(1).max, ps(2).max)
+      assert(got(id) === want, s"id=$id")
+    }
+  }
+
   test("resizeNearest (production kernel) reproduces resizeNearestSums' " +
     "sum and checksum on every fixture image and scale") {
     import spark.implicits._
