@@ -12,7 +12,9 @@ import org.apache.spark.sql.SparkSession
   *
   * Kept in main (not test) sources so `java.class.path` of a forked test
   * JVM can launch it directly. Usage: IndexSeedMain <warehouseDir>
-  * <lsh|ivf> <tag>. */
+  * <lsh|ivf|pq|loopcrash> <tag> (for loopcrash, `tag` is the loop work
+  * directory and the run CRASHES by design after three rounds — the
+  * crashed-writer half of the streaming-loop resume contract). */
 object IndexSeedMain {
 
   /** Fixed corpus shared with the spec (ids < 30 here; the spec probes
@@ -58,6 +60,23 @@ object IndexSeedMain {
         PqIndex.build(vecs(0L until 60L).toDF("vec_id", "embedding"),
           "vec_id", "embedding", dim = 8, m = 4, k = 4, iters = 1,
           nCells = 4, cIters = 1, PqIndex.Ref(tag))
+      case "loopcrash" =>
+        // Streaming-loop HALF-RUN for the cross-JVM resume claim: start
+        // the [[graft.streaming.IterateStream.minFixpoint]] SSSP loop on
+        // the chain graph (10 rounds to fixpoint) in THIS fresh JVM with
+        // a crash injected after round 3 — checkpoint, feedback dir, and
+        // partial round history land under `tag` (the work dir), exactly
+        // what an executor/driver loss leaves behind. The spec JVM then
+        // resumes from those files alone.
+        val edges = (1L until 10L).map(i => (i, i + 1, 1L))
+          .toDF("src", "dst", "wt")
+        val seeds = Seq((1L, 0L)).toDF("node", "dist")
+        val crashed = try {
+          graft.streaming.IterateStream.minFixpointImpl(edges, seeds, tag,
+            loopStatePartitions = 4, crashAfterRounds = 3).count()
+          false
+        } catch { case _: Throwable => true }
+        require(crashed, "injected loop crash did not fire")
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()

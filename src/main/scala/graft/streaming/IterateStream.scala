@@ -136,8 +136,33 @@ object IterateStream {
     * One kernel, two classic iteration workloads: [[ssspToFixpoint]]
     * (one seed at 0, real weights) and [[connectedComponentsStream]]
     * (every node seeded with its own id, zero weights — min-label
-    * propagation). */
-  def minFixpoint(edges: DataFrame, seeds: DataFrame, workDir: String): DataFrame = {
+    * propagation).
+    *
+    * `loopStatePartitions` pins the loop's keyed-state parallelism: the
+    * per-round micro-batch commit floor scales with state partition count
+    * (one store commit per partition per round — BASELINE.md streamamort),
+    * so small frontiers want FEW partitions (4 vs the session's 32
+    * measured 15.3 → 12.0 s on the qe8 graph). Grow it with frontier
+    * size — a frontier of millions of keys per round wants enough
+    * partitions that each store's delta fits in executor memory. The
+    * streaming engine freezes the value into the checkpoint at creation:
+    * changing it requires a fresh `workDir`, and the setting narrows only
+    * this loop's query, not the session. */
+  def minFixpoint(edges: DataFrame, seeds: DataFrame, workDir: String,
+                  loopStatePartitions: Int = 4): DataFrame =
+    minFixpointImpl(edges, seeds, workDir, loopStatePartitions,
+      crashAfterRounds = Int.MaxValue)
+
+  /** [[minFixpoint]] with FAULT INJECTION: the route throws once
+    * `crashAfterRounds` rounds have produced feedback, killing the query
+    * the way a real executor/driver loss would — batch uncommitted, no
+    * ledger row, checkpoint offsets at the failed batch. Drives the
+    * cross-process resume contract (CrossJvmIndexSpec: a loop crashed in
+    * one JVM resumes in another from checkpoint + feedback dir alone and
+    * still reaches the exact fixpoint). Test-surface only. */
+  private[graft] def minFixpointImpl(edges: DataFrame, seeds: DataFrame,
+                                     workDir: String, loopStatePartitions: Int,
+                                     crashAfterRounds: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -167,8 +192,12 @@ object IterateStream {
     // round. Stays on the provider default.
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     try {
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
+      spark.conf.set("spark.sql.shuffle.partitions", loopStatePartitions.toString)
+      val rounds = new java.util.concurrent.atomic.AtomicInteger(0)
       val q = drive(improved, fbDir, outDir, s"$workDir/ckpt") { rows =>
+        if (rounds.incrementAndGet() > crashAfterRounds)
+          throw new IllegalStateException(
+            s"injected loop crash after $crashAfterRounds rounds")
         rows.join(broadcast(e), rows("node") === e("src"))
           .select(e("dst").as("node"), (rows("dist") + e("wt")).as("dist"))
       }
@@ -197,8 +226,21 @@ object IterateStream {
     * arithmetic (rank' = 150000 + 85·Σ(rank div outdeg) div 100, scaled
     * 1e6), so the streamed trajectory is row-identical to the batch
     * driver loop's (law-spec'd) and replays on qa2's oracle. Terminates
-    * by round count: the route emits nothing at round `iters`. */
-  def pageRankStream(edges: DataFrame, iters: Int, workDir: String): DataFrame = {
+    * by round count: the route emits nothing at round `iters`.
+    *
+    * Unlike [[minFixpoint]]'s monotone body, this body is STATELESS and
+    * NON-monotone — duplicated frontier rows would double the summed
+    * contributions — so the route restores exactly-once semantics
+    * structurally against the drive's at-least-once replay window (crash
+    * between feedback append and ledger write re-appends one round's
+    * feedback): rank is functionally determined by (node, iter), so the
+    * route keeps one row per (node, iter) and only the newest round, and
+    * the final read dedups the last round the same way. StreamIterationSpec
+    * plants a double-appended frontier and pins the trajectory unchanged.
+    * `loopStatePartitions` as in [[minFixpoint]] (here it sizes the
+    * stateless body's per-round shuffles, not a state store). */
+  def pageRankStream(edges: DataFrame, iters: Int, workDir: String,
+                     loopStatePartitions: Int = 4): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val fbDir = s"$workDir/feedback"
@@ -215,10 +257,14 @@ object IterateStream {
       lit(0).as("iter")), fbDir)
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     try {
-      spark.conf.set("spark.sql.shuffle.partitions", "4")
-      val q = drive(source, fbDir, outDir, s"$workDir/ckpt") { rows =>
-        val it = rows.agg(max(col("iter"))).head().getInt(0)
-        if (it >= iters) rows.limit(0)
+      spark.conf.set("spark.sql.shuffle.partitions", loopStatePartitions.toString)
+      val q = drive(source, fbDir, outDir, s"$workDir/ckpt") { raw =>
+        // Replay armor (see class doc): one row per (node, iter), newest
+        // round only — a replayed append arrives duplicated and bundled
+        // with the original into one batch.
+        val it = raw.agg(max(col("iter"))).head().getInt(0)
+        val rows = raw.filter(col("iter") === it).dropDuplicates("node", "iter")
+        if (it >= iters) raw.limit(0)
         else {
           val contribs = eWithDeg
             .join(rows.select(col("node"), col("rank")), "node")
@@ -233,9 +279,18 @@ object IterateStream {
       }
       try q.processAllAvailable() finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    spark.read.parquet(s"$outDir/rounds")
-      .filter(col("iter") === iters).select("node", "rank")
+    finalRound(spark, outDir, iters)
   }
+
+  /** The BSP loop's result read: the `iters`-th round from the raw
+    * per-batch history. rounds/ holds RAW batches, so a replayed
+    * final-round append would duplicate output rows — dedup on node
+    * (rank is (node, iter)-determined, so this is exact, not lossy). */
+  private[graft] def finalRound(spark: SparkSession, outDir: String,
+                                iters: Int): DataFrame =
+    spark.read.parquet(s"$outDir/rounds")
+      .filter(col("iter") === iters).dropDuplicates("node")
+      .select("node", "rank")
 
   /** Connected components VIA THE STREAMING LOOP — Flink's canonical
     * iteration example (the reference ships it as the iterate showcase):

@@ -100,4 +100,27 @@ class CrossJvmIndexSpec extends SparkSpec {
     assert(got === want && got.nonEmpty)
     PqIndex.drop(spark, ref)
   }
+
+  test("a streaming loop CRASHED in a second JVM resumes here from " +
+    "checkpoint + feedback dir alone and reaches the exact fixpoint") {
+    import org.apache.spark.sql.functions.col
+    // the crashed-writer half runs in a fresh JVM: chain-graph SSSP with
+    // a crash injected after round 3 of ~10 (IndexSeedMain "loopcrash")
+    val work = java.nio.file.Files.createTempDirectory("xjvmloop")
+      .toFile.getAbsolutePath
+    seedInFreshJvm("loopcrash", work)
+    // the crash must have left PARTIAL progress: some rounds, not all
+    val partial = spark.read.parquet(s"$work/out/rounds")
+      .select(col("node")).distinct().count()
+    assert(partial > 1 && partial < 10,
+      s"expected a mid-loop crash, saw $partial nodes reached")
+    // resume in THIS JVM over the same work dir: same edges, same root —
+    // the query restarts from the checkpoint's offsets and state, replays
+    // the failed batch, and drains to the fixpoint
+    val edges = (1L until 10L).map(i => (i, i + 1, 1L)).toDF("src", "dst", "wt")
+    val got = graft.streaming.IterateStream
+      .ssspToFixpoint(edges, root = 1L, work)
+      .as[(Long, Long)].collect().toMap
+    assert(got === (1L to 10L).map(i => i -> (i - 1L)).toMap)
+  }
 }

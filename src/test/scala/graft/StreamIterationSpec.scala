@@ -77,6 +77,60 @@ class StreamIterationSpec extends SparkSpec {
     assert(got === want && got.nonEmpty)
   }
 
+  test("pageRankStream absorbs a double-appended feedback round (the " +
+    "at-least-once append-before-ledger crash window)") {
+    // The drive's replay window re-appends one round's feedback; the BSP
+    // body is stateless and non-monotone, so without the route's
+    // (node, iter) dedup the duplicated frontier would double the summed
+    // contributions. Simulate the window at round 0: plant an extra copy
+    // of the initial frontier in the feedback dir BEFORE the loop starts,
+    // so its first batch sees every (node, rank, iter=0) row twice.
+    val rnd = new scala.util.Random(55L)
+    val es = (for (_ <- 1 to 50) yield
+      (rnd.nextInt(14).toLong, rnd.nextInt(14).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val edges = es.toDF("src", "dst")
+    val dir = tmp()
+    val verts = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst"))).distinct()
+    IterateStream.seed(
+      verts.select(col("node").cast("long").as("node"),
+        lit(1000000L).as("rank"), lit(0).as("iter")),
+      s"$dir/feedback")
+    val got = IterateStream.pageRankStream(edges, iters = 4, dir)
+      .as[(Long, Long)].collect()
+    val want = graft.operators.GraphOps.pageRankScaled(edges, iters = 4)
+      .as[(Long, Long)].collect().toSet
+    // set-equal AND no duplicated output rows
+    assert(got.toSet === want && got.nonEmpty)
+    assert(got.length === got.toSet.size)
+  }
+
+  test("pageRankStream output dedups a replayed FINAL round") {
+    // Other end of the window: the duplicate append lands on the LAST
+    // round, so rounds/ carries the iter==iters rows twice and only the
+    // final-read dedup stands between the loop and duplicated output.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("src", "dst")
+    val dir = tmp()
+    val clean = IterateStream.pageRankStream(edges, iters = 3, tmp())
+      .as[(Long, Long)].collect().toSet
+    val got0 = IterateStream.pageRankStream(edges, iters = 3, dir)
+      .as[(Long, Long)].collect().toSet
+    assert(got0 === clean)
+    // plant the duplicate: re-append the final round's rows as feedback
+    // (exactly what a crashed-after-append drive leaves behind), then
+    // re-read through the same final-read path the API uses
+    val finalRows = spark.read.parquet(s"$dir/out/rounds")
+      .filter(col("iter") === 3)
+    val extraBid = spark.read.parquet(s"$dir/out/rounds")
+      .select(max(col("batch_id").cast("long"))).head().getLong(0) + 1
+    finalRows.select("node", "rank", "iter").write.mode("overwrite")
+      .parquet(s"$dir/out/rounds/batch_id=$extraBid")
+    val reread = IterateStream.finalRound(spark, s"$dir/out", 3)
+      .as[(Long, Long)].collect()
+    assert(reread.toSet === clean && reread.length === clean.size)
+  }
+
   test("a re-seeded non-improving frontier terminates without emitting") {
     val edges = Seq((1L, 2L, 3L)).toDF("src", "dst", "wt")
     val dir = tmp()
