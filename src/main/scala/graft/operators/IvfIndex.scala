@@ -56,6 +56,9 @@ object IvfIndex {
   // Writers take an exclusive on-storage lease; a second writer fails
   // fast with the holder's tag. After a crash the lease lingers —
   // break it explicitly once the operator confirms no writer is live.
+  // Storage assumption as LshIndex.withLease documents: atomic
+  // create-if-absent holds on HDFS/local but NOT on object stores (no
+  // atomic exclusive create on s3a) — there, use a store-side primitive.
   private def leasePath(spark: SparkSession, ref: Ref): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), s"${ref.dirName}_lease")
@@ -129,9 +132,13 @@ object IvfIndex {
     * touched cell, so a long-lived index accumulates smallFiles × cells —
     * rewrite the corpus once, one task per cell hash (each cell's rows
     * land in one task, so the writer emits ONE file per cell), and swap
-    * by rename. Crash-durable the [[LshIndex.compact]] way: the compacted
-    * copy is complete on storage as an `asg_compacting` sibling BEFORE
-    * the live directory is touched. Cell-local at scale (rows never
+    * by RENAME-ASIDE: the compacted copy is complete on storage as an
+    * `asg_compacting` sibling before the live directory is touched, then
+    * live renames to `asg_old`, the copy renames in, and `asg_old`
+    * deletes last — the live data is never deleted before its
+    * replacement is in place. A crash between the two renames leaves
+    * both complete copies; the recovery preamble (or a manual
+    * `asg_old` → `asg` rename) restores service. Cell-local at scale (rows never
     * change cells), so a real deployment compacts cells independently;
     * single-writer like every compaction here. Also collapses any
     * crash-window duplicate rows ([[search]]'s de-dup, applied once at
@@ -139,15 +146,19 @@ object IvfIndex {
   def compact(spark: SparkSession, ref: Ref): Unit = withLease(spark, ref, "compact") {
     val live = new org.apache.hadoop.fs.Path(root(spark, ref), "asg")
     val tmp = new org.apache.hadoop.fs.Path(root(spark, ref), "asg_compacting")
+    val old = new org.apache.hadoop.fs.Path(root(spark, ref), "asg_old")
     val f = fs(spark, ref)
+    if (!f.exists(live) && f.exists(old)) f.rename(old, live)
+    f.delete(old, true)
     f.delete(tmp, true)
     val snapshot = spark.read.parquet(live.toString).localCheckpoint(true)
     val nCells = centroids(spark, ref).count().toInt
     snapshot.dropDuplicates("cell_id", "nbr_id")
       .repartition(nCells, col("cell_id"))
       .write.partitionBy("cell_id").parquet(tmp.toString)
-    f.delete(live, true)
-    f.rename(tmp, live); ()
+    f.rename(live, old)
+    f.rename(tmp, live)
+    f.delete(old, true); ()
   }
 
   /** Maintain the index from an embedding STREAM: each micro-batch runs

@@ -73,7 +73,15 @@ object LshIndex {
     * fast with the holder's tag instead of corrupting the index. The
     * lease releases on completion; after a CRASH it lingers and must be
     * broken explicitly ([[breakLease]]) once the operator confirms no
-    * writer is live — the standard storage-lease trade-off. */
+    * writer is live — the standard storage-lease trade-off.
+    *
+    * STORAGE ASSUMPTION: the primitive is `FileSystem.create(path,
+    * overwrite=false)` as an atomic create-if-absent, which HDFS and
+    * local filesystems guarantee but object stores do NOT (s3a has no
+    * atomic exclusive create — two writers can both "win"). On an
+    * object-store warehouse, mutual exclusion needs a store-side
+    * primitive instead (S3 conditional PUT / If-None-Match, or an
+    * external lock table); this lease is HDFS/local-correct only. */
   private def withLease[T](spark: SparkSession, ref: Ref, who: String)(body: => T): T = {
     val p = leaseLoc(spark, ref)
     val f = hfs(spark, p)
@@ -134,6 +142,52 @@ object LshIndex {
     * (zero corpus-side exchange) survive restarts. */
   def attach(spark: SparkSession, ref: Ref): Unit = ref.layout.foreach { case (tbl, cols) =>
     if (!spark.catalog.tableExists(tbl)) register(spark, ref, tbl, cols)
+  }
+
+  /** Integrity check for the one inconsistency [[ingest]]'s crash window
+    * can leave: the three artifact appends are independent (concurrent)
+    * jobs, so a writer that dies mid-batch can land a doc's rows in SOME
+    * of banded/sigs/sh but not all — candidate generation then sees docs
+    * whose signatures/shingles are missing (silently absent from
+    * verification), or vice versa. Returns the DELTA, one row per
+    * inconsistent doc: (doc, present) where `present` names the tables
+    * (of "banded"/"sigs"/"sh") that hold it — empty result = consistent.
+    *
+    * Cost: one full scan + distinct per table (a maintenance-window op
+    * like [[compact]], not an ingest-path one; sigs/sh distinct on doc is
+    * bucket-local, banded's crosses buckets).
+    *
+    * REPAIR PATH: the orphaned docs' partial artifacts must go. Rows
+    * can't be deleted from parquet in place, so rewrite each table minus
+    * the orphans in the next [[compact]]-style maintenance window
+    * (filter `NOT IN (orphans)` before the bucketed rewrite), then
+    * re-[[ingest]] the orphaned docs whole — their pairs were never
+    * returned, so re-ingesting under the SAME ids is safe (the id-
+    * uniqueness rule forbids only ids whose artifacts are fully live). */
+  def fsck(spark: SparkSession, ref: Ref): DataFrame = {
+    attach(spark, ref)
+    Seq(ref.bandedTable -> "banded", ref.sigsTable -> "sigs",
+        ref.shTable -> "sh")
+      .map { case (tbl, tag) =>
+        spark.table(tbl).select(col("doc")).distinct()
+          .withColumn("tbl", lit(tag)) }
+      .reduce(_ unionByName _)
+      .groupBy("doc").agg(sort_array(collect_set(col("tbl"))).as("present"))
+      .filter(size(col("present")) < 3)
+  }
+
+  /** [[fsck]] as an assertion: throws naming (a sample of) the
+    * inconsistent docs and where each was found. */
+  def verifyConsistent(spark: SparkSession, ref: Ref): Unit = {
+    val bad = fsck(spark, ref).limit(20).collect()
+    if (bad.nonEmpty) {
+      val detail = bad.map(r => s"${r.get(0)} in " +
+        r.getSeq[String](1).mkString("{", ",", "}")).mkString("; ")
+      throw new IllegalStateException(
+        s"index '${ref.tag}' has ${bad.length}+ docs with partial " +
+          s"artifacts (a crashed ingest's torn append): $detail — see " +
+          s"LshIndex.fsck for the repair path")
+    }
   }
 
   private def appendBucketed(df: DataFrame, tbl: String, buckets: Int,
@@ -221,10 +275,13 @@ object LshIndex {
     * window. Runs under the same exclusive write lease as [[ingest]]
     * (a racing ingest fails fast instead of losing its appends), and is
     * crash-durable: the compacted copy lands on storage as a `_compacting`
-    * sibling BEFORE the live table is touched, so a crash either leaves
-    * the live table intact (pre-swap) or leaves the full compacted copy
-    * one directory-rename away (the recovery a restart performs by
-    * re-running compact — the stale sibling is overwritten). */
+    * sibling BEFORE the live table is touched, and the swap is
+    * RENAME-ASIDE — live files rename to an `_old` sibling, the copy
+    * renames in, `_old` deletes last — so live data is never deleted
+    * before its replacement is in place. A crash anywhere leaves at
+    * least one complete copy on storage; re-running compact performs
+    * the recovery (rename `_old` back, re-register the catalog entry)
+    * in its preamble. */
   def compact(spark: SparkSession, ref: Ref): Unit =
     withLease(spark, ref, "compact") {
       // three independent tables — compact them as concurrent jobs (same
@@ -244,7 +301,13 @@ object LshIndex {
                          cols: Seq[String]): Unit = {
         val tmp = s"${tbl}_compacting"
         val tmpLoc = location(spark, tmp)
+        val loc = location(spark, tbl)
+        val oldLoc = location(spark, s"${tbl}_old")
         val f = hfs(spark, tmpLoc)
+        // recovery from a compact that died mid-swap: live files may sit
+        // aside under _old, and the catalog entry may be dropped
+        if (!f.exists(loc) && f.exists(oldLoc)) f.rename(oldLoc, loc)
+        if (!spark.catalog.tableExists(tbl)) register(spark, ref, tbl, cols)
         val schemaDdl = spark.table(tbl).schema.toDDL
         // durable compacted copy first — the live table is not yet touched
         spark.sql(s"DROP TABLE IF EXISTS $tmp")
@@ -257,14 +320,16 @@ object LshIndex {
         appendBucketed(spark.table(tbl).localCheckpoint(true)
             .repartition(ref.buckets, cols.map(col): _*),
           tmp, ref.buckets, cols)
-        // swap: drop the live entry + files, rename the copy into place,
-        // re-assert the bucketing DDL over the renamed directory
+        // swap: drop the catalog entries, rename live ASIDE (never
+        // deleted before its replacement is in place), rename the copy
+        // in, re-assert the bucketing DDL, delete the aside copy LAST
         spark.sql(s"DROP TABLE $tbl")
         spark.sql(s"DROP TABLE $tmp") // catalog entry only; files stay
-        val loc = location(spark, tbl)
-        f.delete(loc, true)
+        f.delete(oldLoc, true)
+        f.rename(loc, oldLoc)
         f.rename(tmpLoc, loc)
         register(spark, ref, tbl, cols, Some(schemaDdl))
+        f.delete(oldLoc, true); ()
   }
 
   /** Maintain the index from a document STREAM — the cross-run flavor of

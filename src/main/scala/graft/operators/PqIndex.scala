@@ -53,6 +53,9 @@ object PqIndex {
   // compact both mutate the cell directories; writers take an exclusive
   // on-storage lease, a second writer fails fast with the holder's tag,
   // and a crashed writer's lingering lease is broken explicitly.
+  // Storage assumption as LshIndex.withLease documents: atomic
+  // create-if-absent holds on HDFS/local but NOT on object stores (no
+  // atomic exclusive create on s3a) — there, use a store-side primitive.
   private def leasePath(spark: SparkSession, ref: Ref): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), s"${ref.dirName}_lease")
@@ -98,18 +101,28 @@ object PqIndex {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, x) => acc + x)
 
-  /** Fit-and-load: deterministic coarse k-means (`nCells`, `cIters`
-    * rounds) + per-subspace PQ codebooks (`m` subspaces of `dim`, `k`
-    * cells, `iters` rounds) over the corpus, persisted, then the corpus
+  /** Fit-and-persist ONLY the model artifacts — deterministic coarse
+    * k-means (`nCells`, `cIters` rounds) + per-subspace PQ codebooks
+    * (`m` subspaces of `dim`, `k` cells, `iters` rounds) over `fitSet` —
+    * WITHOUT ingesting: the deployment shape where quantizers are fit
+    * once (often on a sample) and the corpus arrives later through
+    * [[ingest]] / [[startStreamingIngest]] against the frozen models. */
+  def buildModels(fitSet: DataFrame, idCol: String, vecCol: String, dim: Int,
+                  m: Int, k: Int, iters: Int, nCells: Int, cIters: Int,
+                  ref: Ref, scale: Long = 1000000L): Unit = {
+    val spark = fitSet.sparkSession
+    val coarse = ML.kMeansScaled(fitSet, idCol, vecCol, nCells, cIters, scale)
+    coarse.centroids.write.mode("overwrite").parquet(sub(spark, ref, "coarse"))
+    val pq = PQ.fit(fitSet, idCol, vecCol, dim, m, k, iters, scale)
+    pq.centroids.write.mode("overwrite").parquet(sub(spark, ref, "codebooks"))
+  }
+
+  /** Fit-and-load: [[buildModels]] over the corpus, then the corpus
     * itself [[ingest]]ed against the frozen artifacts. */
   def build(corpus: DataFrame, idCol: String, vecCol: String, dim: Int, m: Int,
             k: Int, iters: Int, nCells: Int, cIters: Int, ref: Ref,
             scale: Long = 1000000L): Unit = {
-    val spark = corpus.sparkSession
-    val coarse = ML.kMeansScaled(corpus, idCol, vecCol, nCells, cIters, scale)
-    coarse.centroids.write.mode("overwrite").parquet(sub(spark, ref, "coarse"))
-    val pq = PQ.fit(corpus, idCol, vecCol, dim, m, k, iters, scale)
-    pq.centroids.write.mode("overwrite").parquet(sub(spark, ref, "codebooks"))
+    buildModels(corpus, idCol, vecCol, dim, m, k, iters, nCells, cIters, ref, scale)
     ingest(corpus, idCol, vecCol, dim, m, ref, scale)
   }
 
@@ -146,20 +159,31 @@ object PqIndex {
   /** Compact the code-cell directories — the [[IvfIndex.compact]]
     * maintenance for the coded corpus: one file per cell after, content
     * preserved minus crash-window duplicate rows (the (ivf_cell, id, m)
-    * de-dup applied once at rest), crash-durable via the
-    * copy-then-rename swap, single-writer. */
+    * de-dup applied once at rest), single-writer. Crash-durable via a
+    * rename-aside swap: the live directory is NEVER deleted before the
+    * compacted copy is in place — live renames to `codes_old`, the copy
+    * renames in, `codes_old` deletes last. A crash between the two
+    * renames leaves no live directory but BOTH complete copies on
+    * storage; the recovery preamble here (or a manual
+    * `codes_old` → `codes` rename) restores service. */
   def compact(spark: SparkSession, ref: Ref): Unit = withLease(spark, ref, "compact") {
     val live = new org.apache.hadoop.fs.Path(root(spark, ref), "codes")
     val tmp = new org.apache.hadoop.fs.Path(root(spark, ref), "codes_compacting")
+    val old = new org.apache.hadoop.fs.Path(root(spark, ref), "codes_old")
     val f = fs(spark, ref)
+    // recovery: a compact that died between its two renames left the
+    // complete live copy aside — put it back before proceeding
+    if (!f.exists(live) && f.exists(old)) f.rename(old, live)
+    f.delete(old, true)
     f.delete(tmp, true)
     val snapshot = spark.read.parquet(live.toString).localCheckpoint(true)
     val nCells = coarseCentroids(spark, ref).count().toInt
     snapshot.dropDuplicates("ivf_cell", "id", "m")
       .repartition(nCells, col("ivf_cell"))
       .write.partitionBy("ivf_cell").parquet(tmp.toString)
-    f.delete(live, true)
-    f.rename(tmp, live); ()
+    f.rename(live, old)
+    f.rename(tmp, live)
+    f.delete(old, true); ()
   }
 
   /** Maintain the index from an embedding STREAM: each micro-batch runs

@@ -1075,6 +1075,35 @@ object ExtensionQueries {
       Some(ivfpqOracle),
       prepare = Some((s, dir) => { pqIndexFor(s, dir); t(s, dir, "embeddings") })),
 
+    // PqIndex LIFECYCLE under the gate — the qe4 shape for the CODED
+    // corpus: models fit once over the full corpus ([[PqIndex.buildModels]],
+    // so the deterministic fits — and therefore the oracle — are qe9's
+    // verbatim), the corpus then ingested in three disjoint slices with a
+    // COMPACTION between slice 2 and slice 3 (the maintenance a long-lived
+    // index runs between deliveries). Frozen-model encode is
+    // batch-split-invariant and compaction content-preserving, so the
+    // search must be byte-identical to qe9's single-build index.
+    Entry("qef_pq_compacted_index",
+      (s, dir) => {
+        val tag = java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL) + "f"
+        val ref = graft.operators.PqIndex.Ref(tag)
+        graft.operators.PqIndex.drop(s, ref) // idempotent re-runs
+        val emb = t(s, dir, "embeddings")
+        graft.operators.PqIndex.buildModels(emb, "vec_id", "embedding",
+          dim = 64, m = 4, k = 8, iters = 1, nCells = 8, cIters = 1, ref)
+        def ingest(slice: Int): Unit = graft.operators.PqIndex.ingest(
+          emb.filter(col("vec_id") % 3 === slice), "vec_id", "embedding",
+          dim = 64, m = 4, ref)
+        ingest(0); ingest(1)
+        graft.operators.PqIndex.compact(s, ref)
+        ingest(2)
+        val probes = emb.filter(col("vec_id") < 5)
+        ivfpqRecall(s, dir, graft.operators.PqIndex.search(probes, "vec_id",
+          "embedding", dim = 64, m = 4, nProbe = 2, topK = 5, ref))
+      },
+      Some(ivfpqOracle)),
+
     // Corpus length-distribution profile: EXACT per-language token-count
     // quantiles by explicit nearest-rank arithmetic (rank == ceil(p * n),
     // a total order with doc_id tie-break) so both engines compute the

@@ -137,6 +137,27 @@ class IvfIndexSpec extends SparkSpec {
     IvfIndex.drop(spark, ref)
   }
 
+  test("compact recovers a crash between its two swap renames") {
+    val ref = IvfIndex.Ref("specrecover")
+    IvfIndex.drop(spark, ref)
+    IvfIndex.build(vecs(0L until 40L), "vec_id", "embedding", nCells = 4, ref)
+    val queries = vecs(0L until 3L)
+    def res() = IvfIndex.search(queries, "vec_id", "embedding", ref,
+        k = 5, nProbe = 2)
+      .select($"query_id", $"rank", $"nbr_id", round($"cos", 6))
+      .as[(Long, Int, Long, Double)].collect().toSet
+    val before = res()
+    // simulate the mid-swap crash: live renamed aside, replacement not in
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val asg = new java.io.File(wh, s"${ref.dirName}/asg")
+    val old = new java.io.File(wh, s"${ref.dirName}/asg_old")
+    assert(asg.renameTo(old), "simulated crash rename failed")
+    IvfIndex.compact(spark, ref)
+    assert(asg.exists && !old.exists)
+    assert(res() === before)
+    IvfIndex.drop(spark, ref)
+  }
+
   test("write lease: a second writer fails fast; breakLease restores access") {
     val ref = IvfIndex.Ref("speclease")
     IvfIndex.drop(spark, ref)

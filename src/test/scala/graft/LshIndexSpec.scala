@@ -120,6 +120,48 @@ class LshIndexSpec extends SparkSpec {
     LshIndex.drop(spark, ref)
   }
 
+  test("compact recovers a swap crash: live files aside under _old, " +
+    "catalog entry dropped") {
+    LshIndex.drop(spark, ref)
+    ingestAll()
+    val before = ref.layout.map { case (t, _) =>
+      spark.table(t).collect().map(_.toString).sorted.toSeq }
+    // simulate a compact that died between its two swap renames: the
+    // banded table's catalog entry is dropped and its directory sits
+    // aside as _old (no live directory at all)
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    spark.sql(s"DROP TABLE ${ref.bandedTable}")
+    val live = new java.io.File(wh, ref.bandedTable)
+    val old = new java.io.File(wh, s"${ref.bandedTable}_old")
+    assert(live.renameTo(old), "simulated crash rename failed")
+    LshIndex.compact(spark, ref)
+    assert(!old.exists, "_old must be cleaned up after recovery")
+    assert(ref.layout.map { case (t, _) =>
+      spark.table(t).collect().map(_.toString).sorted.toSeq } === before)
+    LshIndex.drop(spark, ref)
+  }
+
+  test("fsck detects a torn ingest append and names the delta") {
+    LshIndex.drop(spark, ref)
+    ingestAll()
+    assert(LshIndex.fsck(spark, ref).head(1).isEmpty, "clean index must pass")
+    LshIndex.verifyConsistent(spark, ref) // must not throw
+    // plant the torn append: one doc's rows land in banded ONLY (a crash
+    // between the three concurrent artifact appends)
+    spark.table(ref.bandedTable).limit(1)
+      .select(lit(99L).as("doc"), col("band"), col("bucket"))
+      .write.mode("append").format("parquet")
+      .bucketBy(ref.buckets, "band", "bucket").sortBy("band", "bucket")
+      .saveAsTable(ref.bandedTable)
+    val bad = LshIndex.fsck(spark, ref).collect()
+    assert(bad.map(_.getLong(0)).toSeq === Seq(99L))
+    assert(bad.head.getSeq[String](1) === Seq("banded"))
+    val e = intercept[IllegalStateException] {
+      LshIndex.verifyConsistent(spark, ref) }
+    assert(e.getMessage.contains("99") && e.getMessage.contains("banded"))
+    LshIndex.drop(spark, ref)
+  }
+
   test("write lease: a second writer fails fast with the holder's name; " +
     "breakLease restores write access") {
     LshIndex.drop(spark, ref)

@@ -123,6 +123,23 @@ class PqIndexSpec extends SparkSpec {
     PqIndex.drop(spark, ref)
   }
 
+  test("compact recovers a crash between its two swap renames") {
+    val ref = PqIndex.Ref("specrecover")
+    PqIndex.drop(spark, ref)
+    PqIndex.build(vecs(0L until 40L), "vec_id", "embedding", dim, m, k = 4,
+      iters = 1, nCells = 4, cIters = 1, ref)
+    val queries = vecs(0L until 3L)
+    val before = res(ref, queries)
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val codes = new java.io.File(wh, s"${ref.dirName}/codes")
+    val old = new java.io.File(wh, s"${ref.dirName}/codes_old")
+    assert(codes.renameTo(old), "simulated crash rename failed")
+    PqIndex.compact(spark, ref)
+    assert(codes.exists && !old.exists)
+    assert(res(ref, queries) === before)
+    PqIndex.drop(spark, ref)
+  }
+
   test("write lease: a second writer fails fast; breakLease restores access") {
     val ref = PqIndex.Ref("speclease")
     PqIndex.drop(spark, ref)
