@@ -16,10 +16,18 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - runtime path: `GraftExtensions.register(spark)` on a live session —
   *    the form the driver-owned sessions in this project can use.
   *
-  * After either, SQL text can call `fnv1a64(str)` and
-  * `cosine_similarity(array<float>, array<float>)` — both native codegen
+  * After either, SQL text can call `fnv1a64(str)`,
+  * `cosine_similarity(array<float>, array<float>)`,
+  * `shingle_hashes(str, n)`, `minhash_sig(array<bigint>, k)`, and
+  * `wordpiece_encode(str, array<string>)` — all native codegen
   * expressions, not UDFs, so SQL-text queries get the same fused loops as
-  * the Column API.
+  * the Column API. Shape parameters (`n`, `k`, the wordpiece vocabulary)
+  * must be FOLDABLE literals — they are compiled into the expression
+  * (loop bounds, the driver-built trie), exactly like the Scala
+  * constructors take them as plain values; the vocabulary's array-literal
+  * form is the SQL story for `wordpiece_encode` (the trie ships with the
+  * serialized plan either way, so 30k-piece vocabularies cost the same as
+  * from Scala — see WordpieceEncodeExpr's scale notes).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -36,6 +44,38 @@ object GraftExtensions {
     args.head
   }
 
+  private def two(args: Seq[Expression], name: String): (Expression, Expression) = {
+    require(args.length == 2, s"$name expects 2 arguments, got ${args.length}")
+    (args(0), args(1))
+  }
+
+  /** Shape parameters compile into the expression (loop bounds / the
+    * driver-built trie), so their SQL form must be a foldable literal —
+    * the registry-time analogue of the Scala constructors' plain-value
+    * parameters. */
+  private def litInt(e: Expression, fn: String, arg: String): Int = {
+    require(e.foldable, s"$fn's $arg argument must be an integer literal")
+    e.eval() match {
+      case i: java.lang.Integer => i.intValue
+      case l: java.lang.Long => l.toInt
+      case s: java.lang.Short => s.intValue
+      case b: java.lang.Byte => b.intValue
+      case other => throw new IllegalArgumentException(
+        s"$fn's $arg argument must be an integer literal, got $other")
+    }
+  }
+
+  private def litStrings(e: Expression, fn: String, arg: String): Seq[String] = {
+    require(e.foldable, s"$fn's $arg argument must be an array<string> literal")
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        a.toArray[org.apache.spark.unsafe.types.UTF8String](
+          org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      case other => throw new IllegalArgumentException(
+        s"$fn's $arg argument must be an array<string> literal, got $other")
+    }
+  }
+
   val descriptors: Seq[Descriptor] = Seq(
     (FunctionIdentifier("fnv1a64"),
       new ExpressionInfo(classOf[Fnv1a64Expr].getName, "fnv1a64"),
@@ -43,8 +83,26 @@ object GraftExtensions {
     (FunctionIdentifier("cosine_similarity"),
       new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "cosine_similarity"),
       (args: Seq[Expression]) => {
-        require(args.length == 2, s"cosine_similarity expects 2 arguments, got ${args.length}")
-        CosineSimilarityExpr(args(0), args(1))
+        val (a, b) = two(args, "cosine_similarity")
+        CosineSimilarityExpr(a, b)
+      }),
+    (FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashesExpr].getName, "shingle_hashes"),
+      (args: Seq[Expression]) => {
+        val (text, n) = two(args, "shingle_hashes")
+        ShingleHashesExpr(text, litInt(n, "shingle_hashes", "n"))
+      }),
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),
+      (args: Seq[Expression]) => {
+        val (hashes, k) = two(args, "minhash_sig")
+        MinHashSigExpr(hashes, litInt(k, "minhash_sig", "k"))
+      }),
+    (FunctionIdentifier("wordpiece_encode"),
+      new ExpressionInfo(classOf[WordpieceEncodeExpr].getName, "wordpiece_encode"),
+      (args: Seq[Expression]) => {
+        val (word, vocab) = two(args, "wordpiece_encode")
+        WordpieceEncodeExpr(word, litStrings(vocab, "wordpiece_encode", "vocab"))
       }))
 
   /** Register on a live session (idempotent — re-registration overwrites

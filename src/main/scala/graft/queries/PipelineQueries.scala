@@ -1531,6 +1531,66 @@ object PipelineQueries {
           FROM documents)
         SELECT doc_id, ${oSigned(oFnv("s"))} AS fp FROM norm""")),
 
+    // The full MinHash/LSH dedup pipeline in pure SQL TEXT through the
+    // injected registry: shingle_hashes + minhash_sig (native codegen
+    // expressions, SQL-registered) feed candidate banding (xxhash64 over
+    // signature slices — Dedup.bandedBuckets' exact device), the
+    // signature-agreement prefilter, and exact-Jaccard verification, all
+    // as SQL. Same recall argument as q85 (64 bands × 2 rows at
+    // threshold 0.5 → miss ~1e-8) and survivors exact-verified, so the
+    // oracle is q85's exact pair set verbatim — what a SQL-text user of
+    // the library runs without touching the Column API.
+    Entry("qeg_sql_dedup_pipeline",
+      (s, dir) => {
+        graft.functions.GraftExtensions.register(s)
+        graft.Tables.registerAll(s, dir)
+        s.sql("""WITH sh AS (
+            SELECT doc_id AS doc, shingle_hashes(text, 2) AS shs FROM documents
+          ), sigs AS (
+            SELECT doc, minhash_sig(shs, 128) AS sig FROM sh
+          ), banded AS (
+            SELECT doc, t.band, t.bucket FROM sigs
+            LATERAL VIEW posexplode(transform(sequence(0, 63),
+              i -> xxhash64('band', i, slice(sig, i * 2 + 1, 2)))) t AS band, bucket
+          ), cands AS (
+            SELECT DISTINCT a.doc AS id1, b.doc AS id2
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+          ), agreed AS (
+            SELECT id1, id2 FROM cands
+            JOIN sigs s1 ON cands.id1 = s1.doc
+            JOIN sigs s2 ON cands.id2 = s2.doc
+            WHERE size(filter(zip_with(s1.sig, s2.sig, (x, y) -> x = y), v -> v))
+                  / CAST(size(s1.sig) AS DOUBLE) >= 0.25
+          ), verified AS (
+            SELECT id1, id2,
+              CAST(size(array_intersect(x.shs, y.shs)) AS DOUBLE)
+                / (size(x.shs) + size(y.shs)
+                   - size(array_intersect(x.shs, y.shs))) AS jaccard
+            FROM agreed JOIN sh x ON id1 = x.doc JOIN sh y ON id2 = y.doc
+          )
+          SELECT id1, id2, round(jaccard, 9) AS jaccard
+          FROM verified WHERE jaccard >= 0.5""")
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, $OTOKS AS w FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, (w[i] || ' ' || w[i+1]) AS sh
+          FROM toks CROSS JOIN UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+        ), sizes AS (
+          SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id
+        ), common AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id1, id2,
+          round(CAST(c AS DOUBLE) / (s1.nsh + s2.nsh - c), 9) AS jaccard
+        FROM common
+        JOIN sizes s1 ON id1 = s1.doc_id
+        JOIN sizes s2 ON id2 = s2.doc_id
+        WHERE CAST(c AS DOUBLE) / (s1.nsh + s2.nsh - c) >= 0.5""")),
+
     // Hybrid retrieval via reciprocal-rank fusion (Cormack & Clarke
     // SIGIR'09): fuse a lexical BM25 top-100 (qcx's ranker, ranked on the
     // 6-decimal-rounded score) with a semantic cosine top-100 (q88's brute

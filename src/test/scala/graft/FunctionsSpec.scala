@@ -222,6 +222,41 @@ class FunctionsSpec extends SparkSpec {
     intercept[Exception](spark.sql("SELECT fnv1a64('a', 'b')").collect())
   }
 
+  test("GraftExtensions: dedup + tokenizer expressions callable from SQL " +
+    "text, bit-identical to the Column API") {
+    import graft.functions.{GraftExtensions, Hashes}
+    GraftExtensions.register(spark)
+    val txt = "the quick brown fox jumps over the lazy dog"
+    // shingle_hashes: SQL == local kernel
+    val shSql = spark.sql(s"SELECT shingle_hashes('$txt', 2) AS s")
+      .as[Seq[Long]].head()
+    assert(shSql === Hashes.shingleHashes(txt, 2).toSeq)
+    // minhash_sig composes over it: SQL == local kernel
+    val sigSql = spark.sql(
+      s"SELECT minhash_sig(shingle_hashes('$txt', 2), 16) AS s")
+      .as[Seq[Long]].head()
+    assert(sigSql ===
+      Hashes.minHashSignatureFromHashes(Hashes.shingleHashes(txt, 2), 16).toSeq)
+    // wordpiece_encode with the array-literal vocab form: SQL == Column API
+    val vocab = Seq("un", "##aff", "##able", "aff")
+    val sqlRow = spark.sql(
+      """SELECT wordpiece_encode('unaffable',
+           array('un', '##aff', '##able', 'aff')) AS e""")
+      .select($"e.w_toks", $"e.unk").as[(Long, Boolean)].head()
+    val apiRow = Seq("unaffable").toDF("w")
+      .select(org.apache.spark.sql.GraftExprBridge.column(
+        graft.functions.WordpieceEncodeExpr(
+          org.apache.spark.sql.GraftExprBridge.expression($"w"), vocab)).as("e"))
+      .select($"e.w_toks", $"e.unk").as[(Long, Boolean)].head()
+    assert(sqlRow === apiRow && sqlRow === ((3L, false)))
+    // shape parameters must be literals — a column reference is rejected
+    // at analysis, not silently mis-planned
+    intercept[Exception] {
+      Seq(2).toDF("n").createOrReplaceTempView("nv")
+      spark.sql("SELECT shingle_hashes('ab cd', n) FROM nv").collect()
+    }
+  }
+
   test("TimeOfDay laws: decomposition, parse/format, date re-anchoring") {
     import graft.functions.TimeOfDay._
     import org.apache.spark.sql.functions._
