@@ -160,6 +160,8 @@ object Images {
         val img = r.getStruct(0)
         val origin = img.getString(0)
         val h = img.getInt(1); val w = img.getInt(2); val nCh = img.getInt(3)
+        require(nCh >= 3,
+          s"channelStats needs nChannels >= 3 (BGR planes), got $nCh for $origin")
         val data = img.getAs[Array[Byte]](5)
         val sums = new Array[Long](3)
         val maxs = new Array[Int](3)
@@ -196,6 +198,8 @@ object Images {
         val img = r.getStruct(0)
         val origin = img.getString(0)
         val h = img.getInt(1); val w = img.getInt(2); val nCh = img.getInt(3)
+        require(nCh >= 3,
+          s"resizeNearest needs nChannels >= 3 (BGR planes), got $nCh for $origin")
         val data = img.getAs[Array[Byte]](5)
         val out = new Array[Byte](dstW * dstH * 3)
         var d = 0

@@ -115,6 +115,23 @@ class ImageSourceSpec extends SparkSpec {
     }
   }
 
+  test("kernels reject sub-3-channel frames with a clear error (BGR-plane " +
+    "contract, mirroring Audio's format require)") {
+    val dir = java.nio.file.Files.createTempDirectory("img_gray").toFile
+    val g = new java.awt.image.BufferedImage(
+      2, 2, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    javax.imageio.ImageIO.write(g, "png", new java.io.File(dir, "gray.png"))
+    val imgs = Images.read(spark, dir.getPath)
+    assert(imgs.select(col("image.nChannels")).head().getInt(0) === 1)
+    def msg(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString("|")
+    val e1 = intercept[Throwable] { Images.channelStats(imgs).collect() }
+    assert(msg(e1).contains("nChannels >= 3"))
+    val e2 = intercept[Throwable] { Images.resizeNearest(imgs, 1, 1).collect() }
+    assert(msg(e2).contains("nChannels >= 3"))
+  }
+
   test("resizeNearest (production kernel) reproduces resizeNearestSums' " +
     "sum and checksum on every fixture image and scale") {
     import spark.implicits._
