@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.IterBench"
   * Section select: SPARK_GRAFT_ITERBENCH=loops|bpe|bpescale|tok|wpencode|
-  * lshidx|ivfidx|stream|streamamort (default loops — the bpe/bpescale
+  * lshidx|ivfidx|stream|streamamort|streamloop (default loops — the bpe/bpescale
   * sections run ~500-merge tokenizer trainings and are minutes long by
   * design; results are recorded in BASELINE.md).
   *
@@ -361,6 +361,105 @@ object IterBench {
           f"${dt / n * 1e6}%8.1f us/event")
       }
       org.apache.commons.io.FileUtils.deleteQuietly(base)
+      spark.stop()
+      return
+    }
+
+    // Streaming-loop scale curve (round-10 VERDICT item #5): the claim
+    // "loop rounds cost O(frontier)" made structural-only so far. The
+    // qe8/qec fixtures replicate SPARK_GRAFT_MULT× with node-id offsets
+    // (disjoint replicas: round COUNT is scale-invariant — each replica
+    // has replica-0's structure — while the per-round frontier grows
+    // linearly), so per-round cost at 1× vs 10× separates the fixed
+    // micro-batch commit floor from the frontier-linear work, against the
+    // batch driver-loop twins at identical round counts.
+    if (section == "streamloop") {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      import graft.operators.GraphOps
+      import graft.streaming.IterateStream
+      val o = Tables(spark, sfDir, "orders")
+      val l = Tables(spark, sfDir, "lineitem")
+      val dense = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), (lit(100000) + col("l_suppkey")).as("dst"))
+        .distinct().localCheckpoint(true)
+      val sparse = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_quantity") === 1 && col("o_totalprice") < 20000)
+        .select(col("o_custkey").as("src"), (lit(100000) + col("l_suppkey")).as("dst"))
+        .distinct().localCheckpoint(true)
+      val span = 10000000L
+      def repl(base: org.apache.spark.sql.DataFrame, k: Int) =
+        (0 until k).map { r =>
+          base.select((col("src") + lit(r * span)).as("src"),
+            (col("dst") + lit(r * span)).as("dst"))
+        }.reduce(_ unionByName _).localCheckpoint(true)
+      def tmp(tag: String) = java.nio.file.Files
+        .createTempDirectory(s"streamloop_$tag").toFile.getAbsolutePath
+      def rounds(work: String): Long = {
+        val d = new java.io.File(work, "out/rounds")
+        if (!d.isDirectory) 0L
+        else d.listFiles().count(_.getName.startsWith("batch_id=")).toLong
+      }
+      def perRound(label: String, dt: Double, r: Long): Unit =
+        println(f"[iterbench]   -> $label rounds=$r  ${dt / math.max(r, 1)}%6.3f s/round")
+      // two passes: pass 1 warms streaming machinery + JIT (k=1 would
+      // otherwise be charged cold against a warm k=10); read pass 2
+      for (rep <- 1 to 2; k <- Seq(1, 10)) {
+        println(s"--- streamloop pass $rep k=$k ---")
+        // SSSP to fixpoint (qe8's dense weighted graph), one root per
+        // replica so every replica floods — frontier ~k×
+        val uedK = GraphOps.undirected(repl(dense, k)).localCheckpoint(true)
+        val wK = uedK.select(col("a").as("src"), col("b").as("dst"),
+          expr("(a + b) % 7 + 1").as("wt")).localCheckpoint(true)
+        val root = uedK.filter(col("a") < span).agg(min(col("a"))).head().getLong(0)
+        val seeds = (0 until k).map(r => (root + r * span, 0L))
+          .toDF("node", "dist")
+        val nE = wK.count()
+        val sw = tmp(s"sssp$k")
+        var t0 = System.nanoTime()
+        val nStream = IterateStream.minFixpoint(wK, seeds, sw).count()
+        var dt = (System.nanoTime() - t0) / 1e9
+        val rS = rounds(sw)
+        println(f"[iterbench] ssspStream  k=$k%-2d edges=$nE%7d $dt%7.2f s (rows=$nStream)")
+        perRound("ssspStream", dt, rS)
+        t0 = System.nanoTime()
+        // multi-seed batch twin: GraphOps.sssp's relax loop (same join +
+        // min-agg round shape) initialized from the k-seed frame, run the
+        // SAME number of rounds the stream loop took
+        val nBatch = {
+          val INF = Long.MaxValue / 4
+          val verts = wK.select(col("src").as("node"))
+            .union(wK.select(col("dst"))).distinct()
+          val init = verts.join(seeds.withColumnRenamed("dist", "d0"),
+              Seq("node"), "left")
+            .select(col("node"), coalesce(col("d0"), lit(INF)).as("d"))
+          val res = graft.operators.Iterations.iterate(init, rS.toInt, fuse = 2) { cur =>
+            val relaxed = wK.join(cur.withColumnRenamed("node", "src"), "src")
+              .select(col("dst").as("node"), (col("d") + col("wt")).as("nd"))
+              .groupBy("node").agg(min(col("nd")).as("md"))
+            cur.join(relaxed, Seq("node"), "left")
+              .select(col("node"),
+                least(col("d"), coalesce(col("md"), col("d"))).as("d"))
+          }
+          res.filter(col("d") < INF).count()
+        }
+        dt = (System.nanoTime() - t0) / 1e9
+        println(f"[iterbench] ssspBatch   k=$k%-2d edges=$nE%7d $dt%7.2f s (rows=$nBatch) [same rounds=$rS]")
+        perRound("ssspBatch", dt, rS)
+        // BSP PageRank (qec's sparse graph), 5 rounds both ways
+        val prEdges = repl(sparse, k)
+        val pw = tmp(s"pr$k")
+        t0 = System.nanoTime()
+        val nPr = IterateStream.pageRankStream(prEdges, iters = 5, pw).count()
+        dt = (System.nanoTime() - t0) / 1e9
+        println(f"[iterbench] prStream    k=$k%-2d $dt%7.2f s (rows=$nPr)")
+        perRound("prStream", dt, rounds(pw))
+        t0 = System.nanoTime()
+        val nPrB = GraphOps.pageRankScaled(prEdges, iters = 5).count()
+        dt = (System.nanoTime() - t0) / 1e9
+        println(f"[iterbench] prBatch     k=$k%-2d $dt%7.2f s (rows=$nPrB)")
+        perRound("prBatch", dt, 5L)
+      }
       spark.stop()
       return
     }
