@@ -157,13 +157,11 @@ object LshIndex {
     * like [[compact]], not an ingest-path one; sigs/sh distinct on doc is
     * bucket-local, banded's crosses buckets).
     *
-    * REPAIR PATH: the orphaned docs' partial artifacts must go. Rows
-    * can't be deleted from parquet in place, so rewrite each table minus
-    * the orphans in the next [[compact]]-style maintenance window
-    * (filter `NOT IN (orphans)` before the bucketed rewrite), then
-    * re-[[ingest]] the orphaned docs whole — their pairs were never
-    * returned, so re-ingesting under the SAME ids is safe (the id-
-    * uniqueness rule forbids only ids whose artifacts are fully live). */
+    * REPAIR PATH: [[repairTorn]] — rewrites each table minus the
+    * orphans (rows can't be deleted from parquet in place), after which
+    * the orphaned docs re-[[ingest]] whole under their SAME ids (their
+    * pairs were never returned, and the id-uniqueness rule forbids only
+    * ids whose artifacts are fully live). */
   def fsck(spark: SparkSession, ref: Ref): DataFrame = {
     attach(spark, ref)
     Seq(ref.bandedTable -> "banded", ref.sigsTable -> "sigs",
@@ -175,6 +173,25 @@ object LshIndex {
       .groupBy("doc").agg(sort_array(collect_set(col("tbl"))).as("present"))
       .filter(size(col("present")) < 3)
   }
+
+  /** The [[fsck]] repair path, executable: rewrites each table MINUS the
+    * orphaned docs' partial artifacts (a compact-style bucketed rewrite
+    * per table — same rename-aside swap, under the write lease), leaving
+    * the doc sets equal again. Returns the purged orphan count. The
+    * orphaned docs can then be re-[[ingest]]ed whole under their SAME
+    * ids: their pairs were never returned (the batch died before its
+    * ingest completed), and the id-uniqueness rule only forbids ids
+    * whose artifacts are fully live. */
+  def repairTorn(spark: SparkSession, ref: Ref): Long =
+    withLease(spark, ref, "repair") {
+      val orphans = fsck(spark, ref).select(col("doc")).localCheckpoint(true)
+      val n = orphans.count()
+      if (n > 0) ref.layout.foreach { case (tbl, cols) =>
+        compactOne(spark, ref, tbl, cols,
+          df => df.join(broadcast(orphans), Seq("doc"), "left_anti"))
+      }
+      n
+    }
 
   /** [[fsck]] as an assertion: throws naming (a sample of) the
     * inconsistent docs and where each was found. */
@@ -298,7 +315,8 @@ object LshIndex {
     }
 
   private def compactOne(spark: SparkSession, ref: Ref, tbl: String,
-                         cols: Seq[String]): Unit = {
+                         cols: Seq[String],
+                         transform: DataFrame => DataFrame = identity): Unit = {
         val tmp = s"${tbl}_compacting"
         val tmpLoc = location(spark, tmp)
         val loc = location(spark, tbl)
@@ -317,7 +335,7 @@ object LshIndex {
         // so the repartition actually shuffles: Catalyst otherwise elides
         // it as redundant, then plans an unbucketed scan whose raw file
         // splits misalign with bucket ids and fan out file-per-task-bucket
-        appendBucketed(spark.table(tbl).localCheckpoint(true)
+        appendBucketed(transform(spark.table(tbl).localCheckpoint(true))
             .repartition(ref.buckets, cols.map(col): _*),
           tmp, ref.buckets, cols)
         // swap: drop the catalog entries, rename live ASIDE (never

@@ -159,6 +159,17 @@ class LshIndexSpec extends SparkSpec {
     val e = intercept[IllegalStateException] {
       LshIndex.verifyConsistent(spark, ref) }
     assert(e.getMessage.contains("99") && e.getMessage.contains("banded"))
+    // the executable repair: purge the orphan's partial artifacts...
+    assert(LshIndex.repairTorn(spark, ref) === 1L)
+    LshIndex.verifyConsistent(spark, ref) // consistent again
+    assert(spark.table(ref.bandedTable).filter(col("doc") === 99L).count() === 0)
+    // ...then the orphan re-ingests whole under its SAME id and is fully
+    // live: a fresh near-dup probe finds it through the index
+    LshIndex.ingest(docs(99L -> base), "doc_id", "text",
+      n = 2, k = 128, bands = 64, threshold = 0.5, ref)
+    val probe = LshIndex.ingest(docs(101L -> base), "doc_id", "text",
+      n = 2, k = 128, bands = 64, threshold = 0.5, ref)
+    assert(probe.select($"old_id").as[Long].collect().toSet.contains(99L))
     LshIndex.drop(spark, ref)
   }
 
