@@ -18,7 +18,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   * After either, SQL text can call `fnv1a64(str)`,
   * `cosine_similarity(array<float>, array<float>)`,
-  * `shingle_hashes(str, n)`, `minhash_sig(array<bigint>, k)`, and
+  * `shingle_hashes(str, n)`, `pos_shingle_hashes(str, n)`,
+  * `minhash_sig(array<bigint>, k)`, and
   * `wordpiece_encode(str, array<string>)` — all native codegen
   * expressions, not UDFs, so SQL-text queries get the same fused loops as
   * the Column API. Shape parameters (`n`, `k`, the wordpiece vocabulary)
@@ -91,6 +92,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         val (text, n) = two(args, "shingle_hashes")
         ShingleHashesExpr(text, litInt(n, "shingle_hashes", "n"))
+      }),
+    (FunctionIdentifier("pos_shingle_hashes"),
+      new ExpressionInfo(classOf[PosShingleHashesExpr].getName, "pos_shingle_hashes"),
+      (args: Seq[Expression]) => {
+        val (text, n) = two(args, "pos_shingle_hashes")
+        PosShingleHashesExpr(text, litInt(n, "pos_shingle_hashes", "n"))
       }),
     (FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinHashSigExpr].getName, "minhash_sig"),

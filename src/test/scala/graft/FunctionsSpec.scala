@@ -231,6 +231,10 @@ class FunctionsSpec extends SparkSpec {
     val shSql = spark.sql(s"SELECT shingle_hashes('$txt', 2) AS s")
       .as[Seq[Long]].head()
     assert(shSql === Hashes.shingleHashes(txt, 2).toSeq)
+    // pos_shingle_hashes: positional sibling, duplicates kept
+    val posSql = spark.sql(s"SELECT pos_shingle_hashes('$txt', 2) AS s")
+      .as[Seq[Long]].head()
+    assert(posSql === Hashes.posShingleHashes(txt, 2).toSeq)
     // minhash_sig composes over it: SQL == local kernel
     val sigSql = spark.sql(
       s"SELECT minhash_sig(shingle_hashes('$txt', 2), 16) AS s")

@@ -131,6 +131,28 @@ class StreamIterationSpec extends SparkSpec {
     assert(reread.toSet === clean && reread.length === clean.size)
   }
 
+  test("resume after a crash at EVERY round reaches the same fixpoint " +
+    "(exhaustive in-process sweep of the crash window)") {
+    // chain 1->2->...->6: five relax rounds to fixpoint; inject the crash
+    // after round r for every r, resume in-process over the same work
+    // dir, and require the exact distances every time
+    val edges = (1L until 6L).map(i => (i, i + 1, 1L)).toDF("src", "dst", "wt")
+    val want = (1L to 6L).map(i => i -> (i - 1L)).toMap
+    for (r <- 1 to 4) {
+      val dir = tmp()
+      val seeds = Seq((1L, 0L)).toDF("node", "dist")
+      val crashed = try {
+        IterateStream.minFixpointImpl(edges, seeds, dir,
+          loopStatePartitions = 4, crashAfterRounds = r).count()
+        false
+      } catch { case _: Throwable => true }
+      assert(crashed, s"crash after round $r did not fire")
+      val got = IterateStream.ssspToFixpoint(edges, root = 1L, dir)
+        .as[(Long, Long)].collect().toMap
+      assert(got === want, s"resume after crash at round $r diverged")
+    }
+  }
+
   test("a re-seeded non-improving frontier terminates without emitting") {
     val edges = Seq((1L, 2L, 3L)).toDF("src", "dst", "wt")
     val dir = tmp()
