@@ -175,6 +175,13 @@ object IterateStream {
       col("dist").cast("long").as("dist")), fbDir)
     val e = edges.select(col("src"), col("dst"), col("wt").cast("long").as("wt"))
       .localCheckpoint(true) // loop-invariant: materialize once, join per round
+    // The per-round relax join hints broadcast only while the edge frame
+    // is broadcastable (same threshold as the batch driver loops,
+    // Iterations.maybeBroadcast) — a 100-TB edge set must shuffle-join
+    // the frontier against it instead, and the localCheckpoint carries no
+    // stats for AQE to decide from. The count is one cheap job on the
+    // materialized frame, paid once per loop, not per round.
+    val maybeB = graft.operators.Iterations.maybeBroadcast(e.count())
     val improved = source.as[(Long, Long)]
       .groupByKey(_._1)
       .transformWithState(new MinState, TimeMode.None(), OutputMode.Update())
@@ -198,7 +205,7 @@ object IterateStream {
         if (rounds.incrementAndGet() > crashAfterRounds)
           throw new IllegalStateException(
             s"injected loop crash after $crashAfterRounds rounds")
-        rows.join(broadcast(e), rows("node") === e("src"))
+        rows.join(maybeB(e), rows("node") === e("src"))
           .select(e("dst").as("node"), (rows("dist") + e("wt")).as("dist"))
       }
       try q.processAllAvailable() finally q.stop()
@@ -251,6 +258,9 @@ object IterateStream {
       .select(col("src").as("node"), col("dst"), col("d")).localCheckpoint(true)
     val verts = e.select(col("src").as("node"))
       .union(e.select(col("dst"))).distinct().localCheckpoint(true)
+    // as in minFixpoint: hint broadcast for the loop-invariant edge side
+    // only while it is broadcastable; at scale both sides shuffle
+    val maybeB = graft.operators.Iterations.maybeBroadcast(eWithDeg.count())
     val schema = StructType.fromDDL("node BIGINT, rank BIGINT, iter INT")
     val source = feedbackSource(spark, schema, fbDir)
     seed(verts.select(col("node"), lit(1000000L).as("rank"),
@@ -266,7 +276,7 @@ object IterateStream {
         val rows = raw.filter(col("iter") === it).dropDuplicates("node", "iter")
         if (it >= iters) raw.limit(0)
         else {
-          val contribs = eWithDeg
+          val contribs = maybeB(eWithDeg)
             .join(rows.select(col("node"), col("rank")), "node")
             .select(col("dst").as("node"), expr("rank div d").as("c"))
             .groupBy("node").agg(sum(col("c")).as("contrib"))
