@@ -166,4 +166,19 @@ class PlanQualitySpec extends SparkSpec {
     assert(plan.contains("HashAggregate"),
       s"bucket features must hash-aggregate:\n$plan")
   }
+
+  test("qeg all-SQL dedup pipeline: equi-joins only (no nested loop), " +
+    "native expressions (no UDF)") {
+    val plan = executedPlan("qeg_sql_dedup_pipeline")
+    // the candidate join must key on (band, bucket) as a hash-joinable
+    // equi-join; a planner regression to a nested loop is quadratic in
+    // the banded table
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"SQL dedup pipeline must plan equi-joins only:\n$plan")
+    // the SQL registry must resolve to the native codegen expressions,
+    // not fall back to any UDF wrapper
+    assert(!plan.contains("ScalaUDF"),
+      s"SQL text must reach the native expressions:\n$plan")
+  }
 }
