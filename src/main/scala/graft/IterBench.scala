@@ -403,11 +403,20 @@ object IterBench {
       def perRound(label: String, dt: Double, r: Long): Unit =
         println(f"[iterbench]   -> $label rounds=$r  ${dt / math.max(r, 1)}%6.3f s/round")
       // two passes: pass 1 warms streaming machinery + JIT (k=1 would
-      // otherwise be charged cold against a warm k=10); read pass 2
-      for (rep <- 1 to 2; k <- Seq(1, 10)) {
+      // otherwise be charged cold against a warm k=10); read pass 2.
+      // SPARK_GRAFT_MULT raises the high point (default 10); the dense
+      // SSSP fixture is capped at 10× (97M edges exceeds the local
+      // profile) — the sparse PageRank fixture carries higher multiples.
+      val hi = math.max(mult, 10)
+      for (rep <- 1 to 2; k <- Seq(1, hi)) {
         println(s"--- streamloop pass $rep k=$k ---")
         // SSSP to fixpoint (qe8's dense weighted graph), one root per
         // replica so every replica floods — frontier ~k×
+        if (k > 10)
+          println(s"[iterbench] ssspStream/ssspBatch skipped at k=$k " +
+            "(dense fixture too large for the local profile; PR below " +
+            "carries this point)")
+        else {
         val uedK = GraphOps.undirected(repl(dense, k)).localCheckpoint(true)
         val wK = uedK.select(col("a").as("src"), col("b").as("dst"),
           expr("(a + b) % 7 + 1").as("wt")).localCheckpoint(true)
@@ -446,12 +455,13 @@ object IterBench {
         dt = (System.nanoTime() - t0) / 1e9
         println(f"[iterbench] ssspBatch   k=$k%-2d edges=$nE%7d $dt%7.2f s (rows=$nBatch) [same rounds=$rS]")
         perRound("ssspBatch", dt, rS)
+        }
         // BSP PageRank (qec's sparse graph), 5 rounds both ways
         val prEdges = repl(sparse, k)
         val pw = tmp(s"pr$k")
-        t0 = System.nanoTime()
+        var t0 = System.nanoTime()
         val nPr = IterateStream.pageRankStream(prEdges, iters = 5, pw).count()
-        dt = (System.nanoTime() - t0) / 1e9
+        var dt = (System.nanoTime() - t0) / 1e9
         println(f"[iterbench] prStream    k=$k%-2d $dt%7.2f s (rows=$nPr)")
         perRound("prStream", dt, rounds(pw))
         t0 = System.nanoTime()

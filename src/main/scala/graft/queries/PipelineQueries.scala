@@ -521,6 +521,38 @@ object PipelineQueries {
   /** Oracle fragment: whitespace tokens of `text` as a DuckDB list. */
   private val OTOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 
+  /** qeg's Spark-side SQL, exposed so DedupSpec can differential-fuzz it
+    * against the Column-API pipeline over a `documents` temp view. Reads
+    * table `documents(doc_id, text)`; parameters match
+    * Dedup.minhashDupPairs(n=2, k=128, bands=64, threshold=0.5). */
+  private[graft] val SqlDedupPipeline: String = """WITH sh AS (
+            SELECT doc_id AS doc, shingle_hashes(text, 2) AS shs FROM documents
+          ), sigs AS (
+            SELECT doc, minhash_sig(shs, 128) AS sig FROM sh
+          ), banded AS (
+            SELECT doc, t.band, t.bucket FROM sigs
+            LATERAL VIEW posexplode(transform(sequence(0, 63),
+              i -> xxhash64('band', i, slice(sig, i * 2 + 1, 2)))) t AS band, bucket
+          ), cands AS (
+            SELECT DISTINCT a.doc AS id1, b.doc AS id2
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+          ), agreed AS (
+            SELECT id1, id2 FROM cands
+            JOIN sigs s1 ON cands.id1 = s1.doc
+            JOIN sigs s2 ON cands.id2 = s2.doc
+            WHERE size(filter(zip_with(s1.sig, s2.sig, (x, y) -> x = y), v -> v))
+                  / CAST(size(s1.sig) AS DOUBLE) >= 0.25
+          ), verified AS (
+            SELECT id1, id2,
+              CAST(size(array_intersect(x.shs, y.shs)) AS DOUBLE)
+                / (size(x.shs) + size(y.shs)
+                   - size(array_intersect(x.shs, y.shs))) AS jaccard
+            FROM agreed JOIN sh x ON id1 = x.doc JOIN sh y ON id2 = y.doc
+          )
+          SELECT id1, id2, round(jaccard, 9) AS jaccard
+          FROM verified WHERE jaccard >= 0.5"""
+
   /** Oracle fragment: the shared-span CTE chain (Dedup.sharedSpans with
     * n=8, minTokens=12, maxDf=64 on `documents`) — replayed on n-gram
     * STRINGS where Spark joins hashes; exposes `toks(doc_id, w)` and
@@ -1544,33 +1576,7 @@ object PipelineQueries {
       (s, dir) => {
         graft.functions.GraftExtensions.register(s)
         graft.Tables.registerAll(s, dir)
-        s.sql("""WITH sh AS (
-            SELECT doc_id AS doc, shingle_hashes(text, 2) AS shs FROM documents
-          ), sigs AS (
-            SELECT doc, minhash_sig(shs, 128) AS sig FROM sh
-          ), banded AS (
-            SELECT doc, t.band, t.bucket FROM sigs
-            LATERAL VIEW posexplode(transform(sequence(0, 63),
-              i -> xxhash64('band', i, slice(sig, i * 2 + 1, 2)))) t AS band, bucket
-          ), cands AS (
-            SELECT DISTINCT a.doc AS id1, b.doc AS id2
-            FROM banded a JOIN banded b
-              ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
-          ), agreed AS (
-            SELECT id1, id2 FROM cands
-            JOIN sigs s1 ON cands.id1 = s1.doc
-            JOIN sigs s2 ON cands.id2 = s2.doc
-            WHERE size(filter(zip_with(s1.sig, s2.sig, (x, y) -> x = y), v -> v))
-                  / CAST(size(s1.sig) AS DOUBLE) >= 0.25
-          ), verified AS (
-            SELECT id1, id2,
-              CAST(size(array_intersect(x.shs, y.shs)) AS DOUBLE)
-                / (size(x.shs) + size(y.shs)
-                   - size(array_intersect(x.shs, y.shs))) AS jaccard
-            FROM agreed JOIN sh x ON id1 = x.doc JOIN sh y ON id2 = y.doc
-          )
-          SELECT id1, id2, round(jaccard, 9) AS jaccard
-          FROM verified WHERE jaccard >= 0.5""")
+        s.sql(SqlDedupPipeline)
       },
       Some(s"""WITH toks AS (
           SELECT doc_id, $OTOKS AS w FROM documents

@@ -35,6 +35,38 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("all-SQL-text pipeline is row-identical to minhashDupPairs on " +
+    "randomized near-dup corpora (differential fuzz)") {
+    graft.functions.GraftExtensions.register(spark)
+    val words = Vector("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet")
+    val rnd = new scala.util.Random(4242L)
+    for (trial <- 1 to 3) {
+      // 8 base docs; each of 32 docs perturbs a base in 0-3 positions, so
+      // every trial has real near-dup clusters plus sub-threshold noise
+      val bases = Vector.fill(8)(Vector.fill(14)(words(rnd.nextInt(words.size))))
+      val corpus = (1L to 32L).map { id =>
+        val b = bases(rnd.nextInt(bases.size))
+        val perturbed = (0 until rnd.nextInt(4)).foldLeft(b) { (v, _) =>
+          v.updated(rnd.nextInt(v.size), words(rnd.nextInt(words.size)))
+        }
+        (id, perturbed.mkString(" "))
+      }
+      val df = corpus.toDF("doc_id", "text")
+      df.createOrReplaceTempView("documents")
+      val sql = spark.sql(graft.queries.PipelineQueries.SqlDedupPipeline)
+        .select($"id1", $"id2", round($"jaccard", 9).as("j"))
+        .as[(Long, Long, Double)].collect().toSet
+      val api = Dedup.minhashDupPairs(df, "doc_id", "text", n = 2, k = 128,
+          bands = 64, threshold = 0.5)
+        .select($"id1", $"id2", round($"jaccard", 9).as("j"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(sql === api, s"trial $trial diverged")
+      assert(sql.nonEmpty, s"trial $trial degenerate (no pairs — fixture bug)")
+    }
+    spark.catalog.dropTempView("documents")
+  }
+
   test("bucketed minhash path is result-identical to the broadcast path, shuffle-free lookups") {
     val bc = Dedup.minhashDupPairs(docs, "doc_id", "text", n = 2, k = 128,
       bands = 64, threshold = 0.5)
