@@ -247,7 +247,22 @@ object IterateStream {
     * `loopStatePartitions` as in [[minFixpoint]] (here it sizes the
     * stateless body's per-round shuffles, not a state store). */
   def pageRankStream(edges: DataFrame, iters: Int, workDir: String,
-                     loopStatePartitions: Int = 4): DataFrame = {
+                     loopStatePartitions: Int = 4): DataFrame =
+    pageRankStreamImpl(edges, iters, workDir, loopStatePartitions,
+      crashAfterRounds = Int.MaxValue)
+
+  /** [[pageRankStream]] with the same fault injection as
+    * [[minFixpointImpl]] — kills the query after `crashAfterRounds`
+    * rounds produced feedback, leaving the exact crash state a real
+    * failure would (un-ledgered batch, checkpoint offsets at the failed
+    * batch). A resume call over the same workDir must replay the failed
+    * round and finish with the batch driver loop's exact ranks — the
+    * REAL-window proof of the route's replay armor (the planted-file
+    * specs cover the simulated window). Test-surface only. */
+  private[graft] def pageRankStreamImpl(edges: DataFrame, iters: Int,
+                                        workDir: String,
+                                        loopStatePartitions: Int,
+                                        crashAfterRounds: Int): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val fbDir = s"$workDir/feedback"
@@ -268,7 +283,11 @@ object IterateStream {
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     try {
       spark.conf.set("spark.sql.shuffle.partitions", loopStatePartitions.toString)
+      val roundsSeen = new java.util.concurrent.atomic.AtomicInteger(0)
       val q = drive(source, fbDir, outDir, s"$workDir/ckpt") { raw =>
+        if (roundsSeen.incrementAndGet() > crashAfterRounds)
+          throw new IllegalStateException(
+            s"injected loop crash after $crashAfterRounds rounds")
         // Replay armor (see class doc): one row per (node, iter), newest
         // round only — a replayed append arrives duplicated and bundled
         // with the original into one batch.

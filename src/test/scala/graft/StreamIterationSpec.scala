@@ -131,6 +131,31 @@ class StreamIterationSpec extends SparkSpec {
     assert(reread.toSet === clean && reread.length === clean.size)
   }
 
+  test("pageRankStream resumes a REAL mid-loop crash to the batch " +
+    "driver loop's exact ranks (the armor in the live window)") {
+    val rnd = new scala.util.Random(909L)
+    val es = (for (_ <- 1 to 40) yield
+      (rnd.nextInt(12).toLong, rnd.nextInt(12).toLong))
+      .filter(e => e._1 != e._2).distinct
+    val edges = es.toDF("src", "dst")
+    val dir = tmp()
+    val crashed = try {
+      IterateStream.pageRankStreamImpl(edges, iters = 5, dir,
+        loopStatePartitions = 4, crashAfterRounds = 2).count()
+      false
+    } catch { case _: Throwable => true }
+    assert(crashed, "injected crash did not fire")
+    // resume over the same work dir: the failed batch replays (its
+    // feedback possibly double-appended — the exact window the route
+    // armor covers) and the fresh re-seed's iter=0 rows are dropped by
+    // the newest-round filter
+    val got = IterateStream.pageRankStream(edges, iters = 5, dir)
+      .as[(Long, Long)].collect()
+    val want = graft.operators.GraphOps.pageRankScaled(edges, iters = 5)
+      .as[(Long, Long)].collect().toSet
+    assert(got.toSet === want && got.length === want.size)
+  }
+
   test("resume after a crash at EVERY round reaches the same fixpoint " +
     "(exhaustive in-process sweep of the crash window)") {
     // chain 1->2->...->6: five relax rounds to fixpoint; inject the crash
