@@ -59,6 +59,34 @@ class StatefulOpsSpec extends SparkSpec {
     assert(k2 === Seq(7L))
   }
 
+  test("RunningAgg differential fuzz: random streams under random batch " +
+    "splits equal the batch window function") {
+    val rnd = new scala.util.Random(31337L)
+    for (trial <- 1 to 3) {
+      // globally unique ts (no same-ts peer ambiguity), random keys and
+      // values; batches are contiguous TIME ranges (so the 0-second
+      // watermark drops nothing) with arrival order shuffled INSIDE each
+      val tss = rnd.shuffle((1L to 60L).toVector)
+      val events = tss.zipWithIndex.map { case (ts, i) =>
+        ev(rnd.nextInt(4).toLong + 1, i + 1L, ts, vm = rnd.nextInt(100).toLong + 1)
+      }
+      val byTime = events.sortBy(_.tsUs)
+      val cuts = (Vector(0, byTime.size) ++
+        Vector.fill(3)(rnd.nextInt(byTime.size))).distinct.sorted
+      val batches = cuts.zip(cuts.tail).map { case (a, b) =>
+        rnd.shuffle(byTime.slice(a, b)) }
+      val out = runOp(batches)(ds => StatefulOps.run(ds, new RunningAgg))
+      // brute: per key in event-time order, running count + cumulative sum
+      val want = events.groupBy(_.key).flatMap { case (k, es) =>
+        es.sortBy(_.tsUs).zipWithIndex.map { case (e, i) =>
+          (e.eventId, k, i + 1L, es.sortBy(_.tsUs).take(i + 1).map(_.valueMillis).sum)
+        }
+      }.toSet
+      assert(out.map(o => (o.eventId, o.key, o.runningN, o.runningSumMillis)).toSet
+        === want, s"trial $trial diverged")
+    }
+  }
+
   test("RangeBoundedAgg evicts rows outside the time range") {
     // 100s range: at t=150 only rows in [50,150] are in frame
     val out = runOp(Seq(Seq(
