@@ -87,6 +87,34 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("RangeBoundedAgg differential fuzz: random streams equal the " +
+    "batch RANGE-frame window function") {
+    val rnd = new scala.util.Random(7411L)
+    val durUs = 10L * 1000000L // RANGE BETWEEN 10s PRECEDING AND CURRENT ROW
+    for (trial <- 1 to 3) {
+      val tss = rnd.shuffle((1L to 50L).toVector)
+      val events = tss.zipWithIndex.map { case (ts, i) =>
+        ev(rnd.nextInt(3).toLong + 1, i + 1L, ts, vm = rnd.nextInt(100).toLong + 1)
+      }
+      val byTime = events.sortBy(_.tsUs)
+      val cuts = (Vector(0, byTime.size) ++
+        Vector.fill(3)(rnd.nextInt(byTime.size))).distinct.sorted
+      val batches = cuts.zip(cuts.tail).map { case (a, b) =>
+        rnd.shuffle(byTime.slice(a, b)) }
+      val out = runOp(batches)(ds =>
+        StatefulOps.run(ds, new RangeBoundedAgg(durUs)))
+      val want = events.groupBy(_.key).flatMap { case (k, es) =>
+        es.map { e =>
+          val frame = es.filter(x =>
+            x.tsUs >= e.tsUs - durUs && x.tsUs <= e.tsUs)
+          (e.eventId, k, frame.size.toLong, frame.map(_.valueMillis).sum)
+        }
+      }.toSet
+      assert(out.map(o => (o.eventId, o.key, o.runningN, o.runningSumMillis)).toSet
+        === want, s"trial $trial diverged")
+    }
+  }
+
   test("RangeBoundedAgg evicts rows outside the time range") {
     // 100s range: at t=150 only rows in [50,150] are in frame
     val out = runOp(Seq(Seq(
