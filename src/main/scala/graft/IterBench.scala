@@ -395,10 +395,16 @@ object IterBench {
         }.reduce(_ unionByName _).localCheckpoint(true)
       def tmp(tag: String) = java.nio.file.Files
         .createTempDirectory(s"streamloop_$tag").toFile.getAbsolutePath
-      def rounds(work: String): Long = {
+      // ALL micro-batches pay the commit floor, including empty drain /
+      // non-improving rounds that write no rounds/ dir — count from the
+      // ledger (one row per processed batch), not the non-empty outputs
+      def rounds(work: String): Long =
+        spark.read.parquet(s"$work/out/_ledger").count()
+      def emptyRounds(work: String): Long = {
         val d = new java.io.File(work, "out/rounds")
-        if (!d.isDirectory) 0L
-        else d.listFiles().count(_.getName.startsWith("batch_id=")).toLong
+        val nonEmpty = if (!d.isDirectory) 0L
+          else d.listFiles().count(_.getName.startsWith("batch_id=")).toLong
+        rounds(work) - nonEmpty
       }
       def perRound(label: String, dt: Double, r: Long): Unit =
         println(f"[iterbench]   -> $label rounds=$r  ${dt / math.max(r, 1)}%6.3f s/round")
@@ -428,13 +434,16 @@ object IterBench {
         var t0 = System.nanoTime()
         val nStream = IterateStream.minFixpoint(wK, seeds, sw).count()
         var dt = (System.nanoTime() - t0) / 1e9
-        val rS = rounds(sw)
-        println(f"[iterbench] ssspStream  k=$k%-2d edges=$nE%7d $dt%7.2f s (rows=$nStream)")
-        perRound("ssspStream", dt, rS)
+        val rTot = rounds(sw)
+        val rS = rTot - emptyRounds(sw) // improvement rounds
+        println(f"[iterbench] ssspStream  k=$k%-2d edges=$nE%7d $dt%7.2f s " +
+          f"(rows=$nStream, batches=$rTot of which ${rTot - rS} empty)")
+        perRound("ssspStream", dt, rTot)
         t0 = System.nanoTime()
         // multi-seed batch twin: GraphOps.sssp's relax loop (same join +
         // min-agg round shape) initialized from the k-seed frame, run the
-        // SAME number of rounds the stream loop took
+        // stream loop's IMPROVEMENT-round count (a driver loop runs no
+        // empty drain rounds, so that is its fair round budget)
         val nBatch = {
           val INF = Long.MaxValue / 4
           val verts = wK.select(col("src").as("node"))
@@ -462,8 +471,10 @@ object IterBench {
         var t0 = System.nanoTime()
         val nPr = IterateStream.pageRankStream(prEdges, iters = 5, pw).count()
         var dt = (System.nanoTime() - t0) / 1e9
-        println(f"[iterbench] prStream    k=$k%-2d $dt%7.2f s (rows=$nPr)")
-        perRound("prStream", dt, rounds(pw))
+        val prTot = rounds(pw)
+        println(f"[iterbench] prStream    k=$k%-2d $dt%7.2f s " +
+          f"(rows=$nPr, batches=$prTot of which ${emptyRounds(pw)} empty)")
+        perRound("prStream", dt, prTot)
         t0 = System.nanoTime()
         val nPrB = GraphOps.pageRankScaled(prEdges, iters = 5).count()
         dt = (System.nanoTime() - t0) / 1e9
