@@ -160,6 +160,34 @@ class StatefulOpsSpec extends SparkSpec {
       Seq((0L, 3L, 10000000L, 20000000L)))
   }
 
+  test("CountWindow differential fuzz: random streams equal per-key " +
+    "event-time chunking, partial tails pending") {
+    val rnd = new scala.util.Random(2024L)
+    for (trial <- 1 to 3) {
+      val n = 2 + rnd.nextInt(3) // window size 2..4
+      val tss = rnd.shuffle((1L to 40L).toVector)
+      val events = tss.zipWithIndex.map { case (ts, i) =>
+        ev(rnd.nextInt(3).toLong + 1, i + 1L, ts, vm = rnd.nextInt(50).toLong + 1)
+      }
+      val byTime = events.sortBy(_.tsUs)
+      val cuts = (Vector(0, byTime.size) ++
+        Vector.fill(3)(rnd.nextInt(byTime.size))).distinct.sorted
+      val batches = cuts.zip(cuts.tail).map { case (a, b) =>
+        rnd.shuffle(byTime.slice(a, b)) }
+      val out = runOp(batches)(ds => StatefulOps.run(ds, new CountWindow(n)))
+      val want = events.groupBy(_.key).flatMap { case (k, es) =>
+        es.sortBy(_.tsUs).grouped(n).zipWithIndex
+          .filter(_._1.size == n) // partial tail stays pending
+          .map { case (w, i) =>
+            (k, i.toLong, n.toLong, w.map(_.valueMillis).sum,
+              w.head.tsUs, w.last.tsUs) }
+      }.toSet
+      assert(out.map(o =>
+        (o.key, o.winSeq, o.n, o.sumMillis, o.firstTsUs, o.lastTsUs)).toSet
+        === want, s"trial $trial (n=$n) diverged")
+    }
+  }
+
   test("StrictSeq matches only strictly consecutive stages") {
     val out = runOp(Seq(Seq(
       ev(1, 1, 10, "view"), ev(1, 2, 20, "click"), ev(1, 3, 30, "purchase"), // match
