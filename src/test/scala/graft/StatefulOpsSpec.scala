@@ -253,6 +253,51 @@ class StatefulOpsSpec extends SparkSpec {
       (2L, 8L, None, None)))
   }
 
+  test("temporal as-of differential fuzz: random build/probe streams " +
+    "equal a brute backward-inclusive lookup") {
+    import graft.streaming.{CoProcess, TemporalJoin}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(5150L)
+    var sawUnmatched = false
+    for (trial <- 1 to 3) {
+      val tss = rnd.shuffle((1L to 50L).toVector)
+      val events = tss.zipWithIndex.map { case (ts, i) =>
+        CoProcess.Tagged(rnd.nextInt(3).toLong + 1, i + 1L, ts * 1000000L,
+          side = rnd.nextInt(2), rnd.nextInt(500).toLong)
+      }
+      val byTime = events.sortBy(_.tsUs)
+      val cuts = (Vector(0, byTime.size) ++
+        Vector.fill(3)(rnd.nextInt(byTime.size))).distinct.sorted
+      val batches = cuts.zip(cuts.tail).map { case (a, b) =>
+        rnd.shuffle(byTime.slice(a, b)) }
+      val mem = MemoryStream[CoProcess.Tagged]
+      val ds = mem.toDS()
+        .withColumn("ts", timestamp_micros(col("tsUs")))
+        .withWatermark("ts", "0 seconds")
+        .drop("ts").as[CoProcess.Tagged]
+      val out = TemporalJoin.asof(ds.filter(_.side == 0), ds.filter(_.side == 1))
+      val name = s"asoffuzz_${System.nanoTime()}"
+      val q = out.writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try {
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        mem.addData(); q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table(name).as[TemporalJoin.Enriched].collect()
+        .map(e => (e.key, e.probeId, e.buildId, e.buildValueMillis)).toSet
+      val want = events.filter(_.side == 1).map { p =>
+        val b = events.filter(e => e.side == 0 && e.key == p.key &&
+          e.tsUs <= p.tsUs).sortBy(_.tsUs).lastOption
+        (p.key, p.eventId, b.map(_.eventId), b.map(_.valueMillis))
+      }.toSet
+      assert(got === want, s"trial $trial diverged")
+      assert(want.exists(_._3.isDefined),
+        s"trial $trial degenerate (no matched probe)")
+      sawUnmatched ||= want.exists(_._3.isEmpty)
+    }
+    assert(sawUnmatched, "no trial produced an unmatched probe — fixture bug")
+  }
+
   test("StreamingDedup.BucketClaim emits each (prior, current) pair per bucket, arrival-ordered") {
     import graft.streaming.StreamingDedup
     import graft.streaming.StreamingDedup.{BandRow, CandPair}
