@@ -188,6 +188,56 @@ class StatefulOpsSpec extends SparkSpec {
     }
   }
 
+  test("StrictSeq batch-split invariance fuzz: random streams equal the " +
+    "single-pass reference state machine") {
+    // reference = the documented single-pass per-key state machine run
+    // in plain Scala over the time-ordered events; the differential pins
+    // that the streaming operator preserves those semantics across
+    // arbitrary micro-batch boundaries and shuffled arrival
+    val stages = Seq("view", "click", "purchase")
+    val withinUs = 15L * 1000000L
+    def reference(es: Seq[KeyedEvent]): Set[(Long, Seq[Long])] = {
+      val out = scala.collection.mutable.Buffer[(Long, Seq[Long])]()
+      es.groupBy(_.key).foreach { case (key, kes) =>
+        var ids = Vector.empty[Long]; var tss = Vector.empty[Long]
+        kes.sortBy(_.tsUs).foreach { e =>
+          val k = ids.length
+          if (k < stages.length && e.eventType == stages(k) &&
+              (ids.isEmpty || e.tsUs - tss.head <= withinUs)) {
+            ids :+= e.eventId; tss :+= e.tsUs
+            if (ids.length == stages.length) {
+              out += ((key, ids)); ids = Vector.empty; tss = Vector.empty
+            }
+          } else if (e.eventType == stages.head) {
+            ids = Vector(e.eventId); tss = Vector(e.tsUs)
+          } else { ids = Vector.empty; tss = Vector.empty }
+        }
+      }
+      out.toSet
+    }
+    val types = Vector("view", "click", "purchase", "error")
+    val rnd = new scala.util.Random(6021L)
+    var sawMatch = false
+    for (trial <- 1 to 3) {
+      val tss = rnd.shuffle((1L to 60L).toVector)
+      val events = tss.zipWithIndex.map { case (ts, i) =>
+        ev(rnd.nextInt(3).toLong + 1, i + 1L, ts,
+          typ = types(rnd.nextInt(types.size)))
+      }
+      val byTime = events.sortBy(_.tsUs)
+      val cuts = (Vector(0, byTime.size) ++
+        Vector.fill(4)(rnd.nextInt(byTime.size))).distinct.sorted
+      val batches = cuts.zip(cuts.tail).map { case (a, b) =>
+        rnd.shuffle(byTime.slice(a, b)) }
+      val out = runOp(batches)(ds =>
+        StatefulOps.run(ds, new StrictSeq(stages, withinUs)))
+      val want = reference(events)
+      assert(out.map(o => (o.key, o.ids)).toSet === want, s"trial $trial diverged")
+      sawMatch ||= want.nonEmpty
+    }
+    assert(sawMatch, "no trial produced a match — fixture bug")
+  }
+
   test("StrictSeq matches only strictly consecutive stages") {
     val out = runOp(Seq(Seq(
       ev(1, 1, 10, "view"), ev(1, 2, 20, "click"), ev(1, 3, 30, "purchase"), // match
