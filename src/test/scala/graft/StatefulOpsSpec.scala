@@ -142,6 +142,33 @@ class StatefulOpsSpec extends SparkSpec {
       Seq((2L, 3L), (2L, 3L)))
   }
 
+  test("RowsBoundedAgg differential fuzz: random streams equal the batch " +
+    "ROWS-frame window function") {
+    val rnd = new scala.util.Random(8086L)
+    for (trial <- 1 to 3) {
+      val n = 2 + rnd.nextInt(4) // ROWS BETWEEN n-1 PRECEDING AND CURRENT
+      val tss = rnd.shuffle((1L to 50L).toVector)
+      val events = tss.zipWithIndex.map { case (ts, i) =>
+        ev(rnd.nextInt(3).toLong + 1, i + 1L, ts, vm = rnd.nextInt(100).toLong + 1)
+      }
+      val byTime = events.sortBy(_.tsUs)
+      val cuts = (Vector(0, byTime.size) ++
+        Vector.fill(3)(rnd.nextInt(byTime.size))).distinct.sorted
+      val batches = cuts.zip(cuts.tail).map { case (a, b) =>
+        rnd.shuffle(byTime.slice(a, b)) }
+      val out = runOp(batches)(ds => StatefulOps.run(ds, new RowsBoundedAgg(n)))
+      val want = events.groupBy(_.key).flatMap { case (k, es) =>
+        val ordered = es.sortBy(_.tsUs)
+        ordered.zipWithIndex.map { case (e, i) =>
+          val frame = ordered.slice(math.max(0, i - n + 1), i + 1)
+          (e.eventId, k, frame.size.toLong, frame.map(_.valueMillis).sum)
+        }
+      }.toSet
+      assert(out.map(o => (o.eventId, o.key, o.runningN, o.runningSumMillis)).toSet
+        === want, s"trial $trial (n=$n) diverged")
+    }
+  }
+
   test("CountWindow emits only complete windows; partial stays pending") {
     val out = runOp(Seq(Seq(
       ev(1, 1, 10, vm = 1), ev(1, 2, 20, vm = 2), ev(1, 3, 30, vm = 3),
