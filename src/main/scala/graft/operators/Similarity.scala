@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -22,8 +22,29 @@ import org.apache.spark.sql.functions._
   *  - [[ivfTopK]]: IVF-style coarse quantization — corpus assigned to the
   *    nearest of `nCells` sampled centroid rows, queries probe `nProbe`
   *    nearest cells.
+  *  - [[knnGraphLsh]] + [[graphTopK]]: graph-based ANN — a kNN graph
+  *    bootstrapped from LSH bucket collisions, searched by iterative
+  *    greedy expansion (the GNNS scheme of Hajebi et al., IJCAI'11, which
+  *    is also the search phase of every HNSW/NSG-family index). The graph
+  *    side completes the ANN ladder: bucket probing (LSH), cell probing
+  *    (IVF), code scanning (PQ/IVFADC), and neighborhood walking (graph).
   */
 object Similarity {
+
+  /** Micro-quantized copy of a float-vector column: floor(x·1e6) per
+    * dimension as Long. The shared exactness device of the ANN family
+    * (see [[bucketsUdf]] and PQ): every distance downstream is exact
+    * integer arithmetic, so any engine — the DuckDB correctness oracle
+    * included — replays scores, tie-breaks, and traversal decisions
+    * bit-for-bit. */
+  private def microQuant(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * 1000000L).cast("long"))
+
+  /** Exact integer squared-L2 between two micro-quantized vectors.
+    * Bounds: |x| ≲ 2 ⇒ per-dim diff² ≲ 1.6e13; at dim 64 the sum stays
+    * below 1e15 — five orders inside Long range. */
+  private def qdist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
 
   /** Exact top-k cosine neighbors for each query row.
     * corpus: (idCol, vecCol); queries: (qidCol, vecCol). Self-pairs (same id)
@@ -213,5 +234,118 @@ object Similarity {
       .groupBy(col(idCol))
       .agg(round(sum(lit(1.0) / (lit(kRrf) + col("__r"))), 6).as("rrf_score"),
         count(lit(1)).as("n_rankers"))
+  }
+
+  /** Approximate kNN graph over the corpus — the index structure every
+    * graph-based ANN family (HNSW, NSG, GNNS) searches. Candidate pairs
+    * come from LSH bucket collisions ([[bucketsUdf]] — the integer-exact
+    * sign-random-projection device lshTopK uses), each node keeping its
+    * `degree` nearest bucket-mates by exact integer quantized-L2 (ties by
+    * neighbor id). Returns (src, dst) directed edges, ≤ degree per src.
+    *
+    * Determinism: buckets are exact integer arithmetic and distances are
+    * [[qdist2]], so the edge set is bit-reproducible across engines — the
+    * DuckDB oracle replays graph CONSTRUCTION, not just search.
+    *
+    * Shape at 100 TB: candidate generation is the banded self-join on
+    * (table, bucket) — sub-quadratic, bounded by per-bucket occupancy
+    * (tune nBits to corpus size exactly as lshTopK does); per-src top-k
+    * is one window over the candidate set. The emitted edge list is
+    * N·degree rows; write it bucketed by src so [[graphTopK]]'s per-round
+    * neighbor expansions are shuffle-free point lookups. NN-descent
+    * rounds (join edges with edges to propose neighbor-of-neighbor pairs,
+    * re-prune per src) refine recall at one extra self-join each without
+    * changing this shape. */
+  def knnGraphLsh(corpus: DataFrame, idCol: String, vecCol: String, dim: Int,
+                  degree: Int, nBits: Int = 6, nTables: Int = 8): DataFrame = {
+    val buckets = bucketsUdf(dim, nBits, nTables)
+    val base = corpus.select(col(idCol).as("id"), microQuant(col(vecCol)).as("w"),
+      explode(buckets(col(vecCol))).as("tb"))
+      .select(col("id"), col("w"), col("tb._1").as("tbl"), col("tb._2").as("bkt"))
+    val pairs = base.select(col("id").as("src"), col("w").as("sw"), col("tbl"), col("bkt"))
+      .join(base.select(col("id").as("dst"), col("w").as("dw"), col("tbl"), col("bkt")),
+        Seq("tbl", "bkt"))
+      .filter(col("src") =!= col("dst"))
+      .dropDuplicates("src", "dst")
+      .withColumn("d", qdist2(col("sw"), col("dw")))
+    val w = Window.partitionBy("src").orderBy(col("d").asc, col("dst").asc)
+    pairs.withColumn("rk", row_number().over(w)).filter(col("rk") <= degree)
+      .select("src", "dst")
+  }
+
+  /** One NN-descent refinement round (Dong, Moses & Li, WWW'11): the
+    * candidate set for each node is its current neighbors, its REVERSE
+    * neighbors, and its neighbors' neighbors; re-prune to the `degree`
+    * nearest by exact integer quantized-L2 (ties by id). One round lifts
+    * an LSH-bootstrapped graph's quality substantially because "a
+    * neighbor of my neighbor is likely my neighbor" — the paper's whole
+    * premise — and each round is two self-joins plus one window, the same
+    * sub-quadratic shape as [[knnGraphLsh]] (candidates per node bounded
+    * by degree² + 2·degree). Iterate for diminishing returns. */
+  def nnDescentRound(corpus: DataFrame, idCol: String, vecCol: String,
+                     graph: DataFrame, degree: Int): DataFrame = {
+    val cw = corpus.select(col(idCol).as("id"), microQuant(col(vecCol)).as("w"))
+    val hop = graph.select(col("src"), col("dst").as("mid"))
+      .join(graph.select(col("src").as("mid"), col("dst")), Seq("mid"))
+      .select("src", "dst")
+    val rev = graph.select(col("dst").as("src"), col("src").as("dst"))
+    val cand = graph.select("src", "dst").unionByName(hop).unionByName(rev)
+      .filter(col("src") =!= col("dst")).dropDuplicates("src", "dst")
+    val scored = cand
+      .join(cw.select(col("id").as("src"), col("w").as("sw")), Seq("src"))
+      .join(cw.select(col("id").as("dst"), col("w").as("dw")), Seq("dst"))
+      .withColumn("d", qdist2(col("sw"), col("dw")))
+    val w = Window.partitionBy("src").orderBy(col("d").asc, col("dst").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= degree)
+      .select("src", "dst")
+  }
+
+  /** Graph-based approximate top-k: iterative greedy expansion over a kNN
+    * graph (GNNS — Hajebi et al., IJCAI'11; the flat-graph equivalent of
+    * an HNSW search layer). Per query: seed with the `entryPoints`
+    * lowest-id corpus nodes, then for `rounds` rounds take the `beam`
+    * best visited nodes (by exact integer quantized-L2, ties by node id)
+    * and add all their graph neighbors to the visited set; finally return
+    * the top-k visited, self excluded. Fixed rounds + full-beam expansion
+    * (no early exit) keep the traversal a deterministic function of the
+    * graph, so the oracle replays every hop.
+    *
+    * Shape at 100 TB: the visited frontier is
+    * O(|queries|·(entryPoints + rounds·beam·degree)) — query-scale, never
+    * corpus-scale. Each round does two point-lookup joins: beam→edges on
+    * src (shuffle-free against a src-bucketed edge table) and
+    * candidates→vectors on id (likewise bucketed). The corpus is never
+    * scanned after graph construction — that is the entire point of
+    * graph ANN at scale. The tiny query/entry frames broadcast. Each
+    * round's visited set is localCheckpoint'd: it is query-scale rows,
+    * and without it every later round re-executes all earlier rounds'
+    * joins (the plan doubles per round). */
+  def graphTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, qidCol: String, k: Int, graph: DataFrame,
+                entryPoints: Int = 4, beam: Int = 6, rounds: Int = 3): DataFrame = {
+    require(entryPoints >= 1 && beam >= 1 && rounds >= 1 && k >= 1)
+    val cw = corpus.select(col(idCol).as("node"), microQuant(col(vecCol)).as("nw"))
+    val q = queries.select(col(qidCol).as("query_id"), microQuant(col(vecCol)).as("qw"))
+    val ent = corpus.select(col(idCol).as("node")).orderBy(col("node")).limit(entryPoints)
+    var visited = q.crossJoin(broadcast(ent))
+      .join(cw, Seq("node"))
+      .select(col("query_id"), col("node"), qdist2(col("qw"), col("nw")).as("d"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val bw = Window.partitionBy("query_id").orderBy(col("d").asc, col("node").asc)
+      val beamDf = visited.withColumn("rk", row_number().over(bw))
+        .filter(col("rk") <= beam).select("query_id", "node")
+      val expanded = beamDf.join(graph, col("node") === col("src"))
+        .select(col("query_id"), col("dst").as("node"))
+        .dropDuplicates("query_id", "node")
+      val scored = expanded.join(cw, Seq("node")).join(broadcast(q), Seq("query_id"))
+        .select(col("query_id"), col("node"), qdist2(col("qw"), col("nw")).as("d"))
+      visited = visited.unionByName(scored)
+        .dropDuplicates("query_id", "node").localCheckpoint()
+    }
+    val fw = Window.partitionBy("query_id").orderBy(col("d").asc, col("node").asc)
+    visited.filter(col("node") =!= col("query_id"))
+      .withColumn("rank", row_number().over(fw)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("node").as("nbr_id"), col("d").as("dist"))
   }
 }

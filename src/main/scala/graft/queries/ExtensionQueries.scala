@@ -1633,7 +1633,131 @@ object ExtensionQueries {
           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35""")),
+
+    // Graph-based ANN — the fourth leg of the ANN ladder (bucket probing /
+    // cell probing / code scanning / neighborhood walking). The kNN graph
+    // is bootstrapped from the SAME integer-exact LSH buckets q89 replays,
+    // edges pruned to the 8 nearest bucket-mates by exact quantized-L2,
+    // refined by one NN-descent round (neighbors ∪ reverse neighbors ∪
+    // neighbors-of-neighbors, re-pruned), and the GNNS greedy expansion
+    // (4 entry nodes, beam 6, 3 rounds) is a deterministic function of
+    // that graph — so the oracle replays graph construction, refinement,
+    // AND every traversal hop, then the recall join vs the exact
+    // quantized-L2 top-10: full oracle coverage for a graph index.
+    Entry("qeh_knn_graph",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val emb = t(s, dir, "embeddings")
+        val g0 = Similarity.knnGraphLsh(emb, "vec_id", "embedding",
+          dim = 64, degree = 8, nBits = 6, nTables = 8)
+        val graph = Similarity.nnDescentRound(emb, "vec_id", "embedding",
+          g0, degree = 8).localCheckpoint()
+        val queries = emb.filter(col("vec_id") < 5)
+        val approx = Similarity.graphTopK(emb, queries, "vec_id", "embedding",
+          "vec_id", k = 10, graph, entryPoints = 4, beam = 6, rounds = 3)
+        val qf = emb.select(col("vec_id"), transform(col("embedding"),
+          x => floor(x.cast("double") * 1000000L).cast("long")).as("w"))
+        val pf = qf.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("p_id"), col("w").as("pw"))
+        val bw = Window.partitionBy("p_id").orderBy(col("bd").asc, col("vec_id").asc)
+        val brute = pf.crossJoin(qf).filter(col("vec_id") =!= col("p_id"))
+          .withColumn("bd", aggregate(
+            zip_with(col("pw"), col("w"), (a, b) => (a - b) * (a - b)),
+            lit(0L), (acc, x) => acc + x))
+          .withColumn("rk", row_number().over(bw)).filter(col("rk") <= 10)
+          .select(col("p_id"), col("vec_id").as("b_id"), lit(1L).as("hit"))
+        approx.join(brute,
+            col("query_id") === col("p_id") && col("nbr_id") === col("b_id"), "left")
+          .withColumn("in_exact_topk", coalesce(col("hit"), lit(0L)))
+          .withColumn("hits_at_10",
+            sum(col("in_exact_topk")).over(Window.partitionBy("query_id")))
+          .select(col("query_id"), col("rank"), col("nbr_id"), col("dist"),
+            col("in_exact_topk"), col("hits_at_10"))
+      },
+      Some(oKnnGraph)),
   )
+
+  /** DuckDB replay of the full graph-ANN pipeline (qeh): q89's bucket CTEs
+    * at nBits=6/nTables=8 → LSH-candidate kNN graph pruned per src by
+    * exact quantized-L2 → the GNNS expansion unrolled round by round
+    * (beam top-6 → neighbor hop → score → union-dedup) → final top-10 +
+    * recall join vs the exact quantized-L2 top-10. Every comparison is
+    * integer, so traversal decisions match the Spark plan bit-for-bit. */
+  private lazy val oKnnGraph: String = {
+    val dim = 64; val nBits = 6; val nTables = 8; val degree = 8
+    val entryN = 4; val beam = 6; val rounds = 3; val k = 10
+    def d(a: String, b: String) =
+      s"""CAST(list_aggregate(list_transform(range(1, $dim + 1),
+         i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), 'sum') AS BIGINT)"""
+    val roundCtes = (1 to rounds).map { r =>
+      s"""b${r - 1} AS (SELECT query_id, node FROM (
+           SELECT query_id, node, row_number() OVER (
+             PARTITION BY query_id ORDER BY d, node) AS rk
+           FROM s${r - 1}) WHERE rk <= $beam),
+         x$r AS (SELECT DISTINCT b.query_id, g.dst AS node
+           FROM b${r - 1} b JOIN graph g ON g.src = b.node),
+         n$r AS (SELECT x.query_id, x.node, ${d("q.qw", "n.w")} AS d
+           FROM x$r x JOIN qv n ON n.vec_id = x.node
+           JOIN q ON q.query_id = x.query_id),
+         s$r AS (SELECT * FROM s${r - 1} UNION SELECT * FROM n$r)"""
+    }.mkString(",\n")
+    s"""WITH signs AS (
+        SELECT t, b, i,
+          CASE WHEN (((((t*$nBits+b)*$dim + i + 1) * 48271) % 2147483647) * 48271
+                     % 2147483647) % 2 = 1 THEN 1 ELSE -1 END AS s
+        FROM range($nTables) r1(t), range($nBits) r2(b), range($dim) r3(i)),
+      qv AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(floor(x * 1000000) AS BIGINT)) AS w
+             FROM embeddings),
+      dots AS (SELECT v.vec_id, s.t, s.b, sum(s.s * v.w[s.i + 1]) AS dp
+               FROM qv v CROSS JOIN signs s GROUP BY 1, 2, 3),
+      bkts AS (SELECT vec_id, t,
+                 sum(CASE WHEN dp >= 0 THEN 1 << b ELSE 0 END) AS bkt
+               FROM dots GROUP BY 1, 2),
+      gc AS (SELECT DISTINCT a.vec_id AS src, c.vec_id AS dst
+             FROM bkts a JOIN bkts c ON c.t = a.t AND c.bkt = a.bkt
+             WHERE c.vec_id <> a.vec_id),
+      gs AS (SELECT gc.src, gc.dst, ${d("sw.w", "dw.w")} AS d
+             FROM gc JOIN qv sw ON sw.vec_id = gc.src
+                     JOIN qv dw ON dw.vec_id = gc.dst),
+      graph0 AS (SELECT src, dst FROM (
+          SELECT src, dst, row_number() OVER (
+            PARTITION BY src ORDER BY d, dst) AS rk
+          FROM gs) WHERE rk <= $degree),
+      hop AS (SELECT g1.src, g2.dst FROM graph0 g1
+              JOIN graph0 g2 ON g2.src = g1.dst),
+      cnd AS (SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM graph0
+          UNION ALL SELECT src, dst FROM hop
+          UNION ALL SELECT dst AS src, src AS dst FROM graph0)
+        WHERE src <> dst),
+      gs2 AS (SELECT cnd.src, cnd.dst, ${d("sw.w", "dw.w")} AS d
+              FROM cnd JOIN qv sw ON sw.vec_id = cnd.src
+                       JOIN qv dw ON dw.vec_id = cnd.dst),
+      graph AS (SELECT src, dst FROM (
+          SELECT src, dst, row_number() OVER (
+            PARTITION BY src ORDER BY d, dst) AS rk
+          FROM gs2) WHERE rk <= $degree),
+      ent AS (SELECT vec_id AS node FROM embeddings ORDER BY vec_id LIMIT $entryN),
+      q AS (SELECT vec_id AS query_id, w AS qw FROM qv WHERE vec_id < 5),
+      s0 AS (SELECT q.query_id, e.node, ${d("q.qw", "n.w")} AS d
+             FROM q CROSS JOIN ent e JOIN qv n ON n.vec_id = e.node),
+      $roundCtes,
+      fin AS (SELECT query_id, node AS nbr_id, d,
+                row_number() OVER (PARTITION BY query_id ORDER BY d, node) AS rank
+              FROM s$rounds WHERE node <> query_id),
+      topk AS (SELECT * FROM fin WHERE rank <= $k),
+      brute AS (SELECT query_id, b_id FROM (
+          SELECT p.query_id, c.vec_id AS b_id, row_number() OVER (
+            PARTITION BY p.query_id ORDER BY ${d("p.qw", "c.w")}, c.vec_id) AS rk
+          FROM q p CROSS JOIN qv c WHERE c.vec_id <> p.query_id) WHERE rk <= $k)
+      SELECT t.query_id, t.rank, t.nbr_id, t.d AS dist,
+        CASE WHEN b.b_id IS NULL THEN 0 ELSE 1 END AS in_exact_topk,
+        CAST(sum(CASE WHEN b.b_id IS NULL THEN 0 ELSE 1 END)
+          OVER (PARTITION BY t.query_id) AS BIGINT) AS hits_at_10
+      FROM topk t LEFT JOIN brute b
+        ON b.query_id = t.query_id AND b.b_id = t.nbr_id"""
+  }
 
   /** On-disk PqIndex for qe9, built once per (warehouse, fixture mtime):
     * the files themselves are the cache (cross-PROCESS, unlike
