@@ -58,7 +58,12 @@ object GraftExtensions {
     require(e.foldable, s"$fn's $arg argument must be an integer literal")
     e.eval() match {
       case i: java.lang.Integer => i.intValue
-      case l: java.lang.Long => l.toInt
+      case l: java.lang.Long =>
+        // fail fast instead of Long.toInt truncation (4294967296 -> 0)
+        if (l.longValue < Int.MinValue || l.longValue > Int.MaxValue)
+          throw new IllegalArgumentException(
+            s"$fn's $arg argument $l is out of Int range")
+        l.intValue
       case s: java.lang.Short => s.intValue
       case b: java.lang.Byte => b.intValue
       case other => throw new IllegalArgumentException(

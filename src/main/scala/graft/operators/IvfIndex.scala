@@ -63,6 +63,13 @@ object IvfIndex {
     new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), s"${ref.dirName}_lease")
 
+  // rename reports failure as `false`; a silently-failed swap step voids
+  // the crash-durability contract (see LshIndex.mustRename)
+  private def mustRename(f: org.apache.hadoop.fs.FileSystem,
+                         src: org.apache.hadoop.fs.Path,
+                         dst: org.apache.hadoop.fs.Path): Unit =
+    require(f.rename(src, dst), s"rename $src -> $dst failed")
+
   private def withLease[T](spark: SparkSession, ref: Ref, who: String)(body: => T): T = {
     val p = leasePath(spark, ref)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -148,7 +155,7 @@ object IvfIndex {
     val tmp = new org.apache.hadoop.fs.Path(root(spark, ref), "asg_compacting")
     val old = new org.apache.hadoop.fs.Path(root(spark, ref), "asg_old")
     val f = fs(spark, ref)
-    if (!f.exists(live) && f.exists(old)) f.rename(old, live)
+    if (!f.exists(live) && f.exists(old)) mustRename(f, old, live)
     f.delete(old, true)
     f.delete(tmp, true)
     val snapshot = spark.read.parquet(live.toString).localCheckpoint(true)
@@ -156,8 +163,8 @@ object IvfIndex {
     snapshot.dropDuplicates("cell_id", "nbr_id")
       .repartition(nCells, col("cell_id"))
       .write.partitionBy("cell_id").parquet(tmp.toString)
-    f.rename(live, old)
-    f.rename(tmp, live)
+    mustRename(f, live, old)
+    mustRename(f, tmp, live)
     f.delete(old, true); ()
   }
 

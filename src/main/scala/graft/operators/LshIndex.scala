@@ -82,6 +82,16 @@ object LshIndex {
     * object-store warehouse, mutual exclusion needs a store-side
     * primitive instead (S3 conditional PUT / If-None-Match, or an
     * external lock table); this lease is HDFS/local-correct only. */
+  /** Hadoop `FileSystem.rename` reports failure as `false`, not an
+    * exception — and a swap step that silently fails voids the
+    * crash-durability story (renaming the compacted copy in while the
+    * live directory still exists nests it INSIDE the live dir on most
+    * implementations). Every swap/recovery rename goes through this. */
+  private[graft] def mustRename(f: org.apache.hadoop.fs.FileSystem,
+                                src: org.apache.hadoop.fs.Path,
+                                dst: org.apache.hadoop.fs.Path): Unit =
+    require(f.rename(src, dst), s"rename $src -> $dst failed")
+
   private def withLease[T](spark: SparkSession, ref: Ref, who: String)(body: => T): T = {
     val p = leaseLoc(spark, ref)
     val f = hfs(spark, p)
@@ -324,7 +334,7 @@ object LshIndex {
         val f = hfs(spark, tmpLoc)
         // recovery from a compact that died mid-swap: live files may sit
         // aside under _old, and the catalog entry may be dropped
-        if (!f.exists(loc) && f.exists(oldLoc)) f.rename(oldLoc, loc)
+        if (!f.exists(loc) && f.exists(oldLoc)) mustRename(f, oldLoc, loc)
         if (!spark.catalog.tableExists(tbl)) register(spark, ref, tbl, cols)
         val schemaDdl = spark.table(tbl).schema.toDDL
         // durable compacted copy first — the live table is not yet touched
@@ -344,8 +354,8 @@ object LshIndex {
         spark.sql(s"DROP TABLE $tbl")
         spark.sql(s"DROP TABLE $tmp") // catalog entry only; files stay
         f.delete(oldLoc, true)
-        f.rename(loc, oldLoc)
-        f.rename(tmpLoc, loc)
+        mustRename(f, loc, oldLoc)
+        mustRename(f, tmpLoc, loc)
         register(spark, ref, tbl, cols, Some(schemaDdl))
         f.delete(oldLoc, true); ()
   }

@@ -60,6 +60,13 @@ object PqIndex {
     new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), s"${ref.dirName}_lease")
 
+  // rename reports failure as `false`; a silently-failed swap step voids
+  // the crash-durability contract (see LshIndex.mustRename)
+  private def mustRename(f: org.apache.hadoop.fs.FileSystem,
+                         src: org.apache.hadoop.fs.Path,
+                         dst: org.apache.hadoop.fs.Path): Unit =
+    require(f.rename(src, dst), s"rename $src -> $dst failed")
+
   private def withLease[T](spark: SparkSession, ref: Ref, who: String)(body: => T): T = {
     val p = leasePath(spark, ref)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -173,7 +180,7 @@ object PqIndex {
     val f = fs(spark, ref)
     // recovery: a compact that died between its two renames left the
     // complete live copy aside — put it back before proceeding
-    if (!f.exists(live) && f.exists(old)) f.rename(old, live)
+    if (!f.exists(live) && f.exists(old)) mustRename(f, old, live)
     f.delete(old, true)
     f.delete(tmp, true)
     val snapshot = spark.read.parquet(live.toString).localCheckpoint(true)
@@ -181,8 +188,8 @@ object PqIndex {
     snapshot.dropDuplicates("ivf_cell", "id", "m")
       .repartition(nCells, col("ivf_cell"))
       .write.partitionBy("ivf_cell").parquet(tmp.toString)
-    f.rename(live, old)
-    f.rename(tmp, live)
+    mustRename(f, live, old)
+    mustRename(f, tmp, live)
     f.delete(old, true); ()
   }
 

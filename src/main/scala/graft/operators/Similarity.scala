@@ -319,10 +319,18 @@ object Similarity {
     * graph ANN at scale. The tiny query/entry frames broadcast. Each
     * round's visited set is localCheckpoint'd: it is query-scale rows,
     * and without it every later round re-executes all earlier rounds'
-    * joins (the plan doubles per round). */
+    * joins (the plan doubles per round).
+    *
+    * `excludeSelf` (default true) drops result rows where the corpus
+    * node id equals the query id — the right behavior when queries ARE
+    * corpus rows (self is a trivial distance-0 hit). It assumes queries
+    * and corpus share one id space: with an EXTERNAL query-id space a
+    * legitimate neighbor whose id collides with a query id would be
+    * silently dropped — pass `excludeSelf = false` there. */
   def graphTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, qidCol: String, k: Int, graph: DataFrame,
-                entryPoints: Int = 4, beam: Int = 6, rounds: Int = 3): DataFrame = {
+                entryPoints: Int = 4, beam: Int = 6, rounds: Int = 3,
+                excludeSelf: Boolean = true): DataFrame = {
     require(entryPoints >= 1 && beam >= 1 && rounds >= 1 && k >= 1)
     val cw = corpus.select(col(idCol).as("node"), microQuant(col(vecCol)).as("nw"))
     val q = queries.select(col(qidCol).as("query_id"), microQuant(col(vecCol)).as("qw"))
@@ -344,7 +352,7 @@ object Similarity {
         .dropDuplicates("query_id", "node").localCheckpoint()
     }
     val fw = Window.partitionBy("query_id").orderBy(col("d").asc, col("node").asc)
-    visited.filter(col("node") =!= col("query_id"))
+    (if (excludeSelf) visited.filter(col("node") =!= col("query_id")) else visited)
       .withColumn("rank", row_number().over(fw)).filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("node").as("nbr_id"), col("d").as("dist"))
   }

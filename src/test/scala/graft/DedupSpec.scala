@@ -172,6 +172,27 @@ class DedupSpec extends SparkSpec {
     byQ.values.foreach(rs => assert(rs.map(_._2).sorted.toSeq === Seq(1, 2, 3, 4)))
   }
 
+  test("graphTopK excludeSelf: shared-id-space default drops self; " +
+    "external query-id spaces keep the colliding neighbor") {
+    // 4 corpus nodes, fully connected graph; the query's id (2) collides
+    // with a corpus node id but comes from an EXTERNAL id space — its
+    // vector sits exactly on node 2
+    val corpus = Seq(
+      (0L, Seq(10f, 0f)), (1L, Seq(0f, 10f)),
+      (2L, Seq(10f, 10f)), (3L, Seq(-10f, -10f))).toDF("vec_id", "embedding")
+    val graph = (for { s <- 0L to 3L; d <- 0L to 3L if s != d } yield (s, d))
+      .toDF("src", "dst")
+    val queries = Seq((2L, Seq(10f, 10f))).toDF("vec_id", "embedding")
+    def run(ex: Boolean) = Similarity.graphTopK(corpus, queries, "vec_id",
+      "embedding", "vec_id", k = 2, graph, entryPoints = 4, beam = 4,
+      rounds = 1, excludeSelf = ex)
+      .orderBy("rank").select("nbr_id").as[Long].collect().toSeq
+    // default (shared id space): node 2 is the trivial self hit — dropped
+    assert(!run(ex = true).contains(2L))
+    // external id space: node 2 is a legitimate nearest neighbor — kept
+    assert(run(ex = false) === Seq(2L, 0L) || run(ex = false) === Seq(2L, 1L))
+  }
+
   test("semanticDupPairs pairs within cells only; clones score cos 1") {
     // two tight clusters around orthogonal axes; ids 0 and 1 are the
     // deterministic centroids (lowest-id sample, nCells = 2)

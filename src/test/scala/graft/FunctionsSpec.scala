@@ -259,6 +259,15 @@ class FunctionsSpec extends SparkSpec {
       Seq(2).toDF("n").createOrReplaceTempView("nv")
       spark.sql("SELECT shingle_hashes('ab cd', n) FROM nv").collect()
     }
+    // ... and an out-of-Int-range BIGINT literal is an analysis error,
+    // not a silent Long.toInt truncation (4294967296 would wrap to k=0)
+    val wide = intercept[Exception] {
+      spark.sql(
+        s"SELECT minhash_sig(shingle_hashes('$txt', 2), 4294967296) AS s")
+        .collect()
+    }
+    assert(wide.getMessage.contains("out of Int range") ||
+      Option(wide.getCause).exists(_.getMessage.contains("out of Int range")))
   }
 
   test("TimeOfDay laws: decomposition, parse/format, date re-anchoring") {

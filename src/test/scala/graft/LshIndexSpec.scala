@@ -30,6 +30,25 @@ class LshIndexSpec extends SparkSpec {
     batches.map(b => LshIndex.ingest(docs(b: _*), "doc_id", "text",
       n = 2, k = 128, bands = 64, threshold = 0.5, ref))
 
+  test("mustRename is loud on a failed rename (Hadoop reports false, " +
+    "not an exception) — the compact swap cannot silently void durability") {
+    // Hadoop's FileSystem contract lets rename report failure by
+    // returning false (permissions, transient store errors) instead of
+    // throwing — plant exactly that mode
+    val f = new org.apache.hadoop.fs.RawLocalFileSystem() {
+      override def rename(src: org.apache.hadoop.fs.Path,
+                          dst: org.apache.hadoop.fs.Path): Boolean = false
+    }
+    f.initialize(java.net.URI.create("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    val dir = java.nio.file.Files.createTempDirectory("mustrename").toString
+    val e = intercept[IllegalArgumentException] {
+      LshIndex.mustRename(f, new org.apache.hadoop.fs.Path(dir, "a"),
+        new org.apache.hadoop.fs.Path(dir, "b"))
+    }
+    assert(e.getMessage.contains("rename") && e.getMessage.contains("failed"))
+  }
+
   test("batched ingest finds exactly the one-shot pair set, oriented by ingest order") {
     LshIndex.drop(spark, ref)
     val got = ingestAll().reduce(_ unionByName _)
