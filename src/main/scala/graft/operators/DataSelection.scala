@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.functions.{Fnv1a64Expr, TextFunctions}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Importance-based training-data selection over hashed n-gram features —
+  * the DSIR recipe (Xie et al., "Data Selection for Language Models via
+  * Importance Resampling", NeurIPS 2023) re-expressed as exact integer
+  * arithmetic so the whole selection replays bit-for-bit in an external
+  * SQL oracle.
+  *
+  * The idea: score every RAW-pool document by how much its hashed-unigram
+  * distribution looks like a small TARGET corpus (the domain you want more
+  * of), then keep the top-k. DSIR's per-feature signal is the log-ratio
+  * log p_target(f) − log p_raw(f); logs are transcendental and would tie
+  * correctness to libm rounding, so this implementation uses the
+  * integer-exact surrogate
+  *
+  *   ilr(f) = floor( scale · (n_t(f)+1)·(N_r+B) / ((n_r(f)+1)·(N_t+B)) )
+  *
+  * — the add-one-smoothed frequency RATIO (not its log), floor-scaled to
+  * a long. It is monotone in the per-feature ratio, so per-feature
+  * evidence ranks identically; a document's score sums ilr over its
+  * feature tokens (sum-of-ratios rather than DSIR's sum-of-log-ratios —
+  * the deterministic trade the tokenizer/LM gates make throughout this
+  * repo). Selection is the top-k by per-token mean score, ties to the
+  * lower id.
+  *
+  * Shape at 100 TB: one pass computes per-bucket target/raw counts with
+  * map-side partial aggregation (each partition collapses to ≤ B rows
+  * before the shuffle — the only shuffle here, B rows wide). The B-entry
+  * ratio table is model-scale and ships to executors as a map literal
+  * (same discipline as the IVF centroid broadcast), so scoring is a
+  * per-row HOF fold over the document's own tokens — zero corpus shuffle —
+  * and the top-k is TakeOrdered (per-partition heaps, driver merge of
+  * k·P candidates, no global sort). `buckets` must be a power of two:
+  * 2^64 ≡ 0 (mod B) makes the signed pmod here equal the oracle's
+  * unsigned mod, and the hash-sketch geometry wants it anyway.
+  *
+  * Capability analogue of the reference's grouped-aggregate + broadcast
+  * scoring surface (flink-libraries/flink-ml pipeline estimators); the
+  * selection itself is an LLM-pipeline extension per the project brief. */
+object DataSelection {
+
+  private def bucketCol(tok: Column, buckets: Int): Column =
+    pmod(Fnv1a64Expr(tok), lit(buckets.toLong)).cast("int")
+
+  /** Per-document hashed-unigram bucket ids (duplicates kept — counts are
+    * the feature values). */
+  def featureBuckets(text: Column, buckets: Int): Column =
+    transform(TextFunctions.tokens(text), t => bucketCol(t, buckets))
+
+  /** The integer-exact importance table: bucket → ilr as defined above.
+    * Computed with BigInt intermediates so the scaled products cannot
+    * silently wrap; the result must fit a long (it does whenever the
+    * scaled ratio itself does — require'd, not truncated). */
+  def dsirIlrTable(docs: DataFrame, textCol: String, isTarget: Column,
+                   buckets: Int, scale: Long = 1000000L): Map[Int, Long] = {
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two, got $buckets")
+    val counts = docs
+      .select(isTarget.as("is_t"), explode(featureBuckets(col(textCol), buckets)).as("b"))
+      .groupBy(col("b"))
+      .agg(sum(when(col("is_t"), 1L).otherwise(0L)).as("nt"),
+        sum(when(col("is_t"), 0L).otherwise(1L)).as("nr"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val totT = BigInt(counts.valuesIterator.map(_._1).sum) + buckets
+    val totR = BigInt(counts.valuesIterator.map(_._2).sum) + buckets
+    (0 until buckets).map { b =>
+      val (nt, nr) = counts.getOrElse(b, (0L, 0L))
+      val v = (BigInt(nt + 1) * totR * scale) / (BigInt(nr + 1) * totT)
+      require(v.isValidLong, s"ilr($b) = $v overflows long; lower scale")
+      b -> v.toLong
+    }.toMap
+  }
+
+  /** Select the `k` raw-pool documents (rows where `isTarget` is false)
+    * whose hashed-unigram mix best matches the target corpus. Output:
+    * (idCol, n_feat, score, avg_ilr), the top-k by (avg_ilr desc, id asc);
+    * zero-token documents carry no evidence and are excluded. */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+                 isTarget: Column, buckets: Int = 512, k: Int = 100,
+                 scale: Long = 1000000L): DataFrame = {
+    require(k >= 1)
+    val ilr = typedLit(dsirIlrTable(docs, textCol, isTarget, buckets, scale))
+    docs.filter(!isTarget)
+      .select(col(idCol), featureBuckets(col(textCol), buckets).as("bks"))
+      .select(col(idCol), size(col("bks")).cast("long").as("n_feat"),
+        aggregate(col("bks"), lit(0L), (acc, b) => acc + element_at(ilr, b))
+          .as("score"))
+      .filter(col("n_feat") > 0)
+      .withColumn("avg_ilr", expr("score DIV n_feat"))
+      .orderBy(col("avg_ilr").desc, col(idCol))
+      .limit(k)
+  }
+}

@@ -363,6 +363,44 @@ object TextPipeline {
         sum(when(col("_hot").isNotNull, 1L).otherwise(0L)).as("n_removed"))
   }
 
+  /** Collapse period-`k` token repetition WITHIN a document — the removal
+    * counterpart of the Gopher repetition SIGNALS (qcg measures duplicate
+    * n-gram fractions; this actually trims the runs). A position `s` is a
+    * redundant gram start iff the k-gram starting at `s` equals the
+    * k-gram starting at `s − k` (one period earlier); every token covered
+    * by a redundant gram is dropped, so "buy now buy now buy now" at
+    * k = 2 collapses to one "buy now" and "a a a a" collapses to "a a"
+    * (period 2 sees the overlapping pair repeat). Trailing partial
+    * repeats shorter than a full gram are kept — the rule is purely
+    * local, which is what makes it exactly replayable by a SQL oracle
+    * (and what bounds its cost: each position does one k-token compare
+    * against its left neighborhood, no global state).
+    *
+    * Everything is a per-row HOF fold over the document's own tokens —
+    * no explode, no shuffle, no UDF: a narrow map over the corpus that
+    * composes with any scan. Output: (idCol, text_trimmed, n_dropped). */
+  def trimPeriodicRepeats(df: DataFrame, idCol: String, textCol: String,
+                          k: Int): DataFrame = {
+    require(k >= 1)
+    val toks = TextFunctions.tokens(col(textCol))
+    // mark(s): gram(s) == gram(s-k); slice start is clamped so the
+    // (never-taken) s < k branch cannot evaluate slice with start < 1
+    val marked = transform(
+      sequence(lit(0), greatest(size(col("w")), lit(1)) - 1),
+      s => s >= k && s <= size(col("w")) - k &&
+        (slice(col("w"), greatest(s - k + 1, lit(1)), lit(k)) ===
+          slice(col("w"), s + 1, lit(k))))
+    df.select(col(idCol), toks.as("w"))
+      .withColumn("mk", marked)
+      .withColumn("kept", filter(col("w"), (_, p) => {
+        val g = greatest(p - k + 1, lit(0))
+        !exists(slice(col("mk"), g + 1, p - g + 1), m => m)
+      }))
+      .select(col(idCol),
+        array_join(col("kept"), " ").as("text_trimmed"),
+        (size(col("w")) - size(col("kept"))).cast("long").as("n_dropped"))
+  }
+
   /** Byte-pair-encoding pair statistics — the inner step of tokenizer
     * training: corpus word counts, words as character-symbol sequences
     * with an end-of-word marker, and the frequency of every adjacent

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{AsOfJoin, BloomPrune, Dedup, ML, RangeJoin, Sampling, TextPipeline}
+import graft.operators.{AsOfJoin, BloomPrune, DataSelection, Dedup, ML, RangeJoin, Sampling, TextPipeline}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1689,5 +1689,93 @@ object PipelineQueries {
         TextPipeline.bpeEncode(docs, "doc_id", "text", merges)
       },
       Some(OBpeEncode3)),
+
+    // DSIR-style importance data selection (Xie et al. 2023) in the
+    // house integer-exact device: hashed-unigram buckets (fnv1a64 mod
+    // 512 — a power of two, so the oracle's unsigned HUGEINT mod equals
+    // Spark's signed pmod), add-one-smoothed frequency RATIOS floor-
+    // scaled to longs instead of libm log-ratios, per-doc score = sum of
+    // per-token ilr, selection = top-100 raw-pool docs by per-token mean.
+    // Target corpus = the 'en' documents; raw pool = the rest. The
+    // oracle replays the fnv byte fold per token (fixture is pure ASCII,
+    // so ascii() == UTF-8 byte), rebuilds the 512-row ratio table on a
+    // range() spine, and re-ranks — the full selection, bit-for-bit.
+    Entry("qei_dsir_select",
+      (s, dir) => DataSelection.dsirSelect(t(s, dir, "documents"),
+        "doc_id", "text", isTarget = col("lang") === "en",
+        buckets = 512, k = 100),
+      Some(s"""WITH tok AS (
+          SELECT doc_id, lang, unnest($OTOKS) AS t FROM documents
+        ), b AS (
+          SELECT doc_id, lang, CAST(${oFnv("t")} % 512 AS BIGINT) AS bk
+          FROM tok
+        ), agg AS (
+          SELECT bk,
+            CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+            CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nr
+          FROM b GROUP BY 1
+        ), tot AS (
+          SELECT CAST(coalesce(sum(nt), 0) + 512 AS BIGINT) AS totT,
+                 CAST(coalesce(sum(nr), 0) + 512 AS BIGINT) AS totR
+          FROM agg
+        ), ilr AS (
+          SELECT s.bk,
+            ((coalesce(a.nt, 0) + 1) * t.totR * 1000000)
+              // ((coalesce(a.nr, 0) + 1) * t.totT) AS r
+          FROM (SELECT unnest(range(512)) AS bk) s
+          LEFT JOIN agg a USING (bk) CROSS JOIN tot t
+        ), sc AS (
+          SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+            CAST(sum(i.r) AS BIGINT) AS score
+          FROM b JOIN ilr i USING (bk) WHERE b.lang <> 'en' GROUP BY 1
+        )
+        SELECT doc_id, n_feat, score, score // n_feat AS avg_ilr
+        FROM sc ORDER BY avg_ilr DESC, doc_id LIMIT 100""")),
+
+    // Within-document periodic-repetition TRIM — the removal counterpart
+    // of qcg's Gopher repetition signals: a k-gram starting one period
+    // after an identical k-gram is redundant and its tokens drop. Repeats
+    // are PLANTED (a 2-token phrase ×4 prepended on doc_id%3=0, an
+    // "a a a a" run appended on doc_id%7=2) and the small-vocabulary
+    // word salad also repeats naturally — the rule, not the fixture,
+    // decides, identically in both engines. The oracle replays the local
+    // mark-and-filter exactly with list lambdas (same clamped slice
+    // windows as the Column HOFs).
+    Entry("qej_repeat_trim",
+      (s, dir) => {
+        val staged = t(s, dir, "documents").select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit("buy now buy now buy now buy now "), col("text")))
+            .when(pmod(col("doc_id"), lit(7)) === 2,
+              concat(col("text"), lit(" a a a a")))
+            .otherwise(col("text")).as("text"))
+        TextPipeline.trimPeriodicRepeats(staged, "doc_id", "text", k = 2)
+      },
+      Some(s"""WITH staged AS (
+          SELECT doc_id,
+            CASE WHEN doc_id % 3 = 0
+                   THEN 'buy now buy now buy now buy now ' || text
+                 WHEN doc_id % 7 = 2 THEN text || ' a a a a'
+                 ELSE text END AS text
+          FROM documents
+        ), toks AS (
+          SELECT doc_id, $OTOKS AS w FROM staged
+        ), m AS (
+          SELECT doc_id, w, len(w) AS n,
+            list_transform(range(0, greatest(len(w), 1)), s ->
+              s >= 2 AND s <= len(w) - 2 AND w[s - 1 : s] = w[s + 1 : s + 2]
+            ) AS mk
+          FROM toks
+        ), kept AS (
+          SELECT doc_id, w, n,
+            list_filter(range(0, n), p -> NOT list_contains(
+              mk[greatest(p - 1, 0) + 1 : p + 1], true)) AS ks
+          FROM m
+        )
+        SELECT doc_id,
+          array_to_string(list_transform(ks, p -> w[p + 1]), ' ')
+            AS text_trimmed,
+          CAST(n - len(ks) AS BIGINT) AS n_dropped
+        FROM kept""")),
   )
 }

@@ -1,0 +1,121 @@
+package graft
+
+import graft.operators.{DataSelection, TextPipeline}
+import org.apache.spark.sql.functions._
+
+/** DSIR-style importance selection (operators/DataSelection.scala) and
+  * the periodic-repetition trim (TextPipeline.trimPeriodicRepeats):
+  * hand-computed ilr laws, ranking behavior, trim edge cases, and a
+  * brute-force differential fuzz of the trim rule. */
+class DataSelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- DSIR --------------------------------------------------------------
+
+  test("dsirIlrTable: hand-computed add-one-smoothed scaled ratios") {
+    // target doc: "aa aa bb"; raw doc: "bb bb cc" — B = 4 buckets
+    val docs = Seq((1L, "aa aa bb", true), (2L, "bb bb cc", false))
+      .toDF("id", "text", "is_t")
+    val b = 4
+    val table = DataSelection.dsirIlrTable(docs, "text", col("is_t"), b)
+    assert(table.size === b)
+    // recompute from first principles with the same hash
+    def bucket(t: String): Int = {
+      val h = graft.functions.Hashes.fnv1a64(t)
+      (((h % b) + b) % b).toInt
+    }
+    val tCounts = Seq("aa", "aa", "bb").groupBy(bucket).map { case (k, v) => k -> v.size.toLong }
+    val rCounts = Seq("bb", "bb", "cc").groupBy(bucket).map { case (k, v) => k -> v.size.toLong }
+    val (totT, totR) = (3L + b, 3L + b)
+    (0 until b).foreach { bk =>
+      val want = (BigInt(tCounts.getOrElse(bk, 0L) + 1) * totR * 1000000L /
+        (BigInt(rCounts.getOrElse(bk, 0L) + 1) * totT)).toLong
+      assert(table(bk) === want, s"bucket $bk")
+    }
+  }
+
+  test("dsirSelect ranks target-vocabulary raw docs first; zero-token docs excluded") {
+    val target = (1L to 6L).map(i => (i, "alpha beta gamma delta", true))
+    val raw = Seq(
+      (101L, "alpha beta alpha gamma", false), // pure target vocab
+      (102L, "zig zag zig zag", false),        // disjoint vocab
+      (103L, "alpha zig beta zag", false),     // mixed
+      (104L, "   ", false))                    // zero tokens
+    val docs = (target ++ raw).toDF("id", "text", "is_t")
+    val out = DataSelection.dsirSelect(docs, "id", "text", col("is_t"),
+      buckets = 64, k = 10)
+    val ids = out.orderBy(desc("avg_ilr"), col("id")).select("id").as[Long].collect().toSeq
+    assert(ids === Seq(101L, 103L, 102L)) // target-like > mixed > disjoint
+    assert(!ids.contains(104L))
+    // target rows never appear in the selection
+    assert(ids.forall(_ > 100L))
+    // score is the sum of per-token ilr entries — replay one doc by hand
+    val table = DataSelection.dsirIlrTable(docs, "text", col("is_t"), 64)
+    def bucket(t: String): Int = {
+      val h = graft.functions.Hashes.fnv1a64(t)
+      (((h % 64) + 64) % 64).toInt
+    }
+    val want101 = Seq("alpha", "beta", "alpha", "gamma").map(t => table(bucket(t))).sum
+    val got101 = out.filter($"id" === 101L).select("score").as[Long].head()
+    assert(got101 === want101)
+  }
+
+  test("dsirSelect rejects non-power-of-two bucket counts") {
+    val docs = Seq((1L, "a", true), (2L, "b", false)).toDF("id", "text", "is_t")
+    intercept[IllegalArgumentException] {
+      DataSelection.dsirSelect(docs, "id", "text", col("is_t"), buckets = 100)
+    }
+  }
+
+  // ---- periodic-repetition trim -------------------------------------------
+
+  private def trim(texts: Seq[String], k: Int): Seq[String] = {
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    TextPipeline.trimPeriodicRepeats(df, "id", "text", k)
+      .orderBy("id").select("text_trimmed").as[String].collect().toSeq
+  }
+
+  test("trimPeriodicRepeats hand cases") {
+    assert(trim(Seq("a b a b a b c"), 2) === Seq("a b c"))
+    assert(trim(Seq("x a b a b y"), 2) === Seq("x a b y"))
+    assert(trim(Seq("a a a a"), 1) === Seq("a"))
+    assert(trim(Seq("a a a a"), 2) === Seq("a a")) // overlapping pair repeats
+    assert(trim(Seq("a b a"), 2) === Seq("a b a")) // partial tail kept
+    assert(trim(Seq("a b c"), 2) === Seq("a b c")) // nothing periodic
+    assert(trim(Seq(""), 2) === Seq(""))           // empty doc
+    assert(trim(Seq("buy now buy now buy now buy now then stop"), 2) ===
+      Seq("buy now then stop"))
+  }
+
+  /** Brute-force reference: mark s iff gram(s) == gram(s-k); drop p iff
+    * any covering gram start is marked. */
+  private def bruteTrim(toks: Seq[String], k: Int): Seq[String] = {
+    val n = toks.length
+    val marked = (0 until n).map(s =>
+      s >= k && s <= n - k && toks.slice(s - k, s) == toks.slice(s, s + k))
+    toks.zipWithIndex.collect {
+      case (t, p) if !(math.max(p - k + 1, 0) to p).exists(marked) => t
+    }
+  }
+
+  test("trimPeriodicRepeats differential fuzz vs the brute-force rule") {
+    val rnd = new scala.util.Random(42)
+    val cases = (0 until 120).map { i =>
+      val n = rnd.nextInt(13)
+      val toks = Seq.fill(n)(Seq("a", "b", "c")(rnd.nextInt(3)))
+      (i.toLong, toks.mkString(" "), 1 + rnd.nextInt(3))
+    }
+    cases.groupBy(_._3).foreach { case (k, group) =>
+      val df = group.map(c => (c._1, c._2)).toDF("id", "text")
+      val got = TextPipeline.trimPeriodicRepeats(df, "id", "text", k)
+        .select("id", "text_trimmed", "n_dropped")
+        .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      group.foreach { case (id, text, _) =>
+        val toks = text.split("\\s+").filter(_.nonEmpty).toSeq
+        val kept = bruteTrim(toks, k)
+        assert(got(id) === ((kept.mkString(" "), (toks.length - kept.length).toLong)),
+          s"id=$id k=$k text='$text'")
+      }
+    }
+  }
+}

@@ -181,4 +181,24 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"),
       s"SQL text must reach the native expressions:\n$plan")
   }
+
+  test("qei DSIR selection: scoring is a map-literal HOF fold (no corpus " +
+    "join-back), top-k is TakeOrdered, no UDF") {
+    val plan = executedPlan("qei_dsir_select")
+    // the ratio table ships as a literal — scoring must not join the
+    // corpus against anything (the count aggregate is a separate tiny job
+    // that already ran inside dsirIlrTable)
+    assert(!plan.contains("Join"),
+      s"scoring must be join-free (ilr table is a broadcast literal):\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered, never a global sort:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"scoring must stay native:\n$plan")
+  }
+
+  test("qej repetition trim fuses into the scan: zero exchanges, no UDF") {
+    val plan = executedPlan("qej_repeat_trim")
+    assert(!plan.contains("Exchange"),
+      s"per-row trim must not shuffle at any corpus size:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"trim must stay a native HOF:\n$plan")
+  }
 }
