@@ -76,6 +76,35 @@ object DataSelection {
     }.toMap
   }
 
+  /** Semantic-DIVERSITY selection: cluster the corpus by embedding with
+    * the deterministic integer k-means ([[ML.kMeansScaled]] — the same
+    * trainer behind the IVF partitioners), then keep an equal per-cell
+    * quota, ranked inside each cell by the salted content hash (ties to
+    * the lower id). Where [[dsirSelect]] pulls the pool TOWARD a target
+    * distribution, this spreads the selection ACROSS the embedding space
+    * — the standard counterweight to importance selection collapsing
+    * onto one mode (cluster-balanced curation à la SemDeDup's diversity
+    * pass).
+    *
+    * Shape at 100 TB: k-means is per-round one k-row centroid broadcast
+    * + a narrow argmin + one (cell, dim) aggregate; the quota pass is a
+    * single window over cell_id — one shuffle keyed by k cells. Skewed
+    * cells are bounded by perCell, so the window's per-partition state
+    * is the quota, not the cell population (rank + filter fuse; rows
+    * past the quota stream through). Deterministic end to end, so the
+    * oracle replays assignment AND quota. */
+  def clusterBalancedSelect(df: DataFrame, idCol: String, vecCol: String,
+                            k: Int, iters: Int, perCell: Int,
+                            salt: String = "diverse"): DataFrame = {
+    require(perCell >= 1)
+    val asg = ML.kMeansScaled(df, idCol, vecCol, k, iters).assignments
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cell_id"))
+      .orderBy(Sampling.unitHash(col(idCol), salt), col(idCol))
+    asg.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= perCell)
+      .select(col(idCol), col("cell_id"), col("rk"))
+  }
+
   /** Select the `k` raw-pool documents (rows where `isTarget` is false)
     * whose hashed-unigram mix best matches the target corpus. Output:
     * (idCol, n_feat, score, avg_ilr), the top-k by (avg_ilr desc, id asc);

@@ -226,6 +226,27 @@ object MLQueries {
     Entry("qds_kmeans_k16",
       kMeansQuery(k = 16, iters = 2),
       Some(kMeansOracle(k = 16, iters = 2))),
+
+    // Cluster-balanced (semantic-diversity) selection: the qcj/qds k-means
+    // assignment feeds an equal per-cell quota ranked by the salted
+    // content hash — the diversity counterweight to qei's importance
+    // selection. The oracle reuses the unrolled k-means CTEs verbatim and
+    // replays the quota window (unitHash = (fnv >>> 11) / 2^53, ties to
+    // the lower id), so assignment AND selection are both bit-exact.
+    Entry("qek_cluster_balanced",
+      (s, dir) => graft.operators.DataSelection.clusterBalancedSelect(
+        t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 1, perCell = 10),
+      Some {
+        val uh = s"""(CAST(${ExtensionQueries.oFnv("(CAST(id AS VARCHAR) || ':diverse')")}
+           // 2048::HUGEINT AS DOUBLE) / 9007199254740992.0)"""
+        s"""WITH ${kMeansCtes(k = 8, iters = 1)},
+        u AS (SELECT id, cell_id, $uh AS uhash FROM a2),
+        sel AS (SELECT id, cell_id, row_number() OVER (
+            PARTITION BY cell_id ORDER BY uhash, id) AS rk FROM u)
+        SELECT id AS vec_id, cell_id, CAST(rk AS BIGINT) AS rk
+        FROM sel WHERE rk <= 10"""
+      }),
   )
 
   /** Shared Spark side of the qcj/qds k-means gates: train, then emit the
@@ -242,11 +263,13 @@ object MLQueries {
       .select("cell_id", "n_members", "id_sum", "centroid_sum")
   }
 
-  /** DuckDB replay of [[ML.kMeansScaled]] for any (k, iters): unrolls
+  /** CTE prefix replaying [[ML.kMeansScaled]] for any (k, iters): unrolls
     * every assignment pass (integer squared distance, ties to the lower
-    * cell id) and every floor-division centroid update, then aggregates
-    * the same per-cell summary as [[kMeansQuery]]. */
-  private def kMeansOracle(k: Int, iters: Int): String = {
+    * cell id) and every floor-division centroid update. Exposes the final
+    * assignment as `a{iters+1}` and the final centroids as `c{iters}` for
+    * the gate's own SELECT — shared by qcj/qds (per-cell summaries) and
+    * qek (cluster-balanced quota selection). */
+  private def kMeansCtes(k: Int, iters: Int): String = {
     def assign(name: String, cents: String) =
       s"""$name AS (SELECT q.id, q.qv, s.cell_id FROM q JOIN LATERAL (
          SELECT t.cell_id FROM $cents t
@@ -264,18 +287,23 @@ object MLQueries {
       s"${assign(s"a$i", s"c${i - 1}")}, ${update(s"c$i", s"a$i")}"
     }.mkString(",\n        ")
     val sep = if (iters > 0) "," else ""
-    s"""WITH q AS (SELECT vec_id AS id,
+    s"""q AS (SELECT vec_id AS id,
         list_transform(embedding,
           x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
       FROM embeddings),
     c0 AS (SELECT id AS cell_id, qv AS cvec FROM q ORDER BY id LIMIT $k)$sep
     $rounds,
-    ${assign(s"a${iters + 1}", s"c$iters")},
+    ${assign(s"a${iters + 1}", s"c$iters")}"""
+  }
+
+  /** DuckDB replay of the qcj/qds gates over [[kMeansCtes]]: the same
+    * per-cell summary as [[kMeansQuery]]. */
+  private def kMeansOracle(k: Int, iters: Int): String =
+    s"""WITH ${kMeansCtes(k, iters)},
     agg AS (SELECT cell_id, CAST(count(*) AS BIGINT) AS n_members,
         CAST(sum(id) AS BIGINT) AS id_sum FROM a${iters + 1} GROUP BY 1),
     csum AS (SELECT cell_id,
         CAST(list_aggregate(cvec, 'sum') AS BIGINT) AS centroid_sum FROM c$iters)
     SELECT agg.cell_id, n_members, id_sum, centroid_sum
     FROM agg JOIN csum USING (cell_id)"""
-  }
 }

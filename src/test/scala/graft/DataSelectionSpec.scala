@@ -67,6 +67,38 @@ class DataSelectionSpec extends SparkSpec {
     }
   }
 
+  test("clusterBalancedSelect: per-cell quota, contiguous ranks, " +
+    "consistent with the k-means assignment") {
+    val rnd = new scala.util.Random(5)
+    // 4 separated clusters, uneven sizes (30/20/10/4)
+    val centers = Array(Array(10f, 0f), Array(0f, 10f), Array(-10f, 0f), Array(0f, -10f))
+    val sizes = Seq(30, 20, 10, 4)
+    // interleaved ids: the 4 lowest ids (j = 0) land one per cluster, so
+    // the lowest-id k-means init seeds every cluster
+    val vecs = sizes.zipWithIndex.flatMap { case (sz, c) =>
+      (0 until sz).map { j =>
+        val id = (j * 10 + c).toLong
+        (id, centers(c).map(x => x + rnd.nextGaussian().toFloat * 0.2f).toSeq)
+      }
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = graft.operators.DataSelection.clusterBalancedSelect(
+      df, "vec_id", "embedding", k = 4, iters = 2, perCell = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byCell = out.groupBy(_._2)
+    // quota respected; ranks contiguous from 1; the 4-member cell yields 4
+    byCell.values.foreach { rows =>
+      assert(rows.length <= 6)
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq)
+    }
+    assert(byCell.values.map(_.length).toSeq.sorted === Seq(4, 6, 6, 6))
+    // membership agrees with the trainer's own assignment
+    val asg = graft.operators.ML.kMeansScaled(df, "vec_id", "embedding",
+      k = 4, iters = 2).assignments
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (id, cell, _) => assert(asg(id) === cell) }
+  }
+
   // ---- periodic-repetition trim -------------------------------------------
 
   private def trim(texts: Seq[String], k: Int): Seq[String] = {
