@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.IterBench"
   * Section select: SPARK_GRAFT_ITERBENCH=loops|bpe|bpescale|tok|wpencode|
-  * lshidx|ivfidx|stream|streamamort|streamloop (default loops — the bpe/bpescale
+  * lshidx|ivfidx|dsir|stream|streamamort|streamloop (default loops — the bpe/bpescale
   * sections run ~500-merge tokenizer trainings and are minutes long by
   * design; results are recorded in BASELINE.md).
   *
@@ -180,6 +180,35 @@ object IterBench {
            else translate(col("text"), alpha, rot)).as("text"))
       }.reduce(_ unionByName _)
       (scaled.cache(), span)
+    }
+
+    // Data-selection slopes: dsirSelect's only corpus-scale work is two
+    // linear scans (bucket counts, then scoring) — the shuffle is ≤512
+    // rows per partition regardless of corpus size and the top-k is
+    // TakeOrdered — so time should grow linearly with mult, no worse.
+    // trimPeriodicRepeats is a zero-shuffle narrow map: same expectation.
+    if (section == "dsir") {
+      import graft.operators.{DataSelection, TextPipeline}
+      import org.apache.spark.sql.functions.{col, sum}
+      val (docs, _) = scaledDocs()
+      println(s"[iterbench] corpus: ${docs.count()} docs (mult=$mult)")
+      val isTarget = col("doc_id") % 5 === 0
+      for (round <- 1 to 2) {
+        timed(s"dsir ilr table (two scans + <=512-row shuffle, mult=$mult), round $round") {
+          DataSelection.dsirIlrTable(docs, "text", isTarget, buckets = 512).size.toLong
+        }
+        timed(s"dsir select top-100 end-to-end (mult=$mult), round $round") {
+          DataSelection.dsirSelect(docs, "doc_id", "text", isTarget,
+            buckets = 512, k = 100).count()
+        }
+        timed(s"periodic repeat trim, full corpus (mult=$mult), round $round") {
+          TextPipeline.trimPeriodicRepeats(docs, "doc_id", "text", k = 2)
+            .agg(sum(col("n_dropped"))).head().getLong(0)
+        }
+      }
+      docs.unpersist()
+      spark.stop()
+      return
     }
 
     if (section == "lshidx") {

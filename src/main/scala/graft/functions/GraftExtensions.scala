@@ -115,6 +115,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         val (word, vocab) = two(args, "wordpiece_encode")
         WordpieceEncodeExpr(word, litStrings(vocab, "wordpiece_encode", "vocab"))
+      }),
+    (FunctionIdentifier("periodic_trim"),
+      new ExpressionInfo(classOf[PeriodicTrimExpr].getName, "periodic_trim"),
+      (args: Seq[Expression]) => {
+        val (text, k) = two(args, "periodic_trim")
+        PeriodicTrimExpr(text, litInt(k, "periodic_trim", "k"))
       }))
 
   /** Register on a live session (idempotent — re-registration overwrites

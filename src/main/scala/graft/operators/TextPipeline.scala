@@ -376,29 +376,20 @@ object TextPipeline {
     * (and what bounds its cost: each position does one k-token compare
     * against its left neighborhood, no global state).
     *
-    * Everything is a per-row HOF fold over the document's own tokens —
-    * no explode, no shuffle, no UDF: a narrow map over the corpus that
-    * composes with any scan. Output: (idCol, text_trimmed, n_dropped). */
+    * The kernel is the native codegen expression
+    * [[graft.functions.PeriodicTrimExpr]] (one byte-span pass per row —
+    * the equivalent HOF-lambda formulation measured ~3.5 ms/doc
+    * interpreted): no explode, no shuffle, no UDF — a narrow map over
+    * the corpus that composes with any scan and stays inside whole-stage
+    * codegen. Output: (idCol, text_trimmed, n_dropped). */
   def trimPeriodicRepeats(df: DataFrame, idCol: String, textCol: String,
                           k: Int): DataFrame = {
     require(k >= 1)
-    val toks = TextFunctions.tokens(col(textCol))
-    // mark(s): gram(s) == gram(s-k); slice start is clamped so the
-    // (never-taken) s < k branch cannot evaluate slice with start < 1
-    val marked = transform(
-      sequence(lit(0), greatest(size(col("w")), lit(1)) - 1),
-      s => s >= k && s <= size(col("w")) - k &&
-        (slice(col("w"), greatest(s - k + 1, lit(1)), lit(k)) ===
-          slice(col("w"), s + 1, lit(k))))
-    df.select(col(idCol), toks.as("w"))
-      .withColumn("mk", marked)
-      .withColumn("kept", filter(col("w"), (_, p) => {
-        val g = greatest(p - k + 1, lit(0))
-        !exists(slice(col("mk"), g + 1, p - g + 1), m => m)
-      }))
-      .select(col(idCol),
-        array_join(col("kept"), " ").as("text_trimmed"),
-        (size(col("w")) - size(col("kept"))).cast("long").as("n_dropped"))
+    df.withColumn("text_trimmed", graft.functions.PeriodicTrimExpr(col(textCol), k))
+      .select(col(idCol), col("text_trimmed"),
+        (size(TextFunctions.tokens(col(textCol))) -
+          size(TextFunctions.tokens(col("text_trimmed"))))
+          .cast("long").as("n_dropped"))
   }
 
   /** Byte-pair-encoding pair statistics — the inner step of tokenizer

@@ -117,6 +117,10 @@ class DataSelectionSpec extends SparkSpec {
     assert(trim(Seq(""), 2) === Seq(""))           // empty doc
     assert(trim(Seq("buy now buy now buy now buy now then stop"), 2) ===
       Seq("buy now then stop"))
+    // irregular whitespace: tokenization is \s+, output re-joins with
+    // single spaces (so the no-drop fast path must NOT echo the input)
+    assert(trim(Seq("  a\tb   a b\na b  c "), 2) === Seq("a b c"))
+    assert(trim(Seq("x\t\ty  z"), 2) === Seq("x y z"))
   }
 
   /** Brute-force reference: mark s iff gram(s) == gram(s-k); drop p iff

@@ -259,6 +259,11 @@ class FunctionsSpec extends SparkSpec {
       Seq(2).toDF("n").createOrReplaceTempView("nv")
       spark.sql("SELECT shingle_hashes('ab cd', n) FROM nv").collect()
     }
+    // periodic_trim: SQL == Column API == the documented rule
+    val trimSql = spark.sql(
+      "SELECT periodic_trim('buy now buy now buy now then stop', 2) AS t")
+      .as[String].head()
+    assert(trimSql === "buy now then stop")
     // ... and an out-of-Int-range BIGINT literal is an analysis error,
     // not a silent Long.toInt truncation (4294967296 would wrap to k=0)
     val wide = intercept[Exception] {

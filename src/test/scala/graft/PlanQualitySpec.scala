@@ -195,10 +195,14 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"), s"scoring must stay native:\n$plan")
   }
 
-  test("qej repetition trim fuses into the scan: zero exchanges, no UDF") {
+  test("qej repetition trim fuses into the scan: zero exchanges, no UDF, " +
+    "native kernel") {
     val plan = executedPlan("qej_repeat_trim")
     assert(!plan.contains("Exchange"),
       s"per-row trim must not shuffle at any corpus size:\n$plan")
-    assert(!plan.contains("ScalaUDF"), s"trim must stay a native HOF:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"trim must stay native:\n$plan")
+    assert(plan.toLowerCase.contains("periodictrimexpr"),
+      s"trim must run the codegen byte-span kernel (the interpreted HOF " +
+        s"formulation measured ~3.5 ms/doc):\n$plan")
   }
 }
