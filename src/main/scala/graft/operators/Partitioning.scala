@@ -50,6 +50,52 @@ object Partitioning {
     df.sparkSession.createDataFrame(rdd, schema)
   }
 
+  /** Exclusive ordered prefix sum of `valCol` over ascending `orderCol` —
+    * the distributed scan primitive behind sequence packing (reference
+    * analogue: the two-phase counts-then-offsets plan of DataSetUtils
+    * zipWithIndex, generalized from count to sum). A global `sum() OVER
+    * (ORDER BY ...)` window funnels the corpus through ONE task; this
+    * runs the textbook two-phase scan instead: range-partition + local
+    * sort, one pass for per-partition sums (P longs to the driver), one
+    * offset-mapped pass — both corpus-linear, driver state O(P).
+    *
+    * `orderCol` must be unique (it defines the scan order); `valCol`
+    * casts to long. Output: (orderCol, outCol) — join it back by
+    * orderCol. Correct for any sampled range boundaries: partitioning
+    * only moves where the per-partition bases land, never the sums. */
+  def prefixSum(df: DataFrame, orderCol: String, valCol: String,
+                outCol: String, partitions: Int = 0): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = df.select(col(orderCol), col(valCol).cast("long").as("_v"))
+      .repartitionByRange(p, col(orderCol))
+      .sortWithinPartitions(orderCol)
+    val rdd = sorted.rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sums = rdd.mapPartitionsWithIndex { (i, it) =>
+        var s = 0L; it.foreach(r => s += r.getLong(1)); Iterator((i, s))
+      }.collect().sortBy(_._1).map(_._2)
+      val bases = sums.scanLeft(0L)(_ + _)
+      val out = rdd.mapPartitionsWithIndex { (i, it) =>
+        var acc = bases(i)
+        it.map { r =>
+          val row = org.apache.spark.sql.Row(r.get(0), acc)
+          acc += r.getLong(1)
+          row
+        }
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        sorted.schema.head,
+        org.apache.spark.sql.types.StructField(outCol,
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      // materialize before unpersist so the cached scan feeds both passes
+      spark.createDataFrame(out, schema).localCheckpoint(true)
+    } finally rdd.unpersist()
+  }
+
   /** Z-order (Morton) clustering for multi-dimensional data skipping.
     *
     * A table range-partitioned and sorted by ONE column prunes scans on

@@ -392,6 +392,43 @@ object TextPipeline {
           .cast("long").as("n_dropped"))
   }
 
+  /** Pack the tokenized corpus into FIXED-length training sequences that
+    * span document boundaries — the final-mile layout step of an LLM data
+    * pipeline ([[packBudget]] bins whole documents under a budget; this
+    * splits the token stream itself at exact multiples of `seqLen`, the
+    * "concat-and-chunk" regime every causal-LM trainer consumes). Token
+    * order is document order (ascending idCol) then position; global
+    * token offsets come from [[Partitioning.prefixSum]] (two-phase scan,
+    * never a one-task window), so sequence `g` holds exactly tokens
+    * [g·seqLen, (g+1)·seqLen) of the concatenated corpus — a
+    * deterministic function of the data that an external oracle replays.
+    *
+    * Output: (seq_id, n_toks, n_docs, seq_text) — n_toks = seqLen except
+    * for the final partial sequence; n_docs counts the documents a
+    * sequence spans. Shape at 100 TB: the prefix sum is two linear
+    * passes + P driver longs; the explode is corpus-token rows but
+    * map-local; the only wide state is the groupBy on seq_id, whose
+    * groups are bounded at seqLen tokens — no skew by construction. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+                    seqLen: Int): DataFrame = {
+    require(seqLen >= 1)
+    val docs = df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("w"))
+    val offs = Partitioning.prefixSum(
+      docs.select(col(idCol), size(col("w")).as("_n")), idCol, "_n", "_off")
+    docs.join(offs, Seq(idCol))
+      .select(col(idCol), col("_off"), posexplode(col("w")))
+      .select(col(idCol), (col("_off") + col("pos")).as("gpos"), col("col").as("tok"))
+      .select(col(idCol), col("tok"),
+        expr(s"gpos DIV ${seqLen}L").as("seq_id"), // integral div: exact past 2^53
+        pmod(col("gpos"), lit(seqLen.toLong)).as("pos_in_seq"))
+      .groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        countDistinct(col(idCol)).as("n_docs"),
+        array_join(transform(array_sort(collect_list(
+          struct(col("pos_in_seq"), col("tok")))),
+          x => x.getField("tok")), " ").as("seq_text"))
+  }
+
   /** Byte-pair-encoding pair statistics — the inner step of tokenizer
     * training: corpus word counts, words as character-symbol sequences
     * with an end-of-word marker, and the frequency of every adjacent

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions
-import graft.operators.{AsOfJoin, BloomPrune, DataSelection, Dedup, ML, RangeJoin, Sampling, TextPipeline}
+import graft.operators.{AsOfJoin, BloomPrune, DataSelection, Dedup, ML, Partitioning, RangeJoin, Sampling, TextPipeline}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1777,5 +1777,36 @@ object PipelineQueries {
             AS text_trimmed,
           CAST(n - len(ks) AS BIGINT) AS n_dropped
         FROM kept""")),
+
+    // Fixed-length sequence packing (concat-and-chunk): the corpus token
+    // stream in doc_id order splits at exact multiples of 64 — sequences
+    // span document boundaries (n_docs > 1 for most rows at this fixture's
+    // ~25-70 tokens/doc). The Spark side derives global token offsets via
+    // the two-phase distributed prefix scan (Partitioning.prefixSum — a
+    // one-task `sum() OVER (ORDER BY)` window is the shape that dies at
+    // 100 TB); the oracle IS that window, which a single-node engine may
+    // run. Every sequence's content, length, and doc-span replay exactly.
+    Entry("qel_sequence_pack",
+      (s, dir) => TextPipeline.packSequences(t(s, dir, "documents"),
+        "doc_id", "text", seqLen = 64),
+      Some(s"""WITH toks AS (
+          SELECT doc_id, $OTOKS AS w FROM documents
+        ), off AS (
+          SELECT doc_id, w,
+            coalesce(sum(len(w)) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+          FROM toks
+        ), tok AS (
+          SELECT doc_id, o + i - 1 AS gpos, w[i] AS t
+          FROM off CROSS JOIN UNNEST(generate_series(1, len(w))) AS u(i)
+        ), seq AS (
+          SELECT CAST(gpos // 64 AS BIGINT) AS seq_id,
+            CAST(gpos % 64 AS BIGINT) AS pos, t, doc_id
+          FROM tok
+        )
+        SELECT seq_id, CAST(count(*) AS BIGINT) AS n_toks,
+          CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          string_agg(t, ' ' ORDER BY pos) AS seq_text
+        FROM seq GROUP BY 1""")),
   )
 }

@@ -99,6 +99,40 @@ class DataSelectionSpec extends SparkSpec {
     out.foreach { case (id, cell, _) => assert(asg(id) === cell) }
   }
 
+  // ---- prefix scan + sequence packing -------------------------------------
+
+  test("prefixSum equals the single-task window reference on randomized input") {
+    val rnd = new scala.util.Random(17)
+    val rows = (0 until 500).map(i => (i.toLong * 3 + 1, rnd.nextInt(40).toLong))
+    val df = rnd.shuffle(rows).toDF("id", "v").repartition(7) // layout-scrambled
+    val got = graft.operators.Partitioning.prefixSum(df, "id", "v", "off")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var acc = 0L
+    rows.sortBy(_._1).foreach { case (id, v) =>
+      assert(got(id) === acc, s"id=$id"); acc += v
+    }
+    assert(got.size === rows.size)
+  }
+
+  test("packSequences: concat-and-chunk invariants (content, lengths, doc spans)") {
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "f g"), (3L, ""), (4L, "h i j k l m n"),
+      (5L, "o"), (7L, "p q r s t u v w x y z")).toDF("doc_id", "text")
+    val out = TextPipeline.packSequences(docs, "doc_id", "text", seqLen = 4)
+      .orderBy("seq_id")
+      .select("seq_id", "n_toks", "n_docs", "seq_text")
+      .as[(Long, Long, Long, String)].collect()
+    val stream = "a b c d e f g h i j k l m n o p q r s t u v w x y z".split(" ")
+    // seq ids contiguous from 0; every sequence full except the last
+    assert(out.map(_._1).toSeq === (0L until out.length).toSeq)
+    out.init.foreach { case (_, n, _, _) => assert(n === 4L) }
+    assert(out.last._2 === (stream.length % 4 match { case 0 => 4L; case r => r.toLong }))
+    // concatenating the chunks reproduces the corpus token stream exactly
+    assert(out.flatMap(_._4.split(" ")).toSeq === stream.toSeq)
+    // seq 1 = tokens e f g h: spans docs 1, 2, 4 (doc 3 is empty)
+    assert(out(1)._4 === "e f g h" && out(1)._3 === 3L)
+  }
+
   // ---- periodic-repetition trim -------------------------------------------
 
   private def trim(texts: Seq[String], k: Int): Seq[String] = {
