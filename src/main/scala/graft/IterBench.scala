@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.IterBench"
   * Section select: SPARK_GRAFT_ITERBENCH=loops|bpe|bpescale|tok|wpencode|
-  * lshidx|ivfidx|dsir|stream|streamamort|streamloop (default loops — the bpe/bpescale
+  * lshidx|ivfidx|dsir|streampack|stream|streamamort|streamloop (default loops — the bpe/bpescale
   * sections run ~500-merge tokenizer trainings and are minutes long by
   * design; results are recorded in BASELINE.md).
   *
@@ -206,6 +206,70 @@ object IterBench {
             .agg(sum(col("n_dropped"))).head().getLong(0)
         }
       }
+      docs.unpersist()
+      spark.stop()
+      return
+    }
+
+    // Continuous-packing slopes (gate qem): the streaming SeqPacker's state
+    // is O(shards·seqLen) regardless of corpus size, so a mult-scaled
+    // corpus should cost linearly more wall time (per-doc work constant)
+    // on top of the fixed 4-micro-batch commit floor; the batch twin is
+    // the floor to beat only on a finite replay — the streaming shape
+    // exists for corpora that never stop arriving.
+    if (section == "streampack") {
+      import org.apache.spark.sql.functions._
+      import graft.operators.TextPipeline
+      import spark.implicits._
+      val (docs, span) = scaledDocs()
+      val n = docs.count()
+      println(s"[iterbench] corpus: $n docs (mult=$mult)")
+      for (round <- 1 to 2) {
+        timed(s"batch packSequences (mult=$mult), round $round") {
+          TextPipeline.packSequences(docs, "doc_id", "text", 64).count()
+        }
+      }
+      // 4 ordered micro-batches on disk (file source replays in mtime order)
+      val maxId = span * mult
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_streampack_${System.nanoTime()}")
+      val dataDir = new java.io.File(base, "docs"); dataDir.mkdirs()
+      (0 until 4).foreach { q =>
+        val lo = maxId * q / 4; val hi = maxId * (q + 1) / 4
+        val tmp = new java.io.File(base, s"stage_$q").getPath
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(dataDir, f"batch_$q%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1700000000000L + q * 60000L)
+      }
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      for (round <- 1 to 2) {
+        timed(s"streaming SeqPacker 4-batch replay, 8 shards (mult=$mult), round $round") {
+          val schema = spark.read.parquet(dataDir.getPath).schema
+          val raw = spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"${dataDir.getPath}/*.parquet")
+          val ds = raw
+            .withColumn("ts", timestamp_micros(col("doc_id") * 1000000L))
+            .withWatermark("ts", "0 seconds")
+            .select(pmod(col("doc_id"), lit(8)).cast("string").as("key"),
+              col("doc_id").as("docId"),
+              graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+            .as[graft.streaming.StreamingPack.DocToks]
+          val packed = graft.streaming.EventTimeOps.ordered(ds,
+            (d: graft.streaming.StreamingPack.DocToks) => d.key,
+            new graft.streaming.StreamingPack.SeqPacker(64))
+          val name = s"streampack_sink_${round}_$mult"
+          val q = packed.writeStream.outputMode("append").format("memory")
+            .queryName(name).start()
+          try q.processAllAvailable() finally q.stop()
+          spark.table(name).count()
+        }
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(base)
       docs.unpersist()
       spark.stop()
       return

@@ -1368,5 +1368,57 @@ object StatefulStreamQueries {
         JOIN pref p ON p.batch_id = t.batch_id AND p.user_id = t.user_id
         ORDER BY t.batch_id, t.user_id"""),
       prepare = Some((s, dir) => { graft.streaming.QueryableState.materializeChangelog(s, dir); () })),
+
+    // Continuous sequence packing (the streaming face of qel): documents
+    // stream in doc-id order, keyed by lang — one independent token stream
+    // per shard — and per-shard state (remainder < seqLen tokens + two
+    // longs, O(shards·seqLen) total regardless of corpus size) carries the
+    // open sequence across micro-batches. Only CLOSED 64-token sequences
+    // are emitted (each exactly once, in the batch whose doc closes it);
+    // the trailing partial of each shard stays open awaiting more data, so
+    // the oracle is the per-lang qel window restricted to complete
+    // sequences. Sharding is the scale story: within a shard packing is
+    // inherently sequential, across shards it parallelizes freely.
+    Entry("qem_stream_pack",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val schema = s.read.parquet(graft.Tables.path(dir, "documents")).schema
+        val raw = s.readStream.schema(schema).parquet(s"$dir/documents*.parquet")
+        val docs = raw
+          .withColumn("ts", timestamp_micros(col("doc_id") * 1000000L))
+          .withWatermark("ts", "0 seconds")
+          .select(col("lang").as("key"), col("doc_id").as("docId"),
+            graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+          .as[graft.streaming.StreamingPack.DocToks]
+        val packed = graft.streaming.EventTimeOps.ordered(docs,
+          (d: graft.streaming.StreamingPack.DocToks) => d.key,
+          new graft.streaming.StreamingPack.SeqPacker(64))
+        run(packed.toDF(), "qem_sink")
+          .select("lang", "seq_id", "n_toks", "n_docs", "seq_text")
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id, lang,
+            list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+          FROM documents
+        ), off AS (
+          SELECT doc_id, lang, w,
+            coalesce(sum(len(w)) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+          FROM toks
+        ), tok AS (
+          SELECT lang, doc_id, o + i - 1 AS gpos, w[i] AS t
+          FROM off CROSS JOIN UNNEST(generate_series(1, len(w))) AS u(i)
+        ), seq AS (
+          SELECT lang, CAST(gpos // 64 AS BIGINT) AS seq_id,
+            CAST(gpos % 64 AS BIGINT) AS pos, t, doc_id
+          FROM tok
+        )
+        SELECT lang, seq_id, CAST(count(*) AS BIGINT) AS n_toks,
+          CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          string_agg(t, ' ' ORDER BY pos) AS seq_text
+        FROM seq GROUP BY 1, 2 HAVING count(*) = 64""")),
   )
 }
