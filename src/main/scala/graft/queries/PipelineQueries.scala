@@ -1808,5 +1808,96 @@ object PipelineQueries {
           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
           string_agg(t, ' ' ORDER BY pos) AS seq_text
         FROM seq GROUP BY 1""")),
+
+    // END-TO-END CURATION: the four pipeline stages a training-data run
+    // chains — rule filter (q8h's Gopher conjunction) → exact-text dedup
+    // to representatives (min doc_id per text; at 100 TB the same shape
+    // runs over the q87 fingerprint to keep the shuffle key 8 bytes) →
+    // DSIR importance selection of the top-100 non-target docs against
+    // the en target (qei's integer-exact machinery, ilr table REBUILT on
+    // the deduped kept pool, which is the honest order: selection scores
+    // must not be polluted by mass the earlier stages removed) → packed
+    // 64-token training sequences (qel's concat-and-chunk over the
+    // selected docs in doc-id order). One oracle chains all four stages'
+    // CTEs, so the composition — not just each stage — is bit-exact.
+    Entry("qen_curation_pipeline",
+      (s, dir) => {
+        import graft.functions.TextFunctions.Rules
+        val d = t(s, dir, "documents")
+        val kept = d.filter(Rules.gopherKeep(col("text")))
+        val reps = kept.groupBy(col("text"))
+          .agg(min(col("doc_id")).as("doc_id"),
+            min_by(col("lang"), col("doc_id")).as("lang"))
+        val sel = DataSelection.dsirSelect(reps, "doc_id", "text",
+          isTarget = col("lang") === "en", buckets = 512, k = 100)
+        val docsSel = reps.join(sel.select("doc_id"), Seq("doc_id"))
+          .select(col("doc_id"), col("text"))
+        TextPipeline.packSequences(docsSel, "doc_id", "text", seqLen = 64)
+      },
+      Some(s"""WITH rul AS (SELECT doc_id, lang, text,
+          (len($OTOKS) BETWEEN 50 AND 100000) AS r_len,
+          ((COALESCE(CAST(list_aggregate(list_transform($OTOKS, x -> length(x)), 'sum') AS BIGINT), 0)
+            / CAST(greatest(len($OTOKS), 1) AS DOUBLE)) BETWEEN 3.0 AND 10.0) AS r_meanlen,
+          ((CAST(len(list_filter($OTOKS, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+            / greatest(len($OTOKS), 1)) > 0.8) AS r_alpha,
+          ((CAST((length(text) - length(replace(text, '#', '')))
+              + (length(text) - length(replace(text, '...', ''))) // 3 AS DOUBLE)
+            / greatest(len($OTOKS), 1)) < 0.1) AS r_symbol,
+          (len(list_distinct(list_transform(list_filter($OTOKS, x -> list_contains(
+            ['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','this','be','are'],
+            lower(x))), x -> lower(x)))) >= 2) AS r_stopword,
+          ((CAST(len(list_distinct($OTOKS)) AS DOUBLE) / greatest(len($OTOKS), 1)) > 0.2) AS r_repetition
+          FROM documents
+        ), reps AS (
+          SELECT min(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang, text
+          FROM rul
+          WHERE r_len AND r_meanlen AND r_alpha AND r_symbol AND r_stopword AND r_repetition
+          GROUP BY text
+        ), tok AS (
+          SELECT doc_id, lang, unnest($OTOKS) AS t FROM reps
+        ), b AS (
+          SELECT doc_id, lang, CAST(${oFnv("t")} % 512 AS BIGINT) AS bk
+          FROM tok
+        ), agg AS (
+          SELECT bk,
+            CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+            CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nr
+          FROM b GROUP BY 1
+        ), tot AS (
+          SELECT CAST(coalesce(sum(nt), 0) + 512 AS BIGINT) AS totT,
+                 CAST(coalesce(sum(nr), 0) + 512 AS BIGINT) AS totR
+          FROM agg
+        ), ilr AS (
+          SELECT s.bk,
+            ((coalesce(a.nt, 0) + 1) * t.totR * 1000000)
+              // ((coalesce(a.nr, 0) + 1) * t.totT) AS r
+          FROM (SELECT unnest(range(512)) AS bk) s
+          LEFT JOIN agg a USING (bk) CROSS JOIN tot t
+        ), sc AS (
+          SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+            CAST(sum(i.r) AS BIGINT) AS score
+          FROM b JOIN ilr i USING (bk) WHERE b.lang <> 'en' GROUP BY 1
+        ), sel AS (
+          SELECT doc_id FROM sc ORDER BY score // n_feat DESC, doc_id LIMIT 100
+        ), toksel AS (
+          SELECT p.doc_id, $OTOKS AS w
+          FROM reps p JOIN sel USING (doc_id)
+        ), off AS (
+          SELECT doc_id, w,
+            coalesce(sum(len(w)) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+          FROM toksel
+        ), tokn AS (
+          SELECT doc_id, o + i - 1 AS gpos, w[i] AS t
+          FROM off CROSS JOIN UNNEST(generate_series(1, len(w))) AS u(i)
+        ), seq AS (
+          SELECT CAST(gpos // 64 AS BIGINT) AS seq_id,
+            CAST(gpos % 64 AS BIGINT) AS pos, t, doc_id
+          FROM tokn
+        )
+        SELECT seq_id, CAST(count(*) AS BIGINT) AS n_toks,
+          CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+          string_agg(t, ' ' ORDER BY pos) AS seq_text
+        FROM seq GROUP BY 1""")),
   )
 }

@@ -195,6 +195,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"), s"scoring must stay native:\n$plan")
   }
 
+  test("qen curation pipeline composes without plan rot: top-k stays " +
+    "TakeOrdered, no cartesian, no UDF") {
+    val plan = executedPlan("qen_curation_pipeline")
+    // composing filter -> dedup -> selection -> pack must not degrade the
+    // selection's top-k into a global sort, introduce a cartesian shape,
+    // or fall off the native expressions anywhere in the chain
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"selection top-k must stay TakeOrdered inside the composition:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"composition must plan equi-joins only:\n$plan")
+    assert(!plan.contains("ScalaUDF"),
+      s"all four stages must stay native:\n$plan")
+  }
+
   test("qej repetition trim fuses into the scan: zero exchanges, no UDF, " +
     "native kernel") {
     val plan = executedPlan("qej_repeat_trim")
