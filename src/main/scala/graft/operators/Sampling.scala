@@ -177,4 +177,63 @@ object Sampling {
       .orderBy(col("priority").desc, col(idCol))
       .limit(k)
   }
+
+  /** UniMax-style capped waterfill budget allocation (Chung et al. 2023,
+    * "UniMax: Fairer and More Effective Language Sampling"): distribute
+    * `totalBudget` examples as equally as possible across groups, subject
+    * to a per-group cap of `maxEpochs` passes over that group's data —
+    * the published successor to temperature sampling for multilingual
+    * mixtures (no exponent to tune; low-resource groups are protected
+    * from over-repetition by the epoch cap, high-resource groups share
+    * the remainder equally).
+    *
+    * Integer-exact waterfill: groups ordered by (cap, group); each step
+    * takes `min(cap, remaining DIV groupsLeft)`. Floor division makes the
+    * recurrence replay bit-for-bit in SQL (recursive CTE); any floor
+    * leftover goes to later (larger) groups, so an all-uncapped
+    * allocation still sums to exactly `totalBudget`.
+    *
+    * The per-group frame is collected to the driver (G rows, the same
+    * bounded-collect contract as dsirIlrTable): the corpus-scale work is
+    * ONE map-side-combined count shuffle; the waterfill itself is O(G).
+    * Group column must be string-typed. Returns (group, n, cap, budget). */
+  def unimaxBudgets(df: DataFrame, groupCol: String,
+                    totalBudget: Long, maxEpochs: Long): DataFrame = {
+    require(totalBudget > 0 && maxEpochs > 0)
+    val counts = df.groupBy(col(groupCol).as("g")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (g, n) => (n * maxEpochs, g) }
+    var rem = totalBudget
+    val rows = counts.zipWithIndex.map { case ((g, n), i) =>
+      val share = rem / (counts.length - i)
+      val cap = n * maxEpochs
+      val alloc = math.min(cap, share)
+      rem -= alloc
+      (g, n, cap, alloc)
+    }
+    df.sparkSession.createDataFrame(rows.toSeq)
+      .toDF(groupCol, "n", "cap", "budget")
+  }
+
+  /** Realize a [[unimaxBudgets]] allocation at document level: every doc
+    * of a group with budget b repeats `b DIV n` times (whole epochs), and
+    * the first `b % n` docs by content-hash rank repeat once more — the
+    * deterministic partial epoch. Emits `n_copies` rather than exploding
+    * rows (the trainer's repetition schedule; `explode(sequence(...))` it
+    * if materialized copies are wanted). One window shuffle keyed on the
+    * group column, budgets broadcast. */
+  def unimaxSample(df: DataFrame, idCol: String, groupCol: String,
+                   totalBudget: Long, maxEpochs: Long,
+                   salt: String = "unimax"): DataFrame = {
+    val budgets = unimaxBudgets(df, groupCol, totalBudget, maxEpochs)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(unitHash(col(idCol), salt), col(idCol))
+    df.withColumn("rk", row_number().over(win))
+      .join(broadcast(budgets), Seq(groupCol))
+      .withColumn("n_copies", expr("budget DIV n") +
+        when(col("rk") <= expr("budget % n"), 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col(idCol), col(groupCol), col("n_copies"))
+  }
 }

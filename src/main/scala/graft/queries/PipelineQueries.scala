@@ -1899,5 +1899,44 @@ object PipelineQueries {
           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
           string_agg(t, ' ' ORDER BY pos) AS seq_text
         FROM seq GROUP BY 1""")),
+
+    // UniMax capped-waterfill mixture (Chung et al. 2023 — the published
+    // successor to temperature sampling): budget 900 examples, epoch cap
+    // 2. At sf0.01 the cap BINDS for all four non-en langs (each gets
+    // 2 full epochs; en waterfills the remaining 336 = 1 epoch + 118-doc
+    // partial); at sf0.1 nothing is capped and all five langs get the
+    // equal 180 share — the two branches of the allocator, one per SF.
+    // The integer floor-division waterfill recurrence replays exactly as
+    // a recursive CTE; the partial epoch is the hash-rank prefix (same
+    // deterministic rank device as qcz).
+    Entry("qeo_unimax_mixture",
+      (s, dir) => Sampling.unimaxSample(t(s, dir, "documents"),
+        "doc_id", "lang", totalBudget = 900L, maxEpochs = 2L),
+      Some(s"""WITH RECURSIVE c AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n,
+            CAST(count(*) * 2 AS BIGINT) AS cap,
+            CAST(row_number() OVER (ORDER BY count(*) * 2, lang) AS BIGINT) AS rn,
+            CAST(count(*) OVER () AS BIGINT) AS gcnt
+          FROM documents GROUP BY lang
+        ), wf AS (
+          SELECT CAST(0 AS BIGINT) AS i, CAST(900 AS BIGINT) AS rem,
+            CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS alloc
+          UNION ALL
+          SELECT c.rn, wf.rem - least(c.cap, wf.rem // (c.gcnt - wf.i)),
+            c.lang, least(c.cap, wf.rem // (c.gcnt - wf.i))
+          FROM wf JOIN c ON c.rn = wf.i + 1
+        ), a AS (
+          SELECT lang, alloc FROM wf WHERE lang IS NOT NULL
+        ), r AS (
+          SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+            ORDER BY ${oUnitHash("doc_id", "unimax")}, doc_id) AS rk
+          FROM documents
+        )
+        SELECT r.doc_id, r.lang,
+          (a.alloc // c.n) + CASE WHEN r.rk <= (a.alloc % c.n)
+            THEN 1 ELSE 0 END AS n_copies
+        FROM r JOIN a USING (lang) JOIN c USING (lang)
+        WHERE (a.alloc // c.n) + CASE WHEN r.rk <= (a.alloc % c.n)
+          THEN 1 ELSE 0 END > 0""")),
   )
 }

@@ -188,4 +188,60 @@ class DataSelectionSpec extends SparkSpec {
       }
     }
   }
+
+  // ---- UniMax capped waterfill ------------------------------------------
+
+  import graft.operators.Sampling
+
+  private def mixtureFixture = (1 to 60).map { i =>
+    val g = if (i <= 6) "small" else if (i <= 20) "mid" else "big"
+    (i.toLong, g)
+  }.toDF("id", "g")
+
+  test("unimaxBudgets: caps bind for small groups, the rest waterfills " +
+    "to exactly the budget") {
+    // caps at E=2: small 12, mid 28, big 80; B=70:
+    // small: 70/3=23 -> capped 12; mid: 58/2=29 -> capped 28; big: 30/1=30
+    val got = Sampling.unimaxBudgets(mixtureFixture, "g", totalBudget = 70L,
+        maxEpochs = 2L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      "small" -> ((6L, 12L, 12L)),
+      "mid" -> ((14L, 28L, 28L)),
+      "big" -> ((40L, 80L, 30L))))
+  }
+
+  test("unimaxBudgets: all-uncapped allocation sums to exactly the budget, " +
+    "floor leftovers flow to larger groups") {
+    val got = Sampling.unimaxBudgets(mixtureFixture, "g", totalBudget = 10L,
+        maxEpochs = 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    // ascending caps: small, mid, big -> 10/3=3, 7/2=3, 4/1=4
+    assert(got === Map("small" -> 3L, "mid" -> 3L, "big" -> 4L))
+    assert(got.values.sum === 10L)
+  }
+
+  test("unimaxBudgets: budget above total capacity allocates every cap " +
+    "and no more") {
+    val got = Sampling.unimaxBudgets(mixtureFixture, "g", totalBudget = 10000L,
+        maxEpochs = 2L)
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    got.foreach { case (cap, alloc) => assert(alloc === cap) }
+  }
+
+  test("unimaxSample: per-group copies sum to the allocation and never " +
+    "exceed the epoch cap") {
+    val out = Sampling.unimaxSample(mixtureFixture, "id", "g",
+      totalBudget = 70L, maxEpochs = 2L)
+    val budgets = Sampling.unimaxBudgets(mixtureFixture, "g", 70L, 2L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val perGroup = out.groupBy("g").agg(sum("n_copies").as("s"), max("n_copies").as("m"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    perGroup.foreach { case (g, (s, m)) =>
+      assert(s === budgets(g), s"group $g copies must sum to its allocation")
+      assert(m <= 2L, s"group $g must not exceed the epoch cap")
+    }
+    // capped groups (small, mid) repeat every doc exactly E times
+    assert(out.filter(col("g") === "small").agg(min("n_copies")).head().getLong(0) === 2L)
+  }
 }
