@@ -667,4 +667,40 @@ object Dedup {
       .select(col("id1"), col("id2"), col("lev").cast("long").as("lev"),
         col("edit_sim"))
   }
+
+  /** C4-style duplicated-CHUNK removal (the sub-document granularity the
+    * C4 pipeline applied to three-sentence spans / lines): documents split
+    * into deterministic `chunkTokens`-token chunks ([[TextPipeline.chunk]]
+    * with zero overlap), every chunk text keeps only its FIRST occurrence
+    * corpus-wide — first = lexicographic min (doc, position), so
+    * within-doc repeats dedup too — and each doc reassembles from its
+    * surviving chunks in position order. Docs left with no surviving
+    * chunk (fully duplicated content, or empty) drop from the output,
+    * exactly as C4 drops emptied pages.
+    *
+    * Where [[exactGroups]] removes whole duplicate documents and
+    * [[removeSharedSpans]] cuts arbitrary-offset shared spans pairwise,
+    * this is the corpus-global middle ground: one hash-aggregate on the
+    * chunk text (ONE corpus-sized shuffle) + one per-doc reassembly —
+    * no pairwise work at any scale. At 100 TB, group on the chunk's
+    * 64-bit fingerprint (q87's Fnv1a64Expr) instead of the full text to
+    * keep the shuffle key 8 bytes, identically shaped. */
+  def dedupChunksKeepFirst(df: DataFrame, idCol: String, textCol: String,
+                           chunkTokens: Int): DataFrame = {
+    val chunks = TextPipeline.chunk(df, idCol, textCol, chunkTokens, overlap = 0)
+    val first = chunks.groupBy(col("chunk_text"))
+      .agg(min(struct(col(idCol), col("chunk_idx"))).as("_m"))
+    val perDoc = chunks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"))
+    chunks.join(first, Seq("chunk_text"))
+      .filter(col("_m")(idCol) === col(idCol) &&
+        col("_m")("chunk_idx") === col("chunk_idx"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+          struct(col("chunk_idx"), col("chunk_text")))),
+          x => x.getField("chunk_text")), " ").as("text_dedup"))
+      .join(perDoc, Seq(idCol))
+      .select(col(idCol), col("n_chunks"), col("n_kept"), col("text_dedup"))
+  }
 }

@@ -1938,5 +1938,39 @@ object PipelineQueries {
         FROM r JOIN a USING (lang) JOIN c USING (lang)
         WHERE (a.alloc // c.n) + CASE WHEN r.rk <= (a.alloc % c.n)
           THEN 1 ELSE 0 END > 0""")),
+
+    // C4-style duplicated-chunk removal at sub-document granularity: every
+    // 8-token aligned chunk keeps only its corpus-wide FIRST occurrence
+    // (lexicographic min (doc, position) — within-doc repeats dedup too)
+    // and docs reassemble from their survivors. 153 chunk texts recur
+    // across docs at sf0.01, so the operator genuinely fires. One
+    // hash-aggregate on the chunk text + per-doc reassembly — no pairwise
+    // work at any corpus size (the whole-doc q83 / shared-span qcf/qck
+    // middle ground).
+    Entry("qep_chunk_dedup",
+      (s, dir) => Dedup.dedupChunksKeepFirst(t(s, dir, "documents"),
+        "doc_id", "text", chunkTokens = 8),
+      Some(s"""WITH toks AS (
+          SELECT doc_id, $OTOKS AS w FROM documents
+        ), n AS (
+          SELECT doc_id, w, len(w) AS n FROM toks
+        ), c AS (
+          SELECT doc_id, w, unnest(range(CAST(CASE WHEN n > 0
+            THEN ceil(n / 8.0) ELSE 0 END AS BIGINT))) AS ci
+          FROM n
+        ), ch AS (
+          SELECT doc_id, ci, array_to_string(w[ci*8 + 1 : ci*8 + 8], ' ') AS ct
+          FROM c
+        ), r AS (
+          SELECT doc_id, ci, ct,
+            row_number() OVER (PARTITION BY ct ORDER BY doc_id, ci) AS rn
+          FROM ch
+        ), nch AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM ch GROUP BY 1
+        )
+        SELECT r.doc_id, nch.n_chunks, CAST(count(*) AS BIGINT) AS n_kept,
+          string_agg(ct, ' ' ORDER BY ci) AS text_dedup
+        FROM r JOIN nch USING (doc_id) WHERE rn = 1
+        GROUP BY 1, 2""")),
   )
 }

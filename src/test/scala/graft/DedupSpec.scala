@@ -379,4 +379,22 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().toSet
     assert(banded === full)
   }
+
+  test("dedupChunksKeepFirst: first occurrence wins across and within docs, " +
+    "fully-duplicated docs drop, tails dedup by exact text") {
+    // chunkTokens = 2: doc 1 = [a b][c d][a b] (within-doc repeat),
+    // doc 2 = [a b][c d] (fully duplicated vs doc 1 -> drops),
+    // doc 3 = [c d][x y][c] (tail chunk "c" is its own text, survives),
+    // doc 4 = [c] (duplicate of doc 3's tail by exact text -> drops)
+    val docs = Seq(
+      (1L, "a b c d a b"), (2L, "a b c d"),
+      (3L, "c d x y c"), (4L, "c")).toDF("doc_id", "text")
+    val got = Dedup.dedupChunksKeepFirst(docs, "doc_id", "text", chunkTokens = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === Map(
+      1L -> ((3L, 2L, "a b c d")), // within-doc repeat of [a b] dropped
+      3L -> ((3L, 2L, "x y c")))) // [c d] lost to doc 1; tail "c" is first
+    // docs 2 and 4 emptied entirely -> absent
+  }
 }
