@@ -205,6 +205,10 @@ object IterBench {
           TextPipeline.trimPeriodicRepeats(docs, "doc_id", "text", k = 2)
             .agg(sum(col("n_dropped"))).head().getLong(0)
         }
+        timed(s"chunk dedup keep-first, full corpus (mult=$mult), round $round") {
+          graft.operators.Dedup.dedupChunksKeepFirst(docs, "doc_id", "text",
+            chunkTokens = 8).count()
+        }
       }
       docs.unpersist()
       spark.stop()
