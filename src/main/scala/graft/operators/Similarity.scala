@@ -356,4 +356,53 @@ object Similarity {
       .withColumn("rank", row_number().over(fw)).filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("node").as("nbr_id"), col("d").as("dist"))
   }
+
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings"): for
+    * every side-A document, its best side-B counterpart scored by the
+    * MARGIN — similarity normalized by the average similarity of each
+    * endpoint's k nearest cross-side neighbors — which suppresses hub
+    * vectors that plain cosine thresholds mis-mine. A pair survives when
+    * it is the A-doc's argmax AND its margin clears `minMarginScaled`
+    * (1e6-scaled; the paper's 1.05–1.06 regime).
+    *
+    * Integer-exact variant: vectors quantize to floor(x·1000) longs, the
+    * similarity is the quantized dot product, and the margin is the
+    * floor-divided ratio (2k·dot·1e6) DIV (sumTopK_A + sumTopK_B), with
+    * negative-dot pairs excluded (both keeps the ratio's floor semantics
+    * engine-identical and drops pairs no miner would emit). Everything
+    * replays bit-for-bit in SQL.
+    *
+    * Like q8a/q84, the all-pairs cross join is the exact VERIFICATION
+    * regime (gate-scale; excluded from sweeps' scale claims): at 100 TB
+    * the candidate pairs come from the ANN ladder (LSH buckets, IVF
+    * cells, or the qeh kNN graph) and this operator is the exact margin
+    * scorer over those candidates — identical arithmetic, bounded fan-in. */
+  def bitextMarginMine(df: DataFrame, idCol: String, vecCol: String,
+                       isSideA: Column, k: Int = 4,
+                       minMarginScaled: Long = 1050000L): DataFrame = {
+    require(k >= 1 && minMarginScaled >= 0)
+    val q = df.select(col(idCol).as("_id"), isSideA.as("_isa"),
+      transform(col(vecCol), x => floor(x.cast("double") * 1000).cast("long")).as("_w"))
+    val a = q.filter(col("_isa")).select(col("_id").as("a_id"), col("_w").as("wa"))
+    val b = q.filter(!col("_isa")).select(col("_id").as("b_id"), col("_w").as("wb"))
+    val pairs = a.crossJoin(b)
+      .withColumn("dot", aggregate(zip_with(col("wa"), col("wb"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x))
+      .select("a_id", "b_id", "dot").cache()
+    val wa2 = Window.partitionBy("a_id").orderBy(col("dot").desc, col("b_id"))
+    val sa = pairs.withColumn("rk", row_number().over(wa2)).filter(col("rk") <= k)
+      .groupBy("a_id").agg(sum("dot").as("s_a"))
+    val wb2 = Window.partitionBy("b_id").orderBy(col("dot").desc, col("a_id"))
+    val sb = pairs.withColumn("rk", row_number().over(wb2)).filter(col("rk") <= k)
+      .groupBy("b_id").agg(sum("dot").as("s_b"))
+    val bw = Window.partitionBy("a_id").orderBy(col("margin_scaled").desc, col("b_id"))
+    pairs.join(sa, "a_id").join(sb, "b_id")
+      .filter(col("s_a") + col("s_b") > 0 && col("dot") >= 0)
+      .withColumn("margin_scaled",
+        expr(s"(${2L * k}L * dot * 1000000L) DIV (s_a + s_b)"))
+      .withColumn("rk", row_number().over(bw)).filter(col("rk") === 1)
+      .filter(col("margin_scaled") >= minMarginScaled)
+      .select(col("a_id"), col("b_id"), col("dot"), col("margin_scaled"))
+  }
 }

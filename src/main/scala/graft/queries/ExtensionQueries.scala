@@ -1675,6 +1675,55 @@ object ExtensionQueries {
             col("in_exact_topk"), col("hits_at_10"))
       },
       Some(oKnnGraph)),
+
+    // Margin-based bitext mining (Artetxe & Schwenk 2019): en docs vs the
+    // rest, each en doc's best counterpart by the k=4 margin criterion —
+    // similarity normalized by both endpoints' mean top-k cross-side
+    // similarity, which suppresses hub vectors plain cosine mis-mines.
+    // Integer-exact: floor(x*1000) quantized dots, floor-divided 1e6-scaled
+    // margin, negative-dot pairs excluded (keeps floor semantics
+    // engine-identical). All-pairs is the q8a-style exact verification
+    // regime; at scale the ANN ladder feeds the candidates.
+    Entry("qeq_bitext_margin",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+        val joined = emb.join(docs, col("vec_id") === col("doc_id"))
+        Similarity.bitextMarginMine(joined, "vec_id", "embedding",
+          isSideA = col("lang") === "en", k = 4, minMarginScaled = 1050000L)
+      },
+      Some("""WITH q AS (
+          SELECT e.vec_id AS id, d.lang = 'en' AS isa,
+            list_transform(e.embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS w
+          FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+        ), p AS (
+          SELECT a.id AS a_id, b.id AS b_id,
+            CAST(list_sum(list_transform(range(1, len(a.w) + 1),
+              i -> a.w[i] * b.w[i])) AS BIGINT) AS dot
+          FROM q a JOIN q b ON a.isa AND NOT b.isa
+        ), sa AS (
+          SELECT a_id, CAST(sum(dot) AS BIGINT) AS s_a FROM (
+            SELECT a_id, dot, row_number() OVER (PARTITION BY a_id
+              ORDER BY dot DESC, b_id) AS rk FROM p)
+          WHERE rk <= 4 GROUP BY a_id
+        ), sb AS (
+          SELECT b_id, CAST(sum(dot) AS BIGINT) AS s_b FROM (
+            SELECT b_id, dot, row_number() OVER (PARTITION BY b_id
+              ORDER BY dot DESC, a_id) AS rk FROM p)
+          WHERE rk <= 4 GROUP BY b_id
+        ), m AS (
+          SELECT p.a_id, p.b_id, p.dot,
+            (8 * p.dot * 1000000) // (s_a + s_b) AS margin_scaled
+          FROM p JOIN sa USING (a_id) JOIN sb USING (b_id)
+          WHERE s_a + s_b > 0 AND p.dot >= 0
+        ), best AS (
+          SELECT a_id, b_id, dot, margin_scaled, row_number() OVER (
+            PARTITION BY a_id ORDER BY margin_scaled DESC, b_id) AS rk
+          FROM m
+        )
+        SELECT a_id, b_id, dot, CAST(margin_scaled AS BIGINT) AS margin_scaled
+        FROM best WHERE rk = 1 AND margin_scaled >= 1050000""")),
   )
 
   /** DuckDB replay of the full graph-ANN pipeline (qeh): q89's bucket CTEs

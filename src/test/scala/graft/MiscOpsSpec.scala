@@ -152,4 +152,50 @@ class MiscOpsSpec extends SparkSpec {
     // even one ranked #1 — the fusion property that makes RRF robust
     assert(got(11L)._1 > got(10L)._1)
   }
+
+  test("bitextMarginMine: differential vs a brute-force integer replica, " +
+    "hub suppression, negative-dot exclusion") {
+    import graft.operators.Similarity
+    def mk(rows: (Long, Boolean, Seq[Double])*) =
+      rows.toSeq.map { case (id, isa, v) => (id, isa, v.map(_.toFloat)) }
+        .toDF("id", "isa", "vec")
+    // brute replica of the exact integer arithmetic
+    def brute(rows: Seq[(Long, Boolean, Seq[Double])], k: Int,
+              minM: Long): Set[(Long, Long, Long, Long)] = {
+      def qz(v: Seq[Double]) = v.map(x => math.floor(x.toFloat.toDouble * 1000).toLong)
+      val as = rows.filter(_._2).map(r => (r._1, qz(r._3)))
+      val bs = rows.filterNot(_._2).map(r => (r._1, qz(r._3)))
+      val dots = for { (ai, aw) <- as; (bi, bw) <- bs }
+        yield (ai, bi, aw.zip(bw).map { case (x, y) => x * y }.sum)
+      def topSum(group: Seq[(Long, Long)]) = // (otherId, dot) -> top-k sum
+        group.sortBy { case (oid, d) => (-d, oid) }.take(k).map(_._2).sum
+      val sA = dots.groupBy(_._1).map { case (a, g) => a -> topSum(g.map(t => (t._2, t._3))) }
+      val sB = dots.groupBy(_._2).map { case (b, g) => b -> topSum(g.map(t => (t._1, t._3))) }
+      dots.filter { case (a, b, d) => sA(a) + sB(b) > 0 && d >= 0 }
+        .map { case (a, b, d) =>
+          (a, b, d, 2L * k * d * 1000000L / (sA(a) + sB(b))) }
+        .groupBy(_._1).values.map(_.minBy { case (_, b, _, m) => (-m, b) })
+        .filter(_._4 >= minM).toSet
+    }
+    val rows: Seq[(Long, Boolean, Seq[Double])] = Seq(
+      (1L, true, Seq(0.5, 0.0, 0.1)), (2L, true, Seq(0.0, 0.4, 0.2)),
+      (3L, true, Seq(-0.3, -0.4, 0.0)),
+      (10L, false, Seq(0.45, 0.05, 0.1)), (11L, false, Seq(0.05, 0.45, 0.15)),
+      (12L, false, Seq(0.3, 0.3, 0.3)), (13L, false, Seq(0.2, 0.1, 0.05)))
+    val got = Similarity.bitextMarginMine(mk(rows: _*), "id", "vec",
+        isSideA = col("isa"), k = 2, minMarginScaled = 0L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === brute(rows, k = 2, minM = 0L))
+    // a-doc 3 points away from every b: all dots negative -> excluded
+    assert(!got.exists(_._1 == 3L))
+    // hub suppression: b12 is closest-by-dot to NOTHING once normalized —
+    // each a keeps its aligned counterpart, not the hub
+    assert(got.find(_._1 == 1L).get._2 === 10L)
+    assert(got.find(_._1 == 2L).get._2 === 11L)
+    // threshold path prunes low-margin winners identically to brute
+    val gotT = Similarity.bitextMarginMine(mk(rows: _*), "id", "vec",
+        isSideA = col("isa"), k = 2, minMarginScaled = 1050000L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(gotT === brute(rows, k = 2, minM = 1050000L))
+  }
 }
