@@ -1420,5 +1420,71 @@ object StatefulStreamQueries {
           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
           string_agg(t, ' ' ORDER BY pos) AS seq_text
         FROM seq GROUP BY 1, 2 HAVING count(*) = 64""")),
+
+    // Ingest-time duplicated-chunk suppression (the STREAMING face of
+    // qep, qdo's shape at chunk granularity): documents stream in doc-id
+    // order, split into 8-token chunks, and each chunk's 64-bit
+    // fingerprint is claimed by its FIRST arrival in (doc, position)
+    // order — later occurrences, cross-doc or within-doc, are suppressed
+    // at the edge with one boolean of state per distinct chunk. The
+    // ordered drain makes arrival order deterministic, so the kept set
+    // equals the batch keep-first rule and qep's oracle replays the
+    // whole operator; survivors reassemble batch-side (same groupBy the
+    // batch operator runs) against total chunk counts from the store.
+    Entry("qer_stream_chunk_dedup",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val schema = s.read.parquet(graft.Tables.path(dir, "documents")).schema
+        val raw = s.readStream.schema(schema).parquet(s"$dir/documents*.parquet")
+        val chunks = graft.operators.TextPipeline
+          .chunk(raw, "doc_id", "text", chunkSize = 8, overlap = 0)
+          .withColumn("ts", timestamp_micros(col("doc_id") * 1000000L))
+          .withWatermark("ts", "0 seconds")
+          .select(graft.functions.Fnv1a64Expr(col("chunk_text")).as("key"),
+            col("doc_id").as("docId"), col("chunk_idx").cast("long").as("chunkIdx"),
+            col("chunk_text").as("chunkText"))
+          .as[graft.streaming.StreamingDedup.ChunkRow]
+        val kept = graft.streaming.EventTimeOps.ordered(chunks,
+          (r: graft.streaming.StreamingDedup.ChunkRow) => r.key,
+          new graft.streaming.StreamingDedup.ChunkClaim)
+        val survivors = run(kept.toDF(), "qer_sink")
+        val totals = graft.operators.TextPipeline
+          .chunk(graft.Tables(s, dir, "documents"), "doc_id", "text", 8, 0)
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+        survivors.groupBy(col("docId").as("doc_id"))
+          .agg(count(lit(1)).as("n_kept"),
+            array_join(transform(array_sort(collect_list(
+              struct(col("chunkIdx"), col("chunkText")))),
+              x => x.getField("chunkText")), " ").as("text_dedup"))
+          .join(totals, Seq("doc_id"))
+          .select(col("doc_id"), col("n_chunks"), col("n_kept"), col("text_dedup"))
+      },
+      Some("""WITH toks AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+          FROM documents
+        ), n AS (
+          SELECT doc_id, w, len(w) AS n FROM toks
+        ), c AS (
+          SELECT doc_id, w, unnest(range(CAST(CASE WHEN n > 0
+            THEN ceil(n / 8.0) ELSE 0 END AS BIGINT))) AS ci
+          FROM n
+        ), ch AS (
+          SELECT doc_id, ci, array_to_string(w[ci*8 + 1 : ci*8 + 8], ' ') AS ct
+          FROM c
+        ), r AS (
+          SELECT doc_id, ci, ct,
+            row_number() OVER (PARTITION BY ct ORDER BY doc_id, ci) AS rn
+          FROM ch
+        ), nch AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM ch GROUP BY 1
+        )
+        SELECT r.doc_id, nch.n_chunks, CAST(count(*) AS BIGINT) AS n_kept,
+          string_agg(ct, ' ' ORDER BY ci) AS text_dedup
+        FROM r JOIN nch USING (doc_id) WHERE rn = 1
+        GROUP BY 1, 2""")),
   )
 }

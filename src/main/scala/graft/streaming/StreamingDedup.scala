@@ -55,4 +55,46 @@ object StreamingDedup {
       out.iterator
     }
   }
+
+  /** One chunk occurrence on the stream, keyed by the chunk's 64-bit
+    * fingerprint (`key`); (docId, chunkIdx) is its position. The text
+    * rides along so survivors can reassemble without a corpus join. */
+  case class ChunkRow(key: Long, docId: Long, chunkIdx: Long, chunkText: String)
+
+  object ChunkRow {
+    /** Arrival = (doc, position) order; unique per key because a doc
+      * contributes a given (docId, chunkIdx) once. */
+    val orderKey: EventTimeOps.OrderKey[ChunkRow] =
+      r => (r.docId * 1000L, r.docId, r.chunkIdx)
+  }
+
+  /** A surviving chunk occurrence. */
+  case class KeptChunk(docId: Long, chunkIdx: Long, chunkText: String)
+
+  /** Ingest-time duplicated-CHUNK suppression — the streaming face of
+    * [[graft.operators.Dedup.dedupChunksKeepFirst]] (C4 line-dedup
+    * granularity): chunks stream keyed by fingerprint, the FIRST arrival
+    * in (doc, position) order claims the key (one boolean per distinct
+    * chunk in state), every later occurrence — cross-doc or within-doc —
+    * is suppressed at the edge. Because the ordered drain makes arrival
+    * order deterministic, the kept set equals the batch operator's
+    * lexicographic-min rule exactly and the batch oracle replays it.
+    *
+    * Fingerprint-keyed state is the 100-TB shape (8-byte keys, the same
+    * trade the batch scaladoc documents); collisions conflate chunks
+    * at ~2^-64 per pair, the standard accepted regime. State grows with
+    * DISTINCT chunks ingested — the same size a batch keep-first
+    * aggregation's shuffle would be for the same corpus. */
+  final class ChunkClaim extends EventTimeOps.OrderedProcessor[Long, ChunkRow, KeptChunk](
+      ChunkRow.orderKey, Encoders.product[ChunkRow]) {
+    @transient private var claimed: org.apache.spark.sql.streaming.ValueState[Boolean] = _
+    override protected def openState(h: StatefulProcessorHandle): Unit =
+      claimed = h.getValueState[Boolean]("claimed", Encoders.scalaBoolean, TTLConfig.NONE)
+    override protected def onOrdered(key: Long, r: ChunkRow): Iterator[KeptChunk] =
+      if (claimed.exists()) Iterator.empty
+      else {
+        claimed.update(true)
+        Iterator.single(KeptChunk(r.docId, r.chunkIdx, r.chunkText))
+      }
+  }
 }

@@ -87,6 +87,36 @@ class StreamPackSpec extends SparkSpec {
       without.sortBy(p => (p.lang, p.seq_id)))
   }
 
+  test("ChunkClaim: first arrival wins across batches, later occurrences " +
+    "suppressed, distinct fingerprints independent") {
+    import graft.streaming.StreamingDedup.{ChunkClaim, ChunkRow, KeptChunk}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[ChunkRow]
+    val ds = mem.toDS()
+      .withColumn("ts", timestamp_micros(col("docId") * 1000000L))
+      .withWatermark("ts", "0 seconds")
+      .drop("ts").as[ChunkRow]
+    val kept = EventTimeOps.ordered(ds, (r: ChunkRow) => r.key, new ChunkClaim)
+    val name = s"claim_sink_${System.nanoTime()}"
+    val q = kept.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      // batch 1: doc 1 claims chunk A twice (within-doc repeat) + chunk B
+      mem.addData(ChunkRow(100L, 1L, 0L, "A"), ChunkRow(100L, 1L, 2L, "A"),
+        ChunkRow(200L, 1L, 1L, "B"))
+      q.processAllAvailable()
+      // batch 2: doc 2 re-presents A and B (suppressed) + new chunk C
+      mem.addData(ChunkRow(100L, 2L, 0L, "A"), ChunkRow(200L, 2L, 1L, "B"),
+        ChunkRow(300L, 2L, 2L, "C"))
+      q.processAllAvailable()
+      mem.addData(); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name).as[KeptChunk].collect().toSet
+    assert(got === Set(KeptChunk(1L, 0L, "A"), KeptChunk(1L, 1L, "B"),
+      KeptChunk(2L, 2L, "C")))
+  }
+
   test("randomized fuzz against the reference across batch splits") {
     val rnd = new scala.util.Random(42)
     (0 until 3).foreach { trial =>
