@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{Hashes, TextFunctions, VectorFunctions}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for document corpora, designed around shuffle
@@ -407,6 +407,32 @@ object Dedup {
       .select(col(idCol),
         coalesce(col("component"), col(idCol)).as("rep_id"))
       .withColumn("is_kept", col(idCol) === col("rep_id"))
+  }
+
+  /** Quality-aware variant of [[keepRepresentatives]]: the representative
+    * of each duplicate cluster is its BEST document by `score` (ties to
+    * the smaller id), not its minimum id — what production dedup actually
+    * keeps (longest / highest-quality copy survives, e.g. the fullest
+    * crawl of a page rather than a truncated mirror). Cluster identity
+    * stays the min-id component label so output clusters are comparable
+    * with the min-id variant.
+    *
+    * Output: (id, cluster_id, score, is_kept). One window shuffle keyed on
+    * the cluster label on top of the component computation; duplicate
+    * clusters are small by construction (they group near-identical docs),
+    * so the per-cluster window never sees skew at any corpus size. */
+  def keepBestRepresentatives(df: DataFrame, idCol: String, pairs: DataFrame,
+                              score: Column): DataFrame = {
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+    val comp = GraphOps.connectedComponents(edges)
+    val clustered = df.select(col(idCol), score.cast("long").as("score"))
+      .join(comp, df(idCol) === comp("node"), "left")
+      .select(col(idCol), coalesce(col("component"), col(idCol)).as("cluster_id"),
+        col("score"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("score").desc, col(idCol))
+    clustered.withColumn("is_kept", row_number().over(win) === 1)
   }
 
   /** SimHash values per document: (doc, simhash). */

@@ -236,4 +236,50 @@ object Sampling {
       .filter(col("n_copies") > 0)
       .select(col(idCol), col(groupCol), col("n_copies"))
   }
+
+  /** Stride-scheduled domain interleave — the deterministic "blendable
+    * dataset" ordering: emit the whole corpus in ONE global sequence where
+    * at every prefix each group's share tracks its mixture weight (the
+    * curriculum/data-loader ordering Megatron-style trainers consume,
+    * scheduled like stride scheduling in OS schedulers: group g's i-th
+    * document sits at virtual time (2i-1)/(2·w_g), all groups merged by
+    * virtual time).
+    *
+    * Weights are the τ=2 temperature weights of [[mixtureBudgets]]
+    * (w = floor(sqrt(n))), so rare groups are up-weighted relative to
+    * proportional and every group spreads evenly until it runs out of
+    * documents (stride scheduling degrades gracefully: an exhausted
+    * group simply stops emitting, the rest re-normalize by construction).
+    *
+    * Integer-exact: virtual time vt = ((2·rk−1)·10^6) DIV (2·w) on longs
+    * (rk is the deterministic content-hash rank within the group), ties
+    * broken by (group, rk) — totally ordered, layout-independent, and
+    * replayable as plain SQL. 10^6 scaling keeps vt collision-sparse while
+    * leaving 10^12 rank headroom before overflow.
+    *
+    * Output: (id, group, vt, pos) with pos the global 0-based position.
+    * At 100 TB: one window shuffle keyed on the group column for rk (same
+    * skew caveat as exact [[mixtureSample]]), then the global order is a
+    * RANGE partition + local sort on (vt, group, rk) — pos comes from the
+    * two-phase zipWithIndex scan, NOT a one-task `row_number() OVER ()`.
+    * The oracle IS that single-node window; the plan is the distributed
+    * twin. */
+  def strideInterleave(df: DataFrame, idCol: String, groupCol: String,
+                       salt: String = "stride"): DataFrame = {
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    val w = counts.withColumn("weight",
+      floor(sqrt(col("n").cast("double"))).cast("long")).drop("n")
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(unitHash(col(idCol), salt), col(idCol))
+    val keyed = df.withColumn("rk", row_number().over(win).cast("long"))
+      .join(broadcast(w), Seq(groupCol))
+      .withColumn("vt", expr("((2L * rk - 1L) * 1000000L) DIV (2L * weight)"))
+      .select(col(idCol), col(groupCol), col("rk"), col("vt"))
+    val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ordered = keyed
+      .repartitionByRange(p, col("vt"), col(groupCol), col("rk"))
+      .sortWithinPartitions(col("vt"), col(groupCol), col("rk"))
+    Partitioning.zipWithIndex(ordered, "pos")
+  }
 }

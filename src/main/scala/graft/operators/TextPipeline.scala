@@ -935,4 +935,81 @@ object TextPipeline {
       merges.toSeq
     } finally vocab.unpersist()
   }
+
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022, "Efficient
+    * Training of Language Models to Fill in the Middle"): rewrite a
+    * deterministic `rate` fraction of documents into the PSM layout
+    * `<PRE> prefix <SUF> suffix <MID> middle`, leaving the rest untouched
+    * — the standard data-level augmentation that teaches a causal LM to
+    * infill. Token-boundary cut points lo ≤ hi are drawn per document from
+    * two independent salted content hashes mod (n+1), so the transform is
+    * uniform over the (n+1 choose 2)+n+1 span choices, reproducible across
+    * runs/layouts, and replayable as plain SQL (the selection gate is the
+    * same unitHash Bernoulli device as [[Sampling.sample]]).
+    *
+    * Output: (id, fim_applied, n_toks, cut_lo, cut_hi, text_fim); cut
+    * columns carry the draw for every row (audit/debug), text only changes
+    * where `fim_applied`. At 100 TB: a pure narrow map over the scan —
+    * every column is a codegen builtin over the token array (no UDF, no
+    * shuffle, no state), so it runs at scan speed and composes with any
+    * downstream packing stage. */
+  def fimTransform(df: DataFrame, idCol: String, textCol: String,
+                   rate: Double = 0.5, salt: String = "fim"): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0)
+    val toks = TextFunctions.tokens(col(textCol))
+    val m = (size(toks) + lit(1)).cast("long")
+    def cut(tag: String): Column = pmod(graft.functions.Fnv1a64Expr(
+      concat(col(idCol).cast("string"), lit(s":$salt$tag"))), m)
+    df.withColumn("_toks", toks)
+      .withColumn("n_toks", size(col("_toks")).cast("long"))
+      .withColumn("fim_applied",
+        graft.operators.Sampling.unitHash(col(idCol), salt) < rate)
+      .withColumn("cut_lo", least(cut("a"), cut("b")))
+      .withColumn("cut_hi", greatest(cut("a"), cut("b")))
+      .withColumn("text_fim", when(col("fim_applied"), concat(
+          lit("<PRE> "),
+          array_join(slice(col("_toks"), lit(1), col("cut_lo").cast("int")), " "),
+          lit(" <SUF> "),
+          array_join(slice(col("_toks"), (col("cut_hi") + 1).cast("int"),
+            (col("n_toks") - col("cut_hi")).cast("int")), " "),
+          lit(" <MID> "),
+          array_join(slice(col("_toks"), (col("cut_lo") + 1).cast("int"),
+            (col("cut_hi") - col("cut_lo")).cast("int")), " ")))
+        .otherwise(array_join(col("_toks"), " ")))
+      .select(col(idCol), col("fim_applied"), col("n_toks"),
+        col("cut_lo"), col("cut_hi"), col("text_fim"))
+  }
+
+  /** Length-bucketed batch assignment — the padding-minimizing batcher a
+    * finetuning pipeline runs when sequences are NOT packed: documents
+    * group into fixed-width token-length buckets (bucket = n DIV
+    * `bucketWidth`), and within each bucket consecutive runs of
+    * `batchSize` docs (in deterministic content-hash order — the
+    * shuffled-but-reproducible order trainers want) form batches. Batch
+    * members differ by < bucketWidth tokens, so per-batch padding waste is
+    * bounded by construction; integer division everywhere keeps the
+    * assignment bit-replayable in SQL.
+    *
+    * Output: (id, n_toks, bucket, batch_id, pos_in_batch). One window
+    * shuffle keyed on the bucket; token-length distributions put bounded
+    * mass in each fixed-width bucket, and a 100-TB run that still
+    * overfills one bucket swaps the window for the per-bucket two-phase
+    * prefix scan ([[graft.operators.Partitioning.prefixSum]], the qel
+    * device) — the assignment rule is unchanged. */
+  def lengthBucketBatches(df: DataFrame, idCol: String, textCol: String,
+                          bucketWidth: Int = 16, batchSize: Int = 8,
+                          salt: String = "lenbatch"): DataFrame = {
+    require(bucketWidth > 0 && batchSize > 0)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"))
+      .orderBy(graft.operators.Sampling.unitHash(col(idCol), salt), col(idCol))
+    df.withColumn("n_toks",
+        size(TextFunctions.tokens(col(textCol))).cast("long"))
+      .withColumn("bucket", expr(s"n_toks DIV $bucketWidth"))
+      .withColumn("rk", row_number().over(win).cast("long"))
+      .withColumn("batch_id", expr(s"(rk - 1L) DIV $batchSize"))
+      .withColumn("pos_in_batch", expr(s"(rk - 1L) % $batchSize"))
+      .select(col(idCol), col("n_toks"), col("bucket"), col("batch_id"),
+        col("pos_in_batch"))
+  }
 }

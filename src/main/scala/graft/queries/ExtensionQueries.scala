@@ -1197,6 +1197,56 @@ object ExtensionQueries {
           (d.doc_id = COALESCE(c.component, d.doc_id)) AS is_kept
         FROM documents d LEFT JOIN comp c ON d.doc_id = c.node""")),
 
+    // Quality-aware representative selection: same MinHash/LSH pair graph
+    // and components as q8i, but each duplicate cluster keeps its BEST
+    // copy — here the longest by token count, ties to the smaller id —
+    // instead of the min id (what production dedup keeps: the fullest
+    // crawl of a page survives, truncated mirrors drop). The oracle
+    // chains q8i's recursive-CTE components into a per-cluster argmax.
+    Entry("qev_dedup_keep_best",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val pairs = Dedup.minhashDupPairs(d, "doc_id", "text",
+          n = 2, k = 128, bands = 64, threshold = 0.5)
+        Dedup.keepBestRepresentatives(d, "doc_id", pairs,
+          size(TextFunctions.tokens(col("text"))))
+      },
+      Some(s"""WITH RECURSIVE toks AS (
+          SELECT doc_id, $OTOKS AS w FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, (w[i] || ' ' || w[i+1]) AS sh
+          FROM toks CROSS JOIN UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+        ), sizes AS (
+          SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id
+        ), common AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), pairs AS (
+          SELECT id1, id2 FROM common
+          JOIN sizes s1 ON id1 = s1.doc_id
+          JOIN sizes s2 ON id2 = s2.doc_id
+          WHERE CAST(c AS DOUBLE) / (s1.nsh + s2.nsh - c) >= 0.5
+        ), uedges AS (
+          SELECT id1 AS a, id2 AS b FROM pairs
+          UNION SELECT id2, id1 FROM pairs
+        ), nodes AS (SELECT DISTINCT a AS node FROM uedges),
+        reach(node, lbl) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT e.b, r.lbl FROM reach r JOIN uedges e ON e.a = r.node
+        ), comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+        cl AS (
+          SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id,
+            CAST(len(t.w) AS BIGINT) AS score
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+          JOIN toks t ON t.doc_id = d.doc_id
+        ), rk AS (
+          SELECT *, row_number() OVER (PARTITION BY cluster_id
+            ORDER BY score DESC, doc_id) AS rn FROM cl
+        )
+        SELECT doc_id, cluster_id, score, (rn = 1) AS is_kept FROM rk""")),
+
     // SimHash over ASCII-normalized tokens (lowercase alphanumeric — the
     // same normalization the fingerprint uses, a strictly better dedup
     // signal than case/punctuation-sensitive tokens). FNV-1a per token,

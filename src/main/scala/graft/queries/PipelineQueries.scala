@@ -599,7 +599,7 @@ object PipelineQueries {
        THEN $h - 18446744073709551616::HUGEINT ELSE $h END AS BIGINT)"""
 
   /** Oracle fragment: Sampling.unitHash replayed — (fnv >>> 11) / 2^53. */
-  private def oUnitHash(idExpr: String, salt: String): String =
+  private[queries] def oUnitHash(idExpr: String, salt: String): String =
     s"""(CAST(${oFnv(s"(CAST($idExpr AS VARCHAR) || ':$salt')")} // 2048::HUGEINT AS DOUBLE)
         / 9007199254740992.0)"""
 
@@ -1972,5 +1972,90 @@ object PipelineQueries {
           string_agg(ct, ' ' ORDER BY ci) AS text_dedup
         FROM r JOIN nch USING (doc_id) WHERE rn = 1
         GROUP BY 1, 2""")),
+
+    // Stride-scheduled domain interleave (the "blendable dataset"
+    // curriculum ordering): one global sequence over the whole corpus in
+    // which every prefix carries each lang at its τ=2 temperature share
+    // (w = floor(sqrt n)), scheduled by integer virtual time
+    // ((2·rk−1)·10^6) DIV (2w) like an OS stride scheduler. The oracle
+    // replays vt exactly and assigns pos with the single-node global
+    // window; the plan's pos is the range-partition + two-phase
+    // zipWithIndex scan — same total order, no one-task sort.
+    Entry("qes_stride_interleave",
+      (s, dir) => Sampling.strideInterleave(t(s, dir, "documents"),
+        "doc_id", "lang"),
+      Some(s"""WITH c AS (
+          SELECT lang, count(*) AS n FROM documents GROUP BY 1
+        ), w AS (
+          SELECT lang, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS weight
+          FROM c
+        ), r AS (
+          SELECT doc_id, lang, CAST(row_number() OVER (
+            PARTITION BY lang
+            ORDER BY ${oUnitHash("doc_id", "stride")}, doc_id) AS BIGINT) AS rk
+          FROM documents
+        ), v AS (
+          SELECT doc_id, lang, rk,
+            ((2 * rk - 1) * 1000000) // (2 * weight) AS vt
+          FROM r JOIN w USING (lang)
+        )
+        SELECT doc_id, lang, rk, vt,
+          CAST(row_number() OVER (ORDER BY vt, lang, rk) - 1 AS BIGINT) AS pos
+        FROM v""")),
+
+    // Fill-in-the-middle transform (Bavarian et al. 2022): half the docs
+    // (unitHash Bernoulli gate) rewrite to the PSM layout
+    // `<PRE> p <SUF> s <MID> m` with token-boundary cuts drawn from two
+    // salted hashes mod (n+1) — pure narrow map, codegen builtins only,
+    // runs at scan speed. The oracle replays hash, pmod, slices, and
+    // string assembly exactly.
+    Entry("qeu_fim_transform",
+      (s, dir) => TextPipeline.fimTransform(t(s, dir, "documents"),
+        "doc_id", "text", rate = 0.5),
+      Some(s"""WITH tk AS (
+          SELECT doc_id, $OTOKS AS w FROM documents
+        ), n AS (
+          SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_toks,
+            CAST(len(w) + 1 AS BIGINT) AS m FROM tk
+        ), h AS (
+          SELECT doc_id, w, n_toks, m,
+            ((${oSigned(oFnv("(CAST(doc_id AS VARCHAR) || ':fima')"))} % m) + m) % m AS h1,
+            ((${oSigned(oFnv("(CAST(doc_id AS VARCHAR) || ':fimb')"))} % m) + m) % m AS h2,
+            ${oUnitHash("doc_id", "fim")} < 0.5 AS fim_applied
+          FROM n
+        ), c AS (
+          SELECT doc_id, w, n_toks, fim_applied,
+            least(h1, h2) AS cut_lo, greatest(h1, h2) AS cut_hi
+          FROM h
+        )
+        SELECT doc_id, fim_applied, n_toks, cut_lo, cut_hi,
+          CASE WHEN fim_applied THEN
+            '<PRE> ' || coalesce(array_to_string(w[1 : CAST(cut_lo AS INT)], ' '), '') ||
+            ' <SUF> ' || coalesce(array_to_string(w[CAST(cut_hi + 1 AS INT) : CAST(n_toks AS INT)], ' '), '') ||
+            ' <MID> ' || coalesce(array_to_string(w[CAST(cut_lo + 1 AS INT) : CAST(cut_hi AS INT)], ' '), '')
+          ELSE coalesce(array_to_string(w, ' '), '') END AS text_fim
+        FROM c""")),
+
+    // Length-bucketed batch assignment (padding-minimizing finetuning
+    // batcher): docs bucket by n_toks DIV 16, each bucket's hash-ordered
+    // runs of 8 form batches — members differ by <16 tokens so padding
+    // waste is bounded by construction. Integer division end to end; the
+    // oracle replays bucket, rank, and batch arithmetic exactly.
+    Entry("qew_length_batches",
+      (s, dir) => TextPipeline.lengthBucketBatches(t(s, dir, "documents"),
+        "doc_id", "text", bucketWidth = 16, batchSize = 8),
+      Some(s"""WITH nn AS (
+          SELECT doc_id, CAST(len($OTOKS) AS BIGINT) AS n_toks FROM documents
+        ), b AS (
+          SELECT doc_id, n_toks, n_toks // 16 AS bucket FROM nn
+        ), r AS (
+          SELECT doc_id, n_toks, bucket,
+            CAST(row_number() OVER (PARTITION BY bucket
+              ORDER BY ${oUnitHash("doc_id", "lenbatch")}, doc_id) AS BIGINT) AS rk
+          FROM b
+        )
+        SELECT doc_id, n_toks, bucket, (rk - 1) // 8 AS batch_id,
+          (rk - 1) % 8 AS pos_in_batch
+        FROM r""")),
   )
 }

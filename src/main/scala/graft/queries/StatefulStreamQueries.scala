@@ -1486,5 +1486,48 @@ object StatefulStreamQueries {
           string_agg(ct, ' ' ORDER BY ci) AS text_dedup
         FROM r JOIN nch USING (doc_id) WHERE rn = 1
         GROUP BY 1, 2""")),
+
+    // Ingest-time weighted priority sampling (the STREAMING face of qd0's
+    // Duffield-Lund-Thorup top-k): documents stream through 8 shards,
+    // each shard's keyed state keeps its running top-100 by
+    // priority = n_chars / unitHash and emits only ENTRIES (threshold
+    // monotone, so every final member entered on arrival — the candidate
+    // stream provably contains the answer); one batch-side TakeOrdered
+    // over the O(shards·k) candidates is the global top-k, bit-identical
+    // to the batch operator, so qd0's oracle replays verbatim.
+    Entry("qet_stream_priority_sample",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val schema = s.read.parquet(graft.Tables.path(dir, "documents")).schema
+        val raw = s.readStream.schema(schema).parquet(s"$dir/documents*.parquet")
+        val u = graft.operators.Sampling.unitHash(col("doc_id"), "priority")
+        val prio = col("n_chars").cast("double") /
+          when(u === 0.0, lit(1.0) / lit(9007199254740992.0)).otherwise(u)
+        val rows = raw.select(pmod(col("doc_id"), lit(8L)).as("shard"),
+            col("doc_id").as("docId"), col("n_chars").as("weight"),
+            prio.as("priority"))
+          .as[graft.streaming.StreamingSample.PrioRow]
+        val cands = rows.groupByKey(_.shard)
+          .transformWithState(new graft.streaming.StreamingSample.ShardTopK(100),
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+        run(cands.toDF(), "qet_sink")
+          .orderBy(col("priority").desc, col("docId"))
+          .limit(100)
+          .select(col("docId").as("doc_id"), col("weight").as("n_chars"),
+            col("priority"))
+      },
+      Some(s"""WITH u AS (
+          SELECT doc_id, n_chars,
+            ${PipelineQueries.oUnitHash("doc_id", "priority")} AS u FROM documents
+        )
+        SELECT doc_id, n_chars,
+          CAST(n_chars AS DOUBLE) /
+            (CASE WHEN u = 0.0 THEN 1.0 / 9007199254740992.0 ELSE u END)
+            AS priority
+        FROM u ORDER BY priority DESC, doc_id LIMIT 100""")),
   )
 }

@@ -244,4 +244,53 @@ class DataSelectionSpec extends SparkSpec {
     // capped groups (small, mid) repeat every doc exactly E times
     assert(out.filter(col("g") === "small").agg(min("n_copies")).head().getLong(0) === 2L)
   }
+
+  // ---- stride-scheduled domain interleave --------------------------------
+
+  // weights floor(sqrt(n)): a=10 (n=100), b=5 (n=25), c=2 (n=4); W=17
+  private def strideFixture = ((1 to 100).map(i => (i.toLong, "a")) ++
+    (101 to 125).map(i => (i.toLong, "b")) ++
+    (126 to 129).map(i => (i.toLong, "c"))).toDF("id", "g")
+
+  test("strideInterleave: pos is a 0-based permutation and per-group " +
+    "emission order follows the hash rank") {
+    val out = Sampling.strideInterleave(strideFixture, "id", "g")
+      .select("id", "g", "rk", "vt", "pos")
+      .as[(Long, String, Long, Long, Long)].collect().sortBy(_._5)
+    assert(out.length === 129)
+    assert(out.map(_._5).toSeq === (0L until 129L).toSeq)
+    // within each group, ascending pos must walk rk 1..n in order
+    out.groupBy(_._2).foreach { case (g, rows) =>
+      assert(rows.map(_._3).toSeq === (1L to rows.length).toSeq,
+        s"group $g emission order must follow rk")
+    }
+  }
+
+  test("strideInterleave: every prefix tracks the weight shares while all " +
+    "groups are live (stride-scheduling law)") {
+    val out = Sampling.strideInterleave(strideFixture, "id", "g")
+      .select("g", "pos").as[(String, Long)].collect().sortBy(_._2).map(_._1)
+    val weights = Map("a" -> 10.0, "b" -> 5.0, "c" -> 2.0)
+    val wSum = 17.0
+    // group c (rk=4, w=2) exhausts at vt = 7e6/4; all prefixes before that
+    // see three live groups — shares must track within a constant
+    val cEnd = out.lastIndexOf("c") + 1
+    assert(cEnd > 20, "fixture must keep c alive deep enough to test")
+    (1 to cEnd).foreach { l =>
+      val counts = out.take(l).groupBy(identity).view.mapValues(_.size).toMap
+      weights.foreach { case (g, w) =>
+        val dev = math.abs(counts.getOrElse(g, 0) - l * w / wSum)
+        assert(dev <= 2.0, s"prefix $l group $g deviates $dev from share")
+      }
+    }
+  }
+
+  test("strideInterleave: layout-independent (repartitioned input yields " +
+    "the identical global sequence)") {
+    val base = Sampling.strideInterleave(strideFixture, "id", "g")
+      .select("id", "pos").as[(Long, Long)].collect().sortBy(_._2).map(_._1).toSeq
+    val shuf = Sampling.strideInterleave(strideFixture.repartition(7), "id", "g")
+      .select("id", "pos").as[(Long, Long)].collect().sortBy(_._2).map(_._1).toSeq
+    assert(base === shuf)
+  }
 }

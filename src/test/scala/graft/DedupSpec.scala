@@ -397,4 +397,20 @@ class DedupSpec extends SparkSpec {
       3L -> ((3L, 2L, "x y c")))) // [c d] lost to doc 1; tail "c" is first
     // docs 2 and 4 emptied entirely -> absent
   }
+
+  test("keepBestRepresentatives: argmax score per cluster, ties to the " +
+    "smaller id, singletons keep themselves") {
+    val d = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 1L), (5L, 7L), (6L, 7L))
+      .toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id1", "id2")
+    val got = Dedup.keepBestRepresentatives(d, "doc_id", pairs, col("score"))
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._4))).toMap
+    // cluster {1,2,3}: label 1 (min id), best = 2 (score 9, tie beats 3)
+    assert(got(1L) === ((1L, false)) && got(2L) === ((1L, true)) &&
+      got(3L) === ((1L, false)))
+    // cluster {5,6}: best = 5 (tie, smaller id); singleton 4 keeps itself
+    assert(got(5L) === ((5L, true)) && got(6L) === ((5L, false)))
+    assert(got(4L) === ((4L, true)))
+  }
 }

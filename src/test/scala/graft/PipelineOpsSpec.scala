@@ -767,4 +767,75 @@ class PipelineOpsSpec extends SparkSpec {
     // abc -> [ab, c, </w>] = 3 tokens per instance, 2 instances
     assert(got.toSeq === Seq((1L, 2L, 6L)))
   }
+
+  // ---- fill-in-the-middle -------------------------------------------------
+
+  test("fimTransform: PSM reassembly restores the original tokens, cuts " +
+    "stay in bounds, rate=0/1 gates everything off/on") {
+    val docs = (1L to 40L).map(i =>
+      (i, (1 to (i % 7).toInt).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextPipeline.fimTransform(docs, "doc_id", "text", rate = 0.5)
+      .as[(Long, Boolean, Long, Long, Long, String)].collect()
+    assert(out.length === 40)
+    val orig = docs.as[(Long, String)].collect().toMap
+    out.foreach { case (id, applied, n, lo, hi, text) =>
+      val toks = orig(id).split("\\s+").filter(_.nonEmpty).toSeq
+      assert(n === toks.length.toLong)
+      assert(0L <= lo && lo <= hi && hi <= n, s"doc $id cuts out of bounds")
+      if (applied) {
+        // parse "<PRE> p <SUF> s <MID> m" and reassemble p + m + s
+        val pre = text.indexOf("<PRE> "); val suf = text.indexOf(" <SUF> ")
+        val mid = text.indexOf(" <MID> ")
+        assert(pre === 0 && suf > 0 && mid > suf, s"doc $id bad layout: $text")
+        val p = text.substring(6, suf); val sfx = text.substring(suf + 7, mid)
+        val m = text.substring(mid + 7)
+        def tk(s: String) = s.split("\\s+").filter(_.nonEmpty).toSeq
+        assert(tk(p) ++ tk(m) ++ tk(sfx) === toks, s"doc $id reassembly")
+        assert(tk(p).length === lo && tk(m).length === (hi - lo),
+          s"doc $id part lengths must equal the cuts")
+      } else assert(text === toks.mkString(" "))
+    }
+    // the Bernoulli gate genuinely splits the fixture
+    assert(out.count(_._2) > 5 && out.count(!_._2) > 5)
+    // rate 0 / 1 are total
+    assert(TextPipeline.fimTransform(docs, "doc_id", "text", rate = 0.0)
+      .filter(col("fim_applied")).count() === 0L)
+    assert(TextPipeline.fimTransform(docs, "doc_id", "text", rate = 1.0)
+      .filter(!col("fim_applied")).count() === 0L)
+  }
+
+  // ---- length-bucketed batching -------------------------------------------
+
+  test("lengthBucketBatches: buckets are n DIV width, batches stay inside " +
+    "one bucket, are full except the per-bucket tail, and are " +
+    "layout-independent") {
+    val docs = (1L to 120L).map(i =>
+      (i, (1 to (i % 37).toInt).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextPipeline.lengthBucketBatches(docs, "doc_id", "text",
+      bucketWidth = 8, batchSize = 4)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.length === 120)
+    out.foreach { case (id, n, bucket, _, pos) =>
+      assert(bucket === n / 8, s"doc $id bucket")
+      assert(pos >= 0 && pos < 4, s"doc $id pos_in_batch")
+    }
+    // a batch never spans buckets; only the last batch of a bucket is short
+    out.groupBy(r => (r._3, r._4)).foreach { case ((bucket, batch), rows) =>
+      assert(rows.length <= 4)
+      assert(rows.map(_._5).sorted.toSeq === (0L until rows.length).toSeq,
+        s"bucket $bucket batch $batch positions must be contiguous from 0")
+    }
+    out.groupBy(_._3).foreach { case (bucket, rows) =>
+      val nBatches = rows.map(_._4).distinct.length
+      val short = rows.groupBy(_._4).count(_._2.length < 4)
+      assert(short <= 1, s"bucket $bucket must have at most one short batch")
+      assert(nBatches === (rows.length + 3) / 4, s"bucket $bucket batch count")
+    }
+    val again = TextPipeline.lengthBucketBatches(docs.repartition(7),
+      "doc_id", "text", bucketWidth = 8, batchSize = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(again === out.sortBy(_._1).toSeq)
+  }
 }

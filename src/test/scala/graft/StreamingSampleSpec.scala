@@ -1,0 +1,71 @@
+package graft
+
+import graft.streaming.StreamingSample
+import graft.streaming.StreamingSample.{Cand, PrioRow, ShardTopK}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+
+/** MemoryStream harness for the streaming priority sampler (gate qet):
+  * the emitted candidate stream must contain the exact global top-k under
+  * ANY batch split / arrival order, emission must be bounded (entries
+  * only), and per-shard state must never exceed k rows. */
+class StreamingSampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def runTopK(batches: Seq[Seq[PrioRow]], k: Int): Seq[Cand] = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[PrioRow]
+    val cands = mem.toDS().groupByKey(_.shard)
+      .transformWithState(new ShardTopK(k), TimeMode.None(), OutputMode.Append())
+    val name = s"topk_sink_${System.nanoTime()}"
+    val q = cands.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name).as[Cand].collect().toSeq
+  }
+
+  // deterministic pseudo-random priorities over 2 shards
+  private def fixture(n: Int): Seq[PrioRow] = (1 to n).map { i =>
+    val pr = ((i * 2654435761L) % 1000003L).toDouble / 7.0
+    PrioRow(i % 2, i.toLong, i.toLong, pr)
+  }
+
+  private def bruteTopK(rows: Seq[PrioRow], k: Int): Seq[(Long, Double)] =
+    rows.sortBy(r => (-r.priority, r.docId)).take(k).map(r => (r.docId, r.priority))
+
+  test("final TakeOrdered over the candidate stream equals the global top-k") {
+    val rows = fixture(500)
+    val cands = runTopK(Seq(rows), k = 25)
+    val got = cands.sortBy(c => (-c.priority, c.docId)).take(25)
+      .map(c => (c.docId, c.priority))
+    assert(got === bruteTopK(rows, 25))
+  }
+
+  test("arrival order and batch splits never change the final top-k; " +
+    "emission is entries-only (bounded)") {
+    val rows = fixture(400)
+    val byId = runTopK(rows.grouped(57).toSeq, k = 10)
+    val desc = runTopK(rows.sortBy(r => -r.priority).grouped(91).toSeq, k = 10)
+    def fin(cs: Seq[Cand]) =
+      cs.sortBy(c => (-c.priority, c.docId)).take(10).map(c => (c.docId, c.priority))
+    assert(fin(byId) === fin(desc))
+    assert(fin(byId) === bruteTopK(rows, 10))
+    // descending-priority arrival is the best case: exactly the first k
+    // per shard enter, nothing after can
+    assert(desc.length === 2 * 10,
+      s"descending arrival must emit exactly k per shard, got ${desc.length}")
+    // random-id arrival emits every running-top-k entry but still far
+    // fewer than n (O(k log n) expected per shard)
+    assert(byId.length < rows.length / 2)
+  }
+
+  test("a shard with fewer rows than k emits all of them") {
+    val rows = Seq(PrioRow(7L, 1L, 5L, 2.0), PrioRow(7L, 2L, 5L, 1.0))
+    val cands = runTopK(Seq(rows), k = 100)
+    assert(cands.map(_.docId).sorted === Seq(1L, 2L))
+  }
+}
