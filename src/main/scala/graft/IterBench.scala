@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.IterBench"
   * Section select: SPARK_GRAFT_ITERBENCH=loops|bpe|bpescale|tok|wpencode|
-  * lshidx|ivfidx|dsir|streampack|stream|streamamort|streamloop (default loops — the bpe/bpescale
+  * lshidx|ivfidx|dsir|streampack|streamsample|stream|streamamort|streamloop (default loops — the bpe/bpescale
   * sections run ~500-merge tokenizer trainings and are minutes long by
   * design; results are recorded in BASELINE.md).
   *
@@ -209,7 +209,84 @@ object IterBench {
           graft.operators.Dedup.dedupChunksKeepFirst(docs, "doc_id", "text",
             chunkTokens = 8).count()
         }
+        // ordering/batching family (gates qes/qeu/qew): stride interleave
+        // is a group-window + range sort + two-phase index scan (expect
+        // n log n, sort-dominated); FIM is a pure narrow map (expect scan
+        // speed, linear); length batching is one bucket-keyed window
+        timed(s"stride interleave, full corpus (mult=$mult), round $round") {
+          graft.operators.Sampling.strideInterleave(
+            docs.withColumn("lang", (col("doc_id") % 5).cast("string")),
+            "doc_id", "lang").count()
+        }
+        timed(s"FIM transform, full corpus (mult=$mult), round $round") {
+          TextPipeline.fimTransform(docs, "doc_id", "text", rate = 0.5)
+            .agg(sum(col("n_toks"))).head().getLong(0)
+        }
+        timed(s"length-bucket batches, full corpus (mult=$mult), round $round") {
+          TextPipeline.lengthBucketBatches(docs, "doc_id", "text").count()
+        }
       }
+      docs.unpersist()
+      spark.stop()
+      return
+    }
+
+    // Streaming priority-sample slopes (gate qet): per-shard state is a
+    // FIXED k-row list regardless of corpus size and emission is
+    // entries-only (O(k log n) expected per shard), so a mult-scaled
+    // corpus should cost linearly more scan time over an essentially
+    // constant state/commit overhead — the candidate count should grow
+    // only logarithmically.
+    if (section == "streamsample") {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val (docs, span) = scaledDocs()
+      val n = docs.count()
+      println(s"[iterbench] corpus: $n docs (mult=$mult)")
+      val maxId = span * mult
+      val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_streamsample_${System.nanoTime()}")
+      val dataDir = new java.io.File(base, "docs"); dataDir.mkdirs()
+      (0 until 4).foreach { q =>
+        val lo = maxId * q / 4; val hi = maxId * (q + 1) / 4
+        val tmp = new java.io.File(base, s"stage_$q").getPath
+        docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(dataDir, f"batch_$q%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1700000000000L + q * 60000L)
+      }
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      for (round <- 1 to 2) {
+        timed(s"streaming ShardTopK(100) 4-batch replay, 8 shards (mult=$mult), round $round") {
+          val schema = spark.read.parquet(dataDir.getPath).schema
+          val raw = spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"${dataDir.getPath}/*.parquet")
+          val u = graft.operators.Sampling.unitHash(col("doc_id"), "priority")
+          val prio = col("n_chars").cast("double") /
+            when(u === 0.0, lit(1.0) / lit(9007199254740992.0)).otherwise(u)
+          val rows = raw.select(pmod(col("doc_id"), lit(8L)).as("shard"),
+              col("doc_id").as("docId"), col("n_chars").as("weight"),
+              prio.as("priority"))
+            .as[graft.streaming.StreamingSample.PrioRow]
+          val cands = rows.groupByKey(_.shard)
+            .transformWithState(new graft.streaming.StreamingSample.ShardTopK(100),
+              org.apache.spark.sql.streaming.TimeMode.None(),
+              org.apache.spark.sql.streaming.OutputMode.Append())
+          val name = s"streamsample_sink_${round}_$mult"
+          val q = cands.toDF().writeStream.outputMode("append").format("memory")
+            .queryName(name).start()
+          try q.processAllAvailable() finally q.stop()
+          val emitted = spark.table(name).count()
+          println(s"[iterbench]   -> $emitted candidate emissions")
+          emitted
+        }
+      }
+      org.apache.commons.io.FileUtils.deleteQuietly(base)
       docs.unpersist()
       spark.stop()
       return

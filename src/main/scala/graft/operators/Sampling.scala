@@ -265,7 +265,16 @@ object Sampling {
     * The oracle IS that single-node window; the plan is the distributed
     * twin. */
   def strideInterleave(df: DataFrame, idCol: String, groupCol: String,
-                       salt: String = "stride"): DataFrame = {
+                       salt: String = "stride"): DataFrame =
+    Partitioning.zipWithIndex(strideOrder(df, idCol, groupCol, salt), "pos")
+
+  /** The DataFrame half of [[strideInterleave]] — everything up to the
+    * global RANGE-partitioned sort, before the two-phase index scan turns
+    * it into an RDD (which hides the plan). Split out so PlanQualitySpec
+    * can pin the shape: group-keyed window, broadcast weights, range
+    * partition — never a single-partition corpus window. */
+  private[graft] def strideOrder(df: DataFrame, idCol: String,
+                                 groupCol: String, salt: String): DataFrame = {
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
     val w = counts.withColumn("weight",
       floor(sqrt(col("n").cast("double"))).cast("long")).drop("n")
@@ -277,9 +286,8 @@ object Sampling {
       .withColumn("vt", expr("((2L * rk - 1L) * 1000000L) DIV (2L * weight)"))
       .select(col(idCol), col(groupCol), col("rk"), col("vt"))
     val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val ordered = keyed
+    keyed
       .repartitionByRange(p, col("vt"), col(groupCol), col("rk"))
       .sortWithinPartitions(col("vt"), col(groupCol), col("rk"))
-    Partitioning.zipWithIndex(ordered, "pos")
   }
 }

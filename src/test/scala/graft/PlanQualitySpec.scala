@@ -220,4 +220,43 @@ class PlanQualitySpec extends SparkSpec {
       s"trim must run the codegen byte-span kernel (the interpreted HOF " +
         s"formulation measured ~3.5 ms/doc):\n$plan")
   }
+
+  test("qeu FIM transform fuses into the scan: zero exchanges, no UDF") {
+    val plan = executedPlan("qeu_fim_transform")
+    assert(!plan.contains("Exchange"),
+      s"the FIM rewrite is a pure narrow map and must not shuffle:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"FIM must stay native codegen:\n$plan")
+  }
+
+  test("qes stride interleave: group-keyed window + RANGE partition for " +
+    "the global order — never a single-partition corpus window") {
+    // pin the DataFrame half (strideOrder): the RDD zipWithIndex tail
+    // renders as an opaque ExistingRDD scan and would hide the shape
+    val df = graft.operators.Sampling.strideOrder(
+      graft.Tables(spark, sf, "documents"), "doc_id", "lang", "stride")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("windowspecdefinition(lang"),
+      s"within-group rank must partition by the group column:\n$plan")
+    assert(plan.contains("rangepartitioning"),
+      s"global order must come from a RANGE partition, not one task:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"no stage may collapse the corpus to one partition:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"per-group weights must broadcast against the corpus:\n$plan")
+  }
+
+  test("qew length batching: exactly one shuffle (the bucket-keyed " +
+    "window), no UDF") {
+    // AQE renders materialized stages once in the final plan and again in
+    // the initial-plan section — count only the final section
+    val plan = executedPlan("qew_length_batches")
+      .split("== Initial Plan ==").head
+    val exchanges = "(?<!Broadcast)Exchange ".r.findAllIn(plan).length
+    assert(exchanges <= 1,
+      s"bucket assignment is one window shuffle, got $exchanges:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"must stay native:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"the window must key on bucket, not collapse to one partition:\n$plan")
+  }
 }
