@@ -237,6 +237,37 @@ object Sampling {
       .select(col(idCol), col(groupCol), col("n_copies"))
   }
 
+  /** Token-budget cutoff selection — take documents in deterministic
+    * content-hash order until a TOKEN budget (not a doc count) is
+    * exhausted: the way a training corpus is actually sized ("the first
+    * 500B tokens of the shuffled corpus"), with no doc ever straddling
+    * the budget (a doc is kept iff it fits entirely:
+    * cum_before + n_toks ≤ budget).
+    *
+    * The cumulative count is the two-phase distributed prefix scan
+    * ([[Partitioning.prefixSum]] — range partition + per-partition sums +
+    * offset map), NOT a one-task `sum() OVER (ORDER BY …)`; the oracle IS
+    * that single-node window. Order key is the salted 64-bit content hash
+    * of the id (ties broken by id in the oracle; a 64-bit collision
+    * between distinct ids is the usual ~2^-64-per-pair accepted regime —
+    * prefixSum's unique-order contract holds with overwhelming
+    * probability at any corpus size).
+    *
+    * Output: the kept rows as (id, n_toks, cum_before). */
+  def tokenBudgetSelect(df: DataFrame, idCol: String, textCol: String,
+                        budget: Long, salt: String = "budget"): DataFrame = {
+    require(budget > 0)
+    val base = df.select(col(idCol),
+        size(graft.functions.TextFunctions.tokens(col(textCol)))
+          .cast("long").as("n_toks"))
+      .withColumn("ord", graft.functions.Fnv1a64Expr(
+        concat(col(idCol).cast("string"), lit(s":$salt"))))
+    val cum = Partitioning.prefixSum(base, "ord", "n_toks", "cum_before")
+    base.join(cum, "ord")
+      .filter(col("cum_before") + col("n_toks") <= budget)
+      .select(col(idCol), col("n_toks"), col("cum_before"))
+  }
+
   /** Stride-scheduled domain interleave — the deterministic "blendable
     * dataset" ordering: emit the whole corpus in ONE global sequence where
     * at every prefix each group's share tracks its mixture weight (the

@@ -2057,5 +2057,91 @@ object PipelineQueries {
         SELECT doc_id, n_toks, bucket, (rk - 1) // 8 AS batch_id,
           (rk - 1) % 8 AS pos_in_batch
         FROM r""")),
+
+    // Token-budget cutoff: keep documents in salted-hash order until a
+    // 10k-TOKEN budget fills (whole docs only — the "first N tokens of
+    // the shuffled corpus" sizing rule). The plan's cumulative count is
+    // the two-phase prefix scan (qel's device); the oracle IS the
+    // one-task window the plan must never run.
+    Entry("qex_token_budget",
+      (s, dir) => Sampling.tokenBudgetSelect(t(s, dir, "documents"),
+        "doc_id", "text", budget = 10000L),
+      Some(s"""WITH nn AS (
+          SELECT doc_id, CAST(len($OTOKS) AS BIGINT) AS n_toks,
+            ${oSigned(oFnv("(CAST(doc_id AS VARCHAR) || ':budget')"))} AS ord
+          FROM documents
+        ), c AS (
+          SELECT doc_id, n_toks,
+            CAST(coalesce(sum(n_toks) OVER (ORDER BY ord, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+              AS cum_before
+          FROM nn
+        )
+        SELECT doc_id, n_toks, cum_before FROM c
+        WHERE cum_before + n_toks <= 10000""")),
+
+    // Mixture → curriculum COMPOSITION: the qeo UniMax allocation realizes
+    // into physical copies (doc#epoch ids) and the copy stream orders by
+    // the qes stride scheduler — the full "decide the mixture, then lay
+    // out the epoch" path a trainer consumes, under ONE chained oracle so
+    // the composition (not just each stage) is bit-exact. Copy ids get
+    // their own hash ranks, so a doc's repeats spread across the schedule
+    // instead of clumping — the reason to interleave AFTER realization.
+    Entry("qey_mixture_curriculum",
+      (s, dir) => {
+        val mix = Sampling.unimaxSample(t(s, dir, "documents"),
+          "doc_id", "lang", totalBudget = 900L, maxEpochs = 2L)
+        val copies = mix
+          .withColumn("copy", explode(sequence(lit(0L), col("n_copies") - 1)))
+          .select(concat(col("doc_id"), lit("#"), col("copy")).as("cid"),
+            col("lang"))
+        Sampling.strideInterleave(copies, "cid", "lang")
+      },
+      Some(s"""WITH RECURSIVE c AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n,
+            CAST(count(*) * 2 AS BIGINT) AS cap,
+            CAST(row_number() OVER (ORDER BY count(*) * 2, lang) AS BIGINT) AS rn,
+            CAST(count(*) OVER () AS BIGINT) AS gcnt
+          FROM documents GROUP BY lang
+        ), wf AS (
+          SELECT CAST(0 AS BIGINT) AS i, CAST(900 AS BIGINT) AS rem,
+            CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS alloc
+          UNION ALL
+          SELECT c.rn, wf.rem - least(c.cap, wf.rem // (c.gcnt - wf.i)),
+            c.lang, least(c.cap, wf.rem // (c.gcnt - wf.i))
+          FROM wf JOIN c ON c.rn = wf.i + 1
+        ), a AS (
+          SELECT lang, alloc FROM wf WHERE lang IS NOT NULL
+        ), r0 AS (
+          SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+            ORDER BY ${oUnitHash("doc_id", "unimax")}, doc_id) AS rk
+          FROM documents
+        ), real AS (
+          SELECT r0.doc_id, r0.lang,
+            (a.alloc // c.n) + CASE WHEN r0.rk <= (a.alloc % c.n)
+              THEN 1 ELSE 0 END AS n_copies
+          FROM r0 JOIN a USING (lang) JOIN c USING (lang)
+        ), cp AS (
+          SELECT CAST(doc_id AS VARCHAR) || '#' || CAST(unnest(range(n_copies)) AS VARCHAR) AS cid,
+            lang
+          FROM real WHERE n_copies > 0
+        ), cnt AS (
+          SELECT lang, count(*) AS n FROM cp GROUP BY 1
+        ), w AS (
+          SELECT lang, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS weight
+          FROM cnt
+        ), rr AS (
+          SELECT cid, lang, CAST(row_number() OVER (
+            PARTITION BY lang
+            ORDER BY ${oUnitHash("cid", "stride")}, cid) AS BIGINT) AS rk
+          FROM cp
+        ), v AS (
+          SELECT cid, lang, rk,
+            ((2 * rk - 1) * 1000000) // (2 * weight) AS vt
+          FROM rr JOIN w USING (lang)
+        )
+        SELECT cid, lang, rk, vt,
+          CAST(row_number() OVER (ORDER BY vt, lang, rk) - 1 AS BIGINT) AS pos
+        FROM v""")),
   )
 }

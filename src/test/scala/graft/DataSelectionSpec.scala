@@ -285,6 +285,37 @@ class DataSelectionSpec extends SparkSpec {
     }
   }
 
+  test("tokenBudgetSelect: kept set is the exact maximal hash-order " +
+    "prefix of whole docs, layout-independent, degenerate budgets work") {
+    val docs = (1L to 60L).map(i =>
+      (i, (1 to (i % 9).toInt + 1).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    // brute-force reference in the same order (hash, then id)
+    val ordered = (1L to 60L).map { i =>
+      val h = graft.functions.Hashes.fnv1a64(s"$i:budget")
+      (h, i, (i % 9).toInt + 1)
+    }.sortBy(t => (t._1, t._2))
+    val budget = 120L
+    var cum = 0L
+    val expect = ordered.flatMap { case (_, id, n) =>
+      val keep = cum + n <= budget
+      val row = if (keep) Some(id -> ((n.toLong, cum))) else None
+      cum += n // cum counts every doc in order, kept or not
+      row
+    }.toMap
+    val got = Sampling.tokenBudgetSelect(docs, "doc_id", "text", budget)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === expect)
+    assert(got.values.map(_._1).sum <= budget)
+    val shuffled = Sampling.tokenBudgetSelect(docs.repartition(7),
+        "doc_id", "text", budget)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(shuffled === got)
+    // budget >= total keeps everything
+    assert(Sampling.tokenBudgetSelect(docs, "doc_id", "text", 100000L)
+      .count() === 60L)
+  }
+
   test("strideInterleave: layout-independent (repartitioned input yields " +
     "the identical global sequence)") {
     val base = Sampling.strideInterleave(strideFixture, "id", "g")
