@@ -996,6 +996,57 @@ object TextPipeline {
     * overfills one bucket swaps the window for the per-bucket two-phase
     * prefix scan ([[graft.operators.Partitioning.prefixSum]], the qel
     * device) — the assignment rule is unchanged. */
+  /** T5-style span corruption (Raffel et al. 2020 §3.1.4): fixed-length
+    * token blocks are masked with probability 1/`modDenom` (a salted hash
+    * decides, so the draw is reproducible and SQL-replayable), masked
+    * blocks collapse to numbered sentinels in the INPUT, and the TARGET
+    * is the sentinel-prefixed masked content plus the closing sentinel —
+    * the denoising objective's data layout, produced at the data layer.
+    *
+    * Deterministic twin of the paper's i.i.d. span draw: block b of doc d
+    * is masked iff fnv(d:span·b) ≡ 0 (mod modDenom); with blockLen 4 and
+    * modDenom 4 that is the canonical ~25%-of-tokens, mean-span-4 regime.
+    * Sentinel numbering is the masked block's rank within the doc.
+    *
+    * Pure narrow map — every column is codegen HOFs over the token array
+    * (the per-block rank is an O(B²) lambda scan; B = n/blockLen stays
+    * small for any real document), no UDF, no shuffle, composes with
+    * packing downstream exactly like [[fimTransform]]. */
+  def spanCorrupt(df: DataFrame, idCol: String, textCol: String,
+                  blockLen: Int = 4, modDenom: Int = 4): DataFrame = {
+    require(blockLen > 0 && modDenom > 1)
+    val toks = TextFunctions.tokens(col(textCol))
+    def masked(b: Column): Column =
+      pmod(graft.functions.Fnv1a64Expr(concat(col(idCol).cast("string"),
+        lit(":span"), b.cast("string"))), lit(modDenom.toLong)) === 0L
+    def sentinel(k: Column): Column =
+      concat(lit("<extra_id_"), k.cast("string"), lit(">"))
+    def blockText(b: Column): Column =
+      array_join(slice(col("_toks"), b * blockLen + lit(1), lit(blockLen)), " ")
+    def rank(b: Column): Column =
+      size(filter(col("_blocks"), x => x < b && masked(x)))
+    df.withColumn("_toks", toks)
+      .withColumn("n_toks", size(col("_toks")).cast("long"))
+      .withColumn("_nb",
+        expr(s"CAST((n_toks + ${blockLen - 1}) DIV $blockLen AS INT)"))
+      .withColumn("_blocks", when(col("_nb") === 0,
+          array().cast("array<int>"))
+        .otherwise(sequence(lit(0), col("_nb") - 1)))
+      .withColumn("_mb", filter(col("_blocks"), b => masked(b)))
+      .withColumn("n_masked", size(col("_mb")).cast("long"))
+      .withColumn("input_text", array_join(
+        transform(col("_blocks"), b =>
+          when(masked(b), sentinel(rank(b))).otherwise(blockText(b))), " "))
+      .withColumn("target_text", when(col("n_masked") === 0,
+          sentinel(lit(0)))
+        .otherwise(concat(array_join(
+          transform(col("_mb"), b =>
+            concat(sentinel(rank(b)), lit(" "), blockText(b))), " "),
+          lit(" "), sentinel(col("n_masked")))))
+      .select(col(idCol), col("n_toks"), col("n_masked"),
+        col("input_text"), col("target_text"))
+  }
+
   def lengthBucketBatches(df: DataFrame, idCol: String, textCol: String,
                           bucketWidth: Int = 16, batchSize: Int = 8,
                           salt: String = "lenbatch"): DataFrame = {

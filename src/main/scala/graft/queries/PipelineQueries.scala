@@ -2143,5 +2143,53 @@ object PipelineQueries {
         SELECT cid, lang, rk, vt,
           CAST(row_number() OVER (ORDER BY vt, lang, rk) - 1 AS BIGINT) AS pos
         FROM v""")),
+
+    // T5 span corruption (Raffel et al. 2020): 4-token blocks mask where
+    // fnv(doc:span·b) ≡ 0 (mod 4); inputs collapse masked blocks to
+    // numbered sentinels, targets carry sentinel-prefixed masked content
+    // plus the closing sentinel. Pure narrow codegen-HOF map; the oracle
+    // replays hash draw, block slicing, sentinel numbering, and both
+    // string assemblies exactly (mod 4 is a power of two, so unsigned
+    // HUGEINT and two's-complement pmod agree bit-for-bit).
+    Entry("qez_span_corrupt",
+      (s, dir) => TextPipeline.spanCorrupt(t(s, dir, "documents"),
+        "doc_id", "text", blockLen = 4, modDenom = 4),
+      Some(s"""WITH tk AS (
+          SELECT doc_id, $OTOKS AS w FROM documents
+        ), n AS (
+          SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_toks FROM tk
+        ), bl AS (
+          SELECT doc_id, w, n_toks,
+            range(CAST((n_toks + 3) // 4 AS BIGINT)) AS blocks
+          FROM n
+        ), mk AS (
+          SELECT doc_id, w, n_toks, blocks,
+            list_transform(blocks, b ->
+              ${oFnv("(CAST(doc_id AS VARCHAR) || ':span' || CAST(b AS VARCHAR))")}
+                % 4 = 0) AS m
+          FROM bl
+        ), mb AS (
+          SELECT doc_id, w, n_toks, blocks, m,
+            list_filter(blocks, b -> m[CAST(b + 1 AS INT)]) AS mbl
+          FROM mk
+        )
+        SELECT doc_id, n_toks,
+          CAST(len(mbl) AS BIGINT) AS n_masked,
+          coalesce(array_to_string(list_transform(blocks, b ->
+            CASE WHEN m[CAST(b + 1 AS INT)]
+              THEN '<extra_id_' || CAST(len(list_filter(blocks,
+                x -> x < b AND m[CAST(x + 1 AS INT)])) AS VARCHAR) || '>'
+              ELSE coalesce(array_to_string(
+                w[CAST(b * 4 + 1 AS INT) : CAST(b * 4 + 4 AS INT)], ' '), '')
+            END), ' '), '') AS input_text,
+          CASE WHEN len(mbl) = 0 THEN '<extra_id_0>'
+            ELSE coalesce(array_to_string(list_transform(mbl, b ->
+              '<extra_id_' || CAST(len(list_filter(blocks,
+                x -> x < b AND m[CAST(x + 1 AS INT)])) AS VARCHAR) || '> ' ||
+              coalesce(array_to_string(
+                w[CAST(b * 4 + 1 AS INT) : CAST(b * 4 + 4 AS INT)], ' '), '')),
+              ' '), '') || ' <extra_id_' || CAST(len(mbl) AS VARCHAR) || '>'
+          END AS target_text
+        FROM mb""")),
   )
 }

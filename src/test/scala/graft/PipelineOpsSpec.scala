@@ -805,6 +805,49 @@ class PipelineOpsSpec extends SparkSpec {
       .filter(!col("fim_applied")).count() === 0L)
   }
 
+  // ---- T5 span corruption -------------------------------------------------
+
+  test("spanCorrupt: differential vs a brute-force rule replica; " +
+    "interleaving input and target restores the original tokens") {
+    val docs = (1L to 50L).map(i =>
+      (i, (1 to (i % 23).toInt).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextPipeline.spanCorrupt(docs, "doc_id", "text", 4, 4)
+      .as[(Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    def maskedRef(id: Long, b: Int): Boolean = {
+      val h = graft.functions.Hashes.fnv1a64(s"$id:span$b")
+      ((h % 4) + 4) % 4 == 0
+    }
+    (1L to 50L).foreach { id =>
+      val toks = (1 to (id % 23).toInt).map(j => s"w$j")
+      val nb = (toks.length + 3) / 4
+      val blocks = (0 until nb).map(b => (b, toks.slice(b * 4, b * 4 + 4),
+        maskedRef(id, b)))
+      val ranks = blocks.scanLeft(0) { case (a, (_, _, m)) =>
+        if (m) a + 1 else a }
+      val input = blocks.map { case (b, bt, m) =>
+        if (m) s"<extra_id_${ranks(b)}>" else bt.mkString(" ") }.mkString(" ")
+      val masked = blocks.filter(_._3)
+      val target = if (masked.isEmpty) "<extra_id_0>"
+        else masked.map { case (b, bt, _) =>
+          s"<extra_id_${ranks(b)}> ${bt.mkString(" ")}" }.mkString(" ") +
+          s" <extra_id_${masked.length}>"
+      val (_, n, nm, gi, gt) = got(id)
+      assert(n === toks.length.toLong && nm === masked.length.toLong, s"doc $id")
+      assert(gi === input, s"doc $id input")
+      assert(gt === target, s"doc $id target")
+      // reconstruction: substitute each target span back into the input
+      var restored = gi
+      masked.zipWithIndex.foreach { case ((_, bt, _), k) =>
+        restored = restored.replace(s"<extra_id_$k>", bt.mkString(" ")) }
+      assert(restored.split("\\s+").filter(_.nonEmpty).toSeq === toks,
+        s"doc $id reconstruction")
+    }
+    // empty doc: empty input, bare closing sentinel
+    assert(got(46L)._4 === "" && got(46L)._5 === "<extra_id_0>") // 46%23=0
+  }
+
   // ---- length-bucketed batching -------------------------------------------
 
   test("lengthBucketBatches: buckets are n DIV width, batches stay inside " +

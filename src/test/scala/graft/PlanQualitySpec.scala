@@ -228,6 +228,13 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"), s"FIM must stay native codegen:\n$plan")
   }
 
+  test("qez span corruption fuses into the scan: zero exchanges, no UDF") {
+    val plan = executedPlan("qez_span_corrupt")
+    assert(!plan.contains("Exchange"),
+      s"span corruption is a pure narrow map and must not shuffle:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"must stay native HOFs:\n$plan")
+  }
+
   test("qes stride interleave: group-keyed window + RANGE partition for " +
     "the global order — never a single-partition corpus window") {
     // pin the DataFrame half (strideOrder): the RDD zipWithIndex tail
