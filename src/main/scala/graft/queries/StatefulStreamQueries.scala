@@ -1529,5 +1529,51 @@ object StatefulStreamQueries {
             (CASE WHEN u = 0.0 THEN 1.0 / 9007199254740992.0 ELSE u END)
             AS priority
         FROM u ORDER BY priority DESC, doc_id LIMIT 100""")),
+
+    // Ingest-time token-budget gating (the STREAMING face of qex's
+    // cutoff, sharded): the 10k budget splits into 8 per-shard budgets of
+    // 1250 and each shard admits documents in drain-ordered doc-id order
+    // while they fit entirely — one long of state per shard, admission a
+    // contiguous per-shard prefix, so a per-shard SQL window replays the
+    // whole operator. Sharding is what scales the gate (a global counter
+    // would funnel the stream through one state partition), at the usual
+    // quantization cost of ≤1 doc per shard.
+    Entry("qf0_stream_token_budget",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val schema = s.read.parquet(graft.Tables.path(dir, "documents")).schema
+        val raw = s.readStream.schema(schema).parquet(s"$dir/documents*.parquet")
+        val rows = raw
+          .withColumn("ts", timestamp_micros(col("doc_id") * 1000000L))
+          .withWatermark("ts", "0 seconds")
+          .select(pmod(col("doc_id"), lit(8L)).as("shard"),
+            col("doc_id").as("docId"),
+            size(graft.functions.TextFunctions.tokens(col("text")))
+              .cast("long").as("nToks"))
+          .as[graft.streaming.StreamingSample.BudgetRow]
+        val kept = graft.streaming.EventTimeOps.ordered(rows,
+          (r: graft.streaming.StreamingSample.BudgetRow) => r.shard,
+          new graft.streaming.StreamingSample.BudgetGate(1250L))
+        run(kept.toDF(), "qf0_sink")
+          .select(col("docId").as("doc_id"), col("shard"),
+            col("nToks").as("n_toks"), col("cumBefore").as("cum_before"))
+      },
+      Some(s"""WITH nn AS (
+          SELECT doc_id, doc_id % 8 AS shard,
+            CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_toks
+          FROM documents
+        ), c AS (
+          SELECT doc_id, shard, n_toks,
+            CAST(coalesce(sum(n_toks) OVER (PARTITION BY shard
+              ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+              AS cum_before
+          FROM nn
+        )
+        SELECT doc_id, shard, n_toks, cum_before FROM c
+        WHERE cum_before + n_toks <= 1250""")),
   )
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor,
-  TTLConfig, TimeMode, TimerValues}
+  StatefulProcessorHandle, TTLConfig, TimeMode, TimerValues}
 
 /** Ingest-time weighted priority sampling — the STREAMING face of the batch
   * Duffield–Lund–Thorup sample ([[graft.operators.Sampling.prioritySample]],
@@ -62,6 +62,47 @@ object StreamingSample {
       }
       if (dirty) topk.put(cur.toArray)
       out.result().iterator
+    }
+  }
+
+  /** One arriving document for the budget gate, keyed by shard. */
+  case class BudgetRow(shard: Long, docId: Long, nToks: Long)
+
+  object BudgetRow {
+    /** Arrival = doc-id order; unique per shard. */
+    val orderKey: EventTimeOps.OrderKey[BudgetRow] =
+      r => (r.docId * 1000L, r.docId, 0L)
+  }
+
+  /** A document admitted under the shard's token budget. */
+  case class KeptDoc(docId: Long, shard: Long, nToks: Long, cumBefore: Long)
+
+  /** Ingest-time token-budget gating — the STREAMING face of
+    * [[graft.operators.Sampling.tokenBudgetSelect]] under the standard
+    * sharded approximation: the budget splits equally across shards and
+    * each shard admits documents in deterministic (drain-ordered) arrival
+    * order while they fit entirely (cumBefore + n ≤ shardBudget); the
+    * counter keeps accumulating past the cut, so admission is a contiguous
+    * per-shard prefix exactly like the batch rule, and the whole operator
+    * replays as a per-shard window in SQL.
+    *
+    * Scale: state is ONE long per shard; sharding the budget is what makes
+    * the gate horizontally scalable (a single global counter would funnel
+    * every document through one state partition) at the cost of the usual
+    * per-shard quantization — bounded by one document per shard. */
+  final class BudgetGate(shardBudget: Long)
+      extends EventTimeOps.OrderedProcessor[Long, BudgetRow, KeptDoc](
+        BudgetRow.orderKey, Encoders.product[BudgetRow]) {
+    require(shardBudget > 0)
+    @transient private var total: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override protected def openState(h: StatefulProcessorHandle): Unit =
+      total = h.getValueState[Long]("total", Encoders.scalaLong, TTLConfig.NONE)
+    override protected def onOrdered(key: Long, r: BudgetRow): Iterator[KeptDoc] = {
+      val t = if (total.exists()) total.get() else 0L
+      total.update(t + r.nToks) // count every arrival, admitted or not
+      if (t + r.nToks <= shardBudget)
+        Iterator.single(KeptDoc(r.docId, key, r.nToks, t))
+      else Iterator.empty
     }
   }
 }

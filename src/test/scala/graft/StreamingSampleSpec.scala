@@ -68,4 +68,51 @@ class StreamingSampleSpec extends SparkSpec {
     val cands = runTopK(Seq(rows), k = 100)
     assert(cands.map(_.docId).sorted === Seq(1L, 2L))
   }
+
+  // ---- BudgetGate ---------------------------------------------------------
+
+  import graft.streaming.StreamingSample.{BudgetRow, BudgetGate, KeptDoc}
+  import org.apache.spark.sql.functions._
+
+  private def runBudget(batches: Seq[Seq[BudgetRow]],
+                        shardBudget: Long): Seq[KeptDoc] = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[BudgetRow]
+    val ds = mem.toDS()
+      .withColumn("ts", timestamp_micros(col("docId") * 1000000L))
+      .withWatermark("ts", "0 seconds")
+      .drop("ts").as[BudgetRow]
+    val kept = graft.streaming.EventTimeOps.ordered(ds,
+      (r: BudgetRow) => r.shard, new BudgetGate(shardBudget))
+    val name = s"budget_sink_${System.nanoTime()}"
+    val q = kept.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      mem.addData(); q.processAllAvailable() // final watermark nudge
+    } finally q.stop()
+    spark.table(name).as[KeptDoc].collect().toSeq
+  }
+
+  test("BudgetGate: per-shard contiguous prefix in doc order, counter " +
+    "counts rejected docs too, batch-split invariant") {
+    // shard 1: 40+70 admitted (110<=120), 30 rejected (140>120), then 5
+    // must ALSO be rejected (counter kept counting: cum=145)
+    val rows = Seq(
+      BudgetRow(1L, 10L, 40L), BudgetRow(1L, 20L, 70L),
+      BudgetRow(1L, 30L, 30L), BudgetRow(1L, 40L, 5L),
+      BudgetRow(2L, 11L, 120L), BudgetRow(2L, 21L, 1L))
+    val expect = Seq(KeptDoc(10L, 1L, 40L, 0L), KeptDoc(20L, 1L, 70L, 40L),
+      KeptDoc(11L, 2L, 120L, 0L))
+    val whole = runBudget(Seq(rows), 120L)
+    assert(whole.sortBy(_.docId) === expect.sortBy(_.docId))
+    // batch splits with shuffled WITHIN-batch order: the ordered drain
+    // must restore per-shard doc order before gating (cross-batch order
+    // stays ascending — the watermark contract all file replays satisfy)
+    val split = runBudget(Seq(Seq(rows(4), rows(0)), Seq(rows(5), rows(1)),
+      Seq(rows(2), rows(3))), 120L)
+    assert(split.sortBy(_.docId) === expect.sortBy(_.docId))
+  }
 }
