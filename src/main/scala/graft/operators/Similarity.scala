@@ -62,6 +62,35 @@ object Similarity {
       .select("query_id", "nbr_id", "cos", "rank")
   }
 
+  /** Hard-negative mining for embedding/contrastive training: for each
+    * query, the `k` MOST similar corpus vectors strictly BELOW a
+    * near-duplicate ceiling — similar enough to be hard, not so similar
+    * they are positives/duplicates (the standard retrieval-training
+    * negative selection; the ceiling is the same role as the dedup
+    * threshold in the near-dup family). The ceiling compares the
+    * 6-decimal-rounded cosine so the cut replays identically in any
+    * engine; ranking uses the raw cosine like [[bruteForceTopK]].
+    *
+    * All-pairs brute scoring = the exact verification regime (q88's
+    * shape: queries broadcast against one corpus scan); at corpus scale
+    * feed candidates from the ANN ladder (lshTopK/ivfTopK with a larger
+    * k) and apply the same ceiling + re-rank — the rule is unchanged. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, qidCol: String, k: Int,
+                    maxSim: Double): DataFrame = {
+    require(k > 0 && maxSim > -1.0 && maxSim <= 1.0)
+    val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cvec"))
+    val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("qvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("nbr_id") =!= col("query_id"))
+      .withColumn("cos", VectorFunctions.cosineSimilarityFast(col("cvec"), col("qvec")))
+      .filter(round(col("cos"), 6) < maxSim)
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nbr_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "nbr_id", "cos", "rank")
+  }
+
   /** Rademacher (±1) hyperplane sign for plane (table, bit) at dimension
     * `i`: two Lehmer-generator steps on the flat index, parity of the
     * result. Pure small-integer arithmetic (no overflow below 2^47, no RNG

@@ -1304,6 +1304,32 @@ object ExtensionQueries {
           WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
         WHERE rank <= 10""")),
 
+    // Hard-negative mining (contrastive-training negative selection):
+    // top-10 by cosine per query among corpus vectors BELOW the 0.45
+    // near-positive ceiling — the fixture's hottest pairs (cos 0.45-0.52)
+    // genuinely fall to the ceiling for the affected queries, so the
+    // operator (not just the top-k) is exercised. Ceiling on the rounded
+    // cosine replays exactly; ranking on the raw cosine like q88.
+    Entry("qf1_hard_negatives",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 50)
+        Similarity.hardNegatives(emb, queries, "vec_id", "embedding",
+          "vec_id", k = 10, maxSim = 0.45)
+          .select(col("query_id"), col("rank"), col("nbr_id"),
+            round(col("cos"), 6).as("cos_sim"))
+      },
+      Some("""SELECT query_id, rank, nbr_id, cos_sim FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+            round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) DESC,
+                       c.vec_id) AS rank
+          FROM embeddings c CROSS JOIN embeddings q
+          WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id
+            AND round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) < 0.45)
+        WHERE rank <= 10""")),
+
     // LSH ANN with recall-vs-brute columns. The bucket computation is
     // exact integer arithmetic (Rademacher planes over micro-quantized
     // vectors — Similarity.bucketsUdf), so the oracle replays candidate

@@ -398,6 +398,36 @@ class DedupSpec extends SparkSpec {
     // docs 2 and 4 emptied entirely -> absent
   }
 
+  test("hardNegatives: results are bruteForceTopK minus the over-ceiling " +
+    "neighbors, re-ranked; nothing at or above the ceiling survives") {
+    // 3 clusters of near-parallel vectors: within-cluster cos ~1 (the
+    // positives the ceiling must drop), cross-cluster lower
+    val vecs = (0 until 30).map { i =>
+      val base = Array.fill(8)(0.05f)
+      base(i % 3) = 1f; base(3 + i % 3) = 0.8f
+      base(6) = 0.01f * (i / 3) // slight spread inside a cluster
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 3)
+    val got = Similarity.hardNegatives(vecs, queries, "vec_id", "embedding",
+      "vec_id", k = 5, maxSim = 0.9)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (q, n, c, _) =>
+      assert(BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP) < 0.9,
+        s"query $q neighbor $n cos $c breaches the ceiling") }
+    // differential: brute top-k over the manually-filtered candidate set
+    val brute = Similarity.bruteForceTopK(vecs, queries, "vec_id",
+        "embedding", "vec_id", k = 30)
+      .as[(Long, Long, Double, Long)].collect()
+      .filter { case (_, _, c, _) =>
+        BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP) < 0.9 }
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(5).zipWithIndex
+          .map { case ((q, n, c, _), i) => (q, n, c, i + 1L) }.toSeq }.toSet
+    assert(got.toSet === brute)
+  }
+
   test("keepBestRepresentatives: argmax score per cluster, ties to the " +
     "smaller id, singletons keep themselves") {
     val d = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 1L), (5L, 7L), (6L, 7L))
