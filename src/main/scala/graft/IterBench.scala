@@ -222,6 +222,10 @@ object IterBench {
           TextPipeline.fimTransform(docs, "doc_id", "text", rate = 0.5)
             .agg(sum(col("n_toks"))).head().getLong(0)
         }
+        timed(s"T5 span corruption, full corpus (mult=$mult), round $round") {
+          TextPipeline.spanCorrupt(docs, "doc_id", "text")
+            .agg(sum(col("n_masked"))).head().getLong(0)
+        }
         timed(s"length-bucket batches, full corpus (mult=$mult), round $round") {
           TextPipeline.lengthBucketBatches(docs, "doc_id", "text").count()
         }
