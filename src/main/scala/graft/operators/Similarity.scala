@@ -142,6 +142,21 @@ object Similarity {
   /** LSH-bucketed approximate top-k: query probes its bucket per table. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               qidCol: String, k: Int, dim: Int, nBits: Int = 12, nTables: Int = 4): DataFrame = {
+    val cands = lshCandidateScores(corpus, queries, idCol, vecCol, qidCol,
+      dim, nBits, nTables)
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nbr_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "nbr_id", "cos", "rank")
+  }
+
+  /** The candidate-generation + scoring stage shared by [[lshTopK]] and
+    * [[lshHardNegatives]]: bucket-join the sign-random-projection tables,
+    * dedup multi-band collisions, score with the fused cosine kernel.
+    * Returns (query_id, nbr_id, cos). */
+  private def lshCandidateScores(corpus: DataFrame, queries: DataFrame,
+                                 idCol: String, vecCol: String, qidCol: String,
+                                 dim: Int, nBits: Int, nTables: Int): DataFrame = {
     val buckets = bucketsUdf(dim, nBits, nTables)
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cvec"))
     val q = queries.select(col(qidCol).as("query_id"), col(vecCol).as("qvec"))
@@ -149,11 +164,26 @@ object Similarity {
       .select(col("nbr_id"), col("cvec"), col("tb._1").as("tbl"), col("tb._2").as("bkt"))
     val qb = q.select(col("*"), explode(buckets(col("qvec"))).as("tb"))
       .select(col("query_id"), col("qvec"), col("tb._1").as("tbl"), col("tb._2").as("bkt"))
-    val cands = cb.join(broadcast(qb), Seq("tbl", "bkt"))
+    cb.join(broadcast(qb), Seq("tbl", "bkt"))
       .filter(col("nbr_id") =!= col("query_id"))
       .select(col("query_id"), col("nbr_id"), col("cvec"), col("qvec"))
       .dropDuplicates("query_id", "nbr_id")
       .withColumn("cos", VectorFunctions.cosineSimilarityFast(col("cvec"), col("qvec")))
+  }
+
+  /** [[hardNegatives]] fed by the LSH ladder instead of the all-pairs
+    * scan — the at-scale shape the hardNegatives scaladoc prescribes:
+    * candidates come from the sign-random-projection bucket join (the
+    * S-curve bounds per-query candidates), the same rounded-cosine
+    * ceiling drops near-positives, and the survivors re-rank to the k
+    * hardest. Same rule, sub-linear candidate generation. */
+  def lshHardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, qidCol: String, k: Int, maxSim: Double,
+                       dim: Int, nBits: Int = 12, nTables: Int = 4): DataFrame = {
+    require(k > 0 && maxSim > -1.0 && maxSim <= 1.0)
+    val cands = lshCandidateScores(corpus, queries, idCol, vecCol, qidCol,
+        dim, nBits, nTables)
+      .filter(round(col("cos"), 6) < maxSim)
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nbr_id"))
     cands.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -1330,6 +1330,51 @@ object ExtensionQueries {
             AND round(list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) < 0.45)
         WHERE rank <= 10""")),
 
+    // Hard negatives fed by the LSH ladder — the at-scale shape qf1's
+    // scaladoc prescribes, gated: candidates from the exact-integer
+    // Rademacher bucket join (q89's replayable generation), the same
+    // rounded-cosine ceiling, re-rank to the 10 hardest. Full oracle
+    // coverage for the approximate path: the oracle is q89's candidate
+    // CTEs with the ceiling added.
+    Entry("qf2_hard_negatives_lsh",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 50)
+        Similarity.lshHardNegatives(emb, queries, "vec_id", "embedding",
+          "vec_id", k = 10, maxSim = 0.45, dim = 64, nBits = 8, nTables = 8)
+          .select(col("query_id"), col("rank"), col("nbr_id"),
+            round(col("cos"), 6).as("cos_sim"))
+      },
+      Some("""WITH signs AS (
+          SELECT t, b, i,
+            CASE WHEN (((((t*8+b)*64 + i + 1) * 48271) % 2147483647) * 48271
+                       % 2147483647) % 2 = 1 THEN 1 ELSE -1 END AS s
+          FROM range(8) r1(t), range(8) r2(b), range(64) r3(i)),
+        qv AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> CAST(floor(x * 1000000) AS BIGINT)) AS w
+               FROM embeddings),
+        dots AS (SELECT v.vec_id, s.t, s.b, sum(s.s * v.w[s.i + 1]) AS d
+                 FROM qv v CROSS JOIN signs s GROUP BY 1, 2, 3),
+        bkts AS (SELECT vec_id, t,
+                   sum(CASE WHEN d >= 0 THEN 1 << b ELSE 0 END) AS bkt
+                 FROM dots GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS nbr_id
+                 FROM bkts q JOIN bkts c ON c.t = q.t AND c.bkt = q.bkt
+                 WHERE q.vec_id < 50 AND c.vec_id <> q.vec_id)
+        SELECT query_id, rank, nbr_id, cos_sim FROM (
+            SELECT cand.query_id, cand.nbr_id,
+              round(list_cosine_similarity(CAST(ce.embedding AS DOUBLE[]),
+                                           CAST(qe.embedding AS DOUBLE[])), 6) AS cos_sim,
+              row_number() OVER (PARTITION BY cand.query_id
+                ORDER BY list_cosine_similarity(CAST(ce.embedding AS DOUBLE[]),
+                                                CAST(qe.embedding AS DOUBLE[])) DESC,
+                         cand.nbr_id) AS rank
+            FROM cand JOIN embeddings ce ON ce.vec_id = cand.nbr_id
+                      JOIN embeddings qe ON qe.vec_id = cand.query_id
+            WHERE round(list_cosine_similarity(CAST(ce.embedding AS DOUBLE[]),
+                                               CAST(qe.embedding AS DOUBLE[])), 6) < 0.45)
+        WHERE rank <= 10""")),
+
     // LSH ANN with recall-vs-brute columns. The bucket computation is
     // exact integer arithmetic (Rademacher planes over micro-quantized
     // vectors — Similarity.bucketsUdf), so the oracle replays candidate

@@ -428,6 +428,34 @@ class DedupSpec extends SparkSpec {
     assert(got.toSet === brute)
   }
 
+  test("lshHardNegatives: ceiling respected, ranks contiguous per query, " +
+    "and every result is a true (non-positive) pair from the brute set") {
+    val vecs = (0 until 30).map { i =>
+      val base = Array.fill(64)(0.05f)
+      base(i % 3) = 1f; base(3 + i % 3) = 0.8f
+      base(6) = 0.01f * (i / 3)
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 3)
+    val got = Similarity.lshHardNegatives(vecs, queries, "vec_id",
+      "embedding", "vec_id", k = 5, maxSim = 0.9, dim = 64, nBits = 4,
+      nTables = 8).as[(Long, Long, Double, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (q, n, c, _) =>
+      assert(BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP) < 0.9,
+        s"query $q neighbor $n cos $c breaches the ceiling") }
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._4).sorted.toSeq === (1L to rows.length).toSeq,
+        s"query $q ranks must be contiguous from 1") }
+    // approximate results are drawn from the brute candidate universe
+    val brute = Similarity.hardNegatives(vecs, queries, "vec_id",
+      "embedding", "vec_id", k = 30, maxSim = 0.9)
+      .as[(Long, Long, Double, Long)].collect()
+      .map(r => (r._1, r._2, r._3)).toSet
+    got.foreach { case (q, n, c, _) =>
+      assert(brute.contains((q, n, c)), s"($q,$n) not in the brute set") }
+  }
+
   test("keepBestRepresentatives: argmax score per cluster, ties to the " +
     "smaller id, singletons keep themselves") {
     val d = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 1L), (5L, 7L), (6L, 7L))
