@@ -91,6 +91,34 @@ object Similarity {
       .select("query_id", "nbr_id", "cos", "rank")
   }
 
+  /** Embedding-space decontamination — the semantic counterpart of the
+    * shingle-overlap decontamination (qbf): drop TRAIN vectors whose
+    * cosine against ANY benchmark vector reaches `threshold` (a
+    * paraphrased eval item has no token overlap but sits next to its
+    * source in embedding space). Every train row is returned with its
+    * benchmark max-cosine and verdict, so the report doubles as the
+    * audit artifact. The cut compares the 6-decimal-rounded cosine
+    * (engine-replayable, same device as [[hardNegatives]]).
+    *
+    * Benchmark sets are small by nature — they broadcast against one
+    * train scan (the q88/qbf shape), so the all-pairs form IS the
+    * at-scale plan here, not just the verification regime; a huge
+    * benchmark would move to the ANN-ladder candidates like
+    * [[lshHardNegatives]]. */
+  def semanticDecontaminate(train: DataFrame, benchmark: DataFrame,
+                            idCol: String, vecCol: String,
+                            threshold: Double): DataFrame = {
+    require(threshold > -1.0 && threshold <= 1.0)
+    val t = train.select(col(idCol).as("train_id"), col(vecCol).as("tvec"))
+    val b = benchmark.select(col(idCol).as("bench_id"), col(vecCol).as("bvec"))
+    t.crossJoin(broadcast(b))
+      .withColumn("cos", round(
+        VectorFunctions.cosineSimilarityFast(col("tvec"), col("bvec")), 6))
+      .groupBy(col("train_id"))
+      .agg(max(col("cos")).as("max_cos"))
+      .withColumn("is_kept", col("max_cos") < threshold)
+  }
+
   /** Rademacher (±1) hyperplane sign for plane (table, bit) at dimension
     * `i`: two Lehmer-generator steps on the flat index, parity of the
     * result. Pure small-integer arithmetic (no overflow below 2^47, no RNG

@@ -1375,6 +1375,27 @@ object ExtensionQueries {
                                                CAST(qe.embedding AS DOUBLE[])), 6) < 0.45)
         WHERE rank <= 10""")),
 
+    // Embedding-space decontamination (semantic counterpart of qbf's
+    // shingle-overlap rule): train vectors whose rounded cosine against
+    // ANY benchmark vector reaches 0.4 drop; every train row reports its
+    // benchmark max-cos and verdict (the audit artifact). The fixture's
+    // hottest cross-set pairs (cos 0.46-0.49) fall to the rule.
+    Entry("qf3_semantic_decontam",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.semanticDecontaminate(
+          emb.filter(col("vec_id") >= 50), emb.filter(col("vec_id") < 50),
+          "vec_id", "embedding", threshold = 0.4)
+      },
+      Some("""SELECT t.vec_id AS train_id,
+          max(round(list_cosine_similarity(CAST(t.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 6)) AS max_cos,
+          max(round(list_cosine_similarity(CAST(t.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])), 6)) < 0.4 AS is_kept
+        FROM embeddings t CROSS JOIN embeddings b
+        WHERE t.vec_id >= 50 AND b.vec_id < 50
+        GROUP BY 1""")),
+
     // LSH ANN with recall-vs-brute columns. The bucket computation is
     // exact integer arithmetic (Rademacher planes over micro-quantized
     // vectors — Similarity.bucketsUdf), so the oracle replays candidate

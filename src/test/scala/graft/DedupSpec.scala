@@ -456,6 +456,24 @@ class DedupSpec extends SparkSpec {
       assert(brute.contains((q, n, c)), s"($q,$n) not in the brute set") }
   }
 
+  test("semanticDecontaminate: a planted paraphrase-neighbor drops, " +
+    "orthogonal vectors keep, every train row is reported") {
+    def v(hot: Int, mag: Float) = {
+      val a = Array.fill(8)(0f); a(hot) = mag; a
+    }
+    val bench = Seq((1L, v(0, 1f)), (2L, v(1, 1f))).toDF("vec_id", "embedding")
+    val train = Seq(
+      (10L, v(0, 0.5f)),  // parallel to bench 1 -> cos 1.0, contaminated
+      (11L, v(2, 1f)),    // orthogonal to both -> cos 0, keeps
+      (12L, v(1, 2f)))    // parallel to bench 2 -> contaminated
+      .toDF("vec_id", "embedding")
+    val got = Similarity.semanticDecontaminate(train, bench, "vec_id",
+        "embedding", threshold = 0.9)
+      .as[(Long, Double, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(10L -> ((1.0, false)), 11L -> ((0.0, true)),
+      12L -> ((1.0, false))))
+  }
+
   test("keepBestRepresentatives: argmax score per cluster, ties to the " +
     "smaller id, singletons keep themselves") {
     val d = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 1L), (5L, 7L), (6L, 7L))
