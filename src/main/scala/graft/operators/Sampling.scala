@@ -237,6 +237,63 @@ object Sampling {
       .select(col(idCol), col(groupCol), col("n_copies"))
   }
 
+  /** Incremental mixture TOP-UP across deliveries — the steady-state
+    * counterpart of [[unimaxBudgets]]: an existing corpus already has
+    * `current_g` documents per group, a new delivery OFFERS `avail_g`
+    * more, and `totalBudget` admissions should move the composition
+    * toward `targetPerGroup` — so each group's admission cap is its
+    * remaining DEFICIT (max(0, target − current)) bounded by what the
+    * delivery actually contains, and the budget waterfills over those
+    * caps with the exact integer recurrence of [[unimaxBudgets]]
+    * (ascending caps, share = remaining DIV groupsLeft, replayable as a
+    * recursive CTE). Admitting by deficit is what keeps a pipeline's
+    * mixture on target when deliveries arrive skewed.
+    *
+    * `current` and `avail` are (group, count) frames — G rows each, the
+    * same bounded-collect contract as unimaxBudgets; corpus-scale work
+    * stays in the count aggregations the caller runs. Returns
+    * (group, current, avail, cap, admit). */
+  def topupBudgets(current: DataFrame, avail: DataFrame,
+                   targetPerGroup: Long, totalBudget: Long): DataFrame = {
+    require(targetPerGroup > 0 && totalBudget > 0)
+    val cur = current.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val av = avail.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val groups = (cur.keySet ++ av.keySet).toSeq
+    val capped = groups.map { g =>
+      val c = cur.getOrElse(g, 0L); val a = av.getOrElse(g, 0L)
+      (g, c, a, math.min(math.max(0L, targetPerGroup - c), a))
+    }.sortBy { case (g, _, _, cap) => (cap, g) }
+    var rem = totalBudget
+    val rows = capped.zipWithIndex.map { case ((g, c, a, cap), i) =>
+      val share = rem / (capped.length - i)
+      val admit = math.min(cap, share)
+      rem -= admit
+      (g, c, a, cap, admit)
+    }
+    current.sparkSession.createDataFrame(rows)
+      .toDF(current.columns.head, "current", "avail", "cap", "admit")
+  }
+
+  /** Realize a [[topupBudgets]] allocation against the delivery frame:
+    * the first `admit_g` delivery docs of each group by content-hash rank
+    * are admitted (same deterministic partial-prefix device as
+    * [[unimaxSample]]). One window shuffle keyed on the group column,
+    * budgets broadcast. */
+  def topupAdmit(delivery: DataFrame, idCol: String, groupCol: String,
+                 current: DataFrame, targetPerGroup: Long, totalBudget: Long,
+                 salt: String = "topup"): DataFrame = {
+    val avail = delivery.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    val budgets = topupBudgets(current, avail, targetPerGroup, totalBudget)
+      .select(col(groupCol), col("admit"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(unitHash(col(idCol), salt), col(idCol))
+    delivery.withColumn("rk", row_number().over(win).cast("long"))
+      .join(broadcast(budgets), Seq(groupCol))
+      .filter(col("rk") <= col("admit"))
+      .select(col(idCol), col(groupCol), col("rk"))
+  }
+
   /** Token-budget cutoff selection — take documents in deterministic
     * content-hash order until a TOKEN budget (not a doc count) is
     * exhausted: the way a training corpus is actually sized ("the first

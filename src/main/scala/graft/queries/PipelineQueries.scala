@@ -2191,5 +2191,52 @@ object PipelineQueries {
               ' '), '') || ' <extra_id_' || CAST(len(mbl) AS VARCHAR) || '>'
           END AS target_text
         FROM mb""")),
+
+    // Incremental mixture TOP-UP: the existing corpus (doc_id % 3 != 0)
+    // is already skewed, a delivery (doc_id % 3 = 0) arrives, and 400
+    // admissions waterfill over each lang's remaining DEFICIT toward a
+    // 600-per-lang target, capped by what the delivery contains — the
+    // steady-state admission rule that keeps a pipeline's mixture on
+    // target under skewed deliveries. At sf0.01 every cap binds (the
+    // whole delivery admits); at sf0.1 en's deficit is zero and the rest
+    // split the budget — both allocator branches, one per SF, exactly
+    // like qeo. Realization is the hash-rank prefix per lang.
+    Entry("qf4_mixture_topup",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val current = d.filter(col("doc_id") % 3 =!= 0)
+          .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+        val delivery = d.filter(col("doc_id") % 3 === 0)
+        Sampling.topupAdmit(delivery, "doc_id", "lang", current,
+          targetPerGroup = 600L, totalBudget = 400L)
+      },
+      Some(s"""WITH RECURSIVE base AS (
+          SELECT lang,
+            count(*) FILTER (WHERE doc_id % 3 != 0) AS cur,
+            count(*) FILTER (WHERE doc_id % 3 = 0) AS n_avail
+          FROM documents GROUP BY 1
+        ), caps AS (
+          SELECT lang,
+            CAST(least(greatest(600 - cur, 0), n_avail) AS BIGINT) AS cap,
+            CAST(row_number() OVER (ORDER BY
+              least(greatest(600 - cur, 0), n_avail), lang) AS BIGINT) AS rn,
+            CAST(count(*) OVER () AS BIGINT) AS gcnt
+          FROM base
+        ), wf AS (
+          SELECT CAST(0 AS BIGINT) AS i, CAST(400 AS BIGINT) AS rem,
+            CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS admit
+          UNION ALL
+          SELECT c.rn, wf.rem - least(c.cap, wf.rem // (c.gcnt - wf.i)),
+            c.lang, least(c.cap, wf.rem // (c.gcnt - wf.i))
+          FROM wf JOIN caps c ON c.rn = wf.i + 1
+        ), a AS (
+          SELECT lang, admit FROM wf WHERE lang IS NOT NULL
+        ), r AS (
+          SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang
+            ORDER BY ${oUnitHash("doc_id", "topup")}, doc_id) AS BIGINT) AS rk
+          FROM documents WHERE doc_id % 3 = 0
+        )
+        SELECT doc_id, lang, rk FROM r JOIN a USING (lang)
+        WHERE rk <= admit""")),
   )
 }

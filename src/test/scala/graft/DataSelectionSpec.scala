@@ -245,6 +245,42 @@ class DataSelectionSpec extends SparkSpec {
     assert(out.filter(col("g") === "small").agg(min("n_copies")).head().getLong(0) === 2L)
   }
 
+  // ---- mixture top-up waterfill ------------------------------------------
+
+  test("topupBudgets: caps = min(deficit, availability); surplus groups " +
+    "get zero; budget waterfills the rest to exactly the budget") {
+    val current = Seq(("a", 90L), ("b", 40L), ("c", 10L), ("d", 5L))
+      .toDF("g", "n")
+    val avail = Seq(("a", 50L), ("b", 20L), ("c", 100L), ("d", 3L))
+      .toDF("g", "n")
+    // target 60: deficits a=0 (surplus), b=20, c=50, d=55
+    // caps: a=0, b=min(20,20)=20, c=min(50,100)=50, d=min(55,3)=3
+    // waterfill B=60 ascending caps (a0, d3, b20, c50):
+    //   a: share 15 -> 0 (rem 60); d: share 20 -> 3 (rem 57);
+    //   b: share 28 -> 20 (rem 37); c: share 37 -> 37
+    val got = Sampling.topupBudgets(current, avail, targetPerGroup = 60L,
+        totalBudget = 60L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === Map(
+      "a" -> ((90L, 50L, 0L, 0L)),
+      "d" -> ((5L, 3L, 3L, 3L)),
+      "b" -> ((40L, 20L, 20L, 20L)),
+      "c" -> ((10L, 100L, 50L, 37L))))
+    assert(got.values.map(_._4).sum === 60L)
+  }
+
+  test("topupBudgets: groups only in the delivery admit up to target; " +
+    "budget above total capacity admits every cap and no more") {
+    val current = Seq(("a", 10L)).toDF("g", "n")
+    val avail = Seq(("a", 4L), ("new", 7L)).toDF("g", "n")
+    val got = Sampling.topupBudgets(current, avail, targetPerGroup = 12L,
+        totalBudget = 1000L)
+      .collect().map(r => r.getString(0) -> ((r.getLong(3), r.getLong(4)))).toMap
+    // a: deficit 2, avail 4 -> cap 2; new: deficit 12, avail 7 -> cap 7
+    assert(got === Map("a" -> ((2L, 2L)), "new" -> ((7L, 7L))))
+  }
+
   // ---- stride-scheduled domain interleave --------------------------------
 
   // weights floor(sqrt(n)): a=10 (n=100), b=5 (n=25), c=2 (n=4); W=17
