@@ -1396,6 +1396,59 @@ object ExtensionQueries {
         WHERE t.vec_id >= 50 AND b.vec_id < 50
         GROUP BY 1""")),
 
+    // The COMBINED contamination audit a release actually runs: per train
+    // doc, the token-overlap verdict (qbf's 3-gram rule) AND the
+    // embedding-space verdict (qf3's cosine rule, catching paraphrases
+    // token overlap misses) side by side, keep = clean on BOTH. One
+    // chained oracle covers the text CTEs, the semantic aggregate, and
+    // the join; both rules genuinely fire at both SFs.
+    Entry("qf5_contamination_audit",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val emb = t(s, dir, "embeddings")
+        val text = Dedup.contaminationCheck(
+          d.filter(pmod(col("doc_id"), lit(50)) =!= 0),
+          d.filter(pmod(col("doc_id"), lit(50)) === 0), "doc_id", "text", n = 3)
+        val sem = Similarity.semanticDecontaminate(
+          emb.filter(pmod(col("vec_id"), lit(50)) =!= 0),
+          emb.filter(pmod(col("vec_id"), lit(50)) === 0),
+          "vec_id", "embedding", threshold = 0.4)
+        text.join(sem, text("doc") === sem("train_id"))
+          .select(col("doc").as("doc_id"), col("n_shared"),
+            col("contaminated").as("text_contaminated"), col("max_cos"),
+            (!col("is_kept")).as("sem_contaminated"))
+          .withColumn("is_kept",
+            !col("text_contaminated") && !col("sem_contaminated"))
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, (w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS sh
+          FROM toks CROSS JOIN UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        ), bench AS (
+          SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0
+        ), cnt AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+          FROM sh JOIN bench USING (sh) WHERE doc_id % 50 <> 0 GROUP BY doc_id
+        ), txt AS (
+          SELECT d.doc_id, COALESCE(c.n_shared, 0) AS n_shared,
+            COALESCE(c.n_shared, 0) > 0 AS text_contaminated
+          FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+          LEFT JOIN cnt c ON d.doc_id = c.doc_id
+        ), sem AS (
+          SELECT t.vec_id AS doc_id,
+            max(round(list_cosine_similarity(CAST(t.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[])), 6)) AS max_cos
+          FROM embeddings t CROSS JOIN embeddings b
+          WHERE t.vec_id % 50 <> 0 AND b.vec_id % 50 = 0
+          GROUP BY 1
+        )
+        SELECT txt.doc_id, txt.n_shared, txt.text_contaminated,
+          sem.max_cos, sem.max_cos >= 0.4 AS sem_contaminated,
+          (NOT txt.text_contaminated) AND sem.max_cos < 0.4 AS is_kept
+        FROM txt JOIN sem ON txt.doc_id = sem.doc_id""")),
+
     // LSH ANN with recall-vs-brute columns. The bucket computation is
     // exact integer arithmetic (Rademacher planes over micro-quantized
     // vectors — Similarity.bucketsUdf), so the oracle replays candidate
