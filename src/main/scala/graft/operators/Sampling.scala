@@ -237,6 +237,40 @@ object Sampling {
       .select(col(idCol), col(groupCol), col("n_copies"))
   }
 
+  /** Competence-based curriculum scheduling (Platanios et al. 2019):
+    * rank documents by difficulty (here token count — the standard
+    * sentence-length difficulty) and give each the FIRST training step at
+    * which the model's competence admits it, under the square-root
+    * competence schedule c(t) = sqrt(t/T): a doc at difficulty quantile
+    * q becomes available at t = ceil(T·q²). Integer-exact:
+    * first_step = (rank²·T + N² − 1) DIV N², so the schedule replays as
+    * plain SQL. (The rank²·T product needs BIGINT headroom — exact up to
+    * N ≈ 3·10⁶ docs at T=1000; past that switch the formula to doubles,
+    * where a one-ulp step boundary wobble is irrelevant to training.)
+    *
+    * The global difficulty rank comes from a RANGE partition + the
+    * two-phase zipWithIndex scan ([[strideInterleave]]'s device), never a
+    * one-task window; N is one count job. Output:
+    * (id, n_toks, rank, first_step). */
+  def competenceCurriculum(df: DataFrame, idCol: String, textCol: String,
+                           totalSteps: Long): DataFrame = {
+    require(totalSteps > 0)
+    val base = df.select(col(idCol),
+      size(graft.functions.TextFunctions.tokens(col(textCol)))
+        .cast("long").as("n_toks"))
+    val n = base.count()
+    require(n > 0, "empty corpus")
+    val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ordered = base
+      .repartitionByRange(p, col("n_toks"), col(idCol))
+      .sortWithinPartitions(col("n_toks"), col(idCol))
+    Partitioning.zipWithIndex(ordered, "pos")
+      .withColumn("rank", col("pos") + 1L)
+      .withColumn("first_step",
+        expr(s"(rank * rank * ${totalSteps}L + ${n}L * ${n}L - 1L) DIV (${n}L * ${n}L)"))
+      .select(col(idCol), col("n_toks"), col("rank"), col("first_step"))
+  }
+
   /** Incremental mixture TOP-UP across deliveries — the steady-state
     * counterpart of [[unimaxBudgets]]: an existing corpus already has
     * `current_g` documents per group, a new delivery OFFERS `avail_g`

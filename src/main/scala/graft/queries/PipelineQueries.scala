@@ -2238,5 +2238,26 @@ object PipelineQueries {
         )
         SELECT doc_id, lang, rk FROM r JOIN a USING (lang)
         WHERE rk <= admit""")),
+
+    // Competence-based curriculum (Platanios et al. 2019): docs ranked by
+    // token-count difficulty; under the sqrt competence schedule a doc at
+    // difficulty quantile q first becomes available at step ceil(T·q²),
+    // T=1000. Integer-exact formula, global rank from the range-partition
+    // + two-phase index scan; the oracle IS the one-task window + the
+    // same arithmetic.
+    Entry("qf6_competence_curriculum",
+      (s, dir) => Sampling.competenceCurriculum(t(s, dir, "documents"),
+        "doc_id", "text", totalSteps = 1000L),
+      Some(s"""WITH nn AS (
+          SELECT doc_id, CAST(len($OTOKS) AS BIGINT) AS n_toks FROM documents
+        ), r AS (
+          SELECT doc_id, n_toks,
+            CAST(row_number() OVER (ORDER BY n_toks, doc_id) AS BIGINT) AS rank,
+            CAST(count(*) OVER () AS BIGINT) AS n
+          FROM nn
+        )
+        SELECT doc_id, n_toks, rank,
+          (rank * rank * 1000 + n * n - 1) // (n * n) AS first_step
+        FROM r""")),
   )
 }

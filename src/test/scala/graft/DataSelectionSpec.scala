@@ -245,6 +245,35 @@ class DataSelectionSpec extends SparkSpec {
     assert(out.filter(col("g") === "small").agg(min("n_copies")).head().getLong(0) === 2L)
   }
 
+  // ---- competence-based curriculum ---------------------------------------
+
+  test("competenceCurriculum: sqrt-competence availability law, steps " +
+    "bounded by [1, T], monotone in rank, layout-independent") {
+    val docs = (1L to 80L).map(i =>
+      (i, (1 to (i % 13).toInt).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val T = 400L
+    val out = Sampling.competenceCurriculum(docs, "doc_id", "text", T)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._3)
+    assert(out.length === 80)
+    assert(out.map(_._3).toSeq === (1L to 80L).toSeq)
+    // ranks follow (n_toks, doc_id); steps monotone with rank, in [1, T]
+    assert(out.sliding(2).forall { case Array(a, b) =>
+      Ordering[(Long, Long)].lteq((a._2, a._1), (b._2, b._1)) && a._4 <= b._4 })
+    assert(out.head._4 >= 1L && out.last._4 === T)
+    // availability law: docs with first_step <= t number floor(N*sqrt(t/T))
+    // (exact inverse of the integer ceil formula, within 1 for rounding)
+    Seq(1L, 25L, 100L, 256L, 399L, 400L).foreach { t =>
+      val avail = out.count(_._4 <= t)
+      val fluid = 80.0 * math.sqrt(t.toDouble / T)
+      assert(math.abs(avail - fluid) <= 1.0, s"t=$t avail=$avail vs $fluid")
+    }
+    val again = Sampling.competenceCurriculum(docs.repartition(7),
+        "doc_id", "text", T)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._3).toSeq
+    assert(again === out.toSeq)
+  }
+
   // ---- mixture top-up waterfill ------------------------------------------
 
   test("topupBudgets: caps = min(deficit, availability); surplus groups " +
@@ -350,6 +379,35 @@ class DataSelectionSpec extends SparkSpec {
     // budget >= total keeps everything
     assert(Sampling.tokenBudgetSelect(docs, "doc_id", "text", 100000L)
       .count() === 60L)
+  }
+
+  test("strideInterleave: differential fuzz vs a brute replica on random " +
+    "group structures") {
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      var nextId = 0L
+      val rows = (0 until 2 + rnd.nextInt(4)).flatMap { g =>
+        (1 to 1 + rnd.nextInt(40)).map { _ =>
+          nextId += 1; (nextId, s"g$g")
+        }
+      }
+      val df = rows.toDF("id", "g")
+      val got = Sampling.strideInterleave(df, "id", "g")
+        .select("id", "pos").as[(Long, Long)].collect()
+        .sortBy(_._2).map(_._1).toSeq
+      // brute replica of the whole schedule
+      def uh(id: Long) = (graft.functions.Hashes.fnv1a64(s"$id:stride") >>> 11)
+        .toDouble / 9007199254740992.0
+      val brute = rows.groupBy(_._2).toSeq.flatMap { case (g, rs) =>
+        val w = math.sqrt(rs.length.toDouble).floor.toLong
+        rs.map(_._1).sortBy(id => (uh(id), id)).zipWithIndex.map {
+          case (id, i) =>
+            val rk = i + 1L
+            (((2 * rk - 1) * 1000000L) / (2 * w), g, rk, id)
+        }
+      }.sortBy(t => (t._1, t._2, t._3)).map(_._4)
+      assert(got === brute, s"trial $trial")
+    }
   }
 
   test("strideInterleave: layout-independent (repartitioned input yields " +

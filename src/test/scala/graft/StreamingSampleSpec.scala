@@ -115,4 +115,31 @@ class StreamingSampleSpec extends SparkSpec {
       Seq(rows(2), rows(3))), 120L)
     assert(split.sortBy(_.docId) === expect.sortBy(_.docId))
   }
+
+  test("BudgetGate: differential fuzz vs the batch per-shard prefix rule " +
+    "on random corpora and random batch splits") {
+    val rnd = new scala.util.Random(7)
+    (1 to 2).foreach { trial =>
+      val rows = (1 to 120).map { i =>
+        BudgetRow((i % (2 + rnd.nextInt(3))).toLong, i.toLong,
+          1L + rnd.nextInt(30))
+      }
+      val budget = 60L + rnd.nextInt(120)
+      // brute: per shard in docId order, cum counts everything
+      val brute = rows.groupBy(_.shard).toSeq.flatMap { case (sh, rs) =>
+        var cum = 0L
+        rs.sortBy(_.docId).flatMap { r =>
+          val keep = cum + r.nToks <= budget
+          val row = if (keep) Some(KeptDoc(r.docId, sh, r.nToks, cum)) else None
+          cum += r.nToks
+          row
+        }
+      }.sortBy(_.docId)
+      // random split into ascending-docId batches (watermark-safe)
+      val cuts = (Seq(0, 120) ++ Seq.fill(3)(rnd.nextInt(121))).distinct.sorted
+      val batches = cuts.zip(cuts.tail).map { case (a, b) => rows.slice(a, b) }
+      val got = runBudget(batches, budget).sortBy(_.docId)
+      assert(got === brute, s"trial $trial budget=$budget")
+    }
+  }
 }
