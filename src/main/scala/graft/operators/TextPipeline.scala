@@ -429,6 +429,43 @@ object TextPipeline {
           x => x.getField("tok")), " ").as("seq_text"))
   }
 
+  /** [[packSequences]] plus the DOC-BOUNDARY metadata a trainer needs to
+    * keep packed documents independent: per sequence, the sorted
+    * `pos:doc_id` list of where each contributing document's tokens begin
+    * — exactly what attention-separator masks and per-doc loss masking
+    * consume (packing without boundaries silently lets documents attend
+    * across the concat seam). Boundary extraction is one more aggregate
+    * on the ALREADY seq-keyed rows (per-(seq,doc) min position, then a
+    * seq-level re-aggregate over ≤docs-per-seq rows), so the scale shape
+    * of the packer is unchanged. */
+  def packSequencesWithBoundaries(df: DataFrame, idCol: String,
+                                  textCol: String, seqLen: Int): DataFrame = {
+    require(seqLen >= 1)
+    val docs = df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("w"))
+    val offs = Partitioning.prefixSum(
+      docs.select(col(idCol), size(col("w")).as("_n")), idCol, "_n", "_off")
+    val toks = docs.join(offs, Seq(idCol))
+      .select(col(idCol), col("_off"), posexplode(col("w")))
+      .select(col(idCol), (col("_off") + col("pos")).as("gpos"), col("col").as("tok"))
+      .select(col(idCol), col("tok"),
+        expr(s"gpos DIV ${seqLen}L").as("seq_id"),
+        pmod(col("gpos"), lit(seqLen.toLong)).as("pos_in_seq"))
+    val seqs = toks.groupBy(col("seq_id"))
+      .agg(count(lit(1)).as("n_toks"),
+        countDistinct(col(idCol)).as("n_docs"),
+        array_join(transform(array_sort(collect_list(
+          struct(col("pos_in_seq"), col("tok")))),
+          x => x.getField("tok")), " ").as("seq_text"))
+    val bounds = toks.groupBy(col("seq_id"), col(idCol))
+      .agg(min(col("pos_in_seq")).as("p"))
+      .groupBy(col("seq_id"))
+      .agg(array_join(transform(array_sort(collect_list(
+          struct(col("p"), col(idCol).as("d")))),
+          x => concat(x.getField("p").cast("string"), lit(":"),
+            x.getField("d").cast("string"))), " ").as("boundaries"))
+    seqs.join(bounds, Seq("seq_id"))
+  }
+
   /** Byte-pair-encoding pair statistics — the inner step of tokenizer
     * training: corpus word counts, words as character-symbol sequences
     * with an end-of-word marker, and the frequency of every adjacent

@@ -2259,5 +2259,44 @@ object PipelineQueries {
         SELECT doc_id, n_toks, rank,
           (rank * rank * 1000 + n * n - 1) // (n * n) AS first_step
         FROM r""")),
+
+    // Sequence packing WITH doc-boundary metadata: qel's layout plus the
+    // sorted pos:doc list of where each document begins inside the
+    // sequence — what attention-separator masks and per-doc loss masking
+    // consume (packing without boundaries lets docs attend across the
+    // concat seam). One extra aggregate over already seq-keyed rows.
+    Entry("qf7_pack_boundaries",
+      (s, dir) => TextPipeline.packSequencesWithBoundaries(
+        t(s, dir, "documents"), "doc_id", "text", seqLen = 64),
+      Some(s"""WITH toks AS (
+          SELECT doc_id, $OTOKS AS w FROM documents
+        ), off AS (
+          SELECT doc_id, w,
+            coalesce(sum(len(w)) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+          FROM toks
+        ), tok AS (
+          SELECT doc_id, o + i - 1 AS gpos, w[i] AS t
+          FROM off CROSS JOIN UNNEST(generate_series(1, len(w))) AS u(i)
+        ), seq AS (
+          SELECT CAST(gpos // 64 AS BIGINT) AS seq_id,
+            CAST(gpos % 64 AS BIGINT) AS pos, t, doc_id
+          FROM tok
+        ), s1 AS (
+          SELECT seq_id, CAST(count(*) AS BIGINT) AS n_toks,
+            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+            string_agg(t, ' ' ORDER BY pos) AS seq_text
+          FROM seq GROUP BY 1
+        ), b0 AS (
+          SELECT seq_id, doc_id, min(pos) AS p FROM seq GROUP BY 1, 2
+        ), b AS (
+          SELECT seq_id,
+            string_agg(CAST(p AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR),
+              ' ' ORDER BY p) AS boundaries
+          FROM b0 GROUP BY 1
+        )
+        SELECT s1.seq_id, s1.n_toks, s1.n_docs, s1.seq_text, b.boundaries
+        FROM s1 JOIN b USING (seq_id)""")),
+
   )
 }

@@ -805,6 +805,37 @@ class PipelineOpsSpec extends SparkSpec {
       .filter(!col("fim_applied")).count() === 0L)
   }
 
+  // ---- packing with boundaries --------------------------------------------
+
+  test("packSequencesWithBoundaries: boundaries mark exactly each doc's " +
+    "first position, agree with the packed layout, and the base packer " +
+    "columns are unchanged") {
+    val docs = Seq((1L, "a b c d e"), (2L, "f g"), (3L, ""),
+      (4L, "h i j k l m n o p q"), (5L, "r"))
+      .toDF("doc_id", "text")
+    val out = TextPipeline.packSequencesWithBoundaries(docs, "doc_id",
+      "text", seqLen = 4)
+      .as[(Long, Long, Long, String, String)].collect().sortBy(_._1)
+    val base = TextPipeline.packSequences(docs, "doc_id", "text", seqLen = 4)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._2, r._3, r._4)).toSeq === base.toSeq)
+    // global stream: a b c d | e f g h | i j k l | m n o p | q r
+    // doc starts: d1@gpos0, d2@5, d4@7, d5@16
+    val got = out.map(r => r._1 -> r._5).toMap
+    assert(got(0L) === "0:1")            // seq 0 holds only doc 1
+    assert(got(1L) === "0:1 1:2 3:4")    // e | f g | h
+    assert(got(2L) === "0:4")
+    assert(got(3L) === "0:4")
+    assert(got(4L) === "0:4 1:5")        // q | r
+    // every boundary list is sorted by position and starts at the seq head
+    out.foreach { case (sid, _, nDocs, _, b) =>
+      val parts = b.split(" ").map(_.split(":")(0).toLong)
+      assert(parts.toSeq === parts.sorted.toSeq, s"seq $sid boundary order")
+      assert(parts.length === nDocs, s"seq $sid one boundary per doc")
+      assert(parts.head === 0L, s"seq $sid first boundary at position 0")
+    }
+  }
+
   // ---- T5 span corruption -------------------------------------------------
 
   test("spanCorrupt: differential vs a brute-force rule replica; " +
