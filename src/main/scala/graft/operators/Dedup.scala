@@ -729,4 +729,112 @@ object Dedup {
       .join(perDoc, Seq(idCol))
       .select(col(idCol), col("n_chunks"), col("n_kept"), col("text_dedup"))
   }
+
+  /** EXACT duplicated-substring removal — the ExactSubstr mode of
+    * suffix-array training-data dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): every character that
+    * lies inside ANY substring of length >= `minLen` occurring two or more
+    * times ANYWHERE in the corpus (across docs, within a doc, boilerplate
+    * included) is excised, and each document reassembles from the
+    * surviving character ranges. This is the corpus-GLOBAL, any-offset,
+    * character-level sibling of [[removeSharedSpans]] (pairwise, token-
+    * level, df-capped — high-df boilerplate deliberately escapes it) and
+    * [[dedupChunksKeepFirst]] (aligned chunks only).
+    *
+    * NO suffix array is needed for these semantics. The reduction: a
+    * duplicated substring of length m >= L contains a duplicated L-gram at
+    * every offset, and their L-char windows tile the whole occurrence; a
+    * duplicated L-gram is itself a duplicated substring of length L. So
+    *
+    *   union of spans of duplicated substrings of length >= L
+    *     == union of windows of duplicated L-grams
+    *
+    * exactly — the suffix-array pass of the published pipeline exists to
+    * ENUMERATE maximal duplicates, not to define the removed set. The
+    * L-gram form is one hash-aggregate instead of a global suffix sort.
+    *
+    * Algorithm, fully distributed, collision-exact:
+    *  1. one compiled text pass emits (doc, pos, fnv1a64(L-gram)) — the
+    *     rolling window materializes an 8-byte hash per position, never
+    *     the L-char string (no Lx shuffle amplification);
+    *  2. hashes with global count >= 2 are CANDIDATE duplicates (one
+    *     corpus-sized count shuffle on an 8-byte key);
+    *  3. candidates re-materialize their gram text (join back to the doc
+    *     text, bounded by the duplicated fraction of the corpus) and
+    *     confirm by exact text count >= 2 — a true duplicate's occurrences
+    *     all share its hash, so counting text over candidate rows equals
+    *     the global text count; hash collisions surface here and drop;
+    *  4. confirmed windows [pos, pos+L) union-merge per doc (one
+    *     gaps-and-islands window) and each doc rebuilds in ONE aggregate
+    *     fold over its sorted interval array — gap substrings concatenate
+    *     directly, no character explode.
+    *
+    * Output: (idCol, clean_text, n_spans, n_removed) for EVERY input doc;
+    * untouched and shorter-than-L docs pass through with n_spans =
+    * n_removed = 0. Removal is position-blind (ALL occurrences go,
+    * matching the released ExactSubstr tool's behavior — duplicated
+    * content is low-value wherever it sits; compose with
+    * [[dedupChunksKeepFirst]] when a keep-first policy is wanted).
+    *
+    * Scale: steps 1–2 are linear with 8-byte shuffle keys; step 3 moves
+    * only duplicated-gram rows; step 4 keys on the doc. No pairwise join,
+    * no posting-list blowup (a gram in k docs costs k rows, not k²), no
+    * driver state. At 100 TB the candidate text-confirm join is the only
+    * string-keyed shuffle and it carries the duplicated subset only. */
+  def exactSubstrRemove(df: DataFrame, idCol: String, textCol: String,
+                        minLen: Int): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    import org.apache.spark.sql.expressions.Window
+    val L = minLen
+    val docs = df.select(col(idCol).as("_d"), col(textCol).as("_t"),
+      length(col(textCol)).cast("long").as("_len"))
+    // (doc, pos, h): one 8-byte rolling-window hash per character position
+    val grams = docs.select(col("_d"),
+        posexplode(when(col("_len") >= L,
+          transform(sequence(lit(0L), col("_len") - L), i =>
+            graft.functions.Fnv1a64Expr(
+              col("_t").substr((i + 1).cast("int"), lit(L)))))
+          .otherwise(array().cast("array<bigint>"))))
+      .toDF("_d", "pos", "h")
+      .withColumn("pos", col("pos").cast("long"))
+    val dupHash = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("_c")).filter(col("_c") >= 2).select("h")
+    // collision-exact confirm on the (small) candidate subset
+    val dupPos = grams.join(dupHash, "h")
+      .join(docs.select(col("_d"), col("_t")), "_d")
+      .select(col("_d"), col("pos"),
+        col("_t").substr((col("pos") + 1).cast("int"), lit(L)).as("g"))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("_n") >= 2)
+      .select(col("_d"), col("pos"))
+    val ord = Window.partitionBy("_d").orderBy(col("s"), col("e"))
+    val merged = dupPos
+      .select(col("_d"), col("pos").as("s"), (col("pos") + L).as("e"))
+      .withColumn("brk", when(col("s") > coalesce(
+        max(col("e")).over(ord.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(-1L)), 1).otherwise(0))
+      .withColumn("grp", sum(col("brk")).over(ord))
+      .groupBy(col("_d"), col("grp"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val perDoc = merged.groupBy(col("_d"))
+      .agg(count(lit(1)).cast("long").as("n_spans"),
+        sum(col("e") - col("s")).cast("long").as("n_removed"),
+        array_sort(collect_list(struct(col("s"), col("e")))).as("_ivs"))
+    docs.join(perDoc, Seq("_d"), "left")
+      .select(col("_d").as(idCol),
+        when(col("_ivs").isNull, col("_t")).otherwise(
+          aggregate(col("_ivs"),
+            struct(lit(0L).as("p"), lit("").as("a")),
+            (acc, iv) => struct(
+              iv.getField("e").as("p"),
+              concat(acc.getField("a"), col("_t").substr(
+                (acc.getField("p") + 1).cast("int"),
+                (iv.getField("s") - acc.getField("p")).cast("int"))).as("a")),
+            acc => concat(acc.getField("a"), col("_t").substr(
+              (acc.getField("p") + 1).cast("int"),
+              (col("_len") - acc.getField("p")).cast("int")))))
+          .as("clean_text"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
 }

@@ -226,6 +226,23 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               qidCol: String, k: Int, nCells: Int = 16, nProbe: Int = 4,
               refineIters: Int = 0): DataFrame = {
+    val cands = ivfCandidateScores(corpus, queries, idCol, vecCol, qidCol,
+      nCells, nProbe, refineIters)
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nbr_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "nbr_id", "cos", "rank")
+  }
+
+  /** The candidate-generation + scoring stage shared by [[ivfTopK]] and
+    * [[ivfHardNegatives]] (the IVF sibling of [[lshCandidateScores]]):
+    * assign the corpus to its nearest cell, route each query to its
+    * `nProbe` nearest cells, score the probed cells' members with the
+    * fused cosine kernel. Returns (query_id, nbr_id, cos). */
+  private def ivfCandidateScores(corpus: DataFrame, queries: DataFrame,
+                                 idCol: String, vecCol: String, qidCol: String,
+                                 nCells: Int, nProbe: Int,
+                                 refineIters: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("cvec"))
     var cents = c.orderBy(col("nbr_id")).limit(nCells)
       .select(col("nbr_id").as("cell_id"), col("cvec").as("centroid"))
@@ -254,11 +271,30 @@ object Similarity {
       .withColumn("cdist", VectorFunctions.squaredEuclidean(col("qvec"), col("centroid")))
       .withColumn("r", row_number().over(probeW)).filter(col("r") <= nProbe)
       .select(col("query_id"), col("qvec"), col("cell_id"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nbr_id"))
     assigned.join(broadcast(probes), Seq("cell_id"))
       .filter(col("nbr_id") =!= col("query_id"))
-      .withColumn("cos", VectorFunctions.cosineSimilarityFast(col("cvec"), col("qvec")))
-      .withColumn("rank", row_number().over(w))
+      .select(col("query_id"), col("nbr_id"),
+        VectorFunctions.cosineSimilarityFast(col("cvec"), col("qvec")).as("cos"))
+  }
+
+  /** [[hardNegatives]] fed by the IVF ladder — the second at-scale
+    * candidate source the hardNegatives scaladoc prescribes (cell routing
+    * bounds each query's candidates to its nProbe cells' members, where
+    * [[lshHardNegatives]] bounds them by bucket collisions): the same
+    * rounded-cosine ceiling drops near-positives, survivors re-rank to
+    * the k hardest. Same rule, same outputs, different recall/cost curve
+    * — IVF probes trade table count for cell count, so the two ladders
+    * suit different corpus geometries (clustered vs scattered). */
+  def ivfHardNegatives(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, qidCol: String, k: Int, maxSim: Double,
+                       nCells: Int = 16, nProbe: Int = 4,
+                       refineIters: Int = 0): DataFrame = {
+    require(k > 0 && maxSim > -1.0 && maxSim <= 1.0)
+    val cands = ivfCandidateScores(corpus, queries, idCol, vecCol, qidCol,
+        nCells, nProbe, refineIters)
+      .filter(round(col("cos"), 6) < maxSim)
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("nbr_id"))
+    cands.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "nbr_id", "cos", "rank")
   }

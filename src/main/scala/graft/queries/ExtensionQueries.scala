@@ -1375,6 +1375,53 @@ object ExtensionQueries {
                                                CAST(qe.embedding AS DOUBLE[])), 6) < 0.45)
         WHERE rank <= 10""")),
 
+    // Hard negatives fed by the IVF ladder — the SECOND at-scale candidate
+    // source (cell routing instead of bucket collisions; clustered-corpus
+    // geometry where qf2's projections suit scattered ones): qa9's
+    // deterministic candidate CTEs (lowest-id centroids, (distance,
+    // cell_id)-ordered assignment and probing) with qf1's rounded-cosine
+    // ceiling and re-rank added. Full oracle on the approximate path.
+    Entry("qf9_hard_negatives_ivf",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 50)
+        Similarity.ivfHardNegatives(emb, queries, "vec_id", "embedding",
+          "vec_id", k = 10, maxSim = 0.45, nCells = 16, nProbe = 8)
+          .select(col("query_id"), col("rank"), col("nbr_id"),
+            round(col("cos"), 6).as("cos_sim"))
+      },
+      Some("""WITH cents AS (SELECT vec_id AS cell_id, embedding AS centroid
+               FROM embeddings ORDER BY vec_id LIMIT 16),
+        assigned AS (SELECT c.vec_id AS nbr_id, a.cell_id
+          FROM embeddings c JOIN LATERAL (
+            SELECT t.cell_id FROM cents t
+            ORDER BY list_distance(CAST(c.embedding AS DOUBLE[]),
+                                   CAST(t.centroid AS DOUBLE[])), t.cell_id
+            LIMIT 1) a ON true),
+        probes AS (SELECT q.vec_id AS query_id, p.cell_id
+          FROM embeddings q JOIN LATERAL (
+            SELECT t.cell_id FROM cents t
+            ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]),
+                                   CAST(t.centroid AS DOUBLE[])), t.cell_id
+            LIMIT 8) p ON true
+          WHERE q.vec_id < 50),
+        cand AS (SELECT p.query_id, a.nbr_id
+          FROM probes p JOIN assigned a ON a.cell_id = p.cell_id
+          WHERE a.nbr_id <> p.query_id)
+        SELECT query_id, rank, nbr_id, cos_sim FROM (
+            SELECT cand.query_id, cand.nbr_id,
+              round(list_cosine_similarity(CAST(ce.embedding AS DOUBLE[]),
+                                           CAST(qe.embedding AS DOUBLE[])), 6) AS cos_sim,
+              row_number() OVER (PARTITION BY cand.query_id
+                ORDER BY list_cosine_similarity(CAST(ce.embedding AS DOUBLE[]),
+                                                CAST(qe.embedding AS DOUBLE[])) DESC,
+                         cand.nbr_id) AS rank
+            FROM cand JOIN embeddings ce ON ce.vec_id = cand.nbr_id
+                      JOIN embeddings qe ON qe.vec_id = cand.query_id
+            WHERE round(list_cosine_similarity(CAST(ce.embedding AS DOUBLE[]),
+                                               CAST(qe.embedding AS DOUBLE[])), 6) < 0.45)
+        WHERE rank <= 10""")),
+
     // Embedding-space decontamination (semantic counterpart of qbf's
     // shingle-overlap rule): train vectors whose rounded cosine against
     // ANY benchmark vector reaches 0.4 drop; every train row reports its

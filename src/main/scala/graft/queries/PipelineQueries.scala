@@ -2297,6 +2297,62 @@ object PipelineQueries {
         )
         SELECT s1.seq_id, s1.n_toks, s1.n_docs, s1.seq_text, b.boundaries
         FROM s1 JOIN b USING (seq_id)""")),
+    // ExactSubstr dedup (Lee et al. 2022 exact mode): every character
+    // inside any substring of length >= 40 occurring >= 2 times anywhere
+    // in the corpus is excised. The oracle replays the L-gram reduction
+    // (dup-substring spans == dup-L-gram windows, exactly) with plain
+    // substring grouping; the Spark side hashes first and text-confirms
+    // candidates, so both are collision-exact.
+    Entry("qf8_exact_substr_dedup",
+      (s, dir) => Dedup.exactSubstrRemove(
+        t(s, dir, "documents"), "doc_id", "text", minLen = 40),
+      Some("""WITH g AS (
+          SELECT doc_id, i - 1 AS pos, substring(text, i, 40) AS gram
+          FROM documents
+          CROSS JOIN UNNEST(generate_series(1, len(text) - 39)) AS u(i)
+          WHERE len(text) >= 40
+        ), dup AS (
+          SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+        ), iv AS (
+          SELECT doc_id, pos AS s, pos + 40 AS e FROM g
+          WHERE gram IN (SELECT gram FROM dup)
+        ), brk AS (
+          SELECT doc_id, s, e,
+            CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+              ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              -1) THEN 1 ELSE 0 END AS b
+          FROM iv
+        ), grps AS (
+          SELECT doc_id, s, e,
+            sum(b) OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+          FROM brk
+        ), mi AS (
+          SELECT doc_id, grp, min(s) AS s, max(e) AS e FROM grps GROUP BY 1, 2
+        ), seg AS (
+          SELECT doc_id,
+            coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS gs,
+            s AS ge
+          FROM mi
+          UNION ALL
+          SELECT doc_id, max(e) AS gs, NULL AS ge FROM mi GROUP BY doc_id
+        ), rec AS (
+          SELECT d.doc_id,
+            string_agg(substring(d.text, seg.gs + 1,
+              coalesce(seg.ge, len(d.text)) - seg.gs), '' ORDER BY seg.gs)
+              AS ct
+          FROM documents d JOIN seg ON d.doc_id = seg.doc_id
+          GROUP BY d.doc_id
+        ), agg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+            CAST(sum(e - s) AS BIGINT) AS n_removed
+          FROM mi GROUP BY 1
+        )
+        SELECT d.doc_id, coalesce(rec.ct, d.text) AS clean_text,
+          coalesce(agg.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+          coalesce(agg.n_removed, CAST(0 AS BIGINT)) AS n_removed
+        FROM documents d
+        LEFT JOIN rec USING (doc_id)
+        LEFT JOIN agg USING (doc_id)""")),
 
   )
 }

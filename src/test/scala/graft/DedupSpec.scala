@@ -456,6 +456,44 @@ class DedupSpec extends SparkSpec {
       assert(brute.contains((q, n, c)), s"($q,$n) not in the brute set") }
   }
 
+  test("ivfHardNegatives: probing every cell equals brute hardNegatives " +
+    "exactly; a partial probe respects the ceiling and the brute universe") {
+    val vecs = (0 until 30).map { i =>
+      val base = Array.fill(8)(0.05f)
+      base(i % 3) = 1f; base(3 + i % 3) = 0.8f
+      base(6) = 0.01f * (i / 3)
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 3)
+    val brute = Similarity.hardNegatives(vecs, queries, "vec_id",
+      "embedding", "vec_id", k = 5, maxSim = 0.9)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    // nProbe == nCells: every cell probed -> candidates are all pairs ->
+    // identical to the brute scan, rank for rank
+    val full = Similarity.ivfHardNegatives(vecs, queries, "vec_id",
+      "embedding", "vec_id", k = 5, maxSim = 0.9, nCells = 6, nProbe = 6)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(full === brute)
+    // 4 of 6 probes: the 6 lowest-id centroids split 2 per cluster, so a
+    // 4-cell probe always reaches a foreign cluster (below-ceiling pairs)
+    val part = Similarity.ivfHardNegatives(vecs, queries, "vec_id",
+      "embedding", "vec_id", k = 5, maxSim = 0.9, nCells = 6, nProbe = 4)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(part.nonEmpty)
+    part.foreach { case (q, n, c, _) =>
+      assert(BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP) < 0.9,
+        s"query $q neighbor $n cos $c breaches the ceiling") }
+    part.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._4).sorted.toSeq === (1L to rows.length).toSeq,
+        s"query $q ranks must be contiguous from 1") }
+    val universe = Similarity.hardNegatives(vecs, queries, "vec_id",
+      "embedding", "vec_id", k = 30, maxSim = 0.9)
+      .as[(Long, Long, Double, Long)].collect()
+      .map(r => (r._1, r._2, r._3)).toSet
+    part.foreach { case (q, n, c, _) =>
+      assert(universe.contains((q, n, c)), s"($q,$n) not in the brute set") }
+  }
+
   test("semanticDecontaminate: a planted paraphrase-neighbor drops, " +
     "orthogonal vectors keep, every train row is reported") {
     def v(hot: Int, mag: Float) = {
@@ -488,5 +526,81 @@ class DedupSpec extends SparkSpec {
     // cluster {5,6}: best = 5 (tie, smaller id); singleton 4 keeps itself
     assert(got(5L) === ((5L, true)) && got(6L) === ((5L, false)))
     assert(got(4L) === ((4L, true)))
+  }
+
+  // Independent ExactSubstr replica: boolean removal mask per character
+  // (the operator merges intervals instead), plain-Scala string ops.
+  private def exactSubstrBrute(docs: Seq[(Long, String)],
+                               l: Int): Map[Long, (String, Long, Long)] = {
+    val occ = scala.collection.mutable.Map.empty[String, Int]
+    for ((_, t) <- docs; i <- 0 to t.length - l)
+      occ.updateWith(t.substring(i, i + l))(c => Some(c.getOrElse(0) + 1))
+    docs.map { case (d, t) =>
+      val rm = Array.fill(t.length)(false)
+      for (i <- 0 to t.length - l; if occ(t.substring(i, i + l)) >= 2;
+           j <- i until i + l) rm(j) = true
+      val clean = t.indices.collect { case j if !rm(j) => t(j) }.mkString
+      val spans = rm.indices.count(j => rm(j) && (j == 0 || !rm(j - 1)))
+      d -> ((clean, spans.toLong, rm.count(identity).toLong))
+    }.toMap
+  }
+
+  test("exactSubstrRemove: planted cross-doc duplicate excised from BOTH " +
+    "docs, short docs untouched, full duplicates emptied") {
+    val boiler = "ALL RIGHTS RESERVED COPYRIGHT NOTICE FOOTER TEXT!" // 49 chars
+    val d = Seq(
+      (1L, s"unique alpha prose here. $boiler and a tail one."),
+      (2L, s"different beta body text. $boiler with other end."),
+      (3L, "short doc"), // < L, never touched
+      (4L, "this exact document appears twice in the corpus verbatim"),
+      (5L, "this exact document appears twice in the corpus verbatim"),
+      (6L, "wholly original content that shares nothing with anything else")
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactSubstrRemove(d, "doc_id", "text", minLen = 40)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val brute = exactSubstrBrute(Seq(
+      1L -> s"unique alpha prose here. $boiler and a tail one.",
+      2L -> s"different beta body text. $boiler with other end.",
+      3L -> "short doc",
+      4L -> "this exact document appears twice in the corpus verbatim",
+      5L -> "this exact document appears twice in the corpus verbatim",
+      6L -> "wholly original content that shares nothing with anything else"),
+      l = 40)
+    assert(got === brute)
+    assert(got(3L) === (("short doc", 0L, 0L)))
+    assert(got(6L)._3 === 0L)
+    // the planted boilerplate is gone from both carriers, prose survives
+    assert(!got(1L)._1.contains("COPYRIGHT") && got(1L)._1.contains("unique"))
+    assert(!got(2L)._1.contains("COPYRIGHT") && got(2L)._1.contains("beta"))
+    // verbatim doc pair: both occurrences fully removed (len >= L)
+    assert(got(4L) === (("", 1L, 56L)) && got(5L) === (("", 1L, 56L)))
+  }
+
+  test("exactSubstrRemove differential fuzz: matches the boolean-mask " +
+    "replica on random corpora with planted duplicates") {
+    val rnd = new scala.util.Random(1912)
+    for (round <- 0 until 4) {
+      val l = 6 + round * 2 // 6, 8, 10, 12
+      def rs(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+      val base = (0 until 24).map(i => i.toLong -> rs(20 + rnd.nextInt(60)))
+      // plant: copy a random slice of one doc into another, and duplicate
+      // a slice WITHIN a doc
+      val planted = base.map { case (id, t) =>
+        if (id % 3 == 0 && t.length > l + 4) {
+          val src = base((id.toInt + 7) % 24)._2
+          val s = rnd.nextInt(math.max(1, src.length - l - 2))
+          id -> (t + src.substring(s, s + l + 2))
+        } else if (id % 5 == 1 && t.length > l + 3) {
+          val s = rnd.nextInt(t.length - l - 2)
+          id -> (t + t.substring(s, s + l + 1))
+        } else id -> t
+      }
+      val got = Dedup.exactSubstrRemove(
+        planted.toDF("doc_id", "text"), "doc_id", "text", minLen = l)
+        .as[(Long, String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got === exactSubstrBrute(planted, l), s"round $round (L=$l)")
+    }
   }
 }
