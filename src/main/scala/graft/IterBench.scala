@@ -235,6 +235,33 @@ object IterBench {
       return
     }
 
+    // ExactSubstr dedup slopes (gate qf8): every stage is linear — gram
+    // hashing is a narrow pass, the count aggregate shuffles 8-byte keys
+    // with map-side partials, the text confirm moves only duplicated-gram
+    // rows (linear dup density under the replication device), and the
+    // interval merge + rebuild key on the doc. Expect wall ~linear in
+    // mult with no pairwise knee. dedupChunksKeepFirst rides along as the
+    // aligned-granularity twin for a same-corpus comparison.
+    if (section == "exactsubstr") {
+      import org.apache.spark.sql.functions.{col, sum}
+      val (docs, _) = scaledDocs()
+      println(s"[iterbench] corpus: ${docs.count()} docs (mult=$mult)")
+      for (round <- 1 to 2) {
+        timed(s"exactSubstrRemove L=40, full corpus (mult=$mult), round $round") {
+          graft.operators.Dedup.exactSubstrRemove(docs, "doc_id", "text",
+              minLen = 40)
+            .agg(sum(col("n_removed"))).head().getLong(0)
+        }
+        timed(s"chunk dedup keep-first twin (mult=$mult), round $round") {
+          graft.operators.Dedup.dedupChunksKeepFirst(docs, "doc_id", "text",
+            chunkTokens = 8).count()
+        }
+      }
+      docs.unpersist()
+      spark.stop()
+      return
+    }
+
     // Streaming priority-sample slopes (gate qet): per-shard state is a
     // FIXED k-row list regardless of corpus size and emission is
     // entries-only (O(k log n) expected per shard), so a mult-scaled

@@ -266,4 +266,31 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"),
       s"the window must key on bucket, not collapse to one partition:\n$plan")
   }
+
+  test("qf8 exact-substring dedup: gram counting shuffles 8-byte hashes " +
+    "with map-side partials, stays UDF-free, and prunes the scan") {
+    val plan = executedPlan("qf8_exact_substr_dedup")
+    // the corpus-sized aggregate (count per gram hash) must combine
+    // map-side — without it the shuffle carries one row per character
+    assert(plan.contains("partial_count"),
+      s"gram count lost its map-side partial:\n$plan")
+    assert(!plan.contains("ScalaUDF"),
+      s"rolling hash + rebuild must stay native HOFs/expressions:\n$plan")
+    val read = "ReadSchema: [^\n]*".r.findAllIn(plan).mkString(" ")
+    assert(!read.contains("lang") && !read.contains("source"),
+      s"documents scan not pruned to (doc_id, text): $read")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"no pairwise regime anywhere in ExactSubstr:\n$plan")
+  }
+
+  test("qf9 IVF hard negatives: probes broadcast into the cell join; the " +
+    "corpus is never broadcast or pairwise-joined against itself") {
+    val plan = executedPlan("qf9_hard_negatives_ivf")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe routing must be a broadcast hash join on cell_id:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"corpus-corpus cartesian crept in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"nothing here should need a corpus-sized shuffle join at this SF:\n$plan")
+  }
 }
