@@ -807,6 +807,19 @@ object Dedup {
       .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("g"))))
       .filter(col("_n") >= 2)
       .select(col("_d"), col("pos"))
+    excise(docs, dupPos, L, idCol)
+  }
+
+  /** The removal half of the ExactSubstr family, shared by
+    * [[exactSubstrRemove]] and [[GramIndex.ingest]]: given `docs`
+    * (_d, _t, _len) and the duplicated window starts `dupPos` (_d, pos),
+    * union-merge the [pos, pos+L) intervals per doc (one gaps-and-islands
+    * window, doc-keyed) and rebuild every doc in ONE aggregate fold over
+    * its sorted interval array — gap substrings concatenate directly, no
+    * character explode. Untouched docs pass through with zero counts. */
+  private[operators] def excise(docs: DataFrame, dupPos: DataFrame, L: Int,
+                                idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val ord = Window.partitionBy("_d").orderBy(col("s"), col("e"))
     val merged = dupPos
       .select(col("_d"), col("pos").as("s"), (col("pos") + L).as("e"))
@@ -837,4 +850,22 @@ object Dedup {
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
   }
+
+  /** (_d, pos, h, h2) double-hash rolling L-gram fingerprints over
+    * `docs` (_d, _t, _len) — the cross-run currency of [[GramIndex]]:
+    * FNV-1a 64 + xxhash64 of the same window, 16 bytes per character
+    * position, never the L-char string. Two independent 64-bit hashes
+    * agree on different grams with probability ~2^-128 per comparison —
+    * the same hash-equivalence contract the shingle family documents,
+    * squared. */
+  private[graft] def charGramFingerprints(docs: DataFrame, L: Int): DataFrame =
+    docs.select(col("_d"),
+        posexplode(when(col("_len") >= L,
+          transform(sequence(lit(0L), col("_len") - L), i => {
+            val g = col("_t").substr((i + 1).cast("int"), lit(L))
+            struct(graft.functions.Fnv1a64Expr(g).as("h"), xxhash64(g).as("h2"))
+          })).otherwise(array().cast("array<struct<h:bigint,h2:bigint>>"))))
+      .toDF("_d", "pos", "hh")
+      .select(col("_d"), col("pos").cast("long").as("pos"),
+        col("hh.h").as("h"), col("hh.h2").as("h2"))
 }

@@ -1422,6 +1422,51 @@ object ExtensionQueries {
                                                CAST(qe.embedding AS DOUBLE[])), 6) < 0.45)
         WHERE rank <= 10""")),
 
+    // Persistent ExactSubstr gram index (the exact-substring member of
+    // the persistent-index family): three deliveries (doc_id % 3) ingest
+    // in slice order under the CAUSAL cross-delivery rule — a window is
+    // excised iff an EARLIER delivery holds its content (the corpus
+    // keeps its copy) or it repeats within the delivery (remove-all,
+    // the qf8 batch rule). The oracle replays the rule with per-slice
+    // gram counts + first-occurrence slice, then qf8's interval-merge
+    // and rebuild CTEs.
+    Entry("qfa_exact_substr_index",
+      (s, dir) => {
+        val tag = java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL) + "g"
+        val ref = graft.operators.GramIndex.Ref(tag, buckets = 8)
+        graft.operators.GramIndex.drop(s, ref) // idempotent re-runs
+        val docs = t(s, dir, "documents")
+        (0 until 3).map { slice =>
+          graft.operators.GramIndex.ingest(
+            docs.filter(col("doc_id") % 3 === slice), "doc_id", "text",
+            minLen = 40, ref)
+        }.reduce(_ unionByName _)
+      },
+      Some(GramIndexOracle)),
+
+    // Index lifecycle under the gate: qfa's three-slice ingest with a
+    // COMPACTION between slice 1 and slice 2 (sum-merge to one row per
+    // distinct gram, one file per bucket). Compaction preserves gram
+    // existence, so the cleaned output is unchanged and the oracle is
+    // qfa's verbatim.
+    Entry("qfb_gram_compacted_index",
+      (s, dir) => {
+        val tag = java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL) + "gc"
+        val ref = graft.operators.GramIndex.Ref(tag, buckets = 8)
+        graft.operators.GramIndex.drop(s, ref) // idempotent re-runs
+        val docs = t(s, dir, "documents")
+        def ingest(slice: Int) = graft.operators.GramIndex.ingest(
+          docs.filter(col("doc_id") % 3 === slice), "doc_id", "text",
+          minLen = 40, ref)
+        val out01 = ingest(0).unionByName(ingest(1))
+          .localCheckpoint() // materialize before compact rewrites files
+        graft.operators.GramIndex.compact(s, ref)
+        out01.unionByName(ingest(2))
+      },
+      Some(GramIndexOracle)),
+
     // Embedding-space decontamination (semantic counterpart of qbf's
     // shingle-overlap rule): train vectors whose rounded cosine against
     // ANY benchmark vector reaches 0.4 drop; every train row reports its
@@ -1974,6 +2019,64 @@ object ExtensionQueries {
     * (beam top-6 → neighbor hop → score → union-dedup) → final top-10 +
     * recall join vs the exact quantized-L2 top-10. Every comparison is
     * integer, so traversal decisions match the Spark plan bit-for-bit. */
+  /** DuckDB replay of the causal cross-delivery ExactSubstr rule shared
+    * by qfa and qfb (compaction is invisible to results by contract):
+    * deliveries are doc_id % 3 in slice order; a 40-char window is
+    * duplicated iff its gram repeats within its own slice (remove-all)
+    * or first occurred in an earlier slice (the corpus keeps its copy).
+    * Interval merge + rebuild are qf8's CTEs verbatim. */
+  private lazy val GramIndexOracle: String = """WITH g AS (
+      SELECT doc_id, doc_id % 3 AS slice, i - 1 AS pos,
+        substring(text, i, 40) AS gram
+      FROM documents
+      CROSS JOIN UNNEST(generate_series(1, len(text) - 39)) AS u(i)
+      WHERE len(text) >= 40
+    ), st AS (
+      SELECT gram, slice, count(*) AS c FROM g GROUP BY 1, 2
+    ), fs AS (
+      SELECT gram, min(slice) AS first_slice FROM st GROUP BY 1
+    ), iv AS (
+      SELECT g.doc_id, g.pos AS s, g.pos + 40 AS e
+      FROM g JOIN st ON st.gram = g.gram AND st.slice = g.slice
+             JOIN fs ON fs.gram = g.gram
+      WHERE st.c >= 2 OR fs.first_slice < g.slice
+    ), brk AS (
+      SELECT doc_id, s, e,
+        CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+          ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          -1) THEN 1 ELSE 0 END AS b
+      FROM iv
+    ), grps AS (
+      SELECT doc_id, s, e,
+        sum(b) OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+      FROM brk
+    ), mi AS (
+      SELECT doc_id, grp, min(s) AS s, max(e) AS e FROM grps GROUP BY 1, 2
+    ), seg AS (
+      SELECT doc_id,
+        coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS gs,
+        s AS ge
+      FROM mi
+      UNION ALL
+      SELECT doc_id, max(e) AS gs, NULL AS ge FROM mi GROUP BY doc_id
+    ), rec AS (
+      SELECT d.doc_id,
+        string_agg(substring(d.text, seg.gs + 1,
+          coalesce(seg.ge, len(d.text)) - seg.gs), '' ORDER BY seg.gs) AS ct
+      FROM documents d JOIN seg ON d.doc_id = seg.doc_id
+      GROUP BY d.doc_id
+    ), agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        CAST(sum(e - s) AS BIGINT) AS n_removed
+      FROM mi GROUP BY 1
+    )
+    SELECT d.doc_id, coalesce(rec.ct, d.text) AS clean_text,
+      coalesce(agg.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+      coalesce(agg.n_removed, CAST(0 AS BIGINT)) AS n_removed
+    FROM documents d
+    LEFT JOIN rec USING (doc_id)
+    LEFT JOIN agg USING (doc_id)"""
+
   private lazy val oKnnGraph: String = {
     val dim = 64; val nBits = 6; val nTables = 8; val degree = 8
     val entryN = 4; val beam = 6; val rounds = 3; val k = 10

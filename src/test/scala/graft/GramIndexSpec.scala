@@ -1,0 +1,196 @@
+package graft
+
+import graft.operators.{Dedup, GramIndex}
+import org.apache.spark.sql.functions._
+
+/** Persistent ExactSubstr gram index (operators/GramIndex.scala): the
+  * ingest-on-empty == batch-operator unification, the causal
+  * cross-delivery rule, zero-corpus-exchange probing, detach/attach,
+  * compact equivalence, the write lease, and the ledgered stream. */
+class GramIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ref = GramIndex.Ref("gspec", buckets = 4)
+  private val L = 12
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  // planted shared content must be >= L chars to fire
+  private val boiler = "SHARED BOILERPLATE FOOTER" // 25 chars
+  private val batch0 = Seq[(Long, String)](
+    1L -> s"alpha first-delivery prose. $boiler and a tail.",
+    2L -> "beta singleton content with nothing repeated anywhere")
+  private val batch1 = Seq[(Long, String)](
+    11L -> s"gamma second delivery. $boiler plus its own words.",
+    12L -> "delta another singleton body")
+  private val batch2 = Seq[(Long, String)](
+    21L -> s"alpha first-delivery prose. $boiler and a tail.", // verbatim of 1
+    22L -> "epsilon WITHIN-BATCH REPEATED SPAN here",
+    23L -> "zeta WITHIN-BATCH REPEATED SPAN there")
+  private val batches = Seq(batch0, batch1, batch2)
+
+  private def collect(df: org.apache.spark.sql.DataFrame) =
+    df.as[(Long, String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("ingest on an empty index IS the batch operator: one-delivery " +
+    "ingest equals exactSubstrRemove row for row") {
+    GramIndex.drop(spark, ref)
+    val corpus = docs(batches.flatten: _*)
+    val got = collect(GramIndex.ingest(corpus, "doc_id", "text", L, ref))
+    val batch = collect(Dedup.exactSubstrRemove(corpus, "doc_id", "text", L))
+    assert(got === batch)
+    GramIndex.drop(spark, ref)
+  }
+
+  test("causal cross-delivery rule: the earlier delivery keeps its copy, " +
+    "later arrivals lose theirs; within-batch stays remove-all") {
+    GramIndex.drop(spark, ref)
+    val outs = batches.map(b =>
+      collect(GramIndex.ingest(docs(b: _*), "doc_id", "text", L, ref)))
+    // delivery 0: nothing duplicated yet — both docs pass through intact
+    assert(outs(0)(1L) === ((batch0.head._2, 0L, 0L)))
+    assert(outs(0)(2L) === ((batch0(1)._2, 0L, 0L)))
+    // delivery 1: the planted boilerplate matches delivery 0 and is
+    // excised; the doc's own prose survives
+    val (c11, s11, r11) = outs(1)(11L)
+    assert(s11 >= 1L && r11 >= boiler.length.toLong)
+    assert(!c11.contains("BOILERPLATE") && c11.contains("gamma"))
+    assert(outs(1)(12L) === ((batch1(1)._2, 0L, 0L)))
+    // delivery 2: a verbatim copy of doc 1 empties entirely; the
+    // within-batch repeated span is removed from BOTH carriers
+    assert(outs(2)(21L)._1 === "")
+    val (c22, _, _) = outs(2)(22L)
+    val (c23, _, _) = outs(2)(23L)
+    assert(!c22.contains("REPEATED") && c22.contains("epsilon"))
+    assert(!c23.contains("REPEATED") && c23.contains("zeta"))
+    GramIndex.drop(spark, ref)
+  }
+
+  test("dedupAgainst is the read-only rule: same cleaning an ingest " +
+    "would produce, and the index does not grow") {
+    GramIndex.drop(spark, ref)
+    GramIndex.ingest(docs(batch0: _*), "doc_id", "text", L, ref).count()
+    val rows = spark.table(ref.gramsTable).count()
+    val ro = collect(GramIndex.dedupAgainst(docs(batch1: _*), "doc_id", "text", L, ref))
+    assert(spark.table(ref.gramsTable).count() === rows, "read-only must not append")
+    val rw = collect(GramIndex.ingest(docs(batch1: _*), "doc_id", "text", L, ref))
+    assert(ro === rw)
+    assert(spark.table(ref.gramsTable).count() > rows)
+    GramIndex.drop(spark, ref)
+  }
+
+  test("the corpus probe joins bucket-aligned: only the batch side shuffles") {
+    GramIndex.drop(spark, ref)
+    batches.foreach(b => GramIndex.ingest(docs(b: _*), "doc_id", "text", L, ref))
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probeDocs = docs(31L -> batch0.head._2)
+        .select(col("doc_id").as("_d"), col("text").as("_t"),
+          length(col("text")).cast("long").as("_len"))
+      val probe = Dedup.charGramFingerprints(probeDocs, L)
+        .select("h", "h2").distinct()
+      val j = spark.table(ref.gramsTable).select(col("h"), col("h2").as("_ih2"))
+        .join(probe, Seq("h"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"index scan should be bucketed:\n$plan")
+      val exchanges = "Exchange".r.findAllIn(plan).size
+      assert(exchanges <= 2, s"only the probe side may shuffle, plan:\n$plan")
+      assert(!plan.matches("(?s).*Exchange[^\n]*\n[^\n]*FileScan parquet[^\n]*graft_gramidx.*"),
+        s"the corpus side must not sit under an Exchange:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    GramIndex.drop(spark, ref)
+  }
+
+  test("detach + attach: files alone restore the index and it still dedups") {
+    GramIndex.drop(spark, ref)
+    GramIndex.ingest(docs(batch0: _*), "doc_id", "text", L, ref).count()
+    val rows = spark.table(ref.gramsTable).count()
+    spark.sql(s"DROP TABLE ${ref.gramsTable}")
+    assert(!spark.catalog.tableExists(ref.gramsTable))
+    GramIndex.attach(spark, ref)
+    assert(spark.table(ref.gramsTable).count() === rows)
+    val out = collect(GramIndex.ingest(docs(batch1: _*), "doc_id", "text", L, ref))
+    assert(!out(11L)._1.contains("BOILERPLATE"))
+    GramIndex.drop(spark, ref)
+  }
+
+  test("compact: one file per bucket, one row per distinct gram, and the " +
+    "dedup rule's results are unchanged") {
+    GramIndex.drop(spark, ref)
+    batches.take(2).foreach(b => GramIndex.ingest(docs(b: _*), "doc_id", "text", L, ref))
+    def files() = new java.io.File(spark.conf
+      .get("spark.sql.warehouse.dir").stripPrefix("file:"), ref.gramsTable)
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val before = collect(GramIndex.dedupAgainst(docs(batch2: _*), "doc_id", "text", L, ref))
+    val distinctGrams = spark.table(ref.gramsTable).select("h", "h2").distinct().count()
+    val totalCnt = spark.table(ref.gramsTable).agg(sum(col("cnt"))).head().getLong(0)
+    assert(files() > ref.buckets, "expected multi-file table before compact")
+    GramIndex.compact(spark, ref)
+    assert(files() <= ref.buckets, s"not compacted: ${files()} files")
+    assert(spark.table(ref.gramsTable).count() === distinctGrams)
+    assert(spark.table(ref.gramsTable).agg(sum(col("cnt"))).head().getLong(0) === totalCnt,
+      "compaction must preserve total occurrence counts")
+    assert(collect(GramIndex.dedupAgainst(docs(batch2: _*), "doc_id", "text", L, ref)) === before)
+    GramIndex.drop(spark, ref)
+  }
+
+  test("write lease: a second writer fails fast with the holder's name; " +
+    "breakLease restores write access") {
+    GramIndex.drop(spark, ref)
+    GramIndex.ingest(docs(batch0: _*), "doc_id", "text", L, ref).count()
+    val lease = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"), s"graft_gramidx_lease_${ref.tag}")
+    java.nio.file.Files.write(lease.toPath,
+      "crashed-ingest".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val e1 = intercept[IllegalStateException] {
+      GramIndex.ingest(docs(batch1: _*), "doc_id", "text", L, ref)
+    }
+    assert(e1.getMessage.contains("crashed-ingest"))
+    val e2 = intercept[IllegalStateException] { GramIndex.compact(spark, ref) }
+    assert(e2.getMessage.contains("crashed-ingest"))
+    val rows = spark.table(ref.gramsTable).count()
+    GramIndex.breakLease(spark, ref)
+    GramIndex.ingest(docs(batch1: _*), "doc_id", "text", L, ref).count()
+    assert(spark.table(ref.gramsTable).count() > rows)
+    assert(!lease.exists(), "lease must release when the writer completes")
+    GramIndex.drop(spark, ref)
+  }
+
+  test("streaming ingest: ledgered micro-batches equal sequential ingests; " +
+    "restart is a no-op") {
+    val sref = GramIndex.Ref("gspecstream", buckets = 4)
+    GramIndex.drop(spark, sref)
+    val base = java.nio.file.Files.createTempDirectory("gramidx_stream").toFile
+    val src = new java.io.File(base, "src"); src.mkdirs()
+    batches.zipWithIndex.foreach { case (b, i) =>
+      docs(b: _*).coalesce(1).write.parquet(s"$src/slice$i")
+      Thread.sleep(20) // distinct mtimes → deterministic pickup order
+    }
+    val out = new java.io.File(base, "out").getAbsolutePath
+    val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+    val schema = docs(batch0: _*).schema
+    def start() = GramIndex.startStreamingIngest(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/slice*"),
+      "doc_id", "text", L, sref, out, ckpt)
+    val q = start()
+    try q.processAllAvailable() finally q.stop()
+    val got = collect(spark.read.parquet(s"$out/clean")
+      .select("doc_id", "clean_text", "n_spans", "n_removed"))
+    // twin: the same three deliveries ingested sequentially
+    val tref = GramIndex.Ref("gspectwin", buckets = 4)
+    GramIndex.drop(spark, tref)
+    val expected = batches.map(b =>
+      collect(GramIndex.ingest(docs(b: _*), "doc_id", "text", L, tref)))
+      .reduce(_ ++ _)
+    assert(got === expected)
+    val indexRows = spark.table(sref.gramsTable).count()
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.table(sref.gramsTable).count() === indexRows)
+    GramIndex.drop(spark, sref)
+    GramIndex.drop(spark, tref)
+    org.apache.commons.io.FileUtils.deleteQuietly(base)
+  }
+}
