@@ -12,7 +12,8 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.IterBench"
   * Section select: SPARK_GRAFT_ITERBENCH=loops|bpe|bpescale|tok|wpencode|
-  * lshidx|ivfidx|dsir|streampack|streamsample|stream|streamamort|streamloop (default loops — the bpe/bpescale
+  * lshidx|ivfidx|gramidx|exactsubstr|dsir|streampack|streamsample|stream|
+  * streamamort|streamloop (default loops — the bpe/bpescale
   * sections run ~500-merge tokenizer trainings and are minutes long by
   * design; results are recorded in BASELINE.md).
   *
@@ -418,6 +419,52 @@ object IterBench {
         }
       }
       LshIndex.drop(spark, ref)
+      docs.unpersist()
+      spark.stop()
+      return
+    }
+
+    // Persistent gram-index amortization (GramIndex, gates qfa/qfb): the
+    // same A/B as lshidx — dedup ONE fixed-size arriving delivery against
+    // a 9/10-slice corpus via (a) incremental ingest into the bucketed
+    // index vs (b) the full-corpus ExactSubstr re-run a pipeline without
+    // an index re-pays per delivery. Ingest should stay ~flat in mult
+    // (O(batch + matches), bucketed probe) while the re-run grows with
+    // the corpus.
+    if (section == "gramidx") {
+      import graft.operators.{Dedup, GramIndex}
+      import org.apache.spark.sql.functions.{col, length, sum}
+      val (docs, span) = scaledDocs()
+      println(s"[iterbench] corpus: ${docs.count()} docs (mult=$mult)")
+      val ref = GramIndex.Ref("iterbench", buckets = 8)
+      timed(s"gramidx build: slices 0-8 of 10 into the index (mult=$mult)") {
+        GramIndex.drop(spark, ref)
+        (0 until 9).map { s =>
+          GramIndex.ingest(docs.filter(col("doc_id") % 10 === s), "doc_id",
+            "text", minLen = 40, ref).count()
+        }.sum
+      }
+      for (round <- 1 to 2) {
+        timed(s"full-corpus ExactSubstr re-run (no index, mult=$mult), round $round") {
+          // agg over BOTH counters and the rebuilt text: a bare count()
+          // lets Catalyst eliminate the final join and prune the rebuild
+          Dedup.exactSubstrRemove(docs, "doc_id", "text", minLen = 40)
+            .agg(sum(length(col("clean_text"))) + sum(col("n_removed")))
+            .head().getLong(0)
+        }
+      }
+      // two FRESH disjoint fixed-size deliveries (halves of replica 0's
+      // slice 9): id-unique, batch size constant as the corpus grows
+      for ((slice, round) <- Seq(9, 19).zipWithIndex) {
+        timed(s"incremental ingest of a fixed-size delivery, round ${round + 1}") {
+          GramIndex.ingest(
+            docs.filter(col("doc_id") < span && col("doc_id") % 20 === slice),
+            "doc_id", "text", minLen = 40, ref)
+            .agg(sum(length(col("clean_text"))) + sum(col("n_removed")))
+            .head().getLong(0)
+        }
+      }
+      GramIndex.drop(spark, ref)
       docs.unpersist()
       spark.stop()
       return
