@@ -1321,6 +1321,84 @@ object StatefulStreamQueries {
         JOIN sizes s2 ON id2 = s2.doc_id
         WHERE CAST(c AS DOUBLE) / (s1.nsh + s2.nsh - c) >= 0.5""")),
 
+    // Streaming ingest against the PERSISTENT gram index (operators/
+    // GramIndex.startStreamingIngest — qdv's sibling for exact-substring
+    // dedup): documents stream through foreachBatch, each micro-batch
+    // cleans against the on-disk bucketed gram table and folds itself
+    // in; cleaned docs land partitioned by batch id behind the ledger.
+    // Unlike qdv's pair set, the causal rule is NOT batch-split
+    // invariant — but the fixture is ONE parquet file and the source
+    // runs without maxFilesPerTrigger, so the stream carves exactly one
+    // micro-batch and ingest-on-empty equals the qf8 batch operator:
+    // the oracle is qf8's verbatim. Multi-delivery causality is gated
+    // by qfa and spec'd in GramIndexSpec's ledgered-stream case.
+    Entry("qfc_stream_gram_index",
+      (s, dir) => {
+        val tag = java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL) + "gs"
+        val ref = graft.operators.GramIndex.Ref(tag, buckets = 8)
+        graft.operators.GramIndex.drop(s, ref) // idempotent re-runs
+        val base = new java.io.File(
+          System.getProperty("java.io.tmpdir"), s"graft_qfc_$tag")
+        org.apache.commons.io.FileUtils.deleteQuietly(base)
+        val out = new java.io.File(base, "out").getAbsolutePath
+        val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+        val schema = s.read.parquet(graft.Tables.path(dir, "documents")).schema
+        val raw = s.readStream.schema(schema).parquet(s"$dir/documents*.parquet")
+        val q = graft.operators.GramIndex.startStreamingIngest(raw,
+          "doc_id", "text", minLen = 40, ref, out, ckpt)
+        try { q.processAllAvailable() } finally q.stop()
+        s.read.parquet(s"$out/clean")
+          .select("doc_id", "clean_text", "n_spans", "n_removed")
+      },
+      Some("""WITH g AS (
+          SELECT doc_id, i - 1 AS pos, substring(text, i, 40) AS gram
+          FROM documents
+          CROSS JOIN UNNEST(generate_series(1, len(text) - 39)) AS u(i)
+          WHERE len(text) >= 40
+        ), dup AS (
+          SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+        ), iv AS (
+          SELECT doc_id, pos AS s, pos + 40 AS e FROM g
+          WHERE gram IN (SELECT gram FROM dup)
+        ), brk AS (
+          SELECT doc_id, s, e,
+            CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+              ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              -1) THEN 1 ELSE 0 END AS b
+          FROM iv
+        ), grps AS (
+          SELECT doc_id, s, e,
+            sum(b) OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+          FROM brk
+        ), mi AS (
+          SELECT doc_id, grp, min(s) AS s, max(e) AS e FROM grps GROUP BY 1, 2
+        ), seg AS (
+          SELECT doc_id,
+            coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS gs,
+            s AS ge
+          FROM mi
+          UNION ALL
+          SELECT doc_id, max(e) AS gs, NULL AS ge FROM mi GROUP BY doc_id
+        ), rec AS (
+          SELECT d.doc_id,
+            string_agg(substring(d.text, seg.gs + 1,
+              coalesce(seg.ge, len(d.text)) - seg.gs), '' ORDER BY seg.gs)
+              AS ct
+          FROM documents d JOIN seg ON d.doc_id = seg.doc_id
+          GROUP BY d.doc_id
+        ), agg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+            CAST(sum(e - s) AS BIGINT) AS n_removed
+          FROM mi GROUP BY 1
+        )
+        SELECT d.doc_id, coalesce(rec.ct, d.text) AS clean_text,
+          coalesce(agg.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+          coalesce(agg.n_removed, CAST(0 AS BIGINT)) AS n_removed
+        FROM documents d
+        LEFT JOIN rec USING (doc_id)
+        LEFT JOIN agg USING (doc_id)""")),
+
     // State TIME TRAVEL: the keyed running aggregate read AS OF committed
     // batch 1 of a 4-batch replay (statestore reader `batchId` option —
     // Flink's retained-savepoint inspection addressed by version). The
