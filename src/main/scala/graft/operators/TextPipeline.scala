@@ -1100,4 +1100,121 @@ object TextPipeline {
       .select(col(idCol), col("n_toks"), col("bucket"), col("batch_id"),
         col("pos_in_batch"))
   }
+
+  /** Unigram-LM tokenizer training by hard EM (the Viterbi-decode
+    * variant of Kudo 2018 / SentencePiece) — the THIRD published trainer
+    * next to [[bpeTrain]] (merge-greedy) and [[wordpieceTrain]]
+    * (likelihood-scored merges), completing the family:
+    *
+    *  - SEED: every single character of the corpus's words (guaranteeing
+    *    all words segment — no UNK path) plus the `seedMulti` most
+    *    frequent substrings of length 2..`maxPieceLen`, frequency
+    *    weighted by word corpus count, ties to the lexicographically
+    *    smaller piece (SentencePiece seeds from frequent substrings the
+    *    same way, via its suffix array);
+    *  - E-step: each distinct word segments by the min-cost DP
+    *    ([[minCostEncode]]'s device, position-free pieces) under costs
+    *    cost(p) = scale // (1 + cnt(p)) — the qe1 exact-integer rarity
+    *    proxy for -log p, engine-replayable where floats are not — and
+    *    the argmin path is recovered by a deterministic backtrack
+    *    (LONGEST piece achieving dp[i] = dp[i-|p|] + c(p), walking from
+    *    the word end; equal-length candidates are the same string, so
+    *    the path is unique);
+    *  - M-step: cnt(p) := corpus-weighted usage of p across the argmin
+    *    segmentations. No pruning schedule (Kudo's likelihood-loss prune
+    *    is a vocab-size control, orthogonal to the re-estimation this
+    *    implements); unused pieces simply decay to cnt 0.
+    *
+    * Returns the full trajectory, one row per (iteration, piece):
+    * (iter, piece, cost, cnt) — iter 0 is the seed (cnt = weighted
+    * substring frequency, cost derived from it), iter k >= 1 carries the
+    * cost USED by E-step k and the usage counts it produced.
+    *
+    * Scale: the corpus-sized work per iteration is one distinct-word
+    * aggregate (cached once) and one segmentation pass over DISTINCT
+    * words (the whole encode family's shape); piece counts come back
+    * through a |vocab|-bounded aggregate, and the vocabulary lives on
+    * the driver between rounds exactly like [[bpeTrain]]'s merge list.
+    * The inline-literal DP bounds |vocab| like [[wordpieceEncode]] —
+    * a production 32k-piece run would compile the vocab into a trie
+    * expression ([[wordpieceEncodeTrie]]'s strategy) with the same
+    * semantics. */
+  def unigramTrain(df: DataFrame, textCol: String, maxPieceLen: Int,
+                   seedMulti: Int, iters: Int,
+                   scale: Long = 1000000L): Seq[(Int, String, Long, Long)] = {
+    require(maxPieceLen >= 2 && seedMulti >= 0 && iters >= 1 && scale >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df
+      .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
+      .groupBy("word").agg(count(lit(1)).cast("long").as("wcnt"))
+      .cache()
+    // seed frequencies: all substrings of length 1..maxPieceLen, word-
+    // count weighted
+    val subs = words
+      .select(col("word"), col("wcnt"),
+        explode(sequence(lit(1), length(col("word")))).as("i"))
+      .select(col("wcnt"), explode(transform(
+        sequence(lit(1), lit(maxPieceLen)), l =>
+          when(col("i") + l - 1 <= length(col("word")),
+            col("word").substr(col("i"), l)))).as("p"))
+      .filter(col("p").isNotNull)
+      .groupBy("p").agg(sum(col("wcnt")).as("cnt"))
+      .cache()
+    val chars = subs.filter(length(col("p")) === 1)
+      .as[(String, Long)].collect().sortBy(_._1)
+    val multi = subs.filter(length(col("p")) >= 2)
+      .orderBy(col("cnt").desc, col("p")).limit(seedMulti)
+      .as[(String, Long)].collect()
+    subs.unpersist()
+    var vocab: Seq[(String, Long)] = (chars ++ multi).toSeq
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Long)]
+    out ++= vocab.map { case (p, c) => (0, p, scale / (1L + c), c) }
+    def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    for (it <- 1 to iters) {
+      val costs = vocab.map { case (p, c) => (p, scale / (1L + c)) }
+      val lst = costs.map { case (p, c) =>
+        s"named_struct('p', '${esc(p)}', 'c', ${c}L)"
+      }.mkString("array(", ", ", ")")
+      val INF = math.max(1000000000L, (scale + 1L) * 65536L)
+      val dpSql =
+        s"""aggregate(sequence(1, length(word)), array(0L),
+           (acc, i) -> array_append(acc,
+             aggregate($lst, ${INF}L,
+               (m, e) -> CASE WHEN length(e.p) <= i
+                   AND e.p = substring(word, i - length(e.p) + 1, length(e.p))
+                 THEN least(m, element_at(acc, i - length(e.p) + 1) + e.c)
+                 ELSE m END)))"""
+      // deterministic backtrack: longest piece attaining the optimum at
+      // each position, walking from the word end (each step consumes >= 1
+      // character, so length(word) steps always suffice)
+      val btSql =
+        s"""aggregate(sequence(1, length(word)),
+           named_struct('pos', length(word), 'ps', array()::array<string>),
+           (st, x) -> CASE WHEN st.pos <= 0 THEN st ELSE
+             aggregate($lst,
+               named_struct('pos', st.pos, 'ps', st.ps, 'bl', 0),
+               (b, e) -> CASE WHEN length(e.p) <= b.pos
+                   AND length(e.p) > b.bl
+                   AND e.p = substring(word, b.pos - length(e.p) + 1, length(e.p))
+                   AND element_at(dp, b.pos + 1)
+                     = element_at(dp, b.pos - length(e.p) + 1) + e.c
+                 THEN named_struct('pos', b.pos, 'ps', b.ps, 'bl', length(e.p))
+                 ELSE b END,
+               b -> named_struct('pos', b.pos - b.bl,
+                 'ps', CASE WHEN b.bl > 0 THEN array_append(b.ps,
+                   substring(word, b.pos - b.bl + 1, b.bl)) ELSE b.ps END))
+             END,
+           st -> st.ps)"""
+      val counts = words
+        .select(col("word"), col("wcnt"), expr(dpSql).as("dp"))
+        .select(col("wcnt"), explode(expr(btSql)).as("p"))
+        .groupBy("p").agg(sum(col("wcnt")).as("cnt"))
+        .as[(String, Long)].collect().toMap
+      vocab = vocab.map { case (p, _) => (p, counts.getOrElse(p, 0L)) }
+      out ++= vocab.zip(costs).map { case ((p, c), (_, used)) => (it, p, used, c) }
+    }
+    words.unpersist()
+    out.toSeq
+  }
 }

@@ -340,6 +340,83 @@ object PipelineQueries {
     * position — initial piece = the whole prefix, continuation pieces
     * relax from their start position's cost; INF (1e9) marks
     * unreachable, final cost >= INF = the 1-token UNK contract. */
+  /** DuckDB replay of 2 rounds of hard-EM unigram-LM training (the qfd
+    * gate): seed = all single chars + top-24 weighted substrings of
+    * length 2..4 (count DESC, piece tie-break); each round derives
+    * integer rarity costs 1e6 // (1 + cnt), runs the recursive min-cost
+    * DP per distinct word, walks the argmin path back with the
+    * longest-piece-attaining-the-optimum rule (a second recursive CTE),
+    * and re-counts corpus-weighted piece usage. */
+  private lazy val OUnigramTrain: String = {
+    def round(k: Int) = s"""c$k AS (
+        SELECT list(struct_pack(p := p,
+          c := CAST(1000000 // (1 + cnt) AS BIGINT))) AS ps FROM v${k - 1}
+      ), dp$k AS (
+        SELECT word, wcnt, 0 AS i, [CAST(0 AS BIGINT)] AS costs FROM words
+        UNION ALL
+        SELECT word, wcnt, i + 1, list_append(costs,
+          coalesce(list_min(list_transform(list_filter(c$k.ps,
+              e -> length(e.p) <= i + 1
+                AND e.p = substr(word, i + 1 - length(e.p) + 1, length(e.p))),
+            e -> costs[i + 1 - length(e.p) + 1] + e.c)), 1000000000))
+        FROM dp$k, c$k WHERE i < length(word)
+      ), dw$k AS (
+        SELECT word, wcnt, costs FROM dp$k WHERE i = length(word)
+      ), bt$k AS (
+        SELECT word, wcnt, costs, length(word) AS pos, []::varchar[] AS ps
+        FROM dw$k
+        UNION ALL
+        SELECT word, wcnt, costs, pos - bl,
+          list_append(ps, substr(word, pos - bl + 1, bl))
+        FROM (
+          SELECT b.word, b.wcnt, b.costs, b.pos, b.ps,
+            coalesce(list_max(list_transform(list_filter(c$k.ps,
+                e -> length(e.p) <= b.pos
+                  AND e.p = substr(b.word, b.pos - length(e.p) + 1, length(e.p))
+                  AND b.costs[b.pos + 1]
+                    = b.costs[b.pos - length(e.p) + 1] + e.c),
+              e -> length(e.p))), 0) AS bl
+          FROM bt$k b, c$k WHERE b.pos > 0)
+      ), u$k AS (
+        SELECT unnest(ps) AS p, wcnt FROM bt$k WHERE pos = 0
+      ), n$k AS (
+        SELECT p, CAST(sum(wcnt) AS BIGINT) AS cnt FROM u$k GROUP BY 1
+      ), v$k AS (
+        SELECT v.p, coalesce(n.cnt, 0) AS cnt
+        FROM v${k - 1} v LEFT JOIN n$k n ON v.p = n.p
+      )"""
+    s"""WITH RECURSIVE docw AS (
+        SELECT unnest(list_filter(
+          string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS word
+        FROM documents
+      ), words AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS wcnt FROM docw GROUP BY 1
+      ), subs AS (
+        SELECT substr(word, i, l) AS p, CAST(sum(wcnt) AS BIGINT) AS cnt
+        FROM words
+        CROSS JOIN UNNEST(generate_series(1, length(word))) t(i)
+        CROSS JOIN UNNEST(generate_series(1, 4)) q(l)
+        WHERE i + l - 1 <= length(word)
+        GROUP BY 1
+      ), v0 AS (
+        SELECT p, cnt FROM subs WHERE length(p) = 1
+        UNION ALL
+        SELECT p, cnt FROM (
+          SELECT p, cnt FROM subs WHERE length(p) >= 2
+          ORDER BY cnt DESC, p LIMIT 24)
+      ),
+      ${round(1)},
+      ${round(2)}
+      SELECT 0 AS iter, p AS piece,
+        CAST(1000000 // (1 + cnt) AS BIGINT) AS cost, cnt FROM v0
+      UNION ALL
+      SELECT 1, v0.p, CAST(1000000 // (1 + v0.cnt) AS BIGINT), v1.cnt
+      FROM v0 JOIN v1 ON v0.p = v1.p
+      UNION ALL
+      SELECT 2, v1.p, CAST(1000000 // (1 + v1.cnt) AS BIGINT), v2.cnt
+      FROM v1 JOIN v2 ON v1.p = v2.p"""
+  }
+
   private lazy val OMinTokenEncode: String = {
     def lst(ps: Seq[String]) =
       ps.map(p => s"'${p.replace("'", "''")}'").mkString("[", ", ", "]")
@@ -2354,5 +2431,19 @@ object PipelineQueries {
         LEFT JOIN rec USING (doc_id)
         LEFT JOIN agg USING (doc_id)""")),
 
+    // Unigram-LM tokenizer training by hard EM (Kudo 2018's Viterbi
+    // variant) — the THIRD published trainer beside BPE (qd4/qdd) and
+    // WordPiece (qdu), completing the family: corpus-substring seed, two
+    // rounds of integer-rarity costs -> min-cost DP -> deterministic
+    // longest-piece backtrack -> corpus-weighted usage re-count. The
+    // whole (iter, piece, cost, cnt) trajectory is the gate row set.
+    Entry("qfd_unigram_train",
+      (s, dir) => {
+        import s.implicits._
+        TextPipeline.unigramTrain(t(s, dir, "documents"), "text",
+          maxPieceLen = 4, seedMulti = 24, iters = 2)
+          .toDF("iter", "piece", "cost", "cnt")
+      },
+      Some(OUnigramTrain)),
   )
 }

@@ -836,6 +836,93 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  // ---- unigram-LM training ------------------------------------------------
+
+  // Independent hard-EM replica: plain-Scala DP arrays + explicit
+  // backtrack loop (the operator folds HOF expressions instead).
+  private def unigramBrute(texts: Seq[String], maxLen: Int, seedMulti: Int,
+                           iters: Int, scale: Long): Set[(Int, String, Long, Long)] = {
+    val words = texts.flatMap(_.toLowerCase.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    val subCnt = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, c) <- words; i <- 0 until w.length; l <- 1 to maxLen
+         if i + l <= w.length)
+      subCnt.updateWith(w.substring(i, i + l))(x => Some(x.getOrElse(0L) + c))
+    val chars = subCnt.filter(_._1.length == 1).toSeq.sortBy(_._1)
+    val multi = subCnt.filter(_._1.length >= 2).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(seedMulti)
+    var vocab: Seq[(String, Long)] = chars ++ multi
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Long)]
+    out ++= vocab.map { case (p, c) => (0, p, scale / (1L + c), c) }
+    for (it <- 1 to iters) {
+      val cost = vocab.map { case (p, c) => p -> scale / (1L + c) }.toMap
+      val usage = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      for ((w, wc) <- words) {
+        val n = w.length
+        val inf = Long.MaxValue / 4
+        val dp = Array.fill(n + 1)(inf); dp(0) = 0L
+        for (i <- 1 to n; (p, c) <- cost
+             if p.length <= i && w.substring(i - p.length, i) == p)
+          dp(i) = math.min(dp(i), dp(i - p.length) + c)
+        var pos = n
+        while (pos > 0) {
+          val best = cost.keys.filter(p => p.length <= pos &&
+              w.substring(pos - p.length, pos) == p &&
+              dp(pos) == dp(pos - p.length) + cost(p))
+            .maxBy(_.length)
+          usage(best) += wc
+          pos -= best.length
+        }
+      }
+      out ++= vocab.map { case (p, _) => (it, p, cost(p), usage(p)) }
+      vocab = vocab.map { case (p, _) => p -> usage(p) }
+    }
+    out.toSet
+  }
+
+  test("unigramTrain: full trajectory matches the array-DP replica, and " +
+    "each E-step's piece usage exactly tiles the corpus characters") {
+    val texts = Seq(
+      "the fastest internet interna intern net nets",
+      "fast faster fastest nets net the the thee",
+      "internal international internet the nether net")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = TextPipeline.unigramTrain(docs, "text", maxPieceLen = 4,
+      seedMulti = 12, iters = 2).toSet
+    assert(got === unigramBrute(texts, 4, 12, 2, 1000000L))
+    // coverage law: argmin segmentations concatenate back to their words,
+    // so Σ cnt(p)·|p| over an E-step == Σ wcnt·|word| over the corpus
+    val totalChars = texts.flatMap(_.toLowerCase.split("\\s+").filter(_.nonEmpty))
+      .map(_.length.toLong).sum
+    for (it <- 1 to 2) {
+      val tiled = got.toSeq.filter(_._1 == it)
+        .map { case (_, p, _, cnt) => cnt * p.length }.sum
+      assert(tiled === totalChars, s"iteration $it does not tile the corpus")
+    }
+    // seed sanity: every corpus character survives as a piece
+    val pieces0 = got.filter(_._1 == 0).map(_._2)
+    texts.flatMap(_.toLowerCase.replace(" ", "")).toSet.foreach { (ch: Char) =>
+      assert(pieces0.contains(ch.toString), s"char '$ch' missing from seed")
+    }
+  }
+
+  test("unigramTrain fuzz: matches the replica on random corpora across " +
+    "parameter settings") {
+    val rnd = new scala.util.Random(8128)
+    for (round <- 0 until 3) {
+      val (mpl, sm, iters) = Seq((3, 8, 1), (4, 16, 2), (2, 6, 3))(round)
+      def w() = (0 until 2 + rnd.nextInt(5))
+        .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      val texts = (0 until 10).map(_ => (0 until 4 + rnd.nextInt(5)).map(_ => w()).mkString(" "))
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = TextPipeline.unigramTrain(docs, "text", mpl, sm, iters).toSet
+      assert(got === unigramBrute(texts, mpl, sm, iters, 1000000L),
+        s"round $round (maxLen=$mpl seedMulti=$sm iters=$iters)")
+    }
+  }
+
   // ---- T5 span corruption -------------------------------------------------
 
   test("spanCorrupt: differential vs a brute-force rule replica; " +
