@@ -1467,6 +1467,65 @@ object ExtensionQueries {
       },
       Some(GramIndexOracle)),
 
+    // Bounded-depth distributed SUFFIX ARRAY (prefix doubling, the
+    // published dedup pipeline's core structure — enumeration where qf8
+    // is removal): every per-doc suffix of a corpus slice ranked by its
+    // first 64 characters, ties by (doc, pos). The Spark side builds it
+    // in log2(64/4) = 4 sort+rank doubling rounds with two-phase global
+    // indexing (never a one-task window); the oracle IS that one-task
+    // window — the bounded relation is plain ORDER BY.
+    Entry("qfe_suffix_array",
+      (s, dir) => graft.operators.SuffixArray.suffixArray(
+        t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", depth = 64, base = 4),
+      Some("""WITH d AS (
+          SELECT doc_id, text FROM documents
+          WHERE doc_id % 5 = 0 AND len(text) > 0
+        ), s AS (
+          SELECT doc_id, i - 1 AS pos, substring(text, i, 64) AS p
+          FROM d CROSS JOIN UNNEST(generate_series(1, len(text))) u(i)
+        )
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+          CAST(row_number() OVER (ORDER BY p, doc_id, pos) AS BIGINT)
+            AS rank
+        FROM s""")),
+
+    // The enumeration query the SA exists for: top-50 longest repeated
+    // substrings (bounded at 64) from adjacent-suffix LCPs — the
+    // classic reduction (every repeat is witnessed by an SA-adjacent
+    // pair). The oracle replays the SA order with a lag window and the
+    // contiguous-prefix max for the lcp.
+    Entry("qff_longest_repeats",
+      (s, dir) => graft.operators.SuffixArray.longestRepeats(
+        t(s, dir, "documents"), "doc_id", "text",
+        depth = 64, base = 4, minLen = 12, k = 50),
+      Some("""WITH s AS (
+          SELECT doc_id, i - 1 AS pos, substring(text, i, 64) AS p
+          FROM documents
+          CROSS JOIN UNNEST(generate_series(1, len(text))) u(i)
+          WHERE len(text) > 0
+        ), o AS (
+          SELECT lag(doc_id) OVER w AS id1, lag(pos) OVER w AS pos1,
+            lag(p) OVER w AS p1, doc_id AS id2, pos AS pos2, p AS p2
+          FROM s WINDOW w AS (ORDER BY p, doc_id, pos)
+        ), l AS (
+          -- length guards matter: two suffixes both exactly 'a' satisfy
+          -- substring-equality at EVERY j (substring truncates), but
+          -- their true common prefix is 1 char
+          SELECT id1, pos1, id2, pos2, p1,
+            coalesce(list_max(list_filter(range(1, 65),
+              j -> j <= len(p1) AND j <= len(p2)
+                AND substring(p1, 1, j) = substring(p2, 1, j))), 0) AS lcp
+          FROM o WHERE id1 IS NOT NULL
+        )
+        SELECT CAST(lcp AS BIGINT) AS lcp,
+          substring(p1, 1, lcp) AS rep_text,
+          id1, CAST(pos1 AS BIGINT) AS pos1,
+          id2, CAST(pos2 AS BIGINT) AS pos2
+        FROM l WHERE lcp >= 12
+        ORDER BY lcp DESC, rep_text, id1, pos1
+        LIMIT 50""")),
+
     // Embedding-space decontamination (semantic counterpart of qbf's
     // shingle-overlap rule): train vectors whose rounded cosine against
     // ANY benchmark vector reaches 0.4 drop; every train row reports its

@@ -293,4 +293,21 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"nothing here should need a corpus-sized shuffle join at this SF:\n$plan")
   }
+
+  test("qfe suffix array: the final order comes off the two-phase scan's " +
+    "RDD boundary, never a one-task window; the doubling rounds are " +
+    "equi-joins") {
+    // the two-phase zipWithIndex ends in an RDD boundary, so the final
+    // plan must be a Scan ExistingRDD projection — a Window/Sort with
+    // SinglePartition here would mean the scalable path was bypassed.
+    // The per-round shapes are checkpoint-truncated out of this plan;
+    // SuffixArraySpec pins their semantics differentially.
+    val plan = executedPlan("qfe_suffix_array")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"expected the two-phase scan's RDD boundary to feed the result:\n$plan")
+    assert(!plan.contains("SinglePartition") && !plan.contains("Window"),
+      s"a one-task global window crept into the SA build:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"the doubling rounds must stay equi-joins:\n$plan")
+  }
 }

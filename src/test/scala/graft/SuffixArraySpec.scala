@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.SuffixArray
+import org.apache.spark.sql.functions._
+
+/** Bounded-depth prefix-doubling suffix array (operators/
+  * SuffixArray.scala): differential vs a brute bounded-suffix sort
+  * (ASCII fixtures — Spark's UTF8 byte order and Scala's char order
+  * agree there), the shorter-prefix-first contract, and the
+  * longest-repeats enumeration on planted repeats. */
+class SuffixArraySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bruteSA(docs: Seq[(Long, String)], depth: Int): Set[(Long, Long, Long)] =
+    docs.flatMap { case (d, t) =>
+      (0 until t.length).map(p =>
+        (d, p.toLong, t.substring(p, math.min(t.length, p + depth))))
+    }.sortBy { case (d, p, s) => (s, d, p) }
+      .zipWithIndex.map { case ((d, p, _), i) => (d, p, i + 1L) }.toSet
+
+  private def bruteRepeats(docs: Seq[(Long, String)], depth: Int,
+                           minLen: Int, k: Int): Seq[(Long, String, Long, Long, Long, Long)] = {
+    val suf = docs.flatMap { case (d, t) =>
+      (0 until t.length).map(p =>
+        (d, p.toLong, t.substring(p, math.min(t.length, p + depth))))
+    }.sortBy { case (d, p, s) => (s, d, p) }
+    suf.sliding(2).collect { case Seq((d1, p1, s1), (d2, p2, s2)) =>
+      val lcp = s1.zip(s2).takeWhile { case (a, b) => a == b }.length.toLong
+      (lcp, s1.take(lcp.toInt), d1, p1, d2, p2)
+    }.filter(_._1 >= minLen).toSeq
+      .sortBy { case (l, r, d, p, _, _) => (-l, r, d, p) }.take(k)
+  }
+
+  test("suffixArray equals the brute bounded sort on handcrafted docs " +
+    "across depth/base settings") {
+    val docs = Seq(
+      (1L, "banana"),
+      (2L, "bananas are bananas are they"),
+      (3L, ""), // no suffixes
+      (4L, "a"),
+      (5L, "abcabcabcabcabcabcabcabc"), // periodic: heavy rank ties per round
+      (6L, "the quick brown fox the quick brown cat"))
+    val df = docs.toDF("doc_id", "text")
+    for ((depth, base) <- Seq((4, 4), (8, 1), (16, 4), (64, 4))) {
+      val got = SuffixArray.suffixArray(df, "doc_id", "text", depth, base)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === bruteSA(docs, depth), s"depth=$depth base=$base")
+    }
+  }
+
+  test("suffixArray fuzz: matches the brute sort on random small-alphabet " +
+    "corpora (dense tie regime)") {
+    val rnd = new scala.util.Random(271828)
+    for (round <- 0 until 3) {
+      val docs = (0 until 12).map { i =>
+        i.toLong -> (0 until 5 + rnd.nextInt(40))
+          .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      }
+      val depth = Seq(8, 16, 32)(round)
+      val got = SuffixArray.suffixArray(docs.toDF("doc_id", "text"),
+        "doc_id", "text", depth, base = 2)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === bruteSA(docs, depth), s"round $round depth=$depth")
+    }
+  }
+
+  test("longestRepeats: planted cross-doc repeat reported at its exact " +
+    "length; periodic runs cap at the depth bound; matches brute") {
+    val boiler = "SHARED RUN OF TEXT!" // 19 chars, planted in docs 1 and 2
+    val docs = Seq(
+      (1L, s"alpha $boiler omega"),
+      (2L, s"beta $boiler gamma"),
+      (3L, "abababababababababababababababab"), // 32 chars, period 2
+      (4L, "nothing in common here"))
+    val got = SuffixArray.longestRepeats(docs.toDF("doc_id", "text"),
+        "doc_id", "text", depth = 16, base = 4, minLen = 4, k = 30)
+      .as[(Long, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got === bruteRepeats(docs, 16, 4, 30))
+    // the periodic doc's self-adjacent suffixes share >= 16 chars -> the
+    // cap reports exactly depth on a within-doc pair
+    assert(got.exists { case (l, _, d1, _, d2, _) =>
+      l == 16L && d1 == 3L && d2 == 3L })
+    // the planted boilerplate appears as a cross-doc repeat (its first
+    // 16 chars are shared verbatim between docs 1 and 2, so the bounded
+    // lcp reports the cap)
+    assert(got.exists { case (l, r, d1, _, d2, _) =>
+      r.startsWith("SHARED") && d1 != d2 && l == 16L })
+  }
+}
