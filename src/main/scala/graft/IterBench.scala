@@ -470,6 +470,32 @@ object IterBench {
       return
     }
 
+    // Suffix-array build slopes (gates qfe/qff): each doubling round is
+    // corpus-linear with 8-byte keys, rounds are log2(depth/base), so
+    // wall should grow ~linearly in corpus size with a rounds-sized
+    // fixed cost; depth enters only logarithmically.
+    if (section == "suffixarray") {
+      import org.apache.spark.sql.functions.{col, max}
+      val (docs, _) = scaledDocs()
+      println(s"[iterbench] corpus: ${docs.count()} docs (mult=$mult)")
+      for (round <- 1 to 2; depth <- Seq(16, 64)) {
+        timed(s"suffixArray depth=$depth (mult=$mult), round $round") {
+          graft.operators.SuffixArray.suffixArray(docs, "doc_id", "text",
+            depth = depth, base = 4)
+            .agg(max(col("rank"))).head().getLong(0)
+        }
+      }
+      for (round <- 1 to 2) {
+        timed(s"longestRepeats depth=64 top-50 (mult=$mult), round $round") {
+          graft.operators.SuffixArray.longestRepeats(docs, "doc_id", "text",
+            depth = 64, base = 4, minLen = 12, k = 50).count()
+        }
+      }
+      docs.unpersist()
+      spark.stop()
+      return
+    }
+
     // Tokenizer ENCODE throughput: the three segmentation algorithms over
     // the same corpus + piece-vocabulary scale (all three run on the
     // distinct-word frame and broadcast lengths back, so this measures
