@@ -1170,49 +1170,144 @@ object TextPipeline {
     var vocab: Seq[(String, Long)] = (chars ++ multi).toSeq
     val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Long)]
     out ++= vocab.map { case (p, c) => (0, p, scale / (1L + c), c) }
-    def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
     for (it <- 1 to iters) {
       val costs = vocab.map { case (p, c) => (p, scale / (1L + c)) }
-      val lst = costs.map { case (p, c) =>
-        s"named_struct('p', '${esc(p)}', 'c', ${c}L)"
-      }.mkString("array(", ", ", ")")
-      val INF = math.max(1000000000L, (scale + 1L) * 65536L)
-      val dpSql =
-        s"""aggregate(sequence(1, length(word)), array(0L),
-           (acc, i) -> array_append(acc,
-             aggregate($lst, ${INF}L,
-               (m, e) -> CASE WHEN length(e.p) <= i
-                   AND e.p = substring(word, i - length(e.p) + 1, length(e.p))
-                 THEN least(m, element_at(acc, i - length(e.p) + 1) + e.c)
-                 ELSE m END)))"""
-      // deterministic backtrack: longest piece attaining the optimum at
-      // each position, walking from the word end (each step consumes >= 1
-      // character, so length(word) steps always suffice)
-      val btSql =
-        s"""aggregate(sequence(1, length(word)),
-           named_struct('pos', length(word), 'ps', array()::array<string>),
-           (st, x) -> CASE WHEN st.pos <= 0 THEN st ELSE
-             aggregate($lst,
-               named_struct('pos', st.pos, 'ps', st.ps, 'bl', 0),
-               (b, e) -> CASE WHEN length(e.p) <= b.pos
-                   AND length(e.p) > b.bl
-                   AND e.p = substring(word, b.pos - length(e.p) + 1, length(e.p))
-                   AND element_at(dp, b.pos + 1)
-                     = element_at(dp, b.pos - length(e.p) + 1) + e.c
-                 THEN named_struct('pos', b.pos, 'ps', b.ps, 'bl', length(e.p))
-                 ELSE b END,
-               b -> named_struct('pos', b.pos - b.bl,
-                 'ps', CASE WHEN b.bl > 0 THEN array_append(b.ps,
-                   substring(word, b.pos - b.bl + 1, b.bl)) ELSE b.ps END))
-             END,
-           st -> st.ps)"""
-      val counts = words
-        .select(col("word"), col("wcnt"), expr(dpSql).as("dp"))
-        .select(col("wcnt"), explode(expr(btSql)).as("p"))
-        .groupBy("p").agg(sum(col("wcnt")).as("cnt"))
-        .as[(String, Long)].collect().toMap
+      val counts = emCounts(words, costs, scale)
       vocab = vocab.map { case (p, _) => (p, counts.getOrElse(p, 0L)) }
       out ++= vocab.zip(costs).map { case ((p, c), (_, used)) => (it, p, used, c) }
+    }
+    words.unpersist()
+    out.toSeq
+  }
+
+  /** The hard-EM E-step shared by [[unigramTrain]] and
+    * [[unigramTrainPruned]]: segment every distinct word by the min-cost
+    * DP under `costs`, recover the argmin path with the deterministic
+    * longest-piece backtrack, and return corpus-weighted piece usage.
+    * `words` is the cached (word, wcnt) frame. */
+  private def emCounts(words: DataFrame, costs: Seq[(String, Long)],
+                       scale: Long): Map[String, Long] = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    val lst = costs.map { case (p, c) =>
+      s"named_struct('p', '${esc(p)}', 'c', ${c}L)"
+    }.mkString("array(", ", ", ")")
+    val INF = math.max(1000000000L, (scale + 1L) * 65536L)
+    val dpSql =
+      s"""aggregate(sequence(1, length(word)), array(0L),
+         (acc, i) -> array_append(acc,
+           aggregate($lst, ${INF}L,
+             (m, e) -> CASE WHEN length(e.p) <= i
+                 AND e.p = substring(word, i - length(e.p) + 1, length(e.p))
+               THEN least(m, element_at(acc, i - length(e.p) + 1) + e.c)
+               ELSE m END)))"""
+    // deterministic backtrack: longest piece attaining the optimum at
+    // each position, walking from the word end (each step consumes >= 1
+    // character, so length(word) steps always suffice)
+    val btSql =
+      s"""aggregate(sequence(1, length(word)),
+         named_struct('pos', length(word), 'ps', array()::array<string>),
+         (st, x) -> CASE WHEN st.pos <= 0 THEN st ELSE
+           aggregate($lst,
+             named_struct('pos', st.pos, 'ps', st.ps, 'bl', 0),
+             (b, e) -> CASE WHEN length(e.p) <= b.pos
+                 AND length(e.p) > b.bl
+                 AND e.p = substring(word, b.pos - length(e.p) + 1, length(e.p))
+                 AND element_at(dp, b.pos + 1)
+                   = element_at(dp, b.pos - length(e.p) + 1) + e.c
+               THEN named_struct('pos', b.pos, 'ps', b.ps, 'bl', length(e.p))
+               ELSE b END,
+             b -> named_struct('pos', b.pos - b.bl,
+               'ps', CASE WHEN b.bl > 0 THEN array_append(b.ps,
+                 substring(word, b.pos - b.bl + 1, b.bl)) ELSE b.ps END))
+           END,
+         st -> st.ps)"""
+    words
+      .select(col("word"), col("wcnt"), expr(dpSql).as("dp"))
+      .select(col("wcnt"), explode(expr(btSql)).as("p"))
+      .groupBy("p").agg(sum(col("wcnt")).as("cnt"))
+      .as[(String, Long)].collect().toMap
+  }
+
+  /** [[unigramTrain]] WITH Kudo's vocabulary-size control — the pruning
+    * schedule that makes unigram-LM training converge to a target vocab:
+    * after each E-step, every multi-character piece is scored by the
+    * FIRST-ORDER likelihood loss its removal would cost,
+    *
+    *   loss(p) = cnt(p) · (altCost(p) − cost(p))
+    *
+    * where altCost(p) is the min-cost segmentation of p's OWN text from
+    * the rest of the vocabulary (each of p's occurrences would be
+    * replaced by exactly that decomposition — the same
+    * independent-replacement first-order assumption Kudo's prune makes;
+    * altCost ≥ cost(p) whenever p is used, by DP optimality, so losses
+    * are non-negative), and the `pruneCount` smallest-loss pieces drop
+    * (ties to the lexicographically smaller piece; unused pieces have
+    * loss 0 and go first). Single characters never prune — they are the
+    * segmentability floor. altCost is a driver-side DP over ≤
+    * maxPieceLen characters per piece, O(|vocab|²·maxPieceLen) on the
+    * driver — negligible next to the corpus E-step, same locality as
+    * the BPE merge selection.
+    *
+    * Returns one row per (round, piece) alive in that round:
+    * (round, piece, cost, cnt, loss, pruned) — cost as used by the
+    * round's E-step, cnt the usage it produced, loss the prune score
+    * (−1 sentinel for unprunable single chars). */
+  def unigramTrainPruned(df: DataFrame, textCol: String, maxPieceLen: Int,
+                         seedMulti: Int, rounds: Int, pruneCount: Int,
+                         scale: Long = 1000000L)
+      : Seq[(Int, String, Long, Long, Long, Boolean)] = {
+    require(maxPieceLen >= 2 && seedMulti >= 0 && rounds >= 1 &&
+      pruneCount >= 0 && scale >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df
+      .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
+      .groupBy("word").agg(count(lit(1)).cast("long").as("wcnt"))
+      .cache()
+    val subs = words
+      .select(col("word"), col("wcnt"),
+        explode(sequence(lit(1), length(col("word")))).as("i"))
+      .select(col("wcnt"), explode(transform(
+        sequence(lit(1), lit(maxPieceLen)), l =>
+          when(col("i") + l - 1 <= length(col("word")),
+            col("word").substr(col("i"), l)))).as("p"))
+      .filter(col("p").isNotNull)
+      .groupBy("p").agg(sum(col("wcnt")).as("cnt"))
+      .cache()
+    val chars = subs.filter(length(col("p")) === 1)
+      .as[(String, Long)].collect().sortBy(_._1)
+    val multi = subs.filter(length(col("p")) >= 2)
+      .orderBy(col("cnt").desc, col("p")).limit(seedMulti)
+      .as[(String, Long)].collect()
+    subs.unpersist()
+    var vocab: Seq[(String, Long)] = (chars ++ multi).toSeq
+    val out = scala.collection.mutable
+      .ArrayBuffer.empty[(Int, String, Long, Long, Long, Boolean)]
+    for (r <- 1 to rounds) {
+      val costs = vocab.map { case (p, c) => (p, scale / (1L + c)) }
+      val costMap = costs.toMap
+      val counts = emCounts(words, costs, scale)
+      def altCost(p: String): Long = {
+        val n = p.length
+        val dp = Array.fill(n + 1)(Long.MaxValue / 4); dp(0) = 0L
+        for (i <- 1 to n; (q, qc) <- costMap
+             if q != p && q.length <= i && p.substring(i - q.length, i) == q)
+          dp(i) = math.min(dp(i), dp(i - q.length) + qc)
+        dp(n)
+      }
+      val scored = vocab.map { case (p, _) =>
+        val cnt = counts.getOrElse(p, 0L)
+        val loss = if (p.length == 1) -1L
+                   else cnt * (altCost(p) - costMap(p))
+        (p, cnt, costMap(p), loss)
+      }
+      val pruned = scored.filter(_._4 >= 0)
+        .sortBy { case (p, _, _, l) => (l, p) }
+        .take(pruneCount).map(_._1).toSet
+      out ++= scored.map { case (p, cnt, c, l) => (r, p, c, cnt, l, pruned(p)) }
+      vocab = scored.filterNot(t => pruned(t._1)).map(t => (t._1, t._2))
     }
     words.unpersist()
     out.toSeq

@@ -417,6 +417,105 @@ object PipelineQueries {
       FROM v1 JOIN v2 ON v1.p = v2.p"""
   }
 
+  /** DuckDB replay of the PRUNED hard-EM unigram trainer (the qfg
+    * gate): OUnigramTrain's per-round machinery plus, per round, the
+    * first-order loss — alt-cost DP over each multi-char piece's OWN
+    * text with the piece excluded (a second recursive CTE whose "words"
+    * are the pieces), loss = newcnt · (alt − cost), smallest-8 prune
+    * (ties by piece), single chars sentinel −1 and never pruned. */
+  private lazy val OUnigramPrune: String = {
+    def round(k: Int) = s"""c$k AS (
+        SELECT list(struct_pack(p := p,
+          c := CAST(1000000 // (1 + cnt) AS BIGINT))) AS ps FROM v${k - 1}
+      ), dp$k AS (
+        SELECT word, wcnt, 0 AS i, [CAST(0 AS BIGINT)] AS costs FROM words
+        UNION ALL
+        SELECT word, wcnt, i + 1, list_append(costs,
+          coalesce(list_min(list_transform(list_filter(c$k.ps,
+              e -> length(e.p) <= i + 1
+                AND e.p = substr(word, i + 1 - length(e.p) + 1, length(e.p))),
+            e -> costs[i + 1 - length(e.p) + 1] + e.c)), 1000000000))
+        FROM dp$k, c$k WHERE i < length(word)
+      ), dw$k AS (
+        SELECT word, wcnt, costs FROM dp$k WHERE i = length(word)
+      ), bt$k AS (
+        SELECT word, wcnt, costs, length(word) AS pos, []::varchar[] AS ps
+        FROM dw$k
+        UNION ALL
+        SELECT word, wcnt, costs, pos - bl,
+          list_append(ps, substr(word, pos - bl + 1, bl))
+        FROM (
+          SELECT b.word, b.wcnt, b.costs, b.pos, b.ps,
+            coalesce(list_max(list_transform(list_filter(c$k.ps,
+                e -> length(e.p) <= b.pos
+                  AND e.p = substr(b.word, b.pos - length(e.p) + 1, length(e.p))
+                  AND b.costs[b.pos + 1]
+                    = b.costs[b.pos - length(e.p) + 1] + e.c),
+              e -> length(e.p))), 0) AS bl
+          FROM bt$k b, c$k WHERE b.pos > 0)
+      ), u$k AS (
+        SELECT unnest(ps) AS p, wcnt FROM bt$k WHERE pos = 0
+      ), n$k AS (
+        SELECT p, CAST(sum(wcnt) AS BIGINT) AS cnt FROM u$k GROUP BY 1
+      ), pd$k AS (
+        SELECT p AS pword, 0 AS i, [CAST(0 AS BIGINT)] AS costs
+        FROM v${k - 1} WHERE length(p) >= 2
+        UNION ALL
+        SELECT pword, i + 1, list_append(costs,
+          coalesce(list_min(list_transform(list_filter(c$k.ps,
+              e -> e.p <> pword AND length(e.p) <= i + 1
+                AND e.p = substr(pword, i + 1 - length(e.p) + 1, length(e.p))),
+            e -> costs[i + 1 - length(e.p) + 1] + e.c)), 1000000000))
+        FROM pd$k, c$k WHERE i < length(pword)
+      ), alt$k AS (
+        SELECT pword AS p, costs[length(pword) + 1] AS alt
+        FROM pd$k WHERE i = length(pword)
+      ), loss$k AS (
+        SELECT v.p,
+          CAST(1000000 // (1 + v.cnt) AS BIGINT) AS cost,
+          coalesce(n.cnt, 0) AS newcnt,
+          CASE WHEN length(v.p) = 1 THEN CAST(-1 AS BIGINT)
+               ELSE CAST(coalesce(n.cnt, 0)
+                 * (a.alt - 1000000 // (1 + v.cnt)) AS BIGINT) END AS loss
+        FROM v${k - 1} v
+        LEFT JOIN n$k n ON v.p = n.p
+        LEFT JOIN alt$k a ON v.p = a.p
+      ), pr$k AS (
+        SELECT p FROM loss$k WHERE loss >= 0 ORDER BY loss, p LIMIT 8
+      ), v$k AS (
+        SELECT l.p, l.newcnt AS cnt FROM loss$k l
+        LEFT JOIN pr$k ON l.p = pr$k.p WHERE pr$k.p IS NULL
+      )"""
+    def rows(k: Int) = s"""SELECT $k AS round, l.p AS piece, l.cost,
+        l.newcnt AS cnt, l.loss, (pr$k.p IS NOT NULL) AS pruned
+      FROM loss$k l LEFT JOIN pr$k ON l.p = pr$k.p"""
+    s"""WITH RECURSIVE docw AS (
+        SELECT unnest(list_filter(
+          string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS word
+        FROM documents
+      ), words AS (
+        SELECT word, CAST(count(*) AS BIGINT) AS wcnt FROM docw GROUP BY 1
+      ), subs AS (
+        SELECT substr(word, i, l) AS p, CAST(sum(wcnt) AS BIGINT) AS cnt
+        FROM words
+        CROSS JOIN UNNEST(generate_series(1, length(word))) t(i)
+        CROSS JOIN UNNEST(generate_series(1, 4)) q(l)
+        WHERE i + l - 1 <= length(word)
+        GROUP BY 1
+      ), v0 AS (
+        SELECT p, cnt FROM subs WHERE length(p) = 1
+        UNION ALL
+        SELECT p, cnt FROM (
+          SELECT p, cnt FROM subs WHERE length(p) >= 2
+          ORDER BY cnt DESC, p LIMIT 24)
+      ),
+      ${round(1)},
+      ${round(2)}
+      ${rows(1)}
+      UNION ALL
+      ${rows(2)}"""
+  }
+
   private lazy val OMinTokenEncode: String = {
     def lst(ps: Seq[String]) =
       ps.map(p => s"'${p.replace("'", "''")}'").mkString("[", ", ", "]")
@@ -2445,5 +2544,23 @@ object PipelineQueries {
           .toDF("iter", "piece", "cost", "cnt")
       },
       Some(OUnigramTrain)),
+
+    // Unigram-LM training WITH Kudo's pruning schedule — the
+    // vocabulary-size control qfd's re-estimation lacks: per round,
+    // every multi-char piece scores the first-order loss
+    // cnt · (altCost − cost) (altCost = its own text segmented from
+    // the REST of the vocabulary — the independent-replacement
+    // assumption Kudo's prune makes), and the smallest-8 drop; single
+    // chars are the segmentability floor and never prune. The gate
+    // row set is the full per-round trajectory incl. losses and
+    // prune verdicts.
+    Entry("qfg_unigram_prune",
+      (s, dir) => {
+        import s.implicits._
+        TextPipeline.unigramTrainPruned(t(s, dir, "documents"), "text",
+          maxPieceLen = 4, seedMulti = 24, rounds = 2, pruneCount = 8)
+          .toDF("round", "piece", "cost", "cnt", "loss", "pruned")
+      },
+      Some(OUnigramPrune)),
   )
 }

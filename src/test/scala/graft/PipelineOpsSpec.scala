@@ -907,6 +907,101 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  // Pruned variant of the replica: E-step as above, then first-order
+  // loss cnt·(altCost − cost) and the smallest-loss prune.
+  private def unigramPrunedBrute(texts: Seq[String], maxLen: Int,
+                                 seedMulti: Int, rounds: Int, pruneCount: Int,
+                                 scale: Long): Set[(Int, String, Long, Long, Long, Boolean)] = {
+    val words = texts.flatMap(_.toLowerCase.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    val subCnt = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, c) <- words; i <- 0 until w.length; l <- 1 to maxLen
+         if i + l <= w.length)
+      subCnt.updateWith(w.substring(i, i + l))(x => Some(x.getOrElse(0L) + c))
+    val chars = subCnt.filter(_._1.length == 1).toSeq.sortBy(_._1)
+    val multi = subCnt.filter(_._1.length >= 2).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(seedMulti)
+    var vocab: Seq[(String, Long)] = chars ++ multi
+    val out = scala.collection.mutable
+      .ArrayBuffer.empty[(Int, String, Long, Long, Long, Boolean)]
+    for (r <- 1 to rounds) {
+      val cost = vocab.map { case (p, c) => p -> scale / (1L + c) }.toMap
+      val usage = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      for ((w, wc) <- words) {
+        val n = w.length
+        val inf = Long.MaxValue / 4
+        val dp = Array.fill(n + 1)(inf); dp(0) = 0L
+        for (i <- 1 to n; (p, c) <- cost
+             if p.length <= i && w.substring(i - p.length, i) == p)
+          dp(i) = math.min(dp(i), dp(i - p.length) + c)
+        var pos = n
+        while (pos > 0) {
+          val best = cost.keys.filter(p => p.length <= pos &&
+              w.substring(pos - p.length, pos) == p &&
+              dp(pos) == dp(pos - p.length) + cost(p))
+            .maxBy(_.length)
+          usage(best) += wc
+          pos -= best.length
+        }
+      }
+      def alt(p: String): Long = {
+        val n = p.length
+        val dp = Array.fill(n + 1)(Long.MaxValue / 4); dp(0) = 0L
+        for (i <- 1 to n; (q, qc) <- cost
+             if q != p && q.length <= i && p.substring(i - q.length, i) == q)
+          dp(i) = math.min(dp(i), dp(i - q.length) + qc)
+        dp(n)
+      }
+      val scored = vocab.map { case (p, _) =>
+        val loss = if (p.length == 1) -1L else usage(p) * (alt(p) - cost(p))
+        (p, usage(p), cost(p), loss)
+      }
+      val pruned = scored.filter(_._4 >= 0)
+        .sortBy { case (p, _, _, l) => (l, p) }.take(pruneCount).map(_._1).toSet
+      out ++= scored.map { case (p, c, co, l) => (r, p, co, c, l, pruned(p)) }
+      vocab = scored.filterNot(t => pruned(t._1)).map(t => (t._1, t._2))
+    }
+    out.toSet
+  }
+
+  test("unigramTrainPruned: trajectory matches the replica; losses are " +
+    "non-negative for used pieces; exactly pruneCount multi-char pieces " +
+    "drop per round and chars never do") {
+    val texts = Seq(
+      "the fastest internet interna intern net nets",
+      "fast faster fastest nets net the the thee",
+      "internal international internet the nether net")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = TextPipeline.unigramTrainPruned(docs, "text", maxPieceLen = 4,
+      seedMulti = 12, rounds = 2, pruneCount = 4)
+    assert(got.toSet === unigramPrunedBrute(texts, 4, 12, 2, 4, 1000000L))
+    for (r <- 1 to 2) {
+      val round = got.filter(_._1 == r)
+      assert(round.count(_._6) === 4, s"round $r must prune exactly 4")
+      assert(round.filter(_._6).forall(_._2.length >= 2),
+        s"round $r pruned a single char")
+      assert(round.filter(t => t._2.length >= 2 && t._4 > 0).forall(_._5 >= 0),
+        s"round $r used piece with negative loss")
+    }
+    // round 2's alive set = round 1's survivors
+    val alive2 = got.filter(_._1 == 2).map(_._2).toSet
+    val survivors1 = got.filter(t => t._1 == 1 && !t._6).map(_._2).toSet
+    assert(alive2 === survivors1)
+    // force the positive-loss competition: prune more than the unused
+    // pool, so USED pieces must be ranked by their genuine losses
+    val unused1 = got.count(t => t._1 == 1 && t._2.length >= 2 && t._4 == 0L)
+    val pc = unused1 + 2
+    val got2 = TextPipeline.unigramTrainPruned(docs, "text", maxPieceLen = 4,
+      seedMulti = 12, rounds = 1, pruneCount = pc)
+    assert(got2.toSet === unigramPrunedBrute(texts, 4, 12, 1, pc, 1000000L))
+    val posPruned = got2.filter(t => t._6 && t._5 > 0L)
+    assert(posPruned.size === 2, "exactly the 2 smallest positive losses prune")
+    val keptPosLosses = got2.filter(t => !t._6 && t._5 > 0L).map(_._5)
+    assert(keptPosLosses.forall(l => posPruned.forall(_._5 <= l)),
+      "every surviving positive loss is >= every pruned one")
+  }
+
   test("unigramTrain fuzz: matches the replica on random corpora across " +
     "parameter settings") {
     val rnd = new scala.util.Random(8128)
