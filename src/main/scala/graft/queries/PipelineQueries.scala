@@ -2562,5 +2562,77 @@ object PipelineQueries {
           .toDF("round", "piece", "cost", "cnt", "loss", "pruned")
       },
       Some(OUnigramPrune)),
+
+    // Release AUDIT CARD — the per-source report a dataset release ships
+    // with, composed from the engine's own operators under ONE oracle:
+    // doc/token/char counts, duplicated-content incidence (docs carrying
+    // any 8-token chunk that occurs >= 2 times corpus-wide — qep's chunk
+    // device; whole-doc exact dups are zero in this fixture so the
+    // chunk granularity is what a release would actually report),
+    // benchmark contamination incidence (qbf's 3-gram rule against the
+    // doc_id % 50 == 0 bench slice; bench docs themselves count 0), and
+    // language spread. All measures integer-exact. At 100 TB the chunk
+    // join keys on the q87 fingerprint — identical shape, 8-byte keys.
+    Entry("qfh_release_audit",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val bench = d.filter(pmod(col("doc_id"), lit(50)) === 0)
+        val train = d.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+        val contam = Dedup.contaminationCheck(train, bench, "doc_id",
+            "text", n = 3)
+          .select(col("doc").as("doc_id"), col("contaminated"))
+        val chunks = TextPipeline.chunk(d, "doc_id", "text",
+          chunkSize = 8, overlap = 0)
+        val dupChunks = chunks.groupBy(col("chunk_text"))
+          .agg(count(lit(1)).as("_cc")).filter(col("_cc") >= 2)
+          .select("chunk_text")
+        val dupDocs = chunks.join(dupChunks, Seq("chunk_text"), "left_semi")
+          .select("doc_id").distinct().withColumn("_dup", lit(true))
+        d.join(contam, Seq("doc_id"), "left")
+          .join(dupDocs, Seq("doc_id"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size(TextFunctions.tokens(col("text"))).cast("long"))
+              .as("n_tokens"),
+            sum(col("n_chars")).as("n_chars"),
+            sum(when(col("_dup"), 1L).otherwise(0L)).as("n_dup_docs"),
+            sum(when(col("contaminated"), 1L).otherwise(0L))
+              .as("n_contaminated"),
+            countDistinct(col("lang")).as("n_langs"))
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, $OTOKS AS w FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, (w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS sh
+          FROM toks CROSS JOIN UNNEST(generate_series(1, len(w) - 2)) AS t(i)
+        ), bench AS (
+          SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0
+        ), ctm AS (
+          SELECT DISTINCT doc_id FROM sh JOIN bench USING (sh)
+          WHERE doc_id % 50 <> 0
+        ), cn AS (
+          SELECT doc_id, w, len(w) AS n FROM toks
+        ), c AS (
+          SELECT doc_id, w, unnest(range(CAST(CASE WHEN n > 0
+            THEN ceil(n / 8.0) ELSE 0 END AS BIGINT))) AS ci
+          FROM cn
+        ), ch AS (
+          SELECT doc_id, array_to_string(w[ci*8 + 1 : ci*8 + 8], ' ') AS ct
+          FROM c
+        ), dupc AS (
+          SELECT ct FROM ch GROUP BY ct HAVING count(*) >= 2
+        ), dd AS (
+          SELECT DISTINCT doc_id FROM ch WHERE ct IN (SELECT ct FROM dupc)
+        )
+        SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+          CAST(sum(len(t.w)) AS BIGINT) AS n_tokens,
+          CAST(sum(d.n_chars) AS BIGINT) AS n_chars,
+          CAST(sum(CASE WHEN d.doc_id IN (SELECT doc_id FROM dd)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+          CAST(sum(CASE WHEN d.doc_id IN (SELECT doc_id FROM ctm)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+          CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs
+        FROM documents d JOIN toks t USING (doc_id)
+        GROUP BY d.source""")),
   )
 }
