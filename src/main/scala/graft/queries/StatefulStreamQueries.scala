@@ -1399,6 +1399,70 @@ object StatefulStreamQueries {
         LEFT JOIN rec USING (doc_id)
         LEFT JOIN agg USING (doc_id)""")),
 
+    // Streaming mixture top-up (streaming/StreamingTopup.scala — qf4's
+    // streaming face): the delivered-so-far composition lives in an
+    // on-storage delta table (replay-IDEMPOTENT: per-batch partition
+    // overwrite + self-excluding reads); here it is SEEDED with the
+    // doc_id % 3 != 0 composition and the % 3 == 0 slice streams through
+    // as one delivery (one file, one micro-batch), so the admitted set
+    // equals the batch operator and the oracle is qf4's verbatim.
+    // Multi-delivery accumulation + the crash-window idempotence are
+    // spec-pinned in StreamingSampleSpec.
+    Entry("qfi_stream_mixture_topup",
+      (s, dir) => {
+        import s.implicits._
+        val tag = java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+        val base = new java.io.File(
+          System.getProperty("java.io.tmpdir"), s"graft_qfi_$tag")
+        org.apache.commons.io.FileUtils.deleteQuietly(base)
+        val stateDir = new java.io.File(base, "state").getAbsolutePath
+        val outDir = new java.io.File(base, "out").getAbsolutePath
+        val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+        val d = graft.Tables(s, dir, "documents")
+        d.filter(col("doc_id") % 3 =!= 0)
+          .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+          .write.mode("overwrite").parquet(s"$stateDir/delta/batch_id=999999")
+        val schema = s.read.parquet(graft.Tables.path(dir, "documents")).schema
+        val raw = s.readStream.schema(schema)
+          .parquet(s"$dir/documents*.parquet")
+          .filter(col("doc_id") % 3 === 0)
+        val q = graft.streaming.StreamingTopup.startTopupIngest(raw,
+          "doc_id", "lang", targetPerGroup = 600L, totalBudget = 400L,
+          stateDir, outDir, ckpt)
+        try { q.processAllAvailable() } finally q.stop()
+        s.read.parquet(s"$outDir/admitted").select("doc_id", "lang", "rk")
+      },
+      Some(s"""WITH RECURSIVE base AS (
+          SELECT lang,
+            count(*) FILTER (WHERE doc_id % 3 != 0) AS cur,
+            count(*) FILTER (WHERE doc_id % 3 = 0) AS n_avail
+          FROM documents GROUP BY 1
+        ), caps AS (
+          SELECT lang,
+            CAST(least(greatest(600 - cur, 0), n_avail) AS BIGINT) AS cap,
+            CAST(row_number() OVER (ORDER BY
+              least(greatest(600 - cur, 0), n_avail), lang) AS BIGINT) AS rn,
+            CAST(count(*) OVER () AS BIGINT) AS gcnt
+          FROM base
+        ), wf AS (
+          SELECT CAST(0 AS BIGINT) AS i, CAST(400 AS BIGINT) AS rem,
+            CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS admit
+          UNION ALL
+          SELECT c.rn, wf.rem - least(c.cap, wf.rem // (c.gcnt - wf.i)),
+            c.lang, least(c.cap, wf.rem // (c.gcnt - wf.i))
+          FROM wf JOIN caps c ON c.rn = wf.i + 1
+        ), a AS (
+          SELECT lang, admit FROM wf WHERE lang IS NOT NULL
+        ), r AS (
+          SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang
+            ORDER BY ${PipelineQueries.oUnitHash("doc_id", "topup")}, doc_id)
+            AS BIGINT) AS rk
+          FROM documents WHERE doc_id % 3 = 0
+        )
+        SELECT doc_id, lang, rk FROM r JOIN a USING (lang)
+        WHERE rk <= admit""")),
+
     // State TIME TRAVEL: the keyed running aggregate read AS OF committed
     // batch 1 of a 4-batch replay (statestore reader `batchId` option —
     // Flink's retained-savepoint inspection addressed by version). The

@@ -142,4 +142,65 @@ class StreamingSampleSpec extends SparkSpec {
       assert(got === brute, s"trial $trial budget=$budget")
     }
   }
+
+  // ---- streaming mixture top-up --------------------------------------------
+
+  private def topupDocs(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "lang")
+
+  test("StreamingTopup: two deliveries equal sequential batch top-ups " +
+    "with accumulated composition; restart is a ledgered no-op; a " +
+    "half-written state delta from a crashed attempt is ignored") {
+    import graft.operators.Sampling
+    val d1 = (0L until 30L).map(i => i -> s"l${i % 3}")
+    val d2 = (100L until 160L).map(i => i -> s"l${i % 5}")
+    val base = java.nio.file.Files.createTempDirectory("topup_stream").toFile
+    val src = new java.io.File(base, "src"); src.mkdirs()
+    topupDocs(d1).coalesce(1).write.parquet(s"$src/slice0")
+    Thread.sleep(20)
+    topupDocs(d2).coalesce(1).write.parquet(s"$src/slice1")
+    val stateDir = new java.io.File(base, "state").getAbsolutePath
+    val outDir = new java.io.File(base, "out").getAbsolutePath
+    val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+    // plant a CRASHED first attempt of batch 1: a bogus state delta that
+    // a correct replay must never read (it would see its own partition)
+    topupDocs(Seq(0L -> "l0")).groupBy("lang").count()
+      .withColumnRenamed("count", "n")
+      .write.mode("overwrite").parquet(s"$stateDir/delta/batch_id=1")
+    val schema = topupDocs(d1).schema
+    def start() = graft.streaming.StreamingTopup.startTopupIngest(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/slice*"),
+      "doc_id", "lang", targetPerGroup = 12L, totalBudget = 25L,
+      stateDir, outDir, ckpt)
+    val q = start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(s"$outDir/admitted")
+      .select("doc_id", "lang", "rk", "batch_id")
+      .as[(Long, String, Long, Long)].collect()
+    // twin: sequential batch top-ups, composition accumulated by hand
+    val empty = Seq.empty[(String, Long)].toDF("lang", "n")
+    val a1 = Sampling.topupAdmit(topupDocs(d1), "doc_id", "lang", empty,
+      targetPerGroup = 12L, totalBudget = 25L)
+      .as[(Long, String, Long)].collect()
+    val cur1 = a1.groupBy(_._2).map { case (l, rs) => l -> rs.length.toLong }
+    val a2 = Sampling.topupAdmit(topupDocs(d2), "doc_id", "lang",
+      cur1.toSeq.toDF("lang", "n"),
+      targetPerGroup = 12L, totalBudget = 25L)
+      .as[(Long, String, Long)].collect()
+    val expected = a1.map(r => (r._1, r._2, r._3, 0L)).toSet ++
+      a2.map(r => (r._1, r._2, r._3, 1L)).toSet
+    assert(got.toSet === expected)
+    // the planted bogus delta for batch 1 was overwritten by the real one
+    val delta1 = spark.read.parquet(s"$stateDir/delta")
+      .filter(col("batch_id") === 1)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(delta1 === a2.groupBy(_._2).map { case (l, rs) => l -> rs.length.toLong })
+    // restart over the same source + checkpoint: no new work, no drift
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(s"$outDir/admitted")
+      .select("doc_id", "lang", "rk", "batch_id")
+      .as[(Long, String, Long, Long)].collect().toSet === expected)
+    org.apache.commons.io.FileUtils.deleteQuietly(base)
+  }
 }
