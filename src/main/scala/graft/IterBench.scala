@@ -476,19 +476,20 @@ object IterBench {
     // fixed cost; depth enters only logarithmically.
     if (section == "suffixarray") {
       import org.apache.spark.sql.functions.{col, max}
+      val saBase = sys.env.getOrElse("SPARK_GRAFT_SA_BASE", "4").toInt
       val (docs, _) = scaledDocs()
       println(s"[iterbench] corpus: ${docs.count()} docs (mult=$mult)")
       for (round <- 1 to 2; depth <- Seq(16, 64)) {
-        timed(s"suffixArray depth=$depth (mult=$mult), round $round") {
+        timed(s"suffixArray depth=$depth base=$saBase (mult=$mult), round $round") {
           graft.operators.SuffixArray.suffixArray(docs, "doc_id", "text",
-            depth = depth, base = 4)
+            depth = depth, base = saBase)
             .agg(max(col("rank"))).head().getLong(0)
         }
       }
       for (round <- 1 to 2) {
-        timed(s"longestRepeats depth=64 top-50 (mult=$mult), round $round") {
+        timed(s"longestRepeats depth=64 base=$saBase top-50 (mult=$mult), round $round") {
           graft.operators.SuffixArray.longestRepeats(docs, "doc_id", "text",
-            depth = 64, base = 4, minLen = 12, k = 50).count()
+            depth = 64, base = saBase, minLen = 12, k = 50).count()
         }
       }
       docs.unpersist()

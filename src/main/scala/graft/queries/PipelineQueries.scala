@@ -347,8 +347,10 @@ object PipelineQueries {
     * DP per distinct word, walks the argmin path back with the
     * longest-piece-attaining-the-optimum rule (a second recursive CTE),
     * and re-counts corpus-weighted piece usage. */
-  private lazy val OUnigramTrain: String = {
-    def round(k: Int) = s"""c$k AS (
+  /** One hard-EM round as DuckDB CTEs (cost list from v{k-1}, recursive
+    * DP + backtrack over the distinct words, usage counts into v$k) —
+    * shared by [[OUnigramTrain]] and [[OUnigramEncode]]. */
+  private def oUnigramEmRound(k: Int): String = s"""c$k AS (
         SELECT list(struct_pack(p := p,
           c := CAST(1000000 // (1 + cnt) AS BIGINT))) AS ps FROM v${k - 1}
       ), dp$k AS (
@@ -385,7 +387,13 @@ object PipelineQueries {
         SELECT v.p, coalesce(n.cnt, 0) AS cnt
         FROM v${k - 1} v LEFT JOIN n$k n ON v.p = n.p
       )"""
-    s"""WITH RECURSIVE docw AS (
+
+  /** The corpus-substring seed CTEs shared by the unigram oracles:
+    * docw/words + all-substrings counts + v0 (chars + top-24 multis). */
+  // s-interpolated so escape processing renders \\s+ as \s+ exactly like
+  // every other oracle literal (a plain val keeps both backslashes and
+  // the word splitter silently stops splitting)
+  private val OUnigramSeed: String = s"""docw AS (
         SELECT unnest(list_filter(
           string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS word
         FROM documents
@@ -404,9 +412,12 @@ object PipelineQueries {
         SELECT p, cnt FROM (
           SELECT p, cnt FROM subs WHERE length(p) >= 2
           ORDER BY cnt DESC, p LIMIT 24)
-      ),
-      ${round(1)},
-      ${round(2)}
+      )"""
+
+  private lazy val OUnigramTrain: String =
+    s"""WITH RECURSIVE ${OUnigramSeed},
+      ${oUnigramEmRound(1)},
+      ${oUnigramEmRound(2)}
       SELECT 0 AS iter, p AS piece,
         CAST(1000000 // (1 + cnt) AS BIGINT) AS cost, cnt FROM v0
       UNION ALL
@@ -415,7 +426,43 @@ object PipelineQueries {
       UNION ALL
       SELECT 2, v1.p, CAST(1000000 // (1 + v1.cnt) AS BIGINT), v2.cnt
       FROM v1 JOIN v2 ON v1.p = v2.p"""
-  }
+
+  /** DuckDB replay of ENCODING with the 2-round-trained unigram vocab
+    * (the qfj gate): OUnigramTrain's seed + EM chain to v2, a cost list
+    * from v2's counts, then the POSITION-FREE weighted DP per distinct
+    * word and the per-doc roll-up (qe0's tail shape). */
+  private lazy val OUnigramEncode: String =
+    s"""WITH RECURSIVE ${OUnigramSeed},
+      ${oUnigramEmRound(1)},
+      ${oUnigramEmRound(2)},
+      c3 AS (
+        SELECT list(struct_pack(p := p,
+          c := CAST(1000000 // (1 + cnt) AS BIGINT))) AS ps FROM v2
+      ), edp AS (
+        SELECT word, 0 AS i, [CAST(0 AS BIGINT)] AS costs FROM words
+        UNION ALL
+        SELECT word, i + 1, list_append(costs,
+          coalesce(list_min(list_transform(list_filter(c3.ps,
+              e -> length(e.p) <= i + 1
+                AND e.p = substr(word, i + 1 - length(e.p) + 1, length(e.p))),
+            e -> costs[i + 1 - length(e.p) + 1] + e.c)), 1000000000))
+        FROM edp, c3 WHERE i < length(word)
+      ), wl AS (
+        SELECT word,
+          CASE WHEN costs[length(word) + 1] >= 1000000000
+               THEN 1000000 ELSE costs[length(word) + 1] END AS w_cost,
+          costs[length(word) + 1] >= 1000000000 AS unk
+        FROM edp WHERE i = length(word)
+      ), dw AS (
+        SELECT doc_id, unnest(list_filter(
+          string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS word
+        FROM documents
+      )
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        CAST(sum(w_cost) AS BIGINT) AS total_cost,
+        CAST(sum(CASE WHEN unk THEN 1 ELSE 0 END) AS BIGINT) AS n_unk_words
+      FROM dw JOIN wl USING (word)
+      GROUP BY doc_id"""
 
   /** DuckDB replay of the PRUNED hard-EM unigram trainer (the qfg
     * gate): OUnigramTrain's per-round machinery plus, per round, the
@@ -2562,6 +2609,28 @@ object PipelineQueries {
           .toDF("round", "piece", "cost", "cnt", "loss", "pruned")
       },
       Some(OUnigramPrune)),
+
+    // ENCODE with the trained unigram vocabulary — the apply half qfd's
+    // trainer feeds (the qdl/qdw counterpart for the unigram family):
+    // 2 EM rounds train the piece counts, costs derive as 1e6//(1+cnt),
+    // and the corpus encodes under the position-free weighted DP. The
+    // position-free semantics ride minCostEncode by registering every
+    // piece BOTH bare (word-initial) and ##-prefixed (continuation) —
+    // the standard adapter from SentencePiece's position-free pieces to
+    // a WordPiece-shaped matcher, cost-identical by construction.
+    Entry("qfj_unigram_encode",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val trained = TextPipeline.unigramTrain(d, "text",
+          maxPieceLen = 4, seedMulti = 24, iters = 2)
+        val costs = trained.filter(_._1 == 2)
+          .map { case (_, p, _, cnt) => (p, 1000000L / (1L + cnt)) }
+        val vocab = costs.flatMap { case (p, c) =>
+          Seq((p, c), ("##" + p, c)) }
+        TextPipeline.minCostEncode(d, "doc_id", "text", vocab,
+          unkCost = 1000000L)
+      },
+      Some(OUnigramEncode)),
 
     // Release AUDIT CARD — the per-source report a dataset release ships
     // with, composed from the engine's own operators under ONE oracle:

@@ -157,6 +157,55 @@ class GramIndexSpec extends SparkSpec {
     GramIndex.drop(spark, ref)
   }
 
+  test("causal-rule differential fuzz: random corpora with planted " +
+    "duplicates, random delivery splits, vs a plain-Scala replica") {
+    val rnd = new scala.util.Random(40921)
+    for (round <- 0 until 2) {
+      val l = 6 + round * 3 // 6, 9
+      def rs(n: Int) = (0 until n).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+      val base = (0 until 18).map(i => i.toLong -> rs(15 + rnd.nextInt(40)))
+      // plant cross-doc and within-doc repeats like the qf8 fuzz
+      val corpus = base.map { case (id, t) =>
+        if (id % 3 == 0 && t.length > l + 4) {
+          val src = base((id.toInt + 5) % 18)._2
+          val s = rnd.nextInt(math.max(1, src.length - l - 2))
+          id -> (t + src.substring(s, s + l + 2))
+        } else id -> t
+      }
+      // random contiguous split into 3 deliveries (id order)
+      val c1 = 4 + rnd.nextInt(6); val c2 = c1 + 4 + rnd.nextInt(6)
+      val deliveries = Seq(corpus.take(c1), corpus.slice(c1, c2), corpus.drop(c2))
+      val fref = GramIndex.Ref(s"gfuzz$round", buckets = 4)
+      GramIndex.drop(spark, fref)
+      val got = deliveries.map(d =>
+        collect(GramIndex.ingest(docs(d: _*), "doc_id", "text", l, fref)))
+        .reduce(_ ++ _)
+      GramIndex.drop(spark, fref)
+      // replica: per delivery, position dup iff gram seen in an EARLIER
+      // delivery or >= 2 times within this delivery; boolean mask excise
+      val seen = scala.collection.mutable.Set.empty[String]
+      val expected = deliveries.flatMap { d =>
+        val within = scala.collection.mutable.Map.empty[String, Int]
+        for ((_, t) <- d; i <- 0 to t.length - l)
+          within.updateWith(t.substring(i, i + l))(c => Some(c.getOrElse(0) + 1))
+        val out = d.map { case (id, t) =>
+          val rm = Array.fill(t.length)(false)
+          for (i <- 0 to t.length - l) {
+            val g = t.substring(i, i + l)
+            if (seen.contains(g) || within(g) >= 2)
+              (i until i + l).foreach(rm(_) = true)
+          }
+          val clean = t.indices.collect { case j if !rm(j) => t(j) }.mkString
+          val spans = rm.indices.count(j => rm(j) && (j == 0 || !rm(j - 1)))
+          id -> ((clean, spans.toLong, rm.count(identity).toLong))
+        }
+        within.keys.foreach(seen.add)
+        out
+      }.toMap
+      assert(got === expected, s"round $round (L=$l, split $c1/$c2)")
+    }
+  }
+
   test("streaming ingest: ledgered micro-batches equal sequential ingests; " +
     "restart is a no-op") {
     val sref = GramIndex.Ref("gspecstream", buckets = 4)
