@@ -851,6 +851,67 @@ object Dedup {
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
   }
 
+  /** Memorization-risk report — the per-document EXPOSURE metric of the
+    * memorization literature (content a model could only have learned
+    * from this one document): for each doc, the merged character spans
+    * covered by L-char windows that are UNIQUE corpus-wide (global
+    * count == 1), as (idCol, n_unique_spans, n_unique_chars,
+    * frac_unique_millis = floor(1000·chars/len)). The dual of
+    * [[exactSubstrRemove]] — duplication's windows get removed, and
+    * uniqueness's windows are what deduplication can never touch, so
+    * this report is the release-time check that the SURVIVING corpus
+    * still carries how much single-source content.
+    *
+    * Uniqueness (unlike duplication) does not reduce across lengths —
+    * a rare long string can be tiled by common windows — so the metric
+    * is defined AT the window length: a position is exposed iff some
+    * unique L-window covers it. Same machinery as qf8: one rolling-hash
+    * pass, a count aggregate (map-side partials), the per-doc interval
+    * merge. No text confirm is needed — every occurrence of one text
+    * shares its hash, so hash-count == 1 IMPLIES text-count == 1 and a
+    * unique verdict is exact; a cross-gram collision can only HIDE a
+    * unique window (counts inflate), never invent one — the usual
+    * 64-bit-equivalence understatement, ~2^-64 per pair. Linear end to
+    * end, no pairwise term. */
+  def memorizationReport(df: DataFrame, idCol: String, textCol: String,
+                         windowLen: Int): DataFrame = {
+    require(windowLen >= 2, s"windowLen must be >= 2, got $windowLen")
+    import org.apache.spark.sql.expressions.Window
+    val L = windowLen
+    val docs = df.select(col(idCol).as("_d"), col(textCol).as("_t"),
+      length(col(textCol)).cast("long").as("_len"))
+    val grams = docs.select(col("_d"),
+        posexplode(when(col("_len") >= L,
+          transform(sequence(lit(0L), col("_len") - L), i =>
+            graft.functions.Fnv1a64Expr(
+              col("_t").substr((i + 1).cast("int"), lit(L)))))
+          .otherwise(array().cast("array<bigint>"))))
+      .toDF("_d", "pos", "h")
+      .withColumn("pos", col("pos").cast("long"))
+    val loneHash = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("_c")).filter(col("_c") === 1).select("h")
+    val uniquePos = grams.join(loneHash, "h").select(col("_d"), col("pos"))
+    val ord = Window.partitionBy("_d").orderBy(col("s"), col("e"))
+    val merged = uniquePos
+      .select(col("_d"), col("pos").as("s"), (col("pos") + L).as("e"))
+      .withColumn("brk", when(col("s") > coalesce(
+        max(col("e")).over(ord.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(-1L)), 1).otherwise(0))
+      .withColumn("grp", sum(col("brk")).over(ord))
+      .groupBy(col("_d"), col("grp"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val perDoc = merged.groupBy(col("_d"))
+      .agg(count(lit(1)).cast("long").as("n_unique_spans"),
+        sum(col("e") - col("s")).cast("long").as("n_unique_chars"))
+    docs.join(perDoc, Seq("_d"), "left")
+      .select(col("_d").as(idCol),
+        coalesce(col("n_unique_spans"), lit(0L)).as("n_unique_spans"),
+        coalesce(col("n_unique_chars"), lit(0L)).as("n_unique_chars"),
+        when(col("_len") > 0, expr(
+          "(coalesce(n_unique_chars, 0L) * 1000L) DIV _len"))
+          .otherwise(lit(0L)).as("frac_unique_millis"))
+  }
+
   /** (_d, pos, h, h2) double-hash rolling L-gram fingerprints over
     * `docs` (_d, _t, _len) — the cross-run currency of [[GramIndex]]:
     * FNV-1a 64 + xxhash64 of the same window, 16 bytes per character

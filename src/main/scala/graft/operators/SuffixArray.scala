@@ -107,6 +107,31 @@ object SuffixArray {
     * Scale: the SA's O(log depth) rounds plus ONE adjacency self-join
     * on rank (8-byte key) moving `depth`-char prefixes, an LCP HOF per
     * pair, and a TakeOrdered top-k. */
+  /** The LCP array to [[suffixArray]]'s SA — together they are the
+    * complete duplicate-enumeration structure (every repeated run of
+    * length ℓ ≤ depth appears as an adjacent pair with lcp ≥ ℓ): one
+    * row per suffix, (idCol, pos, rank, lcp), lcp = bounded common
+    * prefix with the rank-predecessor, lcp(rank 1) = 0. Same adjacency
+    * join + guarded LCP fold as [[longestRepeats]], without the top-k
+    * cut. */
+  def lcpArray(df: DataFrame, idCol: String, textCol: String,
+               depth: Int = 64, base: Int = 4): DataFrame = {
+    val sa = suffixArray(df, idCol, textCol, depth, base)
+    val docs = df.select(col(idCol).as("_d"), col(textCol).as("_t"))
+    val withPrefix = sa.join(docs, sa(idCol) === docs("_d"))
+      .select(col("rank"), col(idCol).as("_id"), col("pos"),
+        col("_t").substr((col("pos") + 1).cast("int"), lit(depth)).as("p1"))
+    val prev = withPrefix.select((col("rank") + 1L).as("rank"),
+      col("p1").as("p2"))
+    withPrefix.join(prev, Seq("rank"), "left")
+      .withColumn("lcp", when(col("p2").isNull, lit(0L)).otherwise(expr(
+        s"""aggregate(sequence(1, $depth), 0, (acc, i) ->
+           CASE WHEN acc = i - 1 AND i <= length(p1) AND i <= length(p2)
+                 AND substring(p1, i, 1) = substring(p2, i, 1)
+             THEN i ELSE acc END)""").cast("long")))
+      .select(col("_id").as(idCol), col("pos"), col("rank"), col("lcp"))
+  }
+
   def longestRepeats(df: DataFrame, idCol: String, textCol: String,
                      depth: Int = 64, base: Int = 4, minLen: Int = 8,
                      k: Int = 50): DataFrame = {

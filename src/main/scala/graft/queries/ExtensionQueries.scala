@@ -1490,6 +1490,34 @@ object ExtensionQueries {
             AS rank
         FROM s""")),
 
+    // The LCP array to qfe's SA — one row per suffix with its bounded
+    // common-prefix length against the rank-predecessor; (SA, LCP) is
+    // the complete enumeration structure. Same slice and oracle order
+    // as qfe, plus the lag + guarded-lcp tail.
+    Entry("qfl_lcp_array",
+      (s, dir) => graft.operators.SuffixArray.lcpArray(
+        t(s, dir, "documents").filter(col("doc_id") % 5 === 0),
+        "doc_id", "text", depth = 64, base = 4),
+      Some("""WITH d AS (
+          SELECT doc_id, text FROM documents
+          WHERE doc_id % 5 = 0 AND len(text) > 0
+        ), s AS (
+          SELECT doc_id, i - 1 AS pos, substring(text, i, 64) AS p
+          FROM d CROSS JOIN UNNEST(generate_series(1, len(text))) u(i)
+        ), o AS (
+          SELECT doc_id, pos, p,
+            row_number() OVER (ORDER BY p, doc_id, pos) AS rank,
+            lag(p) OVER (ORDER BY p, doc_id, pos) AS p2
+          FROM s
+        )
+        SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+          CAST(rank AS BIGINT) AS rank,
+          CAST(coalesce(list_max(list_filter(range(1, 65),
+            j -> j <= len(p) AND j <= len(p2)
+              AND substring(p, 1, j) = substring(p2, 1, j))), 0) AS BIGINT)
+            AS lcp
+        FROM o""")),
+
     // The enumeration query the SA exists for: top-50 longest repeated
     // substrings (bounded at 64) from adjacent-suffix LCPs — the
     // classic reduction (every repeat is witnessed by an SA-adjacent

@@ -2632,6 +2632,49 @@ object PipelineQueries {
       },
       Some(OUnigramEncode)),
 
+    // Memorization-risk report (the exposure metric of the memorization
+    // literature): per doc, the merged spans covered by 40-char windows
+    // UNIQUE corpus-wide — the single-source content deduplication can
+    // never touch. qf8's machinery with the count filter flipped to
+    // == 1 and a stats tail instead of excision.
+    Entry("qfk_memorization_report",
+      (s, dir) => Dedup.memorizationReport(
+        t(s, dir, "documents"), "doc_id", "text", windowLen = 40),
+      Some("""WITH g AS (
+          SELECT doc_id, i - 1 AS pos, substring(text, i, 40) AS gram
+          FROM documents
+          CROSS JOIN UNNEST(generate_series(1, len(text) - 39)) AS u(i)
+          WHERE len(text) >= 40
+        ), uq AS (
+          SELECT gram FROM g GROUP BY gram HAVING count(*) = 1
+        ), iv AS (
+          SELECT doc_id, pos AS s, pos + 40 AS e FROM g
+          WHERE gram IN (SELECT gram FROM uq)
+        ), brk AS (
+          SELECT doc_id, s, e,
+            CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+              ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              -1) THEN 1 ELSE 0 END AS b
+          FROM iv
+        ), grps AS (
+          SELECT doc_id, s, e,
+            sum(b) OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+          FROM brk
+        ), mi AS (
+          SELECT doc_id, grp, min(s) AS s, max(e) AS e FROM grps GROUP BY 1, 2
+        ), agg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+            CAST(sum(e - s) AS BIGINT) AS n_chars
+          FROM mi GROUP BY 1
+        )
+        SELECT d.doc_id,
+          coalesce(agg.n_spans, CAST(0 AS BIGINT)) AS n_unique_spans,
+          coalesce(agg.n_chars, CAST(0 AS BIGINT)) AS n_unique_chars,
+          CASE WHEN len(d.text) > 0
+            THEN CAST(coalesce(agg.n_chars, 0) * 1000 // len(d.text) AS BIGINT)
+            ELSE CAST(0 AS BIGINT) END AS frac_unique_millis
+        FROM documents d LEFT JOIN agg USING (doc_id)""")),
+
     // Release AUDIT CARD — the per-source report a dataset release ships
     // with, composed from the engine's own operators under ONE oracle:
     // doc/token/char counts, duplicated-content incidence (docs carrying

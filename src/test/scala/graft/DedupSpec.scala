@@ -577,6 +577,39 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) === (("", 1L, 56L)) && got(5L) === (("", 1L, 56L)))
   }
 
+  test("memorizationReport: unique-window spans match a boolean-mask " +
+    "replica; duplicated content is excluded; fraction is floor-exact") {
+    def brute(docs: Seq[(Long, String)], l: Int): Map[Long, (Long, Long, Long)] = {
+      val occ = scala.collection.mutable.Map.empty[String, Int]
+      for ((_, t) <- docs; i <- 0 to t.length - l)
+        occ.updateWith(t.substring(i, i + l))(c => Some(c.getOrElse(0) + 1))
+      docs.map { case (d, t) =>
+        val mk = Array.fill(t.length)(false)
+        for (i <- 0 to t.length - l; if occ(t.substring(i, i + l)) == 1;
+             j <- i until i + l) mk(j) = true
+        val chars = mk.count(identity).toLong
+        val spans = mk.indices.count(j => mk(j) && (j == 0 || !mk(j - 1))).toLong
+        d -> ((spans, chars,
+          if (t.nonEmpty) chars * 1000L / t.length else 0L))
+      }.toMap
+    }
+    val rnd = new scala.util.Random(5417)
+    val base = (0 until 20).map(i =>
+      i.toLong -> (0 until 15 + rnd.nextInt(50))
+        .map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+    // plant a verbatim pair: its windows are NOT unique -> excluded
+    val docs = base ++ Seq(100L -> base.head._2, 101L -> "xy")
+    val got = Dedup.memorizationReport(docs.toDF("doc_id", "text"),
+        "doc_id", "text", windowLen = 8)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === brute(docs, 8))
+    // the duplicated doc pair carries zero single-source exposure
+    assert(got(0L) === ((0L, 0L, 0L)) && got(100L) === ((0L, 0L, 0L)))
+    // sub-window docs report zero (no windows at all)
+    assert(got(101L) === ((0L, 0L, 0L)))
+  }
+
   test("exactSubstrRemove differential fuzz: matches the boolean-mask " +
     "replica on random corpora with planted duplicates") {
     val rnd = new scala.util.Random(1912)

@@ -64,6 +64,32 @@ class SuffixArraySpec extends SparkSpec {
     }
   }
 
+  test("lcpArray: matches brute adjacent-lcp over the bounded SA; rank 1 " +
+    "reports lcp 0") {
+    val rnd = new scala.util.Random(9090)
+    val docs = (0 until 10).map { i =>
+      i.toLong -> (0 until 8 + rnd.nextInt(30))
+        .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    }
+    val depth = 16
+    val suf = docs.flatMap { case (d, t) =>
+      (0 until t.length).map(p =>
+        (d, p.toLong, t.substring(p, math.min(t.length, p + depth))))
+    }.sortBy { case (d, p, s) => (s, d, p) }
+    val brute = suf.zipWithIndex.map { case ((d, p, s), i) =>
+      val lcp = if (i == 0) 0L else {
+        val prev = suf(i - 1)._3
+        s.zip(prev).takeWhile { case (a, b) => a == b }.length.toLong
+      }
+      (d, p, i + 1L, lcp)
+    }.toSet
+    val got = SuffixArray.lcpArray(docs.toDF("doc_id", "text"),
+        "doc_id", "text", depth, base = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === brute)
+    assert(got.find(_._3 == 1L).get._4 === 0L)
+  }
+
   test("longestRepeats: planted cross-doc repeat reported at its exact " +
     "length; periodic runs cap at the depth bound; matches brute") {
     val boiler = "SHARED RUN OF TEXT!" // 19 chars, planted in docs 1 and 2
