@@ -294,6 +294,19 @@ class PlanQualitySpec extends SparkSpec {
       s"nothing here should need a corpus-sized shuffle join at this SF:\n$plan")
   }
 
+  test("qfk memorization report: same shape discipline as qf8 — map-side " +
+    "partials on the window count, UDF-free, pruned scan, no pairwise") {
+    val plan = executedPlan("qfk_memorization_report")
+    assert(plan.contains("partial_count"),
+      s"window count lost its map-side partial:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"must stay native:\n$plan")
+    val read = "ReadSchema: [^\n]*".r.findAllIn(plan).mkString(" ")
+    assert(!read.contains("lang") && !read.contains("source"),
+      s"documents scan not pruned to (doc_id, text): $read")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"no pairwise regime in the exposure report:\n$plan")
+  }
+
   test("qfe suffix array: the final order comes off the two-phase scan's " +
     "RDD boundary, never a one-task window; the doubling rounds are " +
     "equi-joins") {
