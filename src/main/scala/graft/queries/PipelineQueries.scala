@@ -2632,6 +2632,97 @@ object PipelineQueries {
       },
       Some(OUnigramEncode)),
 
+    // END-TO-END curation v2 — the round-12 operators composed under ONE
+    // oracle (qen's counterpart from this round's pieces): ExactSubstr-
+    // clean the corpus (qf8, L=40), keep docs still carrying >= 20
+    // tokens (post-clean viability), pack survivors into 64-token
+    // sequences WITH doc-boundary metadata (qf7). The chained oracle
+    // covers cleaning, the filter, and the packing layout together, so
+    // the COMPOSITION is bit-exact, not just each stage.
+    Entry("qfm_curation_v2",
+      (s, dir) => {
+        val cleaned = Dedup.exactSubstrRemove(
+            t(s, dir, "documents"), "doc_id", "text", minLen = 40)
+          .select(col("doc_id"), col("clean_text").as("text"))
+        val kept = cleaned.filter(
+          size(TextFunctions.tokens(col("text"))) >= 20)
+        TextPipeline.packSequencesWithBoundaries(kept, "doc_id", "text",
+          seqLen = 64)
+      },
+      Some(s"""WITH g AS (
+          SELECT doc_id, i - 1 AS pos, substring(text, i, 40) AS gram
+          FROM documents
+          CROSS JOIN UNNEST(generate_series(1, len(text) - 39)) AS u(i)
+          WHERE len(text) >= 40
+        ), dup AS (
+          SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+        ), iv AS (
+          SELECT doc_id, pos AS st, pos + 40 AS e FROM g
+          WHERE gram IN (SELECT gram FROM dup)
+        ), brk AS (
+          SELECT doc_id, st, e,
+            CASE WHEN st > coalesce(max(e) OVER (PARTITION BY doc_id
+              ORDER BY st, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              -1) THEN 1 ELSE 0 END AS b
+          FROM iv
+        ), grps AS (
+          SELECT doc_id, st, e,
+            sum(b) OVER (PARTITION BY doc_id ORDER BY st, e) AS grp
+          FROM brk
+        ), mi AS (
+          SELECT doc_id, grp, min(st) AS st, max(e) AS e
+          FROM grps GROUP BY 1, 2
+        ), seg AS (
+          SELECT doc_id,
+            coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY st), 0) AS gs,
+            st AS ge
+          FROM mi
+          UNION ALL
+          SELECT doc_id, max(e) AS gs, NULL AS ge FROM mi GROUP BY doc_id
+        ), rec AS (
+          SELECT d.doc_id,
+            string_agg(substring(d.text, seg.gs + 1,
+              coalesce(seg.ge, len(d.text)) - seg.gs), '' ORDER BY seg.gs)
+              AS ct
+          FROM documents d JOIN seg ON d.doc_id = seg.doc_id
+          GROUP BY d.doc_id
+        ), cleaned AS (
+          SELECT d.doc_id, coalesce(rec.ct, d.text) AS text
+          FROM documents d LEFT JOIN rec USING (doc_id)
+        ), ktoks AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+          FROM cleaned
+        ), keep AS (
+          SELECT doc_id, w FROM ktoks WHERE len(w) >= 20
+        ), off AS (
+          SELECT doc_id, w,
+            coalesce(sum(len(w)) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+          FROM keep
+        ), tok AS (
+          SELECT doc_id, o + i - 1 AS gpos, w[i] AS t
+          FROM off CROSS JOIN UNNEST(generate_series(1, len(w))) AS uu(i)
+        ), sq AS (
+          SELECT CAST(gpos // 64 AS BIGINT) AS seq_id,
+            CAST(gpos % 64 AS BIGINT) AS pos, t, doc_id
+          FROM tok
+        ), s1 AS (
+          SELECT seq_id, CAST(count(*) AS BIGINT) AS n_toks,
+            CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+            string_agg(t, ' ' ORDER BY pos) AS seq_text
+          FROM sq GROUP BY 1
+        ), b0 AS (
+          SELECT seq_id, doc_id, min(pos) AS p FROM sq GROUP BY 1, 2
+        ), bb AS (
+          SELECT seq_id,
+            string_agg(CAST(p AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR),
+              ' ' ORDER BY p) AS boundaries
+          FROM b0 GROUP BY 1
+        )
+        SELECT s1.seq_id, s1.n_toks, s1.n_docs, s1.seq_text, bb.boundaries
+        FROM s1 JOIN bb USING (seq_id)""")),
+
     // Memorization-risk report (the exposure metric of the memorization
     // literature): per doc, the merged spans covered by 40-char windows
     // UNIQUE corpus-wide — the single-source content deduplication can
