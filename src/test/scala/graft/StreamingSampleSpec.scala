@@ -147,6 +147,48 @@ class StreamingSampleSpec extends SparkSpec {
 
   private def topupDocs(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "lang")
 
+  test("StreamingTopup fuzz: random corpora and random delivery splits " +
+    "equal sequential batch top-ups with hand-accumulated composition") {
+    import graft.operators.Sampling
+    val rnd = new scala.util.Random(62003)
+    for (trial <- 0 until 2) {
+      val rows = (0 until 60 + rnd.nextInt(60)).map(i =>
+        i.toLong -> s"l${i % (2 + rnd.nextInt(4))}")
+      val c1 = 10 + rnd.nextInt(20); val c2 = c1 + 10 + rnd.nextInt(20)
+      val slices = Seq(rows.take(c1), rows.slice(c1, c2), rows.drop(c2))
+      val target = 5L + rnd.nextInt(20); val budget = 8L + rnd.nextInt(30)
+      val base = java.nio.file.Files.createTempDirectory(s"topup_fuzz$trial").toFile
+      val src = new java.io.File(base, "src"); src.mkdirs()
+      slices.zipWithIndex.foreach { case (sl, i) =>
+        topupDocs(sl).coalesce(1).write.parquet(s"$src/slice$i")
+        Thread.sleep(20)
+      }
+      val q = graft.streaming.StreamingTopup.startTopupIngest(
+        spark.readStream.schema(topupDocs(rows).schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$src/slice*"),
+        "doc_id", "lang", target, budget,
+        new java.io.File(base, "state").getAbsolutePath,
+        new java.io.File(base, "out").getAbsolutePath,
+        new java.io.File(base, "ckpt").getAbsolutePath)
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.read.parquet(s"$base/out/admitted")
+        .select("doc_id", "lang", "rk", "batch_id")
+        .as[(Long, String, Long, Long)].collect().toSet
+      var cur = Map.empty[String, Long]
+      val expected = slices.zipWithIndex.flatMap { case (sl, i) =>
+        val a = Sampling.topupAdmit(topupDocs(sl), "doc_id", "lang",
+            cur.toSeq.toDF("lang", "n"), target, budget)
+          .as[(Long, String, Long)].collect()
+        a.groupBy(_._2).foreach { case (l, rs) =>
+          cur = cur.updated(l, cur.getOrElse(l, 0L) + rs.length) }
+        a.map(r => (r._1, r._2, r._3, i.toLong))
+      }.toSet
+      assert(got === expected,
+        s"trial $trial target=$target budget=$budget split=$c1/$c2")
+      org.apache.commons.io.FileUtils.deleteQuietly(base)
+    }
+  }
+
   test("StreamingTopup: two deliveries equal sequential batch top-ups " +
     "with accumulated composition; restart is a ledgered no-op; a " +
     "half-written state delta from a crashed attempt is ignored") {
