@@ -425,7 +425,10 @@ object Dedup {
                               score: Column): DataFrame = {
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
     val comp = GraphOps.connectedComponents(edges)
-    val clustered = df.select(col(idCol), score.cast("long").as("score"))
+    // the ranking uses the score AS GIVEN — no numeric cast, so fractional
+    // quality scores (model scores in [0,1]) order correctly instead of
+    // truncating to a constant; the output column keeps the caller's type
+    val clustered = df.select(col(idCol), score.as("score"))
       .join(comp, df(idCol) === comp("node"), "left")
       .select(col(idCol), coalesce(col("component"), col(idCol)).as("cluster_id"),
         col("score"))

@@ -13,11 +13,12 @@ import org.apache.spark.sql.functions._
   *
   * ONE catalog table persists the corpus fingerprints:
   *
-  *  - `grams` (h, h2, cnt), bucketed on h — one row per distinct L-gram
-  *    per ingest batch, carrying the double 64-bit fingerprint
-  *    ([[Dedup.charGramFingerprints]]) and its occurrence count. An
-  *    arriving batch probes it with a bucketed join on h (ZERO exchange
-  *    on the corpus side) and confirms on h2.
+  *  - `grams` (h, h2, cnt, delivery), bucketed on h — one row per distinct
+  *    L-gram per ingest delivery, carrying the double 64-bit fingerprint
+  *    ([[Dedup.charGramFingerprints]]), its occurrence count, and the
+  *    delivery id that appended it. An arriving batch probes it with a
+  *    bucketed join on h (ZERO exchange on the corpus side) and confirms
+  *    on h2.
   *
   * Ingest semantics are the only CAUSAL cross-delivery form of
   * ExactSubstr: a batch character is excised iff its window matches
@@ -29,30 +30,40 @@ import org.apache.spark.sql.functions._
   * index the incremental refinement of the batch operator, not a
   * different rule.
   *
-  * The index records content SEEN, not content kept: each batch appends
+  * The index records content SEEN, not content kept: each delivery appends
   * its ORIGINAL text's gram counts, so a third delivery of boilerplate
   * removed from the second still dedups, and ingest stays one pass over
-  * the batch (no re-hash of the cleaned text). Appends are
-  * replay-absorbent for results — a replayed batch doubles `cnt`, and
-  * the dedup rule only tests existence — the streaming wrapper's ledger
-  * bounds the double-count to the crash window. Batch ids must not
-  * re-ingest once their append landed (same id-uniqueness contract as
-  * [[LshIndex]]): a re-ingested batch would find its own grams in the
-  * index and excise everything.
+  * the batch (no re-hash of the cleaned text).
   *
-  * Storage: ~24 bytes per distinct (batch, gram) pair before [[compact]],
-  * which sum-merges to one row per distinct corpus gram — O(corpus
-  * characters) worst case, the same order as the published suffix-array
-  * pipeline's SA (8 bytes/char PLUS the corpus it indexes), with heavy
-  * shrink on natural corpora where grams repeat. The trade for that
-  * footprint: per-delivery cost is O(batch + matches), never O(corpus) —
-  * the re-dedup a pipeline without an index re-pays per delivery.
+  * REPLAY CONTRACT (the retry story for a crashed ingest): every append
+  * is tagged with the delivery id, and the corpus probe EXCLUDES the
+  * current delivery's own rows. A retried `ingest` with the SAME delivery
+  * id therefore produces byte-identical output even when the first
+  * attempt's append already landed (fully or torn) — the batch can never
+  * see its own grams as corpus content. The only residue of a replay is a
+  * duplicate set of rows for that delivery, which is invisible to the
+  * dedup rule (existence-only) and cancelled EXACTLY by [[compact]]
+  * (max-per-delivery before the cross-delivery sum) or retracted by
+  * [[recoverDelivery]]. Delivery ids must be stable across retries and
+  * unique across deliveries; re-using an OLD delivery's id for NEW
+  * content would wrongly self-exclude that old content.
+  *
+  * Storage: ~32 bytes per distinct (delivery, gram) pair before
+  * [[compact]], which merges to one row per distinct corpus gram —
+  * O(corpus characters) worst case, the same order as the published
+  * suffix-array pipeline's SA (8 bytes/char PLUS the corpus it indexes),
+  * with heavy shrink on natural corpora where grams repeat. The trade for
+  * that footprint: per-delivery cost is O(batch + matches), never
+  * O(corpus) — the re-dedup a pipeline without an index re-pays per
+  * delivery.
   *
   * Single-writer, enforced on storage: ingest/compact take the same
   * atomic create-if-absent lease as the rest of the family (HDFS/local
   * semantics; see [[LshIndex]] for the object-store caveat). The table
   * is EXTERNAL — [[attach]] re-registers the bucketing DDL over the
-  * files in a fresh session/process.
+  * files in a fresh session/process; ingest auto-attaches (and recovers a
+  * crashed compact's rename-aside state) so an on-disk index is never
+  * silently treated as empty.
   */
 object GramIndex {
 
@@ -61,6 +72,10 @@ object GramIndex {
   final case class Ref(tag: String, buckets: Int) {
     def gramsTable: String = s"graft_gramidx_grams_$tag"
   }
+
+  /** Delivery tag [[compact]] rewrites merged rows under; user delivery
+    * ids must not collide with it. */
+  val CompactedDelivery = "_compacted"
 
   private def location(spark: SparkSession, table: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"), table)
@@ -122,6 +137,21 @@ object GramIndex {
   def attach(spark: SparkSession, ref: Ref): Unit =
     if (!spark.catalog.tableExists(ref.gramsTable)) register(spark, ref)
 
+  /** Writer-side preamble: finish a crashed [[compact]]'s rename-aside
+    * swap if one is pending, then register an on-disk index the session
+    * catalog does not know. Returns whether index content exists — false
+    * only for a genuinely brand-new index. Without this, a fresh process
+    * that forgot [[attach]] would silently dedup against an EMPTY corpus. */
+  private def attachForWrite(spark: SparkSession, ref: Ref): Boolean = {
+    val loc = location(spark, ref.gramsTable)
+    val oldLoc = location(spark, s"${ref.gramsTable}_old")
+    val f = hfs(spark, loc)
+    if (!f.exists(loc) && f.exists(oldLoc)) LshIndex.mustRename(f, oldLoc, loc)
+    if (spark.catalog.tableExists(ref.gramsTable)) true
+    else if (f.exists(loc)) { register(spark, ref); true }
+    else false
+  }
+
   private def appendBucketed(df: DataFrame, ref: Ref): Unit = {
     val spark = df.sparkSession
     val w = df.write.mode("append").format("parquet")
@@ -131,21 +161,37 @@ object GramIndex {
       .saveAsTable(ref.gramsTable)
   }
 
+  /** [[ingest]] with a generated unique-per-call delivery id — for
+    * callers who do not need the crashed-retry idempotence (a retry MUST
+    * re-use the first attempt's id to self-exclude; with a fresh id the
+    * crashed attempt's grams look like an earlier delivery and the retry
+    * over-excises — use [[recoverDelivery]] first in that case). */
+  def ingest(batch: DataFrame, idCol: String, textCol: String,
+             minLen: Int, ref: Ref): DataFrame =
+    ingest(batch, idCol, textCol, minLen, ref,
+      delivery = java.util.UUID.randomUUID().toString)
+
   /** Ingest one delivery: return the batch CLEANED under the causal
     * cross-delivery ExactSubstr rule — (idCol, clean_text, n_spans,
     * n_removed), every batch doc present — then fold the batch's gram
-    * counts into the index. Results materialize BEFORE the append, so a
-    * batch never dedups against itself through the index.
+    * counts into the index tagged with `delivery`. The corpus probe
+    * excludes `delivery`'s own rows, so a retried ingest with the same id
+    * is byte-idempotent even if the first attempt's append landed (see
+    * the REPLAY CONTRACT in the object doc); results still materialize
+    * BEFORE the append so the common path never reads the index twice.
     *
     * Cost per delivery: one compiled hash pass over the batch, one
     * batch-sized count shuffle on 8-byte keys, one bucketed probe join
     * that reads the corpus pre-partitioned (only matching-bucket rows),
     * and the doc-keyed excision — O(batch + matches), no corpus scan. */
   def ingest(batch: DataFrame, idCol: String, textCol: String,
-             minLen: Int, ref: Ref): DataFrame = {
+             minLen: Int, ref: Ref, delivery: String): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    require(delivery.nonEmpty && delivery != CompactedDelivery,
+      s"delivery id must be non-empty and not '$CompactedDelivery'")
     val spark = batch.sparkSession
     withLease(spark, ref, "ingest") {
+      val hasCorpus = attachForWrite(spark, ref)
       val docs = batch.select(col(idCol).as("_d"), col(textCol).as("_t"),
         length(col(textCol)).cast("long").as("_len"))
       val grams = Dedup.charGramFingerprints(docs, minLen).cache()
@@ -156,12 +202,15 @@ object GramIndex {
       // vs corpus: the probe joins on h ALONE — the bucket column, so the
       // corpus side reads pre-partitioned with zero exchange — and h2
       // confirms post-join (a join on (h, h2) would not be satisfied by
-      // the h-bucketing and would shuffle the corpus)
+      // the h-bucketing and would shuffle the corpus). Rows tagged with
+      // THIS delivery id are excluded: they can only be a crashed earlier
+      // attempt of this same batch, not earlier corpus content.
       import spark.implicits._
       val corpusDup =
-        if (!spark.catalog.tableExists(ref.gramsTable))
-          Seq.empty[(Long, Long)].toDF("h", "h2")
-        else spark.table(ref.gramsTable).select(col("h"), col("h2").as("_ih2"))
+        if (!hasCorpus) Seq.empty[(Long, Long)].toDF("h", "h2")
+        else spark.table(ref.gramsTable)
+          .filter(col("delivery") =!= lit(delivery))
+          .select(col("h"), col("h2").as("_ih2"))
           .join(grams.select("h", "h2").distinct(), Seq("h"))
           .filter(col("_ih2") === col("h2"))
           .select("h", "h2").distinct()
@@ -170,7 +219,8 @@ object GramIndex {
         .select(col("_d"), col("pos"))
       val out = Dedup.excise(docs, dupPos, minLen, idCol).localCheckpoint()
       appendBucketed(
-        grams.groupBy(col("h"), col("h2")).agg(count(lit(1)).as("cnt")), ref)
+        grams.groupBy(col("h"), col("h2")).agg(count(lit(1)).as("cnt"))
+          .withColumn("delivery", lit(delivery)), ref)
       grams.unpersist()
       out
     }
@@ -201,57 +251,116 @@ object GramIndex {
     Dedup.excise(docs, dupPos, minLen, idCol)
   }
 
-  /** Compact: sum-merge to ONE row per distinct corpus gram and one file
-    * per bucket (every ingest appends a file per bucket; a long-lived
-    * index accumulates deliveries × buckets files AND repeats gram rows
-    * across deliveries). Content-equivalent for the dedup rule (existence
-    * is preserved; `cnt` sums), crash-durable via the family's
-    * rename-aside swap: the compacted copy lands as a `_compacting`
+  /** Rewrite the live table through the family's crash-durable
+    * rename-aside swap: the transformed copy lands as a `_compacting`
     * sibling before the live table is touched, live files rename ASIDE
     * (never deleted before the replacement is in), and a re-run performs
     * recovery in its preamble. */
+  private def rewriteTable(spark: SparkSession, ref: Ref)
+                          (transform: DataFrame => DataFrame): Unit = {
+    val tbl = ref.gramsTable
+    val tmp = s"${tbl}_compacting"
+    val tmpLoc = location(spark, tmp)
+    val loc = location(spark, tbl)
+    val oldLoc = location(spark, s"${tbl}_old")
+    val f = hfs(spark, tmpLoc)
+    if (!f.exists(loc) && f.exists(oldLoc)) LshIndex.mustRename(f, oldLoc, loc)
+    if (!spark.catalog.tableExists(tbl)) register(spark, ref)
+    val schemaDdl = spark.table(tbl).schema.toDDL
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    f.delete(tmpLoc, true)
+    // localCheckpoint breaks the scan's logical bucketing so the
+    // repartition genuinely shuffles (see LshIndex.compactOne)
+    val newRows = transform(spark.table(tbl).localCheckpoint(true))
+      .repartition(ref.buckets, col("h"))
+    val w = newRows.write.mode("append").format("parquet")
+      .bucketBy(ref.buckets, "h").sortBy("h")
+    w.option("path", tmpLoc.toString).saveAsTable(tmp)
+    spark.sql(s"DROP TABLE $tbl")
+    spark.sql(s"DROP TABLE $tmp") // catalog entry only; files stay
+    f.delete(oldLoc, true)
+    LshIndex.mustRename(f, loc, oldLoc)
+    LshIndex.mustRename(f, tmpLoc, loc)
+    register(spark, ref, Some(schemaDdl))
+    f.delete(oldLoc, true); ()
+  }
+
+  /** Compact: merge to ONE row per distinct corpus gram and one file per
+    * bucket (every ingest appends a file per bucket; a long-lived index
+    * accumulates deliveries × buckets files AND repeats gram rows across
+    * deliveries). A replayed delivery's duplicate rows carry identical
+    * (h, h2, cnt, delivery) values, so the per-delivery `max` cancels
+    * them EXACTLY before the cross-delivery sum — compaction restores
+    * exact occurrence counts after any number of replays. Merged rows are
+    * re-tagged [[CompactedDelivery]], collapsing delivery lineage: do NOT
+    * compact while a delivery is in doubt (a crashed, not-yet-retried
+    * ingest — its retry could no longer self-exclude); retry or
+    * [[recoverDelivery]] first. */
   def compact(spark: SparkSession, ref: Ref): Unit =
     withLease(spark, ref, "compact") {
-      val tbl = ref.gramsTable
-      val tmp = s"${tbl}_compacting"
-      val tmpLoc = location(spark, tmp)
-      val loc = location(spark, tbl)
-      val oldLoc = location(spark, s"${tbl}_old")
-      val f = hfs(spark, tmpLoc)
-      if (!f.exists(loc) && f.exists(oldLoc)) LshIndex.mustRename(f, oldLoc, loc)
-      if (!spark.catalog.tableExists(tbl)) register(spark, ref)
-      val schemaDdl = spark.table(tbl).schema.toDDL
-      spark.sql(s"DROP TABLE IF EXISTS $tmp")
-      f.delete(tmpLoc, true)
-      // localCheckpoint breaks the scan's logical bucketing so the
-      // repartition genuinely shuffles (see LshIndex.compactOne)
-      val mergedRows = spark.table(tbl).localCheckpoint(true)
-        .groupBy(col("h"), col("h2")).agg(sum(col("cnt")).as("cnt"))
-        .repartition(ref.buckets, col("h"))
-      val w = mergedRows.write.mode("append").format("parquet")
-        .bucketBy(ref.buckets, "h").sortBy("h")
-      w.option("path", tmpLoc.toString).saveAsTable(tmp)
-      spark.sql(s"DROP TABLE $tbl")
-      spark.sql(s"DROP TABLE $tmp") // catalog entry only; files stay
-      f.delete(oldLoc, true)
-      LshIndex.mustRename(f, loc, oldLoc)
-      LshIndex.mustRename(f, tmpLoc, loc)
-      register(spark, ref, Some(schemaDdl))
-      f.delete(oldLoc, true); ()
+      rewriteTable(spark, ref) { t =>
+        t.groupBy(col("h"), col("h2"), col("delivery"))
+          .agg(max(col("cnt")).as("cnt"))
+          .groupBy(col("h"), col("h2")).agg(sum(col("cnt")).as("cnt"))
+          .withColumn("delivery", lit(CompactedDelivery))
+      }
     }
 
+  /** Retract one delivery's rows from the index — the mechanical recovery
+    * for a crashed batch ingest whose retry cannot re-use the original
+    * delivery id (or whose content should not land at all). After it, a
+    * fresh ingest of the same content under ANY id behaves as if the
+    * crashed attempt never ran. No-op for ids already collapsed by
+    * [[compact]] (lineage is gone — see compact's contract). */
+  def recoverDelivery(spark: SparkSession, ref: Ref, delivery: String): Unit =
+    withLease(spark, ref, "recoverDelivery") {
+      require(delivery != CompactedDelivery,
+        s"cannot retract '$CompactedDelivery' — compaction collapsed lineage")
+      if (attachForWrite(spark, ref))
+        rewriteTable(spark, ref)(_.filter(col("delivery") =!= lit(delivery)))
+    }
+
+  /** One micro-batch of [[startStreamingIngest]], exposed for planted
+    * replay tests: the idempotent unit a restarted stream re-executes.
+    * Ledger check → [[ingest]] under the batch-derived delivery id →
+    * per-batch clean-output OVERWRITE → ledger append. Crash anywhere
+    * and the re-execution is byte-identical: an already-appended gram set
+    * is self-excluded by the delivery id, the clean output overwrites,
+    * and only then does the ledger mark the batch done. */
+  def ingestBatchOnce(batch: DataFrame, idCol: String, textCol: String,
+                      minLen: Int, ref: Ref, outDir: String, bid: Long): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val ledger = new org.apache.hadoop.fs.Path(outDir, "_ledger")
+    val done = hfs(spark, ledger).exists(ledger) &&
+      spark.read.parquet(ledger.toString)
+        .where(col("batch_id") === bid).head(1).nonEmpty
+    if (!done) {
+      ingest(batch, idCol, textCol, minLen, ref, delivery = streamDelivery(bid))
+        .write.mode("overwrite")
+        .parquet(s"$outDir/clean/batch_id=$bid")
+      Seq(bid).toDF("batch_id").write.mode("append")
+        .parquet(ledger.toString)
+    }
+  }
+
+  /** The stable delivery id a stream's micro-batch `bid` ingests under —
+    * what makes a replayed batch self-exclude. Batch callers of [[ingest]]
+    * sharing the index must avoid the `stream:` prefix. */
+  def streamDelivery(bid: Long): String = s"stream:$bid"
+
   /** Maintain the index from a document STREAM: each micro-batch runs
-    * [[ingest]] inside foreachBatch — cleaned docs land in
+    * [[ingestBatchOnce]] inside foreachBatch — cleaned docs land in
     * `outDir/clean/batch_id=<id>` with per-batch OVERWRITE and a
     * `_ledger` parquet records completed batch ids, so a replayed,
-    * already-ledgered batch is skipped whole (the append runs once per
-    * batch). A crash BETWEEN append and ledger re-ingests on restart:
-    * the index double-counts that batch's grams (existence-only rule —
-    * results unchanged) and, because the batch's grams are now indexed,
-    * the REPLAYED cleaning excises the batch's internal first
-    * occurrences too — the ledgered output was already written by the
-    * first attempt, so downstream reads stay correct; the window is the
-    * same one [[LshIndex.startStreamingIngest]] documents. */
+    * already-ledgered batch is skipped whole. An UNLEDGERED replay
+    * (crash anywhere between the gram append and the ledger write)
+    * re-ingests under the batch's stable delivery id: the probe
+    * self-excludes the crashed attempt's rows, so the replayed cleaning
+    * is byte-identical to an uncrashed run, the clean output overwrites,
+    * and the only residue is duplicate index rows for that delivery —
+    * invisible to the existence-only rule and cancelled exactly by
+    * [[compact]]. */
   def startStreamingIngest(docs: DataFrame, idCol: String, textCol: String,
                            minLen: Int, ref: Ref, outDir: String,
                            checkpoint: String)
@@ -259,20 +368,7 @@ object GramIndex {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
-        val spark = batch.sparkSession
-        import spark.implicits._
-        val ledger = new org.apache.hadoop.fs.Path(outDir, "_ledger")
-        val done = hfs(spark, ledger).exists(ledger) &&
-          spark.read.parquet(ledger.toString)
-            .where(col("batch_id") === bid).head(1).nonEmpty
-        if (!done) {
-          ingest(batch.toDF(), idCol, textCol, minLen, ref)
-            .write.mode("overwrite")
-            .parquet(s"$outDir/clean/batch_id=$bid")
-          Seq(bid).toDF("batch_id").write.mode("append")
-            .parquet(ledger.toString)
-        }
-        ()
+        ingestBatchOnce(batch.toDF(), idCol, textCol, minLen, ref, outDir, bid)
       }
       .start()
 }

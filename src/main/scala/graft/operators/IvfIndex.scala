@@ -118,7 +118,14 @@ object IvfIndex {
   /** Assign a batch to the frozen centroids (argmin squared distance,
     * ties to the lower cell — [[Similarity.ivfTopK]] semantics, computed
     * as the map-side min(struct) aggregate) and append it cell-per-
-    * directory. O(|batch| · nCells) work, no corpus contact at all. */
+    * directory. O(|batch| · nCells) work, no corpus contact at all.
+    *
+    * RETRY CONTRACT: a crashed ingest is safely re-run AS IS — the
+    * frozen-model assignment is deterministic, so a replay appends
+    * byte-identical rows whose duplicates are invisible to [[search]]
+    * (per-query rank dedups them; spec-pinned) and removed at rest by
+    * [[compact]]. No delivery bookkeeping is needed because ingest
+    * returns nothing a replay could change. */
   def ingest(batch: DataFrame, idCol: String, vecCol: String, ref: Ref): Unit = {
     val spark = batch.sparkSession
     withLease(spark, ref, "ingest") {

@@ -154,6 +154,24 @@ object LshIndex {
     if (!spark.catalog.tableExists(tbl)) register(spark, ref, tbl, cols)
   }
 
+  /** Writer-side preamble: finish a crashed [[compact]]'s rename-aside
+    * swap where one is pending, then register any on-disk table the
+    * session catalog does not know. Returns whether index content exists
+    * — false only for a brand-new index. Without this, a fresh process
+    * that forgot [[attach]] would probe an EMPTY corpus and silently
+    * miss every cross-delivery pair. */
+  private def attachForWrite(spark: SparkSession, ref: Ref): Boolean = {
+    ref.layout.foreach { case (tbl, cols) =>
+      val loc = location(spark, tbl)
+      val oldLoc = location(spark, s"${tbl}_old")
+      val f = hfs(spark, loc)
+      if (!f.exists(loc) && f.exists(oldLoc)) mustRename(f, oldLoc, loc)
+      if (!spark.catalog.tableExists(tbl) && f.exists(loc))
+        register(spark, ref, tbl, cols)
+    }
+    spark.catalog.tableExists(ref.bandedTable)
+  }
+
   /** Integrity check for the one inconsistency [[ingest]]'s crash window
     * can leave: the three artifact appends are independent (concurrent)
     * jobs, so a writer that dies mid-batch can land a doc's rows in SOME
@@ -227,24 +245,49 @@ object LshIndex {
     else w.option("path", location(spark, tbl).toString).saveAsTable(tbl)
   }
 
+  /** [[ingest]] with a generated unique-per-call delivery id — for
+    * callers who do not need the crashed-retry idempotence (a retry MUST
+    * re-use the first attempt's id to self-exclude; with a fresh id the
+    * crashed attempt's appended artifacts look like earlier corpus docs
+    * and the retry reports every batch doc as a duplicate of itself —
+    * use [[recoverDelivery]] first in that case). */
+  def ingest(batch: DataFrame, idCol: String, textCol: String,
+             n: Int, k: Int, bands: Int, threshold: Double, ref: Ref): DataFrame =
+    ingest(batch, idCol, textCol, n, k, bands, threshold, ref,
+      delivery = java.util.UUID.randomUUID().toString)
+
   /** Ingest one batch: return every confirmed near-dup pair the batch
     * introduces — (old_id, new_id, jaccard) with `old_id` already indexed,
     * or the lower id for a within-batch pair — then fold the batch into
-    * the index. Identical candidate recall and verification (signature
-    * agreement pre-filter + exact hashed-shingle Jaccard) to the batch
-    * family in [[Dedup]]; results are materialized BEFORE the append so a
-    * batch never proposes pairs against itself through the index. */
+    * the index tagged with `delivery`. Identical candidate recall and
+    * verification (signature agreement pre-filter + exact hashed-shingle
+    * Jaccard) to the batch family in [[Dedup]]; results are materialized
+    * BEFORE the append so a batch never proposes pairs against itself
+    * through the index.
+    *
+    * REPLAY CONTRACT: every corpus probe EXCLUDES rows tagged with this
+    * `delivery`, so a retried ingest with the SAME id returns the same
+    * pairs byte-for-byte even when the first attempt's appends landed
+    * (fully or torn) — the only residue is duplicate artifact rows for
+    * that delivery, invisible to results (candidate `distinct()` + the
+    * per-doc verification are set-semantics) and removable via
+    * [[recoverDelivery]]. Ids must be stable across retries of one
+    * delivery and unique across deliveries. */
   def ingest(batch: DataFrame, idCol: String, textCol: String,
-             n: Int, k: Int, bands: Int, threshold: Double, ref: Ref): DataFrame = {
+             n: Int, k: Int, bands: Int, threshold: Double, ref: Ref,
+             delivery: String): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    require(delivery.nonEmpty, "delivery id must be non-empty")
     val spark = batch.sparkSession
     withLease(spark, ref, "ingest") {
+    val exists = attachForWrite(spark, ref)
+    def corpus(tbl: String): DataFrame =
+      spark.table(tbl).filter(col("delivery") =!= lit(delivery))
     val sh = batch.select(col(idCol).as("doc"),
       Hashes.shingleHashCol(col(textCol), n).as("shs")).cache()
     val sigs = sh.select(col("doc"),
       Hashes.minhashFromHashes(col("shs"), k).as("sig")).cache()
     val banded = Dedup.bandedBuckets(sigs, bands, k / bands)
-    val exists = spark.catalog.tableExists(ref.bandedTable)
 
     def prefiltered(cands: DataFrame, oldSigs: DataFrame, bOld: Boolean): DataFrame =
       cands.distinct()
@@ -266,16 +309,21 @@ object LshIndex {
     // batch-vs-corpus: the index side of every join is a bucketed scan on
     // its join key — no exchange, no broadcast of corpus-sized tables
     val all = if (!exists) withinV else {
-      val cross = spark.table(ref.bandedTable).as("i").join(banded.as("b"),
+      val cross = corpus(ref.bandedTable).as("i").join(banded.as("b"),
           col("i.band") === col("b.band") && col("i.bucket") === col("b.bucket"))
         .select(col("i.doc").as("old_id"), col("b.doc").as("new_id"))
       val crossV = Dedup.verifyJaccard(
-        prefiltered(cross, spark.table(ref.sigsTable), bOld = false),
-        spark.table(ref.shTable), sh, "old_id", "new_id", threshold,
+        prefiltered(cross, corpus(ref.sigsTable), bOld = false),
+        corpus(ref.shTable), sh, "old_id", "new_id", threshold,
         broadcastLeft = false, broadcastRight = true)
       withinV.unionByName(crossV)
     }
-    val out = all.localCheckpoint() // materialize before the index grows
+    // distinct = set semantics on the RESULT (batch-sized, not corpus):
+    // legitimate pairs are unique already (banded candidates dedup), so
+    // this only cancels echoes of duplicate artifact rows a crashed+
+    // retried EARLIER delivery left at rest — later ingests stay exact
+    // without ever shuffling the corpus side
+    val out = all.distinct().localCheckpoint() // materialize before the index grows
     // the three artifact appends are independent tables — submit them as
     // CONCURRENT Spark jobs (hashing is already computed and cached, so
     // the jobs are write-bound and overlap cleanly; measured: the
@@ -283,7 +331,8 @@ object LshIndex {
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.global
     val appends = ref.layout.zip(Seq(banded, sigs, sh)).map { case ((tbl, cols), df) =>
-      scala.concurrent.Future(appendBucketed(df, tbl, ref.buckets, cols))
+      scala.concurrent.Future(appendBucketed(
+        df.withColumn("delivery", lit(delivery)), tbl, ref.buckets, cols))
     }
     scala.concurrent.Await.result(
       scala.concurrent.Future.sequence(appends),
@@ -292,6 +341,25 @@ object LshIndex {
     out
     }
   }
+
+  /** Retract one delivery's artifact rows from all three tables — the
+    * mechanical recovery for a crashed batch ingest whose retry cannot
+    * re-use the original delivery id (or whose content should not land
+    * at all). After it, a fresh ingest of the same content under ANY id
+    * behaves as if the crashed attempt never ran. Same rename-aside
+    * rewrite as [[compact]], under the write lease. */
+  def recoverDelivery(spark: SparkSession, ref: Ref, delivery: String): Unit =
+    withLease(spark, ref, "recoverDelivery") {
+      if (attachForWrite(spark, ref)) ref.layout.foreach { case (tbl, cols) =>
+        compactOne(spark, ref, tbl, cols,
+          _.filter(col("delivery") =!= lit(delivery)))
+      }
+    }
+
+  /** The stable delivery id a stream's micro-batch `bid` ingests under —
+    * what makes a replayed batch self-exclude. Batch callers of [[ingest]]
+    * sharing the index must avoid the `stream:` prefix. */
+  def streamDelivery(bid: Long): String = s"stream:$bid"
 
   /** Compact the index: every [[ingest]] appends one file per bucket, so
     * a long-lived index accumulates smallFiles × buckets — re-write each
@@ -370,14 +438,15 @@ object LshIndex {
     * Replay discipline: pairs land in `outDir/pairs/batch_id=<id>` with
     * per-batch OVERWRITE (a replayed batch rewrites its own partition),
     * and a `_ledger` parquet records completed batch ids — a replayed,
-    * already-ledgered batch is skipped whole, so the non-idempotent index
-    * append runs once per batch. A crash BETWEEN the index append and the
-    * ledger write re-ingests that batch on restart: the index then holds
-    * duplicate rows for those docs (candidate `distinct()` and the
-    * self-pair guard keep results correct; storage, not correctness) —
-    * the same window Spark documents for any foreachBatch sink without a
-    * transactional target (the JDBC sink, AvroJdbc.startUpsertSink,
-    * closes it with a MERGE ledger in one transaction). */
+    * already-ledgered batch is skipped whole. A crash BETWEEN the index
+    * append and the ledger write re-ingests that batch on restart under
+    * its stable delivery id ([[streamDelivery]]): the corpus probes
+    * self-exclude the crashed attempt's rows, so the replayed pair set is
+    * byte-identical to an uncrashed run and the per-batch partition
+    * overwrites; the only residue is duplicate artifact rows for that
+    * delivery (storage, not correctness — [[recoverDelivery]] retracts
+    * them). The `old_id =!= new_id` guard stays as defense-in-depth for
+    * callers who violate the id-uniqueness contract. */
   def startStreamingIngest(docs: DataFrame, idCol: String, textCol: String,
                            n: Int, k: Int, bands: Int, threshold: Double,
                            ref: Ref, outDir: String, checkpoint: String)
@@ -392,8 +461,9 @@ object LshIndex {
           spark.read.parquet(ledger.toString)
             .where(col("batch_id") === bid).head(1).nonEmpty
         if (!done) {
-          ingest(batch.toDF(), idCol, textCol, n, k, bands, threshold, ref)
-            .filter(col("old_id") =!= col("new_id")) // replayed-doc echo guard
+          ingest(batch.toDF(), idCol, textCol, n, k, bands, threshold, ref,
+              delivery = streamDelivery(bid))
+            .filter(col("old_id") =!= col("new_id")) // id-contract-violation guard
             .write.mode("overwrite")
             .parquet(s"$outDir/pairs/batch_id=$bid")
           Seq(bid).toDF("batch_id").write.mode("append")

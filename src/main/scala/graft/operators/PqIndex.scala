@@ -136,7 +136,14 @@ object PqIndex {
   /** Assign a batch to the frozen coarse centroids and encode it against
     * the frozen codebooks (both argmin integer L2, ties to the lower cell
     * — exactly [[ML.kMeansScaled]]'s assignment step, as the map-side
-    * min(struct) aggregate), then append cell-per-directory. */
+    * min(struct) aggregate), then append cell-per-directory.
+    *
+    * RETRY CONTRACT: a crashed ingest is safely re-run AS IS — the
+    * frozen-model encoding is deterministic, so a replay appends
+    * byte-identical rows whose duplicates are invisible to search
+    * (per-query rank dedups them; spec-pinned) and removed at rest by
+    * [[compact]]. No delivery bookkeeping is needed because ingest
+    * returns nothing a replay could change. */
   def ingest(batch: DataFrame, idCol: String, vecCol: String, dim: Int, m: Int,
              ref: Ref, scale: Long = 1000000L): Unit = {
     require(m >= 1 && dim % m == 0, s"dim $dim must split into m=$m subspaces")

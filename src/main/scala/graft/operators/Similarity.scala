@@ -509,10 +509,14 @@ object Similarity {
       transform(col(vecCol), x => floor(x.cast("double") * 1000).cast("long")).as("_w"))
     val a = q.filter(col("_isa")).select(col("_id").as("a_id"), col("_w").as("wa"))
     val b = q.filter(!col("_isa")).select(col("_id").as("b_id"), col("_w").as("wb"))
+    // eager localCheckpoint, not cache(): the three downstream passes read
+    // the materialized blocks once, and the blocks are reclaimed with the
+    // RDD when the result is dropped — a cache() entry would pin the
+    // largest intermediate in executor memory for the application lifetime
     val pairs = a.crossJoin(b)
       .withColumn("dot", aggregate(zip_with(col("wa"), col("wb"), (x, y) => x * y),
         lit(0L), (acc, x) => acc + x))
-      .select("a_id", "b_id", "dot").cache()
+      .select("a_id", "b_id", "dot").localCheckpoint(true)
     val wa2 = Window.partitionBy("a_id").orderBy(col("dot").desc, col("b_id"))
     val sa = pairs.withColumn("rk", row_number().over(wa2)).filter(col("rk") <= k)
       .groupBy("a_id").agg(sum("dot").as("s_a"))

@@ -54,8 +54,17 @@ object SuffixArray {
     dfIn.join(ranked, keyCols)
   }
 
-  def suffixArray(df: DataFrame, idCol: String, textCol: String,
-                  depth: Int = 64, base: Int = 4): DataFrame = {
+  /** The doubling products one construction yields: per-doc inputs, the
+    * tie-broken total order, and every intermediate rank table — the
+    * depth-d rank tables ([[lcpOfAdjacent]]'s descent reuses them; each
+    * is localCheckpointed so retention is free). */
+  private final case class Built(docs: DataFrame, sa: DataFrame,
+                                 rankTables: List[(Long, DataFrame)])
+
+  /** Run the doubling once; rankTables holds (d, (_d, pos, r)) for every
+    * compared depth d ∈ {base, 2·base, …, depth}, DESCENDING. */
+  private def build(df: DataFrame, idCol: String, textCol: String,
+                    depth: Int, base: Int): Built = {
     require(base >= 1 && depth >= base && depth % base == 0 &&
       Integer.bitCount(depth / base) == 1,
       s"depth ($depth) must be base ($base) times a power of two")
@@ -73,6 +82,7 @@ object SuffixArray {
       Seq("_key"), "r")
       .select("_d", "pos", "r")
       .localCheckpoint() // truncate the per-round lineage
+    var tables = List(base.toLong -> cur)
     var k = base.toLong
     while (k < depth) {
       // rank of the suffix k positions further on; absent (the suffix
@@ -85,13 +95,109 @@ object SuffixArray {
         .select(col("_d"), col("pos"), col("rn").as("r"))
         .localCheckpoint()
       k *= 2
+      tables ::= k -> cur
     }
     // total order: dense depth-rank, ties by (doc, pos)
     val ordered = cur
       .repartitionByRange(col("r"), col("_d"), col("pos"))
       .sortWithinPartitions("r", "_d", "pos")
-    Partitioning.zipWithIndex(ordered, "rank")
-      .select(col("_d").as(idCol), col("pos"), (col("rank") + 1L).as("rank"))
+    val sa = Partitioning.zipWithIndex(ordered, "rank")
+      .select(col("_d"), col("pos"), (col("rank") + 1L).as("rank"))
+    Built(docs, sa, tables)
+  }
+
+  def suffixArray(df: DataFrame, idCol: String, textCol: String,
+                  depth: Int = 64, base: Int = 4): DataFrame =
+    build(df, idCol, textCol, depth, base).sa
+      .select(col("_d").as(idCol), col("pos"), col("rank"))
+
+  /** Bounded LCP of every ADJACENT suffix pair in SA order, by the
+    * classic RANK-COMPARE binary descent (Manber-Myers): the doubling
+    * already ranked every position at each power-of-two depth, and
+    * rank_d(x) = rank_d(y) ⟺ the d-bounded prefixes from x and y are
+    * identical (truncation included). So descend d = depth, depth/2, …,
+    * base: whenever the ranks at offset `lcp` agree, the next
+    * min(d, chars left) characters match — advance lcp; any bounded
+    * lcp value is reachable because the level sizes are the binary
+    * digits. The final `base-1` characters (below the coarsest table)
+    * resolve against a (base-1)-char tail column — the ONLY string that
+    * moves, and it is capped by `base`, never `depth`: every descent
+    * join is keyed and valued in 8-byte columns, where a prefix-carry
+    * formulation would shuffle depth bytes per position.
+    *
+    * Output: one row per adjacent pair, (rank, _d1, pos1, _len1, _d2,
+    * pos2, _lcp) with rank = the LATER suffix's rank and (1) the
+    * SA-earlier suffix. Cost: log2(depth/base)+1 join rounds, each two
+    * corpus-linear 8-byte-keyed lookups. */
+  private def lcpOfAdjacent(built: Built, depth: Int, base: Int): DataFrame = {
+    val sa = built.sa
+    val a = sa.select((col("rank") + 1L).as("rank"), col("_d").as("_d1"),
+      col("pos").as("_pos1"))
+    val b = sa.select(col("rank"), col("_d").as("_d2"), col("pos").as("_pos2"))
+    val lens = built.docs.select(col("_d").as("_d1"), col("_len").as("_len1"))
+    var p = a.join(b, Seq("rank")).join(lens, Seq("_d1"))
+      .withColumn("_lcp", lit(0L))
+    for ((d, rtab) <- built.rankTables) {
+      val r1 = rtab.select(col("_d").as("_d1"), col("pos").as("_k1"),
+        col("r").as("_r1"))
+      val r2 = rtab.select(col("_d").as("_d2"), col("pos").as("_k2"),
+        col("r").as("_r2"))
+      p = p.withColumn("_k1", col("_pos1") + col("_lcp"))
+        .withColumn("_k2", col("_pos2") + col("_lcp"))
+        .join(r1, Seq("_d1", "_k1"), "left")
+        .join(r2, Seq("_d2", "_k2"), "left")
+        // equal ranks ⇒ the next characters match; the advance is capped
+        // by the depth bound and by the suffix's remaining length (a
+        // truncated-equal key means BOTH suffixes end there)
+        .withColumn("_lcp", when(col("_r1").isNotNull && col("_r1") === col("_r2"),
+          col("_lcp") + greatest(lit(0L), least(lit(d),
+            lit(depth.toLong) - col("_lcp"), col("_len1") - col("_k1"))))
+          .otherwise(col("_lcp")))
+        .drop("_r1", "_r2", "_k1", "_k2")
+    }
+    if (base > 1) {
+      // sub-base residue: at most base-1 more characters can match; a
+      // bounded char fold over (base-1)-char tails resolves them
+      val tails = built.docs.select(col("_d"),
+          explode(sequence(lit(0L), col("_len") - 1)).as("pos"), col("_t"))
+        .select(col("_d"), col("pos"),
+          col("_t").substr((col("pos") + 1).cast("int"), lit(base - 1)).as("_tl"))
+      val t1 = tails.select(col("_d").as("_d1"), col("pos").as("_k1"),
+        col("_tl").as("_tl1"))
+      val t2 = tails.select(col("_d").as("_d2"), col("pos").as("_k2"),
+        col("_tl").as("_tl2"))
+      p = p.withColumn("_k1", col("_pos1") + col("_lcp"))
+        .withColumn("_k2", col("_pos2") + col("_lcp"))
+        .join(t1, Seq("_d1", "_k1"), "left")
+        .join(t2, Seq("_d2", "_k2"), "left")
+        .withColumn("_lcp", when(col("_tl1").isNotNull && col("_tl2").isNotNull,
+          col("_lcp") + greatest(lit(0L), least(
+            expr(s"""aggregate(sequence(1, ${base - 1}), 0, (acc, i) ->
+              CASE WHEN acc = i - 1 AND i <= length(_tl1) AND i <= length(_tl2)
+                    AND substring(_tl1, i, 1) = substring(_tl2, i, 1)
+                THEN i ELSE acc END)""").cast("long"),
+            lit(depth.toLong) - col("_lcp"))))
+          .otherwise(col("_lcp")))
+        .drop("_tl1", "_tl2", "_k1", "_k2")
+    }
+    p.select(col("rank"), col("_d1"), col("_pos1"), col("_len1"),
+      col("_d2"), col("_pos2"), col("_lcp"))
+  }
+
+  /** The LCP array to [[suffixArray]]'s SA — together they are the
+    * complete duplicate-enumeration structure (every repeated run of
+    * length ℓ ≤ depth appears as an adjacent pair with lcp ≥ ℓ): one
+    * row per suffix, (idCol, pos, rank, lcp), lcp = bounded common
+    * prefix with the rank-predecessor, lcp(rank 1) = 0. Rank-compare
+    * descent ([[lcpOfAdjacent]]) — no depth-char column shuffles. */
+  def lcpArray(df: DataFrame, idCol: String, textCol: String,
+               depth: Int = 64, base: Int = 4): DataFrame = {
+    val built = build(df, idCol, textCol, depth, base)
+    val pairLcp = lcpOfAdjacent(built, depth, base)
+      .select(col("rank"), col("_lcp"))
+    built.sa.join(pairLcp, Seq("rank"), "left")
+      .select(col("_d").as(idCol), col("pos"), col("rank"),
+        coalesce(col("_lcp"), lit(0L)).as("lcp"))
   }
 
   /** The enumeration query the SA exists for: the `k` LONGEST repeated
@@ -104,59 +210,23 @@ object SuffixArray {
     * SA-earlier suffix. LCPs cap at `depth` by construction — repeats
     * longer than the bound report depth (the bound is the span cap).
     *
-    * Scale: the SA's O(log depth) rounds plus ONE adjacency self-join
-    * on rank (8-byte key) moving `depth`-char prefixes, an LCP HOF per
-    * pair, and a TakeOrdered top-k. */
-  /** The LCP array to [[suffixArray]]'s SA — together they are the
-    * complete duplicate-enumeration structure (every repeated run of
-    * length ℓ ≤ depth appears as an adjacent pair with lcp ≥ ℓ): one
-    * row per suffix, (idCol, pos, rank, lcp), lcp = bounded common
-    * prefix with the rank-predecessor, lcp(rank 1) = 0. Same adjacency
-    * join + guarded LCP fold as [[longestRepeats]], without the top-k
-    * cut. */
-  def lcpArray(df: DataFrame, idCol: String, textCol: String,
-               depth: Int = 64, base: Int = 4): DataFrame = {
-    val sa = suffixArray(df, idCol, textCol, depth, base)
-    val docs = df.select(col(idCol).as("_d"), col(textCol).as("_t"))
-    val withPrefix = sa.join(docs, sa(idCol) === docs("_d"))
-      .select(col("rank"), col(idCol).as("_id"), col("pos"),
-        col("_t").substr((col("pos") + 1).cast("int"), lit(depth)).as("p1"))
-    val prev = withPrefix.select((col("rank") + 1L).as("rank"),
-      col("p1").as("p2"))
-    withPrefix.join(prev, Seq("rank"), "left")
-      .withColumn("lcp", when(col("p2").isNull, lit(0L)).otherwise(expr(
-        s"""aggregate(sequence(1, $depth), 0, (acc, i) ->
-           CASE WHEN acc = i - 1 AND i <= length(p1) AND i <= length(p2)
-                 AND substring(p1, i, 1) = substring(p2, i, 1)
-             THEN i ELSE acc END)""").cast("long")))
-      .select(col("_id").as(idCol), col("pos"), col("rank"), col("lcp"))
-  }
-
+    * Scale: the SA's O(log depth) rounds plus the rank-compare descent
+    * ([[lcpOfAdjacent]], 8-byte columns only); document text joins back
+    * ONLY for pairs already past the minLen filter — the duplicated
+    * subset — to render rep_text for the TakeOrdered top-k. */
   def longestRepeats(df: DataFrame, idCol: String, textCol: String,
                      depth: Int = 64, base: Int = 4, minLen: Int = 8,
                      k: Int = 50): DataFrame = {
     require(minLen >= 1 && k >= 1)
-    val sa = suffixArray(df, idCol, textCol, depth, base)
-    val docs = df.select(col(idCol).as("_d"), col(textCol).as("_t"))
-    val withPrefix = sa.join(docs, sa(idCol) === docs("_d"))
-      .select(col("rank"), col(idCol).as("_id"), col("pos"),
-        col("_t").substr((col("pos") + 1).cast("int"), lit(depth)).as("_p"))
-    val a = withPrefix.select(col("rank"), col("_id").as("id1"),
-      col("pos").as("pos1"), col("_p").as("p1"))
-    val b = withPrefix.select((col("rank") - 1L).as("rank"),
-      col("_id").as("id2"), col("pos").as("pos2"), col("_p").as("p2"))
-    a.join(b, Seq("rank"))
-      // contiguous-prefix fold: lcp grows only while every prior
-      // character matched
-      .withColumn("lcp", expr(
-        s"""aggregate(sequence(1, $depth), 0, (acc, i) ->
-           CASE WHEN acc = i - 1 AND i <= length(p1) AND i <= length(p2)
-                 AND substring(p1, i, 1) = substring(p2, i, 1)
-             THEN i ELSE acc END)""").cast("long"))
-      .filter(col("lcp") >= minLen)
-      .withColumn("rep_text", col("p1").substr(lit(1), col("lcp").cast("int")))
-      .orderBy(col("lcp").desc, col("rep_text"), col("id1"), col("pos1"))
+    val built = build(df, idCol, textCol, depth, base)
+    val hits = lcpOfAdjacent(built, depth, base)
+      .filter(col("_lcp") >= minLen)
+    hits.join(built.docs.select(col("_d").as("_d1"), col("_t")), Seq("_d1"))
+      .withColumn("rep_text",
+        col("_t").substr((col("_pos1") + 1).cast("int"), col("_lcp").cast("int")))
+      .orderBy(col("_lcp").desc, col("rep_text"), col("_d1"), col("_pos1"))
       .limit(k)
-      .select("lcp", "rep_text", "id1", "pos1", "id2", "pos2")
+      .select(col("_lcp").as("lcp"), col("rep_text"), col("_d1").as("id1"),
+        col("_pos1").as("pos1"), col("_d2").as("id2"), col("_pos2").as("pos2"))
   }
 }

@@ -978,11 +978,13 @@ object TextPipeline {
     * deterministic `rate` fraction of documents into the PSM layout
     * `<PRE> prefix <SUF> suffix <MID> middle`, leaving the rest untouched
     * — the standard data-level augmentation that teaches a causal LM to
-    * infill. Token-boundary cut points lo ≤ hi are drawn per document from
-    * two independent salted content hashes mod (n+1), so the transform is
-    * uniform over the (n+1 choose 2)+n+1 span choices, reproducible across
-    * runs/layouts, and replayable as plain SQL (the selection gate is the
-    * same unitHash Bernoulli device as [[Sampling.sample]]).
+    * infill. Token-boundary cut points lo ≤ hi are drawn per document as
+    * the min/max of two independent salted content hashes mod (n+1) — so
+    * an off-diagonal span (lo < hi) carries probability 2/(n+1)² and a
+    * diagonal one (lo = hi) 1/(n+1)², NOT the uniform triangular draw —
+    * deterministic, reproducible across runs/layouts, and replayable as
+    * plain SQL (the selection gate is the same unitHash Bernoulli device
+    * as [[Sampling.sample]]).
     *
     * Output: (id, fim_applied, n_toks, cut_lo, cut_hi, text_fim); cut
     * columns carry the draw for every row (audit/debug), text only changes

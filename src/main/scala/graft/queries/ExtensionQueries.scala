@@ -1209,7 +1209,7 @@ object ExtensionQueries {
         val pairs = Dedup.minhashDupPairs(d, "doc_id", "text",
           n = 2, k = 128, bands = 64, threshold = 0.5)
         Dedup.keepBestRepresentatives(d, "doc_id", pairs,
-          size(TextFunctions.tokens(col("text"))))
+          size(TextFunctions.tokens(col("text"))).cast("long"))
       },
       Some(s"""WITH RECURSIVE toks AS (
           SELECT doc_id, $OTOKS AS w FROM documents

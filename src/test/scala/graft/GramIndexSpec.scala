@@ -115,6 +115,18 @@ class GramIndexSpec extends SparkSpec {
     GramIndex.drop(spark, ref)
   }
 
+  test("ingest auto-attaches: a fresh-catalog session that forgot attach() " +
+    "still dedups against the on-disk corpus instead of treating it as empty") {
+    GramIndex.drop(spark, ref)
+    GramIndex.ingest(docs(batch0: _*), "doc_id", "text", L, ref).count()
+    spark.sql(s"DROP TABLE ${ref.gramsTable}") // simulate a fresh session catalog
+    assert(!spark.catalog.tableExists(ref.gramsTable))
+    val out = collect(GramIndex.ingest(docs(batch1: _*), "doc_id", "text", L, ref))
+    assert(!out(11L)._1.contains("BOILERPLATE"),
+      "unattached on-disk index must not be silently treated as empty")
+    GramIndex.drop(spark, ref)
+  }
+
   test("compact: one file per bucket, one row per distinct gram, and the " +
     "dedup rule's results are unchanged") {
     GramIndex.drop(spark, ref)
@@ -204,6 +216,87 @@ class GramIndexSpec extends SparkSpec {
       }.toMap
       assert(got === expected, s"round $round (L=$l, split $c1/$c2)")
     }
+  }
+
+  test("planted crash (batch): the first attempt's gram append landed but " +
+    "its output was lost — a retry under the SAME delivery id is " +
+    "byte-identical to the uncrashed run") {
+    // uncrashed twin
+    val aref = GramIndex.Ref("gcrasha", buckets = 4)
+    GramIndex.drop(spark, aref)
+    GramIndex.ingest(docs(batch0: _*), "doc_id", "text", L, aref, "d0").count()
+    val expected = collect(GramIndex.ingest(docs(batch2: _*), "doc_id", "text", L, aref, "d1"))
+    // crashed run: ingest runs to completion (grams for d1 are IN the
+    // index) but the caller loses the returned result — the exact state
+    // a crash between the append and the downstream write leaves behind
+    val bref = GramIndex.Ref("gcrashb", buckets = 4)
+    GramIndex.drop(spark, bref)
+    GramIndex.ingest(docs(batch0: _*), "doc_id", "text", L, bref, "d0").count()
+    GramIndex.ingest(docs(batch2: _*), "doc_id", "text", L, bref, "d1").count()
+    assert(spark.table(bref.gramsTable).filter(col("delivery") === "d1").count() > 0,
+      "plant precondition: the crashed attempt's grams must be in the index")
+    // retry with the SAME id: self-exclusion makes it byte-identical —
+    // in particular doc 22/23's within-batch FIRST occurrences and doc
+    // 21's spans must match the uncrashed twin, not be over-excised
+    val got = collect(GramIndex.ingest(docs(batch2: _*), "doc_id", "text", L, bref, "d1"))
+    assert(got === expected)
+    // compact cancels the replay's duplicate rows exactly: same distinct
+    // grams AND same total counts as the uncrashed twin after its compact
+    GramIndex.compact(spark, aref); GramIndex.compact(spark, bref)
+    val snap = (r: GramIndex.Ref) => spark.table(r.gramsTable)
+      .select("h", "h2", "cnt").collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(snap(bref) === snap(aref), "compact must cancel replayed appends exactly")
+    GramIndex.drop(spark, aref); GramIndex.drop(spark, bref)
+  }
+
+  test("recoverDelivery retracts a crashed delivery: a fresh ingest of the " +
+    "same content under a NEW id behaves as if the crash never happened") {
+    val aref = GramIndex.Ref("grecva", buckets = 4)
+    GramIndex.drop(spark, aref)
+    GramIndex.ingest(docs(batch0: _*), "doc_id", "text", L, aref, "d0").count()
+    val expected = collect(GramIndex.ingest(docs(batch1: _*), "doc_id", "text", L, aref, "dX"))
+    val bref = GramIndex.Ref("grecvb", buckets = 4)
+    GramIndex.drop(spark, bref)
+    GramIndex.ingest(docs(batch0: _*), "doc_id", "text", L, bref, "d0").count()
+    // crashed attempt under "d1" whose id the retry can NOT re-use
+    GramIndex.ingest(docs(batch1: _*), "doc_id", "text", L, bref, "d1").count()
+    GramIndex.recoverDelivery(spark, bref, "d1")
+    assert(spark.table(bref.gramsTable).filter(col("delivery") === "d1").count() === 0)
+    val got = collect(GramIndex.ingest(docs(batch1: _*), "doc_id", "text", L, bref, "d2"))
+    assert(got === expected)
+    GramIndex.drop(spark, aref); GramIndex.drop(spark, bref)
+  }
+
+  test("planted crash (streaming): grams appended, clean output and ledger " +
+    "absent — the replayed micro-batch's clean output is byte-identical " +
+    "to the uncrashed run") {
+    val base = java.nio.file.Files.createTempDirectory("gramidx_crash").toFile
+    // uncrashed twin: batch 0 then batch 1 through the micro-batch unit
+    val aref = GramIndex.Ref("gscra", buckets = 4)
+    GramIndex.drop(spark, aref)
+    val aOut = new java.io.File(base, "a").getAbsolutePath
+    GramIndex.ingestBatchOnce(docs(batch0: _*), "doc_id", "text", L, aref, aOut, 0L)
+    GramIndex.ingestBatchOnce(docs(batch2: _*), "doc_id", "text", L, aref, aOut, 1L)
+    val expected = collect(spark.read.parquet(s"$aOut/clean/batch_id=1")
+      .select("doc_id", "clean_text", "n_spans", "n_removed"))
+    // crashed run: batch 0 completes; batch 1's ingest appends its grams
+    // under the stream delivery id but dies before the clean write — so
+    // neither clean/batch_id=1 nor its ledger row exists
+    val bref = GramIndex.Ref("gscrb", buckets = 4)
+    GramIndex.drop(spark, bref)
+    val bOut = new java.io.File(base, "b").getAbsolutePath
+    GramIndex.ingestBatchOnce(docs(batch0: _*), "doc_id", "text", L, bref, bOut, 0L)
+    GramIndex.ingest(docs(batch2: _*), "doc_id", "text", L, bref,
+      GramIndex.streamDelivery(1L)).count()
+    assert(!new java.io.File(s"$bOut/clean/batch_id=1").exists(),
+      "plant precondition: the crashed batch's clean output must be absent")
+    // restart re-executes the unledgered micro-batch
+    GramIndex.ingestBatchOnce(docs(batch2: _*), "doc_id", "text", L, bref, bOut, 1L)
+    val got = collect(spark.read.parquet(s"$bOut/clean/batch_id=1")
+      .select("doc_id", "clean_text", "n_spans", "n_removed"))
+    assert(got === expected)
+    GramIndex.drop(spark, aref); GramIndex.drop(spark, bref)
+    org.apache.commons.io.FileUtils.deleteQuietly(base)
   }
 
   test("streaming ingest: ledgered micro-batches equal sequential ingests; " +

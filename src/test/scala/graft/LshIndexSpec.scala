@@ -139,6 +139,57 @@ class LshIndexSpec extends SparkSpec {
     LshIndex.drop(spark, ref)
   }
 
+  test("planted crash: a crashed ingest's appends landed but its pairs " +
+    "were lost — the retry under the SAME delivery id returns the " +
+    "identical pair set, and later deliveries stay exact") {
+    def ing(r: LshIndex.Ref, b: Seq[(Long, String)], d: String) =
+      LshIndex.ingest(docs(b: _*), "doc_id", "text",
+        n = 2, k = 128, bands = 64, threshold = 0.5, r, delivery = d)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select($"old_id", $"new_id", $"jaccard").as[(Long, Long, Double)]
+        .collect().toSet
+    // uncrashed twin
+    val aref = LshIndex.Ref("crasha", buckets = 4)
+    LshIndex.drop(spark, aref)
+    ing(aref, batches(0), "d0").count()
+    val expect1 = pairs(ing(aref, batches(1), "d1"))
+    val expect2 = pairs(ing(aref, batches(2), "d2"))
+    // crashed run: delivery d1's ingest runs to completion (all three
+    // appends are in) but the caller loses the returned pairs — the
+    // state a crash after the appends leaves behind
+    val bref = LshIndex.Ref("crashb", buckets = 4)
+    LshIndex.drop(spark, bref)
+    ing(bref, batches(0), "d0").count()
+    ing(bref, batches(1), "d1").count()
+    // retry with the SAME id: self-exclusion keeps the batch from
+    // pairing with its own crashed artifacts (no self-pairs, no doubled
+    // within-batch pairs)
+    assert(pairs(ing(bref, batches(1), "d1")) === expect1)
+    // a LATER delivery sees duplicate d1 rows at rest — the result-side
+    // set semantics keep its pair set exact anyway
+    assert(pairs(ing(bref, batches(2), "d2")) === expect2)
+    LshIndex.drop(spark, aref); LshIndex.drop(spark, bref)
+  }
+
+  test("recoverDelivery retracts a crashed delivery: a fresh ingest of the " +
+    "same content under a NEW id behaves as if the crash never happened") {
+    def ing(r: LshIndex.Ref, b: Seq[(Long, String)], d: String) =
+      LshIndex.ingest(docs(b: _*), "doc_id", "text",
+        n = 2, k = 128, bands = 64, threshold = 0.5, r, delivery = d)
+    val rref = LshIndex.Ref("crashrec", buckets = 4)
+    LshIndex.drop(spark, rref)
+    ing(rref, batches(0), "d0").count()
+    val expect = ing(rref, batches(1), "dX")
+      .select($"old_id", $"new_id").as[(Long, Long)].collect().toSet
+    LshIndex.recoverDelivery(spark, rref, "dX")
+    assert(spark.table(rref.sigsTable).filter($"delivery" === "dX").count() === 0)
+    // post-retraction the same content ingests under a NEW id cleanly
+    val got = ing(rref, batches(1), "d9")
+      .select($"old_id", $"new_id").as[(Long, Long)].collect().toSet
+    assert(got === expect)
+    LshIndex.drop(spark, rref)
+  }
+
   test("compact recovers a swap crash: live files aside under _old, " +
     "catalog entry dropped") {
     LshIndex.drop(spark, ref)
@@ -168,7 +219,7 @@ class LshIndexSpec extends SparkSpec {
     // plant the torn append: one doc's rows land in banded ONLY (a crash
     // between the three concurrent artifact appends)
     spark.table(ref.bandedTable).limit(1)
-      .select(lit(99L).as("doc"), col("band"), col("bucket"))
+      .select(lit(99L).as("doc"), col("band"), col("bucket"), col("delivery"))
       .write.mode("append").format("parquet")
       .bucketBy(ref.buckets, "band", "bucket").sortBy("band", "bucket")
       .saveAsTable(ref.bandedTable)

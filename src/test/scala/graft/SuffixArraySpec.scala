@@ -90,6 +90,42 @@ class SuffixArraySpec extends SparkSpec {
     assert(got.find(_._3 == 1L).get._4 === 0L)
   }
 
+  test("lcpArray fuzz: rank-compare descent matches the brute string fold " +
+    "across base/depth settings (sub-base residue and base=1 paths)") {
+    val rnd = new scala.util.Random(5151)
+    for ((depth, base) <- Seq((16, 4), (8, 1), (32, 2), (4, 4))) {
+      val docs = (0 until 10).map { i =>
+        i.toLong -> (0 until 3 + rnd.nextInt(25))
+          .map(_ => ('a' + rnd.nextInt(2)).toChar).mkString // binary alphabet: long runs
+      }
+      val suf = docs.flatMap { case (d, t) =>
+        (0 until t.length).map(p =>
+          (d, p.toLong, t.substring(p, math.min(t.length, p + depth))))
+      }.sortBy { case (d, p, s) => (s, d, p) }
+      val brute = suf.zipWithIndex.map { case ((d, p, s), i) =>
+        val lcp = if (i == 0) 0L else
+          s.zip(suf(i - 1)._3).takeWhile { case (a, b) => a == b }.length.toLong
+        (d, p, i + 1L, lcp)
+      }.toSet
+      val got = SuffixArray.lcpArray(docs.toDF("doc_id", "text"),
+          "doc_id", "text", depth, base)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got === brute, s"depth=$depth base=$base")
+    }
+  }
+
+  test("lcp plan pin: no depth-length string column anywhere in the plan — " +
+    "the descent joins move 8-byte ranks, not depth-char prefixes") {
+    val docs = Seq((1L, "abcabcabc def def"), (2L, "xyz abcabcabc")).toDF("doc_id", "text")
+    val plan = SuffixArray.lcpArray(docs, "doc_id", "text", depth = 64, base = 4)
+      .queryExecution.executedPlan.toString
+    // the only substrings allowed are the base-char round-0 key (4) and
+    // the (base-1)-char residual tail (3) — never the 64-char prefix the
+    // old adjacency join shuffled
+    assert("substring\\([^(]*?, 64\\)".r.findFirstIn(plan).isEmpty,
+      s"depth-char substring found in plan:\n$plan")
+  }
+
   test("longestRepeats: planted cross-doc repeat reported at its exact " +
     "length; periodic runs cap at the depth bound; matches brute") {
     val boiler = "SHARED RUN OF TEXT!" // 19 chars, planted in docs 1 and 2
