@@ -243,6 +243,48 @@ object IterBench {
     // interval merge + rebuild key on the doc. Expect wall ~linear in
     // mult with no pairwise knee. dedupChunksKeepFirst rides along as the
     // aligned-granularity twin for a same-corpus comparison.
+    // Composed-chain slope (round-12 VERDICT next #5): qfm's curation_v2
+    // chain END TO END — ExactSubstr clean (L=40) → ≥20-token viability
+    // filter → boundary-preserving 64-token packing — at mult-scaled
+    // corpora. Per-operator slopes are measured elsewhere; this measures
+    // the composition, where cross-stage cache/spill pressure could make
+    // the chain diverge from the per-stage sum. Per-stage rows isolate
+    // where any divergence lands.
+    if (section == "curation") {
+      import org.apache.spark.sql.functions.{col, size, sum}
+      val (docs, _) = scaledDocs()
+      println(s"[iterbench] corpus: ${docs.count()} docs (mult=$mult)")
+      for (round <- 1 to 2) {
+        timed(s"chain clean->filter->pack end-to-end (mult=$mult), round $round") {
+          val cleaned = graft.operators.Dedup.exactSubstrRemove(
+              docs, "doc_id", "text", minLen = 40)
+            .select(col("doc_id"), col("clean_text").as("text"))
+          val kept = cleaned.filter(
+            size(graft.functions.TextFunctions.tokens(col("text"))) >= 20)
+          graft.operators.TextPipeline.packSequencesWithBoundaries(
+            kept, "doc_id", "text", seqLen = 64).count()
+        }
+        timed(s"stage 1 alone: exactSubstrRemove L=40 (mult=$mult), round $round") {
+          graft.operators.Dedup.exactSubstrRemove(docs, "doc_id", "text",
+              minLen = 40)
+            .agg(sum(col("n_removed"))).head().getLong(0)
+        }
+        val cleanedCk = graft.operators.Dedup.exactSubstrRemove(
+            docs, "doc_id", "text", minLen = 40)
+          .select(col("doc_id"), col("clean_text").as("text"))
+          .localCheckpoint() // materialized OUTSIDE the timer
+        timed(s"stages 2+3 alone on materialized clean (mult=$mult), round $round") {
+          val kept = cleanedCk.filter(
+            size(graft.functions.TextFunctions.tokens(col("text"))) >= 20)
+          graft.operators.TextPipeline.packSequencesWithBoundaries(
+            kept, "doc_id", "text", seqLen = 64).count()
+        }
+      }
+      docs.unpersist()
+      spark.stop()
+      return
+    }
+
     if (section == "exactsubstr") {
       import org.apache.spark.sql.functions.{col, sum}
       val (docs, _) = scaledDocs()

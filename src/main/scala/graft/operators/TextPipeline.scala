@@ -1314,4 +1314,142 @@ object TextPipeline {
     words.unpersist()
     out.toSeq
   }
+
+  /** Unigram-LM training by SOFT EM — Kudo (2018)'s actual E-step, the
+    * expected-count forward-backward over each word's segmentation
+    * lattice, where [[unigramTrain]] is the hard (Viterbi) approximation:
+    * instead of crediting only the single best segmentation, every
+    * segmentation contributes its posterior probability, so a piece's
+    * new count is E[uses] = Σ_paths P(path | word) · uses(path), computed
+    * in O(|word| · maxPieceLen) by the classic α/β decomposition
+    * (P(piece at [i-l, i)) = α(i-l) · w(piece) · β(i) / α(n)).
+    *
+    * ENGINE-EXACT REPLAY, the family's gate discipline, holds through
+    * floating point by construction rather than by avoiding it:
+    *
+    *  - all within-word arithmetic is IEEE-754 double ops in ONE FIXED
+    *    fold order (the vocabulary literal's order: single chars sorted,
+    *    then seed multis by weighted frequency) — +, ×, / are correctly
+    *    rounded in every IEEE engine, so identical operand order gives
+    *    bit-identical α, β, and posteriors (non-matching vocab entries
+    *    add exactly 0.0, which is an identity);
+    *  - weights enter as the quotient of two exact integers < 2^53
+    *    ((cnt + scale) / Σ(cnt + scale), the +1-count smoothing in
+    *    scaled units), so both engines derive the SAME doubles from the
+    *    SAME integers — no decimal-literal round-trip in the contract;
+    *  - each occurrence posterior is fixed-pointed to an integer
+    *    (⌊γ·scale + 0.5⌋) BEFORE any cross-row aggregation — integer
+    *    sums commute, so shuffle/partition order cannot perturb counts
+    *    (a double sum across words would not be replayable).
+    *
+    * No underflow guard is needed: a word of n chars has lattice mass
+    * ≥ (1/Σw)ⁿ-ish and doubles reach 1e-308 — a word would need
+    * hundreds of characters of pathological pieces to underflow, far
+    * past any whitespace token.
+    *
+    * Returns the trajectory, one row per (iteration, piece):
+    * (iter, piece, ecnt) with ecnt in `scale`-fixed-point count units —
+    * iter 0 is the seed (exact counts × scale), iter k ≥ 1 the round's
+    * expected counts. Scale: identical shape to [[unigramTrain]] — one
+    * cached distinct-word aggregate, one compiled lattice pass over
+    * DISTINCT words per round, |vocab|-bounded aggregates back to the
+    * driver. */
+  def unigramTrainSoft(df: DataFrame, textCol: String, maxPieceLen: Int,
+                       seedMulti: Int, iters: Int,
+                       scale: Long = 1000000L): Seq[(Int, String, Long)] = {
+    require(maxPieceLen >= 2 && seedMulti >= 0 && iters >= 1 && scale >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df
+      .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
+      .groupBy("word").agg(count(lit(1)).cast("long").as("wcnt"))
+      .cache()
+    val subs = words
+      .select(col("word"), col("wcnt"),
+        explode(sequence(lit(1), length(col("word")))).as("i"))
+      .select(col("wcnt"), explode(transform(
+        sequence(lit(1), lit(maxPieceLen)), l =>
+          when(col("i") + l - 1 <= length(col("word")),
+            col("word").substr(col("i"), l)))).as("p"))
+      .filter(col("p").isNotNull)
+      .groupBy("p").agg(sum(col("wcnt")).as("cnt"))
+      .cache()
+    val chars = subs.filter(length(col("p")) === 1)
+      .as[(String, Long)].collect().sortBy(_._1)
+    val multi = subs.filter(length(col("p")) >= 2)
+      .orderBy(col("cnt").desc, col("p")).limit(seedMulti)
+      .as[(String, Long)].collect()
+    subs.unpersist()
+    // counts live in scale-fixed-point units from the start so every
+    // round's smoothing and normalization are the same integer formula
+    var vocab: Seq[(String, Long)] = (chars ++ multi).toSeq
+      .map { case (p, c) => (p, c * scale) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    out ++= vocab.map { case (p, c) => (0, p, c) }
+    for (it <- 1 to iters) {
+      val counts = softEmCounts(words, vocab, scale)
+      vocab = vocab.map { case (p, _) => (p, counts.getOrElse(p, 0L)) }
+      out ++= vocab.map { case (p, e) => (it, p, e) }
+    }
+    words.unpersist()
+    out.toSeq
+  }
+
+  /** The soft-EM E-step shared by [[unigramTrainSoft]] and its spec
+    * replica: forward/backward over every distinct word's lattice under
+    * weights (c + scale)/Σ(c + scale), per-occurrence posteriors
+    * fixed-pointed to ⌊γ·scale + 0.5⌋, corpus-weighted integer sums
+    * back. `vocab` carries scale-fixed-point counts in the canonical
+    * (chars-then-multis) order the fold contract depends on. */
+  private def softEmCounts(words: DataFrame, vocab: Seq[(String, Long)],
+                           scale: Long): Map[String, Long] = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    val lst = vocab.map { case (p, c) =>
+      s"named_struct('p', '${esc(p)}', 'c', ${c}L)"
+    }.mkString("array(", ", ", ")")
+    val total = vocab.map(_._2 + scale).sum
+    require(total < (1L << 53) && total > 0,
+      s"weight denominator $total must be an exact double (< 2^53)")
+    def w(c: String) =
+      s"(CAST($c + ${scale}L AS DOUBLE) / CAST(${total}L AS DOUBLE))"
+    // forward: al[i+1] = α(i) = Σ_pieces-ending-at-i α(i-l) · w(piece)
+    val alSql =
+      s"""aggregate(sequence(1, length(word)), array(CAST(1.0 AS DOUBLE)),
+         (acc, i) -> array_append(acc,
+           aggregate($lst, CAST(0.0 AS DOUBLE),
+             (s, e) -> s + CASE WHEN length(e.p) <= i
+                 AND e.p = substring(word, i - length(e.p) + 1, length(e.p))
+               THEN element_at(acc, i - length(e.p) + 1) * ${w("e.c")}
+               ELSE CAST(0.0 AS DOUBLE) END)))"""
+    // backward, reversed: be[j+1] = β(n-j) = Σ_pieces-starting-at-n-j+1
+    // w(piece) · β(n-j+l)
+    val beSql =
+      s"""aggregate(sequence(1, length(word)), array(CAST(1.0 AS DOUBLE)),
+         (acc, j) -> array_append(acc,
+           aggregate($lst, CAST(0.0 AS DOUBLE),
+             (s, e) -> s + CASE WHEN length(e.p) <= j
+                 AND e.p = substring(word, length(word) - j + 1, length(e.p))
+               THEN element_at(acc, j - length(e.p) + 1) * ${w("e.c")}
+               ELSE CAST(0.0 AS DOUBLE) END)))"""
+    // per-occurrence posterior, fixed-pointed: the multiplication order
+    // ((α·w)·β)/Z·scale is part of the replay contract
+    val poSql =
+      s"""flatten(transform(sequence(1, length(word)), i ->
+         transform(filter($lst, e -> length(e.p) <= i
+             AND e.p = substring(word, i - length(e.p) + 1, length(e.p))),
+           e -> named_struct('p', e.p, 'f',
+             CAST(floor(element_at(al, i - length(e.p) + 1) * ${w("e.c")}
+               * element_at(be, length(word) - i + 1)
+               / element_at(al, length(word) + 1)
+               * CAST(${scale}L AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)))))"""
+    words
+      .select(col("word"), col("wcnt"), expr(alSql).as("al"))
+      .withColumn("be", expr(beSql))
+      .select(col("wcnt"), explode(expr(poSql)).as("o"))
+      .select(col("o.p").as("p"), (col("wcnt") * col("o.f")).as("e"))
+      .groupBy("p").agg(sum(col("e")).as("ecnt"))
+      .as[(String, Long)].collect().toMap
+  }
 }

@@ -464,6 +464,88 @@ object PipelineQueries {
       FROM dw JOIN wl USING (word)
       GROUP BY doc_id"""
 
+  /** DuckDB replay of 2 rounds of SOFT-EM unigram-LM training (the qfn
+    * gate) — the expected-count forward-backward. Bit-replayability of
+    * the doubles is by matched IEEE op ORDER, not by avoiding floats:
+    * the vocab list is ordered exactly like the operator's literal
+    * (chars by piece, then multis by seed count desc/piece — the
+    * `grp, ord` sort key), `list_sum` is DuckDB's naive left fold over
+    * the filtered matches (probed: [1e16, 1, -1e16] sums to 0.0, not
+    * Kahan's 1.0), weights derive in-engine from the same exact < 2^53
+    * integers, the posterior multiplication order ((α·w)·β)/Z·scale+0.5
+    * matches the operator's, and every posterior fixed-points to BIGINT
+    * before the only cross-row sums (integer, order-free). */
+  private def oUnigramSoftRound(k: Int): String = s"""t$k AS (
+        SELECT CAST(sum(c + 1000000) AS BIGINT) AS tot FROM v${k - 1}s
+      ), c$k AS (
+        SELECT list(struct_pack(p := p, c := c) ORDER BY grp, ord) AS ps
+        FROM v${k - 1}s
+      ), al$k AS (
+        SELECT word, wcnt, 0 AS i, [CAST(1.0 AS DOUBLE)] AS al FROM words
+        UNION ALL
+        SELECT word, wcnt, i + 1, list_append(al,
+          coalesce(list_sum(list_transform(list_filter(c$k.ps,
+              e -> length(e.p) <= i + 1
+                AND e.p = substr(word, i + 1 - length(e.p) + 1, length(e.p))),
+            e -> al[i + 1 - length(e.p) + 1]
+              * (CAST(e.c + 1000000 AS DOUBLE) / CAST(t$k.tot AS DOUBLE)))),
+            CAST(0.0 AS DOUBLE)))
+        FROM al$k, c$k, t$k WHERE i < length(word)
+      ), alw$k AS (
+        SELECT word, wcnt, al FROM al$k WHERE i = length(word)
+      ), be$k AS (
+        SELECT word, 0 AS j, [CAST(1.0 AS DOUBLE)] AS be FROM words
+        UNION ALL
+        SELECT word, j + 1, list_append(be,
+          coalesce(list_sum(list_transform(list_filter(c$k.ps,
+              e -> length(e.p) <= j + 1
+                AND e.p = substr(word, length(word) - j, length(e.p))),
+            e -> be[j + 1 - length(e.p) + 1]
+              * (CAST(e.c + 1000000 AS DOUBLE) / CAST(t$k.tot AS DOUBLE)))),
+            CAST(0.0 AS DOUBLE)))
+        FROM be$k, c$k, t$k WHERE j < length(word)
+      ), bew$k AS (
+        SELECT word, be FROM be$k WHERE j = length(word)
+      ), po$k AS (
+        SELECT u.e.p AS p, a.wcnt * CAST(floor(
+            a.al[s.i - length(u.e.p) + 1]
+            * (CAST(u.e.c + 1000000 AS DOUBLE) / CAST(t$k.tot AS DOUBLE))
+            * b.be[length(a.word) - s.i + 1]
+            / a.al[length(a.word) + 1]
+            * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS f
+        FROM alw$k a JOIN bew$k b USING (word)
+        CROSS JOIN t$k
+        CROSS JOIN UNNEST(generate_series(1, length(a.word))) s(i)
+        CROSS JOIN (SELECT unnest(ps) AS e FROM c$k) u
+        WHERE length(u.e.p) <= s.i
+          AND u.e.p = substr(a.word, s.i - length(u.e.p) + 1, length(u.e.p))
+      ), n$k AS (
+        SELECT p, CAST(sum(f) AS BIGINT) AS e FROM po$k GROUP BY p
+      ), v${k}s AS (
+        SELECT v.p, coalesce(n.e, 0) AS c, v.ord, v.grp
+        FROM v${k - 1}s v LEFT JOIN n$k n ON v.p = n.p
+      )"""
+
+  private lazy val OUnigramSoft: String =
+    s"""WITH RECURSIVE ${OUnigramSeed},
+      v0s AS (
+        SELECT p, cnt * 1000000 AS c,
+          row_number() OVER (ORDER BY p) AS ord, 0 AS grp
+        FROM subs WHERE length(p) = 1
+        UNION ALL
+        SELECT p, cnt * 1000000,
+          row_number() OVER (ORDER BY cnt DESC, p), 1
+        FROM (SELECT p, cnt FROM subs WHERE length(p) >= 2
+              ORDER BY cnt DESC, p LIMIT 24)
+      ),
+      ${oUnigramSoftRound(1)},
+      ${oUnigramSoftRound(2)}
+      SELECT 0 AS iter, p AS piece, c AS ecnt FROM v0s
+      UNION ALL
+      SELECT 1, p, c FROM v1s
+      UNION ALL
+      SELECT 2, p, c FROM v2s"""
+
   /** DuckDB replay of the PRUNED hard-EM unigram trainer (the qfg
     * gate): OUnigramTrain's per-round machinery plus, per round, the
     * first-order loss — alt-cost DP over each multi-char piece's OWN
@@ -2591,6 +2673,23 @@ object PipelineQueries {
           .toDF("iter", "piece", "cost", "cnt")
       },
       Some(OUnigramTrain)),
+
+    // Unigram-LM training by SOFT EM — Kudo 2018's published E-step
+    // (expected counts by forward-backward over each word's segmentation
+    // lattice), where qfd is the hard/Viterbi approximation. The gate is
+    // the full (iter, piece, ecnt) trajectory in 1e6-fixed-point count
+    // units; engine-exact replay holds through the doubles by matched
+    // IEEE op order (vocab-order folds both sides, in-engine weight
+    // division from identical < 2^53 integers, per-occurrence posteriors
+    // fixed-pointed before any cross-row sum).
+    Entry("qfn_unigram_soft_em",
+      (s, dir) => {
+        import s.implicits._
+        TextPipeline.unigramTrainSoft(t(s, dir, "documents"), "text",
+          maxPieceLen = 4, seedMulti = 24, iters = 2)
+          .toDF("iter", "piece", "ecnt")
+      },
+      Some(OUnigramSoft)),
 
     // Unigram-LM training WITH Kudo's pruning schedule — the
     // vocabulary-size control qfd's re-estimation lacks: per round,

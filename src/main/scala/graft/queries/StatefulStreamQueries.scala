@@ -1463,6 +1463,55 @@ object StatefulStreamQueries {
         SELECT doc_id, lang, rk FROM r JOIN a USING (lang)
         WHERE rk <= admit""")),
 
+    // Streaming STRIDE CURRICULUM — the ordering family's ingest-time
+    // face (qes's streaming sibling, the round-12 VERDICT stretch):
+    // arriving documents get their virtual time vt = ((2·rk−1)·1e6) DIV
+    // (2·w_lang) under caller-declared stride weights, with rk the
+    // CAUSAL per-group rank continued across deliveries through the
+    // idempotent per-batch state deltas (StreamingTopup's layout). Here
+    // the stream delivers the corpus in one batch under the batch
+    // operator's own sqrt weights, so the emitted rows must equal
+    // qes's (doc_id, lang, rk, vt) verbatim — multi-delivery causality
+    // and crash replay are pinned by StreamingCurriculumSpec.
+    Entry("qfo_stream_stride",
+      (s, dir) => {
+        val tag = java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+        val base = new java.io.File(
+          System.getProperty("java.io.tmpdir"), s"graft_qfo_$tag")
+        org.apache.commons.io.FileUtils.deleteQuietly(base)
+        val stateDir = new java.io.File(base, "state").getAbsolutePath
+        val outDir = new java.io.File(base, "out").getAbsolutePath
+        val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+        val d = graft.Tables(s, dir, "documents")
+        val weights = d.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+          .select(col("lang"),
+            floor(sqrt(col("n").cast("double"))).cast("long").as("w"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val schema = s.read.parquet(graft.Tables.path(dir, "documents")).schema
+        val raw = s.readStream.schema(schema)
+          .parquet(s"$dir/documents*.parquet")
+        val q = graft.streaming.StreamingCurriculum.startStrideIngest(raw,
+          "doc_id", "lang", weights, stateDir, outDir, ckpt)
+        try { q.processAllAvailable() } finally q.stop()
+        s.read.parquet(s"$outDir/ordered").select("doc_id", "lang", "rk", "vt")
+      },
+      Some(s"""WITH c AS (
+          SELECT lang, count(*) AS n FROM documents GROUP BY 1
+        ), w AS (
+          SELECT lang, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS weight
+          FROM c
+        ), r AS (
+          SELECT doc_id, lang, CAST(row_number() OVER (
+            PARTITION BY lang
+            ORDER BY ${PipelineQueries.oUnitHash("doc_id", "stride")}, doc_id)
+            AS BIGINT) AS rk
+          FROM documents
+        )
+        SELECT doc_id, lang, rk,
+          ((2 * rk - 1) * 1000000) // (2 * weight) AS vt
+        FROM r JOIN w USING (lang)""")),
+
     // State TIME TRAVEL: the keyed running aggregate read AS OF committed
     // batch 1 of a 4-batch replay (statestore reader `batchId` option —
     // Flink's retained-savepoint inspection addressed by version). The

@@ -907,6 +907,103 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  // Soft-EM replica: plain-Scala forward/backward in the operator's
+  // exact IEEE op order (vocab-order folds, ((α·w)·β)/Z·scale+0.5,
+  // per-occurrence floor) — doubles computed in the same order are
+  // bit-identical, so the comparison is exact, not approximate.
+  private def unigramSoftBrute(texts: Seq[String], maxLen: Int,
+                               seedMulti: Int, iters: Int,
+                               scale: Long): Seq[(Int, String, Long)] = {
+    val words = texts.flatMap(_.toLowerCase.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    val subCnt = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, c) <- words; i <- 0 until w.length; l <- 1 to maxLen
+         if i + l <= w.length)
+      subCnt.updateWith(w.substring(i, i + l))(x => Some(x.getOrElse(0L) + c))
+    val chars = subCnt.filter(_._1.length == 1).toSeq.sortBy(_._1)
+    val multi = subCnt.filter(_._1.length >= 2).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(seedMulti)
+    var vocab: Seq[(String, Long)] = (chars ++ multi)
+      .map { case (p, c) => (p, c * scale) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    out ++= vocab.map { case (p, c) => (0, p, c) }
+    for (it <- 1 to iters) {
+      val total = vocab.map(_._2 + scale).sum
+      def wt(c: Long): Double = (c + scale).toDouble / total.toDouble
+      val usage = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      for ((w, wc) <- words) {
+        val n = w.length
+        val al = new Array[Double](n + 1); al(0) = 1.0
+        for (i <- 1 to n) {
+          var s = 0.0
+          for ((p, c) <- vocab
+               if p.length <= i && w.substring(i - p.length, i) == p)
+            s += al(i - p.length) * wt(c)
+          al(i) = s
+        }
+        val be = new Array[Double](n + 1); be(0) = 1.0 // be(j) = β(n-j)
+        for (j <- 1 to n) {
+          var s = 0.0
+          for ((p, c) <- vocab
+               if p.length <= j && w.substring(n - j, n - j + p.length) == p)
+            s += be(j - p.length) * wt(c)
+          be(j) = s
+        }
+        for (i <- 1 to n; (p, c) <- vocab
+             if p.length <= i && w.substring(i - p.length, i) == p) {
+          val f = math.floor(
+            al(i - p.length) * wt(c) * be(n - i) / al(n) * scale.toDouble
+              + 0.5).toLong
+          usage(p) += wc * f
+        }
+      }
+      vocab = vocab.map { case (p, _) => (p, usage(p)) }
+      out ++= vocab.map { case (p, e) => (it, p, e) }
+    }
+    out.toSeq
+  }
+
+  test("unigramTrainSoft: full trajectory is BIT-identical to the " +
+    "plain-Scala forward-backward replica (fixed IEEE op order)") {
+    val texts = Seq(
+      "the fastest internet interna intern net nets",
+      "fast faster fastest nets net the the thee",
+      "internal international internet the nether net")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = TextPipeline.unigramTrainSoft(docs, "text", maxPieceLen = 4,
+      seedMulti = 12, iters = 2)
+    assert(got.toSet === unigramSoftBrute(texts, 4, 12, 2, 1000000L).toSet)
+  }
+
+  test("unigramTrainSoft: posterior mass per word sums to ~its piece " +
+    "count (soft counts tile the corpus in expectation) and hard-EM " +
+    "winners keep the dominant share") {
+    val texts = Seq(
+      "abab abab abab cd cd",
+      "ab ab cd abcd abcd")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val scale = 1000000L
+    val got = TextPipeline.unigramTrainSoft(docs, "text", maxPieceLen = 4,
+      seedMulti = 8, iters = 2, scale = scale)
+    // expected counts weighted by piece length tile the corpus chars
+    // (up to the per-occurrence fixed-point rounding): Σ e(p)·|p| ≈
+    // scale · total corpus chars
+    val totalChars = texts.flatMap(_.toLowerCase.split("\\s+").filter(_.nonEmpty))
+      .map(_.length.toLong).sum
+    for (it <- 1 to 2) {
+      val tiled = got.filter(_._1 == it).map { case (_, p, e) => e * p.length }.sum
+      val target = totalChars * scale
+      assert(math.abs(tiled - target) <= totalChars * 100,
+        s"iter $it soft counts do not tile: $tiled vs $target")
+    }
+    // soft EM spreads mass over alternatives but the frequent piece
+    // "ab" must still dominate its single-char decomposition's share
+    val e = got.filter(_._1 == 2).map { case (_, p, c) => p -> c }.toMap
+    assert(e("ab") > 0L && e("ab") > e.getOrElse("b", 0L) / 4)
+  }
+
   // Pruned variant of the replica: E-step as above, then first-order
   // loss cnt·(altCost − cost) and the smallest-loss prune.
   private def unigramPrunedBrute(texts: Seq[String], maxLen: Int,

@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.Sampling
+import org.apache.spark.sql.functions._
+
+/** Streaming stride curriculum (streaming/StreamingCurriculum.scala):
+  * causal cross-delivery ranks vs a hash-replica, single-delivery
+  * equivalence to the batch operator, the idempotent state layout's
+  * crash plant, and the ledgered restart. */
+class StreamingCurriculumSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "lang")
+
+  private def hashOf(ids: Seq[Long]): Map[Long, Double] =
+    ids.toDF("doc_id")
+      .select(col("doc_id"), Sampling.unitHash(col("doc_id"), "stride").as("h"))
+      .as[(Long, Double)].collect().toMap
+
+  test("two deliveries: causal per-group ranks continue across batches " +
+    "and match the plain hash-order replica; a crashed attempt's " +
+    "half-written state delta is ignored; restart is a ledgered no-op") {
+    val d1 = (0L until 24L).map(i => i -> s"l${i % 3}")
+    val d2 = (100L until 140L).map(i => i -> s"l${i % 4}") // adds group l3
+    val weights = Map("l0" -> 4L, "l1" -> 2L, "l2" -> 1L, "l3" -> 3L)
+    val base = java.nio.file.Files.createTempDirectory("curr_stream").toFile
+    val src = new java.io.File(base, "src"); src.mkdirs()
+    docs(d1).coalesce(1).write.parquet(s"$src/slice0")
+    Thread.sleep(20)
+    docs(d2).coalesce(1).write.parquet(s"$src/slice1")
+    val stateDir = new java.io.File(base, "state").getAbsolutePath
+    val outDir = new java.io.File(base, "out").getAbsolutePath
+    val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+    // plant a CRASHED first attempt of batch 0: its state delta landed
+    // but no output and no ledger — the replayed batch 0 must NOT rank
+    // after its own ghost (self-excluding read), and batch 1 must see
+    // the real overwritten delta, not this one
+    Seq(("l0", 999L)).toDF("lang", "n")
+      .write.mode("overwrite").parquet(s"$stateDir/delta/batch_id=0")
+    val schema = docs(d1).schema
+    def start() = graft.streaming.StreamingCurriculum.startStrideIngest(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/slice*"),
+      "doc_id", "lang", weights, stateDir, outDir, ckpt)
+    val q = start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(s"$outDir/ordered")
+      .select("doc_id", "lang", "rk", "vt")
+      .as[(Long, String, Long, Long)].collect().toSet
+    // replica: per delivery, per group, rank by (unitHash, id); ranks
+    // continue from the group's delivered-so-far count; vt is the
+    // integer stride formula
+    val h = hashOf((d1 ++ d2).map(_._1))
+    var cnt = Map.empty[String, Long]
+    val expected = Seq(d1, d2).flatMap { d =>
+      val out = d.groupBy(_._2).toSeq.flatMap { case (g, rows) =>
+        rows.sortBy(r => (h(r._1), r._1)).zipWithIndex.map { case ((id, _), k) =>
+          val rk = cnt.getOrElse(g, 0L) + k + 1L
+          (id, g, rk, ((2L * rk - 1L) * 1000000L) / (2L * weights(g)))
+        }
+      }
+      cnt = out.groupBy(_._2).map { case (g, rs) =>
+        g -> (cnt.getOrElse(g, 0L) + rs.length) } ++
+        cnt.filterNot(kv => out.exists(_._2 == kv._1))
+      out
+    }.toSet
+    assert(got === expected)
+    // the planted bogus delta for batch 0 was overwritten by the real one
+    val delta0 = spark.read.parquet(s"$stateDir/delta")
+      .filter(col("batch_id") === 0).select("lang", "n")
+      .as[(String, Long)].collect().toMap
+    assert(delta0 === d1.groupBy(_._2).map { case (g, rs) => g -> rs.length.toLong })
+    // restart over the same source + checkpoint: no new work, no drift
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(s"$outDir/ordered")
+      .select("doc_id", "lang", "rk", "vt")
+      .as[(Long, String, Long, Long)].collect().toSet === expected)
+    org.apache.commons.io.FileUtils.deleteQuietly(base)
+  }
+
+  test("single delivery under the batch operator's sqrt weights emits " +
+    "the batch strideInterleave rows verbatim (undeclared groups drop)") {
+    val rows = (0L until 90L).map(i => i -> s"l${i % 3}")
+    val weights = docs(rows).groupBy("lang").agg(count(lit(1)).as("n"))
+      .select(col("lang"), floor(sqrt(col("n").cast("double"))).cast("long").as("w"))
+      .as[(String, Long)].collect().toMap
+    val base = java.nio.file.Files.createTempDirectory("curr_single").toFile
+    val src = new java.io.File(base, "src"); src.mkdirs()
+    docs(rows).coalesce(1).write.parquet(s"$src/slice0")
+    val q = graft.streaming.StreamingCurriculum.startStrideIngest(
+      spark.readStream.schema(docs(rows).schema).parquet(s"$src/slice*"),
+      "doc_id", "lang", weights,
+      new java.io.File(base, "state").getAbsolutePath,
+      new java.io.File(base, "out").getAbsolutePath,
+      new java.io.File(base, "ckpt").getAbsolutePath)
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(s"$base/out/ordered")
+      .select("doc_id", "lang", "rk", "vt")
+      .as[(Long, String, Long, Long)].collect().toSet
+    val batch = Sampling.strideInterleave(docs(rows), "doc_id", "lang")
+      .select("doc_id", "lang", "rk", "vt")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got === batch)
+    org.apache.commons.io.FileUtils.deleteQuietly(base)
+  }
+}
