@@ -111,6 +111,61 @@ object SuffixArray {
     build(df, idCol, textCol, depth, base).sa
       .select(col("_d").as(idCol), col("pos"), col("rank"))
 
+  /** The adjacency-LCP path picker: per-row shuffle volume is ~depth
+    * bytes ONCE for the prefix-carry join vs ~16 bytes × 2 sides ×
+    * (log2(depth/base)+1) rounds (+ the base-char tails) for the
+    * rank-compare descent, so the descent only wins past depth ≈
+    * 32·log2(depth/base)+32 — and IterBench confirms the model's sign
+    * at the default depth 64 (descent 1.25–1.8× SLOWER at 1×/10×
+    * corpus). Below the crossover the single wide join is the cheaper
+    * plan; above it the descent's bounded-width joins win and keep
+    * per-row shuffle width independent of depth. */
+  private def lcpOfAdjacent(built: Built, depth: Int, base: Int): DataFrame =
+    if (depth >= RankCompareMinDepth) lcpByRankCompare(built, depth, base)
+    else lcpByPrefixFold(built, depth)
+
+  /** Measured/modeled crossover for [[lcpOfAdjacent]] (see its doc). */
+  private[graft] val RankCompareMinDepth = 256
+
+  /** Spec hook: force one LCP path to differentially pin the two
+    * implementations against each other on the same corpus. */
+  private[graft] def lcpPairsForTest(df: DataFrame, idCol: String,
+                                     textCol: String, depth: Int, base: Int,
+                                     rankCompare: Boolean): DataFrame = {
+    val built = build(df, idCol, textCol, depth, base)
+    val p = if (rankCompare) lcpByRankCompare(built, depth, base)
+            else lcpByPrefixFold(built, depth)
+    p.select(col("rank"), col("_d1"), col("_pos1"), col("_d2"),
+      col("_pos2"), col("_lcp"))
+  }
+
+  /** Prefix-carry adjacency LCP — ONE self-join on rank moving a
+    * depth-char prefix per row, then a bounded char fold. The cheaper
+    * plan below the [[RankCompareMinDepth]] crossover, where depth
+    * bytes/row undercut the descent's join rounds. */
+  private def lcpByPrefixFold(built: Built, depth: Int): DataFrame = {
+    val sa = built.sa
+    val docs = built.docs
+    val withPrefix = sa.join(docs, Seq("_d"))
+      .select(col("rank"), col("_d"), col("pos"), col("_len"),
+        col("_t").substr((col("pos") + 1).cast("int"), lit(depth)).as("_p"))
+    val a = withPrefix.select((col("rank") + 1L).as("rank"),
+      col("_d").as("_d1"), col("pos").as("_pos1"), col("_len").as("_len1"),
+      col("_p").as("_p1"))
+    val b = withPrefix.select(col("rank"), col("_d").as("_d2"),
+      col("pos").as("_pos2"), col("_p").as("_p2"))
+    a.join(b, Seq("rank"))
+      // contiguous-prefix fold: lcp grows only while every prior
+      // character matched
+      .withColumn("_lcp", expr(
+        s"""aggregate(sequence(1, $depth), 0, (acc, i) ->
+           CASE WHEN acc = i - 1 AND i <= length(_p1) AND i <= length(_p2)
+                 AND substring(_p1, i, 1) = substring(_p2, i, 1)
+             THEN i ELSE acc END)""").cast("long"))
+      .select(col("rank"), col("_d1"), col("_pos1"), col("_len1"),
+        col("_d2"), col("_pos2"), col("_lcp"))
+  }
+
   /** Bounded LCP of every ADJACENT suffix pair in SA order, by the
     * classic RANK-COMPARE binary descent (Manber-Myers): the doubling
     * already ranked every position at each power-of-two depth, and
@@ -129,7 +184,7 @@ object SuffixArray {
     * pos2, _lcp) with rank = the LATER suffix's rank and (1) the
     * SA-earlier suffix. Cost: log2(depth/base)+1 join rounds, each two
     * corpus-linear 8-byte-keyed lookups. */
-  private def lcpOfAdjacent(built: Built, depth: Int, base: Int): DataFrame = {
+  private def lcpByRankCompare(built: Built, depth: Int, base: Int): DataFrame = {
     val sa = built.sa
     val a = sa.select((col("rank") + 1L).as("rank"), col("_d").as("_d1"),
       col("pos").as("_pos1"))

