@@ -1404,6 +1404,117 @@ object TextPipeline {
     out.toSeq
   }
 
+  /** Subword-regularization SAMPLING (Kudo 2018 §3) — the third face of
+    * the unigram family after training ([[unigramTrainSoft]]) and
+    * deterministic encoding (qfj's min-cost path): draw each word
+    * occurrence's segmentation FROM the lattice posterior, the data
+    * augmentation Kudo shows improves NMT robustness (a word tokenizes
+    * differently across its occurrences, in proportion to how plausible
+    * each tokenization is). The sampler is the classic
+    * forward-filtering backward-sampling walk: with the forward masses
+    * α of [[unigramTrainSoft]]'s lattice, start at the word end and
+    * repeatedly choose the piece `p` ending at the current position
+    * with probability α(pos−|p|)·w(p) / α(pos) — the exact lattice
+    * posterior, sampled in O(|word|·maxPieceLen) without enumerating
+    * segmentations. Temperature is fixed at 1 (Kudo's α-smoothing
+    * exponent needs `pow`, which is NOT correctly-rounded across
+    * engines and would break bit replay — documented trade).
+    *
+    * Randomness is the house unitHash device, keyed
+    * (doc, word-index, position): deterministic, replayable as SQL,
+    * distinct per occurrence AND per walk step, so two occurrences of
+    * one word sample independently while reruns are byte-identical.
+    * The choice rule shares [[unigramTrainSoft]]'s replay contract —
+    * the cumulative-mass scan folds the vocab literal in canonical
+    * order with IEEE doubles, and the draw threshold u·α(pos) uses the
+    * same exact-integer-derived weights — so an engine replaying the
+    * fold makes bit-identical choices.
+    *
+    * `vocab` is the trained (piece, scale-fixed-point count) list in
+    * canonical order — pass [[unigramTrainSoft]]'s final iteration
+    * verbatim. Output: one row per document, (idCol, n_words,
+    * n_pieces, seg_text) with seg_text the words' sampled pieces
+    * '/'-joined within a word, space-joined across words. Scale: one
+    * lattice pass over DISTINCT words (α), one walk over word
+    * OCCURRENCES (narrow after a word-keyed join), one doc-keyed
+    * aggregate. */
+  def unigramSampleEncode(df: DataFrame, idCol: String, textCol: String,
+                          vocab: Seq[(String, Long)],
+                          scale: Long = 1000000L,
+                          salt: String = "sseg"): DataFrame = {
+    require(vocab.nonEmpty && scale >= 1)
+    // the walk's SQL text calls fnv1a64 — ensure the native expression is
+    // registered on this session (idempotent)
+    graft.functions.GraftExtensions.register(df.sparkSession)
+    def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    val lst = vocab.map { case (p, c) =>
+      s"named_struct('p', '${esc(p)}', 'c', ${c}L)"
+    }.mkString("array(", ", ", ")")
+    val total = vocab.map(_._2 + scale).sum
+    require(total < (1L << 53) && total > 0,
+      s"weight denominator $total must be an exact double (< 2^53)")
+    def w(c: String) =
+      s"(CAST($c + ${scale}L AS DOUBLE) / CAST(${total}L AS DOUBLE))"
+    val alSql =
+      s"""aggregate(sequence(1, length(word)), array(CAST(1.0 AS DOUBLE)),
+         (acc, i) -> array_append(acc,
+           aggregate($lst, CAST(0.0 AS DOUBLE),
+             (s, e) -> s + CASE WHEN length(e.p) <= i
+                 AND e.p = substring(word, i - length(e.p) + 1, length(e.p))
+               THEN element_at(acc, i - length(e.p) + 1) * ${w("e.c")}
+               ELSE CAST(0.0 AS DOUBLE) END)))"""
+    // the per-step uniform draw: unitHash(doc:widx:pos, salt) — fnv1a64's
+    // top 53 bits as a double in [0, 1)
+    val u =
+      s"""(CAST(shiftrightunsigned(fnv1a64(concat(CAST(_doc AS STRING), ':',
+         CAST(widx AS STRING), ':', CAST(b.pos AS STRING), ':$salt')), 11)
+         AS DOUBLE) / 9007199254740992.0D)"""
+    // backward walk: at each boundary fold the vocab in canonical order
+    // accumulating candidate mass; the FIRST candidate pushing the
+    // cumulative past u·α(pos) is the sampled piece (the exact lattice
+    // posterior: each candidate's selection probability is its mass
+    // share of α(pos))
+    val walkSql =
+      s"""aggregate(sequence(1, length(word)),
+         named_struct('pos', length(word), 'ps', CAST(array() AS ARRAY<STRING>)),
+         (st, x) -> CASE WHEN st.pos <= 0 THEN st ELSE
+           aggregate($lst,
+             named_struct('pos', st.pos, 'ps', st.ps,
+               'cum', CAST(0.0 AS DOUBLE), 'bl', 0),
+             (b, e) -> named_struct('pos', b.pos, 'ps', b.ps,
+               'cum', b.cum + CASE WHEN length(e.p) <= b.pos
+                   AND e.p = substring(word, b.pos - length(e.p) + 1, length(e.p))
+                 THEN element_at(al, b.pos - length(e.p) + 1) * ${w("e.c")}
+                 ELSE CAST(0.0 AS DOUBLE) END,
+               'bl', CASE WHEN b.bl > 0 THEN b.bl
+                 WHEN length(e.p) <= b.pos
+                   AND e.p = substring(word, b.pos - length(e.p) + 1, length(e.p))
+                   AND b.cum + element_at(al, b.pos - length(e.p) + 1) * ${w("e.c")}
+                     > $u * element_at(al, b.pos + 1)
+                 THEN length(e.p) ELSE 0 END),
+             b -> named_struct('pos', b.pos - b.bl,
+               'ps', CASE WHEN b.bl > 0 THEN array_append(b.ps,
+                 substring(word, b.pos - b.bl + 1, b.bl)) ELSE b.ps END))
+           END,
+         st -> reverse(st.ps))"""
+    val occ = df.select(col(idCol).as("_doc"),
+        posexplode(TextFunctions.tokens(lower(col(textCol)))))
+      .select(col("_doc"), (col("pos") + 1).cast("long").as("widx"),
+        col("col").as("word"))
+    val alw = occ.select("word").distinct().withColumn("al", expr(alSql))
+    occ.join(alw, Seq("word"))
+      .withColumn("seg", expr(walkSql))
+      .select(col("_doc"), col("widx"),
+        array_join(col("seg"), "/").as("wseg"), size(col("seg")).as("np"))
+      .groupBy(col("_doc"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("np")).cast("long").as("n_pieces"),
+        array_join(transform(array_sort(collect_list(
+          struct(col("widx"), col("wseg")))),
+          x => x.getField("wseg")), " ").as("seg_text"))
+      .withColumnRenamed("_doc", idCol)
+  }
+
   /** The soft-EM E-step shared by [[unigramTrainSoft]] and its spec
     * replica: forward/backward over every distinct word's lattice under
     * weights (c + scale)/Σ(c + scale), per-occurrence posteriors

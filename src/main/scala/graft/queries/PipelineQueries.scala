@@ -393,10 +393,10 @@ object PipelineQueries {
   // s-interpolated so escape processing renders \\s+ as \s+ exactly like
   // every other oracle literal (a plain val keeps both backslashes and
   // the word splitter silently stops splitting)
-  private val OUnigramSeed: String = s"""docw AS (
+  private def oUnigramSeed(where: String): String = s"""docw AS (
         SELECT unnest(list_filter(
           string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS word
-        FROM documents
+        FROM documents $where
       ), words AS (
         SELECT word, CAST(count(*) AS BIGINT) AS wcnt FROM docw GROUP BY 1
       ), subs AS (
@@ -413,6 +413,8 @@ object PipelineQueries {
           SELECT p, cnt FROM subs WHERE length(p) >= 2
           ORDER BY cnt DESC, p LIMIT 24)
       )"""
+
+  private val OUnigramSeed: String = oUnigramSeed("")
 
   private lazy val OUnigramTrain: String =
     s"""WITH RECURSIVE ${OUnigramSeed},
@@ -475,9 +477,9 @@ object PipelineQueries {
     * integers, the posterior multiplication order ((α·w)·β)/Z·scale+0.5
     * matches the operator's, and every posterior fixed-points to BIGINT
     * before the only cross-row sums (integer, order-free). */
-  private def oUnigramSoftRound(k: Int): String = s"""t$k AS (
+  private def oUnigramSoftRound(k: Int): String = s"""t$k AS MATERIALIZED (
         SELECT CAST(sum(c + 1000000) AS BIGINT) AS tot FROM v${k - 1}s
-      ), c$k AS (
+      ), c$k AS MATERIALIZED (
         SELECT list(struct_pack(p := p, c := c) ORDER BY grp, ord) AS ps
         FROM v${k - 1}s
       ), al$k AS (
@@ -491,7 +493,7 @@ object PipelineQueries {
               * (CAST(e.c + 1000000 AS DOUBLE) / CAST(t$k.tot AS DOUBLE)))),
             CAST(0.0 AS DOUBLE)))
         FROM al$k, c$k, t$k WHERE i < length(word)
-      ), alw$k AS (
+      ), alw$k AS MATERIALIZED (
         SELECT word, wcnt, al FROM al$k WHERE i = length(word)
       ), be$k AS (
         SELECT word, 0 AS j, [CAST(1.0 AS DOUBLE)] AS be FROM words
@@ -504,7 +506,7 @@ object PipelineQueries {
               * (CAST(e.c + 1000000 AS DOUBLE) / CAST(t$k.tot AS DOUBLE)))),
             CAST(0.0 AS DOUBLE)))
         FROM be$k, c$k, t$k WHERE j < length(word)
-      ), bew$k AS (
+      ), bew$k AS MATERIALIZED (
         SELECT word, be FROM be$k WHERE j = length(word)
       ), po$k AS (
         SELECT u.e.p AS p, a.wcnt * CAST(floor(
@@ -521,7 +523,7 @@ object PipelineQueries {
           AND u.e.p = substr(a.word, s.i - length(u.e.p) + 1, length(u.e.p))
       ), n$k AS (
         SELECT p, CAST(sum(f) AS BIGINT) AS e FROM po$k GROUP BY p
-      ), v${k}s AS (
+      ), v${k}s AS MATERIALIZED (
         SELECT v.p, coalesce(n.e, 0) AS c, v.ord, v.grp
         FROM v${k - 1}s v LEFT JOIN n$k n ON v.p = n.p
       )"""
@@ -545,6 +547,115 @@ object PipelineQueries {
       SELECT 1, p, c FROM v1s
       UNION ALL
       SELECT 2, p, c FROM v2s"""
+
+  /** DuckDB replay of subword-regularization SAMPLING (the qfp gate):
+    * OUnigramSoft's chain to the round-2 expected counts, then the
+    * forward-filtering backward-sampling walk per word occurrence. The
+    * per-step uniform is [[oUnitHash]] keyed (doc:widx:pos); the
+    * cumulative-mass choice folds the SAME canonically-ordered vocab
+    * list with the SAME IEEE op order as the operator's walk
+    * (list_reduce left fold, probed; non-matching entries contribute
+    * exactly 0.0), so every draw decision lands on identical doubles
+    * and the sampled pieces replay bit-for-bit. */
+  private lazy val OUnigramSample: String = {
+    val key = "(CAST(k.doc_id AS VARCHAR) || ':' || CAST(k.widx AS VARCHAR)" +
+      " || ':' || CAST(k.pos AS VARCHAR))"
+    def wgt(c: String) =
+      s"(CAST($c + 1000000 AS DOUBLE) / CAST(t3.tot AS DOUBLE))"
+    s"""WITH RECURSIVE ${oUnigramSeed("WHERE doc_id < 100")},
+      v0s AS (
+        SELECT p, cnt * 1000000 AS c,
+          row_number() OVER (ORDER BY p) AS ord, 0 AS grp
+        FROM subs WHERE length(p) = 1
+        UNION ALL
+        SELECT p, cnt * 1000000,
+          row_number() OVER (ORDER BY cnt DESC, p), 1
+        FROM (SELECT p, cnt FROM subs WHERE length(p) >= 2
+              ORDER BY cnt DESC, p LIMIT 24)
+      ),
+      ${oUnigramSoftRound(1)},
+      ${oUnigramSoftRound(2)},
+      t3 AS MATERIALIZED (
+        SELECT CAST(sum(c + 1000000) AS BIGINT) AS tot FROM v2s
+      ), c3 AS MATERIALIZED (
+        SELECT list(struct_pack(p := p, c := c) ORDER BY grp, ord) AS ps
+        FROM v2s
+      ), al3 AS (
+        SELECT word, 0 AS i, [CAST(1.0 AS DOUBLE)] AS al FROM words
+        UNION ALL
+        SELECT word, i + 1, list_append(al,
+          coalesce(list_sum(list_transform(list_filter(c3.ps,
+              e -> length(e.p) <= i + 1
+                AND e.p = substr(word, i + 1 - length(e.p) + 1, length(e.p))),
+            e -> al[i + 1 - length(e.p) + 1] * ${wgt("e.c")})),
+            CAST(0.0 AS DOUBLE)))
+        FROM al3, c3, t3 WHERE i < length(word)
+      ), alw3 AS MATERIALIZED (
+        SELECT word, al FROM al3 WHERE i = length(word)
+      ), tkd AS (
+        SELECT doc_id, list_filter(
+          string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+        FROM documents WHERE doc_id < 100
+      ), wd AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS widx, w[i] AS word
+        FROM tkd CROSS JOIN UNNEST(generate_series(1, len(w))) t(i)
+      ), uu AS MATERIALIZED (
+        -- the draw THRESHOLD t = unitHash(doc:widx:pos)·α(pos), hoisted:
+        -- one fnv per (occurrence, position) instead of one per vocab
+        -- entry inside the walk's choice fold (same doubles either way)
+        SELECT k.doc_id, k.widx, CAST(p.i AS INTEGER) AS pos,
+          ${oUnitHash(key.replace("k.pos", "p.i"), "sseg")} * a.al[p.i + 1] AS t
+        FROM wd k JOIN alw3 a USING (word)
+        CROSS JOIN UNNEST(generate_series(1, length(k.word))) p(i)
+      ), cand AS MATERIALIZED (
+        -- per (distinct word, position): the matching pieces in canonical
+        -- vocab order with their CUMULATIVE masses — exactly the partial
+        -- sums Spark's full-vocab fold sees at the matching entries (the
+        -- interleaved non-matches add exactly 0.0, an identity), each
+        -- prefix re-summed left-to-right over ≤ maxPieceLen entries
+        SELECT word, pos,
+          list_transform(range(1, len(cs) + 1), j -> struct_pack(
+            l := length(cs[j].p),
+            ca := list_sum(list_transform(cs[1:j], e ->
+              al[pos - length(e.p) + 1]
+                * (CAST(e.c + 1000000 AS DOUBLE) / CAST(tot AS DOUBLE)))))) AS cands
+        FROM (
+          SELECT w.word, CAST(p.i AS INTEGER) AS pos, a.al, t3.tot,
+            list_filter(c3.ps, e -> length(e.p) <= p.i
+              AND e.p = substr(w.word, p.i - length(e.p) + 1, length(e.p))) AS cs
+          FROM (SELECT word FROM words) w
+          JOIN alw3 a USING (word)
+          CROSS JOIN UNNEST(generate_series(1, length(w.word))) p(i), c3, t3
+        ) q
+      ), walk AS (
+        SELECT doc_id, widx, word, length(word) AS pos,
+          []::VARCHAR[] AS ps
+        FROM wd
+        UNION ALL
+        SELECT doc_id, widx, word, pos - ch.l,
+          list_append(ps, substr(word, pos - ch.l + 1, ch.l))
+        FROM (
+          SELECT k.doc_id, k.widx, k.word, k.pos, k.ps,
+            -- first candidate whose cumulative mass crosses the threshold
+            list_reduce(list_prepend(
+              struct_pack(l := CAST(0 AS BIGINT), ca := CAST(0.0 AS DOUBLE)),
+              c.cands),
+              (acc, e) -> CASE WHEN acc.l > 0 THEN acc
+                WHEN e.ca > u.t THEN e
+                ELSE struct_pack(l := CAST(0 AS BIGINT), ca := e.ca) END) AS ch
+          FROM walk k
+          JOIN uu u ON u.doc_id = k.doc_id AND u.widx = k.widx
+            AND u.pos = k.pos
+          JOIN cand c ON c.word = k.word AND c.pos = k.pos
+          WHERE k.pos > 0) s
+      )
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        CAST(sum(len(ps)) AS BIGINT) AS n_pieces,
+        string_agg(array_to_string(list_reverse(ps), '/'), ' '
+          ORDER BY widx) AS seg_text
+      FROM walk WHERE pos = 0
+      GROUP BY doc_id"""
+  }
 
   /** DuckDB replay of the PRUNED hard-EM unigram trainer (the qfg
     * gate): OUnigramTrain's per-round machinery plus, per round, the
@@ -2690,6 +2801,26 @@ object PipelineQueries {
           .toDF("iter", "piece", "ecnt")
       },
       Some(OUnigramSoft)),
+
+    // Subword-regularization SAMPLING (Kudo 2018 §3) — each word
+    // occurrence's segmentation drawn from the soft-EM lattice posterior
+    // by forward-filtering backward-sampling, with unitHash draws keyed
+    // (doc, word index, position): deterministic regularization — two
+    // occurrences of one word segment independently, reruns replay
+    // byte-identically, and the oracle replays every draw decision on
+    // bit-identical doubles (same fold order + in-engine weights as qfn).
+    Entry("qfp_unigram_sample",
+      (s, dir) => {
+        // fixed 100-doc slice: the per-occurrence FFBS walk's DuckDB
+        // replay is lattice-heavy, so the gate size is sf-independent
+        // (the operator itself is corpus-linear — IterBench covers it)
+        val d = t(s, dir, "documents").filter(col("doc_id") < 100)
+        val trained = TextPipeline.unigramTrainSoft(d, "text",
+          maxPieceLen = 4, seedMulti = 24, iters = 2)
+        val vocab = trained.filter(_._1 == 2).map { case (_, p, e) => (p, e) }
+        TextPipeline.unigramSampleEncode(d, "doc_id", "text", vocab)
+      },
+      Some(OUnigramSample)),
 
     // Unigram-LM training WITH Kudo's pruning schedule — the
     // vocabulary-size control qfd's re-estimation lacks: per round,

@@ -1004,6 +1004,93 @@ class PipelineOpsSpec extends SparkSpec {
     assert(e("ab") > 0L && e("ab") > e.getOrElse("b", 0L) / 4)
   }
 
+  // Subword-regularization sampler replica: plain-Scala FFBS in the
+  // operator's exact op order — forward α in vocab-fold order, per-step
+  // unitHash draw keyed (doc:widx:pos), cumulative-mass choice with the
+  // identical ((α·w) sums, u·α threshold) arithmetic.
+  private def sampleBrute(docs: Seq[(Long, String)],
+                          vocab: Seq[(String, Long)], scale: Long,
+                          salt: String): Map[Long, (Long, Long, String)] = {
+    val total = vocab.map(_._2 + scale).sum
+    def wt(c: Long): Double = (c + scale).toDouble / total.toDouble
+    def unit(key: String): Double =
+      (graft.functions.Hashes.fnv1a64(key) >>> 11).toDouble / 9007199254740992.0
+    docs.map { case (doc, text) =>
+      val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val segs = words.zipWithIndex.map { case (word, wi) =>
+        val widx = wi + 1L
+        val n = word.length
+        val al = new Array[Double](n + 1); al(0) = 1.0
+        for (i <- 1 to n) {
+          var s = 0.0
+          for ((p, c) <- vocab
+               if p.length <= i && word.substring(i - p.length, i) == p)
+            s += al(i - p.length) * wt(c)
+          al(i) = s
+        }
+        var pos = n
+        val ps = scala.collection.mutable.ArrayBuffer.empty[String]
+        var steps = 0
+        while (pos > 0 && steps < n) {
+          steps += 1
+          val t = unit(s"$doc:$widx:$pos:$salt") * al(pos)
+          var cum = 0.0; var bl = 0
+          for ((p, c) <- vocab
+               if p.length <= pos && word.substring(pos - p.length, pos) == p) {
+            val m = al(pos - p.length) * wt(c)
+            if (bl == 0 && cum + m > t) bl = p.length
+            cum += m
+          }
+          ps += word.substring(pos - bl, pos)
+          pos -= bl
+        }
+        ps.reverse.mkString("/")
+      }
+      val nPieces = segs.map(_.count(_ == '/') + 1L).sum
+      doc -> ((words.length.toLong, nPieces, segs.mkString(" ")))
+    }.toMap
+  }
+
+  test("unigramSampleEncode: sampled segmentations are BIT-identical to " +
+    "the plain-Scala FFBS replica, and every word's pieces tile it") {
+    val docs = Seq(
+      (1L, "abab baba abba ab ba"),
+      (2L, "aa bb abab abab"),
+      (3L, "b a ba ab"))
+    val vocab = Seq( // canonical order: chars sorted, then multis
+      ("a", 5000000L), ("b", 3000000L),
+      ("ab", 2000000L), ("ba", 1500000L), ("abab", 800000L))
+    val got = TextPipeline.unigramSampleEncode(
+        docs.toDF("doc_id", "text"), "doc_id", "text", vocab)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === sampleBrute(docs, vocab, 1000000L, "sseg"))
+    // tiling: removing separators reproduces the lowercased words
+    for ((doc, (_, _, seg)) <- got) {
+      val orig = docs.find(_._1 == doc).get._2.toLowerCase
+        .split("\\s+").filter(_.nonEmpty).mkString(" ")
+      assert(seg.replace("/", "") === orig, s"doc $doc pieces do not tile")
+    }
+  }
+
+  test("unigramSampleEncode: different salts draw different segmentations " +
+    "somewhere (regularization is live), same salt replays identically") {
+    val texts = (0 until 30).map(i => i.toLong -> "abab abab baba abba")
+    val vocab = Seq(("a", 4000000L), ("b", 4000000L),
+      ("ab", 3000000L), ("ba", 2000000L))
+    val df = texts.toDF("doc_id", "text")
+    def run(salt: String) = TextPipeline.unigramSampleEncode(
+        df, "doc_id", "text", vocab, salt = salt)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r._4).toMap
+    val a = run("sseg"); val b = run("sseg"); val c = run("other")
+    assert(a === b, "same salt must replay byte-identically")
+    assert(a !== c, "a different salt must perturb at least one draw")
+    // and the sampler actually uses more than one segmentation of the
+    // SAME word across occurrences/docs (the whole point of Kudo §3)
+    val abSegs = a.values.flatMap(_.split(" ")).toSet
+    assert(abSegs.size > 1, s"degenerate sampling: $abSegs")
+  }
+
   // Pruned variant of the replica: E-step as above, then first-order
   // loss cnt·(altCost − cost) and the smallest-loss prune.
   private def unigramPrunedBrute(texts: Seq[String], maxLen: Int,
