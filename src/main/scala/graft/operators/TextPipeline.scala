@@ -1404,6 +1404,98 @@ object TextPipeline {
     out.toSeq
   }
 
+  /** Kudo (2018)'s COMPLETE trainer: the soft-EM expected-count E-step
+    * ([[unigramTrainSoft]]) WITH the vocabulary-size pruning schedule
+    * ([[unigramTrainPruned]]'s control) — expected counts drive both the
+    * re-estimation and the prune scores, which is exactly the published
+    * algorithm's structure (hard-EM + prune and soft-EM alone are each
+    * one half). Per round:
+    *
+    *  - soft E-step under weights (c + scale)/Σ(c + scale) from the
+    *    previous round's counts → expected counts e(p) (fixed-point,
+    *    [[unigramTrainSoft]]'s replay contract);
+    *  - integer rarity costs from the PREVIOUS counts,
+    *    cost(p) = scale² DIV (scale + c_prev) — the scaled-units
+    *    form of the family's scale DIV (1 + cnt) proxy for −log p;
+    *  - first-order loss of removing p: its occurrences re-segment as
+    *    p's own text from the REST of the vocabulary (the same
+    *    independent-replacement assumption as [[unigramTrainPruned]]),
+    *    loss(p) = (e(p) DIV scale) · (altCost(p) − cost(p)) — the
+    *    leading DIV keeps the product in long range (e is scaled);
+    *  - the `pruneCount` smallest-loss MULTI-CHAR pieces drop (ties to
+    *    the smaller piece). Eligibility is by LENGTH, not loss sign:
+    *    soft losses can be legitimately negative (a piece whose
+    *    replacement decomposition is CHEAPER under current costs), and
+    *    those prune first — unlike the hard variant, where DP
+    *    optimality keeps used pieces' losses non-negative. Single
+    *    characters never prune (segmentability floor).
+    *
+    * Returns one row per (round, piece) alive in that round:
+    * (round, piece, cost, ecnt, loss, pruned) — cost as used for the
+    * round's prune scoring, ecnt the soft counts it produced, loss −1
+    * sentinel for unprunable single chars. Same scale shape as the
+    * parents: corpus work is one lattice pass per round; the alt-cost
+    * DP is O(|vocab|²·maxPieceLen) on the driver. */
+  def unigramTrainSoftPruned(df: DataFrame, textCol: String,
+                             maxPieceLen: Int, seedMulti: Int, rounds: Int,
+                             pruneCount: Int, scale: Long = 1000000L)
+      : Seq[(Int, String, Long, Long, Long, Boolean)] = {
+    require(maxPieceLen >= 2 && seedMulti >= 0 && rounds >= 1 &&
+      pruneCount >= 0 && scale >= 1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df
+      .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
+      .groupBy("word").agg(count(lit(1)).cast("long").as("wcnt"))
+      .cache()
+    val subs = words
+      .select(col("word"), col("wcnt"),
+        explode(sequence(lit(1), length(col("word")))).as("i"))
+      .select(col("wcnt"), explode(transform(
+        sequence(lit(1), lit(maxPieceLen)), l =>
+          when(col("i") + l - 1 <= length(col("word")),
+            col("word").substr(col("i"), l)))).as("p"))
+      .filter(col("p").isNotNull)
+      .groupBy("p").agg(sum(col("wcnt")).as("cnt"))
+      .cache()
+    val chars = subs.filter(length(col("p")) === 1)
+      .as[(String, Long)].collect().sortBy(_._1)
+    val multi = subs.filter(length(col("p")) >= 2)
+      .orderBy(col("cnt").desc, col("p")).limit(seedMulti)
+      .as[(String, Long)].collect()
+    subs.unpersist()
+    var vocab: Seq[(String, Long)] = (chars ++ multi).toSeq
+      .map { case (p, c) => (p, c * scale) }
+    val out = scala.collection.mutable
+      .ArrayBuffer.empty[(Int, String, Long, Long, Long, Boolean)]
+    for (r <- 1 to rounds) {
+      val costMap = vocab.map { case (p, c) =>
+        p -> (scale * scale) / (scale + c) }.toMap
+      val counts = softEmCounts(words, vocab, scale)
+      def altCost(p: String): Long = {
+        val n = p.length
+        val dp = Array.fill(n + 1)(Long.MaxValue / 4); dp(0) = 0L
+        for (i <- 1 to n; (q, qc) <- costMap
+             if q != p && q.length <= i && p.substring(i - q.length, i) == q)
+          dp(i) = math.min(dp(i), dp(i - q.length) + qc)
+        dp(n)
+      }
+      val scored = vocab.map { case (p, _) =>
+        val e = counts.getOrElse(p, 0L)
+        val loss = if (p.length == 1) -1L
+                   else (e / scale) * (altCost(p) - costMap(p))
+        (p, e, costMap(p), loss)
+      }
+      val pruned = scored.filter(_._1.length >= 2)
+        .sortBy { case (p, _, _, l) => (l, p) }
+        .take(pruneCount).map(_._1).toSet
+      out ++= scored.map { case (p, e, c, l) => (r, p, c, e, l, pruned(p)) }
+      vocab = scored.filterNot(t => pruned(t._1)).map(t => (t._1, t._2))
+    }
+    words.unpersist()
+    out.toSeq
+  }
+
   /** Subword-regularization SAMPLING (Kudo 2018 §3) — the third face of
     * the unigram family after training ([[unigramTrainSoft]]) and
     * deterministic encoding (qfj's min-cost path): draw each word

@@ -477,11 +477,17 @@ object PipelineQueries {
     * integers, the posterior multiplication order ((α·w)·β)/Z·scale+0.5
     * matches the operator's, and every posterior fixed-points to BIGINT
     * before the only cross-row sums (integer, order-free). */
-  private def oUnigramSoftRound(k: Int): String = s"""t$k AS MATERIALIZED (
-        SELECT CAST(sum(c + 1000000) AS BIGINT) AS tot FROM v${k - 1}s
+  private def oUnigramSoftRound(k: Int): String =
+    oUnigramSoftRound(k, s"v${k - 1}s")
+
+  /** One soft-EM round reading its vocabulary from `src` (a (p, c, ord,
+    * grp) CTE) — the prune chain feeds the PRUNED survivors of round
+    * k−1 instead of the plain v(k−1)s. */
+  private def oUnigramSoftRound(k: Int, src: String): String = s"""t$k AS MATERIALIZED (
+        SELECT CAST(sum(c + 1000000) AS BIGINT) AS tot FROM $src
       ), c$k AS MATERIALIZED (
         SELECT list(struct_pack(p := p, c := c) ORDER BY grp, ord) AS ps
-        FROM v${k - 1}s
+        FROM $src
       ), al$k AS (
         SELECT word, wcnt, 0 AS i, [CAST(1.0 AS DOUBLE)] AS al FROM words
         UNION ALL
@@ -525,7 +531,7 @@ object PipelineQueries {
         SELECT p, CAST(sum(f) AS BIGINT) AS e FROM po$k GROUP BY p
       ), v${k}s AS MATERIALIZED (
         SELECT v.p, coalesce(n.e, 0) AS c, v.ord, v.grp
-        FROM v${k - 1}s v LEFT JOIN n$k n ON v.p = n.p
+        FROM $src v LEFT JOIN n$k n ON v.p = n.p
       )"""
 
   private lazy val OUnigramSoft: String =
@@ -547,6 +553,78 @@ object PipelineQueries {
       SELECT 1, p, c FROM v1s
       UNION ALL
       SELECT 2, p, c FROM v2s"""
+
+  /** One prune round of the COMPLETE Kudo trainer (the qfq gate): costs
+    * from `src`'s (previous) counts, alt-cost DP over each multi-char
+    * piece's own text minus self (the [[OUnigramPrune]] device at the
+    * scaled-units cost scale² DIV (scale + c)), loss = (e DIV scale) ·
+    * (alt − cost) on round k's SOFT counts v$ks, smallest-`prune`
+    * multi-char pieces drop (eligibility by LENGTH — soft losses can
+    * be negative), survivors carry to w$k. */
+  private def oSoftPruneRound(k: Int, src: String, prune: Int): String =
+    s"""cp$k AS MATERIALIZED (
+        SELECT list(struct_pack(p := p,
+          c := CAST(1000000000000 // (1000000 + c) AS BIGINT))) AS ps
+        FROM $src
+      ), pd$k AS (
+        SELECT p AS pword, 0 AS i, [CAST(0 AS BIGINT)] AS costs
+        FROM $src WHERE length(p) >= 2
+        UNION ALL
+        SELECT pword, i + 1, list_append(costs,
+          coalesce(list_min(list_transform(list_filter(cp$k.ps,
+              e -> e.p <> pword AND length(e.p) <= i + 1
+                AND e.p = substr(pword, i + 1 - length(e.p) + 1, length(e.p))),
+            e -> costs[i + 1 - length(e.p) + 1] + e.c)), 1000000000))
+        FROM pd$k, cp$k WHERE i < length(pword)
+      ), alt$k AS MATERIALIZED (
+        SELECT pword AS p, costs[length(pword) + 1] AS alt
+        FROM pd$k WHERE i = length(pword)
+      ), loss$k AS MATERIALIZED (
+        SELECT s.p, s.ord, s.grp,
+          CAST(1000000000000 // (1000000 + s.c) AS BIGINT) AS cost,
+          n.c AS ecnt,
+          CASE WHEN length(s.p) = 1 THEN CAST(-1 AS BIGINT)
+               ELSE CAST((n.c // 1000000)
+                 * (a.alt - 1000000000000 // (1000000 + s.c)) AS BIGINT)
+          END AS loss
+        FROM $src s
+        JOIN v${k}s n ON s.p = n.p
+        LEFT JOIN alt$k a ON s.p = a.p
+      ), pr$k AS MATERIALIZED (
+        SELECT p FROM loss$k WHERE length(p) >= 2
+        ORDER BY loss, p LIMIT $prune
+      ), w$k AS MATERIALIZED (
+        SELECT l.p, l.ecnt AS c, l.ord, l.grp FROM loss$k l
+        LEFT JOIN pr$k ON l.p = pr$k.p WHERE pr$k.p IS NULL
+      )"""
+
+  /** DuckDB replay of the complete Kudo trainer (soft EM + prune
+    * schedule, the qfq gate): the soft rounds are [[oUnigramSoftRound]]
+    * verbatim (round 2 reading the PRUNED survivors w1), the prune
+    * rounds [[oSoftPruneRound]]. */
+  private lazy val OUnigramSoftPrune: String = {
+    def rows(k: Int) = s"""SELECT $k AS round, l.p AS piece, l.cost,
+        l.ecnt, l.loss, (pr$k.p IS NOT NULL) AS pruned
+      FROM loss$k l LEFT JOIN pr$k ON l.p = pr$k.p"""
+    s"""WITH RECURSIVE ${OUnigramSeed},
+      v0s AS (
+        SELECT p, cnt * 1000000 AS c,
+          row_number() OVER (ORDER BY p) AS ord, 0 AS grp
+        FROM subs WHERE length(p) = 1
+        UNION ALL
+        SELECT p, cnt * 1000000,
+          row_number() OVER (ORDER BY cnt DESC, p), 1
+        FROM (SELECT p, cnt FROM subs WHERE length(p) >= 2
+              ORDER BY cnt DESC, p LIMIT 24)
+      ),
+      ${oUnigramSoftRound(1, "v0s")},
+      ${oSoftPruneRound(1, "v0s", 8)},
+      ${oUnigramSoftRound(2, "w1")},
+      ${oSoftPruneRound(2, "w1", 8)}
+      ${rows(1)}
+      UNION ALL
+      ${rows(2)}"""
+  }
 
   /** DuckDB replay of subword-regularization SAMPLING (the qfp gate):
     * OUnigramSoft's chain to the round-2 expected counts, then the
@@ -2821,6 +2899,22 @@ object PipelineQueries {
         TextPipeline.unigramSampleEncode(d, "doc_id", "text", vocab)
       },
       Some(OUnigramSample)),
+
+    // The COMPLETE Kudo trainer: soft-EM expected counts driving BOTH
+    // the re-estimation and the prune scores (qfn + qfg's halves
+    // composed — the published algorithm's actual structure). Loss =
+    // (e DIV scale)·(altCost − cost) with costs from the previous
+    // round's counts; the smallest-8 multi-char pieces prune per round
+    // (by LENGTH eligibility — soft losses can be negative and prune
+    // first); the full per-round trajectory is the gate row set.
+    Entry("qfq_unigram_soft_prune",
+      (s, dir) => {
+        import s.implicits._
+        TextPipeline.unigramTrainSoftPruned(t(s, dir, "documents"), "text",
+          maxPieceLen = 4, seedMulti = 24, rounds = 2, pruneCount = 8)
+          .toDF("round", "piece", "cost", "ecnt", "loss", "pruned")
+      },
+      Some(OUnigramSoftPrune)),
 
     // Unigram-LM training WITH Kudo's pruning schedule — the
     // vocabulary-size control qfd's re-estimation lacks: per round,

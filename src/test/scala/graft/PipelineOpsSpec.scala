@@ -1091,6 +1091,104 @@ class PipelineOpsSpec extends SparkSpec {
     assert(abSegs.size > 1, s"degenerate sampling: $abSegs")
   }
 
+  // Full-trainer replica: the soft E-step (unigramSoftBrute's arithmetic
+  // verbatim) plus the prune schedule — costs from previous counts,
+  // alt-cost DP minus self, loss (e DIV scale)·(alt − cost), smallest-N
+  // multi-char prune.
+  private def unigramSoftPrunedBrute(texts: Seq[String], maxLen: Int,
+                                     seedMulti: Int, rounds: Int,
+                                     pruneCount: Int, scale: Long)
+      : Set[(Int, String, Long, Long, Long, Boolean)] = {
+    val words = texts.flatMap(_.toLowerCase.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, ws) => w -> ws.size.toLong }
+    val subCnt = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, c) <- words; i <- 0 until w.length; l <- 1 to maxLen
+         if i + l <= w.length)
+      subCnt.updateWith(w.substring(i, i + l))(x => Some(x.getOrElse(0L) + c))
+    val chars = subCnt.filter(_._1.length == 1).toSeq.sortBy(_._1)
+    val multi = subCnt.filter(_._1.length >= 2).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(seedMulti)
+    var vocab: Seq[(String, Long)] = (chars ++ multi)
+      .map { case (p, c) => (p, c * scale) }
+    val out = scala.collection.mutable
+      .ArrayBuffer.empty[(Int, String, Long, Long, Long, Boolean)]
+    for (r <- 1 to rounds) {
+      val costMap = vocab.map { case (p, c) =>
+        p -> (scale * scale) / (scale + c) }.toMap
+      // soft E-step, identical arithmetic to unigramSoftBrute
+      val total = vocab.map(_._2 + scale).sum
+      def wt(c: Long): Double = (c + scale).toDouble / total.toDouble
+      val usage = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+      for ((w, wc) <- words) {
+        val n = w.length
+        val al = new Array[Double](n + 1); al(0) = 1.0
+        for (i <- 1 to n) {
+          var s = 0.0
+          for ((p, c) <- vocab
+               if p.length <= i && w.substring(i - p.length, i) == p)
+            s += al(i - p.length) * wt(c)
+          al(i) = s
+        }
+        val be = new Array[Double](n + 1); be(0) = 1.0
+        for (j <- 1 to n) {
+          var s = 0.0
+          for ((p, c) <- vocab
+               if p.length <= j && w.substring(n - j, n - j + p.length) == p)
+            s += be(j - p.length) * wt(c)
+          be(j) = s
+        }
+        for (i <- 1 to n; (p, c) <- vocab
+             if p.length <= i && w.substring(i - p.length, i) == p) {
+          val f = math.floor(
+            al(i - p.length) * wt(c) * be(n - i) / al(n) * scale.toDouble
+              + 0.5).toLong
+          usage(p) += wc * f
+        }
+      }
+      def altCost(p: String): Long = {
+        val n = p.length
+        val dp = Array.fill(n + 1)(Long.MaxValue / 4); dp(0) = 0L
+        for (i <- 1 to n; (q, qc) <- costMap
+             if q != p && q.length <= i && p.substring(i - q.length, i) == q)
+          dp(i) = math.min(dp(i), dp(i - q.length) + qc)
+        dp(n)
+      }
+      val scored = vocab.map { case (p, _) =>
+        val e = usage(p)
+        val loss = if (p.length == 1) -1L
+                   else (e / scale) * (altCost(p) - costMap(p))
+        (p, e, costMap(p), loss)
+      }
+      val pruned = scored.filter(_._1.length >= 2)
+        .sortBy { case (p, _, _, l) => (l, p) }
+        .take(pruneCount).map(_._1).toSet
+      out ++= scored.map { case (p, e, c, l) => (r, p, c, e, l, pruned(p)) }
+      vocab = scored.filterNot(t => pruned(t._1)).map(t => (t._1, t._2))
+    }
+    out.toSet
+  }
+
+  test("unigramTrainSoftPruned: the complete Kudo trainer (soft E-step + " +
+    "prune schedule) matches the plain-Scala replica bit-for-bit, the " +
+    "vocabulary shrinks by pruneCount per round, and chars never prune") {
+    val texts = Seq(
+      "the fastest internet interna intern net nets",
+      "fast faster fastest nets net the the thee",
+      "internal international internet the nether net")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = TextPipeline.unigramTrainSoftPruned(docs, "text",
+      maxPieceLen = 4, seedMulti = 12, rounds = 2, pruneCount = 4)
+    assert(got.toSet === unigramSoftPrunedBrute(texts, 4, 12, 2, 4, 1000000L))
+    // schedule invariants
+    val byRound = got.groupBy(_._1)
+    assert(byRound(1).count(_._6) === 4 && byRound(2).count(_._6) === 4)
+    assert(byRound(2).size === byRound(1).size - 4,
+      "round 2 vocabulary must be round 1 minus the pruned pieces")
+    assert(got.filter(_._2.length == 1).forall(r => !r._6 && r._5 == -1L),
+      "single chars are the segmentability floor")
+  }
+
   // Pruned variant of the replica: E-step as above, then first-order
   // loss cnt·(altCost − cost) and the smallest-loss prune.
   private def unigramPrunedBrute(texts: Seq[String], maxLen: Int,
