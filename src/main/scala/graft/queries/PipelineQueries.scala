@@ -1013,7 +1013,7 @@ object PipelineQueries {
   }
 
   /** Oracle fragment: whitespace tokens of `text` as a DuckDB list. */
-  private val OTOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+  private[queries] val OTOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 
   /** qeg's Spark-side SQL, exposed so DedupSpec can differential-fuzz it
     * against the Column-API pipeline over a `documents` temp view. Reads

@@ -1512,6 +1512,46 @@ object StatefulStreamQueries {
           ((2 * rk - 1) * 1000000) // (2 * weight) AS vt
         FROM r JOIN w USING (lang)""")),
 
+    // Streaming COMPETENCE CURRICULUM — qf6's causal face (the second
+    // ordering-family streaming sibling after qfo): each arriving doc
+    // gets the first step the sqrt-competence schedule admits it,
+    // ranked against the running difficulty histogram (idempotent
+    // per-batch deltas; the histogram is bounded by DISTINCT token
+    // counts, never corpus-sized). One delivery ⇒ the batch operator's
+    // (n_toks, id) ranks and steps verbatim; multi-delivery causality
+    // and crash replay are pinned by StreamingCurriculumSpec.
+    Entry("qfr_stream_competence",
+      (s, dir) => {
+        val tag = java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+        val base = new java.io.File(
+          System.getProperty("java.io.tmpdir"), s"graft_qfr_$tag")
+        org.apache.commons.io.FileUtils.deleteQuietly(base)
+        val stateDir = new java.io.File(base, "state").getAbsolutePath
+        val outDir = new java.io.File(base, "out").getAbsolutePath
+        val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+        val schema = s.read.parquet(graft.Tables.path(dir, "documents")).schema
+        val raw = s.readStream.schema(schema)
+          .parquet(s"$dir/documents*.parquet")
+        val q = graft.streaming.StreamingCurriculum.startCompetenceIngest(raw,
+          "doc_id", "text", totalSteps = 1000L, stateDir, outDir, ckpt)
+        try { q.processAllAvailable() } finally q.stop()
+        s.read.parquet(s"$outDir/sched")
+          .select("doc_id", "n_toks", "rank", "first_step")
+      },
+      Some(s"""WITH nn AS (
+          SELECT doc_id, CAST(len(${PipelineQueries.OTOKS}) AS BIGINT) AS n_toks
+          FROM documents
+        ), r AS (
+          SELECT doc_id, n_toks,
+            CAST(row_number() OVER (ORDER BY n_toks, doc_id) AS BIGINT) AS rank,
+            CAST(count(*) OVER () AS BIGINT) AS n
+          FROM nn
+        )
+        SELECT doc_id, n_toks, rank,
+          (rank * rank * 1000 + n * n - 1) // (n * n) AS first_step
+        FROM r""")),
+
     // State TIME TRAVEL: the keyed running aggregate read AS OF committed
     // batch 1 of a 4-batch replay (statestore reader `batchId` option —
     // Flink's retained-savepoint inspection addressed by version). The

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.Sampling
+import graft.operators.{Partitioning, Sampling}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -44,6 +44,96 @@ object StreamingCurriculum {
   private def hfs(spark: org.apache.spark.sql.SparkSession, p: String) =
     new org.apache.hadoop.fs.Path(p)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Competence-based curriculum over a document STREAM — the causal
+    * face of [[Sampling.competenceCurriculum]] (gate qf6): each arriving
+    * document gets the first training step at which the sqrt-competence
+    * schedule admits it, ranked against the corpus DELIVERED SO FAR
+    * (the past cannot be re-ranked; equal-difficulty ties break to
+    * earlier deliveries, then by id within a delivery — on a
+    * single-delivery stream this IS the batch operator's
+    * (n_toks, id) order, gate-pinned).
+    *
+    * State is the running DIFFICULTY HISTOGRAM, (n_toks, cnt) per
+    * delivery in the family's idempotent per-batch delta layout
+    * (self-excluding reads, per-partition overwrite, ledger). The
+    * histogram is driver-bounded by DISTINCT difficulty values (token
+    * counts — hundreds, not corpus-sized; the same bounded-collect
+    * contract as the mixture family's G-row maps), so an arriving
+    * document's causal rank is its within-batch two-phase-scan rank
+    * plus a literal-array fold over the histogram — no corpus-side
+    * join, no rescan of earlier deliveries.
+    *
+    * Output rows land in `outDir/sched/batch_id=<id>` as
+    * (idCol, n_toks, rank, first_step) with first_step =
+    * ⌈T·(rank/N)²⌉ over the so-far corpus size N (integer-exact, the
+    * batch operator's formula). */
+  def startCompetenceIngest(docs: DataFrame, idCol: String, textCol: String,
+                            totalSteps: Long, stateDir: String,
+                            outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(totalSteps > 0)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val ledger = s"$outDir/_ledger"
+        val done = hfs(spark, ledger)
+          .exists(new org.apache.hadoop.fs.Path(ledger)) &&
+          spark.read.parquet(ledger)
+            .where(col("batch_id") === bid).head(1).nonEmpty
+        if (!done) {
+          val deltaDir = s"$stateDir/delta"
+          // earlier deliveries' difficulty histogram, EXCLUDING this
+          // batch's own partition (replay must not rank after its ghost)
+          val hist: Seq[(Long, Long)] =
+            if (hfs(spark, deltaDir).exists(new org.apache.hadoop.fs.Path(deltaDir)))
+              spark.read.parquet(deltaDir)
+                .filter(col("batch_id") =!= bid)
+                .groupBy(col("n_toks")).agg(sum(col("cnt")).as("c"))
+                .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+            else Seq.empty
+          val histTotal = hist.map(_._2).sum
+          val base = batch.toDF().select(col(idCol),
+            size(graft.functions.TextFunctions.tokens(col(textCol)))
+              .cast("long").as("n_toks"))
+          val batchN = base.count()
+          val n = histTotal + batchN
+          require(n > 0, "empty stream batch")
+          // causal rank = earlier docs at or below this difficulty
+          // (temporal tie-break) + within-batch (n_toks, id) rank via
+          // the two-phase scan — the batch operator's device
+          val histLE =
+            if (hist.isEmpty) lit(0L)
+            else {
+              val arr = hist.map { case (nt, c) =>
+                s"named_struct('nt', ${nt}L, 'c', ${c}L)"
+              }.mkString("array(", ", ", ")")
+              expr(s"""aggregate($arr, 0L, (acc, e) ->
+                acc + CASE WHEN e.nt <= n_toks THEN e.c ELSE 0L END)""")
+            }
+          val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+          val ordered = base
+            .repartitionByRange(p, col("n_toks"), col(idCol))
+            .sortWithinPartitions(col("n_toks"), col(idCol))
+          val sched = Partitioning.zipWithIndex(ordered, "brk")
+            .withColumn("rank", col("brk") + 1L + histLE)
+            .withColumn("first_step", expr(
+              s"(rank * rank * ${totalSteps}L + ${n}L * ${n}L - 1L) DIV (${n}L * ${n}L)"))
+            .select(col(idCol), col("n_toks"), col("rank"), col("first_step"))
+            .localCheckpoint()
+          sched.write.mode("overwrite")
+            .parquet(s"$outDir/sched/batch_id=$bid")
+          base.groupBy(col("n_toks")).agg(count(lit(1)).as("cnt"))
+            .write.mode("overwrite")
+            .parquet(s"$deltaDir/batch_id=$bid")
+          Seq(bid).toDF("batch_id").write.mode("append").parquet(ledger)
+        }
+        ()
+      }
+      .start()
+  }
 
   def startStrideIngest(docs: DataFrame, idCol: String, groupCol: String,
                         weights: Map[String, Long], stateDir: String,

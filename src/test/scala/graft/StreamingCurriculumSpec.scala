@@ -79,6 +79,91 @@ class StreamingCurriculumSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(base)
   }
 
+  private def cdocs(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+
+  test("competence: causal ranks continue across deliveries against the " +
+    "running difficulty histogram; crashed delta ignored; restart no-op") {
+    // difficulty = token count; craft lengths so cross-delivery ties exist
+    def text(n: Int) = Seq.fill(n)("w").mkString(" ")
+    val d1 = Seq(1L -> text(3), 2L -> text(5), 3L -> text(3), 4L -> text(8))
+    val d2 = Seq(11L -> text(3), 12L -> text(4), 13L -> text(8), 14L -> text(1))
+    val T = 1000L
+    val base = java.nio.file.Files.createTempDirectory("comp_stream").toFile
+    val src = new java.io.File(base, "src"); src.mkdirs()
+    cdocs(d1).coalesce(1).write.parquet(s"$src/slice0")
+    Thread.sleep(20)
+    cdocs(d2).coalesce(1).write.parquet(s"$src/slice1")
+    val stateDir = new java.io.File(base, "state").getAbsolutePath
+    val outDir = new java.io.File(base, "out").getAbsolutePath
+    val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+    // crashed first attempt of batch 0: delta landed, output/ledger did not
+    Seq((3L, 999L)).toDF("n_toks", "cnt")
+      .write.mode("overwrite").parquet(s"$stateDir/delta/batch_id=0")
+    def start() = graft.streaming.StreamingCurriculum.startCompetenceIngest(
+      spark.readStream.schema(cdocs(d1).schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$src/slice*"),
+      "doc_id", "text", T, stateDir, outDir, ckpt)
+    val q = start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(s"$outDir/sched")
+      .select("doc_id", "n_toks", "rank", "first_step")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // replica: per delivery, rank = |earlier with n_toks <= d| +
+    // within-batch (n_toks, id) rank; N = docs so far
+    val hist = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    var seen = 0L
+    val expected = Seq(d1, d2).flatMap { d =>
+      val withN = d.map { case (id, t) =>
+        (id, t.split("\\s+").count(_.nonEmpty).toLong) }
+      val nNow = seen + withN.length
+      val out = withN.sortBy { case (id, nt) => (nt, id) }.zipWithIndex.map {
+        case ((id, nt), k) =>
+          val rank = hist.filter(_._1 <= nt).values.sum + k + 1L
+          (id, nt, rank, (rank * rank * T + nNow * nNow - 1L) / (nNow * nNow))
+      }
+      withN.foreach { case (_, nt) => hist(nt) += 1L }
+      seen = nNow
+      out
+    }.toSet
+    assert(got === expected)
+    // the planted bogus delta was overwritten by batch 0's real histogram
+    val delta0 = spark.read.parquet(s"$stateDir/delta")
+      .filter(col("batch_id") === 0).select("n_toks", "cnt")
+      .as[(Long, Long)].collect().toMap
+    assert(delta0 === Map(3L -> 2L, 5L -> 1L, 8L -> 1L))
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(s"$outDir/sched")
+      .select("doc_id", "n_toks", "rank", "first_step")
+      .as[(Long, Long, Long, Long)].collect().toSet === expected)
+    org.apache.commons.io.FileUtils.deleteQuietly(base)
+  }
+
+  test("competence: a single delivery reproduces the batch " +
+    "competenceCurriculum verbatim") {
+    val rnd = new scala.util.Random(31007)
+    val rows = (0L until 60L).map(i =>
+      i -> Seq.fill(1 + rnd.nextInt(30))("tok").mkString(" "))
+    val base = java.nio.file.Files.createTempDirectory("comp_single").toFile
+    val src = new java.io.File(base, "src"); src.mkdirs()
+    cdocs(rows).coalesce(1).write.parquet(s"$src/slice0")
+    val q = graft.streaming.StreamingCurriculum.startCompetenceIngest(
+      spark.readStream.schema(cdocs(rows).schema).parquet(s"$src/slice*"),
+      "doc_id", "text", totalSteps = 500L,
+      new java.io.File(base, "state").getAbsolutePath,
+      new java.io.File(base, "out").getAbsolutePath,
+      new java.io.File(base, "ckpt").getAbsolutePath)
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(s"$base/out/sched")
+      .select("doc_id", "n_toks", "rank", "first_step")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = Sampling.competenceCurriculum(cdocs(rows), "doc_id", "text",
+        totalSteps = 500L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === batch)
+    org.apache.commons.io.FileUtils.deleteQuietly(base)
+  }
+
   test("single delivery under the batch operator's sqrt weights emits " +
     "the batch strideInterleave rows verbatim (undeclared groups drop)") {
     val rows = (0L until 90L).map(i => i -> s"l${i % 3}")
