@@ -1404,6 +1404,51 @@ object TextPipeline {
     out.toSeq
   }
 
+  /** N-BEST segmentation (Kudo 2018 §3's deterministic alternative to
+    * sampling): for every distinct word, the `n` cheapest segmentations
+    * under integer piece costs, by the classic n-best DP — each position
+    * keeps its n best (cost, segmentation) pairs, a transition extends
+    * every predecessor entry by every piece ending here, and the merged
+    * candidates re-sort and truncate to n. Ties break by the rendered
+    * segmentation string (piece list '/'-joined), so the order is total
+    * and engine-replayable: integer costs, binary string comparison, and
+    * the same sort both sides — no floating point anywhere.
+    *
+    * `vocab` carries (piece, integer cost) — [[unigramTrain]]'s rarity
+    * costs are the natural source. Output: one row per (word, rank),
+    * (word, rank, cost, seg) with rank 1..≤n (fewer if the word admits
+    * fewer segmentations). Scale: one compiled DP pass over DISTINCT
+    * words, state O(n · |word|) per word — the n-best lists ride inside
+    * the same HOF fold as every encode-family DP. */
+  def nbestSegment(df: DataFrame, textCol: String,
+                   vocab: Seq[(String, Long)], n: Int): DataFrame = {
+    require(n >= 1 && vocab.nonEmpty)
+    val spark = df.sparkSession
+    def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    val lst = vocab.map { case (p, c) =>
+      s"named_struct('p', '${esc(p)}', 'c', ${c}L)"
+    }.mkString("array(", ", ", ")")
+    // acc[i+1] = the n best (cost, seg) reaching position i; the empty
+    // seg sentinel at position 0 renders as the bare first piece
+    val nbSql =
+      s"""aggregate(sequence(1, length(word)),
+         array(array(named_struct('c', 0L, 's', ''))),
+         (acc, i) -> array_append(acc,
+           slice(array_sort(flatten(transform(
+             filter($lst, e -> length(e.p) <= i
+               AND e.p = substring(word, i - length(e.p) + 1, length(e.p))),
+             e -> transform(element_at(acc, i - length(e.p) + 1),
+               b -> named_struct('c', b.c + e.c,
+                 's', CASE WHEN b.s = '' THEN e.p
+                      ELSE concat(b.s, '/', e.p) END))))), 1, $n)),
+         acc -> element_at(acc, length(word) + 1))"""
+    df.select(explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
+      .distinct()
+      .select(col("word"), posexplode(expr(nbSql)))
+      .select(col("word"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.c").as("cost"), col("col.s").as("seg"))
+  }
+
   /** Kudo (2018)'s COMPLETE trainer: the soft-EM expected-count E-step
     * ([[unigramTrainSoft]]) WITH the vocabulary-size pruning schedule
     * ([[unigramTrainPruned]]'s control) — expected counts drive both the

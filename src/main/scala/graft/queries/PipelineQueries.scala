@@ -554,6 +554,42 @@ object PipelineQueries {
       UNION ALL
       SELECT 2, p, c FROM v2s"""
 
+  /** DuckDB replay of N-BEST segmentation (the qfs gate): the hard-EM
+    * chain to v2's counts, integer rarity costs, then the n-best DP as
+    * a recursive CTE — per position the 3 cheapest (cost, seg) pairs,
+    * sorted by the (c, s) struct order both engines share (binary
+    * string comparison; integer costs — nothing floating anywhere).
+    * c3 is MATERIALIZED: the recursion references it every iteration
+    * and an inlined CTE would re-run the whole EM chain each time. */
+  private lazy val ONbestSegment: String =
+    s"""WITH RECURSIVE ${OUnigramSeed},
+      ${oUnigramEmRound(1)},
+      ${oUnigramEmRound(2)},
+      c3 AS MATERIALIZED (
+        SELECT list(struct_pack(p := p,
+          c := CAST(1000000 // (1 + cnt) AS BIGINT))) AS ps FROM v2
+      ), nb AS (
+        SELECT word, 0 AS i,
+          [[struct_pack(c := CAST(0 AS BIGINT), s := '')]] AS best
+        FROM words
+        UNION ALL
+        SELECT word, i + 1, list_append(best,
+          list_sort(flatten(list_transform(list_filter(c3.ps,
+              e -> length(e.p) <= i + 1
+                AND e.p = substr(word, i + 1 - length(e.p) + 1, length(e.p))),
+            e -> list_transform(best[i + 1 - length(e.p) + 1],
+              b -> struct_pack(c := b.c + e.c,
+                s := CASE WHEN b.s = '' THEN e.p
+                     ELSE b.s || '/' || e.p END)))))[1:3])
+        FROM nb, c3 WHERE i < length(word)
+      ), fin AS (
+        SELECT word, best[length(word) + 1] AS bl
+        FROM nb WHERE i = length(word)
+      )
+      SELECT word, CAST(j AS BIGINT) AS rank,
+        bl[j].c AS cost, bl[j].s AS seg
+      FROM fin CROSS JOIN UNNEST(generate_series(1, len(bl))) t(j)"""
+
   /** One prune round of the COMPLETE Kudo trainer (the qfq gate): costs
     * from `src`'s (previous) counts, alt-cost DP over each multi-char
     * piece's own text minus self (the [[OUnigramPrune]] device at the
@@ -2899,6 +2935,22 @@ object PipelineQueries {
         TextPipeline.unigramSampleEncode(d, "doc_id", "text", vocab)
       },
       Some(OUnigramSample)),
+
+    // N-BEST segmentation (Kudo 2018 §3's deterministic alternative to
+    // qfp's sampling): per distinct word the 3 cheapest segmentations
+    // under the hard-EM-trained rarity costs, ties broken by the
+    // rendered piece string — a total, engine-replayable order with
+    // integer costs and binary string comparison only.
+    Entry("qfs_nbest_segment",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val trained = TextPipeline.unigramTrain(d, "text",
+          maxPieceLen = 4, seedMulti = 24, iters = 2)
+        val costs = trained.filter(_._1 == 2)
+          .map { case (_, p, _, cnt) => (p, 1000000L / (1L + cnt)) }
+        TextPipeline.nbestSegment(d, "text", costs, n = 3)
+      },
+      Some(ONbestSegment)),
 
     // The COMPLETE Kudo trainer: soft-EM expected counts driving BOTH
     // the re-estimation and the prune scores (qfn + qfg's halves

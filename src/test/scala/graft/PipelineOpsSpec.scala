@@ -1091,6 +1091,49 @@ class PipelineOpsSpec extends SparkSpec {
     assert(abSegs.size > 1, s"degenerate sampling: $abSegs")
   }
 
+  // n-best replica: per position keep the n cheapest (cost, '/'-joined
+  // seg) pairs sorted by (cost, seg), extend by every matching piece.
+  private def nbestBrute(words: Set[String], vocab: Seq[(String, Long)],
+                         n: Int): Set[(String, Long, Long, String)] =
+    words.flatMap { w =>
+      val len = w.length
+      val best = Array.fill(len + 1)(Seq.empty[(Long, String)])
+      best(0) = Seq((0L, ""))
+      for (i <- 1 to len) {
+        val cands = for {
+          (p, c) <- vocab
+          if p.length <= i && w.substring(i - p.length, i) == p
+          (bc, bs) <- best(i - p.length)
+        } yield (bc + c, if (bs.isEmpty) p else s"$bs/$p")
+        best(i) = cands.sortBy(identity).take(n)
+      }
+      best(len).zipWithIndex.map { case ((c, s), k) => (w, k + 1L, c, s) }
+    }
+
+  test("nbestSegment: matches the plain n-best DP replica; rank 1 is the " +
+    "min-cost segmentation; ranks are cost-ordered, distinct, and tile") {
+    val texts = Seq("abab abba ba ab a", "abab bab aab abab")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val vocab = Seq(("a", 400000L), ("b", 500000L),
+      ("ab", 600000L), ("ba", 700000L), ("abab", 900000L))
+    val n = 3
+    val got = TextPipeline.nbestSegment(docs, "text", vocab, n)
+      .as[(String, Long, Long, String)].collect().toSet
+    val words = texts.flatMap(_.split("\\s+").filter(_.nonEmpty)).toSet
+    assert(got === nbestBrute(words, vocab, n))
+    // properties: per word, ranks ordered by (cost, seg), segs distinct,
+    // each tiles its word, and rank count <= n
+    for ((w, rows) <- got.groupBy(_._1)) {
+      val ordered = rows.toSeq.sortBy(_._2)
+      assert(ordered.map(r => (r._3, r._4)) ===
+        ordered.map(r => (r._3, r._4)).sorted, s"word $w not cost-ordered")
+      assert(ordered.map(_._4).distinct.size === ordered.size)
+      assert(ordered.size <= n)
+      ordered.foreach(r => assert(r._4.replace("/", "") === w))
+    }
+  }
+
   // Full-trainer replica: the soft E-step (unigramSoftBrute's arithmetic
   // verbatim) plus the prune schedule — costs from previous counts,
   // alt-cost DP minus self, loss (e DIV scale)·(alt − cost), smallest-N
