@@ -147,9 +147,21 @@ object GramIndex {
     val oldLoc = location(spark, s"${ref.gramsTable}_old")
     val f = hfs(spark, loc)
     if (!f.exists(loc) && f.exists(oldLoc)) LshIndex.mustRename(f, oldLoc, loc)
-    if (spark.catalog.tableExists(ref.gramsTable)) true
-    else if (f.exists(loc)) { register(spark, ref); true }
-    else false
+    val has =
+      if (spark.catalog.tableExists(ref.gramsTable)) true
+      else if (f.exists(loc)) { register(spark, ref); true }
+      else false
+    if (has && !spark.table(ref.gramsTable).columns.contains("delivery")) {
+      // pre-delivery-lineage index (round-12 schema (h, h2, cnt)): without
+      // this, the first ingest's `delivery` filter dies with an opaque
+      // unresolved-column error and an append would schema-mismatch.
+      // Migrate in place through the crash-durable rewrite, tagging legacy
+      // rows [[CompactedDelivery]] — their delivery lineage is unknowable,
+      // exactly compact's collapsed state (so recoverDelivery of a
+      // pre-migration delivery is the documented no-op).
+      rewriteTable(spark, ref)(_.withColumn("delivery", lit(CompactedDelivery)))
+    }
+    has
   }
 
   private def appendBucketed(df: DataFrame, ref: Ref): Unit = {
@@ -266,13 +278,16 @@ object GramIndex {
     val f = hfs(spark, tmpLoc)
     if (!f.exists(loc) && f.exists(oldLoc)) LshIndex.mustRename(f, oldLoc, loc)
     if (!spark.catalog.tableExists(tbl)) register(spark, ref)
-    val schemaDdl = spark.table(tbl).schema.toDDL
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
     f.delete(tmpLoc, true)
     // localCheckpoint breaks the scan's logical bucketing so the
     // repartition genuinely shuffles (see LshIndex.compactOne)
     val newRows = transform(spark.table(tbl).localCheckpoint(true))
       .repartition(ref.buckets, col("h"))
+    // re-register under the TRANSFORMED schema — a schema-changing
+    // transform (the legacy-index migration) must not re-attach the files
+    // under the pre-transform DDL
+    val schemaDdl = newRows.schema.toDDL
     val w = newRows.write.mode("append").format("parquet")
       .bucketBy(ref.buckets, "h").sortBy("h")
     w.option("path", tmpLoc.toString).saveAsTable(tmp)
@@ -298,6 +313,7 @@ object GramIndex {
     * [[recoverDelivery]] first. */
   def compact(spark: SparkSession, ref: Ref): Unit =
     withLease(spark, ref, "compact") {
+      require(attachForWrite(spark, ref), s"no index files for '${ref.tag}' — nothing to compact")
       rewriteTable(spark, ref) { t =>
         t.groupBy(col("h"), col("h2"), col("delivery"))
           .agg(max(col("cnt")).as("cnt"))

@@ -168,9 +168,24 @@ object LshIndex {
       if (!f.exists(loc) && f.exists(oldLoc)) mustRename(f, oldLoc, loc)
       if (!spark.catalog.tableExists(tbl) && f.exists(loc))
         register(spark, ref, tbl, cols)
+      if (spark.catalog.tableExists(tbl) &&
+          !spark.table(tbl).columns.contains("delivery")) {
+        // pre-delivery-lineage table (round-12 schema): without this, the
+        // first ingest's `delivery` filter dies with an opaque
+        // unresolved-column error and the append would schema-mismatch.
+        // Migrate through the crash-durable rewrite, tagging legacy rows
+        // [[LegacyDelivery]] (their delivery lineage is unknowable, so
+        // recoverDelivery of a pre-migration delivery is a no-op).
+        compactOne(spark, ref, tbl, cols,
+          _.withColumn("delivery", lit(LegacyDelivery)))
+      }
     }
     spark.catalog.tableExists(ref.bandedTable)
   }
+
+  /** Delivery tag the legacy-schema migration rewrites pre-round-13 rows
+    * under; user delivery ids must not collide with it. */
+  val LegacyDelivery = "_legacy"
 
   /** Integrity check for the one inconsistency [[ingest]]'s crash window
     * can leave: the three artifact appends are independent (concurrent)
@@ -277,7 +292,8 @@ object LshIndex {
              n: Int, k: Int, bands: Int, threshold: Double, ref: Ref,
              delivery: String): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
-    require(delivery.nonEmpty, "delivery id must be non-empty")
+    require(delivery.nonEmpty && delivery != LegacyDelivery,
+      s"delivery id must be non-empty and not '$LegacyDelivery'")
     val spark = batch.sparkSession
     withLease(spark, ref, "ingest") {
     val exists = attachForWrite(spark, ref)
@@ -404,7 +420,6 @@ object LshIndex {
         // aside under _old, and the catalog entry may be dropped
         if (!f.exists(loc) && f.exists(oldLoc)) mustRename(f, oldLoc, loc)
         if (!spark.catalog.tableExists(tbl)) register(spark, ref, tbl, cols)
-        val schemaDdl = spark.table(tbl).schema.toDDL
         // durable compacted copy first — the live table is not yet touched
         spark.sql(s"DROP TABLE IF EXISTS $tmp")
         f.delete(tmpLoc, true)
@@ -413,9 +428,13 @@ object LshIndex {
         // so the repartition actually shuffles: Catalyst otherwise elides
         // it as redundant, then plans an unbucketed scan whose raw file
         // splits misalign with bucket ids and fan out file-per-task-bucket
-        appendBucketed(transform(spark.table(tbl).localCheckpoint(true))
-            .repartition(ref.buckets, cols.map(col): _*),
-          tmp, ref.buckets, cols)
+        val newRows = transform(spark.table(tbl).localCheckpoint(true))
+          .repartition(ref.buckets, cols.map(col): _*)
+        // re-register under the TRANSFORMED schema — a schema-changing
+        // transform (the legacy-index migration) must not re-attach the
+        // files under the pre-transform DDL
+        val schemaDdl = newRows.schema.toDDL
+        appendBucketed(newRows, tmp, ref.buckets, cols)
         // swap: drop the catalog entries, rename live ASIDE (never
         // deleted before its replacement is in place), rename the copy
         // in, re-assert the bucketing DDL, delete the aside copy LAST

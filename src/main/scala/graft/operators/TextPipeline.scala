@@ -416,9 +416,13 @@ object TextPipeline {
     // times (the prefix scan's two passes + the explode), and without a
     // barrier each pass re-executes the caller's upstream lineage —
     // measured 1.4–1.7× on the composed curation chain, and far worse
-    // when the upstream is itself a shuffle-heavy clean
+    // when the upstream is itself a shuffle-heavy clean. LAZY checkpoint:
+    // merely composing the pipeline must not run a Spark job — the first
+    // action materializes, later consumers reuse the blocks. Trade (as
+    // with any localCheckpoint): the truncated lineage is not recomputable
+    // on executor loss — the job fails and the caller re-runs.
     val docs = df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("w"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val offs = Partitioning.prefixSum(
       docs.select(col(idCol), size(col("w")).as("_n")), idCol, "_n", "_off")
     docs.join(offs, Seq(idCol))
@@ -448,9 +452,10 @@ object TextPipeline {
                                   textCol: String, seqLen: Int): DataFrame = {
     require(seqLen >= 1)
     // one lineage execution for FOUR consumers (prefix scan ×2, seqs,
-    // bounds) — see packSequences for the measured account
+    // bounds) — see packSequences for the measured account and the
+    // lazy-checkpoint / executor-loss trade
     val docs = df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("w"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val offs = Partitioning.prefixSum(
       docs.select(col(idCol), size(col("w")).as("_n")), idCol, "_n", "_off")
     val toks = docs.join(offs, Seq(idCol))
@@ -1638,7 +1643,26 @@ object TextPipeline {
         posexplode(TextFunctions.tokens(lower(col(textCol)))))
       .select(col("_doc"), (col("pos") + 1).cast("long").as("widx"),
         col("col").as("word"))
-    val alw = occ.select("word").distinct().withColumn("al", expr(alSql))
+    val words = occ.select("word").distinct()
+    // a word with a character no vocab piece covers has α(n) = 0 — the
+    // walk would stall and silently emit a seg that does not tile the
+    // word. Trained vocabs always cover (the seed includes every corpus
+    // char), so enforce the same contract on arbitrary vocab: single-char
+    // coverage guarantees every word a positive-mass tiling. The check is
+    // one pass over DISTINCT words collecting only the alphabet.
+    val singles = vocab.iterator.map(_._1)
+      .filter(p => p.codePointCount(0, p.length) == 1).toSet
+    val uncovered = words
+      .select(explode(expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))")).as("ch"))
+      .distinct().collect().map(_.getString(0))
+      .filterNot(singles.contains).sorted
+    require(uncovered.isEmpty,
+      s"vocab has no single-char piece for corpus character(s) " +
+        s"${uncovered.take(10).mkString("'", "', '", "'")} — such words " +
+        s"have an empty segmentation lattice and cannot be sampled; seed " +
+        s"the vocab with every corpus character (the trainers do)")
+    val alw = words.withColumn("al", expr(alSql))
     occ.join(alw, Seq("word"))
       .withColumn("seg", expr(walkSql))
       .select(col("_doc"), col("widx"),

@@ -100,7 +100,19 @@ object StreamingCurriculum {
               .cast("long").as("n_toks"))
           val batchN = base.count()
           val n = histTotal + batchN
-          require(n > 0, "empty stream batch")
+          // an empty micro-batch (replays, edge triggers) is a NO-OP
+          // delivery, not an error: the normal path below writes
+          // schema-correct empty sched/delta partitions and ledgers the
+          // batch, so a restart never re-hits it (ADVICE round 13 —
+          // startStrideIngest always behaved this way). nEff only guards
+          // the DIV-by-zero in the (then row-free) first_step expression.
+          val nEff = math.max(n, 1L)
+          // rank ≤ n, so rank²·T + n² − 1 is bounded by n²·(T + 1) − 1:
+          // guard the Long headroom loudly instead of letting first_step
+          // wrap negative (~3M docs at T=1e6 silently overflows)
+          require(BigInt(n) * BigInt(n) * BigInt(totalSteps + 1) - 1 <= BigInt(Long.MaxValue),
+            s"first_step = rank²·totalSteps overflows Long at n=$n docs, " +
+              s"totalSteps=$totalSteps — rescale totalSteps or shard the corpus")
           // causal rank = earlier docs at or below this difficulty
           // (temporal tie-break) + within-batch (n_toks, id) rank via
           // the two-phase scan — the batch operator's device
@@ -120,7 +132,7 @@ object StreamingCurriculum {
           val sched = Partitioning.zipWithIndex(ordered, "brk")
             .withColumn("rank", col("brk") + 1L + histLE)
             .withColumn("first_step", expr(
-              s"(rank * rank * ${totalSteps}L + ${n}L * ${n}L - 1L) DIV (${n}L * ${n}L)"))
+              s"(rank * rank * ${totalSteps}L + ${nEff}L * ${nEff}L - 1L) DIV (${nEff}L * ${nEff}L)"))
             .select(col(idCol), col("n_toks"), col("rank"), col("first_step"))
             .localCheckpoint()
           sched.write.mode("overwrite")

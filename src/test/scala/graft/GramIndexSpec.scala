@@ -335,4 +335,33 @@ class GramIndexSpec extends SparkSpec {
     GramIndex.drop(spark, tref)
     org.apache.commons.io.FileUtils.deleteQuietly(base)
   }
+
+  test("legacy (pre-delivery-lineage) on-disk index migrates on first write " +
+    "instead of dying on the missing column") {
+    val lref = GramIndex.Ref("gspeclegacy", buckets = 4)
+    GramIndex.drop(spark, lref)
+    GramIndex.ingest(docs(batch0: _*), "doc_id", "text", L, lref).count()
+    // strip the delivery column on disk — the round-12 schema (h, h2, cnt)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val loc = new org.apache.hadoop.fs.Path(wh, lref.gramsTable)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val legacyRows = spark.table(lref.gramsTable)
+      .select("h", "h2", "cnt").localCheckpoint(true)
+    spark.sql(s"DROP TABLE ${lref.gramsTable}")
+    fs.delete(loc, true)
+    legacyRows.repartition(4, col("h")).write.format("parquet")
+      .bucketBy(4, "h").sortBy("h")
+      .option("path", loc.toString).saveAsTable(lref.gramsTable)
+    spark.sql(s"DROP TABLE ${lref.gramsTable}") // files only, fresh catalog
+    // first write against the legacy files: migrate + dedup, not an
+    // unresolved-column AnalysisException
+    val out = collect(GramIndex.ingest(docs(batch1: _*), "doc_id", "text", L, lref))
+    assert(!out(11L)._1.contains("BOILERPLATE"),
+      "migrated legacy corpus must still dedup later deliveries")
+    val deliveries = spark.table(lref.gramsTable)
+      .select("delivery").distinct().as[String].collect().toSet
+    assert(deliveries.contains(GramIndex.CompactedDelivery),
+      s"legacy rows must carry the compacted tag, got $deliveries")
+    GramIndex.drop(spark, lref)
+  }
 }

@@ -309,4 +309,37 @@ class LshIndexSpec extends SparkSpec {
     LshIndex.drop(spark, sref)
     org.apache.commons.io.FileUtils.deleteQuietly(base)
   }
+
+  test("legacy (pre-delivery-lineage) on-disk tables migrate on first write " +
+    "instead of dying on the missing column") {
+    val lref = LshIndex.Ref("speclegacy", buckets = 4)
+    LshIndex.drop(spark, lref)
+    LshIndex.ingest(docs(batches(0): _*), "doc_id", "text",
+      n = 2, k = 128, bands = 64, threshold = 0.5, lref).count()
+    // strip the delivery column on disk from all three tables — the
+    // round-12 schema
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    lref.layout.foreach { case (tbl, cols) =>
+      val loc = new org.apache.hadoop.fs.Path(wh, tbl)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val legacy = spark.table(tbl).drop("delivery").localCheckpoint(true)
+      spark.sql(s"DROP TABLE $tbl")
+      fs.delete(loc, true)
+      legacy.repartition(4, cols.map(col): _*).write.format("parquet")
+        .bucketBy(4, cols.head, cols.tail: _*).sortBy(cols.head, cols.tail: _*)
+        .option("path", loc.toString).saveAsTable(tbl)
+      spark.sql(s"DROP TABLE $tbl") // files only, fresh catalog
+    }
+    // next delivery against the legacy files: must migrate, not die on an
+    // unresolved column, and still find the cross-delivery near-dup
+    val pairs = LshIndex.ingest(docs(batches(1): _*), "doc_id", "text",
+        n = 2, k = 128, bands = 64, threshold = 0.5, lref)
+      .select($"old_id", $"new_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 11L)) && pairs.contains((3L, 11L)),
+      s"migrated legacy corpus must still pair later deliveries, got $pairs")
+    val deliveries = spark.table(lref.bandedTable)
+      .select("delivery").distinct().as[String].collect().toSet
+    assert(deliveries.contains(LshIndex.LegacyDelivery))
+    LshIndex.drop(spark, lref)
+  }
 }
