@@ -11,11 +11,11 @@ import org.apache.spark.sql.SparkSession
   * cost vs per-round cost.
   *
   * Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.IterBench"
-  * Section select: SPARK_GRAFT_ITERBENCH=loops|bpe|bpescale|tok|wpencode|
-  * lshidx|ivfidx|gramidx|exactsubstr|dsir|streampack|streamsample|stream|
-  * streamamort|streamloop (default loops — the bpe/bpescale
-  * sections run ~500-merge tokenizer trainings and are minutes long by
-  * design; results are recorded in BASELINE.md).
+  * Section select: SPARK_GRAFT_ITERBENCH=loops|bpe|bpescale|tok|unigram|
+  * wpencode|lshidx|ivfidx|gramidx|exactsubstr|dsir|streampack|
+  * streamsample|stream|streamamort|streamloop (default loops — the
+  * bpe/bpescale sections run ~500-merge tokenizer trainings and are
+  * minutes long by design; results are recorded in BASELINE.md).
   *
   * SPARK_GRAFT_MULT=k scales the lshidx/ivfidx corpus k× in-bench
   * (fixtures untouched): documents replicate with id offsets and a
@@ -566,6 +566,89 @@ object IterBench {
         }
       }
       docs.unpersist()
+      spark.stop()
+      return
+    }
+
+    // Soft-EM / FFBS unigram family at CORPUS and VOCAB scale (round-13
+    // VERDICT item #1): the literal path embeds the vocabulary as a SQL
+    // array literal and folds the FULL list per char position —
+    // O(|V|·len) per word plus |V|-proportional parse/codegen of three
+    // literal copies; the indexed kernel (UnigramLatticeKernel) looks up
+    // ≤ maxPieceLen substrings per position, |V|-independent. This A/Bs
+    // the two bit-identical paths across seed sizes (gate 24 → 1k → 5k
+    // → 10k) and, via SPARK_GRAFT_MULT (words-per-doc multiplier),
+    // corpus size. The literal path is capped at 1k pieces: past it the
+    // embedded-literal parse alone is minutes (measured; the 5k/10k
+    // rows would time the parser, not the operator).
+    if (section == "unigram") {
+      import graft.operators.TextPipeline
+      import org.apache.spark.sql.functions._
+      // SPARK_GRAFT_UNIGRAM_LITMAX raises the literal-path cap for
+      // one-off parse-cost measurements
+      val litMax = sys.env.getOrElse("SPARK_GRAFT_UNIGRAM_LITMAX", "1000").toInt
+      val wpd = 12 * mult
+      val docs = pseudoCorpus(wpd).localCheckpoint(true)
+      val words = docs
+        .select(explode(graft.functions.TextFunctions.tokens(lower(col("text")))).as("word"))
+        .groupBy("word").agg(count(lit(1)).cast("long").as("wcnt"))
+        .cache()
+      println(s"[iterbench] corpus: ${docs.count()} docs x $wpd pseudo-words, " +
+        s"${words.count()} distinct")
+      // one subs aggregate feeds every seed size — the trainers' own
+      // (chars sorted, multis by weighted frequency) canonical order
+      val scale = 1000000L
+      val subs = words
+        .select(col("word"), col("wcnt"),
+          explode(sequence(lit(1), length(col("word")))).as("i"))
+        .select(col("wcnt"), explode(transform(
+          sequence(lit(1), lit(4)), l =>
+            when(col("i") + l - 1 <= length(col("word")),
+              col("word").substr(col("i"), l)))).as("p"))
+        .filter(col("p").isNotNull)
+        .groupBy("p").agg(sum(col("wcnt")).as("cnt"))
+        .cache()
+      import spark.implicits._
+      val chars = subs.filter(length(col("p")) === 1)
+        .as[(String, Long)].collect().sortBy(_._1)
+      val multisAll = subs.filter(length(col("p")) >= 2)
+        .orderBy(col("cnt").desc, col("p")).limit(10000)
+        .as[(String, Long)].collect()
+      subs.unpersist()
+      // round 1 is codegen/plan warm-up; read round 2
+      for (round <- 1 to 2; sm <- Seq(24, 1000, 5000, 10000)) {
+        val vocab = (chars ++ multisAll.take(sm)).toSeq
+          .map { case (p, c) => (p, c * scale) }
+        timed(s"softEmCounts indexed  |V|=${vocab.size} (mult=$mult) r$round") {
+          TextPipeline.softEmCounts(words, vocab, scale, Some(true)).size.toLong
+        }
+        if (sm <= litMax)
+          timed(s"softEmCounts literal  |V|=${vocab.size} (mult=$mult) r$round") {
+            TextPipeline.softEmCounts(words, vocab, scale, Some(false)).size.toLong
+          }
+      }
+      // the sampler: per-OCCURRENCE walk over the same lattices
+      for (round <- 1 to 2; sm <- Seq(24, 1000, 5000)) {
+        val vocab = (chars ++ multisAll.take(sm)).toSeq
+          .map { case (p, c) => (p, c * scale) }
+        timed(s"sampleEncode indexed  |V|=${vocab.size} (mult=$mult) r$round") {
+          TextPipeline.unigramSampleEncode(docs, "doc_id", "text", vocab,
+            forceIndexed = Some(true)).count()
+        }
+        if (sm <= litMax)
+          timed(s"sampleEncode literal  |V|=${vocab.size} (mult=$mult) r$round") {
+            TextPipeline.unigramSampleEncode(docs, "doc_id", "text", vocab,
+              forceIndexed = Some(false)).count()
+          }
+      }
+      // end-to-end: the complete Kudo trainer at a production-ish seed
+      // (auto path picks the kernel past the crossover); the altCost DP
+      // is O(|V|²·maxPieceLen) driver-side, so the seed stays at 1k
+      timed(s"unigramTrainSoftPruned seed=1000, 2 rounds (mult=$mult)") {
+        TextPipeline.unigramTrainSoftPruned(docs, "text", maxPieceLen = 4,
+          seedMulti = 1000, rounds = 2, pruneCount = 50).size.toLong
+      }
+      words.unpersist()
       spark.stop()
       return
     }

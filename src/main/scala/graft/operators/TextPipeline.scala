@@ -1583,13 +1583,18 @@ object TextPipeline {
   def unigramSampleEncode(df: DataFrame, idCol: String, textCol: String,
                           vocab: Seq[(String, Long)],
                           scale: Long = 1000000L,
-                          salt: String = "sseg"): DataFrame = {
+                          salt: String = "sseg",
+                          forceIndexed: Option[Boolean] = None): DataFrame = {
     require(vocab.nonEmpty && scale >= 1)
+    // literal fold vs indexed kernel — bit-identical; see IndexedEStepMinVocab
+    val useIndexed = forceIndexed.getOrElse(vocab.size >= IndexedEStepMinVocab)
     // the walk's SQL text calls fnv1a64 — ensure the native expression is
     // registered on this session (idempotent)
     graft.functions.GraftExtensions.register(df.sparkSession)
     def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
-    val lst = vocab.map { case (p, c) =>
+    // lazy: the indexed path must not render the (|V|-proportional)
+    // literal SQL text at all
+    lazy val lst = vocab.map { case (p, c) =>
       s"named_struct('p', '${esc(p)}', 'c', ${c}L)"
     }.mkString("array(", ", ", ")")
     val total = vocab.map(_._2 + scale).sum
@@ -1597,7 +1602,7 @@ object TextPipeline {
       s"weight denominator $total must be an exact double (< 2^53)")
     def w(c: String) =
       s"(CAST($c + ${scale}L AS DOUBLE) / CAST(${total}L AS DOUBLE))"
-    val alSql =
+    lazy val alSql =
       s"""aggregate(sequence(1, length(word)), array(CAST(1.0 AS DOUBLE)),
          (acc, i) -> array_append(acc,
            aggregate($lst, CAST(0.0 AS DOUBLE),
@@ -1607,7 +1612,7 @@ object TextPipeline {
                ELSE CAST(0.0 AS DOUBLE) END)))"""
     // the per-step uniform draw: unitHash(doc:widx:pos, salt) — fnv1a64's
     // top 53 bits as a double in [0, 1)
-    val u =
+    lazy val u =
       s"""(CAST(shiftrightunsigned(fnv1a64(concat(CAST(_doc AS STRING), ':',
          CAST(widx AS STRING), ':', CAST(b.pos AS STRING), ':$salt')), 11)
          AS DOUBLE) / 9007199254740992.0D)"""
@@ -1616,7 +1621,7 @@ object TextPipeline {
     // cumulative past u·α(pos) is the sampled piece (the exact lattice
     // posterior: each candidate's selection probability is its mass
     // share of α(pos))
-    val walkSql =
+    lazy val walkSql =
       s"""aggregate(sequence(1, length(word)),
          named_struct('pos', length(word), 'ps', CAST(array() AS ARRAY<STRING>)),
          (st, x) -> CASE WHEN st.pos <= 0 THEN st ELSE
@@ -1662,9 +1667,19 @@ object TextPipeline {
         s"${uncovered.take(10).mkString("'", "', '", "'")} — such words " +
         s"have an empty segmentation lattice and cannot be sampled; seed " +
         s"the vocab with every corpus character (the trainers do)")
-    val alw = words.withColumn("al", expr(alSql))
-    occ.join(alw, Seq("word"))
-      .withColumn("seg", expr(walkSql))
+    val alw =
+      if (useIndexed)
+        words.withColumn("al",
+          graft.functions.UnigramAlphaExpr(col("word"), vocab, scale))
+      else words.withColumn("al", expr(alSql))
+    val joined = occ.join(alw, Seq("word"))
+    val seged =
+      if (useIndexed)
+        joined.withColumn("seg", graft.functions.UnigramSampleSegExpr(
+          col("word"), col("al"), col("_doc").cast("string"), col("widx"),
+          vocab, scale, salt))
+      else joined.withColumn("seg", expr(walkSql))
+    seged
       .select(col("_doc"), col("widx"),
         array_join(col("seg"), "/").as("wseg"), size(col("seg")).as("np"))
       .groupBy(col("_doc"))
@@ -1676,16 +1691,52 @@ object TextPipeline {
       .withColumnRenamed("_doc", idCol)
   }
 
+  /** Vocab-size threshold above which the soft-EM/FFBS family uses the
+    * hash-indexed kernel ([[graft.functions.UnigramLatticeKernel]])
+    * instead of the inline vocab-literal fold — the [[SuffixArray]]
+    * measured-hybrid device, except the measurement found NO regime
+    * where the literal wins, so the threshold is 0 (indexed always; the
+    * literal fold is retained as the differential-spec reference via
+    * `forceIndexed = Some(false)`). The literal fold costs O(|V|)
+    * comparisons per char position plus |V|-proportional parse/codegen
+    * of the embedded literal (three copies); the kernel costs
+    * O(maxPieceLen) hash lookups per position, |V|-independent.
+    * Measured (IterBench `unigram`, sf0.01 pseudo-corpus, 48k distinct
+    * words, steady-state round; BASELINE.md round-14): E-step
+    * literal/indexed = 0.87/0.31 s at the ~50-piece gate vocab (the
+    * literal's plan-parse alone exceeds the kernel's total), 7.6/0.46 s
+    * at 1k, 33.7/0.50 s at 5k; sampler parity at 50 pieces
+    * (0.75/0.78 s), 1.6× at 1k, 3.7× at 5k. Indexed is vocab-FLAT
+    * through 10k and corpus-linear (0.45 s → 0.65 s for 48k → 190k
+    * words). Both paths are BIT-IDENTICAL by construction (the literal
+    * fold's non-matching entries add exactly 0.0, and x + 0.0 == x for
+    * the non-negative partial sums involved; the kernel folds the
+    * matching entries in the same canonical rank order) — spec-pinned
+    * at gate and several-hundred-piece vocabs. */
+  private[graft] val IndexedEStepMinVocab = 0
+
   /** The soft-EM E-step shared by [[unigramTrainSoft]] and its spec
     * replica: forward/backward over every distinct word's lattice under
     * weights (c + scale)/Σ(c + scale), per-occurrence posteriors
     * fixed-pointed to ⌊γ·scale + 0.5⌋, corpus-weighted integer sums
     * back. `vocab` carries scale-fixed-point counts in the canonical
-    * (chars-then-multis) order the fold contract depends on. */
-  private def softEmCounts(words: DataFrame, vocab: Seq[(String, Long)],
-                           scale: Long): Map[String, Long] = {
+    * (chars-then-multis) order the fold contract depends on. Picks the
+    * literal or indexed lattice by [[IndexedEStepMinVocab]]
+    * (`forceIndexed` is the spec/bench override) — same bits either way. */
+  private[graft] def softEmCounts(words: DataFrame, vocab: Seq[(String, Long)],
+                                  scale: Long,
+                                  forceIndexed: Option[Boolean] = None)
+      : Map[String, Long] = {
     val spark = words.sparkSession
     import spark.implicits._
+    if (forceIndexed.getOrElse(vocab.size >= IndexedEStepMinVocab)) {
+      return words
+        .select(col("wcnt"), explode(
+          graft.functions.UnigramPosteriorsExpr(col("word"), vocab, scale)).as("o"))
+        .select(col("o.p").as("p"), (col("wcnt") * col("o.f")).as("e"))
+        .groupBy("p").agg(sum(col("e")).as("ecnt"))
+        .as[(String, Long)].collect().toMap
+    }
     def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
     val lst = vocab.map { case (p, c) =>
       s"named_struct('p', '${esc(p)}', 'c', ${c}L)"

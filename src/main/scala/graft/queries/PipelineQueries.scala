@@ -416,6 +416,19 @@ object PipelineQueries {
 
   private val OUnigramSeed: String = oUnigramSeed("")
 
+  /** Law-based oracle for the corpus-scale FFBS gate (qft): word count,
+    * tiling count (== word count when every sampled segmentation
+    * re-concatenates to its word), and the [words, chars] piece bound —
+    * all derivable from the RAW text without replaying any draw. */
+  private lazy val OUnigramSampleScale: String =
+    s"""SELECT doc_id,
+         CAST(len(ws) AS BIGINT) AS n_words,
+         CAST(len(ws) AS BIGINT) AS n_tiled,
+         TRUE AS bounded
+       FROM (SELECT doc_id, list_filter(
+           string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+         FROM documents)"""
+
   private lazy val OUnigramTrain: String =
     s"""WITH RECURSIVE ${OUnigramSeed},
       ${oUnigramEmRound(1)},
@@ -2926,8 +2939,12 @@ object PipelineQueries {
     Entry("qfp_unigram_sample",
       (s, dir) => {
         // fixed 100-doc slice: the per-occurrence FFBS walk's DuckDB
-        // replay is lattice-heavy, so the gate size is sf-independent
-        // (the operator itself is corpus-linear — IterBench covers it)
+        // replay is lattice-heavy, so the gate size is sf-independent.
+        // Corpus-scale evidence lives elsewhere, MEASURED: IterBench's
+        // `unigram` section times the sampler at k× corpus and k× vocab
+        // (BASELINE.md round-14 — corpus-linear, vocab-flat on the
+        // indexed kernel), and qft runs the sampler over the FULL sf
+        // corpus under a law-based oracle
         val d = t(s, dir, "documents").filter(col("doc_id") < 100)
         val trained = TextPipeline.unigramTrainSoft(d, "text",
           maxPieceLen = 4, seedMulti = 24, iters = 2)
@@ -2951,6 +2968,34 @@ object PipelineQueries {
         TextPipeline.nbestSegment(d, "text", costs, n = 3)
       },
       Some(ONbestSegment)),
+
+    // FFBS sampling at CORPUS scale — the sf-scaled companion qfp's
+    // 100-doc cap cannot provide (round-13 VERDICT item #6): the full
+    // per-draw DuckDB replay is lattice-heavy, so this gate pins the
+    // sampler's LAWS over the WHOLE sf corpus instead — per doc the
+    // word count matches the raw text's, every word's sampled pieces
+    // tile it back exactly (n_tiled == n_words), and the piece count
+    // sits in [n_words, n_chars]. The oracle derives all three columns
+    // from the raw parquet alone; per-draw bit-exactness is qfp's job,
+    // and the indexed/literal kernel equivalence is spec-pinned.
+    Entry("qft_unigram_sample_scale",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val trained = TextPipeline.unigramTrainSoft(d, "text",
+          maxPieceLen = 4, seedMulti = 24, iters = 1)
+        val vocab = trained.filter(_._1 == 1).map { case (_, p, e) => (p, e) }
+        val out = TextPipeline.unigramSampleEncode(d, "doc_id", "text", vocab)
+        val src = d.select(col("doc_id"),
+          TextFunctions.tokens(lower(col("text"))).as("ws"))
+        out.join(src, Seq("doc_id"))
+          .select(col("doc_id"), col("n_words"),
+            expr("""aggregate(zip_with(split(seg_text, ' '), ws,
+                (a, b) -> CASE WHEN replace(a, '/', '') = b THEN 1L ELSE 0L END),
+              0L, (acc, x) -> acc + x)""").as("n_tiled"),
+            (col("n_pieces") >= col("n_words") && col("n_pieces") <=
+              expr("aggregate(ws, 0L, (a, w) -> a + length(w))")).as("bounded"))
+      },
+      Some(OUnigramSampleScale)),
 
     // The COMPLETE Kudo trainer: soft-EM expected counts driving BOTH
     // the re-estimation and the prune scores (qfn + qfg's halves

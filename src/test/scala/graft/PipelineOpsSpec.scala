@@ -1419,4 +1419,70 @@ class PipelineOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(again === out.sortBy(_._1).toSeq)
   }
+
+  // ---- soft-EM / FFBS indexed-kernel hybrid -------------------------------
+
+  private def wordsFrameOf(docs: org.apache.spark.sql.DataFrame) = docs
+    .select(explode(graft.functions.TextFunctions.tokens(lower($"text"))).as("word"))
+    .groupBy("word").agg(count(lit(1)).cast("long").as("wcnt"))
+
+  test("softEmCounts: the hash-indexed kernel is BIT-identical to the " +
+    "vocab-literal fold, at gate vocab and at a several-hundred-piece vocab") {
+    val texts = Seq(
+      "the fastest internet interna intern net nets",
+      "fast faster fastest nets net the the thee",
+      "internal international internet the nether net")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val seed = TextPipeline.unigramTrainSoft(docs, "text", maxPieceLen = 4,
+      seedMulti = 12, iters = 1).filter(_._1 == 0).map(t => (t._2, t._3))
+    val words = wordsFrameOf(docs)
+    assert(TextPipeline.softEmCounts(words, seed, 1000000L, Some(false)) ===
+      TextPipeline.softEmCounts(words, seed, 1000000L, Some(true)))
+    // larger vocab (past the crossover): pseudo-words give hundreds of
+    // distinct multi-char substrings, exercising rank-order restoration
+    val big = (0 until 60).map { i =>
+      val w = java.lang.Long.toString(i * 2654435761L & 0xfffffL, 26)
+        .map(c => if (c.isDigit) ('a' + (c - '0')).toChar else c)
+      (i.toLong, s"$w ${w.reverse} ${w.take(3)}")
+    }.toDF("doc_id", "text")
+    val seedBig = TextPipeline.unigramTrainSoft(big, "text", maxPieceLen = 5,
+      seedMulti = 400, iters = 1).filter(_._1 == 0).map(t => (t._2, t._3))
+    assert(seedBig.size > 300, s"fixture too small: ${seedBig.size} pieces")
+    val wordsBig = wordsFrameOf(big)
+    assert(TextPipeline.softEmCounts(wordsBig, seedBig, 1000000L, Some(false)) ===
+      TextPipeline.softEmCounts(wordsBig, seedBig, 1000000L, Some(true)))
+  }
+
+  test("unigramSampleEncode: the indexed α + walk kernel replays the " +
+    "literal fold's draws BIT-identically") {
+    val docs = Seq(
+      (1L, "abab baba abba ab ba"),
+      (2L, "aa bb abab abab"),
+      (3L, "b a ba ab"))
+    val vocab = Seq(
+      ("a", 5000000L), ("b", 3000000L),
+      ("ab", 2000000L), ("ba", 1500000L), ("abab", 800000L))
+    def run(forced: Boolean) = TextPipeline.unigramSampleEncode(
+        docs.toDF("doc_id", "text"), "doc_id", "text", vocab,
+        forceIndexed = Some(forced))
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(run(false) === run(true))
+    // and on a fixture whose vocab is trained (chars + many multis, the
+    // canonical-order regime) with a non-default salt
+    val texts = (0 until 40).map { i =>
+      val w = java.lang.Long.toString(i * 40503L + 7, 26)
+        .map(c => if (c.isDigit) ('a' + (c - '0')).toChar else c)
+      (i.toLong, s"$w $w${w.take(2)} ${w.reverse}")
+    }
+    val tdocs = texts.toDF("doc_id", "text")
+    val trained = TextPipeline.unigramTrainSoft(tdocs, "text",
+      maxPieceLen = 4, seedMulti = 150, iters = 1)
+      .filter(_._1 == 1).map(t => (t._2, t._3))
+    def runT(forced: Boolean) = TextPipeline.unigramSampleEncode(
+        tdocs, "doc_id", "text", trained, salt = "alt",
+        forceIndexed = Some(forced))
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(runT(false) === runT(true))
+  }
 }
