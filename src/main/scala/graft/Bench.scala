@@ -33,6 +33,22 @@ object Bench {
     // fitted UNTIMED via the entry's prepare hook, i.e. the deployed shape.
     "qcl_hll_distinct", "qct_heavy_hitters", "qd5_ivfpq_search")
 
+  /** The PIPELINE headline (round 15, closing the twice-carried round-13
+    * verdict item): a fixed 10-query set over the round-9..14 LLM-pipeline
+    * families, so the per-round 2× regression gate covers what the engine
+    * now is — ExactSubstr removal, the persistent gram/IVFADC indexes,
+    * the suffix array, DSIR selection, sequence packing, streaming chunk
+    * dedup, and the tokenizer-trainer family (soft-EM E-step, the full
+    * Kudo trainer, corpus-scale FFBS sampling). Timed in the same run as
+    * [[headline]]; BENCH_r*.json carries BOTH totals ("value" stays the
+    * legacy headline for cross-round continuity, "pipeline_total" is this
+    * set; BASELINE.md round-15 records the comparison base). */
+  val pipelineHeadline: Seq[String] = Seq(
+    "qf8_exact_substr_dedup", "qfa_exact_substr_index", "qfe_suffix_array",
+    "qei_dsir_select", "qel_sequence_pack", "qer_stream_chunk_dedup",
+    "qe9_ivfpq_persistent_index", "qfn_unigram_soft_em",
+    "qfq_unigram_soft_prune", "qft_unigram_sample_scale")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -71,7 +87,7 @@ object Bench {
             "q85/qbe/q8b are timed) — set SPARK_GRAFT_BENCH_QUADRATIC=1 to include")
           all.filterNot(_ == "q84_jaccard_pairs")
         }
-      case None => headline.filter(SparkEntry.queries.contains)
+      case None => (headline ++ pipelineHeadline).filter(SparkEntry.queries.contains)
     }
     val wall0 = System.nanoTime()
     // A query that throws is a DNF, never a fast success: its entry becomes
@@ -105,8 +121,20 @@ object Bench {
       case (k, _, Some(e)) => s"\"" + k + "\":\"err:" + e + "\""
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, _, Some(_)) => s"\"" + k + "\"" }
-    val total = results.collect { case (_, v, None) => v }.sum
+    // two totals: "value" remains the LEGACY headline sum (comparable to
+    // BASELINE.md round-1 and every prior BENCH_r*.json), "pipeline_total"
+    // sums the round-15 pipeline headline (base recorded in BASELINE.md
+    // round-15) — each counts only its own members, so a custom
+    // SPARK_GRAFT_BENCH_ONLY/ALL run still reports sane partial sums
+    val defaultMode = !sys.env.contains("SPARK_GRAFT_BENCH_ONLY") &&
+      !sys.env.contains("SPARK_GRAFT_BENCH_ALL")
+    val legacySet = headline.toSet
+    val pipeSet = pipelineHeadline.toSet
+    val total = results.collect {
+      case (k, v, None) if !defaultMode || legacySet(k) => v }.sum
+    val pipeTotal = results.collect { case (k, v, None) if pipeSet(k) => v }.sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""pipeline_total":$pipeTotal,""" +
       s""""queries":$qs,"failed":${failed.mkString("[", ",", "]")},""" +
       s""""sf":"$sfDir","commit":"$commitSha",""" +
       s""""wall_sec":${(System.nanoTime() - wall0) / 1e9}}"""

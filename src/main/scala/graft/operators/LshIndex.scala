@@ -366,6 +366,8 @@ object LshIndex {
     * rewrite as [[compact]], under the write lease. */
   def recoverDelivery(spark: SparkSession, ref: Ref, delivery: String): Unit =
     withLease(spark, ref, "recoverDelivery") {
+      require(delivery != LegacyDelivery,
+        s"cannot retract '$LegacyDelivery' — pre-migration lineage is collapsed")
       if (attachForWrite(spark, ref)) ref.layout.foreach { case (tbl, cols) =>
         compactOne(spark, ref, tbl, cols,
           _.filter(col("delivery") =!= lit(delivery)))

@@ -262,7 +262,7 @@ object Sampling {
     require(n > 0, "empty corpus")
     // the scaladoc's BIGINT-headroom note, enforced: rank²·T + n² − 1 ≤
     // n²·(T + 1) − 1 must fit a Long or first_step wraps negative
-    require(BigInt(n) * BigInt(n) * BigInt(totalSteps + 1) - 1 <= BigInt(Long.MaxValue),
+    require(BigInt(n) * BigInt(n) * (BigInt(totalSteps) + 1) - 1 <= BigInt(Long.MaxValue),
       s"first_step = rank²·totalSteps overflows Long at n=$n docs, " +
         s"totalSteps=$totalSteps — rescale totalSteps or shard the corpus")
     val p = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt

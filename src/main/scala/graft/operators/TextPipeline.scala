@@ -1151,13 +1151,17 @@ object TextPipeline {
     * words (the whole encode family's shape); piece counts come back
     * through a |vocab|-bounded aggregate, and the vocabulary lives on
     * the driver between rounds exactly like [[bpeTrain]]'s merge list.
-    * The inline-literal DP bounds |vocab| like [[wordpieceEncode]] —
-    * a production 32k-piece run would compile the vocab into a trie
-    * expression ([[wordpieceEncodeTrie]]'s strategy) with the same
-    * semantics. */
+    * The E-step DP defaults to the hash-indexed
+    * [[graft.functions.UnigramViterbiKernel]] — O(maxPieceLen) probes
+    * per char position, |vocab|-independent, bit-identical to the
+    * vocab-literal fold (retained as the differential-spec reference
+    * via `forceIndexed = Some(false)`); IterBench `unigram` has the
+    * measured slopes at 1k/5k/10k pieces. */
   def unigramTrain(df: DataFrame, textCol: String, maxPieceLen: Int,
                    seedMulti: Int, iters: Int,
-                   scale: Long = 1000000L): Seq[(Int, String, Long, Long)] = {
+                   scale: Long = 1000000L,
+                   forceIndexed: Option[Boolean] = None)
+      : Seq[(Int, String, Long, Long)] = {
     require(maxPieceLen >= 2 && seedMulti >= 0 && iters >= 1 && scale >= 1)
     val spark = df.sparkSession
     import spark.implicits._
@@ -1188,7 +1192,7 @@ object TextPipeline {
     out ++= vocab.map { case (p, c) => (0, p, scale / (1L + c), c) }
     for (it <- 1 to iters) {
       val costs = vocab.map { case (p, c) => (p, scale / (1L + c)) }
-      val counts = emCounts(words, costs, scale)
+      val counts = emCounts(words, costs, scale, forceIndexed)
       vocab = vocab.map { case (p, _) => (p, counts.getOrElse(p, 0L)) }
       out ++= vocab.zip(costs).map { case ((p, c), (_, used)) => (it, p, used, c) }
     }
@@ -1196,20 +1200,74 @@ object TextPipeline {
     out.toSeq
   }
 
+  /** Kudo's prune score, shared by [[unigramTrainPruned]] and
+    * [[unigramTrainSoftPruned]]: altCost(p) = the min-cost segmentation
+    * of p's OWN text from the rest of the vocabulary. The DP PROBES
+    * each position's ≤ maxPieceLen ending substrings against the cost
+    * map — O(|pieces|·maxPieceLen²) hash lookups for a whole round
+    * (the E-step kernels' inversion, applied driver-side) — instead of
+    * iterating the full map per position (O(|vocab|²·maxPieceLen):
+    * 10¹⁰+ substring compares at a 100k-piece seed). Score-identical:
+    * both compute min over the same relaxation set
+    * {dp(i−|q|) + cost(q) : q ∈ vocab \ {p} ends at i}, and min over
+    * exact integers is enumeration-order-insensitive. */
+  private[graft] def altCostFn(costMap: Map[String, Long]): String => Long = {
+    val probe = new java.util.HashMap[String, java.lang.Long](costMap.size * 2)
+    var maxPl = 1
+    costMap.foreach { case (q, qc) =>
+      probe.put(q, qc)
+      if (q.length > maxPl) maxPl = q.length
+    }
+    (p: String) => {
+      val n = p.length
+      val dp = Array.fill(n + 1)(Long.MaxValue / 4); dp(0) = 0L
+      var i = 1
+      while (i <= n) {
+        var l = 1
+        val lim = math.min(maxPl, i)
+        while (l <= lim) {
+          val q = p.substring(i - l, i)
+          if (q != p) {
+            val qc = probe.get(q)
+            if (qc != null && dp(i - l) + qc < dp(i)) dp(i) = dp(i - l) + qc
+          }
+          l += 1
+        }
+        i += 1
+      }
+      dp(n)
+    }
+  }
+
   /** The hard-EM E-step shared by [[unigramTrain]] and
     * [[unigramTrainPruned]]: segment every distinct word by the min-cost
     * DP under `costs`, recover the argmin path with the deterministic
     * longest-piece backtrack, and return corpus-weighted piece usage.
-    * `words` is the cached (word, wcnt) frame. */
-  private def emCounts(words: DataFrame, costs: Seq[(String, Long)],
-                       scale: Long): Map[String, Long] = {
+    * `words` is the cached (word, wcnt) frame. Picks the literal or
+    * indexed DP by [[IndexedEStepMinVocab]] (`forceIndexed` is the
+    * spec/bench override) — same bits either way: min and the
+    * longest-attaining-piece backtrack are enumeration-order-insensitive
+    * (the argument in [[graft.functions.UnigramViterbiKernel]]'s
+    * scaladoc), so probing only the matching substrings replays the
+    * full-vocab fold exactly. */
+  private[graft] def emCounts(words: DataFrame, costs: Seq[(String, Long)],
+                              scale: Long,
+                              forceIndexed: Option[Boolean] = None)
+      : Map[String, Long] = {
     val spark = words.sparkSession
     import spark.implicits._
+    val INF = math.max(1000000000L, (scale + 1L) * 65536L)
+    if (forceIndexed.getOrElse(costs.size >= IndexedEStepMinVocab)) {
+      return words
+        .select(col("wcnt"), explode(
+          graft.functions.UnigramViterbiSegExpr(col("word"), costs, INF)).as("p"))
+        .groupBy("p").agg(sum(col("wcnt")).as("cnt"))
+        .as[(String, Long)].collect().toMap
+    }
     def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
     val lst = costs.map { case (p, c) =>
       s"named_struct('p', '${esc(p)}', 'c', ${c}L)"
     }.mkString("array(", ", ", ")")
-    val INF = math.max(1000000000L, (scale + 1L) * 65536L)
     val dpSql =
       s"""aggregate(sequence(1, length(word)), array(0L),
          (acc, i) -> array_append(acc,
@@ -1262,9 +1320,14 @@ object TextPipeline {
     * (ties to the lexicographically smaller piece; unused pieces have
     * loss 0 and go first). Single characters never prune — they are the
     * segmentability floor. altCost is a driver-side DP over ≤
-    * maxPieceLen characters per piece, O(|vocab|²·maxPieceLen) on the
-    * driver — negligible next to the corpus E-step, same locality as
-    * the BPE merge selection.
+    * maxPieceLen characters per piece that PROBES each position's
+    * ending substrings against the cost map — O(|vocab|·maxPieceLen²)
+    * hash lookups total (the same inversion as the E-step kernels;
+    * iterating the full cost map per position instead is
+    * O(|vocab|²·maxPieceLen), 10¹⁰+ substring compares at a real
+    * 100k-piece SentencePiece seed) — same driver locality as the BPE
+    * merge selection, and the same min over the same relaxation set, so
+    * the scores are exactly the integers the quadratic loop produced.
     *
     * Returns one row per (round, piece) alive in that round:
     * (round, piece, cost, cnt, loss, pruned) — cost as used by the
@@ -1272,7 +1335,8 @@ object TextPipeline {
     * (−1 sentinel for unprunable single chars). */
   def unigramTrainPruned(df: DataFrame, textCol: String, maxPieceLen: Int,
                          seedMulti: Int, rounds: Int, pruneCount: Int,
-                         scale: Long = 1000000L)
+                         scale: Long = 1000000L,
+                         forceIndexed: Option[Boolean] = None)
       : Seq[(Int, String, Long, Long, Long, Boolean)] = {
     require(maxPieceLen >= 2 && seedMulti >= 0 && rounds >= 1 &&
       pruneCount >= 0 && scale >= 1)
@@ -1304,15 +1368,8 @@ object TextPipeline {
     for (r <- 1 to rounds) {
       val costs = vocab.map { case (p, c) => (p, scale / (1L + c)) }
       val costMap = costs.toMap
-      val counts = emCounts(words, costs, scale)
-      def altCost(p: String): Long = {
-        val n = p.length
-        val dp = Array.fill(n + 1)(Long.MaxValue / 4); dp(0) = 0L
-        for (i <- 1 to n; (q, qc) <- costMap
-             if q != p && q.length <= i && p.substring(i - q.length, i) == q)
-          dp(i) = math.min(dp(i), dp(i - q.length) + qc)
-        dp(n)
-      }
+      val counts = emCounts(words, costs, scale, forceIndexed)
+      val altCost = altCostFn(costMap)
       val scored = vocab.map { case (p, _) =>
         val cnt = counts.getOrElse(p, 0L)
         val loss = if (p.length == 1) -1L
@@ -1423,12 +1480,26 @@ object TextPipeline {
     * costs are the natural source. Output: one row per (word, rank),
     * (word, rank, cost, seg) with rank 1..≤n (fewer if the word admits
     * fewer segmentations). Scale: one compiled DP pass over DISTINCT
-    * words, state O(n · |word|) per word — the n-best lists ride inside
-    * the same HOF fold as every encode-family DP. */
+    * words, state O(n · |word|) per word; the DP defaults to the
+    * hash-indexed [[graft.functions.UnigramViterbiKernel]] — the total
+    * (cost, binary seg) candidate order makes the sorted first-n slice
+    * enumeration-order-insensitive, so the kernel is bit-identical to
+    * the vocab-literal fold (spec-pinned differentially;
+    * `forceIndexed = Some(false)` is the reference path). */
   def nbestSegment(df: DataFrame, textCol: String,
-                   vocab: Seq[(String, Long)], n: Int): DataFrame = {
+                   vocab: Seq[(String, Long)], n: Int,
+                   forceIndexed: Option[Boolean] = None): DataFrame = {
     require(n >= 1 && vocab.nonEmpty)
     val spark = df.sparkSession
+    if (forceIndexed.getOrElse(vocab.size >= IndexedEStepMinVocab)) {
+      return df
+        .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
+        .distinct()
+        .select(col("word"), posexplode(
+          graft.functions.UnigramNbestExpr(col("word"), vocab, n)))
+        .select(col("word"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.c").as("cost"), col("col.s").as("seg"))
+    }
     def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
     val lst = vocab.map { case (p, c) =>
       s"named_struct('p', '${esc(p)}', 'c', ${c}L)"
@@ -1485,10 +1556,12 @@ object TextPipeline {
     * round's prune scoring, ecnt the soft counts it produced, loss −1
     * sentinel for unprunable single chars. Same scale shape as the
     * parents: corpus work is one lattice pass per round; the alt-cost
-    * DP is O(|vocab|²·maxPieceLen) on the driver. */
+    * DP probes the cost map — O(|vocab|·maxPieceLen²) driver hash
+    * lookups (see [[unigramTrainPruned]]). */
   def unigramTrainSoftPruned(df: DataFrame, textCol: String,
                              maxPieceLen: Int, seedMulti: Int, rounds: Int,
-                             pruneCount: Int, scale: Long = 1000000L)
+                             pruneCount: Int, scale: Long = 1000000L,
+                             forceIndexed: Option[Boolean] = None)
       : Seq[(Int, String, Long, Long, Long, Boolean)] = {
     require(maxPieceLen >= 2 && seedMulti >= 0 && rounds >= 1 &&
       pruneCount >= 0 && scale >= 1)
@@ -1521,15 +1594,8 @@ object TextPipeline {
     for (r <- 1 to rounds) {
       val costMap = vocab.map { case (p, c) =>
         p -> (scale * scale) / (scale + c) }.toMap
-      val counts = softEmCounts(words, vocab, scale)
-      def altCost(p: String): Long = {
-        val n = p.length
-        val dp = Array.fill(n + 1)(Long.MaxValue / 4); dp(0) = 0L
-        for (i <- 1 to n; (q, qc) <- costMap
-             if q != p && q.length <= i && p.substring(i - q.length, i) == q)
-          dp(i) = math.min(dp(i), dp(i - q.length) + qc)
-        dp(n)
-      }
+      val counts = softEmCounts(words, vocab, scale, forceIndexed)
+      val altCost = altCostFn(costMap)
       val scored = vocab.map { case (p, _) =>
         val e = counts.getOrElse(p, 0L)
         val loss = if (p.length == 1) -1L
@@ -1576,7 +1642,10 @@ object TextPipeline {
     * canonical order — pass [[unigramTrainSoft]]'s final iteration
     * verbatim. Output: one row per document, (idCol, n_words,
     * n_pieces, seg_text) with seg_text the words' sampled pieces
-    * '/'-joined within a word, space-joined across words. Scale: one
+    * U+001F-joined within a word, space-joined across words (U+001F,
+    * the unit-separator control char, cannot appear in a piece unless
+    * the raw token itself carries it — unlike '/', which slash-bearing
+    * tokens would make ambiguous to invert). Scale: one
     * lattice pass over DISTINCT words (α), one walk over word
     * OCCURRENCES (narrow after a word-keyed join), one doc-keyed
     * aggregate. */
@@ -1649,29 +1718,28 @@ object TextPipeline {
       .select(col("_doc"), (col("pos") + 1).cast("long").as("widx"),
         col("col").as("word"))
     val words = occ.select("word").distinct()
-    // a word with a character no vocab piece covers has α(n) = 0 — the
-    // walk would stall and silently emit a seg that does not tile the
-    // word. Trained vocabs always cover (the seed includes every corpus
-    // char), so enforce the same contract on arbitrary vocab: single-char
-    // coverage guarantees every word a positive-mass tiling. The check is
-    // one pass over DISTINCT words collecting only the alphabet.
-    val singles = vocab.iterator.map(_._1)
-      .filter(p => p.codePointCount(0, p.length) == 1).toSet
-    val uncovered = words
-      .select(explode(expr(
-        "transform(sequence(1, length(word)), i -> substring(word, i, 1))")).as("ch"))
-      .distinct().collect().map(_.getString(0))
-      .filterNot(singles.contains).sorted
-    require(uncovered.isEmpty,
-      s"vocab has no single-char piece for corpus character(s) " +
-        s"${uncovered.take(10).mkString("'", "', '", "'")} — such words " +
-        s"have an empty segmentation lattice and cannot be sampled; seed " +
-        s"the vocab with every corpus character (the trainers do)")
+    // a word no vocab tiling covers has α(n) = 0 — the walk would stall
+    // and silently emit a seg that does not tile the word. Guard IN the
+    // plan on the exact condition (α at the word's end is positive),
+    // evaluated per distinct word at action time: composing the pipeline
+    // stays job-free, and a vocab that tiles every word with multi-char
+    // pieces alone is (correctly) accepted. α(n) = 0 is also precisely
+    // the "walk stalls" condition when a long word's mass underflows
+    // IEEE doubles — the same throw is right there too, since the
+    // sampler's thresholds ride the same masses. assert_true returns
+    // null when the guard holds, so the `when` keeps `al` unchanged.
+    def guarded(alCol: Column): Column = when(
+      assert_true(element_at(alCol, length(col("word")) + 1) > 0.0,
+        concat(lit("word '"), col("word"),
+          lit("' has an empty segmentation lattice (α(n) = 0) — no vocab" +
+            " tiling covers it; seed the vocab with every corpus" +
+            " character (the trainers do)"))).isNull,
+      alCol)
     val alw =
       if (useIndexed)
-        words.withColumn("al",
-          graft.functions.UnigramAlphaExpr(col("word"), vocab, scale))
-      else words.withColumn("al", expr(alSql))
+        words.withColumn("al", guarded(
+          graft.functions.UnigramAlphaExpr(col("word"), vocab, scale)))
+      else words.withColumn("al", guarded(expr(alSql)))
     val joined = occ.join(alw, Seq("word"))
     val seged =
       if (useIndexed)
@@ -1681,7 +1749,7 @@ object TextPipeline {
       else joined.withColumn("seg", expr(walkSql))
     seged
       .select(col("_doc"), col("widx"),
-        array_join(col("seg"), "/").as("wseg"), size(col("seg")).as("np"))
+        array_join(col("seg"), "\u001f").as("wseg"), size(col("seg")).as("np"))
       .groupBy(col("_doc"))
       .agg(count(lit(1)).as("n_words"),
         sum(col("np")).cast("long").as("n_pieces"),

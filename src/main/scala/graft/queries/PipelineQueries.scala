@@ -778,7 +778,7 @@ object PipelineQueries {
       )
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
         CAST(sum(len(ps)) AS BIGINT) AS n_pieces,
-        string_agg(array_to_string(list_reverse(ps), '/'), ' '
+        string_agg(array_to_string(list_reverse(ps), chr(31)), ' '
           ORDER BY widx) AS seg_text
       FROM walk WHERE pos = 0
       GROUP BY doc_id"""
@@ -2990,7 +2990,8 @@ object PipelineQueries {
         out.join(src, Seq("doc_id"))
           .select(col("doc_id"), col("n_words"),
             expr("""aggregate(zip_with(split(seg_text, ' '), ws,
-                (a, b) -> CASE WHEN replace(a, '/', '') = b THEN 1L ELSE 0L END),
+                (a, b) -> CASE WHEN replace(a, chr(31), '') = b
+                          THEN 1L ELSE 0L END),
               0L, (acc, x) -> acc + x)""").as("n_tiled"),
             (col("n_pieces") >= col("n_words") && col("n_pieces") <=
               expr("aggregate(ws, 0L, (a, w) -> a + length(w))")).as("bounded"))

@@ -34,7 +34,9 @@ import org.apache.spark.sql.functions._
   * over every delivery EXCEPT ITS OWN, ordered rows land in
   * `outDir/ordered/batch_id=<id>` with OVERWRITE, and the `_ledger`
   * only prevents re-work — a crash anywhere in the window replays to
-  * byte-identical rows and state.
+  * byte-identical rows and state. Committed deltas fold into
+  * watermarked generations ([[DeltaState]], round 15) so the
+  * per-commit state read is O(1) in stream age.
   *
   * Documents of groups the caller did not declare are NOT ordered
   * (dropped, like admission denial in the mixture family) — a stream
@@ -70,7 +72,8 @@ object StreamingCurriculum {
     * batch operator's formula). */
   def startCompetenceIngest(docs: DataFrame, idCol: String, textCol: String,
                             totalSteps: Long, stateDir: String,
-                            outDir: String, checkpoint: String)
+                            outDir: String, checkpoint: String,
+                            rollEvery: Int = DeltaState.DefaultRollEvery)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(totalSteps > 0)
     docs.writeStream
@@ -86,14 +89,14 @@ object StreamingCurriculum {
         if (!done) {
           val deltaDir = s"$stateDir/delta"
           // earlier deliveries' difficulty histogram, EXCLUDING this
-          // batch's own partition (replay must not rank after its ghost)
+          // batch's own partition (replay must not rank after its ghost);
+          // read = newest rolled generation + unrolled deltas, O(1) in
+          // stream age ([[DeltaState]])
           val hist: Seq[(Long, Long)] =
-            if (hfs(spark, deltaDir).exists(new org.apache.hadoop.fs.Path(deltaDir)))
-              spark.read.parquet(deltaDir)
-                .filter(col("batch_id") =!= bid)
-                .groupBy(col("n_toks")).agg(sum(col("cnt")).as("c"))
-                .as[(Long, Long)].collect().toSeq.sortBy(_._1)
-            else Seq.empty
+            DeltaState.read(spark, stateDir, bid, Seq("n_toks", "cnt"))
+              .map(_.groupBy(col("n_toks")).agg(sum(col("cnt")).as("c"))
+                .as[(Long, Long)].collect().toSeq.sortBy(_._1))
+              .getOrElse(Seq.empty)
           val histTotal = hist.map(_._2).sum
           val base = batch.toDF().select(col(idCol),
             size(graft.functions.TextFunctions.tokens(col(textCol)))
@@ -110,7 +113,7 @@ object StreamingCurriculum {
           // rank ≤ n, so rank²·T + n² − 1 is bounded by n²·(T + 1) − 1:
           // guard the Long headroom loudly instead of letting first_step
           // wrap negative (~3M docs at T=1e6 silently overflows)
-          require(BigInt(n) * BigInt(n) * BigInt(totalSteps + 1) - 1 <= BigInt(Long.MaxValue),
+          require(BigInt(n) * BigInt(n) * (BigInt(totalSteps) + 1) - 1 <= BigInt(Long.MaxValue),
             s"first_step = rank²·totalSteps overflows Long at n=$n docs, " +
               s"totalSteps=$totalSteps — rescale totalSteps or shard the corpus")
           // causal rank = earlier docs at or below this difficulty
@@ -141,6 +144,8 @@ object StreamingCurriculum {
             .write.mode("overwrite")
             .parquet(s"$deltaDir/batch_id=$bid")
           Seq(bid).toDF("batch_id").write.mode("append").parquet(ledger)
+          // post-ledger: every live delta is a committed delivery — fold
+          DeltaState.maybeRollup(spark, stateDir, "n_toks", "cnt", rollEvery)
         }
         ()
       }
@@ -150,7 +155,8 @@ object StreamingCurriculum {
   def startStrideIngest(docs: DataFrame, idCol: String, groupCol: String,
                         weights: Map[String, Long], stateDir: String,
                         outDir: String, checkpoint: String,
-                        salt: String = "stride")
+                        salt: String = "stride",
+                        rollEvery: Int = DeltaState.DefaultRollEvery)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     require(weights.nonEmpty && weights.values.forall(_ >= 1),
       "every declared group weight must be >= 1")
@@ -168,13 +174,12 @@ object StreamingCurriculum {
           val deltaDir = s"$stateDir/delta"
           // causal rank base = every delivery's per-group counts,
           // EXCLUDING this batch's own partition (a replayed batch must
-          // not rank after its earlier half-written attempt)
+          // not rank after its earlier half-written attempt); rolled
+          // generation + unrolled deltas ([[DeltaState]])
           val base =
-            if (hfs(spark, deltaDir).exists(new org.apache.hadoop.fs.Path(deltaDir)))
-              spark.read.parquet(deltaDir)
-                .filter(col("batch_id") =!= bid)
-                .groupBy(col(groupCol)).agg(sum(col("n")).as("base"))
-            else Seq.empty[(String, Long)].toDF(groupCol, "base")
+            DeltaState.read(spark, stateDir, bid, Seq(groupCol, "n"))
+              .map(_.groupBy(col(groupCol)).agg(sum(col("n")).as("base")))
+              .getOrElse(Seq.empty[(String, Long)].toDF(groupCol, "base"))
           val w = weights.toSeq.toDF(groupCol, "weight")
           val win = org.apache.spark.sql.expressions.Window
             .partitionBy(col(groupCol))
@@ -193,6 +198,7 @@ object StreamingCurriculum {
             .write.mode("overwrite")
             .parquet(s"$deltaDir/batch_id=$bid")
           Seq(bid).toDF("batch_id").write.mode("append").parquet(ledger)
+          DeltaState.maybeRollup(spark, stateDir, groupCol, "n", rollEvery)
         }
         ()
       }

@@ -24,7 +24,9 @@ import org.apache.spark.sql.functions._
   * replays to byte-identical admitted rows and state: the replay never
   * sees its own half-written delta, and both writes overwrite their own
   * partitions. The `_ledger` then only prevents re-WORK, not
-  * re-EFFECTS.
+  * re-EFFECTS. Committed deltas fold into watermarked generations
+  * ([[DeltaState]], round 15) so the per-commit state read is O(1) in
+  * stream age instead of O(batches).
   *
   * Admitted rows land in `outDir/admitted/batch_id=<id>` as
   * (idCol, groupCol, rk) — [[Sampling.topupAdmit]]'s exact output, so
@@ -40,7 +42,8 @@ object StreamingTopup {
   def startTopupIngest(docs: DataFrame, idCol: String, groupCol: String,
                        targetPerGroup: Long, totalBudget: Long,
                        stateDir: String, outDir: String, checkpoint: String,
-                       salt: String = "topup")
+                       salt: String = "topup",
+                       rollEvery: Int = DeltaState.DefaultRollEvery)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -56,13 +59,12 @@ object StreamingTopup {
           val deltaDir = s"$stateDir/delta"
           // current composition = every delivery's admitted counts,
           // EXCLUDING this batch's own partition (a replayed batch must
-          // not count its earlier half-written attempt)
+          // not count its earlier half-written attempt); rolled
+          // generation + unrolled deltas ([[DeltaState]])
           val current =
-            if (hfs(spark, deltaDir).exists(new org.apache.hadoop.fs.Path(deltaDir)))
-              spark.read.parquet(deltaDir)
-                .filter(col("batch_id") =!= bid)
-                .groupBy(col(groupCol)).agg(sum(col("n")).as("n"))
-            else Seq.empty[(String, Long)].toDF(groupCol, "n")
+            DeltaState.read(spark, stateDir, bid, Seq(groupCol, "n"))
+              .map(_.groupBy(col(groupCol)).agg(sum(col("n")).as("n")))
+              .getOrElse(Seq.empty[(String, Long)].toDF(groupCol, "n"))
           val admitted = Sampling.topupAdmit(batch.toDF(), idCol, groupCol,
               current, targetPerGroup, totalBudget, salt)
             .localCheckpoint()
@@ -72,6 +74,7 @@ object StreamingTopup {
             .write.mode("overwrite")
             .parquet(s"$deltaDir/batch_id=$bid")
           Seq(bid).toDF("batch_id").write.mode("append").parquet(ledger)
+          DeltaState.maybeRollup(spark, stateDir, groupCol, "n", rollEvery)
         }
         ()
       }

@@ -274,6 +274,18 @@ class DataSelectionSpec extends SparkSpec {
     assert(again === out.toSeq)
   }
 
+  test("competenceCurriculum: the BIGINT-headroom guard fails loudly at " +
+    "totalSteps = Long.MaxValue instead of wrapping vacuously") {
+    // n = 2 docs: n²·(T+1)−1 needs 66 bits — first_step WOULD wrap
+    // negative; the guard must compute T+1 in BigInt, not Long (where
+    // MaxValue + 1 wraps to MinValue and the check passes vacuously)
+    val docs = Seq((1L, "a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.competenceCurriculum(docs, "doc_id", "text", Long.MaxValue)
+    }
+    assert(ex.getMessage.contains("overflows Long"))
+  }
+
   // ---- mixture top-up waterfill ------------------------------------------
 
   test("topupBudgets: caps = min(deficit, availability); surplus groups " +

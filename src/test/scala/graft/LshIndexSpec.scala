@@ -340,6 +340,16 @@ class LshIndexSpec extends SparkSpec {
     val deliveries = spark.table(lref.bandedTable)
       .select("delivery").distinct().as[String].collect().toSet
     assert(deliveries.contains(LshIndex.LegacyDelivery))
+    // the migrated tag is NOT a retractable delivery: its lineage is
+    // collapsed, so recovering it would silently delete every
+    // pre-migration row (GramIndex's symmetric guard)
+    val ex = intercept[IllegalArgumentException] {
+      LshIndex.recoverDelivery(spark, lref, LshIndex.LegacyDelivery)
+    }
+    assert(ex.getMessage.contains("pre-migration lineage"))
+    val after = spark.table(lref.bandedTable)
+      .select("delivery").distinct().as[String].collect().toSet
+    assert(after === deliveries, "refused recovery must not touch the index")
     LshIndex.drop(spark, lref)
   }
 }

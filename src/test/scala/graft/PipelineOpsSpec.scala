@@ -1044,9 +1044,9 @@ class PipelineOpsSpec extends SparkSpec {
           ps += word.substring(pos - bl, pos)
           pos -= bl
         }
-        ps.reverse.mkString("/")
+        ps.reverse.mkString("\u001f")
       }
-      val nPieces = segs.map(_.count(_ == '/') + 1L).sum
+      val nPieces = segs.map(_.count(_ == '\u001f') + 1L).sum
       doc -> ((words.length.toLong, nPieces, segs.mkString(" ")))
     }.toMap
   }
@@ -1069,7 +1069,7 @@ class PipelineOpsSpec extends SparkSpec {
     for ((doc, (_, _, seg)) <- got) {
       val orig = docs.find(_._1 == doc).get._2.toLowerCase
         .split("\\s+").filter(_.nonEmpty).mkString(" ")
-      assert(seg.replace("/", "") === orig, s"doc $doc pieces do not tile")
+      assert(seg.replace("\u001f", "") === orig, s"doc $doc pieces do not tile")
     }
   }
 
@@ -1484,5 +1484,111 @@ class PipelineOpsSpec extends SparkSpec {
         forceIndexed = Some(forced))
       .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
     assert(runT(false) === runT(true))
+  }
+
+  // the round-15 kernel extension: hard-EM Viterbi, n-best, and the
+  // prune-score inversion — each pinned against its literal/quadratic
+  // reference on the same two fixture regimes as the soft specs
+
+  private def bigPseudoDocs = (0 until 60).map { i =>
+    val w = java.lang.Long.toString(i * 2654435761L & 0xfffffL, 26)
+      .map(c => if (c.isDigit) ('a' + (c - '0')).toChar else c)
+    (i.toLong, s"$w ${w.reverse} ${w.take(3)}")
+  }.toDF("doc_id", "text")
+
+  test("unigramTrain: the hash-indexed Viterbi kernel is BIT-identical to " +
+    "the vocab-literal DP + backtrack, at gate and several-hundred-piece vocabs") {
+    val docs = Seq(
+      (1L, "the fastest internet interna intern net nets"),
+      (2L, "fast faster fastest nets net the the thee"),
+      (3L, "internal international internet the nether net"))
+      .toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame, sm: Int, forced: Boolean) =
+      TextPipeline.unigramTrain(d, "text", maxPieceLen = 4, seedMulti = sm,
+        iters = 2, forceIndexed = Some(forced))
+    assert(run(docs, 12, forced = false) === run(docs, 12, forced = true))
+    val big = bigPseudoDocs
+    val a = run(big, 400, forced = false)
+    assert(a.count(_._1 == 0) > 300, s"fixture too small: ${a.count(_._1 == 0)}")
+    assert(a === run(big, 400, forced = true))
+  }
+
+  test("nbestSegment: the indexed kernel's sorted candidate slices are " +
+    "BIT-identical to the literal fold's, both fixtures") {
+    val docs = Seq((1L, "abab baba abba ab ba"), (2L, "aa bb abab abab"))
+      .toDF("doc_id", "text")
+    val vocab = Seq(("a", 900L), ("b", 1100L), ("ab", 700L), ("ba", 800L),
+      ("abab", 650L), ("bb", 1300L))
+    def run(d: org.apache.spark.sql.DataFrame, v: Seq[(String, Long)],
+            forced: Boolean) =
+      TextPipeline.nbestSegment(d, "text", v, n = 3,
+          forceIndexed = Some(forced))
+        .as[(String, Long, Long, String)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+    assert(run(docs, vocab, forced = false) === run(docs, vocab, forced = true))
+    val big = bigPseudoDocs
+    val trained = TextPipeline.unigramTrain(big, "text", maxPieceLen = 5,
+      seedMulti = 400, iters = 1).filter(_._1 == 1)
+      .map { case (_, p, _, cnt) => (p, 1000000L / (1L + cnt)) }
+    assert(run(big, trained, forced = false) === run(big, trained, forced = true))
+  }
+
+  test("unigramTrainPruned + unigramTrainSoftPruned: full trajectories " +
+    "identical on the literal and indexed E-step paths") {
+    val big = bigPseudoDocs
+    def hard(forced: Boolean) = TextPipeline.unigramTrainPruned(big, "text",
+      maxPieceLen = 4, seedMulti = 150, rounds = 2, pruneCount = 8,
+      forceIndexed = Some(forced))
+    assert(hard(forced = false) === hard(forced = true))
+    def soft(forced: Boolean) = TextPipeline.unigramTrainSoftPruned(big,
+      "text", maxPieceLen = 4, seedMulti = 150, rounds = 2, pruneCount = 8,
+      forceIndexed = Some(forced))
+    assert(soft(forced = false) === soft(forced = true))
+  }
+
+  test("altCostFn: the substring-probe inversion scores exactly like the " +
+    "quadratic iterate-the-whole-map reference, self-exclusion included") {
+    // vocab with nested/overlapping pieces, incl. a piece that is its own
+    // only cover (must hit the INF sentinel through self-exclusion)
+    val rnd = new scala.util.Random(7)
+    val alpha = "abc"
+    val pieces = (Seq("a", "b", "c") ++ (0 until 120).map { _ =>
+      (0 until (2 + rnd.nextInt(3))).map(_ => alpha(rnd.nextInt(3))).mkString
+    } :+ "zz").distinct
+    val costMap = pieces.map(p => p -> (50L + rnd.nextInt(1000))).toMap
+    def quad(p: String): Long = { // the pre-round-15 loop, verbatim
+      val n = p.length
+      val dp = Array.fill(n + 1)(Long.MaxValue / 4); dp(0) = 0L
+      for (i <- 1 to n; (q, qc) <- costMap
+           if q != p && q.length <= i && p.substring(i - q.length, i) == q)
+        dp(i) = math.min(dp(i), dp(i - q.length) + qc)
+      dp(n)
+    }
+    val alt = TextPipeline.altCostFn(costMap)
+    pieces.foreach { p =>
+      assert(alt(p) === quad(p), s"altCost('$p') diverges")
+    }
+    // 'zz': no other piece covers 'z' — both must return the sentinel
+    assert(alt("zz") === Long.MaxValue / 4)
+  }
+
+  test("unigramSampleEncode: the lattice-coverage guard is lazy (composing " +
+    "runs no job, fails at action time) and exact (multi-char tilings pass)") {
+    val docs = Seq((1L, "abab xx")).toDF("doc_id", "text")
+    // uncovered: no piece ever matches inside "xx" — composing must NOT
+    // throw (the pre-round-15 eager check ran a Spark job per call);
+    // the action must fail with the lattice message
+    val bad = TextPipeline.unigramSampleEncode(docs, "doc_id", "text",
+      Seq(("a", 5000000L), ("b", 3000000L), ("ab", 2000000L)))
+    val ex = intercept[Exception] { bad.collect() }
+    assert(ex.getMessage.contains("empty segmentation lattice"))
+    // exact condition: a vocab tiling every word with MULTI-char pieces
+    // alone (no single-char coverage) is legitimate and must sample
+    val ok = TextPipeline.unigramSampleEncode(
+        Seq((1L, "abab ab")).toDF("doc_id", "text"), "doc_id", "text",
+        Seq(("ab", 2000000L), ("abab", 800000L)))
+      .as[(Long, Long, Long, String)].collect()
+    assert(ok.length === 1)
+    assert(ok.head._4.replace("\u001f", "") === "abab ab")
   }
 }
