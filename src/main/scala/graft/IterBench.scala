@@ -641,12 +641,43 @@ object IterBench {
               forceIndexed = Some(false)).count()
           }
       }
-      // end-to-end: the complete Kudo trainer at a production-ish seed
-      // (auto path picks the kernel past the crossover); the altCost DP
-      // is O(|V|²·maxPieceLen) driver-side, so the seed stays at 1k
-      timed(s"unigramTrainSoftPruned seed=1000, 2 rounds (mult=$mult)") {
-        TextPipeline.unigramTrainSoftPruned(docs, "text", maxPieceLen = 4,
-          seedMulti = 1000, rounds = 2, pruneCount = 50).size.toLong
+      // hard-EM E-step (round 15): the Viterbi DP + backtrack A/B'd the
+      // same way — the literal embeds the vocab TWICE (dp + backtrack)
+      val scaleH = 1000000L
+      for (round <- 1 to 2; sm <- Seq(24, 1000, 5000, 10000)) {
+        val costs = (chars ++ multisAll.take(sm)).toSeq
+          .map { case (p, c) => (p, scaleH / (1L + c)) }
+        timed(s"emCounts(hard) indexed  |V|=${costs.size} (mult=$mult) r$round") {
+          TextPipeline.emCounts(words, costs, scaleH, Some(true)).size.toLong
+        }
+        if (sm <= litMax)
+          timed(s"emCounts(hard) literal  |V|=${costs.size} (mult=$mult) r$round") {
+            TextPipeline.emCounts(words, costs, scaleH, Some(false)).size.toLong
+          }
+      }
+      // n-best (round 15): 3-best per distinct word over the same vocabs
+      for (round <- 1 to 2; sm <- Seq(24, 1000, 5000)) {
+        val costs = (chars ++ multisAll.take(sm)).toSeq
+          .map { case (p, c) => (p, scaleH / (1L + c)) }
+        timed(s"nbestSegment n=3 indexed  |V|=${costs.size} (mult=$mult) r$round") {
+          TextPipeline.nbestSegment(docs, "text", costs, n = 3,
+            forceIndexed = Some(true)).count()
+        }
+        if (sm <= litMax)
+          timed(s"nbestSegment n=3 literal  |V|=${costs.size} (mult=$mult) r$round") {
+            TextPipeline.nbestSegment(docs, "text", costs, n = 3,
+              forceIndexed = Some(false)).count()
+          }
+      }
+      // end-to-end: the complete Kudo trainer at production-ish seeds.
+      // Round 15 inverted the altCost prune score to hash-map probes
+      // (O(|V|·maxPieceLen²) driver-side, was O(|V|²·maxPieceLen)), so
+      // the seed is no longer capped at 1k — the 5k row is the evidence
+      for (sm <- Seq(1000, 5000)) {
+        timed(s"unigramTrainSoftPruned seed=$sm, 2 rounds (mult=$mult)") {
+          TextPipeline.unigramTrainSoftPruned(docs, "text", maxPieceLen = 4,
+            seedMulti = sm, rounds = 2, pruneCount = 50).size.toLong
+        }
       }
       words.unpersist()
       spark.stop()

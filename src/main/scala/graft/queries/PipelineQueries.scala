@@ -1062,6 +1062,59 @@ object PipelineQueries {
   }
 
   /** Oracle fragment: whitespace tokens of `text` as a DuckDB list. */
+
+  /** DuckDB replay of the mixture→curriculum COMPOSITION (gates qey and
+    * qfu — the batch pipeline and its single-delivery streaming face
+    * share this oracle verbatim): UniMax waterfill → copy realization →
+    * sqrt-weight stride interleave → global (vt, lang, rk) positions. */
+  private[queries] lazy val OMixtureCurriculum: String =
+    s"""WITH RECURSIVE c AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS n,
+            CAST(count(*) * 2 AS BIGINT) AS cap,
+            CAST(row_number() OVER (ORDER BY count(*) * 2, lang) AS BIGINT) AS rn,
+            CAST(count(*) OVER () AS BIGINT) AS gcnt
+          FROM documents GROUP BY lang
+        ), wf AS (
+          SELECT CAST(0 AS BIGINT) AS i, CAST(900 AS BIGINT) AS rem,
+            CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS alloc
+          UNION ALL
+          SELECT c.rn, wf.rem - least(c.cap, wf.rem // (c.gcnt - wf.i)),
+            c.lang, least(c.cap, wf.rem // (c.gcnt - wf.i))
+          FROM wf JOIN c ON c.rn = wf.i + 1
+        ), a AS (
+          SELECT lang, alloc FROM wf WHERE lang IS NOT NULL
+        ), r0 AS (
+          SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+            ORDER BY ${oUnitHash("doc_id", "unimax")}, doc_id) AS rk
+          FROM documents
+        ), real AS (
+          SELECT r0.doc_id, r0.lang,
+            (a.alloc // c.n) + CASE WHEN r0.rk <= (a.alloc % c.n)
+              THEN 1 ELSE 0 END AS n_copies
+          FROM r0 JOIN a USING (lang) JOIN c USING (lang)
+        ), cp AS (
+          SELECT CAST(doc_id AS VARCHAR) || '#' || CAST(unnest(range(n_copies)) AS VARCHAR) AS cid,
+            lang
+          FROM real WHERE n_copies > 0
+        ), cnt AS (
+          SELECT lang, count(*) AS n FROM cp GROUP BY 1
+        ), w AS (
+          SELECT lang, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS weight
+          FROM cnt
+        ), rr AS (
+          SELECT cid, lang, CAST(row_number() OVER (
+            PARTITION BY lang
+            ORDER BY ${oUnitHash("cid", "stride")}, cid) AS BIGINT) AS rk
+          FROM cp
+        ), v AS (
+          SELECT cid, lang, rk,
+            ((2 * rk - 1) * 1000000) // (2 * weight) AS vt
+          FROM rr JOIN w USING (lang)
+        )
+        SELECT cid, lang, rk, vt,
+          CAST(row_number() OVER (ORDER BY vt, lang, rk) - 1 AS BIGINT) AS pos
+        FROM v"""
+
   private[queries] val OTOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 
   /** qeg's Spark-side SQL, exposed so DedupSpec can differential-fuzz it
@@ -2640,52 +2693,7 @@ object PipelineQueries {
             col("lang"))
         Sampling.strideInterleave(copies, "cid", "lang")
       },
-      Some(s"""WITH RECURSIVE c AS (
-          SELECT lang, CAST(count(*) AS BIGINT) AS n,
-            CAST(count(*) * 2 AS BIGINT) AS cap,
-            CAST(row_number() OVER (ORDER BY count(*) * 2, lang) AS BIGINT) AS rn,
-            CAST(count(*) OVER () AS BIGINT) AS gcnt
-          FROM documents GROUP BY lang
-        ), wf AS (
-          SELECT CAST(0 AS BIGINT) AS i, CAST(900 AS BIGINT) AS rem,
-            CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS BIGINT) AS alloc
-          UNION ALL
-          SELECT c.rn, wf.rem - least(c.cap, wf.rem // (c.gcnt - wf.i)),
-            c.lang, least(c.cap, wf.rem // (c.gcnt - wf.i))
-          FROM wf JOIN c ON c.rn = wf.i + 1
-        ), a AS (
-          SELECT lang, alloc FROM wf WHERE lang IS NOT NULL
-        ), r0 AS (
-          SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
-            ORDER BY ${oUnitHash("doc_id", "unimax")}, doc_id) AS rk
-          FROM documents
-        ), real AS (
-          SELECT r0.doc_id, r0.lang,
-            (a.alloc // c.n) + CASE WHEN r0.rk <= (a.alloc % c.n)
-              THEN 1 ELSE 0 END AS n_copies
-          FROM r0 JOIN a USING (lang) JOIN c USING (lang)
-        ), cp AS (
-          SELECT CAST(doc_id AS VARCHAR) || '#' || CAST(unnest(range(n_copies)) AS VARCHAR) AS cid,
-            lang
-          FROM real WHERE n_copies > 0
-        ), cnt AS (
-          SELECT lang, count(*) AS n FROM cp GROUP BY 1
-        ), w AS (
-          SELECT lang, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS weight
-          FROM cnt
-        ), rr AS (
-          SELECT cid, lang, CAST(row_number() OVER (
-            PARTITION BY lang
-            ORDER BY ${oUnitHash("cid", "stride")}, cid) AS BIGINT) AS rk
-          FROM cp
-        ), v AS (
-          SELECT cid, lang, rk,
-            ((2 * rk - 1) * 1000000) // (2 * weight) AS vt
-          FROM rr JOIN w USING (lang)
-        )
-        SELECT cid, lang, rk, vt,
-          CAST(row_number() OVER (ORDER BY vt, lang, rk) - 1 AS BIGINT) AS pos
-        FROM v""")),
+      Some(OMixtureCurriculum)),
 
     // T5 span corruption (Raffel et al. 2020): 4-token blocks mask where
     // fnv(doc:span·b) ≡ 0 (mod 4); inputs collapse masked blocks to

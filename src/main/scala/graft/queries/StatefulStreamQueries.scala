@@ -1552,6 +1552,36 @@ object StatefulStreamQueries {
           (rank * rank * 1000 + n * n - 1) // (n * n) AS first_step
         FROM r""")),
 
+    // Streaming MIXTURE→CURRICULUM composition — qey's causal face
+    // (round 15, the round-13 sketch landed): each delivery realizes its
+    // own UniMax allocation and stride-interleaves the copies into a
+    // per-delivery epoch layout, both stages in ONE foreachBatch over
+    // one state table. The stream delivers the corpus in one batch, so
+    // the emitted (cid, lang, rk, vt, pos) rows must equal batch qey's
+    // VERBATIM (shared oracle); multi-delivery causality and crash
+    // replay are pinned by StreamingRollupSpec/StreamingCurriculumSpec.
+    Entry("qfu_stream_mixture_curriculum",
+      (s, dir) => {
+        val tag = java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+        val base = new java.io.File(
+          System.getProperty("java.io.tmpdir"), s"graft_qfu_$tag")
+        org.apache.commons.io.FileUtils.deleteQuietly(base)
+        val stateDir = new java.io.File(base, "state").getAbsolutePath
+        val outDir = new java.io.File(base, "out").getAbsolutePath
+        val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+        val schema = s.read.parquet(graft.Tables.path(dir, "documents")).schema
+        val raw = s.readStream.schema(schema)
+          .parquet(s"$dir/documents*.parquet")
+        val q = graft.streaming.StreamingCurriculum.startMixtureCurriculumIngest(
+          raw, "doc_id", "lang", totalBudget = 900L, maxEpochs = 2L,
+          stateDir, outDir, ckpt)
+        try { q.processAllAvailable() } finally q.stop()
+        s.read.parquet(s"$outDir/epoch")
+          .select("cid", "lang", "rk", "vt", "pos")
+      },
+      Some(PipelineQueries.OMixtureCurriculum)),
+
     // State TIME TRAVEL: the keyed running aggregate read AS OF committed
     // batch 1 of a 4-batch replay (statestore reader `batchId` option —
     // Flink's retained-savepoint inspection addressed by version). The

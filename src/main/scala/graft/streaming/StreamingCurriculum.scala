@@ -204,4 +204,105 @@ object StreamingCurriculum {
       }
       .start()
   }
+
+  /** The mixture→curriculum COMPOSITION over a stream (gate qey's causal
+    * face, the round-13 sketch): each delivery realizes its own UniMax
+    * allocation ([[Sampling.unimaxSample]], `totalBudget` per delivery)
+    * and the resulting copies are stride-interleaved into a per-delivery
+    * EPOCH LAYOUT — both stages inside ONE foreachBatch, sharing one
+    * state table, so the trainer-facing artifact ("decide the mixture,
+    * then lay out the epoch") exists per delivery without a second pass.
+    *
+    * Causality: copy ranks continue across deliveries through the same
+    * delta layout as [[startStrideIngest]] (the per-group COPY counts
+    * delivered so far), and the stride weights are the batch operator's
+    * τ=2 temperature weights over the CUMULATIVE copy counts
+    * (w_g = floor(sqrt(delivered_g + this_delivery_g)) — the weight the
+    * one-shot operator would have used had the stream ended here; the
+    * past's vt values keep the weights of THEIR delivery, the causal
+    * refinement this family always makes). `pos` restarts per delivery:
+    * it is the delivery's epoch-layout position — concatenating the
+    * per-delivery epochs replays the one-shot schedule's causal
+    * refinement. On a single-delivery stream the emitted
+    * (cid, group, rk, vt, pos) rows ARE batch
+    * unimaxSample→strideInterleave verbatim (gate-pinned on qey's
+    * oracle).
+    *
+    * Same replay discipline as the rest of the family: per-batch
+    * overwrite, self-excluding state reads, ledger last, [[DeltaState]]
+    * roll-up after the ledger. Epochs land in
+    * `outDir/epoch/batch_id=<id>`. */
+  def startMixtureCurriculumIngest(docs: DataFrame, idCol: String,
+                                   groupCol: String, totalBudget: Long,
+                                   maxEpochs: Long, stateDir: String,
+                                   outDir: String, checkpoint: String,
+                                   mixSalt: String = "unimax",
+                                   strideSalt: String = "stride",
+                                   rollEvery: Int = DeltaState.DefaultRollEvery)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(totalBudget > 0 && maxEpochs > 0)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val ledger = s"$outDir/_ledger"
+        val done = hfs(spark, ledger)
+          .exists(new org.apache.hadoop.fs.Path(ledger)) &&
+          spark.read.parquet(ledger)
+            .where(col("batch_id") === bid).head(1).nonEmpty
+        if (!done) {
+          val deltaDir = s"$stateDir/delta"
+          // 1. mixture realization: this delivery's UniMax allocation,
+          // exploded to copy ids (qey's copy-id device — repeats get
+          // their own hash ranks so they spread across the schedule)
+          val copies = Sampling.unimaxSample(batch.toDF(), idCol, groupCol,
+              totalBudget, maxEpochs, mixSalt)
+            .withColumn("copy", explode(sequence(lit(0L), col("n_copies") - 1)))
+            .select(concat(col(idCol), lit("#"), col("copy")).as("cid"),
+              col(groupCol))
+            .localCheckpoint()
+          // 2. causal stride state: copies delivered so far, excluding
+          // this batch's own ghost (rolled generation + live deltas)
+          val base = DeltaState.read(spark, stateDir, bid, Seq(groupCol, "n"))
+            .map(_.groupBy(col(groupCol)).agg(sum(col("n")).as("base")))
+            .getOrElse(Seq.empty[(String, Long)].toDF(groupCol, "base"))
+          // 3. cumulative τ=2 weights — the one-shot operator's weights
+          // had the stream ended at this delivery
+          val w = copies.groupBy(col(groupCol)).agg(count(lit(1)).as("bn"))
+            .join(base, Seq(groupCol), "left")
+            .select(col(groupCol), floor(sqrt(
+              (col("bn") + coalesce(col("base"), lit(0L))).cast("double")))
+              .cast("long").as("weight"))
+          val win = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(groupCol))
+            .orderBy(Sampling.unitHash(col("cid"), strideSalt), col("cid"))
+          val keyed = copies
+            .withColumn("rkb", row_number().over(win).cast("long"))
+            .join(broadcast(base), Seq(groupCol), "left")
+            .join(broadcast(w), Seq(groupCol))
+            .withColumn("rk", col("rkb") + coalesce(col("base"), lit(0L)))
+            .withColumn("vt", expr("((2L * rk - 1L) * 1000000L) DIV (2L * weight)"))
+            .select(col("cid"), col(groupCol), col("rk"), col("vt"))
+          // 4. the delivery's epoch layout: global (vt, group, rk) order
+          // via range partition + the two-phase scan (never a one-task
+          // window), pos 0-based within the delivery
+          val p = spark.conf.get("spark.sql.shuffle.partitions").toInt
+          val ordered = Partitioning.zipWithIndex(
+              keyed.repartitionByRange(p, col("vt"), col(groupCol), col("rk"))
+                .sortWithinPartitions(col("vt"), col(groupCol), col("rk")),
+              "pos")
+            .localCheckpoint()
+          ordered.write.mode("overwrite")
+            .parquet(s"$outDir/epoch/batch_id=$bid")
+          copies.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+            .write.mode("overwrite")
+            .parquet(s"$deltaDir/batch_id=$bid")
+          Seq(bid).toDF("batch_id").write.mode("append").parquet(ledger)
+          DeltaState.maybeRollup(spark, stateDir, groupCol, "n", rollEvery)
+        }
+        ()
+      }
+      .start()
+  }
 }

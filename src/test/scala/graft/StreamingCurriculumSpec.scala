@@ -164,6 +164,77 @@ class StreamingCurriculumSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(base)
   }
 
+  test("mixture→curriculum composition: per-delivery epochs realize each " +
+    "delivery's UniMax allocation, copy ranks continue causally under " +
+    "cumulative sqrt weights; a crashed attempt's half-written state is " +
+    "ignored; restart is a ledgered no-op") {
+    val d1 = (0L until 30L).map(i => i -> s"l${i % 3}")
+    val d2 = (100L until 150L).map(i => i -> s"l${i % 4}") // adds group l3
+    val budget = 40L; val epochs = 2L
+    val base = java.nio.file.Files.createTempDirectory("mixcurr").toFile
+    val src = new java.io.File(base, "src"); src.mkdirs()
+    docs(d1).coalesce(1).write.parquet(s"$src/slice0")
+    Thread.sleep(20)
+    docs(d2).coalesce(1).write.parquet(s"$src/slice1")
+    val stateDir = new java.io.File(base, "state").getAbsolutePath
+    val outDir = new java.io.File(base, "out").getAbsolutePath
+    // crashed first attempt of batch 0: a bogus state delta landed but no
+    // output and no ledger — the replay must not see its own ghost
+    Seq(("l0", 999L)).toDF("lang", "n")
+      .write.mode("overwrite").parquet(s"$stateDir/delta/batch_id=0")
+    def start() = graft.streaming.StreamingCurriculum.startMixtureCurriculumIngest(
+      spark.readStream.schema(docs(d1).schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$src/slice*"),
+      "doc_id", "lang", budget, epochs, stateDir, outDir,
+      new java.io.File(base, "ckpt").getAbsolutePath)
+    val q = start()
+    try q.processAllAvailable() finally q.stop()
+    // replica: per delivery, the batch UniMax realization (gate-pinned
+    // operator, trusted here) exploded to copy ids; then the stride stage
+    // with CUMULATIVE per-group copy counts for weights and rank bases
+    def copiesOf(d: Seq[(Long, String)]): Seq[(String, String)] =
+      Sampling.unimaxSample(docs(d), "doc_id", "lang", budget, epochs)
+        .as[(Long, String, Long)].collect().toSeq.flatMap { case (id, g, nc) =>
+          (0L until nc).map(k => (s"$id#$k", g)) }
+    def hashOfS(ids: Seq[String]): Map[String, Double] =
+      ids.toDF("cid")
+        .select(col("cid"), Sampling.unitHash(col("cid"), "stride").as("h"))
+        .as[(String, Double)].collect().toMap
+    var cnt = Map.empty[String, Long]
+    val expected = Seq(d1, d2).map { d =>
+      val cp = copiesOf(d)
+      val h = hashOfS(cp.map(_._1))
+      val keyed = cp.groupBy(_._2).toSeq.flatMap { case (g, rows) =>
+        val w = math.floor(math.sqrt(
+          (cnt.getOrElse(g, 0L) + rows.length).toDouble)).toLong
+        rows.sortBy(r => (h(r._1), r._1)).zipWithIndex.map { case ((cid, _), k) =>
+          val rk = cnt.getOrElse(g, 0L) + k + 1L
+          (cid, g, rk, ((2L * rk - 1L) * 1000000L) / (2L * w))
+        }
+      }
+      cnt = cp.groupBy(_._2).map { case (g, rs) =>
+        g -> (cnt.getOrElse(g, 0L) + rs.length) } ++
+        cnt.filterNot(kv => cp.exists(_._2 == kv._1))
+      keyed.sortBy { case (_, g, rk, vt) => (vt, g, rk) }.zipWithIndex
+        .map { case ((cid, g, rk, vt), i) => (cid, g, rk, vt, i.toLong) }.toSet
+    }
+    def readEpoch(bid: Long) = spark.read
+      .parquet(s"$outDir/epoch/batch_id=$bid")
+      .select("cid", "lang", "rk", "vt", "pos")
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(readEpoch(0) === expected(0), "delivery 0 epoch")
+    assert(readEpoch(1) === expected(1), "delivery 1 epoch (causal ranks)")
+    // the planted bogus delta was overwritten by batch 0's real counts
+    val delta0 = spark.read.parquet(s"$stateDir/delta")
+      .filter(col("batch_id") === 0).select("lang", "n")
+      .as[(String, Long)].collect().toMap
+    assert(delta0.values.sum === expected(0).size.toLong)
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(readEpoch(0) === expected(0) && readEpoch(1) === expected(1))
+    org.apache.commons.io.FileUtils.deleteQuietly(base)
+  }
+
   test("single delivery under the batch operator's sqrt weights emits " +
     "the batch strideInterleave rows verbatim (undeclared groups drop)") {
     val rows = (0L until 90L).map(i => i -> s"l${i % 3}")
