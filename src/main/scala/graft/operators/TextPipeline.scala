@@ -835,9 +835,15 @@ object TextPipeline {
     * definition even when distinct segmentations tie, so the result is
     * engine-portable without a tie-break protocol over paths.
     * Unsegmentable words contribute `unkCost`. Same distinct-word +
-    * broadcast-join shape as the whole encode family. */
+    * broadcast-join shape as the whole encode family. The DP defaults
+    * to the hash-indexed [[graft.functions.MinCostEncodeKernel]] (one
+    * full-prefix probe + ≤ maxContLen ending-substring probes per
+    * position, |vocab|-independent, bit-identical to the literal fold
+    * by min's order-insensitivity; `forceIndexed = Some(false)` is the
+    * differential-spec reference path). */
   def minCostEncode(df: DataFrame, idCol: String, textCol: String,
-                    vocab: Seq[(String, Long)], unkCost: Long): DataFrame = {
+                    vocab: Seq[(String, Long)], unkCost: Long,
+                    forceIndexed: Option[Boolean] = None): DataFrame = {
     require(vocab.nonEmpty, "vocab must not be empty")
     require(vocab.forall(_._2 >= 0), "piece costs must be non-negative")
     // The UNK sentinel must exceed any genuine path cost, or a
@@ -853,6 +859,19 @@ object TextPipeline {
     require(maxCost <= (1L << 44),
       s"piece costs must be <= 2^44 (INF derivation headroom), got $maxCost")
     val INF = math.max(1000000000L, (maxCost + 1L) * 65536L)
+    if (forceIndexed.getOrElse(vocab.size >= IndexedEStepMinVocab)) {
+      val words = df.select(col(idCol),
+        explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
+      val seg = words.select("word").distinct()
+        .select(col("word"), graft.functions.MinCostEncodeExpr(
+          col("word"), vocab, INF, unkCost).as("s"))
+        .select(col("word"), col("s.cost").cast("long").as("w_cost"),
+          col("s.unk").as("unk"))
+      return words.join(broadcast(seg), Seq("word"))
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_words"), sum("w_cost").as("total_cost"),
+          sum(when(col("unk"), 1L).otherwise(0L)).as("n_unk_words"))
+    }
     def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
     def arr(ps: Seq[(String, Long)]) =
       if (ps.isEmpty) "array()::array<struct<p:string,c:bigint>>"

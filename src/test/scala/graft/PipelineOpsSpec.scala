@@ -1546,6 +1546,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(soft(forced = false) === soft(forced = true))
   }
 
+  test("minCostEncode: the indexed prefix/continuation kernel is " +
+    "BIT-identical to the literal fold, UNK words included, both fixtures") {
+    val docs = Seq(
+      (1L, "abab zq baba unseg ab"),
+      (2L, "aa bb abab zq zq")).toDF("doc_id", "text")
+    val vocab = Seq(("a", 7L), ("ab", 9L), ("##b", 3L), ("##ab", 5L),
+      ("zq", 2L), ("##a", 4L), // 'unseg', 'bb', 'aa' are UNK (no 'b' initial)
+      ("##b", 30L), ("zq", 1L)) // DUPLICATES: the literal relaxes over every
+                                // copy (min), the kernel keeps the cheaper —
+                                // WpVocab ships a real '##s' duplicate
+    def run(d: org.apache.spark.sql.DataFrame, v: Seq[(String, Long)],
+            forced: Boolean) =
+      TextPipeline.minCostEncode(d, "doc_id", "text", v, unkCost = 1000L,
+          forceIndexed = Some(forced))
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(run(docs, vocab, forced = false) === run(docs, vocab, forced = true))
+    // trained-vocab regime (qfj's adapter: every piece bare + ##-prefixed)
+    val big = bigPseudoDocs
+    val trained = TextPipeline.unigramTrain(big, "text", maxPieceLen = 5,
+      seedMulti = 400, iters = 1).filter(_._1 == 1)
+      .flatMap { case (_, p, _, cnt) =>
+        val c = 1000000L / (1L + cnt); Seq((p, c), ("##" + p, c)) }
+    assert(run(big, trained, forced = false) === run(big, trained, forced = true))
+  }
+
   test("altCostFn: the substring-probe inversion scores exactly like the " +
     "quadratic iterate-the-whole-map reference, self-exclusion included") {
     // vocab with nested/overlapping pieces, incl. a piece that is its own
