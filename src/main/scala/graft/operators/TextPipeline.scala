@@ -581,6 +581,89 @@ object TextPipeline {
       .agg(count(lit(1)).as("n_words"), sum("w_toks").as("n_tokens"))
   }
 
+  /** BPE-DROPOUT encoding (Provilkov et al. 2020) — [[bpeEncode]] with
+    * each merge OPPORTUNITY independently dropped with probability
+    * `dropMille`/1000: the BPE family's subword regularization, the
+    * exact counterpart of the unigram family's FFBS sampler
+    * ([[unigramSampleEncode]]) — a word tokenizes differently across its
+    * occurrences, so the trainer sees multiple segmentations of the same
+    * text (Provilkov's robustness device; dropMille = 0 degenerates to
+    * [[bpeEncode]] bit-exactly, 1000 drops every merge and emits raw
+    * symbols).
+    *
+    * Dropout granularity is the fold OPPORTUNITY: merges apply in rank
+    * order as the same greedy-leftmost pending-carry fold as
+    * [[bpeEncode]], and at each would-fuse step the fuse is suppressed
+    * when the draw says drop — the pending symbol emits and the right
+    * symbol becomes the new carry (which can then fuse at the NEXT
+    * opportunity, exactly how reference BPE-dropout re-exposes dropped
+    * boundaries within the pass).
+    *
+    * Randomness is the house replay device, keyed
+    * (doc : word-index : merge-rank : fold-step : salt): deterministic,
+    * distinct per occurrence AND per opportunity, byte-identical on
+    * rerun, and engine-replayable as an integer —
+    * drop ⇔ (fnv1a64(key) >>> 11) % 1000 < dropMille (the >>> 11 keeps
+    * the value non-negative in a signed engine, so two's-complement and
+    * unsigned `%` agree; no doubles anywhere).
+    *
+    * Output: one row per document — (idCol, n_words, n_tokens,
+    * enc_text) with enc_text the per-word symbol lists U+001F-joined
+    * within a word, space-joined across words in word order (the qfp
+    * rendering contract — every draw decision is pinned by the text).
+    * Scale: the fold chain runs per word OCCURRENCE (regularization is
+    * per-occurrence by definition — same regime as the FFBS walk); merge
+    * count bounds expression depth exactly as in [[bpeEncode]]. */
+  def bpeEncodeDropout(df: DataFrame, idCol: String, textCol: String,
+                       merges: Seq[(String, String)], dropMille: Long,
+                       salt: String = "bpedrop"): DataFrame = {
+    require(dropMille >= 0 && dropMille <= 1000,
+      s"dropMille must be in [0, 1000], got $dropMille")
+    graft.functions.GraftExtensions.register(df.sparkSession)
+    def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    def dropFoldSql(k: Int, l0: String, r0: String): String = {
+      val (l, r) = (esc(l0), esc(r0))
+      val drop =
+        s"""(shiftrightunsigned(fnv1a64(concat(CAST(_doc AS STRING), ':',
+           CAST(widx AS STRING), ':', '$k', ':', CAST(j AS STRING),
+           ':${esc(salt)}')), 11) % 1000L) < ${dropMille}L"""
+      s"""aggregate(sequence(1, size(syms)),
+         named_struct('out', CAST(array() AS ARRAY<STRING>), 'pending', ''),
+         (acc, j) -> CASE
+           WHEN acc.pending = ''
+             THEN named_struct('out', acc.out, 'pending', element_at(syms, j))
+           WHEN acc.pending = '${l}' AND element_at(syms, j) = '${r}'
+                AND NOT ($drop)
+             THEN named_struct('out', array_append(acc.out, '${l}${r}'),
+               'pending', '')
+           ELSE named_struct('out', array_append(acc.out, acc.pending),
+             'pending', element_at(syms, j))
+         END,
+         acc -> CASE WHEN acc.pending = '' THEN acc.out
+                     ELSE array_append(acc.out, acc.pending) END)"""
+    }
+    var occ = df
+      .select(col(idCol).as("_doc"),
+        posexplode(TextFunctions.tokens(lower(col(textCol)))))
+      .select(col("_doc"), (col("pos") + 1).cast("long").as("widx"),
+        concat(split(col("col"), ""), array(lit("</w>"))).as("syms"))
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      occ = occ.select(col("_doc"), col("widx"),
+        expr(dropFoldSql(i + 1, l, r)).as("syms"))
+    }
+    occ
+      .select(col("_doc"), col("widx"),
+        array_join(col("syms"), "\u001f").as("wseg"),
+        size(col("syms")).cast("long").as("np"))
+      .groupBy(col("_doc"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("np")).as("n_tokens"),
+        array_join(transform(array_sort(collect_list(
+          struct(col("widx"), col("wseg")))),
+          x => x.getField("wseg")), " ").as("enc_text"))
+      .withColumnRenamed("_doc", idCol)
+  }
+
   def bpeTrain(df: DataFrame, textCol: String, nMerges: Int): Seq[(Int, String, String, Long)] = {
     require(nMerges >= 1)
     val spark = df.sparkSession

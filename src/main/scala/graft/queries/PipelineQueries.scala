@@ -883,6 +883,106 @@ object PipelineQueries {
       ${rows(2)}"""
   }
 
+  /** The qfv/qfw fixed merge table — (t,h), (th,e), (e,</w>), chosen so
+    * every rank fires on the fixture ("the"/"hash" chains, trailing-e
+    * words). Fixed rather than trained: qdd/qdl already pin training
+    * provenance; these gates isolate the DROPOUT draws. */
+  private val BpeDropMerges = Seq(("t", "h"), ("th", "e"), ("e", "</w>"))
+
+  /** Oracle fragment: one greedy-leftmost BPE merge fold over
+    * per-OCCURRENCE symbol lists as a recursive CTE — consumes `v${k-1}`
+    * (doc_id, widx, syms), emits `v$k`. `drop` is a SQL boolean over
+    * (doc_id, widx, j) replaying the Spark side's integer draw
+    * (fnv >>> 11 mod 1000 < dropMille); pass "FALSE" for no dropout. */
+  private def oBpeDropFold(k: Int, l: String, r: String,
+                           drop: (Int, String) => String): String = {
+    val d = drop(k, "r.j")
+    s"""r$k AS (
+        SELECT doc_id, widx, syms, 1 AS j, []::varchar[] AS out, '' AS pending
+        FROM v${k - 1}
+        UNION ALL
+        SELECT r.doc_id, r.widx, r.syms, r.j + 1,
+          CASE WHEN r.pending = '' THEN r.out
+               WHEN r.pending = '$l' AND r.syms[r.j] = '$r' AND NOT ($d)
+                 THEN list_append(r.out, '$l$r')
+               ELSE list_append(r.out, r.pending) END,
+          CASE WHEN r.pending = '' THEN r.syms[r.j]
+               WHEN r.pending = '$l' AND r.syms[r.j] = '$r' AND NOT ($d)
+                 THEN ''
+               ELSE r.syms[r.j] END
+        FROM r$k r WHERE r.j <= len(r.syms)
+      ), v$k AS (
+        SELECT doc_id, widx,
+          CASE WHEN pending = '' THEN out
+               ELSE list_append(out, pending) END AS syms
+        FROM r$k WHERE j = len(syms) + 1
+      )"""
+  }
+
+  /** DuckDB replay of BPE-DROPOUT encoding (the qfv gate): the fixed
+    * 3-merge table applied per word OCCURRENCE with every fuse gated by
+    * the replayed integer draw — every dropout decision is pinned by the
+    * rendered enc_text. 100-doc slice (the qfp device: the
+    * per-occurrence recursion is fold-heavy; corpus-scale evidence is
+    * qfw's p=0 degenerate gate over the FULL sf). */
+  private lazy val OBpeDropout: String = {
+    def drop(k: Int, j: String): String = {
+      val key = s"""(CAST(doc_id AS VARCHAR) || ':' || CAST(widx AS VARCHAR)
+        || ':$k:' || CAST($j AS VARCHAR) || ':bpedrop')"""
+      s"""((${oFnv(key)} // 2048::HUGEINT) % 1000::HUGEINT < 300::HUGEINT)"""
+    }
+    val folds = BpeDropMerges.zipWithIndex
+      .map { case ((l, r), i) => oBpeDropFold(i + 1, l, r, drop) }
+      .mkString(",\n      ")
+    s"""WITH RECURSIVE docw AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS widx, w[i] AS word
+        FROM (SELECT doc_id, list_filter(
+            string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+          FROM documents WHERE doc_id < 100)
+        CROSS JOIN UNNEST(generate_series(1, len(w))) AS t(i)
+      ), v0 AS (
+        SELECT doc_id, widx, list_append(
+          list_transform(range(1, length(word) + 1), i -> word[i]), '</w>') AS syms
+        FROM docw
+      ),
+      $folds
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        CAST(sum(len(syms)) AS BIGINT) AS n_tokens,
+        string_agg(array_to_string(syms, chr(31)), ' ' ORDER BY widx) AS enc_text
+      FROM v${BpeDropMerges.length}
+      GROUP BY doc_id"""
+  }
+
+  /** DuckDB replay of the qfw gate — BPE-dropout at dropMille = 0 over
+    * the FULL sf corpus: with no draws the fold is occurrence-invariant,
+    * so the oracle folds each DISTINCT word once and joins back to the
+    * instance stream (the occurrence-level Spark machinery must still
+    * agree — that is what the gate pins at corpus scale). */
+  private lazy val OBpeDropoutScale: String = {
+    val folds = BpeDropMerges.zipWithIndex
+      .map { case ((l, r), i) => oBpeDropFold(i + 1, l, r, (_, _) => "FALSE") }
+      .mkString(",\n      ")
+    s"""WITH RECURSIVE docw AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS widx, w[i] AS word
+        FROM (SELECT doc_id, list_filter(
+            string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
+          FROM documents)
+        CROSS JOIN UNNEST(generate_series(1, len(w))) AS t(i)
+      ), dw AS (
+        SELECT DISTINCT word FROM docw
+      ), v0 AS (
+        SELECT word AS doc_id, CAST(0 AS BIGINT) AS widx, list_append(
+          list_transform(range(1, length(word) + 1), i -> word[i]), '</w>') AS syms
+        FROM dw
+      ),
+      $folds
+      SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        CAST(sum(len(v.syms)) AS BIGINT) AS n_tokens,
+        string_agg(array_to_string(v.syms, chr(31)), ' ' ORDER BY d.widx) AS enc_text
+      FROM docw d JOIN v${BpeDropMerges.length} v ON v.doc_id = d.word
+      GROUP BY d.doc_id"""
+  }
+
   private lazy val OMinTokenEncode: String = {
     def lst(ps: Seq[String]) =
       ps.map(p => s"'${p.replace("'", "''")}'").mkString("[", ", ", "]")
@@ -3005,6 +3105,32 @@ object PipelineQueries {
               expr("aggregate(ws, 0L, (a, w) -> a + length(w))")).as("bounded"))
       },
       Some(OUnigramSampleScale)),
+
+    // BPE-DROPOUT encoding (Provilkov et al. 2020) — the BPE family's
+    // subword regularization, qfp's counterpart: each merge opportunity
+    // drops with p = 0.3 under the integer draw
+    // (fnv(doc:widx:rank:step:salt) >>> 11 mod 1000), so occurrences of
+    // one word segment differently while reruns replay byte-identically.
+    // Fixed 3-merge table (training provenance is qdd/qdl's job — this
+    // gate isolates the dropout draws); 100-doc slice, the qfp device:
+    // the oracle replays EVERY draw inside the per-occurrence fold.
+    Entry("qfv_bpe_dropout",
+      (s, dir) => TextPipeline.bpeEncodeDropout(
+        t(s, dir, "documents").filter(col("doc_id") < 100),
+        "doc_id", "text", BpeDropMerges, dropMille = 300),
+      Some(OBpeDropout)),
+
+    // BPE-dropout at CORPUS scale, p = 0 (the qft device for this
+    // family): over the FULL sf corpus the dropout machinery's
+    // per-OCCURRENCE fold chain must degenerate to plain bpeEncode —
+    // the oracle folds each distinct word once and joins back, so any
+    // occurrence-dependence the machinery wrongly introduced at scale
+    // (key leakage into the p=0 path, fold-order drift) hash-fails.
+    // Per-draw bit-exactness at p > 0 is qfv's job.
+    Entry("qfw_bpe_dropout_scale",
+      (s, dir) => TextPipeline.bpeEncodeDropout(t(s, dir, "documents"),
+        "doc_id", "text", BpeDropMerges, dropMille = 0),
+      Some(OBpeDropoutScale)),
 
     // The COMPLETE Kudo trainer: soft-EM expected counts driving BOTH
     // the re-estimation and the prune scores (qfn + qfg's halves

@@ -1546,6 +1546,51 @@ class PipelineOpsSpec extends SparkSpec {
     assert(soft(forced = false) === soft(forced = true))
   }
 
+  test("bpeEncodeDropout: p=0 degenerates to bpeEncode, p=1000 emits raw " +
+    "symbols, every word's pieces tile it, and reruns replay identically") {
+    val docs = Seq(
+      (1L, "the thesis lathe the"),
+      (2L, "theme the hat teeth"),
+      (3L, "the the the breathe")).toDF("doc_id", "text")
+    val merges = Seq(("t", "h"), ("th", "e"), ("e", "</w>"))
+    def run(p: Long, salt: String = "bpedrop") =
+      TextPipeline.bpeEncodeDropout(docs, "doc_id", "text", merges, p, salt)
+        .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    // p=0: counts equal plain bpeEncode's
+    val p0 = run(0L)
+    val plain = TextPipeline.bpeEncode(docs, "doc_id", "text", merges)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(p0.map(t => (t._1, t._2, t._3)) === plain)
+    // p=1000: every merge drops — tokens per word = chars + 1 (</w>)
+    val p1000 = run(1000L)
+    docs.as[(Long, String)].collect().foreach { case (id, text) =>
+      val ws = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val row = p1000.find(_._1 == id).get
+      assert(row._3 === ws.map(_.length + 1L).sum, s"doc $id raw symbols")
+    }
+    // p=0.3: tiling law — stripping separators and </w> restores the text
+    val p300 = run(300L)
+    p300.foreach { case (id, _, _, enc) =>
+      val orig = docs.as[(Long, String)].collect().find(_._1 == id).get._2
+        .toLowerCase.split("\\s+").filter(_.nonEmpty).mkString(" ")
+      assert(enc.replace("\u001f", "").replace("</w>", "") === orig,
+        s"doc $id pieces do not tile")
+    }
+    // regularization is live: the word 'the' segments differently across
+    // occurrences somewhere in the fixture, yet reruns replay identically
+    assert(p300 === run(300L), "same salt must replay byte-identically")
+    assert(p300 !== run(300L, salt = "other"),
+      "a different salt must perturb at least one draw")
+    val theSegs = p300.flatMap(_._4.split(" "))
+      .filter(_.replace("\u001f", "").replace("</w>", "") == "the").toSet
+    assert(theSegs.size > 1, s"degenerate dropout: $theSegs")
+    // layout-independent
+    val again = TextPipeline.bpeEncodeDropout(docs.repartition(7), "doc_id",
+        "text", merges, 300L)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(again === p300)
+  }
+
   test("minCostEncode: the indexed prefix/continuation kernel is " +
     "BIT-identical to the literal fold, UNK words included, both fixtures") {
     val docs = Seq(
