@@ -145,6 +145,34 @@ class PlanQualitySpec extends SparkSpec {
       s"bounded rank lists must broadcast-join, not shuffle:\n$plan")
   }
 
+  test("indexed tokenizer kernels: the vocabulary ships as a plan " +
+    "reference object — plan text is |V|-independent, no UDF") {
+    import spark.implicits._
+    import graft.operators.TextPipeline
+    // a 2k-piece vocab with greppable markers: if ANY piece appears in
+    // the executed plan text, the path regressed to the embedded literal
+    // (|V|-proportional parse/codegen — the round-14/15 scale hazard)
+    val pieces = (0 until 2000).map(i => s"zqx$i")
+    val docs = Seq((1L, "zqx1 zqx1999 ab")).toDF("doc_id", "text")
+    val plans = Seq(
+      TextPipeline.nbestSegment(docs, "text",
+        pieces.map(_ -> 7L) :+ ("a" -> 1L) :+ ("b" -> 1L) :+ ("z" -> 1L)
+          :+ ("q" -> 1L) :+ ("x" -> 1L) :+ ("1" -> 1L) :+ ("9" -> 1L), n = 2),
+      TextPipeline.minCostEncode(docs, "doc_id", "text",
+        pieces.map(_ -> 7L) :+ ("a" -> 1L), unkCost = 9L),
+      TextPipeline.unigramSampleEncode(docs, "doc_id", "text",
+        (Seq("a", "b", "z", "q", "x", "1", "9").map(_ -> 1000000L)
+          ++ pieces.map(_ -> 500000L))))
+    plans.foreach { df =>
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("zqx157"),
+        s"vocab piece leaked into the plan text (literal path?):\n${plan.take(2000)}")
+      assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+        s"kernel path must stay a native expression:\n${plan.take(2000)}")
+    }
+  }
+
   test("qdw/qdx segmentation encoders: distinct-word lengths broadcast " +
     "back, no UDF, corpus never sort-merge-joins") {
     for (q <- Seq("qdw_wordpiece_encode", "qdx_min_token_encode")) {
