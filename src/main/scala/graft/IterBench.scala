@@ -153,6 +153,22 @@ object IterBench {
               vocabOf(v)).count()
           }
         }
+        // round 15: the weighted-Viterbi DP got the same inline→indexed
+        // promotion (MinCostEncodeKernel) — A/B at the same vocab ladder
+        for (v <- inlineSizes) {
+          timed(s"minCostEncode literal, $v pieces, round $round") {
+            TextPipeline.minCostEncode(docs, "doc_id", "text",
+              vocabOf(v).map(_ -> 1L), unkCost = 1L,
+              forceIndexed = Some(false)).count()
+          }
+        }
+        for (v <- Seq(100, 500, 1500, 30000)) {
+          timed(s"minCostEncode indexed, $v pieces, round $round") {
+            TextPipeline.minCostEncode(docs, "doc_id", "text",
+              vocabOf(v).map(_ -> 1L), unkCost = 1L,
+              forceIndexed = Some(true)).count()
+          }
+        }
       }
       docs.unpersist()
       spark.stop()
