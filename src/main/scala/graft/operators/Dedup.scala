@@ -733,6 +733,44 @@ object Dedup {
       .select(col(idCol), col("n_chunks"), col("n_kept"), col("text_dedup"))
   }
 
+  /** [[dedupChunksKeepFirst]] over CONTENT-DEFINED chunks
+    * ([[TextPipeline.cdcChunks]]) — the shift-robust form: because CDC
+    * boundaries depend only on local content, a passage duplicated at an
+    * ARBITRARY character offset produces byte-identical chunks in both
+    * documents (after at most one boundary re-synchronization on each
+    * side), so the same one-shuffle keep-first hash-aggregate that C4's
+    * aligned chunking runs now catches unaligned duplication — the case
+    * where aligned chunks all differ by the offset and nothing dedups
+    * (spec-pinned with a planted shifted copy).
+    *
+    * Keep-first = lexicographic min (doc, chunk_idx) per chunk text;
+    * docs reassemble from surviving chunks in position order, chunks
+    * concatenated WITHOUT separator (CDC chunks tile the raw text).
+    * Docs left with no surviving chunk drop. Same 100-TB shape note as
+    * [[dedupChunksKeepFirst]]: group on the chunk's 64-bit fingerprint
+    * to keep the shuffle key 8 bytes; the gate groups on the text so
+    * the oracle is equality-exact. */
+  def dedupCdcKeepFirst(df: DataFrame, idCol: String, textCol: String,
+                        window: Int, divisor: Long,
+                        remainder: Long): DataFrame = {
+    val chunks = TextPipeline.cdcChunks(df, idCol, textCol, window,
+      divisor, remainder)
+    val first = chunks.groupBy(col("chunk_text"))
+      .agg(min(struct(col(idCol), col("chunk_idx"))).as("_m"))
+    val perDoc = chunks.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"))
+    chunks.join(first, Seq("chunk_text"))
+      .filter(col("_m")(idCol) === col(idCol) &&
+        col("_m")("chunk_idx") === col("chunk_idx"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+          struct(col("chunk_idx"), col("chunk_text")))),
+          x => x.getField("chunk_text")), "").as("text_dedup"))
+      .join(perDoc, Seq(idCol))
+      .select(col(idCol), col("n_chunks"), col("n_kept"), col("text_dedup"))
+  }
+
   /** EXACT duplicated-substring removal — the ExactSubstr mode of
     * suffix-array training-data dedup (Lee et al. 2022, "Deduplicating
     * Training Data Makes Language Models Better"): every character that

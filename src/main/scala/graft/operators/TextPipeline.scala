@@ -46,6 +46,69 @@ object TextPipeline {
           .as("n_tokens"))
   }
 
+  /** CONTENT-DEFINED chunking (Rabin-style CDC; public: Muthitacharoen
+    * et al., "A Low-Bandwidth Network File System", SOSP 2001 — the
+    * chunking storage and dataset dedup systems use for SHIFT-ROBUST
+    * duplicate detection): a chunk boundary falls AFTER character
+    * position i (1-based, i ≥ window) whenever the rolling hash of the
+    * `window` chars ending at i satisfies
+    *
+    *   (fnv1a64(text[i−window+1 .. i]) >>> 11) % divisor == remainder
+    *
+    * so boundaries depend only on LOCAL content: inserting or deleting
+    * text early in a document perturbs only the chunks it touches, and
+    * every later chunk keeps its content identity — the property
+    * [[chunk]]'s aligned windows lack (one inserted char shifts every
+    * aligned chunk). That is what makes CDC-chunk dedup catch duplicated
+    * content at ARBITRARY offsets with a plain hash-aggregate.
+    *
+    * This is the PURE hash-gated form — no min/max chunk-size smoothing.
+    * Smoothing is a per-doc sequential fold (each boundary's eligibility
+    * depends on the previous accepted boundary) trivially added inside
+    * the same HOF; the pure form keeps every boundary decision
+    * position-independent, which is what the dedup semantics need and
+    * what keeps the oracle plain SQL. Expected chunk length is
+    * `divisor` chars (geometric); the >>> 11 keeps the draw non-negative
+    * in a signed engine so two's-complement and unsigned `%` agree (the
+    * BPE-dropout device).
+    *
+    * Character-level and raw-text (CDC is a content transform, not a
+    * token one — [[graft.operators.Dedup.dedupCdcKeepFirst]] rides it).
+    * Emits (idCol, chunk_idx 0-based, start 1-based, chunk_text); chunks
+    * tile the raw text exactly (concat in idx order == text; spec-pinned).
+    * Empty docs emit nothing. Pure per-row array work — no shuffle, no
+    * UDF; at 100 TB this runs fused into the scan. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                window: Int, divisor: Long, remainder: Long): DataFrame = {
+    require(window >= 1 && divisor >= 1 && remainder >= 0 && remainder < divisor)
+    graft.functions.GraftExtensions.register(df.sparkSession)
+    // guard: Spark's sequence(a, b) DESCENDS when b < a, so a doc shorter
+    // than the window must short-circuit to "no boundaries" explicitly
+    val boundarySql =
+      s"""CASE WHEN length($textCol) >= $window THEN
+         filter(sequence(${window}L, CAST(length($textCol) AS BIGINT)),
+           i -> i < CAST(length($textCol) AS BIGINT) AND
+             (shiftrightunsigned(fnv1a64(substring($textCol,
+                CAST(i - ${window}L + 1L AS INT), $window)), 11)
+              % ${divisor}L) = ${remainder}L)
+         ELSE CAST(array() AS ARRAY<BIGINT>) END"""
+    val cutsSql =
+      s"""concat(array(0L), $boundarySql,
+         array(CAST(length($textCol) AS BIGINT)))"""
+    df.filter(length(col(textCol)) > 0)
+      .select(col(idCol), col(textCol), expr(cutsSql).as("_cuts"))
+      .select(col(idCol), col(textCol),
+        posexplode(expr(
+          s"""transform(sequence(1, size(_cuts) - 1),
+             j -> named_struct(
+               'start', element_at(_cuts, j) + 1L,
+               'len', element_at(_cuts, j + 1) - element_at(_cuts, j)))""")))
+      .select(col(idCol), col("pos").cast("long").as("chunk_idx"),
+        col("col.start").as("start"),
+        expr(s"substring($textCol, CAST(col.start AS INT), CAST(col.len AS INT))")
+          .as("chunk_text"))
+  }
+
   /** Token-budget packing: assign documents, in a deterministic order, to
     * consecutive bins of ≈`budget` tokens — the scalable form of
     * context-window packing. Bin id = which budget-multiple the doc's last

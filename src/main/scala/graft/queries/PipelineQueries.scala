@@ -883,6 +883,60 @@ object PipelineQueries {
       ${rows(2)}"""
   }
 
+  /** Oracle fragment: the CDC cut list — `cuts(doc_id, text, cuts)` over
+    * non-empty documents, cuts = [0] ++ boundary positions ++ [len],
+    * boundary after i ⇔ (fnv(text[i−15..i]) >>> 11) % 64 == 0, i < len
+    * (window 16, divisor 64, remainder 0 — the qfx/qfy parameters). */
+  private lazy val OCdcCuts: String = {
+    // the outer lambda variable MUST NOT be `i`: oFnv's byte fold binds
+    // its own `i`, and DuckDB resolves the inner binding — a shadowed
+    // window position hashes the wrong text (caught by the qfx row gate)
+    val h = oFnv("substr(text, CAST(p - 15 AS INT), 16)")
+    s"""d AS (
+        SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+        FROM documents WHERE length(text) > 0
+      ), cuts AS (
+        SELECT doc_id, text, list_concat(list_concat(
+          [CAST(0 AS BIGINT)],
+          CASE WHEN n >= 16 THEN
+            list_filter(generate_series(CAST(16 AS BIGINT), n),
+              p -> p < n AND
+                (($h // 2048::HUGEINT) % 64::HUGEINT) = 0::HUGEINT)
+          ELSE [] END),
+          [n]) AS cs
+        FROM d
+      )"""
+  }
+
+  /** DuckDB replay of [[TextPipeline.cdcChunks]] (the qfx gate). */
+  private lazy val OCdcChunks: String =
+    s"""WITH ${OCdcCuts}
+      SELECT doc_id, CAST(j - 1 AS BIGINT) AS chunk_idx,
+        cs[j] + 1 AS start,
+        substr(text, CAST(cs[j] + 1 AS INT), CAST(cs[j + 1] - cs[j] AS INT))
+          AS chunk_text
+      FROM cuts CROSS JOIN UNNEST(generate_series(1, len(cs) - 1)) AS t(j)"""
+
+  /** DuckDB replay of [[graft.operators.Dedup.dedupCdcKeepFirst]] (the
+    * qfy gate): qep's keep-first machinery over the CDC chunk stream. */
+  private lazy val OCdcDedup: String =
+    s"""WITH ${OCdcCuts}, ch AS (
+        SELECT doc_id, CAST(j - 1 AS BIGINT) AS ci,
+          substr(text, CAST(cs[j] + 1 AS INT), CAST(cs[j + 1] - cs[j] AS INT))
+            AS ct
+        FROM cuts CROSS JOIN UNNEST(generate_series(1, len(cs) - 1)) AS t(j)
+      ), r AS (
+        SELECT doc_id, ci, ct,
+          row_number() OVER (PARTITION BY ct ORDER BY doc_id, ci) AS rn
+        FROM ch
+      ), nch AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM ch GROUP BY 1
+      )
+      SELECT r.doc_id, nch.n_chunks, CAST(count(*) AS BIGINT) AS n_kept,
+        string_agg(ct, '' ORDER BY ci) AS text_dedup
+      FROM r JOIN nch USING (doc_id) WHERE rn = 1
+      GROUP BY 1, 2"""
+
   /** The qfv/qfw fixed merge table — (t,h), (th,e), (e,</w>), chosen so
     * every rank fires on the fixture ("the"/"hash" chains, trailing-e
     * words). Fixed rather than trained: qdd/qdl already pin training
@@ -2668,6 +2722,28 @@ object PipelineQueries {
           string_agg(ct, ' ' ORDER BY ci) AS text_dedup
         FROM r JOIN nch USING (doc_id) WHERE rn = 1
         GROUP BY 1, 2""")),
+
+    // CONTENT-DEFINED chunking (Rabin-style CDC, LBFS SOSP 2001): a
+    // boundary after char i wherever fnv(window ending at i) >>> 11
+    // mod 64 == 0 — boundaries depend only on local content, so chunk
+    // identity survives arbitrary offsets (the shift-robustness aligned
+    // chunking lacks). Pure hash-gated form, char-level, chunks tile the
+    // raw text; the oracle replays every boundary draw.
+    Entry("qfx_cdc_chunks",
+      (s, dir) => TextPipeline.cdcChunks(t(s, dir, "documents"),
+        "doc_id", "text", window = 16, divisor = 64L, remainder = 0L),
+      Some(OCdcChunks)),
+
+    // CDC-chunk dedup — qep's keep-first hash-aggregate over the
+    // content-defined chunks: unaligned duplicated passages now produce
+    // byte-identical chunks in both docs (after one boundary re-sync per
+    // side), so the same one-shuffle aggregate catches what aligned
+    // chunking misses. Keep-first = min (doc, idx) per chunk text; docs
+    // reassemble separator-free (CDC chunks tile raw text).
+    Entry("qfy_cdc_dedup",
+      (s, dir) => Dedup.dedupCdcKeepFirst(t(s, dir, "documents"),
+        "doc_id", "text", window = 16, divisor = 64L, remainder = 0L),
+      Some(OCdcDedup)),
 
     // Stride-scheduled domain interleave (the "blendable dataset"
     // curriculum ordering): one global sequence over the whole corpus in

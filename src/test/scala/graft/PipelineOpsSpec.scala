@@ -1546,6 +1546,79 @@ class PipelineOpsSpec extends SparkSpec {
     assert(soft(forced = false) === soft(forced = true))
   }
 
+  test("cdcChunks: chunks tile the raw text, boundaries are shift-robust " +
+    "(an inserted prefix leaves all later chunk texts identical), short " +
+    "and empty docs behave, layout-independent") {
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcdefgh "
+    val body = (0 until 800).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    val docs = Seq(
+      (1L, body),
+      (2L, "PREFIX-" + body), // shifted copy: CDC must re-sync
+      (3L, "short"),          // shorter than the window: one chunk
+      (4L, "x" * 16)          // exactly window-sized
+    ).toDF("doc_id", "text")
+    val out = TextPipeline.cdcChunks(docs, "doc_id", "text",
+        window = 16, divisor = 32L, remainder = 0L)
+      .as[(Long, Long, Long, String)].collect()
+    // tiling: concat in idx order restores every doc byte-exactly
+    for ((id, text) <- Seq(1L -> body, 2L -> ("PREFIX-" + body),
+        3L -> "short", 4L -> "x" * 16)) {
+      val tiles = out.filter(_._1 == id).sortBy(_._2)
+      assert(tiles.map(_._4).mkString === text, s"doc $id must tile")
+      assert(tiles.head._3 === 1L && tiles.map(_._2).toSeq === tiles.indices.map(_.toLong))
+    }
+    // shift-robustness: every chunk after doc 1's FIRST boundary appears
+    // verbatim as doc 2's suffix (doc 2 may gain extra boundaries only in
+    // the windows spanning the prefix joint, all BEFORE the first
+    // translated boundary — so the suffixes align exactly)
+    val c1 = out.filter(_._1 == 1L).sortBy(_._2).map(_._4)
+    val c2 = out.filter(_._1 == 2L).sortBy(_._2).map(_._4)
+    assert(c1.length > 5, s"fixture too smooth: ${c1.length} chunks")
+    assert(c2.takeRight(c1.length - 1).toSeq === c1.drop(1).toSeq,
+      "all chunks after the re-sync boundary must be identical")
+    val again = TextPipeline.cdcChunks(docs.repartition(5), "doc_id", "text",
+        window = 16, divisor = 32L, remainder = 0L)
+      .as[(Long, Long, Long, String)].collect()
+    assert(again.sortBy(r => (r._1, r._2)).toSeq ===
+      out.sortBy(r => (r._1, r._2)).toSeq)
+    assert(TextPipeline.cdcChunks(Seq((9L, "")).toDF("doc_id", "text"),
+      "doc_id", "text", 16, 32L, 0L).count() === 0L)
+  }
+
+  test("dedupCdcKeepFirst: a duplicated passage at an ARBITRARY offset " +
+    "dedups away (aligned chunking provably misses it)") {
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcdefgh "
+    val body = (0 until 600).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    // the prefix carries 3 whitespace tokens, so doc 2's TOKEN stream
+    // shifts by 3 (≠ 0 mod 8) — every 8-token aligned chunk differs
+    val docs = Seq(
+      (1L, body),
+      (2L, "zzz unaligned prefix " + body), // same passage, shifted
+      (3L, "an unrelated document body")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupCdcKeepFirst(docs, "doc_id", "text",
+        window = 16, divisor = 32L, remainder = 0L)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    // doc 1 is first everywhere: fully kept, reassembles byte-exactly
+    assert(out(1L)._3 === out(1L)._2 && out(1L)._4 === body)
+    // doc 2 keeps its fresh prefix chunk(s) but loses the shifted copy
+    assert(out(2L)._3 < out(2L)._2,
+      s"shifted duplicate must lose chunks: ${out(2L)}")
+    assert(out(2L)._4.length < ("zzz unaligned prefix " + body).length)
+    // ALIGNED chunking on the same corpus keeps doc 2 intact — the
+    // contrast that motivates CDC (tokens differ by the prefix shift)
+    val aligned = Dedup.dedupChunksKeepFirst(docs, "doc_id", "text",
+        chunkTokens = 8)
+      .as[(Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    assert(aligned(2L)._3 === aligned(2L)._2,
+      "aligned chunking should MISS the shifted duplicate (whole words " +
+        "re-chunk identically only when token-aligned)")
+    assert(out(3L)._3 === out(3L)._2)
+  }
+
   test("bpeEncodeDropout: p=0 degenerates to bpeEncode, p=1000 emits raw " +
     "symbols, every word's pieces tile it, and reruns replay identically") {
     val docs = Seq(
