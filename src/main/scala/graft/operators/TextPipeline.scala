@@ -79,9 +79,14 @@ object TextPipeline {
     * Empty docs emit nothing. Pure per-row array work — no shuffle, no
     * UDF; at 100 TB this runs fused into the scan. */
   def cdcChunks(df: DataFrame, idCol: String, textCol: String,
-                window: Int, divisor: Long, remainder: Long): DataFrame = {
+                window: Int, divisor: Long, remainder: Long,
+                forceNative: Option[Boolean] = None): DataFrame = {
     require(window >= 1 && divisor >= 1 && remainder >= 0 && remainder < divisor)
     graft.functions.GraftExtensions.register(df.sparkSession)
+    // default: the codegen'd CdcCutsExpr (one JVM loop per doc); the SQL
+    // HOF form is retained as the differential-spec reference — Spark
+    // runs HOF lambdas INTERPRETED, one tree walk per char position
+    // (measured 5.5× the aligned sibling at sf0.1 before the promotion).
     // guard: Spark's sequence(a, b) DESCENDS when b < a, so a doc shorter
     // than the window must short-circuit to "no boundaries" explicitly
     val boundarySql =
@@ -95,8 +100,12 @@ object TextPipeline {
     val cutsSql =
       s"""concat(array(0L), $boundarySql,
          array(CAST(length($textCol) AS BIGINT)))"""
+    val cuts =
+      if (forceNative.getOrElse(true))
+        graft.functions.CdcCutsExpr(col(textCol), window, divisor, remainder)
+      else expr(cutsSql)
     df.filter(length(col(textCol)) > 0)
-      .select(col(idCol), col(textCol), expr(cutsSql).as("_cuts"))
+      .select(col(idCol), col(textCol), cuts.as("_cuts"))
       .select(col(idCol), col(textCol),
         posexplode(expr(
           s"""transform(sequence(1, size(_cuts) - 1),

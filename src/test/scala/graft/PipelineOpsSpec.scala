@@ -1582,6 +1582,14 @@ class PipelineOpsSpec extends SparkSpec {
       .as[(Long, Long, Long, String)].collect()
     assert(again.sortBy(r => (r._1, r._2)).toSeq ===
       out.sortBy(r => (r._1, r._2)).toSeq)
+    // the codegen'd CdcCutsExpr (default) is BIT-identical to the SQL
+    // HOF reference path — same fnv over the same zero-copy windows
+    val sqlPath = TextPipeline.cdcChunks(docs, "doc_id", "text",
+        window = 16, divisor = 32L, remainder = 0L,
+        forceNative = Some(false))
+      .as[(Long, Long, Long, String)].collect()
+    assert(sqlPath.sortBy(r => (r._1, r._2)).toSeq ===
+      out.sortBy(r => (r._1, r._2)).toSeq)
     assert(TextPipeline.cdcChunks(Seq((9L, "")).toDF("doc_id", "text"),
       "doc_id", "text", 16, 32L, 0L).count() === 0L)
   }
