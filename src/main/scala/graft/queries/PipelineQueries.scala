@@ -919,7 +919,7 @@ object PipelineQueries {
 
   /** DuckDB replay of [[graft.operators.Dedup.dedupCdcKeepFirst]] (the
     * qfy gate): qep's keep-first machinery over the CDC chunk stream. */
-  private lazy val OCdcDedup: String =
+  private[queries] lazy val OCdcDedup: String =
     s"""WITH ${OCdcCuts}, ch AS (
         SELECT doc_id, CAST(j - 1 AS BIGINT) AS ci,
           substr(text, CAST(cs[j] + 1 AS INT), CAST(cs[j + 1] - cs[j] AS INT))

@@ -1748,6 +1748,48 @@ object StatefulStreamQueries {
         FROM r JOIN nch USING (doc_id) WHERE rn = 1
         GROUP BY 1, 2""")),
 
+    // Ingest-time CDC-chunk dedup — qfy's streaming face (and qer's CDC
+    // sibling): content-defined chunks stream keyed by fingerprint, the
+    // first arrival in (doc, position) order claims each distinct chunk,
+    // later occurrences — cross-doc at ANY character offset — suppress at
+    // the edge. The ChunkClaim machinery is chunker-agnostic, so the only
+    // deltas vs qer are the chunker and the separator-free reassembly
+    // (CDC chunks tile raw text); the batch qfy oracle replays verbatim.
+    Entry("qfz_stream_cdc_dedup",
+      (s, dir) => {
+        implicit val sp: SparkSession = s
+        import sp.implicits._
+        s.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val schema = s.read.parquet(graft.Tables.path(dir, "documents")).schema
+        val raw = s.readStream.schema(schema).parquet(s"$dir/documents*.parquet")
+        val chunks = graft.operators.TextPipeline
+          .cdcChunks(raw, "doc_id", "text",
+            window = 16, divisor = 64L, remainder = 0L)
+          .withColumn("ts", timestamp_micros(col("doc_id") * 1000000L))
+          .withWatermark("ts", "0 seconds")
+          .select(graft.functions.Fnv1a64Expr(col("chunk_text")).as("key"),
+            col("doc_id").as("docId"), col("chunk_idx").as("chunkIdx"),
+            col("chunk_text").as("chunkText"))
+          .as[graft.streaming.StreamingDedup.ChunkRow]
+        val kept = graft.streaming.EventTimeOps.ordered(chunks,
+          (r: graft.streaming.StreamingDedup.ChunkRow) => r.key,
+          new graft.streaming.StreamingDedup.ChunkClaim)
+        val survivors = run(kept.toDF(), "qfz_sink")
+        val totals = graft.operators.TextPipeline
+          .cdcChunks(graft.Tables(s, dir, "documents"), "doc_id", "text",
+            window = 16, divisor = 64L, remainder = 0L)
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
+        survivors.groupBy(col("docId").as("doc_id"))
+          .agg(count(lit(1)).as("n_kept"),
+            array_join(transform(array_sort(collect_list(
+              struct(col("chunkIdx"), col("chunkText")))),
+              x => x.getField("chunkText")), "").as("text_dedup"))
+          .join(totals, Seq("doc_id"))
+          .select(col("doc_id"), col("n_chunks"), col("n_kept"), col("text_dedup"))
+      },
+      Some(PipelineQueries.OCdcDedup)),
+
     // Ingest-time weighted priority sampling (the STREAMING face of qd0's
     // Duffield-Lund-Thorup top-k): documents stream through 8 shards,
     // each shard's keyed state keeps its running top-100 by
