@@ -570,7 +570,7 @@ object TextPipeline {
     val words = df
       .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-    val syms = concat(split(col("word"), ""), array(lit("</w>")))
+    val syms = symSeed(col("word"))
     val pairs = words
       .select(col("cnt"), explode(transform(
         sequence(lit(1), size(syms) - 1),
@@ -605,20 +605,79 @@ object TextPipeline {
     * every adjacent (l, r) into l+r, scanning left to right with a
     * one-symbol pending carry (a fused token never re-merges in the same
     * pass). SQL-literal-escapes the symbols — they come from corpus text. */
-  private def mergeFoldSql(symsCol: String, l0: String, r0: String): String = {
+  private def mergeFoldSql(symsCol: String, l0: String, r0: String): String =
+    mergeFoldBatchSql(symsCol, Seq((l0, r0)))
+
+  /** [[mergeFoldSql]] over a symbol-DISJOINT merge BATCH: one pass fuses
+    * every member pair ([[bpeTrainBatched]]'s rewrite, reused for encode)
+    * — with no symbol shared across members' lefts, rights, and fused
+    * outputs, a single pending-carry pass equals applying the members as
+    * sequential passes in any order (fusing two symbols into one never
+    * changes the adjacency of OTHER symbols, and a member's fused output
+    * can never be another member's input). At most one member matches a
+    * given (pending, next) pair, so branch order is immaterial. */
+  private def mergeFoldBatchSql(symsCol: String,
+                                pairs: Seq[(String, String)]): String = {
     def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
-    val (l, r) = (esc(l0), esc(r0))
+    val branches = pairs.map { case (l0, r0) =>
+      val (l, r) = (esc(l0), esc(r0))
+      s"""WHEN acc.pending = '${l}' AND x = '${r}'
+           THEN named_struct('out', array_append(acc.out, '${l}${r}'), 'pending', '')"""
+    }.mkString("\n         ")
     s"""aggregate($symsCol,
        named_struct('out', array()::array<string>, 'pending', ''),
        (acc, x) -> CASE
          WHEN acc.pending = '' THEN named_struct('out', acc.out, 'pending', x)
-         WHEN acc.pending = '${l}' AND x = '${r}'
-           THEN named_struct('out', array_append(acc.out, '${l}${r}'), 'pending', '')
+         $branches
          ELSE named_struct('out', array_append(acc.out, acc.pending), 'pending', x)
        END,
        acc -> CASE WHEN acc.pending = '' THEN acc.out
                    ELSE array_append(acc.out, acc.pending) END)"""
   }
+
+  /** Group a rank-ordered merge list into maximal CONTIGUOUS symbol-
+    * disjoint batches for [[mergeFoldBatchSql]] / the dropout batch fold:
+    * walking in rank order, a merge joins the current batch unless its
+    * left, right, or fused output collides with any symbol already used
+    * by the batch (lefts, rights, AND outputs — [[bpeTrainBatched]]'s
+    * string-level non-overlap rule, which is what makes simultaneous
+    * application order-free); a collision or the 64-member codegen CASE
+    * cap closes the batch. Only contiguous ranks batch — encode must
+    * apply merges in rank order, so reordering across a conflicting rank
+    * is not available here (unlike the trainer's candidate selection).
+    * Members carry their GLOBAL 1-based rank (the dropout draw key needs
+    * it). */
+  private[graft] def batchMerges(merges: Seq[(String, String)],
+                                 maxBatch: Int = 64)
+      : Seq[Seq[(Int, String, String)]] = {
+    val groups = scala.collection.mutable.ArrayBuffer.empty[Seq[(Int, String, String)]]
+    val cur = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
+    val used = scala.collection.mutable.Set.empty[String]
+    merges.zipWithIndex.foreach { case ((l, r), i) =>
+      if (cur.size == maxBatch || used(l) || used(r) || used(l + r)) {
+        groups += cur.toSeq
+        cur.clear()
+        used.clear()
+      }
+      cur += ((i + 1, l, r))
+      used += l; used += r; used += (l + r)
+    }
+    if (cur.nonEmpty) groups += cur.toSeq
+    groups.toSeq
+  }
+
+  /** The BPE family's symbol seed: the word's Unicode CODE POINTS plus
+    * the '</w>' end marker — one place, one contract. `split(word, '')`
+    * IS code-point exact on Spark 4: `UTF8String.split` special-cases
+    * the empty pattern to one piece per UTF-8 character (= code point;
+    * no trailing empty, surrogate-pair-safe), unlike Java's
+    * `String.split("", -1)` which both splits surrogate pairs and emits
+    * a trailing "" — so a non-BMP character is ONE symbol, matching the
+    * DuckDB oracles' `word[i]` indexing and the kernels' `codePoints()`
+    * walks (spec-pinned: PipelineOpsSpec's "split('') sees code-point
+    * symbols" and the non-BMP encode spec). */
+  private def symSeed(word: Column): Column =
+    concat(split(word, ""), array(lit("</w>")))
 
   /** Tokenize a corpus with a TRAINED merge list — the apply half of the
     * BPE tokenizer ([[bpeTrain]] learns the merges; this encodes with
@@ -631,20 +690,27 @@ object TextPipeline {
     * the trained vocabulary — the number a packing / budget stage consumes.
     *
     * Shape at scale: encoding runs over the DISTINCT-word vocabulary
-    * (Zipf-bounded, ≪ corpus), one fold per merge per distinct word; the
-    * corpus itself is touched twice — the word-instance scan, and a
-    * broadcast join of word → token-length — and shuffles once, on the
-    * final per-doc aggregate. Merge count bounds expression depth, so for
-    * vocab-scale merge lists encode in [[mergeFoldSql]]-batches off a
-    * precomputed symbol table instead (same regime as bpeTrainBatched). */
+    * (Zipf-bounded, ≪ corpus), one fold per merge BATCH per distinct
+    * word; the corpus itself is touched twice — the word-instance scan,
+    * and a broadcast join of word → token-length — and shuffles once, on
+    * the final per-doc aggregate. Merge count bounds expression depth;
+    * by default contiguous symbol-disjoint merges apply as ONE
+    * [[mergeFoldBatchSql]] pass ([[batchMerges]] — bit-identical to the
+    * per-merge folds, which `forceBatched = Some(false)` retains as the
+    * spec reference path). */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
-                merges: Seq[(String, String)]): DataFrame = {
+                merges: Seq[(String, String)],
+                forceBatched: Option[Boolean] = None): DataFrame = {
     val words = df.select(col(idCol),
       explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
     var enc = words.select("word").distinct()
-      .select(col("word"),
-        concat(split(col("word"), ""), array(lit("</w>"))).as("syms"))
-    merges.foreach { case (l, r) =>
+      .select(col("word"), symSeed(col("word")).as("syms"))
+    if (forceBatched.getOrElse(true)) {
+      batchMerges(merges).foreach { group =>
+        enc = enc.select(col("word"),
+          expr(mergeFoldBatchSql("syms", group.map(m => (m._2, m._3)))).as("syms"))
+      }
+    } else merges.foreach { case (l, r) =>
       enc = enc.select(col("word"), expr(mergeFoldSql("syms", l, r)).as("syms"))
     }
     val wlen = enc.select(col("word"), size(col("syms")).cast("long").as("w_toks"))
@@ -672,33 +738,67 @@ object TextPipeline {
     * boundaries within the pass).
     *
     * Randomness is the house replay device, keyed
-    * (doc : word-index : merge-rank : fold-step : salt): deterministic,
-    * distinct per occurrence AND per opportunity, byte-identical on
-    * rerun, and engine-replayable as an integer —
+    * (len(doc) : doc : word-index : merge-rank : fold-step : salt) —
+    * the doc id is LENGTH-PREFIXED so an id containing ':' cannot alias
+    * another (doc, widx, rank, step) tuple (every other component is an
+    * integer; the salt is a code-level constant, documented trusted):
+    * deterministic, distinct per occurrence AND per opportunity,
+    * byte-identical on rerun, and engine-replayable as an integer —
     * drop ⇔ (fnv1a64(key) >>> 11) % 1000 < dropMille (the >>> 11 keeps
     * the value non-negative in a signed engine, so two's-complement and
-    * unsigned `%` agree; no doubles anywhere).
+    * unsigned `%` agree; no doubles anywhere). The fold-step component
+    * is always the step within that merge's OWN sequential pass, no
+    * matter which execution path runs (the batched fold re-derives it —
+    * see below).
     *
     * Output: one row per document — (idCol, n_words, n_tokens,
     * enc_text) with enc_text the per-word symbol lists U+001F-joined
     * within a word, space-joined across words in word order (the qfp
     * rendering contract — every draw decision is pinned by the text).
-    * Scale: the fold chain runs per word OCCURRENCE (regularization is
-    * per-occurrence by definition — same regime as the FFBS walk); merge
-    * count bounds expression depth exactly as in [[bpeEncode]]. */
+    *
+    * Scale: the chain runs per word OCCURRENCE (regularization is
+    * per-occurrence by definition — same regime as the FFBS walk), so
+    * unlike [[bpeEncode]]'s distinct-word frame nothing bounds the row
+    * count but the corpus. Three bit-identical execution paths
+    * (IterBench `bpedrop` has the measured slopes):
+    *
+    *  - DEFAULT: [[graft.functions.BpeDropoutEncodeExpr]] — the merge
+    *    table compiles once into a codegen'd kernel running the same
+    *    rank-ordered greedy passes as the SQL folds with the same draw
+    *    keys; merge-count-FLAT plan, O(merges + len·passes) per
+    *    occurrence. Identical by construction (same algorithm, same
+    *    [[graft.functions.Fnv1a64Expr.hash]] bytes).
+    *  - `forceLiteral = Some(true)`: one interpreted `aggregate` fold
+    *    per contiguous symbol-disjoint merge BATCH ([[batchMerges]]),
+    *    each branch re-deriving its member's sequential fold step as
+    *    j − (accepted fuses of lower-ranked batch members so far) — a
+    *    prefix-sum array in the fold carry — which equals the step the
+    *    member's own pass would see (fusing two symbols into one shifts
+    *    later positions left by exactly one, and only ACCEPTED fuses
+    *    shrink the array).
+    *  - `forceLiteral = Some(true), literalBatched = false`: the
+    *    per-merge fold chain, one aggregate per merge — the reference
+    *    path every oracle replays. */
   def bpeEncodeDropout(df: DataFrame, idCol: String, textCol: String,
                        merges: Seq[(String, String)], dropMille: Long,
-                       salt: String = "bpedrop"): DataFrame = {
+                       salt: String = "bpedrop",
+                       forceLiteral: Option[Boolean] = None,
+                       literalBatched: Boolean = true): DataFrame = {
     require(dropMille >= 0 && dropMille <= 1000,
       s"dropMille must be in [0, 1000], got $dropMille")
     graft.functions.GraftExtensions.register(df.sparkSession)
     def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    // the A-fixed draw key: length-prefixed doc id, then integers only;
+    // `jSql` is the merge's own-pass fold step as a SQL fragment
+    def dropSql(k: Int, jSql: String): String =
+      s"""(shiftrightunsigned(fnv1a64(concat(
+         CAST(length(CAST(_doc AS STRING)) AS STRING), ':',
+         CAST(_doc AS STRING), ':',
+         CAST(widx AS STRING), ':', '$k', ':', CAST($jSql AS STRING),
+         ':${esc(salt)}')), 11) % 1000L) < ${dropMille}L"""
     def dropFoldSql(k: Int, l0: String, r0: String): String = {
       val (l, r) = (esc(l0), esc(r0))
-      val drop =
-        s"""(shiftrightunsigned(fnv1a64(concat(CAST(_doc AS STRING), ':',
-           CAST(widx AS STRING), ':', '$k', ':', CAST(j AS STRING),
-           ':${esc(salt)}')), 11) % 1000L) < ${dropMille}L"""
+      val drop = dropSql(k, "j")
       s"""aggregate(sequence(1, size(syms)),
          named_struct('out', CAST(array() AS ARRAY<STRING>), 'pending', ''),
          (acc, j) -> CASE
@@ -714,15 +814,60 @@ object TextPipeline {
          acc -> CASE WHEN acc.pending = '' THEN acc.out
                      ELSE array_append(acc.out, acc.pending) END)"""
     }
-    var occ = df
+    // batch fold: carry 'f' = per-member PREFIX-SUM of accepted fuses
+    // (f[m] = fuses by members 1..m so far); member m's own-pass step is
+    // j - f[m-1], because each lower-ranked accepted fuse at an earlier
+    // step merged two of its pass-input elements into one
+    def dropFoldBatchSql(group: Seq[(Int, String, String)]): String = {
+      val b = group.size
+      val branches = group.zipWithIndex.map { case ((k, l0, r0), m0) =>
+        val (l, r) = (esc(l0), esc(r0))
+        val jSql = if (m0 == 0) "j" else s"j - element_at(acc.f, $m0)"
+        val drop = dropSql(k, jSql)
+        s"""WHEN acc.pending = '${l}' AND element_at(syms, j) = '${r}'
+              AND NOT ($drop)
+            THEN named_struct('out', array_append(acc.out, '${l}${r}'),
+              'pending', '',
+              'f', transform(acc.f, (fv, fi) -> IF(fi >= $m0, fv + 1, fv)))"""
+      }.mkString("\n           ")
+      s"""aggregate(sequence(1, size(syms)),
+         named_struct('out', CAST(array() AS ARRAY<STRING>), 'pending', '',
+           'f', array_repeat(0, $b)),
+         (acc, j) -> CASE
+           WHEN acc.pending = ''
+             THEN named_struct('out', acc.out,
+               'pending', element_at(syms, j), 'f', acc.f)
+           $branches
+           ELSE named_struct('out', array_append(acc.out, acc.pending),
+             'pending', element_at(syms, j), 'f', acc.f)
+         END,
+         acc -> CASE WHEN acc.pending = '' THEN acc.out
+                     ELSE array_append(acc.out, acc.pending) END)"""
+    }
+    val occ0 = df
       .select(col(idCol).as("_doc"),
         posexplode(TextFunctions.tokens(lower(col(textCol)))))
       .select(col("_doc"), (col("pos") + 1).cast("long").as("widx"),
-        concat(split(col("col"), ""), array(lit("</w>"))).as("syms"))
-    merges.zipWithIndex.foreach { case ((l, r), i) =>
-      occ = occ.select(col("_doc"), col("widx"),
-        expr(dropFoldSql(i + 1, l, r)).as("syms"))
-    }
+        col("col").as("_w"))
+    val occ =
+      if (!forceLiteral.getOrElse(false)) {
+        occ0.select(col("_doc"), col("widx"),
+          graft.functions.BpeDropoutEncodeExpr(col("_doc").cast("string"),
+            col("widx"), col("_w"), merges, dropMille, salt).as("syms"))
+      } else {
+        var o = occ0.select(col("_doc"), col("widx"),
+          symSeed(col("_w")).as("syms"))
+        if (literalBatched) batchMerges(merges).foreach { group =>
+          o = o.select(col("_doc"), col("widx"),
+            expr(if (group.size == 1)
+              dropFoldSql(group.head._1, group.head._2, group.head._3)
+            else dropFoldBatchSql(group)).as("syms"))
+        } else merges.zipWithIndex.foreach { case ((l, r), i) =>
+          o = o.select(col("_doc"), col("widx"),
+            expr(dropFoldSql(i + 1, l, r)).as("syms"))
+        }
+        o
+      }
     occ
       .select(col("_doc"), col("widx"),
         array_join(col("syms"), "\u001f").as("wseg"),
@@ -742,7 +887,7 @@ object TextPipeline {
     var vocab = df
       .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .select(concat(split(col("word"), ""), array(lit("</w>"))).as("syms"),
+      .select(symSeed(col("word")).as("syms"),
         col("cnt"))
       .cache()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
@@ -820,7 +965,7 @@ object TextPipeline {
     var vocab = df
       .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .select(concat(split(col("word"), ""), array(lit("</w>"))).as("syms"),
+      .select(symSeed(col("word")).as("syms"),
         col("cnt"))
       .cache()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long, Long)]
@@ -1091,7 +1236,7 @@ object TextPipeline {
     var vocab = df
       .select(explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-      .select(concat(split(col("word"), ""), array(lit("</w>"))).as("syms"),
+      .select(symSeed(col("word")).as("syms"),
         col("cnt"))
       .cache()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]

@@ -980,8 +980,12 @@ object PipelineQueries {
     * per-occurrence recursion is fold-heavy; corpus-scale evidence is
     * qfw's p=0 degenerate gate over the FULL sf). */
   private lazy val OBpeDropout: String = {
+    // the draw key length-prefixes the doc id (an id containing ':'
+    // cannot alias another (doc, widx, rank, step) tuple) — must stay in
+    // lockstep with bpeEncodeDropout's dropSql rendering
     def drop(k: Int, j: String): String = {
-      val key = s"""(CAST(doc_id AS VARCHAR) || ':' || CAST(widx AS VARCHAR)
+      val key = s"""(CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) || ':'
+        || CAST(doc_id AS VARCHAR) || ':' || CAST(widx AS VARCHAR)
         || ':$k:' || CAST($j AS VARCHAR) || ':bpedrop')"""
       s"""((${oFnv(key)} // 2048::HUGEINT) % 1000::HUGEINT < 300::HUGEINT)"""
     }

@@ -1672,6 +1672,69 @@ class PipelineOpsSpec extends SparkSpec {
     assert(again === p300)
   }
 
+  test("bpeEncodeDropout: kernel, batched-fold, and per-merge-fold paths " +
+    "are BIT-identical — ':'-bearing string doc ids included") {
+    // string doc ids WITH ':' — the aliasing class the length-prefixed
+    // draw key kills; any key-rendering mismatch between the three paths
+    // (or a missed prefix in one of them) diverges on this fixture.
+    // 'thecab'/'thedog' make members 2+ of a batch fire AFTER member 1
+    // fused in the SAME word, exercising the fold-step re-derivation
+    // (j − accepted lower-member fuses) on both its branches: when the
+    // (th,e) draw accepts, (c,a)'s sequential step shifts by one; when
+    // it drops, it must not.
+    val docs = Seq(
+      ("d:1", "thecab thedog the cab dog fed hat the"),
+      ("d", "1:the cab fed cab thecab dog dog"),
+      ("x", "abba cab the fed thedog dog hat")).toDF("doc_id", "text")
+    // groups: [(t,h)], [(th,e),(c,a),(d,o)], [(f,e),(ca,b)], [(e,d),(h,a)]
+    val merges = Seq(("t", "h"), ("th", "e"), ("c", "a"), ("d", "o"),
+      ("f", "e"), ("ca", "b"), ("e", "d"), ("h", "a"))
+    assert(TextPipeline.batchMerges(merges).exists(_.size > 1),
+      "fixture must exercise a multi-member batch")
+    for (p <- Seq(0L, 300L, 700L)) {
+      def run(fl: Option[Boolean], lb: Boolean) =
+        TextPipeline.bpeEncodeDropout(docs, "doc_id", "text", merges, p,
+            forceLiteral = fl, literalBatched = lb)
+          .as[(String, Long, Long, String)].collect().sortBy(_._1).toSeq
+      val kernel = run(None, lb = true)
+      assert(kernel === run(Some(true), lb = true), s"kernel vs batched, p=$p")
+      assert(kernel === run(Some(true), lb = false), s"kernel vs per-merge, p=$p")
+    }
+  }
+
+  test("bpeEncode/bpeEncodeDropout: non-BMP characters are single symbols " +
+    "(code-point seeding, all paths)") {
+    val clef = "𝄞" // U+1D11E MUSICAL SYMBOL G CLEF, non-BMP
+    val docs = Seq((1L, s"a${clef}b a${clef}b")).toDF("doc_id", "text")
+    // no merge applies: 4 symbols per word (a, 𝄞, b, </w>) — a UTF-16
+    // code-unit split would shatter 𝄞 and count 5
+    val enc = TextPipeline.bpeEncode(docs, "doc_id", "text", Seq(("q", "q")))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(enc === Seq((1L, 2L, 8L)))
+    // and a merge whose LEFT is the non-BMP char fires (it never could on
+    // lone surrogates), on both the kernel and the literal fold
+    for (fl <- Seq(None, Some(true))) {
+      val d = TextPipeline.bpeEncodeDropout(docs, "doc_id", "text",
+          Seq((clef, "b")), 0L, forceLiteral = fl)
+        .as[(Long, Long, Long, String)].collect().head
+      assert(d._3 === 6L, s"forceLiteral=$fl") // a, 𝄞b, </w> per word
+      assert(d._4.contains(clef + "b"))
+    }
+  }
+
+  test("bpeEncode: batched symbol-disjoint folds are bit-identical to the " +
+    "per-merge folds on a trained merge table") {
+    val docs = bigPseudoDocs
+    val merges = TextPipeline.bpeTrainBatched(docs, "text", nMerges = 96,
+      batch = 16).map { case (_, l, r, _) => (l, r) }
+    assert(TextPipeline.batchMerges(merges).size < merges.size,
+      "trained table must actually batch somewhere")
+    def run(fb: Option[Boolean]) =
+      TextPipeline.bpeEncode(docs, "doc_id", "text", merges, forceBatched = fb)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(run(Some(true)) === run(Some(false)))
+  }
+
   test("minCostEncode: the indexed prefix/continuation kernel is " +
     "BIT-identical to the literal fold, UNK words included, both fixtures") {
     val docs = Seq(
