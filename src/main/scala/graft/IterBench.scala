@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSession
   * cost vs per-round cost.
   *
   * Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.IterBench"
-  * Section select: SPARK_GRAFT_ITERBENCH=loops|bpe|bpescale|tok|unigram|
+  * Section select: SPARK_GRAFT_ITERBENCH=loops|bpe|bpescale|bpedrop|tok|unigram|
   * wpencode|lshidx|ivfidx|gramidx|exactsubstr|dsir|streampack|
   * streamsample|stream|streamamort|streamloop (default loops — the
   * bpe/bpescale sections run ~500-merge tokenizer trainings and are
@@ -582,6 +582,56 @@ object IterBench {
         }
       }
       docs.unpersist()
+      spark.stop()
+      return
+    }
+
+    // BPE-DROPOUT encode at MERGE scale (round-15 VERDICT #1): dropout is
+    // per-OCCURRENCE by definition — no distinct-word frame bounds the
+    // fold-chain row count — so this ladders the merge count 128/512/2048
+    // across the three bit-identical paths: per-merge literal fold chain,
+    // batched literal fold ([[TextPipeline.batchMerges]] grouping), and
+    // the compiled BpeDropoutEncodeExpr kernel. The literal paths are
+    // capped past their demonstrated cliffs (per-merge at
+    // SPARK_GRAFT_BPEDROP_LITMAX, default 512; batched at 4×that) — past
+    // the cap the row would time plan construction, not the operator.
+    // Merge table: trained once on the same pseudo corpus (real symbol
+    // chaining, so the batch-compression ratio is the honest one).
+    if (section == "bpedrop") {
+      import graft.operators.TextPipeline
+      import org.apache.spark.sql.functions._
+      val litMax = sys.env.getOrElse("SPARK_GRAFT_BPEDROP_LITMAX", "512").toInt
+      val nTrain = sys.env.getOrElse("SPARK_GRAFT_BPEDROP_MERGES", "2048").toInt
+      val wpd = 12 * mult
+      val docs = pseudoCorpus(wpd).localCheckpoint(true)
+      println(s"[iterbench] corpus: ${docs.count()} docs x $wpd pseudo-words")
+      val t0 = System.nanoTime()
+      val merges = TextPipeline.bpeTrainBatched(docs, "text", nTrain, batch = 64)
+        .map { case (_, l, r, _) => (l, r) }
+      println(f"[iterbench] trained ${merges.size} merges in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      for (round <- 1 to 2; nm <- Seq(128, 512, 2048).filter(_ <= merges.size)) {
+        val ms = merges.take(nm)
+        val groups = TextPipeline.batchMerges(ms)
+        println(s"[iterbench] $nm merges -> ${groups.size} batches " +
+          s"(largest ${groups.map(_.size).max})")
+        timed(s"bpedrop kernel    $nm merges (mult=$mult) r$round") {
+          TextPipeline.bpeEncodeDropout(docs, "doc_id", "text", ms, 300L)
+            .agg(sum(col("n_tokens"))).head().getLong(0)
+        }
+        if (nm <= litMax * 4)
+          timed(s"bpedrop batched   $nm merges (mult=$mult) r$round") {
+            TextPipeline.bpeEncodeDropout(docs, "doc_id", "text", ms, 300L,
+                forceLiteral = Some(true))
+              .agg(sum(col("n_tokens"))).head().getLong(0)
+          }
+        if (nm <= litMax)
+          timed(s"bpedrop per-merge $nm merges (mult=$mult) r$round") {
+            TextPipeline.bpeEncodeDropout(docs, "doc_id", "text", ms, 300L,
+                forceLiteral = Some(true), literalBatched = false)
+              .agg(sum(col("n_tokens"))).head().getLong(0)
+          }
+      }
       spark.stop()
       return
     }

@@ -712,8 +712,16 @@ object Dedup {
     * this is the corpus-global middle ground: one hash-aggregate on the
     * chunk text (ONE corpus-sized shuffle) + one per-doc reassembly —
     * no pairwise work at any scale. At 100 TB, group on the chunk's
-    * 64-bit fingerprint (q87's Fnv1a64Expr) instead of the full text to
-    * keep the shuffle key 8 bytes, identically shaped. */
+    * (fnv1a64, xxhash64) DOUBLE fingerprint ([[charGramFingerprints]]'
+    * currency) instead of the full text — 16 bytes of shuffle key,
+    * identically shaped. Double, not single: keep-first under a
+    * collided fingerprint does not merely hide a duplicate, it REMOVES
+    * a distinct chunk from a document, and one 64-bit hash is even-odds
+    * collided somewhere by ~4×10⁹ distinct chunks (birthday bound) —
+    * far below 100 TB of chunks; two independent hashes push the
+    * per-pair odds to ~2^-128 ([[GramIndex]]'s collision-exact
+    * contract; the streaming face, StreamingDedup.ChunkClaim, claims on
+    * exactly this pair). */
   def dedupChunksKeepFirst(df: DataFrame, idCol: String, textCol: String,
                            chunkTokens: Int): DataFrame = {
     val chunks = TextPipeline.chunk(df, idCol, textCol, chunkTokens, overlap = 0)
@@ -747,9 +755,10 @@ object Dedup {
     * docs reassemble from surviving chunks in position order, chunks
     * concatenated WITHOUT separator (CDC chunks tile the raw text).
     * Docs left with no surviving chunk drop. Same 100-TB shape note as
-    * [[dedupChunksKeepFirst]]: group on the chunk's 64-bit fingerprint
-    * to keep the shuffle key 8 bytes; the gate groups on the text so
-    * the oracle is equality-exact. */
+    * [[dedupChunksKeepFirst]]: group on the (fnv1a64, xxhash64) DOUBLE
+    * fingerprint — keep-first corrupts on collision, so the chunk
+    * family carries the collision-exact double-hash contract; the gate
+    * groups on the text so the oracle is equality-exact. */
   def dedupCdcKeepFirst(df: DataFrame, idCol: String, textCol: String,
                         window: Int, divisor: Long,
                         remainder: Long): DataFrame = {

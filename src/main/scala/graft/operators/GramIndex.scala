@@ -224,7 +224,7 @@ object GramIndex {
           .filter(col("delivery") =!= lit(delivery))
           .select(col("h"), col("h2").as("_ih2"))
           .join(grams.select("h", "h2").distinct(), Seq("h"))
-          .filter(col("_ih2") === col("h2"))
+          .filter(col("_ih2") - col("h2") === 0L)
           .select("h", "h2").distinct()
       val dupPos = grams
         .join(withinDup.unionByName(corpusDup).distinct(), Seq("h", "h2"), "left_semi")
@@ -255,7 +255,7 @@ object GramIndex {
     val corpusDup = spark.table(ref.gramsTable)
       .select(col("h"), col("h2").as("_ih2"))
       .join(grams.select("h", "h2").distinct(), Seq("h"))
-      .filter(col("_ih2") === col("h2"))
+      .filter(col("_ih2") - col("h2") === 0L)
       .select("h", "h2").distinct()
     val dupPos = grams
       .join(withinDup.unionByName(corpusDup).distinct(), Seq("h", "h2"), "left_semi")
@@ -346,17 +346,12 @@ object GramIndex {
   def ingestBatchOnce(batch: DataFrame, idCol: String, textCol: String,
                       minLen: Int, ref: Ref, outDir: String, bid: Long): Unit = {
     val spark = batch.sparkSession
-    import spark.implicits._
-    val ledger = new org.apache.hadoop.fs.Path(outDir, "_ledger")
-    val done = hfs(spark, ledger).exists(ledger) &&
-      spark.read.parquet(ledger.toString)
-        .where(col("batch_id") === bid).head(1).nonEmpty
-    if (!done) {
+    val ledger = s"$outDir/_ledger"
+    if (!graft.streaming.IngestLedger.isDone(spark, ledger, bid)) {
       ingest(batch, idCol, textCol, minLen, ref, delivery = streamDelivery(bid))
         .write.mode("overwrite")
         .parquet(s"$outDir/clean/batch_id=$bid")
-      Seq(bid).toDF("batch_id").write.mode("append")
-        .parquet(ledger.toString)
+      graft.streaming.IngestLedger.markDone(spark, ledger, bid)
     }
   }
 
@@ -368,7 +363,9 @@ object GramIndex {
   /** Maintain the index from a document STREAM: each micro-batch runs
     * [[ingestBatchOnce]] inside foreachBatch — cleaned docs land in
     * `outDir/clean/batch_id=<id>` with per-batch OVERWRITE and a
-    * `_ledger` parquet records completed batch ids, so a replayed,
+    * `_ledger` records completed batch ids
+    * (watermark-compacted, [[graft.streaming.IngestLedger]] — O(1)
+    * per-commit listing in stream age), so a replayed,
     * already-ledgered batch is skipped whole. An UNLEDGERED replay
     * (crash anywhere between the gram append and the ledger write)
     * re-ingests under the batch's stable delivery id: the probe

@@ -178,7 +178,9 @@ object IvfIndex {
   /** Maintain the index from an embedding STREAM: each micro-batch runs
     * [[ingest]] inside foreachBatch against the frozen quantizer. Same
     * replay discipline as [[LshIndex.startStreamingIngest]]: a `_ledger`
-    * parquet records completed batch ids, so an already-ledgered replayed
+    * records completed batch ids (watermark-compacted,
+    * [[graft.streaming.IngestLedger]] — O(1) per-commit listing in
+    * stream age), so an already-ledgered replayed
     * batch is skipped whole and the append runs once per batch (the
     * crash-between-append-and-ledger window duplicates index rows for
     * that batch — storage only: [[search]] de-dups (cell_id, nbr_id) on
@@ -191,15 +193,10 @@ object IvfIndex {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
         val spark = batch.sparkSession
-        import spark.implicits._
-        val ledger = new org.apache.hadoop.fs.Path(root(spark, ref), "_ledger")
-        val done = fs(spark, ref).exists(ledger) &&
-          spark.read.parquet(ledger.toString)
-            .where(col("batch_id") === bid).head(1).nonEmpty
-        if (!done) {
+        val ledger = s"${root(spark, ref)}/_ledger"
+        if (!graft.streaming.IngestLedger.isDone(spark, ledger, bid)) {
           ingest(batch.toDF(), idCol, vecCol, ref)
-          Seq(bid).toDF("batch_id").write.mode("append")
-            .parquet(ledger.toString)
+          graft.streaming.IngestLedger.markDone(spark, ledger, bid)
         }
         ()
       }

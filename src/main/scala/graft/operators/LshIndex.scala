@@ -458,8 +458,11 @@ object LshIndex {
     *
     * Replay discipline: pairs land in `outDir/pairs/batch_id=<id>` with
     * per-batch OVERWRITE (a replayed batch rewrites its own partition),
-    * and a `_ledger` parquet records completed batch ids — a replayed,
-    * already-ledgered batch is skipped whole. A crash BETWEEN the index
+    * and a `_ledger` records completed batch ids (watermark-compacted:
+    * [[graft.streaming.IngestLedger]] folds the sequential ids into a
+    * generation, so the per-commit done-check lists O(1) files in
+    * stream age, not O(batches)) — a replayed, already-ledgered batch
+    * is skipped whole. A crash BETWEEN the index
     * append and the ledger write re-ingests that batch on restart under
     * its stable delivery id ([[streamDelivery]]): the corpus probes
     * self-exclude the crashed attempt's rows, so the replayed pair set is
@@ -476,19 +479,14 @@ object LshIndex {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
         val spark = batch.sparkSession
-        import spark.implicits._
-        val ledger = new org.apache.hadoop.fs.Path(outDir, "_ledger")
-        val done = hfs(spark, ledger).exists(ledger) &&
-          spark.read.parquet(ledger.toString)
-            .where(col("batch_id") === bid).head(1).nonEmpty
-        if (!done) {
+        val ledger = s"$outDir/_ledger"
+        if (!graft.streaming.IngestLedger.isDone(spark, ledger, bid)) {
           ingest(batch.toDF(), idCol, textCol, n, k, bands, threshold, ref,
               delivery = streamDelivery(bid))
             .filter(col("old_id") =!= col("new_id")) // id-contract-violation guard
             .write.mode("overwrite")
             .parquet(s"$outDir/pairs/batch_id=$bid")
-          Seq(bid).toDF("batch_id").write.mode("append")
-            .parquet(ledger.toString)
+          graft.streaming.IngestLedger.markDone(spark, ledger, bid)
         }
         ()
       }

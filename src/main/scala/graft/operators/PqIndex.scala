@@ -217,14 +217,10 @@ object PqIndex {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
         val spark = batch.sparkSession
         import spark.implicits._
-        val ledger = new org.apache.hadoop.fs.Path(root(spark, ref), "_ledger")
-        val done = fs(spark, ref).exists(ledger) &&
-          spark.read.parquet(ledger.toString)
-            .where(col("batch_id") === bid).head(1).nonEmpty
-        if (!done) {
+        val ledger = s"${root(spark, ref)}/_ledger"
+        if (!graft.streaming.IngestLedger.isDone(spark, ledger, bid)) {
           ingest(batch.toDF(), idCol, vecCol, dim, m, ref, scale)
-          Seq(bid).toDF("batch_id").write.mode("append")
-            .parquet(ledger.toString)
+          graft.streaming.IngestLedger.markDone(spark, ledger, bid)
         }
         ()
       }

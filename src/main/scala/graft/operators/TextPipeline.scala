@@ -666,6 +666,16 @@ object TextPipeline {
     groups.toSeq
   }
 
+  /** Lineage-truncation cadence for the LITERAL encode fold chains: 512
+    * nested aggregate folds overflow the JVM stack at TASK SERIALIZATION
+    * (measured — IterBench `bpedrop`, sf0.1, java.lang.StackOverflowError
+    * inside ObjectOutputStream; the failure is plan-depth, not data), so
+    * every this-many folds the chain eagerly localCheckpoints —
+    * [[bpeTrain]]'s every-16-rounds device applied to encode. Values do
+    * not change (truncation only cuts lineage); the kernel path has no
+    * chain and never needs it. */
+  private val LiteralFoldCheckpointEvery = 48
+
   /** The BPE family's symbol seed: the word's Unicode CODE POINTS plus
     * the '</w>' end marker — one place, one contract. `split(word, '')`
     * IS code-point exact on Spark 4: `UTF8String.split` special-cases
@@ -705,13 +715,19 @@ object TextPipeline {
       explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
     var enc = words.select("word").distinct()
       .select(col("word"), symSeed(col("word")).as("syms"))
+    var folds = 0
+    def step(next: DataFrame): DataFrame = {
+      folds += 1 // see LiteralFoldCheckpointEvery — deep chains overflow
+      if (folds % LiteralFoldCheckpointEvery == 0) next.localCheckpoint(true)
+      else next
+    }
     if (forceBatched.getOrElse(true)) {
       batchMerges(merges).foreach { group =>
-        enc = enc.select(col("word"),
-          expr(mergeFoldBatchSql("syms", group.map(m => (m._2, m._3)))).as("syms"))
+        enc = step(enc.select(col("word"),
+          expr(mergeFoldBatchSql("syms", group.map(m => (m._2, m._3)))).as("syms")))
       }
     } else merges.foreach { case (l, r) =>
-      enc = enc.select(col("word"), expr(mergeFoldSql("syms", l, r)).as("syms"))
+      enc = step(enc.select(col("word"), expr(mergeFoldSql("syms", l, r)).as("syms")))
     }
     val wlen = enc.select(col("word"), size(col("syms")).cast("long").as("w_toks"))
     words.join(broadcast(wlen), Seq("word"))
@@ -857,14 +873,20 @@ object TextPipeline {
       } else {
         var o = occ0.select(col("_doc"), col("widx"),
           symSeed(col("_w")).as("syms"))
+        var folds = 0
+        def step(next: DataFrame): DataFrame = {
+          folds += 1 // see LiteralFoldCheckpointEvery — deep chains overflow
+          if (folds % LiteralFoldCheckpointEvery == 0) next.localCheckpoint(true)
+          else next
+        }
         if (literalBatched) batchMerges(merges).foreach { group =>
-          o = o.select(col("_doc"), col("widx"),
+          o = step(o.select(col("_doc"), col("widx"),
             expr(if (group.size == 1)
               dropFoldSql(group.head._1, group.head._2, group.head._3)
-            else dropFoldBatchSql(group)).as("syms"))
+            else dropFoldBatchSql(group)).as("syms")))
         } else merges.zipWithIndex.foreach { case ((l, r), i) =>
-          o = o.select(col("_doc"), col("widx"),
-            expr(dropFoldSql(i + 1, l, r)).as("syms"))
+          o = step(o.select(col("_doc"), col("widx"),
+            expr(dropFoldSql(i + 1, l, r)).as("syms")))
         }
         o
       }

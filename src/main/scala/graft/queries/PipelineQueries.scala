@@ -2749,6 +2749,33 @@ object PipelineQueries {
         "doc_id", "text", window = 16, divisor = 64L, remainder = 0L),
       Some(OCdcDedup)),
 
+    // Persistent CDC chunk-claim index (the content-defined-chunk member
+    // of the persistent-index family — qfy's fit-once/ingest-forever
+    // deployment shape, qfz's cross-RUN claim store): three doc-id-RANGE
+    // deliveries ingest in range order under the causal claim rule, with
+    // a COMPACTION between deliveries 2 and 3 (merged claims preserve
+    // existence). Because delivery order equals doc-id order, the
+    // cross-delivery claims compose with within-delivery keep-first to
+    // exactly the batch operator's global lexicographic-min rule, so
+    // qfy's oracle replays the whole lifecycle verbatim.
+    Entry("qg0_cdc_claim_index",
+      (s, dir) => {
+        val tag = java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL) + "cc"
+        val ref = graft.operators.ChunkIndex.Ref(tag, buckets = 8)
+        graft.operators.ChunkIndex.drop(s, ref) // idempotent re-runs
+        val docs = t(s, dir, "documents")
+        def ingest(pred: org.apache.spark.sql.Column) =
+          graft.operators.ChunkIndex.ingest(docs.filter(pred), "doc_id",
+            "text", window = 16, divisor = 64L, remainder = 0L, ref)
+        val out01 = ingest(col("doc_id") < 100)
+          .unionByName(ingest(col("doc_id") >= 100 && col("doc_id") < 300))
+          .localCheckpoint() // materialize before compact rewrites files
+        graft.operators.ChunkIndex.compact(s, ref)
+        out01.unionByName(ingest(col("doc_id") >= 300))
+      },
+      Some(OCdcDedup)),
+
     // Stride-scheduled domain interleave (the "blendable dataset"
     // curriculum ordering): one global sequence over the whole corpus in
     // which every prefix carries each lang at its τ=2 temperature share

@@ -1684,10 +1684,13 @@ object StatefulStreamQueries {
 
     // Ingest-time duplicated-chunk suppression (the STREAMING face of
     // qep, qdo's shape at chunk granularity): documents stream in doc-id
-    // order, split into 8-token chunks, and each chunk's 64-bit
-    // fingerprint is claimed by its FIRST arrival in (doc, position)
-    // order — later occurrences, cross-doc or within-doc, are suppressed
-    // at the edge with one boolean of state per distinct chunk. The
+    // order, split into 8-token chunks, and each chunk's (FNV, xxhash64)
+    // DOUBLE fingerprint is claimed by its FIRST arrival in (doc,
+    // position) order — later occurrences, cross-doc or within-doc, are
+    // suppressed at the edge with one long of state per distinct chunk
+    // (FNV is the 8-byte state key, xxhash64 confirms in state: a
+    // keep-first collision would REMOVE a distinct chunk, so the claim
+    // path carries GramIndex's collision-exact contract). The
     // ordered drain makes arrival order deterministic, so the kept set
     // equals the batch keep-first rule and qep's oracle replays the
     // whole operator; survivors reassemble batch-side (same groupBy the
@@ -1705,6 +1708,7 @@ object StatefulStreamQueries {
           .withColumn("ts", timestamp_micros(col("doc_id") * 1000000L))
           .withWatermark("ts", "0 seconds")
           .select(graft.functions.Fnv1a64Expr(col("chunk_text")).as("key"),
+            xxhash64(col("chunk_text")).as("key2"),
             col("doc_id").as("docId"), col("chunk_idx").cast("long").as("chunkIdx"),
             col("chunk_text").as("chunkText"))
           .as[graft.streaming.StreamingDedup.ChunkRow]
@@ -1769,6 +1773,7 @@ object StatefulStreamQueries {
           .withColumn("ts", timestamp_micros(col("doc_id") * 1000000L))
           .withWatermark("ts", "0 seconds")
           .select(graft.functions.Fnv1a64Expr(col("chunk_text")).as("key"),
+            xxhash64(col("chunk_text")).as("key2"),
             col("doc_id").as("docId"), col("chunk_idx").as("chunkIdx"),
             col("chunk_text").as("chunkText"))
           .as[graft.streaming.StreamingDedup.ChunkRow]

@@ -81,14 +81,9 @@ object IterateStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
         val spark = batch.sparkSession
-        import spark.implicits._
-        val ledger = new org.apache.hadoop.fs.Path(outDir, "_ledger")
+        val ledger = s"$outDir/_ledger"
         if (!ledgerLoaded) {
-          ledgeredMax = if (fs(spark, ledger).exists(ledger)) {
-            val r = spark.read.parquet(ledger.toString)
-              .agg(max(col("batch_id"))).head()
-            if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
-          } else Long.MinValue
+          ledgeredMax = IngestLedger.maxDone(spark, ledger)
           ledgerLoaded = true
         }
         val done = bid <= ledgeredMax
@@ -100,7 +95,7 @@ object IterateStream {
             if (fb.head(1).nonEmpty)
               fb.write.mode("append").parquet(feedbackDir)
           }
-          Seq(bid).toDF("batch_id").write.mode("append").parquet(ledger.toString)
+          IngestLedger.markDone(spark, ledger, bid)
           ledgeredMax = math.max(ledgeredMax, bid)
         }
         ()

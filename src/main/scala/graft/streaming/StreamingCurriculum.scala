@@ -43,10 +43,6 @@ import org.apache.spark.sql.functions._
   * curriculum cannot pace a group it has no stride for. */
 object StreamingCurriculum {
 
-  private def hfs(spark: org.apache.spark.sql.SparkSession, p: String) =
-    new org.apache.hadoop.fs.Path(p)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
   /** Competence-based curriculum over a document STREAM — the causal
     * face of [[Sampling.competenceCurriculum]] (gate qf6): each arriving
     * document gets the first training step at which the sqrt-competence
@@ -82,11 +78,7 @@ object StreamingCurriculum {
         val spark = batch.sparkSession
         import spark.implicits._
         val ledger = s"$outDir/_ledger"
-        val done = hfs(spark, ledger)
-          .exists(new org.apache.hadoop.fs.Path(ledger)) &&
-          spark.read.parquet(ledger)
-            .where(col("batch_id") === bid).head(1).nonEmpty
-        if (!done) {
+        if (!IngestLedger.isDone(spark, ledger, bid)) {
           val deltaDir = s"$stateDir/delta"
           // earlier deliveries' difficulty histogram, EXCLUDING this
           // batch's own partition (replay must not rank after its ghost);
@@ -143,7 +135,7 @@ object StreamingCurriculum {
           base.groupBy(col("n_toks")).agg(count(lit(1)).as("cnt"))
             .write.mode("overwrite")
             .parquet(s"$deltaDir/batch_id=$bid")
-          Seq(bid).toDF("batch_id").write.mode("append").parquet(ledger)
+          IngestLedger.markDone(spark, ledger, bid)
           // post-ledger: every live delta is a committed delivery — fold
           DeltaState.maybeRollup(spark, stateDir, "n_toks", "cnt", rollEvery)
         }
@@ -166,11 +158,7 @@ object StreamingCurriculum {
         val spark = batch.sparkSession
         import spark.implicits._
         val ledger = s"$outDir/_ledger"
-        val done = hfs(spark, ledger)
-          .exists(new org.apache.hadoop.fs.Path(ledger)) &&
-          spark.read.parquet(ledger)
-            .where(col("batch_id") === bid).head(1).nonEmpty
-        if (!done) {
+        if (!IngestLedger.isDone(spark, ledger, bid)) {
           val deltaDir = s"$stateDir/delta"
           // causal rank base = every delivery's per-group counts,
           // EXCLUDING this batch's own partition (a replayed batch must
@@ -197,7 +185,7 @@ object StreamingCurriculum {
           ordered.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
             .write.mode("overwrite")
             .parquet(s"$deltaDir/batch_id=$bid")
-          Seq(bid).toDF("batch_id").write.mode("append").parquet(ledger)
+          IngestLedger.markDone(spark, ledger, bid)
           DeltaState.maybeRollup(spark, stateDir, groupCol, "n", rollEvery)
         }
         ()
@@ -231,7 +219,16 @@ object StreamingCurriculum {
     * Same replay discipline as the rest of the family: per-batch
     * overwrite, self-excluding state reads, ledger last, [[DeltaState]]
     * roll-up after the ledger. Epochs land in
-    * `outDir/epoch/batch_id=<id>`. */
+    * `outDir/epoch/batch_id=<id>`.
+    *
+    * State size (round-15 VERDICT #6): what grows with realized copies
+    * is the per-delivery EPOCH OUTPUT — the deliverable, written once
+    * and never re-read by a later commit. The cross-delivery STATE is
+    * only the per-group copy-count deltas, G rows per delivery, and its
+    * reads ride [[DeltaState]] exactly like the siblings (`rollEvery`
+    * parameter above; newest generation + ≤ rollEvery live deltas), so
+    * the per-commit state read AND the completed-batch ledger
+    * ([[IngestLedger]]) are both O(1) in stream age. */
   def startMixtureCurriculumIngest(docs: DataFrame, idCol: String,
                                    groupCol: String, totalBudget: Long,
                                    maxEpochs: Long, stateDir: String,
@@ -247,11 +244,7 @@ object StreamingCurriculum {
         val spark = batch.sparkSession
         import spark.implicits._
         val ledger = s"$outDir/_ledger"
-        val done = hfs(spark, ledger)
-          .exists(new org.apache.hadoop.fs.Path(ledger)) &&
-          spark.read.parquet(ledger)
-            .where(col("batch_id") === bid).head(1).nonEmpty
-        if (!done) {
+        if (!IngestLedger.isDone(spark, ledger, bid)) {
           val deltaDir = s"$stateDir/delta"
           // 1. mixture realization: this delivery's UniMax allocation,
           // exploded to copy ids (qey's copy-id device — repeats get
@@ -298,7 +291,7 @@ object StreamingCurriculum {
           copies.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
             .write.mode("overwrite")
             .parquet(s"$deltaDir/batch_id=$bid")
-          Seq(bid).toDF("batch_id").write.mode("append").parquet(ledger)
+          IngestLedger.markDone(spark, ledger, bid)
           DeltaState.maybeRollup(spark, stateDir, groupCol, "n", rollEvery)
         }
         ()

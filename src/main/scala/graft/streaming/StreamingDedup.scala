@@ -57,9 +57,13 @@ object StreamingDedup {
   }
 
   /** One chunk occurrence on the stream, keyed by the chunk's 64-bit
-    * fingerprint (`key`); (docId, chunkIdx) is its position. The text
-    * rides along so survivors can reassemble without a corpus join. */
-  case class ChunkRow(key: Long, docId: Long, chunkIdx: Long, chunkText: String)
+    * FNV-1a fingerprint (`key`) and carrying a SECOND independent 64-bit
+    * fingerprint (`key2`, xxhash64 of the same text — the
+    * [[graft.operators.Dedup.charGramFingerprints]] double-hash
+    * currency); (docId, chunkIdx) is its position. The text rides along
+    * so survivors can reassemble without a corpus join. */
+  case class ChunkRow(key: Long, key2: Long, docId: Long, chunkIdx: Long,
+                      chunkText: String)
 
   object ChunkRow {
     /** Arrival = (doc, position) order; unique per key because a doc
@@ -74,26 +78,39 @@ object StreamingDedup {
   /** Ingest-time duplicated-CHUNK suppression — the streaming face of
     * [[graft.operators.Dedup.dedupChunksKeepFirst]] (C4 line-dedup
     * granularity): chunks stream keyed by fingerprint, the FIRST arrival
-    * in (doc, position) order claims the key (one boolean per distinct
-    * chunk in state), every later occurrence — cross-doc or within-doc —
-    * is suppressed at the edge. Because the ordered drain makes arrival
-    * order deterministic, the kept set equals the batch operator's
-    * lexicographic-min rule exactly and the batch oracle replays it.
+    * in (doc, position) order claims the key, every later occurrence —
+    * cross-doc or within-doc — is suppressed at the edge. Because the
+    * ordered drain makes arrival order deterministic, the kept set
+    * equals the batch operator's lexicographic-min rule exactly and the
+    * batch oracle replays it.
     *
-    * Fingerprint-keyed state is the 100-TB shape (8-byte keys, the same
-    * trade the batch scaladoc documents); collisions conflate chunks
-    * at ~2^-64 per pair, the standard accepted regime. State grows with
-    * DISTINCT chunks ingested — the same size a batch keep-first
-    * aggregation's shuffle would be for the same corpus. */
+    * Fingerprint-keyed state is the 100-TB shape (the state KEY stays
+    * the 8-byte FNV `key`), but the claim is DOUBLE-fingerprinted: per
+    * key the state holds the `key2` values already claimed, and an
+    * arrival suppresses only when its own key2 is among them. For
+    * keep-first dedup a fingerprint collision does not merely hide a
+    * duplicate — it would silently REMOVE a distinct chunk from a
+    * document (data corruption, the direction the "collisions can only
+    * hide" argument does NOT cover), and at ~4×10⁹ distinct chunks a
+    * single 64-bit fingerprint makes that even-odds (birthday bound) —
+    * a 100 TB corpus is orders of magnitude past it. Two independent
+    * 64-bit hashes push the per-pair conflation to ~2^-128, the same
+    * collision-exact contract [[graft.operators.GramIndex]] carries via
+    * [[graft.operators.Dedup.charGramFingerprints]]. The per-key list
+    * holds one entry per DISTINCT chunk whose FNV collides on this key
+    * (~1 everywhere, ~2 at vanishing frequency), so state stays one
+    * long per distinct chunk. State grows with distinct chunks ingested
+    * — the same size a batch keep-first aggregation's shuffle would be
+    * for the same corpus. */
   final class ChunkClaim extends EventTimeOps.OrderedProcessor[Long, ChunkRow, KeptChunk](
       ChunkRow.orderKey, Encoders.product[ChunkRow]) {
-    @transient private var claimed: org.apache.spark.sql.streaming.ValueState[Boolean] = _
+    @transient private var claimed: ListState[Long] = _
     override protected def openState(h: StatefulProcessorHandle): Unit =
-      claimed = h.getValueState[Boolean]("claimed", Encoders.scalaBoolean, TTLConfig.NONE)
+      claimed = h.getListState[Long]("claimedH2", Encoders.scalaLong, TTLConfig.NONE)
     override protected def onOrdered(key: Long, r: ChunkRow): Iterator[KeptChunk] =
-      if (claimed.exists()) Iterator.empty
+      if (claimed.get().contains(r.key2)) Iterator.empty
       else {
-        claimed.update(true)
+        claimed.appendValue(r.key2)
         Iterator.single(KeptChunk(r.docId, r.chunkIdx, r.chunkText))
       }
   }

@@ -35,10 +35,6 @@ import org.apache.spark.sql.functions._
   * batch top-ups. */
 object StreamingTopup {
 
-  private def hfs(spark: org.apache.spark.sql.SparkSession, p: String) =
-    new org.apache.hadoop.fs.Path(p)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
   def startTopupIngest(docs: DataFrame, idCol: String, groupCol: String,
                        targetPerGroup: Long, totalBudget: Long,
                        stateDir: String, outDir: String, checkpoint: String,
@@ -51,11 +47,7 @@ object StreamingTopup {
         val spark = batch.sparkSession
         import spark.implicits._
         val ledger = s"$outDir/_ledger"
-        val done = hfs(spark, ledger)
-          .exists(new org.apache.hadoop.fs.Path(ledger)) &&
-          spark.read.parquet(ledger)
-            .where(col("batch_id") === bid).head(1).nonEmpty
-        if (!done) {
+        if (!IngestLedger.isDone(spark, ledger, bid)) {
           val deltaDir = s"$stateDir/delta"
           // current composition = every delivery's admitted counts,
           // EXCLUDING this batch's own partition (a replayed batch must
@@ -73,7 +65,7 @@ object StreamingTopup {
           admitted.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
             .write.mode("overwrite")
             .parquet(s"$deltaDir/batch_id=$bid")
-          Seq(bid).toDF("batch_id").write.mode("append").parquet(ledger)
+          IngestLedger.markDone(spark, ledger, bid)
           DeltaState.maybeRollup(spark, stateDir, groupCol, "n", rollEvery)
         }
         ()

@@ -90,8 +90,14 @@ class GramIndexSpec extends SparkSpec {
           length(col("text")).cast("long").as("_len"))
       val probe = Dedup.charGramFingerprints(probeDocs, L)
         .select("h", "h2").distinct()
+      // OPERATOR-exact probe, h2 confirm INCLUDED: the round-15 pin
+      // omitted the confirm filter and so never saw that a bare
+      // `_ih2 === h2` gets lifted into the join condition — join keys
+      // (h, h2), bucketing disabled, corpus shuffled. The subtraction
+      // form in the operator keeps it a post-join filter; this pin now
+      // covers the live path.
       val j = spark.table(ref.gramsTable).select(col("h"), col("h2").as("_ih2"))
-        .join(probe, Seq("h"))
+        .join(probe, Seq("h")).filter(col("_ih2") - col("h2") === 0L)
       val plan = j.queryExecution.executedPlan.toString
       assert(plan.contains("Bucketed: true"), s"index scan should be bucketed:\n$plan")
       val exchanges = "Exchange".r.findAllIn(plan).size

@@ -103,18 +103,52 @@ class StreamPackSpec extends SparkSpec {
     val q = kept.writeStream.outputMode("append").format("memory").queryName(name).start()
     try {
       // batch 1: doc 1 claims chunk A twice (within-doc repeat) + chunk B
-      mem.addData(ChunkRow(100L, 1L, 0L, "A"), ChunkRow(100L, 1L, 2L, "A"),
-        ChunkRow(200L, 1L, 1L, "B"))
+      mem.addData(ChunkRow(100L, 10L, 1L, 0L, "A"),
+        ChunkRow(100L, 10L, 1L, 2L, "A"), ChunkRow(200L, 20L, 1L, 1L, "B"))
       q.processAllAvailable()
       // batch 2: doc 2 re-presents A and B (suppressed) + new chunk C
-      mem.addData(ChunkRow(100L, 2L, 0L, "A"), ChunkRow(200L, 2L, 1L, "B"),
-        ChunkRow(300L, 2L, 2L, "C"))
+      mem.addData(ChunkRow(100L, 10L, 2L, 0L, "A"),
+        ChunkRow(200L, 20L, 2L, 1L, "B"), ChunkRow(300L, 30L, 2L, 2L, "C"))
       q.processAllAvailable()
       mem.addData(); q.processAllAvailable()
     } finally q.stop()
     val got = spark.table(name).as[KeptChunk].collect().toSet
     assert(got === Set(KeptChunk(1L, 0L, "A"), KeptChunk(1L, 1L, "B"),
       KeptChunk(2L, 2L, "C")))
+  }
+
+  test("ChunkClaim: a first-fingerprint COLLISION keeps both distinct " +
+    "chunks (double-fingerprint armor), while true duplicates still suppress") {
+    import graft.streaming.StreamingDedup.{ChunkClaim, ChunkRow, KeptChunk}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[ChunkRow]
+    val ds = mem.toDS()
+      .withColumn("ts", timestamp_micros(col("docId") * 1000000L))
+      .withWatermark("ts", "0 seconds")
+      .drop("ts").as[ChunkRow]
+    val kept = EventTimeOps.ordered(ds, (r: ChunkRow) => r.key, new ChunkClaim)
+    val name = s"claim_collide_sink_${System.nanoTime()}"
+    val q = kept.writeStream.outputMode("append").format("memory")
+      .queryName(name).start()
+    try {
+      // planted collision: X and Y are DISTINCT chunks sharing key=999
+      // (what a 64-bit birthday hit looks like at ~4e9 distinct chunks) —
+      // a single-fingerprint claim would silently delete Y from doc 1
+      mem.addData(ChunkRow(999L, 1L, 1L, 0L, "X"),
+        ChunkRow(999L, 2L, 1L, 1L, "Y"))
+      q.processAllAvailable()
+      // true re-occurrences of both (same key AND key2) suppress, a
+      // THIRD distinct chunk on the same hot key still keeps
+      mem.addData(ChunkRow(999L, 1L, 2L, 0L, "X"),
+        ChunkRow(999L, 2L, 2L, 1L, "Y"), ChunkRow(999L, 3L, 2L, 2L, "Z"))
+      q.processAllAvailable()
+      mem.addData(); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table(name).as[KeptChunk].collect().toSet
+    assert(got === Set(KeptChunk(1L, 0L, "X"), KeptChunk(1L, 1L, "Y"),
+      KeptChunk(2L, 2L, "Z")))
   }
 
   test("randomized fuzz against the reference across batch splits") {

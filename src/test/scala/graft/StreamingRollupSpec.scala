@@ -149,4 +149,52 @@ class StreamingRollupSpec extends SparkSpec {
     assert(readSums(7) === truth2)
     org.apache.commons.io.FileUtils.deleteQuietly(base)
   }
+
+  test("IngestLedger: sequential marks fold to a watermark generation " +
+    "(O(1) listing in stream age), done-ness exact across planted " +
+    "mid-roll crashes") {
+    import graft.streaming.IngestLedger
+    val base = java.nio.file.Files.createTempDirectory("ingestledger").toFile
+    val dir = new java.io.File(base, "_ledger").getAbsolutePath
+    (0L to 20L).foreach { bid =>
+      assert(!IngestLedger.isDone(spark, dir, bid), s"bid $bid already done?")
+      IngestLedger.markDone(spark, dir, bid, rollEvery = 4)
+      assert(IngestLedger.isDone(spark, dir, bid), s"bid $bid not done")
+    }
+    // every past id answers done (watermark or live delta), the next
+    // unseen id does not
+    (0L to 20L).foreach(b => assert(IngestLedger.isDone(spark, dir, b), s"b=$b"))
+    assert(!IngestLedger.isDone(spark, dir, 21L))
+    // the fold actually capped the dir: live deltas bounded by rollEvery,
+    // ONE complete generation — 21 batches did not leave 21 files
+    val deltas = new java.io.File(s"$dir/delta").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(deltas.length <= 5, s"unfolded deltas: $deltas")
+    val gens = new java.io.File(s"$dir/rollup").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(gens.length === 1 && gens.head.startsWith("w="), s"gens: $gens")
+    // CRASH A: roll died before _SUCCESS — an incomplete generation
+    // claiming a higher watermark must not fake done-ness, and the next
+    // mark sweeps it
+    new java.io.File(s"$dir/rollup/w=40").mkdirs()
+    assert(!IngestLedger.isDone(spark, dir, 25L),
+      "incomplete generation must not answer done")
+    assert(IngestLedger.isDone(spark, dir, 20L))
+    IngestLedger.markDone(spark, dir, 21L, rollEvery = 4)
+    assert(!new java.io.File(s"$dir/rollup/w=40").exists(),
+      "incomplete generation must be swept")
+    assert(IngestLedger.isDone(spark, dir, 21L))
+    // CRASH B: generation committed but a folded delta survived the
+    // deletes — covered by the watermark, swept by the next mark
+    spark.range(1).selectExpr("CAST(2 AS BIGINT) AS batch_id")
+      .write.mode("overwrite").parquet(s"$dir/delta/batch_id=2")
+    assert(IngestLedger.isDone(spark, dir, 2L))
+    IngestLedger.markDone(spark, dir, 22L, rollEvery = 4)
+    assert(IngestLedger.isDone(spark, dir, 2L) &&
+      IngestLedger.isDone(spark, dir, 22L))
+    val lateDeltas = new java.io.File(s"$dir/delta").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(!lateDeltas.contains("batch_id=2"), s"leftover not swept: $lateDeltas")
+    org.apache.commons.io.FileUtils.deleteQuietly(base)
+  }
 }
