@@ -34,10 +34,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    the matching entries yields the identical dp array;
   *  - backtrack: the literal keeps the LONGEST matching piece attaining
   *    `dp(pos) == dp(pos − len) + cost` (its fold guard is
-  *    `length(e.p) > best-so-far`); at most ONE vocab entry can match a
-  *    given (position, length) — the ending substring is a single
-  *    string — so "longest attaining" is a unique piece regardless of
-  *    enumeration order;
+  *    `length(e.p) > best-so-far`); every entry matching a given
+  *    (position, length) carries the SAME piece string — the ending
+  *    substring is a single string — so "longest attaining" names a
+  *    unique piece regardless of enumeration order (duplicate entries
+  *    differ only in cost, and any attaining one names that piece);
   *  - n-best: the literal flattens all extensions and `array_sort`s by
   *    the (cost, seg) struct — a TOTAL order (integer cost, then binary
   *    UTF-8 string compare, Spark's StringType ordering), so sorting
@@ -51,14 +52,31 @@ final class UnigramViterbiKernel(pieces: Array[String], costs: Array[Long],
                                  inf: Long) extends Serializable {
   require(pieces.length == costs.length && pieces.nonEmpty && inf > 0)
 
-  private val rankOf = {
+  /** Head rank per distinct piece plus a duplicate CHAIN in canonical
+    * order: `nextDup(r)` is the next rank carrying the same piece string
+    * (−1 at the tail). DUPLICATE vocab entries are legal input — the
+    * retained literal folds iterate every ENTRY (WpVocab ships a real
+    * '##s' duplicate; for n-best a duplicate entry contributes its own
+    * candidate per cost, so collapsing to a per-key min would change
+    * the first-n slice) — and the chain makes the kernel
+    * entry-faithful: [[hitsEnding]] emits every rank of a matching
+    * piece, so all three consumers see exactly the literal fold's
+    * entry multiset (round-15 ADVICE: the old constructor `require`d
+    * uniqueness and threw at ACTION time for public nbestSegment/
+    * emCounts callers; MinCostEncodeKernel tolerates the same input
+    * class). */
+  private val (rankOf, nextDup) = {
     val m = new java.util.HashMap[String, Integer](pieces.length * 2)
+    val tail = new java.util.HashMap[String, Integer](pieces.length * 2)
+    val next = Array.fill(pieces.length)(-1)
     var i = 0
     while (i < pieces.length) {
-      require(m.put(pieces(i), i) == null, s"duplicate vocab piece '${pieces(i)}'")
+      val prev = tail.put(pieces(i), i)
+      if (prev == null) m.put(pieces(i), i)
+      else next(prev.intValue()) = i
       i += 1
     }
-    m
+    (m, next)
   }
   private val maxLen: Int = {
     var m = 1; var i = 0
@@ -69,17 +87,35 @@ final class UnigramViterbiKernel(pieces: Array[String], costs: Array[Long],
     }
     m
   }
+  /** Worst-case matches at one position: one substring per length, each
+    * fanning out to its duplicate chain. */
+  private val maxHits: Int = {
+    val chainLen = new java.util.HashMap[String, Integer](pieces.length * 2)
+    var worst = 0
+    var i = 0
+    while (i < pieces.length) {
+      val c = chainLen.merge(pieces(i), 1, (a, b) => a + b).intValue()
+      if (c > worst) worst = c
+      i += 1
+    }
+    math.max(1, worst) * maxLen
+  }
+  private[graft] def hitBufferSize: Int = maxHits
 
-  /** Matching ranks for pieces ENDING at 1-based position `i` — no sort:
-    * every consumer below is order-insensitive (min / max-length /
+  /** Matching ranks for pieces ENDING at 1-based position `i` — every
+    * ENTRY, duplicate chains walked in canonical order; no sort: every
+    * consumer below is order-insensitive (min / max-length /
     * sort-after-collect), unlike the soft kernel's canonical-order sums. */
   private def hitsEnding(cps: Array[Int], i: Int, ranks: Array[Int]): Int = {
     var n = 0
     var l = 1
     val lim = math.min(maxLen, i)
     while (l <= lim) {
-      val r = rankOf.get(new String(cps, i - l, l))
-      if (r != null) { ranks(n) = r.intValue(); n += 1 }
+      var r = rankOf.get(new String(cps, i - l, l))
+      if (r != null) {
+        var ri = r.intValue()
+        while (ri >= 0) { ranks(n) = ri; n += 1; ri = nextDup(ri) }
+      }
       l += 1
     }
     n
@@ -95,7 +131,7 @@ final class UnigramViterbiKernel(pieces: Array[String], costs: Array[Long],
   private def dpArr(cps: Array[Int]): Array[Long] = {
     val n = cps.length
     val dp = new Array[Long](n + 1)
-    val ranks = new Array[Int](maxLen)
+    val ranks = new Array[Int](maxHits)
     var i = 1
     while (i <= n) {
       val k = hitsEnding(cps, i, ranks)
@@ -122,7 +158,7 @@ final class UnigramViterbiKernel(pieces: Array[String], costs: Array[Long],
   def viterbiSeg(word: UTF8String): ArrayData = {
     val cps = word.toString.codePoints().toArray
     val dp = dpArr(cps)
-    val ranks = new Array[Int](maxLen)
+    val ranks = new Array[Int](maxHits)
     val ps = new scala.collection.mutable.ArrayBuffer[Any](math.min(cps.length, 8))
     var pos = cps.length
     while (pos > 0) {
@@ -151,7 +187,7 @@ final class UnigramViterbiKernel(pieces: Array[String], costs: Array[Long],
   def nbest(word: UTF8String, n: Int): ArrayData = {
     val cps = word.toString.codePoints().toArray
     val len = cps.length
-    val ranks = new Array[Int](maxLen)
+    val ranks = new Array[Int](maxHits)
     // candidates as (cost, seg) with seg compared by UTF-8 bytes — the
     // StringType order both the literal's array_sort and DuckDB share
     val ord = new Ordering[(Long, String)] {

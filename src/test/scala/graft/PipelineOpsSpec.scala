@@ -1533,6 +1533,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(run(big, trained, forced = false) === run(big, trained, forced = true))
   }
 
+  test("duplicate-bearing vocab: the Viterbi kernel is ENTRY-faithful to " +
+    "the literal folds — nbestSegment (per-entry candidates) and emCounts " +
+    "(min over every entry) no longer throw, and match bit-for-bit") {
+    val docs = Seq((1L, "abab ba aab bab ab"), (2L, "bb aa abab ba"))
+      .toDF("doc_id", "text")
+    // 'ab' duplicated at DIFFERENT costs (each entry contributes its own
+    // n-best candidate — a per-key min would drop one); 'ba' duplicated
+    // at the SAME cost (two identical candidates can occupy two slots)
+    val vocab = Seq(("a", 500L), ("b", 600L), ("ab", 900L), ("ab", 700L),
+      ("ba", 400L), ("ba", 400L), ("bb", 800L), ("aa", 800L))
+    def nb(forced: Boolean) =
+      TextPipeline.nbestSegment(docs, "text", vocab, n = 4,
+          forceIndexed = Some(forced))
+        .as[(String, Long, Long, String)].collect()
+        .sortBy(r => (r._1, r._2)).toSeq
+    val litRows = nb(forced = false)
+    assert(nb(forced = true) === litRows)
+    // the duplicate entries really do multiply candidates: 'ab' appears
+    // as its own 1-piece segmentation at BOTH costs
+    val abRows = litRows.filter(r => r._1 == "ab" && r._4 == "ab").map(_._3)
+    assert(abRows.sorted === Seq(700L, 900L), s"got $abRows")
+    def em(forced: Boolean) =
+      TextPipeline.emCounts(
+        docs.select(explode(graft.functions.TextFunctions.tokens(
+            lower(col("text")))).as("word"))
+          .groupBy("word").agg(count(lit(1)).cast("long").as("wcnt")),
+        vocab, scale = 1000000L, forceIndexed = Some(forced))
+    assert(em(forced = true) === em(forced = false))
+  }
+
   test("unigramTrainPruned + unigramTrainSoftPruned: full trajectories " +
     "identical on the literal and indexed E-step paths") {
     val big = bigPseudoDocs
