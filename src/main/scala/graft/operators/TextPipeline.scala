@@ -700,34 +700,44 @@ object TextPipeline {
     * the trained vocabulary — the number a packing / budget stage consumes.
     *
     * Shape at scale: encoding runs over the DISTINCT-word vocabulary
-    * (Zipf-bounded, ≪ corpus), one fold per merge BATCH per distinct
-    * word; the corpus itself is touched twice — the word-instance scan,
-    * and a broadcast join of word → token-length — and shuffles once, on
-    * the final per-doc aggregate. Merge count bounds expression depth;
-    * by default contiguous symbol-disjoint merges apply as ONE
-    * [[mergeFoldBatchSql]] pass ([[batchMerges]] — bit-identical to the
-    * per-merge folds, which `forceBatched = Some(false)` retains as the
-    * spec reference path). */
+    * (Zipf-bounded, ≪ corpus); the corpus itself is touched twice — the
+    * word-instance scan, and a broadcast join of word → token-length —
+    * and shuffles once, on the final per-doc aggregate. The DEFAULT
+    * per-word pass is [[graft.functions.BpeDropoutEncodeExpr]]'s kernel
+    * at dropMille = 0 (every drop draw is statically false and elided,
+    * so the kernel degenerates to plain rank-ordered greedy encoding —
+    * merge-count-FLAT plans; IterBench `bpedrop` has the slopes).
+    * `forceLiteral = Some(true)` retains the interpreted fold chains:
+    * one [[mergeFoldBatchSql]] pass per contiguous symbol-disjoint
+    * merge batch ([[batchMerges]]), or with `literalBatched = false`
+    * one [[mergeFoldSql]] per merge — the oracle-reference path. All
+    * three are bit-identical (spec-pinned differentially). */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
                 merges: Seq[(String, String)],
-                forceBatched: Option[Boolean] = None): DataFrame = {
+                forceLiteral: Option[Boolean] = None,
+                literalBatched: Boolean = true): DataFrame = {
     val words = df.select(col(idCol),
       explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
-    var enc = words.select("word").distinct()
+    val distinctWords = words.select("word").distinct()
+    var enc = distinctWords
       .select(col("word"), symSeed(col("word")).as("syms"))
-    var folds = 0
-    def step(next: DataFrame): DataFrame = {
-      folds += 1 // see LiteralFoldCheckpointEvery — deep chains overflow
-      if (folds % LiteralFoldCheckpointEvery == 0) next.localCheckpoint(true)
-      else next
-    }
-    if (forceBatched.getOrElse(true)) {
-      batchMerges(merges).foreach { group =>
+    if (!forceLiteral.getOrElse(false)) {
+      enc = distinctWords.select(col("word"),
+        graft.functions.BpeDropoutEncodeExpr(lit(""), lit(0L), col("word"),
+          merges, dropMille = 0L, salt = "").as("syms"))
+    } else {
+      var folds = 0
+      def step(next: DataFrame): DataFrame = {
+        folds += 1 // see LiteralFoldCheckpointEvery — deep chains overflow
+        if (folds % LiteralFoldCheckpointEvery == 0) next.localCheckpoint(true)
+        else next
+      }
+      if (literalBatched) batchMerges(merges).foreach { group =>
         enc = step(enc.select(col("word"),
           expr(mergeFoldBatchSql("syms", group.map(m => (m._2, m._3)))).as("syms")))
+      } else merges.foreach { case (l, r) =>
+        enc = step(enc.select(col("word"), expr(mergeFoldSql("syms", l, r)).as("syms")))
       }
-    } else merges.foreach { case (l, r) =>
-      enc = step(enc.select(col("word"), expr(mergeFoldSql("syms", l, r)).as("syms")))
     }
     val wlen = enc.select(col("word"), size(col("syms")).cast("long").as("w_toks"))
     words.join(broadcast(wlen), Seq("word"))

@@ -1795,6 +1795,38 @@ object StatefulStreamQueries {
       },
       Some(PipelineQueries.OCdcDedup)),
 
+    // Streaming ingest against the PERSISTENT CDC chunk-claim index
+    // (operators/ChunkIndex.startStreamingIngest — qfc's sibling at
+    // chunk granularity, and qfz's cross-RUN form: claims live in an
+    // external bucketed table instead of the query's state store, so a
+    // fresh process resumes dedup where this one stopped). The fixture
+    // is ONE parquet file and the source runs without
+    // maxFilesPerTrigger, so the stream carves exactly one micro-batch
+    // and ingest-on-empty equals the batch operator: qfy's oracle is
+    // verbatim. Multi-delivery causality is gated by qg0 and spec'd in
+    // ChunkIndexSpec's ledgered-stream case.
+    Entry("qg1_stream_cdc_claim_index",
+      (s, dir) => {
+        val tag = java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL) + "cs"
+        val ref = graft.operators.ChunkIndex.Ref(tag, buckets = 8)
+        graft.operators.ChunkIndex.drop(s, ref) // idempotent re-runs
+        val base = new java.io.File(
+          System.getProperty("java.io.tmpdir"), s"graft_qg1_$tag")
+        org.apache.commons.io.FileUtils.deleteQuietly(base)
+        val out = new java.io.File(base, "out").getAbsolutePath
+        val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+        val schema = s.read.parquet(graft.Tables.path(dir, "documents")).schema
+        val raw = s.readStream.schema(schema).parquet(s"$dir/documents*.parquet")
+        val q = graft.operators.ChunkIndex.startStreamingIngest(raw,
+          "doc_id", "text", window = 16, divisor = 64L, remainder = 0L,
+          ref, out, ckpt)
+        try { q.processAllAvailable() } finally q.stop()
+        s.read.parquet(s"$out/dedup")
+          .select("doc_id", "n_chunks", "n_kept", "text_dedup")
+      },
+      Some(PipelineQueries.OCdcDedup)),
+
     // Ingest-time weighted priority sampling (the STREAMING face of qd0's
     // Duffield-Lund-Thorup top-k): documents stream through 8 shards,
     // each shard's keyed state keeps its running top-100 by

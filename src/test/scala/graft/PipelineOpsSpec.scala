@@ -1752,17 +1752,20 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
-  test("bpeEncode: batched symbol-disjoint folds are bit-identical to the " +
-    "per-merge folds on a trained merge table") {
+  test("bpeEncode: kernel (dropMille=0 degenerate), batched, and per-merge " +
+    "folds are bit-identical on a trained merge table") {
     val docs = bigPseudoDocs
     val merges = TextPipeline.bpeTrainBatched(docs, "text", nMerges = 96,
       batch = 16).map { case (_, l, r, _) => (l, r) }
     assert(TextPipeline.batchMerges(merges).size < merges.size,
       "trained table must actually batch somewhere")
-    def run(fb: Option[Boolean]) =
-      TextPipeline.bpeEncode(docs, "doc_id", "text", merges, forceBatched = fb)
+    def run(fl: Option[Boolean], lb: Boolean = true) =
+      TextPipeline.bpeEncode(docs, "doc_id", "text", merges,
+          forceLiteral = fl, literalBatched = lb)
         .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
-    assert(run(Some(true)) === run(Some(false)))
+    val kernel = run(None)
+    assert(kernel === run(Some(true), lb = true), "kernel vs batched")
+    assert(kernel === run(Some(true), lb = false), "kernel vs per-merge")
   }
 
   test("minCostEncode: the indexed prefix/continuation kernel is " +
