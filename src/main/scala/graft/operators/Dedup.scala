@@ -516,6 +516,74 @@ object Dedup {
       .select(col("cell_id"), col("id1"), col("id2"), col("cos"))
   }
 
+  /** The complete SemDeDup SELECTION (Abbas et al. 2023 §3, the keep
+    * rule [[semanticDupPairs]] stops short of): duplicate groups are the
+    * connected components of the within-cell cosine >= threshold graph,
+    * and each group keeps exactly ONE member — the vector with the
+    * LOWEST cosine similarity to its cluster centroid (the paper's rule:
+    * the least prototypical member carries the most marginal
+    * information; ties to the smaller id). Non-duplicated vectors keep
+    * themselves.
+    *
+    * Uses the same deterministic zero-refinement IVF partitioner as
+    * [[semanticDupPairs]] (`refineIters > 0` upgrades both the
+    * assignment and the centroids to [[ML.kMeansScaled]] Lloyd rounds),
+    * so the full pipeline — assignment, pairing, grouping, keep — replays
+    * in plain SQL.
+    *
+    * Output: (idCol, cell_id, cluster_id, centroid_cos, is_kept), one
+    * row per input vector; cluster_id is the min-id component label
+    * (comparable with [[keepRepresentatives]]).
+    *
+    * Scale: inherits semanticDupPairs' bounded-quadratic shape (the
+    * whole point of SemDeDup — nCells grows with the corpus to hold
+    * cell size constant); components run on the near-dup pair graph
+    * whose components are small by construction, and the keep window is
+    * keyed on those same small clusters — no corpus-sized partition
+    * anywhere. */
+  def semDedupSelect(emb: DataFrame, idCol: String, vecCol: String,
+                     nCells: Int, threshold: Double,
+                     refineIters: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = emb.select(col(idCol).as("_vid"), col(vecCol).as("_vec"))
+    val assigned = if (refineIters > 0) {
+      val km = ML.kMeansScaled(emb, idCol, vecCol, nCells, refineIters)
+      // quantized Lloyd centroids score fine: cosine is scale-invariant,
+      // so the micro-unit (long) centroid's direction is the centroid's
+      c.join(km.assignments.select(col(idCol).as("_vid"), col("cell_id")), "_vid")
+        .join(broadcast(km.centroids.select(col("cell_id"),
+          transform(col("cvec"), x => x.cast("float")).as("centroid"))),
+          Seq("cell_id"))
+        .select(col("cell_id"), col("_vid"), col("_vec"), col("centroid"))
+    } else {
+      val cents = c.orderBy(col("_vid")).limit(nCells)
+        .select(col("_vid").as("cell_id"), col("_vec").as("centroid"))
+      val aw = Window.partitionBy("_vid").orderBy(col("cdist").asc, col("cell_id"))
+      c.crossJoin(broadcast(cents))
+        .withColumn("cdist", VectorFunctions.squaredEuclidean(col("_vec"), col("centroid")))
+        .withColumn("r", row_number().over(aw)).filter(col("r") === 1)
+        .select(col("cell_id"), col("_vid"), col("_vec"), col("centroid"))
+    }
+    val scored = assigned.withColumn("centroid_cos",
+      VectorFunctions.cosineSimilarityFast(col("_vec"), col("centroid")))
+    val a = assigned.select(col("cell_id"), col("_vid").as("id1"), col("_vec").as("v1"))
+    val b = assigned.select(col("cell_id"), col("_vid").as("id2"), col("_vec").as("v2"))
+    val pairs = a.join(b, Seq("cell_id")).filter(col("id1") < col("id2"))
+      .filter(VectorFunctions.cosineSimilarityFast(col("v1"), col("v2")) >= threshold)
+      .select(col("id1").as("src"), col("id2").as("dst"))
+    val comp = GraphOps.connectedComponents(pairs)
+    val win = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("centroid_cos").asc, col("_vid"))
+    scored
+      .join(comp, scored("_vid") === comp("node"), "left")
+      .select(col("_vid"), col("cell_id"),
+        coalesce(col("component"), col("_vid")).as("cluster_id"),
+        col("centroid_cos"))
+      .withColumn("is_kept", row_number().over(win) === 1)
+      .select(col("_vid").as(idCol), col("cell_id"), col("cluster_id"),
+        col("centroid_cos"), col("is_kept"))
+  }
+
   /** Substring-level shared-span detection — seed-and-extend: every maximal
     * run of >= `minTokens` consecutive shared tokens between two documents
     * (the span-granular sibling of whole-doc MinHash dedup; capability

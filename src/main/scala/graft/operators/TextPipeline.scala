@@ -192,6 +192,52 @@ object TextPipeline {
       sum(when(col("_rn") =!= 1, 1L).otherwise(0L)).as("n_dropped"))
   }
 
+  /** RefinedWeb-style frequency span removal (Penedo et al. 2023 §G.2
+    * line-level deduplication; MassiveText's repeated-line filter): a
+    * span occurring MORE than `maxOcc` times across the corpus is
+    * boilerplate (navigation chrome, license headers, templated prose)
+    * and is removed from EVERY document — including the first occurrence,
+    * the semantic difference from [[dedupSpans]]' keep-first rule — and a
+    * document that loses more than `maxRemovedFrac` of its spans is
+    * flagged dropped outright (RefinedWeb's document-removal correction:
+    * a doc that was mostly boilerplate is not worth the residue). Spans
+    * are consecutive `spanTokens`-token units, the corpus's line analogue
+    * (the synthetic corpus has no newlines; on real crawl text pass the
+    * text pre-split on newlines through the same rule).
+    *
+    * Output: (idCol, n_spans, n_removed, text_clean, doc_dropped), one
+    * row per input doc with at least one span.
+    *
+    * Scale: one exploded-span aggregate keyed on the span text for the
+    * corpus-wide counts (map-side partial aggregation absorbs in-doc
+    * repeats), one join back on the same key — partitioning reuse, no
+    * second shuffle genre — and one per-doc reassembly. Linear end to
+    * end; no pairwise work at any corpus size. At 100 TB group on an
+    * 8-byte span fingerprint ((h, h2) like the chunk family) instead of
+    * the span string to keep shuffle rows narrow. */
+  def dropFrequentSpans(df: DataFrame, idCol: String, textCol: String,
+                        spanTokens: Int, maxOcc: Long,
+                        maxRemovedFrac: Double): DataFrame = {
+    require(spanTokens > 0 && maxOcc >= 1)
+    val toks = TextFunctions.tokens(col(textCol))
+    val spans = df
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), ceil(size(toks).cast("double") / spanTokens).cast("int") - 1),
+        i => array_join(slice(toks, i * spanTokens + 1, lit(spanTokens)), " "))))
+      .toDF(idCol, "span_idx", "span")
+      .filter(col("span") =!= "")
+    val freq = spans.groupBy(col("span")).agg(count(lit(1)).as("_f"))
+    spans.join(freq, Seq("span"))
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_spans"),
+        sum(when(col("_f") > maxOcc, 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(array_sort(collect_list(
+          when(col("_f") <= maxOcc, struct(col("span_idx"), col("span"))))),
+          s => s.getField("span")), " ").as("text_clean"))
+      .withColumn("doc_dropped",
+        col("n_removed").cast("double") / col("n_spans") > maxRemovedFrac)
+  }
+
   /** Unigram log-probability scoring — the cheap stand-in for the CCNet/
     * KenLM perplexity filter: score(doc) = mean over tokens of
     * ln P(token | corpus), with add-one smoothing over the corpus vocab.
@@ -315,6 +361,42 @@ object TextPipeline {
       .join(scored, Seq(idCol), "left")
       .select(col(idCol), col("logprob"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al., LREC 2020 §4.4):
+    * per-language head/middle/tail thirds by language-model score — the
+    * standard curation split where "head" (lowest perplexity = highest
+    * mean log-probability) feeds high-quality training mixes, "middle"
+    * is kept with caution, and "tail" is dropped or down-weighted. The
+    * LM is [[kneserNeyBigramLogProb]] (the corpus-trained interpolated
+    * Kneser-Ney bigram — the KenLM stand-in this module uses throughout);
+    * CCNet's per-language thirds are exact ntile(3) over the
+    * 6-decimal-rounded score (engine-portable ordering — the qb9 device)
+    * with id tie-breaks, docs without bigrams sorting last (sentinel).
+    *
+    * Output: (idCol, langCol, logprob, n_bigrams, ppl_bucket) with
+    * ppl_bucket ∈ head|middle|tail, one row per input doc.
+    *
+    * Scale: the LM tables are vocab-sized broadcasts (inherited); the
+    * ntile window is LANGUAGE-keyed — fine while no single language
+    * dominates an executor's memory, which at 100 TB a one-language
+    * corpus would: there, replace the window with the two-phase
+    * range-partition rank ([[Partitioning.zipWithIndex]] per language,
+    * the qes device) and derive the tertile from rank and count. The
+    * group-keyed-window form is kept because it is what CCNet's
+    * per-language sharding does and Catalyst plans it as one shuffle. */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+                        langCol: String): DataFrame = {
+    val scored = kneserNeyBigramLogProb(df, idCol, textCol)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol))
+      .orderBy(coalesce(round(col("logprob"), 6), lit(-1e18)).desc, col(idCol))
+    df.select(col(idCol), col(langCol))
+      .join(scored, Seq(idCol))
+      .withColumn("_nt", ntile(3).over(win))
+      .select(col(idCol), col(langCol), col("logprob"), col("n_bigrams"),
+        when(col("_nt") === 1, "head").when(col("_nt") === 2, "middle")
+          .otherwise("tail").as("ppl_bucket"))
   }
 
   /** Per-document top-`k` terms by smoothed TF-IDF — the classic keyword /

@@ -40,6 +40,36 @@ object ExtensionQueries {
     * pure-ASCII string so code points == UTF-8 bytes for [[oFnv]]. */
   private val ONORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
 
+  /** The global SimHash near-dup pair set over `documents` — q86's exact
+    * 64-bit signatures, the 4×16-bit pigeonhole blocks (arithmetic >>
+    * then & 65535 ≡ Spark's unsigned shift for every block), and the
+    * bit_count(xor) Hamming confirm at maxDist=3 < nBlocks=4 (exact
+    * recall on BOTH engines). Shared by the batch-delivery (qg2) and
+    * streaming (qg6) SimHashIndex gates. */
+  private[queries] val OSimhashIndexPairs: String =
+    s"""WITH norm AS (SELECT doc_id, $ONORM AS s FROM documents),
+        tok AS (SELECT doc_id, unnest(list_filter(string_split(s, ' '), x -> x <> '')) AS w
+          FROM norm),
+        th AS (SELECT doc_id, ${oSigned(oFnv("w"))} AS hs FROM tok),
+        bits AS (SELECT doc_id, b,
+            sum(CASE WHEN ((hs >> b) & 1) = 1 THEN 1 ELSE -1 END) AS acc
+          FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS b) GROUP BY doc_id, b),
+        sh AS (SELECT doc_id, CAST(sum(CASE WHEN acc > 0 THEN
+            CASE WHEN b = 63 THEN -9223372036854775808 ELSE (CAST(1 AS BIGINT) << b) END
+            ELSE 0 END) AS BIGINT) AS simhash
+          FROM bits GROUP BY doc_id),
+        shc AS (SELECT d.doc_id, COALESCE(sh.simhash, 0) AS simhash
+          FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id),
+        blks AS (SELECT doc_id, simhash, b AS blk,
+            ((simhash >> (b * 16)) & 65535) AS blkval
+          FROM shc CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+        cand AS (SELECT DISTINCT a.doc_id AS old_id, b.doc_id AS new_id,
+            a.simhash AS h1, b.simhash AS h2
+          FROM blks a JOIN blks b
+          ON a.blk = b.blk AND a.blkval = b.blkval AND a.doc_id < b.doc_id)
+        SELECT old_id, new_id, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(h1, h2)) <= 3"""
+
   def entries: Seq[Entry] = Seq(
 
     Entry("q80_doc_stats",
@@ -1286,6 +1316,36 @@ object ExtensionQueries {
         fp AS (SELECT doc_id, ${oSigned(oFnv("s"))} AS fp FROM norm)
         SELECT fp, min(doc_id) AS rep_id, count(*) AS n FROM fp GROUP BY fp""")),
 
+    // Persistent SimHash near-dup index (the HAMMING-space member of the
+    // persistent-index family — q86's signatures given LshIndex's
+    // fit-once/ingest-forever deployment shape): three doc-id-RANGE
+    // deliveries ingest in range order, with a COMPACTION between
+    // deliveries 2 and 3 (merged block rows preserve pair recall).
+    // Because delivery order equals doc-id order, every pair surfaces in
+    // exactly one ingest (the LATER doc's) with old_id < new_id, so the
+    // union of the three outputs is the GLOBAL banded pair set — which
+    // the oracle replays: q86's exact 64-bit signatures, the 4×16-bit
+    // pigeonhole blocks (arithmetic >> then & 65535 ≡ Spark's unsigned
+    // shift for every block), and the bit_count(xor) Hamming confirm —
+    // exact recall at maxDist=3 < nBlocks=4 on BOTH engines.
+    Entry("qg2_simhash_index",
+      (s, dir) => {
+        val tag = java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL) + "sh"
+        val ref = graft.operators.SimHashIndex.Ref(tag, buckets = 8)
+        graft.operators.SimHashIndex.drop(s, ref) // idempotent re-runs
+        val docs = t(s, dir, "documents")
+        def ingest(pred: org.apache.spark.sql.Column) =
+          graft.operators.SimHashIndex.ingest(docs.filter(pred), "doc_id",
+            "text", maxDist = 3, ref)
+        val out01 = ingest(col("doc_id") < 100)
+          .unionByName(ingest(col("doc_id") >= 100 && col("doc_id") < 300))
+          .localCheckpoint() // materialize before compact rewrites files
+        graft.operators.SimHashIndex.compact(s, ref)
+        out01.unionByName(ingest(col("doc_id") >= 300))
+      },
+      Some(OSimhashIndexPairs)),
+
     Entry("q88_knn_brute",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
@@ -1959,6 +2019,52 @@ object ExtensionQueries {
           ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                      CAST(b.embedding AS DOUBLE[])) >= 0.35""")),
+
+    // The complete SemDeDup SELECTION (Abbas et al. 2023 — qch's pairs
+    // carried through the paper's keep rule): duplicate groups are the
+    // connected components of the cosine graph, each keeping its LEAST
+    // prototypical member (lowest cosine to the cluster centroid, ties
+    // to the smaller id). Ranking on the RAW cosine is engine-portable
+    // (cosineSimilarityFast ≡ list_cosine_similarity bit-for-bit — the
+    // q88/qch device); the oracle replays assignment, pairing, the
+    // min-label component fold, and the keep window.
+    Entry("qg5_semdedup_select",
+      (s, dir) => Dedup.semDedupSelect(t(s, dir, "embeddings"),
+          "vec_id", "embedding", nCells = 16, threshold = 0.35)
+        .select(col("vec_id"), col("cell_id"), col("cluster_id"),
+          round(col("centroid_cos"), 6).as("centroid_cos"), col("is_kept")),
+      Some("""WITH RECURSIVE cents AS (SELECT vec_id AS cell_id, embedding AS centroid
+               FROM embeddings ORDER BY vec_id LIMIT 16),
+        assigned AS (SELECT c.vec_id, c.embedding, a.cell_id
+          FROM embeddings c JOIN LATERAL (
+            SELECT t.cell_id FROM cents t
+            ORDER BY list_distance(CAST(c.embedding AS DOUBLE[]),
+                                   CAST(t.centroid AS DOUBLE[])), t.cell_id
+            LIMIT 1) a ON true),
+        ccos AS (SELECT a.vec_id, a.cell_id,
+            list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(t.centroid AS DOUBLE[])) AS ccos
+          FROM assigned a JOIN cents t ON t.cell_id = a.cell_id),
+        pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+          FROM assigned a JOIN assigned b
+            ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])) >= 0.35),
+        uedges AS (SELECT id1 AS a, id2 AS b FROM pairs
+          UNION SELECT id2, id1 FROM pairs),
+        nodes AS (SELECT DISTINCT a AS node FROM uedges),
+        reach(node, lbl) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT e.b, r.lbl FROM reach r JOIN uedges e ON e.a = r.node),
+        comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+        cl AS (SELECT x.vec_id, x.cell_id,
+            COALESCE(c.component, x.vec_id) AS cluster_id, x.ccos
+          FROM ccos x LEFT JOIN comp c ON x.vec_id = c.node),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+            ORDER BY ccos ASC, vec_id) AS rn FROM cl)
+        SELECT vec_id, cell_id, cluster_id, round(ccos, 6) AS centroid_cos,
+          (rn = 1) AS is_kept FROM rk""")),
 
     Entry("qab_knn_native_expr",
       (s, dir) => {

@@ -1674,6 +1674,94 @@ object PipelineQueries {
         FROM (SELECT DISTINCT doc_id FROM documents) d
         LEFT JOIN scored s USING (doc_id)""")),
 
+    // CCNet perplexity bucketing (Wenzek et al. 2020 §4.4 — qdz's
+    // Kneser-Ney scores split into per-language head/middle/tail thirds,
+    // the split CCNet uses to keep/caution/drop crawl text). ntile(3) is
+    // SQL-standard on both engines (larger buckets first); ordering is
+    // on the 6-decimal-rounded score (the qb9 device) with doc-id
+    // tie-breaks and a sentinel for bigram-less docs, so the bucket
+    // boundary replays exactly.
+    Entry("qg3_perplexity_buckets",
+      (s, dir) => TextPipeline.perplexityBuckets(t(s, dir, "documents"),
+          "doc_id", "text", "lang")
+        .select(col("doc_id"), col("lang"),
+          round(col("logprob"), 6).as("logprob"), col("n_bigrams"),
+          col("ppl_bucket")),
+      Some("""WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+            x -> x <> '') AS t
+          FROM documents
+        ), bigrams AS (
+          SELECT doc_id, t[i] AS a, t[i + 1] AS b
+          FROM toks CROSS JOIN UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+          WHERE len(t) > 1
+        ), bg AS (
+          SELECT a, b, CAST(count(*) AS BIGINT) AS cab FROM bigrams GROUP BY a, b
+        ), lft AS (
+          SELECT a, CAST(sum(cab) AS BIGINT) AS ca,
+            CAST(count(*) AS BIGINT) AS n1a FROM bg GROUP BY a
+        ), rgt AS (
+          SELECT b, CAST(count(*) AS BIGINT) AS n1b FROM bg GROUP BY b
+        ), typ AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM bg
+        ), probs AS (
+          SELECT bg.a, bg.b,
+            ln(CAST(greatest(4 * bg.cab - 3, 0) * typ.nn
+                + 3 * lft.n1a * rgt.n1b AS DOUBLE)
+              / CAST(4 * lft.ca * typ.nn AS DOUBLE)) AS logp
+          FROM bg JOIN lft USING (a) JOIN rgt USING (b), typ
+        ), scored AS (
+          SELECT doc_id, round(avg(logp), 6) AS logprob,
+            CAST(count(*) AS BIGINT) AS n_bigrams
+          FROM bigrams JOIN probs USING (a, b)
+          GROUP BY doc_id
+        ), alldocs AS (
+          SELECT d.doc_id, d.lang, s.logprob,
+            COALESCE(s.n_bigrams, 0) AS n_bigrams
+          FROM documents d LEFT JOIN scored s USING (doc_id)
+        ), nt AS (
+          SELECT *, ntile(3) OVER (PARTITION BY lang
+            ORDER BY coalesce(logprob, -1e18) DESC, doc_id) AS nb
+          FROM alldocs
+        )
+        SELECT doc_id, lang, logprob, n_bigrams,
+          CASE WHEN nb = 1 THEN 'head' WHEN nb = 2 THEN 'middle'
+            ELSE 'tail' END AS ppl_bucket
+        FROM nt""")),
+
+    // RefinedWeb frequency span removal (Penedo et al. 2023 §G.2 line
+    // dedup + the doc-removal correction; qep's span construction with
+    // the OPPOSITE rule — a span seen more than once corpus-wide is
+    // removed EVERYWHERE, first copy included, and docs losing >50% of
+    // their spans are flagged dropped). One count aggregate + one join
+    // back on the same key + per-doc reassembly; the oracle replays
+    // spans, counts, and the drop arithmetic exactly.
+    Entry("qg4_freq_span_removal",
+      (s, dir) => TextPipeline.dropFrequentSpans(t(s, dir, "documents"),
+        "doc_id", "text", spanTokens = 8, maxOcc = 1, maxRemovedFrac = 0.5),
+      Some(s"""WITH toks AS (
+          SELECT doc_id, $OTOKS AS w FROM documents
+        ), n AS (
+          SELECT doc_id, w, len(w) AS n FROM toks
+        ), c AS (
+          SELECT doc_id, w, unnest(range(CAST(CASE WHEN n > 0
+            THEN ceil(n / 8.0) ELSE 0 END AS BIGINT))) AS ci
+          FROM n
+        ), ch AS (
+          SELECT doc_id, ci, array_to_string(w[ci*8 + 1 : ci*8 + 8], ' ') AS ct
+          FROM c
+        ), f AS (
+          SELECT ct, count(*) AS cf FROM ch GROUP BY 1
+        ), j AS (
+          SELECT ch.doc_id, ch.ci, ch.ct, f.cf FROM ch JOIN f USING (ct)
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+          CAST(sum(CASE WHEN cf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+          coalesce(string_agg(CASE WHEN cf <= 1 THEN ct END, ' ' ORDER BY ci), '')
+            AS text_clean,
+          (CAST(sum(CASE WHEN cf > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*))
+            > 0.5 AS doc_dropped
+        FROM j GROUP BY doc_id""")),
+
     Entry("qba_incremental_dedup",
       (s, dir) => {
         val d = t(s, dir, "documents")

@@ -1827,6 +1827,35 @@ object StatefulStreamQueries {
       },
       Some(PipelineQueries.OCdcDedup)),
 
+    // Streaming ingest against the PERSISTENT SimHash near-dup index
+    // (operators/SimHashIndex.startStreamingIngest — the Hamming-space
+    // sibling of qg1's chunk-claim stream, completing the index family's
+    // streaming symmetry). Same one-micro-batch construction: ingest on
+    // an empty index emits the batch's within-batch pairs, which for the
+    // whole corpus in one delivery IS the global banded pair set — qg2's
+    // oracle verbatim. Multi-delivery causality is gated by qg2 and
+    // spec'd in SimHashIndexSpec's ledgered-stream case.
+    Entry("qg6_stream_simhash_index",
+      (s, dir) => {
+        val tag = java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL) + "ss"
+        val ref = graft.operators.SimHashIndex.Ref(tag, buckets = 8)
+        graft.operators.SimHashIndex.drop(s, ref) // idempotent re-runs
+        val base = new java.io.File(
+          System.getProperty("java.io.tmpdir"), s"graft_qg6_$tag")
+        org.apache.commons.io.FileUtils.deleteQuietly(base)
+        val out = new java.io.File(base, "out").getAbsolutePath
+        val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+        val schema = s.read.parquet(graft.Tables.path(dir, "documents")).schema
+        val raw = s.readStream.schema(schema).parquet(s"$dir/documents*.parquet")
+        val q = graft.operators.SimHashIndex.startStreamingIngest(raw,
+          "doc_id", "text", maxDist = 3, ref, out, ckpt)
+        try { q.processAllAvailable() } finally q.stop()
+        s.read.parquet(s"$out/pairs")
+          .select("old_id", "new_id", "hamming")
+      },
+      Some(ExtensionQueries.OSimhashIndexPairs)),
+
     // Ingest-time weighted priority sampling (the STREAMING face of qd0's
     // Duffield-Lund-Thorup top-k): documents stream through 8 shards,
     // each shard's keyed state keeps its running top-100 by

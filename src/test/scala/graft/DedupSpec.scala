@@ -219,6 +219,34 @@ class DedupSpec extends SparkSpec {
     assert(refined === Set((2L, 3L)))
   }
 
+  test("semDedupSelect keeps the LEAST prototypical member per duplicate " +
+    "group (lowest centroid cosine beats min-id), singletons keep themselves") {
+    // cell 0's centroid is vec 0 (lowest-id sample); vecs 2 and 3 are
+    // near-dups of each other (cos ≈ 0.99945 ≥ 0.999) but 3 points
+    // slightly FARTHER from the centroid (ccos 0.98973 < 0.99388) — the
+    // paper's rule keeps 3, NOT the min-id 2
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)),
+      (2L, Seq(0.9f, 0.1f, 0f, 0f)), (3L, Seq(0.9f, 0.13f, 0f, 0f)),
+      (4L, Seq(0.1f, 0.9f, 0f, 0f))).toDF("vec_id", "embedding")
+    val got = Dedup.semDedupSelect(vecs, "vec_id", "embedding",
+        nCells = 2, threshold = 0.999)
+      .select("vec_id", "cluster_id", "is_kept")
+      .as[(Long, Long, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // {2,3} form one component labeled by min id 2; the FARTHER member 3
+    // survives, the more prototypical 2 drops
+    assert(got(2L) === ((2L, false)))
+    assert(got(3L) === ((2L, true)))
+    // everything else is a singleton keeping itself (their cosines to
+    // neighbors sit below the 0.999 threshold)
+    Seq(0L, 1L, 4L).foreach(id => assert(got(id) === ((id, true))))
+    // the refined (Lloyd) path agrees on this clean clustering
+    val refined = Dedup.semDedupSelect(vecs, "vec_id", "embedding",
+        nCells = 2, threshold = 0.999, refineIters = 1)
+      .select("vec_id", "is_kept").as[(Long, Boolean)].collect().toMap
+    assert(refined.count(!_._2) === 1, "exactly one clone echo drops")
+  }
+
   private def spansOf(df: org.apache.spark.sql.DataFrame) =
     df.select("id1", "id2", "start1", "start2", "span_tokens")
       .as[(Long, Long, Long, Long, Long)].collect().toSet

@@ -312,6 +312,54 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(2) === ((3L, "", 0L, 1L)))
   }
 
+  test("dropFrequentSpans removes EVERY copy of an over-frequent span — " +
+    "first occurrence included — and flags mostly-boilerplate docs dropped") {
+    val span = (1 to 10).map(i => s"b$i").mkString(" ")   // corpus boilerplate
+    val u1 = (1 to 10).map(i => s"x$i").mkString(" ")
+    val u2 = (1 to 10).map(i => s"y$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$span $u1"), // loses the span (unlike dedupSpans' keep-first)
+      (2L, s"$u2 $span"),
+      (3L, span)          // 100% boilerplate -> doc_dropped
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.dropFrequentSpans(docs, "doc_id", "text",
+        spanTokens = 10, maxOcc = 1, maxRemovedFrac = 0.5)
+      .select("doc_id", "n_spans", "n_removed", "text_clean", "doc_dropped")
+      .as[(Long, Long, Long, String, Boolean)].collect().sortBy(_._1)
+    assert(got(0) === ((1L, 2L, 1L, u1, false)))
+    assert(got(1) === ((2L, 2L, 1L, u2, false)))
+    assert(got(2) === ((3L, 1L, 1L, "", true)))
+    // at maxOcc = 3 the span (3 occurrences) survives everywhere
+    val lax = TextPipeline.dropFrequentSpans(docs, "doc_id", "text",
+        spanTokens = 10, maxOcc = 3, maxRemovedFrac = 0.5)
+      .agg(org.apache.spark.sql.functions.sum("n_removed")).head().getLong(0)
+    assert(lax === 0L)
+  }
+
+  test("perplexityBuckets: per-language thirds, head = highest " +
+    "log-probability, bigram-less docs sink to tail") {
+    // lang A: six docs — three fluent (repeated common bigrams), two rare
+    // soups, one single-token doc (no bigrams at all -> sentinel -> tail)
+    val fluent = "the cat sat on the mat and the cat sat again"
+    val docs = Seq(
+      (1L, fluent, "A"), (2L, fluent, "A"), (3L, s"$fluent the cat", "A"),
+      (4L, "zq xv jk wp qm lz", "A"), (5L, "vv uu tt ss rr qq", "A"),
+      (6L, "solitary", "A"),
+      (11L, fluent, "B"), (12L, "aa bb cc dd", "B"), (13L, "ee ff gg", "B")
+    ).toDF("doc_id", "text", "lang")
+    val got = TextPipeline.perplexityBuckets(docs, "doc_id", "text", "lang")
+      .select("doc_id", "lang", "ppl_bucket")
+      .as[(Long, String, String)].collect().map(r => r._1 -> r._3).toMap
+    // lang A: ntile(3) over 6 docs = 2/2/2; the bigram-less doc is tail
+    assert(got(6L) === "tail")
+    assert(Seq(1L, 2L, 3L).map(got).count(_ == "head") === 2,
+      "the fluent docs must fill the head bucket")
+    assert(Seq(4L, 5L).map(got).forall(b => b == "middle" || b == "tail"),
+      "rare-token soup must not reach head")
+    // lang B buckets independently: 3 docs -> one per bucket
+    assert(Seq(11L, 12L, 13L).map(got).sorted === Seq("head", "middle", "tail"))
+  }
+
   test("contaminationCheck counts shared n-grams; clean docs report zero") {
     val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
     val train = Seq(
