@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.IterBench"
   * Section select: SPARK_GRAFT_ITERBENCH=loops|bpe|bpescale|bpedrop|tok|unigram|
-  * wpencode|lshidx|ivfidx|gramidx|exactsubstr|dsir|streampack|
+  * wpencode|simhash|shidx|lshidx|ivfidx|gramidx|exactsubstr|dsir|streampack|
   * streamsample|stream|streamamort|streamloop (default loops — the
   * bpe/bpescale sections run ~500-merge tokenizer trainings and are
   * minutes long by design; results are recorded in BASELINE.md).
@@ -68,6 +68,43 @@ object IterBench {
           val rounds = if (merges.isEmpty) 0 else merges.map(_._1).max
           println(s"[iterbench]   -> ${merges.size} merges in $rounds driver rounds")
           merges.size.toLong
+        }
+      }
+      docs.unpersist()
+      spark.stop()
+      return
+    }
+
+    // SimHash signature pass: boxed-Seq UDF vs the SimHashExpr codegen
+    // kernel (round 16 — the last dedup-family kernel off the UDF path).
+    // Same tokens, same corpus, replicated SPARK_GRAFT_MULT× in-bench so
+    // the per-row cost dominates scan fixed costs; two passes each so the
+    // second row is the warm reading. Results in BASELINE.md round 16.
+    if (section == "simhash") {
+      import org.apache.spark.sql.functions._
+      import graft.functions.{Hashes, SimHashExpr, TextFunctions}
+      val docs = Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), lit(mult))).as("rep"))
+        .select(col("doc_id") * mult + col("rep"), col("text"))
+        .toDF("doc_id", "text").cache()
+      val n = docs.count()
+      val toks = TextFunctions.tokens(col("text"))
+      for (round <- 1 to 2) {
+        // modular checksum — a raw sum of 64-bit signatures overflows ANSI
+        timed(s"simhash UDF  mult=$mult round=$round") {
+          docs.select(Hashes.simhashUdf(toks).as("h"))
+            .agg(sum(pmod(col("h"), lit(1000000007L)))).head(); n
+        }
+        timed(s"simhash expr mult=$mult round=$round") {
+          docs.select(SimHashExpr(toks).as("h"))
+            .agg(sum(pmod(col("h"), lit(1000000007L)))).head(); n
+        }
+        // the production shape: raw split feeds the kernel (empty tokens
+        // skip inside), no ArrayFilter HOF — one codegen span end to end
+        timed(s"simhash expr+split mult=$mult round=$round") {
+          docs.select(SimHashExpr(split(col("text"), "\\s+")).as("h"))
+            .agg(sum(pmod(col("h"), lit(1000000007L)))).head(); n
         }
       }
       docs.unpersist()
@@ -477,6 +514,44 @@ object IterBench {
         }
       }
       LshIndex.drop(spark, ref)
+      docs.unpersist()
+      spark.stop()
+      return
+    }
+
+    // Persistent SimHash-index amortization (SimHashIndex, gates
+    // qg2/qg6): the family A/B — dedup ONE fixed-size arriving batch
+    // against a 9/10-slice corpus via (a) incremental ingest into the
+    // (blk, blkval)-bucketed index vs (b) the full-corpus simhashPairs
+    // re-run a pipeline without an index re-pays per delivery. Ingest
+    // should stay ~flat in mult (O(batch + matches), bucketed probe)
+    // while the re-run grows with the corpus.
+    if (section == "shidx") {
+      import graft.operators.{Dedup, SimHashIndex}
+      import org.apache.spark.sql.functions.col
+      val (docs, span) = scaledDocs()
+      println(s"[iterbench] corpus: ${docs.count()} docs (mult=$mult)")
+      val ref = SimHashIndex.Ref("iterbench", buckets = 8)
+      timed(s"shidx build: slices 0-8 of 10 into the index (mult=$mult)") {
+        SimHashIndex.drop(spark, ref)
+        (0 until 9).map { s =>
+          SimHashIndex.ingest(docs.filter(col("doc_id") % 10 === s), "doc_id",
+            "text", maxDist = 3, ref).count()
+        }.sum
+      }
+      for (round <- 1 to 2) {
+        timed(s"full-corpus simhashPairs re-dedup (no index, mult=$mult), round $round") {
+          Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3).count()
+        }
+      }
+      for ((slice, round) <- Seq(9, 19).zipWithIndex) {
+        timed(s"incremental ingest of a fixed-size batch, round ${round + 1}") {
+          SimHashIndex.ingest(
+            docs.filter(col("doc_id") < span && col("doc_id") % 20 === slice),
+            "doc_id", "text", maxDist = 3, ref).count()
+        }
+      }
+      SimHashIndex.drop(spark, ref)
       docs.unpersist()
       spark.stop()
       return

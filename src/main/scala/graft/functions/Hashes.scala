@@ -6,13 +6,13 @@ import org.apache.spark.sql.functions.udf
 /** Deterministic per-row signature hashes for near-duplicate detection:
   * MinHash signatures, SimHash, and a rolling-polynomial fingerprint.
   *
-  * The two kernels on every dedup corpus pass are native codegen
-  * expressions as of round 6 — [[ShingleHashesExpr]] (text → sorted
-  * distinct shingle hashes) and [[MinHashSigExpr]] (hashes → signature);
-  * see the SCALE.md "shingle-hash kernel" profile. The remaining UDFs
-  * (SimHash over token arrays, string-shingle MinHash) sit on cold or
-  * spec-only paths; the local Scala functions below stay as the reference
-  * implementations the expression specs pin against.
+  * The kernels on every dedup corpus pass are native codegen
+  * expressions — [[ShingleHashesExpr]] (text → sorted distinct shingle
+  * hashes) and [[MinHashSigExpr]] (hashes → signature) since round 6,
+  * [[SimHashExpr]] (tokens → 64-bit signature) since round 16; see the
+  * SCALE.md kernel profiles. The remaining UDFs (string-shingle MinHash)
+  * sit on cold or spec-only paths; the local Scala functions below stay
+  * as the reference implementations the expression specs pin against.
   */
 object Hashes {
 
@@ -170,8 +170,12 @@ object Hashes {
     * native expression, primitive arrays end to end (see MinHashSigExpr). */
   def minhashFromHashes(hashes: Column, k: Int): Column =
     MinHashSigExpr(hashes, k)
+  /** Reference UDF — [[SimHashExpr]]'s bit-identity spec pins against it;
+    * production callers go through [[simhash]] below. */
   val simhashUdf = udf((toks: Seq[String]) => simHash64(toks))
-  def simhash(toks: Column): Column = simhashUdf(toks)
+  /** Native codegen SimHash (round 16 — the last dedup-family kernel off
+    * the UDF path): see [[SimHashExpr]]. */
+  def simhash(toks: Column): Column = SimHashExpr(toks)
   val hammingUdf = udf((a: Long, b: Long) => hamming64(a, b))
   /** Native Hamming distance: bit_count(a XOR b), fully codegen'd. */
   def hamming(a: Column, b: Column): Column =

@@ -105,6 +105,66 @@ object DataSelection {
       .select(col(idCol), col("cell_id"), col("rk"))
   }
 
+  /** SSL-prototype pruning (Sorscher et al. 2022 "Beyond neural scaling
+    * laws"; the prototypicality stage of D4): per embedding cluster, the
+    * examples CLOSEST to their centroid are the easy/redundant ones —
+    * rank each cell by cosine to centroid descending (most prototypical
+    * first, raw cosine so both engines order identically — the qg5
+    * device, ties to the lower id) and DROP the top `dropFrac` fraction
+    * (ceil(dropFrac·n_cell) rows), keeping the informative tail. The
+    * removal counterpart of [[Dedup.semDedupSelect]]'s keep rule: where
+    * SemDeDup removes duplicate GROUPS, prototype pruning thins every
+    * cell by example difficulty.
+    *
+    * Assignment and centroids come from the same deterministic
+    * partitioner family: zero-refinement lowest-id-sample cells, or
+    * `refineIters > 0` Lloyd rounds via [[ML.kMeansScaled]] (quantized
+    * centroids score fine — cosine is scale-invariant).
+    *
+    * Output: (idCol, cell_id, centroid_cos, proto_rank, is_kept), one
+    * row per vector.
+    *
+    * Shape at 100 TB: one narrow assignment pass against a broadcast
+    * k-row centroid frame, one window keyed on cell_id (k cells — the
+    * shuffle key count is the cluster count, and nCells grows with the
+    * corpus exactly as in the SemDeDup family). No pairwise work. */
+  def prototypePrune(emb: DataFrame, idCol: String, vecCol: String,
+                     nCells: Int, dropFrac: Double,
+                     refineIters: Int = 0): DataFrame = {
+    require(dropFrac >= 0.0 && dropFrac <= 1.0, s"dropFrac=$dropFrac out of [0,1]")
+    import org.apache.spark.sql.expressions.Window
+    val c = emb.select(col(idCol).as("_vid"), col(vecCol).as("_vec"))
+    val assigned = if (refineIters > 0) {
+      val km = ML.kMeansScaled(emb, idCol, vecCol, nCells, refineIters)
+      c.join(km.assignments.select(col(idCol).as("_vid"), col("cell_id")), "_vid")
+        .join(broadcast(km.centroids.select(col("cell_id"),
+          transform(col("cvec"), x => x.cast("float")).as("centroid"))),
+          Seq("cell_id"))
+        .select(col("cell_id"), col("_vid"), col("_vec"), col("centroid"))
+    } else {
+      val cents = c.orderBy(col("_vid")).limit(nCells)
+        .select(col("_vid").as("cell_id"), col("_vec").as("centroid"))
+      val aw = Window.partitionBy("_vid").orderBy(col("cdist").asc, col("cell_id"))
+      c.crossJoin(broadcast(cents))
+        .withColumn("cdist", graft.functions.VectorFunctions
+          .squaredEuclidean(col("_vec"), col("centroid")))
+        .withColumn("r", row_number().over(aw)).filter(col("r") === 1)
+        .select(col("cell_id"), col("_vid"), col("_vec"), col("centroid"))
+    }
+    val scored = assigned.withColumn("centroid_cos", graft.functions
+      .VectorFunctions.cosineSimilarityFast(col("_vec"), col("centroid")))
+    val win = Window.partitionBy(col("cell_id"))
+      .orderBy(col("centroid_cos").desc, col("_vid"))
+    val sized = Window.partitionBy(col("cell_id"))
+    scored
+      .withColumn("proto_rank", row_number().over(win).cast("long"))
+      .withColumn("_n", count(lit(1)).over(sized))
+      .withColumn("is_kept",
+        col("proto_rank") > ceil(lit(dropFrac) * col("_n")).cast("long"))
+      .select(col("_vid").as(idCol), col("cell_id"), col("centroid_cos"),
+        col("proto_rank"), col("is_kept"))
+  }
+
   /** Select the `k` raw-pool documents (rows where `isTarget` is false)
     * whose hashed-unigram mix best matches the target corpus. Output:
     * (idCol, n_feat, score, avg_ilr), the top-k by (avg_ilr desc, id asc);

@@ -24,6 +24,34 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as("rep_id"), count(lit(1)).as("dup_count"))
 
+  /** SOFT dedup — duplicate-count down-weighting instead of removal: every
+    * copy stays in the corpus carrying training weight 1/n_copies, so each
+    * distinct CONTENT contributes unit total weight regardless of how many
+    * crawls mirrored it (the sampling-correction alternative to keep-first
+    * removal — e.g. the duplicate down-weighting ablations in dedup
+    * studies where hard removal is too lossy). Grouping is by the
+    * normalized content fingerprint ([[graft.functions.Hashes
+    * .docFingerprint]] — native codegen, case/punctuation-insensitive,
+    * the q87 currency).
+    *
+    * Output: (idCol, fp, n_copies, weight = 1.0/n_copies), one row per
+    * input doc.
+    *
+    * Scale: one fingerprint pass, one count aggregate keyed on the
+    * 8-byte fp (map-side partial combine), one join back on the same key
+    * — partitioning reuse, no second shuffle genre, no pairwise work. At
+    * 64-bit fp a collision UNDER-weights two distinct docs (never drops
+    * one) — carry (fp, fp2) like the chunk family if that matters for a
+    * release. */
+  def dupWeights(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val fps = df.select(col(idCol),
+      graft.functions.Hashes.docFingerprint(col(textCol)).as("fp"))
+    val counts = fps.groupBy(col("fp")).agg(count(lit(1)).as("n_copies"))
+    fps.join(counts, Seq("fp"))
+      .select(col(idCol), col("fp"), col("n_copies"),
+        (lit(1.0) / col("n_copies")).as("weight"))
+  }
+
   // Shingles are HASHED (ShingleHashesExpr), not strings: one compiled
   // tokenize+shingle+hash pass per doc, and downstream shuffles move 8-byte
   // longs instead of ~15-byte UTF-8 bigrams — identical Jaccard up to

@@ -168,12 +168,15 @@ object SimHashIndex {
   }
 
   /** The batch's signatures over fingerprint-normalized tokens:
-    * (_doc, simhash). */
+    * (_doc, simhash). Raw `split` feeds the kernel — SimHashExpr skips
+    * empty tokens internally, so the whole pass stays in one codegen
+    * span (a filter(...) wrapper is CodegenFallback and would evict
+    * it). */
   private def signatures(batch: DataFrame, idCol: String,
                          textCol: String): DataFrame = {
     val norm = trim(regexp_replace(lower(col(textCol)), "[^a-z0-9]+", " "))
-    val toks = filter(split(norm, " "), x => x =!= lit(""))
-    batch.select(col(idCol).as("_doc"), Hashes.simhash(toks).as("simhash"))
+    batch.select(col(idCol).as("_doc"),
+      Hashes.simhash(split(norm, " ")).as("simhash"))
   }
 
   /** Explode signatures into pigeonhole block rows:
@@ -287,6 +290,43 @@ object SimHashIndex {
         BucketCols)
       .select(col("old_id"), col("new_id"), col("h1"), col("h2"))
     confirmed(within.unionByName(cross), maxDist)
+  }
+
+  /** Integrity check — the single-table analogue of [[LshIndex.fsck]]'s
+    * cross-table consistency: every ingested document must carry exactly
+    * `nBlocks` DISTINCT block rows per delivery (a torn multi-file
+    * append can land a strict subset, silently shrinking that doc's
+    * candidate recall below the pigeonhole guarantee). Returns the
+    * DELTA, one row per torn (doc, delivery): (doc, delivery,
+    * n_distinct_blocks) — empty result = consistent. Replay residue
+    * (byte-duplicate rows) is NOT flagged: duplicates of complete rows
+    * change no block SET.
+    *
+    * REPAIR PATH: [[recoverDelivery]] for each flagged delivery, then
+    * re-[[ingest]] those batches under their SAME ids — their pairs
+    * were never returned (the writer died mid-append), so the
+    * id-uniqueness rule permits the re-use. */
+  def fsck(spark: SparkSession, ref: Ref): DataFrame = {
+    attach(spark, ref)
+    spark.table(ref.blocksTable)
+      .groupBy(col("doc"), col("delivery"))
+      .agg(countDistinct(col("blk")).as("n_distinct_blocks"))
+      .filter(col("n_distinct_blocks") =!= ref.nBlocks)
+  }
+
+  /** [[fsck]] as an assertion: throws naming (a sample of) the torn
+    * (doc, delivery) rows. */
+  def verifyConsistent(spark: SparkSession, ref: Ref): Unit = {
+    val bad = fsck(spark, ref).limit(20).collect()
+    if (bad.nonEmpty) {
+      val detail = bad.map(r =>
+        s"doc ${r.get(0)} delivery '${r.get(1)}' has ${r.get(2)}/" +
+          s"${ref.nBlocks} blocks").mkString("; ")
+      throw new IllegalStateException(
+        s"index '${ref.tag}' has ${bad.length}+ torn block sets (a " +
+          s"crashed ingest's partial append): $detail — recoverDelivery " +
+          s"the flagged deliveries, then re-ingest under the same ids")
+    }
   }
 
   /** Rewrite the live table through the family's crash-durable

@@ -2066,6 +2066,52 @@ object ExtensionQueries {
         SELECT vec_id, cell_id, cluster_id, round(ccos, 6) AS centroid_cos,
           (rn = 1) AS is_kept FROM rk""")),
 
+    // SSL-prototype pruning (Sorscher et al. 2022; D4's prototypicality
+    // stage): per cluster, DROP the ceil(25%) most-prototypical vectors
+    // (highest raw cosine to centroid — the same engine-portable ranking
+    // as qg5), keep the informative tail. dropFrac=0.25 is an exact
+    // binary fraction so the cutoff arithmetic replays bit-for-bit.
+    Entry("qg7_prototype_prune",
+      (s, dir) => graft.operators.DataSelection.prototypePrune(
+          t(s, dir, "embeddings"), "vec_id", "embedding",
+          nCells = 16, dropFrac = 0.25)
+        .select(col("vec_id"), col("cell_id"),
+          round(col("centroid_cos"), 6).as("centroid_cos"),
+          col("proto_rank"), col("is_kept")),
+      Some("""WITH cents AS (SELECT vec_id AS cell_id, embedding AS centroid
+               FROM embeddings ORDER BY vec_id LIMIT 16),
+        assigned AS (SELECT c.vec_id, c.embedding, a.cell_id
+          FROM embeddings c JOIN LATERAL (
+            SELECT t.cell_id FROM cents t
+            ORDER BY list_distance(CAST(c.embedding AS DOUBLE[]),
+                                   CAST(t.centroid AS DOUBLE[])), t.cell_id
+            LIMIT 1) a ON true),
+        ccos AS (SELECT a.vec_id, a.cell_id,
+            list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(t.centroid AS DOUBLE[])) AS ccos
+          FROM assigned a JOIN cents t ON t.cell_id = a.cell_id),
+        rk AS (SELECT vec_id, cell_id, ccos,
+            CAST(row_number() OVER (PARTITION BY cell_id
+              ORDER BY ccos DESC, vec_id) AS BIGINT) AS proto_rank,
+            count(*) OVER (PARTITION BY cell_id) AS n
+          FROM ccos)
+        SELECT vec_id, cell_id, round(ccos, 6) AS centroid_cos, proto_rank,
+          (proto_rank > CAST(ceil(0.25 * n) AS BIGINT)) AS is_kept
+        FROM rk""")),
+
+    // SOFT dedup (q87's fingerprint groups as a sampling correction):
+    // every copy stays, weighted 1/n_copies, so distinct content carries
+    // unit total weight — the down-weighting alternative to keep-first
+    // removal. 1/n is IEEE-exact on both engines (one division).
+    Entry("qg9_dup_weights",
+      (s, dir) => Dedup.dupWeights(t(s, dir, "documents"), "doc_id", "text"),
+      Some(s"""WITH norm AS (SELECT doc_id, $ONORM AS s FROM documents),
+        fpt AS (SELECT doc_id, ${oSigned(oFnv("s"))} AS fp FROM norm),
+        c AS (SELECT fp, CAST(count(*) AS BIGINT) AS n_copies
+          FROM fpt GROUP BY fp)
+        SELECT f.doc_id, f.fp, c.n_copies, 1.0 / c.n_copies AS weight
+        FROM fpt f JOIN c USING (fp)""")),
+
     Entry("qab_knn_native_expr",
       (s, dir) => {
         import graft.functions.CosineSimilarityExpr

@@ -1762,6 +1762,90 @@ object PipelineQueries {
             > 0.5 AS doc_dropped
         FROM j GROUP BY doc_id""")),
 
+    // END-TO-END curation v3 (the round-16 composition, qen/qfm's
+    // discipline over the NEW stages): CCNet perplexity thirds keep
+    // head+middle per language (qg3) → RefinedWeb frequency-span removal
+    // with span counts over the SURVIVING subcorpus (qg4's rule —
+    // order matters and is pinned: boilerplate frequencies are measured
+    // on what the quality gate admitted) → docs past the 50% removal
+    // correction emit with both stages' evidence. ONE chained oracle so
+    // the composition, not just each stage, is bit-exact.
+    Entry("qg8_curation_v3",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val kept = TextPipeline.perplexityBuckets(docs, "doc_id", "text", "lang")
+          .filter(col("ppl_bucket") =!= "tail")
+          .select(col("doc_id"), col("lang"), col("ppl_bucket"))
+        val surviving = docs.join(kept, Seq("doc_id"))
+        TextPipeline.dropFrequentSpans(surviving, "doc_id", "text",
+            spanTokens = 8, maxOcc = 1, maxRemovedFrac = 0.5)
+          .filter(!col("doc_dropped"))
+          .join(kept, Seq("doc_id"))
+          .select(col("doc_id"), col("lang"), col("ppl_bucket"),
+            col("n_spans"), col("n_removed"), col("text_clean"))
+      },
+      Some(s"""WITH ktoks AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+            x -> x <> '') AS t
+          FROM documents
+        ), bigrams AS (
+          SELECT doc_id, t[i] AS a, t[i + 1] AS b
+          FROM ktoks CROSS JOIN UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+          WHERE len(t) > 1
+        ), bg AS (
+          SELECT a, b, CAST(count(*) AS BIGINT) AS cab FROM bigrams GROUP BY a, b
+        ), lft AS (
+          SELECT a, CAST(sum(cab) AS BIGINT) AS ca,
+            CAST(count(*) AS BIGINT) AS n1a FROM bg GROUP BY a
+        ), rgt AS (
+          SELECT b, CAST(count(*) AS BIGINT) AS n1b FROM bg GROUP BY b
+        ), typ AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM bg
+        ), probs AS (
+          SELECT bg.a, bg.b,
+            ln(CAST(greatest(4 * bg.cab - 3, 0) * typ.nn
+                + 3 * lft.n1a * rgt.n1b AS DOUBLE)
+              / CAST(4 * lft.ca * typ.nn AS DOUBLE)) AS logp
+          FROM bg JOIN lft USING (a) JOIN rgt USING (b), typ
+        ), scored AS (
+          SELECT doc_id, round(avg(logp), 6) AS logprob
+          FROM bigrams JOIN probs USING (a, b)
+          GROUP BY doc_id
+        ), nt AS (
+          SELECT d.doc_id, d.lang, d.text,
+            ntile(3) OVER (PARTITION BY d.lang
+              ORDER BY coalesce(s.logprob, -1e18) DESC, d.doc_id) AS nb
+          FROM documents d LEFT JOIN scored s USING (doc_id)
+        ), kept AS (
+          SELECT doc_id, lang, text,
+            CASE WHEN nb = 1 THEN 'head' ELSE 'middle' END AS ppl_bucket
+          FROM nt WHERE nb <> 3
+        ), toks AS (
+          SELECT doc_id, $OTOKS AS w FROM kept
+        ), n AS (
+          SELECT doc_id, w, len(w) AS n FROM toks
+        ), c AS (
+          SELECT doc_id, w, unnest(range(CAST(CASE WHEN n > 0
+            THEN ceil(n / 8.0) ELSE 0 END AS BIGINT))) AS ci
+          FROM n
+        ), ch AS (
+          SELECT doc_id, ci, array_to_string(w[ci*8 + 1 : ci*8 + 8], ' ') AS ct
+          FROM c
+        ), f AS (
+          SELECT ct, count(*) AS cf FROM ch GROUP BY 1
+        ), j AS (
+          SELECT ch.doc_id, ch.ci, ch.ct, f.cf FROM ch JOIN f USING (ct)
+        ), spans AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+            CAST(sum(CASE WHEN cf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+            coalesce(string_agg(CASE WHEN cf <= 1 THEN ct END, ' ' ORDER BY ci), '')
+              AS text_clean
+          FROM j GROUP BY doc_id
+        )
+        SELECT sp.doc_id, k.lang, k.ppl_bucket, sp.n_spans, sp.n_removed,
+          sp.text_clean
+        FROM spans sp JOIN kept k USING (doc_id)
+        WHERE (CAST(sp.n_removed AS DOUBLE) / sp.n_spans) <= 0.5""")),
+
     Entry("qba_incremental_dedup",
       (s, dir) => {
         val d = t(s, dir, "documents")

@@ -101,6 +101,39 @@ class DataSelectionSpec extends SparkSpec {
 
   // ---- prefix scan + sequence packing -------------------------------------
 
+  test("prototypePrune drops the ceil-fraction most-prototypical per cell " +
+    "(highest centroid cosine), keeps the tail; dropFrac bounds enforced") {
+    // cell 0 centroid = vec 0: vecs 2,3,5 at increasing angle; dropFrac
+    // 0.5 on the 4-member cell drops ceil(2) = the centroid itself and
+    // the closest member
+    val vecs = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0f, 1f)),
+      (2L, Seq(0.95f, 0.05f)), (3L, Seq(0.8f, 0.2f)), (5L, Seq(0.6f, 0.4f)),
+      (4L, Seq(0.1f, 0.9f))).toDF("vec_id", "embedding")
+    val got = DataSelection.prototypePrune(vecs, "vec_id", "embedding",
+        nCells = 2, dropFrac = 0.5)
+      .select("vec_id", "cell_id", "proto_rank", "is_kept")
+      .as[(Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // cell 0 = {0, 2, 3, 5} ranked 0 > 2 > 3 > 5 by centroid cosine;
+    // ceil(0.5·4) = 2 → 0 and 2 drop, 3 and 5 keep
+    assert(got(0L) === ((0L, 1L, false)))
+    assert(got(2L) === ((0L, 2L, false)))
+    assert(got(3L) === ((0L, 3L, true)))
+    assert(got(5L) === ((0L, 4L, true)))
+    // cell 1 = {1, 4}: ceil(0.5·2) = 1 → the centroid drops, 4 keeps
+    assert(got(1L) === ((1L, 1L, false)))
+    assert(got(4L) === ((1L, 2L, true)))
+    // dropFrac = 0 keeps everything; the Lloyd path agrees on shape
+    val all = DataSelection.prototypePrune(vecs, "vec_id", "embedding",
+        nCells = 2, dropFrac = 0.0, refineIters = 1)
+      .select("is_kept").as[Boolean].collect()
+    assert(all.forall(identity))
+    intercept[IllegalArgumentException] {
+      DataSelection.prototypePrune(vecs, "vec_id", "embedding", 2, 1.5)
+    }
+  }
+
   test("prefixSum equals the single-task window reference on randomized input") {
     val rnd = new scala.util.Random(17)
     val rows = (0 until 500).map(i => (i.toLong * 3 + 1, rnd.nextInt(40).toLong))

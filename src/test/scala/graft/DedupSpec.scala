@@ -219,6 +219,20 @@ class DedupSpec extends SparkSpec {
     assert(refined === Set((2L, 3L)))
   }
 
+  test("dupWeights: every copy stays at weight 1/n_copies; grouping is the " +
+    "case/punctuation-insensitive fingerprint") {
+    val ws = Seq((1L, "Hello, World!"), (2L, "hello world"), (3L, "unique text"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dupWeights(ws, "doc_id", "text")
+      .select("doc_id", "n_copies", "weight")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((2L, 0.5)))
+    assert(got(2L) === ((2L, 0.5)))
+    assert(got(3L) === ((1L, 1.0)))
+    // unit total weight per distinct content
+    assert(got.values.map(_._2).sum === 2.0)
+  }
+
   test("semDedupSelect keeps the LEAST prototypical member per duplicate " +
     "group (lowest centroid cosine beats min-id), singletons keep themselves") {
     // cell 0's centroid is vec 0 (lowest-id sample); vecs 2 and 3 are

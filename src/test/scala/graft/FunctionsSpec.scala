@@ -175,6 +175,46 @@ class FunctionsSpec extends SparkSpec {
     assert(withNull(1) === Seq.fill(16)((1L << 32) - 1))
   }
 
+  test("SimHashExpr is bit-identical to the reference UDF, handles " +
+    "null/empty, and stays native (no ScalaUDF) in the plan") {
+    import graft.functions.{Hashes, SimHashExpr, TextFunctions}
+    val rnd = new scala.util.Random(163L)
+    val texts = (1 to 40).map { i =>
+      (0 until rnd.nextInt(30)).map(_ => s"w${rnd.nextInt(20)}").mkString(" ")
+    } ++ Seq("", "solo", "a 😀 b", "x:y z")
+    val df = texts.toDF("text")
+    val toks = TextFunctions.tokens($"text")
+    val native = df.select(SimHashExpr(toks)).collect().map(_.getLong(0))
+    val viaUdf = df.select(Hashes.simhashUdf(toks)).collect().map(_.getLong(0))
+    assert(native.toSeq === viaUdf.toSeq)
+    // local-kernel agreement on a hand fixture, empty signs 0
+    assert(native(texts.indexOf("")) === 0L)
+    assert(df.select(SimHashExpr(toks)).head().getLong(0) ===
+      Hashes.simHash64(texts.head.split("\\s+").filter(_.nonEmpty).toSeq))
+    // null input signs 0, not null
+    val withNull = Seq(Option("x y"), None).toDF("text")
+      .select(SimHashExpr(TextFunctions.tokens($"text"))).collect()
+    assert(!withNull(1).isNullAt(0) && withNull(1).getLong(0) === 0L)
+    // empty elements skip inside the kernel: feeding the raw split equals
+    // the UDF over filtered tokens — this is what lets callers drop the
+    // ArrayFilter HOF (CodegenFallback) from the signature pass
+    val viaSplit = df.select(SimHashExpr(split($"text", "\\s+")))
+      .collect().map(_.getLong(0))
+    assert(viaSplit.toSeq === viaUdf.toSeq)
+    // the production entry point (Hashes.simhash) rides the expression:
+    // no UDF boundary, and over a split-only input the whole projection
+    // stays in ONE codegen span (a filter(...) wrapper would evict it;
+    // non-foldable source — a literal fixture constant-folds to
+    // LocalTableScan and hides the span)
+    val rdf = spark.range(100)
+      .select(concat_ws(" ", lit("tok"), $"id".cast("string")).as("text"))
+    val plan = rdf.select(Hashes.simhash(split($"text", "\\s+")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), s"simhash must stay native:\n$plan")
+    assert(plan.contains("*(1) Project [simhashexpr"),
+      s"expected the signature projection inside a codegen span:\n$plan")
+  }
+
   test("langId picks dominant stopword language; CJK short-circuits") {
     val rows = Seq(
       "the cat sat on the mat with a hat",          // en

@@ -203,6 +203,27 @@ class SimHashIndexSpec extends SparkSpec {
     SimHashIndex.drop(spark, ref)
   }
 
+  test("fsck flags a torn block set (planted partial append), " +
+    "recoverDelivery repairs it; complete + replayed rows never flag") {
+    SimHashIndex.drop(spark, ref)
+    ing(batch0, "d0").count()
+    ing(batch0, "d0").count() // replay residue: byte-duplicate COMPLETE rows
+    SimHashIndex.verifyConsistent(spark, ref) // duplicates must not flag
+    // planted crash: a doc lands only 1 of its 4 block rows
+    Seq((0, 1L, 999L, 1L, "torn")).toDF("blk", "blkval", "doc", "simhash", "delivery")
+      .write.mode("append").format("parquet")
+      .bucketBy(ref.buckets, "blk", "blkval").sortBy("blk", "blkval")
+      .saveAsTable(ref.blocksTable)
+    val bad = SimHashIndex.fsck(spark, ref)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(bad === Seq((999L, "torn", 1L)))
+    intercept[IllegalStateException] { SimHashIndex.verifyConsistent(spark, ref) }
+    // the documented repair: retract the torn delivery, re-ingest whole
+    SimHashIndex.recoverDelivery(spark, ref, "torn")
+    SimHashIndex.verifyConsistent(spark, ref)
+    SimHashIndex.drop(spark, ref)
+  }
+
   test("ledgered stream unit: an already-ledgered batch is skipped whole; " +
     "an unledgered replay (planted crash) re-runs byte-identically") {
     SimHashIndex.drop(spark, ref)
