@@ -354,4 +354,39 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
       s"the doubling rounds must stay equi-joins:\n$plan")
   }
+
+  test("qg4 frequency span removal: native end to end, frequency join is " +
+    "an equi-join on the span key — no pairwise regime anywhere") {
+    val plan = executedPlan("qg4_freq_span_removal")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"span construction and counts must stay native:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"the count join-back must be an equi-join:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"corpus span counts must hash-aggregate (map-side combine):\n$plan")
+  }
+
+  test("qg7 prototype pruning: the centroid frame BROADCASTS into the " +
+    "assignment (the nCells-row side, never the corpus), the keep window " +
+    "is cell-keyed") {
+    val plan = executedPlan("qg7_prototype_prune")
+    // crossJoin(broadcast(cents)) plans as a broadcast nested loop with
+    // the 16-row centroid frame on the build side — deliberate: the
+    // argmin needs every (vector, centroid) pair and nCells is tiny
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"centroids must broadcast into the assignment:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"no unbroadcast pairwise product:\n$plan")
+    assert(!plan.matches("(?s).*Window.*SinglePartition.*"),
+      s"the rank window must key on cell_id, never one task:\n$plan")
+  }
+
+  test("qg9 soft-dedup weights: fingerprint is the native expression, the " +
+    "count join-back is an equi-join on the 8-byte fp") {
+    val plan = executedPlan("qg9_dup_weights")
+    assert(!plan.contains("ScalaUDF"),
+      s"docFingerprint must stay the codegen expression:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"the weight join must be an equi-join:\n$plan")
+  }
 }
