@@ -96,6 +96,68 @@ object Partitioning {
     } finally rdd.unpersist()
   }
 
+  /** Per-GROUP 1-based dense rank in `order` without a group-keyed
+    * window — [[prefixSum]]'s two-phase scan generalized from a global
+    * running sum to grouped row numbering. A `row_number() OVER
+    * (PARTITION BY group ORDER BY ...)` funnels each group through ONE
+    * task, which at 100 TB a dominant group (e.g. a one-language corpus
+    * under a language key) turns into a single-executor sort of the
+    * whole corpus. Here the corpus is RANGE-partitioned on
+    * (group, order...) — so a huge group SPANS partitions — then ranked
+    * in two corpus-linear passes: per-(partition, group) counts to the
+    * driver, offset-mapped scan back out. Range partitioning keeps each
+    * group's partitions contiguous, so the driver state is O(P + G)
+    * rows (each partition adds at most one extra group boundary), never
+    * O(P × G).
+    *
+    * `order` columns may carry explicit asc/desc (they feed
+    * `repartitionByRange` + `sortWithinPartitions` verbatim); make the
+    * total order unique (tie-break on a key column) for a deterministic
+    * assignment. Output: the input columns + `outCol` (long, 1-based
+    * within each group). */
+  def groupedRank(df: DataFrame, groupCol: String, order: Seq[Column],
+                  outCol: String, partitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val p = if (partitions > 0) partitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val gi = df.schema.fieldIndex(groupCol)
+    val sortCols = df.col(groupCol) +: order
+    val sorted = df.repartitionByRange(p, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val rdd = sorted.rdd
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // phase A: per-(partition, group) counts, encounter order = sorted
+      val counts = rdd.mapPartitionsWithIndex { (i, it) =>
+        val buf = scala.collection.mutable.LinkedHashMap.empty[Any, Long]
+        it.foreach { r => val g = r.get(gi); buf(g) = buf.getOrElse(g, 0L) + 1L }
+        buf.iterator.map { case (g, c) => (i, g, c) }.toSeq.iterator
+      }.collect()
+      // driver: cumulative per-group bases across partitions in pid order
+      val bases = scala.collection.mutable.HashMap.empty[(Int, Any), Long]
+      counts.groupBy(_._2).foreach { case (g, arr) =>
+        var acc = 0L
+        arr.sortBy(_._1).foreach { case (pid, _, c) =>
+          bases((pid, g)) = acc; acc += c
+        }
+      }
+      val bBases = spark.sparkContext.broadcast(bases.toMap)
+      val out = rdd.mapPartitionsWithIndex { (i, it) =>
+        val running = scala.collection.mutable.HashMap.empty[Any, Long]
+        it.map { r =>
+          val g = r.get(gi)
+          val rk = running.getOrElse(g, bBases.value.getOrElse((i, g), 0L)) + 1L
+          running(g) = rk
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ rk)
+        }
+      }
+      val schema = sorted.schema.add(outCol,
+        org.apache.spark.sql.types.LongType, nullable = false)
+      // materialize before unpersist so the cached scan feeds both passes
+      spark.createDataFrame(out, schema).localCheckpoint(true)
+    } finally rdd.unpersist()
+  }
+
   /** Z-order (Morton) clustering for multi-dimensional data skipping.
     *
     * A table range-partitioned and sorted by ONE column prunes scans on

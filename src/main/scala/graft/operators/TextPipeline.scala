@@ -377,23 +377,34 @@ object TextPipeline {
     * Output: (idCol, langCol, logprob, n_bigrams, ppl_bucket) with
     * ppl_bucket ∈ head|middle|tail, one row per input doc.
     *
-    * Scale: the LM tables are vocab-sized broadcasts (inherited); the
-    * ntile window is LANGUAGE-keyed — fine while no single language
-    * dominates an executor's memory, which at 100 TB a one-language
-    * corpus would: there, replace the window with the two-phase
-    * range-partition rank ([[Partitioning.zipWithIndex]] per language,
-    * the qes device) and derive the tertile from rank and count. The
-    * group-keyed-window form is kept because it is what CCNet's
-    * per-language sharding does and Catalyst plans it as one shuffle. */
+    * Scale: the LM tables are vocab-sized broadcasts (inherited). The
+    * tertile is NOT a language-keyed `ntile` window — a one-language
+    * corpus (the common CCNet deployment) would funnel 100 TB through
+    * ONE task. Instead each language is ranked by
+    * [[Partitioning.groupedRank]] (range-partition on (lang, score, id)
+    * so a dominant language SPANS partitions, then the two-phase
+    * counts-then-offsets scan — O(P + G) driver state) and the bucket
+    * is derived from (rank, language count) by exact ntile arithmetic:
+    * with q = N div 3, rem = N mod 3, the first `rem` buckets take
+    * q + 1 rows — bit-identical to SQL `ntile(3)`, which both engines'
+    * oracles still use. */
   def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
                         langCol: String): DataFrame = {
     val scored = kneserNeyBigramLogProb(df, idCol, textCol)
-    val win = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(langCol))
-      .orderBy(coalesce(round(col("logprob"), 6), lit(-1e18)).desc, col(idCol))
-    df.select(col(idCol), col(langCol))
-      .join(scored, Seq(idCol))
-      .withColumn("_nt", ntile(3).over(win))
+    val base = df.select(col(idCol), col(langCol)).join(scored, Seq(idCol))
+    val ranked = Partitioning.groupedRank(base, langCol,
+      Seq(coalesce(round(col("logprob"), 6), lit(-1e18)).desc, col(idCol).asc),
+      "_rk")
+    val totals = ranked.groupBy(col(langCol)).agg(count(lit(1)).as("_N"))
+    ranked.join(broadcast(totals), Seq(langCol))
+      .withColumn("_q", expr("_N DIV 3"))
+      .withColumn("_rem", expr("_N % 3"))
+      // exact ntile(3) from (rank, N); the q = 0 divisor never evaluates
+      // (N < 3 implies every rank sits in the first `rem` buckets), the
+      // greatest() only keeps ANSI div-by-zero out of the branch
+      .withColumn("_nt", when(col("_rk") <= col("_rem") * (col("_q") + 1),
+          expr("(_rk - 1) DIV (_q + 1) + 1"))
+        .otherwise(expr("_rem + (_rk - _rem * (_q + 1) - 1) DIV greatest(_q, 1L) + 1")))
       .select(col(idCol), col(langCol), col("logprob"), col("n_bigrams"),
         when(col("_nt") === 1, "head").when(col("_nt") === 2, "middle")
           .otherwise("tail").as("ppl_bucket"))

@@ -147,6 +147,28 @@ class DataSelectionSpec extends SparkSpec {
     assert(got.size === rows.size)
   }
 
+  test("groupedRank equals the group-keyed window reference, including a " +
+    "dominant group spanning partitions") {
+    val rnd = new scala.util.Random(23)
+    // group "big" holds 400 of 460 rows — the one-language shape the
+    // two-phase scan exists for; ranks must still match the window form
+    val rows = (0 until 460).map { i =>
+      val g = if (i < 400) "big" else s"g${i % 7}"
+      (i.toLong, g, rnd.nextInt(50))
+    }
+    val df = rnd.shuffle(rows).toDF("id", "grp", "score").repartition(9)
+    val got = graft.operators.Partitioning
+      .groupedRank(df, "grp", Seq(col("score").desc, col("id").asc), "rk", 5)
+      .select("id", "rk").as[(Long, Long)].collect().toMap
+    val want = rows.groupBy(_._2).flatMap { case (_, rs) =>
+      rs.sortBy(r => (-r._3, r._1)).zipWithIndex.map {
+        case ((id, _, _), i) => id -> (i + 1L)
+      }
+    }
+    assert(got.size === rows.size)
+    want.foreach { case (id, rk) => assert(got(id) === rk, s"id=$id") }
+  }
+
   test("packSequences: concat-and-chunk invariants (content, lengths, doc spans)") {
     val docs = Seq(
       (1L, "a b c d e"), (2L, "f g"), (3L, ""), (4L, "h i j k l m n"),

@@ -360,6 +360,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(Seq(11L, 12L, 13L).map(got).sorted === Seq("head", "middle", "tail"))
   }
 
+  test("perplexityBuckets rank-arithmetic form equals the ntile window " +
+    "reference on a ONE-language corpus (the scale case it exists for)") {
+    val words = Seq("the", "cat", "sat", "on", "mat", "dog", "ran", "far",
+      "zq", "xv", "jk", "wp")
+    val rnd = new scala.util.Random(41)
+    val docs = (0 until 55).map { i =>
+      val n = 1 + rnd.nextInt(9)
+      (i.toLong, (0 until n).map(_ => words(rnd.nextInt(words.size)))
+        .mkString(" "), "only")
+    }.toDF("doc_id", "text", "lang")
+    val got = TextPipeline.perplexityBuckets(docs, "doc_id", "text", "lang")
+      .select("doc_id", "ppl_bucket").as[(Long, String)].collect().toMap
+    // reference: the group-keyed ntile window this operator replaced
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(coalesce(round(col("logprob"), 6), lit(-1e18)).desc, col("doc_id"))
+    val want = docs.select(col("doc_id"), col("lang"))
+      .join(TextPipeline.kneserNeyBigramLogProb(docs, "doc_id", "text"),
+        Seq("doc_id"))
+      .withColumn("_nt", ntile(3).over(win))
+      .select(col("doc_id"),
+        when(col("_nt") === 1, "head").when(col("_nt") === 2, "middle")
+          .otherwise("tail").as("b"))
+      .as[(Long, String)].collect().toMap
+    assert(got === want)
+  }
+
   test("contaminationCheck counts shared n-grams; clean docs report zero") {
     val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
     val train = Seq(
