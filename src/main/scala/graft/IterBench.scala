@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.IterBench"
   * Section select: SPARK_GRAFT_ITERBENCH=loops|bpe|bpescale|bpedrop|tok|unigram|
-  * wpencode|simhash|shidx|lshidx|ivfidx|gramidx|exactsubstr|dsir|streampack|
+  * wpencode|simhash|grank|shidx|lshidx|ivfidx|gramidx|exactsubstr|dsir|streampack|
   * streamsample|stream|streamamort|streamloop (default loops — the
   * bpe/bpescale sections run ~500-merge tokenizer trainings and are
   * minutes long by design; results are recorded in BASELINE.md).
@@ -108,6 +108,38 @@ object IterBench {
         }
       }
       docs.unpersist()
+      spark.stop()
+      return
+    }
+
+    // Grouped rank at DOMINANT-GROUP scale (the round-16 groupedRank
+    // promotion): a one-language corpus funnels a language-keyed
+    // row_number window through ONE task regardless of cluster size;
+    // groupedRank range-partitions the group across every core. 95% of
+    // rows sit in one group, the rest across 50 small groups. mult
+    // scales the row count.
+    if (section == "grank") {
+      import org.apache.spark.sql.functions._
+      val n = 2000000L * mult
+      val df = spark.range(n).select(col("id"),
+        when(pmod(col("id"), lit(20L)) =!= 0L, lit("dominant"))
+          .otherwise(concat(lit("g"), pmod(col("id"), lit(50L)))).as("g"),
+        pmod(xxhash64(col("id")), lit(1000000L)).as("score")).cache()
+      df.count()
+      for (round <- 1 to 2) {
+        timed(s"window row_number  n=$n round=$round") {
+          val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+            .orderBy(col("score"), col("id"))
+          df.withColumn("rk", row_number().over(w))
+            .agg(sum(pmod(col("rk"), lit(1000000007L)))).head(); n
+        }
+        timed(s"groupedRank        n=$n round=$round") {
+          operators.Partitioning.groupedRank(df, "g",
+            Seq(col("score").asc, col("id").asc), "rk")
+            .agg(sum(pmod(col("rk"), lit(1000000007L)))).head(); n
+        }
+      }
+      df.unpersist()
       spark.stop()
       return
     }

@@ -165,6 +165,70 @@ object DataSelection {
         col("proto_rank"), col("is_kept"))
   }
 
+  /** GPT-3-style stochastic quality filtering (Brown et al. 2020,
+    * Appendix A): score every raw-pool document with a quality
+    * classifier trained target-vs-raw, then keep it iff
+    *
+    *   quality > 1 − pareto(α) draw,   α = 9 in the paper
+    *
+    * so high-quality documents are (almost) always kept while
+    * low-quality ones still enter the mix with heavy-tailed probability
+    * — the published alternative to a hard threshold. Everything is
+    * integer-exact:
+    *
+    *  - the classifier is the hashed-unigram ratio model of
+    *    [[dsirIlrTable]] (per-token mean scaled ratio r̄ = avg_ilr /
+    *    scale), mapped to the NB posterior under a 50/50 prior,
+    *    q = r̄/(1+r̄), held in millis: q_milli = 1000·avg_ilr DIV
+    *    (scale + avg_ilr) ∈ [0, 1000);
+    *  - the Pareto draw comes from the top 20 bits of the salted id
+    *    hash, u = draw_bits / 2^20, via the inverse CDF
+    *    draw = u^(−1/α) − 1; and
+    *  - `q > 1 − draw  ⇔  u < (2−q)^(−α)  ⇔
+    *    draw_bits · (2000 − q_milli)^α < 2^20 · 1000^α` — an EXACT
+    *    integer comparison (≤ 5.4e35 at α = 9: inside Spark's
+    *    decimal(38) and the oracle's HUGEINT), no libm anywhere.
+    *    draw_bits = 0 (u = 0, infinite draw) keeps by the same
+    *    comparison — 0 < RHS.
+    *
+    * Output: (idCol, n_feat, avg_ilr, q_milli, draw_bits, is_kept), one
+    * row per raw-pool document with ≥ 1 token (zero-token docs carry no
+    * classifier evidence and are excluded, as in [[dsirSelect]]).
+    *
+    * Shape at 100 TB: identical to [[dsirSelect]] minus the top-k — one
+    * feature-count aggregate for the B-entry table (broadcast literal),
+    * then a pure map-side scan: score, quality, draw, verdict all fuse
+    * into the row pass; zero shuffles, zero driver round-trips. */
+  def paretoQualitySelect(docs: DataFrame, idCol: String, textCol: String,
+                          isTarget: Column, buckets: Int = 512,
+                          alpha: Int = 9, scale: Long = 1000000L,
+                          salt: String = "pareto"): DataFrame = {
+    require(alpha >= 1 && alpha <= 9,
+      s"alpha must be in [1, 9] (integer-overflow bound), got $alpha")
+    val ilr = typedLit(dsirIlrTable(docs, textCol, isTarget, buckets, scale))
+    // 2^20 · 1000^alpha as an exact decimal literal
+    val rhs = lit(new java.math.BigDecimal(
+      ((BigInt(1) << 20) * BigInt(1000).pow(alpha)).bigInteger))
+    val pow = (1 until alpha).foldLeft(col("_base").cast("decimal(4,0)")) {
+      (acc, _) => acc * col("_base").cast("decimal(4,0)")
+    }
+    docs.filter(!isTarget)
+      .select(col(idCol), featureBuckets(col(textCol), buckets).as("bks"))
+      .select(col(idCol), size(col("bks")).cast("long").as("n_feat"),
+        aggregate(col("bks"), lit(0L), (acc, b) => acc + element_at(ilr, b))
+          .as("score"))
+      .filter(col("n_feat") > 0)
+      .withColumn("avg_ilr", expr("score DIV n_feat"))
+      .withColumn("q_milli", expr(s"(1000L * avg_ilr) DIV (${scale}L + avg_ilr)"))
+      .withColumn("draw_bits", shiftrightunsigned(
+        Fnv1a64Expr(concat(col(idCol).cast("string"), lit(":" + salt))), 44))
+      .withColumn("_base", lit(2000L) - col("q_milli"))
+      .withColumn("is_kept",
+        (col("draw_bits").cast("decimal(7,0)") * pow) < rhs)
+      .select(col(idCol), col("n_feat"), col("avg_ilr"), col("q_milli"),
+        col("draw_bits"), col("is_kept"))
+  }
+
   /** Select the `k` raw-pool documents (rows where `isTarget` is false)
     * whose hashed-unigram mix best matches the target corpus. Output:
     * (idCol, n_feat, score, avg_ilr), the top-k by (avg_ilr desc, id asc);

@@ -997,6 +997,72 @@ object Dedup {
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
   }
 
+  /** The LOSS-MASKING alternative to [[exactSubstrRemove]] (Lee et al.
+    * 2022 §5 discuss masking the training loss on duplicated spans
+    * instead of deleting them — text stays intact for context, the
+    * model just never trains ON the duplicated characters): per doc,
+    * the union-merged [pos, pos+L) character intervals covered by
+    * L-char windows duplicated corpus-wide, emitted as an explicit span
+    * list a training loader turns into a loss mask.
+    *
+    * Output: (idCol, mask_spans, n_mask_spans, n_masked_chars, len) —
+    * mask_spans the canonical "s:e;s:e" rendering (half-open, ascending,
+    * "" when nothing masks), len the doc's char length. Masking the
+    * spans of [[exactSubstrRemove]]'s output and removing them agree by
+    * construction: same windows, same merge.
+    *
+    * Same machinery and scale shape as qf8: one rolling-hash pass,
+    * hash-count candidates, collision-exact text confirm on the
+    * duplicated subset only, per-doc gaps-and-islands merge. Linear end
+    * to end; only duplicated-gram rows move in the string-keyed join. */
+  def exactSubstrMask(df: DataFrame, idCol: String, textCol: String,
+                      minLen: Int): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    import org.apache.spark.sql.expressions.Window
+    val L = minLen
+    val docs = df.select(col(idCol).as("_d"), col(textCol).as("_t"),
+      length(col(textCol)).cast("long").as("_len"))
+    val grams = docs.select(col("_d"),
+        posexplode(when(col("_len") >= L,
+          transform(sequence(lit(0L), col("_len") - L), i =>
+            graft.functions.Fnv1a64Expr(
+              col("_t").substr((i + 1).cast("int"), lit(L)))))
+          .otherwise(array().cast("array<bigint>"))))
+      .toDF("_d", "pos", "h")
+      .withColumn("pos", col("pos").cast("long"))
+    val dupHash = grams.groupBy(col("h"))
+      .agg(count(lit(1)).as("_c")).filter(col("_c") >= 2).select("h")
+    val dupPos = grams.join(dupHash, "h")
+      .join(docs.select(col("_d"), col("_t")), "_d")
+      .select(col("_d"), col("pos"),
+        col("_t").substr((col("pos") + 1).cast("int"), lit(L)).as("g"))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .filter(col("_n") >= 2)
+      .select(col("_d"), col("pos"))
+    val ord = Window.partitionBy("_d").orderBy(col("s"), col("e"))
+    val merged = dupPos
+      .select(col("_d"), col("pos").as("s"), (col("pos") + L).as("e"))
+      .withColumn("brk", when(col("s") > coalesce(
+        max(col("e")).over(ord.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(-1L)), 1).otherwise(0))
+      .withColumn("grp", sum(col("brk")).over(ord))
+      .groupBy(col("_d"), col("grp"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+    val perDoc = merged.groupBy(col("_d"))
+      .agg(count(lit(1)).cast("long").as("n_mask_spans"),
+        sum(col("e") - col("s")).cast("long").as("n_masked_chars"),
+        concat_ws(";", transform(
+          array_sort(collect_list(struct(col("s"), col("e")))),
+          iv => concat(iv.getField("s"), lit(":"), iv.getField("e"))))
+          .as("mask_spans"))
+    docs.join(perDoc, Seq("_d"), "left")
+      .select(col("_d").as(idCol),
+        coalesce(col("mask_spans"), lit("")).as("mask_spans"),
+        coalesce(col("n_mask_spans"), lit(0L)).as("n_mask_spans"),
+        coalesce(col("n_masked_chars"), lit(0L)).as("n_masked_chars"),
+        col("_len").as("len"))
+  }
+
   /** Memorization-risk report — the per-document EXPOSURE metric of the
     * memorization literature (content a model could only have learned
     * from this one document): for each doc, the merged character spans

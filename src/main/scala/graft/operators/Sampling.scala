@@ -395,6 +395,99 @@ object Sampling {
                        salt: String = "stride"): DataFrame =
     Partitioning.zipWithIndex(strideOrder(df, idCol, groupCol, salt), "pos")
 
+  /** DoReMi domain reweighting (Xie et al., "DoReMi: Optimizing Data
+    * Mixtures Speeds Up Language Model Pretraining", NeurIPS 2023) in
+    * the house integer-exact device: the Group-DRO proxy loop that turns
+    * per-example EXCESS LOSS (proxy − reference, caller-supplied as a
+    * nonnegative integer column — milli-nats by convention) into domain
+    * mixture weights. Per step t (minibatch = rows whose `stepCol` == t,
+    * the caller's deterministic shard):
+    *
+    *   λ_t(k)  = clamp(Σ excess / n, 1e6)        per-domain mean excess
+    *   α'(k)   = α(k) · (1000 + η·λ_t(k) DIV 1000) DIV 1000
+    *                                              multiplicative-weights
+    *                                              ascent (the linearized
+    *                                              exp(η·λ) update — exact
+    *                                              integers, no libm)
+    *   α(k)    = (1−c)·norm(α') + c·uniform       DoReMi's smoothed
+    *                                              renormalization
+    *
+    * and the returned mixture is DoReMi's ACROSS-STEP AVERAGE ᾱ plus the
+    * final α. Weights are held in nano-units (Σ ≈ 1e9); every division
+    * is a floor of nonnegative integers, so an external SQL oracle
+    * replays the whole trajectory bit-for-bit (Spark BigInt ≡ DuckDB
+    * HUGEINT).
+    *
+    * Output: (domainCol, avg_weight_nanos, final_weight_nanos), one row
+    * per domain, the training-mix allocation [[mixtureSample]] consumes.
+    *
+    * Shape at 100 TB: ONE corpus pass — a (step, domain) grouped
+    * aggregate with map-side partials (steps × domains rows to the
+    * driver, model-scale like the vocab/budget collects this repo
+    * bounds); the T-step loop is pure driver arithmetic on K-row state.
+    * No per-step corpus scan, no shuffle beyond the one aggregate. */
+  def doremiWeightsScaled(df: DataFrame, domainCol: String, excessCol: String,
+                          stepCol: String, steps: Int, etaMilli: Long,
+                          smoothMilli: Long): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    require(etaMilli >= 0 && etaMilli <= 10000, s"etaMilli=$etaMilli out of [0,10000]")
+    require(smoothMilli >= 0 && smoothMilli <= 1000,
+      s"smoothMilli=$smoothMilli out of [0,1000]")
+    val spark = df.sparkSession
+    val S = 1000000000L
+    val lamRows = df.groupBy(col(stepCol).cast("long").as("_t"),
+        col(domainCol).cast("string").as("_g"))
+      .agg(sum(greatest(col(excessCol).cast("long"), lit(0L))).as("_s"),
+        count(lit(1)).as("_n"))
+      .collect()
+    val lam = lamRows.map(r =>
+      (r.getLong(0), r.getString(1)) -> math.min(r.getLong(2) / r.getLong(3),
+        1000000L)).toMap
+    val domains = lamRows.map(_.getString(1)).distinct.sorted
+    require(domains.nonEmpty, "doremiWeightsScaled needs at least one domain")
+    val k = domains.length
+    val uniform = S / k
+    var w: Map[String, BigInt] = domains.map(_ -> BigInt(uniform)).toMap
+    val acc = scala.collection.mutable.Map(domains.map(_ -> BigInt(0)): _*)
+    (0L until steps).foreach { t =>
+      val wp = domains.map { g =>
+        val factor = 1000L + etaMilli * lam.getOrElse((t, g), 0L) / 1000L
+        g -> w(g) * factor / 1000
+      }
+      val tot = wp.map(_._2).sum
+      w = wp.map { case (g, v) =>
+        val norm = v * S / tot
+        g -> (BigInt(1000 - smoothMilli) * norm / 1000 +
+          BigInt(smoothMilli) * uniform / 1000)
+      }.toMap
+      domains.foreach(g => acc(g) += w(g))
+    }
+    import spark.implicits._
+    domains.toSeq.map(g => (g, (acc(g) / steps).toLong, w(g).toLong))
+      .toDF(domainCol, "avg_weight_nanos", "final_weight_nanos")
+  }
+
+  /** Per-domain quota cap — the MassiveWeb/RefinedWeb guard against one
+    * host dominating the mix (Rae et al. 2021 §A.1.2 cap the documents
+    * any single domain contributes): keep at most `perDomain` documents
+    * per domain, chosen by the salted content hash (deterministic,
+    * layout-independent, ties to the lower id). Output: (idCol,
+    * domainCol, rk) for the kept rows.
+    *
+    * Shape at 100 TB: the rank is [[Partitioning.groupedRank]]'s
+    * two-phase range-partitioned scan, NOT a domain-keyed window — a
+    * dominant domain (the exact case a cap exists for) would funnel a
+    * window through one task; here it spans partitions. */
+  def domainQuotaCap(df: DataFrame, idCol: String, domainCol: String,
+                     perDomain: Int, salt: String = "quota"): DataFrame = {
+    require(perDomain >= 1, s"perDomain must be >= 1, got $perDomain")
+    val keyed = df.select(col(idCol), col(domainCol))
+    Partitioning.groupedRank(keyed, domainCol,
+        Seq(unitHash(col(idCol), salt).asc, col(idCol).asc), "rk")
+      .filter(col("rk") <= perDomain)
+      .select(col(idCol), col(domainCol), col("rk"))
+  }
+
   /** The DataFrame half of [[strideInterleave]] — everything up to the
     * global RANGE-partitioned sort, before the two-phase index scan turns
     * it into an RDD (which hides the plan). Split out so PlanQualitySpec

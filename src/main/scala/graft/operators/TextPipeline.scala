@@ -1006,6 +1006,26 @@ object TextPipeline {
       .withColumnRenamed("_doc", idCol)
   }
 
+  /** Byte-level staging for the BPE family (Radford et al. 2019 — GPT-2/
+    * RoBERTa/GPT-3 run BPE over UTF-8 BYTES remapped to printable units,
+    * so the vocabulary covers every input with zero unknowns): lowercase
+    * (the family's normalization), whitespace-pretokenize, remap each
+    * word's UTF-8 bytes through the caseless byte→unit bijection
+    * ([[graft.functions.ByteUnitsExpr]] — U+2800+b; see its scaladoc for
+    * why GPT-2's mixed-case page cannot survive a lowercasing family),
+    * and rejoin with single spaces. Feed the result to [[bpeTrain]] /
+    * [[bpeEncode]] unchanged: their symbol seeding then operates on
+    * byte units exactly as published byte-level BPE does. The space
+    * byte never enters a unit (whitespace pretokenization — the Ġ
+    * space-marker is a pretokenizer convention, not BPE structure).
+    *
+    * The transform lambda is a CodegenFallback HOF (trap-list #14) —
+    * acceptable here because this is trainer STAGING, one pass before
+    * the merge loop, not a per-query hot path. */
+  def byteLevelText(textCol: Column): Column =
+    concat_ws(" ", transform(TextFunctions.tokens(lower(textCol)),
+      w => graft.functions.ByteUnitsExpr(w)))
+
   def bpeTrain(df: DataFrame, textCol: String, nMerges: Int): Seq[(Int, String, String, Long)] = {
     require(nMerges >= 1)
     val spark = df.sparkSession

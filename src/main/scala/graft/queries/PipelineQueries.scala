@@ -1094,8 +1094,11 @@ object PipelineQueries {
     * but each vocabulary frame carries the source `word` through the
     * folds, so the final frame maps word → encoded token length and the
     * per-document counts come from re-joining the word-instance stream. */
-  private lazy val OBpeEncode3: String = {
-    def argmax(i: Int) = s"""p${i + 1} AS (
+  /** Shared CTE builders for the word-carrying BPE encode replay
+    * ([[OBpeEncode3]] and the byte-level [[OByteBpeEncode3]]): argmax =
+    * highest-count adjacent pair over vocabulary frame v<i>; fold = one
+    * greedy-leftmost merge pass v<i> → v<i+1>. */
+  private def oBpeArgmax(i: Int) = s"""p${i + 1} AS (
         SELECT syms[i] AS lhs, syms[i + 1] AS rhs, sum(cnt) AS pc
         FROM v$i CROSS JOIN UNNEST(generate_series(1, len(syms) - 1)) AS t(i)
         GROUP BY 1, 2
@@ -1103,7 +1106,7 @@ object PipelineQueries {
         SELECT lhs, rhs, pc FROM p${i + 1}
         ORDER BY pc DESC, lhs, rhs LIMIT 1
       )"""
-    def fold(i: Int) = s"""r${i + 1} AS (
+  private def oBpeFold(i: Int) = s"""r${i + 1} AS (
         SELECT word, syms, cnt, 1 AS i, []::varchar[] AS out, '' AS pending
         FROM v$i
         UNION ALL
@@ -1121,6 +1124,10 @@ object PipelineQueries {
                           ELSE list_append(out, pending) END AS syms, cnt
         FROM r${i + 1} WHERE i = len(syms) + 1
       )"""
+
+  private lazy val OBpeEncode3: String = {
+    def argmax(i: Int) = oBpeArgmax(i)
+    def fold(i: Int) = oBpeFold(i)
     s"""WITH RECURSIVE words AS (
         SELECT w AS word, count(*) AS cnt FROM (
           SELECT unnest(list_filter(
@@ -1140,6 +1147,64 @@ object PipelineQueries {
         SELECT doc_id, unnest(list_filter(
           string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS word
         FROM documents
+      )
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        CAST(sum(w_toks) AS BIGINT) AS n_tokens
+      FROM docw JOIN wl USING (word)
+      GROUP BY doc_id"""
+  }
+
+  /** DuckDB replay of BYTE-LEVEL BPE encoding (the qge gate): the same
+    * 3-merge word-carrying machinery as [[OBpeEncode3]], but the word
+    * alphabet is the byte→unit bijection — each word's code points are
+    * expanded to UTF-8 bytes BY ARITHMETIC (cp < 0x80/0x800/0x10000
+    * branches) and every byte b renders as chr(10240 + b), replaying
+    * graft.functions.ByteUnitsExpr exactly. The staged corpus plants
+    * 2-byte (é, à, ï) and 4-byte (U+1F600) code points via chr() so the
+    * multi-byte paths are genuinely exercised, not just ASCII. */
+  private lazy val OByteBpeEncode3: String = {
+    def utf8units(cp: String) = s"""CASE
+        WHEN $cp < 128 THEN [chr(10240 + $cp)]
+        WHEN $cp < 2048 THEN
+          [chr(10240 + 192 + $cp // 64), chr(10240 + 128 + $cp % 64)]
+        WHEN $cp < 65536 THEN
+          [chr(10240 + 224 + $cp // 4096),
+           chr(10240 + 128 + ($cp // 64) % 64),
+           chr(10240 + 128 + $cp % 64)]
+        ELSE
+          [chr(10240 + 240 + $cp // 262144),
+           chr(10240 + 128 + ($cp // 4096) % 64),
+           chr(10240 + 128 + ($cp // 64) % 64),
+           chr(10240 + 128 + $cp % 64)] END"""
+    s"""WITH RECURSIVE staged AS (
+        SELECT doc_id, CASE
+            WHEN doc_id % 5 = 0 THEN text || ' caf' || chr(233) || ' d'
+              || chr(233) || 'j' || chr(224) || ' vu'
+            WHEN doc_id % 7 = 3 THEN text || ' ' || chr(128512) || ' na'
+              || chr(239) || 've'
+            ELSE text END AS text
+        FROM documents
+      ), docw0 AS (
+        SELECT doc_id, unnest(list_filter(
+          string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS rw
+        FROM staged
+      ), docw AS (
+        SELECT doc_id, array_to_string(flatten(
+          list_transform(range(1, length(rw) + 1), i ->
+            ${utf8units("unicode(rw[i])")})), '') AS word
+        FROM docw0
+      ), words AS (
+        SELECT word, count(*) AS cnt FROM docw GROUP BY 1
+      ), v0 AS (
+        SELECT word, list_append(
+            list_transform(range(1, length(word) + 1), i -> word[i]),
+            '</w>') AS syms,
+          cnt
+        FROM words
+      ), ${oBpeArgmax(0)}, ${oBpeFold(0)}, ${oBpeArgmax(1)}, ${oBpeFold(1)},
+      ${oBpeArgmax(2)}, ${oBpeFold(2)},
+      wl AS (
+        SELECT word, len(syms) AS w_toks FROM v3
       )
       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
         CAST(sum(w_toks) AS BIGINT) AS n_tokens
@@ -1676,11 +1741,14 @@ object PipelineQueries {
 
     // CCNet perplexity bucketing (Wenzek et al. 2020 §4.4 — qdz's
     // Kneser-Ney scores split into per-language head/middle/tail thirds,
-    // the split CCNet uses to keep/caution/drop crawl text). ntile(3) is
-    // SQL-standard on both engines (larger buckets first); ordering is
-    // on the 6-decimal-rounded score (the qb9 device) with doc-id
-    // tie-breaks and a sentinel for bigram-less docs, so the bucket
-    // boundary replays exactly.
+    // the split CCNet uses to keep/caution/drop crawl text). The engine
+    // derives the bucket from the two-phase grouped rank + exact ntile
+    // arithmetic (a one-language corpus must not funnel through one
+    // window task); the oracle keeps SQL ntile(3) (larger buckets
+    // first) — same function by construction. Ordering is on the
+    // 6-decimal-rounded score (the qb9 device) with doc-id tie-breaks
+    // and a sentinel for bigram-less docs, so the bucket boundary
+    // replays exactly.
     Entry("qg3_perplexity_buckets",
       (s, dir) => TextPipeline.perplexityBuckets(t(s, dir, "documents"),
           "doc_id", "text", "lang")
@@ -3672,5 +3740,196 @@ object PipelineQueries {
           CAST(count(DISTINCT d.lang) AS BIGINT) AS n_langs
         FROM documents d JOIN toks t USING (doc_id)
         GROUP BY d.source""")),
+
+    // DoReMi domain reweighting (Xie et al. 2023) — the Group-DRO proxy
+    // loop as exact integer arithmetic: per-(step, domain) mean excess
+    // loss (here a deterministic n_chars-derived stand-in; production
+    // feeds real proxy-minus-reference losses), 4 multiplicative-weights
+    // steps with DoReMi's smoothed renormalization, output = across-step
+    // average + final mixture in nano-units. ONE corpus aggregate feeds
+    // the whole trajectory; the oracle unrolls all 4 steps in HUGEINT —
+    // bit-for-bit against the driver's BigInt loop.
+    Entry("qga_doremi_weights",
+      (s, dir) => Sampling.doremiWeightsScaled(
+        t(s, dir, "documents").select(col("source"),
+          pmod(col("n_chars"), lit(997L)).as("excess"),
+          pmod(col("doc_id"), lit(4L)).as("step")),
+        "source", "excess", "step", steps = 4, etaMilli = 500,
+        smoothMilli = 100),
+      Some {
+        val steps = (0 until 4).map { t =>
+          s"""p$t AS (
+            SELECT w.domain, (w.w * (1000 + (500 * coalesce(l.lam, 0)) // 1000))
+              // 1000 AS wp
+            FROM w$t w LEFT JOIN (SELECT domain, lam FROM lam WHERE t = $t) l
+              USING (domain)
+          ), s$t AS (SELECT sum(wp) AS tot FROM p$t),
+          w${t + 1} AS (
+            SELECT p.domain,
+              CAST((900 * ((p.wp * 1000000000::HUGEINT) // s.tot)) // 1000
+                + (100 * (1000000000 // kc.c)) // 1000 AS HUGEINT) AS w
+            FROM p$t p, s$t s, kc
+          )"""
+        }.mkString(",\n")
+        s"""WITH doms AS MATERIALIZED (
+            SELECT DISTINCT source AS domain FROM documents
+          ), kc AS MATERIALIZED (
+            SELECT CAST(count(*) AS BIGINT) AS c FROM doms
+          ), lam AS MATERIALIZED (
+            SELECT doc_id % 4 AS t, source AS domain,
+              least(sum(greatest(n_chars % 997, 0)) // count(*), 1000000) AS lam
+            FROM documents GROUP BY 1, 2
+          ), w0 AS (
+            SELECT domain, CAST(1000000000 // kc.c AS HUGEINT) AS w FROM doms, kc
+          ),
+          $steps
+          SELECT w1.domain AS source,
+            CAST((w1.w + w2.w + w3.w + w4.w) // 4 AS BIGINT) AS avg_weight_nanos,
+            CAST(w4.w AS BIGINT) AS final_weight_nanos
+          FROM w1 JOIN w2 USING (domain) JOIN w3 USING (domain)
+            JOIN w4 USING (domain)"""
+      }),
+
+    // GPT-3-style stochastic quality filtering (Brown et al. 2020 App. A:
+    // keep iff classifier score > 1 − pareto(9) draw) — qei's integer-
+    // exact hashed-unigram classifier mapped to a milli-quality posterior,
+    // the Pareto draw from the top 20 bits of the salted id hash, and the
+    // keep rule closed into ONE exact integer comparison
+    // (draw_bits · (2000 − q_milli)^9 < 2^20 · 1000^9 — Spark decimal(38)
+    // vs DuckDB HUGEINT, same integers). No libm anywhere in the verdict.
+    Entry("qgb_pareto_quality",
+      (s, dir) => DataSelection.paretoQualitySelect(t(s, dir, "documents"),
+        "doc_id", "text", isTarget = col("lang") === "en",
+        buckets = 512, alpha = 9),
+      Some {
+        val p9 = Seq.fill(9)("CAST(2000 - q_milli AS HUGEINT)").mkString(" * ")
+        s"""WITH tok AS (
+          SELECT doc_id, lang, unnest($OTOKS) AS t FROM documents
+        ), b AS (
+          SELECT doc_id, lang, CAST(${oFnv("t")} % 512 AS BIGINT) AS bk
+          FROM tok
+        ), agg AS (
+          SELECT bk,
+            CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+            CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS BIGINT) AS nr
+          FROM b GROUP BY 1
+        ), tot AS (
+          SELECT CAST(coalesce(sum(nt), 0) + 512 AS BIGINT) AS totT,
+                 CAST(coalesce(sum(nr), 0) + 512 AS BIGINT) AS totR
+          FROM agg
+        ), ilr AS (
+          SELECT s.bk,
+            ((coalesce(a.nt, 0) + 1) * t.totR * 1000000)
+              // ((coalesce(a.nr, 0) + 1) * t.totT) AS r
+          FROM (SELECT unnest(range(512)) AS bk) s
+          LEFT JOIN agg a USING (bk) CROSS JOIN tot t
+        ), sc AS (
+          SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+            CAST(sum(i.r) AS BIGINT) AS score
+          FROM b JOIN ilr i USING (bk) WHERE b.lang <> 'en' GROUP BY 1
+        ), qn AS (
+          SELECT doc_id, n_feat, score // n_feat AS avg_ilr FROM sc
+        ), qd AS (
+          SELECT doc_id, n_feat, avg_ilr,
+            (1000 * avg_ilr) // (1000000 + avg_ilr) AS q_milli,
+            CAST(${oFnv("(CAST(doc_id AS VARCHAR) || ':pareto')")}
+              // 17592186044416::HUGEINT AS BIGINT) AS draw_bits
+          FROM qn
+        )
+        SELECT doc_id, n_feat, avg_ilr, q_milli, draw_bits,
+          (CAST(draw_bits AS HUGEINT) * $p9)
+            < 1048576000000000000000000000000000::HUGEINT AS is_kept
+        FROM qd"""
+      }),
+
+    // ExactSubstr LOSS MASKING (Lee et al. 2022 §5's alternative to
+    // removal: keep the text, mask the training loss on duplicated
+    // spans) — qf8's duplicated-window machinery emitting the merged
+    // [s, e) span list as an explicit "s:e;s:e" mask instead of excising
+    // it. Masking's spans and qf8's removals agree by construction
+    // (same windows, same merge); the oracle replays spans, counts, and
+    // the canonical rendering.
+    Entry("qgc_exact_substr_mask",
+      (s, dir) => Dedup.exactSubstrMask(t(s, dir, "documents"),
+        "doc_id", "text", minLen = 40),
+      Some("""WITH g AS (
+          SELECT doc_id, i - 1 AS pos, substring(text, i, 40) AS gram
+          FROM documents
+          CROSS JOIN UNNEST(generate_series(1, len(text) - 39)) AS u(i)
+          WHERE len(text) >= 40
+        ), dup AS (
+          SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2
+        ), iv AS (
+          SELECT doc_id, pos AS s, pos + 40 AS e FROM g
+          WHERE gram IN (SELECT gram FROM dup)
+        ), brk AS (
+          SELECT doc_id, s, e,
+            CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+              ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              -1) THEN 1 ELSE 0 END AS b
+          FROM iv
+        ), grps AS (
+          SELECT doc_id, s, e,
+            sum(b) OVER (PARTITION BY doc_id ORDER BY s, e) AS grp
+          FROM brk
+        ), mi AS (
+          SELECT doc_id, grp, min(s) AS s, max(e) AS e FROM grps GROUP BY 1, 2
+        ), agg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_mask_spans,
+            CAST(sum(e - s) AS BIGINT) AS n_masked_chars,
+            string_agg(s || ':' || e, ';' ORDER BY s) AS mask_spans
+          FROM mi GROUP BY 1
+        )
+        SELECT d.doc_id, coalesce(agg.mask_spans, '') AS mask_spans,
+          coalesce(agg.n_mask_spans, CAST(0 AS BIGINT)) AS n_mask_spans,
+          coalesce(agg.n_masked_chars, CAST(0 AS BIGINT)) AS n_masked_chars,
+          CAST(len(d.text) AS BIGINT) AS len
+        FROM documents d LEFT JOIN agg USING (doc_id)""")),
+
+    // BYTE-LEVEL BPE (Radford et al. 2019 — the GPT-2/RoBERTa/GPT-3
+    // tokenizer family: BPE over UTF-8 bytes remapped to printable
+    // units, zero unknowns by construction): the corpus is staged with
+    // planted 2-byte and 4-byte code points, lowered + pretokenized +
+    // remapped through the caseless byte→unit bijection
+    // (ByteUnitsExpr, U+2800+b), then the EXISTING trainer/encoder run
+    // unchanged over byte units — 3 merges learned on bytes, per-doc
+    // token counts under the byte vocabulary. The oracle re-derives
+    // UTF-8 bytes from code points by arithmetic and replays train +
+    // encode through the word-carrying folds.
+    Entry("qge_byte_bpe",
+      (s, dir) => {
+        val staged = t(s, dir, "documents").select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(col("text"), lit(" caf\u00e9 d\u00e9j\u00e0 vu")))
+            .when(pmod(col("doc_id"), lit(7)) === 3,
+              concat(col("text"), lit(" \ud83d\ude00 na\u00efve")))
+            .otherwise(col("text")).as("text"))
+        val bl = staged.select(col("doc_id"),
+          TextPipeline.byteLevelText(col("text")).as("text"))
+        val merges = TextPipeline.bpeTrain(bl, "text", nMerges = 3)
+          .map { case (_, l, r, _) => (l, r) }
+        TextPipeline.bpeEncode(bl, "doc_id", "text", merges)
+      },
+      Some(OByteBpeEncode3)),
+
+    // Per-domain quota cap (MassiveWeb/Gopher §A.1.2's per-domain
+    // document cap): keep <= 20 docs per source, chosen by salted
+    // content hash with id tie-breaks. The engine ranks with the
+    // two-phase grouped scan (Partitioning.groupedRank — a dominant
+    // domain must not funnel a window through one task); the oracle IS
+    // the single-node window, which DuckDB may run.
+    Entry("qgd_domain_quota",
+      (s, dir) => Sampling.domainQuotaCap(t(s, dir, "documents"),
+        "doc_id", "source", perDomain = 20),
+      Some(s"""WITH u AS (
+          SELECT doc_id, source, ${oUnitHash("doc_id", "quota")} AS u
+          FROM documents
+        ), r AS (
+          SELECT doc_id, source,
+            CAST(row_number() OVER (PARTITION BY source ORDER BY u, doc_id)
+              AS BIGINT) AS rk
+          FROM u
+        )
+        SELECT doc_id, source, rk FROM r WHERE rk <= 20""")),
   )
 }

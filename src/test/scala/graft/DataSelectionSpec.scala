@@ -169,6 +169,92 @@ class DataSelectionSpec extends SparkSpec {
     want.foreach { case (id, rk) => assert(got(id) === rk, s"id=$id") }
   }
 
+  test("doremiWeightsScaled matches an independent BigInt replay and " +
+    "tilts weight toward the high-excess domain") {
+    // domain A carries 4x the excess loss of B; C sits between
+    val rows = Seq(
+      ("A", 800L, 0L), ("A", 400L, 0L), ("B", 100L, 0L), ("C", 300L, 0L),
+      ("A", 600L, 1L), ("B", 200L, 1L), ("B", 0L, 1L), ("C", 250L, 1L),
+      ("A", 900L, 2L), ("C", 350L, 2L))
+    val df = rows.toDF("dom", "excess", "step")
+    val got = graft.operators.Sampling
+      .doremiWeightsScaled(df, "dom", "excess", "step", steps = 3,
+        etaMilli = 500, smoothMilli = 100)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // independent replay of the documented integer trajectory
+    val doms = Seq("A", "B", "C")
+    val S = BigInt(1000000000); val uniform = S / 3
+    val lam = rows.groupBy(r => (r._3, r._1)).map { case (k, rs) =>
+      k -> (rs.map(_._2).sum / rs.size).min(1000000L)
+    }
+    var w = doms.map(_ -> uniform).toMap
+    val acc = scala.collection.mutable.Map(doms.map(_ -> BigInt(0)): _*)
+    (0L until 3).foreach { t =>
+      val wp = doms.map(g => g ->
+        w(g) * (1000L + 500L * lam.getOrElse((t, g), 0L) / 1000L) / 1000)
+      val tot = wp.map(_._2).sum
+      w = wp.map { case (g, v) =>
+        g -> (BigInt(900) * (v * S / tot) / 1000 + BigInt(100) * uniform / 1000)
+      }.toMap
+      doms.foreach(g => acc(g) += w(g))
+    }
+    doms.foreach { g =>
+      assert(got(g) === (((acc(g) / 3).toLong, w(g).toLong)), s"domain $g")
+    }
+    // ordering by excess: A > C > B; the mixture must reflect it
+    assert(got("A")._2 > got("C")._2 && got("C")._2 > got("B")._2)
+    assert(got("A")._2 > 333333333L && got("B")._2 < 333333333L)
+  }
+
+  test("paretoQualitySelect: quality law, draw bits, and the exact " +
+    "integer keep rule against a BigInt reference") {
+    // target = the two "quality prose" docs; raw pool mixes lookalikes
+    // and junk so avg_ilr actually spreads
+    val prose = "the quick brown fox jumps over the lazy dog in the field"
+    val docs = (Seq((1L, prose, true), (2L, s"$prose again and again", true)) ++
+      (10L until 40L).map { i =>
+        val txt = if (i % 3 == 0) prose
+          else if (i % 3 == 1) s"fox dog field the quick"
+          else "zz qq xx vv kk jj ww pp"
+        (i, txt, false)
+      }).toDF("doc_id", "text", "is_t")
+    val got = DataSelection.paretoQualitySelect(docs, "doc_id", "text",
+        isTarget = col("is_t"), buckets = 64, alpha = 9, salt = "pareto")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+    assert(got.length === 30) // every raw doc has tokens
+    val rhs = (BigInt(1) << 20) * BigInt(1000).pow(9)
+    got.foreach { case (id, nFeat, avgIlr, qm, draw, kept) =>
+      assert(nFeat > 0)
+      assert(qm === 1000L * avgIlr / (1000000L + avgIlr), s"doc $id q law")
+      assert(draw >= 0 && draw < (1L << 20), s"doc $id draw bits")
+      assert(kept === (BigInt(draw) * BigInt(2000 - qm).pow(9) < rhs),
+        s"doc $id keep rule")
+    }
+    // prose clones score at least as hot as junk, and the rule is
+    // monotone: among equal draws, higher quality can only flip to kept
+    val byId = got.map(g => g._1 -> g).toMap
+    assert(byId(12L)._4 > byId(11L)._4, "prose clone must out-score junk")
+  }
+
+  test("domainQuotaCap keeps at most the quota per domain and matches " +
+    "the window reference") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 300).map(i => (i.toLong, s"d${i % 5}"))
+    val df = rnd.shuffle(rows).toDF("id", "dom").repartition(6)
+    val got = graft.operators.Sampling
+      .domainQuotaCap(df, "id", "dom", perDomain = 10, salt = "quota")
+      .as[(Long, String, Long)].collect()
+    assert(got.length === 50)
+    assert(got.groupBy(_._2).forall(_._2.length == 10))
+    def uh(id: Long) = (graft.functions.Hashes.fnv1a64(s"$id:quota") >>> 11)
+      .toDouble / 9007199254740992.0
+    val want = rows.groupBy(_._2).flatMap { case (dom, rs) =>
+        rs.map(_._1).sortBy(id => (uh(id), id)).take(10).zipWithIndex
+          .map { case (id, i) => (id, dom, i + 1L) }
+      }.toSet
+    assert(got.toSet === want)
+  }
+
   test("packSequences: concat-and-chunk invariants (content, lengths, doc spans)") {
     val docs = Seq(
       (1L, "a b c d e"), (2L, "f g"), (3L, ""), (4L, "h i j k l m n"),

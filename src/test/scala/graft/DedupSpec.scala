@@ -587,6 +587,48 @@ class DedupSpec extends SparkSpec {
     }.toMap
   }
 
+  test("exactSubstrMask agrees with exactSubstrRemove: same chars, same " +
+    "spans, and excising the mask spans reproduces clean_text") {
+    val boiler = "ALL RIGHTS RESERVED COPYRIGHT NOTICE FOOTER TEXT!" // 49 chars
+    val docs = Seq(
+      (1L, s"unique alpha prose here. $boiler and a tail one."),
+      (2L, s"different beta body text. $boiler with other end."),
+      (3L, "short doc"),
+      (4L, "this exact document appears twice in the corpus verbatim"),
+      (5L, "this exact document appears twice in the corpus verbatim"),
+      (6L, "wholly original content that shares nothing with anything else")
+    ).toDF("doc_id", "text")
+    val texts = docs.as[(Long, String)].collect().toMap
+    val mask = Dedup.exactSubstrMask(docs, "doc_id", "text", minLen = 40)
+      .as[(Long, String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val rem = Dedup.exactSubstrRemove(docs, "doc_id", "text", minLen = 40)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(mask.keySet === rem.keySet)
+    mask.foreach { case (id, (spans, nSpans, nChars, len)) =>
+      val (clean, nSpansRem, nCharsRem) = rem(id)
+      assert(nSpans === nSpansRem, s"doc $id span count")
+      assert(nChars === nCharsRem, s"doc $id masked chars")
+      assert(len === texts(id).length.toLong, s"doc $id len")
+      // applying the mask (deleting its spans) must reproduce clean_text
+      val ivs = if (spans.isEmpty) Seq.empty
+        else spans.split(";").toSeq.map { sp =>
+          val Array(s, e) = sp.split(":"); (s.toLong, e.toLong)
+        }
+      assert(ivs === ivs.sortBy(identity), s"doc $id spans canonical order")
+      val applied = ivs.foldLeft((0L, new StringBuilder)) {
+        case ((p, sb), (s, e)) =>
+          (e, sb.append(texts(id).substring(p.toInt, s.toInt)))
+      } match { case (p, sb) => sb.append(texts(id).substring(p.toInt)).toString }
+      assert(applied === clean, s"doc $id mask-apply != clean_text")
+    }
+    // the boilerplate carriers mask; the short doc and unique doc don't
+    assert(mask(1L)._2 >= 1L && mask(2L)._2 >= 1L)
+    assert(mask(3L) === (("", 0L, 0L, 9L)))
+    assert(mask(6L)._3 === 0L)
+  }
+
   test("exactSubstrRemove: planted cross-doc duplicate excised from BOTH " +
     "docs, short docs untouched, full duplicates emptied") {
     val boiler = "ALL RIGHTS RESERVED COPYRIGHT NOTICE FOOTER TEXT!" // 49 chars

@@ -69,6 +69,44 @@ class FunctionsSpec extends SparkSpec {
       err.getMessage.toLowerCase.contains("array<float>"))
   }
 
+  test("ByteUnitsExpr: bijective byte->U+2800+b remap, multi-byte UTF-8 " +
+    "expansion, caseless under lower(), codegen-compiled") {
+    import graft.functions.ByteUnitsExpr
+    val rows = Seq(
+      (1L, "abc"),                    // ASCII: 3 bytes
+      (2L, "café"),              // 2-byte tail: c3 a9
+      (3L, "😀"),           // U+1F600: f0 9f 98 80
+      (4L, ""),                       // empty -> empty
+      (5L, "a b"))                    // space byte 0x20 maps too
+    val df = rows.toDF("id", "s")
+    val out = df.select($"id", ByteUnitsExpr($"s").as("u"),
+      org.apache.spark.sql.functions.lower(ByteUnitsExpr($"s")).as("lu"))
+    val got = out.collect().map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    def units(bs: Seq[Int]) = bs.map(b => (0x2800 + b).toChar).mkString
+    assert(got(1L)._1 === units(Seq('a', 'b', 'c').map(_.toInt)))
+    assert(got(2L)._1 === units(Seq('c', 'a', 'f').map(_.toInt) ++ Seq(0xc3, 0xa9)))
+    assert(got(3L)._1 === units(Seq(0xf0, 0x9f, 0x98, 0x80)))
+    assert(got(4L)._1 === "")
+    assert(got(5L)._1 === units(Seq('a'.toInt, 0x20, 'b'.toInt)))
+    // unit length == UTF-8 byte count; caseless: lower() is identity
+    rows.foreach { case (id, s) =>
+      assert(got(id)._1.length === s.getBytes("UTF-8").length, s"id=$id")
+      assert(got(id)._2 === got(id)._1, s"id=$id lower-stability")
+    }
+    // bijection across ALL 256 bytes: distinct units, and the unit
+    // decodes back to its byte
+    val all = (0 until 256).map(b => (0x2800 + b).toChar)
+    assert(all.distinct.size === 256)
+    // stays inside whole-stage codegen (repartition blocks the
+    // local-relation constant fold so a real Project plans; collect
+    // first so AQE finalizes and the *(n) codegen stage marks render)
+    val cg = df.repartition(2).select(ByteUnitsExpr($"s"))
+    cg.collect()
+    val plan = cg.queryExecution.executedPlan.toString
+    assert(plan.contains("Project [byteunitsexpr") &&
+      plan.contains("*(1) Project"), plan)
+  }
+
   test("tokens / shingles / token counts") {
     val df = Seq("the quick  brown fox").toDF("text")
     assert(df.select(TextFunctions.tokenCount($"text")).collect()(0).getInt(0) === 4)

@@ -389,4 +389,36 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
       s"the weight join must be an equi-join:\n$plan")
   }
+
+  test("qgb pareto quality select: scoring + verdict are a join-free " +
+    "single scan (ilr table is a broadcast literal, the keep rule pure " +
+    "decimal arithmetic), no UDF, zero exchanges") {
+    val plan = executedPlan("qgb_pareto_quality")
+    assert(!plan.contains("Join"),
+      s"the verdict must be join-free (qei's discipline):\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"score + quality + draw + verdict all fuse into the row pass:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"the rule must stay native:\n$plan")
+  }
+
+  test("qgc exact-substring mask: qf8's shape — 8-byte gram shuffle, " +
+    "equi-join confirm, doc-keyed merge windows, no UDF") {
+    val plan = executedPlan("qgc_exact_substr_mask")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"confirm join must be an equi-join:\n$plan")
+    assert(!plan.contains("ScalaUDF"),
+      s"rolling hash must stay the codegen expression:\n$plan")
+    assert(!plan.matches("(?s).*Window.*SinglePartition.*"),
+      s"merge windows must key on doc/gram, never one task:\n$plan")
+  }
+
+  test("qgd domain quota: the rank comes from the two-phase grouped scan " +
+    "— no window operator, no single-partition stage in the plan") {
+    val plan = executedPlan("qgd_domain_quota")
+    assert(!plan.contains("windowspecdefinition"),
+      s"the cap must not plan a domain-keyed window (a dominant domain " +
+        s"would funnel one task):\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"no stage may collapse the corpus to one partition:\n$plan")
+  }
 }
