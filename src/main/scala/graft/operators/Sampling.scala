@@ -434,17 +434,32 @@ object Sampling {
     require(smoothMilli >= 0 && smoothMilli <= 1000,
       s"smoothMilli=$smoothMilli out of [0,1000]")
     val spark = df.sparkSession
-    val S = 1000000000L
-    val lamRows = df.groupBy(col(stepCol).cast("long").as("_t"),
+    val stats = df.groupBy(col(stepCol).cast("long").as("_t"),
         col(domainCol).cast("string").as("_g"))
       .agg(sum(greatest(col(excessCol).cast("long"), lit(0L))).as("_s"),
         count(lit(1)).as("_n"))
       .collect()
-    val lam = lamRows.map(r =>
-      (r.getLong(0), r.getString(1)) -> math.min(r.getLong(2) / r.getLong(3),
-        1000000L)).toMap
-    val domains = lamRows.map(_.getString(1)).distinct.sorted
-    require(domains.nonEmpty, "doremiWeightsScaled needs at least one domain")
+      .map(r => (r.getLong(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    import spark.implicits._
+    doremiTrajectory(stats, steps, etaMilli, smoothMilli)
+      .toDF(domainCol, "avg_weight_nanos", "final_weight_nanos")
+  }
+
+  /** The DoReMi driver arithmetic shared by [[doremiWeightsScaled]] and
+    * the streaming face (StreamingMixture.startDoremiIngest): given the
+    * additive per-(step, domain) (Σ excess, count) statistics — the only
+    * corpus-derived state, mergeable across deliveries — replay the full
+    * T-step trajectory and return (domain, avg_weight_nanos,
+    * final_weight_nanos) in sorted domain order. All floors of
+    * nonnegative integers; BigInt ≡ the oracle's HUGEINT. */
+  private[graft] def doremiTrajectory(stats: Map[(Long, String), (Long, Long)],
+                                      steps: Int, etaMilli: Long,
+                                      smoothMilli: Long): Seq[(String, Long, Long)] = {
+    val S = 1000000000L
+    val lam = stats.map { case (k, (s, n)) => k -> math.min(s / n, 1000000L) }
+    val domains = stats.keysIterator.map(_._2).toSeq.distinct.sorted
+    require(domains.nonEmpty, "doremi needs at least one domain")
     val k = domains.length
     val uniform = S / k
     var w: Map[String, BigInt] = domains.map(_ -> BigInt(uniform)).toMap
@@ -462,9 +477,7 @@ object Sampling {
       }.toMap
       domains.foreach(g => acc(g) += w(g))
     }
-    import spark.implicits._
-    domains.toSeq.map(g => (g, (acc(g) / steps).toLong, w(g).toLong))
-      .toDF(domainCol, "avg_weight_nanos", "final_weight_nanos")
+    domains.map(g => (g, (acc(g) / steps).toLong, w(g).toLong))
   }
 
   /** Per-domain quota cap — the MassiveWeb/RefinedWeb guard against one

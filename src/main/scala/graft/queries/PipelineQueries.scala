@@ -1212,6 +1212,46 @@ object PipelineQueries {
       GROUP BY doc_id"""
   }
 
+  /** DuckDB replay of the 4-step DoReMi trajectory over the staged
+    * documents corpus (excess = n_chars % 997, step = doc_id % 4, η =
+    * 500 milli, smoothing = 100 milli) — shared verbatim by the batch
+    * gate (qga) and the one-delivery streaming gate (qgf): the whole
+    * multiplicative-weights loop unrolled in HUGEINT, bit-for-bit
+    * against Sampling.doremiTrajectory's BigInt arithmetic. */
+  private[queries] lazy val ODoremi4: String = {
+    val steps = (0 until 4).map { t =>
+      s"""p$t AS (
+        SELECT w.domain, (w.w * (1000 + (500 * coalesce(l.lam, 0)) // 1000))
+          // 1000 AS wp
+        FROM w$t w LEFT JOIN (SELECT domain, lam FROM lam WHERE t = $t) l
+          USING (domain)
+      ), s$t AS (SELECT sum(wp) AS tot FROM p$t),
+      w${t + 1} AS (
+        SELECT p.domain,
+          CAST((900 * ((p.wp * 1000000000::HUGEINT) // s.tot)) // 1000
+            + (100 * (1000000000 // kc.c)) // 1000 AS HUGEINT) AS w
+        FROM p$t p, s$t s, kc
+      )"""
+    }.mkString(",\n")
+    s"""WITH doms AS MATERIALIZED (
+        SELECT DISTINCT source AS domain FROM documents
+      ), kc AS MATERIALIZED (
+        SELECT CAST(count(*) AS BIGINT) AS c FROM doms
+      ), lam AS MATERIALIZED (
+        SELECT doc_id % 4 AS t, source AS domain,
+          least(sum(greatest(n_chars % 997, 0)) // count(*), 1000000) AS lam
+        FROM documents GROUP BY 1, 2
+      ), w0 AS (
+        SELECT domain, CAST(1000000000 // kc.c AS HUGEINT) AS w FROM doms, kc
+      ),
+      $steps
+      SELECT w1.domain AS source,
+        CAST((w1.w + w2.w + w3.w + w4.w) // 4 AS BIGINT) AS avg_weight_nanos,
+        CAST(w4.w AS BIGINT) AS final_weight_nanos
+      FROM w1 JOIN w2 USING (domain) JOIN w3 USING (domain)
+        JOIN w4 USING (domain)"""
+  }
+
   private lazy val OBpeTrainBatched2x4: String = {
     val selTy = "STRUCT(lhs VARCHAR, rhs VARCHAR, pc BIGINT)"
     // candidate ranking + greedy selection over vocabulary frame v<i>
@@ -3756,39 +3796,7 @@ object PipelineQueries {
           pmod(col("doc_id"), lit(4L)).as("step")),
         "source", "excess", "step", steps = 4, etaMilli = 500,
         smoothMilli = 100),
-      Some {
-        val steps = (0 until 4).map { t =>
-          s"""p$t AS (
-            SELECT w.domain, (w.w * (1000 + (500 * coalesce(l.lam, 0)) // 1000))
-              // 1000 AS wp
-            FROM w$t w LEFT JOIN (SELECT domain, lam FROM lam WHERE t = $t) l
-              USING (domain)
-          ), s$t AS (SELECT sum(wp) AS tot FROM p$t),
-          w${t + 1} AS (
-            SELECT p.domain,
-              CAST((900 * ((p.wp * 1000000000::HUGEINT) // s.tot)) // 1000
-                + (100 * (1000000000 // kc.c)) // 1000 AS HUGEINT) AS w
-            FROM p$t p, s$t s, kc
-          )"""
-        }.mkString(",\n")
-        s"""WITH doms AS MATERIALIZED (
-            SELECT DISTINCT source AS domain FROM documents
-          ), kc AS MATERIALIZED (
-            SELECT CAST(count(*) AS BIGINT) AS c FROM doms
-          ), lam AS MATERIALIZED (
-            SELECT doc_id % 4 AS t, source AS domain,
-              least(sum(greatest(n_chars % 997, 0)) // count(*), 1000000) AS lam
-            FROM documents GROUP BY 1, 2
-          ), w0 AS (
-            SELECT domain, CAST(1000000000 // kc.c AS HUGEINT) AS w FROM doms, kc
-          ),
-          $steps
-          SELECT w1.domain AS source,
-            CAST((w1.w + w2.w + w3.w + w4.w) // 4 AS BIGINT) AS avg_weight_nanos,
-            CAST(w4.w AS BIGINT) AS final_weight_nanos
-          FROM w1 JOIN w2 USING (domain) JOIN w3 USING (domain)
-            JOIN w4 USING (domain)"""
-      }),
+      Some(ODoremi4)),
 
     // GPT-3-style stochastic quality filtering (Brown et al. 2020 App. A:
     // keep iff classifier score > 1 − pareto(9) draw) — qei's integer-

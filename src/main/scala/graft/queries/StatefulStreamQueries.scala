@@ -1856,6 +1856,39 @@ object StatefulStreamQueries {
       },
       Some(ExtensionQueries.OSimhashIndexPairs)),
 
+    // STREAMING DoReMi re-estimation (the streaming face of qga): the
+    // mixture is recomputed from additive per-(step, domain) statistics
+    // as deliveries land — state is just those sums (DeltaState'd,
+    // replay-idempotent), the T-step trajectory replays in full per
+    // commit. One parquet fixture file without maxFilesPerTrigger = ONE
+    // micro-batch, so the last published weights ARE the batch
+    // operator's and qga's oracle replays verbatim; multi-delivery
+    // convergence + planted-crash replay are spec'd in
+    // StreamingRollupSpec's doremi cases.
+    Entry("qgf_stream_doremi",
+      (s, dir) => {
+        val tag = java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL) + "dm"
+        val base = new java.io.File(
+          System.getProperty("java.io.tmpdir"), s"graft_qgf_$tag")
+        org.apache.commons.io.FileUtils.deleteQuietly(base)
+        val state = new java.io.File(base, "state").getAbsolutePath
+        val out = new java.io.File(base, "out").getAbsolutePath
+        val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+        val schema = s.read.parquet(graft.Tables.path(dir, "documents")).schema
+        val raw = s.readStream.schema(schema).parquet(s"$dir/documents*.parquet")
+          .select(col("source"),
+            pmod(col("n_chars"), lit(997L)).as("excess"),
+            pmod(col("doc_id"), lit(4L)).as("step"))
+        val q = graft.streaming.StreamingMixture.startDoremiIngest(raw,
+          "source", "excess", "step", steps = 4, etaMilli = 500,
+          smoothMilli = 100, state, out, ckpt)
+        try { q.processAllAvailable() } finally q.stop()
+        s.read.parquet(s"$out/weights/batch_id=0")
+          .select("source", "avg_weight_nanos", "final_weight_nanos")
+      },
+      Some(PipelineQueries.ODoremi4)),
+
     // Ingest-time weighted priority sampling (the STREAMING face of qd0's
     // Duffield-Lund-Thorup top-k): documents stream through 8 shards,
     // each shard's keyed state keeps its running top-100 by

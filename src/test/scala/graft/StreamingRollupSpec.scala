@@ -92,6 +92,52 @@ class StreamingRollupSpec extends SparkSpec {
     assert(run(rollEvery = 2) === run(rollEvery = 1000))
   }
 
+  test("doremi stream: the LAST delivery's published weights equal the " +
+    "batch operator over the union, rolled == unrolled, restart is a " +
+    "ledgered no-op") {
+    val slices = (0 until 5).map { s =>
+      ((s * 50).toLong until (s * 50 + 20).toLong).map { i =>
+        (i, s"d${i % 3}", (i * 37) % 997, i % 4)
+      }
+    }
+    def rows(sl: Seq[(Long, String, Long, Long)]) =
+      sl.toDF("id", "dom", "excess", "step")
+    def run(rollEvery: Int): Seq[(String, Long, Long)] = {
+      val base = java.nio.file.Files.createTempDirectory(s"doremi$rollEvery").toFile
+      val src = new java.io.File(base, "src"); src.mkdirs()
+      slices.zipWithIndex.foreach { case (sl, s) =>
+        rows(sl).coalesce(1).write.parquet(s"$src/slice$s")
+        Thread.sleep(20)
+      }
+      def start() = graft.streaming.StreamingMixture.startDoremiIngest(
+        spark.readStream.schema(rows(slices.head).schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$src/slice*"),
+        "dom", "excess", "step", steps = 4, etaMilli = 500,
+        smoothMilli = 100,
+        new java.io.File(base, "state").getAbsolutePath,
+        new java.io.File(base, "out").getAbsolutePath,
+        new java.io.File(base, "ckpt").getAbsolutePath,
+        rollEvery = rollEvery)
+      val q = start(); try q.processAllAvailable() finally q.stop()
+      // restart over the same checkpoint: ledgered no-op
+      val q2 = start(); try q2.processAllAvailable() finally q2.stop()
+      val w = new java.io.File(base, "out/weights")
+      val last = w.listFiles().filter(_.isDirectory).map(_.getName)
+        .map(_.stripPrefix("batch_id=").toLong).max
+      assert(last === 4L, s"expected 5 deliveries, newest was $last")
+      spark.read.parquet(s"$w/batch_id=$last")
+        .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    }
+    val batch = graft.operators.Sampling.doremiWeightsScaled(
+        rows(slices.flatten), "dom", "excess", "step", steps = 4,
+        etaMilli = 500, smoothMilli = 100)
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(run(rollEvery = 2) === batch,
+      "rolled stream's final estimate must equal the batch mixture")
+    assert(run(rollEvery = 1000) === batch,
+      "unrolled stream's final estimate must equal the batch mixture")
+  }
+
   test("planted mid-fold crashes: an UNCOMMITTED generation is invisible " +
     "and cleaned; a committed generation with its folded deltas still on " +
     "disk never double-counts, and cleanup sweeps the leftovers") {
