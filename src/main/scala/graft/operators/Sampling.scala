@@ -480,6 +480,42 @@ object Sampling {
     domains.map(g => (g, (acc(g) / steps).toLong, w(g).toLong))
   }
 
+  /** Realize a learned domain mixture as per-document COPY COUNTS — the
+    * consumption half of DoReMi (the paper trains the production model
+    * on data RESAMPLED to the learned weights): each domain gets budget
+    * ⌊totalBudget · w_nanos / 1e9⌋ slots, distributed over its documents
+    * as ⌊b/n⌋ copies each plus one extra for the first (b mod n) by
+    * salted-hash rank — the [[unimaxSample]] copy-realization law under
+    * externally supplied weights instead of waterfilled caps. Domains
+    * absent from `weights` get nothing (a mixture cannot realize a
+    * domain it never weighted).
+    *
+    * Output: (idCol, domainCol, n_copies), rows with n_copies > 0.
+    *
+    * Shape at 100 TB: ranks ride [[Partitioning.groupedRank]]'s
+    * two-phase scan (a heavily-weighted domain is exactly the dominant
+    * group), weights and per-domain counts BROADCAST (model-scale), the
+    * copy law is a map-side expression. */
+  def doremiRealize(df: DataFrame, idCol: String, domainCol: String,
+                    weights: DataFrame, weightCol: String, totalBudget: Long,
+                    salt: String = "doremi"): DataFrame = {
+    require(totalBudget >= 1 && totalBudget <= 1000000000L,
+      s"totalBudget=$totalBudget out of [1, 1e9] (budget·nanos must fit a long)")
+    val bud = weights.select(col(domainCol),
+      expr(s"(${totalBudget}L * $weightCol) DIV 1000000000L").as("_b"))
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("_n"))
+    val ranked = Partitioning.groupedRank(
+      df.select(col(idCol), col(domainCol)), domainCol,
+      Seq(unitHash(col(idCol), salt).asc, col(idCol).asc), "_rk")
+    ranked
+      .join(broadcast(bud), Seq(domainCol))
+      .join(broadcast(counts), Seq(domainCol))
+      .withColumn("n_copies",
+        expr("_b DIV _n") + when(col("_rk") <= expr("_b % _n"), 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col(idCol), col(domainCol), col("n_copies"))
+  }
+
   /** Per-domain quota cap — the MassiveWeb/RefinedWeb guard against one
     * host dominating the mix (Rae et al. 2021 §A.1.2 cap the documents
     * any single domain contributes): keep at most `perDomain` documents

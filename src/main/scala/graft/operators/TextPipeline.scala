@@ -1006,6 +1006,50 @@ object TextPipeline {
       .withColumnRenamed("_doc", idCol)
   }
 
+  /** C4's LINE-level cleaning rules (Raffel et al. 2020 §2.2 — the stage
+    * BEFORE C4's span dedup, which [[dedupSpans]]/q8h's doc rules cover
+    * at their granularities): per line, keep iff it (a) ends in a
+    * terminal punctuation mark (period, exclamation, question, or end
+    * quotation — the published list), (b) carries at least
+    * `minLineWords` words (C4 uses 5 — their "at least 3 words" appears
+    * with the 5-word line rule in the released code), and (c) does not
+    * mention "javascript" (case-insensitive). Per page: dropped iff the
+    * RAW text contains "lorem ipsum" or a curly brace, or fewer than 3
+    * sentences survive (sentence proxy: terminal-mark count in the kept
+    * text — C4 counts sentences; the mark count is the deterministic
+    * engine-portable stand-in). C4's bad-words list is licensing-bound
+    * and not replicated; compose with q8h's Gopher rules for the
+    * vocabulary-based screens.
+    *
+    * Output: (idCol, text_clean, n_lines, n_kept_lines, n_sentences,
+    * doc_dropped) — text_clean the kept lines rejoined with newlines.
+    *
+    * Shape at 100 TB: pure per-row HOF expressions fused into the scan
+    * — zero shuffle at any corpus size (plan-pinned like qej/qeu). */
+  def c4LineFilter(df: DataFrame, idCol: String, textCol: String,
+                   minLineWords: Int = 5): DataFrame = {
+    require(minLineWords >= 1, s"minLineWords must be >= 1, got $minLineWords")
+    val lines = split(col(textCol), "\n")
+    val keepLine = (l: Column) =>
+      l.rlike("[.!?\"]$") &&
+        size(filter(split(l, "\\s+"), w => w =!= "")) >= minLineWords &&
+        !lower(l).contains("javascript")
+    val kept = filter(lines, keepLine)
+    df.select(col(idCol), col(textCol),
+        lines.as("_lines"), kept.as("_kept"))
+      .withColumn("text_clean", array_join(col("_kept"), "\n"))
+      .withColumn("n_lines", size(col("_lines")).cast("long"))
+      .withColumn("n_kept_lines", size(col("_kept")).cast("long"))
+      .withColumn("n_sentences",
+        (length(col("text_clean")) -
+          length(regexp_replace(col("text_clean"), "[.!?]", ""))).cast("long"))
+      .withColumn("doc_dropped",
+        lower(col(textCol)).contains("lorem ipsum") ||
+          col(textCol).contains("{") || col("n_sentences") < 3)
+      .select(col(idCol), col("text_clean"), col("n_lines"),
+        col("n_kept_lines"), col("n_sentences"), col("doc_dropped"))
+  }
+
   /** Byte-level staging for the BPE family (Radford et al. 2019 — GPT-2/
     * RoBERTa/GPT-3 run BPE over UTF-8 BYTES remapped to printable units,
     * so the vocabulary covers every input with zero unknowns): lowercase

@@ -1218,7 +1218,9 @@ object PipelineQueries {
     * gate (qga) and the one-delivery streaming gate (qgf): the whole
     * multiplicative-weights loop unrolled in HUGEINT, bit-for-bit
     * against Sampling.doremiTrajectory's BigInt arithmetic. */
-  private[queries] lazy val ODoremi4: String = {
+  /** The WITH-chain of [[ODoremi4]] without the final SELECT, so
+    * composition gates (qgh) can extend it with further CTEs. */
+  private lazy val ODoremi4Ctes: String = {
     val steps = (0 until 4).map { t =>
       s"""p$t AS (
         SELECT w.domain, (w.w * (1000 + (500 * coalesce(l.lam, 0)) // 1000))
@@ -1244,13 +1246,16 @@ object PipelineQueries {
       ), w0 AS (
         SELECT domain, CAST(1000000000 // kc.c AS HUGEINT) AS w FROM doms, kc
       ),
-      $steps
+      $steps"""
+  }
+
+  private[queries] lazy val ODoremi4: String =
+    s"""$ODoremi4Ctes
       SELECT w1.domain AS source,
         CAST((w1.w + w2.w + w3.w + w4.w) // 4 AS BIGINT) AS avg_weight_nanos,
         CAST(w4.w AS BIGINT) AS final_weight_nanos
       FROM w1 JOIN w2 USING (domain) JOIN w3 USING (domain)
         JOIN w4 USING (domain)"""
-  }
 
   private lazy val OBpeTrainBatched2x4: String = {
     val selTy = "STRUCT(lhs VARCHAR, rhs VARCHAR, pc BIGINT)"
@@ -3798,6 +3803,48 @@ object PipelineQueries {
         smoothMilli = 100),
       Some(ODoremi4)),
 
+    // DoReMi END-TO-END: learn the mixture (qga's trajectory), then
+    // RESAMPLE the corpus to it — the paper's consumption step: each
+    // domain receives floor(2000 · avg_weight/1e9) slots realized as
+    // per-document copy counts by salted-hash rank (the unimax copy
+    // law). ONE chained oracle: the full HUGEINT trajectory feeds the
+    // budget, rank, and copy arithmetic — the composition, not just
+    // each stage, is bit-exact.
+    Entry("qgh_doremi_resample",
+      (s, dir) => {
+        val staged = t(s, dir, "documents").select(col("doc_id"), col("source"),
+          pmod(col("n_chars"), lit(997L)).as("excess"),
+          pmod(col("doc_id"), lit(4L)).as("step"))
+        val w = Sampling.doremiWeightsScaled(staged, "source", "excess",
+          "step", steps = 4, etaMilli = 500, smoothMilli = 100)
+        Sampling.doremiRealize(t(s, dir, "documents"), "doc_id", "source",
+          w, "avg_weight_nanos", totalBudget = 2000L)
+      },
+      Some(s"""$ODoremi4Ctes,
+        wts AS (
+          SELECT w1.domain AS source,
+            CAST((w1.w + w2.w + w3.w + w4.w) // 4 AS BIGINT) AS wn
+          FROM w1 JOIN w2 USING (domain) JOIN w3 USING (domain)
+            JOIN w4 USING (domain)
+        ), bud AS (
+          SELECT source, (2000 * wn) // 1000000000 AS b FROM wts
+        ), cnts AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n
+          FROM documents GROUP BY 1
+        ), r0 AS (
+          SELECT doc_id, source,
+            CAST(row_number() OVER (PARTITION BY source
+              ORDER BY ${oUnitHash("doc_id", "doremi")}, doc_id) AS BIGINT) AS rk
+          FROM documents
+        ), outr AS (
+          SELECT r0.doc_id, r0.source,
+            (b.b // c.n) + CASE WHEN r0.rk <= (b.b % c.n) THEN 1 ELSE 0 END
+              AS n_copies
+          FROM r0 JOIN bud b USING (source) JOIN cnts c USING (source)
+        )
+        SELECT doc_id, source, CAST(n_copies AS BIGINT) AS n_copies
+        FROM outr WHERE n_copies > 0""")),
+
     // GPT-3-style stochastic quality filtering (Brown et al. 2020 App. A:
     // keep iff classifier score > 1 − pareto(9) draw) — qei's integer-
     // exact hashed-unigram classifier mapped to a milli-quality posterior,
@@ -3919,6 +3966,95 @@ object PipelineQueries {
         TextPipeline.bpeEncode(bl, "doc_id", "text", merges)
       },
       Some(OByteBpeEncode3)),
+
+    // C4 line-level cleaning (Raffel et al. 2020 §2.2): the fixture is
+    // single-line, so the gate stages multi-line pages first — 8-token
+    // lines (qg4's chunk device), a period on lines where
+    // (doc_id + line) % 3 != 0, then planted bad lines (a javascript
+    // mention, a lorem-ipsum page marker, a short unpunctuated line).
+    // The rules then decide identically in both engines: keep lines
+    // ending in terminal punctuation with >= 5 words and no
+    // "javascript"; drop pages with lorem ipsum, braces, or < 3
+    // surviving sentences.
+    Entry("qgg_c4_line_filter",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val toks = graft.functions.TextFunctions.tokens(col("text"))
+        val nToks = size(toks)
+        val lined = d.select(col("doc_id"),
+          when(nToks > 0, array_join(
+            transform(
+              sequence(lit(0L), ceil(nToks / lit(8.0)).cast("long") - 1),
+              ci => concat(
+                array_join(slice(toks, (ci * 8 + 1).cast("int"), lit(8)), " "),
+                when(pmod(col("doc_id") + ci, lit(3)) =!= 0, ".")
+                  .otherwise("")))
+            , "\n")).otherwise(lit("")).as("text"))
+        val staged = lined.select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            concat(col("text"),
+              lit("\nclick here to enable javascript support today.")))
+            .when(pmod(col("doc_id"), lit(6)) === 1,
+              concat(col("text"),
+                lit("\nlorem ipsum dolor sit amet consectetur.")))
+            .when(pmod(col("doc_id"), lit(9)) === 2,
+              concat(col("text"), lit("\nshort line")))
+            .otherwise(col("text")).as("text"))
+        TextPipeline.c4LineFilter(staged, "doc_id", "text", minLineWords = 5)
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, $OTOKS AS w FROM documents
+        ), nn AS (
+          SELECT doc_id, w, len(w) AS n FROM toks
+        ), c AS (
+          SELECT doc_id, w, unnest(range(CAST(CASE WHEN n > 0
+            THEN ceil(n / 8.0) ELSE 0 END AS BIGINT))) AS ci
+          FROM nn
+        ), ch AS (
+          SELECT doc_id, ci, array_to_string(w[ci*8 + 1 : ci*8 + 8], ' ')
+            || CASE WHEN (doc_id + ci) % 3 <> 0 THEN '.' ELSE '' END AS line
+          FROM c
+        ), st0 AS (
+          SELECT doc_id, string_agg(line, chr(10) ORDER BY ci) AS text
+          FROM ch GROUP BY doc_id
+        ), base AS (
+          SELECT d.doc_id, coalesce(st0.text, '') AS text
+          FROM documents d LEFT JOIN st0 USING (doc_id)
+        ), staged AS (
+          SELECT doc_id, CASE
+            WHEN doc_id % 4 = 0 THEN text || chr(10)
+              || 'click here to enable javascript support today.'
+            WHEN doc_id % 6 = 1 THEN text || chr(10)
+              || 'lorem ipsum dolor sit amet consectetur.'
+            WHEN doc_id % 9 = 2 THEN text || chr(10) || 'short line'
+            ELSE text END AS text
+          FROM base
+        ), r AS (
+          SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM staged
+        ), k AS (
+          SELECT doc_id, text, ls, list_filter(ls, l ->
+            regexp_matches(l, '[.!?"]$$')
+            AND len(list_filter(string_split_regex(l, '\\s+'), x -> x <> '')) >= 5
+            AND NOT contains(lower(l), 'javascript')) AS ks
+          FROM r
+        ), f AS (
+          -- DuckDB array_to_string([]) is NULL, not '' (unlike Spark's
+          -- array_join) — coalesce or every all-lines-dropped page nulls
+          SELECT doc_id, text,
+            coalesce(array_to_string(ks, chr(10)), '') AS text_clean,
+            CAST(len(ls) AS BIGINT) AS n_lines,
+            CAST(len(ks) AS BIGINT) AS n_kept_lines
+          FROM k
+        ), g AS (
+          SELECT doc_id, text, text_clean, n_lines, n_kept_lines,
+            CAST(length(text_clean) - length(regexp_replace(text_clean,
+              '[.!?]', '', 'g')) AS BIGINT) AS n_sentences
+          FROM f
+        )
+        SELECT doc_id, text_clean, n_lines, n_kept_lines, n_sentences,
+          (contains(lower(text), 'lorem ipsum') OR contains(text, '{')
+            OR n_sentences < 3) AS doc_dropped
+        FROM g""")),
 
     // Per-domain quota cap (MassiveWeb/Gopher §A.1.2's per-domain
     // document cap): keep <= 20 docs per source, chosen by salted

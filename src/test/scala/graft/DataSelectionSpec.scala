@@ -236,6 +236,30 @@ class DataSelectionSpec extends SparkSpec {
     assert(byId(12L)._4 > byId(11L)._4, "prose clone must out-score junk")
   }
 
+  test("doremiRealize: copy law against a hand replay — floor share per " +
+    "doc, remainder to the lowest hash ranks, unweighted domains absent") {
+    val docs = (0 until 30).map(i => (i.toLong, s"d${i % 3}"))
+      .toDF("id", "dom")
+    // d0 gets 60%, d1 gets 40%, d2 is never weighted
+    val w = Seq(("d0", 600000000L), ("d1", 400000000L)).toDF("dom", "wn")
+    val got = graft.operators.Sampling
+      .doremiRealize(docs, "id", "dom", w, "wn", totalBudget = 25L)
+      .as[(Long, String, Long)].collect()
+    def uh(id: Long) = (graft.functions.Hashes.fnv1a64(s"$id:doremi") >>> 11)
+      .toDouble / 9007199254740992.0
+    // budgets: d0 -> 15 over 10 docs (1 each + 5 extras), d1 -> 10 (1 each)
+    val want = (Seq("d0" -> 15L, "d1" -> 10L)).flatMap { case (dom, b) =>
+      val members = (0 until 30).map(_.toLong).filter(i => s"d${i % 3}" == dom)
+      val n = members.size
+      members.sortBy(id => (uh(id), id)).zipWithIndex.map { case (id, i) =>
+        (id, dom, b / n + (if (i + 1 <= b % n) 1L else 0L))
+      }.filter(_._3 > 0)
+    }.toSet
+    assert(got.toSet === want)
+    assert(!got.exists(_._2 == "d2"), "unweighted domain must realize zero")
+    assert(got.map(_._3).sum === 25L, "realized copies must equal the budget")
+  }
+
   test("domainQuotaCap keeps at most the quota per domain and matches " +
     "the window reference") {
     val rnd = new scala.util.Random(7)

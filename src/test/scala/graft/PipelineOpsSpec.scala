@@ -387,6 +387,39 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("c4LineFilter: hand-built pages — terminal punctuation, word " +
+    "minimum, javascript screen, page-level drops") {
+    val good = "this line has plenty of words and ends well."
+    val docs = Seq(
+      // 3 good sentences -> kept page
+      (1L, s"$good\n$good\n$good"),
+      // unpunctuated + short lines die; < 3 sentences -> dropped page
+      (2L, s"no terminal punctuation on this long line\nshort one.\n$good"),
+      // javascript line dies even with punctuation and words
+      (3L, s"$good\nplease enable JavaScript to continue reading this."
+        + s"\n$good\n$good"),
+      // lorem ipsum / brace pages drop regardless of line survival
+      (4L, s"$good\n$good\n$good\nlorem ipsum dolor sit amet."),
+      (5L, s"$good\n$good\n$good\nvar x = { a: 1 };"),
+      // end-quotation counts as terminal punctuation
+      (6L, "he said \"this quoted line has enough words here.\"\n"
+        + s"$good\n$good")
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.c4LineFilter(docs, "doc_id", "text")
+      .as[(Long, String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, s"$good\n$good\n$good", 3L, 3L, 3L, false)))
+    // doc 2: only the last line survives -> 1 sentence -> dropped
+    assert(got(2L)._2 === good && got(2L)._4 === 1L && got(2L)._6 === true)
+    // doc 3: javascript line excised, the 3 good ones survive
+    assert(got(3L)._4 === 3L && !got(3L)._2.toLowerCase.contains("javascript")
+      && got(3L)._6 === false)
+    assert(got(4L)._6 === true, "lorem ipsum page must drop")
+    assert(got(5L)._6 === true, "brace page must drop")
+    // doc 6: the quoted line is kept (ends in \"), page survives
+    assert(got(6L)._4 === 3L && got(6L)._6 === false)
+  }
+
   test("contaminationCheck counts shared n-grams; clean docs report zero") {
     val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
     val train = Seq(

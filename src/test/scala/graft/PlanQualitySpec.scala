@@ -421,4 +421,29 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"),
       s"no stage may collapse the corpus to one partition:\n$plan")
   }
+
+  test("qgg C4 line filter: pure per-row HOFs fused into the scan — zero " +
+    "exchanges past the staging aggregate, no UDF, no window") {
+    // pin the OPERATOR itself (the gate's multi-line staging legitimately
+    // aggregates chunks; the filter must add nothing to it)
+    val df = graft.operators.TextPipeline.c4LineFilter(
+      graft.Tables(spark, sf, "documents"), "doc_id", "text")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"line rules are per-row and must not shuffle:\n$plan")
+    assert(!plan.contains("ScalaUDF"), s"rules must stay native:\n$plan")
+    assert(!plan.contains("windowspecdefinition"), s"no window:\n$plan")
+  }
+
+  test("qgh doremi resample: budgets and counts BROADCAST against the " +
+    "ranked corpus; no window operator (groupedRank carries the rank)") {
+    val plan = executedPlan("qgh_doremi_resample")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"the K-row budget/count frames must broadcast:\n$plan")
+    assert(!plan.contains("windowspecdefinition"),
+      s"the realization must not plan a domain-keyed window:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"equi-joins only:\n$plan")
+  }
 }
