@@ -420,6 +420,46 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(6L)._4 === 3L && got(6L)._6 === false)
   }
 
+  test("c4LineFilter differential fuzz: random pages vs a scala replay " +
+    "of the published rules") {
+    val rnd = new scala.util.Random(61)
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "javascript", "JavaScript")
+    val tails = Seq(".", "!", "?", "\"", "", " ", "x")
+    val docs = (0 until 120).map { i =>
+      val nLines = rnd.nextInt(6)
+      val lines = (0 until nLines).map { _ =>
+        val n = rnd.nextInt(8)
+        (0 until n).map(_ => words(rnd.nextInt(words.size))).mkString(" ") +
+          tails(rnd.nextInt(tails.size))
+      }
+      val extra = rnd.nextInt(10) match {
+        case 0 => " lorem ipsum "
+        case 1 => " { "
+        case _ => ""
+      }
+      (i.toLong, lines.mkString("\n") + extra)
+    }
+    val got = TextPipeline.c4LineFilter(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+      .as[(Long, String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    docs.foreach { case (id, text) =>
+      val lines = text.split("\n", -1).toSeq
+      val kept = lines.filter { l =>
+        l.nonEmpty && ".!?\"".contains(l.last) &&
+          l.split("\\s+").count(_.nonEmpty) >= 5 &&
+          !l.toLowerCase.contains("javascript")
+      }
+      val clean = kept.mkString("\n")
+      val ns = clean.count(c => c == '.' || c == '!' || c == '?').toLong
+      val dropped = text.toLowerCase.contains("lorem ipsum") ||
+        text.contains("{") || ns < 3
+      assert(got(id) === ((id, clean, lines.size.toLong, kept.size.toLong,
+        ns, dropped)), s"doc $id: ${text.take(80)}")
+    }
+  }
+
   test("contaminationCheck counts shared n-grams; clean docs report zero") {
     val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
     val train = Seq(
