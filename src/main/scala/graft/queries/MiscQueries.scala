@@ -428,6 +428,57 @@ object MiscQueries {
           CAST(max(CASE WHEN c = 2 THEN v END) AS INT) AS r_max
         FROM px GROUP BY doc_id""")),
 
+    // Perceptual IMAGE DEDUP through the gate: the LAION-scale curation
+    // recipe (exact perceptual-hash match) over the decoded PNG corpus —
+    // each image's 64-bit dHash (9×8 nearest-resized channel-mean
+    // grayscale, horizontal gradient bits) computed in builtin
+    // expressions over the REAL decode, then keep-first per hash value
+    // (min doc_id). The oracle replays hash, grouping, and keeper from
+    // the generator formulas — resize mapping, gray law, bit packing
+    // (bit 63 via the signed-MIN device), and the dedup verdict are all
+    // gate-visible. The channel-mean gray is BGR/RGB-order-proof by
+    // construction, so this composes with qdf/qe5's layout pins rather
+    // than repeating them.
+    Entry("qgi_image_dhash_dedup",
+      (s, dir) => {
+        val imgDir = pngDirFromDocuments(s, dir)
+        val hashed = graft.sources.Images.read(s, imgDir).select(
+          regexp_extract(col("image.origin"), "doc_(\\d+)\\.png$", 1)
+            .cast("long").as("doc_id"),
+          graft.sources.Images.dHash64(col("image")).as("dhash"))
+        val keepers = hashed.groupBy(col("dhash"))
+          .agg(min(col("doc_id")).as("_keeper"))
+        hashed.join(keepers, Seq("dhash"))
+          .select(col("doc_id"), col("dhash"),
+            (col("doc_id") === col("_keeper")).as("is_kept"))
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+        ), gr AS (
+          SELECT doc_id, tx.x AS x, ty.y AS y,
+            ((doc_id + 3 * ((tx.x * w) // 9) + 5 * ((ty.y * h) // 8)) % 256
+             + (doc_id + 3 * ((tx.x * w) // 9) + 5 * ((ty.y * h) // 8) + 11) % 256
+             + (doc_id + 3 * ((tx.x * w) // 9) + 5 * ((ty.y * h) // 8) + 22) % 256)
+              // 3 AS gray
+          FROM d
+          CROSS JOIN UNNEST(generate_series(0, 8)) AS tx(x)
+          CROSS JOIN UNNEST(generate_series(0, 7)) AS ty(y)
+        ), bits AS (
+          SELECT a.doc_id, (a.y * 8 + a.x) AS i
+          FROM gr a JOIN gr b ON a.doc_id = b.doc_id AND b.y = a.y
+            AND b.x = a.x + 1
+          WHERE a.x < 8 AND a.gray > b.gray
+        ), hsh AS (
+          SELECT d.doc_id, CAST(coalesce(sum(
+            CASE WHEN i = 63 THEN -9223372036854775808
+                 ELSE (CAST(1 AS BIGINT) << i) END), 0) AS BIGINT) AS dhash
+          FROM d LEFT JOIN bits USING (doc_id) GROUP BY d.doc_id
+        ), mn AS (
+          SELECT dhash, min(doc_id) AS keeper FROM hsh GROUP BY 1
+        )
+        SELECT h.doc_id, h.dhash, (h.doc_id = m.keeper) AS is_kept
+        FROM hsh h JOIN mn m USING (dhash)""")),
+
     // REAL audio decode through the gate — the WAV sibling of qdf: a
     // deterministic mono 16-bit PCM WAV per document, scanned with Spark's
     // built-in binaryFile source, parsed partition-local with the ACTUAL

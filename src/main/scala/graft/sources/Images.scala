@@ -137,6 +137,82 @@ object Images {
       acc => acc)
   }
 
+  /** 64-bit difference hash (dHash) of a decoded image — the standard
+    * perceptual fingerprint of image-dedup pipelines (the LAION-scale
+    * curation recipe dedups on exact perceptual-hash matches; dHash is
+    * the classic gradient variant: resize to a 9×8 grayscale grid,
+    * bit (y·8 + x) set iff gray(x, y) > gray(x+1, y)). Grayscale here is
+    * the integer channel MEAN ((B+G+R) DIV 3) — deterministic,
+    * engine-portable, and invariant to the BGR/RGB layout question by
+    * construction (a sum over channels cannot see their order); the
+    * resize is the [[resizeNearestSums]] nearest mapping law.
+    *
+    * This is the builtin-only ORACLE-REPLAY DEVICE (hex-walk reads, like
+    * resizeNearestSums — quadratic constant-factor waste); production is
+    * [[dHash64Kernel]], the partition-local byte-array kernel over the
+    * same law, spec-pinned bit-identical. Bit 63 lands on Long.MinValue
+    * through the JVM's two's-complement shift — no special case needed
+    * on this side (the SQL oracle carries the explicit CASE). */
+  def dHash64(image: Column): Column = {
+    val w = image.getField("width").cast("long")
+    val h = image.getField("height").cast("long")
+    val nCh = image.getField("nChannels").cast("long")
+    val hx = hex(image.getField("data"))
+    def gray(x: Column, y: Column): Column = {
+      // Column `/` is double division — floor() back to long (exact:
+      // small positive integers throughout)
+      val sx = floor(x * w / 9)
+      val sy = floor(y * h / 8)
+      val base = (sy * w + sx) * nCh
+      val s = (0 until 3).map(c =>
+        conv(substring(hx, ((base + c) * 2 + 1).cast("int"), lit(2)), 16, 10)
+          .cast("long")).reduce(_ + _)
+      floor(s / 3).cast("long")
+    }
+    aggregate(sequence(lit(0L), lit(63L)), lit(0L), (acc, i) => {
+      val x = i % 8
+      val y = floor(i / 8)
+      acc + when(gray(x, y) > gray(x + 1, y),
+        call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(lit(0L))
+    }, acc => acc)
+  }
+
+  /** PRODUCTION dHash: [[dHash64]]'s law as a partition-local byte-array
+    * kernel — O(grid) array reads per image, no hex detour, payloads
+    * never touch the driver. Output: (origin, dhash). Input images must
+    * have nChannels >= 3. */
+  def dHash64Kernel(images: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("origin", StringType),
+      StructField("dhash", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    images.select(col("image")).mapPartitions { it =>
+      it.map { r =>
+        val img = r.getStruct(0)
+        val origin = img.getString(0)
+        val h = img.getInt(1); val w = img.getInt(2); val nCh = img.getInt(3)
+        require(nCh >= 3,
+          s"dHash64Kernel needs nChannels >= 3, got $nCh for $origin")
+        val data = img.getAs[Array[Byte]](5)
+        def gray(x: Int, y: Int): Long = {
+          val sx = x * w / 9
+          val sy = y * h / 8
+          val base = (sy * w + sx) * nCh
+          (((data(base) & 0xff) + (data(base + 1) & 0xff) +
+            (data(base + 2) & 0xff)) / 3).toLong
+        }
+        var hash = 0L
+        var i = 0
+        while (i < 64) {
+          val x = i % 8; val y = i / 8
+          if (gray(x, y) > gray(x + 1, y)) hash |= (1L << i)
+          i += 1
+        }
+        Row(origin, hash)
+      }
+    }(enc)
+  }
+
   /** Per-CHANNEL statistics of a decoded image — the image
     * feature-extract stage (the audio sibling is
     * [[Audio.frameFeatures]]): per channel of the BGR layout, the

@@ -132,6 +132,49 @@ class ImageSourceSpec extends SparkSpec {
     assert(msg(e2).contains("nChannels >= 3"))
   }
 
+  test("dHash64: kernel == builtin device on every fixture image; hash " +
+    "matches a scala replay of the 9x8 gradient law; gradient direction " +
+    "is hash-visible") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("img_dhash").toFile
+    val ids = Seq(3L, 7L, 12L, 18L, 25L, 33L)
+    Images.pngsFromDocIds(ids.toDF("doc_id"), "doc_id", dir.getPath)
+    val img = Images.read(spark, dir.getPath)
+    val dev = img.select(col("image.origin").as("o"),
+        Images.dHash64(col("image")).as("h"))
+      .as[(String, Long)].collect().toMap
+    val ker = Images.dHash64Kernel(img)
+      .as[(String, Long)].collect().toMap
+    assert(dev === ker, "builtin device and byte-array kernel must agree")
+    // scala replay straight from the generator formulas
+    ids.foreach { id =>
+      val (w, h) = (Images.widthOf(id), Images.heightOf(id))
+      def gray(x: Int, y: Int): Long = {
+        val sx = x * w / 9; val sy = y * h / 8
+        (0 until 3).map(c => Images.componentOf(id, sx, sy, c)).sum / 3L
+      }
+      var want = 0L
+      for (i <- 0 until 64) {
+        val x = i % 8; val y = i / 8
+        if (gray(x, y) > gray(x + 1, y)) want |= (1L << i)
+      }
+      val key = dev.keys.find(_.endsWith(s"doc_$id.png")).get
+      assert(dev(key) === want, s"id=$id")
+    }
+    // direction sensitivity: a left-to-right ramp and its mirror differ
+    writePng(dir, "ramp.png", 9, 8)((x, _) => (x * 20) << 16)
+    writePng(dir, "pmar.png", 9, 8)((x, _) => ((8 - x) * 20) << 16)
+    val two = Images.dHash64Kernel(Images.read(spark, dir.getPath))
+      .as[(String, Long)].collect().toMap
+    val ramp = two(two.keys.find(_.endsWith("ramp.png")).get)
+    val pmar = two(two.keys.find(_.endsWith("pmar.png")).get)
+    assert(ramp !== pmar)
+    assert(ramp === 0L,
+      "ascending gray left-to-right must set no gradient bits")
+    assert(pmar === -1L,
+      "descending gray must set every gradient bit (incl. bit 63)")
+  }
+
   test("resizeNearest (production kernel) reproduces resizeNearestSums' " +
     "sum and checksum on every fixture image and scale") {
     import spark.implicits._
