@@ -479,6 +479,52 @@ object MiscQueries {
         SELECT h.doc_id, h.dhash, (h.doc_id = m.keeper) AS is_kept
         FROM hsh h JOIN mn m USING (dhash)""")),
 
+    // Perceptual AUDIO dedup through the gate — the Haitsma–Kalker
+    // energy-gradient fingerprint (qgi's audio sibling): 16 equal
+    // windows over the decoded PCM, E(w) = Σ v², bit w iff
+    // E(w+1) > E(w), keep-first per exact fingerprint (15-bit space, so
+    // the dedup genuinely fires as the corpus grows). The oracle
+    // replays energies, bits, and the keeper from the WAV generator
+    // formulas — decode, windowing, gradient packing, and the verdict
+    // are all gate-visible.
+    Entry("qgj_audio_fingerprint_dedup",
+      (s, dir) => {
+        val wavDir = wavDirFromDocuments(s, dir)
+        val fp = graft.sources.Audio.fingerprint64(
+          graft.sources.Audio.readBinary(s, wavDir), nWindows = 16)
+          .select(regexp_extract(col("path"), "doc_(\\d+)\\.wav$", 1)
+              .cast("long").as("doc_id"),
+            col("n_windows"), col("fingerprint"))
+        val keepers = fp.groupBy(col("fingerprint"))
+          .agg(min(col("doc_id")).as("_k"))
+        fp.join(keepers, Seq("fingerprint"))
+          .select(col("doc_id"), col("n_windows"), col("fingerprint"),
+            (col("doc_id") === col("_k")).as("is_kept"))
+      },
+      Some("""WITH d AS (
+          SELECT doc_id, 50 + doc_id % 20 AS nf FROM documents
+        ), s AS (
+          SELECT doc_id, t.i, t.i // (nf // 16) AS w,
+            ((31 * doc_id + 7 * t.i) % 65536) - 32768 AS v
+          FROM d CROSS JOIN UNNEST(generate_series(0, (nf // 16) * 16 - 1)) AS t(i)
+        ), e AS (
+          SELECT doc_id, w, sum(v * v) AS e FROM s GROUP BY 1, 2
+        ), bits AS (
+          SELECT lo.doc_id, lo.w AS b
+          FROM e lo JOIN e hi ON lo.doc_id = hi.doc_id AND hi.w = lo.w + 1
+          WHERE hi.e > lo.e
+        ), fp AS (
+          SELECT d.doc_id,
+            CAST(coalesce(sum(CAST(1 AS BIGINT) << b), 0) AS BIGINT)
+              AS fingerprint
+          FROM d LEFT JOIN bits USING (doc_id) GROUP BY d.doc_id
+        ), mn AS (
+          SELECT fingerprint, min(doc_id) AS keeper FROM fp GROUP BY 1
+        )
+        SELECT f.doc_id, CAST(16 AS BIGINT) AS n_windows, f.fingerprint,
+          (f.doc_id = m.keeper) AS is_kept
+        FROM fp f JOIN mn m USING (fingerprint)""")),
+
     // REAL audio decode through the gate — the WAV sibling of qdf: a
     // deterministic mono 16-bit PCM WAV per document, scanned with Spark's
     // built-in binaryFile source, parsed partition-local with the ACTUAL

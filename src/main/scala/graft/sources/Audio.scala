@@ -171,6 +171,62 @@ object Audio {
     }(enc)
   }
 
+  /** Energy-gradient audio FINGERPRINT — the Haitsma–Kalker device ("A
+    * Highly Robust Audio Fingerprint", 2002: per-frame energies, bits =
+    * the sign of the energy DERIVATIVE; their 33-band × time form
+    * collapses to the time-gradient on mono PCM): the first
+    * nWindows·⌊n/nWindows⌋ samples split into `nWindows` equal windows,
+    * E(w) = Σ v² over window w (exact longs), and bit w of the
+    * fingerprint is set iff E(w+1) > E(w) — nWindows−1 bits in a long
+    * (nWindows ≤ 64). Identical audio → identical fingerprint;
+    * perceptually-similar audio differs in few bits; dedup on exact
+    * fingerprint match is the audio sibling of [[Images.dHash64]]'s
+    * recipe. Partition-local real AudioSystem decode, payloads never
+    * touch the driver. Output: (path, n_windows, fingerprint). */
+  def fingerprint64(binary: DataFrame, nWindows: Int): DataFrame = {
+    require(nWindows >= 2 && nWindows <= 64,
+      s"nWindows must be in [2, 64], got $nWindows")
+    val fpSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("n_windows", LongType),
+      StructField("fingerprint", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(fpSchema)
+    binary.select("path", "content").mapPartitions { rows =>
+      rows.map { r =>
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("content")))
+        try {
+          val fmt = in.getFormat
+          require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian &&
+            fmt.getChannels == 1, s"fingerprint expects 16-bit LE mono PCM, got $fmt")
+          val data = in.readAllBytes()
+          val n = data.length / 2
+          val wl = n / nWindows
+          require(wl >= 1, s"clip too short: $n samples for $nWindows windows")
+          def sample(i: Int): Long =
+            ((data(2 * i) & 0xff) | (data(2 * i + 1) << 8)).toShort.toLong
+          val e = new Array[Long](nWindows)
+          var w = 0
+          while (w < nWindows) {
+            var acc = 0L
+            var i = w * wl
+            val end = i + wl
+            while (i < end) { val v = sample(i); acc += v * v; i += 1 }
+            e(w) = acc
+            w += 1
+          }
+          var fp = 0L
+          var b = 0
+          while (b < nWindows - 1) {
+            if (e(b + 1) > e(b)) fp |= (1L << b)
+            b += 1
+          }
+          Row(r.getAs[String]("path"), nWindows.toLong, fp)
+        } finally in.close()
+      }
+    }(enc)
+  }
+
   /** NEAREST-NEIGHBOR sample-rate conversion of 16-bit mono PCM to
     * `dstRate` — the audio preprocessing sibling of
     * [[Images.resizeNearest]] (training pipelines normalize clips to one

@@ -108,6 +108,40 @@ class AudioSourceSpec extends SparkSpec {
     }
   }
 
+  test("fingerprint64: energy-gradient bits brute-checked against the " +
+    "generator formulas; identical clips collide, window-count bounds hold") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wav_fp").toFile
+    val ids = Seq(3L, 7L, 12L, 23L)
+    Audio.wavsFromDocIds(ids.toDF("doc_id"), "doc_id", dir.getPath)
+    val got = Audio.fingerprint64(Audio.readBinary(spark, dir.getPath),
+        nWindows = 16)
+      .select(regexp_extract(col("path"), "doc_(\\d+)\\.wav$", 1)
+          .cast("long").as("id"), col("n_windows"), col("fingerprint"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    ids.foreach { id =>
+      val n = Audio.framesOf(id)
+      val wl = n / 16
+      val e = (0 until 16).map { w =>
+        (w * wl until (w + 1) * wl)
+          .map { i => val v = Audio.sampleOf(id, i).toLong; v * v }.sum
+      }
+      var want = 0L
+      for (b <- 0 until 15) if (e(b + 1) > e(b)) want |= (1L << b)
+      assert(got(id) === ((16L, want)), s"id=$id")
+      assert((want >> 15) === 0L, "only nWindows-1 bits may be set")
+    }
+    // byte-identical clips must collide (the dedup premise)
+    val dir2 = java.nio.file.Files.createTempDirectory("wav_fp2").toFile
+    Audio.wavsFromDocIds(Seq(3L).toDF("doc_id"), "doc_id", dir2.getPath)
+    val again = Audio.fingerprint64(Audio.readBinary(spark, dir2.getPath), 16)
+      .select("fingerprint").as[Long].head()
+    assert(again === got(3L)._2)
+    intercept[IllegalArgumentException] {
+      Audio.fingerprint64(Audio.readBinary(spark, dir.getPath), nWindows = 65)
+    }
+  }
+
   test("sample formula spans the signed 16-bit range (both signs hit)") {
     // exact endpoints: 31·0+7·0 ≡ 0 → -32768; 31·2113 = 65503 → +32735
     assert(Audio.sampleOf(0L, 0) === -32768)
