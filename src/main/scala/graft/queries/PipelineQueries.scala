@@ -3803,6 +3803,55 @@ object PipelineQueries {
         smoothMilli = 100),
       Some(ODoremi4)),
 
+    // Tokenizer FERTILITY report (Rust et al. 2021, "How Good is Your
+    // Tokenizer?" — subwords per word, the standard multilingual
+    // tokenizer-eval metric): train the BPE (qd4's 3 merges), encode
+    // the corpus (qdl), aggregate tokens/words per language, fertility
+    // in exact integer millis. The oracle replays train + encode
+    // through the shared word-carrying fold CTEs and re-aggregates by
+    // language.
+    Entry("qgk_tokenizer_fertility",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val merges = TextPipeline.bpeTrain(d, "text", nMerges = 3)
+          .map { case (_, l, r, _) => (l, r) }
+        TextPipeline.bpeEncode(d, "doc_id", "text", merges)
+          .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .groupBy(col("lang"))
+          .agg(sum("n_words").as("n_words"), sum("n_tokens").as("n_tokens"))
+          .withColumn("fertility_milli", expr("(1000L * n_tokens) DIV n_words"))
+      },
+      Some(s"""WITH RECURSIVE words AS (
+          SELECT w AS word, count(*) AS cnt FROM (
+            SELECT unnest(list_filter(
+              string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
+            FROM documents)
+          GROUP BY 1
+        ), v0 AS (
+          SELECT word, list_append(
+              list_transform(range(1, length(word) + 1), i -> word[i]),
+              '</w>') AS syms,
+            cnt
+          FROM words
+        ), ${oBpeArgmax(0)}, ${oBpeFold(0)}, ${oBpeArgmax(1)}, ${oBpeFold(1)},
+        ${oBpeArgmax(2)}, ${oBpeFold(2)},
+        wl AS (
+          SELECT word, len(syms) AS w_toks FROM v3
+        ), docw AS (
+          SELECT doc_id, unnest(list_filter(
+            string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS word
+          FROM documents
+        ), agg AS (
+          SELECT d.lang, CAST(count(*) AS BIGINT) AS n_words,
+            CAST(sum(wl.w_toks) AS BIGINT) AS n_tokens
+          FROM docw JOIN wl USING (word)
+          JOIN documents d USING (doc_id)
+          GROUP BY d.lang
+        )
+        SELECT lang, n_words, n_tokens,
+          CAST((1000 * n_tokens) // n_words AS BIGINT) AS fertility_milli
+        FROM agg""")),
+
     // DoReMi END-TO-END: learn the mixture (qga's trajectory), then
     // RESAMPLE the corpus to it — the paper's consumption step: each
     // domain receives floor(2000 · avg_weight/1e9) slots realized as
