@@ -53,7 +53,7 @@ object PipelineQueries {
                 string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
               FROM documents)
             GROUP BY 1
-          ), v0 AS (
+          ), v0 AS MATERIALIZED (
             SELECT list_append(
                 list_transform(range(1, length(word) + 1), i -> word[i]),
                 '</w>') AS syms,
@@ -117,7 +117,7 @@ object PipelineQueries {
             string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
           FROM documents)
         GROUP BY 1
-      ), v0 AS (
+      ), v0 AS MATERIALIZED (
         SELECT list_append(
             list_transform(range(1, length(word) + 1), i -> word[i]),
             '</w>') AS syms,
@@ -406,7 +406,7 @@ object PipelineQueries {
         CROSS JOIN UNNEST(generate_series(1, 4)) q(l)
         WHERE i + l - 1 <= length(word)
         GROUP BY 1
-      ), v0 AS (
+      ), v0 AS MATERIALIZED (
         SELECT p, cnt FROM subs WHERE length(p) = 1
         UNION ALL
         SELECT p, cnt FROM (
@@ -869,7 +869,7 @@ object PipelineQueries {
         CROSS JOIN UNNEST(generate_series(1, 4)) q(l)
         WHERE i + l - 1 <= length(word)
         GROUP BY 1
-      ), v0 AS (
+      ), v0 AS MATERIALIZED (
         SELECT p, cnt FROM subs WHERE length(p) = 1
         UNION ALL
         SELECT p, cnt FROM (
@@ -998,7 +998,7 @@ object PipelineQueries {
             string_split_regex(lower(text), '\\s+'), x -> x <> '') AS w
           FROM documents WHERE doc_id < 100)
         CROSS JOIN UNNEST(generate_series(1, len(w))) AS t(i)
-      ), v0 AS (
+      ), v0 AS MATERIALIZED (
         SELECT doc_id, widx, list_append(
           list_transform(range(1, length(word) + 1), i -> word[i]), '</w>') AS syms
         FROM docw
@@ -1028,7 +1028,7 @@ object PipelineQueries {
         CROSS JOIN UNNEST(generate_series(1, len(w))) AS t(i)
       ), dw AS (
         SELECT DISTINCT word FROM docw
-      ), v0 AS (
+      ), v0 AS MATERIALIZED (
         SELECT word AS doc_id, CAST(0 AS BIGINT) AS widx, list_append(
           list_transform(range(1, length(word) + 1), i -> word[i]), '</w>') AS syms
         FROM dw
@@ -1098,14 +1098,18 @@ object PipelineQueries {
     * ([[OBpeEncode3]] and the byte-level [[OByteBpeEncode3]]): argmax =
     * highest-count adjacent pair over vocabulary frame v<i>; fold = one
     * greedy-leftmost merge pass v<i> → v<i+1>. */
-  private def oBpeArgmax(i: Int) = s"""p${i + 1} AS (
+  private def oBpeArgmax(i: Int) = s"""p${i + 1} AS MATERIALIZED (
         SELECT syms[i] AS lhs, syms[i + 1] AS rhs, sum(cnt) AS pc
         FROM v$i CROSS JOIN UNNEST(generate_series(1, len(syms) - 1)) AS t(i)
         GROUP BY 1, 2
-      ), m${i + 1} AS (
+      ), m${i + 1} AS MATERIALIZED (
         SELECT lhs, rhs, pc FROM p${i + 1}
         ORDER BY pc DESC, lhs, rhs LIMIT 1
       )"""
+  // m/p/v are MATERIALIZED (the round-13 CTE-inlining lesson): the
+  // recursive fold references m<i> at EVERY recursion step, and an
+  // inlined m re-runs its whole argmax subtree per step — the qge
+  // byte-level oracle ground ~40 min at sf0.1 before this
   private def oBpeFold(i: Int) = s"""r${i + 1} AS (
         SELECT word, syms, cnt, 1 AS i, []::varchar[] AS out, '' AS pending
         FROM v$i
@@ -1119,7 +1123,7 @@ object PipelineQueries {
                     AND r.syms[r.i] = m.rhs
                THEN '' ELSE r.syms[r.i] END
         FROM r${i + 1} r, m${i + 1} m WHERE r.i <= len(r.syms)
-      ), v${i + 1} AS (
+      ), v${i + 1} AS MATERIALIZED (
         SELECT word, CASE WHEN pending = '' THEN out
                           ELSE list_append(out, pending) END AS syms, cnt
         FROM r${i + 1} WHERE i = len(syms) + 1
@@ -1134,7 +1138,7 @@ object PipelineQueries {
             string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
           FROM documents)
         GROUP BY 1
-      ), v0 AS (
+      ), v0 AS MATERIALIZED (
         SELECT word, list_append(
             list_transform(range(1, length(word) + 1), i -> word[i]),
             '</w>') AS syms,
@@ -1195,7 +1199,7 @@ object PipelineQueries {
         FROM docw0
       ), words AS (
         SELECT word, count(*) AS cnt FROM docw GROUP BY 1
-      ), v0 AS (
+      ), v0 AS MATERIALIZED (
         SELECT word, list_append(
             list_transform(range(1, length(word) + 1), i -> word[i]),
             '</w>') AS syms,
@@ -1312,7 +1316,7 @@ object PipelineQueries {
             string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
           FROM documents)
         GROUP BY 1
-      ), v0 AS (
+      ), v0 AS MATERIALIZED (
         SELECT list_append(
             list_transform(range(1, length(word) + 1), i -> word[i]),
             '</w>') AS syms,
@@ -3827,7 +3831,7 @@ object PipelineQueries {
               string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
             FROM documents)
           GROUP BY 1
-        ), v0 AS (
+        ), v0 AS MATERIALIZED (
           SELECT word, list_append(
               list_transform(range(1, length(word) + 1), i -> word[i]),
               '</w>') AS syms,
