@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.IterBench"
   * Section select: SPARK_GRAFT_ITERBENCH=loops|bpe|bpescale|bpedrop|tok|unigram|
-  * wpencode|simhash|grank|shidx|lshidx|ivfidx|gramidx|exactsubstr|dsir|streampack|
+  * wpencode|simhash|grank|grankmany|shidx|lshidx|ivfidx|gramidx|exactsubstr|dsir|streampack|
   * streamsample|stream|streamamort|streamloop (default loops — the
   * bpe/bpescale sections run ~500-merge tokenizer trainings and are
   * minutes long by design; results are recorded in BASELINE.md).
@@ -135,6 +135,45 @@ object IterBench {
         }
         timed(s"groupedRank        n=$n round=$round") {
           operators.Partitioning.groupedRank(df, "g",
+            Seq(col("score").asc, col("id").asc), "rk")
+            .agg(sum(pmod(col("rk"), lit(1000000007L)))).head(); n
+        }
+      }
+      df.unpersist()
+      spark.stop()
+      return
+    }
+
+    // Grouped rank at MANY-SMALL-GROUPS scale (the round-16 verdict's
+    // O(G) driver-state hazard): G = 1M distinct groups of ~2·mult rows
+    // each — the registered-domain shape a per-domain quota cap sees at
+    // web scale. Here the window hash-partitions G groups with zero
+    // driver state while groupedRank's phase A collects ~G rows to the
+    // driver; groupedRankAdaptive must route to the window. Measured
+    // next to the `grank` section's dominant-group rung (where
+    // groupedRank wins 8-11x), this pins BOTH sides of the route.
+    if (section == "grankmany") {
+      import org.apache.spark.sql.functions._
+      val g = 1000000L
+      val n = 2000000L * mult
+      val df = spark.range(n).select(col("id"),
+        concat(lit("d"), pmod(xxhash64(col("id")), lit(g))).as("g"),
+        pmod(xxhash64(col("id"), lit(7)), lit(1000000L)).as("score")).cache()
+      df.count()
+      for (round <- 1 to 2) {
+        timed(s"window row_number  n=$n G=$g round=$round") {
+          val w = org.apache.spark.sql.expressions.Window.partitionBy("g")
+            .orderBy(col("score"), col("id"))
+          df.withColumn("rk", row_number().over(w))
+            .agg(sum(pmod(col("rk"), lit(1000000007L)))).head(); n
+        }
+        timed(s"groupedRank        n=$n G=$g round=$round") {
+          operators.Partitioning.groupedRank(df, "g",
+            Seq(col("score").asc, col("id").asc), "rk")
+            .agg(sum(pmod(col("rk"), lit(1000000007L)))).head(); n
+        }
+        timed(s"groupedRankAdaptive n=$n G=$g round=$round") {
+          operators.Partitioning.groupedRankAdaptive(df, "g",
             Seq(col("score").asc, col("id").asc), "rk")
             .agg(sum(pmod(col("rk"), lit(1000000007L)))).head(); n
         }

@@ -492,10 +492,12 @@ object Sampling {
     *
     * Output: (idCol, domainCol, n_copies), rows with n_copies > 0.
     *
-    * Shape at 100 TB: ranks ride [[Partitioning.groupedRank]]'s
-    * two-phase scan (a heavily-weighted domain is exactly the dominant
-    * group), weights and per-domain counts BROADCAST (model-scale), the
-    * copy law is a map-side expression. */
+    * Shape at 100 TB: ranks ride [[Partitioning.groupedRankAdaptive]] —
+    * a heavily-weighted domain is exactly the dominant group the
+    * two-phase scan exists for, while a web-scale domain key (~1e8
+    * registered domains) routes to the hash-partitioned window so the
+    * driver never holds O(G) state; weights and per-domain counts
+    * BROADCAST (model-scale), the copy law is a map-side expression. */
   def doremiRealize(df: DataFrame, idCol: String, domainCol: String,
                     weights: DataFrame, weightCol: String, totalBudget: Long,
                     salt: String = "doremi"): DataFrame = {
@@ -504,7 +506,7 @@ object Sampling {
     val bud = weights.select(col(domainCol),
       expr(s"(${totalBudget}L * $weightCol) DIV 1000000000L").as("_b"))
     val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("_n"))
-    val ranked = Partitioning.groupedRank(
+    val ranked = Partitioning.groupedRankAdaptive(
       df.select(col(idCol), col(domainCol)), domainCol,
       Seq(unitHash(col(idCol), salt).asc, col(idCol).asc), "_rk")
     ranked
@@ -523,15 +525,18 @@ object Sampling {
     * layout-independent, ties to the lower id). Output: (idCol,
     * domainCol, rk) for the kept rows.
     *
-    * Shape at 100 TB: the rank is [[Partitioning.groupedRank]]'s
-    * two-phase range-partitioned scan, NOT a domain-keyed window — a
-    * dominant domain (the exact case a cap exists for) would funnel a
-    * window through one task; here it spans partitions. */
+    * Shape at 100 TB: the rank is [[Partitioning.groupedRankAdaptive]]
+    * — a dominant domain (the exact case a cap exists for) takes the
+    * two-phase range-partitioned scan so it spans partitions instead of
+    * funneling a domain-keyed window through one task, while a
+    * web-scale domain key (~1e8 registered hosts, each holding a tiny
+    * corpus share) hash-partitions through the window with zero driver
+    * state. */
   def domainQuotaCap(df: DataFrame, idCol: String, domainCol: String,
                      perDomain: Int, salt: String = "quota"): DataFrame = {
     require(perDomain >= 1, s"perDomain must be >= 1, got $perDomain")
     val keyed = df.select(col(idCol), col(domainCol))
-    Partitioning.groupedRank(keyed, domainCol,
+    Partitioning.groupedRankAdaptive(keyed, domainCol,
         Seq(unitHash(col(idCol), salt).asc, col(idCol).asc), "rk")
       .filter(col("rk") <= perDomain)
       .select(col(idCol), col(domainCol), col("rk"))

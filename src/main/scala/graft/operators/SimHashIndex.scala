@@ -225,16 +225,37 @@ object SimHashIndex {
     * required; precision is exact because every candidate confirms the
     * true 64-bit Hamming distance. */
   def ingest(batch: DataFrame, idCol: String, textCol: String,
-             maxDist: Int, ref: Ref, delivery: String): DataFrame = {
+             maxDist: Int, ref: Ref, delivery: String): DataFrame =
+    ingestSigFrame(batch.sparkSession,
+      signatures(batch, idCol, textCol), maxDist, ref, delivery)
+
+  /** [[ingest]] over a PRECOMPUTED 64-bit signature column — the index
+    * is Hamming-space generic, so any 64-bit perceptual signature rides
+    * the same pigeonhole blocks and replay contract: an image corpus
+    * under [[graft.sources.Images.dHash64]], an audio corpus under
+    * [[graft.sources.Audio.fingerprint64]] (width >= nBlocks·blockWidth
+    * bits for the pigeonhole filter to discriminate — a 15-bit
+    * fingerprint under 16-bit blocks leaves blocks 1..3 constant and
+    * every pair a candidate; use nWindows=64 there). Same return shape:
+    * (old_id, new_id, hamming <= maxDist), then the batch's blocks fold
+    * in under `delivery`. */
+  def ingestSignatures(batch: DataFrame, idCol: String, sigCol: String,
+                       maxDist: Int, ref: Ref, delivery: String): DataFrame =
+    ingestSigFrame(batch.sparkSession,
+      batch.select(col(idCol).as("_doc"),
+        col(sigCol).cast("long").as("simhash")), maxDist, ref, delivery)
+
+  private def ingestSigFrame(spark: SparkSession, sigsIn: DataFrame,
+                             maxDist: Int, ref: Ref,
+                             delivery: String): DataFrame = {
     require(maxDist >= 0 && maxDist < ref.nBlocks,
       s"maxDist=$maxDist needs nBlocks>$maxDist for exact pigeonhole recall " +
         s"(got nBlocks=${ref.nBlocks}) — raise nBlocks or lower maxDist")
     require(delivery.nonEmpty && delivery != CompactedDelivery,
       s"delivery id must be non-empty and not '$CompactedDelivery'")
-    val spark = batch.sparkSession
     withLease(spark, ref, "ingest") {
       val hasCorpus = attachForWrite(spark, ref)
-      val sigs = signatures(batch, idCol, textCol).cache()
+      val sigs = sigsIn.cache()
       val blocks = blocked(sigs, ref.nBlocks)
       // within-batch: block self-join, lower id is the "old" side
       val within = blocks.as("a").join(blocks.as("b"),
@@ -270,12 +291,24 @@ object SimHashIndex {
     * no lease, the bucketed read is snapshot-consistent per job). Same
     * pair set an [[ingest]] of the batch would return. */
   def matchesAgainst(batch: DataFrame, idCol: String, textCol: String,
-                     maxDist: Int, ref: Ref): DataFrame = {
+                     maxDist: Int, ref: Ref): DataFrame =
+    matchesSigFrame(batch.sparkSession,
+      signatures(batch, idCol, textCol), maxDist, ref)
+
+  /** [[matchesAgainst]] over a precomputed 64-bit signature column —
+    * the read-only face of [[ingestSignatures]]. */
+  def matchesAgainstSignatures(batch: DataFrame, idCol: String,
+                               sigCol: String, maxDist: Int,
+                               ref: Ref): DataFrame =
+    matchesSigFrame(batch.sparkSession,
+      batch.select(col(idCol).as("_doc"),
+        col(sigCol).cast("long").as("simhash")), maxDist, ref)
+
+  private def matchesSigFrame(spark: SparkSession, sigs: DataFrame,
+                              maxDist: Int, ref: Ref): DataFrame = {
     require(maxDist >= 0 && maxDist < ref.nBlocks,
       s"maxDist=$maxDist needs nBlocks>$maxDist for exact pigeonhole recall")
-    val spark = batch.sparkSession
     attach(spark, ref)
-    val sigs = signatures(batch, idCol, textCol)
     val blocks = blocked(sigs, ref.nBlocks)
     val within = blocks.as("a").join(blocks.as("b"),
         col("a.blk") === col("b.blk") && col("a.blkval") === col("b.blkval") &&

@@ -838,6 +838,22 @@ object TextPipeline {
       .agg(count(lit(1)).as("n_words"), sum("w_toks").as("n_tokens"))
   }
 
+  /** Per-WORD-TYPE token counts under a trained merge list — the
+    * distinct-word frame [[bpeEncode]] aggregates away, exposed for
+    * tokenizer-evaluation reports that need word-granular statistics
+    * (continued-word share, per-type fertility): (word, w_toks), one
+    * row per distinct word, encoded through the same
+    * [[graft.functions.BpeDropoutEncodeExpr]] kernel at dropMille = 0.
+    * Vocab-bounded output — broadcast it back onto occurrences. */
+  def bpeWordTokenCounts(df: DataFrame, textCol: String,
+                         merges: Seq[(String, String)]): DataFrame =
+    df.select(explode(TextFunctions.tokens(lower(col(textCol)))).as("word"))
+      .distinct()
+      .select(col("word"),
+        size(graft.functions.BpeDropoutEncodeExpr(lit(""), lit(0L),
+          col("word"), merges, dropMille = 0L, salt = ""))
+          .cast("long").as("w_toks"))
+
   /** BPE-DROPOUT encoding (Provilkov et al. 2020) — [[bpeEncode]] with
     * each merge OPPORTUNITY independently dropped with probability
     * `dropMille`/1000: the BPE family's subword regularization, the

@@ -525,6 +525,64 @@ object MiscQueries {
           (f.doc_id = m.keeper) AS is_kept
         FROM fp f JOIN mn m USING (fingerprint)""")),
 
+    // Perceptual IMAGE NEAR-dup through the persistent index — the
+    // Hamming form qgi's exact-match recipe deliberately deferred: each
+    // PNG in the PLANTED fixture (graft.sources.Planted — nonlinear
+    // signature law, near-dups planted as <= 3 bit flips of a base doc,
+    // zero chance pairs within distance 3 at sf0.1) is REALLY decoded,
+    // dHash64-hashed, and fed through SimHashIndex.ingestSignatures in
+    // two deliveries, so within-batch, batch-vs-corpus, and the exact
+    // pigeonhole recall at maxDist=3 are all gate-visible. The oracle
+    // replays signature law, block layout, and Hamming confirm in plain
+    // integer SQL.
+    Entry("qh0_image_neardup_index",
+      (s, dir) => {
+        val imgDir = plantedPngDir(s, dir)
+        val tag = java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL) + "ind"
+        val ref = graft.operators.SimHashIndex.Ref(tag, buckets = 8)
+        graft.operators.SimHashIndex.drop(s, ref) // idempotent re-runs
+        val hashed = graft.sources.Images.read(s, imgDir).select(
+          regexp_extract(col("image.origin"), "doc_(\\d+)\\.png$", 1)
+            .cast("long").as("doc_id"),
+          graft.sources.Images.dHash64(col("image")).as("dhash"))
+        def ingest(pred: org.apache.spark.sql.Column) =
+          graft.operators.SimHashIndex.ingestSignatures(hashed.filter(pred),
+            "doc_id", "dhash", maxDist = 3, ref,
+            delivery = java.util.UUID.randomUUID().toString)
+        ingest(col("doc_id") % 2 === 0).localCheckpoint()
+          .unionByName(ingest(col("doc_id") % 2 =!= 0))
+      },
+      Some(plantedNearDupOracle(nbits = 64))),
+
+    // Perceptual AUDIO NEAR-dup through the persistent index — qh0's
+    // audio sibling over the planted WAV fixture: real AudioSystem
+    // decode, the 64-window Haitsma-Kalker energy-gradient fingerprint
+    // (63 bits — wide enough that every 16-bit pigeonhole block
+    // discriminates; the 15-bit qgj form would leave blocks 1..3
+    // constant and every pair a candidate), same two-delivery index
+    // path and maxDist=3 Hamming verdicts.
+    Entry("qh1_audio_neardup_index",
+      (s, dir) => {
+        val wavDir = plantedWavDir(s, dir)
+        val tag = java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL) + "and"
+        val ref = graft.operators.SimHashIndex.Ref(tag, buckets = 8)
+        graft.operators.SimHashIndex.drop(s, ref) // idempotent re-runs
+        val fp = graft.sources.Audio.fingerprint64(
+          graft.sources.Audio.readBinary(s, wavDir), nWindows = 64)
+          .select(regexp_extract(col("path"), "doc_(\\d+)\\.wav$", 1)
+              .cast("long").as("doc_id"),
+            col("fingerprint"))
+        def ingest(pred: org.apache.spark.sql.Column) =
+          graft.operators.SimHashIndex.ingestSignatures(fp.filter(pred),
+            "doc_id", "fingerprint", maxDist = 3, ref,
+            delivery = java.util.UUID.randomUUID().toString)
+        ingest(col("doc_id") % 2 === 0).localCheckpoint()
+          .unionByName(ingest(col("doc_id") % 2 =!= 0))
+      },
+      Some(plantedNearDupOracle(nbits = 63))),
+
     // REAL audio decode through the gate — the WAV sibling of qdf: a
     // deterministic mono 16-bit PCM WAV per document, scanned with Spark's
     // built-in binaryFile source, parsed partition-local with the ACTUAL
@@ -718,6 +776,95 @@ object MiscQueries {
 
   /** documents → deterministic WAV directory (same discipline as
     * [[pngDirFromDocuments]]). */
+  /** Materialize-once planted fixture dirs (same staging/atomic-move
+    * discipline as [[pngDirFromDocuments]]). */
+  private def plantedDir(s: SparkSession, dir: String, kind: String)
+                        (gen: (org.apache.spark.sql.DataFrame, String) => Unit): String = {
+    val srcMtime = new java.io.File(Tables.path(dir, "documents")).lastModified()
+    val key = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL) + s"_$srcMtime"
+    val out = new java.io.File(s"/tmp/graft_${kind}_planted_$key")
+    if (!out.exists()) {
+      val staging = new java.io.File(s"${out.getPath}.staging_${System.nanoTime()}")
+      staging.mkdirs()
+      gen(t(s, dir, "documents"), staging.getPath)
+      try java.nio.file.Files.move(staging.toPath, out.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        org.apache.commons.io.FileUtils.deleteDirectory(staging) // lost a race
+      }
+    }
+    out.getPath
+  }
+
+  private def plantedPngDir(s: SparkSession, dir: String): String =
+    plantedDir(s, dir, "png")(
+      graft.sources.Images.pngsPlantedNearDup(_, "doc_id", _))
+
+  private def plantedWavDir(s: SparkSession, dir: String): String =
+    plantedDir(s, dir, "wav")(
+      graft.sources.Audio.wavsPlantedNearDup(_, "doc_id", _))
+
+  /** DuckDB replay of the planted near-dup verdicts (qh0/qh1): the
+    * Planted signature law (three quadratic rounds mod 2^31−1, flips at
+    * (d·11 + m·17) mod nbits), SimHashIndex's 16-bit pigeonhole block
+    * layout (bit 63 via the signed-MIN device when nbits = 64), and the
+    * exact Hamming confirm at maxDist = 3 — all in plain integer SQL. */
+  private def plantedNearDupOracle(nbits: Int): String = {
+    val hi = nbits - 1
+    val signBit63 =
+      if (nbits == 64)
+        "CASE WHEN i = 63 THEN -9223372036854775808 ELSE (CAST(1 AS BIGINT) << i) END"
+      else "(CAST(1 AS BIGINT) << i)"
+    s"""WITH par AS (
+        SELECT doc_id,
+          CASE WHEN doc_id % 7 = 3 THEN doc_id - 3 ELSE doc_id END AS src,
+          CASE WHEN doc_id % 7 = 3 THEN doc_id % 4 ELSE 0 END AS k
+        FROM documents
+      ), b0 AS (
+        SELECT doc_id, k, t.i, (src * 64 + t.i + 1) AS x0
+        FROM par CROSS JOIN UNNEST(generate_series(0, $hi)) AS t(i)
+      ), b1 AS (SELECT doc_id, k, i, (x0*x0 + 12345) % 2147483647 AS x1 FROM b0
+      ), b2 AS (SELECT doc_id, k, i, (x1*x1 + 12345) % 2147483647 AS x2 FROM b1
+      ), b3 AS (SELECT doc_id, k, i,
+          ((x2*x2 + 12345) % 2147483647) % 2 AS bb FROM b2
+      ), bits AS MATERIALIZED (
+        SELECT doc_id, i,
+          CASE WHEN (k > 0 AND i = (doc_id*11) % $nbits)
+                 OR (k > 1 AND i = (doc_id*11 + 17) % $nbits)
+                 OR (k > 2 AND i = (doc_id*11 + 34) % $nbits)
+            THEN 1 - bb ELSE bb END AS bit
+        FROM b3
+      ), hsh AS (
+        SELECT doc_id, CAST(coalesce(
+            sum($signBit63) FILTER (bit = 1), 0) AS BIGINT) AS h
+        FROM bits GROUP BY doc_id
+      ), blk AS (
+        SELECT doc_id, i // 16 AS blk, CAST(coalesce(
+            sum(CAST(1 AS BIGINT) << (i % 16)) FILTER (bit = 1), 0)
+          AS BIGINT) AS blkval
+        FROM bits GROUP BY 1, 2
+      ), cand AS (
+        -- x < y unordered; the gate ingests even doc_ids as delivery 1,
+        -- odd as delivery 2, and the index contract sets old_id = the
+        -- ALREADY-INDEXED side for cross-delivery pairs (lower id only
+        -- within one delivery) — so old = y exactly when y is the even
+        -- one and x the odd
+        SELECT DISTINCT
+          CASE WHEN a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+            THEN b.doc_id ELSE a.doc_id END AS old_id,
+          CASE WHEN a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+            THEN a.doc_id ELSE b.doc_id END AS new_id
+        FROM blk a JOIN blk b ON a.blk = b.blk AND a.blkval = b.blkval
+          AND a.doc_id < b.doc_id
+      )
+      SELECT c.old_id, c.new_id,
+        CAST(bit_count(xor(h1.h, h2.h)) AS BIGINT) AS hamming
+      FROM cand c JOIN hsh h1 ON h1.doc_id = c.old_id
+        JOIN hsh h2 ON h2.doc_id = c.new_id
+      WHERE bit_count(xor(h1.h, h2.h)) <= 3"""
+  }
+
   private def wavDirFromDocuments(s: SparkSession, dir: String): String = {
     val srcMtime = new java.io.File(Tables.path(dir, "documents")).lastModified()
     val key = java.lang.Long.toHexString(

@@ -3856,6 +3856,86 @@ object PipelineQueries {
           CAST((1000 * n_tokens) // n_words AS BIGINT) AS fertility_milli
         FROM agg""")),
 
+    // Tokenizer EVAL rounding-out (qgk's fertility + the other standard
+    // metrics): per-language COMPRESSION RATE (bytes per token, milli —
+    // the byte-premium lens of Rust et al. 2021), CONTINUED-WORD share
+    // (words split into >= 2 subwords — their "proportion of continued
+    // words"), and closed-vocab OOV (occurrences outside the top-10
+    // word types by global frequency, ties broken lexicographically —
+    // the classic word-level-LM coverage metric; the corpus' shared
+    // cross-language alphabet makes char-level OOV vacuous, a frequency
+    // cut is not). Word-type stats ride the vocab-bounded
+    // bpeWordTokenCounts frame broadcast onto occurrences; the only
+    // non-vocab work is one occurrence-level aggregate.
+    Entry("qh2_tokenizer_eval",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val merges = TextPipeline.bpeTrain(d, "text", nMerges = 3)
+          .map { case (_, l, r, _) => (l, r) }
+        val wlen = TextPipeline.bpeWordTokenCounts(d, "text", merges)
+        val words = d.select(col("doc_id"), col("lang"),
+          explode(TextFunctions.tokens(lower(col("text")))).as("word"))
+        // vocab-scale frame: a window over word TYPES, never the corpus
+        val topk = words.groupBy(col("word")).agg(count(lit(1)).as("_c"))
+          .withColumn("_r", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("_c").desc, col("word").asc)))
+          .filter(col("_r") <= 10)
+          .select(col("word"), lit(1L).as("_iv"))
+        words.join(broadcast(wlen), Seq("word"))
+          .join(broadcast(topk), Seq("word"), "left")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_words"),
+            sum(col("w_toks")).as("n_tokens"),
+            sum(octet_length(col("word")).cast("long")).as("n_bytes"),
+            sum(when(col("w_toks") >= 2, 1L).otherwise(0L)).as("n_continued"),
+            sum(when(col("_iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+          .withColumn("fertility_milli", expr("(1000L * n_tokens) DIV n_words"))
+          .withColumn("compression_milli", expr("(1000L * n_bytes) DIV n_tokens"))
+          .withColumn("continued_milli", expr("(1000L * n_continued) DIV n_words"))
+          .withColumn("oov_milli", expr("(1000L * n_oov) DIV n_words"))
+      },
+      Some(s"""WITH RECURSIVE words AS (
+          SELECT w AS word, count(*) AS cnt FROM (
+            SELECT unnest(list_filter(
+              string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
+            FROM documents)
+          GROUP BY 1
+        ), v0 AS MATERIALIZED (
+          SELECT word, list_append(
+              list_transform(range(1, length(word) + 1), i -> word[i]),
+              '</w>') AS syms,
+            cnt
+          FROM words
+        ), ${oBpeArgmax(0)}, ${oBpeFold(0)}, ${oBpeArgmax(1)}, ${oBpeFold(1)},
+        ${oBpeArgmax(2)}, ${oBpeFold(2)},
+        wl AS (
+          SELECT word, len(syms) AS w_toks FROM v3
+        ), topk AS (
+          SELECT word FROM words ORDER BY cnt DESC, word ASC LIMIT 10
+        ), docw AS (
+          SELECT doc_id, unnest(list_filter(
+            string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS word
+          FROM documents
+        ), agg AS (
+          SELECT d.lang, CAST(count(*) AS BIGINT) AS n_words,
+            CAST(sum(wl.w_toks) AS BIGINT) AS n_tokens,
+            CAST(sum(strlen(docw.word)) AS BIGINT) AS n_bytes,
+            CAST(sum(CASE WHEN wl.w_toks >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+              AS n_continued,
+            CAST(sum(CASE WHEN docw.word IN (SELECT word FROM topk)
+              THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+          FROM docw JOIN wl USING (word)
+          JOIN documents d USING (doc_id)
+          GROUP BY d.lang
+        )
+        SELECT lang, n_words, n_tokens, n_bytes, n_continued, n_oov,
+          CAST((1000 * n_tokens) // n_words AS BIGINT) AS fertility_milli,
+          CAST((1000 * n_bytes) // n_tokens AS BIGINT) AS compression_milli,
+          CAST((1000 * n_continued) // n_words AS BIGINT) AS continued_milli,
+          CAST((1000 * n_oov) // n_words AS BIGINT) AS oov_milli
+        FROM agg""")),
+
     // DoReMi END-TO-END: learn the mixture (qga's trajectory), then
     // RESAMPLE the corpus to it — the paper's consumption step: each
     // domain receives floor(2000 · avg_weight/1e9) slots realized as

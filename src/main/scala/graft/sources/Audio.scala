@@ -61,6 +61,43 @@ object Audio {
         }
     }
 
+  /** Write one 256-frame `doc_<id>.wav` per input id realizing the
+    * PLANTED near-dup signature law ([[Planted]], 63-bit space) as that
+    * clip's [[fingerprint64]] at nWindows = 64: 64 windows of 4 frames,
+    * every frame in window w holding amplitude a(w), walking
+    * a(w+1) = a(w) + 1 when signature bit w is set (E(w+1) > E(w) ⇔
+    * a(w+1) > a(w) for positive amplitudes), −1 otherwise, from
+    * a(0) = 1000 — amplitudes stay in [937, 1063]. decode →
+    * fingerprint64 over these files reproduces [[Planted.sig]](id, 63)
+    * bit-exactly. Partition-local encode, no driver collection. */
+  def wavsPlantedNearDup(ids: DataFrame, idCol: String, outDir: String): Unit =
+    ids.select(col(idCol).cast("long")).foreachPartition {
+      (rows: Iterator[Row]) =>
+        rows.foreach { r =>
+          val id = r.getLong(0)
+          val bytes = new Array[Byte](256 * 2)
+          var a = 1000
+          var w = 0
+          while (w < 64) {
+            var f = 0
+            while (f < 4) {
+              val i = w * 4 + f
+              bytes(2 * i) = (a & 0xff).toByte // little-endian
+              bytes(2 * i + 1) = ((a >> 8) & 0xff).toByte
+              f += 1
+            }
+            if (w < 63) a += (if (Planted.sigBit(id, w, 63) == 1) 1 else -1)
+            w += 1
+          }
+          val in = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(bytes),
+            pcmFormat(16000f), 256L)
+          javax.sound.sampled.AudioSystem.write(in,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE,
+            new java.io.File(outDir, s"doc_$id.wav"))
+        }
+    }
+
   /** The real binary scan: Spark's binaryFile source over .wav files. */
   def readBinary(s: SparkSession, dir: String): DataFrame =
     s.read.format("binaryFile").option("pathGlobFilter", "*.wav").load(dir)

@@ -81,6 +81,40 @@ object Images {
         }
     }
 
+  /** Write one 9×8 `doc_<id>.png` per input id realizing the PLANTED
+    * near-dup signature law ([[Planted]]) as that image's [[dHash64]]:
+    * the image is exactly the dHash geometry (9×8, so the resize is the
+    * identity), all three channels equal (so the channel-mean gray is
+    * the value), and each row walks gray(x+1) = gray(x) − 1 when
+    * signature bit y·8+x is set (dHash bit = left > right), +1
+    * otherwise, from gray(0) = 128 — values stay in [120, 136], no
+    * clipping. decode → dHash64 over these files reproduces
+    * [[Planted.sig]](id, 64) bit-exactly, which is what the near-dup
+    * gate pins. Partition-local encode, no driver collection. */
+  def pngsPlantedNearDup(ids: DataFrame, idCol: String, outDir: String): Unit =
+    ids.select(col(idCol).cast("long")).foreachPartition {
+      (rows: Iterator[Row]) =>
+        rows.foreach { r =>
+          val id = r.getLong(0)
+          val img = new java.awt.image.BufferedImage(
+            9, 8, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+          var y = 0
+          while (y < 8) {
+            var g = 128
+            var x = 0
+            while (x < 9) {
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+              if (x < 8)
+                g += (if (Planted.sigBit(id, y * 8 + x, 64) == 1) -1 else 1)
+              x += 1
+            }
+            y += 1
+          }
+          javax.imageio.ImageIO.write(img, "png",
+            new java.io.File(outDir, s"doc_$id.png"))
+        }
+    }
+
   /** The real image scan: mllib image source over a directory of files. */
   def read(s: SparkSession, dir: String): DataFrame =
     s.read.format("image").load(dir)

@@ -67,17 +67,23 @@ object StreamingMixture {
               .getOrElse(Map.empty)
           val ps = prior("s", "s")
           val pn = prior("n", "n")
-          val merged = (ps.keySet ++ pn.keySet ++ own.map(_._1)).map { k =>
-            val (os, on) = own.find(_._1 == k)
-              .map(r => (r._2, r._3)).getOrElse((0L, 0L))
+          val ownMap = own.iterator.map(r => r._1 -> ((r._2, r._3))).toMap
+          val merged = (ps.keySet ++ pn.keySet ++ ownMap.keySet).map { k =>
+            val (os, on) = ownMap.getOrElse(k, (0L, 0L))
             val Array(t, g) = k.split(Sep, 2)
             (t.toLong, g) -> ((ps.getOrElse(k, 0L) + os, pn.getOrElse(k, 0L) + on))
           }.toMap
-          val weights = Sampling.doremiTrajectory(merged, steps, etaMilli,
-            smoothMilli)
-          weights.toDF(domainCol, "avg_weight_nanos", "final_weight_nanos")
-            .coalesce(1) // domain-cardinality-bounded
-            .write.mode("overwrite").parquet(s"$outDir/weights/batch_id=$bid")
+          // An empty delivery with no prior state (e.g. a zero-row batch 0)
+          // has no domains to weight: skip publishing (the trajectory
+          // requires >= 1 domain) but still mark the ledger so the batch
+          // is never re-worked; the first non-empty delivery publishes.
+          if (merged.nonEmpty) {
+            val weights = Sampling.doremiTrajectory(merged, steps, etaMilli,
+              smoothMilli)
+            weights.toDF(domainCol, "avg_weight_nanos", "final_weight_nanos")
+              .coalesce(1) // domain-cardinality-bounded
+              .write.mode("overwrite").parquet(s"$outDir/weights/batch_id=$bid")
+          }
           own.toSeq.map(r => (r._1, r._2)).toDF("k", "s")
             .write.mode("overwrite").parquet(s"$stateDir/s/delta/batch_id=$bid")
           own.toSeq.map(r => (r._1, r._3)).toDF("k", "n")

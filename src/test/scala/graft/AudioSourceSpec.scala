@@ -142,6 +142,25 @@ class AudioSourceSpec extends SparkSpec {
     }
   }
 
+  test("wavsPlantedNearDup: decode + fingerprint64(nWindows=64) " +
+    "reproduces Planted.sig(_, 63) bit-exactly, planted pairs at kOf bits") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wav_planted").toFile
+    val ids = (0L until 40L).toSeq
+    Audio.wavsPlantedNearDup(ids.toDF("doc_id"), "doc_id", dir.getPath)
+    val got = Audio.fingerprint64(Audio.readBinary(spark, dir.getPath), 64)
+      .select(regexp_extract(col("path"), "doc_(\\d+)\\.wav$", 1)
+          .cast("long").as("id"),
+        col("fingerprint"))
+      .as[(Long, Long)].collect().toMap
+    ids.foreach(id => assert(got(id) === graft.sources.Planted.sig(id, 63),
+      s"id=$id"))
+    ids.filter(_ % 7 == 3).foreach { d =>
+      assert(java.lang.Long.bitCount(got(d) ^ got(d - 3)) ===
+        graft.sources.Planted.kOf(d), s"planted pair ($d, ${d - 3})")
+    }
+  }
+
   test("sample formula spans the signed 16-bit range (both signs hit)") {
     // exact endpoints: 31·0+7·0 ≡ 0 → -32768; 31·2113 = 65503 → +32735
     assert(Audio.sampleOf(0L, 0) === -32768)

@@ -169,6 +169,51 @@ class DataSelectionSpec extends SparkSpec {
     want.foreach { case (id, rk) => assert(got(id) === rk, s"id=$id") }
   }
 
+  test("groupedRankAdaptive routes by group cardinality — window for many " +
+    "small groups, two-phase scan for few, split for mixed — and every " +
+    "route equals the window reference") {
+    val rnd = new scala.util.Random(29)
+    def reference(rows: Seq[(Long, String, Int)]): Map[Long, Long] =
+      rows.groupBy(_._2).flatMap { case (_, rs) =>
+        rs.sortBy(r => (-r._3, r._1)).zipWithIndex.map {
+          case ((id, _, _), i) => id -> (i + 1L)
+        }
+      }
+    def run(rows: Seq[(Long, String, Int)], maxG: Long) = {
+      val df = rnd.shuffle(rows).toDF("id", "grp", "score").repartition(9)
+      val out = graft.operators.Partitioning.groupedRankAdaptive(
+        df, "grp", Seq(col("score").desc, col("id").asc), "rk",
+        partitions = 5, maxDriverGroups = maxG)
+      (out.select("id", "rk").as[(Long, Long)].collect().toMap,
+        out.queryExecution.optimizedPlan.toString)
+    }
+    // MANY SMALL groups above the driver cap, none heavy: must take the
+    // hash-partitioned window (zero driver state), never the rank scan
+    val small = (0 until 460).map(i => (i.toLong, s"g${i % 46}", rnd.nextInt(50)))
+    val (gotSmall, planSmall) = run(small, maxG = 8)
+    assert(planSmall.contains("Window"),
+      s"G=46 > maxDriverGroups=8 with no heavy group must route to the window:\n$planSmall")
+    assert(gotSmall === reference(small))
+    // FEW groups (under the cap), one dominant: the pure two-phase scan —
+    // plan is the materialized RDD, no window anywhere
+    val dom = (0 until 460).map { i =>
+      (i.toLong, if (i < 400) "big" else s"g${i % 7}", rnd.nextInt(50))
+    }
+    val (gotDom, planDom) = run(dom, maxG = 1L << 17)
+    assert(!planDom.contains("Window"),
+      s"G=8 under the cap must take groupedRank verbatim:\n$planDom")
+    assert(gotDom === reference(dom))
+    // MIXED above the cap: the dominant group (400 of 460 rows >= n/p=92)
+    // takes the scan, the 30 light groups take the window, unioned
+    val mixed = (0 until 460).map { i =>
+      (i.toLong, if (i < 400) "big" else s"g${i % 30}", rnd.nextInt(50))
+    }
+    val (gotMixed, planMixed) = run(mixed, maxG = 8)
+    assert(planMixed.contains("Window") && planMixed.contains("Union"),
+      s"mixed regime must union the heavy scan with the light window:\n$planMixed")
+    assert(gotMixed === reference(mixed))
+  }
+
   test("doremiWeightsScaled matches an independent BigInt replay and " +
     "tilts weight toward the high-excess domain") {
     // domain A carries 4x the excess loss of B; C sits between

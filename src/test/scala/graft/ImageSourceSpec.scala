@@ -175,6 +175,26 @@ class ImageSourceSpec extends SparkSpec {
       "descending gray must set every gradient bit (incl. bit 63)")
   }
 
+  test("pngsPlantedNearDup: decode + dHash64 reproduces Planted.sig " +
+    "bit-exactly, planted pairs land at exactly kOf bits apart") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("img_planted").toFile
+    val ids = (0L until 40L).toSeq
+    graft.sources.Images.pngsPlantedNearDup(
+      ids.toDF("doc_id"), "doc_id", dir.getPath)
+    val got = Images.read(spark, dir.getPath)
+      .select(regexp_extract(col("image.origin"), "doc_(\\d+)\\.png$", 1)
+          .cast("long").as("id"),
+        Images.dHash64(col("image")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    ids.foreach(id => assert(got(id) === graft.sources.Planted.sig(id, 64),
+      s"id=$id"))
+    ids.filter(_ % 7 == 3).foreach { d =>
+      assert(java.lang.Long.bitCount(got(d) ^ got(d - 3)) ===
+        graft.sources.Planted.kOf(d), s"planted pair ($d, ${d - 3})")
+    }
+  }
+
   test("resizeNearest (production kernel) reproduces resizeNearestSums' " +
     "sum and checksum on every fixture image and scale") {
     import spark.implicits._

@@ -106,6 +106,46 @@ class SimHashIndexSpec extends SparkSpec {
     SimHashIndex.drop(spark, ref)
   }
 
+  test("ingestSignatures: the precomputed-signature face rides the same " +
+    "pigeonhole/causal/replay contract — brute-force-exact on the planted " +
+    "law, old_id from the earlier delivery, retry byte-identical") {
+    import graft.sources.Planted
+    val sref = SimHashIndex.Ref("shspecsig", buckets = 4)
+    SimHashIndex.drop(spark, sref)
+    val ids = (0L until 120L).toSeq
+    def sigs(sel: Long => Boolean) =
+      ids.filter(sel).map(d => (d, Planted.sig(d, 64))).toDF("doc_id", "sig")
+    def brute(sel: Long => Boolean): Set[(Long, Long, Long)] = {
+      val s = ids.filter(sel).map(d => d -> Planted.sig(d, 64))
+      (for {
+        (a, ha) <- s; (b, hb) <- s if a < b
+        d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+      } yield (a, b, d.toLong)).toSet
+    }
+    // single delivery over everything == brute force (pigeonhole recall
+    // on arbitrary 64-bit signatures, not just text simhashes)
+    val all = collect(SimHashIndex.ingestSignatures(sigs(_ => true),
+      "doc_id", "sig", 3, sref, "d0"))
+    assert(all === brute(_ => true))
+    assert(all.nonEmpty, "the planted fixture must fire")
+    SimHashIndex.drop(spark, sref)
+    // two deliveries: evens indexed first; cross pairs carry old_id =
+    // the indexed (even) doc even when it is the larger id
+    val d1 = collect(SimHashIndex.ingestSignatures(sigs(_ % 2 == 0),
+      "doc_id", "sig", 3, sref, "even"))
+    val d2 = collect(SimHashIndex.ingestSignatures(sigs(_ % 2 == 1),
+      "doc_id", "sig", 3, sref, "odd"))
+    val crossFlipped = d2.filter(p => p._1 % 2 == 0 && p._2 % 2 == 1 && p._1 > p._2)
+    assert(crossFlipped.nonEmpty,
+      "fixture must exercise the indexed-side-is-larger orientation")
+    assert((d1 ++ d2).map(p => (p._1 min p._2, p._1 max p._2, p._3)) ===
+      brute(_ => true).map(p => (p._1 min p._2, p._1 max p._2, p._3)))
+    // crashed-retry replay under the same id is byte-identical
+    assert(collect(SimHashIndex.ingestSignatures(sigs(_ % 2 == 1),
+      "doc_id", "sig", 3, sref, "odd")) === d2)
+    SimHashIndex.drop(spark, sref)
+  }
+
   test("matchesAgainst is the read-only rule: same pairs an ingest would " +
     "return, and the index does not grow") {
     SimHashIndex.drop(spark, ref)

@@ -138,6 +138,43 @@ class StreamingRollupSpec extends SparkSpec {
       "unrolled stream's final estimate must equal the batch mixture")
   }
 
+  test("doremi stream: a zero-row batch 0 is ledgered and skipped (no " +
+    "domains yet, nothing published), and the first real delivery " +
+    "publishes the batch answer") {
+    val base = java.nio.file.Files.createTempDirectory("doremiempty").toFile
+    val src = new java.io.File(base, "src"); src.mkdirs()
+    val data = (0L until 20L).map(i => (i, s"d${i % 3}", (i * 37) % 997, i % 4))
+    val schema = data.toDF("id", "dom", "excess", "step").schema
+    // slice 0 is EMPTY: the regression the guard exists for — an empty
+    // first delivery must not crash the query on requires(domains.nonEmpty)
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      schema).coalesce(1).write.parquet(s"$src/slice0")
+    Thread.sleep(20)
+    data.toDF("id", "dom", "excess", "step").coalesce(1)
+      .write.parquet(s"$src/slice1")
+    val q = graft.streaming.StreamingMixture.startDoremiIngest(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$src/slice*"),
+      "dom", "excess", "step", steps = 4, etaMilli = 500, smoothMilli = 100,
+      new java.io.File(base, "state").getAbsolutePath,
+      new java.io.File(base, "out").getAbsolutePath,
+      new java.io.File(base, "ckpt").getAbsolutePath)
+    try q.processAllAvailable() finally q.stop()
+    val w = new java.io.File(base, "out/weights")
+    val published = w.listFiles().filter(_.isDirectory).map(_.getName)
+      .map(_.stripPrefix("batch_id=").toLong).sorted.toSeq
+    assert(!published.contains(0L),
+      s"the empty delivery must publish nothing, got $published")
+    assert(published.nonEmpty, "the real delivery must publish")
+    val got = spark.read.parquet(s"$w/batch_id=${published.max}")
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    val want = graft.operators.Sampling.doremiWeightsScaled(
+        data.toDF("id", "dom", "excess", "step"), "dom", "excess", "step",
+        steps = 4, etaMilli = 500, smoothMilli = 100)
+      .as[(String, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got === want)
+  }
+
   test("planted mid-fold crashes: an UNCOMMITTED generation is invisible " +
     "and cleaned; a committed generation with its folded deltas still on " +
     "disk never double-counts, and cleanup sweeps the leftovers") {
