@@ -138,6 +138,11 @@ object IterBench {
             Seq(col("score").asc, col("id").asc), "rk")
             .agg(sum(pmod(col("rk"), lit(1000000007L)))).head(); n
         }
+        timed(s"groupedRankAdaptive n=$n round=$round") {
+          operators.Partitioning.groupedRankAdaptive(df, "g",
+            Seq(col("score").asc, col("id").asc), "rk")
+            .agg(sum(pmod(col("rk"), lit(1000000007L)))).head(); n
+        }
       }
       df.unpersist()
       spark.stop()

@@ -215,4 +215,47 @@ class ChunkIndexSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(base)
     ChunkIndex.drop(spark, ref)
   }
+
+  test("ledger rollup torn mid-fold under an INDEX caller: a generation " +
+    "missing _SUCCESS is invisible and swept, done batches never " +
+    "re-ingest, undone ones still do") {
+    ChunkIndex.drop(spark, ref)
+    val base = java.nio.file.Files.createTempDirectory("chunkidxroll").toFile
+    val outDir = new java.io.File(base, "out").getAbsolutePath
+    val ledger = s"$outDir/_ledger"
+    val batches = Seq(batch0, batch1, batch2)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      ChunkIndex.ingestBatchOnce(docs(b: _*), "doc_id", "text", w, dv, rm,
+        ref, outDir, bid = i.toLong)
+    }
+    val idxRows = spark.table(ref.chunksTable).count()
+    // planted crash: a rollup write died between landing its parquet and
+    // its _SUCCESS — exactly the window markDone's fold leaves open
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.range(1).select(lit(2L).as("w")).write.mode("overwrite")
+      .parquet(s"$ledger/rollup/w=2")
+    assert(fs.delete(
+      new org.apache.hadoop.fs.Path(s"$ledger/rollup/w=2/_SUCCESS"), false))
+    // NO REPLAY: every completed batch still reads done from the deltas
+    (0L to 2L).foreach { bid =>
+      assert(graft.streaming.IngestLedger.isDone(spark, ledger, bid),
+        s"bid=$bid must stay done under a torn rollup")
+      ChunkIndex.ingestBatchOnce(docs(batches(bid.toInt): _*), "doc_id",
+        "text", w, dv, rm, ref, outDir, bid)
+    }
+    assert(spark.table(ref.chunksTable).count() === idxRows,
+      "a torn rollup must not cause any batch to re-ingest")
+    // NO LOSS: the next batch is not done and ingests normally; its
+    // markDone sweeps the incomplete generation
+    assert(!graft.streaming.IngestLedger.isDone(spark, ledger, 3L))
+    ChunkIndex.ingestBatchOnce(docs(99L -> "totally new content here"),
+      "doc_id", "text", w, dv, rm, ref, outDir, bid = 3L)
+    assert(graft.streaming.IngestLedger.isDone(spark, ledger, 3L))
+    assert(spark.table(ref.chunksTable).count() > idxRows)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$ledger/rollup/w=2")),
+      "markDone's cleanup must sweep the torn generation")
+    org.apache.commons.io.FileUtils.deleteQuietly(base)
+    ChunkIndex.drop(spark, ref)
+  }
 }
