@@ -188,6 +188,65 @@ object IterBench {
       return
     }
 
+    // Price the qer/qfz collision armor (round-16 VERDICT watch item):
+    // the (h, h2) double-fingerprint chunk claim vs a single-fingerprint
+    // twin — same ordered drain, same chunker, same sink; the deltas are
+    // the xxhash64 column through shuffle+state and ListState-contains
+    // vs a ValueState flag. Both drain the full documents table as one
+    // file-stream replay through the RocksDB state store.
+    if (section == "chunkclaim") {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      import graft.streaming.{EventTimeOps, StreamingDedup}
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val schema = spark.read.parquet(s"$sfDir/documents.parquet").schema
+      def chunkStream = {
+        val raw = spark.readStream.schema(schema)
+          .parquet(s"$sfDir/documents*.parquet")
+        graft.operators.TextPipeline
+          .chunk(raw, "doc_id", "text", chunkSize = 8, overlap = 0)
+          .withColumn("ts", timestamp_micros(col("doc_id") * 1000000L))
+          .withWatermark("ts", "0 seconds")
+      }
+      def drive(df: org.apache.spark.sql.DataFrame, name: String): Long = {
+        val prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try {
+          val q = df.writeStream.outputMode("append").format("memory")
+            .queryName(name).start()
+          try q.processAllAvailable() finally q.stop()
+        } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.table(name).count()
+      }
+      for (round <- 1 to 2) {
+        timed(s"double (h,h2) claim round=$round") {
+          val chunks = chunkStream.select(
+            graft.functions.Fnv1a64Expr(col("chunk_text")).as("key"),
+            xxhash64(col("chunk_text")).as("key2"),
+            col("doc_id").as("docId"),
+            col("chunk_idx").cast("long").as("chunkIdx"),
+            col("chunk_text").as("chunkText"))
+            .as[StreamingDedup.ChunkRow]
+          drive(EventTimeOps.ordered(chunks,
+            (r: StreamingDedup.ChunkRow) => r.key,
+            new StreamingDedup.ChunkClaim).toDF(), s"ccd$round")
+        }
+        timed(s"single h claim      round=$round") {
+          val chunks = chunkStream.select(
+            graft.functions.Fnv1a64Expr(col("chunk_text")).as("key"),
+            col("doc_id").as("docId"),
+            col("chunk_idx").cast("long").as("chunkIdx"),
+            col("chunk_text").as("chunkText"))
+            .as[SingleChunkRow]
+          drive(EventTimeOps.ordered(chunks, (r: SingleChunkRow) => r.key,
+            new SingleClaim).toDF(), s"ccs$round")
+        }
+      }
+      spark.stop()
+      return
+    }
+
     // Hash-derived pseudo-word corpus over the sf documents' doc_ids:
     // vocab-scale tokenizer benching — the natural fixture's 31-word
     // vocabulary exhausts BPE at ~110 merges, so merge/vocab-scale costs
@@ -1215,4 +1274,32 @@ object IterBench {
     }
     spark.stop()
   }
+}
+
+/** Measurement twin of StreamingDedup.ChunkClaim WITHOUT the 64-bit
+  * collision armor (`chunkclaim` section only — production keeps the
+  * armor; a single fingerprint makes a keep-first collision REMOVE a
+  * distinct chunk, even-odds at ~4e9 distinct chunks): no key2 column,
+  * claim state a bare flag. */
+private case class SingleChunkRow(key: Long, docId: Long, chunkIdx: Long,
+                                  chunkText: String)
+
+private class SingleClaim extends graft.streaming.EventTimeOps.OrderedProcessor[
+    Long, SingleChunkRow, graft.streaming.StreamingDedup.KeptChunk](
+    r => (r.docId * 1000L, r.docId, r.chunkIdx),
+    org.apache.spark.sql.Encoders.product[SingleChunkRow]) {
+  @transient private var claimed: org.apache.spark.sql.streaming.ValueState[Boolean] = _
+  override protected def openState(
+      h: org.apache.spark.sql.streaming.StatefulProcessorHandle): Unit =
+    claimed = h.getValueState[Boolean]("claimed",
+      org.apache.spark.sql.Encoders.scalaBoolean,
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  override protected def onOrdered(key: Long, r: SingleChunkRow)
+      : Iterator[graft.streaming.StreamingDedup.KeptChunk] =
+    if (claimed.exists()) Iterator.empty
+    else {
+      claimed.update(true)
+      Iterator.single(graft.streaming.StreamingDedup.KeptChunk(
+        r.docId, r.chunkIdx, r.chunkText))
+    }
 }
