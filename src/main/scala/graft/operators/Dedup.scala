@@ -478,10 +478,23 @@ object Dedup {
     * fewer/bucket-cheaper candidates but only probabilistic recall; the
     * classic 4×16-bit split is exact for maxDist <= 3. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int,
-                   nBlocks: Int = 4): DataFrame = {
+                   nBlocks: Int = 4): DataFrame =
+    hammingPairsOf(simhashes(df, idCol, textCol), maxDist, nBlocks)
+
+  /** [[simhashPairs]] over a PRECOMPUTED 64-bit signature column — the
+    * one-shot batch sibling of [[SimHashIndex.ingestSignatures]]: any
+    * perceptual 64-bit fingerprint (image dHash, audio energy-gradient)
+    * rides the same pigeonhole banding and exact Hamming confirm. Feed
+    * the result to [[keepRepresentatives]] for the selection half. */
+  def hammingPairs(df: DataFrame, idCol: String, sigCol: String,
+                   maxDist: Int, nBlocks: Int = 4): DataFrame =
+    hammingPairsOf(df.select(col(idCol).as("doc"),
+      col(sigCol).cast("long").as("simhash")), maxDist, nBlocks)
+
+  private def hammingPairsOf(sh: DataFrame, maxDist: Int,
+                             nBlocks: Int): DataFrame = {
     require(nBlocks >= 1 && nBlocks <= 64)
     val width = 64 / nBlocks // trailing bits join the last block
-    val sh = simhashes(df, idCol, textCol)
     val blockExprs = transform(sequence(lit(0), lit(nBlocks - 1)), b => {
       val shifted = call_function("shiftrightunsigned", col("simhash"), b * lit(width))
       val mask = when(b === nBlocks - 1, lit(-1L)).otherwise(lit((1L << width) - 1))

@@ -583,6 +583,39 @@ object MiscQueries {
       },
       Some(plantedNearDupOracle(nbits = 63))),
 
+    // Perceptual image near-dup SELECTION — the product half qh0's pair
+    // diagnostics feed (the LAION recipe keeps ONE copy per near-dup
+    // cluster): real decode → dHash64 → one-shot banded Hamming pairs
+    // (Dedup.hammingPairs, the batch sibling of the index probe) →
+    // keepRepresentatives (min-id connected component). The oracle
+    // replays pairs from the planted law; on this fixture components
+    // are singletons and (base, base+3) pairs — measured: chance pairs
+    // within distance 3 are zero and each doc pairs at most once — so
+    // min-neighbor labeling IS the component.
+    Entry("qh3_image_neardup_select",
+      (s, dir) => {
+        val imgDir = plantedPngDir(s, dir)
+        val hashed = graft.sources.Images.read(s, imgDir).select(
+          regexp_extract(col("image.origin"), "doc_(\\d+)\\.png$", 1)
+            .cast("long").as("doc_id"),
+          graft.sources.Images.dHash64(col("image")).as("dhash"))
+        val pairs = graft.operators.Dedup.hammingPairs(
+          hashed, "doc_id", "dhash", maxDist = 3)
+        graft.operators.Dedup.keepRepresentatives(hashed, "doc_id", pairs)
+      },
+      Some(s"""${plantedPairCtes(nbits = 64)},
+        pr AS (
+          SELECT c.old_id AS id1, c.new_id AS id2
+          FROM cand c JOIN hsh h1 ON h1.doc_id = c.old_id
+            JOIN hsh h2 ON h2.doc_id = c.new_id
+          WHERE bit_count(xor(h1.h, h2.h)) <= 3
+        )
+        SELECT d.doc_id,
+          CAST(coalesce(min(p.id1), d.doc_id) AS BIGINT) AS rep_id,
+          (coalesce(min(p.id1), d.doc_id) = d.doc_id) AS is_kept
+        FROM documents d LEFT JOIN pr p ON p.id2 = d.doc_id
+        GROUP BY d.doc_id""")),
+
     // REAL audio decode through the gate — the WAV sibling of qdf: a
     // deterministic mono 16-bit PCM WAV per document, scanned with Spark's
     // built-in binaryFile source, parsed partition-local with the ACTUAL
@@ -810,7 +843,9 @@ object MiscQueries {
     * (d·11 + m·17) mod nbits), SimHashIndex's 16-bit pigeonhole block
     * layout (bit 63 via the signed-MIN device when nbits = 64), and the
     * exact Hamming confirm at maxDist = 3 — all in plain integer SQL. */
-  private def plantedNearDupOracle(nbits: Int): String = {
+  /** Shared CTE prefix: signature law → per-doc hash → pigeonhole blocks
+    * → distinct banded candidates with old_id < new_id. */
+  private def plantedPairCtes(nbits: Int): String = {
     val hi = nbits - 1
     val signBit63 =
       if (nbits == 64)
@@ -845,25 +880,28 @@ object MiscQueries {
           AS BIGINT) AS blkval
         FROM bits GROUP BY 1, 2
       ), cand AS (
-        -- x < y unordered; the gate ingests even doc_ids as delivery 1,
-        -- odd as delivery 2, and the index contract sets old_id = the
-        -- ALREADY-INDEXED side for cross-delivery pairs (lower id only
-        -- within one delivery) — so old = y exactly when y is the even
-        -- one and x the odd
-        SELECT DISTINCT
-          CASE WHEN a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
-            THEN b.doc_id ELSE a.doc_id END AS old_id,
-          CASE WHEN a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
-            THEN a.doc_id ELSE b.doc_id END AS new_id
+        SELECT DISTINCT a.doc_id AS old_id, b.doc_id AS new_id
         FROM blk a JOIN blk b ON a.blk = b.blk AND a.blkval = b.blkval
           AND a.doc_id < b.doc_id
-      )
-      SELECT c.old_id, c.new_id,
+      )"""
+  }
+
+  private def plantedNearDupOracle(nbits: Int): String =
+    s"""${plantedPairCtes(nbits)}
+      -- cand has old_id < new_id; the gate ingests even doc_ids as
+      -- delivery 1, odd as delivery 2, and the index contract sets
+      -- old_id = the ALREADY-INDEXED side for cross-delivery pairs
+      -- (lower id only within one delivery) — flip exactly when the
+      -- lower id is odd and the higher even
+      SELECT
+        CASE WHEN c.old_id % 2 = 1 AND c.new_id % 2 = 0
+          THEN c.new_id ELSE c.old_id END AS old_id,
+        CASE WHEN c.old_id % 2 = 1 AND c.new_id % 2 = 0
+          THEN c.old_id ELSE c.new_id END AS new_id,
         CAST(bit_count(xor(h1.h, h2.h)) AS BIGINT) AS hamming
       FROM cand c JOIN hsh h1 ON h1.doc_id = c.old_id
         JOIN hsh h2 ON h2.doc_id = c.new_id
       WHERE bit_count(xor(h1.h, h2.h)) <= 3"""
-  }
 
   private def wavDirFromDocuments(s: SparkSession, dir: String): String = {
     val srcMtime = new java.io.File(Tables.path(dir, "documents")).lastModified()

@@ -436,6 +436,35 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("windowspecdefinition"), s"no window:\n$plan")
   }
 
+  test("qh2 tokenizer eval: the vocab frames (token counts, top-K) " +
+    "BROADCAST onto occurrences; exactly ONE window and it ranks word " +
+    "TYPES, never the corpus") {
+    val plan = executedPlan("qh2_tokenizer_eval")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"the vocab-bounded frames must broadcast:\n$plan")
+    // AQE's toString repeats nodes under "== Initial Plan ==" — count
+    // window operators in the FINAL section only
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert("windowspecdefinition".r.findAllIn(finalPlan).length <= 1,
+      s"only the word-TYPE top-K rank may window:\n$finalPlan")
+    assert(!plan.contains("CartesianProduct"), s"equi-joins only:\n$plan")
+  }
+
+  test("hammingPairs (qh3's pair stage): banded equi self-join with the " +
+    "Hamming confirm as a post-join filter — no cartesian, no nested " +
+    "loop, no window") {
+    import org.apache.spark.sql.functions._
+    val df = spark.range(200)
+      .select(col("id"), xxhash64(col("id")).as("sig")).repartition(4)
+    val out = graft.operators.Dedup.hammingPairs(df, "id", "sig", maxDist = 3)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"the block join must stay an equi-join:\n$plan")
+    assert(!plan.contains("windowspecdefinition"), s"no window:\n$plan")
+  }
+
   test("qgh doremi resample: budgets and counts BROADCAST against the " +
     "ranked corpus; no window operator (groupedRank carries the rank)") {
     val plan = executedPlan("qgh_doremi_resample")

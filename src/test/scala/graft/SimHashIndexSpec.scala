@@ -221,6 +221,15 @@ class SimHashIndexSpec extends SparkSpec {
       assert(plan.contains("Bucketed: true"), s"index scan should be bucketed:\n$plan")
       assert(!plan.matches("(?s).*Exchange[^\n]*\n[^\n]*FileScan parquet[^\n]*graft_shidx.*"),
         s"the corpus side must not sit under an Exchange:\n$plan")
+      // the signature face probes through the identical construct
+      val js = SimHashIndex.matchesAgainstSignatures(
+        docs(batch2: _*).select(col("doc_id"), xxhash64(col("text")).as("sig")),
+        "doc_id", "sig", 3, ref)
+      val planS = js.queryExecution.executedPlan.toString
+      assert(planS.contains("Bucketed: true"),
+        s"signature-face index scan should be bucketed:\n$planS")
+      assert(!planS.matches("(?s).*Exchange[^\n]*\n[^\n]*FileScan parquet[^\n]*graft_shidx.*"),
+        s"signature-face corpus side must not sit under an Exchange:\n$planS")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     SimHashIndex.drop(spark, ref)
   }
