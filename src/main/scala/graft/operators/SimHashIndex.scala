@@ -448,6 +448,24 @@ object SimHashIndex {
     }
   }
 
+  /** [[ingestBatchOnce]] for a precomputed-signature batch — the
+    * streaming unit of [[ingestSignatures]], same ledger/overwrite/
+    * replay discipline. */
+  def ingestSignaturesBatchOnce(batch: DataFrame, idCol: String,
+                                sigCol: String, maxDist: Int, ref: Ref,
+                                outDir: String, bid: Long): Unit = {
+    val spark = batch.sparkSession
+    val ledger = s"$outDir/_ledger"
+    if (!graft.streaming.IngestLedger.isDone(spark, ledger, bid)) {
+      ingestSignatures(batch, idCol, sigCol, maxDist, ref,
+          delivery = streamDelivery(bid))
+        .filter(col("old_id") =!= col("new_id")) // id-contract-violation guard
+        .write.mode("overwrite")
+        .parquet(s"$outDir/pairs/batch_id=$bid")
+      graft.streaming.IngestLedger.markDone(spark, ledger, bid)
+    }
+  }
+
   /** Maintain the index from a document STREAM — the fit-once,
     * ingest-forever deployment shape the rest of the index family
     * carries: each micro-batch runs [[ingest]] inside foreachBatch, so
@@ -465,6 +483,24 @@ object SimHashIndex {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
         ingestBatchOnce(batch.toDF(), idCol, textCol, maxDist, ref, outDir, bid)
+      }
+      .start()
+
+  /** [[startStreamingIngest]] over a (id, 64-bit signature) STREAM —
+    * the deployment shape of ingest-time PERCEPTUAL dedup: an upstream
+    * map (e.g. `binaryFile` readStream →
+    * [[graft.sources.Images.dHash64KernelBinary]]) turns media bytes
+    * into signatures partition-locally, and each micro-batch folds into
+    * the persistent Hamming index exactly like the text face. */
+  def startStreamingSignatureIngest(sigs: DataFrame, idCol: String,
+                                    sigCol: String, maxDist: Int, ref: Ref,
+                                    outDir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    sigs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        ingestSignaturesBatchOnce(batch.toDF(), idCol, sigCol, maxDist, ref,
+          outDir, bid)
       }
       .start()
 }

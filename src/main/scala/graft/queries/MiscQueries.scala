@@ -830,7 +830,7 @@ object MiscQueries {
     out.getPath
   }
 
-  private def plantedPngDir(s: SparkSession, dir: String): String =
+  private[queries] def plantedPngDir(s: SparkSession, dir: String): String =
     plantedDir(s, dir, "png")(
       graft.sources.Images.pngsPlantedNearDup(_, "doc_id", _))
 
@@ -885,6 +885,16 @@ object MiscQueries {
           AND a.doc_id < b.doc_id
       )"""
   }
+
+  /** Single-delivery replay (whole corpus in one micro-batch): pairs
+    * keep the plain old_id < new_id orientation. */
+  private[queries] def plantedSingleDeliveryOracle(nbits: Int): String =
+    s"""${plantedPairCtes(nbits)}
+      SELECT c.old_id, c.new_id,
+        CAST(bit_count(xor(h1.h, h2.h)) AS BIGINT) AS hamming
+      FROM cand c JOIN hsh h1 ON h1.doc_id = c.old_id
+        JOIN hsh h2 ON h2.doc_id = c.new_id
+      WHERE bit_count(xor(h1.h, h2.h)) <= 3"""
 
   private def plantedNearDupOracle(nbits: Int): String =
     s"""${plantedPairCtes(nbits)}

@@ -1856,6 +1856,51 @@ object StatefulStreamQueries {
       },
       Some(ExtensionQueries.OSimhashIndexPairs)),
 
+    // STREAMING perceptual image near-dup ingest — the deployment shape
+    // of qh0 (media bytes stream in, the Hamming index answers forever):
+    // binaryFile readStream over the planted PNG corpus →
+    // dHash64KernelBinary (partition-local ImageIO decode+hash, the
+    // streaming-capable kernel: format("image") has no stream source) →
+    // startStreamingSignatureIngest. One trigger = one delivery, so the
+    // within-batch pairs ARE the global banded set and the planted
+    // single-delivery oracle replays verbatim; multi-delivery causality
+    // is qh0's gate, ledger replay the family spec.
+    Entry("qh4_stream_image_neardup",
+      (s, dir) => {
+        val imgDir = MiscQueries.plantedPngDir(s, dir)
+        val tag = java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL) + "isn"
+        val ref = graft.operators.SimHashIndex.Ref(tag, buckets = 8)
+        graft.operators.SimHashIndex.drop(s, ref) // idempotent re-runs
+        val base = new java.io.File(
+          System.getProperty("java.io.tmpdir"), s"graft_qh4_$tag")
+        org.apache.commons.io.FileUtils.deleteQuietly(base)
+        val out = new java.io.File(base, "out").getAbsolutePath
+        val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+        // binaryFile's fixed source schema (readStream requires it explicit)
+        val binSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("path",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("modificationTime",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("length",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("content",
+            org.apache.spark.sql.types.BinaryType)))
+        val sigs = graft.sources.Images.dHash64KernelBinary(
+          s.readStream.format("binaryFile").schema(binSchema)
+            .option("pathGlobFilter", "*.png").load(imgDir))
+          .select(regexp_extract(col("path"), "doc_(\\d+)\\.png$", 1)
+              .cast("long").as("doc_id"),
+            col("dhash"))
+        val q = graft.operators.SimHashIndex.startStreamingSignatureIngest(
+          sigs, "doc_id", "dhash", maxDist = 3, ref, out, ckpt)
+        try { q.processAllAvailable() } finally q.stop()
+        s.read.parquet(s"$out/pairs")
+          .select("old_id", "new_id", "hamming")
+      },
+      Some(MiscQueries.plantedSingleDeliveryOracle(nbits = 64))),
+
     // STREAMING DoReMi re-estimation (the streaming face of qga): the
     // mixture is recomputed from additive per-(step, domain) statistics
     // as deliveries land — state is just those sums (DeltaState'd,

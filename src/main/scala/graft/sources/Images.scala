@@ -247,6 +247,44 @@ object Images {
     }(enc)
   }
 
+  /** [[dHash64Kernel]] over a BINARY file scan — (path, content) rows
+    * from `binaryFile` instead of the mllib image frame, decoding
+    * partition-local with ImageIO. This is the STREAMING-capable form:
+    * `format("image")` has no readStream source, `binaryFile` does, so
+    * an ingest-time perceptual dedup pipeline scans bytes and hashes
+    * here (mapPartitions runs unchanged on a streaming frame). Same
+    * gradient law over the channel-MEAN gray ((R+G+B)/3 from the sRGB
+    * int — channel order cannot matter in a sum), same 9×8 nearest
+    * mapping; equality with the mllib-frame kernels on the same files
+    * is spec-pinned. Output: (path, dhash). */
+  def dHash64KernelBinary(binary: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("dhash", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    binary.select(col("path"), col("content")).mapPartitions { it =>
+      it.map { r =>
+        val path = r.getString(0)
+        val img = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        require(img != null, s"undecodable image bytes at $path")
+        val w = img.getWidth; val h = img.getHeight
+        def gray(x: Int, y: Int): Long = {
+          val rgb = img.getRGB(x * w / 9, y * h / 8)
+          ((((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)) / 3).toLong
+        }
+        var hash = 0L
+        var i = 0
+        while (i < 64) {
+          val x = i % 8; val y = i / 8
+          if (gray(x, y) > gray(x + 1, y)) hash |= (1L << i)
+          i += 1
+        }
+        Row(path, hash)
+      }
+    }(enc)
+  }
+
   /** Per-CHANNEL statistics of a decoded image — the image
     * feature-extract stage (the audio sibling is
     * [[Audio.frameFeatures]]): per channel of the BGR layout, the

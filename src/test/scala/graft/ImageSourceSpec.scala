@@ -193,6 +193,16 @@ class ImageSourceSpec extends SparkSpec {
       assert(java.lang.Long.bitCount(got(d) ^ got(d - 3)) ===
         graft.sources.Planted.kOf(d), s"planted pair ($d, ${d - 3})")
     }
+    // the binary-scan (streaming-capable) kernel agrees file-for-file
+    val gotBin = Images.dHash64KernelBinary(
+        spark.read.format("binaryFile").option("pathGlobFilter", "*.png")
+          .load(dir.getPath))
+      .select(regexp_extract(col("path"), "doc_(\\d+)\\.png$", 1)
+          .cast("long").as("id"),
+        col("dhash"))
+      .as[(Long, Long)].collect().toMap
+    assert(gotBin === got,
+      "binaryFile-scan kernel must equal the mllib-frame device")
   }
 
   test("resizeNearest (production kernel) reproduces resizeNearestSums' " +
