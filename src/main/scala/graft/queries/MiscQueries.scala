@@ -616,6 +616,34 @@ object MiscQueries {
         FROM documents d LEFT JOIN pr p ON p.id2 = d.doc_id
         GROUP BY d.doc_id""")),
 
+    // Audio sibling of qh3: decode → 64-window energy-gradient
+    // fingerprint → banded Hamming pairs → min-id keep-first. Same
+    // planted structure argument (63-bit law).
+    Entry("qh5_audio_neardup_select",
+      (s, dir) => {
+        val wavDir = plantedWavDir(s, dir)
+        val fp = graft.sources.Audio.fingerprint64(
+          graft.sources.Audio.readBinary(s, wavDir), nWindows = 64)
+          .select(regexp_extract(col("path"), "doc_(\\d+)\\.wav$", 1)
+              .cast("long").as("doc_id"),
+            col("fingerprint"))
+        val pairs = graft.operators.Dedup.hammingPairs(
+          fp, "doc_id", "fingerprint", maxDist = 3)
+        graft.operators.Dedup.keepRepresentatives(fp, "doc_id", pairs)
+      },
+      Some(s"""${plantedPairCtes(nbits = 63)},
+        pr AS (
+          SELECT c.old_id AS id1, c.new_id AS id2
+          FROM cand c JOIN hsh h1 ON h1.doc_id = c.old_id
+            JOIN hsh h2 ON h2.doc_id = c.new_id
+          WHERE bit_count(xor(h1.h, h2.h)) <= 3
+        )
+        SELECT d.doc_id,
+          CAST(coalesce(min(p.id1), d.doc_id) AS BIGINT) AS rep_id,
+          (coalesce(min(p.id1), d.doc_id) = d.doc_id) AS is_kept
+        FROM documents d LEFT JOIN pr p ON p.id2 = d.doc_id
+        GROUP BY d.doc_id""")),
+
     // REAL audio decode through the gate — the WAV sibling of qdf: a
     // deterministic mono 16-bit PCM WAV per document, scanned with Spark's
     // built-in binaryFile source, parsed partition-local with the ACTUAL
