@@ -542,10 +542,13 @@ object MiscQueries {
           scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL) + "ind"
         val ref = graft.operators.SimHashIndex.Ref(tag, buckets = 8)
         graft.operators.SimHashIndex.drop(s, ref) // idempotent re-runs
-        val hashed = graft.sources.Images.read(s, imgDir).select(
-          regexp_extract(col("image.origin"), "doc_(\\d+)\\.png$", 1)
-            .cast("long").as("doc_id"),
-          graft.sources.Images.dHash64(col("image")).as("dhash"))
+        // the PRODUCTION kernel (dHash64Kernel ≡ the builtin device,
+        // spec-pinned); cached so the two deliveries decode once
+        val hashed = graft.sources.Images.dHash64Kernel(
+            graft.sources.Images.read(s, imgDir))
+          .select(regexp_extract(col("origin"), "doc_(\\d+)\\.png$", 1)
+              .cast("long").as("doc_id"),
+            col("dhash")).cache()
         def ingest(pred: org.apache.spark.sql.Column) =
           graft.operators.SimHashIndex.ingestSignatures(hashed.filter(pred),
             "doc_id", "dhash", maxDist = 3, ref,
@@ -595,10 +598,11 @@ object MiscQueries {
     Entry("qh3_image_neardup_select",
       (s, dir) => {
         val imgDir = plantedPngDir(s, dir)
-        val hashed = graft.sources.Images.read(s, imgDir).select(
-          regexp_extract(col("image.origin"), "doc_(\\d+)\\.png$", 1)
-            .cast("long").as("doc_id"),
-          graft.sources.Images.dHash64(col("image")).as("dhash"))
+        val hashed = graft.sources.Images.dHash64Kernel(
+            graft.sources.Images.read(s, imgDir))
+          .select(regexp_extract(col("origin"), "doc_(\\d+)\\.png$", 1)
+              .cast("long").as("doc_id"),
+            col("dhash")).cache()
         val pairs = graft.operators.Dedup.hammingPairs(
           hashed, "doc_id", "dhash", maxDist = 3)
         graft.operators.Dedup.keepRepresentatives(hashed, "doc_id", pairs)
