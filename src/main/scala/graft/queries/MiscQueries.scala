@@ -866,7 +866,7 @@ object MiscQueries {
     plantedDir(s, dir, "png")(
       graft.sources.Images.pngsPlantedNearDup(_, "doc_id", _))
 
-  private def plantedWavDir(s: SparkSession, dir: String): String =
+  private[queries] def plantedWavDir(s: SparkSession, dir: String): String =
     plantedDir(s, dir, "wav")(
       graft.sources.Audio.wavsPlantedNearDup(_, "doc_id", _))
 
