@@ -620,6 +620,39 @@ object MiscQueries {
         FROM documents d LEFT JOIN pr p ON p.id2 = d.doc_id
         GROUP BY d.doc_id""")),
 
+    // VIDEO near-dup selection — the third modality (image qh3 / audio
+    // qh5 / video here): the real ISO 14496-12 stbl walk extracts the
+    // per-sample byte sizes, the size-GRADIENT sequence fingerprints the
+    // encoded stream without any codec (frame sizes track content
+    // complexity — the container-level Haitsma-Kalker device; pixel
+    // decode stays out of scope per the environment contract), then the
+    // same banded Hamming pairs + min-id keep-first. Planted 63-bit law
+    // over a 64-sample fixture.
+    Entry("qh7_video_neardup_select",
+      (s, dir) => {
+        val mp4Dir = plantedMp4Dir(s, dir)
+        val fp = graft.sources.Video.sizeFingerprint64(
+          graft.sources.Video.readBinary(s, mp4Dir), nSamples = 64)
+          .select(regexp_extract(col("path"), "doc_(\\d+)\\.mp4$", 1)
+              .cast("long").as("doc_id"),
+            col("fingerprint"))
+        val pairs = graft.operators.Dedup.hammingPairs(
+          fp, "doc_id", "fingerprint", maxDist = 3)
+        graft.operators.Dedup.keepRepresentatives(fp, "doc_id", pairs)
+      },
+      Some(s"""${plantedPairCtes(nbits = 63)},
+        pr AS (
+          SELECT c.old_id AS id1, c.new_id AS id2
+          FROM cand c JOIN hsh h1 ON h1.doc_id = c.old_id
+            JOIN hsh h2 ON h2.doc_id = c.new_id
+          WHERE bit_count(xor(h1.h, h2.h)) <= 3
+        )
+        SELECT d.doc_id,
+          CAST(coalesce(min(p.id1), d.doc_id) AS BIGINT) AS rep_id,
+          (coalesce(min(p.id1), d.doc_id) = d.doc_id) AS is_kept
+        FROM documents d LEFT JOIN pr p ON p.id2 = d.doc_id
+        GROUP BY d.doc_id""")),
+
     // Audio sibling of qh3: decode → 64-window energy-gradient
     // fingerprint → banded Hamming pairs → min-id keep-first. Same
     // planted structure argument (63-bit law).
@@ -865,6 +898,10 @@ object MiscQueries {
   private[queries] def plantedPngDir(s: SparkSession, dir: String): String =
     plantedDir(s, dir, "png")(
       graft.sources.Images.pngsPlantedNearDup(_, "doc_id", _))
+
+  private[queries] def plantedMp4Dir(s: SparkSession, dir: String): String =
+    plantedDir(s, dir, "mp4")(
+      graft.sources.Video.mp4sPlantedNearDup(_, "doc_id", _))
 
   private[queries] def plantedWavDir(s: SparkSession, dir: String): String =
     plantedDir(s, dir, "wav")(

@@ -61,7 +61,19 @@ object Video {
 
   /** Minimal valid MP4 header bytes for one id: ftyp + moov(mvhd,
     * trak(tkhd)). All multi-byte fields big-endian per ISO 14496-12. */
-  def writeMp4(id: Long): Array[Byte] = {
+  def writeMp4(id: Long): Array[Byte] =
+    mp4Tree(id, (1 to nSamplesOf(id)).map(sampleSizeOf(id, _)))
+
+  /** [[writeMp4]] with EXPLICIT per-sample sizes (everything else stays
+    * the id-derived formulas — [[writeMp4]] delegates here with the
+    * formula sizes, byte-identical). The planted near-dup fixture feeds
+    * controlled sample-size walks through this. */
+  def writeMp4Sized(id: Long, sizes: Seq[Int]): Array[Byte] = {
+    require(sizes.nonEmpty, "at least one sample")
+    mp4Tree(id, sizes)
+  }
+
+  private def mp4Tree(id: Long, sizes: Seq[Int]): Array[Byte] = {
     val ftyp = box("ftyp", {
       val b = java.nio.ByteBuffer.allocate(8)
       b.put("isom".getBytes("US-ASCII")); b.putInt(0)
@@ -98,14 +110,14 @@ object Video {
       b.putInt(heightOf(id) << 16)     // height, 16.16 fixed
       b.array()
     })
-    ftyp ++ box("moov", mvhd ++ box("trak", tkhd ++ mdiaOf(id)))
+    ftyp ++ box("moov", mvhd ++ box("trak", tkhd ++ mdiaOf(id, sizes)))
   }
 
   /** `mdia(mdhd, minf(stbl(stts, stsz, stss, stsc, stco)))` — the sample
     * tables every real demuxer walks to locate frames (ISO 14496-12 §8.5–
     * §8.7). All entries id-derived so a SQL oracle replays the decode. */
-  private def mdiaOf(id: Long): Array[Byte] = {
-    val n = nSamplesOf(id)
+  private def mdiaOf(id: Long, sizes: Seq[Int]): Array[Byte] = {
+    val n = sizes.length
     val c1 = (n + 1) / 2
     val mdhd = box("mdhd", {
       val b = java.nio.ByteBuffer.allocate(24)
@@ -129,7 +141,7 @@ object Video {
       val b = java.nio.ByteBuffer.allocate(12 + 4 * n)
       b.putInt(0); b.putInt(0)         // ver/flags; sample_size=0 → per-sample
       b.putInt(n)
-      (1 to n).foreach(i => b.putInt(sampleSizeOf(id, i)))
+      sizes.foreach(b.putInt)
       b.array()
     })
     val stss = box("stss", {
@@ -273,6 +285,85 @@ object Video {
       }
     }(enc)
   }
+
+  /** Per-sample sizes from the stsz box — the same stbl walk as
+    * [[parseSamples]], returning the raw size sequence (uniform-size
+    * tables expand). */
+  def parseSampleSizes(bytes: Array[Byte]): Array[Int] = {
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    def one(tag: String, cs: Seq[(String, Int, Int)]): (Int, Int) =
+      cs.collectFirst { case (`tag`, s, e) => (s, e) }
+        .getOrElse(sys.error(s"no $tag box"))
+    val moov = one("moov", boxChildren(bytes, 0, bytes.length))
+    val trak = one("trak", boxChildren(bytes, moov._1, moov._2))
+    val mdia = one("mdia", boxChildren(bytes, trak._1, trak._2))
+    val minf = one("minf", boxChildren(bytes, mdia._1, mdia._2))
+    val stblSpan = one("stbl", boxChildren(bytes, minf._1, minf._2))
+    val (stszS, _) = one("stsz", boxChildren(bytes, stblSpan._1, stblSpan._2))
+    val uniform = buf.getInt(stszS + 4)
+    val count = buf.getInt(stszS + 8)
+    if (uniform != 0) Array.fill(count)(uniform)
+    else Array.tabulate(count)(i => buf.getInt(stszS + 12 + i * 4))
+  }
+
+  /** Sample-size-gradient video FINGERPRINT — the container-level
+    * sibling of [[Audio.fingerprint64]] (Haitsma–Kalker's sign-of-the-
+    * derivative device over the per-sample BYTE SIZES the stsz table
+    * carries, instead of PCM energies): encoded frame sizes track
+    * content complexity, so the size-gradient sequence fingerprints the
+    * encoded stream without any codec — exactly what this environment's
+    * no-video-codec contract allows to be REAL (the stbl walk is the
+    * real ISO 14496-12 parse; only pixel decode is out of scope). Bit w
+    * set iff size(w+2) > size(w+1) over the first `nSamples` samples
+    * (1-indexed tables), nSamples − 1 bits in a long. Partition-local
+    * walk over a binaryFile frame. Output: (path, fingerprint). */
+  def sizeFingerprint64(binary: DataFrame, nSamples: Int): DataFrame = {
+    require(nSamples >= 2 && nSamples <= 64,
+      s"nSamples must be in [2, 64], got $nSamples")
+    val schema = StructType(Seq(
+      StructField("path", StringType),
+      StructField("fingerprint", LongType)))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    binary.select("path", "content").mapPartitions { rows =>
+      rows.map { r =>
+        val sizes = parseSampleSizes(r.getAs[Array[Byte]]("content"))
+        require(sizes.length >= nSamples,
+          s"clip too short: ${sizes.length} samples for $nSamples")
+        var fp = 0L
+        var w = 0
+        while (w < nSamples - 1) {
+          if (sizes(w + 1) > sizes(w)) fp |= (1L << w)
+          w += 1
+        }
+        Row(r.getAs[String]("path"), fp)
+      }
+    }(enc)
+  }
+
+  /** Write one 64-sample `doc_<id>.mp4` per input id realizing the
+    * PLANTED near-dup signature law ([[Planted]], 63-bit space) as that
+    * clip's [[sizeFingerprint64]] at nSamples = 64: sample sizes walk
+    * size(w+1) = size(w) + 1 when signature bit w is set, −1 otherwise,
+    * from size(0) = 1000 — the video sibling of
+    * [[Audio.wavsPlantedNearDup]]'s amplitude walk. */
+  def mp4sPlantedNearDup(ids: DataFrame, idCol: String, outDir: String): Unit =
+    ids.select(col(idCol).cast("long")).foreachPartition {
+      (rows: Iterator[Row]) =>
+        rows.foreach { r =>
+          val id = r.getLong(0)
+          val sizes = new Array[Int](64)
+          sizes(0) = 1000
+          var w = 0
+          while (w < 63) {
+            sizes(w + 1) = sizes(w) +
+              (if (Planted.sigBit(id, w, 63) == 1) 1 else -1)
+            w += 1
+          }
+          java.nio.file.Files.write(
+            new java.io.File(outDir, s"doc_$id.mp4").toPath,
+            writeMp4Sized(id, sizes.toSeq))
+        }
+    }
 
   /** Write one `doc_<id>.mp4` per input id into `outDir` (must exist) —
     * partition-local, no driver collection. */

@@ -103,4 +103,35 @@ class VideoSourceSpec extends SparkSpec {
       assert((w, h) === (Video.widthOf(id), Video.heightOf(id)))
     }
   }
+
+  test("writeMp4Sized: formula sizes reproduce writeMp4 byte-identically; " +
+    "parseSampleSizes round-trips explicit sizes") {
+    Seq(0L, 3L, 7L, 12L).foreach { id =>
+      val formula = (1 to Video.nSamplesOf(id)).map(Video.sampleSizeOf(id, _))
+      assert(java.util.Arrays.equals(Video.writeMp4(id),
+        Video.writeMp4Sized(id, formula)), s"id=$id")
+      assert(Video.parseSampleSizes(Video.writeMp4(id)).toSeq === formula)
+    }
+    val custom = Seq(10, 20, 15, 99, 3)
+    assert(Video.parseSampleSizes(Video.writeMp4Sized(9L, custom)).toSeq === custom)
+  }
+
+  test("mp4sPlantedNearDup: stbl walk + sizeFingerprint64(nSamples=64) " +
+    "reproduces Planted.sig(_, 63) bit-exactly, planted pairs at kOf bits") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mp4_planted").toFile
+    val ids = (0L until 40L).toSeq
+    Video.mp4sPlantedNearDup(ids.toDF("doc_id"), "doc_id", dir.getPath)
+    val got = Video.sizeFingerprint64(Video.readBinary(spark, dir.getPath), 64)
+      .select(regexp_extract(col("path"), "doc_(\\d+)\\.mp4$", 1)
+          .cast("long").as("id"),
+        col("fingerprint"))
+      .as[(Long, Long)].collect().toMap
+    ids.foreach(id => assert(got(id) === graft.sources.Planted.sig(id, 63),
+      s"id=$id"))
+    ids.filter(_ % 7 == 3).foreach { d =>
+      assert(java.lang.Long.bitCount(got(d) ^ got(d - 3)) ===
+        graft.sources.Planted.kOf(d), s"planted pair ($d, ${d - 3})")
+    }
+  }
 }
