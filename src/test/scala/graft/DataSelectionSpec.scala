@@ -214,6 +214,40 @@ class DataSelectionSpec extends SparkSpec {
     assert(gotMixed === reference(mixed))
   }
 
+  test("groupedRankAdaptive differential fuzz: random group structures × " +
+    "random thresholds all equal the window reference") {
+    val rnd = new scala.util.Random(41)
+    (0 until 6).foreach { trial =>
+      val nGroups = 1 + rnd.nextInt(40)
+      val rows = (0 until 300).map { i =>
+        // mix of skew shapes: zipf-ish for odd trials, uniform for even
+        val g = if (trial % 2 == 1) s"g${(math.sqrt(rnd.nextInt(nGroups * nGroups))).toInt}"
+          else s"g${rnd.nextInt(nGroups)}"
+        (i.toLong, g, rnd.nextInt(25))
+      }
+      val maxG = rnd.nextInt(3) match {
+        case 0 => 1L           // always above: window or split path
+        case 1 => 8L           // sometimes above
+        case _ => 1L << 17     // never above: pure groupedRank
+      }
+      val df = rnd.shuffle(rows).toDF("id", "grp", "score")
+        .repartition(1 + rnd.nextInt(8))
+      val got = graft.operators.Partitioning.groupedRankAdaptive(
+          df, "grp", Seq(col("score").desc, col("id").asc), "rk",
+          partitions = 1 + rnd.nextInt(6), maxDriverGroups = maxG)
+        .select("id", "rk").as[(Long, Long)].collect().toMap
+      val want = rows.groupBy(_._2).flatMap { case (_, rs) =>
+        rs.sortBy(r => (-r._3, r._1)).zipWithIndex.map {
+          case ((id, _, _), i) => id -> (i + 1L)
+        }
+      }
+      assert(got.size === rows.size, s"trial=$trial maxG=$maxG")
+      want.foreach { case (id, rk) =>
+        assert(got(id) === rk, s"trial=$trial maxG=$maxG id=$id")
+      }
+    }
+  }
+
   test("doremiWeightsScaled matches an independent BigInt replay and " +
     "tilts weight toward the high-excess domain") {
     // domain A carries 4x the excess loss of B; C sits between
