@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.IterBench"
   * Section select: SPARK_GRAFT_ITERBENCH=loops|bpe|bpescale|bpedrop|tok|unigram|
-  * wpencode|simhash|grank|grankmany|shidx|lshidx|ivfidx|gramidx|exactsubstr|dsir|streampack|
+  * wpencode|simhash|grank|grankmany|chunkclaim|shidx|lshidx|ivfidx|gramidx|exactsubstr|dsir|streampack|
   * streamsample|stream|streamamort|streamloop (default loops — the
   * bpe/bpescale sections run ~500-merge tokenizer trainings and are
   * minutes long by design; results are recorded in BASELINE.md).

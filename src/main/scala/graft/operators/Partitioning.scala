@@ -178,60 +178,82 @@ object Partitioning {
     *     but funnels each group through ONE task, so a dominant group
     *     becomes a single-executor sort of the whole corpus.
     *
-    * Route: one cheap aggregate (`count` + `approx_count_distinct` on
-    * the key, map-side partial) classifies the input. G <=
-    * `maxDriverGroups` takes [[groupedRank]] verbatim (the dominant-
-    * group regime lives here; driver state is bounded small). G above
-    * it computes exact per-group counts (a distributed G-group
-    * aggregate — the same shuffle the window pays) and collects ONLY
-    * the groups holding at least a 1/P corpus share (at most P rows):
-    * if none exist the whole input takes the window; otherwise the
-    * heavy groups take [[groupedRank]] (driver state O(P + heavy),
-    * heavy <= P) and the rest take the window, unioned. A group is
-    * wholly on one path, so with a UNIQUE total order (tie-break on a
-    * key column, same contract as [[groupedRank]]) the numbering is
-    * bit-identical to either pure form. Driver state is thus bounded
-    * O(P) regardless of G — never the O(G) the pure rank form risks.
+    * Route: exact per-group counts (ONE distributed G-group aggregate —
+    * the same shuffle the window form pays — computed once, persisted
+    * for the duration of the routing, or taken from `groupCounts` when
+    * the caller already holds them, as [[graft.operators.Sampling]]'s
+    * doremiRealize does) classify the input. G <= `maxDriverGroups`
+    * takes [[groupedRank]] verbatim (the dominant-group regime lives
+    * here; driver state is bounded small). Larger G keeps ONLY the
+    * groups holding at least a 1/P corpus share (at most P rows): if
+    * none exist the whole input takes the window; otherwise the heavy
+    * groups take [[groupedRank]] (driver state O(P + heavy), heavy <=
+    * P) and the rest take the window, unioned. A group is wholly on one
+    * path, so with a UNIQUE total order (tie-break on a key column,
+    * same contract as [[groupedRank]]) the numbering is bit-identical
+    * to either pure form. Driver state is thus bounded O(P) regardless
+    * of G — never the O(G) the pure rank form risks.
     *
-    * `approx_count_distinct`'s ~2% error only moves inputs NEAR the
-    * threshold between two correct routes. Output: the input columns +
-    * `outCol` (long, 1-based per group), row order unspecified. */
+    * DETERMINISM CONTRACT (the same one [[groupedRank]]'s two passes
+    * already impose): the routing and the final union branches evaluate
+    * `df` in independent jobs, so `df` must be deterministic — a
+    * nondeterministic input could classify a group heavy and then feed
+    * the branch filters different rows, splitting one group across both
+    * rank paths. Same rule as Spark's own rule-of-thumb for any plan
+    * evaluated more than once.
+    *
+    * `groupCounts`, when given, must be the exact `(groupCol, count)`
+    * frame of `df` (second column long) — the shape aggregate and heavy
+    * classification then reuse it instead of re-scanning `df`. Output:
+    * the input columns + `outCol` (long, 1-based per group), row order
+    * unspecified. */
   def groupedRankAdaptive(df: DataFrame, groupCol: String,
                           order: Seq[Column], outCol: String,
                           partitions: Int = 0,
-                          maxDriverGroups: Long = 1L << 17): DataFrame = {
+                          maxDriverGroups: Long = 1L << 17,
+                          groupCounts: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     val spark = df.sparkSession
     val p = if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val shape = df.agg(count(lit(1)).as("n"),
-      approx_count_distinct(col(groupCol)).as("g")).head()
-    val n = shape.getLong(0)
-    val gApprox = shape.getLong(1)
-    def windowed(part: DataFrame): DataFrame = {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col(groupCol)).orderBy(order: _*)
-      part.withColumn(outCol, row_number().over(w).cast("long"))
+    val counts = groupCounts match {
+      case Some(c) => c.select(col(groupCol),
+        col(c.columns(1)).cast("long").as("_c"))
+      case None => df.groupBy(col(groupCol)).agg(count(lit(1)).as("_c"))
     }
-    if (gApprox <= maxDriverGroups) groupedRank(df, groupCol, order, outCol, p)
-    else {
-      val heavyMin = math.max(n / p, 2L)
-      val heavyRows = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_c"))
-        .filter(col("_c") >= heavyMin)
-        .select(col(groupCol)).collect() // <= P rows by construction
-      if (heavyRows.isEmpty) windowed(df)
-      else {
-        val heavyVals = heavyRows.map(_.get(0)).filter(_ != null).toSeq
-        val hasNullHeavy = heavyRows.exists(_.isNullAt(0))
-        val heavyCond = {
-          val in = if (heavyVals.isEmpty) lit(false)
-            else coalesce(col(groupCol).isin(heavyVals: _*), lit(false))
-          if (hasNullHeavy) in || col(groupCol).isNull else in
-        }
-        groupedRank(df.filter(heavyCond), groupCol, order, outCol, p)
-          .unionByName(windowed(df.filter(!heavyCond)))
+    val ownCounts = groupCounts.isEmpty
+    if (ownCounts) counts.persist() // G rows; reused by all routing actions
+    try {
+      val shape = counts.agg(coalesce(sum(col("_c")), lit(0L)).as("n"),
+        count(lit(1)).as("g")).head()
+      val n = shape.getLong(0)
+      val g = shape.getLong(1)
+      def windowed(part: DataFrame): DataFrame = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(groupCol)).orderBy(order: _*)
+        part.withColumn(outCol, row_number().over(w).cast("long"))
       }
-    }
+      if (g <= maxDriverGroups) groupedRank(df, groupCol, order, outCol, p)
+      else {
+        val heavyMin = math.max(n / p, 2L)
+        val heavyRows = counts.filter(col("_c") >= heavyMin)
+          .select(col(groupCol)).collect() // <= P rows by construction
+        if (heavyRows.isEmpty) windowed(df)
+        else {
+          val heavyVals = heavyRows.map(_.get(0)).filter(_ != null).toSeq
+          val hasNullHeavy = heavyRows.exists(_.isNullAt(0))
+          val heavyCond = {
+            val in = if (heavyVals.isEmpty) lit(false)
+              else coalesce(col(groupCol).isin(heavyVals: _*), lit(false))
+            if (hasNullHeavy) in || col(groupCol).isNull else in
+          }
+          groupedRank(df.filter(heavyCond), groupCol, order, outCol, p)
+            .unionByName(windowed(df.filter(!heavyCond)))
+        }
+      }
+      // safe to drop here: heavy groups were collected into literals and
+      // groupedRank materializes eagerly — no returned plan reads counts
+    } finally { if (ownCounts) counts.unpersist() }
   }
 
   /** Z-order (Morton) clustering for multi-dimensional data skipping.

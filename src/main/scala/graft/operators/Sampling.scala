@@ -508,7 +508,8 @@ object Sampling {
     val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("_n"))
     val ranked = Partitioning.groupedRankAdaptive(
       df.select(col(idCol), col(domainCol)), domainCol,
-      Seq(unitHash(col(idCol), salt).asc, col(idCol).asc), "_rk")
+      Seq(unitHash(col(idCol), salt).asc, col(idCol).asc), "_rk",
+      groupCounts = Some(counts)) // already computed for the copy law below
     ranked
       .join(broadcast(bud), Seq(domainCol))
       .join(broadcast(counts), Seq(domainCol))

@@ -381,9 +381,12 @@ object TextPipeline {
     * tertile is NOT a language-keyed `ntile` window — a one-language
     * corpus (the common CCNet deployment) would funnel 100 TB through
     * ONE task. Instead each language is ranked by
-    * [[Partitioning.groupedRank]] (range-partition on (lang, score, id)
-    * so a dominant language SPANS partitions, then the two-phase
-    * counts-then-offsets scan — O(P + G) driver state) and the bucket
+    * [[Partitioning.groupedRankAdaptive]] — a language key routes to
+    * [[Partitioning.groupedRank]] verbatim (range-partition on
+    * (lang, score, id) so a dominant language SPANS partitions, then
+    * the two-phase counts-then-offsets scan), while a web-scale group
+    * key fed through the same report keeps driver state O(P) — and the
+    * bucket
     * is derived from (rank, language count) by exact ntile arithmetic:
     * with q = N div 3, rem = N mod 3, the first `rem` buckets take
     * q + 1 rows — bit-identical to SQL `ntile(3)`, which both engines'
@@ -392,7 +395,11 @@ object TextPipeline {
                         langCol: String): DataFrame = {
     val scored = kneserNeyBigramLogProb(df, idCol, textCol)
     val base = df.select(col(idCol), col(langCol)).join(scored, Seq(idCol))
-    val ranked = Partitioning.groupedRank(base, langCol,
+    // adaptive route: a language key is small-G/dominant-group (takes
+    // groupedRank verbatim, zero behavior change), but nothing stops a
+    // caller feeding a web-scale key through the same report — the route
+    // keeps driver state O(P) there instead of O(G)
+    val ranked = Partitioning.groupedRankAdaptive(base, langCol,
       Seq(coalesce(round(col("logprob"), 6), lit(-1e18)).desc, col(idCol).asc),
       "_rk")
     val totals = ranked.groupBy(col(langCol)).agg(count(lit(1)).as("_N"))

@@ -858,18 +858,10 @@ object MiscQueries {
     // stbl sample tables) must invalidate fixtures cached by older builds
     val mp4Dir = new java.io.File(
       s"/tmp/graft_mp4v${graft.sources.Video.FixtureVersion}_docs_$key")
-    if (!mp4Dir.exists()) {
-      val staging = new java.io.File(s"${mp4Dir.getPath}.staging_${System.nanoTime()}")
-      staging.mkdirs()
+    graft.sources.AtomicPublish.once(mp4Dir) { staging =>
       graft.sources.Video.mp4sFromDocIds(
         t(s, dir, "documents"), "doc_id", staging.getPath)
-      try java.nio.file.Files.move(staging.toPath, mp4Dir.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.nio.file.FileAlreadyExistsException =>
-        org.apache.commons.io.FileUtils.deleteDirectory(staging) // lost a race
-      }
     }
-    mp4Dir.getPath
   }
 
   /** documents → deterministic WAV directory (same discipline as
@@ -882,17 +874,8 @@ object MiscQueries {
     val key = java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL) + s"_$srcMtime"
     val out = new java.io.File(s"/tmp/graft_${kind}_planted_$key")
-    if (!out.exists()) {
-      val staging = new java.io.File(s"${out.getPath}.staging_${System.nanoTime()}")
-      staging.mkdirs()
-      gen(t(s, dir, "documents"), staging.getPath)
-      try java.nio.file.Files.move(staging.toPath, out.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.nio.file.FileAlreadyExistsException =>
-        org.apache.commons.io.FileUtils.deleteDirectory(staging) // lost a race
-      }
-    }
-    out.getPath
+    graft.sources.AtomicPublish.once(out)(staging =>
+      gen(t(s, dir, "documents"), staging.getPath))
   }
 
   private[queries] def plantedPngDir(s: SparkSession, dir: String): String =
@@ -926,7 +909,7 @@ object MiscQueries {
           CASE WHEN doc_id % 7 = 3 THEN doc_id % 4 ELSE 0 END AS k
         FROM documents
       ), b0 AS (
-        SELECT doc_id, k, t.i, (src * 64 + t.i + 1) AS x0
+        SELECT doc_id, k, t.i, (src * 64 + t.i + 1) % 2147483647 AS x0
         FROM par CROSS JOIN UNNEST(generate_series(0, $hi)) AS t(i)
       ), b1 AS (SELECT doc_id, k, i, (x0*x0 + 12345) % 2147483647 AS x1 FROM b0
       ), b2 AS (SELECT doc_id, k, i, (x1*x1 + 12345) % 2147483647 AS x2 FROM b1
@@ -987,18 +970,10 @@ object MiscQueries {
     val key = java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL) + s"_$srcMtime"
     val wavDir = new java.io.File(s"/tmp/graft_wav_docs_$key")
-    if (!wavDir.exists()) {
-      val staging = new java.io.File(s"${wavDir.getPath}.staging_${System.nanoTime()}")
-      staging.mkdirs()
+    graft.sources.AtomicPublish.once(wavDir) { staging =>
       graft.sources.Audio.wavsFromDocIds(
         t(s, dir, "documents"), "doc_id", staging.getPath)
-      try java.nio.file.Files.move(staging.toPath, wavDir.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.nio.file.FileAlreadyExistsException =>
-        org.apache.commons.io.FileUtils.deleteDirectory(staging) // lost a race
-      }
     }
-    wavDir.getPath
   }
 
   /** documents → deterministic PNG directory (cached per source mtime,
@@ -1009,17 +984,9 @@ object MiscQueries {
     val key = java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL) + s"_$srcMtime"
     val pngDir = new java.io.File(s"/tmp/graft_png_docs_$key")
-    if (!pngDir.exists()) {
-      val staging = new java.io.File(s"${pngDir.getPath}.staging_${System.nanoTime()}")
-      staging.mkdirs()
+    graft.sources.AtomicPublish.once(pngDir) { staging =>
       graft.sources.Images.pngsFromDocIds(
         t(s, dir, "documents"), "doc_id", staging.getPath)
-      try java.nio.file.Files.move(staging.toPath, pngDir.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.nio.file.FileAlreadyExistsException =>
-        org.apache.commons.io.FileUtils.deleteDirectory(staging) // lost a race
-      }
     }
-    pngDir.getPath
   }
 }

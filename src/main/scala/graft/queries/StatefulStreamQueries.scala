@@ -58,17 +58,15 @@ object StatefulStreamQueries {
       scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL) +
       s"_$srcMtime"
     val mbDir = new java.io.File(s"/tmp/graft_mb_$key")
-    if (!mbDir.exists()) {
+    // build in a staging dir and rename into place atomically: a crash
+    // mid-split must not leave a partial cache that later runs replay as
+    // if complete (mbDir.exists() is the only completeness signal)
+    graft.sources.AtomicPublish.once(mbDir) { staging =>
       val Array(q1, q2, q3) = base.stat.approxQuantile("event_id",
         Array(0.25, 0.5, 0.75), 0.0) // event_id is ts-ordered in the fixture
       val bounds = Seq(
         col("event_id") <= q1, col("event_id") > q1 && col("event_id") <= q2,
         col("event_id") > q2 && col("event_id") <= q3, col("event_id") > q3)
-      // build in a staging dir and rename into place atomically: a crash
-      // mid-split must not leave a partial cache that later runs replay as
-      // if complete (mbDir.exists() is the only completeness signal)
-      val staging = new java.io.File(s"${mbDir.getPath}.staging_${System.nanoTime()}")
-      staging.mkdirs()
       bounds.zipWithIndex.foreach { case (cond, i) =>
         val tmp = s"${staging}/stage_$i"
         base.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -79,11 +77,6 @@ object StatefulStreamQueries {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         dst.setLastModified(1700000000000L + i * 60000L)
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-      }
-      try java.nio.file.Files.move(staging.toPath, mbDir.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.nio.file.FileAlreadyExistsException =>
-        org.apache.commons.io.FileUtils.deleteDirectory(staging) // lost a race: use the winner's
       }
     }
     val schema = base.schema

@@ -548,17 +548,12 @@ object StreamQueries {
         val key = java.lang.Long.toHexString(
           scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL) + s"_$srcMtime"
         val avroDir = new java.io.File(s"/tmp/graft_avro_docs_$key")
-        if (!avroDir.exists()) {
-          val staging = new java.io.File(s"${avroDir.getPath}.staging_${System.nanoTime()}")
+        // preCreate = false: the Hadoop OutputFormat refuses an existing dir
+        graft.sources.AtomicPublish.once(avroDir, preCreate = false) { staging =>
           graft.sources.AvroJdbc.writeAvro(
             graft.Tables(s, dir, "documents")
               .select(col("doc_id"), col("text"), col("lang"), col("n_chars")),
             staging.getPath)
-          try java.nio.file.Files.move(staging.toPath, avroDir.toPath,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          catch { case _: java.nio.file.FileAlreadyExistsException =>
-            org.apache.commons.io.FileUtils.deleteDirectory(staging)
-          }
         }
         val schema = StructType(Seq(
           StructField("doc_id", LongType), StructField("text", StringType),
@@ -663,7 +658,7 @@ object StreamQueries {
     val key = java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL) + s"_$srcMtime"
     val topicDir = new java.io.File(s"/tmp/graft_kafka_topic_$key")
-    if (!topicDir.exists()) {
+    graft.sources.AtomicPublish.once(topicDir) { staging =>
       val e = graft.Tables.events(s, dir)
       val framed = e.select(
           col("user_id").cast("string").cast("binary").as("key"),
@@ -678,8 +673,6 @@ object StreamQueries {
           col("ts").as("timestamp"), lit(0).as("timestampType"),
           unix_micros(col("ts")).as("_ts_us"))
       val midUs = e.agg(avg(unix_micros(col("ts")))).head().getDouble(0).toLong
-      val staging = new java.io.File(s"${topicDir.getPath}.staging_${System.nanoTime()}")
-      staging.mkdirs()
       Seq(col("_ts_us") <= midUs, col("_ts_us") > midUs).zipWithIndex.foreach {
         case (cond, i) =>
           val tmp = s"$staging/stage_$i"
@@ -694,12 +687,6 @@ object StreamQueries {
           dst.setLastModified(1700000000000L + i * 60000L)
           org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
       }
-      try java.nio.file.Files.move(staging.toPath, topicDir.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.nio.file.FileAlreadyExistsException =>
-        org.apache.commons.io.FileUtils.deleteDirectory(staging) // lost a race
-      }
     }
-    topicDir.getPath
   }
 }

@@ -23,14 +23,19 @@ package graft.sources
   * seeded with src·64 + i + 1 — quadratic because affine rounds (any
   * LCG chain) compose to one affine map whose bit parities correlate
   * across seeds (measured: ~5·10⁵ chance pairs within distance 3);
-  * squaring breaks the composition. All intermediates fit int64
-  * (x < 2³¹ ⇒ x² < 2⁶²), so DuckDB BIGINT replays it exactly. */
+  * squaring breaks the composition. The seed is reduced mod 2³¹ − 1
+  * BEFORE the first square, so every squared operand is < 2³¹ and all
+  * intermediates fit int64 (x < 2³¹ ⇒ x² < 2⁶²) at ANY doc_id — DuckDB
+  * BIGINT (which errors on overflow, where Scala silently wraps)
+  * replays it exactly; the SQL oracle carries the same reduction.
+  * (The raw seed src·64 + i + 1 itself fits int64 for src < 2⁵⁷ —
+  * far beyond any corpus this law will ever label.) */
 object Planted {
   private val M = 2147483647L // 2^31 - 1
 
   /** Bit i of the UNPERTURBED signature of source document `src`. */
   def baseBit(src: Long, i: Int): Int = {
-    var x = src * 64L + i + 1L
+    var x = (src * 64L + i + 1L) % M
     var r = 0
     while (r < 3) { x = (x * x + 12345L) % M; r += 1 }
     (x % 2L).toInt

@@ -113,13 +113,11 @@ object QueryableState {
     val key = java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL) + s"_$mtime"
     val ttDir = new java.io.File(s"/tmp/graft_tt_src_$key")
-    if (!ttDir.exists()) {
+    graft.sources.AtomicPublish.once(ttDir) { staging =>
       val base = Tables.events(s, dir).select(col("event_id"),
         col("ts").cast("timestamp").as("ts"), col("user_id"), col("value"))
       val maxId = base.agg(max("event_id")).head().getLong(0)
       def t(i: Int) = i * maxId / 4
-      val staging = new java.io.File(s"${ttDir.getPath}.staging_${System.nanoTime()}")
-      staging.mkdirs()
       (0 until 4).foreach { i =>
         val hi = if (i == 3) Long.MaxValue else t(i + 1)
         // first batch is unbounded below: event ids may start at 0
@@ -135,13 +133,7 @@ object QueryableState {
         dst.setLastModified(1700000000000L + i * 60000L)
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
       }
-      try java.nio.file.Files.move(staging.toPath, ttDir.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.nio.file.FileAlreadyExistsException =>
-        org.apache.commons.io.FileUtils.deleteDirectory(staging)
-      }
     }
-    ttDir.getPath
   }
 
   /** [[materialize]] against the 4-batch split with `maxFilesPerTrigger=1`:
