@@ -586,6 +586,34 @@ object MiscQueries {
       },
       Some(plantedNearDupOracle(nbits = 63))),
 
+    // Perceptual VIDEO NEAR-dup through the persistent index — qh0/qh1's
+    // video sibling, closing the modality symmetry (selection qh7 landed
+    // first): the real ISO 14496-12 stbl walk extracts per-sample byte
+    // sizes, the size-GRADIENT fingerprint (the container-level
+    // Haitsma-Kalker device — no codec needed) feeds
+    // SimHashIndex.ingestSignatures in two deliveries, maxDist=3 Hamming
+    // verdicts, 63-bit planted law.
+    Entry("qh8_video_neardup_index",
+      (s, dir) => {
+        val mp4Dir = plantedMp4Dir(s, dir)
+        val tag = java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL) + "vnd"
+        val ref = graft.operators.SimHashIndex.Ref(tag, buckets = 8)
+        graft.operators.SimHashIndex.drop(s, ref) // idempotent re-runs
+        val fp = graft.sources.Video.sizeFingerprint64(
+          graft.sources.Video.readBinary(s, mp4Dir), nSamples = 64)
+          .select(regexp_extract(col("path"), "doc_(\\d+)\\.mp4$", 1)
+              .cast("long").as("doc_id"),
+            col("fingerprint"))
+        def ingest(pred: org.apache.spark.sql.Column) =
+          graft.operators.SimHashIndex.ingestSignatures(fp.filter(pred),
+            "doc_id", "fingerprint", maxDist = 3, ref,
+            delivery = java.util.UUID.randomUUID().toString)
+        ingest(col("doc_id") % 2 === 0).localCheckpoint()
+          .unionByName(ingest(col("doc_id") % 2 =!= 0))
+      },
+      Some(plantedNearDupOracle(nbits = 63))),
+
     // Perceptual image near-dup SELECTION — the product half qh0's pair
     // diagnostics feed (the LAION recipe keeps ONE copy per near-dup
     // cluster): real decode → dHash64 → one-shot banded Hamming pairs

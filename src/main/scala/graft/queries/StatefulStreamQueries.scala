@@ -1933,6 +1933,47 @@ object StatefulStreamQueries {
       },
       Some(MiscQueries.plantedSingleDeliveryOracle(nbits = 63))),
 
+    // Video sibling of qh4/qh6, closing the streaming modality symmetry:
+    // MP4 bytes stream through binaryFile, sizeFingerprint64's
+    // partition-local stbl walk (mapPartitions runs unchanged on a
+    // streaming frame — no codec, the container-level size-gradient
+    // device), into the same persistent Hamming index; 63-bit law,
+    // single-delivery oracle.
+    Entry("qh9_stream_video_neardup",
+      (s, dir) => {
+        val mp4Dir = MiscQueries.plantedMp4Dir(s, dir)
+        val tag = java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL) + "vsn"
+        val ref = graft.operators.SimHashIndex.Ref(tag, buckets = 8)
+        graft.operators.SimHashIndex.drop(s, ref) // idempotent re-runs
+        val base = new java.io.File(
+          System.getProperty("java.io.tmpdir"), s"graft_qh9_$tag")
+        org.apache.commons.io.FileUtils.deleteQuietly(base)
+        val out = new java.io.File(base, "out").getAbsolutePath
+        val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+        val binSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("path",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("modificationTime",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("length",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("content",
+            org.apache.spark.sql.types.BinaryType)))
+        val sigs = graft.sources.Video.sizeFingerprint64(
+          s.readStream.format("binaryFile").schema(binSchema)
+            .option("pathGlobFilter", "*.mp4").load(mp4Dir), nSamples = 64)
+          .select(regexp_extract(col("path"), "doc_(\\d+)\\.mp4$", 1)
+              .cast("long").as("doc_id"),
+            col("fingerprint"))
+        val q = graft.operators.SimHashIndex.startStreamingSignatureIngest(
+          sigs, "doc_id", "fingerprint", maxDist = 3, ref, out, ckpt)
+        try { q.processAllAvailable() } finally q.stop()
+        s.read.parquet(s"$out/pairs")
+          .select("old_id", "new_id", "hamming")
+      },
+      Some(MiscQueries.plantedSingleDeliveryOracle(nbits = 63))),
+
     // STREAMING DoReMi re-estimation (the streaming face of qga): the
     // mixture is recomputed from additive per-(step, domain) statistics
     // as deliveries land — state is just those sums (DeltaState'd,

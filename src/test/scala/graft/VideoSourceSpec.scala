@@ -134,4 +134,36 @@ class VideoSourceSpec extends SparkSpec {
         graft.sources.Planted.kOf(d), s"planted pair ($d, ${d - 3})")
     }
   }
+
+  test("family contract: video fingerprints ride SimHashIndex end-to-end — " +
+    "two-delivery ingestSignatures over planted MP4s equals brute-force " +
+    "Hamming on the 63-bit law, old_id from the indexed delivery") {
+    import graft.operators.SimHashIndex
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("mp4_shidx").toFile
+    val ids = (0L until 60L).toSeq
+    Video.mp4sPlantedNearDup(ids.toDF("doc_id"), "doc_id", dir.getPath)
+    val fp = Video.sizeFingerprint64(Video.readBinary(spark, dir.getPath), 64)
+      .select(regexp_extract(col("path"), "doc_(\\d+)\\.mp4$", 1)
+          .cast("long").as("doc_id"),
+        col("fingerprint"))
+    val ref = SimHashIndex.Ref("vidspecidx", buckets = 4)
+    SimHashIndex.drop(spark, ref)
+    def ing(pred: org.apache.spark.sql.Column) =
+      SimHashIndex.ingestSignatures(fp.filter(pred), "doc_id", "fingerprint",
+        maxDist = 3, ref, delivery = java.util.UUID.randomUUID().toString)
+        .as[(Long, Long, Long)].collect().toSet
+    val d1 = ing(col("doc_id") % 2 === 0)
+    val d2 = ing(col("doc_id") % 2 =!= 0)
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      d = java.lang.Long.bitCount(graft.sources.Planted.sig(a, 63) ^
+        graft.sources.Planted.sig(b, 63)) if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(brute.nonEmpty, "planted fixture must fire")
+    assert((d1 ++ d2).map(p => (p._1 min p._2, p._1 max p._2, p._3)) === brute)
+    // cross-delivery orientation: old_id is the indexed (even) side
+    assert(d2.filter(p => p._2 % 2 == 1).forall(p => p._1 % 2 == 0))
+    SimHashIndex.drop(spark, ref)
+  }
 }
