@@ -60,26 +60,48 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up scan/agg/codegen paths so the first timed query isn't
-    // charged for JVM + Spark session initialization. The warm-up is
-    // ALSO the load canary: it is re-timed at the END of the sweep, and
-    // both timings plus /proc/loadavg at both ends land in the JSON — a
-    // machine-load-contaminated run (the round-16 postmortem: the
-    // driver benched one minute after a 40-minute verification sweep,
-    // reading 2.3-4.6x over idle reality) is then self-evident from the
-    // record instead of needing a judge re-measure.
+    // charged for JVM + Spark session initialization. The LOAD CANARY
+    // (round-16 postmortem: the driver benched one minute after a
+    // 40-minute verification sweep, reading 2.3-4.6x over idle reality)
+    // is the separate CPU probe below — see the SELF-ADJUDICATION block
+    // before the JSON assembly and BASELINE.md round 18 for the
+    // threshold derivation and the contaminated-vs-clean demonstration.
     def warmup(): Double = {
       val t0 = System.nanoTime()
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().collect()
       (System.nanoTime() - t0) / 1e9
     }
-    def loadavg: String =
+    // The CANARY PROBE: one codegen'd task per core, pure CPU — it
+    // senses machine contention the way the wide benchmark members do.
+    // The warm-up query is the wrong sensor: at sf0.1 it is a handful
+    // of ~60 ms tasks, so 24 busy loops on 32 cores leave it in-band
+    // (measured) while every 32-thread member contends; this probe's
+    // fixed 32-way work slows with ANY lost core share.
+    def cpuProbe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 3000000000L, 1L, cpus.toInt)
+        .select(org.apache.spark.sql.functions
+          .expr("bit_xor(xxhash64(id))")) // xor: no ANSI sum overflow
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def loadavgVals: Seq[Double] =
       try java.nio.file.Files.readString(
           java.nio.file.Paths.get("/proc/loadavg"))
-        .trim.split("\\s+").take(3).mkString("[", ",", "]")
-      catch { case _: Throwable => "[]" }
-    val loadStart = loadavg
+        .trim.split("\\s+").take(3).toSeq.map(_.toDouble)
+      catch { case _: Throwable => Seq.empty }
+    def loadavg: String = loadavgVals.mkString("[", ",", "]")
+    val loadStartVals = loadavgVals
+    val loadStart = loadStartVals.mkString("[", ",", "]")
     val warmSecs = warmup(); warmup() // second pass: scan cache warm
+    // Probe reference: MIN of two passes measured seconds before the
+    // sweep starts (same JVM, same machine). Min of two because the
+    // first pass still pays JIT compilation, and an inflated reference
+    // would loosen the canary limit past real contamination (the
+    // round-17 driver sweep's warm recheck read 0.58 s vs a 0.26-0.36 s
+    // healthy band).
+    val probeRef = math.min(cpuProbe(), cpuProbe())
     // SPARK_GRAFT_BENCH_ONLY=q1,q2 filters for local iteration; the driver
     // sets neither env var and always times the headline set.
     val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
@@ -107,11 +129,20 @@ object Bench {
       case None => (headline ++ pipelineHeadline).filter(SparkEntry.queries.contains)
     }
     val wall0 = System.nanoTime()
+    // Interleaved canary probes: the CPU probe runs every
+    // `recheckEvery` queries DURING the sweep (outside any query's
+    // timing window), not only at the end — a load transient that dies
+    // before the sweep ends contaminated members while an end-only
+    // recheck read healthy (measured: 60 s of 24 busy loops injected
+    // mid-sweep inflated the pipeline tail 14% and the final recheck
+    // still passed). Sub-second each, a few seconds per sweep.
+    val recheckEvery = 4
+    val recheckBuf = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     // A query that throws is a DNF, never a fast success: its entry becomes
     // "err:<ExceptionClass>", it joins the "failed" list, and the process
     // exits nonzero — a broken query can no longer masquerade as a 0.1 s win
     // (round-7 postmortem: 6 streaming DNFs were recorded as wins).
-    val results = names.map { name =>
+    val results = names.zipWithIndex.map { case (name, qi) =>
       // untimed setup (model fits, index builds) — see Entry.prepare
       graft.queries.Registry.prepares.get(name).foreach { p =>
         try p(spark, sfDir)
@@ -131,6 +162,8 @@ object Bench {
       // query pays for (and reuses) only its own caches, and a long sweep
       // cannot LRU-evict a later query's loop caches
       spark.catalog.clearCache()
+      if ((qi + 1) % recheckEvery == 0 && qi + 1 < names.size)
+        recheckBuf += ((qi + 1, cpuProbe()))
       (name, elapsed, err)
     }
     val qs = results.map {
@@ -153,14 +186,81 @@ object Bench {
     // load canary close-out: re-time the (cache-warm) warm-up query; a
     // healthy idle run re-reads it in a small fraction of the cold time,
     // and a busy machine shows BOTH an inflated recheck and a loadavg
-    // far above the 32-core budget already in use by this process
-    val warmRecheck = warmup()
+    // far above the 32-core budget already in use by this process.
+    //
+    // SELF-ADJUDICATION (round-18): the canary is now a VERDICT, not
+    // just data — two rounds running the driver's sweep was
+    // machine-load-contaminated and a human had to read the recheck to
+    // notice. `canary_ok` requires EVERY interleaved recheck (and this
+    // final one) within the session's warm reference band (1.5x + a
+    // 0.1 s jitter floor — threshold derivation recorded in BASELINE.md
+    // round 18) AND a quiet 1-min loadavg at process start; when it
+    // fails (or SPARK_GRAFT_CANARY_FORCE=1 exercises the
+    // path), the K slowest members are re-timed ONCE and the JSON
+    // carries both readings: `queries` stays the first sweep,
+    // `retimed` holds the second pass, and `value_adjusted` /
+    // `pipeline_total_adjusted` take the per-query min — so a
+    // contaminated sweep self-corrects in the record instead of
+    // misreading as a 12.8x regression.
+    // Two triggers, because each misses the other's failure mode:
+    //  - recheck vs the session's warm reference catches load that
+    //    ARRIVES mid-sweep (both driver contaminations were this);
+    //  - a 1-min loadavg at PROCESS START above cpus/8 catches load
+    //    already running before the warm reference is measured (a
+    //    steady whole-run load inflates reference and recheck alike,
+    //    so the ratio alone stays blind to it — measured: 16 busy
+    //    loops on 32 cpus, sweep +20%, recheck still in band).
+    //    At start this JVM has run only sbt/JVM boot, so 1-min load
+    //    mostly reflects OTHER work; clean sessions measured 1.5-2.7
+    //    on 32 cpus, the steady-load session 7.9. A false trip only
+    //    costs one bounded retime pass.
+    val warmRecheck = warmup() // legacy cross-round field, kept as data
+    recheckBuf += ((names.size, cpuProbe()))
+    val canaryLimit = math.max(probeRef * 1.5, probeRef + 0.1)
+    val loadLimit = cpus.toDouble / 8.0
+    val startLoadOk = loadStartVals.headOption.forall(_ <= loadLimit)
+    val canaryOk = recheckBuf.forall(_._2 <= canaryLimit) && startLoadOk
+    val retimeK = 8
+    val retimed: Seq[(String, Double)] =
+      if (canaryOk && !sys.env.contains("SPARK_GRAFT_CANARY_FORCE")) Seq.empty
+      else results.collect { case (k, v, None) => (k, v) }
+        .sortBy(-_._2).take(retimeK).map { case (k, _) =>
+          graft.queries.Registry.prepares.get(k).foreach { p =>
+            try p(spark, sfDir) catch { case _: Throwable => () } }
+          val t0 = System.nanoTime()
+          try SparkEntry.queries(k)(spark, sfDir).count()
+          catch { case _: Throwable => () } // keep the first reading
+          val e = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          (k, e)
+        }
+    val retimedMap = retimed.toMap
+    def adjusted(k: String, v: Double): Double =
+      retimedMap.get(k).map(math.min(v, _)).getOrElse(v)
+    val totalAdj = results.collect {
+      case (k, v, None) if !defaultMode || legacySet(k) => adjusted(k, v) }.sum
+    val pipeTotalAdj = results.collect {
+      case (k, v, None) if pipeSet(k) => adjusted(k, v) }.sum
+    // recheck AGAIN after the retime pass: records whether the retimed
+    // readings themselves ran on a healthy machine
+    val warmRecheck2 = if (retimed.isEmpty) -1.0 else cpuProbe()
     val loadEnd = loadavg
+    val retimedJson = retimed.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""pipeline_total":$pipeTotal,""" +
       s""""queries":$qs,"failed":${failed.mkString("[", ",", "]")},""" +
       s""""sf":"$sfDir","commit":"$commitSha",""" +
       s""""warmup_sec":$warmSecs,"warmup_recheck_sec":$warmRecheck,""" +
+      s""""probe_ref_sec":$probeRef,""" +
+      s""""probes":${recheckBuf.map { case (i, v) => s"[$i,$v]" }
+        .mkString("[", ",", "]")},""" +
+      s""""probe_limit_sec":$canaryLimit,"canary_load_limit":$loadLimit,""" +
+      s""""canary_ok":$canaryOk,""" +
+      (if (retimed.isEmpty) ""
+       else s""""retimed":$retimedJson,"value_adjusted":$totalAdj,""" +
+         s""""pipeline_total_adjusted":$pipeTotalAdj,""" +
+         s""""probe_after_retime_sec":$warmRecheck2,""") +
       s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,""" +
       s""""wall_sec":${(System.nanoTime() - wall0) / 1e9}}"""
     println(json)
