@@ -614,6 +614,52 @@ object MiscQueries {
       },
       Some(plantedNearDupOracle(nbits = 63))),
 
+    // CROSS-MODAL pair curation, alignment half (the LAION/DataComp
+    // CLIP-filter): candidate (image, caption) pairs scored by embedding
+    // cosine, keep/drop verdict at threshold 0.8. The fixture composes
+    // candidates from the embeddings table under a PLANTED alignment law
+    // (3 caption slots per image; aligned slots mix 0.92 image + 0.08
+    // partner, misaligned 0.15/0.85 — measured margins: aligned cosine
+    // >= 0.996, misaligned <= 0.548 at both SFs, so the 0.8 cut is
+    // decisive at double precision). Caption vectors are float-rounded
+    // element-wise on BOTH sides, so the oracle replays the mix, the
+    // cast, and the cosine exactly; the scoring itself is the native
+    // codegen CosineSimilarityExpr.
+    Entry("qha_crossmodal_align",
+      (s, dir) => graft.operators.CrossModal.alignPairs(
+          crossModalCandidates(s, dir), "img_vec", "cap_vec", threshold = 0.8)
+        .select(col("pair_id"), col("img_id"), col("cos_sim"), col("is_aligned")),
+      Some(s"""$crossModalScoredCtes
+        SELECT pair_id, img_id, cos_sim, cos_sim >= 0.8 AS is_aligned
+        FROM scored""")),
+
+    // Cross-modal curation, dedup half: among ALIGNED candidates, keep
+    // the best-aligned caption per image (LAION keeps one text per
+    // image) — CrossModal.keepBestAlignedPerImage rides
+    // Dedup.keepBestRepresentatives with rank-chained same-image edges;
+    // cluster id = min candidate id per image, keeper = highest rounded
+    // cosine with id tie-break. The planted law gives every image 1 or 2
+    // aligned captions, so the best-of selection genuinely fires.
+    Entry("qhb_caption_dedup",
+      (s, dir) => {
+        val aligned = graft.operators.CrossModal.alignPairs(
+            crossModalCandidates(s, dir), "img_vec", "cap_vec", threshold = 0.8)
+          .filter(col("is_aligned"))
+        graft.operators.CrossModal.keepBestAlignedPerImage(
+            aligned, "pair_id", "img_id", col("cos_sim"))
+          .select(col("pair_id"), col("cluster_id"),
+            col("score").as("cos_sim"), col("is_kept"))
+      },
+      Some(s"""$crossModalScoredCtes,
+        al AS (SELECT pair_id, img_id, cos_sim FROM scored WHERE cos_sim >= 0.8),
+        cl AS (SELECT img_id, min(pair_id) AS cluster_id FROM al GROUP BY 1),
+        rk AS (
+          SELECT a.pair_id, c.cluster_id, a.cos_sim,
+            row_number() OVER (PARTITION BY a.img_id
+              ORDER BY a.cos_sim DESC, a.pair_id) AS r
+          FROM al a JOIN cl c USING (img_id))
+        SELECT pair_id, cluster_id, cos_sim, r = 1 AS is_kept FROM rk""")),
+
     // Perceptual image near-dup SELECTION — the product half qh0's pair
     // diagnostics feed (the LAION recipe keeps ONE copy per near-dup
     // cluster): real decode → dHash64 → one-shot banded Hamming pairs
@@ -905,6 +951,60 @@ object MiscQueries {
     graft.sources.AtomicPublish.once(out)(staging =>
       gen(t(s, dir, "documents"), staging.getPath))
   }
+
+  /** Candidate (image, caption) pairs for the cross-modal gates
+    * (qha/qhb), composed from the embeddings fixture under a planted
+    * alignment law: image i gets caption slots m in 0..2 with unique
+    * pair_id = i*3 + m; slot partner k = (i + 1 + (i*31 + m*17) mod
+    * (N-1)) mod N (never i itself); slots with pair_id mod 4 < 2 are
+    * ALIGNED (caption = 0.92*v_i + 0.08*v_k, float-rounded per element),
+    * the rest misaligned (0.15/0.85). Each image ends with 1 or 2
+    * aligned captions. Explicit paired constants (0.92/0.08, 0.15/0.85)
+    * rather than 1-a: both engines must evaluate bit-identical doubles,
+    * and 1.0 - 0.92 is NOT the double 0.08. The zip_with mix is fixture
+    * synthesis, not the scored operator path. */
+  private def crossModalCandidates(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val cand = e.select(col("vec_id").as("img_id"), col("embedding").as("img_vec"))
+      .withColumn("m", explode(array(lit(0L), lit(1L), lit(2L))))
+      .withColumn("pair_id", col("img_id") * 3 + col("m"))
+      .withColumn("_k",
+        (col("img_id") + 1 + (col("img_id") * 31 + col("m") * 17) % lit(n - 1)) % lit(n))
+      .withColumn("_a", when(col("pair_id") % 4 < 2, lit(0.92)).otherwise(lit(0.15)))
+      .withColumn("_b", when(col("pair_id") % 4 < 2, lit(0.08)).otherwise(lit(0.85)))
+    cand.join(e.select(col("vec_id").as("_k"), col("embedding").as("_pv")), Seq("_k"))
+      .withColumn("cap_vec", zip_with(col("img_vec"), col("_pv"),
+        (x, y) => (col("_a") * x + col("_b") * y).cast("float")))
+      .select(col("pair_id"), col("img_id"), col("img_vec"), col("cap_vec"))
+  }
+
+  /** DuckDB replay of [[crossModalCandidates]] + the rounded cosine —
+    * shared CTE prefix of the qha/qhb oracles. Literal casts mirror the
+    * Spark arithmetic exactly: double mix of exactly-widened floats,
+    * float-rounded per element, cosine over doubles, round 6. */
+  private def crossModalScoredCtes: String =
+    """WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      ), nn AS (SELECT count(*) AS n FROM e),
+      cand AS (
+        SELECT i.vec_id AS img_id, m.m, i.vec_id * 3 + m.m AS pair_id,
+          (i.vec_id + 1 + (i.vec_id * 31 + m.m * 17) % (nn.n - 1)) % nn.n AS k,
+          (i.vec_id * 3 + m.m) % 4 < 2 AS al
+        FROM e i CROSS JOIN (SELECT UNNEST([0, 1, 2]) AS m) m CROSS JOIN nn
+      ), mixed AS (
+        SELECT c.pair_id, c.img_id, i.v AS iv,
+          list_transform(range(1, len(i.v) + 1), x ->
+            CAST(CASE WHEN c.al
+              THEN 0.92::DOUBLE * i.v[x] + 0.08::DOUBLE * p.v[x]
+              ELSE 0.15::DOUBLE * i.v[x] + 0.85::DOUBLE * p.v[x] END
+            AS REAL)) AS cap
+        FROM cand c JOIN e i ON i.vec_id = c.img_id JOIN e p ON p.vec_id = c.k
+      ), scored AS (
+        SELECT pair_id, img_id,
+          round(list_cosine_similarity(iv, CAST(cap AS DOUBLE[])), 6) AS cos_sim
+        FROM mixed
+      )"""
 
   private[queries] def plantedPngDir(s: SparkSession, dir: String): String =
     plantedDir(s, dir, "png")(

@@ -475,4 +475,27 @@ class PlanQualitySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"equi-joins only:\n$plan")
   }
+
+  test("qha cross-modal align: the CLIP-score is the NATIVE cosine " +
+    "expression (no UDF boundary on the scored pass), equi-joins only") {
+    val plan = executedPlan("qha_crossmodal_align")
+    assert(plan.toLowerCase.contains("cosinesimilarity"),
+      s"scoring must be the native cosine expression:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate composition must stay equi-joins:\n$plan")
+  }
+
+  test("qhb caption dedup: the per-image selection windows IMAGE groups " +
+    "(bounded-small caption sets), never the corpus; equi-joins only") {
+    val plan = executedPlan("qhb_caption_dedup")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"equi-joins only:\n$plan")
+    // every window in the final plan partitions by a column (img or
+    // cluster key) — a partitionBy-less window would funnel one task
+    val finalPlan = plan.split("== Initial Plan ==")(0)
+    assert(!finalPlan.contains("windowspecdefinition()"),
+      s"no global (partition-less) window:\n$finalPlan")
+  }
 }
