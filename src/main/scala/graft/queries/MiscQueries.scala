@@ -963,7 +963,7 @@ object MiscQueries {
     * rather than 1-a: both engines must evaluate bit-identical doubles,
     * and 1.0 - 0.92 is NOT the double 0.08. The zip_with mix is fixture
     * synthesis, not the scored operator path. */
-  private def crossModalCandidates(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+  private[queries] def crossModalCandidates(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val n = e.count()
     val cand = e.select(col("vec_id").as("img_id"), col("embedding").as("img_vec"))
@@ -979,11 +979,25 @@ object MiscQueries {
       .select(col("pair_id"), col("img_id"), col("img_vec"), col("cap_vec"))
   }
 
+  /** [[crossModalCandidates]] materialized once as a parquet directory
+    * (embeddings-mtime-keyed, atomic publish) — the streaming gate's
+    * source: candidate pairs ARRIVE as data in deployment, so the
+    * streaming face reads them from storage instead of re-deriving the
+    * planted law per micro-batch. */
+  private[queries] def crossModalPairsDir(s: SparkSession, dir: String): String = {
+    val srcMtime = new java.io.File(Tables.path(dir, "embeddings")).lastModified()
+    val key = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL) + s"_$srcMtime"
+    val out = new java.io.File(s"/tmp/graft_xmodal_pairs_$key")
+    graft.sources.AtomicPublish.once(out, preCreate = false)(staging =>
+      crossModalCandidates(s, dir).write.parquet(staging.getPath))
+  }
+
   /** DuckDB replay of [[crossModalCandidates]] + the rounded cosine —
     * shared CTE prefix of the qha/qhb oracles. Literal casts mirror the
     * Spark arithmetic exactly: double mix of exactly-widened floats,
     * float-rounded per element, cosine over doubles, round 6. */
-  private def crossModalScoredCtes: String =
+  private[queries] def crossModalScoredCtes: String =
     """WITH e AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
       ), nn AS (SELECT count(*) AS n FROM e),

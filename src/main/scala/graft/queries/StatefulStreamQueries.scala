@@ -1974,6 +1974,51 @@ object StatefulStreamQueries {
       },
       Some(MiscQueries.plantedSingleDeliveryOracle(nbits = 63))),
 
+    // STREAMING cross-modal curation — qha's deployment face: candidate
+    // (image, caption) pairs arrive as data (a parquet stream here; in
+    // production the crawler's output), CrossModal.alignPairs scores
+    // each micro-batch STATELESSLY (the native cosine expression runs
+    // unchanged on a streaming frame — no state, no watermark), and
+    // only aligned pairs append to the sink. Stateless append is
+    // batching-invariant, so the batch oracle replays verbatim under
+    // any trigger split; the stateful best-caption half stays batch
+    // (qhb) by design — LAION-style curation dedups per crawl snapshot,
+    // not over an unbounded stream.
+    Entry("qhc_stream_crossmodal_align",
+      (s, dir) => {
+        val pairsDir = MiscQueries.crossModalPairsDir(s, dir)
+        val tag = java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL) + "xms"
+        val base = new java.io.File(
+          System.getProperty("java.io.tmpdir"), s"graft_qhc_$tag")
+        org.apache.commons.io.FileUtils.deleteQuietly(base)
+        val out = new java.io.File(base, "out").getAbsolutePath
+        val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("pair_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("img_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("img_vec",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)),
+          org.apache.spark.sql.types.StructField("cap_vec",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType))))
+        val scored = graft.operators.CrossModal.alignPairs(
+            s.readStream.schema(schema).parquet(pairsDir),
+            "img_vec", "cap_vec", threshold = 0.8)
+          .filter(col("is_aligned"))
+          .select(col("pair_id"), col("img_id"), col("cos_sim"))
+        val q = scored.writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append").start()
+        try { q.processAllAvailable() } finally q.stop()
+        s.read.parquet(out)
+      },
+      Some(s"""${MiscQueries.crossModalScoredCtes}
+        SELECT pair_id, img_id, cos_sim FROM scored WHERE cos_sim >= 0.8""")),
+
     // STREAMING DoReMi re-estimation (the streaming face of qga): the
     // mixture is recomputed from additive per-(step, domain) statistics
     // as deliveries land — state is just those sums (DeltaState'd,
