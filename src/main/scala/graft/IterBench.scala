@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.IterBench"
   * Section select: SPARK_GRAFT_ITERBENCH=loops|bpe|bpescale|bpedrop|tok|unigram|
-  * wpencode|simhash|grank|grankmany|chunkclaim|shidx|lshidx|ivfidx|gramidx|exactsubstr|dsir|streampack|
+  * wpencode|simhash|xmodal|grank|grankmany|chunkclaim|shidx|lshidx|ivfidx|gramidx|exactsubstr|dsir|streampack|
   * streamsample|stream|streamamort|streamloop (default loops — the
   * bpe/bpescale sections run ~500-merge tokenizer trainings and are
   * minutes long by design; results are recorded in BASELINE.md).
@@ -118,6 +118,33 @@ object IterBench {
     // groupedRank range-partitions the group across every core. 95% of
     // rows sit in one group, the rest across 50 small groups. mult
     // scales the row count.
+    // Cross-modal alignment scoring at k× candidates (round-18
+    // CrossModal.alignPairs): the CLIP-filter pass is ONE codegen'd
+    // scalar kernel over (img, cap) vector pairs — this rung pins the
+    // linear slope of the scored pass (cap = reversed img vector, so
+    // the full dot + norm arithmetic runs on varied values with zero
+    // fixture synthesis cost).
+    if (section == "xmodal") {
+      import org.apache.spark.sql.functions._
+      val pairs = Tables(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          explode(sequence(lit(1), lit(mult))).as("rep"))
+        .select((col("vec_id") * mult + col("rep")).as("pair_id"),
+          col("embedding").as("img_vec"),
+          reverse(col("embedding")).as("cap_vec")).cache()
+      val n = pairs.count()
+      for (round <- 1 to 2) {
+        timed(s"xmodal alignPairs mult=$mult n=$n round=$round") {
+          graft.operators.CrossModal
+            .alignPairs(pairs, "img_vec", "cap_vec", 0.8)
+            .agg(sum(when(col("is_aligned"), 1L).otherwise(0L)),
+              sum(pmod((col("cos_sim") * 1e6).cast("long"),
+                lit(1000000007L)))).head(); n
+        }
+      }
+      pairs.unpersist(); spark.stop(); return
+    }
+
     if (section == "grank") {
       import org.apache.spark.sql.functions._
       val n = 2000000L * mult
