@@ -576,7 +576,7 @@ object MiscQueries {
           graft.sources.Audio.readBinary(s, wavDir), nWindows = 64)
           .select(regexp_extract(col("path"), "doc_(\\d+)\\.wav$", 1)
               .cast("long").as("doc_id"),
-            col("fingerprint"))
+            col("fingerprint")).cache() // decode once across the actions
         def ingest(pred: org.apache.spark.sql.Column) =
           graft.operators.SimHashIndex.ingestSignatures(fp.filter(pred),
             "doc_id", "fingerprint", maxDist = 3, ref,
@@ -604,7 +604,7 @@ object MiscQueries {
           graft.sources.Video.readBinary(s, mp4Dir), nSamples = 64)
           .select(regexp_extract(col("path"), "doc_(\\d+)\\.mp4$", 1)
               .cast("long").as("doc_id"),
-            col("fingerprint"))
+            col("fingerprint")).cache() // decode once across the actions
         def ingest(pred: org.apache.spark.sql.Column) =
           graft.operators.SimHashIndex.ingestSignatures(fp.filter(pred),
             "doc_id", "fingerprint", maxDist = 3, ref,
@@ -709,7 +709,7 @@ object MiscQueries {
           graft.sources.Video.readBinary(s, mp4Dir), nSamples = 64)
           .select(regexp_extract(col("path"), "doc_(\\d+)\\.mp4$", 1)
               .cast("long").as("doc_id"),
-            col("fingerprint"))
+            col("fingerprint")).cache() // decode once across the actions
         val pairs = graft.operators.Dedup.hammingPairs(
           fp, "doc_id", "fingerprint", maxDist = 3)
         graft.operators.Dedup.keepRepresentatives(fp, "doc_id", pairs)
@@ -737,7 +737,7 @@ object MiscQueries {
           graft.sources.Audio.readBinary(s, wavDir), nWindows = 64)
           .select(regexp_extract(col("path"), "doc_(\\d+)\\.wav$", 1)
               .cast("long").as("doc_id"),
-            col("fingerprint"))
+            col("fingerprint")).cache() // decode once across the actions
         val pairs = graft.operators.Dedup.hammingPairs(
           fp, "doc_id", "fingerprint", maxDist = 3)
         graft.operators.Dedup.keepRepresentatives(fp, "doc_id", pairs)
