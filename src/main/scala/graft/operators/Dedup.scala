@@ -279,6 +279,52 @@ object Dedup {
       .select("id1", "id2", "jaccard")
   }
 
+  /** SCOPED MinHash/LSH near-dup pairs — the FineWeb dedup discipline
+    * (Penedo et al., NeurIPS 2024 D&B: per-dump MinHash — each crawl
+    * snapshot deduped WITHIN itself, never across — produced better
+    * models than global dedup, which over-removes the high-quality
+    * pages that recur in every snapshot): [[minhashDupPairs]]'s exact
+    * pipeline with candidate generation and verification restricted to
+    * equal `scopeCol`. The scope rides both the bucket hash and the
+    * band self-join key, so scopes dedup independently and the banding
+    * shuffle's buckets shrink to the per-scope corpus share — the shape
+    * that lets a new snapshot dedup against itself without touching
+    * earlier ones. Output: (id1, id2, scope, jaccard), id1 < id2,
+    * same scope, exact-verified at `threshold`. */
+  def minhashDupPairsScoped(df: DataFrame, idCol: String, textCol: String,
+                            scopeCol: String, n: Int, k: Int, bands: Int,
+                            threshold: Double): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val r = k / bands
+    val sh = df.select(col(idCol).as("doc"), col(scopeCol).as("scope"),
+      Hashes.shingleHashCol(col(textCol), n).as("shs")).cache()
+    val sigs = sh.select(col("doc"), col("scope"),
+      Hashes.minhashFromHashes(col("shs"), k).as("sig")).cache()
+    val banded = sigs.select(col("doc"), col("scope"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(lit("band"), b, col("scope"),
+            slice(col("sig"), b * r + 1, lit(r))))))
+      .toDF("doc", "scope", "band", "bucket")
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.scope") === col("b.scope") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("id1"), col("b.doc").as("id2"),
+        col("a.scope").as("scope"))
+      .distinct()
+      .join(broadcast(sigs.select(col("doc").as("id1"), col("sig").as("sig1"))), "id1")
+      .join(broadcast(sigs.select(col("doc").as("id2"), col("sig").as("sig2"))), "id2")
+      .filter(sigAgreement(col("sig1"), col("sig2")) >= threshold - 0.25)
+      .select("id1", "id2", "scope")
+    cands
+      .join(broadcast(sh.select(col("doc").as("id1"), col("shs").as("sh1"))), "id1")
+      .join(broadcast(sh.select(col("doc").as("id2"), col("shs").as("sh2"))), "id2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))).cast("double"))
+      .withColumn("jaccard", col("inter") /
+        (size(col("sh1")) + size(col("sh2")) - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id1", "id2", "scope", "jaccard")
+  }
+
   /** Band buckets straight from a (possibly STREAMED) document frame — the
     * public face of [[bandedBuckets]] for callers that generate candidates
     * outside the batch join (the streaming claim index,

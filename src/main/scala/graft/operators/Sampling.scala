@@ -364,6 +364,36 @@ object Sampling {
       .select(col(idCol), col("n_toks"), col("cum_before"))
   }
 
+  /** Token-budgeted SHARD layout — the dataloader-shard packing step
+    * (WebDataset tar shards / streaming-dataset index files: the corpus
+    * laid out in one deterministic order and cut into ~fixed-token
+    * shards so a 1000-worker job reads balanced files): documents in
+    * salted-content-hash order ([[tokenBudgetSelect]]'s order, same
+    * collision regime), token counts accumulated by the two-phase
+    * distributed prefix scan ([[Partitioning.prefixSum]] — never a
+    * one-task `sum() OVER (ORDER BY …)`), and
+    * `shard_id = cum_before DIV targetTokens`: a document straddling a
+    * boundary belongs to the shard where it STARTS, so shards hold
+    * whole documents and overshoot by less than one document — the
+    * greedy layout every shard writer uses. Feed the result to a
+    * partitionBy(shard_id) writer; shard sizes are balanced to
+    * ±max-doc-tokens by construction.
+    *
+    * Output: (id, n_toks, cum_before, shard_id), one row per doc. */
+  def tokenShardAssign(df: DataFrame, idCol: String, textCol: String,
+                       targetTokens: Long, salt: String = "shard"): DataFrame = {
+    require(targetTokens > 0, s"targetTokens must be positive, got $targetTokens")
+    val base = df.select(col(idCol),
+        size(graft.functions.TextFunctions.tokens(col(textCol)))
+          .cast("long").as("n_toks"))
+      .withColumn("ord", graft.functions.Fnv1a64Expr(
+        concat(col(idCol).cast("string"), lit(s":$salt"))))
+    val cum = Partitioning.prefixSum(base, "ord", "n_toks", "cum_before")
+    base.join(cum, "ord")
+      .select(col(idCol), col("n_toks"), col("cum_before"),
+        expr(s"cum_before DIV ${targetTokens}L").as("shard_id"))
+  }
+
   /** Stride-scheduled domain interleave — the deterministic "blendable
     * dataset" ordering: emit the whole corpus in ONE global sequence where
     * at every prefix each group's share tracks its mixture weight (the

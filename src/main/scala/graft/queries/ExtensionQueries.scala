@@ -214,6 +214,41 @@ object ExtensionQueries {
         JOIN sizes s2 ON id2 = s2.doc_id
         WHERE CAST(c AS DOUBLE) / (s1.nsh + s2.nsh - c) >= 0.5""")),
 
+    // SCOPED near-dup — the FineWeb per-dump discipline (Penedo et al.
+    // 2024: dedup WITHIN each crawl snapshot, never across; global dedup
+    // over-removes pages that recur in every snapshot): q85's pipeline
+    // with candidates and verification restricted to equal `source`.
+    // The scoping genuinely bites on this fixture — at sf0.1 only 7 of
+    // q85's 256 pairs are same-source, so the gate verifies the scope
+    // restriction, not a re-run of q85.
+    Entry("qhd_scoped_minhash_dedup",
+      (s, dir) => {
+        val pairs = Dedup.minhashDupPairsScoped(t(s, dir, "documents"),
+          "doc_id", "text", "source", n = 2, k = 128, bands = 64,
+          threshold = 0.5)
+        pairs.select(col("id1"), col("id2"), col("scope"),
+          round(col("jaccard"), 9).as("jaccard"))
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, source, $OTOKS AS w FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, source, (w[i] || ' ' || w[i+1]) AS sh
+          FROM toks CROSS JOIN UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+        ), sizes AS (
+          SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id
+        ), common AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2, a.source AS scope, count(*) AS c
+          FROM sh a JOIN sh b
+            ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3
+        )
+        SELECT id1, id2, scope,
+          round(CAST(c AS DOUBLE) / (s1.nsh + s2.nsh - c), 9) AS jaccard
+        FROM common
+        JOIN sizes s1 ON id1 = s1.doc_id
+        JOIN sizes s2 ON id2 = s2.doc_id
+        WHERE CAST(c AS DOUBLE) / (s1.nsh + s2.nsh - c) >= 0.5""")),
+
     // Gopher/C4-style rule filters: each published heuristic as a boolean
     // column plus the conjunction keep flag — the rule-based stage of a
     // training-data pipeline, fused into the scan.

@@ -3172,6 +3172,29 @@ object PipelineQueries {
         SELECT doc_id, n_toks, cum_before FROM c
         WHERE cum_before + n_toks <= 10000""")),
 
+    // Token-budgeted SHARD layout (WebDataset/streaming-dataset packing):
+    // the whole corpus in salted-hash order, cut into ~4096-token shards
+    // by shard_id = cum_before DIV target — a straddling doc belongs to
+    // the shard where it starts (whole docs, < one doc overshoot). Same
+    // two-phase prefix-scan device as qex; the oracle is the one-task
+    // window the plan must never run.
+    Entry("qhe_token_shard_assign",
+      (s, dir) => Sampling.tokenShardAssign(t(s, dir, "documents"),
+        "doc_id", "text", targetTokens = 4096L),
+      Some(s"""WITH nn AS (
+          SELECT doc_id, CAST(len($OTOKS) AS BIGINT) AS n_toks,
+            ${oSigned(oFnv("(CAST(doc_id AS VARCHAR) || ':shard')"))} AS ord
+          FROM documents
+        ), c AS (
+          SELECT doc_id, n_toks,
+            CAST(coalesce(sum(n_toks) OVER (ORDER BY ord, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+              AS cum_before
+          FROM nn
+        )
+        SELECT doc_id, n_toks, cum_before, cum_before // 4096 AS shard_id
+        FROM c""")),
+
     // Mixture → curriculum COMPOSITION: the qeo UniMax allocation realizes
     // into physical copies (doc#epoch ids) and the copy stream orders by
     // the qes stride scheduler — the full "decide the mixture, then lay

@@ -637,6 +637,44 @@ class DataSelectionSpec extends SparkSpec {
       .count() === 60L)
   }
 
+  test("tokenShardAssign: brute hash-order reference, straddle rule " +
+    "(a boundary-crossing doc stays in its start shard), layout-" +
+    "independent") {
+    val docs = (1L to 60L).map(i =>
+      (i, (1 to (i % 9).toInt + 1).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val target = 17L
+    val ordered = (1L to 60L).map { i =>
+      val h = graft.functions.Hashes.fnv1a64(s"$i:shard")
+      (h, i, ((i % 9) + 1))
+    }.sortBy(t => (t._1, t._2))
+    var cum = 0L
+    val expect = ordered.map { case (_, id, n) =>
+      val row = id -> ((n, cum, cum / target))
+      cum += n
+      row
+    }.toMap
+    val got = Sampling.tokenShardAssign(docs, "doc_id", "text", target)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got === expect)
+    // straddle rule visible: some shard's token sum exceeds target (a doc
+    // that starts before the boundary carries the shard past it), yet
+    // every shard's START offset is below (shard_id+1)*target
+    val byShard = got.values.groupBy(_._3).view
+      .mapValues(_.map(_._1).sum).toMap
+    assert(byShard.values.exists(_ > target), "straddle must occur")
+    got.values.foreach { case (_, cumBefore, sid) =>
+      assert(cumBefore / target === sid)
+    }
+    // layout independence: same assignment from a different partitioning
+    val shuffled = Sampling.tokenShardAssign(docs.repartition(7),
+        "doc_id", "text", target)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(shuffled === got)
+  }
+
   test("strideInterleave: differential fuzz vs a brute replica on random " +
     "group structures") {
     val rnd = new scala.util.Random(42)

@@ -35,6 +35,33 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("minhashDupPairsScoped: exactly the global pairs whose endpoints " +
+    "share the scope — cross-scope duplicates are invisible by design") {
+    // docs 1/2/4 are mutual near-dups; scope A holds 1 and 2, scope B
+    // holds 4 — the (1,4)/(2,4) duplications cross scopes and must not
+    // be returned (the FineWeb per-dump semantics), (1,2) must be
+    val scoped = docs.withColumn("snap",
+      when(col("doc_id") === 4L, "B").otherwise("A"))
+    val got = Dedup.minhashDupPairsScoped(scoped, "doc_id", "text", "snap",
+        n = 2, k = 128, bands = 64, threshold = 0.5)
+      .select("id1", "id2", "scope").as[(Long, Long, String)].collect().toSet
+    assert(got === Set((1L, 2L, "A")))
+    // differential law: scoped == global restricted to equal scope
+    val globalSameScope = Dedup.minhashDupPairs(scoped, "doc_id", "text",
+        n = 2, k = 128, bands = 64, threshold = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+      .filter(p => (p._1 == 4L) == (p._2 == 4L))
+    assert(got.map(p => (p._1, p._2)) === globalSameScope)
+    // one shared scope reproduces the global pair set exactly
+    val oneScope = Dedup.minhashDupPairsScoped(
+        scoped.withColumn("snap", lit("all")), "doc_id", "text", "snap",
+        n = 2, k = 128, bands = 64, threshold = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(oneScope === Dedup.minhashDupPairs(scoped, "doc_id", "text",
+      n = 2, k = 128, bands = 64, threshold = 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet)
+  }
+
   test("all-SQL-text pipeline is row-identical to minhashDupPairs on " +
     "randomized near-dup corpora (differential fuzz)") {
     graft.functions.GraftExtensions.register(spark)
