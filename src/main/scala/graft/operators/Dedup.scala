@@ -289,8 +289,13 @@ object Dedup {
     * band self-join key, so scopes dedup independently and the banding
     * shuffle's buckets shrink to the per-scope corpus share — the shape
     * that lets a new snapshot dedup against itself without touching
-    * earlier ones. Output: (id1, id2, scope, jaccard), id1 < id2,
-    * same scope, exact-verified at `threshold`. */
+    * earlier ones. The per-doc lookup sides broadcast exactly as
+    * [[minhashDupPairs]]'s do (and with the same caveat: at true scale
+    * swap the broadcasts for the bucketed co-partitioned joins of
+    * [[minhashDupPairsBucketed]] — the scope column composes with that
+    * shape unchanged, it is just one more key column). Output:
+    * (id1, id2, scope, jaccard), id1 < id2, same scope, exact-verified
+    * at `threshold`. */
   def minhashDupPairsScoped(df: DataFrame, idCol: String, textCol: String,
                             scopeCol: String, n: Int, k: Int, bands: Int,
                             threshold: Double): DataFrame = {
