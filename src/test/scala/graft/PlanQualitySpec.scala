@@ -476,6 +476,22 @@ class PlanQualitySpec extends SparkSpec {
       s"equi-joins only:\n$plan")
   }
 
+  test("qhd scoped minhash: banding + verification stay equi-joins with " +
+    "the scope on the join key — no cartesian, no nested loop") {
+    val plan = executedPlan("qhd_scoped_minhash_dedup")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"scope must ride the equi-join key:\n$plan")
+  }
+
+  test("qhe token shard assign: the cumulative count is the two-phase " +
+    "prefix scan — no window operator anywhere in the plan") {
+    val plan = executedPlan("qhe_token_shard_assign")
+    assert(!plan.contains("windowspecdefinition"),
+      s"the shard layout must never plan a one-task global window:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"equi-joins only:\n$plan")
+  }
+
   test("qha cross-modal align: the CLIP-score is the NATIVE cosine " +
     "expression (no UDF boundary on the scored pass), equi-joins only") {
     val plan = executedPlan("qha_crossmodal_align")
