@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: SPARK_GRAFT_SF_DIR=... sbt "runMain graft.IterBench"
   * Section select: SPARK_GRAFT_ITERBENCH=loops|bpe|bpescale|bpedrop|tok|unigram|
-  * wpencode|simhash|xmodal|grank|grankmany|chunkclaim|shidx|lshidx|ivfidx|gramidx|exactsubstr|dsir|streampack|
+  * wpencode|simhash|xmodal|scopedlsh|grank|grankmany|chunkclaim|shidx|lshidx|ivfidx|gramidx|exactsubstr|dsir|streampack|
   * streamsample|stream|streamamort|streamloop (default loops — the
   * bpe/bpescale sections run ~500-merge tokenizer trainings and are
   * minutes long by design; results are recorded in BASELINE.md).
@@ -118,6 +118,36 @@ object IterBench {
     // groupedRank range-partitions the group across every core. 95% of
     // rows sit in one group, the rest across 50 small groups. mult
     // scales the row count.
+    // Scoped vs global dedup at k snapshots (round-18
+    // minhashDupPairsScoped — the FineWeb cost argument): the corpus
+    // replicates VERBATIM k times (snapshots genuinely re-crawl the
+    // same pages, unlike lshidx's translate device), so global dedup
+    // must discover k·(k−1)/2 cross-snapshot duplications per page
+    // while per-snapshot dedup does k independent 1×-sized jobs —
+    // quadratic vs linear in snapshot count, the reason the recipe
+    // scopes.
+    if (section == "scopedlsh") {
+      import org.apache.spark.sql.functions._
+      import graft.operators.Dedup
+      val docs = Tables(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), lit(mult - 1))).as("snap"))
+        .select((col("doc_id") * mult + col("snap")).as("doc_id"),
+          col("text"), col("snap").cast("string").as("snap")).cache()
+      println(s"[iterbench] corpus: ${docs.count()} docs (mult=$mult snapshots)")
+      for (round <- 1 to 2) {
+        timed(s"scoped (per-snapshot) dedup mult=$mult round=$round") {
+          Dedup.minhashDupPairsScoped(docs, "doc_id", "text", "snap",
+            n = 2, k = 128, bands = 64, threshold = 0.5).count()
+        }
+        timed(s"global dedup            mult=$mult round=$round") {
+          Dedup.minhashDupPairs(docs, "doc_id", "text",
+            n = 2, k = 128, bands = 64, threshold = 0.5).count()
+        }
+      }
+      docs.unpersist(); spark.stop(); return
+    }
+
     // Cross-modal alignment scoring at k× candidates (round-18
     // CrossModal.alignPairs): the CLIP-filter pass is ONE codegen'd
     // scalar kernel over (img, cap) vector pairs — this rung pins the

@@ -94,6 +94,40 @@ class DedupSpec extends SparkSpec {
     spark.catalog.dropTempView("documents")
   }
 
+  test("minhashDupPairsScoped differential fuzz: on random corpora with " +
+    "random scopes, scoped == global restricted to equal scope") {
+    val words = Vector("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet")
+    val rnd = new scala.util.Random(1818L)
+    for (trial <- 1 to 3) {
+      val bases = Vector.fill(8)(Vector.fill(14)(words(rnd.nextInt(words.size))))
+      val corpus = (1L to 32L).map { id =>
+        val b = bases(rnd.nextInt(bases.size))
+        val perturbed = (0 until rnd.nextInt(4)).foldLeft(b) { (v, _) =>
+          v.updated(rnd.nextInt(v.size), words(rnd.nextInt(words.size)))
+        }
+        (id, perturbed.mkString(" "), s"snap${rnd.nextInt(3)}")
+      }
+      val df = corpus.toDF("doc_id", "text", "snap")
+      val scopeOf = corpus.map(c => c._1 -> c._3).toMap
+      val scoped = Dedup.minhashDupPairsScoped(df, "doc_id", "text", "snap",
+          n = 2, k = 128, bands = 64, threshold = 0.5)
+        .select($"id1", $"id2", $"scope", round($"jaccard", 9).as("j"))
+        .as[(Long, Long, String, Double)].collect().toSet
+      scoped.foreach { case (a, b, sc, _) =>
+        assert(scopeOf(a) === sc && scopeOf(b) === sc, s"trial $trial leak")
+      }
+      val globalSame = Dedup.minhashDupPairs(df, "doc_id", "text",
+          n = 2, k = 128, bands = 64, threshold = 0.5)
+        .select($"id1", $"id2", round($"jaccard", 9).as("j"))
+        .as[(Long, Long, Double)].collect().toSet
+        .filter(p => scopeOf(p._1) == scopeOf(p._2))
+        .map(p => (p._1, p._2, scopeOf(p._1), p._3))
+      assert(scoped === globalSame, s"trial $trial diverged")
+      assert(scoped.nonEmpty, s"trial $trial degenerate (no same-scope pairs)")
+    }
+  }
+
   test("bucketed minhash path is result-identical to the broadcast path, shuffle-free lookups") {
     val bc = Dedup.minhashDupPairs(docs, "doc_id", "text", n = 2, k = 128,
       bands = 64, threshold = 0.5)
