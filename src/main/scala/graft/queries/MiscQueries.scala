@@ -614,6 +614,69 @@ object MiscQueries {
       },
       Some(plantedNearDupOracle(nbits = 63))),
 
+    // MEDIA decontamination — the read-only face of the perceptual
+    // index (the published eval-contamination audit: probe benchmark
+    // images against the training corpus's perceptual index WITHOUT
+    // folding them in, so repeated audits never pollute the index):
+    // train = even planted PNGs ingested, eval = odd PNGs through
+    // SimHashIndex.matchesAgainstSignatures; a cross pair at Hamming
+    // <= 3 marks the eval image contaminated. Verdict per eval doc;
+    // within-eval pairs are diagnostics the audit ignores (filtered to
+    // the train side). The oracle replays law + blocks + Hamming with
+    // the even/odd split.
+    Entry("qhf_media_decontam",
+      (s, dir) => {
+        val imgDir = plantedPngDir(s, dir)
+        val tag = java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL) + "dcn"
+        val ref = graft.operators.SimHashIndex.Ref(tag, buckets = 8)
+        graft.operators.SimHashIndex.drop(s, ref) // idempotent re-runs
+        val hashed = graft.sources.Images.dHash64Kernel(
+            graft.sources.Images.read(s, imgDir))
+          .select(regexp_extract(col("origin"), "doc_(\\d+)\\.png$", 1)
+              .cast("long").as("doc_id"),
+            col("dhash")).cache()
+        graft.operators.SimHashIndex.ingestSignatures(
+          hashed.filter(col("doc_id") % 2 === 0), "doc_id", "dhash",
+          maxDist = 3, ref, delivery = "train").count()
+        val evalSide = hashed.filter(col("doc_id") % 2 =!= 0)
+        val hits = graft.operators.SimHashIndex.matchesAgainstSignatures(
+            evalSide, "doc_id", "dhash", maxDist = 3, ref)
+          .filter(col("old_id") % 2 === 0) // train-side matches only
+          .groupBy(col("new_id").as("doc_id"))
+          .agg(count(lit(1)).as("n_train_matches"),
+            min(col("hamming")).as("min_hamming"))
+        evalSide.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_train_matches"), lit(0L)).as("n_train_matches"),
+            col("min_hamming"),
+            (coalesce(col("n_train_matches"), lit(0L)) > 0).as("contaminated"))
+      },
+      Some(s"""${plantedPairCtes(nbits = 64)},
+        cpairs AS (
+          SELECT c.old_id, c.new_id,
+            CAST(bit_count(xor(h1.h, h2.h)) AS BIGINT) AS hamming
+          FROM cand c JOIN hsh h1 ON h1.doc_id = c.old_id
+            JOIN hsh h2 ON h2.doc_id = c.new_id
+          WHERE bit_count(xor(h1.h, h2.h)) <= 3
+        ), per AS (
+          -- cand has old_id < new_id; orient to (train even, eval odd)
+          SELECT CASE WHEN old_id % 2 = 1 THEN old_id ELSE new_id END AS e,
+            hamming
+          FROM cpairs
+          WHERE (old_id % 2 = 0) <> (new_id % 2 = 0)
+        ), agg AS (
+          SELECT e AS doc_id, count(*) AS n_train_matches,
+            min(hamming) AS min_hamming
+          FROM per GROUP BY 1
+        )
+        SELECT d.doc_id,
+          CAST(coalesce(a.n_train_matches, 0) AS BIGINT) AS n_train_matches,
+          a.min_hamming,
+          coalesce(a.n_train_matches, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        WHERE d.doc_id % 2 = 1""")),
+
     // CROSS-MODAL pair curation, alignment half (the LAION/DataComp
     // CLIP-filter): candidate (image, caption) pairs scored by embedding
     // cosine, keep/drop verdict at threshold 0.8. The fixture composes
