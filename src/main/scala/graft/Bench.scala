@@ -220,20 +220,82 @@ object Bench {
     val loadLimit = cpus.toDouble / 8.0
     val startLoadOk = loadStartVals.headOption.forall(_ <= loadLimit)
     val canaryOk = recheckBuf.forall(_._2 <= canaryLimit) && startLoadOk
-    val retimeK = 8
+    // RETIME SELECTION (round 19; the round-18 rank rule left broad
+    // contamination in place — retiming the fixed 8 slowest corrected
+    // 58.8 s of a sweep whose clean reality was ~41 s). Candidates are
+    // picked by THRESHOLD against the committed per-query reference
+    // (bench_ref.json — the closing best-of-two readings of the round
+    // that shipped this tree): every member whose first reading exceeds
+    // max(1.5x ref, ref + 0.1 s) — the same band shape as the probe
+    // limit — is suspect. Members ABSENT from the reference (gates newer
+    // than the file) are suspect only if timed inside a CONTAMINATION
+    // WINDOW: the span between the last healthy probe before a tripped
+    // one and the next healthy probe (when the trip came from the
+    // start-loadavg gate, every query is in the window). The pass is
+    // capped to bound its cost; with no readable reference at all, it
+    // falls back to the round-18 rank rule (8 slowest).
+    val retimeCap = 15
+    val retimeFailed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val benchRef: Map[String, Double] = {
+      val p = sys.env.getOrElse("SPARK_GRAFT_BENCH_REF", "bench_ref.json")
+      try {
+        val s = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p)), "UTF-8")
+        "\"([A-Za-z0-9_]+)\"\\s*:\\s*([0-9.eE+-]+)".r.findAllMatchIn(s)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
+    }
+    def refLimit(r: Double): Double = math.max(r * 1.5, r + 0.1)
+    // query positions inside contamination windows: probes partition the
+    // sweep into spans; a tripped probe (or a tripped start loadavg, which
+    // taints everything up to the first healthy probe... conservatively:
+    // everything) marks the queries timed since the last healthy probe.
+    val suspectPos: Set[Int] =
+      if (!startLoadOk) names.indices.toSet
+      else {
+        val sorted = recheckBuf.sortBy(_._1)
+        var prevHealthy = 0
+        val acc = scala.collection.mutable.Set.empty[Int]
+        sorted.foreach { case (idx, v) =>
+          if (v > canaryLimit) acc ++= (prevHealthy until idx)
+          else prevHealthy = idx
+        }
+        acc.toSet
+      }
     val retimed: Seq[(String, Double)] =
       if (canaryOk && !sys.env.contains("SPARK_GRAFT_CANARY_FORCE")) Seq.empty
-      else results.collect { case (k, v, None) => (k, v) }
-        .sortBy(-_._2).take(retimeK).map { case (k, _) =>
+      else {
+        val ok = results.zipWithIndex.collect {
+          case ((k, v, None), i) => (k, v, i) }
+        val candidates: Seq[(String, Double)] =
+          if (benchRef.isEmpty) ok.map { case (k, v, _) => (k, v) }
+            .sortBy(-_._2).take(8)
+          else {
+            // over-reference members first, worst excess ratio first;
+            // then window-suspect members the reference does not know,
+            // slowest first — one ordered list, capped as a whole
+            val overRef = ok.flatMap { case (k, v, _) =>
+              benchRef.get(k).collect {
+                case r if v > refLimit(r) => (k, v, v / r) } }
+              .sortBy(-_._3).map { case (k, v, _) => (k, v) }
+            val windowed = ok.collect {
+              case (k, v, i) if !benchRef.contains(k) && suspectPos(i) =>
+                (k, v) }.sortBy(-_._2)
+            (overRef ++ windowed).take(retimeCap)
+          }
+        candidates.flatMap { case (k, _) =>
           graft.queries.Registry.prepares.get(k).foreach { p =>
             try p(spark, sfDir) catch { case _: Throwable => () } }
           val t0 = System.nanoTime()
-          try SparkEntry.queries(k)(spark, sfDir).count()
-          catch { case _: Throwable => () } // keep the first reading
+          val failed = try { SparkEntry.queries(k)(spark, sfDir).count(); false }
+            catch { case _: Throwable => true }
           val e = (System.nanoTime() - t0) / 1e9
           spark.catalog.clearCache()
-          (k, e)
+          // a retime that THROWS must not feed min(): a fast failure is a
+          // DNF, not a fast win — drop the pair so the first reading stands
+          if (failed) { retimeFailed += k; None } else Some((k, e))
         }
+      }
     val retimedMap = retimed.toMap
     def adjusted(k: String, v: Double): Double =
       retimedMap.get(k).map(math.min(v, _)).getOrElse(v)
@@ -243,7 +305,8 @@ object Bench {
       case (k, v, None) if pipeSet(k) => adjusted(k, v) }.sum
     // recheck AGAIN after the retime pass: records whether the retimed
     // readings themselves ran on a healthy machine
-    val warmRecheck2 = if (retimed.isEmpty) -1.0 else cpuProbe()
+    val warmRecheck2 =
+      if (retimed.isEmpty && retimeFailed.isEmpty) -1.0 else cpuProbe()
     val loadEnd = loadavg
     val retimedJson = retimed.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -257,10 +320,13 @@ object Bench {
         .mkString("[", ",", "]")},""" +
       s""""probe_limit_sec":$canaryLimit,"canary_load_limit":$loadLimit,""" +
       s""""canary_ok":$canaryOk,""" +
-      (if (retimed.isEmpty) ""
+      (if (retimed.isEmpty && retimeFailed.isEmpty) ""
        else s""""retimed":$retimedJson,"value_adjusted":$totalAdj,""" +
          s""""pipeline_total_adjusted":$pipeTotalAdj,""" +
-         s""""probe_after_retime_sec":$warmRecheck2,""") +
+         s""""probe_after_retime_sec":$warmRecheck2,""" +
+         s""""retime_ref_entries":${benchRef.size},""" +
+         s""""retime_failed":${retimeFailed.map("\"" + _ + "\"")
+           .mkString("[", ",", "]")},""") +
       s""""loadavg_start":$loadStart,"loadavg_end":$loadEnd,""" +
       s""""wall_sec":${(System.nanoTime() - wall0) / 1e9}}"""
     println(json)

@@ -220,17 +220,33 @@ object ExtensionQueries {
     // with candidates and verification restricted to equal `source`.
     // The scoping genuinely bites on this fixture — at sf0.1 only 7 of
     // q85's 256 pairs are same-source, so the gate verifies the scope
-    // restriction, not a re-run of q85.
+    // restriction, not a re-run of q85. The input is DENSIFIED with a
+    // planted same-source clone per doc_id % 97 == 0 (one appended
+    // token, so jaccard = s/(s+1) — a genuine near-dup, not an exact
+    // copy), giving the sf0.01 row a multi-pair result (the natural
+    // fixture carries only ONE same-source pair there); the oracle
+    // replays the plant in the same UNION ALL.
     Entry("qhd_scoped_minhash_dedup",
       (s, dir) => {
-        val pairs = Dedup.minhashDupPairsScoped(t(s, dir, "documents"),
+        val d = t(s, dir, "documents")
+        val planted = d.filter(pmod(col("doc_id"), lit(97L)) === 0)
+          .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+            col("source"), concat(col("text"), lit(" zq17")).as("text"))
+        val docs = d.select(col("doc_id"), col("source"), col("text"))
+          .unionByName(planted)
+        val pairs = Dedup.minhashDupPairsScoped(docs,
           "doc_id", "text", "source", n = 2, k = 128, bands = 64,
           threshold = 0.5)
         pairs.select(col("id1"), col("id2"), col("scope"),
           round(col("jaccard"), 9).as("jaccard"))
       },
-      Some(s"""WITH toks AS (
-          SELECT doc_id, source, $OTOKS AS w FROM documents
+      Some(s"""WITH aug AS (
+          SELECT doc_id, source, text FROM documents
+          UNION ALL
+          SELECT doc_id + 10000000, source, text || ' zq17'
+          FROM documents WHERE doc_id % 97 = 0
+        ), toks AS (
+          SELECT doc_id, source, $OTOKS AS w FROM aug
         ), sh AS (
           SELECT DISTINCT doc_id, source, (w[i] || ' ' || w[i+1]) AS sh
           FROM toks CROSS JOIN UNNEST(generate_series(1, len(w) - 1)) AS t(i)

@@ -1047,11 +1047,18 @@ object MiscQueries {
     * source: candidate pairs ARRIVE as data in deployment, so the
     * streaming face reads them from storage instead of re-deriving the
     * planted law per micro-batch. */
+  /** Bump with ANY change to [[crossModalCandidates]]'s planted law
+    * (slot/partner formula, mix constants) — the version rides the cache
+    * directory key below, so a law tweak can never silently replay a
+    * stale materialized fixture against a new oracle (the trap
+    * Video.FixtureVersion closes for the MP4 fixture). */
+  private[queries] val XModalFixtureVersion = 1
   private[queries] def crossModalPairsDir(s: SparkSession, dir: String): String = {
     val srcMtime = new java.io.File(Tables.path(dir, "embeddings")).lastModified()
     val key = java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL) + s"_$srcMtime"
-    val out = new java.io.File(s"/tmp/graft_xmodal_pairs_$key")
+    val out = new java.io.File(
+      s"/tmp/graft_xmodal_pairs_v${XModalFixtureVersion}_$key")
     graft.sources.AtomicPublish.once(out, preCreate = false)(staging =>
       crossModalCandidates(s, dir).write.parquet(staging.getPath))
   }
