@@ -172,6 +172,21 @@ object Dedup {
         b => xxhash64(lit("band"), b, slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
       .toDF("doc", "band", "bucket")
 
+  /** The SCOPED banding definition — [[bandedBuckets]] with the scope
+    * folded into the 64-bit bucket hash, over (doc, scope, sig) rows:
+    * same-scope docs collide exactly as the unscoped form, cross-scope
+    * docs only on a 64-bit hash accident (every scoped consumer kills
+    * those with an explicit scope-equality check on the candidate
+    * frame). One definition for [[minhashDupPairsScoped]], the
+    * persistent [[LshIndex]] scoped ingest, and the specs. */
+  private[graft] def scopedBandedBuckets(sigs: DataFrame, bands: Int,
+                                         rowsPerBand: Int): DataFrame =
+    sigs.select(col("doc"), col("scope"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(lit("band"), b, col("scope"),
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
+      .toDF("doc", "scope", "band", "bucket")
+
   /** Exact-Jaccard verification of candidate (leftId, rightId) pairs
     * against per-doc hashed shingle sets — the one definition of the
     * verify formula. `broadcastLookups` = map-side joins when the per-doc
@@ -305,11 +320,7 @@ object Dedup {
       Hashes.shingleHashCol(col(textCol), n).as("shs")).cache()
     val sigs = sh.select(col("doc"), col("scope"),
       Hashes.minhashFromHashes(col("shs"), k).as("sig")).cache()
-    val banded = sigs.select(col("doc"), col("scope"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(lit("band"), b, col("scope"),
-            slice(col("sig"), b * r + 1, lit(r))))))
-      .toDF("doc", "scope", "band", "bucket")
+    val banded = scopedBandedBuckets(sigs, bands, r)
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.scope") === col("b.scope") && col("a.doc") < col("b.doc"))

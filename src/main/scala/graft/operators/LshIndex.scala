@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.Hashes
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Cross-RUN persistent MinHash/LSH near-duplicate index — the steady-state
@@ -290,37 +290,116 @@ object LshIndex {
     * delivery and unique across deliveries. */
   def ingest(batch: DataFrame, idCol: String, textCol: String,
              n: Int, k: Int, bands: Int, threshold: Double, ref: Ref,
-             delivery: String): DataFrame = {
+             delivery: String): DataFrame =
+    ingestImpl(batch, idCol, textCol, None, n, k, bands, threshold, ref, delivery)
+
+  /** [[ingestScoped]] with a generated unique-per-call delivery id (same
+    * retry caveat as the unscoped convenience overload). */
+  def ingestScoped(batch: DataFrame, idCol: String, textCol: String,
+                   scopeCol: String, n: Int, k: Int, bands: Int,
+                   threshold: Double, ref: Ref): DataFrame =
+    ingestScoped(batch, idCol, textCol, scopeCol, n, k, bands, threshold, ref,
+      delivery = java.util.UUID.randomUUID().toString)
+
+  /** SCOPED [[ingest]] — the persistent-index face of the FineWeb
+    * per-dump discipline ([[Dedup.minhashDupPairsScoped]]'s deployment
+    * shape): pairs are reported only between docs whose `scopeCol`
+    * values are EQUAL, so each scope (crawl snapshot, dump, tenant)
+    * dedups against its own history and never against another's.
+    *
+    * The scope rides the banding the same way the batch operator's
+    * does — folded into the 64-bit bucket HASH — so the three corpus
+    * tables keep their exact (band, bucket) / (doc) bucketing and every
+    * corpus probe stays exchange-free; the `scope` column itself is
+    * carried through sigs/sh and enforced as an EQUALITY FILTER on the
+    * candidate-sized frames after the per-doc signature lookups (a
+    * cross-scope 64-bit bucket collision is killed there, and the
+    * filter never widens a corpus join key). Within one index, every
+    * ingest must be scoped (or every one unscoped) — mixing is refused
+    * at attach time, because unscoped rows carry no scope to compare.
+    *
+    * Output: (old_id, new_id, scope, jaccard) — orientation and the
+    * replay/lease/fsck contracts identical to [[ingest]]. */
+  def ingestScoped(batch: DataFrame, idCol: String, textCol: String,
+                   scopeCol: String, n: Int, k: Int, bands: Int,
+                   threshold: Double, ref: Ref, delivery: String): DataFrame =
+    ingestImpl(batch, idCol, textCol, Some(scopeCol), n, k, bands, threshold,
+      ref, delivery)
+
+  private def ingestImpl(batch: DataFrame, idCol: String, textCol: String,
+                         scopeCol: Option[String], n: Int, k: Int, bands: Int,
+                         threshold: Double, ref: Ref,
+                         delivery: String): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     require(delivery.nonEmpty && delivery != LegacyDelivery,
       s"delivery id must be non-empty and not '$LegacyDelivery'")
+    val r = k / bands
     val spark = batch.sparkSession
     withLease(spark, ref, "ingest") {
     val exists = attachForWrite(spark, ref)
+    if (exists) {
+      val hasScope = spark.table(ref.sigsTable).columns.contains("scope")
+      require(hasScope == scopeCol.isDefined,
+        s"index '${ref.tag}' was created ${if (hasScope) "SCOPED" else "UNSCOPED"} " +
+          s"— every ingest must match (unscoped rows carry no scope to compare)")
+    }
     def corpus(tbl: String): DataFrame =
       spark.table(tbl).filter(col("delivery") =!= lit(delivery))
-    val sh = batch.select(col(idCol).as("doc"),
-      Hashes.shingleHashCol(col(textCol), n).as("shs")).cache()
-    val sigs = sh.select(col("doc"),
-      Hashes.minhashFromHashes(col("shs"), k).as("sig")).cache()
-    val banded = Dedup.bandedBuckets(sigs, bands, k / bands)
+    val scoped = scopeCol.isDefined
+    val keyCols: Seq[Column] = col(idCol).as("doc") +:
+      scopeCol.map(c => col(c).as("scope")).toSeq
+    val sh = batch.select(keyCols :+
+      Hashes.shingleHashCol(col(textCol), n).as("shs"): _*).cache()
+    val carry: Seq[Column] = col("doc") +: (if (scoped) Seq(col("scope")) else Nil)
+    val sigs = sh.select(carry :+
+      Hashes.minhashFromHashes(col("shs"), k).as("sig"): _*).cache()
+    // banding: scope (when present) is folded into the bucket hash — the
+    // ONE banding definition of Dedup.bandedBuckets extended with the
+    // same scope device as Dedup.minhashDupPairsScoped, so same-scope
+    // docs collide as usual and cross-scope docs collide only on a
+    // 64-bit hash accident (killed by the equality filter below)
+    val banded =
+      if (!scoped) Dedup.bandedBuckets(sigs, bands, r)
+      else Dedup.scopedBandedBuckets(sigs, bands, r)
 
-    def prefiltered(cands: DataFrame, oldSigs: DataFrame, bOld: Boolean): DataFrame =
-      cands.distinct()
-        .join({ val t = oldSigs.select(col("doc").as("old_id"), col("sig").as("sig1"))
+    // signature-agreement pre-filter + (scoped) the scope equality check,
+    // both on the CANDIDATE-sized frame: the corpus-side lookup joins
+    // stay keyed on doc alone (bucketed — zero corpus exchange), and the
+    // scope filter never becomes a corpus join key
+    def prefiltered(cands: DataFrame, oldSigs: DataFrame, bOld: Boolean): DataFrame = {
+      val oldSel: Seq[Column] = Seq(col("doc").as("old_id"), col("sig").as("sig1")) ++
+        (if (scoped) Seq(col("scope").as("_scope1")) else Nil)
+      val newSel: Seq[Column] = Seq(col("doc").as("new_id"), col("sig").as("sig2")) ++
+        (if (scoped) Seq(col("scope").as("scope")) else Nil)
+      val joined = cands.distinct()
+        .join({ val t = oldSigs.select(oldSel: _*)
                 if (bOld) broadcast(t) else t }, "old_id")
-        .join(broadcast(sigs.select(col("doc").as("new_id"), col("sig").as("sig2"))), "new_id")
-        .filter(Dedup.sigAgreement(col("sig1"), col("sig2")) >= threshold - 0.25)
-        .select("old_id", "new_id")
+        .join(broadcast(sigs.select(newSel: _*)), "new_id")
+      val scopeOk = if (scoped) joined.filter(col("_scope1") === col("scope"))
+        else joined
+      scopeOk.filter(Dedup.sigAgreement(col("sig1"), col("sig2")) >= threshold - 0.25)
+        .select(col("old_id") +: col("new_id") +:
+          (if (scoped) Seq(col("scope")) else Nil): _*)
+    }
+    // carry scope through the one shared verify formula by re-attaching
+    // it afterwards from the CACHED batch sigs (new_id is always a batch
+    // doc, and the scope filter above guarantees both ends agree) — never
+    // by re-evaluating the candidate frame, whose cross form scans corpus
+    def verified(cands: DataFrame, shOld: DataFrame, bOld: Boolean): DataFrame = {
+      val v = Dedup.verifyJaccard(cands.select("old_id", "new_id"), shOld, sh,
+        "old_id", "new_id", threshold, broadcastLeft = bOld, broadcastRight = true)
+      if (!scoped) v
+      else v.join(broadcast(sigs.select(col("doc").as("new_id"), col("scope"))),
+        Seq("new_id"))
+    }
 
     // within-batch: self-banding, all lookups broadcast (a batch is small)
     val within = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("old_id"), col("b.doc").as("new_id"))
-    val withinV = Dedup.verifyJaccard(prefiltered(within, sigs, bOld = true),
-      sh, sh, "old_id", "new_id", threshold,
-      broadcastLeft = true, broadcastRight = true)
+    val withinV = verified(prefiltered(within, sigs, bOld = true),
+      sh, bOld = true)
 
     // batch-vs-corpus: the index side of every join is a bucketed scan on
     // its join key — no exchange, no broadcast of corpus-sized tables
@@ -328,10 +407,9 @@ object LshIndex {
       val cross = corpus(ref.bandedTable).as("i").join(banded.as("b"),
           col("i.band") === col("b.band") && col("i.bucket") === col("b.bucket"))
         .select(col("i.doc").as("old_id"), col("b.doc").as("new_id"))
-      val crossV = Dedup.verifyJaccard(
+      val crossV = verified(
         prefiltered(cross, corpus(ref.sigsTable), bOld = false),
-        corpus(ref.shTable), sh, "old_id", "new_id", threshold,
-        broadcastLeft = false, broadcastRight = true)
+        corpus(ref.shTable), bOld = false)
       withinV.unionByName(crossV)
     }
     // distinct = set semantics on the RESULT (batch-sized, not corpus):

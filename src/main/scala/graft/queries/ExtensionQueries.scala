@@ -17,6 +17,31 @@ object ExtensionQueries {
   /** Oracle fragment: whitespace tokens of `text` as a DuckDB list. */
   private val OTOKS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 
+  /** Shared input of the SCOPED dedup gates (qhd batch, qhg persistent
+    * index): `documents` densified with one planted same-source clone per
+    * doc_id % 97 == 0 — clone id = orig + 10,000,000 (collision-free
+    * beyond real ids), text = orig plus ONE appended token, so the pair
+    * is a genuine near-dup at jaccard = s/(s+1), not an exact copy. The
+    * natural fixture carries only one same-source pair at sf0.01; the
+    * plant gives the small-SF gate rows a multi-pair result while the
+    * law stays fully oracle-replayable ([[OAug]] is the same plant in
+    * SQL). */
+  private def densifiedDocs(s: SparkSession, dir: String) = {
+    val d = t(s, dir, "documents")
+    val planted = d.filter(pmod(col("doc_id"), lit(97L)) === 0)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        col("source"), concat(col("text"), lit(" zq17")).as("text"))
+    d.select(col("doc_id"), col("source"), col("text")).unionByName(planted)
+  }
+
+  /** [[densifiedDocs]] as a DuckDB CTE (name: `aug`). */
+  private val OAug = """aug AS (
+          SELECT doc_id, source, text FROM documents
+          UNION ALL
+          SELECT doc_id + 10000000, source, text || ' zq17'
+          FROM documents WHERE doc_id % 97 = 0
+        )"""
+
   /** Oracle fragment: FNV-1a 64 over the ASCII string column `in`, as an
     * unsigned HUGEINT in [0, 2^64). 64-bit wraparound is emulated with
     * HUGEINT mod-2^64 arithmetic; the XOR only ever touches the low byte, so
@@ -217,7 +242,8 @@ object ExtensionQueries {
     // SCOPED near-dup — the FineWeb per-dump discipline (Penedo et al.
     // 2024: dedup WITHIN each crawl snapshot, never across; global dedup
     // over-removes pages that recur in every snapshot): q85's pipeline
-    // with candidates and verification restricted to equal `source`.
+    // with candidates and verification restricted to equal `source`,
+    // over [[densifiedDocs]].
     // The scoping genuinely bites on this fixture — at sf0.1 only 7 of
     // q85's 256 pairs are same-source, so the gate verifies the scope
     // restriction, not a re-run of q85. The input is DENSIFIED with a
@@ -228,24 +254,13 @@ object ExtensionQueries {
     // replays the plant in the same UNION ALL.
     Entry("qhd_scoped_minhash_dedup",
       (s, dir) => {
-        val d = t(s, dir, "documents")
-        val planted = d.filter(pmod(col("doc_id"), lit(97L)) === 0)
-          .select((col("doc_id") + lit(10000000L)).as("doc_id"),
-            col("source"), concat(col("text"), lit(" zq17")).as("text"))
-        val docs = d.select(col("doc_id"), col("source"), col("text"))
-          .unionByName(planted)
-        val pairs = Dedup.minhashDupPairsScoped(docs,
+        val pairs = Dedup.minhashDupPairsScoped(densifiedDocs(s, dir),
           "doc_id", "text", "source", n = 2, k = 128, bands = 64,
           threshold = 0.5)
         pairs.select(col("id1"), col("id2"), col("scope"),
           round(col("jaccard"), 9).as("jaccard"))
       },
-      Some(s"""WITH aug AS (
-          SELECT doc_id, source, text FROM documents
-          UNION ALL
-          SELECT doc_id + 10000000, source, text || ' zq17'
-          FROM documents WHERE doc_id % 97 = 0
-        ), toks AS (
+      Some(s"""WITH $OAug, toks AS (
           SELECT doc_id, source, $OTOKS AS w FROM aug
         ), sh AS (
           SELECT DISTINCT doc_id, source, (w[i] || ' ' || w[i+1]) AS sh
@@ -466,6 +481,121 @@ object ExtensionQueries {
           CASE WHEN id1 % 3 <= id2 % 3 THEN id2 ELSE id1 END AS new_id,
           jaccard
         FROM p"""),
+    ),
+
+    // SCOPED dedup at the PERSISTENT-index level — qhd's FineWeb
+    // discipline in qdt's deployment shape (LshIndex.ingestScoped): two
+    // deliveries (doc_id parity) over the densified corpus, each
+    // reporting only SAME-SOURCE pairs; the scope rides the bucket hash
+    // (bucketing unchanged — corpus probes stay exchange-free, pinned in
+    // PlanQualitySpec) and is enforced as a candidate-frame equality
+    // filter. The union over deliveries must equal qhd's scoped exact
+    // pair law oriented by ingest order — batching changes WHEN a pair
+    // is found, never WHAT.
+    Entry("qhg_scoped_lsh_index",
+      (s, dir) => {
+        val tag = java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL) + "sc"
+        val ref = graft.operators.LshIndex.Ref(tag, buckets = 8)
+        graft.operators.LshIndex.drop(s, ref) // idempotent re-runs
+        val docs = densifiedDocs(s, dir)
+        (0 until 2).map { slice =>
+          graft.operators.LshIndex.ingestScoped(
+            docs.filter(col("doc_id") % 2 === slice), "doc_id", "text",
+            "source", n = 2, k = 128, bands = 64, threshold = 0.5, ref)
+        }.reduce(_ unionByName _)
+          .select(col("old_id"), col("new_id"), col("scope"),
+            round(col("jaccard"), 9).as("jaccard"))
+      },
+      Some(s"""WITH $OAug, toks AS (
+          SELECT doc_id, source, $OTOKS AS w FROM aug
+        ), sh AS (
+          SELECT DISTINCT doc_id, source, (w[i] || ' ' || w[i+1]) AS sh
+          FROM toks CROSS JOIN UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+        ), sizes AS (
+          SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id
+        ), common AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2, a.source AS scope, count(*) AS c
+          FROM sh a JOIN sh b
+            ON a.sh = b.sh AND a.source = b.source AND a.doc_id < b.doc_id
+          GROUP BY 1, 2, 3
+        ), p AS (
+          SELECT id1, id2, scope,
+            round(CAST(c AS DOUBLE) / (s1.nsh + s2.nsh - c), 9) AS jaccard
+          FROM common
+          JOIN sizes s1 ON id1 = s1.doc_id
+          JOIN sizes s2 ON id2 = s2.doc_id
+          WHERE CAST(c AS DOUBLE) / (s1.nsh + s2.nsh - c) >= 0.5
+        )
+        SELECT CASE WHEN id1 % 2 <= id2 % 2 THEN id1 ELSE id2 END AS old_id,
+          CASE WHEN id1 % 2 <= id2 % 2 THEN id2 ELSE id1 END AS new_id,
+          scope, jaccard
+        FROM p"""),
+    ),
+
+    // Cross-snapshot NOVELTY-RATE report (the FineWeb companion metric to
+    // per-dump dedup — Penedo et al. 2024 report, per snapshot, what
+    // fraction of its pages is new vs everything crawled before): three
+    // deliveries in doc_id-mod order ride the SAME persistent-index
+    // ingests as qdt, and a snapshot's duplicates are exactly the docs
+    // its ingest pairs against an EARLIER delivery (old_id from another
+    // slice) — within-snapshot dups do not count against novelty. The
+    // per-delivery counts are scalars (one number per snapshot), so the
+    // driver-side loop is over deliveries, never docs; the oracle
+    // replays the exact pair law, splits it by delivery, and rebuilds
+    // the same counts.
+    Entry("qhh_snapshot_novelty",
+      (s, dir) => {
+        import s.implicits._
+        val tag = java.lang.Long.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL) + "nv"
+        val ref = graft.operators.LshIndex.Ref(tag, buckets = 8)
+        graft.operators.LshIndex.drop(s, ref) // idempotent re-runs
+        val docs = t(s, dir, "documents")
+        val perSnap = (0 until 3).map { slice =>
+          val batch = docs.filter(col("doc_id") % 3 === slice)
+          val pairs = graft.operators.LshIndex.ingest(batch, "doc_id", "text",
+            n = 2, k = 128, bands = 64, threshold = 0.5, ref)
+          val nDup = pairs.filter(col("old_id") % 3 =!= slice)
+            .select(col("new_id")).distinct().count()
+          (slice.toLong, batch.count(), nDup)
+        }
+        perSnap.toDF("snapshot", "n_docs", "n_dup")
+          .withColumn("n_new", col("n_docs") - col("n_dup"))
+          .withColumn("novelty_rate",
+            round(col("n_new").cast("double") / col("n_docs"), 9))
+      },
+      Some(s"""WITH toks AS (
+          SELECT doc_id, $OTOKS AS w FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, (w[i] || ' ' || w[i+1]) AS sh
+          FROM toks CROSS JOIN UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+        ), sizes AS (
+          SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id
+        ), common AS (
+          SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), p AS (
+          SELECT id1, id2 FROM common
+          JOIN sizes s1 ON id1 = s1.doc_id
+          JOIN sizes s2 ON id2 = s2.doc_id
+          WHERE CAST(c AS DOUBLE) / (s1.nsh + s2.nsh - c) >= 0.5
+        ), dup AS (
+          SELECT DISTINCT CASE WHEN id1 % 3 < id2 % 3 THEN id2 ELSE id1 END AS doc
+          FROM p WHERE id1 % 3 <> id2 % 3
+        ), snap AS (
+          SELECT doc_id % 3 AS snapshot, CAST(count(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY 1
+        ), dc AS (
+          SELECT doc % 3 AS snapshot, CAST(count(*) AS BIGINT) AS n_dup
+          FROM dup GROUP BY 1
+        )
+        SELECT s.snapshot, s.n_docs, COALESCE(dc.n_dup, 0) AS n_dup,
+          s.n_docs - COALESCE(dc.n_dup, 0) AS n_new,
+          round(CAST(s.n_docs - COALESCE(dc.n_dup, 0) AS DOUBLE) / s.n_docs, 9)
+            AS novelty_rate
+        FROM snap s LEFT JOIN dc USING (snapshot)"""),
     ),
 
     // Contiguous global indexing (DataSetUtils.zipWithIndex analogue): on a
@@ -2149,6 +2279,85 @@ object ExtensionQueries {
         SELECT vec_id, cell_id, round(ccos, 6) AS centroid_cos, proto_rank,
           (proto_rank > CAST(ceil(0.25 * n) AS BIGINT)) AS is_kept
         FROM rk""")),
+
+    // The D4 COMPOSITION (Tirumala et al. 2023: SemDeDup first, THEN
+    // SSL-prototype pruning over the deduped survivors): qg5's keep set
+    // feeds qg7's prune under ONE oracle. The chaining is load-bearing,
+    // not a formality — stage 2 re-derives its 16 deterministic
+    // centroids from the FIRST 16 SURVIVING ids, and stage 1 drops 13
+    // (sf0.01) / 16 (sf0.1) of the first 16 global ids, so the pruned
+    // cells differ from qg7's unless both stages genuinely composed.
+    // Output: one row per stage-1 survivor with its stage-1 cluster,
+    // stage-2 cell/prototypicality, and the final D4 keep verdict.
+    Entry("qhi_d4_compose",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val kept = Dedup.semDedupSelect(emb, "vec_id", "embedding",
+            nCells = 16, threshold = 0.35)
+          .filter(col("is_kept"))
+          .select(col("vec_id"), col("cluster_id")).cache()
+        val survivors = emb.join(kept.select("vec_id"), "vec_id")
+        graft.operators.DataSelection.prototypePrune(survivors, "vec_id",
+            "embedding", nCells = 16, dropFrac = 0.25)
+          .join(kept, "vec_id")
+          .select(col("vec_id"), col("cluster_id"), col("cell_id"),
+            round(col("centroid_cos"), 6).as("centroid_cos"),
+            col("proto_rank"), col("is_kept"))
+      },
+      Some("""WITH RECURSIVE cents AS (SELECT vec_id AS cell_id, embedding AS centroid
+               FROM embeddings ORDER BY vec_id LIMIT 16),
+        assigned AS (SELECT c.vec_id, c.embedding, a.cell_id
+          FROM embeddings c JOIN LATERAL (
+            SELECT t.cell_id FROM cents t
+            ORDER BY list_distance(CAST(c.embedding AS DOUBLE[]),
+                                   CAST(t.centroid AS DOUBLE[])), t.cell_id
+            LIMIT 1) a ON true),
+        ccos AS (SELECT a.vec_id, a.cell_id,
+            list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(t.centroid AS DOUBLE[])) AS ccos
+          FROM assigned a JOIN cents t ON t.cell_id = a.cell_id),
+        pairs AS (SELECT a.vec_id AS id1, b.vec_id AS id2
+          FROM assigned a JOIN assigned b
+            ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])) >= 0.35),
+        uedges AS (SELECT id1 AS a, id2 AS b FROM pairs
+          UNION SELECT id2, id1 FROM pairs),
+        nodes AS (SELECT DISTINCT a AS node FROM uedges),
+        reach(node, lbl) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT e.b, r.lbl FROM reach r JOIN uedges e ON e.a = r.node),
+        comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+        cl AS (SELECT x.vec_id, x.cell_id,
+            COALESCE(c.component, x.vec_id) AS cluster_id, x.ccos
+          FROM ccos x LEFT JOIN comp c ON x.vec_id = c.node),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+            ORDER BY ccos ASC, vec_id) AS rn FROM cl),
+        kept AS MATERIALIZED (SELECT vec_id, cluster_id FROM rk WHERE rn = 1),
+        cents2 AS (SELECT e.vec_id AS cell_id, e.embedding AS centroid
+          FROM embeddings e JOIN kept k ON e.vec_id = k.vec_id
+          ORDER BY e.vec_id LIMIT 16),
+        a2 AS (SELECT c.vec_id, c.embedding, a.cell_id
+          FROM embeddings c JOIN kept kk ON kk.vec_id = c.vec_id
+          JOIN LATERAL (
+            SELECT t.cell_id FROM cents2 t
+            ORDER BY list_distance(CAST(c.embedding AS DOUBLE[]),
+                                   CAST(t.centroid AS DOUBLE[])), t.cell_id
+            LIMIT 1) a ON true),
+        cc2 AS (SELECT a.vec_id, a.cell_id,
+            list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(t.centroid AS DOUBLE[])) AS ccos
+          FROM a2 a JOIN cents2 t ON t.cell_id = a.cell_id),
+        rk2 AS (SELECT vec_id, cell_id, ccos,
+            CAST(row_number() OVER (PARTITION BY cell_id
+              ORDER BY ccos DESC, vec_id) AS BIGINT) AS proto_rank,
+            count(*) OVER (PARTITION BY cell_id) AS n
+          FROM cc2)
+        SELECT r.vec_id, k.cluster_id, r.cell_id,
+          round(r.ccos, 6) AS centroid_cos, r.proto_rank,
+          (r.proto_rank > CAST(ceil(0.25 * r.n) AS BIGINT)) AS is_kept
+        FROM rk2 r JOIN kept k ON k.vec_id = r.vec_id""")),
 
     // SOFT dedup (q87's fingerprint groups as a sampling correction):
     // every copy stays, weighted 1/n_copies, so distinct content carries

@@ -310,6 +310,132 @@ class LshIndexSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(base)
   }
 
+  // ---- SCOPED ingest (round 19): the FineWeb per-dump discipline at the
+  // persistent-index level — family contract (restriction law, replay
+  // idempotence, fsck, lease, scoped/unscoped guard) + the
+  // zero-corpus-exchange plan under the scope-hashed banding ----
+
+  private def sdocs(rows: (Long, String, String)*) =
+    rows.toDF("doc_id", "scope", "text")
+
+  private val scopedCorpus = Seq[(Long, String, String)](
+    (1L, "cc-2023", base),
+    (2L, "cc-2023", "completely different words about entirely unrelated topics here now"),
+    (3L, "cc-2024", base), // same text as 1, OTHER scope: must never pair
+    (4L, "cc-2023", base + " tail"), // near-dup of 1 within cc-2023
+    (11L, "cc-2024", base), // dup of 3 within cc-2024 (later delivery)
+    (12L, "cc-2023", base), // dup of 1/4 within cc-2023 (later delivery)
+    (13L, "cc-2025", "a lone scope with one single document only"))
+  private val scopedBatches = Seq(
+    scopedCorpus.filter(_._1 < 10), scopedCorpus.filter(_._1 >= 10))
+  private val sref = LshIndex.Ref("specscoped", buckets = 4)
+
+  private def ingestScopedBatch(i: Int, delivery: String) =
+    LshIndex.ingestScoped(sdocs(scopedBatches(i): _*), "doc_id", "text",
+      "scope", n = 2, k = 128, bands = 64, threshold = 0.5, sref, delivery)
+
+  test("scoped ingest: cross-delivery pairs stay scope-restricted and " +
+    "equal the scoped one-shot batch operator") {
+    LshIndex.drop(spark, sref)
+    val got = Seq(ingestScopedBatch(0, "d0"), ingestScopedBatch(1, "d1"))
+      .reduce(_ unionByName _)
+      .select($"old_id", $"new_id", $"scope")
+      .as[(Long, Long, String)].collect().toSet
+    // batches are id-ordered, so ingest orientation == the one-shot id1<id2
+    val oneShot = Dedup.minhashDupPairsScoped(sdocs(scopedCorpus: _*),
+        "doc_id", "text", "scope", n = 2, k = 128, bands = 64, threshold = 0.5)
+      .select($"id1", $"id2", $"scope").as[(Long, Long, String)].collect().toSet
+    assert(got === oneShot)
+    assert(got.contains((1L, 4L, "cc-2023")) && // within-delivery
+      got.contains((3L, 11L, "cc-2024")) &&     // cross-delivery
+      got.contains((1L, 12L, "cc-2023")))
+    assert(!got.exists { case (a, b, _) => Set(a, b) == Set(1L, 3L) },
+      "identical text in different scopes must never pair")
+    LshIndex.drop(spark, sref)
+  }
+
+  test("scoped ingest family contract: delivery replay returns the identical " +
+    "pair set, fsck stays clean through it, the write lease blocks a second " +
+    "writer, and unscoped ingest into a scoped index is refused") {
+    LshIndex.drop(spark, sref)
+    ingestScopedBatch(0, "d0")
+    val d1 = ingestScopedBatch(1, "d1")
+      .select($"old_id", $"new_id", $"scope", $"jaccard")
+      .as[(Long, Long, String, Double)].collect().toSet
+    // REPLAY: the retried delivery self-excludes its landed artifacts and
+    // returns the same pairs byte-for-byte
+    val replay = ingestScopedBatch(1, "d1")
+      .select($"old_id", $"new_id", $"scope", $"jaccard")
+      .as[(Long, Long, String, Double)].collect().toSet
+    assert(replay === d1)
+    // the replay's duplicate artifact rows are set-semantics residue, not
+    // a torn append: fsck sees consistent per-table doc sets
+    assert(LshIndex.fsck(spark, sref).count() === 0L)
+    LshIndex.verifyConsistent(spark, sref)
+    // LEASE: a lingering writer lease fails the scoped ingest fast
+    val lease = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"), s"graft_lshidx_lease_${sref.tag}")
+    java.nio.file.Files.write(lease.toPath,
+      "crashed-scoped".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val e1 = intercept[IllegalStateException] { ingestScopedBatch(0, "d2") }
+    assert(e1.getMessage.contains("crashed-scoped"))
+    LshIndex.breakLease(spark, sref)
+    // GUARD: the index was created scoped; an unscoped ingest has no scope
+    // to compare and must be refused before touching anything
+    val e2 = intercept[IllegalArgumentException] {
+      LshIndex.ingest(docs(99L -> base), "doc_id", "text",
+        n = 2, k = 128, bands = 64, threshold = 0.5, sref)
+    }
+    assert(e2.getMessage.contains("SCOPED"))
+    LshIndex.drop(spark, sref)
+  }
+
+  test("scoped corpus probes stay exchange-free: the scope-hashed banding " +
+    "keeps (band, bucket) bucketing — only the probe side shuffles even " +
+    "with the scope-equality filter above the join — and the sigs lookup " +
+    "still joins by doc alone") {
+    LshIndex.drop(spark, sref)
+    ingestScopedBatch(0, "d0"); ingestScopedBatch(1, "d1")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probeSigs = sdocs((31L, "cc-2023", base)).select($"doc_id".as("doc"),
+        $"scope", graft.functions.Hashes.minhashFromText($"text", 2, 128).as("sig"))
+      val probe = Dedup.scopedBandedBuckets(probeSigs, bands = 64, rowsPerBand = 2)
+      // EXACTLY the production join: (band, bucket) equi-keys only — a
+      // scope filter placed directly above this join would be pushed in
+      // as a third equi-key and force a corpus-side Exchange (measured;
+      // that is WHY ingest enforces scope equality later, on the
+      // candidate frame after the per-doc sigs lookups)
+      val j = spark.table(sref.bandedTable).as("i").join(probe.as("b"),
+          $"i.band" === $"b.band" && $"i.bucket" === $"b.bucket")
+        .select($"i.doc".as("old_id"), $"b.doc".as("new_id"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"scoped index scan should stay bucketed:\n$plan")
+      assert("Exchange".r.findAllIn(plan).size === 1,
+        s"only the probe side may shuffle under the widened key:\n$plan")
+      // per-doc signature lookup, production shape: candidates carry only
+      // ids; scope is FETCHED by both lookups (corpus side on old_id —
+      // bucketed; batch side broadcast on new_id) and compared above the
+      // broadcast join, where the pushed-down equality lands in the
+      // broadcast join's condition — never on the corpus join's key
+      val cands = Seq((1L, 31L)).toDF("old_id", "new_id")
+      val sj = cands
+        .join(spark.table(sref.sigsTable).select($"doc".as("old_id"),
+          $"sig".as("sig1"), $"scope".as("_scope1")), "old_id")
+        .join(broadcast(probeSigs.select($"doc".as("new_id"),
+          $"sig".as("sig2"), $"scope".as("scope"))), "new_id")
+        .filter($"_scope1" === $"scope")
+      val splan = sj.queryExecution.executedPlan.toString
+      assert(splan.contains("Bucketed: true"),
+        s"sigs lookup should ride the doc bucketing:\n$splan")
+      assert("Exchange hashpartitioning".r.findAllIn(splan).size === 1,
+        s"only the candidate side may shuffle on the sigs lookup:\n$splan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    LshIndex.drop(spark, sref)
+  }
+
   test("legacy (pre-delivery-lineage) on-disk tables migrate on first write " +
     "instead of dying on the missing column") {
     val lref = LshIndex.Ref("speclegacy", buckets = 4)
