@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Bounded-depth distributed SUFFIX ARRAY by prefix doubling — the core
@@ -59,12 +59,65 @@ object SuffixArray {
     * depth-d rank tables ([[lcpOfAdjacent]]'s descent reuses them; each
     * is localCheckpointed so retention is free). */
   private final case class Built(docs: DataFrame, sa: DataFrame,
-                                 rankTables: List[(Long, DataFrame)])
+                                 rankTables: List[(Long, DataFrame)],
+                                 // the direct route's sort already carried
+                                 // each suffix's depth-char prefix; keeping
+                                 // (rank, _d, pos, _len, _p) lets the
+                                 // prefix-fold LCP skip its docs re-join
+                                 saPrefixed: Option[DataFrame] = None)
+
+  /** Pick the construction by the SAME shuffle-width model that routes
+    * [[lcpOfAdjacent]]: below [[RankCompareMinDepth]] a suffix's whole
+    * bounded prefix (≤ depth bytes/row, shuffled ONCE through a single
+    * range sort) is cheaper than the doubling's log2(depth/base) rounds
+    * of ~16-byte keys × 2 shuffles each (+ per-round job fixed costs —
+    * the dominant term on small inputs); at or past the crossover the
+    * doubling's depth-independent row width wins. Both produce the
+    * identical total order (same comparator: Spark's binary string
+    * compare on truncated prefixes, ties by (doc, pos)) — A/B'd
+    * bit-exact in SuffixArraySpec and against the DuckDB oracle.
+    * `needRankTables` forces the doubling (the rank-compare LCP descent
+    * and its differential spec consume the intermediate rank tables). */
+  private def build(df: DataFrame, idCol: String, textCol: String,
+                    depth: Int, base: Int,
+                    needRankTables: Boolean = false): Built =
+    if (!needRankTables && depth < RankCompareMinDepth)
+      buildDirect(df, idCol, textCol, depth, base)
+    else buildDoubling(df, idCol, textCol, depth, base)
+
+  /** Direct bounded-prefix construction: ONE range sort on the
+    * depth-char prefix (ties (doc, pos)) + the two-phase global scan.
+    * Shuffle width is depth bytes/row ONCE — under the doubling's
+    * summed round width whenever depth < [[RankCompareMinDepth]] (the
+    * measured crossover model in [[lcpOfAdjacent]]'s doc). Carries no
+    * rank tables; [[lcpOfAdjacent]] below the same threshold uses the
+    * prefix-fold path, which needs none. */
+  private def buildDirect(df: DataFrame, idCol: String, textCol: String,
+                          depth: Int, base: Int): Built = {
+    require(base >= 1 && depth >= base && depth % base == 0 &&
+      Integer.bitCount(depth / base) == 1,
+      s"depth ($depth) must be base ($base) times a power of two")
+    val docs = df.select(col(idCol).as("_d"), col(textCol).as("_t"),
+        length(col(textCol)).cast("long").as("_len"))
+      .filter(col("_len") > 0)
+    val prefixes = docs
+      .select(col("_d"), explode(sequence(lit(0L), col("_len") - 1)).as("pos"),
+        col("_t"), col("_len"))
+      .select(col("_d"), col("pos"), col("_len"),
+        col("_t").substr((col("pos") + 1).cast("int"), lit(depth)).as("_p"))
+    val ordered = prefixes
+      .repartitionByRange(col("_p"), col("_d"), col("pos"))
+      .sortWithinPartitions("_p", "_d", "pos")
+    val zipped = Partitioning.zipWithIndex(ordered, "rank")
+      .withColumn("rank", col("rank") + 1L)
+    val sa = zipped.select(col("_d"), col("pos"), col("rank"))
+    Built(docs, sa, Nil, saPrefixed = Some(zipped))
+  }
 
   /** Run the doubling once; rankTables holds (d, (_d, pos, r)) for every
     * compared depth d ∈ {base, 2·base, …, depth}, DESCENDING. */
-  private def build(df: DataFrame, idCol: String, textCol: String,
-                    depth: Int, base: Int): Built = {
+  private def buildDoubling(df: DataFrame, idCol: String, textCol: String,
+                            depth: Int, base: Int): Built = {
     require(base >= 1 && depth >= base && depth % base == 0 &&
       Integer.bitCount(depth / base) == 1,
       s"depth ($depth) must be base ($base) times a power of two")
@@ -111,6 +164,16 @@ object SuffixArray {
     build(df, idCol, textCol, depth, base).sa
       .select(col("_d").as(idCol), col("pos"), col("rank"))
 
+  /** Spec hook: force one construction to differentially pin the direct
+    * sort and the doubling against each other on the same corpus. */
+  private[graft] def suffixArrayForTest(df: DataFrame, idCol: String,
+                                        textCol: String, depth: Int, base: Int,
+                                        forceDoubling: Boolean): DataFrame = {
+    val b = if (forceDoubling) buildDoubling(df, idCol, textCol, depth, base)
+            else buildDirect(df, idCol, textCol, depth, base)
+    b.sa.select(col("_d").as(idCol), col("pos"), col("rank"))
+  }
+
   /** The adjacency-LCP path picker: per-row shuffle volume is ~depth
     * bytes ONCE for the prefix-carry join vs ~16 bytes × 2 sides ×
     * (log2(depth/base)+1) rounds (+ the base-char tails) for the
@@ -132,7 +195,8 @@ object SuffixArray {
   private[graft] def lcpPairsForTest(df: DataFrame, idCol: String,
                                      textCol: String, depth: Int, base: Int,
                                      rankCompare: Boolean): DataFrame = {
-    val built = build(df, idCol, textCol, depth, base)
+    val built = build(df, idCol, textCol, depth, base,
+      needRankTables = rankCompare)
     val p = if (rankCompare) lcpByRankCompare(built, depth, base)
             else lcpByPrefixFold(built, depth)
     p.select(col("rank"), col("_d1"), col("_pos1"), col("_d2"),
@@ -144,26 +208,53 @@ object SuffixArray {
     * plan below the [[RankCompareMinDepth]] crossover, where depth
     * bytes/row undercut the descent's join rounds. */
   private def lcpByPrefixFold(built: Built, depth: Int): DataFrame = {
-    val sa = built.sa
-    val docs = built.docs
-    val withPrefix = sa.join(docs, Seq("_d"))
-      .select(col("rank"), col("_d"), col("pos"), col("_len"),
-        col("_t").substr((col("pos") + 1).cast("int"), lit(depth)).as("_p"))
+    // the direct build already sorted (and therefore carries) each
+    // suffix's depth-char prefix — reuse it instead of re-joining the
+    // full document text onto every suffix row (that join shuffled the
+    // whole corpus a second time and re-sliced every prefix)
+    val withPrefix = built.saPrefixed.getOrElse {
+      built.sa.join(built.docs, Seq("_d"))
+        .select(col("rank"), col("_d"), col("pos"), col("_len"),
+          col("_t").substr((col("pos") + 1).cast("int"), lit(depth)).as("_p"))
+    }
     val a = withPrefix.select((col("rank") + 1L).as("rank"),
       col("_d").as("_d1"), col("pos").as("_pos1"), col("_len").as("_len1"),
       col("_p").as("_p1"))
     val b = withPrefix.select(col("rank"), col("_d").as("_d2"),
       col("pos").as("_pos2"), col("_p").as("_p2"))
     a.join(b, Seq("rank"))
-      // contiguous-prefix fold: lcp grows only while every prior
-      // character matched
-      .withColumn("_lcp", expr(
-        s"""aggregate(sequence(1, $depth), 0, (acc, i) ->
-           CASE WHEN acc = i - 1 AND i <= length(_p1) AND i <= length(_p2)
-                 AND substring(_p1, i, 1) = substring(_p2, i, 1)
-             THEN i ELSE acc END)""").cast("long"))
+      .withColumn("_lcp", boundedLcp(col("_p1"), col("_p2"), depth))
       .select(col("rank"), col("_d1"), col("_pos1"), col("_len1"),
         col("_d2"), col("_pos2"), col("_lcp"))
+  }
+
+  /** Bounded common-prefix length of two (≤ depth char) strings as a
+    * CODEGEN-FRIENDLY unrolled expression — binary lifting: log2(depth)+1
+    * chained block-equality steps (each a plain substring compare Spark
+    * whole-stage-compiles), replacing the interpreted `aggregate`
+    * higher-order fold that evaluated a lambda per character per row.
+    *
+    * Step soundness: a step advances `acc` by `step` when the next
+    * `step`-char blocks compare equal. SQL substring truncates at the
+    * string end, so a TRUNCATED-equal block can over-advance — but only
+    * when BOTH strings end inside the block with identical tails, in
+    * which case the strings are entirely equal from `acc` on and the
+    * true bounded lcp is exactly min(length(p1), length(p2)); the final
+    * least() cap restores it. Greedy powers-of-two reach any value up to
+    * 2·highestOneBit(depth)−1 ≥ depth. Differentially pinned against the
+    * brute char fold in SuffixArraySpec (handcrafted + fuzz). */
+  private def boundedLcp(p1: Column, p2: Column, depth: Int): Column = {
+    var acc: Column = lit(0L)
+    var step = Integer.highestOneBit(depth)
+    while (step >= 1) {
+      acc = when(
+        p1.substr((acc + 1L).cast("int"), lit(step)) ===
+          p2.substr((acc + 1L).cast("int"), lit(step)),
+        acc + step.toLong).otherwise(acc)
+      step /= 2
+    }
+    least(acc, length(p1).cast("long"), length(p2).cast("long"),
+      lit(depth.toLong))
   }
 
   /** Bounded LCP of every ADJACENT suffix pair in SA order, by the

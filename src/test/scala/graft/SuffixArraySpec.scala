@@ -64,6 +64,28 @@ class SuffixArraySpec extends SparkSpec {
     }
   }
 
+  test("construction routes agree bit-for-bit: the direct bounded-prefix " +
+    "sort (the sub-crossover route) and the prefix doubling produce the " +
+    "same total order, handcrafted + fuzz") {
+    val rnd = new scala.util.Random(314159)
+    val handcrafted = Seq(
+      (1L, "banana"), (2L, "bananas are bananas are they"), (3L, ""),
+      (4L, "a"), (5L, "abcabcabcabcabcabcabcabc"))
+    val fuzz = (10 until 22).map { i =>
+      i.toLong -> (0 until 5 + rnd.nextInt(60))
+        .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    }
+    for ((docs, depth, base) <- Seq((handcrafted, 16, 4), (handcrafted, 64, 4),
+      (fuzz, 32, 2), (fuzz ++ handcrafted, 64, 4))) {
+      val df = docs.toDF("doc_id", "text")
+      val direct = SuffixArray.suffixArrayForTest(df, "doc_id", "text",
+        depth, base, forceDoubling = false).as[(Long, Long, Long)].collect().toSet
+      val doubling = SuffixArray.suffixArrayForTest(df, "doc_id", "text",
+        depth, base, forceDoubling = true).as[(Long, Long, Long)].collect().toSet
+      assert(direct === doubling, s"depth=$depth base=$base")
+    }
+  }
+
   test("lcpArray: matches brute adjacent-lcp over the bounded SA; rank 1 " +
     "reports lcp 0") {
     val rnd = new scala.util.Random(9090)
