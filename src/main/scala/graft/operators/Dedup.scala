@@ -1038,7 +1038,7 @@ object Dedup {
     * window, doc-keyed) and rebuild every doc in ONE aggregate fold over
     * its sorted interval array — gap substrings concatenate directly, no
     * character explode. Untouched docs pass through with zero counts. */
-  private[operators] def excise(docs: DataFrame, dupPos: DataFrame, L: Int,
+  private[graft] def excise(docs: DataFrame, dupPos: DataFrame, L: Int,
                                 idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ord = Window.partitionBy("_d").orderBy(col("s"), col("e"))
@@ -1206,14 +1206,22 @@ object Dedup {
     * agree on different grams with probability ~2^-128 per comparison —
     * the same hash-equivalence contract the shingle family documents,
     * squared. */
-  private[graft] def charGramFingerprints(docs: DataFrame, L: Int): DataFrame =
-    docs.select(col("_d"),
-        posexplode(when(col("_len") >= L,
-          transform(sequence(lit(0L), col("_len") - L), i => {
-            val g = col("_t").substr((i + 1).cast("int"), lit(L))
-            struct(graft.functions.Fnv1a64Expr(g).as("h"), xxhash64(g).as("h2"))
-          })).otherwise(array().cast("array<struct<h:bigint,h2:bigint>>"))))
-      .toDF("_d", "pos", "hh")
-      .select(col("_d"), col("pos").cast("long").as("pos"),
-        col("hh.h").as("h"), col("hh.h2").as("h2"))
+  private[graft] def charGramFingerprints(docs: DataFrame, L: Int,
+                                          carryCols: Seq[String] = Nil): DataFrame = {
+    // round 20: explode a PRIMITIVE position array and hash post-explode.
+    // The previous `transform(seq, i => struct(fnv(g), xxhash64(g)))`
+    // built an object array of structs per document with TWO substring
+    // copies per position inside the lambda — measured ~30x the CPU of
+    // this shape (boxing + allocation + GC, and lambda bodies are outside
+    // top-level subexpression elimination). Here the explode carries only
+    // a long, and the single top-level Project computes the window once
+    // (codegen CSE shares the substr between the two hashes).
+    val g = col("_t").substr((col("pos") + 1).cast("int"), lit(L))
+    docs.select((carryCols.map(col) :+ col("_d") :+ col("_t")) :+
+        explode(when(col("_len") >= L, sequence(lit(0L), col("_len") - L))
+          .otherwise(array().cast("array<bigint>"))).as("pos"): _*)
+      .select((carryCols.map(col) :+ col("_d")) :+
+        col("pos") :+
+        graft.functions.Fnv1a64Expr(g).as("h") :+ xxhash64(g).as("h2"): _*)
+  }
 }

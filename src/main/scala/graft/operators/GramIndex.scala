@@ -166,7 +166,14 @@ object GramIndex {
 
   private def appendBucketed(df: DataFrame, ref: Ref): Unit = {
     val spark = df.sparkSession
-    val w = df.write.mode("append").format("parquet")
+    // align the write's partitioning with the bucket spec (both are
+    // murmur3-hash partitioning on h): each task then holds exactly one
+    // bucket and the delivery lands as ONE file per bucket — without
+    // this, every shuffle-partition task writes a file per bucket it
+    // touches (shuffle.partitions × buckets tiny files per delivery) and
+    // every later delivery's probe pays the open cost for all of them
+    val w = df.repartition(ref.buckets, col("h"))
+      .write.mode("append").format("parquet")
       .bucketBy(ref.buckets, "h").sortBy("h")
     if (spark.catalog.tableExists(ref.gramsTable)) w.saveAsTable(ref.gramsTable)
     else w.option("path", location(spark, ref.gramsTable).toString)
@@ -189,8 +196,9 @@ object GramIndex {
     * counts into the index tagged with `delivery`. The corpus probe
     * excludes `delivery`'s own rows, so a retried ingest with the same id
     * is byte-idempotent even if the first attempt's append landed (see
-    * the REPLAY CONTRACT in the object doc); results still materialize
-    * BEFORE the append so the common path never reads the index twice.
+    * the REPLAY CONTRACT in the object doc); the duplicated-window
+    * positions (the only index-dependent state) materialize BEFORE the
+    * append so the common path never reads the index twice.
     *
     * Cost per delivery: one compiled hash pass over the batch, one
     * batch-sized count shuffle on 8-byte keys, one bucketed probe join
@@ -204,13 +212,34 @@ object GramIndex {
     val spark = batch.sparkSession
     withLease(spark, ref, "ingest") {
       val hasCorpus = attachForWrite(spark, ref)
-      val docs = batch.select(col(idCol).as("_d"), col(textCol).as("_t"),
-        length(col(textCol)).cast("long").as("_len"))
-      val grams = Dedup.charGramFingerprints(docs, minLen).cache()
+      // per-character hashing below is the delivery's compute wall; a
+      // single-split batch scan must not serialize it on one core
+      val docs = Partitioning.fanOutForCompute(
+        batch.select(col(idCol).as("_d"), col(textCol).as("_t"),
+          length(col(textCol)).cast("long").as("_len")), col("_d"))
+      val grams = Dedup.charGramFingerprints(docs, minLen)
+      // ONE (h, h2) count aggregate feeds all three consumers that each
+      // used to shuffle the full gram set separately: the within-batch
+      // dup filter (cnt >= 2), the corpus probe's distinct key set, and
+      // the index append (the same counts, tagged with the delivery) —
+      // three batch-sized 16-byte-key shuffles collapse to one.
+      // EAGERLY cached (cache + count, not a lazy .cache() and not a
+      // localCheckpoint): the probe/union/append consumers below execute
+      // as CONCURRENT broadcast jobs, and a lazy cache lets each of them
+      // race to compute the full gram pass first (measured: 3-5 redundant
+      // corpus hash passes per delivery plus block-lock contention); a
+      // localCheckpoint would drop the size statistics and demote every
+      // dup-set join below from broadcast to a full sort-merge shuffle of
+      // the gram set. grams itself is deliberately NOT cached: it is
+      // consumed exactly twice (here and the skeleton semi-join), and a
+      // second compiled hash pass costs less than writing
+      // O(batch-positions) rows into the block store — and holds no
+      // executor memory, which is what matters at corpus scale.
+      val cnts = grams.groupBy(col("h"), col("h2"))
+        .agg(count(lit(1)).as("cnt")).cache()
+      cnts.count()
       // within-batch duplicates: remove-all, same as the batch operator
-      val withinDup = grams.groupBy(col("h"), col("h2"))
-        .agg(count(lit(1)).as("_c")).filter(col("_c") >= 2)
-        .select("h", "h2")
+      val withinDup = cnts.filter(col("cnt") >= 2).select("h", "h2")
       // vs corpus: the probe joins on h ALONE — the bucket column, so the
       // corpus side reads pre-partitioned with zero exchange — and h2
       // confirms post-join (a join on (h, h2) would not be satisfied by
@@ -223,18 +252,96 @@ object GramIndex {
         else spark.table(ref.gramsTable)
           .filter(col("delivery") =!= lit(delivery))
           .select(col("h"), col("h2").as("_ih2"))
-          .join(grams.select("h", "h2").distinct(), Seq("h"))
+          .join(cnts.select("h", "h2"), Seq("h"))
           .filter(col("_ih2") - col("h2") === 0L)
           .select("h", "h2").distinct()
+      // The duplicated-KEY set, eagerly cached so its true size reaches
+      // the join planner: a lazy post-aggregate estimate defaults high
+      // and demotes the semi-join below to a sort-merge that shuffles and
+      // sorts the whole gram set — with exact stats Spark broadcasts it
+      // when (and only when) it is genuinely small, which stays safe for
+      // a pathological all-duplicate delivery at scale.
+      val dupKeys = withinDup.unionByName(corpusDup).distinct().cache()
+      dupKeys.count()
+      // Materialize the (doc, pos) duplicated-window SKELETON — not the
+      // rebuilt text. This is the only state whose value depends on the
+      // index's pre-append content (the probe above), so checkpointing it
+      // BEFORE the append preserves causality and the replay contract,
+      // while the O(batch-characters) excision/rebuild stays lazy: the
+      // caller's action computes it from the raw batch + this skeleton,
+      // and consecutive deliveries' rebuilds can overlap in one job
+      // instead of each paying a full cleaned-corpus materialization.
       val dupPos = grams
-        .join(withinDup.unionByName(corpusDup).distinct(), Seq("h", "h2"), "left_semi")
+        .join(dupKeys, Seq("h", "h2"), "left_semi")
         .select(col("_d"), col("pos"))
-      val out = Dedup.excise(docs, dupPos, minLen, idCol).localCheckpoint()
-      appendBucketed(
-        grams.groupBy(col("h"), col("h2")).agg(count(lit(1)).as("cnt"))
-          .withColumn("delivery", lit(delivery)), ref)
-      grams.unpersist()
-      out
+        .localCheckpoint()
+      dupKeys.unpersist()
+      appendBucketed(cnts.withColumn("delivery", lit(delivery)), ref)
+      cnts.unpersist()
+      Dedup.excise(docs, dupPos, minLen, idCol)
+    }
+  }
+
+  /** Sequential multi-delivery [[ingest]] with the index-INDEPENDENT work
+    * hoisted (round-20 optimization; byte-identical to calling [[ingest]]
+    * once per batch in order — spec-pinned differentially): each
+    * delivery's gram fingerprint COUNTS depend only on that batch's
+    * content, never on index state, so all deliveries' counts are
+    * computed in ONE corpus pass and ONE (slice, h, h2) shuffle instead
+    * of a pass + shuffle per delivery. Everything the causal rule orders
+    * — the corpus probe against the pre-delivery index state and the
+    * append — stays strictly sequential per slice. Each delivery gets a
+    * fresh generated id (same retry contract as the UUID [[ingest]]
+    * overload). Returns one cleaned frame per batch, in order. */
+  def ingestSlices(batches: Seq[DataFrame], idCol: String, textCol: String,
+                   minLen: Int, ref: Ref): Seq[DataFrame] = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    if (batches.isEmpty) return Seq.empty
+    val spark = batches.head.sparkSession
+    import spark.implicits._
+    withLease(spark, ref, "ingest") {
+      val hasCorpus0 = attachForWrite(spark, ref)
+      val docsBySlice = batches.map { b =>
+        Partitioning.fanOutForCompute(
+          b.select(col(idCol).as("_d"), col(textCol).as("_t"),
+            length(col(textCol)).cast("long").as("_len")), col("_d"))
+      }
+      // ONE corpus-wide pass + shuffle for every delivery's gram counts —
+      // eagerly cached (see ingest's cnts comment: eager blocks the
+      // concurrent-broadcast recompute race, cache keeps the size stats
+      // the dup-set broadcast decisions depend on)
+      val cntsAll = Dedup.charGramFingerprints(
+          docsBySlice.zipWithIndex.map { case (d, k) =>
+            d.withColumn("_slice", lit(k)) }.reduce(_ unionByName _),
+          minLen, carryCols = Seq("_slice"))
+        .groupBy(col("_slice"), col("h"), col("h2"))
+        .agg(count(lit(1)).as("cnt")).cache()
+      cntsAll.count()
+      val outs = docsBySlice.zipWithIndex.map { case (docs, k) =>
+        val delivery = java.util.UUID.randomUUID().toString
+        val cnts = cntsAll.filter(col("_slice") === k).drop("_slice")
+        val withinDup = cnts.filter(col("cnt") >= 2).select("h", "h2")
+        val corpusDup =
+          if (!hasCorpus0 && k == 0) Seq.empty[(Long, Long)].toDF("h", "h2")
+          else spark.table(ref.gramsTable)
+            .filter(col("delivery") =!= lit(delivery))
+            .select(col("h"), col("h2").as("_ih2"))
+            .join(cnts.select("h", "h2"), Seq("h"))
+            .filter(col("_ih2") - col("h2") === 0L)
+            .select("h", "h2").distinct()
+        // eager dup-key cache: same stats-for-the-planner move as ingest
+        val dupKeys = withinDup.unionByName(corpusDup).distinct().cache()
+        dupKeys.count()
+        val dupPos = Dedup.charGramFingerprints(docs, minLen)
+          .join(dupKeys, Seq("h", "h2"), "left_semi")
+          .select(col("_d"), col("pos"))
+          .localCheckpoint()
+        dupKeys.unpersist()
+        appendBucketed(cnts.withColumn("delivery", lit(delivery)), ref)
+        Dedup.excise(docs, dupPos, minLen, idCol)
+      }
+      cntsAll.unpersist()
+      outs
     }
   }
 
@@ -247,8 +354,9 @@ object GramIndex {
                    minLen: Int, ref: Ref): DataFrame = {
     val spark = batch.sparkSession
     attach(spark, ref)
-    val docs = batch.select(col(idCol).as("_d"), col(textCol).as("_t"),
-      length(col(textCol)).cast("long").as("_len"))
+    val docs = Partitioning.fanOutForCompute(
+      batch.select(col(idCol).as("_d"), col(textCol).as("_t"),
+        length(col(textCol)).cast("long").as("_len")), col("_d"))
     val grams = Dedup.charGramFingerprints(docs, minLen)
     val withinDup = grams.groupBy(col("h"), col("h2"))
       .agg(count(lit(1)).as("_c")).filter(col("_c") >= 2).select("h", "h2")

@@ -29,6 +29,30 @@ object Partitioning {
   /** global: everything to a single partition (parallelism-1 sink). */
   def global(df: DataFrame): DataFrame = df.coalesce(1)
 
+  /** Scale-adaptive fan-out for COMPUTE-BOUND corpus passes (round 20;
+    * guide §2.5 "input skew … repartition immediately after the read"):
+    * hash-repartition to the session's default parallelism ONLY when the
+    * plan currently has fewer partitions. A small-SF parquet fixture is a
+    * single row group, so every pre-shuffle per-character pass (gram
+    * fingerprints, minhash signatures, suffix prefixes, sketch hashing)
+    * otherwise runs in ONE task while 31 cores idle — the measured cause
+    * of the round-19 anti-scaling block (8 cores beating 32 on qfa/qfe).
+    * At real scale the scan already splits past the core count and this
+    * is a NO-OP — zero added exchange — so the exchange it inserts is
+    * paid exactly when it buys parallel compute, never as a fixed cost.
+    * An explicit partition count is used so AQE's advisory-size coalescing
+    * does not re-merge the deliberately small compute partitions.
+    *
+    * `keys` should be a stable row identity (doc id): hash partitioning
+    * on a deterministic key is retry-safe without round-robin's
+    * sort-before-repartition pass. */
+  def fanOutForCompute(df: DataFrame, keys: Column*): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df
+    else if (keys.nonEmpty) df.repartition(target, keys: _*)
+    else df.repartition(target)
+  }
+
   /** sortPartition: per-partition local sort (no shuffle). */
   def sortWithin(df: DataFrame, keys: Column*): DataFrame =
     df.sortWithinPartitions(keys: _*)

@@ -97,9 +97,13 @@ object SuffixArray {
     require(base >= 1 && depth >= base && depth % base == 0 &&
       Integer.bitCount(depth / base) == 1,
       s"depth ($depth) must be base ($base) times a power of two")
-    val docs = df.select(col(idCol).as("_d"), col(textCol).as("_t"),
-        length(col(textCol)).cast("long").as("_len"))
-      .filter(col("_len") > 0)
+    // the suffix explode + prefix slice below (and the range sort's
+    // sampling pass over it) is per-character compute — fan a
+    // single-split scan out before it, not after
+    val docs = Partitioning.fanOutForCompute(
+      df.select(col(idCol).as("_d"), col(textCol).as("_t"),
+          length(col(textCol)).cast("long").as("_len"))
+        .filter(col("_len") > 0), col("_d"))
     val prefixes = docs
       .select(col("_d"), explode(sequence(lit(0L), col("_len") - 1)).as("pos"),
         col("_t"), col("_len"))
@@ -121,9 +125,10 @@ object SuffixArray {
     require(base >= 1 && depth >= base && depth % base == 0 &&
       Integer.bitCount(depth / base) == 1,
       s"depth ($depth) must be base ($base) times a power of two")
-    val docs = df.select(col(idCol).as("_d"), col(textCol).as("_t"),
-        length(col(textCol)).cast("long").as("_len"))
-      .filter(col("_len") > 0)
+    val docs = Partitioning.fanOutForCompute(
+      df.select(col(idCol).as("_d"), col(textCol).as("_t"),
+          length(col(textCol)).cast("long").as("_len"))
+        .filter(col("_len") > 0), col("_d"))
     // round 0: rank by the first `base` characters (SQL substring
     // truncates at the string end; a shorter actual prefix sorts first
     // in byte order, which is exactly the string-order contract)

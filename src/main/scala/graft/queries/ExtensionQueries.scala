@@ -1678,11 +1678,13 @@ object ExtensionQueries {
         val ref = graft.operators.GramIndex.Ref(tag, buckets = 8)
         graft.operators.GramIndex.drop(s, ref) // idempotent re-runs
         val docs = t(s, dir, "documents")
-        (0 until 3).map { slice =>
-          graft.operators.GramIndex.ingest(
-            docs.filter(col("doc_id") % 3 === slice), "doc_id", "text",
-            minLen = 40, ref)
-        }.reduce(_ unionByName _)
+        // round 20: the three deliveries ingest through ingestSlices —
+        // byte-identical to three sequential ingest calls (spec-pinned),
+        // with the index-independent gram-count pass hoisted to ONE
+        // corpus pass + shuffle; probes/appends stay sequential
+        graft.operators.GramIndex.ingestSlices(
+          (0 until 3).map(slice => docs.filter(col("doc_id") % 3 === slice)),
+          "doc_id", "text", minLen = 40, ref).reduce(_ unionByName _)
       },
       Some(GramIndexOracle)),
 

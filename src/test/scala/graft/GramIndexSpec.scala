@@ -224,6 +224,28 @@ class GramIndexSpec extends SparkSpec {
     }
   }
 
+  test("ingestSlices is byte-identical to sequential ingest calls: same " +
+    "cleaned outputs per delivery, same merged index content (round-20 " +
+    "shared gram-count pass)") {
+    // planted batches: cross-delivery boilerplate, a verbatim re-delivery,
+    // and a within-batch repeat — every branch of the causal rule
+    val aref = GramIndex.Ref("gslica", buckets = 4)
+    val bref = GramIndex.Ref("gslicb", buckets = 4)
+    GramIndex.drop(spark, aref); GramIndex.drop(spark, bref)
+    val seqOuts = batches.map(b =>
+      collect(GramIndex.ingest(docs(b: _*), "doc_id", "text", L, aref)))
+    val sliceOuts = GramIndex.ingestSlices(
+      batches.map(b => docs(b: _*)), "doc_id", "text", L, bref).map(collect)
+    assert(sliceOuts === seqOuts)
+    // merged index content matches (delivery ids differ by construction):
+    // identical (h, h2, cnt) multisets
+    def content(r: GramIndex.Ref) = spark.table(r.gramsTable)
+      .groupBy("h", "h2").agg(sum("cnt").as("c"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(content(bref) === content(aref))
+    GramIndex.drop(spark, aref); GramIndex.drop(spark, bref)
+  }
+
   test("planted crash (batch): the first attempt's gram append landed but " +
     "its output was lost — a retry under the SAME delivery id is " +
     "byte-identical to the uncrashed run") {
