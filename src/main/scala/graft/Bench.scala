@@ -49,6 +49,15 @@ object Bench {
     "qe9_ivfpq_persistent_index", "qfn_unigram_soft_em",
     "qfq_unigram_soft_prune", "qft_unigram_sample_scale")
 
+  /** ADDITIVE timed set (round 20, closing the round-19 verdict's
+    * "bench-cover the adaptive-rank family" item): timed and reported in
+    * `queries` like every member, but counted in NEITHER total — `value`
+    * stays the round-1-comparable legacy headline sum and
+    * `pipeline_total` the round-15 set, so cross-round comparisons are
+    * untouched. qg3 exercises Partitioning.groupedRankAdaptive's small-G
+    * route (the round-19 probe optimization that shipped unmeasured). */
+  val extraBench: Seq[String] = Seq("qg3_perplexity_buckets")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -126,7 +135,8 @@ object Bench {
             "q85/qbe/q8b are timed) — set SPARK_GRAFT_BENCH_QUADRATIC=1 to include")
           all.filterNot(_ == "q84_jaccard_pairs")
         }
-      case None => (headline ++ pipelineHeadline).filter(SparkEntry.queries.contains)
+      case None => (headline ++ pipelineHeadline ++ extraBench)
+        .filter(SparkEntry.queries.contains)
     }
     val wall0 = System.nanoTime()
     // Interleaved canary probes: the CPU probe runs every

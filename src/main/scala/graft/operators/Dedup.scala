@@ -226,11 +226,14 @@ object Dedup {
                         n: Int, k: Int, bands: Int,
                         cache: Boolean = true): MinhashTables = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
-    val sh0 = df.select(col(idCol).as("doc"),
-      Hashes.shingleHashCol(col(textCol), n).as("shs"))
+    val sh0 = Partitioning.fanOutForCompute(
+        df.select(col(idCol).as("doc"), col(textCol).as("_t")), col("doc"))
+      .select(col("doc"), Hashes.shingleHashCol(col("_t"), n).as("shs"))
     val sh = if (cache) sh0.cache() else sh0
+    if (cache) sh.count() // eager: consumers race as concurrent broadcasts
     val sigs0 = sh.select(col("doc"), Hashes.minhashFromHashes(col("shs"), k).as("sig"))
     val sigs = if (cache) sigs0.cache() else sigs0
+    if (cache) sigs.count()
     MinhashTables(sh, sigs, bandedBuckets(sigs, bands, k / bands))
   }
 
@@ -273,10 +276,16 @@ object Dedup {
     //
     // ONE tokenize+shingle+hash pass per doc: signatures derive from the
     // hashed shingle set (min is duplicate/order-invariant), which the
-    // verification step reuses.
-    val sh = df.select(col(idCol).as("doc"),
-      Hashes.shingleHashCol(col(textCol), n).as("shs")).cache()
+    // verification step reuses. Fanned out (a single-split scan must not
+    // hash the corpus on one core) and cached EAGERLY — the four broadcast
+    // lookup sides below build concurrently, and a lazy cache lets each
+    // race to compute the shingle/signature pass first (round 20).
+    val sh = Partitioning.fanOutForCompute(
+        df.select(col(idCol).as("doc"), col(textCol).as("_t")), col("doc"))
+      .select(col("doc"), Hashes.shingleHashCol(col("_t"), n).as("shs")).cache()
+    sh.count()
     val sigs = sh.select(col("doc"), Hashes.minhashFromHashes(col("shs"), k).as("sig")).cache()
+    sigs.count()
     val cands = lshCandidates(sigs, bands, k / bands)
       .join(broadcast(sigs.select(col("doc").as("id1"), col("sig").as("sig1"))), "id1")
       .join(broadcast(sigs.select(col("doc").as("id2"), col("sig").as("sig2"))), "id2")
@@ -316,10 +325,16 @@ object Dedup {
                             threshold: Double): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val r = k / bands
-    val sh = df.select(col(idCol).as("doc"), col(scopeCol).as("scope"),
-      Hashes.shingleHashCol(col(textCol), n).as("shs")).cache()
+    // fan-out + eager caches: same rationale as [[minhashDupPairs]]
+    val sh = Partitioning.fanOutForCompute(
+        df.select(col(idCol).as("doc"), col(scopeCol).as("scope"),
+          col(textCol).as("_t")), col("doc"))
+      .select(col("doc"), col("scope"),
+        Hashes.shingleHashCol(col("_t"), n).as("shs")).cache()
+    sh.count()
     val sigs = sh.select(col("doc"), col("scope"),
       Hashes.minhashFromHashes(col("shs"), k).as("sig")).cache()
+    sigs.count()
     val banded = scopedBandedBuckets(sigs, bands, r)
     val cands = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

@@ -84,37 +84,41 @@ object Partitioning {
     * offset-mapped pass — both corpus-linear, driver state O(P).
     *
     * `orderCol` must be unique (it defines the scan order); `valCol`
-    * casts to long. Output: (orderCol, outCol) — join it back by
-    * orderCol. Correct for any sampled range boundaries: partitioning
-    * only moves where the per-partition bases land, never the sums. */
+    * casts to long. Output: ALL input columns + outCol (round 20: the
+    * scan CARRIES the caller's payload columns, so no caller pays a
+    * join-back exchange to reattach offsets — the join was two more
+    * shuffles of the corpus in every packer/budget path). Correct for any
+    * sampled range boundaries: partitioning only moves where the
+    * per-partition bases land, never the sums. */
   def prefixSum(df: DataFrame, orderCol: String, valCol: String,
                 outCol: String, partitions: Int = 0): DataFrame = {
     import org.apache.spark.sql.functions.col
     val spark = df.sparkSession
     val p = if (partitions > 0) partitions
       else spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val sorted = df.select(col(orderCol), col(valCol).cast("long").as("_v"))
+    val sorted = df.withColumn("_psv", col(valCol).cast("long"))
       .repartitionByRange(p, col(orderCol))
       .sortWithinPartitions(orderCol)
     val rdd = sorted.rdd
     rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      val vi = sorted.schema.fieldNames.length - 1 // _psv is last
       val sums = rdd.mapPartitionsWithIndex { (i, it) =>
-        var s = 0L; it.foreach(r => s += r.getLong(1)); Iterator((i, s))
+        var s = 0L; it.foreach(r => s += r.getLong(vi)); Iterator((i, s))
       }.collect().sortBy(_._1).map(_._2)
       val bases = sums.scanLeft(0L)(_ + _)
       val out = rdd.mapPartitionsWithIndex { (i, it) =>
         var acc = bases(i)
         it.map { r =>
-          val row = org.apache.spark.sql.Row(r.get(0), acc)
-          acc += r.getLong(1)
+          val row = org.apache.spark.sql.Row.fromSeq(r.toSeq.init :+ acc)
+          acc += r.getLong(vi)
           row
         }
       }
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        sorted.schema.head,
-        org.apache.spark.sql.types.StructField(outCol,
-          org.apache.spark.sql.types.LongType, nullable = false)))
+      val schema = org.apache.spark.sql.types.StructType(
+        sorted.schema.fields.init :+
+          org.apache.spark.sql.types.StructField(outCol,
+            org.apache.spark.sql.types.LongType, nullable = false))
       // materialize before unpersist so the cached scan feeds both passes
       spark.createDataFrame(out, schema).localCheckpoint(true)
     } finally rdd.unpersist()

@@ -358,8 +358,8 @@ object Sampling {
           .cast("long").as("n_toks"))
       .withColumn("ord", graft.functions.Fnv1a64Expr(
         concat(col(idCol).cast("string"), lit(s":$salt"))))
-    val cum = Partitioning.prefixSum(base, "ord", "n_toks", "cum_before")
-    base.join(cum, "ord")
+    // the scan carries (id, n_toks) — no join-back (round 20)
+    Partitioning.prefixSum(base, "ord", "n_toks", "cum_before")
       .filter(col("cum_before") + col("n_toks") <= budget)
       .select(col(idCol), col("n_toks"), col("cum_before"))
   }
@@ -388,8 +388,8 @@ object Sampling {
           .cast("long").as("n_toks"))
       .withColumn("ord", graft.functions.Fnv1a64Expr(
         concat(col(idCol).cast("string"), lit(s":$salt"))))
-    val cum = Partitioning.prefixSum(base, "ord", "n_toks", "cum_before")
-    base.join(cum, "ord")
+    // the scan carries (id, n_toks) — no join-back (round 20)
+    Partitioning.prefixSum(base, "ord", "n_toks", "cum_before")
       .select(col(idCol), col("n_toks"), col("cum_before"),
         expr(s"cum_before DIV ${targetTokens}L").as("shard_id"))
   }

@@ -495,21 +495,43 @@ object Sketches {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     val hv = Fnv1a64Expr(Fnv1a64Expr(col(keyCol).cast("string")).cast("string"))
       .bitwiseAND(lit((1L << bits) - 1))
-    val hashed = df.select(col(keyCol).as("key"), hv.as("hv"))
-    // Materialized once: the descent probes it bits times and the lazy
-    // plan must not re-aggregate the corpus per level.
-    val counters = dyadicLevelCounters(hashed, "hv", bits, w, d).localCheckpoint()
-    var frontier = hashed.sparkSession.range(2)
-      .select(lit(bits - 1).as("l"), col("id").as("node"))
-    for (l <- (bits - 1) to 0 by -1) {
-      val kept = levelEst(counters, frontier, w, d, "cm_est")
-        .filter(col("cm_est") >= minCount)
-      frontier =
-        if (l == 0) kept
-        else kept.select(explode(array(col("node") * 2, col("node") * 2 + 1)).as("node"))
-          .select(lit(l - 1).as("l"), col("node"))
+    // fan a single-split scan out BEFORE the sketch build: the per-row
+    // work below is bits × d hash computations, the corpus-sized pass of
+    // this operator, and must not serialize on one core (round 20)
+    val hashed = Partitioning.fanOutForCompute(
+      df.select(col(keyCol).as("key"), hv.as("hv")), col("key"))
+    // The sketch is BOUNDED, configuration-sized state — at most
+    // bits × d × w counters regardless of corpus size — so it is
+    // collected once and the descent runs as plain driver arithmetic
+    // (≤ 2·|candidates|·bits integer map probes). The round-19 shape ran
+    // the descent as bits × d lazily stacked broadcast joins instead:
+    // constant propagation specialized every build side, so one gate paid
+    // ~50 sequential broadcast-build jobs and a 2,000-line plan for what
+    // is microseconds of lookup work. The only corpus-sized jobs left are
+    // the one-pass sketch build and the final exact-count join.
+    val counters = dyadicLevelCounters(hashed, "hv", bits, w, d)
+    val cmap = new java.util.HashMap[Long, Long]()
+    counters.collect().foreach { r =>
+      // key packs (l, cm_row, cm_bucket): l < 62, row < 8, bucket < w
+      cmap.put((r.getInt(0).toLong << 40) | (r.getInt(1).toLong << 32) |
+        r.getLong(2), r.getLong(3))
     }
-    val leaves = frontier.select(col("node").as("hv"), col("cm_est"))
+    def est(l: Int, node: Long): Long = (0 until d).map { i =>
+      // replicates seededBuckets exactly: FNV-1a of "i|<node>" AND (w-1)
+      val b = graft.functions.Fnv1a64Expr.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"$i|$node")) &
+        (w - 1).toLong
+      cmap.getOrDefault((l.toLong << 40) | (i.toLong << 32) | b, 0L)
+    }.min
+    var frontier: Seq[Long] = Seq(0L, 1L)
+    var frontierEst: Map[Long, Long] = Map.empty
+    for (l <- (bits - 1) to 0 by -1) {
+      val kept = frontier.map(n => n -> est(l, n)).filter(_._2 >= minCount)
+      if (l == 0) { frontierEst = kept.toMap; frontier = kept.map(_._1) }
+      else frontier = kept.flatMap { case (n, _) => Seq(n * 2, n * 2 + 1) }
+    }
+    import hashed.sparkSession.implicits._
+    val leaves = frontierEst.toSeq.sorted.toDF("hv", "cm_est")
     hashed.join(broadcast(leaves), Seq("hv"))
       .groupBy(col("key"), col("hv"), col("cm_est"))
       .agg(count(lit(1)).as("true_cnt"))

@@ -227,8 +227,7 @@ object SuffixArray {
       col("_p").as("_p1"))
     val b = withPrefix.select(col("rank"), col("_d").as("_d2"),
       col("pos").as("_pos2"), col("_p").as("_p2"))
-    a.join(b, Seq("rank"))
-      .withColumn("_lcp", boundedLcp(col("_p1"), col("_p2"), depth))
+    withBoundedLcp(a.join(b, Seq("rank")), "_p1", "_p2", depth, "_lcp")
       .select(col("rank"), col("_d1"), col("_pos1"), col("_len1"),
         col("_d2"), col("_pos2"), col("_lcp"))
   }
@@ -248,18 +247,27 @@ object SuffixArray {
     * least() cap restores it. Greedy powers-of-two reach any value up to
     * 2·highestOneBit(depth)−1 ≥ depth. Differentially pinned against the
     * brute char fold in SuffixArraySpec (handcrafted + fuzz). */
-  private def boundedLcp(p1: Column, p2: Column, depth: Int): Column = {
-    var acc: Column = lit(0L)
+  private def withBoundedLcp(df: DataFrame, p1: String, p2: String,
+                             depth: Int, out: String): DataFrame = {
+    // LINEARIZED lift (round 20): each step materializes `acc` as a named
+    // column before the next references it. A single nested Column
+    // referenced acc 4× per step, growing the expression tree ~4^(log2
+    // depth + 1) (~16k nodes at depth 64) — Catalyst analysis time blew
+    // up with depth and the generated method risked the 64KB JVM limit.
+    // CollapseProject cannot re-inline the chain: each layer's CaseWhen
+    // is non-cheap and referenced more than once by the next. Plan depth
+    // stays O(log depth), one whole-stage-codegen span.
+    var cur = df.withColumn(out, lit(0L))
     var step = Integer.highestOneBit(depth)
     while (step >= 1) {
-      acc = when(
-        p1.substr((acc + 1L).cast("int"), lit(step)) ===
-          p2.substr((acc + 1L).cast("int"), lit(step)),
-        acc + step.toLong).otherwise(acc)
+      cur = cur.withColumn(out,
+        when(col(p1).substr((col(out) + 1L).cast("int"), lit(step)) ===
+            col(p2).substr((col(out) + 1L).cast("int"), lit(step)),
+          col(out) + step.toLong).otherwise(col(out)))
       step /= 2
     }
-    least(acc, length(p1).cast("long"), length(p2).cast("long"),
-      lit(depth.toLong))
+    cur.withColumn(out, least(col(out), length(col(p1)).cast("long"),
+      length(col(p2)).cast("long"), lit(depth.toLong)))
   }
 
   /** Bounded LCP of every ADJACENT suffix pair in SA order, by the

@@ -584,20 +584,15 @@ object TextPipeline {
   def packSequences(df: DataFrame, idCol: String, textCol: String,
                     seqLen: Int): DataFrame = {
     require(seqLen >= 1)
-    // materialize the token frame ONCE: the packer consumes it three
-    // times (the prefix scan's two passes + the explode), and without a
-    // barrier each pass re-executes the caller's upstream lineage —
-    // measured 1.4–1.7× on the composed curation chain, and far worse
-    // when the upstream is itself a shuffle-heavy clean. LAZY checkpoint:
-    // merely composing the pipeline must not run a Spark job — the first
-    // action materializes, later consumers reuse the blocks. Trade (as
+    // the prefix scan CARRIES the token arrays (round 20): one lineage
+    // execution, offsets attached in the scan itself — the previous shape
+    // checkpointed a token frame and paid a corpus-wide join (two more
+    // exchanges) to reattach the offsets it had just computed. Trade (as
     // with any localCheckpoint): the truncated lineage is not recomputable
     // on executor loss — the job fails and the caller re-runs.
     val docs = df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("w"))
-      .localCheckpoint(eager = false)
-    val offs = Partitioning.prefixSum(
-      docs.select(col(idCol), size(col("w")).as("_n")), idCol, "_n", "_off")
-    docs.join(offs, Seq(idCol))
+      .withColumn("_n", size(col("w")))
+    Partitioning.prefixSum(docs, idCol, "_n", "_off")
       .select(col(idCol), col("_off"), posexplode(col("w")))
       .select(col(idCol), (col("_off") + col("pos")).as("gpos"), col("col").as("tok"))
       .select(col(idCol), col("tok"),
@@ -623,14 +618,12 @@ object TextPipeline {
   def packSequencesWithBoundaries(df: DataFrame, idCol: String,
                                   textCol: String, seqLen: Int): DataFrame = {
     require(seqLen >= 1)
-    // one lineage execution for FOUR consumers (prefix scan ×2, seqs,
-    // bounds) — see packSequences for the measured account and the
-    // lazy-checkpoint / executor-loss trade
+    // the prefix scan carries the token arrays — see packSequences; the
+    // scan's materialized result feeds both downstream consumers (seqs,
+    // bounds) with no join-back
     val docs = df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("w"))
-      .localCheckpoint(eager = false)
-    val offs = Partitioning.prefixSum(
-      docs.select(col(idCol), size(col("w")).as("_n")), idCol, "_n", "_off")
-    val toks = docs.join(offs, Seq(idCol))
+      .withColumn("_n", size(col("w")))
+    val toks = Partitioning.prefixSum(docs, idCol, "_n", "_off")
       .select(col(idCol), col("_off"), posexplode(col("w")))
       .select(col(idCol), (col("_off") + col("pos")).as("gpos"), col("col").as("tok"))
       .select(col(idCol), col("tok"),

@@ -138,8 +138,10 @@ class DataSelectionSpec extends SparkSpec {
     val rnd = new scala.util.Random(17)
     val rows = (0 until 500).map(i => (i.toLong * 3 + 1, rnd.nextInt(40).toLong))
     val df = rnd.shuffle(rows).toDF("id", "v").repartition(7) // layout-scrambled
+    // round 20: prefixSum carries ALL input columns + outCol (off is
+    // appended last) — read by name, and the payload column rides along
     val got = graft.operators.Partitioning.prefixSum(df, "id", "v", "off")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("off")).toMap
     var acc = 0L
     rows.sortBy(_._1).foreach { case (id, v) =>
       assert(got(id) === acc, s"id=$id"); acc += v

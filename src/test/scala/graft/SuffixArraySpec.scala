@@ -86,6 +86,28 @@ class SuffixArraySpec extends SparkSpec {
     }
   }
 
+  test("planted prefix skew: a corpus where ~95% of suffixes share one " +
+    "boilerplate prefix still builds correctly through the direct route " +
+    "(the composite (prefix, doc, pos) range key splits the hot run " +
+    "across partitions instead of funnelling it to one)") {
+    // every doc is the same 70-char boilerplate + a tiny unique tail:
+    // most depth-64 prefixes are IDENTICAL — the adversarial case for a
+    // range sort keyed on the prefix alone. The range key includes
+    // (doc, pos), so equal prefixes remain divisible; correctness is
+    // differential vs the doubling route (which sorts 8-byte ranks).
+    val boiler = "x" * 70
+    val docs = (0L until 40L).map(i => i -> (boiler + s"u$i"))
+    val df = docs.toDF("doc_id", "text")
+    val direct = SuffixArray.suffixArrayForTest(df, "doc_id", "text",
+      depth = 64, base = 4, forceDoubling = false)
+      .as[(Long, Long, Long)].collect().toSet
+    val doubling = SuffixArray.suffixArrayForTest(df, "doc_id", "text",
+      depth = 64, base = 4, forceDoubling = true)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(direct === doubling)
+    assert(direct.size === docs.map(_._2.length).sum)
+  }
+
   test("lcpArray: matches brute adjacent-lcp over the bounded SA; rank 1 " +
     "reports lcp 0") {
     val rnd = new scala.util.Random(9090)
