@@ -14,11 +14,16 @@ object QfaProfile {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder().master(s"local[$cpus]")
+    val b0 = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // ad-hoc conf overrides for A/B probes: SPARK_GRAFT_EXTRA_CONF=k=v;k=v
+    val spark = sys.env.get("SPARK_GRAFT_EXTRA_CONF").map(_.split(";"))
+      .getOrElse(Array.empty).filter(_.contains("="))
+      .foldLeft(b0) { (b, kv) =>
+        val Array(k, v) = kv.split("=", 2); b.config(k, v)
+      }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
@@ -47,9 +52,20 @@ object QfaProfile {
             s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val si = s.stageInfo
           val rt = si.taskMetrics.executorRunTime / 1e3
-          if (rt > 0.3)
+          if (rt > 0.3) {
             println(f"[qfaprof]       stage ${si.stageId}%3d tasks=${si.numTasks}%3d " +
               f"run=$rt%6.2f core-s  ${si.name.take(80)}")
+            if (rt > 3.0) {
+              val det = si.details.linesIterator
+                .filter(l => l.contains("graft") || l.contains("Dedup") ||
+                  l.contains("GramIndex")).take(6).mkString(" | ")
+              println(s"[qfaprof]         details: ${det.take(300)}")
+              val gc = si.taskMetrics.jvmGCTime / 1e3
+              val des = si.taskMetrics.executorDeserializeTime / 1e3
+              println(f"[qfaprof]         gc=$gc%6.2f deser=$des%6.2f " +
+                f"cpu=${si.taskMetrics.executorCpuTime / 1e9}%6.2f")
+            }
+          }
         }
         override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
           if (t.taskMetrics != null)

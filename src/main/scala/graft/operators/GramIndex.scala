@@ -85,6 +85,16 @@ object GramIndex {
   private def leaseLoc(spark: SparkSession, ref: Ref): org.apache.hadoop.fs.Path =
     location(spark, s"graft_gramidx_lease_${ref.tag}")
 
+  /** Run `body` under a Spark job description (guide §1: label your jobs)
+    * so UI/listener evidence attributes each ingest phase; restores the
+    * caller's description after. */
+  private def labeled[T](spark: SparkSession, desc: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    val old = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(desc)
+    try body finally sc.setJobDescription(old)
+  }
+
   private def withLease[T](spark: SparkSession, ref: Ref, who: String)(body: => T): T = {
     val p = leaseLoc(spark, ref)
     val f = hfs(spark, p)
@@ -282,23 +292,36 @@ object GramIndex {
     }
   }
 
-  /** Sequential multi-delivery [[ingest]] with the index-INDEPENDENT work
-    * hoisted (round-20 optimization; byte-identical to calling [[ingest]]
-    * once per batch in order — spec-pinned differentially): each
-    * delivery's gram fingerprint COUNTS depend only on that batch's
-    * content, never on index state, so all deliveries' counts are
-    * computed in ONE corpus pass and ONE (slice, h, h2) shuffle instead
-    * of a pass + shuffle per delivery. Everything the causal rule orders
-    * — the corpus probe against the pre-delivery index state and the
-    * append — stays strictly sequential per slice. Each delivery gets a
-    * fresh generated id (same retry contract as the UUID [[ingest]]
-    * overload). Returns one cleaned frame per batch, in order. */
+  /** Sequential multi-delivery [[ingest]] collapsed to ONE barrier chain
+    * (round-20; byte-identical to calling [[ingest]] once per batch in
+    * order — spec-pinned differentially). The per-slice sequential form
+    * paid, per delivery: a dup-key count job, a skeleton checkpoint job,
+    * and a bucketed APPEND whose read-back the next slice's probe
+    * depended on — 3 deliveries ≈ 38 jobs, and the wall was their
+    * summed driver latency, not compute (guide §1/§2). The collapse
+    * rests on one identity: slice k's probe state = the PRE-ingest
+    * corpus table ∪ slices 0..k−1 of this very call — the table
+    * read-back returns exactly the counts this call just appended. So:
+    *  - every delivery's gram counts: ONE corpus pass + ONE
+    *    (slice, h, h2) shuffle (counts are index-independent);
+    *  - a key (h, h2) in slice k is duplicated iff cnt ≥ 2 (within-batch
+    *    remove-all) OR the pre-ingest corpus holds it (probed ONCE for
+    *    all slices, bucket-join on h, h2 confirmed post-join) OR an
+    *    earlier slice holds it (min(_slice) window — the read-back
+    *    replaced by arithmetic);
+    *  - ONE (slice, doc, pos) skeleton checkpoint, ONE bucketed append
+    *    carrying every delivery id (fewer files per bucket, same rows;
+    *    the probe's own-delivery exclusion filter is gone because the
+    *    fresh per-call UUIDs can never pre-exist in the table).
+    * Crash contract unchanged from the UUID [[ingest]] overload: a
+    * crashed call's landed rows wear unknown ids and count as corpus on
+    * retry — recoverDelivery first. Returns one cleaned frame per batch,
+    * in order. */
   def ingestSlices(batches: Seq[DataFrame], idCol: String, textCol: String,
                    minLen: Int, ref: Ref): Seq[DataFrame] = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     if (batches.isEmpty) return Seq.empty
     val spark = batches.head.sparkSession
-    import spark.implicits._
     withLease(spark, ref, "ingest") {
       val hasCorpus0 = attachForWrite(spark, ref)
       val docsBySlice = batches.map { b =>
@@ -306,42 +329,62 @@ object GramIndex {
           b.select(col(idCol).as("_d"), col(textCol).as("_t"),
             length(col(textCol)).cast("long").as("_len")), col("_d"))
       }
-      // ONE corpus-wide pass + shuffle for every delivery's gram counts —
+      val allDocs = docsBySlice.zipWithIndex.map { case (d, k) =>
+        d.withColumn("_slice", lit(k)) }.reduce(_ unionByName _)
       // eagerly cached (see ingest's cnts comment: eager blocks the
       // concurrent-broadcast recompute race, cache keeps the size stats
-      // the dup-set broadcast decisions depend on)
-      val cntsAll = Dedup.charGramFingerprints(
-          docsBySlice.zipWithIndex.map { case (d, k) =>
-            d.withColumn("_slice", lit(k)) }.reduce(_ unionByName _),
-          minLen, carryCols = Seq("_slice"))
+      // the dup-set broadcast decisions depend on; A/B'd uncached in
+      // round 20 — three consumers recomputing the gram pass cost more
+      // than the one cache write)
+      val cntsAll = Dedup.charGramFingerprints(allDocs, minLen,
+          carryCols = Seq("_slice"))
         .groupBy(col("_slice"), col("h"), col("h2"))
         .agg(count(lit(1)).as("cnt")).cache()
-      cntsAll.count()
-      val outs = docsBySlice.zipWithIndex.map { case (docs, k) =>
-        val delivery = java.util.UUID.randomUUID().toString
-        val cnts = cntsAll.filter(col("_slice") === k).drop("_slice")
-        val withinDup = cnts.filter(col("cnt") >= 2).select("h", "h2")
-        val corpusDup =
-          if (!hasCorpus0 && k == 0) Seq.empty[(Long, Long)].toDF("h", "h2")
-          else spark.table(ref.gramsTable)
-            .filter(col("delivery") =!= lit(delivery))
+      labeled(spark, "gramidx: all-slice gram counts") { cntsAll.count() }
+      // pre-ingest corpus probe, ONCE for every slice: join on h alone
+      // (the bucket column — corpus side reads pre-partitioned, zero
+      // exchange), h2 confirmed post-join
+      val withFirst = cntsAll.withColumn("_first", min(col("_slice")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("h", "h2")))
+      val dupSliced =
+        if (!hasCorpus0)
+          withFirst.filter(col("cnt") >= 2 || col("_slice") > col("_first"))
+        else {
+          val corpusKeys = spark.table(ref.gramsTable)
             .select(col("h"), col("h2").as("_ih2"))
-            .join(cnts.select("h", "h2"), Seq("h"))
+            .join(cntsAll.select("h", "h2").distinct(), Seq("h"))
             .filter(col("_ih2") - col("h2") === 0L)
             .select("h", "h2").distinct()
-        // eager dup-key cache: same stats-for-the-planner move as ingest
-        val dupKeys = withinDup.unionByName(corpusDup).distinct().cache()
-        dupKeys.count()
-        val dupPos = Dedup.charGramFingerprints(docs, minLen)
-          .join(dupKeys, Seq("h", "h2"), "left_semi")
-          .select(col("_d"), col("pos"))
+          withFirst
+            .join(corpusKeys.withColumn("_chit", lit(1)), Seq("h", "h2"), "left")
+            .filter(col("cnt") >= 2 || col("_slice") > col("_first") ||
+              col("_chit").isNotNull)
+        }
+      // eager dup-key cache: same stats-for-the-planner move as ingest
+      val dupKeysAll = dupSliced.select(col("_slice"), col("h"), col("h2")).cache()
+      labeled(spark, "gramidx: dup keys (one probe, all slices)") {
+        dupKeysAll.count()
+      }
+      val dupPosAll = labeled(spark, "gramidx: dup-pos skeleton (all slices)") {
+        Dedup.charGramFingerprints(allDocs, minLen, carryCols = Seq("_slice"))
+          .join(dupKeysAll, Seq("_slice", "h", "h2"), "left_semi")
+          .select(col("_slice"), col("_d"), col("pos"))
           .localCheckpoint()
-        dupKeys.unpersist()
-        appendBucketed(cnts.withColumn("delivery", lit(delivery)), ref)
-        Dedup.excise(docs, dupPos, minLen, idCol)
+      }
+      dupKeysAll.unpersist()
+      val deliveries = batches.map(_ => java.util.UUID.randomUUID().toString)
+      labeled(spark, "gramidx: append (one write, all deliveries)") {
+        appendBucketed(cntsAll
+          .withColumn("delivery", element_at(
+            array(deliveries.map(lit): _*), col("_slice").cast("int") + 1))
+          .select("h", "h2", "cnt", "delivery"), ref)
       }
       cntsAll.unpersist()
-      outs
+      docsBySlice.zipWithIndex.map { case (docs, k) =>
+        Dedup.excise(docs,
+          dupPosAll.filter(col("_slice") === k).select("_d", "pos"),
+          minLen, idCol)
+      }
     }
   }
 
