@@ -91,7 +91,11 @@ object GraphOps {
       val eWithDeg = e.join(outdeg, "src")
         .select(col("src").as("node"), col("dst"), col("d")).cache()
       val verts = vertices(e).cache()
-      val ranks = Iterations.iterate(verts.withColumn("rank", lit(1000000L)), iters, fuse = 2) { cur =>
+      // fuse cadence: how many rounds compile into one job between
+      // localCheckpoints (A/B-able via -Dgraft.loop.fuse, default 2 —
+      // see Iterations.iterate for the small-graph amortization account)
+      val fuse = sys.props.get("graft.loop.fuse").map(_.toInt).getOrElse(2)
+      val ranks = Iterations.iterate(verts.withColumn("rank", lit(1000000L)), iters, fuse = fuse) { cur =>
         // `div` = exact integer division (Spark's `/` would be double division)
         val contribs = eWithDeg.join(maybeB(cur), "node")
           .select(col("dst").as("node"), expr("rank div d").as("c"))
