@@ -50,8 +50,11 @@ object GraphOps {
     * ConnectedComponents.java — scatter-gather min-id). Returns
     * (node, component) where component = min node id in the component. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    val ued = undirected(edges).cache()
-    val n = ued.count()
+    val ued0 = undirected(edges).cache()
+    val n = ued0.count()
+    // big regime: pre-partition on the per-round join key (see
+    // Iterations.recacheForLoopJoin — one exchange replaces one per round)
+    val ued = Iterations.recacheForLoopJoin(ued0, n, col("b"))
     val maybeB = Iterations.maybeBroadcast(n)
     Iterations.withLoopProfile(ued.sparkSession, n) {
       // vertices from the CACHED undirected view (it carries both
@@ -137,8 +140,11 @@ object GraphOps {
     * Scale: one shuffle per round keyed on node id (the relax join + min
     * aggregate); the edge set is cached and re-partitioned once. */
   def sssp(wedges: DataFrame, source: DataFrame, maxIter: Int): DataFrame = {
-    val e = wedges.select("a", "b", "wt").cache()
-    val n = e.count()
+    val e0 = wedges.select("a", "b", "wt").cache()
+    val n = e0.count()
+    // big regime: pre-partition on the relax join's key (see
+    // Iterations.recacheForLoopJoin)
+    val e = Iterations.recacheForLoopJoin(e0, n, col("a"))
     // In the small regime the per-round vertex frame fits a broadcast, but
     // a localCheckpoint carries no stats (and the loop profile turns AQE's
     // runtime conversion off) — hint it explicitly. One shuffle per round
@@ -172,8 +178,9 @@ object GraphOps {
     * Scale: two shuffles per round (neighbor-label count, then per-node
     * argmax) keyed on node id; no driver-side state. */
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
-    val ued = undirected(edges).cache()
-    val n = ued.count()
+    val ued0 = undirected(edges).cache()
+    val n = ued0.count()
+    val ued = Iterations.recacheForLoopJoin(ued0, n, col("b"))
     val maybeB = Iterations.maybeBroadcast(n)
     Iterations.withLoopProfile(ued.sparkSession, n) {
       // endpoints of the cached undirected view, not the raw frame (see
@@ -214,8 +221,9 @@ object GraphOps {
     * reshuffles. */
   def kCore(edges: DataFrame, k: Int, maxIter: Int): DataFrame = {
     require(k >= 1 && maxIter >= 1)
-    val ued = undirected(edges).cache()
-    val n = ued.count()
+    val ued0 = undirected(edges).cache()
+    val n = ued0.count()
+    val ued = Iterations.recacheForLoopJoin(ued0, n, col("a"))
     val maybeB = Iterations.maybeBroadcast(n)
     Iterations.withLoopProfile(ued.sparkSession, n) {
       val init = ued.groupBy(col("a").as("node")).agg(count(lit(1)).as("deg"))
@@ -414,8 +422,9 @@ object GraphOps {
     * sum, then per-node argmax), same shape as [[labelPropagation]]. */
   def communityDetection(edges: DataFrame, iters: Int,
                          deltaMicro: Long = 500000L): DataFrame = {
-    val ued = undirected(edges).cache()
-    val n = ued.count()
+    val ued0 = undirected(edges).cache()
+    val n = ued0.count()
+    val ued = Iterations.recacheForLoopJoin(ued0, n, col("b"))
     val maybeB = Iterations.maybeBroadcast(n)
     Iterations.withLoopProfile(ued.sparkSession, n) {
       // endpoints of the cached undirected view, not the raw frame (see

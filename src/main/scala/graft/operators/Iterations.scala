@@ -95,6 +95,28 @@ object Iterations {
     if (rows < defaultBigRows / 2) org.apache.spark.sql.functions.broadcast
     else identity
 
+  /** Re-cache an already-cached loop-invariant frame PRE-PARTITIONED on
+    * the per-round join's key, in the BIG regime only (round 20, guide
+    * §2). Above the [[maybeBroadcast]] cutoff the per-round join cannot
+    * broadcast the iterated side, so it re-exchanged the cached edge
+    * frame every round — one cache-to-cache exchange at build replaces
+    * `iters` of them (A/B at sf0.1: label-prop 5.4 → 4.5 s, community
+    * 5.3 → 4.8 s, sssp 11.9 → 10.7 s warm, per-loop job count −5/−6).
+    * Below the cutoff the broadcast join never moves the edge side, and
+    * the build-time exchange only COSTS (A/B: the sparse-graph cc gate
+    * regressed 2.4 → 2.9 s when partitioned unconditionally) — so the
+    * small regime returns the frame untouched. Caller's frame must be
+    * cached and materialized; the swap unpersists it. */
+  def recacheForLoopJoin(df: DataFrame, rows: Long,
+                         key: org.apache.spark.sql.Column): DataFrame =
+    if (rows < defaultBigRows / 2) df
+    else {
+      val p = df.repartition(key).cache()
+      p.count()
+      df.unpersist()
+      p
+    }
+
   /** Delta iteration: iterate until `converged(prev, next)` or maxIter.
     * `converged` typically counts changed rows (the solution-set delta);
     * it runs one small job per round, like the reference's convergence
